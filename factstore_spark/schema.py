@@ -1,0 +1,126 @@
+"""Fact-envelope schemas: one Spark StructType + one pyarrow schema.
+
+Spark mapping per SURVEY.md §1.3. The envelope is fixed; the payload is
+opaque bytes (Fact.kt:71-96) which also makes it the natural carrier for
+multimodal (image/audio/video) columns later.
+
+``position`` is the commit-ordered total order inside a store:
+``position = commit_seq * POSITION_STRIDE + row_index`` — the Spark-side
+replacement for the FDB versionstamp (FdbFactStore.kt:144). Commit seqs
+are assigned under the per-store commit lock, so positions are globally
+monotonic per store and dense within a commit.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pyarrow as pa
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .model import Fact, FactPayload
+
+# Room for 2^20 rows per commit; bulk ingest uses a wider per-partition
+# stride (see storage/layout.py).
+POSITION_STRIDE = 1 << 20
+
+PAYLOAD_STRUCT = StructType(
+    [
+        StructField("data", BinaryType(), True),
+        StructField("format", StringType(), True),
+        StructField("schema_ref", StringType(), True),
+    ]
+)
+
+FACT_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("type", StringType(), False),
+        StructField("subject", StringType(), False),
+        StructField("appended_at", TimestampType(), False),
+        StructField("position", LongType(), False),
+        StructField("payload", PAYLOAD_STRUCT, True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+        StructField("tags", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FACT_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.string(), nullable=False),
+        pa.field("type", pa.string(), nullable=False),
+        pa.field("subject", pa.string(), nullable=False),
+        pa.field("appended_at", pa.timestamp("us", tz="UTC"), nullable=False),
+        pa.field("position", pa.int64(), nullable=False),
+        pa.field(
+            "payload",
+            pa.struct(
+                [
+                    pa.field("data", pa.binary()),
+                    pa.field("format", pa.string()),
+                    pa.field("schema_ref", pa.string()),
+                ]
+            ),
+        ),
+        pa.field("metadata", pa.map_(pa.string(), pa.string())),
+        pa.field("tags", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+def facts_to_arrow(rows: list[dict]) -> pa.Table:
+    """Build an Arrow table from fact dicts (append write path)."""
+    return pa.Table.from_pylist(rows, schema=FACT_ARROW_SCHEMA)
+
+
+def _as_map(value) -> dict[str, str]:
+    if value is None:
+        return {}
+    if isinstance(value, dict):
+        return dict(value)
+    # pyarrow map columns come back as list[(k, v)]
+    return dict(value)
+
+
+def _as_utc(ts: datetime) -> datetime:
+    if ts.tzinfo is None:
+        return ts.replace(tzinfo=timezone.utc)
+    return ts.astimezone(timezone.utc)
+
+
+def row_to_fact(row) -> Fact:
+    """Spark Row / pyarrow dict -> Fact."""
+    get = row.__getitem__ if isinstance(row, dict) else row.__getattr__
+    payload = get("payload")
+    if payload is None:
+        fp = FactPayload()
+    elif isinstance(payload, dict):
+        fp = FactPayload(
+            data=bytes(payload.get("data") or b""),
+            format=payload.get("format"),
+            schema_ref=payload.get("schema_ref"),
+        )
+    else:
+        fp = FactPayload(
+            data=bytes(payload.data or b""),
+            format=payload.format,
+            schema_ref=payload.schema_ref,
+        )
+    return Fact(
+        id=get("id"),
+        type=get("type"),
+        subject=get("subject"),
+        appended_at=_as_utc(get("appended_at")),
+        position=get("position"),
+        payload=fp,
+        metadata=_as_map(get("metadata")),
+        tags=_as_map(get("tags")),
+    )

@@ -1,0 +1,55 @@
+"""SparkSession helpers.
+
+The engine itself works with ANY SparkSession; this builder applies the
+configs we want when we own session creation (tests, bench):
+
+- AQE on (runtime re-planning, skew-join handling at scale)
+- shuffle partitions sized by env (32 on the local[32] harness; on a
+  1000-executor cluster this would be ~2-3x total cores or auto via AQE)
+- UTC session timezone for deterministic timestamp semantics
+- Arrow enabled for any pandas-UDF operators
+- ``nanosAsLong`` so the driver testdata's TIMESTAMP(NANOS) events table
+  is readable (Spark has no nanosecond timestamp type)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(
+    app_name: str = "factstore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    parts = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(NANOS_CONF, "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_nanos_readable(spark: SparkSession) -> bool:
+    """Set the nanos-as-long legacy conf on an existing session (it is a
+    runtime SQL conf). Returns True if reading TIMESTAMP(NANOS) parquet
+    will yield a BIGINT (nanos) column."""
+    try:
+        spark.conf.set(NANOS_CONF, "true")
+        return True
+    except Exception:
+        return spark.conf.get(NANOS_CONF, "false") == "true"

@@ -1,0 +1,312 @@
+"""Per-store physical layout: parquet data files + a commit log.
+
+Layout (one directory tree per engine root):
+
+    <root>/
+      catalog.json                 # {name: {"id": uuid, "created_at": iso}}
+      _catalog.lock
+      stores/<store_id>/
+        _commit.lock               # fcntl flock — serializes appends per store
+        commits.jsonl              # one line per commit:
+                                   #   {"seq", "rows", "appended_at",
+                                   #    "idempotency_key", "max_position"}
+        heads.json                 # {"seq": n, "subjects": {subject: [fact_id, position]}}
+        data/commit-<seq>.parquet  # fact rows (schema.FACT_ARROW_SCHEMA)
+
+This is the single-node stand-in for the reference's FoundationDB
+transaction (FdbFactAppender.kt:33-65): the flock critical section gives
+us the same check-and-append atomicity that FDB gets from optimistic
+transactions, and ``commit seq`` is the versionstamp analog. On a real
+cluster the identical protocol maps onto a Delta/Iceberg transactional
+commit (optimistic retry loop) with ``position = commit_version *
+POSITION_STRIDE + row_index`` — the engine API is unchanged; only this
+module would swap.
+
+Crash safety: data files are written to a temp name and atomically
+renamed into ``data/`` BEFORE the commit line is appended; readers only
+trust files whose seq appears in ``commits.jsonl``, and stale orphan
+files are swept on the next lock acquisition.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+import uuid
+from contextlib import contextmanager
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Iterator, Optional
+
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from ..schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
+
+COMMITS_FILE = "commits.jsonl"
+HEADS_FILE = "heads.json"
+DATA_DIR = "data"
+LOCK_FILE = "_commit.lock"
+
+
+@dataclass(frozen=True)
+class CommitRecord:
+    seq: int
+    rows: int
+    appended_at: str
+    idempotency_key: Optional[str]
+    max_position: int
+    bulk: bool = False
+
+
+class StoreLayout:
+    """Filesystem handle for one store's data + commit log."""
+
+    def __init__(self, store_dir: str):
+        self.store_dir = store_dir
+        self.data_dir = os.path.join(store_dir, DATA_DIR)
+
+    def initialize(self) -> None:
+        os.makedirs(self.data_dir, exist_ok=True)
+        commits = os.path.join(self.store_dir, COMMITS_FILE)
+        if not os.path.exists(commits):
+            with open(commits, "w"):
+                pass
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.data_dir)
+
+    # -- commit log ---------------------------------------------------------
+
+    def read_commits(self) -> list[CommitRecord]:
+        path = os.path.join(self.store_dir, COMMITS_FILE)
+        out: list[CommitRecord] = []
+        if not os.path.exists(path):
+            return out
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                out.append(
+                    CommitRecord(
+                        seq=d["seq"],
+                        rows=d["rows"],
+                        appended_at=d["appended_at"],
+                        idempotency_key=d.get("idempotency_key"),
+                        max_position=d["max_position"],
+                        bulk=d.get("bulk", False),
+                    )
+                )
+        return out
+
+    def last_commit(self) -> Optional[CommitRecord]:
+        commits = self.read_commits()
+        return commits[-1] if commits else None
+
+    def head_position(self) -> int:
+        """Current max position, or -1 for an empty store. The replay
+        head pin (FdbFactStreamer.kt:60-84) reads this once, up front."""
+        last = self.last_commit()
+        return last.max_position if last else -1
+
+    def idempotency_key_seen(self, key: str) -> bool:
+        """Idempotency keys live in the commit log itself, so the check
+        and the record are part of the same append protocol
+        (FdbFactAppender.kt:52-64, FdbFactStoreContext.kt:377-393)."""
+        return any(c.idempotency_key == key for c in self.read_commits())
+
+    # -- locking ------------------------------------------------------------
+
+    @contextmanager
+    def commit_lock(self) -> Iterator[None]:
+        """Per-store critical section. Serializes the check-and-append,
+        giving the exactly-one-winner contract for racing conditional
+        appends (AbstractFactStoreTest.kt:385-420)."""
+        os.makedirs(self.store_dir, exist_ok=True)
+        fd = os.open(os.path.join(self.store_dir, LOCK_FILE), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._sweep_orphans()
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _sweep_orphans(self) -> None:
+        """Drop data files whose seq never made it into the commit log
+        (crash between rename and commit-line append)."""
+        committed = {c.seq for c in self.read_commits()}
+        for name in os.listdir(self.data_dir):
+            if not name.startswith("commit-") or not name.endswith(".parquet"):
+                continue
+            try:
+                seq = int(name[len("commit-") : -len(".parquet")].split("-")[0])
+            except ValueError:
+                continue
+            if seq not in committed:
+                os.unlink(os.path.join(self.data_dir, name))
+
+    # -- append (call only while holding commit_lock) -----------------------
+
+    def append_commit(
+        self,
+        rows: list[dict],
+        appended_at: datetime,
+        idempotency_key: Optional[str],
+    ) -> tuple[int, list[int]]:
+        """Write one commit: parquet file + commit-log line + heads update.
+        Returns (seq, positions)."""
+        last = self.last_commit()
+        seq = (last.seq + 1) if last else 0
+        base = seq * POSITION_STRIDE
+        positions = [base + i for i in range(len(rows))]
+        for row, pos in zip(rows, positions):
+            row["position"] = pos
+
+        if rows:
+            table = pa.Table.from_pylist(rows, schema=FACT_ARROW_SCHEMA)
+            tmp = os.path.join(self.store_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+            final = os.path.join(self.data_dir, f"commit-{seq:010d}.parquet")
+            pq.write_table(table, tmp)
+            os.rename(tmp, final)
+
+        record = {
+            "seq": seq,
+            "rows": len(rows),
+            "appended_at": appended_at.isoformat(),
+            "idempotency_key": idempotency_key,
+            "max_position": positions[-1] if positions else (last.max_position if last else -1),
+        }
+        path = os.path.join(self.store_dir, COMMITS_FILE)
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+        self._update_heads(seq, rows)
+        return seq, positions
+
+    # -- subject heads (ExpectedLastFact fast path) -------------------------
+
+    def _heads_path(self) -> str:
+        return os.path.join(self.store_dir, HEADS_FILE)
+
+    def _read_heads(self) -> dict:
+        try:
+            with open(self._heads_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {"seq": -1, "subjects": {}}
+
+    def _update_heads(self, seq: int, rows: list[dict]) -> None:
+        heads = self._read_heads()
+        for row in rows:
+            heads["subjects"][row["subject"]] = [row["id"], row["position"]]
+        heads["seq"] = seq
+        tmp = self._heads_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(heads, f)
+        os.rename(tmp, self._heads_path())
+
+    def last_fact_of_subject(self, subject: str) -> Optional[tuple[str, int]]:
+        """O(1) last-fact lookup for ExpectedLastFact conditions — the
+        stand-in for the reverse limit-1 subject-index scan
+        (FdbFactAppender.kt:91-113). Rebuilds from data if heads are stale."""
+        heads = self._read_heads()
+        last = self.last_commit()
+        last_seq = last.seq if last else -1
+        if heads["seq"] != last_seq:
+            heads = self._rebuild_heads(last_seq)
+        entry = heads["subjects"].get(subject)
+        return (entry[0], entry[1]) if entry else None
+
+    def _rebuild_heads(self, last_seq: int) -> dict:
+        heads = {"seq": last_seq, "subjects": {}}
+        table = self.read_arrow(columns=["id", "subject", "position"])
+        if table.num_rows:
+            table = table.sort_by("position")
+            for row in table.to_pylist():
+                heads["subjects"][row["subject"]] = [row["id"], row["position"]]
+        tmp = self._heads_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(heads, f)
+        os.rename(tmp, self._heads_path())
+        return heads
+
+    # -- local reads (engine-internal; queries go through Spark) ------------
+
+    def data_files(self, max_seq: Optional[int] = None) -> list[str]:
+        committed = [c for c in self.read_commits() if c.rows > 0]
+        if max_seq is not None:
+            committed = [c for c in committed if c.seq <= max_seq]
+        files: list[str] = []
+        for c in committed:
+            if c.bulk:
+                d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+            else:
+                files.append(os.path.join(self.data_dir, f"commit-{c.seq:010d}.parquet"))
+        return files
+
+    def append_bulk_commit_record(
+        self,
+        seq: int,
+        rows: int,
+        appended_at: datetime,
+        idempotency_key: Optional[str],
+        max_position: int,
+    ) -> None:
+        """Commit line for a Spark-written bulk ingest directory (data
+        already renamed into place by the executor writers)."""
+        record = {
+            "seq": seq,
+            "rows": rows,
+            "appended_at": appended_at.isoformat(),
+            "idempotency_key": idempotency_key,
+            "max_position": max_position,
+            "bulk": True,
+        }
+        path = os.path.join(self.store_dir, COMMITS_FILE)
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def read_arrow(
+        self,
+        columns: Optional[list[str]] = None,
+        filter: Optional[pa_ds.Expression] = None,
+    ) -> pa.Table:
+        """Engine-internal point reads (condition evaluation, cursor
+        resolution) — small, latency-sensitive lookups that would waste a
+        Spark job. All user-facing queries go through DataFrames."""
+        files = self.data_files()
+        if not files:
+            return FACT_ARROW_SCHEMA.empty_table().select(columns) if columns else FACT_ARROW_SCHEMA.empty_table()
+        ds = pa_ds.dataset(files, schema=FACT_ARROW_SCHEMA)
+        return ds.to_table(columns=columns, filter=filter)
+
+    def position_of_fact(self, fact_id: str) -> Optional[int]:
+        """id -> position (FdbFactStore.kt:108-133's id index equivalent)."""
+        table = self.read_arrow(
+            columns=["position"], filter=pa_ds.field("id") == fact_id
+        )
+        if table.num_rows == 0:
+            return None
+        return table.column("position")[0].as_py()
+
+
+def utcnow_us() -> datetime:
+    """Server-assigned append instant, microsecond precision (matches the
+    parquet/Spark timestamp unit so read-back equality is exact —
+    TCK half-open boundary tests AbstractFactStoreTest.kt:203-229)."""
+    now = datetime.now(timezone.utc)
+    return now.replace(microsecond=now.microsecond)

@@ -1,0 +1,582 @@
+"""FactStore — the PySpark-native engine facade.
+
+Implements the union of the reference's 7 component interfaces
+(FactStore.kt:18-25): StoreFactory, StoreFinder, StoreRemover,
+FactAppender, FactFinder, FactReplayer, FactSubscriber.
+
+Design (SURVEY.md §7):
+
+- Every read operator is a declarative DataFrame plan over the store's
+  parquet data — Catalyst does pushdown/pruning where the reference
+  hand-wires secondary-index scans (FdbFactFinder.kt). Each finder has a
+  ``*_df`` variant returning the lazy DataFrame (the 100 TB path) and a
+  materializing variant returning the reference's sealed result types.
+- The append path is a commit protocol, not a DataFrame op: a per-store
+  critical section runs check-idempotency -> evaluate-condition ->
+  assign ids/instant/positions -> write parquet + commit line, mirroring
+  the single FDB transaction in FdbFactAppender.kt:33-65. On a cluster
+  the same protocol maps onto a Delta optimistic commit; the lock is the
+  local stand-in for transaction conflict ranges.
+- Positions (commit_seq * 2^20 + row_idx) replace FDB versionstamps as
+  the store-wide total order; all cursors and replay bounds are positions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, Optional, Sequence, Union
+
+import pyarrow.dataset as pa_ds
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import (
+    AllConditions,
+    AppendCondition,
+    ExpectedLastFact,
+    Fact,
+    FactInput,
+    NoCondition,
+    ReadDirection,
+    ReplayStart,
+    StartPosition,
+    StoreMetadata,
+    TagQuery,
+    TagQueryBased,
+    TimeRange,
+    fact_matches_tag_query,
+    new_fact_id,
+    validate_limit,
+    validate_store_name,
+)
+from .plans.predicates import (
+    ordered_limited,
+    tag_query_predicate,
+    tags_all_match,
+    time_range_predicate,
+)
+from .results import (
+    AlreadyApplied,
+    Appended,
+    AppendConditionViolated,
+    AppendResult,
+    CreateStoreResult,
+    DoesNotExist,
+    Exists,
+    ExistsByIdResult,
+    FactFound,
+    FactIdNotFound,
+    FactNotFound,
+    FactsFound,
+    FindByIdResult,
+    FindResult,
+    RemoveStoreResult,
+    StoreCreated,
+    StoreNameAlreadyExists,
+    StoreNotFound,
+    StoreRemoved,
+)
+from .schema import FACT_SCHEMA, row_to_fact
+from .storage.catalog import Catalog
+from .storage.layout import StoreLayout, utcnow_us
+
+DEFAULT_BATCH_SIZE = 10_000  # FdbFactStreamer.kt:22
+
+
+class FactStore:
+    """Engine entry point. ``root`` is the storage directory; ``spark``
+    is any SparkSession (the engine sets no global configs)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.catalog = Catalog(root)
+
+    # ------------------------------------------------------------------
+    # Store management (StoreFactory / StoreFinder / StoreRemover)
+    # ------------------------------------------------------------------
+
+    def create(self, name: str) -> CreateStoreResult:
+        """StoreFactory.kt:3-7; name rules StoreName.kt:7-9."""
+        if not validate_store_name(name):
+            raise ValueError(f"invalid store name: {name!r}")
+        meta = self.catalog.create(name)
+        if meta is None:
+            return StoreNameAlreadyExists(name)
+        self._layout(meta.id).initialize()
+        return StoreCreated(meta)
+
+    def list_all(self) -> list[StoreMetadata]:
+        return self.catalog.list_all()
+
+    def exists_by_name(self, name: str) -> bool:
+        return self.catalog.find_by_name(name) is not None
+
+    def find_by_name(self, name: str) -> Optional[StoreMetadata]:
+        return self.catalog.find_by_name(name)
+
+    def remove(self, name: str) -> RemoveStoreResult:
+        """StoreRemover.kt:3-7 — drops facts, commit log, idempotency keys
+        (the 12-subspace clear of FdbStoreRemover.kt:209-235 collapses to
+        one directory tree)."""
+        meta = self.catalog.remove(name)
+        if meta is None:
+            return StoreNotFound(name)
+        import shutil
+
+        store_dir = self._store_dir(meta.id)
+        if os.path.isdir(store_dir):
+            shutil.rmtree(store_dir)
+        return StoreRemoved(name)
+
+    def stores_df(self) -> DataFrame:
+        """Catalog as a DataFrame (SURVEY.md §1.3 `stores` table)."""
+        rows = [(m.id, m.name, m.created_at) for m in self.list_all()]
+        return self.spark.createDataFrame(rows, "id string, name string, created_at timestamp")
+
+    # ------------------------------------------------------------------
+    # Append path (FactAppender)
+    # ------------------------------------------------------------------
+
+    def append(
+        self,
+        store_name: str,
+        facts: Union[FactInput, Sequence[FactInput]],
+        *,
+        condition: AppendCondition = NoCondition(),
+        idempotency_key: Optional[str] = None,
+    ) -> AppendResult:
+        """Atomic (all-or-nothing) append of one or more facts with
+        optional idempotency + condition (AppendRequest.kt:37-106).
+
+        Convenience overloads without an explicit key get a fresh key per
+        call, hence are NOT retry-idempotent (FactAppender.kt:16-42).
+        """
+        if isinstance(facts, FactInput):
+            facts = [facts]
+        facts = list(facts)
+        if not facts:
+            raise ValueError("append requires at least one fact")
+        key = idempotency_key or str(uuid.uuid4())
+
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        layout = self._layout(meta.id)
+
+        # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
+        with layout.commit_lock():
+            if layout.idempotency_key_seen(key):
+                return AlreadyApplied(key)
+
+            violation = self._evaluate_condition(layout, condition)
+            if violation is not None:
+                return AppendConditionViolated(violation)
+
+            appended_at = utcnow_us()  # one shared instant per batch (AppendResult.kt:23-29)
+            fact_ids = [new_fact_id() for _ in facts]  # server-assigned (FactInput.kt:37-45)
+            rows = [
+                {
+                    "id": fid,
+                    "type": f.type,
+                    "subject": f.subject,
+                    "appended_at": appended_at,
+                    "position": 0,  # assigned by the layout at commit
+                    "payload": {
+                        "data": bytes(f.payload.data),
+                        "format": f.payload.format,
+                        "schema_ref": f.payload.schema_ref,
+                    },
+                    "metadata": dict(f.metadata),
+                    "tags": dict(f.tags),
+                }
+                for fid, f in zip(fact_ids, facts)
+            ]
+            _, positions = layout.append_commit(rows, appended_at, key)
+
+        return Appended(tuple(fact_ids), appended_at, tuple(positions))
+
+    def _evaluate_condition(
+        self, layout: StoreLayout, condition: AppendCondition
+    ) -> Optional[str]:
+        """Evaluate under the commit lock; returns violation reason or None.
+
+        ExpectedLastFact uses the O(1) subject-head state (the analog of
+        the reverse limit-1 subject-index scan, FdbFactAppender.kt:91-113).
+        TagQueryBased scans only (type, tags, position) columns with the
+        position bound pushed to the parquet reader — the EXISTS-after-
+        cursor check of FdbFactAppender.kt:124-274.
+        """
+        if isinstance(condition, NoCondition):
+            return None
+        if isinstance(condition, AllConditions):
+            for sub in condition.conditions:
+                v = self._evaluate_condition(layout, sub)
+                if v is not None:
+                    return v
+            return None
+        if isinstance(condition, ExpectedLastFact):
+            head = layout.last_fact_of_subject(condition.subject)
+            actual = head[0] if head else None
+            if actual != condition.expected_last_fact_id:
+                return (
+                    f"expected last fact of {condition.subject!r} to be "
+                    f"{condition.expected_last_fact_id}, was {actual}"
+                )
+            return None
+        if isinstance(condition, TagQueryBased):
+            after_pos = -1
+            if condition.after is not None:
+                pos = layout.position_of_fact(condition.after)
+                if pos is None:
+                    return f"after-cursor fact {condition.after} not found"
+                after_pos = pos
+            flt = pa_ds.field("position") > after_pos
+            table = layout.read_arrow(columns=["type", "tags", "position"], filter=flt)
+            for row in table.to_pylist():
+                tags = dict(row["tags"] or [])
+                if fact_matches_tag_query(row["type"], tags, condition.fail_if_facts_match):
+                    return "facts matching the fail-if query exist after the cursor"
+            return None
+        raise TypeError(f"unknown condition: {condition!r}")
+
+    def append_dataframe(
+        self, store_name: str, df: DataFrame, *, idempotency_key: Optional[str] = None
+    ) -> AppendResult:
+        """Bulk-ingest path: one logical commit whose rows are written by
+        Spark executors in parallel (the 100 TB ingest route; the row-wise
+        ``append`` is the transactional OLTP route).
+
+        ``df`` must carry the FactInput columns (type, subject, payload
+        struct, metadata, tags), plus optionally ``appended_at`` (event
+        ingestion time) and ``position`` (pre-assigned order, e.g. from a
+        source log offset); missing ones are assigned here."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        layout = self._layout(meta.id)
+        key = idempotency_key or str(uuid.uuid4())
+
+        with layout.commit_lock():
+            if layout.idempotency_key_seen(key):
+                return AlreadyApplied(key)
+            last = layout.last_commit()
+            seq = (last.seq + 1) if last else 0
+            appended_at = utcnow_us()
+
+            from .schema import POSITION_STRIDE
+            from pyspark.sql.window import Window
+
+            base = seq * POSITION_STRIDE
+            cols = set(df.columns)
+            staged = df
+            if "id" not in cols:
+                staged = staged.withColumn("id", F.expr("uuid()"))
+            if "appended_at" not in cols:
+                staged = staged.withColumn("appended_at", F.lit(appended_at))
+            if "position" in cols:
+                # Caller pre-assigned intra-commit order (e.g. source log
+                # offset); rebase onto this commit's position range.
+                staged = staged.withColumn("position", F.lit(base) + F.col("position"))
+            else:
+                # Global row_number: one shuffle-to-one-partition sort —
+                # fine for a single ingest commit; callers with a natural
+                # order column should pre-assign `position` instead.
+                w = Window.orderBy(F.monotonically_increasing_id())
+                staged = staged.withColumn(
+                    "position", F.lit(base) + F.row_number().over(w) - 1
+                )
+            if "metadata" not in cols:
+                staged = staged.withColumn(
+                    "metadata", F.create_map().cast("map<string,string>")
+                )
+            staged = staged.select(
+                "id", "type", "subject", "appended_at", "position",
+                "payload", "metadata", "tags",
+            )
+            out_dir = os.path.join(layout.data_dir, f"commit-{seq:010d}-bulk")
+            staged.write.mode("overwrite").parquet(out_dir)
+            bulk_files = [
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            ]
+            agg = (
+                self.spark.read.schema(FACT_SCHEMA)
+                .parquet(*bulk_files)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min("position").alias("lo"),
+                    F.max("position").alias("hi"),
+                )
+                .collect()[0]
+            )
+            layout.append_bulk_commit_record(
+                seq, int(agg["n"]), appended_at, key, int(agg["hi"])
+            )
+            layout._rebuild_heads(seq)
+        return Appended((), appended_at, (int(agg["lo"]), int(agg["hi"])))
+
+    # ------------------------------------------------------------------
+    # Read path (FactFinder) — DataFrame plans + materializing wrappers
+    # ------------------------------------------------------------------
+
+    def facts_df(self, store_name: str, *, max_position: Optional[int] = None) -> Optional[DataFrame]:
+        """The store's fact table as a DataFrame; None if the store does
+        not exist. ``max_position`` pins a snapshot (replay head)."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return None
+        layout = self._layout(meta.id)
+        files = layout.data_files()
+        if not files:
+            return self.spark.createDataFrame([], FACT_SCHEMA)
+        df = self.spark.read.schema(FACT_SCHEMA).parquet(*files)
+        if max_position is not None:
+            df = df.filter(F.col("position") <= max_position)
+        return df
+
+    # -- find_by_id (FdbFactFinder.kt:19-32) ----------------------------
+
+    def find_by_id_df(self, store_name: str, fact_id: str) -> Optional[DataFrame]:
+        df = self.facts_df(store_name)
+        return None if df is None else df.filter(F.col("id") == fact_id)
+
+    def find_by_id(self, store_name: str, fact_id: str) -> FindByIdResult:
+        df = self.find_by_id_df(store_name, fact_id)
+        if df is None:
+            return StoreNotFound(store_name)
+        rows = df.limit(1).collect()
+        return FactFound(row_to_fact(rows[0])) if rows else FactNotFound(fact_id)
+
+    def exists_by_id(self, store_name: str, fact_id: str) -> ExistsByIdResult:
+        """FdbFactFinder.kt:34-47."""
+        df = self.find_by_id_df(store_name, fact_id)
+        if df is None:
+            return StoreNotFound(store_name)
+        return Exists() if df.limit(1).count() > 0 else DoesNotExist()
+
+    # -- find_in_time_range (FdbFactFinder.kt:49-79) --------------------
+
+    def find_in_time_range_df(
+        self,
+        store_name: str,
+        time_range: TimeRange,
+        limit: Optional[int] = None,
+        direction: ReadDirection = ReadDirection.FORWARD,
+    ) -> Optional[DataFrame]:
+        validate_limit(limit)
+        df = self.facts_df(store_name)
+        if df is None:
+            return None
+        return ordered_limited(df.filter(time_range_predicate(time_range)), limit, direction)
+
+    def find_in_time_range(self, store_name, time_range, limit=None, direction=ReadDirection.FORWARD) -> FindResult:
+        return self._materialize(self.find_in_time_range_df(store_name, time_range, limit, direction), store_name)
+
+    # -- find_by_subject (FdbFactFinder.kt:81-106) ----------------------
+
+    def find_by_subject_df(
+        self,
+        store_name: str,
+        subject: str,
+        limit: Optional[int] = None,
+        direction: ReadDirection = ReadDirection.FORWARD,
+    ) -> Optional[DataFrame]:
+        validate_limit(limit)
+        df = self.facts_df(store_name)
+        if df is None:
+            return None
+        return ordered_limited(df.filter(F.col("subject") == subject), limit, direction)
+
+    def find_by_subject(self, store_name, subject, limit=None, direction=ReadDirection.FORWARD) -> FindResult:
+        return self._materialize(self.find_by_subject_df(store_name, subject, limit, direction), store_name)
+
+    # -- find_by_tags: AND semantics (FdbFactFinder.kt:108-167) ---------
+
+    def find_by_tags_df(
+        self,
+        store_name: str,
+        tags: dict[str, str],
+        limit: Optional[int] = None,
+        direction: ReadDirection = ReadDirection.FORWARD,
+    ) -> Optional[DataFrame]:
+        if not tags:
+            raise ValueError("find_by_tags requires at least one tag")
+        validate_limit(limit)
+        df = self.facts_df(store_name)
+        if df is None:
+            return None
+        return ordered_limited(df.filter(tags_all_match(tags)), limit, direction)
+
+    def find_by_tags(self, store_name, tags, limit=None, direction=ReadDirection.FORWARD) -> FindResult:
+        return self._materialize(self.find_by_tags_df(store_name, tags, limit, direction), store_name)
+
+    # -- find_by_tag_query (FdbFactFinder.kt:169-255) -------------------
+
+    def find_by_tag_query_df(self, store_name: str, query: TagQuery) -> Optional[DataFrame]:
+        """OR-of-AND algebra in one scan; global position order; no
+        limit/direction by spec (FindByTagQueryRequest.kt:3-6)."""
+        df = self.facts_df(store_name)
+        if df is None:
+            return None
+        return df.filter(tag_query_predicate(query)).orderBy(F.col("position").asc())
+
+    def find_by_tag_query(self, store_name: str, query: TagQuery) -> FindResult:
+        return self._materialize(self.find_by_tag_query_df(store_name, query), store_name)
+
+    def _materialize(self, df: Optional[DataFrame], store_name: str) -> FindResult:
+        if df is None:
+            return StoreNotFound(store_name)
+        return FactsFound(tuple(row_to_fact(r) for r in df.collect()))
+
+    # ------------------------------------------------------------------
+    # Replay (FactReplayer) — bounded, pinned-head batch read
+    # ------------------------------------------------------------------
+
+    def replay(
+        self,
+        store_name: str,
+        start=None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+    ):
+        """Bounded replay: drain from ``start`` up to the head pinned at
+        open time, then complete (FactReplayer.kt:21-62). Facts appended
+        while draining are excluded (AbstractFactStoreTest.kt:900-915):
+        cursor + head resolve against ONE snapshot before iteration, the
+        analog of the single FDB read transaction (FdbFactStreamer.kt:60-84).
+
+        Returns StoreNotFound / FactIdNotFound, or an iterator of
+        position-ordered Fact batches (Flow<List<Fact>> analog).
+        """
+        start = start if start is not None else ReplayStart.Beginning()
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        layout = self._layout(meta.id)
+
+        # One consistent resolution of cursor + head.
+        head = layout.head_position()
+        after_pos = -1
+        if isinstance(start, ReplayStart.After):
+            pos = layout.position_of_fact(start.fact_id)
+            if pos is None:
+                return FactIdNotFound(start.fact_id)
+            after_pos = pos
+
+        def batches() -> Iterator[list[Fact]]:
+            if head < 0 or after_pos >= head:
+                return  # empty store / empty delta -> complete immediately
+            df = (
+                self.facts_df(store_name, max_position=head)
+                .filter(F.col("position") > after_pos)
+                .orderBy(F.col("position").asc())
+            )
+            buf: list[Fact] = []
+            for row in df.toLocalIterator():
+                buf.append(row_to_fact(row))
+                if len(buf) >= batch_size:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        return batches()
+
+    # ------------------------------------------------------------------
+    # Subscribe (FactSubscriber) — catch-up + live tail
+    # ------------------------------------------------------------------
+
+    def subscribe_stream(self, store_name: str, start=None):
+        """Structured-Streaming subscription: a streaming DataFrame over
+        the store's data directory (micro-batch polling replaces the FDB
+        watch, FdbFactStreamer.kt:186-190). Start semantics
+        (FactSubscriber.kt:18-59):
+
+        - Beginning -> everything, then live tail
+        - End       -> only facts appended after subscribe time; the
+                       offset is captured HERE, not at first trigger
+                       (SURVEY.md §7.4 hard-part 2)
+        - After(id) -> position > pos(id)
+
+        Returns StoreNotFound / FactIdNotFound or the streaming DataFrame.
+        """
+        start = start if start is not None else StartPosition.Beginning()
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        layout = self._layout(meta.id)
+
+        after_pos = -1
+        if isinstance(start, StartPosition.End):
+            after_pos = layout.head_position()
+        elif isinstance(start, StartPosition.After):
+            pos = layout.position_of_fact(start.fact_id)
+            if pos is None:
+                return FactIdNotFound(start.fact_id)
+            after_pos = pos
+
+        stream = (
+            self.spark.readStream.schema(FACT_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(layout.data_dir)
+        )
+        if after_pos >= 0:
+            stream = stream.filter(F.col("position") > after_pos)
+        return stream
+
+    def subscribe(
+        self,
+        store_name: str,
+        start=None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        poll_interval: float = 0.1,
+    ):
+        """Generator-based live subscription for embedded use: drain
+        existing facts from ``start`` then follow the tail forever,
+        yielding position-ordered batches. Poll-based like the memory
+        backend (MemoryFactStore.kt:212-234, 100 ms); the Structured
+        Streaming variant above is the scale path."""
+        start = start if start is not None else StartPosition.Beginning()
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        layout = self._layout(meta.id)
+
+        after_pos = -1
+        if isinstance(start, StartPosition.End):
+            after_pos = layout.head_position()
+        elif isinstance(start, StartPosition.After):
+            pos = layout.position_of_fact(start.fact_id)
+            if pos is None:
+                return FactIdNotFound(start.fact_id)
+            after_pos = pos
+
+        def gen() -> Iterator[list[Fact]]:
+            cursor = after_pos
+            while True:
+                head = layout.head_position()
+                if head > cursor:
+                    table = layout.read_arrow(
+                        filter=pa_ds.field("position") > cursor
+                    ).sort_by("position")
+                    rows = table.to_pylist()
+                    for i in range(0, len(rows), batch_size):
+                        batch = [row_to_fact(r) for r in rows[i : i + batch_size]]
+                        cursor = batch[-1].position
+                        yield batch
+                else:
+                    time.sleep(poll_interval)
+
+        return gen()
+
+    # ------------------------------------------------------------------
+
+    def _store_dir(self, store_id: str) -> str:
+        return os.path.join(self.root, "stores", store_id)
+
+    def _layout(self, store_id: str) -> StoreLayout:
+        return StoreLayout(self._store_dir(store_id))

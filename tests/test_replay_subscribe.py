@@ -1,0 +1,178 @@
+"""Replay + subscribe TCK port (AbstractFactStoreTest.kt:777-948)."""
+
+import threading
+import time
+
+from factstore_spark import FactInput, ReplayStart, StartPosition
+from factstore_spark.results import FactIdNotFound, StoreNotFound
+
+STORE = "default-test-store"
+
+
+def fi(t):
+    return FactInput(type=t, subject="USER:ALICE")
+
+
+# -- replay (bounded) -------------------------------------------------------
+
+
+def test_replay_from_beginning_completes(fs):
+    """AbstractFactStoreTest.kt:888-897."""
+    fs.create(STORE)
+    for t in ("A", "B", "C"):
+        fs.append(STORE, fi(t))
+    batches = list(fs.replay(STORE))
+    facts = [f for b in batches for f in b]
+    assert [f.type for f in facts] == ["A", "B", "C"]
+
+
+def test_replay_excludes_facts_appended_after_open(fs):
+    """Pinned head (AbstractFactStoreTest.kt:900-915)."""
+    fs.create(STORE)
+    fs.append(STORE, fi("A"))
+    fs.append(STORE, fi("B"))
+    it = fs.replay(STORE)
+    fs.append(STORE, fi("LATE"))
+    facts = [f for b in it for f in b]
+    assert [f.type for f in facts] == ["A", "B"]
+
+
+def test_replay_after_cursor(fs):
+    """AbstractFactStoreTest.kt:918-928."""
+    fs.create(STORE)
+    r1 = fs.append(STORE, fi("A"))
+    fs.append(STORE, fi("B"))
+    fs.append(STORE, fi("C"))
+    facts = [
+        f for b in fs.replay(STORE, ReplayStart.After(r1.fact_ids[0])) for f in b
+    ]
+    assert [f.type for f in facts] == ["B", "C"]
+
+
+def test_replay_empty_store_completes_immediately(fs):
+    """AbstractFactStoreTest.kt:931-948."""
+    fs.create(STORE)
+    assert list(fs.replay(STORE)) == []
+
+
+def test_replay_empty_delta(fs):
+    fs.create(STORE)
+    r = fs.append(STORE, fi("A"))
+    assert list(fs.replay(STORE, ReplayStart.After(r.fact_ids[0]))) == []
+
+
+def test_replay_unknown_cursor(fs):
+    fs.create(STORE)
+    fs.append(STORE, fi("A"))
+    assert isinstance(fs.replay(STORE, ReplayStart.After("nope")), FactIdNotFound)
+
+
+def test_replay_missing_store(fs):
+    assert isinstance(fs.replay("non-existing-store"), StoreNotFound)
+
+
+def test_replay_batching(fs):
+    fs.create(STORE)
+    fs.append(STORE, [fi(f"T{i}") for i in range(10)])
+    batches = list(fs.replay(STORE, batch_size=4))
+    assert [len(b) for b in batches] == [4, 4, 2]
+    flat = [f.type for b in batches for f in b]
+    assert flat == [f"T{i}" for i in range(10)]
+
+
+# -- subscribe (live tail, generator variant) -------------------------------
+
+
+def _drain(gen, n, timeout=10.0):
+    """Collect n facts from a live subscription in a worker thread."""
+    out, done = [], threading.Event()
+
+    def worker():
+        for batch in gen:
+            out.extend(batch)
+            if len(out) >= n:
+                done.set()
+                return
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    done.wait(timeout)
+    return out
+
+
+def test_subscribe_from_beginning_catches_up(fs):
+    """AbstractFactStoreTest.kt:777-828."""
+    fs.create(STORE)
+    for t in ("A", "B", "C"):
+        fs.append(STORE, fi(t))
+    gen = fs.subscribe(STORE, StartPosition.Beginning(), poll_interval=0.05)
+    facts = _drain(gen, 3)
+    assert [f.type for f in facts] == ["A", "B", "C"]
+
+
+def test_subscribe_from_end_sees_only_new_facts(fs):
+    """AbstractFactStoreTest.kt:832-873. The End offset is captured at
+    subscribe time, not at first poll."""
+    fs.create(STORE)
+    fs.append(STORE, fi("OLD1"))
+    fs.append(STORE, fi("OLD2"))
+    gen = fs.subscribe(STORE, StartPosition.End(), poll_interval=0.05)
+    time.sleep(0.1)
+    fs.append(STORE, fi("NEW1"))
+    fs.append(STORE, fi("NEW2"))
+    facts = _drain(gen, 2)
+    assert [f.type for f in facts] == ["NEW1", "NEW2"]
+
+
+def test_subscribe_after_cursor(fs):
+    fs.create(STORE)
+    r1 = fs.append(STORE, fi("A"))
+    fs.append(STORE, fi("B"))
+    gen = fs.subscribe(STORE, StartPosition.After(r1.fact_ids[0]), poll_interval=0.05)
+    facts = _drain(gen, 1)
+    assert [f.type for f in facts] == ["B"]
+
+
+def test_subscribe_unknown_cursor(fs):
+    fs.create(STORE)
+    fs.append(STORE, fi("A"))
+    assert isinstance(
+        fs.subscribe(STORE, StartPosition.After("nope")), FactIdNotFound
+    )
+
+
+def test_subscribe_live_tail_receives_later_appends(fs):
+    fs.create(STORE)
+    fs.append(STORE, fi("A"))
+    gen = fs.subscribe(STORE, StartPosition.Beginning(), poll_interval=0.05)
+    facts = _drain(gen, 1)
+    assert [f.type for f in facts] == ["A"]
+    fs.append(STORE, fi("B"))
+    more = _drain(gen, 1)
+    assert [f.type for f in more] == ["B"]
+
+
+# -- subscribe (Structured Streaming variant) -------------------------------
+
+
+def test_subscribe_stream_catchup_available_now(fs, spark, tmp_path):
+    """The Spark-native subscription: file-source streaming DataFrame,
+    drained with Trigger.AvailableNow into a memory sink."""
+    fs.create(STORE)
+    for t in ("A", "B", "C"):
+        fs.append(STORE, fi(t))
+    stream = fs.subscribe_stream(STORE, StartPosition.Beginning())
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sub_catchup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select type from sub_catchup order by position").collect()
+    assert [r.type for r in rows] == ["A", "B", "C"]
+
+
+def test_subscribe_stream_missing_store(fs):
+    assert isinstance(fs.subscribe_stream("non-existing-store"), StoreNotFound)

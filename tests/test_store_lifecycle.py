@@ -1,0 +1,90 @@
+"""Store lifecycle TCK port (AbstractFactStoreTest.kt:99-132, 1422-1443,
+1479-1497; StoreNameTest.kt)."""
+
+import pytest
+
+from factstore_spark import FactInput, FactPayload
+from factstore_spark.model import validate_store_name
+from factstore_spark.results import (
+    FactsFound,
+    StoreCreated,
+    StoreNameAlreadyExists,
+    StoreNotFound,
+    StoreRemoved,
+)
+
+
+def test_create_and_find_store(fs):
+    res = fs.create("default-test-store")
+    assert isinstance(res, StoreCreated)
+    assert res.metadata.name == "default-test-store"
+    assert fs.exists_by_name("default-test-store")
+    assert fs.find_by_name("default-test-store").id == res.metadata.id
+
+
+def test_create_duplicate_name_rejected(fs):
+    fs.create("test")
+    res = fs.create("test")
+    assert isinstance(res, StoreNameAlreadyExists)
+
+
+def test_list_all_stores(fs):
+    fs.create("store-1")
+    fs.create("store-2")
+    names = [m.name for m in fs.list_all()]
+    assert set(names) == {"store-1", "store-2"}
+
+
+def test_store_name_validation():
+    assert validate_store_name("a")
+    assert validate_store_name("store-1")
+    assert validate_store_name("A_b-c9")
+    assert not validate_store_name("9starts-with-digit")
+    assert not validate_store_name("ends-with-dash-")
+    assert not validate_store_name("")
+    assert not validate_store_name("x" * 256)
+    assert validate_store_name("a" + "b" * 254)
+
+
+def test_invalid_store_name_raises(fs):
+    with pytest.raises(ValueError):
+        fs.create("-bad")
+
+
+def test_stores_are_isolated(fs):
+    """AbstractFactStoreTest.kt:1422-1443 — same subject, two stores."""
+    fs.create("store-1")
+    fs.create("store-2")
+    fs.append("store-1", FactInput(type="T1", subject="USER:ALICE", payload=FactPayload(b"1")))
+    fs.append("store-2", FactInput(type="T2", subject="USER:ALICE", payload=FactPayload(b"2")))
+    r1 = fs.find_by_subject("store-1", "USER:ALICE")
+    r2 = fs.find_by_subject("store-2", "USER:ALICE")
+    assert [f.type for f in r1.facts] == ["T1"]
+    assert [f.type for f in r2.facts] == ["T2"]
+
+
+def test_remove_store(fs):
+    """AbstractFactStoreTest.kt:1479-1497."""
+    fs.create("store-to-delete")
+    fs.append("store-to-delete", FactInput(type="T", subject="S"))
+    res = fs.remove("store-to-delete")
+    assert isinstance(res, StoreRemoved)
+    assert not fs.exists_by_name("store-to-delete")
+    assert isinstance(fs.find_by_subject("store-to-delete", "S"), StoreNotFound)
+    # Re-creating the name yields an empty store.
+    fs.create("store-to-delete")
+    res2 = fs.find_by_subject("store-to-delete", "S")
+    assert isinstance(res2, FactsFound) and res2.facts == ()
+
+
+def test_remove_missing_store(fs):
+    assert isinstance(fs.remove("non-existing-store"), StoreNotFound)
+
+
+def test_operations_on_missing_store_return_store_not_found(fs):
+    from factstore_spark import FactInput, TimeRange
+
+    assert isinstance(fs.append("non-existing-store", FactInput(type="T", subject="S")), StoreNotFound)
+    assert isinstance(fs.find_by_id("non-existing-store", "some-id"), StoreNotFound)
+    assert isinstance(fs.find_by_subject("non-existing-store", "S"), StoreNotFound)
+    assert isinstance(fs.find_in_time_range("non-existing-store", TimeRange()), StoreNotFound)
