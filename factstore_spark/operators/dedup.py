@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each strategy at 100 TB):
+
+- **Exact**: hash-groupBy on a fingerprint column. One shuffle on the
+  fingerprint; map-side partial aggregation; no skew beyond true dups.
+- **N-gram Jaccard**: explode shingles -> self-join on shingle ->
+  per-pair intersection counts. The join key is the shingle, so hot
+  shingles are the skew risk — ``max_shingle_df`` drops
+  stop-shingles (document-frequency cap), which bounds the join
+  fan-out exactly like dropping stopwords in an inverted index.
+- **MinHash-LSH**: constant-size signature per doc (k hashes), banded
+  into b buckets -> candidate pairs only within buckets. Shuffle volume
+  is O(docs * b), independent of document length; the classic
+  sub-quadratic near-dup path.
+- **SimHash**: 64-bit signature via sign-aggregated token hashes;
+  near-dups = signatures at small Hamming distance, found by banding
+  the 64 bits into chunks (exact-match join per chunk).
+
+All shingling/hashing uses built-in expressions (xxhash64, transform,
+aggregate) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+# Mersenne-ish prime for the universal-hash family (fits in long math).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per duplicate group; adds ``dup_count``.
+
+    groupBy(hash keys) -> min(id): one shuffle, map-side combine."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as strings (space-joined)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join.
+
+    Output: (id_a, id_b, intersect_cnt, union_cnt, jaccard), id_a < id_b.
+    ``max_shingle_df`` caps shingle document frequency to bound join
+    fan-out (skew guard for hot shingles at scale)."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"))
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersect_cnt"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union_cnt", F.col("sz_a") + F.col("sz_b") - F.col("intersect_cnt"))
+        .withColumn("jaccard", F.col("intersect_cnt") / F.col("union_cnt"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "intersect_cnt", "union_cnt", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(
+    text_col: str = "text", n: int = 3, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of universal
+    hashes ``(a*h + b) mod p`` over the doc's shingle set, where
+    ``h = xxhash64(shingle)`` (JVM-side, vectorizable)."""
+    import random
+
+    rnd = random.Random(seed)
+    params = [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    sh = F.array_distinct(shingles_col(text_col, n))
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    # One expression for the whole signature (64 columns would each get
+    # their own codegen tree — compile time dominated the job).
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(
+                    h * F.element_at(a_arr, k + 1) + F.element_at(b_arr, k + 1),
+                    F.lit(MINHASH_PRIME),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_jaccard: float | None = 0.5,
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs, optionally verified with the
+    estimated Jaccard (signature agreement rate).
+
+    shingle -> minhash (map-only) -> explode b bands -> groupBy
+    (band, band_hash) self-join -> distinct pairs. Shuffle is
+    O(docs*bands), never O(docs^2)."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("_id"), minhash_signature(text_col, n, num_hashes, seed).alias("sig"))
+    ).cache()
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "b.band", "b.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    if verify_jaccard is None:
+        return cand
+    sa = sig.withColumnsRenamed({"_id": "id_a", "sig": "sig_a"})
+    sb = sig.withColumnsRenamed({"_id": "id_b", "sig": "sig_b"})
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= verify_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def simhash_col(text_col: str = "text", bits: int = 64) -> Column:
+    """64-bit SimHash: per-token xxhash64, sum of +1/-1 per bit, sign ->
+    bit. Built as one SQL higher-order expression (the SQL surface
+    allows column-valued shift amounts, the Python ``shiftleft`` API
+    does not): majority vote per bit over the distinct-token hashes,
+    then OR the winning bits together."""
+    hashes = f"transform(array_distinct(split(lower({text_col}), '\\\\s+')), t -> xxhash64(t))"
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}), i ->
+            if(2 * size(filter({hashes}, h -> (shiftrightunsigned(h, i) & 1) = 1))
+                 > size({hashes}),
+               shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+          cast(0 as bigint), (acc, v) -> acc | v)
+        """
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= ``max_hamming`` via the
+    pigeonhole banding trick: split 64 bits into ``chunks`` 16-bit
+    chunks; any pair within distance < chunks must agree on >= 1 chunk,
+    so exact-match joins per chunk find all candidates sub-quadratically."""
+    sim = df.select(F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")).cache()
+    width = 64 // chunks
+    banded = sim.select(
+        "_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sim"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("ch"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "sim", "c.chunk", "c.ch")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

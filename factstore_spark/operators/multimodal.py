@@ -1,0 +1,165 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The fact payload is already ``binary`` (Fact.kt:71-96 maps to
+BinaryType, SURVEY.md §1.3), so multimodal assets ride the same
+envelope: ``payload.data`` carries the bytes, ``payload.format`` the
+codec hint ("image/png", "audio/wav", ...).
+
+The Spark-side plumbing here is REAL and tested: schemas, Arrow-batched
+``mapInPandas`` UDF signatures, partition sizing. The codec work itself
+(image decode, resampling, frame extraction) is STUBBED — the container
+has no PIL/ffmpeg — behind ``decode_fn`` hooks with a deterministic
+fake implementation, so swapping in a real decoder is a one-function
+change and everything around it is already exercised.
+
+Scale notes: mapInPandas streams Arrow batches, so executor memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x asset
+size — for 100 MB videos you lower that to O(1-10) rows per batch and
+repartition by size class first.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("thumb", BinaryType(), True),
+        StructField("thumb_w", IntegerType(), False),
+        StructField("thumb_h", IntegerType(), False),
+    ]
+)
+
+
+def _make_fake_decode() -> Callable[[bytes], tuple[int, int, int]]:
+    """Build the deterministic decode stub as a CLOSURE so cloudpickle
+    serializes it by value — executor Python workers then don't need
+    ``factstore_spark`` importable on their own sys.path."""
+
+    def fake(data: bytes) -> tuple[int, int, int]:
+        n = len(data)
+        checksum = sum(data[:64]) if data else 0
+        width = 16 + (n % 624)
+        height = 16 + (checksum % 464)
+        n_frames = 1 + (n % 24)
+        return width, height, n_frames
+
+    return fake
+
+
+# Deterministic stand-in for an image/video header parse: derives
+# (width, height, n_frames) from the byte content. Replace with
+# PIL.Image.open / pyav probing in a real deployment.
+fake_decode = _make_fake_decode()
+
+
+def real_decode(data: bytes):  # pragma: no cover - deliberate stub
+    """The genuine decode hook. Not implementable in this container
+    (no PIL/ffmpeg); kept as the documented extension point."""
+    raise NotImplementedError(
+        "install pillow / pyav and replace decode_fn=fake_decode"
+    )
+
+
+def extract_media_meta(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    format_col: str = "format",
+    decode_fn: Callable[[bytes], tuple[int, int, int]] = fake_decode,
+) -> DataFrame:
+    """Arrow-batched metadata extraction over binary media columns.
+
+    mapInPandas keeps the binary payload off the driver and lets the
+    decode hook run vectorized per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "format": pdf[format_col] if format_col in pdf else None,
+                    "n_bytes": pdf[data_col].map(lambda b: len(b) if b is not None else 0),
+                }
+            )
+            decoded = pdf[data_col].map(lambda b: decode_fn(bytes(b) if b is not None else b""))
+            out["width"] = decoded.map(lambda t: t[0]).astype("int32")
+            out["height"] = decoded.map(lambda t: t[1]).astype("int32")
+            out["n_frames"] = decoded.map(lambda t: t[2]).astype("int32")
+            yield out
+
+    cols = [id_col, data_col] + ([format_col] if format_col in df.columns else [])
+    return df.select(*cols).mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 8,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Frame-sampling plumbing: emits one row per sampled frame with a
+    deterministic fake frame payload (slice of the source bytes). A real
+    implementation swaps the slicing for ffmpeg keyframe extraction; the
+    explode shape, schema, and batch flow are what this exercises."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data) if data is not None else b""
+                _, _, n_frames = fake_decode(raw)
+                for fno in range(0, n_frames, every_nth):
+                    ids.append(mid)
+                    frame_nos.append(fno)
+                    lo = (fno * 17) % max(len(raw), 1)
+                    frames.append(raw[lo : lo + 32])
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_no": pd.Series(frame_nos, dtype="int32"),
+                 "frame": frames}
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, schema)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter: treat the testdata ``documents`` table as a media corpus
+    (text bytes standing in for encoded assets) so the multimodal
+    plumbing is exercised end-to-end on real partitions."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.lit("application/octet-stream").alias("format"),
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is JVM-side built-in expressions (whole-stage
+codegen) — no Python UDFs. Each operator is DataFrame -> DataFrame and
+embarrassingly parallel: no shuffle, no skew sensitivity, scales
+linearly with input splits at 100 TB.
+
+Determinism notes (these operators are oracle-checked against DuckDB):
+- token split regex ``\\s+`` and the BPE-ish pattern
+  ``[a-z]+|[0-9]+|[^a-z0-9\\s]`` behave identically in Java regex and RE2
+- ratios are single FP divisions of small integers -> bit-identical
+  across engines
+- the rolling fingerprint uses only integer ops mod 1e9+7 (no overflow)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/keyword heuristic.
+# (Real pipelines use fastText/CLD3; the operator contract — score per
+# language, argmax with deterministic tie-break — is what matters here.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (runs of
+    letters, runs of digits, single other non-space chars)."""
+    return df.withColumn(
+        "ws_tokens", F.size(tokens_col(text_col))
+    ).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, mean word length, stopword
+    ratio, alpha ratio, and a composite score. One projection, no shuffle."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", ""))
+    # try_divide: ANSI mode (Spark 4 default) raises on /0 — empty text
+    # must yield 0-ish signals, not a job failure.
+    mean_word_len = F.coalesce(
+        F.try_divide(n_chars - (n_tok - F.lit(1)), n_tok), F.lit(0.0)
+    )
+    stop_ratio = F.coalesce(F.try_divide(n_stop, n_tok), F.lit(0.0))
+    alpha_ratio = F.coalesce(F.try_divide(alpha_chars, n_chars), F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * alpha_ratio
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: per-language marker-token count,
+    argmax with 'und' fallback when no marker hits; ties broken by
+    language code order (deterministic)."""
+    toks = tokens_col(text_col)
+
+    def marker_count(lang: str) -> Column:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        # single-arg closure: PySpark infers lambda arity from the signature
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    scores = [
+        F.struct(marker_count(lang).alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    # array_max on struct orders by (score, lang); lang DESC would win ties —
+    # reverse-sort langs inside the struct? Keep it simple: greatest score,
+    # first lang in sorted order wins via aggregate fold.
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return df.withColumn(
+        "pred_lang",
+        F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"]),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints:
+
+    - ``md5_fp``: md5 of the lower-cased text (exact-dup key)
+    - ``roll_fp``: polynomial rolling hash over tokens,
+      ``acc = (acc*131 + ascii(first_char)*31 + len(token)) mod 1e9+7``
+      — integer-only, overflow-free, reproducible in any engine
+    """
+    toks = tokens_col(text_col)
+    roll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(131) + F.ascii(F.substring(t, 1, 1)) * F.lit(31) + F.length(t)
+        )
+        % F.lit(1_000_000_007),
+    )
+    return df.withColumn("md5_fp", F.md5(F.lower(F.col(text_col)))).withColumn(
+        "roll_fp", roll
+    )

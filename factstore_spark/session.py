@@ -28,6 +28,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # Ensure executor Python workers can import this package (local mode
+    # inherits the process env; on a cluster you'd ship a wheel/zip).
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_dir + (os.pathsep + existing if existing else "")
+        )
     parts = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     return (
         SparkSession.builder.appName(app_name)

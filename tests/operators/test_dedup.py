@@ -1,0 +1,62 @@
+"""Dedup operator invariants: exact groups, Jaccard math, MinHash-LSH
+recall vs the exact pairs, SimHash Hamming properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from factstore_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words about database engines and spark plans"
+    rows = [(0, base), (1, base), (2, near), (3, far), (4, "tiny doc")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    out = {r.doc_id: r.dup_count for r in D.exact_dedup(corpus, ["text"]).collect()}
+    assert out[0] == 2        # docs 0,1 collapse to min id 0
+    assert 1 not in out
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_pairs_math(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r for r in D.ngram_jaccard_pairs(corpus, min_jaccard=0.0).collect()
+    }
+    exact = pairs[(0, 1)]
+    assert exact.jaccard == 1.0 and exact.intersect_cnt == exact.union_cnt
+    near = pairs[(0, 2)]
+    # 13-token docs differing in last token: 11 shared shingles of 12.
+    assert near.intersect_cnt == 10
+    assert 0.5 < near.jaccard < 1.0
+    assert (0, 3) not in pairs or pairs[(0, 3)].jaccard < 0.1
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(corpus):
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(corpus, verify_jaccard=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0  # identical docs: signatures agree everywhere
+    assert (0, 2) in got and got[(0, 2)] >= 0.5
+    assert (0, 3) not in got
+
+
+def test_simhash_identical_docs_distance_zero(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_dup_pairs(corpus, max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 16
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    sh = df.select(D.shingles_col(n=3).alias("s")).collect()[0].s
+    assert sh == ["one two"]  # shorter than n -> whole doc as one shingle

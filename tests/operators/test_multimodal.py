@@ -1,0 +1,39 @@
+"""Multimodal plumbing: Arrow-batched mapInPandas schemas, deterministic
+fake decode, frame-sampling explode shape."""
+
+from factstore_spark.operators import multimodal as M
+
+
+def test_extract_media_meta_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG....fake-bytes", "image/png"), (2, b"", "image/png")],
+        "media_id long, data binary, format string",
+    )
+    out = {r.media_id: r for r in M.extract_media_meta(df).collect()}
+    assert set(out[1].asDict()) == {"media_id", "format", "n_bytes", "width", "height", "n_frames"}
+    assert out[1].n_bytes == 18
+    assert out[2].n_bytes == 0
+    # Deterministic: same input -> same fake dimensions.
+    again = {r.media_id: r for r in M.extract_media_meta(df).collect()}
+    assert out[1] == again[1]
+
+
+def test_sample_frames_shape(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(200)))], "media_id long, data binary"
+    )
+    rows = M.sample_frames(df, every_nth=4).collect()
+    assert len(rows) >= 1
+    assert all(r.media_id == 1 for r in rows)
+    assert all(r.frame_no % 4 == 0 for r in rows)
+    assert all(isinstance(r.frame, (bytes, bytearray)) for r in rows)
+
+
+def test_documents_as_media_adapter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = M.documents_as_media(docs)
+    meta = M.extract_media_meta(media)
+    n = docs.count()
+    assert meta.count() == n
+    row = meta.filter("media_id = 0").collect()[0]
+    assert row.n_bytes > 0 and row.width >= 16 and row.height >= 16

@@ -1,0 +1,58 @@
+"""Similarity-search invariants: exact top-k correctness on a corpus
+with known geometry; IVF recall against brute force."""
+
+import pytest
+
+from factstore_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),   # closest to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_geometry(vectors):
+    q = vectors.filter("vec_id = 0")
+    out = S.brute_force_topk(vectors, q, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].sim == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, rel=1e-6)
+
+
+def test_topk_excludes_self_and_orders_desc(vectors):
+    out = S.brute_force_topk(vectors, vectors, k=4).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        assert all(r.neighbor_id != qid for r in rows)
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ivf_recall_against_brute_force(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(df, q, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # half the cells probed -> decent recall floor
