@@ -1,0 +1,90 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs once after a warm-up pass of the input scans; timing
+covers plan + execution to a driver-side materialization (collect for
+small results, count for large ones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from factstore_spark.queries import REGISTRY  # noqa: E402
+from factstore_spark.session import get_spark  # noqa: E402
+
+# Headline set: every operator family, heaviest variants included.
+BENCH_QUERIES = [
+    "fs_find_by_tag_query",
+    "fs_replay_bounded",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "events_sessionize",
+    "events_topk_per_user",
+    "events_minute_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="factstore-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the file-system cache + JVM (scan all inputs once) and the
+    # Python worker daemon (first pandas-UDF in a session pays ~20s of
+    # worker spawn that is startup cost, not query cost).
+    for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        best, n = None, 0
+        for _ in range(2):  # min of 2 — shields against transient host noise
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

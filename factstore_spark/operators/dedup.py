@@ -91,12 +91,22 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature(
-    text_col: str = "text", n: int = 3, num_hashes: int = 64, seed: int = 42
+def shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct shingle hashes per doc: ``pmod(xxhash64(shingle), p)``."""
+    sh = F.array_distinct(shingles_col(text_col, n))
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+
+def minhash_sig_from_hashes(
+    hashes: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of universal
-    hashes ``(a*h + b) mod p`` over the doc's shingle set, where
-    ``h = xxhash64(shingle)`` (JVM-side, vectorizable)."""
+    """MinHash signature from a (pre-materialized!) hash-array column:
+    per permutation k, min over ``(a_k*h + b_k) mod p``.
+
+    IMPORTANT perf note: ``hashes`` must be a plain column reference, not
+    the shingling expression itself — Catalyst does NOT common-subexpression
+    -eliminate across lambda boundaries, so an inline expression would be
+    recomputed once per permutation (measured 20x slowdown)."""
     import random
 
     rnd = random.Random(seed)
@@ -104,22 +114,29 @@ def minhash_signature(
         (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
-    sh = F.array_distinct(shingles_col(text_col, n))
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     b_arr = F.array(*[F.lit(b) for _, b in params])
-    # One expression for the whole signature (64 columns would each get
-    # their own codegen tree — compile time dominated the job).
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
+    # Single left-to-right fold over the hash array: per element compute
+    # all permutations and element-wise min into the accumulator. The
+    # hash/shingle expression is the aggregate's INPUT (evaluated once
+    # per row); putting it inside the per-permutation lambda instead
+    # re-shingled every row 64 times (measured 20x slowdown). One
+    # expression for the whole signature also keeps codegen compact vs
+    # 64 separate columns.
+    perms = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
             F.transform(
-                hashes,
-                lambda h: F.pmod(
+                perms,
+                lambda k: F.pmod(
                     h * F.element_at(a_arr, k + 1) + F.element_at(b_arr, k + 1),
                     F.lit(MINHASH_PRIME),
                 ),
-            )
+            ),
+            lambda x, y: F.least(x, y),
         ),
     )
 
@@ -141,8 +158,9 @@ def minhash_lsh_pairs(
     (band, band_hash) self-join -> distinct pairs. Shuffle is
     O(docs*bands), never O(docs^2)."""
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("_id"), minhash_signature(text_col, n, num_hashes, seed).alias("sig"))
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_sig_from_hashes(shingle_hashes_col(text_col, n), num_hashes, seed).alias("sig"),
     ).cache()
     banded = sig.select(
         "_id",
@@ -197,16 +215,23 @@ def simhash_col(text_col: str = "text", bits: int = 64) -> Column:
     """64-bit SimHash: per-token xxhash64, sum of +1/-1 per bit, sign ->
     bit. Built as one SQL higher-order expression (the SQL surface
     allows column-valued shift amounts, the Python ``shiftleft`` API
-    does not): majority vote per bit over the distinct-token hashes,
-    then OR the winning bits together."""
+    does not). Single fold over the token hashes accumulating the
+    64-bit vote vector, then one pass assembling the sign bits — the
+    hash array is the fold INPUT, evaluated once per row (inlining it
+    in the per-bit lambda re-hashed every token 64x)."""
     hashes = f"transform(array_distinct(split(lower({text_col}), '\\\\s+')), t -> xxhash64(t))"
     return F.expr(
         f"""
         aggregate(
-          transform(sequence(0, {bits - 1}), i ->
-            if(2 * size(filter({hashes}, h -> (shiftrightunsigned(h, i) & 1) = 1))
-                 > size({hashes}),
-               shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+          zip_with(
+            aggregate({hashes},
+              array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc,
+                transform(sequence(0, {bits - 1}),
+                          i -> if((shiftrightunsigned(h, i) & 1) = 1, 1, -1)),
+                (x, y) -> x + y)),
+            sequence(0, {bits - 1}),
+            (c, i) -> if(c > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
           cast(0 as bigint), (acc, v) -> acc | v)
         """
     )

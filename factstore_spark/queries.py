@@ -1,0 +1,650 @@
+"""The engine's query battery over the driver testdata.
+
+Each entry pairs a Spark implementation (built from the engine's own
+predicate/operator modules) with an ANSI-SQL oracle DuckDB can run on
+the same parquet tables. The driver compares row count + schema +
+order-insensitive value hash, so every implementation follows strict
+cross-engine determinism rules:
+
+- **No raw float aggregates.** Money/value metrics become integer cents
+  via ``CAST(FLOOR(x * 100) AS BIGINT)`` — the inner arithmetic is the
+  same IEEE-double expression in both engines (identical op order =>
+  bit-identical doubles), and FLOOR+CAST avoids Spark-truncates vs
+  DuckDB-rounds cast semantics.
+- **No timestamp columns in outputs.** Times surface as epoch
+  microseconds (BIGINT). The events table stores TIMESTAMP(NANOS),
+  which Spark reads as nanos BIGINT (legacy conf) and DuckDB truncates
+  to micros — ``ts div 1000`` matches ``epoch_us(ts)``.
+- **Ranks/row_numbers cast to BIGINT** (DuckDB's native window type).
+- **Total-order tie-breaks** on every top-k (ids ascending) so LIMIT
+  boundaries are deterministic.
+
+Fact-store queries (fs_*) mirror SURVEY.md §2.3 finder semantics over
+the ``events`` table mapped onto the fact envelope (FIXTURES.md §6);
+they use the very predicate builders the engine's finders use
+(plans/predicates.py), so oracle agreement checks the operator
+semantics, not a per-query reimplementation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .model import ReadDirection, TagOnlyQueryItem, TagQuery, TagTypeItem
+from .operators import dedup as dedup_ops
+from .operators import multimodal as mm_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+from .plans.predicates import ordered_limited, tag_query_predicate, tags_all_match
+from .sources.events import events_as_facts, load_events
+
+# epoch microseconds for 2024-01-10 / 2024-01-20 UTC (time-range bounds)
+T_START_US = 1_704_844_800_000_000
+T_END_US = 1_705_708_800_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * F.lit(100)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Fact-store finder queries (events as the fact log)
+# ---------------------------------------------------------------------------
+
+
+def _facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_facts(spark, sf_dir)
+
+
+def fs_find_by_subject(spark, sf_dir):
+    """find_by_subject: one entity's full history in position order
+    (FdbFactFinder.kt:81-106 semantics)."""
+    f = _facts(spark, sf_dir).filter(F.col("subject") == "user:7")
+    return f.orderBy("position").select(
+        F.col("position").alias("event_id"),
+        F.col("type").alias("event_type"),
+        F.col("subject"),
+    )
+
+
+FS_FIND_BY_SUBJECT_SQL = """
+SELECT event_id, event_type, 'user:' || CAST(user_id AS VARCHAR) AS subject
+FROM events WHERE user_id = 7 ORDER BY event_id
+"""
+
+
+def fs_find_by_subject_recent(spark, sf_dir):
+    """Backward + limit: the N newest, newest first
+    (ReadDirection.kt:9-26; limit AFTER direction)."""
+    f = _facts(spark, sf_dir).filter(F.col("subject") == "user:7")
+    f = ordered_limited(f, 10, ReadDirection.BACKWARD)
+    return f.select(
+        F.col("position").alias("event_id"), F.col("type").alias("event_type")
+    )
+
+
+FS_FIND_BY_SUBJECT_RECENT_SQL = """
+SELECT event_id, event_type FROM events
+WHERE user_id = 7 ORDER BY event_id DESC LIMIT 10
+"""
+
+
+def fs_find_in_time_range(spark, sf_dir):
+    """Half-open [start, end) on ingestion time (TimeRange.kt:5-37).
+    Compared in epoch-micros space to be timezone-proof."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts_ns") / 1000 >= T_START_US) & (F.col("ts_ns") / 1000 < T_END_US)
+        )
+        .select(
+            "event_id",
+            F.col("event_type"),
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        )
+    )
+
+
+FS_FIND_IN_TIME_RANGE_SQL = f"""
+SELECT event_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+WHERE epoch_us(ts) >= {T_START_US} AND epoch_us(ts) < {T_END_US}
+"""
+
+
+def fs_find_by_id(spark, sf_dir):
+    """Point lookup by fact id (FdbFactFinder.kt:19-32)."""
+    f = _facts(spark, sf_dir).filter(F.col("id") == "event:4242")
+    return f.select(
+        F.col("position").alias("event_id"),
+        F.col("type").alias("event_type"),
+        F.col("subject"),
+    )
+
+
+FS_FIND_BY_ID_SQL = """
+SELECT event_id, event_type, 'user:' || CAST(user_id AS VARCHAR) AS subject
+FROM events WHERE event_id = 4242
+"""
+
+
+def fs_find_by_tags(spark, sf_dir):
+    """AND over tag pairs (MemoryFactStore.kt:153-161) via the engine's
+    tags_all_match predicate on the MapType tags column."""
+    f = _facts(spark, sf_dir).filter(
+        tags_all_match({"event_type": "purchase", "user": "13"})
+    )
+    return f.orderBy("position").select(F.col("position").alias("event_id"))
+
+
+FS_FIND_BY_TAGS_SQL = """
+SELECT event_id FROM events
+WHERE event_type = 'purchase' AND user_id = 13 ORDER BY event_id
+"""
+
+
+def fs_find_by_tag_query(spark, sf_dir):
+    """OR-of-AND tag algebra (TagQuery.kt:12-78) via the engine's
+    tag_query_predicate; results in global position order."""
+    q = TagQuery(
+        [
+            TagTypeItem({"signup", "error"}, {"user": "5"}),
+            TagOnlyQueryItem({"event_type": "purchase", "user": "13"}),
+        ]
+    )
+    f = _facts(spark, sf_dir).filter(tag_query_predicate(q))
+    return f.orderBy("position").select(
+        F.col("position").alias("event_id"), F.col("type").alias("event_type")
+    )
+
+
+FS_FIND_BY_TAG_QUERY_SQL = """
+SELECT event_id, event_type FROM events
+WHERE (event_type IN ('error', 'signup') AND user_id = 5)
+   OR (event_type = 'purchase' AND user_id = 13)
+ORDER BY event_id
+"""
+
+
+def fs_replay_bounded(spark, sf_dir):
+    """Replay contract: facts strictly after the cursor up to the pinned
+    head, position-ordered (FactReplayer.kt:21-62)."""
+    f = _facts(spark, sf_dir).filter(
+        (F.col("position") > 100) & (F.col("position") <= 5000)
+    )
+    return f.orderBy("position").select(
+        F.col("position").alias("event_id"), F.col("type").alias("event_type")
+    )
+
+
+FS_REPLAY_BOUNDED_SQL = """
+SELECT event_id, event_type FROM events
+WHERE event_id > 100 AND event_id <= 5000 ORDER BY event_id
+"""
+
+
+def fs_exists_by_id(spark, sf_dir):
+    """exists_by_id as a scalar (FdbFactFinder.kt:34-47)."""
+    f = _facts(spark, sf_dir)
+    return f.agg(
+        F.sum(F.when(F.col("id") == "event:4242", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt")
+    )
+
+
+FS_EXISTS_BY_ID_SQL = "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM events WHERE event_id = 4242"
+
+
+# ---------------------------------------------------------------------------
+# Analytics (aggregation / join / window / rollup)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary; money in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.sum(_cents(disc * (F.lit(1) + F.col("l_tax")))).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """Join customer x orders x lineitem, revenue per order, top 10.
+    Dim side broadcast; revenue tie-broken by orderkey."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Five-way star join rolled up to nation (region/nation broadcast)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts after a >30 min gap per
+    user. LAG window + conditional sum; the Structured-Streaming analog
+    is a session window with a 30 min gap."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         IS NULL THEN 1
+         WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def events_topk_per_user(spark, sf_dir):
+    """Per-user top-3 events by value: rank window with total-order
+    tie-break, value in cents."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            _cents(F.col("value")).alias("value_cents"),
+            "rnk",
+        )
+    )
+
+
+EVENTS_TOPK_SQL = """
+SELECT user_id, event_id,
+  CAST(FLOOR(value * 100) AS BIGINT) AS value_cents, rnk
+FROM (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events) t
+WHERE rnk <= 3
+"""
+
+
+def events_minute_rollup(spark, sf_dir):
+    """Time-bucketed rollup (the batch form of a streaming windowed
+    aggregation): per (minute, type) counts + value cents."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("minute_us", F.expr("(ts_ns div 1000 div 60000000) * 60000000"))
+        .groupBy("minute_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+EVENTS_MINUTE_ROLLUP_SQL = """
+SELECT (epoch_us(ts) // 60000000) * 60000000 AS minute_us, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn("fp", F.md5(F.lower(F.col("text"))))
+    return dedup_ops.exact_dedup(keyed, ["fp"], id_col="doc_id").select(
+        "doc_id", "dup_count"
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(lower(text))
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2)
+    return out.select("id_a", "id_b", "intersect_cnt", "union_cnt")
+
+
+DEDUP_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS L FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 1), i -> array_to_string(L[i:i+2], ' '))
+    END) AS s
+  FROM toks),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersect_cnt
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, intersect_cnt,
+  (sa.sz + sb.sz - intersect_cnt) AS union_cnt
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(intersect_cnt AS DOUBLE) / (sa.sz + sb.sz - intersect_cnt) >= 0.2
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates. No SQL oracle: the signature
+    depends on Spark's xxhash64, which DuckDB cannot reproduce — the
+    driver records the weaker rows-only check; the operator's recall is
+    tested against exact n-gram Jaccard in tests/operators/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5).select("id_a", "id_b")
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3). xxhash64-based; rows-only
+    check, same rationale as MinHash."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+TEXT_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+  len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "alpha_ratio",
+        "quality_score",
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    string_split_regex(lower(text), '\s+') AS L,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, n_chars, alpha_chars, len(L) AS n_tok,
+    len(list_filter(L, x -> x IN ('the','a','of','and','is','in','to','it'))) AS n_stop
+  FROM t)
+SELECT doc_id,
+  n_tok AS n_tokens,
+  CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_word_len,
+  CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+  CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+  0.4 * least(n_tok / 100.0, 1.0)
+    + 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
+    + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars) AS quality_score
+FROM c
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_lang_id(docs).select("doc_id", "pred_lang")
+
+
+TEXT_LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(L, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(L, x -> x IN ('the','a','of','and','is'))) AS s_en,
+    len(list_filter(L, x -> x IN ('el','la','de','que','y'))) AS s_es,
+    len(list_filter(L, x -> x IN ('le','la','de','et','un'))) AS s_fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_fingerprint(docs).select("doc_id", "md5_fp", "roll_fp")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(text)) AS md5_fp,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(lower(text), '\s+'),
+                     t -> CAST(ascii(t[1]) * 31 + length(t) AS BIGINT))),
+    (acc, e) -> (acc * 131 + e) % 1000000007) AS roll_fp
+FROM documents
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 10. Output is
+    rank-only (ids + rank): similarity doubles are bit-identical across
+    engines (same fold order) but excluded to keep the hash integral."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = sim_ops.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings c, q
+  WHERE q.query_id <> c.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — approximate by construction, so no SQL
+    oracle; recall vs brute force is asserted in
+    tests/operators/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = sim_ops.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def multimodal_meta(spark, sf_dir):
+    """Arrow-batched media metadata over binary payloads (documents as
+    the stand-in corpus). The decode stub is deterministic arithmetic on
+    the bytes, so an SQL oracle can replicate it."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm_ops.documents_as_media(docs)
+    out = mm_ops.extract_media_meta(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+    COALESCE(list_sum(list_transform(
+      range(1, least(length(text), 64) + 1), i -> ascii(text[i]))), 0) AS checksum
+  FROM documents)
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+  CAST(16 + (n_bytes % 624) AS BIGINT) AS width,
+  CAST(16 + (checksum % 464) AS BIGINT) AS height,
+  CAST(1 + (n_bytes % 24) AS BIGINT) AS n_frames
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql or None)
+REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
+    "fs_find_by_subject": (fs_find_by_subject, FS_FIND_BY_SUBJECT_SQL),
+    "fs_find_by_subject_recent": (fs_find_by_subject_recent, FS_FIND_BY_SUBJECT_RECENT_SQL),
+    "fs_find_in_time_range": (fs_find_in_time_range, FS_FIND_IN_TIME_RANGE_SQL),
+    "fs_find_by_id": (fs_find_by_id, FS_FIND_BY_ID_SQL),
+    "fs_find_by_tags": (fs_find_by_tags, FS_FIND_BY_TAGS_SQL),
+    "fs_find_by_tag_query": (fs_find_by_tag_query, FS_FIND_BY_TAG_QUERY_SQL),
+    "fs_replay_bounded": (fs_replay_bounded, FS_REPLAY_BOUNDED_SQL),
+    "fs_exists_by_id": (fs_exists_by_id, FS_EXISTS_BY_ID_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_topk_per_user": (events_topk_per_user, EVENTS_TOPK_SQL),
+    "events_minute_rollup": (events_minute_rollup, EVENTS_MINUTE_ROLLUP_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
