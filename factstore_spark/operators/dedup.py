@@ -66,18 +66,38 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, intersect_cnt, union_cnt, jaccard), id_a < id_b.
     ``max_shingle_df`` caps shingle document frequency to bound join
     fan-out (skew guard for hot shingles at scale)."""
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"))
+    # Shingles join-key as a 64-bit hash (not the string): smaller
+    # shuffle payload; collision odds are negligible for the counts.
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
     )
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Inverted index via groupBy-shingle + in-memory pair expansion:
+    # 2 shuffles (by shingle, then by pair) instead of the 3 a
+    # self-join needs, and no join hash tables. Pair fan-out per
+    # shingle is df^2/2 — the max_shingle_df cap is the skew guard.
+    posting = sh.groupBy("sh").agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        posting.filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("intersect_cnt"))
     )
     out = (

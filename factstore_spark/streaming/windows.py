@@ -1,0 +1,113 @@
+"""Structured-Streaming operators over the fact/event stream.
+
+The reference's streaming surface is subscribe/replay (ingestion-order
+batches, FdbFactStreamer.kt); Spark's native streaming model adds
+event-time semantics the reference lacks (SURVEY.md §2.5) — watermarks,
+tumbling/session windows, stateful per-key processing. These operators
+make that surplus capability first-class for the 100 TB pipeline:
+
+- ``windowed_counts``: tumbling event-time window + watermark for late
+  data; partial aggregation happens map-side per micro-batch, state
+  store holds only open windows.
+- ``session_counts``: gap-based session windows (the streaming form of
+  the batch sessionize query in queries.py).
+- ``running_totals_stateful``: applyInPandasWithState — the escape
+  hatch for operators Spark's built-ins can't express; keeps one small
+  state row per key, scales by key partitioning.
+
+All take a STREAMING DataFrame (e.g. ``FactStore.subscribe_stream`` or
+any readStream source) and return a streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    time_col: str = "appended_at",
+    key_col: str = "type",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per key with late-data handling."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    time_col: str = "appended_at",
+    key_col: str = "subject",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows per key (session closes after ``gap``
+    of inactivity; watermark bounds state retention)."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("subject", StringType(), False),
+        StructField("n_facts", LongType(), False),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = StructType([StructField("n", LongType(), False)])
+
+
+def running_totals_stateful(stream: DataFrame, key_col: str = "subject") -> DataFrame:
+    """Per-key running fact counts via applyInPandasWithState — the
+    custom-stateful-operator template: O(1) state per key, emits the
+    updated total on every micro-batch that touches the key."""
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        new = sum(len(pdf) for pdf in pdfs)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + new
+        state.update((total,))
+        yield pd.DataFrame({"subject": [key[0]], "n_facts": [total]})
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

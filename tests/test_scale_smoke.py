@@ -1,0 +1,76 @@
+"""Scale smoke port (AbstractFactStoreTest.kt:1230-1315, FIXTURES.md §4):
+10 000 facts appended in chunks of 500; tag query selecting the 5 000
+even-index facts; plus the bulk-ingest path over the events testdata."""
+
+import time
+
+from factstore_spark import FactInput, FactPayload, TagQuery, TagTypeItem
+from factstore_spark.results import Appended
+from factstore_spark.sources.events import events_as_facts
+
+STORE = "default-test-store"
+N = 10_000
+CHUNK = 500
+
+
+def test_scale_smoke_10k_facts_tag_selectivity(fs):
+    fs.create(STORE)
+    t0 = time.time()
+    for lo in range(0, N, CHUNK):
+        chunk = []
+        for i in range(lo, lo + CHUNK):
+            role, region = ("user", "us") if i % 2 == 0 else ("admin", "eu")
+            chunk.append(
+                FactInput(
+                    type="USER_CREATED",
+                    subject=f"USER:user-{i}",
+                    payload=FactPayload(('{ "username": "user%d" }' % i).encode()),
+                    tags={"role": role, "region": region},
+                )
+            )
+        res = fs.append(STORE, chunk)
+        assert isinstance(res, Appended)
+    append_secs = time.time() - t0
+    # One extra non-matching fact (role=custom).
+    fs.append(
+        STORE,
+        FactInput(type="USER_CREATED", subject="USER:extra", tags={"role": "custom", "region": "eu"}),
+    )
+
+    t0 = time.time()
+    res = fs.find_by_tag_query(
+        STORE,
+        TagQuery([TagTypeItem({"USER_CREATED"}, {"role": "user", "region": "us"})]),
+    )
+    query_secs = time.time() - t0
+    assert len(res.facts) == N // 2
+    positions = [f.position for f in res.facts]
+    assert positions == sorted(positions)  # global position order
+    # Not asserted thresholds (mirrors the TCK printing wall time), but
+    # keep an eye on gross regressions.
+    print(f"append {N} facts in {append_secs:.1f}s, tag-query {query_secs:.1f}s")
+    assert append_secs < 120 and query_secs < 60
+
+
+def test_bulk_ingest_events_roundtrip(fs, spark, sf_dir):
+    """Bulk commit via Spark executors: events testdata -> fact table,
+    then finder reads over it."""
+    fs.create("bulk-store")
+    facts_df = events_as_facts(spark, sf_dir).drop("position", "id", "appended_at")
+    res = fs.append_dataframe("bulk-store", facts_df)
+    assert isinstance(res, Appended)
+    df = fs.facts_df("bulk-store")
+    assert df.count() == 1000
+    hist = fs.find_by_subject("bulk-store", "user:7")
+    assert len(hist.facts) > 0
+    # Idempotent bulk retry.
+    from factstore_spark.results import AlreadyApplied
+
+    res2 = fs.append_dataframe(
+        "bulk-store", facts_df, idempotency_key=None
+    )
+    assert isinstance(res2, Appended)  # fresh key -> new commit
+    key = "11111111-2222-3333-4444-555555555555"
+    fs.append_dataframe("bulk-store", facts_df, idempotency_key=key)
+    res3 = fs.append_dataframe("bulk-store", facts_df, idempotency_key=key)
+    assert isinstance(res3, AlreadyApplied)

@@ -1,0 +1,72 @@
+"""Streaming window/stateful operators, drained with Trigger.AvailableNow
+into memory sinks over the fact store's subscribe_stream source."""
+
+import time
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from factstore_spark import FactInput, StartPosition
+from factstore_spark.streaming.windows import (
+    running_totals_stateful,
+    session_counts,
+    windowed_counts,
+)
+
+STORE = "default-test-store"
+
+
+@pytest.fixture()
+def seeded_stream(fs):
+    fs.create(STORE)
+    fs.append(
+        STORE,
+        [
+            FactInput(type="A", subject="s1"),
+            FactInput(type="A", subject="s1"),
+            FactInput(type="B", subject="s2"),
+        ],
+    )
+    fs.append(STORE, FactInput(type="A", subject="s2"))
+    return fs.subscribe_stream(STORE, StartPosition.Beginning())
+
+
+def _drain(stream_df, name, tmp_path, spark, mode="update"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}-{time.time_ns()}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_windowed_counts(seeded_stream, spark, tmp_path):
+    out = _drain(windowed_counts(seeded_stream), "win_counts", tmp_path, spark)
+    rows = {(r.type): r.n for r in out.collect()}
+    # All appends land within one minute-window per type.
+    assert rows == {"A": 3, "B": 1}
+
+
+def test_session_counts(seeded_stream, spark, tmp_path):
+    # Session-window aggregation requires append/complete output; with
+    # complete, windows emit regardless of watermark progress.
+    out = _drain(
+        session_counts(seeded_stream), "sess_counts", tmp_path, spark, mode="complete"
+    )
+    rows = {r.subject: r.n_events for r in out.collect()}
+    assert rows == {"s1": 2, "s2": 2}
+
+
+def test_running_totals_stateful(seeded_stream, spark, tmp_path):
+    out = _drain(
+        running_totals_stateful(seeded_stream), "run_totals", tmp_path, spark
+    )
+    # Last emitted total per subject.
+    rows = {}
+    for r in out.collect():
+        rows[r.subject] = max(rows.get(r.subject, 0), r.n_facts)
+    assert rows == {"s1": 2, "s2": 2}
