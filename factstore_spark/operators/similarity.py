@@ -83,6 +83,104 @@ def brute_force_topk(
     )
 
 
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold.
+
+    ``exact=True``: full O(n^2) cross product — the oracle path, fine up
+    to ~10k vectors. Default: random-hyperplane LSH (sign sketch of
+    ``n_planes`` projections, banded like MinHash) generates candidates
+    sub-quadratically, then exact cosine verifies — the 100 TB path;
+    recall follows the SimHash collision bound (1 - theta/pi per plane).
+
+    Hyperplanes are seeded deterministic samples in [-1, 1]^d derived
+    from xxhash64 — no driver-side randomness, no collect.
+    """
+    ids = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if exact:
+        a = ids.withColumnsRenamed({"_id": "id_a", "_v": "va"})
+        b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"})
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        # sign bit per plane: sum_j v[j] * u(p, j), u deterministic in [-1,1]
+        dim = F.size(F.col("_v"))
+        planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+        sig = F.transform(
+            planes,
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.sequence(F.lit(1), dim),
+                        lambda x, j: x.cast("double")
+                        * (
+                            F.pmod(
+                                F.xxhash64(p * F.lit(100_003) + j, F.lit(seed)),
+                                F.lit(2_000_001),
+                            )
+                            / F.lit(1_000_000.0)
+                            - F.lit(1.0)
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        rows_per_band = n_planes // bands
+        sketched = ids.withColumn("_sig", sig)
+        banded = sketched.select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.hash(
+                                F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
+                            ).alias("bh"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("_id", "_v", "b.band", "b.bh")
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("a._v").alias("va"),
+                F.col("b._id").alias("id_b"),
+                F.col("b._v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

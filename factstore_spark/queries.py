@@ -566,6 +566,35 @@ WHERE rank <= 5
 """
 
 
+def dedup_embedding_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact O(n^2) verification path
+    (the oracle-checkable baseline; the LSH entry below is the scale
+    path). Sim column excluded from output to keep the hash integral."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.cosine_dup_pairs(emb, threshold=0.4, exact=True)
+    return out.select("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_EXACT_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      >= 0.4
+"""
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Random-hyperplane LSH candidates + exact cosine verify — the
+    sub-quadratic path. Approximate recall by construction: rows-only
+    check; recall vs the exact pairs is asserted in
+    tests/operators/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.cosine_dup_pairs(emb, threshold=0.4, exact=False, n_planes=16, bands=8)
+    return out.select("id_a", "id_b")
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k — approximate by construction, so no SQL
     oracle; recall vs brute force is asserted in
@@ -638,6 +667,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
+    "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
 }
 

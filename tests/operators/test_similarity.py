@@ -56,3 +56,30 @@ def test_ivf_recall_against_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # half the cells probed -> decent recall floor
+
+
+def test_cosine_dup_pairs_exact_vs_lsh_recall(spark):
+    """LSH candidates + exact verify must recover most of the exact
+    pairs, and every LSH pair must BE an exact pair (no false accepts —
+    candidates are verified with true cosine)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(100):
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, base))
+        # near-duplicate: tiny perturbation
+        rows.append((2 * i + 1, [x + rnd.gauss(0, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(df, threshold=0.99, exact=True).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(df, threshold=0.99, n_planes=16, bands=8).collect()
+    }
+    assert len(exact) >= 100  # every perturbed twin pair found
+    assert lsh <= exact      # verification removes all false positives
+    assert len(lsh & exact) / len(exact) >= 0.9  # high recall at theta~8deg
