@@ -44,6 +44,74 @@ def exact_dedup(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into connected components: every doc maps
+    to the minimum id reachable through the pair graph (the canonical
+    representative a pipeline keeps).
+
+    Min-label propagation with pointer jumping: each round a node takes
+    the min of (its label, neighbor labels), then labels jump through
+    themselves (label := label(label)) — halving chain depth, so
+    convergence is O(log diameter) rounds, each a bounded number of
+    shuffle joins. ``localCheckpoint`` truncates lineage every round
+    (iterative DataFrame plans otherwise grow without bound and OOM the
+    driver's analyzer). Convergence detector: sum(labels) is monotone
+    non-increasing and stationary exactly at the fixpoint — one cheap
+    agg instead of a change-join. Output: (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnsRenamed({"node": "dst", "label": "nl"}), "dst")
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+            .withColumnsRenamed({"src": "node"})
+        )
+        direct = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label := label(label)
+        jump = direct.alias("a").join(
+            direct.select(
+                F.col("node").alias("label"), F.col("label").alias("ll")
+            ).alias("b"),
+            "label",
+            "left",
+        )
+        new_labels = jump.select(
+            "node", F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label")
+        ).localCheckpoint()
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as strings (space-joined)."""
     toks = tokens_col(text_col)

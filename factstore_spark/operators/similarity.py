@@ -192,36 +192,54 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate IVF top-k: deterministic seeded sample as coarse
-    centroids; corpus rows assigned to their nearest centroid (one
-    broadcast pass); each query searches only its ``n_probe`` nearest
-    cells. Output: (query_id, neighbor_id, sim, rank)."""
-    spark = corpus.sparkSession
-    cents = (
+    centroids; corpus rows assigned to their nearest centroid via a
+    MAP-ONLY argmax over the centroid table embedded as a literal array
+    (the FAISS pattern — centroids are tiny, data never shuffles for
+    assignment); each query searches only its ``n_probe`` nearest cells.
+    Output: (query_id, neighbor_id, sim, rank)."""
+    cents_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy(F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(1 << 31)))
         .limit(n_cells)
-        .withColumn("cell", F.row_number().over(Window.orderBy("cid")) - 1)
-        .select("cell", "cvec")
+        .orderBy("cid")
+        .collect()
     )
-    cents_b = F.broadcast(cents)
+    # Literal array<array<double>> of unit-normalized centroids: nearest-
+    # by-cosine == argmax dot product, computed per row with no shuffle.
+    cent_lits = []
+    for r in cents_rows:
+        v = [float(x) for x in r.cvec]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        cent_lits.append(F.array(*[F.lit(x / norm) for x in v]))
+    cents_arr = F.array(*cent_lits)
+    n_actual = len(cents_rows)
 
-    def nearest_cells(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
-        scored = df.crossJoin(cents_b).withColumn(
-            "_csim", cosine_similarity(F.col(vec), F.col("cvec"))
+    def cell_scores(vec: Column) -> Column:
+        """array of (dot(v, centroid_k)) for all cells."""
+        return F.transform(
+            cents_arr,
+            lambda cv: F.aggregate(
+                F.zip_with(vec, cv, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         )
-        w = Window.partitionBy(*[c for c in df.columns]).orderBy(
-            F.col("_csim").desc(), F.col("cell").asc()
+
+    def top_cells(vec: Column, n: int) -> Column:
+        """cells ranked by score desc, cell asc — as an array of ints."""
+        scored = F.zip_with(
+            cell_scores(vec),
+            F.sequence(F.lit(0), F.lit(n_actual - 1)),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
         )
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n)
-            .select(*df.columns, F.col("cell").alias(out))
-        )
+        return F.slice(F.transform(F.array_sort(scored), lambda st: st["cell"]), 1, n)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    assigned = nearest_cells(c, "c_vec", "cell", 1)
+    assigned = c.withColumn("cell", F.element_at(top_cells(F.col("c_vec"), 1), 1))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    probes = nearest_cells(q, "q_vec", "cell", n_probe)
+    probes = q.withColumn(
+        "cell", F.explode(top_cells(F.col("q_vec"), n_probe))
+    ).select("query_id", "q_vec", "cell")
 
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -438,6 +438,29 @@ WHERE CAST(intersect_cnt AS DOUBLE) / (sa.sz + sb.sz - intersect_cnt) >= 0.2
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Full near-dup pipeline: n-gram Jaccard pairs -> connected
+    components -> (doc, canonical cluster id). Oracle reproduces the
+    components with a recursive CTE over the same pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2)
+    return dedup_ops.dup_clusters(pairs)
+
+
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + DEDUP_NGRAM_SQL + """),
+edges2 AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS node, s AS r FROM edges2
+  UNION
+  SELECT e.s, reach.r FROM edges2 e JOIN reach ON e.d = reach.node)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+)
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates. No SQL oracle: the signature
     depends on Spark's xxhash64, which DuckDB cannot reproduce — the
@@ -659,6 +682,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_minute_rollup": (events_minute_rollup, EVENTS_MINUTE_ROLLUP_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),

@@ -60,3 +60,24 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
     sh = df.select(D.shingles_col(n=3).alias("s")).collect()[0].s
     assert sh == ["one two"]  # shorter than n -> whole doc as one shingle
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chain 1-2-3, pair 10-11, chain 20-21-22-23 (via transitive links):
+    every node labels to its component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs, max_iterations=40).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
