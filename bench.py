@@ -29,8 +29,11 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_topk_per_user",
     "events_minute_rollup",
+    "events_type_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_token_stats",

@@ -111,32 +111,32 @@ def cosine_dup_pairs(
         b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"})
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        # sign bit per plane: sum_j v[j] * u(p, j), u deterministic in [-1,1]
-        dim = F.size(F.col("_v"))
-        planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-        sig = F.transform(
-            planes,
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_v"),
-                        F.sequence(F.lit(1), dim),
-                        lambda x, j: x.cast("double")
-                        * (
-                            F.pmod(
-                                F.xxhash64(p * F.lit(100_003) + j, F.lit(seed)),
-                                F.lit(2_000_001),
-                            )
-                            / F.lit(1_000_000.0)
-                            - F.lit(1.0)
+        # Random hyperplanes are data-independent constants: generate
+        # them ONCE driver-side (seeded) and embed as literals — an
+        # in-expression hash per (plane, dim) per row costs 1000x more.
+        import random
+
+        rnd = random.Random(seed)
+        dim = len(df.select(vec_col).first()[0])
+        planes = [
+            F.array(*[F.lit(rnd.uniform(-1.0, 1.0)) for _ in range(dim)])
+            for _ in range(n_planes)
+        ]
+        sig = F.array(
+            *[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_v"), plane, lambda x, u: x.cast("double") * u
                         ),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                for plane in planes
+            ]
         )
         rows_per_band = n_planes // bands
         sketched = ids.withColumn("_sig", sig)

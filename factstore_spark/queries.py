@@ -395,6 +395,45 @@ HAVING COUNT(*) >= 2
 # ---------------------------------------------------------------------------
 
 
+def events_type_stats(spark, sf_dir):
+    """Per-type profile: counts, exact distinct users, min/max cents,
+    and DISCRETE p50/p90 (value at rank ceil(q*n) — picks actual data
+    points, so no interpolation arithmetic to diverge across engines)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = ev.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(_cents(F.col("value"))).alias("min_cents"),
+        F.max(_cents(F.col("value"))).alias("max_cents"),
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") * 0.5), _cents(F.col("value")))
+        ).alias("p50_cents"),
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") * 0.9), _cents(F.col("value")))
+        ).alias("p90_cents"),
+    )
+
+
+EVENTS_TYPE_STATS_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rnk,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+  (SELECT COUNT(DISTINCT user_id) FROM events e WHERE e.event_type = r.event_type) AS n_users,
+  MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS min_cents,
+  MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_cents,
+  MAX(CASE WHEN rnk = CEIL(n * 0.5) THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS p50_cents,
+  MAX(CASE WHEN rnk = CEIL(n * 0.9) THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS p90_cents
+FROM r GROUP BY event_type
+"""
+
+
 def dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     keyed = docs.withColumn("fp", F.md5(F.lower(F.col("text"))))
@@ -614,7 +653,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     check; recall vs the exact pairs is asserted in
     tests/operators/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.cosine_dup_pairs(emb, threshold=0.4, exact=False, n_planes=16, bands=8)
+    # bands of 4 planes (16-value bucket space): sub-quadratic candidate
+    # volume; bands of 2 would put ~1/4 of the corpus in every bucket.
+    out = sim_ops.cosine_dup_pairs(emb, threshold=0.45, exact=False, n_planes=16, bands=4)
     return out.select("id_a", "id_b")
 
 
@@ -680,6 +721,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_topk_per_user": (events_topk_per_user, EVENTS_TOPK_SQL),
     "events_minute_rollup": (events_minute_rollup, EVENTS_MINUTE_ROLLUP_SQL),
+    "events_type_stats": (events_type_stats, EVENTS_TYPE_STATS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),

@@ -1,0 +1,106 @@
+"""Store compaction — the 100 TB read-path maintenance operator.
+
+The append path necessarily accumulates one small parquet file (or bulk
+directory) per commit; a few hundred thousand commits would drown the
+scan in file-listing and per-file overhead. ``compact_store`` rewrites
+all committed data into a single *compacted* commit directory:
+
+- partitioned by ``date(appended_at)`` -> partition pruning for
+  time-range finders;
+- sorted by ``(subject, position)`` within partitions -> parquet
+  row-group min/max stats make subject lookups skip row groups (the
+  Z-order-lite stand-in for the reference's subject index);
+- ``position`` values are PRESERVED, so cursors, replay bounds and
+  ordering semantics are untouched;
+- the swap is transactional: the new directory is written alongside,
+  then a single ``compacted`` commit-log line supersedes the old files
+  under the store's commit lock (readers resolve files through the log,
+  so they see either the old set or the new set, never a mix).
+
+The compacted layout is exactly what you would ship to a 1000-executor
+cluster: one scan-friendly table, pruned by date, skipped by subject.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import FACT_SCHEMA
+from .layout import COMMITS_FILE, StoreLayout, utcnow_us
+
+
+def compact_store(
+    spark: SparkSession,
+    layout: StoreLayout,
+    target_partitions: int | None = None,
+) -> dict:
+    """Compact all committed files of one store. Returns stats. Safe to
+    run concurrently with appends (holds the commit lock only for the
+    final swap)."""
+    files = layout.data_files()
+    if not files:
+        return {"files_before": 0, "compacted": False}
+
+    # Snapshot the pre-compaction commit state (we only supersede what
+    # we read; appends landing during the rewrite survive the swap).
+    commits_before = layout.read_commits()
+    max_seq = commits_before[-1].seq
+
+    df = spark.read.schema(FACT_SCHEMA).parquet(*files)
+    out_dir = os.path.join(layout.data_dir, f"compacted-{max_seq:010d}")
+    tmp_dir = out_dir + ".tmp"
+    writer = (
+        df.withColumn("fact_date", F.to_date("appended_at"))
+        .repartition(*([target_partitions] if target_partitions else []), "fact_date")
+        .sortWithinPartitions("subject", "position")
+        .write.partitionBy("fact_date")
+        .mode("overwrite")
+    )
+    writer.parquet(tmp_dir)
+
+    with layout.commit_lock():
+        rows = spark.read.schema(FACT_SCHEMA).parquet(f"{tmp_dir}/fact_date=*").count()
+        os.rename(tmp_dir, out_dir)
+        record = {
+            "seq": max_seq,
+            "rows": rows,
+            "appended_at": utcnow_us().isoformat(),
+            "idempotency_key": None,
+            "max_position": commits_before[-1].max_position,
+            "compacted_through": max_seq,
+        }
+        path = os.path.join(layout.store_dir, COMMITS_FILE)
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        # Old per-commit files are now unreachable via the log; remove.
+        for fp in files:
+            try:
+                os.unlink(fp)
+            except IsADirectoryError:
+                shutil.rmtree(fp, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+        for name in os.listdir(layout.data_dir):
+            p = os.path.join(layout.data_dir, name)
+            if name.endswith("-bulk") and os.path.isdir(p) and not os.listdir(p):
+                os.rmdir(p)
+            elif name.endswith("-bulk") and os.path.isdir(p):
+                # bulk dirs fully superseded by the compaction snapshot
+                d_seq = int(name.split("-")[1])
+                if d_seq <= max_seq:
+                    shutil.rmtree(p, ignore_errors=True)
+
+    return {
+        "files_before": len(files),
+        "rows": rows,
+        "compacted": True,
+        "out_dir": out_dir,
+        "through_seq": max_seq,
+    }

@@ -59,6 +59,7 @@ class CommitRecord:
     idempotency_key: Optional[str]
     max_position: int
     bulk: bool = False
+    compacted_through: Optional[int] = None
 
 
 class StoreLayout:
@@ -99,19 +100,25 @@ class StoreLayout:
                         idempotency_key=d.get("idempotency_key"),
                         max_position=d["max_position"],
                         bulk=d.get("bulk", False),
+                        compacted_through=d.get("compacted_through"),
                     )
                 )
         return out
 
     def last_commit(self) -> Optional[CommitRecord]:
+        """The record with the highest seq. (A compaction line is
+        appended with its snapshot's old seq, so the physically-last
+        line is not necessarily the logically-latest commit.)"""
         commits = self.read_commits()
-        return commits[-1] if commits else None
+        if not commits:
+            return None
+        return max(commits, key=lambda c: c.seq)
 
     def head_position(self) -> int:
         """Current max position, or -1 for an empty store. The replay
         head pin (FdbFactStreamer.kt:60-84) reads this once, up front."""
-        last = self.last_commit()
-        return last.max_position if last else -1
+        commits = self.read_commits()
+        return max((c.max_position for c in commits), default=-1)
 
     def idempotency_key_seen(self, key: str) -> bool:
         """Idempotency keys live in the commit log itself, so the check
@@ -243,8 +250,30 @@ class StoreLayout:
         committed = [c for c in self.read_commits() if c.rows > 0]
         if max_seq is not None:
             committed = [c for c in committed if c.seq <= max_seq]
-        files: list[str] = []
+        # A compaction record supersedes every commit with
+        # seq <= compacted_through — resolve the latest one first.
+        compaction = None
         for c in committed:
+            if c.compacted_through is not None:
+                if compaction is None or c.compacted_through > compaction.compacted_through:
+                    compaction = c
+        files: list[str] = []
+        if compaction is not None:
+            comp_dir = os.path.join(
+                self.data_dir, f"compacted-{compaction.compacted_through:010d}"
+            )
+            for root, _dirs, names in os.walk(comp_dir):
+                files.extend(
+                    os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
+                )
+            committed = [
+                c
+                for c in committed
+                if c.compacted_through is None and c.seq > compaction.compacted_through
+            ]
+        for c in committed:
+            if c.compacted_through is not None:
+                continue
             if c.bulk:
                 d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")
                 files.extend(

@@ -574,6 +574,21 @@ class FactStore:
         return gen()
 
     # ------------------------------------------------------------------
+    # Maintenance
+    # ------------------------------------------------------------------
+
+    def compact(self, store_name: str, target_partitions: Optional[int] = None):
+        """Rewrite the store into a date-partitioned, subject-sorted
+        layout with positions preserved (storage/compact.py) — the scan
+        path for long-lived stores. Returns stats or StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        from .storage.compact import compact_store
+
+        return compact_store(self.spark, self._layout(meta.id), target_partitions)
+
+    # ------------------------------------------------------------------
 
     def _store_dir(self, store_id: str) -> str:
         return os.path.join(self.root, "stores", store_id)

@@ -1,0 +1,65 @@
+"""Compaction: many small commits -> one partitioned/sorted layout,
+with positions, cursors, finder results and post-compaction appends all
+preserved."""
+
+from factstore_spark import FactInput, ReplayStart, TimeRange
+from factstore_spark.results import Appended
+
+STORE = "default-test-store"
+
+
+def seed(fs, n=30):
+    fs.create(STORE)
+    ids = []
+    for i in range(n):
+        res = fs.append(
+            STORE,
+            FactInput(
+                type=f"T{i % 3}",
+                subject=f"S{i % 5}",
+                tags={"parity": str(i % 2)},
+            ),
+        )
+        assert isinstance(res, Appended)
+        ids.append(res.fact_ids[0])
+    return ids
+
+
+def test_compaction_preserves_everything(fs):
+    ids = seed(fs)
+    before = fs.find_in_time_range(STORE, TimeRange()).facts
+    stats = fs.compact(STORE)
+    assert stats["compacted"] and stats["files_before"] == 30
+    after = fs.find_in_time_range(STORE, TimeRange()).facts
+    assert [f.id for f in after] == [f.id for f in before]
+    assert [f.position for f in after] == [f.position for f in before]
+    # Finders still work, including cursors into pre-compaction facts.
+    hist = fs.find_by_subject(STORE, "S2")
+    assert [f.subject for f in hist.facts] == ["S2"] * 6
+    replayed = [f for b in fs.replay(STORE, ReplayStart.After(ids[27])) for f in b]
+    assert [f.id for f in replayed] == ids[28:]
+    tagged = fs.find_by_tags(STORE, {"parity": "1"})
+    assert len(tagged.facts) == 15
+
+
+def test_append_after_compaction(fs):
+    seed(fs, 10)
+    fs.compact(STORE)
+    res = fs.append(STORE, FactInput(type="LATE", subject="S9"))
+    assert isinstance(res, Appended)
+    facts = fs.find_in_time_range(STORE, TimeRange()).facts
+    assert len(facts) == 11
+    assert facts[-1].type == "LATE"
+    # Position strictly beyond all compacted positions.
+    assert facts[-1].position > facts[-2].position
+    # Second compaction folds the tail in.
+    stats = fs.compact(STORE)
+    assert stats["compacted"]
+    facts2 = fs.find_in_time_range(STORE, TimeRange()).facts
+    assert [f.id for f in facts2] == [f.id for f in facts]
+
+
+def test_compaction_empty_store(fs):
+    fs.create(STORE)
+    stats = fs.compact(STORE)
+    assert stats == {"files_before": 0, "compacted": False}
