@@ -1,0 +1,108 @@
+"""Derived tag-index table — the 100 TB answer to the reference's
+tags / tags+type secondary indexes (FdbFactStoreContext.kt:25-57).
+
+At moderate scale, tag queries are a single scan with a map-column
+predicate (plans/predicates.py) and need no index. At 100 TB the scan
+reads every fact's tags map; a derived index table
+
+    (tag_key, tag_value, type, position)    one row per fact-tag pair
+
+partitioned by ``tag_key`` lets a tag query touch only the keys it
+mentions, resolve matching positions there (tiny fraction of the data),
+then semi-join the fact table on position — mirroring how the FDB
+backend resolves positions from its tag subspaces and point-loads facts
+(FdbFactFinder.kt:169-203), but set-at-a-time.
+
+The index is DERIVED state: rebuilt from committed data (idempotent,
+crash-safe — if it is missing or stale, readers fall back to the scan
+path). ``built_through`` records the covered commit seq.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import FACT_SCHEMA
+from .layout import StoreLayout
+
+INDEX_DIR = "tag_index"
+META_FILE = "tag_index_meta.json"
+
+
+class TagIndex:
+    def __init__(self, layout: StoreLayout):
+        self.layout = layout
+        self.index_dir = os.path.join(layout.store_dir, INDEX_DIR)
+        self.meta_path = os.path.join(layout.store_dir, META_FILE)
+
+    def built_through(self) -> int:
+        try:
+            with open(self.meta_path) as f:
+                return json.load(f)["built_through"]
+        except (OSError, json.JSONDecodeError, KeyError):
+            return -1
+
+    def is_fresh(self) -> bool:
+        last = self.layout.last_commit()
+        return last is not None and self.built_through() >= last.seq
+
+    def build(self, spark: SparkSession) -> dict:
+        """Full (re)build: explode fact tags into the index layout.
+        Incremental builds would append only commits > built_through;
+        full rebuild keeps round 1 simple and is itself a bounded
+        distributed job."""
+        files = self.layout.data_files()
+        last = self.layout.last_commit()
+        if not files or last is None:
+            return {"built": False, "rows": 0}
+        df = spark.read.schema(FACT_SCHEMA).parquet(*files)
+        idx = df.select(
+            F.explode_outer("tags").alias("tag_key", "tag_value"),
+            F.col("type"),
+            F.col("position"),
+        ).filter(F.col("tag_key").isNotNull())
+        tmp = self.index_dir + ".tmp"
+        idx.repartition("tag_key").sortWithinPartitions(
+            "tag_value", "position"
+        ).write.partitionBy("tag_key").mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.index_dir):
+            shutil.rmtree(self.index_dir)
+        os.rename(tmp, self.index_dir)
+        with open(self.meta_path, "w") as f:
+            json.dump({"built_through": last.seq}, f)
+        return {"built": True, "through_seq": last.seq}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.index_dir)
+
+    def positions_for_query(self, spark: SparkSession, query) -> DataFrame:
+        """Resolve the tag-query algebra to a position set using ONLY the
+        index: per item, intersect per-tag position sets (AND) restricted
+        to the item's types; union across items. Returns a 1-column
+        ``position`` DataFrame."""
+        from ..model import TagOnlyQueryItem
+
+        idx = self.read(spark)
+        item_dfs = []
+        for item in query.items:
+            tag_sets = []
+            for k, v in item.tags.items():
+                s = idx.filter(
+                    (F.col("tag_key") == k) & (F.col("tag_value") == v)
+                )
+                if not isinstance(item, TagOnlyQueryItem):
+                    s = s.filter(F.col("type").isin(*sorted(item.types)))
+                tag_sets.append(s.select("position"))
+            acc = tag_sets[0]
+            for s in tag_sets[1:]:
+                acc = acc.intersect(s)  # AND across the item's tags
+            item_dfs.append(acc)
+        out = item_dfs[0]
+        for d in item_dfs[1:]:
+            out = out.union(d)  # OR across items
+        return out.distinct()

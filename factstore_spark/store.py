@@ -88,7 +88,12 @@ DEFAULT_BATCH_SIZE = 10_000  # FdbFactStreamer.kt:22
 
 class FactStore:
     """Engine entry point. ``root`` is the storage directory; ``spark``
-    is any SparkSession (the engine sets no global configs)."""
+    is any SparkSession (the engine sets no global configs).
+
+    The append path is Spark-free (pyarrow + the commit protocol), so a
+    writer process may pass ``spark=None`` — only readers/maintenance
+    need a session. This mirrors the reference's split between the
+    transactional write path and the scan machinery."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -427,6 +432,43 @@ class FactStore:
 
     def find_by_tag_query(self, store_name: str, query: TagQuery) -> FindResult:
         return self._materialize(self.find_by_tag_query_df(store_name, query), store_name)
+
+    def build_tag_index(self, store_name: str):
+        """(Re)build the derived tag-index table (storage/tag_index.py)
+        — the 100 TB secondary-index analog. Returns stats or StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        from .storage.tag_index import TagIndex
+
+        return TagIndex(self._layout(meta.id)).build(self.spark)
+
+    def find_by_tag_query_indexed_df(
+        self, store_name: str, query: TagQuery
+    ) -> Optional[DataFrame]:
+        """Tag query resolved through the derived index: positions from
+        the per-key index partitions, semi-joined back to the fact
+        table. Falls back to the scan path when the index is stale or
+        absent — the index is derived state, never a correctness
+        dependency."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return None
+        from .storage.tag_index import TagIndex
+
+        tidx = TagIndex(self._layout(meta.id))
+        if not tidx.is_fresh():
+            return self.find_by_tag_query_df(store_name, query)
+        positions = tidx.positions_for_query(self.spark, query)
+        facts = self.facts_df(store_name)
+        return facts.join(positions, "position", "left_semi").orderBy(
+            F.col("position").asc()
+        )
+
+    def find_by_tag_query_indexed(self, store_name: str, query: TagQuery) -> FindResult:
+        return self._materialize(
+            self.find_by_tag_query_indexed_df(store_name, query), store_name
+        )
 
     def _materialize(self, df: Optional[DataFrame], store_name: str) -> FindResult:
         if df is None:

@@ -176,3 +176,35 @@ def test_subscribe_stream_catchup_available_now(fs, spark, tmp_path):
 
 def test_subscribe_stream_missing_store(fs):
     assert isinstance(fs.subscribe_stream("non-existing-store"), StoreNotFound)
+
+
+def test_subscribe_stream_live_tail_processing_time(fs, spark, tmp_path):
+    """Continuous micro-batch query: facts appended AFTER the stream
+    starts must flow into the sink (the watch-loop analog,
+    FdbFactStreamer.kt:178-193)."""
+    fs.create("live-store")
+    fs.append("live-store", fi("OLD"))
+    stream = fs.subscribe_stream("live-store", StartPosition.Beginning())
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("live_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt-live"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from live_tail").collect()[0].c >= 1:
+                break
+            time.sleep(0.2)
+        fs.append("live-store", fi("LIVE1"))
+        fs.append("live-store", fi("LIVE2"))
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from live_tail").collect()[0].c >= 3:
+                break
+            time.sleep(0.2)
+        rows = spark.sql("select type from live_tail order by position").collect()
+        assert [r.type for r in rows] == ["OLD", "LIVE1", "LIVE2"]
+    finally:
+        q.stop()
