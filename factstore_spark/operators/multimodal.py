@@ -154,6 +154,83 @@ def sample_frames(
     return df.select(id_col, data_col).mapInPandas(run, schema)
 
 
+def extract_features(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Media bytes -> feature embedding (``array<float>``), Arrow-batched.
+
+    The featurizer here is a deterministic byte-histogram projection
+    (numpy, vectorized per batch) standing in for a real vision/audio
+    encoder; the output feeds directly into the similarity operators
+    (cosine top-k / IVF / embedding dedup), which is the point: the
+    multimodal column pipeline composes with the ANN pipeline."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for data in pdf[data_col]:
+                raw = np.frombuffer(bytes(data) if data is not None else b"", dtype=np.uint8)
+                if raw.size == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32).tolist())
+                    continue
+                hist = np.bincount(raw % dim, minlength=dim).astype(np.float32)
+                norm = float(np.linalg.norm(hist)) or 1.0
+                feats.append((hist / norm).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "embedding": feats}
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, schema)
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Resize plumbing: emits (media_id, thumb, thumb_w, thumb_h) with a
+    deterministic fake thumbnail (strided byte sample sized w*h). A real
+    deployment swaps the sampler for PIL's ``Image.resize`` inside the
+    same batch loop — schema, batching and memory shape are what this
+    exercises."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        out_ids, thumbs = [], []
+        for pdf in batches:
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data) if data is not None else b""
+                stride = max(len(raw) // n, 1)
+                thumbs.append(raw[::stride][:n])
+                out_ids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "thumb": thumbs,
+                    "thumb_w": pd.Series([target_w] * len(out_ids), dtype="int32"),
+                    "thumb_h": pd.Series([target_h] * len(out_ids), dtype="int32"),
+                }
+            )
+            out_ids, thumbs = [], []
+
+    return df.select(id_col, data_col).mapInPandas(run, THUMB_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat the testdata ``documents`` table as a media corpus
     (text bytes standing in for encoded assets) so the multimodal

@@ -699,6 +699,23 @@ FROM b
 """
 
 
+def multimodal_features_topk(spark, sf_dir):
+    """Composed pipeline: binary media -> Arrow-batched featurization ->
+    cosine top-3. Rows-only check (the numpy featurizer is the
+    non-SQL-expressible piece); determinism is covered by
+    tests/operators/test_multimodal.py."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm_ops.documents_as_media(docs)
+    emb = mm_ops.extract_features(media, dim=32).withColumnsRenamed(
+        {"media_id": "vec_id"}
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = sim_ops.brute_force_topk(emb, q, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -736,6 +753,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_features_topk": (multimodal_features_topk, None),
 }
 
 

@@ -37,3 +37,31 @@ def test_documents_as_media_adapter(spark, sf_dir):
     assert meta.count() == n
     row = meta.filter("media_id = 0").collect()[0]
     assert row.n_bytes > 0 and row.width >= 16 and row.height >= 16
+
+
+def test_extract_features_composes_with_similarity(spark, sf_dir):
+    """Multimodal -> ANN pipeline: featurize bytes, then cosine top-k
+    over the resulting embedding column."""
+    from factstore_spark.operators import similarity as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = M.documents_as_media(docs)
+    emb = M.extract_features(media, dim=32).withColumnsRenamed({"media_id": "vec_id"})
+    q = emb.filter("vec_id < 3")
+    out = S.brute_force_topk(emb, q, k=2)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 queries x k=2
+    assert all(-1.0 <= r.sim <= 1.0001 for r in rows)
+    # Determinism: same bytes -> same features -> same neighbors.
+    again = S.brute_force_topk(emb, q, k=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_media_shape(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 64)], "media_id long, data binary"
+    )
+    rows = M.resize_media(df, target_w=8, target_h=8).collect()
+    assert len(rows) == 1
+    assert rows[0].thumb_w == 8 and rows[0].thumb_h == 8
+    assert len(rows[0].thumb) == 64

@@ -1,0 +1,64 @@
+"""Plan-quality regression tests: lock in the physical-plan properties
+the 100 TB design depends on. These parse `.explain` output — crude but
+effective at catching a silently introduced shuffle, a lost pushdown,
+or a join that stopped broadcasting."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from factstore_spark import FactInput, ReadDirection
+from factstore_spark.queries import REGISTRY
+
+STORE = "default-test-store"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_finder_plan_pushdown_and_topk(fs):
+    fs.create(STORE)
+    fs.append(STORE, [FactInput(type=f"T{i}", subject=f"S{i%3}") for i in range(20)])
+    df = fs.find_by_subject_df(STORE, "S1", limit=5, direction=ReadDirection.BACKWARD)
+    plan = plan_of(df)
+    # subject filter reaches the parquet scan; limit+order fuse into
+    # TakeOrderedAndProject (the limit/reverse-pushdown analog).
+    assert "PushedFilters" in plan and "subject" in plan.split("PushedFilters", 1)[1][:200]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle for a point-subject top-k
+
+
+def test_replay_position_filter_pushdown(fs):
+    fs.create(STORE)
+    fs.append(STORE, [FactInput(type=f"T{i}", subject="S") for i in range(10)])
+    df = fs.facts_df(STORE, max_position=5).filter(F.col("position") > 1)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "position" in pushed
+
+
+def test_q3_broadcasts_dimensions(spark):
+    df = REGISTRY["q3_top_orders"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not sort-merge at this size
+
+
+def test_text_ops_are_map_only(spark):
+    df = REGISTRY["text_token_stats"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+    assert "WholeStageCodegen" in plan or "Project" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection must not read the full fact schema."""
+    df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
