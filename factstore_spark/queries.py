@@ -304,6 +304,94 @@ GROUP BY r_name, n_name
 """
 
 
+def q6_revenue_delta(spark, sf_dir):
+    """Single-pass filter + aggregate (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti join: customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def parts_with_lineitems(spark, sf_dir):
+    """Semi join: parts that appear in at least one lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_brand")
+    )
+
+
+PARTS_WITH_LINEITEMS_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def orders_priority_rollup(spark, sf_dir):
+    """ROLLUP over (status, priority): subtotals + grand total. Group
+    keys coalesced to sentinels so null-vs-null semantics can't diverge."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+ORDERS_PRIORITY_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization: a new session starts after a >30 min gap per
     user. LAG window + conditional sum; the Structured-Streaming analog
@@ -735,6 +823,10 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
+    "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "parts_with_lineitems": (parts_with_lineitems, PARTS_WITH_LINEITEMS_SQL),
+    "orders_priority_rollup": (orders_priority_rollup, ORDERS_PRIORITY_ROLLUP_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_topk_per_user": (events_topk_per_user, EVENTS_TOPK_SQL),
     "events_minute_rollup": (events_minute_rollup, EVENTS_MINUTE_ROLLUP_SQL),
