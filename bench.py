@@ -74,6 +74,30 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Write-path headline: bulk-ingest the events table into a fresh
+    # store (one Spark-parallel commit) and replay-scan it back.
+    import shutil
+    import tempfile
+
+    from factstore_spark.sources.events import events_as_facts
+    from factstore_spark.store import FactStore
+
+    root = tempfile.mkdtemp(prefix="bench-ingest-")
+    try:
+        fs = FactStore(spark, root)
+        fs.create("bench-ingest")
+        facts = events_as_facts(spark, sf_dir).drop("id", "appended_at")
+        t0 = time.time()
+        fs.append_dataframe("bench-ingest", facts)
+        n = fs.facts_df("bench-ingest").count()
+        timings["ingest_events_bulk"] = round(time.time() - t0, 3)
+        print(
+            f"# ingest_events_bulk: {timings['ingest_events_bulk']}s ({n} rows)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,65 @@
+"""Column-level function library — the engine's reusable scalar/array
+expressions, importable independently of the operators that compose
+them. Everything here returns a pyspark Column and stays JVM-side.
+
+    from factstore_spark import functions as FF
+    df.select(FF.token_count("text"), FF.money_cents("price"))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    minhash_sig_from_hashes,
+    shingle_hashes_col,
+    shingles_col,
+    simhash_col,
+)
+from ..operators.similarity import cosine_similarity
+from ..operators.text import TOKEN_REGEX, tokens_col
+from ..plans.predicates import (
+    tag_query_predicate,
+    tags_all_match,
+    time_range_predicate,
+)
+
+__all__ = [
+    "tokens_col",
+    "token_count",
+    "bpe_token_count",
+    "shingles_col",
+    "shingle_hashes_col",
+    "minhash_sig_from_hashes",
+    "simhash_col",
+    "cosine_similarity",
+    "money_cents",
+    "epoch_us",
+    "tags_all_match",
+    "tag_query_predicate",
+    "time_range_predicate",
+]
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text_col))
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / other)."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0))
+
+
+def money_cents(col: Column | str) -> Column:
+    """Cross-engine-deterministic integer cents: FLOOR(x*100) as BIGINT
+    (see queries.py determinism rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(100)).cast("long")
+
+
+def epoch_us(ts_col: Column | str) -> Column:
+    """Timestamp -> epoch microseconds BIGINT."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.unix_micros(c)
