@@ -102,15 +102,13 @@ def fs_find_in_time_range(spark, sf_dir):
     """Half-open [start, end) on ingestion time (TimeRange.kt:5-37).
     Compared in epoch-micros space to be timezone-proof."""
     ev = load_events(spark, sf_dir)
+    # Integer division in the FILTER too: ts_ns ~ 1.7e18 exceeds a
+    # double's 2^53 exact range, so float division would misclassify
+    # facts within ~128 ns of a boundary.
     return (
-        ev.filter(
-            (F.col("ts_ns") / 1000 >= T_START_US) & (F.col("ts_ns") / 1000 < T_END_US)
-        )
-        .select(
-            "event_id",
-            F.col("event_type"),
-            F.expr("ts_ns div 1000").alias("ts_us"),
-        )
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .filter((F.col("ts_us") >= T_START_US) & (F.col("ts_us") < T_END_US))
+        .select("event_id", F.col("event_type"), "ts_us")
     )
 
 
@@ -606,7 +604,12 @@ def dedup_simhash(spark, sf_dir):
 
 def text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.with_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+    # size() yields INT; cast to BIGINT to match DuckDB's len() width.
+    return text_ops.with_token_count(docs).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
 
 
 TEXT_TOKEN_STATS_SQL = r"""
@@ -620,7 +623,9 @@ FROM documents
 def text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.with_quality_score(docs).select(
-        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "alpha_ratio",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len", "stopword_ratio", "alpha_ratio",
         "quality_score",
     )
 
