@@ -481,6 +481,32 @@ HAVING COUNT(*) >= 2
 # ---------------------------------------------------------------------------
 
 
+def events_props_rollup(spark, sf_dir):
+    """JSON scalar extraction from the payload-ish ``props`` column:
+    parse ``$.k``, bucket it, aggregate — the payload-introspection
+    pattern for facts carrying JSON payloads."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        # FLOOR, not bare cast: DuckDB's double->BIGINT cast rounds while
+        # Spark's truncates.
+        ev.withColumn("k_bucket", F.floor(k / F.lit(10)).cast("long"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+EVENTS_PROPS_ROLLUP_SQL = """
+WITH j AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(FLOOR(k / 10) AS BIGINT) AS k_bucket,
+       COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+FROM j GROUP BY 1, 2 HAVING COUNT(*) >= 5
+"""
+
+
 def events_type_stats(spark, sf_dir):
     """Per-type profile: counts, exact distinct users, min/max cents,
     and DISCRETE p50/p90 (value at rank ceil(q*n) — picks actual data
@@ -836,6 +862,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_topk_per_user": (events_topk_per_user, EVENTS_TOPK_SQL),
     "events_minute_rollup": (events_minute_rollup, EVENTS_MINUTE_ROLLUP_SQL),
     "events_type_stats": (events_type_stats, EVENTS_TYPE_STATS_SQL),
+    "events_props_rollup": (events_props_rollup, EVENTS_PROPS_ROLLUP_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),

@@ -120,6 +120,16 @@ class StoreLayout:
         commits = self.read_commits()
         return max((c.max_position for c in commits), default=-1)
 
+    def next_seq(self) -> int:
+        """Next commit seq: past both the last seq AND the head position
+        — a bulk commit may carry caller-assigned positions larger than
+        one stride (e.g. source offsets), and the next commit's position
+        range must still start above the head or total order breaks."""
+        last = self.last_commit()
+        if last is None:
+            return 0
+        return max(last.seq + 1, self.head_position() // POSITION_STRIDE + 1)
+
     def idempotency_key_seen(self, key: str) -> bool:
         """Idempotency keys live in the commit log itself, so the check
         and the record are part of the same append protocol
@@ -167,8 +177,7 @@ class StoreLayout:
     ) -> tuple[int, list[int]]:
         """Write one commit: parquet file + commit-log line + heads update.
         Returns (seq, positions)."""
-        last = self.last_commit()
-        seq = (last.seq + 1) if last else 0
+        seq = self.next_seq()
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]
         for row, pos in zip(rows, positions):

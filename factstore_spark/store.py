@@ -268,8 +268,7 @@ class FactStore:
         with layout.commit_lock():
             if layout.idempotency_key_seen(key):
                 return AlreadyApplied(key)
-            last = layout.last_commit()
-            seq = (last.seq + 1) if last else 0
+            seq = layout.next_seq()
             appended_at = utcnow_us()
 
             from .schema import POSITION_STRIDE

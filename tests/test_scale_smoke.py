@@ -74,3 +74,34 @@ def test_bulk_ingest_events_roundtrip(fs, spark, sf_dir):
     fs.append_dataframe("bulk-store", facts_df, idempotency_key=key)
     res3 = fs.append_dataframe("bulk-store", facts_df, idempotency_key=key)
     assert isinstance(res3, AlreadyApplied)
+
+
+def test_bulk_positions_exceeding_stride_keep_total_order(fs, spark):
+    """A bulk commit whose caller-assigned positions span multiple
+    strides must not make the next commit's positions go backwards."""
+    from pyspark.sql import functions as F
+
+    fs.create("wide-store")
+    wide = spark.range(3).select(
+        F.lit("T").alias("type"),
+        F.concat(F.lit("S"), F.col("id")).alias("subject"),
+        F.struct(
+            F.lit(b"").alias("data"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("schema_ref"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        (F.col("id") * 3_000_000).alias("position"),  # > 2 strides apart
+    )
+    res = fs.append_dataframe("wide-store", wide)
+    from factstore_spark.results import Appended
+    from factstore_spark import FactInput
+
+    assert isinstance(res, Appended)
+    after = fs.append("wide-store", FactInput(type="NEXT", subject="SN"))
+    facts = fs.facts_df("wide-store").orderBy("position").collect()
+    positions = [f.position for f in facts]
+    assert positions == sorted(positions)
+    assert facts[-1].type == "NEXT"
+    assert after.positions[0] > positions[-2]
