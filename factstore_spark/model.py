@@ -31,8 +31,13 @@ STORE_NAME_RE = re.compile(r"^[a-zA-Z]([a-zA-Z0-9_-]{0,253}[a-zA-Z0-9])?$|^[a-zA
 
 
 def validate_store_name(name: str) -> bool:
-    """StoreName.kt:7-9 — regex + max length 255."""
-    return isinstance(name, str) and len(name) <= 255 and bool(STORE_NAME_RE.match(name))
+    """StoreName.kt:7-9 — regex + max length 255. fullmatch, not match:
+    ``$`` alone would admit a trailing newline."""
+    return (
+        isinstance(name, str)
+        and len(name) <= 255
+        and bool(STORE_NAME_RE.fullmatch(name))
+    )
 
 
 def new_fact_id() -> str:

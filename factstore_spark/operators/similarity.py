@@ -117,7 +117,12 @@ def cosine_dup_pairs(
         import random
 
         rnd = random.Random(seed)
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None:  # empty corpus -> empty result, like the exact path
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, sim double"
+            )
+        dim = len(head[0])
         planes = [
             F.array(*[F.lit(rnd.uniform(-1.0, 1.0)) for _ in range(dim)])
             for _ in range(n_planes)

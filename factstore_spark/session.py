@@ -40,6 +40,10 @@ def get_spark(
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode: the driver JVM hosts all executor threads — the
+        # 1g default heap GC-thrashes on wide-array operators. Only
+        # effective at JVM launch (ignored on getOrCreate of a live session).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

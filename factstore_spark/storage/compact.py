@@ -79,23 +79,40 @@ def compact_store(
             f.write(json.dumps(record) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        # Old per-commit files are now unreachable via the log; remove.
-        for fp in files:
-            try:
-                os.unlink(fp)
-            except IsADirectoryError:
-                shutil.rmtree(fp, ignore_errors=True)
-            except FileNotFoundError:
-                pass
-        for name in os.listdir(layout.data_dir):
-            p = os.path.join(layout.data_dir, name)
-            if name.endswith("-bulk") and os.path.isdir(p) and not os.listdir(p):
-                os.rmdir(p)
-            elif name.endswith("-bulk") and os.path.isdir(p):
-                # bulk dirs fully superseded by the compaction snapshot
-                d_seq = int(name.split("-")[1])
-                if d_seq <= max_seq:
-                    shutil.rmtree(p, ignore_errors=True)
+        # The files this compaction superseded stay ON DISK at their old
+        # paths (they are unreachable via the commit log, so new readers
+        # never see them) — an in-flight DataFrame/replay iterator that
+        # resolved its file list pre-swap keeps working. What we purge
+        # now is the PREVIOUS generation: anything a prior compaction
+        # already superseded has had a full generation of grace.
+        prev_ct = max(
+            (
+                c.compacted_through
+                for c in commits_before
+                if c.compacted_through is not None
+            ),
+            default=None,
+        )
+        if prev_ct is not None:
+            for name in os.listdir(layout.data_dir):
+                p = os.path.join(layout.data_dir, name)
+                if name.startswith("commit-"):
+                    try:
+                        seq = int(name.split("-")[1].split(".")[0])
+                    except (ValueError, IndexError):
+                        continue
+                    if seq <= prev_ct:
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.unlink(p)
+                elif name.startswith("compacted-") and not name.endswith(".tmp"):
+                    try:
+                        through = int(name.split("-")[1])
+                    except (ValueError, IndexError):
+                        continue
+                    if through < prev_ct:
+                        shutil.rmtree(p, ignore_errors=True)
 
     return {
         "files_before": len(files),

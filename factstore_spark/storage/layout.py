@@ -154,18 +154,28 @@ class StoreLayout:
             os.close(fd)
 
     def _sweep_orphans(self) -> None:
-        """Drop data files whose seq never made it into the commit log
-        (crash between rename and commit-line append)."""
+        """Drop data files/dirs whose seq never made it into the commit
+        log (crash between rename/write and commit-line append) —
+        covers both row-commit files and bulk-commit directories."""
+        import shutil
+
         committed = {c.seq for c in self.read_commits()}
         for name in os.listdir(self.data_dir):
-            if not name.startswith("commit-") or not name.endswith(".parquet"):
-                continue
-            try:
-                seq = int(name[len("commit-") : -len(".parquet")].split("-")[0])
-            except ValueError:
-                continue
-            if seq not in committed:
-                os.unlink(os.path.join(self.data_dir, name))
+            path = os.path.join(self.data_dir, name)
+            if name.startswith("commit-") and name.endswith(".parquet"):
+                try:
+                    seq = int(name[len("commit-") : -len(".parquet")].split("-")[0])
+                except ValueError:
+                    continue
+                if seq not in committed:
+                    os.unlink(path)
+            elif name.startswith("commit-") and name.endswith("-bulk") and os.path.isdir(path):
+                try:
+                    seq = int(name.split("-")[1])
+                except (ValueError, IndexError):
+                    continue
+                if seq not in committed:
+                    shutil.rmtree(path, ignore_errors=True)
 
     # -- append (call only while holding commit_lock) -----------------------
 
@@ -195,7 +205,7 @@ class StoreLayout:
             "rows": len(rows),
             "appended_at": appended_at.isoformat(),
             "idempotency_key": idempotency_key,
-            "max_position": positions[-1] if positions else (last.max_position if last else -1),
+            "max_position": positions[-1] if positions else self.head_position(),
         }
         path = os.path.join(self.store_dir, COMMITS_FILE)
         with open(path, "a") as f:
@@ -332,6 +342,23 @@ class StoreLayout:
         ds = pa_ds.dataset(files, schema=FACT_ARROW_SCHEMA)
         return ds.to_table(columns=columns, filter=filter)
 
+    def scan_batches(
+        self,
+        columns: Optional[list[str]] = None,
+        filter: Optional[pa_ds.Expression] = None,
+        batch_size: int = 8192,
+    ):
+        """Streaming batch scan over committed data (early-exit-friendly
+        — condition evaluation must not pull the whole projection into
+        memory under the commit lock)."""
+        files = self.data_files()
+        if not files:
+            return
+        ds = pa_ds.dataset(files, schema=FACT_ARROW_SCHEMA)
+        yield from ds.to_batches(
+            columns=columns, filter=filter, batch_size=batch_size
+        )
+
     def position_of_fact(self, fact_id: str) -> Optional[int]:
         """id -> position (FdbFactStore.kt:108-133's id index equivalent)."""
         table = self.read_arrow(
@@ -343,8 +370,7 @@ class StoreLayout:
 
 
 def utcnow_us() -> datetime:
-    """Server-assigned append instant, microsecond precision (matches the
-    parquet/Spark timestamp unit so read-back equality is exact —
-    TCK half-open boundary tests AbstractFactStoreTest.kt:203-229)."""
-    now = datetime.now(timezone.utc)
-    return now.replace(microsecond=now.microsecond)
+    """Server-assigned append instant. Python datetimes are microsecond
+    precision — the parquet/Spark timestamp unit — so read-back equality
+    is exact (TCK half-open boundary tests AbstractFactStoreTest.kt:203-229)."""
+    return datetime.now(timezone.utc)

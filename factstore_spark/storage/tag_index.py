@@ -56,8 +56,11 @@ class TagIndex:
         Incremental builds would append only commits > built_through;
         full rebuild keeps round 1 simple and is itself a bounded
         distributed job."""
-        files = self.layout.data_files()
+        # Snapshot the covered commit FIRST: a commit landing between
+        # these two reads must leave the index stale (fallback to scan),
+        # never fresh-but-incomplete.
         last = self.layout.last_commit()
+        files = self.layout.data_files(max_seq=last.seq if last else None)
         if not files or last is None:
             return {"built": False, "rows": 0}
         df = spark.read.schema(FACT_SCHEMA).parquet(*files)

@@ -239,12 +239,18 @@ class FactStore:
                 if pos is None:
                     return f"after-cursor fact {condition.after} not found"
                 after_pos = pos
+            # Streamed batch scan with early exit — never materialize the
+            # whole projection into Python under the commit lock.
             flt = pa_ds.field("position") > after_pos
-            table = layout.read_arrow(columns=["type", "tags", "position"], filter=flt)
-            for row in table.to_pylist():
-                tags = dict(row["tags"] or [])
-                if fact_matches_tag_query(row["type"], tags, condition.fail_if_facts_match):
-                    return "facts matching the fail-if query exist after the cursor"
+            for batch in layout.scan_batches(
+                columns=["type", "tags"], filter=flt, batch_size=8192
+            ):
+                for row in batch.to_pylist():
+                    tags = dict(row["tags"] or [])
+                    if fact_matches_tag_query(
+                        row["type"], tags, condition.fail_if_facts_match
+                    ):
+                        return "facts matching the fail-if query exist after the cursor"
             return None
         raise TypeError(f"unknown condition: {condition!r}")
 
@@ -308,16 +314,28 @@ class FactStore:
                 for f in os.listdir(out_dir)
                 if f.endswith(".parquet")
             ]
-            agg = (
-                self.spark.read.schema(FACT_SCHEMA)
-                .parquet(*bulk_files)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.min("position").alias("lo"),
-                    F.max("position").alias("hi"),
+            agg = None
+            if bulk_files:
+                agg = (
+                    self.spark.read.schema(FACT_SCHEMA)
+                    .parquet(*bulk_files)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.min("position").alias("lo"),
+                        F.max("position").alias("hi"),
+                    )
+                    .collect()[0]
                 )
-                .collect()[0]
-            )
+            if agg is None or agg["n"] == 0:
+                # Empty input: record a zero-row commit so the
+                # idempotency key is still honored; nothing to read back.
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                layout.append_bulk_commit_record(
+                    seq, 0, appended_at, key, layout.head_position()
+                )
+                return Appended((), appended_at, ())
             layout.append_bulk_commit_record(
                 seq, int(agg["n"]), appended_at, key, int(agg["hi"])
             )
@@ -560,9 +578,20 @@ class FactStore:
                 return FactIdNotFound(start.fact_id)
             after_pos = pos
 
+        # recursiveFileLookup: bulk-commit and compacted data live in
+        # subdirectories of data_dir. Two documented caveats of the
+        # file-source approach: (1) a crash-orphaned file (no commit
+        # line) is visible to the stream until the next append's sweep;
+        # (2) compaction rewrites history under NEW paths, so a
+        # subscription running across a compaction re-receives old facts
+        # — either pause subscriptions during compaction or have
+        # consumers dedupe on `position` (exactly the cursor-replay
+        # tolerance the reference's checkpointing contract requires of
+        # consumers anyway, FactReplayer.kt:8-16).
         stream = (
             self.spark.readStream.schema(FACT_SCHEMA)
             .option("maxFilesPerTrigger", 64)
+            .option("recursiveFileLookup", "true")
             .parquet(layout.data_dir)
         )
         if after_pos >= 0:

@@ -208,3 +208,25 @@ def test_subscribe_stream_live_tail_processing_time(fs, spark, tmp_path):
         assert [r.type for r in rows] == ["OLD", "LIVE1", "LIVE2"]
     finally:
         q.stop()
+
+
+def test_subscribe_stream_sees_bulk_ingested_facts(fs, spark, tmp_path, sf_dir):
+    """Bulk commits live in subdirectories — the streaming source must
+    pick them up (recursiveFileLookup)."""
+    from factstore_spark.sources.events import events_as_facts
+
+    fs.create("bulk-sub")
+    facts_df = events_as_facts(spark, sf_dir).drop("id", "appended_at").limit(50)
+    fs.append_dataframe("bulk-sub", facts_df)
+    fs.append("bulk-sub", fi("ROW"))
+    stream = fs.subscribe_stream("bulk-sub", StartPosition.Beginning())
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bulk_sub")
+        .option("checkpointLocation", str(tmp_path / "ckpt-bulk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    n = spark.sql("select count(*) c from bulk_sub").collect()[0].c
+    assert n == 51
