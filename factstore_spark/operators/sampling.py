@@ -1,0 +1,63 @@
+"""Dataset curation operators: deterministic splits and group-wise
+quality sampling — the selection stage of a training-data pipeline.
+
+Both are pure built-in expressions, map-only or single-window, and
+reproducible across engines (bucketing is md5-based, not engine-hash-
+based, precisely so an independent oracle can recompute membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def split_bucket(key_col: str, n_buckets: int = 100, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(salt || key).
+
+    md5 (not xxhash64/hash): identical in every engine, so membership is
+    auditable outside Spark. First 8 hex chars -> int -> mod. Map-only,
+    no shuffle; stable under repartitioning and re-runs."""
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long") % n_buckets
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    n_buckets: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'test'): rows whose bucket
+    falls below ``test_fraction * n_buckets`` are test. Keyed on a
+    stable id so the same record NEVER migrates between splits across
+    runs or data refreshes (the leakage guard)."""
+    cutoff = int(test_fraction * n_buckets)
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(key_col, n_buckets, salt) < cutoff, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the k best rows per group (quality sampling / per-source
+    caps). One shuffle on the group key; rank ties broken by id for
+    full determinism."""
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -818,6 +818,64 @@ FROM b
 """
 
 
+def curation_split_stats(spark, sf_dir):
+    """Deterministic md5-bucket train/test split of documents, keyed on
+    doc_id; per (split, lang) counts. The oracle recomputes bucket
+    membership independently — md5 is engine-neutral by design."""
+    from .operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_fraction=0.2)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+CURATION_SPLIT_STATS_SQL = """
+WITH s AS (
+  SELECT lang, n_chars,
+    CASE WHEN CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20
+         THEN 'test' ELSE 'train' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM s GROUP BY 1, 2
+"""
+
+
+def curation_quality_topk(spark, sf_dir):
+    """Per-source quality cap: keep the 5 highest-quality docs per
+    source (score from the text-quality operator, doc_id tie-break)."""
+    from .operators.sampling import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.with_quality_score(docs)
+    return top_k_per_group(scored, "source", "quality_score", 5, "doc_id").select(
+        "source", "doc_id"
+    )
+
+
+CURATION_QUALITY_TOPK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    string_split_regex(lower(text), '\s+') AS L,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+    0.4 * least(len(L) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(L, x -> x IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) / len(L))
+      + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars) AS q
+  FROM t)
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rk
+  FROM c) x
+WHERE rk <= 5
+"""
+
+
 def multimodal_features_topk(spark, sf_dir):
     """Composed pipeline: binary media -> Arrow-batched featurization ->
     cosine top-3. Rows-only check (the numpy featurizer is the
@@ -878,6 +936,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features_topk": (multimodal_features_topk, None),
+    "curation_split_stats": (curation_split_stats, CURATION_SPLIT_STATS_SQL),
+    "curation_quality_topk": (curation_quality_topk, CURATION_QUALITY_TOPK_SQL),
 }
 
 
