@@ -1,0 +1,337 @@
+"""Embedded REST adapter — the reference's HTTP surface
+(factstore-server/.../http/) over the Spark engine, stdlib-only.
+
+Wire contract mirrors api.kt / the resource paths:
+
+    POST   /v1/stores                          {"name": ...}
+    GET    /v1/stores
+    GET    /v1/stores/{name}
+    DELETE /v1/stores/{name}
+    POST   /v1/stores/{s}/facts                AppendHttpRequest (api.kt:12-17;
+                                               polymorphic conditions api.kt:35-75,
+                                               payload.data base64)
+    GET    /v1/stores/{s}/facts/{factId}
+    POST   /v1/stores/{s}/facts/query          {"queryItems": [...]} (tagOnly/tagType)
+    GET    /v1/stores/{s}/subjects/{subj}/facts?limit=&direction=
+    GET    /v1/stores/{s}/facts?from=&to=&tag=k=v&limit=&direction=
+    GET    /v1/stores/{s}/facts/replay?after=
+    GET    /v1/stores/{s}/facts/subscribe?start=beginning|end&after=   (SSE)
+
+Result mapping keeps the zero-exception policy observable: expected
+outcomes are status codes + JSON bodies (409 for NameAlreadyExists and
+AppendConditionViolated; 200 empty body for AlreadyApplied, matching
+extensions.kt:24-29; 404 for StoreNotFound/FactNotFound)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from .model import (
+    AllConditions,
+    ExpectedLastFact,
+    FactInput,
+    FactPayload,
+    NoCondition,
+    ReadDirection,
+    ReplayStart,
+    StartPosition,
+    TagOnlyQueryItem,
+    TagQuery,
+    TagQueryBased,
+    TagTypeItem,
+    TimeRange,
+)
+from .results import (
+    AlreadyApplied,
+    Appended,
+    AppendConditionViolated,
+    FactFound,
+    FactIdNotFound,
+    FactsFound,
+    StoreCreated,
+    StoreNameAlreadyExists,
+    StoreNotFound,
+    StoreRemoved,
+)
+
+
+def _fact_dict(f) -> dict:
+    return {
+        "id": f.id,
+        "type": f.type,
+        "subject": f.subject,
+        "appendedAt": f.appended_at.isoformat(),
+        "position": f.position,
+        "payload": {
+            "data": base64.b64encode(f.payload.data).decode(),
+            "format": f.payload.format,
+            "schemaRef": f.payload.schema_ref,
+        },
+        "metadata": f.metadata,
+        "tags": f.tags,
+    }
+
+
+def _parse_condition(d) -> object:
+    if d is None:
+        return NoCondition()
+    kind = d.get("type", "none")
+    if kind == "none":
+        return NoCondition()
+    if kind == "expectedLastFact":
+        return ExpectedLastFact(d["subject"], d.get("expectedLastFactId"))
+    if kind == "all":
+        return AllConditions([_parse_condition(c) for c in d["conditions"]])
+    if kind == "tagQueryBased":
+        return TagQueryBased(
+            _parse_tag_query(d["failIfEventsMatch"]), d.get("after")
+        )
+    raise ValueError(f"unknown condition type: {kind}")
+
+
+def _parse_tag_query(d) -> TagQuery:
+    items = []
+    for item in d["queryItems"]:
+        if item.get("type") == "tagType":
+            items.append(TagTypeItem(set(item["types"]), item["tags"]))
+        else:
+            items.append(TagOnlyQueryItem(item["tags"]))
+    return TagQuery(items)
+
+
+def _parse_direction(qs) -> ReadDirection:
+    v = (qs.get("direction", ["forward"])[0] or "forward").lower()
+    return ReadDirection.BACKWARD if v == "backward" else ReadDirection.FORWARD
+
+
+def _parse_limit(qs):
+    raw = qs.get("limit", [None])[0]
+    if raw in (None, "", "0"):
+        return None
+    return int(raw)
+
+
+class FactStoreHandler(BaseHTTPRequestHandler):
+    fs = None  # injected by serve()
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    # -- helpers ---------------------------------------------------------
+
+    def _json(self, code: int, body=None) -> None:
+        data = b"" if body is None else json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _read_body(self) -> dict:
+        n = int(self.headers.get("Content-Length", "0"))
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _segments(self):
+        parsed = urlparse(self.path)
+        parts = [unquote(p) for p in parsed.path.split("/") if p]
+        if parts and parts[0] == "api":
+            parts = parts[1:]
+        return parts, parse_qs(parsed.query)
+
+    def _facts_response(self, res) -> None:
+        if isinstance(res, StoreNotFound):
+            self._json(404, {"error": "store not found", "name": res.name})
+        elif isinstance(res, FactsFound):
+            self._json(200, [_fact_dict(f) for f in res.facts])
+        else:
+            self._json(500, {"error": str(res)})
+
+    # -- routing ---------------------------------------------------------
+
+    def do_POST(self):
+        parts, _qs = self._segments()
+        try:
+            if parts == ["v1", "stores"]:
+                body = self._read_body()
+                res = self.fs.create(body["name"])
+                if isinstance(res, StoreCreated):
+                    m = res.metadata
+                    self._json(201, {"id": m.id, "name": m.name, "createdAt": m.created_at.isoformat()})
+                elif isinstance(res, StoreNameAlreadyExists):
+                    self._json(409, {"error": "store name already exists"})
+                return
+            if len(parts) == 4 and parts[:2] == ["v1", "stores"] and parts[3] == "facts":
+                body = self._read_body()
+                facts = [
+                    FactInput(
+                        type=f["type"],
+                        subject=f["subject"],
+                        payload=FactPayload(
+                            base64.b64decode(f.get("payload", {}).get("data", "") or ""),
+                            format=f.get("payload", {}).get("format"),
+                            schema_ref=f.get("payload", {}).get("schemaRef"),
+                        ),
+                        metadata=f.get("metadata") or {},
+                        tags=f.get("tags") or {},
+                    )
+                    for f in body["facts"]
+                ]
+                res = self.fs.append(
+                    parts[2],
+                    facts,
+                    condition=_parse_condition(body.get("condition")),
+                    idempotency_key=body.get("idempotencyKey"),
+                )
+                if isinstance(res, Appended):
+                    self._json(200, {"factIds": list(res.fact_ids), "appendedAt": res.appended_at.isoformat()})
+                elif isinstance(res, AlreadyApplied):
+                    self._json(200)  # empty body, extensions.kt:24-29
+                elif isinstance(res, AppendConditionViolated):
+                    self._json(409, {"error": "append condition violated", "reason": res.reason})
+                elif isinstance(res, StoreNotFound):
+                    self._json(404, {"error": "store not found"})
+                return
+            if len(parts) == 5 and parts[3] == "facts" and parts[4] == "query":
+                query = _parse_tag_query(self._read_body())
+                self._facts_response(self.fs.find_by_tag_query(parts[2], query))
+                return
+            self._json(404, {"error": "no such route"})
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            self._json(400, {"error": str(e)})
+
+    def do_GET(self):
+        parts, qs = self._segments()
+        try:
+            if parts == ["v1", "stores"]:
+                self._json(200, [
+                    {"id": m.id, "name": m.name, "createdAt": m.created_at.isoformat()}
+                    for m in self.fs.list_all()
+                ])
+                return
+            if len(parts) == 3 and parts[:2] == ["v1", "stores"]:
+                m = self.fs.find_by_name(parts[2])
+                if m is None:
+                    self._json(404, {"error": "store not found"})
+                else:
+                    self._json(200, {"id": m.id, "name": m.name, "createdAt": m.created_at.isoformat()})
+                return
+            if len(parts) == 5 and parts[3] == "facts" and parts[4] == "subscribe":
+                self._subscribe(parts[2], qs)
+                return
+            if len(parts) == 5 and parts[3] == "facts" and parts[4] == "replay":
+                after = qs.get("after", [None])[0]
+                start = ReplayStart.After(after) if after else ReplayStart.Beginning()
+                res = self.fs.replay(parts[2], start)
+                if isinstance(res, StoreNotFound):
+                    self._json(404, {"error": "store not found"})
+                elif isinstance(res, FactIdNotFound):
+                    self._json(404, {"error": "fact id not found", "factId": res.fact_id})
+                else:
+                    self._json(200, [_fact_dict(f) for b in res for f in b])
+                return
+            if len(parts) == 5 and parts[3] == "facts":
+                res = self.fs.find_by_id(parts[2], parts[4])
+                if isinstance(res, FactFound):
+                    self._json(200, _fact_dict(res.fact))
+                else:
+                    self._json(404, {"error": type(res).__name__})
+                return
+            if len(parts) == 6 and parts[3] == "subjects" and parts[5] == "facts":
+                res = self.fs.find_by_subject(
+                    parts[2], parts[4], limit=_parse_limit(qs), direction=_parse_direction(qs)
+                )
+                self._facts_response(res)
+                return
+            if len(parts) == 4 and parts[3] == "facts":
+                tags = dict(t.split("=", 1) if "=" in t else (t, "") for t in qs.get("tag", []))
+                if tags:
+                    res = self.fs.find_by_tags(
+                        parts[2], tags, limit=_parse_limit(qs), direction=_parse_direction(qs)
+                    )
+                else:
+                    tr = TimeRange(
+                        start=_parse_instant(qs.get("from", [None])[0]),
+                        end=_parse_instant(qs.get("to", [None])[0]),
+                    )
+                    res = self.fs.find_in_time_range(
+                        parts[2], tr, limit=_parse_limit(qs), direction=_parse_direction(qs)
+                    )
+                self._facts_response(res)
+                return
+            self._json(404, {"error": "no such route"})
+        except (KeyError, ValueError) as e:
+            self._json(400, {"error": str(e)})
+
+    def do_DELETE(self):
+        parts, _qs = self._segments()
+        if len(parts) == 3 and parts[:2] == ["v1", "stores"]:
+            res = self.fs.remove(parts[2])
+            if isinstance(res, StoreRemoved):
+                self._json(204)
+            else:
+                self._json(404, {"error": "store not found"})
+            return
+        self._json(404, {"error": "no such route"})
+
+    # -- SSE subscription (StreamResource.kt:23-39 analog) ---------------
+
+    def _subscribe(self, store: str, qs) -> None:
+        after = qs.get("after", [None])[0]
+        start_kind = qs.get("start", ["beginning"])[0]
+        if after:
+            start = StartPosition.After(after)
+        elif start_kind == "end":
+            start = StartPosition.End()
+        else:
+            start = StartPosition.Beginning()
+        gen = self.fs.subscribe(store, start, poll_interval=0.1)
+        if isinstance(gen, StoreNotFound):
+            self._json(404, {"error": "store not found"})
+            return
+        if isinstance(gen, FactIdNotFound):
+            self._json(404, {"error": "fact id not found"})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        try:
+            for batch in gen:
+                for f in batch:
+                    payload = json.dumps(_fact_dict(f))
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            return  # client went away — the flow is infinite by contract
+
+
+def _parse_instant(raw):
+    if not raw:
+        return None
+    return datetime.fromisoformat(raw)
+
+
+class FactStoreServer:
+    """In-process server: ``serve(fs, port=0)`` returns (server, port).
+    Threaded so SSE subscriptions don't block other requests."""
+
+    def __init__(self, fact_store, host: str = "127.0.0.1", port: int = 0):
+        handler = type("BoundHandler", (FactStoreHandler,), {"fs": fact_store})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = None
+
+    def start(self) -> "FactStoreServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

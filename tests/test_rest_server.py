@@ -1,0 +1,160 @@
+"""REST adapter tests — the server-adapter suite analog
+(factstore-server/src/test/.../http/), driven over real HTTP."""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from factstore_spark.server import FactStoreServer
+
+
+@pytest.fixture()
+def server(fs):
+    s = FactStoreServer(fs).start()
+    yield f"http://127.0.0.1:{s.port}"
+    s.stop()
+
+
+def req(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method)
+    r.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        return e.code, json.loads(raw) if raw else None
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def test_store_lifecycle_over_http(server):
+    code, body = req("POST", f"{server}/v1/stores", {"name": "http-store"})
+    assert code == 201 and body["name"] == "http-store"
+    code, _ = req("POST", f"{server}/v1/stores", {"name": "http-store"})
+    assert code == 409
+    code, stores = req("GET", f"{server}/v1/stores")
+    assert code == 200 and [s["name"] for s in stores] == ["http-store"]
+    code, meta = req("GET", f"{server}/v1/stores/http-store")
+    assert code == 200 and meta["id"]
+    code, _ = req("DELETE", f"{server}/v1/stores/http-store")
+    assert code == 204
+    code, _ = req("GET", f"{server}/v1/stores/http-store")
+    assert code == 404
+
+
+def test_append_and_find_over_http(server):
+    req("POST", f"{server}/v1/stores", {"name": "s"})
+    code, res = req(
+        "POST",
+        f"{server}/v1/stores/s/facts",
+        {
+            "facts": [
+                {
+                    "type": "USER_CREATED",
+                    "subject": "USER:ALICE",
+                    "payload": {"data": b64('{"username": "Alice"}')},
+                    "tags": {"role": "admin", "region": "eu"},
+                }
+            ]
+        },
+    )
+    assert code == 200 and len(res["factIds"]) == 1
+    fid = res["factIds"][0]
+
+    code, fact = req("GET", f"{server}/v1/stores/s/facts/{fid}")
+    assert code == 200
+    assert fact["subject"] == "USER:ALICE"
+    assert base64.b64decode(fact["payload"]["data"]) == b'{"username": "Alice"}'
+
+    code, facts = req("GET", f"{server}/v1/stores/s/subjects/USER:ALICE/facts")
+    assert code == 200 and [f["id"] for f in facts] == [fid]
+
+    code, facts = req("GET", f"{server}/v1/stores/s/facts?tag=role=admin&tag=region=eu")
+    assert code == 200 and len(facts) == 1
+    code, facts = req("GET", f"{server}/v1/stores/s/facts?tag=role=user")
+    assert code == 200 and facts == []
+
+
+def test_conditional_append_and_idempotency_over_http(server):
+    req("POST", f"{server}/v1/stores", {"name": "c"})
+    base = {
+        "facts": [{"type": "T", "subject": "S", "payload": {"data": b64("x")}}],
+    }
+    code, res = req(
+        "POST",
+        f"{server}/v1/stores/c/facts",
+        {**base, "condition": {"type": "expectedLastFact", "subject": "S", "expectedLastFactId": None}},
+    )
+    assert code == 200
+    # Same condition again: S now has a fact -> 409.
+    code, err = req(
+        "POST",
+        f"{server}/v1/stores/c/facts",
+        {**base, "condition": {"type": "expectedLastFact", "subject": "S", "expectedLastFactId": None}},
+    )
+    assert code == 409 and "violated" in err["error"]
+    # Idempotent retry: 200 with empty body the second time.
+    key = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    code, res = req("POST", f"{server}/v1/stores/c/facts", {**base, "idempotencyKey": key})
+    assert code == 200 and res["factIds"]
+    code, res = req("POST", f"{server}/v1/stores/c/facts", {**base, "idempotencyKey": key})
+    assert code == 200 and res is None
+
+
+def test_tag_query_and_replay_over_http(server):
+    req("POST", f"{server}/v1/stores", {"name": "q"})
+    for t, tags in [("A", {"k": "1"}), ("B", {"k": "2"}), ("A", {"k": "2"})]:
+        req(
+            "POST",
+            f"{server}/v1/stores/q/facts",
+            {"facts": [{"type": t, "subject": "S", "payload": {"data": b64("p")}, "tags": tags}]},
+        )
+    code, facts = req(
+        "POST",
+        f"{server}/v1/stores/q/facts/query",
+        {"queryItems": [{"type": "tagType", "types": ["A"], "tags": {"k": "2"}}]},
+    )
+    assert code == 200 and [f["type"] for f in facts] == ["A"]
+    assert facts[0]["tags"] == {"k": "2"}
+
+    code, replayed = req("GET", f"{server}/v1/stores/q/facts/replay")
+    assert code == 200 and len(replayed) == 3
+    code, tail = req("GET", f"{server}/v1/stores/q/facts/replay?after={replayed[0]['id']}")
+    assert code == 200 and len(tail) == 2
+    code, _ = req("GET", f"{server}/v1/stores/q/facts/replay?after=zzz")
+    assert code == 404
+
+
+def test_error_paths_over_http(server):
+    code, _ = req("GET", f"{server}/v1/stores/nope/facts/some-id")
+    assert code == 404
+    code, _ = req("POST", f"{server}/v1/stores/nope/facts", {"facts": [{"type": "T", "subject": "S", "payload": {"data": ""}}]})
+    assert code == 404
+    code, _ = req("POST", f"{server}/v1/stores", {"name": "-bad-"})
+    assert code == 400
+    code, _ = req("GET", f"{server}/v1/bogus")
+    assert code == 404
+
+
+def test_sse_subscribe_over_http(server, fs):
+    req("POST", f"{server}/v1/stores", {"name": "sse"})
+    req(
+        "POST",
+        f"{server}/v1/stores/sse/facts",
+        {"facts": [{"type": "EARLY", "subject": "S", "payload": {"data": b64("e")}}]},
+    )
+    r = urllib.request.Request(f"{server}/v1/stores/sse/facts/subscribe")
+    with urllib.request.urlopen(r, timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        line = resp.readline().decode()
+        assert line.startswith("data: ")
+        fact = json.loads(line[len("data: "):])
+        assert fact["type"] == "EARLY"
