@@ -186,6 +186,81 @@ def cosine_dup_pairs(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column (coarse quantizer
+    training for IVF). Each iteration: broadcast current centroids as
+    literals, one map-only nearest-centroid assignment pass, then a
+    groupBy(cell) mean — the only shuffle. Returns unit-normalized
+    centroids (driver-side list; centroid tables are tiny by design).
+
+    Initialization is the deterministic seeded sample (xxhash64 order),
+    so results are reproducible run-to-run.
+
+    Scale note: the mean step collect_lists each cell's vectors into the
+    aggregation buffer; at billions of rows per cell switch to
+    posexplode(v) + groupBy(cell, dim) + sum — more shuffle rows, O(1)
+    memory. Cell counts here are small enough that the simpler plan wins."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.lit(1 << 31)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [np.asarray([float(x) for x in r.v], dtype=np.float64) for r in rows]
+    cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+
+    for _ in range(iterations):
+        cents_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        scores = F.transform(
+            cents_arr,
+            lambda cv: F.aggregate(
+                F.zip_with(F.col("v"), cv, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # argmax via (neg score, idx) sort — same trick as top_cells
+        idx = F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+        )
+        assigned = corpus.select(F.col(vec_col).alias("v")).withColumn(
+            "cell", F.element_at(F.array_sort(idx), 1)["cell"]
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("v"),
+                    F.array_repeat(F.lit(0.0), len(cents[0])),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
+                ).alias("sum_v"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            m = np.asarray(r.sum_v, dtype=np.float64) / r.n
+            norm = np.linalg.norm(m)
+            if norm > 0:
+                new_cents[r.cell] = m / norm
+        cents = new_cents
+    return [c.tolist() for c in cents]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -195,29 +270,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate IVF top-k: deterministic seeded sample as coarse
     centroids; corpus rows assigned to their nearest centroid via a
     MAP-ONLY argmax over the centroid table embedded as a literal array
     (the FAISS pattern — centroids are tiny, data never shuffles for
     assignment); each query searches only its ``n_probe`` nearest cells.
-    Output: (query_id, neighbor_id, sim, rank)."""
-    cents_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(1 << 31)))
-        .limit(n_cells)
-        .orderBy("cid")
-        .collect()
-    )
+    Pass ``centroids`` from ``train_centroids`` for k-means-trained
+    cells; default is the deterministic seeded sample (one pass, no
+    training). Output: (query_id, neighbor_id, sim, rank)."""
+    if centroids is None:
+        cents_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy(F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(1 << 31)))
+            .limit(n_cells)
+            .orderBy("cid")
+            .collect()
+        )
+        centroids = []
+        for r in cents_rows:
+            v = [float(x) for x in r.cvec]
+            norm = sum(x * x for x in v) ** 0.5 or 1.0
+            centroids.append([x / norm for x in v])
     # Literal array<array<double>> of unit-normalized centroids: nearest-
     # by-cosine == argmax dot product, computed per row with no shuffle.
-    cent_lits = []
-    for r in cents_rows:
-        v = [float(x) for x in r.cvec]
-        norm = sum(x * x for x in v) ** 0.5 or 1.0
-        cent_lits.append(F.array(*[F.lit(x / norm) for x in v]))
-    cents_arr = F.array(*cent_lits)
-    n_actual = len(cents_rows)
+    cents_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    n_actual = len(centroids)
 
     def cell_scores(vec: Column) -> Column:
         """array of (dot(v, centroid_k)) for all cells."""

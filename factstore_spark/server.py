@@ -168,20 +168,28 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                 return
             if len(parts) == 4 and parts[:2] == ["v1", "stores"] and parts[3] == "facts":
                 body = self._read_body()
-                facts = [
-                    FactInput(
-                        type=f["type"],
-                        subject=f["subject"],
-                        payload=FactPayload(
-                            base64.b64decode(f.get("payload", {}).get("data", "") or ""),
-                            format=f.get("payload", {}).get("format"),
-                            schema_ref=f.get("payload", {}).get("schemaRef"),
-                        ),
-                        metadata=f.get("metadata") or {},
-                        tags=f.get("tags") or {},
+                facts = []
+                for f in body["facts"]:
+                    data = base64.b64decode(f.get("payload", {}).get("data", "") or "")
+                    if not data:
+                        # HTTP-layer parity: FactPayloadHttp.data is
+                        # @NotEmpty (api.kt:120-123). The engine itself
+                        # allows empty payloads (spec-level opacity).
+                        self._json(400, {"error": "payload data must not be empty"})
+                        return
+                    facts.append(
+                        FactInput(
+                            type=f["type"],
+                            subject=f["subject"],
+                            payload=FactPayload(
+                                data,
+                                format=f.get("payload", {}).get("format"),
+                                schema_ref=f.get("payload", {}).get("schemaRef"),
+                            ),
+                            metadata=f.get("metadata") or {},
+                            tags=f.get("tags") or {},
+                        )
                     )
-                    for f in body["facts"]
-                ]
                 res = self.fs.append(
                     parts[2],
                     facts,

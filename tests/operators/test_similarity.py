@@ -83,3 +83,35 @@ def test_cosine_dup_pairs_exact_vs_lsh_recall(spark):
     assert len(exact) >= 100  # every perturbed twin pair found
     assert lsh <= exact      # verification removes all false positives
     assert len(lsh & exact) / len(exact) >= 0.9  # high recall at theta~8deg
+
+
+def test_kmeans_trained_ivf_improves_recall(spark):
+    """Lloyd's-trained centroids should match or beat the seeded-sample
+    quantizer's recall on clustered data."""
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    # 8 well-separated clusters of 25 points each
+    for c in range(8):
+        center = [rnd.gauss(0, 5) for _ in range(12)]
+        for i in range(25):
+            rows.append((c * 25 + i, [x + rnd.gauss(0, 0.3) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 25 = 0")
+    exact = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(df, q, k=5).collect()}
+
+    cents = S.train_centroids(df, n_cells=8, iterations=3)
+    assert len(cents) == 8 and all(len(c) == 12 for c in cents)
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(df, q, k=5, n_cells=8, n_probe=2, centroids=cents).collect()
+    }
+    sampled = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(df, q, k=5, n_cells=8, n_probe=2).collect()
+    }
+    recall_trained = len(exact & trained) / len(exact)
+    recall_sampled = len(exact & sampled) / len(exact)
+    assert recall_trained >= recall_sampled - 0.05  # never materially worse
+    assert recall_trained >= 0.9  # separated clusters: near-perfect

@@ -291,3 +291,27 @@ def test_tag_query_validation():
         TagTypeItem(set(), {"a": "b"})
     with pytest.raises(ValueError):
         TagTypeItem({"T"}, {})
+
+
+def test_payload_format_and_schema_ref_round_trip(fs):
+    """Payload hints are pass-through (Fact.kt:98-130)."""
+    fs.create(STORE)
+    res = fs.append(
+        STORE,
+        FactInput(
+            type="T",
+            subject="S",
+            payload=FactPayload(b"\x00\x01\xffbinary", format="avro", schema_ref="schemas/v1/T"),
+        ),
+    )
+    f = fs.find_by_id(STORE, res.fact_ids[0]).fact
+    assert f.payload.data == b"\x00\x01\xffbinary"
+    assert f.payload.format == "avro"
+    assert f.payload.schema_ref == "schemas/v1/T"
+
+
+def test_empty_payload_allowed_at_engine_level(fs):
+    fs.create(STORE)
+    res = fs.append(STORE, FactInput(type="T", subject="S"))
+    f = fs.find_by_id(STORE, res.fact_ids[0]).fact
+    assert f.payload.data == b"" and f.payload.format is None

@@ -136,7 +136,7 @@ def test_tag_query_and_replay_over_http(server):
 def test_error_paths_over_http(server):
     code, _ = req("GET", f"{server}/v1/stores/nope/facts/some-id")
     assert code == 404
-    code, _ = req("POST", f"{server}/v1/stores/nope/facts", {"facts": [{"type": "T", "subject": "S", "payload": {"data": ""}}]})
+    code, _ = req("POST", f"{server}/v1/stores/nope/facts", {"facts": [{"type": "T", "subject": "S", "payload": {"data": b64("x")}}]})
     assert code == 404
     code, _ = req("POST", f"{server}/v1/stores", {"name": "-bad-"})
     assert code == 400
@@ -158,3 +158,15 @@ def test_sse_subscribe_over_http(server, fs):
         assert line.startswith("data: ")
         fact = json.loads(line[len("data: "):])
         assert fact["type"] == "EARLY"
+
+
+def test_empty_payload_rejected_at_http_layer(server):
+    """api.kt FactPayloadHttp.data is @NotEmpty — HTTP-layer validation
+    parity (the engine itself allows empty payloads)."""
+    req("POST", f"{server}/v1/stores", {"name": "vp"})
+    code, err = req(
+        "POST",
+        f"{server}/v1/stores/vp/facts",
+        {"facts": [{"type": "T", "subject": "S", "payload": {"data": ""}}]},
+    )
+    assert code == 400 and "empty" in err["error"]
