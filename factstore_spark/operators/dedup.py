@@ -186,6 +186,19 @@ def shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
 
 
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The seeded (a, b) universal-hash family — SHARED by the JVM and
+    numpy signature paths; signature parity depends on this being the
+    single source."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_sig_from_hashes(
     hashes: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:
@@ -196,13 +209,7 @@ def minhash_sig_from_hashes(
     the shingling expression itself — Catalyst does NOT common-subexpression
     -eliminate across lambda boundaries, so an inline expression would be
     recomputed once per permutation (measured 20x slowdown)."""
-    import random
-
-    rnd = random.Random(seed)
-    params = [
-        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
-        for _ in range(num_hashes)
-    ]
+    params = _minhash_params(num_hashes, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     b_arr = F.array(*[F.lit(b) for _, b in params])
     # Single left-to-right fold over the hash array: per element compute
@@ -243,16 +250,10 @@ def minhash_sig_np(
     broadcast modmul: ~50x faster, and the shingle hashing itself stays
     JVM-side (xxhash64). Same (a*h + b) mod p family and seed as
     minhash_sig_from_hashes, so both paths yield identical signatures."""
-    import random
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    rnd = random.Random(seed)
-    params = [
-        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
-        for _ in range(num_hashes)
-    ]
+    params = _minhash_params(num_hashes, seed)
     a = np.array([p[0] for p in params], dtype=np.int64)
     b = np.array([p[1] for p in params], dtype=np.int64)
     prime = MINHASH_PRIME  # captured by value: workers need no package import

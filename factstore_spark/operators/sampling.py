@@ -34,7 +34,8 @@ def train_test_split(
     falls below ``test_fraction * n_buckets`` are test. Keyed on a
     stable id so the same record NEVER migrates between splits across
     runs or data refreshes (the leakage guard)."""
-    cutoff = int(test_fraction * n_buckets)
+    # round, not int(): int(0.29*100) == 28 under binary float.
+    cutoff = round(test_fraction * n_buckets)
     return df.withColumn(
         "split",
         F.when(split_bucket(key_col, n_buckets, salt) < cutoff, F.lit("test")).otherwise(

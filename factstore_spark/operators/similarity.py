@@ -118,10 +118,12 @@ def cosine_dup_pairs(
 
         rnd = random.Random(seed)
         head = df.select(vec_col).first()
-        if head is None:  # empty corpus -> empty result, like the exact path
-            return df.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, sim double"
-            )
+        if head is None:  # empty corpus -> empty result, id dtype preserved
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("sim"),
+            ).limit(0)
         dim = len(head[0])
         planes = [
             F.array(*[F.lit(rnd.uniform(-1.0, 1.0)) for _ in range(dim)])
@@ -215,6 +217,8 @@ def train_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        return []  # empty corpus: nothing to train on
     cents = [np.asarray([float(x) for x in r.v], dtype=np.float64) for r in rows]
     cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
 

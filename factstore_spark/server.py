@@ -110,10 +110,13 @@ def _parse_direction(qs) -> ReadDirection:
 
 
 def _parse_limit(qs):
+    """limit <= 0 means unbounded at the HTTP layer — QueryResource.kt:108
+    (`if (this != null && this > 0) Limit.of(this) else Limit.None`)."""
     raw = qs.get("limit", [None])[0]
-    if raw in (None, "", "0"):
+    if raw in (None, ""):
         return None
-    return int(raw)
+    n = int(raw)
+    return n if n > 0 else None
 
 
 class FactStoreHandler(BaseHTTPRequestHandler):
@@ -259,6 +262,12 @@ class FactStoreHandler(BaseHTTPRequestHandler):
             if len(parts) == 4 and parts[3] == "facts":
                 tags = dict(t.split("=", 1) if "=" in t else (t, "") for t in qs.get("tag", []))
                 if tags:
+                    if qs.get("from") or qs.get("to"):
+                        # The finder surface has no combined tags+time
+                        # operator (SURVEY §2.3) — refuse loudly rather
+                        # than silently dropping the time bounds.
+                        self._json(400, {"error": "tag and from/to filters cannot be combined"})
+                        return
                     res = self.fs.find_by_tags(
                         parts[2], tags, limit=_parse_limit(qs), direction=_parse_direction(qs)
                     )

@@ -46,10 +46,19 @@ def compact_store(
     if not files:
         return {"files_before": 0, "compacted": False}
 
+    # Clean stale .tmp snapshots from crashed/aborted runs first.
+    for name in os.listdir(layout.data_dir):
+        if name.startswith("compacted-") and name.endswith(".tmp"):
+            shutil.rmtree(os.path.join(layout.data_dir, name), ignore_errors=True)
+
     # Snapshot the pre-compaction commit state (we only supersede what
     # we read; appends landing during the rewrite survive the swap).
     commits_before = layout.read_commits()
-    max_seq = commits_before[-1].seq
+    max_seq = max(c.seq for c in commits_before)
+    if any(c.compacted_through == max_seq for c in commits_before):
+        # Nothing new since the last compaction — rerunning would
+        # collide with the existing compacted-<max_seq> dir.
+        return {"files_before": len(files), "compacted": False, "reason": "up to date"}
 
     df = spark.read.schema(FACT_SCHEMA).parquet(*files)
     out_dir = os.path.join(layout.data_dir, f"compacted-{max_seq:010d}")

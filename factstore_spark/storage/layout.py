@@ -48,6 +48,7 @@ from ..schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
 COMMITS_FILE = "commits.jsonl"
 HEADS_FILE = "heads.json"
 DATA_DIR = "data"
+STREAM_DIR = "stream"
 LOCK_FILE = "_commit.lock"
 
 
@@ -68,9 +69,11 @@ class StoreLayout:
     def __init__(self, store_dir: str):
         self.store_dir = store_dir
         self.data_dir = os.path.join(store_dir, DATA_DIR)
+        self.stream_dir = os.path.join(store_dir, STREAM_DIR)
 
     def initialize(self) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.stream_dir, exist_ok=True)
         commits = os.path.join(self.store_dir, COMMITS_FILE)
         if not os.path.exists(commits):
             with open(commits, "w"):
@@ -120,21 +123,53 @@ class StoreLayout:
         commits = self.read_commits()
         return max((c.max_position for c in commits), default=-1)
 
-    def next_seq(self) -> int:
+    def next_seq(self, commits: Optional[list[CommitRecord]] = None) -> int:
         """Next commit seq: past both the last seq AND the head position
         — a bulk commit may carry caller-assigned positions larger than
         one stride (e.g. source offsets), and the next commit's position
-        range must still start above the head or total order breaks."""
-        last = self.last_commit()
-        if last is None:
-            return 0
-        return max(last.seq + 1, self.head_position() // POSITION_STRIDE + 1)
+        range must still start above the head or total order breaks.
 
-    def idempotency_key_seen(self, key: str) -> bool:
+        Pass a pre-read ``commits`` snapshot in the append path so one
+        commit-log parse serves seq, head AND idempotency (the log is
+        O(commits) long)."""
+        commits = self.read_commits() if commits is None else commits
+        if not commits:
+            return 0
+        max_seq = max(c.seq for c in commits)
+        head = max(c.max_position for c in commits)
+        return max(max_seq + 1, head // POSITION_STRIDE + 1)
+
+    # -- stream mirror ------------------------------------------------------
+
+    def sync_stream_links(self) -> None:
+        """Mirror every COMMITTED data file into ``stream/`` as a
+        hardlink (flat names). The streaming subscription source reads
+        this directory instead of ``data/``, which keeps it decoupled
+        from compaction: compaction rewrites/purges ``data/`` layouts,
+        while the stream mirror retains the original per-commit files
+        (hardlinks share inodes — no copy) so an open subscription never
+        sees duplicate or vanishing paths. Crash-safe by reconciliation:
+        called under the commit lock and before building a stream."""
+        os.makedirs(self.stream_dir, exist_ok=True)
+        existing = set(os.listdir(self.stream_dir))
+        for fp in self.data_files():
+            rel = os.path.relpath(fp, self.data_dir)
+            flat = rel.replace(os.sep, "__")
+            if flat in existing or rel.split(os.sep)[0].startswith("compacted-"):
+                continue
+            try:
+                os.link(fp, os.path.join(self.stream_dir, flat))
+            except FileExistsError:
+                pass
+
+    def idempotency_key_seen(
+        self, key: str, commits: Optional[list[CommitRecord]] = None
+    ) -> bool:
         """Idempotency keys live in the commit log itself, so the check
         and the record are part of the same append protocol
         (FdbFactAppender.kt:52-64, FdbFactStoreContext.kt:377-393)."""
-        return any(c.idempotency_key == key for c in self.read_commits())
+        commits = self.read_commits() if commits is None else commits
+        return any(c.idempotency_key == key for c in commits)
 
     # -- locking ------------------------------------------------------------
 
@@ -148,6 +183,7 @@ class StoreLayout:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             self._sweep_orphans()
+            self.sync_stream_links()
             yield
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
@@ -184,10 +220,12 @@ class StoreLayout:
         rows: list[dict],
         appended_at: datetime,
         idempotency_key: Optional[str],
+        commits: Optional[list[CommitRecord]] = None,
     ) -> tuple[int, list[int]]:
         """Write one commit: parquet file + commit-log line + heads update.
-        Returns (seq, positions)."""
-        seq = self.next_seq()
+        Returns (seq, positions). ``commits`` lets the append path reuse
+        its one commit-log read (appends stay O(log) not O(log^2))."""
+        seq = self.next_seq(commits)
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]
         for row, pos in zip(rows, positions):
@@ -214,7 +252,21 @@ class StoreLayout:
             os.fsync(f.fileno())
 
         self._update_heads(seq, rows)
+        if rows:
+            self._link_into_stream(final)
         return seq, positions
+
+    def _link_into_stream(self, data_file: str) -> None:
+        """Hardlink one committed data file into the stream mirror
+        (called right after the commit line lands, so live subscriptions
+        see the new facts on their next micro-batch)."""
+        os.makedirs(self.stream_dir, exist_ok=True)
+        rel = os.path.relpath(data_file, self.data_dir)
+        flat = rel.replace(os.sep, "__")
+        try:
+            os.link(data_file, os.path.join(self.stream_dir, flat))
+        except FileExistsError:
+            pass
 
     # -- subject heads (ExpectedLastFact fast path) -------------------------
 
@@ -327,6 +379,11 @@ class StoreLayout:
             f.write(json.dumps(record) + "\n")
             f.flush()
             os.fsync(f.fileno())
+        bulk_dir = os.path.join(self.data_dir, f"commit-{seq:010d}-bulk")
+        if os.path.isdir(bulk_dir):
+            for name in sorted(os.listdir(bulk_dir)):
+                if name.endswith(".parquet"):
+                    self._link_into_stream(os.path.join(bulk_dir, name))
 
     def read_arrow(
         self,

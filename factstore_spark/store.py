@@ -174,7 +174,8 @@ class FactStore:
 
         # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
         with layout.commit_lock():
-            if layout.idempotency_key_seen(key):
+            commits = layout.read_commits()  # one parse serves key/seq/head
+            if layout.idempotency_key_seen(key, commits):
                 return AlreadyApplied(key)
 
             violation = self._evaluate_condition(layout, condition)
@@ -200,7 +201,7 @@ class FactStore:
                 }
                 for fid, f in zip(fact_ids, facts)
             ]
-            _, positions = layout.append_commit(rows, appended_at, key)
+            _, positions = layout.append_commit(rows, appended_at, key, commits)
 
         return Appended(tuple(fact_ids), appended_at, tuple(positions))
 
@@ -272,9 +273,10 @@ class FactStore:
         key = idempotency_key or str(uuid.uuid4())
 
         with layout.commit_lock():
-            if layout.idempotency_key_seen(key):
+            commits = layout.read_commits()
+            if layout.idempotency_key_seen(key, commits):
                 return AlreadyApplied(key)
-            seq = layout.next_seq()
+            seq = layout.next_seq(commits)
             appended_at = utcnow_us()
 
             from .schema import POSITION_STRIDE
@@ -578,21 +580,16 @@ class FactStore:
                 return FactIdNotFound(start.fact_id)
             after_pos = pos
 
-        # recursiveFileLookup: bulk-commit and compacted data live in
-        # subdirectories of data_dir. Two documented caveats of the
-        # file-source approach: (1) a crash-orphaned file (no commit
-        # line) is visible to the stream until the next append's sweep;
-        # (2) compaction rewrites history under NEW paths, so a
-        # subscription running across a compaction re-receives old facts
-        # — either pause subscriptions during compaction or have
-        # consumers dedupe on `position` (exactly the cursor-replay
-        # tolerance the reference's checkpointing contract requires of
-        # consumers anyway, FactReplayer.kt:8-16).
+        # The stream reads the `stream/` hardlink mirror, not data/:
+        # only committed per-commit files ever appear there (no
+        # crash-orphans), and compaction — which rewrites data/ under
+        # new paths — never changes it, so subscriptions neither lose
+        # facts nor receive duplicates across a compaction.
+        layout.sync_stream_links()
         stream = (
             self.spark.readStream.schema(FACT_SCHEMA)
             .option("maxFilesPerTrigger", 64)
-            .option("recursiveFileLookup", "true")
-            .parquet(layout.data_dir)
+            .parquet(layout.stream_dir)
         )
         if after_pos >= 0:
             stream = stream.filter(F.col("position") > after_pos)

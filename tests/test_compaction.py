@@ -63,3 +63,26 @@ def test_compaction_empty_store(fs):
     fs.create(STORE)
     stats = fs.compact(STORE)
     assert stats == {"files_before": 0, "compacted": False}
+
+
+def test_new_subscription_after_compaction_no_duplicates(fs, spark, tmp_path):
+    """The stream mirror is compaction-proof: a fresh Beginning
+    subscription after compact() sees every fact exactly once."""
+    from factstore_spark import StartPosition
+
+    ids = seed(fs, 12)
+    fs.compact(STORE)
+    fs.append(STORE, FactInput(type="POST", subject="SP"))
+    stream = fs.subscribe_stream(STORE, StartPosition.Beginning())
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("post_compact_sub")
+        .option("checkpointLocation", str(tmp_path / "ckpt-pc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select id, position from post_compact_sub").collect()
+    assert len(rows) == 13                       # no duplicates
+    assert len({r.id for r in rows}) == 13       # all distinct facts
+    assert set(ids) <= {r.id for r in rows}      # pre-compaction facts present
