@@ -170,3 +170,28 @@ def test_empty_payload_rejected_at_http_layer(server):
         {"facts": [{"type": "T", "subject": "S", "payload": {"data": ""}}]},
     )
     assert code == 400 and "empty" in err["error"]
+
+
+def test_limit_zero_and_negative_mean_unbounded(server):
+    """QueryResource.kt:108 parity: limit <= 0 -> Limit.None."""
+    req("POST", f"{server}/v1/stores", {"name": "lim"})
+    for t in ("A", "B", "C"):
+        req(
+            "POST",
+            f"{server}/v1/stores/lim/facts",
+            {"facts": [{"type": t, "subject": "S", "payload": {"data": b64("p")}}]},
+        )
+    for q in ("limit=0", "limit=-5", ""):
+        code, facts = req("GET", f"{server}/v1/stores/lim/subjects/S/facts?{q}")
+        assert code == 200 and len(facts) == 3, q
+    code, facts = req("GET", f"{server}/v1/stores/lim/subjects/S/facts?limit=2")
+    assert code == 200 and len(facts) == 2
+
+
+def test_tag_and_time_filters_cannot_combine(server):
+    req("POST", f"{server}/v1/stores", {"name": "combo"})
+    code, err = req(
+        "GET",
+        f"{server}/v1/stores/combo/facts?tag=k=v&from=2026-01-01T00:00:00",
+    )
+    assert code == 400 and "combined" in err["error"]
