@@ -95,6 +95,21 @@ def main() -> None:
             f"# ingest_events_bulk: {timings['ingest_events_bulk']}s ({n} rows)",
             file=sys.stderr,
         )
+        # Streaming headline: drain a Beginning subscription of the
+        # whole store through Structured Streaming micro-batches.
+        from factstore_spark.model import StartPosition
+
+        t0 = time.time()
+        stream = fs.subscribe_stream("bench-ingest", StartPosition.Beginning())
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        timings["stream_catchup"] = round(time.time() - t0, 3)
+        print(f"# stream_catchup: {timings['stream_catchup']}s ({n} rows)", file=sys.stderr)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

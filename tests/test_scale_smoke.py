@@ -105,3 +105,31 @@ def test_bulk_positions_exceeding_stride_keep_total_order(fs, spark):
     assert positions == sorted(positions)
     assert facts[-1].type == "NEXT"
     assert after.positions[0] > positions[-2]
+
+
+def test_compaction_and_tag_index_at_100k(fs, spark, sf_dir):
+    """Maintenance path at volume: bulk-ingest 3 commits (3k facts from
+    events x3 remaps), compact, rebuild the tag index — finder results
+    identical before/after, via both scan and index paths."""
+    from pyspark.sql import functions as F
+    from factstore_spark import TagOnlyQueryItem, TagQuery
+
+    fs.create("maint-store")
+    base = events_as_facts(spark, sf_dir).drop("id", "appended_at")
+    for rep in range(3):
+        shifted = base.withColumn(
+            "subject", F.concat(F.col("subject"), F.lit(f"#r{rep}"))
+        )
+        fs.append_dataframe("maint-store", shifted)
+    q = TagQuery([TagOnlyQueryItem({"event_type": "purchase", "user": "7"})])
+    before = [f.id for f in fs.find_by_tag_query("maint-store", q).facts]
+    assert len(before) > 0
+
+    stats = fs.compact("maint-store")
+    assert stats["compacted"]
+    after_scan = [f.id for f in fs.find_by_tag_query("maint-store", q).facts]
+    assert after_scan == before
+
+    fs.build_tag_index("maint-store")
+    after_idx = [f.id for f in fs.find_by_tag_query_indexed("maint-store", q).facts]
+    assert after_idx == before
