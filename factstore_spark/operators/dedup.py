@@ -50,6 +50,7 @@ def dup_clusters(
     max_iterations: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into connected components: every doc maps
     to the minimum id reachable through the pair graph (the canonical
@@ -65,6 +66,34 @@ def dup_clusters(
     non-increasing and stationary exactly at the fixpoint — one cheap
     agg instead of a change-join. Output: (doc_id, cluster_id).
     """
+    # Hybrid: near-dup pair sets are usually FAR smaller than the corpus
+    # (they're the output of an LSH/Jaccard filter). Below the threshold
+    # a driver-side union-find beats ~5 Spark rounds of joins by 10x+;
+    # above it, the distributed propagation takes over. Same results.
+    n_pairs = pairs.limit(driver_threshold + 1).count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                # union by min id so cluster_id == component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in parent]
+        if not out:  # keep the id dtype of the input on empty results
+            return pairs.select(
+                F.col(id_a).alias("doc_id"), F.col(id_a).alias("cluster_id")
+            ).limit(0)
+        return pairs.sparkSession.createDataFrame(out, ["doc_id", "cluster_id"])
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -81,3 +81,17 @@ def test_dup_clusters_long_chain_converges(spark):
     out = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs, max_iterations=40).collect()}
     assert set(out.values()) == {0}
     assert len(out) == n + 1
+
+
+def test_dup_clusters_distributed_path_matches_driver_path(spark):
+    """Forcing the distributed propagation (threshold=0) must give the
+    same components as the driver-side union-find."""
+    import random
+
+    rnd = random.Random(5)
+    pairs_py = {(rnd.randrange(0, 60), rnd.randrange(0, 60)) for _ in range(40)}
+    pairs_py = [(a, b) for a, b in pairs_py if a < b]
+    df = spark.createDataFrame(pairs_py, "id_a long, id_b long")
+    fast = {r.doc_id: r.cluster_id for r in D.dup_clusters(df).collect()}
+    dist = {r.doc_id: r.cluster_id for r in D.dup_clusters(df, driver_threshold=0).collect()}
+    assert fast == dist
