@@ -107,9 +107,15 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        timings["stream_catchup"] = round(time.time() - t0, 3)
-        print(f"# stream_catchup: {timings['stream_catchup']}s ({n} rows)", file=sys.stderr)
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()  # don't let rmtree race an active query
+        timings["stream_catchup"] = round(time.time() - t0, 3) if finished else -1.0
+        print(
+            f"# stream_catchup: {timings['stream_catchup']}s "
+            f"({n} rows{'' if finished else ', TIMED OUT'})",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -66,13 +66,23 @@ def dup_clusters(
     non-increasing and stationary exactly at the fixpoint — one cheap
     agg instead of a change-join. Output: (doc_id, cluster_id).
     """
+    # Null ids cannot participate in a component (and would behave
+    # differently per path) — drop them up front in both paths.
+    pairs = pairs.dropna(subset=[id_a, id_b])
+    id_type = pairs.schema[id_a].dataType.simpleString()
     # Hybrid: near-dup pair sets are usually FAR smaller than the corpus
     # (they're the output of an LSH/Jaccard filter). Below the threshold
     # a driver-side union-find beats ~5 Spark rounds of joins by 10x+;
     # above it, the distributed propagation takes over. Same results.
-    n_pairs = pairs.limit(driver_threshold + 1).count()
-    if n_pairs <= driver_threshold:
-        rows = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).collect()
+    # ONE job decides and fetches: if limit+1 returned <= threshold rows,
+    # the fetch was already complete (no second pass over the expensive
+    # upstream pair pipeline).
+    probe = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .limit(driver_threshold + 1)
+        .collect()
+    )
+    if len(probe) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -81,7 +91,7 @@ def dup_clusters(
                 x = parent[x]
             return x
 
-        for r in rows:
+        for r in probe:
             ra, rb = find(r.a), find(r.b)
             if ra != rb:
                 # union by min id so cluster_id == component minimum
@@ -92,7 +102,14 @@ def dup_clusters(
             return pairs.select(
                 F.col(id_a).alias("doc_id"), F.col(id_a).alias("cluster_id")
             ).limit(0)
-        return pairs.sparkSession.createDataFrame(out, ["doc_id", "cluster_id"])
+        # cast back to the input id dtype — inference would widen ints
+        # to bigint and make the result schema depend on pair count
+        return pairs.sparkSession.createDataFrame(
+            out, ["doc_id", "cluster_id"]
+        ).select(
+            F.col("doc_id").cast(id_type).alias("doc_id"),
+            F.col("cluster_id").cast(id_type).alias("cluster_id"),
+        )
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))

@@ -107,8 +107,8 @@ def test_bulk_positions_exceeding_stride_keep_total_order(fs, spark):
     assert after.positions[0] > positions[-2]
 
 
-def test_compaction_and_tag_index_at_100k(fs, spark, sf_dir):
-    """Maintenance path at volume: bulk-ingest 3 commits (3k facts from
+def test_compaction_and_tag_index_maintenance_path(fs, spark, sf_dir):
+    """Maintenance path: bulk-ingest 3 commits (3k facts from
     events x3 remaps), compact, rebuild the tag index — finder results
     identical before/after, via both scan and index paths."""
     from pyspark.sql import functions as F
