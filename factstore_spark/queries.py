@@ -390,6 +390,30 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated-aggregate pattern: orders priced above their own
+    customer's average order value. Spark expresses the correlation as
+    an average window per customer (one shuffle, no self-join); the
+    oracle uses the textbook correlated subquery."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("avg_cents", F.avg(_cents(F.col("o_totalprice"))).over(w))
+        .filter(_cents(F.col("o_totalprice")) > F.col("avg_cents"))
+        .select("o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("total_cents"))
+    )
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders o
+WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > (
+  SELECT AVG(CAST(FLOOR(i.o_totalprice * 100) AS BIGINT))
+  FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization: a new session starts after a >30 min gap per
     user. LAG window + conditional sum; the Structured-Streaming analog
@@ -916,6 +940,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "parts_with_lineitems": (parts_with_lineitems, PARTS_WITH_LINEITEMS_SQL),
     "orders_priority_rollup": (orders_priority_rollup, ORDERS_PRIORITY_ROLLUP_SQL),
+    "orders_above_customer_avg": (orders_above_customer_avg, ORDERS_ABOVE_CUSTOMER_AVG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_topk_per_user": (events_topk_per_user, EVENTS_TOPK_SQL),
     "events_minute_rollup": (events_minute_rollup, EVENTS_MINUTE_ROLLUP_SQL),
