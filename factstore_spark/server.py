@@ -219,6 +219,12 @@ class FactStoreHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         parts, qs = self._segments()
         try:
+            if parts == ["v1", "info"]:
+                # InfoResource analog (factstore-server/.../http/InfoResource.kt)
+                from . import __version__
+
+                self._json(200, {"name": "factstore-spark", "version": __version__})
+                return
             if parts == ["v1", "stores"]:
                 self._json(200, [
                     {"id": m.id, "name": m.name, "createdAt": m.created_at.isoformat()}

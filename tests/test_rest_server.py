@@ -195,3 +195,8 @@ def test_tag_and_time_filters_cannot_combine(server):
         f"{server}/v1/stores/combo/facts?tag=k=v&from=2026-01-01T00:00:00",
     )
     assert code == 400 and "combined" in err["error"]
+
+
+def test_info_endpoint(server):
+    code, info = req("GET", f"{server}/v1/info")
+    assert code == 200 and info["name"] == "factstore-spark" and info["version"]
