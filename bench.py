@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "events_type_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",

@@ -33,6 +33,19 @@ from .text import tokens_col
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen pathologically narrow inputs before CPU-heavy map work
+    (shingling/hashing). A local bench reading one small parquet file
+    gets a 1-partition scan, serializing the whole map side on one
+    core; at cluster scale the scan already has hundreds of splits and
+    this is a no-op (the condition is false — no extra shuffle of the
+    text payload ever happens on the real path)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
@@ -183,6 +196,7 @@ def ngram_jaccard_pairs(
     fan-out (skew guard for hot shingles at scale)."""
     # Shingles join-key as a 64-bit hash (not the string): smaller
     # shuffle payload; collision odds are negligible for the counts.
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -341,6 +355,7 @@ def minhash_lsh_pairs(
     (band, band_hash) self-join -> distinct pairs. Shuffle is
     O(docs*bands), never O(docs^2)."""
     rows_per_band = num_hashes // bands
+    df = _spread(df)
     sig = (
         df.select(F.col(id_col).alias("_id"), shingle_hashes_col(text_col, n).alias("_h"))
         .select("_id", minhash_sig_np("_h", num_hashes, seed).alias("sig"))
@@ -431,7 +446,7 @@ def simhash_near_dup_pairs(
     pigeonhole banding trick: split 64 bits into ``chunks`` 16-bit
     chunks; any pair within distance < chunks must agree on >= 1 chunk,
     so exact-match joins per chunk find all candidates sub-quadratically."""
-    sim = df.select(F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")).cache()
+    sim = _spread(df).select(F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")).cache()
     width = 64 // chunks
     banded = sim.select(
         "_id",

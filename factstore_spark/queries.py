@@ -613,17 +613,57 @@ WHERE CAST(intersect_cnt AS DOUBLE) / (sa.sz + sb.sz - intersect_cnt) >= 0.2
 """
 
 
-def dedup_clusters(spark, sf_dir):
-    """Full near-dup pipeline: n-gram Jaccard pairs -> connected
-    components -> (doc, canonical cluster id). Oracle reproduces the
-    components with a recursive CTE over the same pair set."""
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Jaccard pairs with the hot-shingle guard ENGAGED
+    (max_shingle_df=20): shingles appearing in more than 20 docs are
+    dropped before the inverted-index join, bounding per-key fan-out —
+    the skew guard that keeps the posting-list expansion sub-quadratic
+    when a corpus has stop-shingles. The cap is pure relational algebra
+    (a document-frequency filter), so this entry is still EXACTLY
+    oracle-checked — the oracle applies the identical cap."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2)
+    out = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2, max_shingle_df=20)
+    return out.select("id_a", "id_b", "intersect_cnt", "union_cnt")
+
+
+DEDUP_NGRAM_CAPPED_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS L FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 1), i -> array_to_string(L[i:i+2], ' '))
+    END) AS s
+  FROM toks),
+hot AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY s) WHERE c > 20),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 ANTI JOIN hot USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersect_cnt
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, intersect_cnt,
+  (sa.sz + sb.sz - intersect_cnt) AS union_cnt
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(intersect_cnt AS DOUBLE) / (sa.sz + sb.sz - intersect_cnt) >= 0.2
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    """Full near-dup pipeline: CAPPED n-gram Jaccard pairs (the scale
+    configuration — hot-shingle guard on, see
+    dedup_ngram_jaccard_capped) -> connected components -> (doc,
+    canonical cluster id). Oracle reproduces the components with a
+    recursive CTE over the same capped pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2, max_shingle_df=20)
     return dedup_ops.dup_clusters(pairs)
 
 
 DEDUP_CLUSTERS_SQL = (
-    "WITH RECURSIVE pairs AS (" + DEDUP_NGRAM_SQL + """),
+    "WITH RECURSIVE pairs AS (" + DEDUP_NGRAM_CAPPED_SQL + """),
 edges2 AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
@@ -634,6 +674,87 @@ reach AS (
 SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
 )
+
+
+def _pair_recall_stats(approx, exact):
+    """One-row self-validating contract for approximate pair operators:
+    counts + recall/precision in basis points vs the exact pair set,
+    computed with a single full-outer join — the rows-only entries
+    carry their own quality check instead of an unverifiable row count
+    (VERDICT r1 #9)."""
+    a = approx.select("id_a", "id_b").distinct().withColumn("in_a", F.lit(1))
+    e = exact.select("id_a", "id_b").distinct().withColumn("in_e", F.lit(1))
+    full = a.join(e, ["id_a", "id_b"], "full_outer")
+    return full.agg(
+        F.coalesce(F.sum("in_e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_approx"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_e")), F.lit(0)).cast("long").alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_approx",
+        "n_common",
+        F.coalesce(
+            F.floor(F.lit(10000) * F.col("n_common") / F.col("n_exact")), F.lit(10000)
+        ).cast("long").alias("recall_bp"),
+        F.coalesce(
+            F.floor(F.lit(10000) * F.col("n_common") / F.col("n_approx")), F.lit(10000)
+        ).cast("long").alias("precision_bp"),
+    )
+
+
+def dedup_minhash_recall(spark, sf_dir):
+    """Self-validating MinHash contract: recall/precision of the
+    MinHash-LSH pairs (est_jaccard >= 0.5) against the EXACT n-gram
+    Jaccard pairs (jaccard >= 0.5) on the same shingle space. Rows-only
+    (the signature family is xxhash64-based), but the output IS the
+    quality check: recall_bp below ~9000 means the banding broke."""
+    docs = _t(spark, sf_dir, "documents")
+    approx = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
+    exact = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    return _pair_recall_stats(approx, exact)
+
+
+def dedup_simhash_recall(spark, sf_dir):
+    """Self-validating SimHash contract: the 4-chunk pigeonhole banding
+    is EXACT for Hamming <= 3 (any such pair agrees on >= 1 chunk), so
+    recall_bp and precision_bp must both be exactly 10000 vs the
+    brute-force all-pairs Hamming scan. A deviation means the banding
+    or the signature broke."""
+    docs = _t(spark, sf_dir, "documents")
+    approx = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
+    sig = docs.select(F.col("doc_id").alias("_id"), dedup_ops.simhash_col("text").alias("sim"))
+    a = sig.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})
+    b = sig.withColumnsRenamed({"_id": "id_b", "sim": "sim_b"})
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    return _pair_recall_stats(approx, exact)
+
+
+def dedup_embedding_recall(spark, sf_dir):
+    """Self-validating embedding-dedup contract: recall/precision of
+    the centroid-blocked pairs vs the exact all-pairs cosine set at the
+    same threshold (vectorized verify on both sides). On THIS corpus
+    the embeddings are isotropic noise (random-pair sims reach the
+    threshold tail), which upper-bounds any sub-quadratic method's
+    recall — the emitted number documents the trade honestly instead
+    of hiding it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = sim_ops.cosine_dup_pairs(
+        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
+    )
+    ids = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    a = ids.withColumnsRenamed({"_id": "id_a", "_v": "va"})
+    b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"})
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim_ops.cosine_batch(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.45)
+        .select("id_a", "id_b")
+    )
+    return _pair_recall_stats(approx, exact)
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -791,14 +912,22 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 
 
 def dedup_embedding_lsh(spark, sf_dir):
-    """Random-hyperplane LSH candidates + exact cosine verify — the
-    sub-quadratic path. Approximate recall by construction: rows-only
-    check; recall vs the exact pairs is asserted in
+    """Approximate embedding near-dup pairs via centroid blocking
+    (IVF-style) + vectorized cosine verify — the sub-quadratic path.
+
+    The 0.45 threshold here sits at theta~63deg where hyperplane sign
+    LSH cannot be simultaneously high-recall and sub-quadratic (per-
+    plane collision prob 0.65: any band wide enough to prune needs ~70
+    bands to recover recall). Centroid blocking keys on the corpus's
+    own cluster structure instead: top-2 of 32 seeded-sample cells,
+    candidate volume ~ n^2/16 with near-1 recall on clustered data.
+    Rows-only check; recall vs the exact pair set is emitted by the
+    dedup_embedding_recall entry and asserted in
     tests/operators/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    # bands of 4 planes (16-value bucket space): sub-quadratic candidate
-    # volume; bands of 2 would put ~1/4 of the corpus in every bucket.
-    out = sim_ops.cosine_dup_pairs(emb, threshold=0.45, exact=False, n_planes=16, bands=4)
+    out = sim_ops.cosine_dup_pairs(
+        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
+    )
     return out.select("id_a", "id_b")
 
 
@@ -948,9 +1077,12 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_props_rollup": (events_props_rollup, EVENTS_PROPS_ROLLUP_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_ngram_jaccard_capped": (dedup_ngram_jaccard_capped, DEDUP_NGRAM_CAPPED_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_minhash_recall": (dedup_minhash_recall, None),
     "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash_recall": (dedup_simhash_recall, None),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
@@ -959,6 +1091,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "ann_ivf_topk": (ann_ivf_topk, None),
     "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
+    "dedup_embedding_recall": (dedup_embedding_recall, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features_topk": (multimodal_features_topk, None),
     "curation_split_stats": (curation_split_stats, CURATION_SPLIT_STATS_SQL),

@@ -85,6 +85,43 @@ def test_cosine_dup_pairs_exact_vs_lsh_recall(spark):
     assert len(lsh & exact) / len(exact) >= 0.9  # high recall at theta~8deg
 
 
+def test_cosine_dup_pairs_ivf_blocking(spark):
+    """Centroid-blocked candidates (the moderate-threshold scale path)
+    must be a subset of the exact pairs (verified candidates) and find
+    most of them on clustered data."""
+    import random
+
+    rnd = random.Random(5)
+    rows = []
+    # clustered corpus: blocking recall comes from cluster coherence
+    for c in range(4):
+        center = [rnd.gauss(0, 3) for _ in range(16)]
+        for i in range(30):
+            rows.append((c * 30 + i, [x + rnd.gauss(0, 0.4) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(df, threshold=0.9, exact=True).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(
+            df, threshold=0.9, method="ivf", n_cells=8, n_probe=2
+        ).collect()
+    }
+    assert len(exact) >= 100
+    assert ivf <= exact
+    assert len(ivf & exact) / len(exact) >= 0.9
+
+
+def test_empty_corpus_dup_pairs_schema(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for method in ("hyperplane", "ivf"):
+        out = S.cosine_dup_pairs(df, method=method)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "sim"]
+
+
 def test_kmeans_trained_ivf_improves_recall(spark):
     """Lloyd's-trained centroids should match or beat the seeded-sample
     quantizer's recall on clustered data."""
