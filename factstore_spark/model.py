@@ -203,6 +203,57 @@ def fact_matches_tag_query(fact_type: str, fact_tags: dict[str, str], query: Tag
     return False
 
 
+def batch_matches_tag_query(batch, query: TagQuery) -> bool:
+    """Set-at-a-time tag-query evaluation over a pyarrow RecordBatch
+    with ``type: string`` and ``tags: map<string,string>`` columns —
+    same OR-of-AND algebra as ``fact_matches_tag_query``, evaluated
+    with pyarrow.compute + numpy over the whole batch at once (no
+    Python row loop; this runs under the commit lock, where the DCB
+    condition check must not serialize a per-row interpreter scan)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return False
+    types = batch.column("type")
+    tags = batch.column("tags")
+    # Flatten map entries once: entry i belongs to row row_ids[i].
+    # ListArray.offsets is adjusted for any slice offset, so this is
+    # correct for sliced batches too.
+    offsets = tags.offsets.to_numpy().astype(np.int64)
+    base, total = int(offsets[0]), int(offsets[-1] - offsets[0])
+    # .keys/.items are the UNSLICED child arrays; window them to
+    # exactly this batch's entries so masks align with row_ids.
+    keys = tags.keys.slice(base, total)
+    vals = tags.items.slice(base, total)
+    row_ids = np.repeat(np.arange(n), np.diff(offsets))
+
+    def rows_with(k: str, v: str) -> "np.ndarray":
+        m = pc.and_kleene(pc.equal(keys, k), pc.equal(vals, v))
+        m = m.to_numpy(zero_copy_only=False)
+        m = np.asarray(m, dtype=object) == True  # noqa: E712 — null -> False
+        out = np.zeros(n, dtype=bool)
+        out[row_ids[: len(m)][m]] = True
+        return out
+
+    any_match = np.zeros(n, dtype=bool)
+    for item in query.items:
+        item_mask = np.ones(n, dtype=bool)
+        for k, v in item.tags.items():
+            item_mask &= rows_with(k, v)
+            if not item_mask.any():
+                break
+        if item_mask.any() and not isinstance(item, TagOnlyQueryItem):
+            tm = pc.is_in(types, value_set=pa.array(list(item.types), type=pa.string()))
+            item_mask &= np.asarray(tm.to_numpy(zero_copy_only=False), dtype=object) == True  # noqa: E712
+        any_match |= item_mask
+        if any_match.any():
+            return True
+    return bool(any_match.any())
+
+
 # --------------------------------------------------------------------------
 # Append conditions (AppendRequest.kt:52-106)
 # --------------------------------------------------------------------------

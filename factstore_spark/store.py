@@ -47,6 +47,7 @@ from .model import (
     TagQuery,
     TagQueryBased,
     TimeRange,
+    batch_matches_tag_query,
     fact_matches_tag_query,
     new_fact_id,
     validate_limit,
@@ -84,6 +85,38 @@ from .storage.catalog import Catalog
 from .storage.layout import StoreLayout, utcnow_us
 
 DEFAULT_BATCH_SIZE = 10_000  # FdbFactStreamer.kt:22
+
+
+def assign_contiguous_positions(df: DataFrame, base: int) -> DataFrame:
+    """Assign contiguous positions ``base..base+n-1`` across an
+    arbitrarily-partitioned frame with NO shuffle and NO global sort
+    (the naive ``row_number() over (order by ...)`` collapses the whole
+    ingest batch onto one partition — the exact anti-pattern at 100 TB).
+
+    zipWithIndex-style: ``monotonically_increasing_id()`` encodes
+    ``(partition_id << 33) + intra-partition row counter``, so one
+    column-pruned count job per partition plus a map-only projection
+    yields global contiguous positions. Requires the input partitioning
+    to be stable across the two jobs — true for any deterministic
+    source plan (file scans, shuffle outputs); the same contract as
+    ``RDD.zipWithIndex``."""
+    pid = F.spark_partition_id()
+    pcounts = sorted(
+        df.groupBy(F.spark_partition_id().alias("_pid")).count().collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in pcounts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    if not offsets:
+        return df.withColumn("position", F.lit(base).cast("long"))
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    intra = F.monotonically_increasing_id() - F.shiftleft(pid.cast("long"), 33)
+    return df.withColumn(
+        "position", (F.lit(base) + off_map[pid] + intra).cast("long")
+    )
 
 
 class FactStore:
@@ -241,17 +274,15 @@ class FactStore:
                     return f"after-cursor fact {condition.after} not found"
                 after_pos = pos
             # Streamed batch scan with early exit — never materialize the
-            # whole projection into Python under the commit lock.
+            # whole projection into Python under the commit lock, and
+            # evaluate the tag algebra SET-AT-A-TIME (pyarrow.compute +
+            # numpy) rather than a per-row interpreter loop.
             flt = pa_ds.field("position") > after_pos
             for batch in layout.scan_batches(
                 columns=["type", "tags"], filter=flt, batch_size=8192
             ):
-                for row in batch.to_pylist():
-                    tags = dict(row["tags"] or [])
-                    if fact_matches_tag_query(
-                        row["type"], tags, condition.fail_if_facts_match
-                    ):
-                        return "facts matching the fail-if query exist after the cursor"
+                if batch_matches_tag_query(batch, condition.fail_if_facts_match):
+                    return "facts matching the fail-if query exist after the cursor"
             return None
         raise TypeError(f"unknown condition: {condition!r}")
 
@@ -280,7 +311,6 @@ class FactStore:
             appended_at = utcnow_us()
 
             from .schema import POSITION_STRIDE
-            from pyspark.sql.window import Window
 
             base = seq * POSITION_STRIDE
             cols = set(df.columns)
@@ -292,15 +322,11 @@ class FactStore:
             if "position" in cols:
                 # Caller pre-assigned intra-commit order (e.g. source log
                 # offset); rebase onto this commit's position range.
+                # Validity (non-negative, duplicate-free) is enforced
+                # after the write from the same one-pass aggregate.
                 staged = staged.withColumn("position", F.lit(base) + F.col("position"))
             else:
-                # Global row_number: one shuffle-to-one-partition sort —
-                # fine for a single ingest commit; callers with a natural
-                # order column should pre-assign `position` instead.
-                w = Window.orderBy(F.monotonically_increasing_id())
-                staged = staged.withColumn(
-                    "position", F.lit(base) + F.row_number().over(w) - 1
-                )
+                staged = assign_contiguous_positions(staged, base)
             if "metadata" not in cols:
                 staged = staged.withColumn(
                     "metadata", F.create_map().cast("map<string,string>")
@@ -325,9 +351,32 @@ class FactStore:
                         F.count("*").alias("n"),
                         F.min("position").alias("lo"),
                         F.max("position").alias("hi"),
+                        F.countDistinct("position").alias("n_distinct"),
                     )
                     .collect()[0]
                 )
+            if agg is not None and agg["n"] > 0 and "position" in cols:
+                # Caller-supplied positions must keep the strict
+                # total-order/unique-position invariant that cursors,
+                # replay bounds and heads depend on: non-negative
+                # (below-base values would land under the current head)
+                # and duplicate-free. One cheap check off the same
+                # one-pass aggregate; the commit is rejected, not
+                # silently corrupted.
+                import shutil
+
+                if int(agg["lo"]) < base:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    return AppendConditionViolated(
+                        "pre-assigned positions must be >= 0 "
+                        f"(min was {int(agg['lo']) - base})"
+                    )
+                if int(agg["n_distinct"]) != int(agg["n"]):
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    return AppendConditionViolated(
+                        "pre-assigned positions must be unique within the commit "
+                        f"({int(agg['n']) - int(agg['n_distinct'])} duplicates)"
+                    )
             if agg is None or agg["n"] == 0:
                 # Empty input: record a zero-row commit so the
                 # idempotency key is still honored; nothing to read back.

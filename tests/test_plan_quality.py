@@ -56,6 +56,25 @@ def test_text_ops_are_map_only(spark):
     assert "WholeStageCodegen" in plan or "Project" in plan
 
 
+def test_bulk_position_assignment_no_global_sort(spark):
+    """The bulk-ingest default position path must stay map-only: no
+    Window, no Sort, no Exchange (the old implementation collapsed the
+    whole batch onto one partition via row_number over a global order)."""
+    from factstore_spark.store import assign_contiguous_positions
+
+    df = spark.range(1000).repartition(8).select(
+        F.lit("T").alias("type"), F.col("id").cast("string").alias("subject")
+    )
+    staged = assign_contiguous_positions(df, base=1_000_000)
+    plan = plan_of(staged)
+    tree = plan.split("\n\n", 1)[0]  # the operator tree, not the detail dump
+    assert "Window" not in plan
+    assert "Sort" not in tree
+    # the only Exchange allowed is the repartition we asked for in the
+    # input plan itself, never one introduced by position assignment
+    assert tree.count("Exchange") == 1
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full fact schema."""
     df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")

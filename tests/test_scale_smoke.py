@@ -107,6 +107,65 @@ def test_bulk_positions_exceeding_stride_keep_total_order(fs, spark):
     assert after.positions[0] > positions[-2]
 
 
+def _fact_frame(spark, n, n_parts=8, position_expr=None):
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).repartition(n_parts).select(
+        F.lit("T").alias("type"),
+        F.concat(F.lit("S"), F.col("id")).alias("subject"),
+        F.struct(
+            F.lit(b"").alias("data"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("schema_ref"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        *([] if position_expr is None else [position_expr.alias("position")]),
+    )
+    return df
+
+
+def test_bulk_default_positions_contiguous_multi_partition(fs, spark):
+    """The default (no caller position) path must assign contiguous
+    0..n-1 positions across a MULTI-partition frame without a global
+    single-partition sort (zipWithIndex-style per-partition offsets)."""
+    fs.create("zip-store")
+    res = fs.append_dataframe("zip-store", _fact_frame(spark, 257, n_parts=8))
+    assert isinstance(res, Appended)
+    lo, hi = res.positions
+    assert hi - lo == 256  # contiguous range, no gaps
+    positions = sorted(
+        r.position for r in fs.facts_df("zip-store").select("position").collect()
+    )
+    assert positions == list(range(lo, hi + 1))
+
+
+def test_bulk_caller_position_validation(fs, spark):
+    """Negative or duplicate caller positions are rejected with a
+    violation instead of silently corrupting the total order."""
+    from pyspark.sql import functions as F
+    from factstore_spark.results import AppendConditionViolated
+
+    fs.create("val-store")
+    neg = _fact_frame(spark, 3, n_parts=2, position_expr=F.col("id") - 1)
+    res = fs.append_dataframe("val-store", neg)
+    assert isinstance(res, AppendConditionViolated)
+    assert ">= 0" in res.reason
+
+    dup = _fact_frame(spark, 4, n_parts=2, position_expr=F.col("id") % 2)
+    res2 = fs.append_dataframe("val-store", dup)
+    assert isinstance(res2, AppendConditionViolated)
+    assert "unique" in res2.reason
+
+    # rejected commits leave no data behind and the store still works
+    assert fs.facts_df("val-store").count() == 0
+    ok = fs.append_dataframe(
+        "val-store", _fact_frame(spark, 4, n_parts=2, position_expr=F.col("id"))
+    )
+    assert isinstance(ok, Appended)
+    assert fs.facts_df("val-store").count() == 4
+
+
 def test_compaction_and_tag_index_maintenance_path(fs, spark, sf_dir):
     """Maintenance path: bulk-ingest 3 commits (3k facts from
     events x3 remaps), compact, rebuild the tag index — finder results
