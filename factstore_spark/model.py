@@ -121,8 +121,11 @@ class TimeRange:
     end: Optional[datetime] = None
 
     def __post_init__(self) -> None:
-        if self.start is not None and self.end is not None and self.end < self.start:
-            raise ValueError("time range end must be >= start")
+        # Strictly before, matching the reference's value-object contract
+        # (TimeRange.kt: require(start.isBefore(end))) — a degenerate
+        # [t, t) range raises there, so it raises here too.
+        if self.start is not None and self.end is not None and self.end <= self.start:
+            raise ValueError("time range end must be after start")
 
 
 def validate_limit(limit: Optional[int]) -> Optional[int]:

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -46,10 +47,22 @@ def compact_store(
     if not files:
         return {"files_before": 0, "compacted": False}
 
-    # Clean stale .tmp snapshots from crashed/aborted runs first.
+    # Clean stale .tmp snapshots from crashed/aborted runs — but only
+    # old ones: a fresh .tmp may be a CONCURRENT run's in-progress
+    # staging dir (tmp names are unique per run; the loser cleans its
+    # own on the lost-race path).
+    import time
+
+    now = time.time()
     for name in os.listdir(layout.data_dir):
         if name.startswith("compacted-") and name.endswith(".tmp"):
-            shutil.rmtree(os.path.join(layout.data_dir, name), ignore_errors=True)
+            p = os.path.join(layout.data_dir, name)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age > 3600:
+                shutil.rmtree(p, ignore_errors=True)
 
     # Snapshot the pre-compaction commit state (we only supersede what
     # we read; appends landing during the rewrite survive the swap).
@@ -62,7 +75,10 @@ def compact_store(
 
     df = spark.read.schema(FACT_SCHEMA).parquet(*files)
     out_dir = os.path.join(layout.data_dir, f"compacted-{max_seq:010d}")
-    tmp_dir = out_dir + ".tmp"
+    # Unique tmp per run: two concurrent compactions over the same
+    # snapshot must never interleave writes into one staging dir (the
+    # in-lock guard below resolves which one wins the swap).
+    tmp_dir = f"{out_dir}.{uuid.uuid4().hex}.tmp"
     writer = (
         df.withColumn("fact_date", F.to_date("appended_at"))
         .repartition(*([target_partitions] if target_partitions else []), "fact_date")
@@ -73,6 +89,19 @@ def compact_store(
     writer.parquet(tmp_dir)
 
     with layout.commit_lock():
+        # Re-check the guard INSIDE the lock: two concurrent compactions
+        # over the same snapshot both pass the unlocked guard above; the
+        # loser must back out cleanly (its os.rename would otherwise
+        # throw on the winner's existing out_dir).
+        if any(
+            c.compacted_through == max_seq for c in layout.read_commits()
+        ):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return {
+                "files_before": len(files),
+                "compacted": False,
+                "reason": "lost race",
+            }
         rows = spark.read.schema(FACT_SCHEMA).parquet(f"{tmp_dir}/fact_date=*").count()
         os.rename(tmp_dir, out_dir)
         record = {

@@ -225,6 +225,8 @@ class StoreLayout:
         """Write one commit: parquet file + commit-log line + heads update.
         Returns (seq, positions). ``commits`` lets the append path reuse
         its one commit-log read (appends stay O(log) not O(log^2))."""
+        commits = self.read_commits() if commits is None else commits
+        prev_seq = commits[-1].seq if commits else -1
         seq = self.next_seq(commits)
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]
@@ -251,7 +253,7 @@ class StoreLayout:
             f.flush()
             os.fsync(f.fileno())
 
-        self._update_heads(seq, rows)
+        self._update_heads(seq, rows, prev_seq=prev_seq)
         if rows:
             self._link_into_stream(final)
         return seq, positions
@@ -280,8 +282,20 @@ class StoreLayout:
         except (OSError, json.JSONDecodeError):
             return {"seq": -1, "subjects": {}}
 
-    def _update_heads(self, seq: int, rows: list[dict]) -> None:
+    def _update_heads(self, seq: int, rows: list[dict], prev_seq: Optional[int] = None) -> None:
         heads = self._read_heads()
+        if prev_seq is not None and heads["seq"] != prev_seq:
+            # Crash-gap guard: a prior process died between its
+            # commit-log fsync and its heads update, so heads are
+            # missing that commit's subjects. Blindly stamping
+            # heads["seq"] = seq here would make the freshness check in
+            # last_fact_of_subject pass on stale data — an
+            # ExpectedLastFact condition could then succeed against a
+            # lost update. Rebuild from committed data instead (the new
+            # commit's file is already in data/, so the rebuild covers
+            # it too).
+            self._rebuild_heads(seq)
+            return
         for row in rows:
             heads["subjects"][row["subject"]] = [row["id"], row["position"]]
         heads["seq"] = seq
@@ -344,6 +358,28 @@ class StoreLayout:
             ]
         for c in committed:
             if c.compacted_through is not None:
+                continue
+            if c.bulk:
+                d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+            else:
+                files.append(os.path.join(self.data_dir, f"commit-{c.seq:010d}.parquet"))
+        return files
+
+    def data_files_between(self, lo_seq: int, hi_seq: int) -> list[str]:
+        """Per-commit data files for commits with ``lo_seq < seq <=
+        hi_seq`` — the incremental-maintenance window (tag-index
+        refresh). Callers must ensure no compaction has superseded
+        commits in the window (their original files may be purged)."""
+        files: list[str] = []
+        for c in self.read_commits():
+            if c.compacted_through is not None or c.rows == 0:
+                continue
+            if not (lo_seq < c.seq <= hi_seq):
                 continue
             if c.bulk:
                 d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")

@@ -51,11 +51,61 @@ class TagIndex:
         last = self.layout.last_commit()
         return last is not None and self.built_through() >= last.seq
 
+    def refresh(self, spark: SparkSession) -> dict:
+        """Incremental index maintenance: append ONLY the commits with
+        ``built_through < seq <= head`` into the index layout — the
+        append-only analog of the reference's per-append index writes
+        (FdbFactAppender index subspaces), amortized to commit
+        granularity. Cost is proportional to the NEW data, not the
+        store size.
+
+        Falls back to a full ``build`` when (a) no index exists yet, or
+        (b) a compaction superseded commits newer than ``built_through``
+        (their per-commit files may be gone). A crash between the
+        parquet append and the meta write can leave duplicate index
+        rows on retry — harmless by construction (``positions_for_query``
+        is set-semantics: intersect/union/distinct); a periodic full
+        ``build`` compacts them away."""
+        last = self.layout.last_commit()
+        if last is None:
+            return {"built": False, "rows": 0}
+        bt = self.built_through()
+        if bt >= last.seq:
+            return {"built": False, "reason": "fresh", "through_seq": bt}
+        compacted_through = max(
+            (
+                c.compacted_through
+                for c in self.layout.read_commits()
+                if c.compacted_through is not None
+            ),
+            default=-1,
+        )
+        if bt < 0 or not os.path.isdir(self.index_dir) or compacted_through > bt:
+            return self.build(spark)
+        new_files = self.layout.data_files_between(bt, last.seq)
+        if new_files:
+            df = spark.read.schema(FACT_SCHEMA).parquet(*new_files)
+            idx = df.select(
+                F.explode_outer("tags").alias("tag_key", "tag_value"),
+                F.col("type"),
+                F.col("position"),
+            ).filter(F.col("tag_key").isNotNull())
+            idx.repartition("tag_key").sortWithinPartitions(
+                "tag_value", "position"
+            ).write.partitionBy("tag_key").mode("append").parquet(self.index_dir)
+        with open(self.meta_path, "w") as f:
+            json.dump({"built_through": last.seq}, f)
+        return {
+            "built": True,
+            "mode": "incremental",
+            "through_seq": last.seq,
+            "new_files": len(new_files),
+        }
+
     def build(self, spark: SparkSession) -> dict:
         """Full (re)build: explode fact tags into the index layout.
-        Incremental builds would append only commits > built_through;
-        full rebuild keeps round 1 simple and is itself a bounded
-        distributed job."""
+        ``refresh`` appends only commits > built_through; the full
+        rebuild remains the compaction path for the index itself."""
         # Snapshot the covered commit FIRST: a commit landing between
         # these two reads must leave the index stale (fallback to scan),
         # never fresh-but-incomplete.

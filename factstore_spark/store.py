@@ -511,6 +511,17 @@ class FactStore:
 
         return TagIndex(self._layout(meta.id)).build(self.spark)
 
+    def refresh_tag_index(self, store_name: str):
+        """Incrementally extend the tag index to the current head
+        (appends only commits > built_through; see TagIndex.refresh).
+        Returns stats or StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        from .storage.tag_index import TagIndex
+
+        return TagIndex(self._layout(meta.id)).refresh(self.spark)
+
     def find_by_tag_query_indexed_df(
         self, store_name: str, query: TagQuery
     ) -> Optional[DataFrame]:
@@ -524,11 +535,20 @@ class FactStore:
             return None
         from .storage.tag_index import TagIndex
 
-        tidx = TagIndex(self._layout(meta.id))
-        if not tidx.is_fresh():
+        layout = self._layout(meta.id)
+        tidx = TagIndex(layout)
+        # Resolve freshness against ONE commit snapshot (not a separate
+        # is_fresh() probe — a commit landing between the probe and the
+        # join would return fresh-but-incomplete results). The fact side
+        # is then capped at that snapshot's head position so index and
+        # fact table agree even if more commits land mid-query.
+        commits = layout.read_commits()
+        last_seq = commits[-1].seq if commits else -1
+        if last_seq < 0 or tidx.built_through() < last_seq:
             return self.find_by_tag_query_df(store_name, query)
+        head_pos = commits[-1].max_position
         positions = tidx.positions_for_query(self.spark, query)
-        facts = self.facts_df(store_name)
+        facts = self.facts_df(store_name, max_position=head_pos)
         return facts.join(positions, "position", "left_semi").orderBy(
             F.col("position").asc()
         )

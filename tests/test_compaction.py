@@ -59,6 +59,24 @@ def test_append_after_compaction(fs):
     assert [f.id for f in facts2] == [f.id for f in facts]
 
 
+def test_concurrent_compactions_one_winner(fs, spark):
+    """Two compactions over the same snapshot: exactly one swaps, the
+    other reports a lost race (or up-to-date) — never an exception
+    (ADVICE r1: the guard is re-checked inside the commit lock)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    seed(fs, n=12)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futures = [ex.submit(fs.compact, STORE) for _ in range(2)]
+        results = [f.result() for f in futures]
+    wins = [r for r in results if r.get("compacted")]
+    losses = [r for r in results if not r.get("compacted")]
+    assert len(wins) == 1 and len(losses) == 1
+    assert losses[0].get("reason") in ("lost race", "up to date")
+    # store still fully readable after the race
+    assert len(fs.find_by_subject(STORE, "S1").facts) > 0
+
+
 def test_compaction_empty_store(fs):
     fs.create(STORE)
     stats = fs.compact(STORE)

@@ -79,6 +79,45 @@ def test_concurrent_conditional_appends_exactly_one_winner(fs):
 # -- All (composite) --------------------------------------------------------
 
 
+def test_heads_crash_gap_detected(fs):
+    """Crash simulation (ADVICE r1): a process dies between the
+    commit-log fsync and the heads update. The NEXT append must detect
+    the seq gap and rebuild heads, or an ExpectedLastFact check could
+    pass against a stale head (lost update)."""
+    fs.create(STORE)
+    r1 = fs.append(STORE, fi())
+    assert isinstance(r1, Appended)
+
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+
+    # Simulate the crash: commit lands, heads update is skipped.
+    original = type(layout)._update_heads
+    type(layout)._update_heads = lambda self, *a, **k: None
+    try:
+        r2 = fs.append(STORE, fi())  # commit N: heads never updated
+        assert isinstance(r2, Appended)
+    finally:
+        type(layout)._update_heads = original
+
+    # Unconditional append N+1 through the normal path. With the gap
+    # guard, heads are rebuilt; without it, heads stamp seq=N+1 while
+    # still carrying commit N-1's subject head.
+    r3 = fs.append(STORE, fi(subject="OTHER"))
+    assert isinstance(r3, Appended)
+
+    # The subject's true last fact is r2's; an expectation pinned to
+    # r1's fact MUST now fail.
+    stale = fs.append(
+        STORE, fi(), condition=ExpectedLastFact("USER:ALICE", r1.fact_ids[0])
+    )
+    assert isinstance(stale, AppendConditionViolated)
+    ok = fs.append(
+        STORE, fi(), condition=ExpectedLastFact("USER:ALICE", r2.fact_ids[0])
+    )
+    assert isinstance(ok, Appended)
+
+
 def test_all_condition_composite(fs):
     """AbstractFactStoreTest.kt:423-470."""
     fs.create(STORE)

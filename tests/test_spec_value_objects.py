@@ -77,13 +77,15 @@ INSTANTS = st.datetimes(
 ).map(lambda d: d.replace(tzinfo=timezone.utc))
 
 
-@given(INSTANTS, st.timedeltas(min_value=timedelta(0), max_value=timedelta(days=999)))
+@given(INSTANTS, st.timedeltas(min_value=timedelta(microseconds=1), max_value=timedelta(days=999)))
 def test_ordered_ranges_accepted(start, delta):
     TimeRange(start=start, end=start + delta)
 
 
-@given(INSTANTS, st.timedeltas(min_value=timedelta(microseconds=1), max_value=timedelta(days=999)))
-def test_inverted_ranges_rejected(start, delta):
+@given(INSTANTS, st.timedeltas(min_value=timedelta(0), max_value=timedelta(days=999)))
+def test_inverted_or_degenerate_ranges_rejected(start, delta):
+    """Strictly before, matching TimeRange.kt's require(start.isBefore(end)):
+    start == end (delta 0) must raise, like any inverted range."""
     with pytest.raises(ValueError):
         TimeRange(start=start, end=start - delta)
 

@@ -63,6 +63,39 @@ def test_stale_index_falls_back_to_scan(fs):
     assert [f.id for f in indexed2.facts] == [f.id for f in scan.facts]
 
 
+def test_incremental_refresh_covers_new_commits(fs):
+    """refresh() after appends must (a) run incrementally (not a full
+    rebuild), (b) make the index fresh, (c) keep indexed == scan."""
+    rnd = random.Random(7)
+    seed_random(fs, rnd, n=60)
+    assert fs.build_tag_index(STORE)["built"]
+
+    fs.append(
+        STORE,
+        [
+            FactInput(type="T9", subject="S-new", tags={"k1": "a", "k9": "z"})
+            for _ in range(5)
+        ],
+    )
+    res = fs.refresh_tag_index(STORE)
+    assert res["built"] and res.get("mode") == "incremental"
+    # fresh again: second refresh is a no-op
+    res2 = fs.refresh_tag_index(STORE)
+    assert res2.get("reason") == "fresh"
+
+    for q in queries_under_test() + [TagQuery([TagOnlyQueryItem({"k9": "z"})])]:
+        scan = [f.id for f in fs.find_by_tag_query(STORE, q).facts]
+        idx = [f.id for f in fs.find_by_tag_query_indexed(STORE, q).facts]
+        assert idx == scan
+
+
+def test_refresh_without_existing_index_builds(fs):
+    rnd = random.Random(9)
+    seed_random(fs, rnd, n=20)
+    res = fs.refresh_tag_index(STORE)
+    assert res["built"] and res.get("mode") != "incremental"
+
+
 def test_empty_store_index(fs):
     fs.create(STORE)
     assert fs.build_tag_index(STORE) == {"built": False, "rows": 0}
