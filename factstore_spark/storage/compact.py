@@ -23,7 +23,6 @@ cluster: one scan-friendly table, pruned by date, skipped by subject.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
@@ -32,7 +31,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import FACT_SCHEMA
-from .layout import COMMITS_FILE, StoreLayout, utcnow_us
+from .layout import StoreLayout, utcnow_us
 
 
 def compact_store(
@@ -109,14 +108,16 @@ def compact_store(
             "rows": rows,
             "appended_at": utcnow_us().isoformat(),
             "idempotency_key": None,
-            "max_position": commits_before[-1].max_position,
+            "max_position": max(c.max_position for c in commits_before),
             "compacted_through": max_seq,
         }
-        path = os.path.join(layout.store_dir, COMMITS_FILE)
-        with open(path, "a") as f:
-            f.write(json.dumps(record) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        if not layout.write_compaction_record(record):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {
+                "files_before": len(files),
+                "compacted": False,
+                "reason": "lost race",
+            }
         # The files this compaction superseded stay ON DISK at their old
         # paths (they are unreachable via the commit log, so new readers
         # never see them) — an in-flight DataFrame/replay iterator that

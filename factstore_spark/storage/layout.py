@@ -16,11 +16,13 @@ Layout (one directory tree per engine root):
 This is the single-node stand-in for the reference's FoundationDB
 transaction (FdbFactAppender.kt:33-65): the flock critical section gives
 us the same check-and-append atomicity that FDB gets from optimistic
-transactions, and ``commit seq`` is the versionstamp analog. On a real
-cluster the identical protocol maps onto a Delta/Iceberg transactional
-commit (optimistic retry loop) with ``position = commit_version *
-POSITION_STRIDE + row_index`` — the engine API is unchanged; only this
-module would swap.
+transactions, and ``commit seq`` is the versionstamp analog. The
+cluster-grade protocol — a Delta/Iceberg-shaped optimistic claim-retry
+commit log with ``position = commit_version * POSITION_STRIDE +
+row_index`` — is IMPLEMENTED in storage/optimistic.py
+(``FactStore(..., commit_backend="optimistic")``); the engine API is
+identical across backends, and both pass the cross-process
+exactly-one-winner race tests (tests/test_multiprocess_race.py).
 
 Crash safety: data files are written to a temp name and atomically
 renamed into ``data/`` BEFORE the commit line is appended; readers only
@@ -61,6 +63,11 @@ class CommitRecord:
     max_position: int
     bulk: bool = False
     compacted_through: Optional[int] = None
+    # Explicit data file/dir name (relative to data/) when it cannot be
+    # derived from seq — used by the optimistic backend, whose data
+    # files are uuid-suffixed and whose bulk dirs are named by their
+    # RESERVE seq, not their publish seq.
+    file: Optional[str] = None
 
 
 class StoreLayout:
@@ -104,6 +111,7 @@ class StoreLayout:
                         max_position=d["max_position"],
                         bulk=d.get("bulk", False),
                         compacted_through=d.get("compacted_through"),
+                        file=d.get("file"),
                     )
                 )
         return out
@@ -359,16 +367,28 @@ class StoreLayout:
         for c in committed:
             if c.compacted_through is not None:
                 continue
-            if c.bulk:
-                d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")
-                files.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
-            else:
-                files.append(os.path.join(self.data_dir, f"commit-{c.seq:010d}.parquet"))
+            files.extend(self._files_of(c))
         return files
+
+    def _files_of(self, c: CommitRecord) -> list[str]:
+        """Physical parquet paths of one commit record."""
+        if c.file is not None:
+            p = os.path.join(self.data_dir, c.file)
+            if os.path.isdir(p):
+                return [
+                    os.path.join(p, f)
+                    for f in sorted(os.listdir(p))
+                    if f.endswith(".parquet")
+                ]
+            return [p]
+        if c.bulk:
+            d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")
+            return [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+        return [os.path.join(self.data_dir, f"commit-{c.seq:010d}.parquet")]
 
     def data_files_between(self, lo_seq: int, hi_seq: int) -> list[str]:
         """Per-commit data files for commits with ``lo_seq < seq <=
@@ -381,16 +401,20 @@ class StoreLayout:
                 continue
             if not (lo_seq < c.seq <= hi_seq):
                 continue
-            if c.bulk:
-                d = os.path.join(self.data_dir, f"commit-{c.seq:010d}-bulk")
-                files.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
-            else:
-                files.append(os.path.join(self.data_dir, f"commit-{c.seq:010d}.parquet"))
+            files.extend(self._files_of(c))
         return files
+
+    def write_compaction_record(self, record: dict) -> bool:
+        """Append a compaction record to the log (called under the
+        maintenance lock). Returns False if another compaction claimed
+        the same snapshot first (only possible on the optimistic
+        backend; the flock backend's in-lock guard already resolved it)."""
+        path = os.path.join(self.store_dir, COMMITS_FILE)
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return True
 
     def append_bulk_commit_record(
         self,

@@ -1,0 +1,284 @@
+"""Optimistic (lock-free) commit backend — the cluster-grade protocol.
+
+The default backend serializes appends with a per-store flock
+(layout.py), which is single-node by construction. This backend proves
+the documented Delta/Iceberg mapping (layout.py module docstring): a
+commit CLAIMS its sequence number by atomically creating
+``commit_log/<seq>.json``; losers detect the conflict, re-read the log,
+re-evaluate their append conditions against the new state, and retry —
+exactly the optimistic-transaction shape of the reference's FDB backend
+(FdbFactAppender.kt:33-65, conflict ranges -> retry) and of a Delta
+``_delta_log`` commit.
+
+The atomic primitive is ``os.link(tmp, final)`` (hardlink-as-O_EXCL):
+the record's full content is written and fsynced to a temp file FIRST,
+then linked into the log directory — link(2) fails with EEXIST if the
+seq is taken, and a claimed file is always complete (readers never see
+partial records). On an object store the same slot-claim is a
+conditional PUT (If-None-Match); on HDFS it is create-no-overwrite.
+
+Data files are written (uuid-suffixed, recorded in the claim via the
+``file`` field) BEFORE the claim, so readers resolving files through
+the log never see missing data; a lost claim unlinks its own file.
+
+Bulk ingest uses reserve-then-publish: positions are baked into the
+parquet data, so the position RANGE is reserved first with a zero-row
+claim (its ``max_position`` raises the head, making the range
+unstealable — crash leaves a harmless hole in the sparse position
+space), the data is then written at leisure, and a second claim
+publishes the files. Heads stay eventually-consistent: concurrent
+updates may interleave, but ``last_fact_of_subject``'s freshness check
+(heads.seq == last commit seq) detects any stale write and rebuilds —
+the heads file is a cache, never a correctness dependency.
+
+Maintenance (compaction, orphan sweep) still takes the flock: those are
+rare, coarse operations where mutual exclusion is the simpler contract;
+appends never touch it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Optional
+
+from .layout import (
+    COMMITS_FILE,
+    CommitRecord,
+    StoreLayout,
+)
+
+COMMIT_LOG_DIR = "commit_log"
+
+
+class OptimisticStoreLayout(StoreLayout):
+    """StoreLayout whose append path is optimistic claim-retry instead
+    of flock-serialized. Read paths are inherited unchanged (they
+    resolve data files through ``read_commits``, which here merges the
+    claim directory with any legacy ``commits.jsonl`` lines, e.g. those
+    written by compaction under the maintenance lock)."""
+
+    def __init__(self, store_dir: str):
+        super().__init__(store_dir)
+        self.log_dir = os.path.join(store_dir, COMMIT_LOG_DIR)
+
+    def initialize(self) -> None:
+        super().initialize()
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- commit log (merged: claim dir + legacy jsonl) ----------------------
+
+    def read_commits(self) -> list[CommitRecord]:
+        out = list(super().read_commits())  # maintenance-written lines
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self.log_dir, name)) as f:
+                    d = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # racing with an unlink; claims are never partial
+            out.append(
+                CommitRecord(
+                    seq=d["seq"],
+                    rows=d["rows"],
+                    appended_at=d["appended_at"],
+                    idempotency_key=d.get("idempotency_key"),
+                    max_position=d["max_position"],
+                    bulk=d.get("bulk", False),
+                    compacted_through=d.get("compacted_through"),
+                    file=d.get("file"),
+                )
+            )
+        # Deterministic log order: by seq, compaction records after the
+        # data commit whose seq they reuse.
+        out.sort(key=lambda c: (c.seq, c.compacted_through is not None))
+        return out
+
+    # -- the atomic claim ---------------------------------------------------
+
+    def _claim(self, name: str, record: dict) -> bool:
+        """Atomically publish ``record`` as ``commit_log/<name>``.
+        Returns False if the slot is already taken (conflict)."""
+        tmp = os.path.join(self.store_dir, f".claim-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(self.log_dir, name))
+            won = True
+        except FileExistsError:
+            won = False
+        finally:
+            os.unlink(tmp)
+        if won:
+            dfd = os.open(self.log_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        return won
+
+    # -- row-append protocol ------------------------------------------------
+
+    def try_append_commit(
+        self,
+        rows: list[dict],
+        appended_at,
+        idempotency_key: Optional[str],
+        commits: list[CommitRecord],
+    ):
+        """One optimistic attempt against the ``commits`` snapshot:
+        write the data file, then claim the next seq. Returns
+        (seq, positions) on success, None on conflict (caller re-reads,
+        re-evaluates conditions, retries)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
+
+        prev_seq = commits[-1].seq if commits else -1
+        seq = self.next_seq(commits)
+        base = seq * POSITION_STRIDE
+        positions = [base + i for i in range(len(rows))]
+        for row, pos in zip(rows, positions):
+            row["position"] = pos
+
+        final = None
+        fname = None
+        if rows:
+            fname = f"commit-{seq:010d}-{uuid.uuid4().hex[:8]}.parquet"
+            final = os.path.join(self.data_dir, fname)
+            table = pa.Table.from_pylist(rows, schema=FACT_ARROW_SCHEMA)
+            tmp = os.path.join(self.store_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+            pq.write_table(table, tmp)
+            os.rename(tmp, final)
+
+        record = {
+            "seq": seq,
+            "rows": len(rows),
+            "appended_at": appended_at.isoformat(),
+            "idempotency_key": idempotency_key,
+            "max_position": positions[-1] if positions else self.head_position(),
+            "file": fname,
+        }
+        if not self._claim(f"{seq:020d}.json", record):
+            if final is not None:
+                try:
+                    os.unlink(final)
+                except OSError:
+                    pass
+            return None
+        self._update_heads(seq, rows, prev_seq=prev_seq)
+        if final is not None:
+            self._link_into_stream(final)
+        return seq, positions
+
+    # -- bulk reserve/publish ------------------------------------------------
+
+    def reserve_position_range(self, rel_hi: int, appended_at) -> tuple[int, int]:
+        """Claim a zero-row commit whose ``max_position`` covers
+        ``base + rel_hi``, reserving the position range for a bulk
+        write. Returns (seq, base). Retries internally (reservation has
+        no preconditions to re-evaluate)."""
+        from ..schema import POSITION_STRIDE
+
+        while True:
+            commits = self.read_commits()
+            seq = self.next_seq(commits)
+            base = seq * POSITION_STRIDE
+            record = {
+                "seq": seq,
+                "rows": 0,
+                "appended_at": appended_at.isoformat(),
+                "idempotency_key": None,
+                "max_position": base + max(rel_hi, 0),
+                "reserved": True,
+            }
+            if self._claim(f"{seq:020d}.json", record):
+                return seq, base
+
+    def publish_bulk(
+        self,
+        data_dir_name: str,
+        rows: int,
+        max_position: int,
+        appended_at,
+        idempotency_key: Optional[str],
+    ) -> Optional[int]:
+        """Publish an already-written bulk directory as a commit.
+        Returns the publish seq, or None if the idempotency key
+        appeared meanwhile (caller treats as AlreadyApplied)."""
+        while True:
+            commits = self.read_commits()
+            if idempotency_key is not None and self.idempotency_key_seen(
+                idempotency_key, commits
+            ):
+                return None
+            seq = self.next_seq(commits)
+            record = {
+                "seq": seq,
+                "rows": rows,
+                "appended_at": appended_at.isoformat(),
+                "idempotency_key": idempotency_key,
+                "max_position": max_position,
+                "bulk": True,
+                "file": data_dir_name,
+            }
+            if self._claim(f"{seq:020d}.json", record):
+                return seq
+
+    # -- maintenance integration --------------------------------------------
+
+    def write_compaction_record(self, record: dict) -> bool:
+        """Compaction record (same seq as the snapshot head it
+        supersedes, so it gets a distinct slot name). Called under the
+        maintenance flock; a False return means another compaction won."""
+        return self._claim(f"{record['seq']:020d}-compact.json", record)
+
+    def _sweep_orphans(self) -> None:
+        """Age-gated (1 h): with lock-free appenders, a data file whose
+        claim has not landed YET is in-flight, not orphaned — only
+        stale leftovers from crashed claims are swept."""
+        import shutil
+        import time
+
+        now = time.time()
+        committed_files = set()
+        committed_seqs = set()
+        for c in self.read_commits():
+            if c.file:
+                committed_files.add(c.file)
+            committed_seqs.add(c.seq)
+        for name in os.listdir(self.data_dir):
+            path = os.path.join(self.data_dir, name)
+            if not name.startswith("commit-"):
+                continue
+            if name in committed_files:
+                continue
+            if name.endswith("-bulk") and os.path.isdir(path):
+                try:
+                    seq = int(name.split("-")[1])
+                except (ValueError, IndexError):
+                    continue
+                if seq in committed_seqs:
+                    continue  # reserved-then-published dirs are named by reserve seq
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age <= 3600:
+                continue
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass

@@ -128,9 +128,16 @@ class FactStore:
     need a session. This mirrors the reference's split between the
     transactional write path and the scan machinery."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, commit_backend: str = "flock"):
+        """``commit_backend``: "flock" (default — per-store fcntl lock,
+        single-node) or "optimistic" (lock-free claim-retry commit log,
+        the Delta/Iceberg-shaped protocol; see storage/optimistic.py).
+        All writers of a store must use the same backend."""
+        if commit_backend not in ("flock", "optimistic"):
+            raise ValueError(f"unknown commit backend: {commit_backend!r}")
         self.spark = spark
         self.root = root
+        self.commit_backend = commit_backend
         self.catalog = Catalog(root)
 
     # ------------------------------------------------------------------
@@ -205,19 +212,8 @@ class FactStore:
             return StoreNotFound(store_name)
         layout = self._layout(meta.id)
 
-        # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
-        with layout.commit_lock():
-            commits = layout.read_commits()  # one parse serves key/seq/head
-            if layout.idempotency_key_seen(key, commits):
-                return AlreadyApplied(key)
-
-            violation = self._evaluate_condition(layout, condition)
-            if violation is not None:
-                return AppendConditionViolated(violation)
-
-            appended_at = utcnow_us()  # one shared instant per batch (AppendResult.kt:23-29)
-            fact_ids = [new_fact_id() for _ in facts]  # server-assigned (FactInput.kt:37-45)
-            rows = [
+        def build_rows(fact_ids, appended_at):
+            return [
                 {
                     "id": fid,
                     "type": f.type,
@@ -234,7 +230,47 @@ class FactStore:
                 }
                 for fid, f in zip(fact_ids, facts)
             ]
-            _, positions = layout.append_commit(rows, appended_at, key, commits)
+
+        from .storage.optimistic import OptimisticStoreLayout
+
+        if isinstance(layout, OptimisticStoreLayout):
+            # Optimistic protocol (the FDB-transaction shape itself):
+            # evaluate conditions against a snapshot, attempt to claim
+            # the next seq; a conflict means another commit serialized
+            # ahead of us — re-read, RE-EVALUATE the condition against
+            # the new state, retry (FdbFactAppender.kt:33-65).
+            for _ in range(256):
+                commits = layout.read_commits()
+                if layout.idempotency_key_seen(key, commits):
+                    return AlreadyApplied(key)
+                violation = self._evaluate_condition(layout, condition)
+                if violation is not None:
+                    return AppendConditionViolated(violation)
+                appended_at = utcnow_us()
+                fact_ids = [new_fact_id() for _ in facts]
+                res = layout.try_append_commit(
+                    build_rows(fact_ids, appended_at), appended_at, key, commits
+                )
+                if res is not None:
+                    _, positions = res
+                    return Appended(tuple(fact_ids), appended_at, tuple(positions))
+            raise RuntimeError("append contention: 256 optimistic retries exhausted")
+
+        # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
+        with layout.commit_lock():
+            commits = layout.read_commits()  # one parse serves key/seq/head
+            if layout.idempotency_key_seen(key, commits):
+                return AlreadyApplied(key)
+
+            violation = self._evaluate_condition(layout, condition)
+            if violation is not None:
+                return AppendConditionViolated(violation)
+
+            appended_at = utcnow_us()  # one shared instant per batch (AppendResult.kt:23-29)
+            fact_ids = [new_fact_id() for _ in facts]  # server-assigned (FactInput.kt:37-45)
+            _, positions = layout.append_commit(
+                build_rows(fact_ids, appended_at), appended_at, key, commits
+            )
 
         return Appended(tuple(fact_ids), appended_at, tuple(positions))
 
@@ -302,6 +338,11 @@ class FactStore:
             return StoreNotFound(store_name)
         layout = self._layout(meta.id)
         key = idempotency_key or str(uuid.uuid4())
+
+        from .storage.optimistic import OptimisticStoreLayout
+
+        if isinstance(layout, OptimisticStoreLayout):
+            return self._append_dataframe_optimistic(layout, df, key)
 
         with layout.commit_lock():
             commits = layout.read_commits()
@@ -392,6 +433,95 @@ class FactStore:
             )
             layout._rebuild_heads(seq)
         return Appended((), appended_at, (int(agg["lo"]), int(agg["hi"])))
+
+    def _append_dataframe_optimistic(self, layout, df: DataFrame, key: str) -> AppendResult:
+        """Bulk ingest on the optimistic backend: RESERVE the position
+        range with a zero-row claim (positions are baked into the
+        parquet, so the range must be unstealable before the write),
+        write the data at leisure, then PUBLISH the directory with a
+        second claim (storage/optimistic.py module docstring). A crash
+        mid-way leaves a harmless hole in the sparse position space."""
+        commits = layout.read_commits()
+        if layout.idempotency_key_seen(key, commits):
+            return AlreadyApplied(key)
+        appended_at = utcnow_us()
+        cols = set(df.columns)
+        staged = df
+        if "id" not in cols:
+            staged = staged.withColumn("id", F.expr("uuid()"))
+        if "appended_at" not in cols:
+            staged = staged.withColumn("appended_at", F.lit(appended_at))
+        if "metadata" not in cols:
+            staged = staged.withColumn(
+                "metadata", F.create_map().cast("map<string,string>")
+            )
+        if "position" in cols:
+            # Measure + validate the RELATIVE positions before reserving.
+            agg = df.agg(
+                F.count("*").alias("n"),
+                F.min("position").alias("lo"),
+                F.max("position").alias("hi"),
+                F.countDistinct("position").alias("nd"),
+            ).collect()[0]
+            n = int(agg["n"] or 0)
+            if n > 0 and int(agg["lo"]) < 0:
+                return AppendConditionViolated(
+                    f"pre-assigned positions must be >= 0 (min was {int(agg['lo'])})"
+                )
+            if n > 0 and int(agg["nd"]) != n:
+                return AppendConditionViolated(
+                    "pre-assigned positions must be unique within the commit "
+                    f"({n - int(agg['nd'])} duplicates)"
+                )
+            rel_hi = int(agg["hi"]) if n else 0
+            rel = staged
+        else:
+            n = df.count()
+            rel_hi = max(n - 1, 0)
+            rel = assign_contiguous_positions(staged, base=0)
+        if n == 0:
+            pseq = layout.publish_bulk(None, 0, layout.head_position(), appended_at, key)
+            if pseq is None:
+                return AlreadyApplied(key)
+            return Appended((), appended_at, ())
+
+        seq, base = layout.reserve_position_range(rel_hi, appended_at)
+        out = rel.withColumn(
+            "position", (F.lit(base) + F.col("position")).cast("long")
+        ).select(
+            "id", "type", "subject", "appended_at", "position",
+            "payload", "metadata", "tags",
+        )
+        dir_name = f"commit-{seq:010d}-bulk"
+        out_dir = os.path.join(layout.data_dir, dir_name)
+        out.write.mode("overwrite").parquet(out_dir)
+        files = [
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        agg2 = (
+            self.spark.read.schema(FACT_SCHEMA)
+            .parquet(*files)
+            .agg(
+                F.count("*").alias("n"),
+                F.min("position").alias("lo"),
+                F.max("position").alias("hi"),
+            )
+            .collect()[0]
+        )
+        pseq = layout.publish_bulk(
+            dir_name, int(agg2["n"]), int(agg2["hi"]), appended_at, key
+        )
+        if pseq is None:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return AlreadyApplied(key)
+        layout._rebuild_heads(layout.last_commit().seq)
+        for f in files:
+            layout._link_into_stream(f)
+        return Appended((), appended_at, (int(agg2["lo"]), int(agg2["hi"])))
 
     # ------------------------------------------------------------------
     # Read path (FactFinder) — DataFrame plans + materializing wrappers
@@ -730,4 +860,8 @@ class FactStore:
         return os.path.join(self.root, "stores", store_id)
 
     def _layout(self, store_id: str) -> StoreLayout:
+        if self.commit_backend == "optimistic":
+            from .storage.optimistic import OptimisticStoreLayout
+
+            return OptimisticStoreLayout(self._store_dir(store_id))
         return StoreLayout(self._store_dir(store_id))

@@ -1,14 +1,24 @@
 """Cross-PROCESS conditional-append race: the commit protocol must give
-exactly one winner even when contenders are separate OS processes (the
-flock is the FDB-transaction stand-in; threads share too much to prove
-it). Workers use pure pyarrow engine paths (no Spark needed to append)."""
+exactly one winner even when contenders are separate OS processes
+(threads share too much to prove it). Run against BOTH backends:
+
+- flock — the per-store fcntl lock is the FDB-transaction stand-in;
+- optimistic — the lock-free claim-retry commit log (the Delta/Iceberg
+  -shaped protocol, storage/optimistic.py): losers must detect the
+  conflict at claim time, re-evaluate their condition, and report the
+  violation.
+
+Workers use pure pyarrow engine paths (no Spark needed to append)."""
 
 import json
 import subprocess
 import sys
 
-from factstore_spark import ExpectedLastFact, FactInput
+import pytest
+
+from factstore_spark import FactInput
 from factstore_spark.results import Appended
+from factstore_spark.store import FactStore
 
 WORKER = r"""
 import json, sys
@@ -16,8 +26,8 @@ sys.path.insert(0, "/root/repo")
 from factstore_spark.model import ExpectedLastFact, FactInput
 from factstore_spark.store import FactStore
 
-root, seed_id, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
-fs = FactStore(spark=None, root=root)  # append path never touches spark
+root, seed_id, n, backend = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+fs = FactStore(spark=None, root=root, commit_backend=backend)
 results = []
 for i in range(n):
     res = fs.append(
@@ -30,7 +40,9 @@ print(json.dumps(results))
 """
 
 
-def test_multiprocess_exactly_one_winner(fs, store_root):
+@pytest.mark.parametrize("backend", ["flock", "optimistic"])
+def test_multiprocess_exactly_one_winner(spark, store_root, backend):
+    fs = FactStore(spark, store_root, commit_backend=backend)
     fs.create("race-store")
     seed = fs.append("race-store", FactInput(type="SEED", subject="USER:RACE"))
     assert isinstance(seed, Appended)
@@ -38,7 +50,7 @@ def test_multiprocess_exactly_one_winner(fs, store_root):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, store_root, seed_id, "3"],
+            [sys.executable, "-c", WORKER, store_root, seed_id, "3", backend],
             stdout=subprocess.PIPE,
         )
         for _ in range(4)
@@ -53,3 +65,42 @@ def test_multiprocess_exactly_one_winner(fs, store_root):
     assert outcomes.count("AppendConditionViolated") == len(outcomes) - 1
     history = fs.find_by_subject("race-store", "USER:RACE")
     assert len(history.facts) == 2  # seed + the one winner
+
+
+@pytest.mark.parametrize("backend", ["flock", "optimistic"])
+def test_multiprocess_unconditional_appends_all_land(spark, store_root, backend):
+    """Unconditional appends from racing processes must ALL commit with
+    unique seqs/positions — on the optimistic backend every loser
+    retries until it claims its own slot."""
+    worker = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from factstore_spark.model import FactInput
+from factstore_spark.store import FactStore
+root, n, backend, wid = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+fs = FactStore(spark=None, root=root, commit_backend=backend)
+ok = 0
+for i in range(n):
+    res = fs.append("mp-store", FactInput(type="E", subject=f"S{wid}-{i}"))
+    ok += type(res).__name__ == "Appended"
+print(json.dumps(ok))
+"""
+    fs = FactStore(spark, store_root, commit_backend=backend)
+    fs.create("mp-store")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, store_root, "5", backend, str(w)],
+            stdout=subprocess.PIPE,
+        )
+        for w in range(4)
+    ]
+    total = 0
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0
+        total += json.loads(out)
+    assert total == 20
+    facts = fs.facts_df("mp-store").collect()
+    assert len(facts) == 20
+    positions = [f.position for f in facts]
+    assert len(set(positions)) == 20  # strict unique total order
