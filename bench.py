@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality",
     "text_fingerprint",
+    "text_top_ngrams",
+    "curation_contamination",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_meta",

@@ -44,6 +44,55 @@ def train_test_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    n_buckets: int = 100,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-fraction via
+    md5 bucketing on a stable key. Unlike ``DataFrame.sampleBy`` (RNG
+    per partition — irreproducible across engines and re-runs), the
+    SAME row set is selected on every run and is auditable by an
+    independent engine, which is what dataset curation at 100 TB needs:
+    map-only, no shuffle, no RNG state."""
+    bucket = split_bucket(key_col, n_buckets, salt)
+    cutoff = F.lit(round(default_fraction * n_buckets))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(round(frac * n_buckets))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus docs whose
+    normalized text fingerprint appears in a benchmark/eval set — the
+    decontamination stage every training pipeline runs before the
+    benchmark police do. Exact (md5 of lower-cased text); at 100 TB the
+    benchmark side is tiny and BROADCAST, so this is a map-only probe
+    of the corpus scan, one flag column, no shuffle of the corpus.
+    Output: (id, contaminated)."""
+    fp = F.md5(F.lower(F.col(text_col)))
+    bench_fps = benchmark.select(fp.alias("fp")).distinct()
+    return (
+        corpus.select(F.col(id_col), fp.alias("fp"))
+        .join(F.broadcast(bench_fps).withColumn("contaminated", F.lit(True)), "fp", "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

@@ -128,3 +128,34 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("md5_fp", F.md5(F.lower(F.col(text_col)))).withColumn(
         "roll_fp", roll
     )
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by document frequency — the
+    vocabulary/boilerplate profile of a corpus (finding template junk
+    and hot boilerplate before dedup). Shape at 100 TB: explode ->
+    partial-aggregated groupBy(ngram) (map-side combine absorbs the
+    explosion) -> TakeOrderedAndProject for the global top-k (never a
+    full sort). Ties broken by ngram text ascending for full
+    determinism. Output: (ngram, doc_freq, rank)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    counts = (
+        df.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    # orderBy+limit fuses into TakeOrderedAndProject (no global sort);
+    # the rank window then runs over only the k survivors.
+    from pyspark.sql.window import Window
+
+    topk = counts.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc()).limit(k)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "ngram", "doc_freq", F.col("rank").cast("long").alias("rank")
+    )

@@ -1046,6 +1046,86 @@ def multimodal_features_topk(spark, sf_dir):
     )
 
 
+def curation_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample (md5-bucket keep
+    fractions, no RNG) -> per-lang counts. The oracle recomputes bucket
+    membership independently — engine-neutral by construction, unlike
+    DataFrame.sampleBy (partition RNG)."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2}, key_col="doc_id", default_fraction=0.1
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+CURATION_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT lang, n_chars,
+    CAST('0x' || substring(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
+GROUP BY lang
+"""
+
+
+def curation_contamination(spark, sf_dir):
+    """Benchmark-decontamination probe: docs whose normalized-text
+    fingerprint appears in the 'benchmark' subset (stand-in: every
+    97th doc). Broadcast probe of the corpus scan; returns the
+    contaminated ids (excluding the benchmark rows themselves)."""
+    from .operators.sampling import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = contamination_check(docs, bench)
+    return (
+        flagged.filter(F.col("contaminated") & (F.col("doc_id") % 97 != 0))
+        .select("doc_id")
+    )
+
+
+CURATION_CONTAMINATION_SQL = """
+WITH bench AS (
+  SELECT DISTINCT md5(lower(text)) AS fp FROM documents WHERE doc_id % 97 = 0)
+SELECT d.doc_id
+FROM documents d JOIN bench ON md5(lower(d.text)) = bench.fp
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-level top-20 word bigrams by document frequency
+    (boilerplate/template profile), deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.top_ngrams(docs, n=2, k=20).select(
+        "ngram", "doc_freq", "rank"
+    )
+
+
+TEXT_TOP_NGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 2 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L)), i -> array_to_string(L[i:i+1], ' '))
+    END) AS ngram
+  FROM toks),
+counts AS (SELECT ngram, COUNT(*) AS doc_freq FROM grams GROUP BY ngram)
+SELECT ngram, doc_freq, rank FROM (
+  SELECT ngram, doc_freq,
+    ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rank
+  FROM counts) t
+WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1096,6 +1176,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "multimodal_features_topk": (multimodal_features_topk, None),
     "curation_split_stats": (curation_split_stats, CURATION_SPLIT_STATS_SQL),
     "curation_quality_topk": (curation_quality_topk, CURATION_QUALITY_TOPK_SQL),
+    "curation_stratified_sample": (curation_stratified_sample, CURATION_STRATIFIED_SQL),
+    "curation_contamination": (curation_contamination, CURATION_CONTAMINATION_SQL),
+    "text_top_ngrams": (text_top_ngrams, TEXT_TOP_NGRAMS_SQL),
 }
 
 

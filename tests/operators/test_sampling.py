@@ -1,7 +1,45 @@
 """Curation operator invariants: split determinism/stability, top-k
-per group semantics."""
+per group semantics, stratified sampling, contamination detection."""
 
-from factstore_spark.operators.sampling import top_k_per_group, train_test_split
+from factstore_spark.operators.sampling import (
+    contamination_check,
+    stratified_sample,
+    top_k_per_group,
+    train_test_split,
+)
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, key_col="doc_id"
+    ).collect()
+    by_lang = {"en": 0, "de": 0}
+    for r in out:
+        by_lang[r.lang] += 1
+    assert 0.4 < by_lang["en"] / 1000 < 0.6
+    assert 0.05 < by_lang["de"] / 1000 < 0.16
+    # determinism: identical selection on rerun
+    again = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, key_col="doc_id").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+    # unlisted strata use the default fraction (0.0 -> dropped entirely)
+    df2 = spark.createDataFrame([(i, "fr") for i in range(100)], "doc_id long, lang string")
+    assert stratified_sample(df2, "lang", {"en": 1.0}, key_col="doc_id").count() == 0
+
+
+def test_contamination_check_flags_exact_matches(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "THE QUICK BROWN FOX"),  # case-normalized match
+            (3, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "the quick brown fox")], "doc_id long, text string")
+    out = {r.doc_id: r.contaminated for r in contamination_check(corpus, bench).collect()}
+    assert out == {1: True, 2: True, 3: False}
 
 
 def test_split_deterministic_and_stable(spark):

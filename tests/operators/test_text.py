@@ -58,3 +58,24 @@ def test_fingerprint_deterministic_and_case_insensitive(spark):
     assert out[0] == out[1]  # lower-cased before hashing
     assert out[0] != out[2]
     assert 0 <= out[0][1] < 1_000_000_007
+
+
+def test_top_ngrams_doc_frequency_and_ties(spark):
+    from factstore_spark.operators.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d"),
+            (3, "a b"),   # "a b" in all three docs
+            (4, "x"),     # shorter than n -> whole text as one gram
+        ],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, n=2, k=3).collect()
+    assert (out[0].ngram, out[0].doc_freq, out[0].rank) == ("a b", 3, 1)
+    # doc_freq counts DOCS (distinct per doc), not occurrences
+    assert all(r.doc_freq <= 3 for r in out)
+    # ties broken by ngram ascending
+    freqs = [(r.doc_freq, r.ngram) for r in out]
+    assert freqs == sorted(freqs, key=lambda t: (-t[0], t[1]))
