@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "curation_contamination",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "multimodal_meta",
 ]
 

@@ -301,6 +301,179 @@ def cosine_dup_pairs(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list:
+    """Train product-quantization codebooks: split each vector into
+    ``m`` subvectors and k-means each subspace to ``k`` centroids
+    (numpy Lloyd's on a bounded, xxhash64-ordered driver sample —
+    deterministic; codebooks are tiny: m*k*(dim/m) floats). The PQ code
+    of a vector is then m bytes instead of dim floats — the
+    memory-compression leg of FAISS-style IVF-PQ, which is what makes
+    billion-vector ANN fit a cluster's RAM. Returns a nested list
+    (m, k, dim//m)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.lit(1 << 31)))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return []
+    X = np.asarray([[float(x) for x in r.v] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        kk = min(k, n)
+        C = S[rng.choice(n, size=kk, replace=False)]
+        for _ in range(iterations):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append(C.copy())
+    return [b.tolist() for b in books]
+
+
+def pq_encode_col(vec_col: Column, codebooks: list) -> Column:
+    """array<int> PQ code (length m) — nearest codebook centroid per
+    subspace, vectorized numpy over Arrow batches. Map-only; at scale
+    this is the one-off compression pass whose output (m bytes/vector)
+    replaces the raw vectors in the search index."""
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    dsub = B[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _enc(vec_col)
+
+
+def pq_adc_score(q_col: Column, code_col: Column, codebooks: list) -> Column:
+    """Asymmetric-distance (ADC) dot product: the query stays full
+    precision, the corpus side is reconstructed from its PQ code —
+    score = sum_j dot(q_sub_j, codebook[j][code_j]). Vectorized gather
+    per Arrow batch; the corpus vectors themselves never travel."""
+    B = np.stack([np.asarray(b, dtype=np.float64) for b in codebooks])  # (m,k,dsub)
+    m, _, dsub = B.shape
+
+    @F.pandas_udf("double")
+    def _adc(q: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.vstack(q.to_numpy()).astype(np.float64).reshape(-1, m, dsub)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        rows = B[np.arange(m)[None, :], C]  # (n, m, dsub) gathered centroids
+        return pd.Series(np.einsum("nmd,nmd->n", Q, rows))
+
+    return _adc(q_col, code_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    codebooks: list | None = None,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse IVF cells bound the candidate
+    set, PQ codes bound the MEMORY — candidates are scored from m-byte
+    codes via ADC, so the search index is ~dim*4/m times smaller than
+    the raw vectors (the only way a multi-billion-vector index fits a
+    cluster). ``refine`` > 0 adds the standard FAISS refinement: the
+    ADC pass keeps a ``refine * k`` shortlist, whose FULL vectors are
+    then fetched by id join and re-ranked with exact cosine — PQ
+    resolves clusters, the refine pass resolves fine ranking inside
+    them, and only shortlist-sized vector traffic ever moves.
+    ``refine=0`` returns the raw ADC ranking (score = approximate dot).
+    Output: (query_id, neighbor_id, score, rank); neighbor_id breaks
+    ties."""
+    head = corpus.select(vec_col).first()
+    if head is None:
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    C = _sample_centroids(corpus, n_cells, id_col, vec_col, seed)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_centroid_cells_col(F.col(vec_col), C, 1), 1).alias("cell"),
+        pq_encode_col(F.col(vec_col), codebooks).alias("code"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = q.withColumn(
+        "cell", F.explode(_centroid_cells_col(F.col("q_vec"), C, n_probe))
+    ).select("query_id", "q_vec", "cell")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", pq_adc_score(F.col("q_vec"), F.col("code"), codebooks))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine * k)
+        .select("query_id", "q_vec", "neighbor_id")
+    )
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    refined = shortlist.join(vecs, "neighbor_id").withColumn(
+        "score", cosine_batch(F.col("q_vec"), F.col("c_vec"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,

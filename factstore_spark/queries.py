@@ -941,6 +941,18 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def ann_pq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k with exact re-rank: memory-bounded ANN
+    (8-byte codes instead of 256-byte vectors in the scored index —
+    the FAISS pattern that fits billion-vector search in cluster RAM).
+    Approximate by construction: rows-only; planted-neighbor recall is
+    asserted in tests/operators/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = sim_ops.pq_topk(emb, q, k=5, m=8, n_codes=16, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def multimodal_meta(spark, sf_dir):
     """Arrow-batched media metadata over binary payloads (documents as
     the stand-in corpus). The decode stub is deterministic arithmetic on
@@ -1169,6 +1181,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_pq_topk": (ann_pq_topk, None),
     "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "dedup_embedding_recall": (dedup_embedding_recall, None),
