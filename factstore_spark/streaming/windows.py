@@ -78,6 +78,50 @@ def session_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    time_col: str = "appended_at",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication on arbitrary key columns — the
+    ingest-time dedup stage of a continuous training-data pipeline
+    (drop retransmits/replays before they ever land in the corpus).
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state store
+    holds only keys within the watermark horizon — O(recent keys), not
+    O(all keys ever): the difference between a bounded and an
+    unboundedly-growing state store on an infinite stream. Duplicates
+    separated by more than the watermark are the batch dedup pass's
+    job (operators/dedup.py) — the standard lambda split."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def dedup_stream_by_content(
+    stream: DataFrame,
+    text_col: str = "payload",
+    time_col: str = "appended_at",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Content-fingerprint streaming dedup: normalize + md5 the content
+    column (binary payloads hashed as-is, strings lower-cased) and drop
+    repeats within the watermark horizon. Map-only before the stateful
+    dedup; the fingerprint (16 bytes) is all the state ever holds per
+    key."""
+    col = F.col(text_col)
+    fp = F.md5(
+        F.when(col.cast("string").isNotNull(), F.lower(col.cast("string"))).otherwise(
+            F.lit("")
+        ).cast("binary")
+    )
+    with_fp = stream.withColumn("_content_fp", fp)
+    return dedup_stream(with_fp, ["_content_fp"], time_col, watermark).drop(
+        "_content_fp"
+    )
+
+
 RUNNING_TOTALS_SCHEMA = StructType(
     [
         StructField("subject", StringType(), False),

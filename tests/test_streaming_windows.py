@@ -70,3 +70,57 @@ def test_running_totals_stateful(seeded_stream, spark, tmp_path):
     for r in out.collect():
         rows[r.subject] = max(rows.get(r.subject, 0), r.n_facts)
     assert rows == {"s1": 2, "s2": 2}
+
+
+def test_dedup_stream_drops_repeats(fs, spark, tmp_path):
+    """Streaming dedup on (type, subject): retransmitted facts within
+    the watermark horizon are dropped; distinct keys all pass."""
+    from factstore_spark.streaming.windows import dedup_stream
+
+    fs.create(STORE)
+    fs.append(
+        STORE,
+        [
+            FactInput(type="A", subject="s1"),
+            FactInput(type="A", subject="s1"),  # dup key
+            FactInput(type="A", subject="s2"),
+            FactInput(type="B", subject="s1"),
+        ],
+    )
+    stream = fs.subscribe_stream(STORE, StartPosition.Beginning())
+    out = _drain(
+        dedup_stream(stream, ["type", "subject"]),
+        "dedup_keys",
+        tmp_path,
+        spark,
+        mode="append",
+    )
+    keys = sorted((r.type, r.subject) for r in out.collect())
+    assert keys == [("A", "s1"), ("A", "s2"), ("B", "s1")]
+
+
+def test_dedup_stream_by_content(fs, spark, tmp_path):
+    from factstore_spark.model import FactPayload
+    from factstore_spark.streaming.windows import dedup_stream_by_content
+
+    fs.create(STORE)
+    fs.append(
+        STORE,
+        [
+            FactInput(type="A", subject="a", payload=FactPayload(b"same text")),
+            FactInput(type="B", subject="b", payload=FactPayload(b"same text")),
+            FactInput(type="C", subject="c", payload=FactPayload(b"different")),
+        ],
+    )
+    stream = fs.subscribe_stream(STORE, StartPosition.Beginning())
+    out = _drain(
+        dedup_stream_by_content(stream, text_col="payload.data"),
+        "dedup_content",
+        tmp_path,
+        spark,
+        mode="append",
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # one survivor per distinct content
+    assert {r.type for r in rows} <= {"A", "B", "C"}
+    assert "C" in {r.type for r in rows}  # the unique content always survives
