@@ -75,6 +75,45 @@ def test_bulk_position_assignment_no_global_sort(spark):
     assert tree.count("Exchange") == 1
 
 
+def test_embedding_lsh_candidates_are_ids_only(spark):
+    """The LSH/IVF candidate dedup must be a HashAggregate over id
+    longs — dragging the vectors through the self-join forces a
+    sort-based aggregate on array keys and shuffles the payload once
+    per band (the measured 10x regression this guards against)."""
+    df = REGISTRY["dedup_embedding_lsh"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pq_probe_join_broadcasts(spark):
+    """IVF-PQ: the probe side (queries x probed cells) must broadcast;
+    the corpus scan must never shuffle for cell assignment."""
+    df = REGISTRY["ann_pq_topk"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_probe_broadcasts_benchmark(spark):
+    """Decontamination: benchmark fingerprints broadcast; the corpus is
+    probed map-side, never shuffled."""
+    df = REGISTRY["curation_contamination"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_ngrams_uses_take_ordered(spark):
+    """Corpus top-k must fuse orderBy+limit into TakeOrderedAndProject
+    — never a full global sort of the ngram counts."""
+    from factstore_spark.operators.text import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(top_ngrams(docs, n=2, k=20))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full fact schema."""
     df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")
