@@ -17,7 +17,8 @@ from ..operators.dedup import (
     shingles_col,
     simhash_col,
 )
-from ..operators.similarity import cosine_similarity
+from ..operators.sampling import split_bucket
+from ..operators.similarity import cosine_batch, cosine_similarity, pq_encode_col
 from ..operators.text import TOKEN_REGEX, tokens_col
 from ..plans.predicates import (
     tag_query_predicate,
@@ -34,6 +35,9 @@ __all__ = [
     "minhash_sig_from_hashes",
     "simhash_col",
     "cosine_similarity",
+    "cosine_batch",
+    "pq_encode_col",
+    "split_bucket",
     "money_cents",
     "epoch_us",
     "tags_all_match",
