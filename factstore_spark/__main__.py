@@ -61,6 +61,12 @@ def _parse_tags(pairs: list[str]) -> dict[str, str]:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="factstore_spark")
     ap.add_argument("--root", default=os.environ.get("FACTSTORE_ROOT", "./factstore-data"))
+    ap.add_argument(
+        "--backend",
+        choices=("flock", "optimistic"),
+        default=os.environ.get("FACTSTORE_BACKEND", "flock"),
+        help="commit backend: per-store lock (flock) or lock-free claim-retry (optimistic)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list-stores")
@@ -108,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("store")
     p.add_argument("path")
 
+    p = sub.add_parser("serve", help="run the embedded REST/SSE server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+
+    p = sub.add_parser("serve-rpc", help="run the gRPC-parity wire server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=50051)
+
     args = ap.parse_args(argv)
 
     from .model import (
@@ -124,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="factstore-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    fs = FactStore(spark, args.root)
+    fs = FactStore(spark, args.root, commit_backend=args.backend)
     direction = (
         ReadDirection.BACKWARD if getattr(args, "backward", False) else ReadDirection.FORWARD
     )
@@ -193,6 +207,28 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         write_facts_jsonl(df, args.path)
         print(json.dumps({"result": "Exported", "path": args.path}))
+    elif args.cmd == "serve":
+        from .server import FactStoreServer
+
+        srv = FactStoreServer(fs, host=args.host, port=args.port).start()
+        print(json.dumps({"serving": "rest", "host": args.host, "port": srv.port}), flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.stop()
+    elif args.cmd == "serve-rpc":
+        from .rpc import RpcServer
+
+        srv = RpcServer(fs, host=args.host, port=args.port).start()
+        print(json.dumps({"serving": "rpc", "host": srv.host, "port": srv.port}), flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.stop()
     spark.stop()
     return 0
 
