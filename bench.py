@@ -123,6 +123,95 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # k6-analog append-latency probe (BASELINE.md's only absolute
+    # number: p90 < 500 ms — 10 VUs, single-fact conditional append
+    # with a tagQueryBased/tagOnly condition and fresh idempotency key,
+    # over REST; mirrors factstore-server/scripts/k6/
+    # single_append_with_condition.js including body shape).
+    import base64
+    import json as _json
+    import threading
+    import urllib.request
+    import uuid as _uuid
+
+    from factstore_spark.server import FactStoreServer
+    from factstore_spark.store import FactStore as _FS
+
+    k6_root = tempfile.mkdtemp(prefix="bench-k6-")
+    k6_secs = float(os.environ.get("SPARK_GRAFT_K6_SECS", "15"))
+    try:
+        fs2 = _FS(spark, k6_root)
+        fs2.create("test")
+        srv = FactStoreServer(fs2).start()
+        url = f"http://127.0.0.1:{srv.port}/api/v1/stores/test/facts"
+        lat: list[float] = []
+        errors = [0]
+        lock = threading.Lock()
+        deadline = time.time() + k6_secs
+
+        def vu(vu_id: int) -> None:
+            while time.time() < deadline:
+                tag = str(_uuid.uuid4())
+                body = _json.dumps(
+                    {
+                        "idempotencyKey": str(_uuid.uuid4()),
+                        "condition": {
+                            "type": "tagQueryBased",
+                            "failIfEventsMatch": {
+                                "queryItems": [{"type": "tagOnly", "tags": {"vu": tag}}]
+                            },
+                            "after": None,
+                        },
+                        "facts": [
+                            {
+                                "type": "UserCreated",
+                                "subject": f"user-{vu_id}",
+                                "payload": {
+                                    "data": base64.b64encode(b"Hello world").decode()
+                                },
+                                "metadata": {},
+                                "tags": {"vu": tag},
+                            }
+                        ],
+                    }
+                ).encode()
+                req = urllib.request.Request(
+                    url, data=body, headers={"Content-Type": "application/json"}
+                )
+                t0 = time.time()
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as resp:
+                        ok = resp.status == 200
+                except OSError:
+                    ok = False
+                dt = (time.time() - t0) * 1000.0
+                with lock:
+                    lat.append(dt)
+                    if not ok:
+                        errors[0] += 1
+
+        threads = [threading.Thread(target=vu, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        srv.stop()
+        lat.sort()
+
+        def pct(p: float) -> float:
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 1) if lat else -1.0
+
+        append_stats = {
+            "append_reqs": len(lat),
+            "append_errors": errors[0],
+            "append_p50_ms": pct(0.50),
+            "append_p90_ms": pct(0.90),
+            "append_p99_ms": pct(0.99),
+        }
+        print(f"# k6-analog: {append_stats}", file=sys.stderr)
+    finally:
+        shutil.rmtree(k6_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,6 +221,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **append_stats,
             }
         )
     )

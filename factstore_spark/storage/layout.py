@@ -54,6 +54,31 @@ STREAM_DIR = "stream"
 LOCK_FILE = "_commit.lock"
 
 
+MAX_TAG_FPS = 64
+
+
+def tag_fingerprint(k: str, v: str) -> int:
+    """Engine-neutral 60-bit fingerprint of one tag pair — the unit of
+    commit-level data skipping (see CommitRecord.tag_fps). md5-based so
+    any process (no Spark, no JVM) computes the same value."""
+    import hashlib
+
+    return int(hashlib.md5(f"{k}\x00{v}".encode()).hexdigest()[:15], 16)
+
+
+def commit_tag_fps(rows: list[dict]) -> Optional[list[int]]:
+    """Distinct tag fingerprints of a row batch, or None when over the
+    cap (a too-diverse commit records 'unknown' rather than a huge
+    summary)."""
+    fps: set[int] = set()
+    for row in rows:
+        for k, v in (row.get("tags") or {}).items():
+            fps.add(tag_fingerprint(k, v))
+            if len(fps) > MAX_TAG_FPS:
+                return None
+    return sorted(fps)
+
+
 @dataclass(frozen=True)
 class CommitRecord:
     seq: int
@@ -68,6 +93,14 @@ class CommitRecord:
     # files are uuid-suffixed and whose bulk dirs are named by their
     # RESERVE seq, not their publish seq.
     file: Optional[str] = None
+    # Commit-level data skipping: fingerprints of every distinct tag
+    # pair in this commit (capped at MAX_TAG_FPS; None = unknown, must
+    # scan). The DCB append condition prunes whole commits without
+    # opening their files — the commit-log analog of parquet row-group
+    # min/max stats, standing in for the reference's tag indexes on the
+    # write path (FdbFactAppender.kt:124-274 walks its tag subspaces;
+    # we walk the fingerprint summaries).
+    tag_fps: Optional[list[int]] = None
 
 
 class StoreLayout:
@@ -112,6 +145,7 @@ class StoreLayout:
                         bulk=d.get("bulk", False),
                         compacted_through=d.get("compacted_through"),
                         file=d.get("file"),
+                        tag_fps=d.get("tag_fps"),
                     )
                 )
         return out
@@ -254,6 +288,7 @@ class StoreLayout:
             "appended_at": appended_at.isoformat(),
             "idempotency_key": idempotency_key,
             "max_position": positions[-1] if positions else self.head_position(),
+            "tag_fps": commit_tag_fps(rows),
         }
         path = os.path.join(self.store_dir, COMMITS_FILE)
         with open(path, "a") as f:
@@ -464,17 +499,69 @@ class StoreLayout:
         columns: Optional[list[str]] = None,
         filter: Optional[pa_ds.Expression] = None,
         batch_size: int = 8192,
+        files: Optional[list[str]] = None,
     ):
         """Streaming batch scan over committed data (early-exit-friendly
         — condition evaluation must not pull the whole projection into
-        memory under the commit lock)."""
-        files = self.data_files()
+        memory under the commit lock). ``files`` restricts the scan to
+        a pre-pruned subset (e.g. ``dcb_candidate_files``)."""
+        files = self.data_files() if files is None else files
         if not files:
             return
         ds = pa_ds.dataset(files, schema=FACT_ARROW_SCHEMA)
         yield from ds.to_batches(
             columns=columns, filter=filter, batch_size=batch_size
         )
+
+    def dcb_candidate_files(
+        self, item_fps: list[list[int]], after_pos: int
+    ) -> list[str]:
+        """Files that could contain a fact matching ANY tag-query item
+        past ``after_pos`` — the commit-level data-skipping pass for the
+        DCB append condition. ``item_fps``: per item, the fingerprints
+        of its required tag pairs (AND semantics — a commit can match
+        the item only if it contains ALL of them); an empty list means
+        the item is not prunable by tags (scan everything eligible).
+        Commits with ``tag_fps=None`` (bulk, pre-feature, over-cap) and
+        compacted data (no per-commit summary survives the rewrite) are
+        always eligible. With fresh/unmatched tags this returns [] and
+        the condition check opens NO files — the O(matching-commits)
+        behavior the reference gets from its tag subspaces."""
+        committed = [c for c in self.read_commits() if c.rows > 0]
+        compaction = None
+        for c in committed:
+            if c.compacted_through is not None:
+                if compaction is None or c.compacted_through > compaction.compacted_through:
+                    compaction = c
+        files: list[str] = []
+        if compaction is not None:
+            if compaction.max_position > after_pos:
+                comp_dir = os.path.join(
+                    self.data_dir, f"compacted-{compaction.compacted_through:010d}"
+                )
+                for root, _dirs, names in os.walk(comp_dir):
+                    files.extend(
+                        os.path.join(root, n)
+                        for n in sorted(names)
+                        if n.endswith(".parquet")
+                    )
+            committed = [
+                c
+                for c in committed
+                if c.compacted_through is None and c.seq > compaction.compacted_through
+            ]
+        unprunable_item = any(not fps for fps in item_fps) or not item_fps
+        for c in committed:
+            if c.compacted_through is not None:
+                continue
+            if c.max_position <= after_pos:
+                continue
+            if not unprunable_item and c.tag_fps is not None:
+                fpset = set(c.tag_fps)
+                if not any(all(fp in fpset for fp in fps) for fps in item_fps):
+                    continue  # no item's full tag set appears in this commit
+            files.extend(self._files_of(c))
+        return files
 
     def position_of_fact(self, fact_id: str) -> Optional[int]:
         """id -> position (FdbFactStore.kt:108-133's id index equivalent)."""

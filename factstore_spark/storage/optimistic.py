@@ -47,6 +47,7 @@ from .layout import (
     COMMITS_FILE,
     CommitRecord,
     StoreLayout,
+    commit_tag_fps,
 )
 
 COMMIT_LOG_DIR = "commit_log"
@@ -93,6 +94,7 @@ class OptimisticStoreLayout(StoreLayout):
                     bulk=d.get("bulk", False),
                     compacted_through=d.get("compacted_through"),
                     file=d.get("file"),
+                    tag_fps=d.get("tag_fps"),
                 )
             )
         # Deterministic log order: by seq, compaction records after the
@@ -167,6 +169,7 @@ class OptimisticStoreLayout(StoreLayout):
             "idempotency_key": idempotency_key,
             "max_position": positions[-1] if positions else self.head_position(),
             "file": fname,
+            "tag_fps": commit_tag_fps(rows),
         }
         if not self._claim(f"{seq:020d}.json", record):
             if final is not None:

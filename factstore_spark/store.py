@@ -309,13 +309,25 @@ class FactStore:
                 if pos is None:
                     return f"after-cursor fact {condition.after} not found"
                 after_pos = pos
-            # Streamed batch scan with early exit — never materialize the
-            # whole projection into Python under the commit lock, and
-            # evaluate the tag algebra SET-AT-A-TIME (pyarrow.compute +
-            # numpy) rather than a per-row interpreter loop.
+            # Commit-level data skipping first: prune to the files whose
+            # commit tag-fingerprint summary could satisfy some query
+            # item (O(commits) record check, no file opens — the write-
+            # path analog of the reference's tag-subspace walk). Then a
+            # streamed batch scan with early exit over the survivors,
+            # evaluating the tag algebra SET-AT-A-TIME (pyarrow.compute
+            # + numpy) rather than a per-row interpreter loop.
+            from .storage.layout import tag_fingerprint
+
+            item_fps = [
+                [tag_fingerprint(k, v) for k, v in item.tags.items()]
+                for item in condition.fail_if_facts_match.items
+            ]
+            files = layout.dcb_candidate_files(item_fps, after_pos)
+            if not files:
+                return None
             flt = pa_ds.field("position") > after_pos
             for batch in layout.scan_batches(
-                columns=["type", "tags"], filter=flt, batch_size=8192
+                columns=["type", "tags"], filter=flt, batch_size=8192, files=files
             ):
                 if batch_matches_tag_query(batch, condition.fail_if_facts_match):
                     return "facts matching the fail-if query exist after the cursor"

@@ -79,6 +79,56 @@ def test_concurrent_conditional_appends_exactly_one_winner(fs):
 # -- All (composite) --------------------------------------------------------
 
 
+def test_dcb_commit_skipping_prunes_files(fs):
+    """Commit-level tag-fingerprint skipping: a DCB condition on tags
+    no commit carries must resolve WITHOUT opening any data file; a
+    matching tag set must keep exactly the carrying commits eligible."""
+    from factstore_spark.storage.layout import tag_fingerprint
+
+    fs.create(STORE)
+    fs.append(STORE, fi(tags={"state": "open"}))
+    fs.append(STORE, fi(tags={"state": "closed"}))
+    fs.append(STORE, fi(tags={"other": "x"}))
+
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+
+    fresh = [[tag_fingerprint("state", "nope")]]
+    assert layout.dcb_candidate_files(fresh, -1) == []
+
+    hit = [[tag_fingerprint("state", "open")]]
+    assert len(layout.dcb_candidate_files(hit, -1)) == 1
+
+    # AND semantics: both pairs required in ONE commit -> no candidate
+    both = [[tag_fingerprint("state", "open"), tag_fingerprint("state", "closed")]]
+    assert layout.dcb_candidate_files(both, -1) == []
+
+    # OR across items: either pair alone -> both carrying commits
+    either = [[tag_fingerprint("state", "open")], [tag_fingerprint("state", "closed")]]
+    assert len(layout.dcb_candidate_files(either, -1)) == 2
+
+    # position pruning composes: everything at/below the cursor drops
+    head = layout.head_position()
+    assert layout.dcb_candidate_files(either, head) == []
+
+    # unprunable item (no tags) -> all eligible files scanned
+    assert len(layout.dcb_candidate_files([[]], -1)) == 3
+
+    # end-to-end: the DCB condition itself still behaves
+    res = fs.append(
+        STORE,
+        fi(subject="USER:NEW"),
+        condition=TagQueryBased(TagQuery([TagTypeItem({"USER_CREATED"}, {"state": "open"})])),
+    )
+    assert isinstance(res, AppendConditionViolated)
+    ok = fs.append(
+        STORE,
+        fi(subject="USER:NEW"),
+        condition=TagQueryBased(TagQuery([TagTypeItem({"USER_CREATED"}, {"state": "nope"})])),
+    )
+    assert isinstance(ok, Appended)
+
+
 def test_heads_crash_gap_detected(fs):
     """Crash simulation (ADVICE r1): a process dies between the
     commit-log fsync and the heads update. The NEXT append must detect
