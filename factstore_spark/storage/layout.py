@@ -110,6 +110,14 @@ class StoreLayout:
         self.store_dir = store_dir
         self.data_dir = os.path.join(store_dir, DATA_DIR)
         self.stream_dir = os.path.join(store_dir, STREAM_DIR)
+        # read_commits memo keyed on (mtime_ns, size) of the log file:
+        # one append acquires the lock (orphan sweep + stream sync) and
+        # then reads the log again for seq/idempotency/conditions — the
+        # cache collapses those to ONE parse per log state. Correct
+        # across processes because any append changes the file size;
+        # same-process writers append through this layout and the key
+        # check re-stats on every call.
+        self._commits_cache: Optional[tuple[tuple[int, int], list[CommitRecord]]] = None
 
     def initialize(self) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
@@ -127,8 +135,13 @@ class StoreLayout:
     def read_commits(self) -> list[CommitRecord]:
         path = os.path.join(self.store_dir, COMMITS_FILE)
         out: list[CommitRecord] = []
-        if not os.path.exists(path):
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
             return out
+        key = (st.st_mtime_ns, st.st_size)
+        if self._commits_cache is not None and self._commits_cache[0] == key:
+            return list(self._commits_cache[1])
         with open(path) as f:
             for line in f:
                 line = line.strip()
@@ -148,6 +161,7 @@ class StoreLayout:
                         tag_fps=d.get("tag_fps"),
                     )
                 )
+        self._commits_cache = (key, list(out))
         return out
 
     def last_commit(self) -> Optional[CommitRecord]:

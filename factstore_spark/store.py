@@ -139,6 +139,7 @@ class FactStore:
         self.root = root
         self.commit_backend = commit_backend
         self.catalog = Catalog(root)
+        self._layouts: dict[str, StoreLayout] = {}
 
     # ------------------------------------------------------------------
     # Store management (StoreFactory / StoreFinder / StoreRemover)
@@ -872,8 +873,16 @@ class FactStore:
         return os.path.join(self.root, "stores", store_id)
 
     def _layout(self, store_id: str) -> StoreLayout:
-        if self.commit_backend == "optimistic":
-            from .storage.optimistic import OptimisticStoreLayout
+        # One layout instance per store: its commit-log memo (keyed on
+        # the log file's mtime+size) then amortizes the 3 log reads a
+        # locked append performs to a single parse.
+        layout = self._layouts.get(store_id)
+        if layout is None:
+            if self.commit_backend == "optimistic":
+                from .storage.optimistic import OptimisticStoreLayout
 
-            return OptimisticStoreLayout(self._store_dir(store_id))
-        return StoreLayout(self._store_dir(store_id))
+                layout = OptimisticStoreLayout(self._store_dir(store_id))
+            else:
+                layout = StoreLayout(self._store_dir(store_id))
+            self._layouts[store_id] = layout
+        return layout
