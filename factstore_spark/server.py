@@ -60,6 +60,88 @@ from .results import (
 )
 
 
+EXPLORER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>factstore explorer</title>
+<style>
+body{font:14px/1.45 system-ui,sans-serif;margin:0;display:flex;height:100vh}
+#side{width:230px;border-right:1px solid #ddd;padding:12px;overflow:auto}
+#main{flex:1;padding:12px;overflow:auto}
+h1{font-size:16px;margin:0 0 10px}
+li{cursor:pointer;padding:3px 6px;border-radius:4px;list-style:none}
+li:hover,li.sel{background:#eef}
+ul{padding:0;margin:0}
+table{border-collapse:collapse;width:100%;margin-top:10px;font-size:12px}
+td,th{border:1px solid #ddd;padding:4px 6px;text-align:left;vertical-align:top}
+th{background:#f5f5f5}
+input,select,button{font:inherit;padding:3px 6px;margin-right:6px}
+#live{color:#0a0}
+code{background:#f5f5f5;padding:1px 4px;border-radius:3px}
+</style></head><body>
+<div id="side"><h1>Stores</h1><ul id="stores"></ul></div>
+<div id="main">
+  <h1 id="title">factstore explorer</h1>
+  <div>
+    <select id="mode">
+      <option value="subject">by subject</option>
+      <option value="tags">by tags (k=v,k2=v2)</option>
+      <option value="replay">replay</option>
+    </select>
+    <input id="q" placeholder="subject or tags">
+    <input id="limit" placeholder="limit" size="4">
+    <button onclick="run()">Find</button>
+    <button onclick="tail()">Tail (SSE)</button> <span id="live"></span>
+  </div>
+  <table id="out"><thead><tr><th>position</th><th>type</th><th>subject</th>
+  <th>appendedAt</th><th>tags</th><th>id</th></tr></thead><tbody></tbody></table>
+</div>
+<script>
+let store=null,es=null;
+async function loadStores(){
+  const r=await fetch('/api/v1/stores');const stores=await r.json();
+  const ul=document.getElementById('stores');ul.innerHTML='';
+  for(const s of stores){const li=document.createElement('li');li.textContent=s.name;
+    li.onclick=()=>{store=s.name;document.getElementById('title').textContent=s.name;
+      [...ul.children].forEach(c=>c.classList.remove('sel'));li.classList.add('sel');run();};
+    ul.appendChild(li);}
+}
+function render(facts){
+  const tb=document.querySelector('#out tbody');tb.innerHTML='';
+  for(const f of facts)addRow(f);
+}
+function addRow(f){
+  const tb=document.querySelector('#out tbody');const tr=document.createElement('tr');
+  const tags=Object.entries(f.tags||{}).map(([k,v])=>k+'='+v).join(', ');
+  for(const v of [f.position,f.type,f.subject,f.appendedAt,tags,f.id]){
+    const td=document.createElement('td');td.textContent=v??'';tr.appendChild(td);}
+  tb.appendChild(tr);
+}
+async function run(){
+  if(!store)return;stopTail();
+  const mode=document.getElementById('mode').value;
+  const q=document.getElementById('q').value.trim();
+  const lim=document.getElementById('limit').value.trim();
+  let url;
+  if(mode==='subject')url=`/api/v1/stores/${store}/subjects/${encodeURIComponent(q)}/facts`;
+  else if(mode==='tags')url=`/api/v1/stores/${store}/facts?`+
+    q.split(',').filter(Boolean).map(t=>'tag='+encodeURIComponent(t.trim())).join('&');
+  else url=`/api/v1/stores/${store}/facts/replay`;
+  if(lim&&mode!=='replay')url+=(url.includes('?')?'&':'?')+'limit='+lim;
+  const r=await fetch(url);const body=await r.json();
+  render(Array.isArray(body)?body:[]);
+}
+function stopTail(){if(es){es.close();es=null;document.getElementById('live').textContent='';}}
+function tail(){
+  if(!store)return;stopTail();
+  document.querySelector('#out tbody').innerHTML='';
+  es=new EventSource(`/api/v1/stores/${store}/facts/subscribe`);
+  document.getElementById('live').textContent='live';
+  es.onmessage=e=>{try{addRow(JSON.parse(e.data));}catch(_){}};
+}
+loadStores();
+</script></body></html>
+"""
+
+
 def _fact_dict(f) -> dict:
     return {
         "id": f.id,
@@ -219,6 +301,17 @@ class FactStoreHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         parts, qs = self._segments()
         try:
+            if parts in ([], ["explorer"]):
+                # factstore-explorer analog: a single self-contained
+                # page over the REST surface (list stores, run finders,
+                # tail the SSE subscription) — no build step, no deps.
+                body = EXPLORER_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if parts == ["v1", "info"]:
                 # InfoResource analog (factstore-server/.../http/InfoResource.kt)
                 from . import __version__

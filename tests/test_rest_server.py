@@ -200,3 +200,13 @@ def test_tag_and_time_filters_cannot_combine(server):
 def test_info_endpoint(server):
     code, info = req("GET", f"{server}/v1/info")
     assert code == 200 and info["name"] == "factstore-spark" and info["version"]
+
+
+def test_explorer_page_served(server):
+    """The explorer single-page UI is served at / and /explorer."""
+    for path in ("/", "/explorer"):
+        with urllib.request.urlopen(f"{server}{path}") as r:
+            assert r.status == 200
+            assert "text/html" in r.headers["Content-Type"]
+            body = r.read().decode()
+            assert "factstore explorer" in body and "/api/v1/stores" in body
