@@ -140,13 +140,15 @@ def top_ngrams(
     explosion) -> TakeOrderedAndProject for the global top-k (never a
     full sort). Ties broken by ngram text ascending for full
     determinism. Output: (ngram, doc_freq, rank)."""
+    from .dedup import _spread
+
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
     counts = (
-        df.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        _spread(df).select(F.explode(F.array_distinct(grams)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )

@@ -1,0 +1,106 @@
+"""Model-based equivalence: the SAME randomized operation sequence run
+against the flock backend and the optimistic backend must produce the
+same observable behavior — identical result types per operation,
+identical fact sequences (content + relative order; ids/instants/raw
+positions are backend-assigned and excluded), identical finder and
+replay results. This is the contract that lets a deployment swap the
+commit backend without the application noticing."""
+
+import random
+
+import pytest
+
+from factstore_spark import (
+    ExpectedLastFact,
+    FactInput,
+    FactPayload,
+    TagOnlyQueryItem,
+    TagQuery,
+    TagQueryBased,
+)
+from factstore_spark.results import Appended
+from factstore_spark.store import FactStore
+
+STORE = "eq-store"
+
+
+def observable(fs):
+    """Backend-independent view: fact content in position order."""
+    rows = fs.facts_df(STORE).orderBy("position").collect()
+    return [
+        (r.type, r.subject, dict(r.tags), bytes(r.payload.data or b""))
+        for r in rows
+    ]
+
+
+def run_sequence(fs, seed: int):
+    """Deterministic op sequence; conditions reference THIS store's own
+    returned fact ids (ids differ per backend, the references are
+    symmetric). Returns the outcome-type trace."""
+    rnd = random.Random(seed)
+    fs.create(STORE)
+    trace = []
+    last_ids: dict[str, str] = {}
+    used_keys = []
+    for i in range(40):
+        subject = f"s{rnd.randint(0, 4)}"
+        tags = {f"k{rnd.randint(0, 2)}": f"v{rnd.randint(0, 2)}"}
+        roll = rnd.random()
+        condition = None
+        if roll < 0.25:
+            # optimistic-concurrency on this subject's CURRENT head —
+            # half the time deliberately stale (expect a violation)
+            expected = last_ids.get(subject)
+            if rnd.random() < 0.5:
+                expected = None if expected is not None else "ghost"
+            condition = ExpectedLastFact(subject, expected)
+        elif roll < 0.45:
+            condition = TagQueryBased(
+                TagQuery([TagOnlyQueryItem({f"k{rnd.randint(0, 2)}": f"v{rnd.randint(0, 2)}"})])
+            )
+        key = None
+        if used_keys and rnd.random() < 0.15:
+            key = rnd.choice(used_keys)  # replay a key -> AlreadyApplied
+        elif rnd.random() < 0.3:
+            key = f"00000000-0000-0000-0000-{i:012d}"
+            used_keys.append(key)
+        fi = FactInput(
+            type=f"T{rnd.randint(0, 3)}",
+            subject=subject,
+            payload=FactPayload(f"payload-{i}".encode()),
+            tags=tags,
+        )
+        kwargs = {"idempotency_key": key}
+        if condition is not None:
+            kwargs["condition"] = condition
+        res = fs.append(STORE, fi, **kwargs)
+        trace.append(type(res).__name__)
+        if isinstance(res, Appended):
+            last_ids[subject] = res.fact_ids[0]
+    return trace
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_backends_equivalent_under_random_ops(spark, tmp_path, seed):
+    fa = FactStore(spark, str(tmp_path / "flock"), commit_backend="flock")
+    fo = FactStore(spark, str(tmp_path / "opt"), commit_backend="optimistic")
+    trace_a = run_sequence(fa, seed)
+    trace_o = run_sequence(fo, seed)
+    assert trace_a == trace_o  # same outcome type per operation
+
+    assert observable(fa) == observable(fo)  # same facts, same order
+
+    # finders agree (content-wise)
+    for subject in [f"s{i}" for i in range(5)]:
+        ha = [(f.type, f.subject) for f in fa.find_by_subject(STORE, subject).facts]
+        ho = [(f.type, f.subject) for f in fo.find_by_subject(STORE, subject).facts]
+        assert ha == ho
+    q = TagQuery([TagOnlyQueryItem({"k0": "v0"})])
+    qa = [(f.type, f.subject) for f in fa.find_by_tag_query(STORE, q).facts]
+    qo = [(f.type, f.subject) for f in fo.find_by_tag_query(STORE, q).facts]
+    assert qa == qo
+
+    # replay drains the same sequence
+    ra = [f.type for b in fa.replay(STORE) for f in b]
+    ro = [f.type for b in fo.replay(STORE) for f in b]
+    assert ra == ro
