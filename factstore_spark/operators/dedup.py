@@ -205,15 +205,25 @@ def ngram_jaccard_pairs(
             )
         ).alias("sh"),
     )
-    if max_shingle_df is not None:
-        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     # Inverted index via groupBy-shingle + in-memory pair expansion:
     # 2 shuffles (by shingle, then by pair) instead of the 3 a
     # self-join needs, and no join hash tables. Pair fan-out per
     # shingle is df^2/2 — the max_shingle_df cap is the skew guard.
     posting = sh.groupBy("sh").agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+    if max_shingle_df is not None:
+        # Hot-shingle cap applied ON the posting lists (size == the
+        # shingle's document frequency): one filter instead of a
+        # separate count pass + anti-join over the raw postings. Doc
+        # sizes are then derived from the SAME capped postings, so
+        # jaccard denominators see exactly the capped shingle sets.
+        posting = posting.filter(F.size("ids") <= max_shingle_df)
+        sizes = (
+            posting.select(F.explode("ids").alias("_id"))
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+    else:
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
