@@ -110,14 +110,12 @@ class StoreLayout:
         self.store_dir = store_dir
         self.data_dir = os.path.join(store_dir, DATA_DIR)
         self.stream_dir = os.path.join(store_dir, STREAM_DIR)
-        # read_commits memo keyed on (mtime_ns, size) of the log file:
-        # one append acquires the lock (orphan sweep + stream sync) and
-        # then reads the log again for seq/idempotency/conditions — the
-        # cache collapses those to ONE parse per log state. Correct
-        # across processes because any append changes the file size;
-        # same-process writers append through this layout and the key
-        # check re-stats on every call.
-        self._commits_cache: Optional[tuple[tuple[int, int], list[CommitRecord]]] = None
+        # read_commits memo: (bytes parsed through, records). The log
+        # is append-only, so growth since the cached offset is parsed
+        # incrementally (see read_commits). Correct across processes
+        # because any append grows the file; the size check re-stats on
+        # every call.
+        self._commits_cache: Optional[tuple[int, list[CommitRecord]]] = None
 
     def initialize(self) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
@@ -133,35 +131,60 @@ class StoreLayout:
     # -- commit log ---------------------------------------------------------
 
     def read_commits(self) -> list[CommitRecord]:
+        """Parse the commit log, incrementally: the log is append-only
+        (every writer appends whole fsynced lines under a lock or via
+        O_APPEND), so when the file has only GROWN since the cached
+        parse, just the new suffix is read — per-append log cost stays
+        O(new commits), not O(all commits) (which would make a
+        long-lived store's appends quadratic in lifetime)."""
         path = os.path.join(self.store_dir, COMMITS_FILE)
-        out: list[CommitRecord] = []
         try:
             st = os.stat(path)
         except FileNotFoundError:
-            return out
-        key = (st.st_mtime_ns, st.st_size)
-        if self._commits_cache is not None and self._commits_cache[0] == key:
-            return list(self._commits_cache[1])
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                d = json.loads(line)
-                out.append(
-                    CommitRecord(
-                        seq=d["seq"],
-                        rows=d["rows"],
-                        appended_at=d["appended_at"],
-                        idempotency_key=d.get("idempotency_key"),
-                        max_position=d["max_position"],
-                        bulk=d.get("bulk", False),
-                        compacted_through=d.get("compacted_through"),
-                        file=d.get("file"),
-                        tag_fps=d.get("tag_fps"),
-                    )
+            return []
+        size = st.st_size
+        out: list[CommitRecord] = []
+        start = 0
+        if self._commits_cache is not None:
+            cached_size, cached = self._commits_cache
+            if cached_size == size:
+                return list(cached)
+            if cached_size < size:
+                out = list(cached)
+                start = cached_size
+            # shrunk file (never happens in normal operation): reparse
+        with open(path, "rb") as f:
+            if start:
+                f.seek(start)
+            data = f.read(size - start)
+        # Only complete lines are ever durable, but guard anyway: stop
+        # at the last newline and leave the remainder for the next read.
+        end = data.rfind(b"\n")
+        if end < 0:
+            parsed_through = start
+            lines = []
+        else:
+            parsed_through = start + end + 1
+            lines = data[: end + 1].splitlines()
+        for raw in lines:
+            raw = raw.strip()
+            if not raw:
+                continue
+            d = json.loads(raw)
+            out.append(
+                CommitRecord(
+                    seq=d["seq"],
+                    rows=d["rows"],
+                    appended_at=d["appended_at"],
+                    idempotency_key=d.get("idempotency_key"),
+                    max_position=d["max_position"],
+                    bulk=d.get("bulk", False),
+                    compacted_through=d.get("compacted_through"),
+                    file=d.get("file"),
+                    tag_fps=d.get("tag_fps"),
                 )
-        self._commits_cache = (key, list(out))
+            )
+        self._commits_cache = (parsed_through, list(out))
         return out
 
     def last_commit(self) -> Optional[CommitRecord]:
