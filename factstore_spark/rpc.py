@@ -381,7 +381,10 @@ class FactStoreRpcService:
         return {
             "app": self.app,
             "version": self.version,
-            "storage_backend": "spark-parquet-" + self.fs.commit_backend,
+            # proto3 canonical JSON renders `string storage_backend = 3`
+            # as lowerCamelCase — json_format.ParseDict on the generated
+            # message would drop a snake_case key.
+            "storageBackend": "spark-parquet-" + self.fs.commit_backend,
         }
 
     # -- streaming ---------------------------------------------------------

@@ -63,6 +63,15 @@ class OptimisticStoreLayout(StoreLayout):
     def __init__(self, store_dir: str):
         super().__init__(store_dir)
         self.log_dir = os.path.join(store_dir, COMMIT_LOG_DIR)
+        # Claim files are immutable once linked (content is fsynced to a
+        # temp file before the atomic link), so their parse is memoized
+        # per filename: each read_commits only opens names not yet seen.
+        # Without this an append — which calls read_commits several
+        # times per attempt — re-parses every claim on every call,
+        # O(all commits) per append (the quadratic-lifetime cost the
+        # incremental jsonl parse in layout.py eliminates for the flock
+        # backend).
+        self._claim_memo: dict[str, CommitRecord] = {}
 
     def initialize(self) -> None:
         super().initialize()
@@ -76,16 +85,20 @@ class OptimisticStoreLayout(StoreLayout):
             names = os.listdir(self.log_dir)
         except FileNotFoundError:
             names = []
+        live: set[str] = set()
         for name in names:
             if not name.endswith(".json"):
                 continue
-            try:
-                with open(os.path.join(self.log_dir, name)) as f:
-                    d = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                continue  # racing with an unlink; claims are never partial
-            out.append(
-                CommitRecord(
+            live.add(name)
+            rec = self._claim_memo.get(name)
+            if rec is None:
+                try:
+                    with open(os.path.join(self.log_dir, name)) as f:
+                        d = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    live.discard(name)
+                    continue  # racing with an unlink; claims are never partial
+                rec = CommitRecord(
                     seq=d["seq"],
                     rows=d["rows"],
                     appended_at=d["appended_at"],
@@ -96,7 +109,12 @@ class OptimisticStoreLayout(StoreLayout):
                     file=d.get("file"),
                     tag_fps=d.get("tag_fps"),
                 )
-            )
+                self._claim_memo[name] = rec
+            out.append(rec)
+        if len(self._claim_memo) > len(live):
+            # Prune names removed by maintenance (superseded claims).
+            for gone in set(self._claim_memo) - live:
+                del self._claim_memo[gone]
         # Deterministic log order: by seq, compaction records after the
         # data commit whose seq they reuse.
         out.sort(key=lambda c: (c.seq, c.compacted_through is not None))
@@ -254,11 +272,9 @@ class OptimisticStoreLayout(StoreLayout):
 
         now = time.time()
         committed_files = set()
-        committed_seqs = set()
         for c in self.read_commits():
             if c.file:
                 committed_files.add(c.file)
-            committed_seqs.add(c.seq)
         for name in os.listdir(self.data_dir):
             path = os.path.join(self.data_dir, name)
             if not name.startswith("commit-"):
@@ -266,12 +282,25 @@ class OptimisticStoreLayout(StoreLayout):
             if name in committed_files:
                 continue
             if name.endswith("-bulk") and os.path.isdir(path):
+                # Bulk dirs are named by their RESERVE seq, and the
+                # zero-row reservation claim puts that seq in
+                # committed_seqs even when the publish never happened
+                # (crash between reserve and publish) — so membership in
+                # committed_seqs must NOT shield the dir, or every
+                # crashed bulk ingest leaks its data dir forever. A dir
+                # is live only if some commit's ``file`` field references
+                # it (checked above) or its reservation claim is younger
+                # than the age gate (in-flight write).
                 try:
                     seq = int(name.split("-")[1])
                 except (ValueError, IndexError):
                     continue
-                if seq in committed_seqs:
-                    continue  # reserved-then-published dirs are named by reserve seq
+                claim = os.path.join(self.log_dir, f"{seq:020d}.json")
+                try:
+                    if now - os.path.getmtime(claim) <= 3600:
+                        continue  # reservation fresh: publish may still land
+                except OSError:
+                    pass  # no claim (flock-era dir or swept) — dir age gates below
             try:
                 age = now - os.path.getmtime(path)
             except OSError:

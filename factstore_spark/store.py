@@ -409,28 +409,43 @@ class FactStore:
                     )
                     .collect()[0]
                 )
-            if agg is not None and agg["n"] > 0 and "position" in cols:
-                # Caller-supplied positions must keep the strict
-                # total-order/unique-position invariant that cursors,
-                # replay bounds and heads depend on: non-negative
-                # (below-base values would land under the current head)
-                # and duplicate-free. One cheap check off the same
-                # one-pass aggregate; the commit is rejected, not
-                # silently corrupted.
+            if agg is not None and agg["n"] > 0:
+                # The strict total-order/unique-position invariant that
+                # cursors, replay bounds and heads depend on is checked
+                # on the WRITTEN data in every branch: caller-supplied
+                # positions may be negative or duplicated, and even the
+                # auto-assigned path re-evaluates the source plan between
+                # the count job and the write — a nondeterministic source
+                # (sample/limit/rand) can shift rows across partitions
+                # and silently duplicate positions. One cheap check off
+                # the same one-pass aggregate; the commit is rejected,
+                # not silently corrupted.
                 import shutil
 
+                preassigned = "position" in cols
                 if int(agg["lo"]) < base:
                     shutil.rmtree(out_dir, ignore_errors=True)
-                    return AppendConditionViolated(
+                    msg = (
                         "pre-assigned positions must be >= 0 "
                         f"(min was {int(agg['lo']) - base})"
+                        if preassigned
+                        else "position assignment produced out-of-range values "
+                        "(source plan repartitioned between jobs; "
+                        f"min was {int(agg['lo']) - base} below base)"
                     )
+                    return AppendConditionViolated(msg)
                 if int(agg["n_distinct"]) != int(agg["n"]):
                     shutil.rmtree(out_dir, ignore_errors=True)
-                    return AppendConditionViolated(
+                    msg = (
                         "pre-assigned positions must be unique within the commit "
                         f"({int(agg['n']) - int(agg['n_distinct'])} duplicates)"
+                        if preassigned
+                        else "position assignment produced duplicates "
+                        "(nondeterministic source partitioning between jobs; "
+                        f"{int(agg['n']) - int(agg['n_distinct'])} duplicates) — "
+                        "materialize the input or pre-assign positions"
                     )
+                    return AppendConditionViolated(msg)
             if agg is None or agg["n"] == 0:
                 # Empty input: record a zero-row commit so the
                 # idempotency key is still honored; nothing to read back.
@@ -520,9 +535,33 @@ class FactStore:
                 F.count("*").alias("n"),
                 F.min("position").alias("lo"),
                 F.max("position").alias("hi"),
+                F.countDistinct("position").alias("nd"),
             )
             .collect()[0]
         )
+        # Validate the invariant on the WRITTEN data, not the pre-write
+        # evaluation of ``df`` (the write re-evaluates the plan; a
+        # nondeterministic source can shift rows between partitions and
+        # duplicate positions even when the pre-write check above
+        # passed). Abort (leaving the reservation as a harmless hole —
+        # same shape as a crash mid-ingest) rather than publish a
+        # commit that breaks the strict total order.
+        n2 = int(agg2["n"] or 0)
+        if n2 > 0 and (int(agg2["lo"]) < base or int(agg2["nd"]) != n2):
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            if int(agg2["lo"]) < base:
+                return AppendConditionViolated(
+                    "written positions fell below the reserved base "
+                    f"(min was {int(agg2['lo']) - base}) — "
+                    "nondeterministic source plan; materialize the input"
+                )
+            return AppendConditionViolated(
+                "written positions are not unique within the commit "
+                f"({n2 - int(agg2['nd'])} duplicates) — "
+                "nondeterministic source plan; materialize the input"
+            )
         pseq = layout.publish_bulk(
             dir_name, int(agg2["n"]), int(agg2["hi"]), appended_at, key
         )

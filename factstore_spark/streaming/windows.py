@@ -110,12 +110,26 @@ def dedup_stream_by_content(
     repeats within the watermark horizon. Map-only before the stateful
     dedup; the fingerprint (16 bytes) is all the state ever holds per
     key."""
+    from pyspark.sql.types import BinaryType, StringType
+
     col = F.col(text_col)
-    fp = F.md5(
-        F.when(col.cast("string").isNotNull(), F.lower(col.cast("string"))).otherwise(
-            F.lit("")
-        ).cast("binary")
-    )
+    # Analysis-only dtype probe (handles nested paths like payload.data).
+    dtype = stream.select(col.alias("_t")).schema[0].dataType
+    if isinstance(dtype, BinaryType):
+        # Hash the raw bytes — a string round-trip would lower-case
+        # ASCII and mangle non-UTF-8, fingerprinting DISTINCT payloads
+        # identically and silently dropping the non-duplicate row.
+        fp = F.md5(F.coalesce(col, F.lit(b"")))
+    elif isinstance(dtype, StringType):
+        fp = F.md5(F.coalesce(F.lower(col), F.lit("")).cast("binary"))
+    else:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dtype, (StructType, MapType, ArrayType)):
+            # Structured payloads: canonical JSON text, case-preserving.
+            fp = F.md5(F.coalesce(F.to_json(col), F.lit("")).cast("binary"))
+        else:
+            fp = F.md5(F.coalesce(col.cast("string"), F.lit("")).cast("binary"))
     with_fp = stream.withColumn("_content_fp", fp)
     return dedup_stream(with_fp, ["_content_fp"], time_col, watermark).drop(
         "_content_fp"

@@ -79,6 +79,104 @@ def test_bulk_reserve_publish_roundtrip(fso, spark):
     assert isinstance(fso.append_dataframe(STORE, bad), AppendConditionViolated)
 
 
+def test_bulk_auto_position_instability_rejected_optimistic(fso, spark, monkeypatch):
+    """Optimistic branch: the post-write aggregate (not the pre-write
+    evaluation of ``df``) enforces unique in-range positions; a
+    duplicate-producing assignment aborts before publish, leaving only
+    the harmless reservation hole."""
+    import factstore_spark.store as store_mod
+
+    def unstable(df, base):
+        return df.withColumn("position", F.lit(base).cast("long"))
+
+    monkeypatch.setattr(store_mod, "assign_contiguous_positions", unstable)
+    fso.create(STORE)
+    df = spark.range(5).repartition(2).select(
+        F.lit("BULK").alias("type"),
+        F.concat(F.lit("S"), F.col("id")).alias("subject"),
+        F.struct(
+            F.lit(b"").alias("data"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("schema_ref"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    res = fso.append_dataframe(STORE, df)
+    assert isinstance(res, AppendConditionViolated)
+    assert "not unique" in res.reason
+    assert fso.facts_df(STORE).count() == 0
+    # store still accepts a clean bulk afterwards
+    monkeypatch.undo()
+    ok = fso.append_dataframe(STORE, df)
+    assert isinstance(ok, Appended)
+    assert fso.facts_df(STORE).count() == 5
+
+
+def test_orphan_bulk_dir_from_crashed_reserve_is_swept(fso, spark):
+    """A crashed reserve-then-publish bulk ingest leaves a data dir
+    whose reserve seq IS in the commit log (the zero-row reservation
+    claim), so seq-membership must not shield it: once both the
+    reservation claim and the dir are past the age gate with no publish
+    record referencing the dir, the sweep reclaims it. A published dir
+    of the same age survives."""
+    import os
+    import time
+
+    from factstore_spark.storage.layout import utcnow_us
+
+    fso.create(STORE)
+    fso.append(STORE, FactInput(type="ROW", subject="s"))
+    meta = fso.catalog.find_by_name(STORE)
+    layout = fso._layout(meta.id)
+
+    # published bulk dir (real reserve-then-publish ingest) — must
+    # survive any sweep regardless of age: its publish record's `file`
+    # field references the dir.
+    df = spark.range(3).select(
+        F.lit("BULK").alias("type"),
+        F.concat(F.lit("S"), F.col("id")).alias("subject"),
+        F.struct(
+            F.lit(b"").alias("data"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("schema_ref"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    res = fso.append_dataframe(STORE, df)
+    assert isinstance(res, Appended)
+    published_dirs = [
+        d for d in os.listdir(layout.data_dir) if d.endswith("-bulk")
+    ]
+    assert len(published_dirs) == 1
+    pub_dir = os.path.join(layout.data_dir, published_dirs[0])
+
+    # simulate the crash: reserve a range, write the data dir, never publish
+    seq, base = layout.reserve_position_range(9, utcnow_us())
+    dir_name = f"commit-{seq:010d}-bulk"
+    out_dir = os.path.join(layout.data_dir, dir_name)
+    os.makedirs(out_dir)
+    open(os.path.join(out_dir, "part-00000.parquet"), "wb").close()
+
+    # fresh reservation: sweep must NOT touch the dir (publish may land)
+    with layout.commit_lock():
+        pass
+    assert os.path.isdir(out_dir)
+
+    # age everything past the 1 h gate — orphan AND published dir
+    old = time.time() - 7200
+    os.utime(out_dir, (old, old))
+    os.utime(os.path.join(layout.log_dir, f"{seq:020d}.json"), (old, old))
+    os.utime(pub_dir, (old, old))
+    with layout.commit_lock():
+        pass
+    assert not os.path.exists(out_dir)  # leak reclaimed
+    assert os.path.isdir(pub_dir)  # published dir shielded by its `file` record
+    # the store is still fully functional and all committed data intact
+    assert fso.facts_df(STORE).count() == 4
+
+
 def test_replay_and_compaction(fso):
     fso.create(STORE)
     for i in range(30):

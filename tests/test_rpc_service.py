@@ -420,4 +420,6 @@ def test_get_server_info(channel):
     res = channel.unary("InfoService", "GetServerInfo", {})
     assert res["app"] == "factstore-spark"
     assert res["version"]
-    assert "spark-parquet" in res["storage_backend"]
+    # proto3 canonical JSON: `string storage_backend = 3` -> lowerCamelCase.
+    assert "spark-parquet" in res["storageBackend"]
+    assert "storage_backend" not in res

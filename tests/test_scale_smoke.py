@@ -166,6 +166,28 @@ def test_bulk_caller_position_validation(fs, spark):
     assert fs.facts_df("val-store").count() == 4
 
 
+def test_bulk_auto_position_instability_rejected(fs, spark, monkeypatch):
+    """Engine-assigned positions are re-validated on the WRITTEN data:
+    the write re-evaluates the source plan, so a nondeterministic
+    source whose partitioning shifts between the count job and the
+    write can duplicate positions even though the assigner is correct.
+    Simulated by a broken assigner; the commit must abort, not corrupt
+    the strict total order."""
+    import factstore_spark.store as store_mod
+    from pyspark.sql import functions as F
+    from factstore_spark.results import AppendConditionViolated
+
+    def unstable(df, base):
+        return df.withColumn("position", F.lit(base).cast("long"))
+
+    monkeypatch.setattr(store_mod, "assign_contiguous_positions", unstable)
+    fs.create("unstable-store")
+    res = fs.append_dataframe("unstable-store", _fact_frame(spark, 5, n_parts=2))
+    assert isinstance(res, AppendConditionViolated)
+    assert "duplicates" in res.reason
+    assert fs.facts_df("unstable-store").count() == 0
+
+
 def test_compaction_and_tag_index_maintenance_path(fs, spark, sf_dir):
     """Maintenance path: bulk-ingest 3 commits (3k facts from
     events x3 remaps), compact, rebuild the tag index — finder results

@@ -124,3 +124,33 @@ def test_dedup_stream_by_content(fs, spark, tmp_path):
     assert len(rows) == 2  # one survivor per distinct content
     assert {r.type for r in rows} <= {"A", "B", "C"}
     assert "C" in {r.type for r in rows}  # the unique content always survives
+
+
+def test_dedup_stream_binary_case_sensitive(fs, spark, tmp_path):
+    """Binary payloads are hashed as raw bytes: two payloads differing
+    only in ASCII case are DISTINCT content and must both survive (a
+    string round-trip would lower-case them into the same fingerprint
+    and silently drop one — data loss in the ingest dedup stage)."""
+    from factstore_spark.model import FactPayload
+    from factstore_spark.streaming.windows import dedup_stream_by_content
+
+    fs.create(STORE)
+    fs.append(
+        STORE,
+        [
+            FactInput(type="A", subject="a", payload=FactPayload(b"Same Text")),
+            FactInput(type="B", subject="b", payload=FactPayload(b"same text")),
+            FactInput(type="C", subject="c", payload=FactPayload(b"same text")),
+        ],
+    )
+    stream = fs.subscribe_stream(STORE, StartPosition.Beginning())
+    out = _drain(
+        dedup_stream_by_content(stream, text_col="payload.data"),
+        "dedup_content_bin",
+        tmp_path,
+        spark,
+        mode="append",
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # A and one of {B, C}; never 1
+    assert "A" in {r.type for r in rows}
