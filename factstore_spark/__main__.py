@@ -63,9 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--root", default=os.environ.get("FACTSTORE_ROOT", "./factstore-data"))
     ap.add_argument(
         "--backend",
-        choices=("flock", "optimistic"),
         default=os.environ.get("FACTSTORE_BACKEND", "flock"),
-        help="commit backend: per-store lock (flock) or lock-free claim-retry (optimistic)",
+        help="commit backend: flock (per-store lock), optimistic[+hardlink|+excl"
+        "|+objstore://host:port/key] (lock-free claim-retry over a CAS substrate)",
     )
     sub = ap.add_subparsers(dest="cmd", required=True)
 

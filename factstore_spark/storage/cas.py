@@ -1,0 +1,306 @@
+"""Pluggable CAS slot-claim primitive for the optimistic commit log.
+
+The lock-free commit protocol (storage/optimistic.py) needs exactly one
+operation from its storage substrate: *atomically create a named,
+immutable slot, failing if the name is taken*. Everything else — retry,
+condition re-evaluation, position assignment — is protocol, not
+storage. This module isolates that one operation behind ``SlotStore``
+so the protocol is provably portable across the substrates a 100 TB
+deployment actually meets:
+
+- ``HardlinkSlotStore`` — shared POSIX filesystem (NFS, Lustre):
+  content is written + fsynced to a temp file FIRST, then ``os.link``
+  publishes it under the slot name — link(2) fails with EEXIST if the
+  slot is taken, and a visible slot is always complete.
+- ``ExclCreateSlotStore`` — HDFS-style ``create(path,
+  overwrite=false)``: O_CREAT|O_EXCL reserves the name, content lands
+  after. The CLAIM is atomic; a reader can observe an in-flight slot
+  with partial content, which the commit-log reader tolerates (it skips
+  unparseable slots and re-reads — claims are immutable once complete,
+  so the skip is transient). This is exactly the consistency HDFS
+  create-no-overwrite gives.
+- ``FakeObjectStoreSlotStore`` — S3/GCS conditional PUT
+  (``If-None-Match: *``): a whole-object PUT that fails if the key
+  exists, served by an in-memory object-store process
+  (``ObjectStoreServer``) that client processes reach over a
+  ``multiprocessing.managers`` connection. Object stores make whole
+  objects visible atomically, so readers never see partial slots.
+
+All three run under the SAME multiprocess exactly-one-winner race
+tests (tests/test_multiprocess_race.py) and the model-based
+flock-equivalence suite (tests/test_backend_equivalence.py) — the
+contract the reference gets from FoundationDB transaction conflict
+ranges (factstore-foundationdb FdbFactAppender.kt:33-65) is here a
+property of any store offering compare-and-set creation.
+
+Spec strings (``FactStore(commit_backend=...)``):
+
+- ``"optimistic"`` / ``"optimistic+hardlink"`` — hardlink claims;
+- ``"optimistic+excl"`` — create-no-overwrite claims;
+- ``"optimistic+objstore://HOST:PORT/AUTHKEYHEX"`` — conditional-PUT
+  claims against a running ``ObjectStoreServer``.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+from multiprocessing.managers import BaseManager
+from typing import Optional
+
+
+class SlotStore:
+    """Atomic named-slot creation over some storage substrate.
+
+    Contract: ``put_if_absent`` is linearizable — for any name, exactly
+    one concurrent caller (across threads, processes, hosts) returns
+    True; slots are immutable once created; ``list_names``/``read``
+    eventually observe every created slot and never a deleted one.
+    """
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def list_names(self) -> list[str]:
+        raise NotImplementedError
+
+    def read(self, name: str) -> Optional[bytes]:
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, name: str) -> Optional[float]:
+        """Creation/modification time for age-gated maintenance; None
+        if the slot does not exist."""
+        raise NotImplementedError
+
+
+class HardlinkSlotStore(SlotStore):
+    """Shared-POSIX-FS slots: fsync-to-temp then hardlink-as-O_EXCL.
+
+    A linked slot is always complete, so readers never need to tolerate
+    partial content on this substrate."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(self.dir, exist_ok=True)
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, os.path.join(self.dir, name))
+            won = True
+        except FileExistsError:
+            won = False
+        finally:
+            os.unlink(tmp)
+        if won:
+            dfd = os.open(self.dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        return won
+
+    def list_names(self) -> list[str]:
+        try:
+            return [n for n in os.listdir(self.dir) if not n.startswith(".tmp-")]
+        except FileNotFoundError:
+            return []
+
+    def read(self, name: str) -> Optional[bytes]:
+        try:
+            with open(os.path.join(self.dir, name), "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def delete(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.dir, name))
+        except OSError:
+            pass
+
+    def mtime(self, name: str) -> Optional[float]:
+        try:
+            return os.path.getmtime(os.path.join(self.dir, name))
+        except OSError:
+            return None
+
+
+class ExclCreateSlotStore(HardlinkSlotStore):
+    """HDFS-create-no-overwrite-shaped slots: O_CREAT|O_EXCL reserves
+    the final name atomically, then the content is written into it.
+
+    Readers may transiently observe a reserved-but-unfinished slot
+    (exactly HDFS semantics); the commit-log reader skips unparseable
+    slots and re-reads, and writers never reuse the name because the
+    reservation itself is what claims it. Listing/read/delete/mtime are
+    inherited plain-file operations."""
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        path = os.path.join(self.dir, name)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Fake object store: conditional-PUT semantics served cross-process
+# ---------------------------------------------------------------------------
+
+
+class _ObjectStoreService:
+    """The object store itself: whole-object atomic PUTs keyed by
+    string, conditional on absence — the If-None-Match: * subset of
+    S3/GCS that the commit protocol needs. Runs inside the
+    ObjectStoreServer process; the manager serves each client in its
+    own thread, so the lock provides the linearizable CAS."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        with self._lock:
+            if key in self._objects:
+                return False
+            self._objects[key] = bytes(data)
+            self._mtimes[key] = time.time()
+            return True
+
+    def get(self, key: str):
+        with self._lock:
+            return self._objects.get(key)
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        with self._lock:
+            return [k for k in self._objects if k.startswith(prefix)]
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(key, None)
+            self._mtimes.pop(key, None)
+
+    def mtime(self, key: str):
+        with self._lock:
+            return self._mtimes.get(key)
+
+
+class _ObjectStoreManager(BaseManager):
+    pass
+
+
+_SERVICE_SINGLETON: Optional[_ObjectStoreService] = None
+
+
+def _service() -> _ObjectStoreService:
+    global _SERVICE_SINGLETON
+    if _SERVICE_SINGLETON is None:
+        _SERVICE_SINGLETON = _ObjectStoreService()
+    return _SERVICE_SINGLETON
+
+
+_ObjectStoreManager.register(
+    "store",
+    callable=_service,
+    exposed=["put_if_absent", "get", "list_prefix", "delete", "mtime"],
+)
+
+
+class ObjectStoreServer:
+    """In-memory fake object store reachable from other processes.
+
+    ``start()`` returns the backend spec string
+    (``optimistic+objstore://host:port/authkeyhex``) that any process —
+    including subprocess race workers — passes to
+    ``FactStore(commit_backend=...)`` to commit through conditional
+    PUTs against this server."""
+
+    def __init__(self):
+        self._authkey = uuid.uuid4().hex.encode()
+        self._mgr = _ObjectStoreManager(
+            address=("127.0.0.1", 0), authkey=self._authkey
+        )
+
+    def start(self) -> str:
+        self._mgr.start()
+        host, port = self._mgr.address
+        return f"optimistic+objstore://{host}:{port}/{self._authkey.decode()}"
+
+    def stop(self) -> None:
+        self._mgr.shutdown()
+
+
+class FakeObjectStoreSlotStore(SlotStore):
+    """Client leg of the fake object store: slots are objects under a
+    per-store key prefix; every operation is one RPC to the server,
+    whose lock makes the conditional PUT linearizable across all client
+    processes."""
+
+    def __init__(self, host: str, port: int, authkey: bytes, prefix: str):
+        self._prefix = prefix.rstrip("/") + "/"
+        mgr = _ObjectStoreManager(address=(host, port), authkey=authkey)
+        mgr.connect()
+        self._proxy = mgr.store()
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        return self._proxy.put_if_absent(self._prefix + name, data)
+
+    def list_names(self) -> list[str]:
+        plen = len(self._prefix)
+        return [k[plen:] for k in self._proxy.list_prefix(self._prefix)]
+
+    def read(self, name: str) -> Optional[bytes]:
+        return self._proxy.get(self._prefix + name)
+
+    def delete(self, name: str) -> None:
+        self._proxy.delete(self._prefix + name)
+
+    def mtime(self, name: str) -> Optional[float]:
+        return self._proxy.mtime(self._prefix + name)
+
+
+# ---------------------------------------------------------------------------
+# Spec parsing
+# ---------------------------------------------------------------------------
+
+OBJSTORE_SCHEME = "objstore://"
+
+
+def make_slot_store(spec: str, log_dir: str) -> SlotStore:
+    """Build the SlotStore for an optimistic commit-log spec.
+
+    ``spec`` is the part after ``optimistic+`` (empty/"hardlink" for
+    the default); ``log_dir`` is the store's commit-log directory —
+    the slot directory for filesystem substrates and the key prefix
+    for the object store (unique per store by construction)."""
+    if spec in ("", "hardlink"):
+        return HardlinkSlotStore(log_dir)
+    if spec == "excl":
+        return ExclCreateSlotStore(log_dir)
+    if spec.startswith(OBJSTORE_SCHEME):
+        rest = spec[len(OBJSTORE_SCHEME):]
+        hostport, _, key = rest.partition("/")
+        host, _, port = hostport.partition(":")
+        if not (host and port and key):
+            raise ValueError(f"bad objstore spec: {spec!r}")
+        return FakeObjectStoreSlotStore(host, int(port), key.encode(), log_dir)
+    raise ValueError(f"unknown slot-store spec: {spec!r}")

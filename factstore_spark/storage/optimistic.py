@@ -10,12 +10,13 @@ exactly the optimistic-transaction shape of the reference's FDB backend
 (FdbFactAppender.kt:33-65, conflict ranges -> retry) and of a Delta
 ``_delta_log`` commit.
 
-The atomic primitive is ``os.link(tmp, final)`` (hardlink-as-O_EXCL):
-the record's full content is written and fsynced to a temp file FIRST,
-then linked into the log directory — link(2) fails with EEXIST if the
-seq is taken, and a claimed file is always complete (readers never see
-partial records). On an object store the same slot-claim is a
-conditional PUT (If-None-Match); on HDFS it is create-no-overwrite.
+The atomic primitive — create a named immutable slot, failing if the
+name is taken — is PLUGGABLE (storage/cas.py): hardlink-as-O_EXCL on a
+shared POSIX FS (default), O_CREAT|O_EXCL create-no-overwrite (the
+HDFS shape), or a conditional PUT (If-None-Match) against an object
+store — all three proven under the same multiprocess race tests. The
+protocol below never touches the substrate except through that one
+``SlotStore`` operation.
 
 Data files are written (uuid-suffixed, recorded in the claim via the
 ``file`` field) BEFORE the claim, so readers resolving files through
@@ -60,9 +61,12 @@ class OptimisticStoreLayout(StoreLayout):
     claim directory with any legacy ``commits.jsonl`` lines, e.g. those
     written by compaction under the maintenance lock)."""
 
-    def __init__(self, store_dir: str):
+    def __init__(self, store_dir: str, slot_spec: str = ""):
         super().__init__(store_dir)
         self.log_dir = os.path.join(store_dir, COMMIT_LOG_DIR)
+        from .cas import make_slot_store
+
+        self.slots = make_slot_store(slot_spec, self.log_dir)
         # Claim files are immutable once linked (content is fsynced to a
         # temp file before the atomic link), so their parse is memoized
         # per filename: each read_commits only opens names not yet seen.
@@ -81,23 +85,24 @@ class OptimisticStoreLayout(StoreLayout):
 
     def read_commits(self) -> list[CommitRecord]:
         out = list(super().read_commits())  # maintenance-written lines
-        try:
-            names = os.listdir(self.log_dir)
-        except FileNotFoundError:
-            names = []
         live: set[str] = set()
-        for name in names:
+        for name in self.slots.list_names():
             if not name.endswith(".json"):
                 continue
             live.add(name)
             rec = self._claim_memo.get(name)
             if rec is None:
+                raw = self.slots.read(name)
                 try:
-                    with open(os.path.join(self.log_dir, name)) as f:
-                        d = json.load(f)
-                except (OSError, json.JSONDecodeError):
+                    d = json.loads(raw) if raw else None
+                except json.JSONDecodeError:
+                    d = None
+                if d is None:
+                    # Raced with a delete, or an in-flight excl-create
+                    # slot whose content hasn't landed yet — transient;
+                    # the next read re-attempts the parse.
                     live.discard(name)
-                    continue  # racing with an unlink; claims are never partial
+                    continue
                 rec = CommitRecord(
                     seq=d["seq"],
                     rows=d["rows"],
@@ -123,27 +128,10 @@ class OptimisticStoreLayout(StoreLayout):
     # -- the atomic claim ---------------------------------------------------
 
     def _claim(self, name: str, record: dict) -> bool:
-        """Atomically publish ``record`` as ``commit_log/<name>``.
-        Returns False if the slot is already taken (conflict)."""
-        tmp = os.path.join(self.store_dir, f".claim-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, os.path.join(self.log_dir, name))
-            won = True
-        except FileExistsError:
-            won = False
-        finally:
-            os.unlink(tmp)
-        if won:
-            dfd = os.open(self.log_dir, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-        return won
+        """Atomically publish ``record`` as commit-log slot ``name``
+        through the pluggable CAS primitive (storage/cas.py). Returns
+        False if the slot is already taken (conflict)."""
+        return self.slots.put_if_absent(name, json.dumps(record).encode())
 
     # -- row-append protocol ------------------------------------------------
 
@@ -295,12 +283,10 @@ class OptimisticStoreLayout(StoreLayout):
                     seq = int(name.split("-")[1])
                 except (ValueError, IndexError):
                     continue
-                claim = os.path.join(self.log_dir, f"{seq:020d}.json")
-                try:
-                    if now - os.path.getmtime(claim) <= 3600:
-                        continue  # reservation fresh: publish may still land
-                except OSError:
-                    pass  # no claim (flock-era dir or swept) — dir age gates below
+                claim_mt = self.slots.mtime(f"{seq:020d}.json")
+                if claim_mt is not None and now - claim_mt <= 3600:
+                    continue  # reservation fresh: publish may still land
+                # no claim (flock-era dir or swept) — dir age gates below
             try:
                 age = now - os.path.getmtime(path)
             except OSError:

@@ -132,9 +132,23 @@ class FactStore:
         """``commit_backend``: "flock" (default — per-store fcntl lock,
         single-node) or "optimistic" (lock-free claim-retry commit log,
         the Delta/Iceberg-shaped protocol; see storage/optimistic.py).
-        All writers of a store must use the same backend."""
-        if commit_backend not in ("flock", "optimistic"):
+        The optimistic CAS substrate is selectable (storage/cas.py):
+        "optimistic+hardlink" (default), "optimistic+excl"
+        (create-no-overwrite, the HDFS shape), or
+        "optimistic+objstore://host:port/key" (conditional PUT against
+        an ObjectStoreServer). All writers of a store must use the same
+        backend."""
+        if commit_backend != "flock" and not commit_backend.startswith("optimistic"):
             raise ValueError(f"unknown commit backend: {commit_backend!r}")
+        if commit_backend.startswith("optimistic"):
+            slot_spec = commit_backend[len("optimistic"):].lstrip("+")
+            if slot_spec not in ("", "hardlink", "excl") and not slot_spec.startswith(
+                "objstore://"
+            ):
+                raise ValueError(f"unknown commit backend: {commit_backend!r}")
+            self._slot_spec = slot_spec
+        else:
+            self._slot_spec = None
         self.spark = spark
         self.root = root
         self.commit_backend = commit_backend
@@ -917,10 +931,12 @@ class FactStore:
         # locked append performs to a single parse.
         layout = self._layouts.get(store_id)
         if layout is None:
-            if self.commit_backend == "optimistic":
+            if self.commit_backend.startswith("optimistic"):
                 from .storage.optimistic import OptimisticStoreLayout
 
-                layout = OptimisticStoreLayout(self._store_dir(store_id))
+                layout = OptimisticStoreLayout(
+                    self._store_dir(store_id), slot_spec=self._slot_spec
+                )
             else:
                 layout = StoreLayout(self._store_dir(store_id))
             self._layouts[store_id] = layout

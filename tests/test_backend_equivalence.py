@@ -82,25 +82,41 @@ def run_sequence(fs, seed: int):
 
 @pytest.mark.parametrize("seed", [101, 202])
 def test_backends_equivalent_under_random_ops(spark, tmp_path, seed):
-    fa = FactStore(spark, str(tmp_path / "flock"), commit_backend="flock")
-    fo = FactStore(spark, str(tmp_path / "opt"), commit_backend="optimistic")
-    trace_a = run_sequence(fa, seed)
-    trace_o = run_sequence(fo, seed)
-    assert trace_a == trace_o  # same outcome type per operation
+    """flock vs the optimistic protocol over EVERY CAS substrate
+    (hardlink, create-no-overwrite, object-store conditional PUT) —
+    swapping the commit substrate must be invisible to the app."""
+    from factstore_spark.storage.cas import ObjectStoreServer
 
-    assert observable(fa) == observable(fo)  # same facts, same order
+    srv = ObjectStoreServer()
+    objspec = srv.start()
+    try:
+        fa = FactStore(spark, str(tmp_path / "flock"), commit_backend="flock")
+        others = [
+            FactStore(spark, str(tmp_path / "opt"), commit_backend="optimistic"),
+            FactStore(spark, str(tmp_path / "excl"), commit_backend="optimistic+excl"),
+            FactStore(spark, str(tmp_path / "objs"), commit_backend=objspec),
+        ]
+        trace_a = run_sequence(fa, seed)
+        obs_a = observable(fa)
+        subj_a = {
+            s: [(f.type, f.subject) for f in fa.find_by_subject(STORE, s).facts]
+            for s in [f"s{i}" for i in range(5)]
+        }
+        q = TagQuery([TagOnlyQueryItem({"k0": "v0"})])
+        q_a = [(f.type, f.subject) for f in fa.find_by_tag_query(STORE, q).facts]
+        replay_a = [f.type for b in fa.replay(STORE) for f in b]
 
-    # finders agree (content-wise)
-    for subject in [f"s{i}" for i in range(5)]:
-        ha = [(f.type, f.subject) for f in fa.find_by_subject(STORE, subject).facts]
-        ho = [(f.type, f.subject) for f in fo.find_by_subject(STORE, subject).facts]
-        assert ha == ho
-    q = TagQuery([TagOnlyQueryItem({"k0": "v0"})])
-    qa = [(f.type, f.subject) for f in fa.find_by_tag_query(STORE, q).facts]
-    qo = [(f.type, f.subject) for f in fo.find_by_tag_query(STORE, q).facts]
-    assert qa == qo
-
-    # replay drains the same sequence
-    ra = [f.type for b in fa.replay(STORE) for f in b]
-    ro = [f.type for b in fo.replay(STORE) for f in b]
-    assert ra == ro
+        for fo in others:
+            assert run_sequence(fo, seed) == trace_a  # same outcome per op
+            assert observable(fo) == obs_a  # same facts, same order
+            for s, expect in subj_a.items():
+                got = [
+                    (f.type, f.subject) for f in fo.find_by_subject(STORE, s).facts
+                ]
+                assert got == expect
+            assert [
+                (f.type, f.subject) for f in fo.find_by_tag_query(STORE, q).facts
+            ] == q_a
+            assert [f.type for b in fo.replay(STORE) for f in b] == replay_a
+    finally:
+        srv.stop()

@@ -1,12 +1,17 @@
 """Cross-PROCESS conditional-append race: the commit protocol must give
 exactly one winner even when contenders are separate OS processes
-(threads share too much to prove it). Run against BOTH backends:
+(threads share too much to prove it). Run against ALL backends:
 
 - flock — the per-store fcntl lock is the FDB-transaction stand-in;
 - optimistic — the lock-free claim-retry commit log (the Delta/Iceberg
   -shaped protocol, storage/optimistic.py): losers must detect the
   conflict at claim time, re-evaluate their condition, and report the
-  violation.
+  violation — over each CAS substrate (storage/cas.py):
+  hardlink-as-O_EXCL (shared POSIX FS), O_CREAT|O_EXCL
+  create-no-overwrite (the HDFS shape), and conditional PUT against an
+  in-memory object-store server (the S3/GCS shape). The last one is
+  the multi-writer story at 100 TB: racing processes commit through
+  If-None-Match PUTs, nothing filesystem-atomic involved.
 
 Workers use pure pyarrow engine paths (no Spark needed to append)."""
 
@@ -19,6 +24,25 @@ import pytest
 from factstore_spark import FactInput
 from factstore_spark.results import Appended
 from factstore_spark.store import FactStore
+
+BACKENDS = ["flock", "optimistic", "optimistic+excl", "objstore"]
+
+
+@pytest.fixture(params=BACKENDS)
+def backend(request):
+    """Backend spec string, starting/stopping the fake object-store
+    server for the conditional-PUT substrate (its spec embeds the
+    server address, so it must be minted per test)."""
+    if request.param == "objstore":
+        from factstore_spark.storage.cas import ObjectStoreServer
+
+        srv = ObjectStoreServer()
+        try:
+            yield srv.start()
+        finally:
+            srv.stop()
+    else:
+        yield request.param
 
 WORKER = r"""
 import json, sys
@@ -40,7 +64,6 @@ print(json.dumps(results))
 """
 
 
-@pytest.mark.parametrize("backend", ["flock", "optimistic"])
 def test_multiprocess_exactly_one_winner(spark, store_root, backend):
     fs = FactStore(spark, store_root, commit_backend=backend)
     fs.create("race-store")
@@ -67,7 +90,6 @@ def test_multiprocess_exactly_one_winner(spark, store_root, backend):
     assert len(history.facts) == 2  # seed + the one winner
 
 
-@pytest.mark.parametrize("backend", ["flock", "optimistic"])
 def test_multiprocess_unconditional_appends_all_land(spark, store_root, backend):
     """Unconditional appends from racing processes must ALL commit with
     unique seqs/positions — on the optimistic backend every loser
