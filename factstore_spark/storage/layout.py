@@ -101,6 +101,70 @@ class CommitRecord:
     # write path (FdbFactAppender.kt:124-274 walks its tag subspaces;
     # we walk the fingerprint summaries).
     tag_fps: Optional[list[int]] = None
+    # Checkpoint summary record (Delta-checkpoint analog): True when
+    # this record FOLDS every commit with seq <= its own seq — it
+    # carries their merged idempotency keys (``keys``), the max
+    # position, and the compaction pointer, so the folded records can
+    # be dropped from the log and a fresh process parses O(recent)
+    # records instead of O(lifetime).
+    checkpoint: bool = False
+    # Idempotency keys of all folded commits (checkpoint records only).
+    keys: Optional[frozenset] = None
+
+
+def commit_record_from_dict(d: dict) -> CommitRecord:
+    keys = d.get("keys")
+    return CommitRecord(
+        seq=d["seq"],
+        rows=d["rows"],
+        appended_at=d["appended_at"],
+        idempotency_key=d.get("idempotency_key"),
+        max_position=d["max_position"],
+        bulk=d.get("bulk", False),
+        compacted_through=d.get("compacted_through"),
+        file=d.get("file"),
+        tag_fps=d.get("tag_fps"),
+        checkpoint=d.get("checkpoint", False),
+        keys=frozenset(keys) if keys is not None else None,
+    )
+
+
+def commit_record_to_dict(c: CommitRecord) -> dict:
+    d = {
+        "seq": c.seq,
+        "rows": c.rows,
+        "appended_at": c.appended_at,
+        "idempotency_key": c.idempotency_key,
+        "max_position": c.max_position,
+    }
+    if c.bulk:
+        d["bulk"] = True
+    if c.compacted_through is not None:
+        d["compacted_through"] = c.compacted_through
+    if c.file is not None:
+        d["file"] = c.file
+    if c.tag_fps is not None:
+        d["tag_fps"] = c.tag_fps
+    if c.checkpoint:
+        d["checkpoint"] = True
+    if c.keys is not None:
+        d["keys"] = sorted(c.keys)
+    return d
+
+
+def _resolve_checkpoints(records: list[CommitRecord]) -> list[CommitRecord]:
+    """Apply checkpoint supersession: the latest checkpoint record
+    replaces every record with seq <= its seq. Needed beyond the
+    rewrite itself because the optimistic backend retains folded claim
+    slots for a retention window (concurrent readers may list both the
+    checkpoint and the slots it folded)."""
+    ckpt = None
+    for c in records:
+        if c.checkpoint and (ckpt is None or c.seq > ckpt.seq):
+            ckpt = c
+    if ckpt is None:
+        return records
+    return [c for c in records if c.seq > ckpt.seq or c is ckpt]
 
 
 class StoreLayout:
@@ -110,12 +174,15 @@ class StoreLayout:
         self.store_dir = store_dir
         self.data_dir = os.path.join(store_dir, DATA_DIR)
         self.stream_dir = os.path.join(store_dir, STREAM_DIR)
-        # read_commits memo: (bytes parsed through, records). The log
-        # is append-only, so growth since the cached offset is parsed
-        # incrementally (see read_commits). Correct across processes
-        # because any append grows the file; the size check re-stats on
-        # every call.
-        self._commits_cache: Optional[tuple[int, list[CommitRecord]]] = None
+        # read_commits memo: (inode, bytes parsed through, records).
+        # The log is append-only between checkpoints, so growth since
+        # the cached offset is parsed incrementally (see read_commits).
+        # Correct across processes because any append grows the file;
+        # a checkpoint REPLACES the file (tmp + rename = new inode), so
+        # the inode in the memo detects the swap and forces a full
+        # reparse — an offset into the old file would be garbage in the
+        # new one.
+        self._commits_cache: Optional[tuple[int, int, list[CommitRecord]]] = None
 
     def initialize(self) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
@@ -139,21 +206,25 @@ class StoreLayout:
         long-lived store's appends quadratic in lifetime)."""
         path = os.path.join(self.store_dir, COMMITS_FILE)
         try:
-            st = os.stat(path)
+            f = open(path, "rb")
         except FileNotFoundError:
             return []
-        size = st.st_size
-        out: list[CommitRecord] = []
-        start = 0
-        if self._commits_cache is not None:
-            cached_size, cached = self._commits_cache
-            if cached_size == size:
-                return list(cached)
-            if cached_size < size:
-                out = list(cached)
-                start = cached_size
-            # shrunk file (never happens in normal operation): reparse
-        with open(path, "rb") as f:
+        with f:
+            # fstat the OPEN fd so inode and size describe the same
+            # file even if a checkpoint swaps the log concurrently.
+            st = os.fstat(f.fileno())
+            size = st.st_size
+            out: list[CommitRecord] = []
+            start = 0
+            if self._commits_cache is not None:
+                cached_ino, cached_size, cached = self._commits_cache
+                if cached_ino == st.st_ino:
+                    if cached_size == size:
+                        return _resolve_checkpoints(list(cached))
+                    if cached_size < size:
+                        out = list(cached)
+                        start = cached_size
+                # different inode (checkpoint swap) or shrunk: full reparse
             if start:
                 f.seek(start)
             data = f.read(size - start)
@@ -170,22 +241,9 @@ class StoreLayout:
             raw = raw.strip()
             if not raw:
                 continue
-            d = json.loads(raw)
-            out.append(
-                CommitRecord(
-                    seq=d["seq"],
-                    rows=d["rows"],
-                    appended_at=d["appended_at"],
-                    idempotency_key=d.get("idempotency_key"),
-                    max_position=d["max_position"],
-                    bulk=d.get("bulk", False),
-                    compacted_through=d.get("compacted_through"),
-                    file=d.get("file"),
-                    tag_fps=d.get("tag_fps"),
-                )
-            )
-        self._commits_cache = (parsed_through, list(out))
-        return out
+            out.append(commit_record_from_dict(json.loads(raw)))
+        self._commits_cache = (st.st_ino, parsed_through, list(out))
+        return _resolve_checkpoints(out)
 
     def last_commit(self) -> Optional[CommitRecord]:
         """The record with the highest seq. (A compaction line is
@@ -246,9 +304,14 @@ class StoreLayout:
     ) -> bool:
         """Idempotency keys live in the commit log itself, so the check
         and the record are part of the same append protocol
-        (FdbFactAppender.kt:52-64, FdbFactStoreContext.kt:377-393)."""
+        (FdbFactAppender.kt:52-64, FdbFactStoreContext.kt:377-393).
+        Checkpoint records carry the merged keys of every commit they
+        folded, so the guarantee survives log checkpointing."""
         commits = self.read_commits() if commits is None else commits
-        return any(c.idempotency_key == key for c in commits)
+        return any(
+            c.idempotency_key == key or (c.keys is not None and key in c.keys)
+            for c in commits
+        )
 
     # -- locking ------------------------------------------------------------
 
@@ -268,12 +331,29 @@ class StoreLayout:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
+    def _sweep_tmp_files(self) -> None:
+        """Drop aged tmp files from crashed writers (heads/checkpoint
+        tmps are uniquely named, so a crash strands them)."""
+        import time
+
+        now = time.time()
+        for name in os.listdir(self.store_dir):
+            if not name.endswith(".tmp"):
+                continue
+            p = os.path.join(self.store_dir, name)
+            try:
+                if os.path.isfile(p) and now - os.path.getmtime(p) > 3600:
+                    os.unlink(p)
+            except OSError:
+                pass
+
     def _sweep_orphans(self) -> None:
         """Drop data files/dirs whose seq never made it into the commit
         log (crash between rename/write and commit-line append) —
         covers both row-commit files and bulk-commit directories."""
         import shutil
 
+        self._sweep_tmp_files()
         committed = {c.seq for c in self.read_commits()}
         for name in os.listdir(self.data_dir):
             path = os.path.join(self.data_dir, name)
@@ -379,7 +459,15 @@ class StoreLayout:
         for row in rows:
             heads["subjects"][row["subject"]] = [row["id"], row["position"]]
         heads["seq"] = seq
-        tmp = self._heads_path() + ".tmp"
+        self._write_heads(heads)
+
+    def _write_heads(self, heads: dict) -> None:
+        # Unique tmp per writer: heads are an eventually-consistent
+        # cache (the freshness check re-validates seq), so concurrent
+        # lock-free writers may interleave — but they must never share
+        # a tmp name, or one's rename steals the other's file out from
+        # under its own rename (FileNotFoundError).
+        tmp = self._heads_path() + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(heads, f)
         os.rename(tmp, self._heads_path())
@@ -403,10 +491,7 @@ class StoreLayout:
             table = table.sort_by("position")
             for row in table.to_pylist():
                 heads["subjects"][row["subject"]] = [row["id"], row["position"]]
-        tmp = self._heads_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(heads, f)
-        os.rename(tmp, self._heads_path())
+        self._write_heads(heads)
         return heads
 
     # -- local reads (engine-internal; queries go through Spark) ------------
@@ -487,6 +572,99 @@ class StoreLayout:
             f.flush()
             os.fsync(f.fileno())
         return True
+
+    # -- commit-log checkpointing (Delta-checkpoint analog) -----------------
+
+    def checkpoint_log(self) -> dict:
+        """Fold the compaction-superseded prefix of the commit log into
+        ONE summary record, bounding fresh-process open cost at
+        O(recent commits) instead of O(lifetime) — the Delta checkpoint
+        analog, riding on compaction's supersede mechanics: a record
+        can only be dropped once its data files are owned by a
+        compacted snapshot, so checkpointing folds exactly the commits
+        a compaction has already superseded (run ``compact`` first).
+
+        The summary preserves every invariant the folded records
+        served: ``max_position`` (head / next_seq), merged idempotency
+        ``keys`` (AlreadyApplied detection), the ``compacted_through``
+        pointer (data-file resolution), and merged ``tag_fps`` when
+        under the cap (DCB commit skipping)."""
+        with self.commit_lock():
+            commits = self.read_commits()
+            ct = None
+            comp_rows = 0
+            for c in commits:
+                if c.compacted_through is not None and (
+                    ct is None or c.compacted_through > ct
+                ):
+                    ct = c.compacted_through
+                    comp_rows = c.rows
+            if ct is None:
+                return {"checkpointed": False, "reason": "no compaction"}
+            folded = [c for c in commits if c.seq <= ct]
+            if len(folded) <= 1 and all(c.checkpoint for c in folded):
+                return {"checkpointed": False, "reason": "up to date"}
+            keys: set = set()
+            fps: Optional[set] = set()
+            max_pos = -1
+            for c in folded:
+                if c.idempotency_key is not None:
+                    keys.add(c.idempotency_key)
+                if c.keys is not None:
+                    keys.update(c.keys)
+                max_pos = max(max_pos, c.max_position)
+                if fps is not None:
+                    if c.tag_fps is None and c.rows > 0 and c.compacted_through is None:
+                        fps = None  # a folded commit with unknown tags
+                    elif c.tag_fps is not None:
+                        fps.update(c.tag_fps)
+                        if len(fps) > MAX_TAG_FPS:
+                            fps = None
+            summary = CommitRecord(
+                seq=ct,
+                rows=comp_rows,
+                appended_at=utcnow_us().isoformat(),
+                idempotency_key=None,
+                max_position=max_pos,
+                compacted_through=ct,
+                tag_fps=sorted(fps) if fps is not None else None,
+                checkpoint=True,
+                keys=frozenset(keys),
+            )
+            tail = self._checkpoint_tail(ct)
+            self._rewrite_commits_file([summary] + tail)
+            return {
+                "checkpointed": True,
+                "through_seq": ct,
+                "folded": len(folded),
+                "tail": len(tail),
+                "keys": len(keys),
+            }
+
+    def _checkpoint_tail(self, ct: int) -> list[CommitRecord]:
+        """Records that survive the rewrite: everything after the fold
+        horizon. (The optimistic backend overrides this to return only
+        jsonl-sourced records — claim slots keep living in the claim
+        dir until the retention sweep.)"""
+        return [c for c in self.read_commits() if c.seq > ct]
+
+    def _rewrite_commits_file(self, records: list[CommitRecord]) -> None:
+        """Atomically replace commits.jsonl (tmp + fsync + rename; the
+        new inode invalidates every process's incremental-parse memo)."""
+        path = os.path.join(self.store_dir, COMMITS_FILE)
+        tmp = path + f".ckpt-{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            for c in records:
+                f.write(json.dumps(commit_record_to_dict(c)) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+        dfd = os.open(self.store_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        self._commits_cache = None
 
     def append_bulk_commit_record(
         self,

@@ -48,6 +48,8 @@ from .layout import (
     COMMITS_FILE,
     CommitRecord,
     StoreLayout,
+    _resolve_checkpoints,
+    commit_record_from_dict,
     commit_tag_fps,
 )
 
@@ -103,17 +105,7 @@ class OptimisticStoreLayout(StoreLayout):
                     # the next read re-attempts the parse.
                     live.discard(name)
                     continue
-                rec = CommitRecord(
-                    seq=d["seq"],
-                    rows=d["rows"],
-                    appended_at=d["appended_at"],
-                    idempotency_key=d.get("idempotency_key"),
-                    max_position=d["max_position"],
-                    bulk=d.get("bulk", False),
-                    compacted_through=d.get("compacted_through"),
-                    file=d.get("file"),
-                    tag_fps=d.get("tag_fps"),
-                )
+                rec = commit_record_from_dict(d)
                 self._claim_memo[name] = rec
             out.append(rec)
         if len(self._claim_memo) > len(live):
@@ -121,9 +113,11 @@ class OptimisticStoreLayout(StoreLayout):
             for gone in set(self._claim_memo) - live:
                 del self._claim_memo[gone]
         # Deterministic log order: by seq, compaction records after the
-        # data commit whose seq they reuse.
+        # data commit whose seq they reuse. Checkpoint supersession is
+        # applied on the MERGED view: during the retention window both
+        # the jsonl checkpoint and the claim slots it folded exist.
         out.sort(key=lambda c: (c.seq, c.compacted_through is not None))
-        return out
+        return _resolve_checkpoints(out)
 
     # -- the atomic claim ---------------------------------------------------
 
@@ -245,6 +239,16 @@ class OptimisticStoreLayout(StoreLayout):
 
     # -- maintenance integration --------------------------------------------
 
+    def _checkpoint_tail(self, ct: int) -> list[CommitRecord]:
+        """Only jsonl-sourced records go back into the rewritten jsonl —
+        claim slots with seq > ct keep living in the claim dir (writing
+        them into the jsonl too would double-count them), and folded
+        claim slots are retention-deleted by the sweep once the
+        checkpoint has aged past the gate (concurrent readers that
+        listed the claim dir before the checkpoint landed must still
+        find every record; _resolve_checkpoints dedupes the overlap)."""
+        return [c for c in StoreLayout.read_commits(self) if c.seq > ct]
+
     def write_compaction_record(self, record: dict) -> bool:
         """Compaction record (same seq as the snapshot head it
         supersedes, so it gets a distinct slot name). Called under the
@@ -259,6 +263,7 @@ class OptimisticStoreLayout(StoreLayout):
         import time
 
         now = time.time()
+        self._sweep_tmp_files()
         committed_files = set()
         for c in self.read_commits():
             if c.file:
@@ -300,3 +305,37 @@ class OptimisticStoreLayout(StoreLayout):
                     os.unlink(path)
                 except OSError:
                     pass
+        self._sweep_folded_claims(now)
+
+    def _sweep_folded_claims(self, now: float) -> None:
+        """Retention-delete claim slots folded by a commit-log
+        checkpoint. The jsonl checkpoint supersedes every claim with
+        seq <= its seq the moment it lands (_resolve_checkpoints);
+        the physical slots are kept for an age-gated retention window
+        so a reader that listed the claim dir just before the
+        checkpoint landed still finds every record, then dropped —
+        fresh-process open cost becomes O(tail claims), not
+        O(lifetime)."""
+        from datetime import datetime
+
+        ckpt = None
+        for c in StoreLayout.read_commits(self):
+            if c.checkpoint and (ckpt is None or c.seq > ckpt.seq):
+                ckpt = c
+        if ckpt is None:
+            return
+        try:
+            created = datetime.fromisoformat(ckpt.appended_at).timestamp()
+        except ValueError:
+            return
+        if now - created <= 3600:
+            return
+        for name in self.slots.list_names():
+            if not name.endswith(".json"):
+                continue
+            try:
+                seq = int(name.split("-")[0].split(".")[0])
+            except ValueError:
+                continue
+            if seq <= ckpt.seq:
+                self.slots.delete(name)

@@ -920,6 +920,18 @@ class FactStore:
 
         return compact_store(self.spark, self._layout(meta.id), target_partitions)
 
+    def checkpoint(self, store_name: str):
+        """Fold the compaction-superseded prefix of the commit log into
+        one summary record (storage/layout.py checkpoint_log) — the
+        Delta-checkpoint analog that keeps fresh-process log-open cost
+        O(recent) over a store's lifetime. Run ``compact`` first; only
+        compaction-superseded records can be folded. Returns stats or
+        StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        return self._layout(meta.id).checkpoint_log()
+
     # ------------------------------------------------------------------
 
     def _store_dir(self, store_id: str) -> str:
