@@ -133,6 +133,64 @@ class TagIndex:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.index_dir)
 
+    def positions_for_tags(self, spark: SparkSession, tags: dict[str, str]) -> DataFrame:
+        """Position set for an AND-of-tags lookup (find_by_tags) —
+        a single TagOnly item of the query algebra."""
+        from ..model import TagOnlyQueryItem, TagQuery
+
+        return self.positions_for_query(spark, TagQuery([TagOnlyQueryItem(dict(tags))]))
+
+    def exists_after(self, query, after_pos: int) -> Optional[bool]:
+        """Spark-free EXISTS check for the DCB append condition: does
+        any fact with ``position > after_pos`` match the tag query?
+        pyarrow-only because the append path may run without a Spark
+        session; the hive layout (partitioned by ``tag_key``) means
+        only the queried keys' directories are opened — the
+        set-at-a-time analog of the reference walking its tag
+        subspaces per condition (FdbFactAppender.kt:124-274).
+
+        Returns None when the index layout is absent (caller falls
+        back to the scan path). Freshness is the CALLER's check."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pa_ds
+
+        from ..model import TagOnlyQueryItem
+
+        if not os.path.isdir(self.index_dir):
+            return None
+        try:
+            dataset = pa_ds.dataset(self.index_dir, partitioning="hive")
+        except (OSError, pa.ArrowInvalid):
+            return None
+        for item in query.items:
+            sets = []
+            short_circuit = False
+            for k, v in item.tags.items():
+                flt = (
+                    (pa_ds.field("tag_key") == k)
+                    & (pa_ds.field("tag_value") == v)
+                    & (pa_ds.field("position") > after_pos)
+                )
+                if not isinstance(item, TagOnlyQueryItem):
+                    flt = flt & pa_ds.field("type").isin(sorted(item.types))
+                tbl = dataset.to_table(columns=["position"], filter=flt)
+                arr = tbl["position"].combine_chunks().to_numpy(zero_copy_only=False)
+                if arr.size == 0:
+                    short_circuit = True  # this AND-item cannot match
+                    break
+                sets.append(np.unique(arr))
+            if short_circuit or not sets:
+                continue
+            acc = sets[0]
+            for s in sets[1:]:
+                acc = np.intersect1d(acc, s, assume_unique=True)
+                if acc.size == 0:
+                    break
+            if acc.size:
+                return True
+        return False
+
     def positions_for_query(self, spark: SparkSession, query) -> DataFrame:
         """Resolve the tag-query algebra to a position set using ONLY the
         index: per item, intersect per-tag position sets (AND) restricted

@@ -324,7 +324,27 @@ class FactStore:
                 if pos is None:
                     return f"after-cursor fact {condition.after} not found"
                 after_pos = pos
-            # Commit-level data skipping first: prune to the files whose
+            # Derived tag index first: when it covers the current head,
+            # the EXISTS check touches only the queried keys' index
+            # partitions and opens ZERO fact files — the direct analog
+            # of the reference's per-condition tag-subspace walk
+            # (FdbFactAppender.kt:124-274). pyarrow-only (the append
+            # path may have no Spark session); staleness falls through
+            # to the scan path below, so the index is never a
+            # correctness dependency.
+            from .storage.tag_index import TagIndex
+
+            tidx = TagIndex(layout)
+            last = layout.last_commit()
+            if last is not None and tidx.built_through() >= last.seq:
+                hit = tidx.exists_after(condition.fail_if_facts_match, after_pos)
+                if hit is not None:
+                    if hit:
+                        return (
+                            "facts matching the fail-if query exist after the cursor"
+                        )
+                    return None
+            # Commit-level data skipping next: prune to the files whose
             # commit tag-fingerprint summary could satisfy some query
             # item (O(commits) record check, no file opens — the write-
             # path analog of the reference's tag-subspace walk). Then a
@@ -666,6 +686,12 @@ class FactStore:
 
     # -- find_by_tags: AND semantics (FdbFactFinder.kt:108-167) ---------
 
+    # Above this many resolved positions the indexed find_by_tags
+    # switches from a collected isin pushdown (point-load analog) to a
+    # distributed semi join — the same bounded-driver-probe rule the
+    # dedup operators use.
+    TAG_INDEX_PUSHDOWN_CAP = 10_000
+
     def find_by_tags_df(
         self,
         store_name: str,
@@ -673,9 +699,44 @@ class FactStore:
         limit: Optional[int] = None,
         direction: ReadDirection = ReadDirection.FORWARD,
     ) -> Optional[DataFrame]:
+        """AND-of-tags finder. When the derived tag index covers the
+        current head it resolves positions from the per-key index
+        partitions (touching only the queried keys) and point-loads
+        the facts — positions are pushed into the fact scan as an
+        ``isin`` filter when few (parquet row-group min/max skips the
+        rest of the table), else semi-joined. Stale/absent index falls
+        back to the full scan: the index is derived state, never a
+        correctness dependency (reference tag subspaces:
+        FdbFactStoreContext.kt:25-57, FdbFactFinder.kt:108-167)."""
         if not tags:
             raise ValueError("find_by_tags requires at least one tag")
         validate_limit(limit)
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return None
+        from .storage.tag_index import TagIndex
+
+        layout = self._layout(meta.id)
+        tidx = TagIndex(layout)
+        # One commit snapshot decides freshness AND caps the fact side
+        # (same pattern as find_by_tag_query_indexed_df).
+        commits = layout.read_commits()
+        last_seq = commits[-1].seq if commits else -1
+        if last_seq >= 0 and tidx.built_through() >= last_seq:
+            head_pos = commits[-1].max_position
+            positions = tidx.positions_for_tags(self.spark, tags)
+            facts = self.facts_df(store_name, max_position=head_pos)
+            probe = positions.limit(self.TAG_INDEX_PUSHDOWN_CAP + 1).collect()
+            if len(probe) <= self.TAG_INDEX_PUSHDOWN_CAP:
+                if not probe:
+                    matched = facts.filter(F.lit(False))
+                else:
+                    matched = facts.filter(
+                        F.col("position").isin([r.position for r in probe])
+                    )
+            else:
+                matched = facts.join(positions, "position", "left_semi")
+            return ordered_limited(matched, limit, direction)
         df = self.facts_df(store_name)
         if df is None:
             return None

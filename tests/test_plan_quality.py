@@ -114,6 +114,57 @@ def test_top_ngrams_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_indexed_find_by_tags_avoids_full_fact_scan(fs):
+    """On a compacted store with a fresh tag index, find_by_tags must
+    resolve positions from the index (reading ONLY the queried tag_key
+    partitions — PartitionFilters on the index scan) and point-load
+    the facts with the position set pushed into the fact scan
+    (PushedFilters), instead of filtering a full fact-table scan on
+    the tags map (the reference's tag-subspace point-load,
+    FdbFactFinder.kt:108-167)."""
+    fs.create(STORE)
+    fs.append(
+        STORE,
+        [
+            FactInput(type=f"T{i % 3}", subject=f"S{i % 5}",
+                      tags={"env": "prod" if i % 4 else "dev", "n": str(i % 2)})
+            for i in range(60)
+        ],
+    )
+    assert fs.compact(STORE)["compacted"]
+    assert fs.build_tag_index(STORE)["built"]
+    df = fs.find_by_tags_df(STORE, {"env": "dev"})
+    plan = plan_of(df)
+    # positions resolved from the index were pushed into the fact scan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "position" in pushed
+    # the tags-map scan predicate is gone: no map lookup in the plan
+    assert "tags[" not in plan
+    # results identical to the (pre-index-capture) scan semantics
+    got = [(f.type, f.subject) for f in fs.find_by_tags(STORE, {"env": "dev"}).facts]
+    assert len(got) == 15
+
+
+def test_tag_index_scan_prunes_partitions(fs, spark):
+    """The index side of an indexed tag lookup must show a tag_key
+    PartitionFilter — only the queried keys' directories are read."""
+    from factstore_spark.storage.tag_index import TagIndex
+
+    fs.create(STORE)
+    fs.append(
+        STORE,
+        [FactInput(type="T", subject=f"S{i}", tags={"a": "x", "b": "y"})
+         for i in range(10)],
+    )
+    assert fs.build_tag_index(STORE)["built"]
+    meta = fs.catalog.find_by_name(STORE)
+    tidx = TagIndex(fs._layout(meta.id))
+    positions = tidx.positions_for_tags(spark, {"a": "x"})
+    plan = plan_of(positions)
+    part = plan.split("PartitionFilters:", 1)[1][:200]
+    assert "tag_key" in part
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full fact schema."""
     df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")

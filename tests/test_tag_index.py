@@ -99,3 +99,124 @@ def test_refresh_without_existing_index_builds(fs):
 def test_empty_store_index(fs):
     fs.create(STORE)
     assert fs.build_tag_index(STORE) == {"built": False, "rows": 0}
+
+
+TAG_LOOKUPS = [
+    {"k1": "a"},
+    {"k1": "a", "k2": "b"},
+    {"k3": ""},
+    {"k1": "a", "k2": "b", "k3": "a"},  # likely empty at n=120
+    {"k9": "zzz"},  # key not in the corpus at all
+]
+
+
+def test_find_by_tags_routes_through_index(fs):
+    """find_by_tags through the fresh index must equal the scan path
+    exactly — including limit/direction modifiers and empty results —
+    and fall back (still correct) the moment the index goes stale."""
+    from factstore_spark.model import ReadDirection
+
+    rnd = random.Random(1234)
+    seed_random(fs, rnd)
+    # scan-path expectations captured BEFORE any index exists
+    expect = {}
+    for tags in TAG_LOOKUPS:
+        key = tuple(sorted(tags.items()))
+        expect[key] = [f.id for f in fs.find_by_tags(STORE, tags).facts]
+        expect[key + ("limit",)] = [
+            f.id
+            for f in fs.find_by_tags(
+                STORE, tags, limit=3, direction=ReadDirection.BACKWARD
+            ).facts
+        ]
+    assert fs.build_tag_index(STORE)["built"]
+    for tags in TAG_LOOKUPS:
+        key = tuple(sorted(tags.items()))
+        assert [f.id for f in fs.find_by_tags(STORE, tags).facts] == expect[key], tags
+        assert [
+            f.id
+            for f in fs.find_by_tags(
+                STORE, tags, limit=3, direction=ReadDirection.BACKWARD
+            ).facts
+        ] == expect[key + ("limit",)], tags
+
+    # staleness fallback: a new matching fact must appear immediately
+    r = fs.append(STORE, FactInput(type="T1", subject="S-new", tags={"k1": "a"}))
+    got = [f.id for f in fs.find_by_tags(STORE, {"k1": "a"}).facts]
+    assert got == expect[(("k1", "a"),)] + [r.fact_ids[0]]
+
+
+def test_dcb_condition_through_index(fs):
+    """The TagQueryBased append condition consults the fresh tag index
+    (zero fact-file opens) and must decide identically to the scan
+    path: matching facts -> violation, none -> append; the `after`
+    cursor bounds the check; staleness falls back safely."""
+    from factstore_spark import TagQueryBased
+    from factstore_spark.results import Appended, AppendConditionViolated
+
+    fs.create(STORE)
+    r1 = fs.append(STORE, FactInput(type="T1", subject="s1", tags={"k": "v"}))
+    r2 = fs.append(STORE, FactInput(type="T2", subject="s2", tags={"k": "w"}))
+    assert fs.build_tag_index(STORE)["built"]
+    meta = fs.catalog.find_by_name(STORE)
+    from factstore_spark.storage.tag_index import TagIndex
+
+    tidx = TagIndex(fs._layout(meta.id))
+    assert tidx.is_fresh()
+
+    # fresh index, matching tag -> violation (decided via exists_after)
+    q = TagQuery([TagOnlyQueryItem({"k": "v"})])
+    res = fs.append(
+        STORE, FactInput(type="X", subject="sx"), condition=TagQueryBased(q)
+    )
+    assert isinstance(res, AppendConditionViolated)
+
+    # fresh index, no matching tag -> append succeeds (index now stale)
+    q2 = TagQuery([TagOnlyQueryItem({"k": "nope"})])
+    ok = fs.append(
+        STORE, FactInput(type="X", subject="sx", tags={"k": "x"}),
+        condition=TagQueryBased(q2),
+    )
+    assert isinstance(ok, Appended)
+
+    # stale index: the scan fallback must see the fact appended above
+    q3 = TagQuery([TagOnlyQueryItem({"k": "x"})])
+    res3 = fs.append(
+        STORE, FactInput(type="Y", subject="sy"), condition=TagQueryBased(q3)
+    )
+    assert isinstance(res3, AppendConditionViolated)
+
+    # refresh, then `after` cursor: only facts AFTER the cursor count
+    fs.refresh_tag_index(STORE)
+    assert tidx.is_fresh()
+    q4 = TagQuery([TagOnlyQueryItem({"k": "v"})])
+    after_ok = fs.append(
+        STORE,
+        FactInput(type="Z", subject="sz"),
+        condition=TagQueryBased(q4, after=r1.fact_ids[0]),
+    )
+    assert isinstance(after_ok, Appended)  # k=v only exists AT the cursor
+    fs.refresh_tag_index(STORE)
+    after_hit = fs.append(
+        STORE,
+        FactInput(type="Z", subject="sz"),
+        condition=TagQueryBased(TagQuery([TagOnlyQueryItem({"k": "w"})]),
+                                after=r1.fact_ids[0]),
+    )
+    assert isinstance(after_hit, AppendConditionViolated)  # k=w is after r1
+
+    # typed item through the index: type must gate the match
+    fs.refresh_tag_index(STORE)
+    typed_miss = fs.append(
+        STORE,
+        FactInput(type="Q", subject="sq"),
+        condition=TagQueryBased(TagQuery([TagTypeItem({"T9"}, {"k": "v"})])),
+    )
+    assert isinstance(typed_miss, Appended)
+    fs.refresh_tag_index(STORE)
+    typed_hit = fs.append(
+        STORE,
+        FactInput(type="Q", subject="sq"),
+        condition=TagQueryBased(TagQuery([TagTypeItem({"T1"}, {"k": "v"})])),
+    )
+    assert isinstance(typed_hit, AppendConditionViolated)
