@@ -54,6 +54,27 @@ def time_range_predicate(time_range: TimeRange, col: str = "appended_at") -> Col
     return pred
 
 
+def compacted_date_bounds(time_range: TimeRange, col: str = "fact_date") -> Column:
+    """Partition-pruning bounds for the compacted hive layout
+    (partitioned by ``fact_date`` = date(appended_at)). Widened by one
+    day on each side so a session-timezone difference between the
+    compacting and the querying cluster can never prune a partition
+    that holds in-range facts — the exact half-open ``appended_at``
+    predicate still decides membership."""
+    from datetime import timedelta
+
+    pred = F.lit(True)
+    if time_range.start is not None:
+        pred = pred & (
+            F.col(col) >= F.lit((time_range.start - timedelta(days=1)).date())
+        )
+    if time_range.end is not None:
+        pred = pred & (
+            F.col(col) <= F.lit((time_range.end + timedelta(days=1)).date())
+        )
+    return pred
+
+
 def ordered_limited(df, limit, direction: ReadDirection, position_col: str = "position"):
     """Direction then limit — limit applies AFTER direction, so
     backward+limit2 = the two NEWEST, newest first

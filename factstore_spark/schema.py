@@ -53,6 +53,18 @@ FACT_SCHEMA = StructType(
     ]
 )
 
+from pyspark.sql.types import DateType  # noqa: E402  (grouped with schema defs)
+
+# Compacted layout adds a hive partition column ``fact_date`` =
+# date(appended_at) (storage/compact.py) — reading the compacted dir as
+# a partitioned directory with this schema lets time-range finders
+# prune whole date partitions before any file I/O.
+FACT_SCHEMA_PARTITIONED = StructType(
+    FACT_SCHEMA.fields + [StructField("fact_date", DateType(), True)]
+)
+
+FACT_COLUMNS = [f.name for f in FACT_SCHEMA.fields]
+
 FACT_ARROW_SCHEMA = pa.schema(
     [
         pa.field("id", pa.string(), nullable=False),

@@ -496,7 +496,14 @@ class StoreLayout:
 
     # -- local reads (engine-internal; queries go through Spark) ------------
 
-    def data_files(self, max_seq: Optional[int] = None) -> list[str]:
+    def data_layout(
+        self, max_seq: Optional[int] = None
+    ) -> tuple[Optional[str], list[str]]:
+        """(compacted_dir, tail_files): the latest compacted snapshot
+        directory (a hive layout partitioned by ``fact_date`` — read it
+        as a DIRECTORY so Spark discovers the partition column and can
+        prune dates) plus the per-commit parquet files appended since
+        that snapshot."""
         committed = [c for c in self.read_commits() if c.rows > 0]
         if max_seq is not None:
             committed = [c for c in committed if c.seq <= max_seq]
@@ -507,24 +514,32 @@ class StoreLayout:
             if c.compacted_through is not None:
                 if compaction is None or c.compacted_through > compaction.compacted_through:
                     compaction = c
-        files: list[str] = []
+        comp_dir = None
         if compaction is not None:
             comp_dir = os.path.join(
                 self.data_dir, f"compacted-{compaction.compacted_through:010d}"
             )
-            for root, _dirs, names in os.walk(comp_dir):
-                files.extend(
-                    os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
-                )
             committed = [
                 c
                 for c in committed
                 if c.compacted_through is None and c.seq > compaction.compacted_through
             ]
+        files: list[str] = []
         for c in committed:
             if c.compacted_through is not None:
                 continue
             files.extend(self._files_of(c))
+        return comp_dir, files
+
+    def data_files(self, max_seq: Optional[int] = None) -> list[str]:
+        comp_dir, tail = self.data_layout(max_seq)
+        files: list[str] = []
+        if comp_dir is not None:
+            for root, _dirs, names in os.walk(comp_dir):
+                files.extend(
+                    os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
+                )
+        files.extend(tail)
         return files
 
     def _files_of(self, c: CommitRecord) -> list[str]:

@@ -54,6 +54,7 @@ from .model import (
     validate_store_name,
 )
 from .plans.predicates import (
+    compacted_date_bounds,
     ordered_limited,
     tag_query_predicate,
     tags_all_match,
@@ -613,17 +614,48 @@ class FactStore:
     # Read path (FactFinder) — DataFrame plans + materializing wrappers
     # ------------------------------------------------------------------
 
-    def facts_df(self, store_name: str, *, max_position: Optional[int] = None) -> Optional[DataFrame]:
+    def facts_df(
+        self,
+        store_name: str,
+        *,
+        max_position: Optional[int] = None,
+        time_range: Optional[TimeRange] = None,
+    ) -> Optional[DataFrame]:
         """The store's fact table as a DataFrame; None if the store does
-        not exist. ``max_position`` pins a snapshot (replay head)."""
+        not exist. ``max_position`` pins a snapshot (replay head).
+
+        ``time_range`` is a PRUNING hint, not a filter: the compacted
+        snapshot is a hive layout partitioned by ``fact_date`` =
+        date(appended_at) (storage/compact.py), so reading it as a
+        partitioned directory and applying the derived date bounds lets
+        Spark skip whole date partitions before any file I/O — the
+        created-at-index analog (FdbFactFinder.kt:49-79). The bounds
+        are widened by a day on each side (timezone robustness); the
+        caller still applies the exact ``appended_at`` predicate."""
         meta = self.catalog.find_by_name(store_name)
         if meta is None:
             return None
         layout = self._layout(meta.id)
-        files = layout.data_files()
-        if not files:
+        comp_dir, tail_files = layout.data_layout()
+        from .schema import FACT_COLUMNS, FACT_SCHEMA_PARTITIONED
+
+        frames = []
+        if comp_dir is not None:
+            comp = (
+                self.spark.read.schema(FACT_SCHEMA_PARTITIONED)
+                .option("basePath", comp_dir)
+                .parquet(comp_dir)
+            )
+            if time_range is not None:
+                comp = comp.filter(compacted_date_bounds(time_range))
+            frames.append(comp.select(*FACT_COLUMNS))
+        if tail_files:
+            frames.append(
+                self.spark.read.schema(FACT_SCHEMA).parquet(*tail_files)
+            )
+        if not frames:
             return self.spark.createDataFrame([], FACT_SCHEMA)
-        df = self.spark.read.schema(FACT_SCHEMA).parquet(*files)
+        df = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
         if max_position is not None:
             df = df.filter(F.col("position") <= max_position)
         return df
@@ -658,7 +690,11 @@ class FactStore:
         direction: ReadDirection = ReadDirection.FORWARD,
     ) -> Optional[DataFrame]:
         validate_limit(limit)
-        df = self.facts_df(store_name)
+        # time_range doubles as the partition-pruning hint: on a
+        # compacted store the derived fact_date bounds skip whole date
+        # partitions (PartitionFilters) before the exact half-open
+        # appended_at predicate runs.
+        df = self.facts_df(store_name, time_range=time_range)
         if df is None:
             return None
         return ordered_limited(df.filter(time_range_predicate(time_range)), limit, direction)

@@ -165,6 +165,47 @@ def test_tag_index_scan_prunes_partitions(fs, spark):
     assert "tag_key" in part
 
 
+def test_time_range_prunes_compacted_partitions(fs, spark):
+    """find_in_time_range on a compacted store must show fact_date
+    PartitionFilters — whole date partitions are skipped before any
+    file I/O (the created-at-index analog, FdbFactFinder.kt:49-79) —
+    and return exactly the scan-path rows."""
+    from datetime import datetime, timezone
+
+    from factstore_spark.model import TimeRange
+
+    fs.create(STORE)
+    base = datetime(2026, 3, 1, tzinfo=timezone.utc)
+    facts = spark.range(200).select(
+        F.lit("E").alias("type"),
+        F.concat(F.lit("S"), (F.col("id") % 9)).alias("subject"),
+        (F.lit(base) + F.make_interval(days=(F.col("id") % 10).cast("int")))
+        .alias("appended_at"),
+        F.struct(
+            F.lit(b"").alias("data"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("schema_ref"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    fs.append_dataframe(STORE, facts)
+    tr = TimeRange(
+        start=datetime(2026, 3, 4, tzinfo=timezone.utc),
+        end=datetime(2026, 3, 6, tzinfo=timezone.utc),
+    )
+    before = [f.id for f in fs.find_in_time_range(STORE, tr).facts]
+    assert len(before) == 40  # 2 of 10 days x 20/day
+
+    assert fs.compact(STORE)["compacted"]
+    df = fs.find_in_time_range_df(STORE, tr)
+    plan = plan_of(df)
+    part = plan.split("PartitionFilters:", 1)[1][:300]
+    assert "fact_date" in part
+    after = [f.id for f in fs.find_in_time_range(STORE, tr).facts]
+    assert after == before  # pruning never changes results
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full fact schema."""
     df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")
