@@ -212,6 +212,66 @@ def main() -> None:
     finally:
         shutil.rmtree(k6_root, ignore_errors=True)
 
+    # Subscribe-latency probe: appender + subscriber in-process over the
+    # poll-based generator subscription (the FDB watch analog,
+    # FdbFactStreamer.kt:186-190). Lag = commit completion -> delivery
+    # to the subscriber; with a 100 ms poll the p90 should sit inside
+    # 2x the poll interval (+ the arrow read). Spark-free on purpose:
+    # this measures the engine's tail-follow path, not the JVM.
+    from factstore_spark.model import FactInput as _FactInput
+    from factstore_spark.model import StartPosition as _StartPosition
+
+    sub_root = tempfile.mkdtemp(prefix="bench-sub-")
+    n_probe_facts = int(os.environ.get("SPARK_GRAFT_SUB_FACTS", "100"))
+    poll_s = 0.1
+    try:
+        fs3 = _FS(None, sub_root)
+        fs3.create("sub")
+        committed: dict[str, float] = {}
+        received: dict[str, float] = {}
+        done = threading.Event()
+
+        def subscriber() -> None:
+            gen = fs3.subscribe("sub", _StartPosition.Beginning(),
+                                poll_interval=poll_s)
+            for batch in gen:
+                now = time.time()
+                for f in batch:
+                    received[f.id] = now
+                if len(received) >= n_probe_facts:
+                    done.set()
+                    return
+
+        sub_t = threading.Thread(target=subscriber, daemon=True)
+        sub_t.start()
+        for i in range(n_probe_facts):
+            r = fs3.append("sub", _FactInput(type="Probe", subject=f"s{i % 5}"))
+            committed[r.fact_ids[0]] = time.time()
+            time.sleep(0.02)  # ~50 appends/s — a live tail, not a burst
+        done.wait(timeout=60)
+        lags = sorted(
+            (received[fid] - committed[fid]) * 1000.0
+            for fid in committed
+            if fid in received
+        )
+
+        def spct(p: float) -> float:
+            return (
+                round(lags[min(len(lags) - 1, int(p * len(lags)))], 1)
+                if lags
+                else -1.0
+            )
+
+        subscribe_stats = {
+            "subscribe_msgs": len(lags),
+            "subscribe_p50_ms": spct(0.50),
+            "subscribe_p90_ms": spct(0.90),
+            "subscribe_poll_ms": poll_s * 1000.0,
+        }
+        print(f"# subscribe-probe: {subscribe_stats}", file=sys.stderr)
+    finally:
+        shutil.rmtree(sub_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -222,6 +282,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **append_stats,
+                **subscribe_stats,
             }
         )
     )

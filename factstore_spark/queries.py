@@ -736,14 +736,23 @@ def dedup_simhash_recall(spark, sf_dir):
 def dedup_embedding_recall(spark, sf_dir):
     """Self-validating embedding-dedup contract: recall/precision of
     the centroid-blocked pairs vs the exact all-pairs cosine set at the
-    same threshold (vectorized verify on both sides). On THIS corpus
-    the embeddings are isotropic noise (random-pair sims reach the
-    threshold tail), which upper-bounds any sub-quadratic method's
-    recall — the emitted number documents the trade honestly instead
-    of hiding it."""
+    same threshold (vectorized verify on both sides), for BOTH coarse
+    quantizers — the seeded-sample centroids (``sampled_*``) and the
+    k-means-trained centroids (``trained_*``, train_centroids). Lloyd
+    iterations can only tighten cell assignment, so trained recall >=
+    sampled recall is asserted in tests/operators/test_similarity.py.
+    On THIS corpus the embeddings are isotropic noise (random-pair sims
+    reach the threshold tail), which upper-bounds any sub-quadratic
+    method's recall — the emitted numbers document the trade honestly
+    instead of hiding it."""
     emb = _t(spark, sf_dir, "embeddings")
-    approx = sim_ops.cosine_dup_pairs(
+    sampled = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
+    )
+    cents = sim_ops.train_centroids(emb, n_cells=32, iterations=3)
+    trained = sim_ops.cosine_dup_pairs(
+        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
+        centroids=cents,
     )
     ids = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
     a = ids.withColumnsRenamed({"_id": "id_a", "_v": "va"})
@@ -753,8 +762,20 @@ def dedup_embedding_recall(spark, sf_dir):
         .withColumn("sim", sim_ops.cosine_batch(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= 0.45)
         .select("id_a", "id_b")
+        .persist()  # scored against BOTH quantizers — compute once
     )
-    return _pair_recall_stats(approx, exact)
+    s = _pair_recall_stats(sampled, exact).select(
+        "n_exact",
+        F.col("n_approx").alias("sampled_n_approx"),
+        F.col("recall_bp").alias("sampled_recall_bp"),
+        F.col("precision_bp").alias("sampled_precision_bp"),
+    )
+    t = _pair_recall_stats(trained, exact).select(
+        F.col("n_approx").alias("trained_n_approx"),
+        F.col("recall_bp").alias("trained_recall_bp"),
+        F.col("precision_bp").alias("trained_precision_bp"),
+    )
+    return s.crossJoin(t)
 
 
 def dedup_minhash_lsh(spark, sf_dir):

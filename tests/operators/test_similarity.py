@@ -205,3 +205,18 @@ def test_kmeans_trained_ivf_improves_recall(spark):
     recall_sampled = len(exact & sampled) / len(exact)
     assert recall_trained >= recall_sampled - 0.05  # never materially worse
     assert recall_trained >= 0.9  # separated clusters: near-perfect
+
+
+def test_embedding_recall_entry_trained_beats_sampled(spark):
+    """The dedup_embedding_recall entry emits BOTH quantizers' recall;
+    on the real testdata the k-means-trained centroids must match or
+    beat the seeded-sample ones, and the verify step guarantees
+    precision 10000 bp for both (no false accepts ever)."""
+    from factstore_spark.queries import REGISTRY
+
+    row = REGISTRY["dedup_embedding_recall"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.trained_recall_bp >= row.sampled_recall_bp
+    assert row.sampled_precision_bp == 10000
+    assert row.trained_precision_bp == 10000
