@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_top_ngrams",
     "curation_contamination",
+    "curation_pack_stats",
+    "curation_funnel",
+    "ann_filtered_topk",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_topk",

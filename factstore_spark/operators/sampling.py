@@ -93,6 +93,120 @@ def contamination_check(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing accounting: assign every doc
+    to a training-sequence bin of ``capacity`` tokens and report per-bin
+    document/token totals — the packing stage that turns a curated
+    corpus into fixed-length training sequences.
+
+    Sharded on ``id % n_shards`` BEFORE the running sum: packing needs
+    an order, but never a GLOBAL one (sequences are shuffled at
+    training time anyway), so the cumulative token count runs inside
+    each shard — one shuffle on the shard key, every shard's window in
+    parallel, no single-partition global sort at 100 TB. A doc whose
+    tokens straddle a boundary opens the next bin (GPT-style
+    concat-then-chunk accounting).
+
+    Deterministic and engine-reproducible: whitespace token counts,
+    modulo sharding, integer division — an independent SQL engine
+    recomputes identical bins. Output: (shard, bin, n_docs, n_tokens)."""
+    n_tok = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = staged.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(capacity)),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select("shard", "bin", "n_docs", "n_tokens")
+    )
+
+
+FUNNEL_STAGES = ("all", "lang", "quality", "dedup", "length")
+
+
+def curation_funnel(
+    df: DataFrame,
+    lang: str = "en",
+    quality_threshold: float = 0.5,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard curation funnel — language ID, quality floor,
+    exact-dedup keep-first, token-length bounds — applied sequentially
+    with per-stage survivor counts: the yield report every
+    training-data pipeline publishes next to its corpus.
+
+    Single-pass shape: the language/quality/token signals are ONE
+    projection over the scan (no per-stage re-reads); the only shuffle
+    is the dedup window over the stage-2 survivors (keep-first =
+    row_number per content fingerprint, doc-id order). Output:
+    (stage, stage_name, n) — one row per stage, monotonically
+    non-increasing n."""
+    from .text import with_lang_id, with_quality_score
+
+    flagged = with_quality_score(with_lang_id(df, text_col), text_col).select(
+        F.col(id_col).alias("_id"),
+        (F.col("pred_lang") == lang).alias("lang_ok"),
+        (F.col("quality_score") >= quality_threshold).alias("q_ok"),
+        F.col("n_tokens"),
+        F.md5(F.lower(F.col(text_col))).alias("_fp"),
+    )
+    base = flagged.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
+        F.sum((F.col("lang_ok") & F.col("q_ok")).cast("long")).alias("n_quality"),
+    )
+    survivors = flagged.filter(F.col("lang_ok") & F.col("q_ok"))
+    w = Window.partitionBy("_fp").orderBy(F.col("_id").asc())
+    deduped = survivors.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    tail = deduped.agg(
+        F.count(F.lit(1)).alias("n_dedup"),
+        F.sum(
+            (
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("n_tokens") <= max_tokens)
+            ).cast("long")
+        ).alias("n_length"),
+    )
+    wide = base.crossJoin(tail)
+    stages = [
+        wide.select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.coalesce(F.col(f"n_{name}"), F.lit(0)).cast("long").alias("n"),
+        )
+        for i, name in enumerate(FUNNEL_STAGES)
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

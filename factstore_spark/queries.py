@@ -1159,6 +1159,130 @@ WHERE rank <= 20
 """
 
 
+def curation_pack_stats(spark, sf_dir):
+    """Sequence-packing accounting: shard-parallel concat-and-chunk bin
+    assignment at 512-token capacity (operators/sampling.py
+    pack_sequences) — per-bin doc/token totals. No global sort: the
+    running token sum is windowed per shard (id % 32)."""
+    from .operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=512, n_shards=32)
+
+
+CURATION_PACK_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+    len(string_split_regex(lower(text), '\s+')) AS n_tok
+  FROM documents),
+b AS (
+  SELECT shard, n_tok,
+    COALESCE(SUM(n_tok) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t)
+SELECT shard, CAST(FLOOR(cum_before / 512) AS BIGINT) AS bin,
+  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
+def curation_funnel(spark, sf_dir):
+    """The curation yield report: language ID -> quality floor ->
+    exact-dedup keep-first -> token-length bounds, with per-stage
+    survivor counts (operators/sampling.py curation_funnel). Single
+    projection for the signals; one shuffle for the dedup window."""
+    from .operators.sampling import curation_funnel as funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return funnel(
+        docs, lang="en", quality_threshold=0.5, min_tokens=10, max_tokens=5000
+    )
+
+
+CURATION_FUNNEL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS L,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents),
+s AS (
+  SELECT doc_id, text, L, n_chars, alpha_chars,
+    len(list_filter(L, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(L, x -> x IN ('the','a','of','and','is'))) AS s_en,
+    len(list_filter(L, x -> x IN ('el','la','de','que','y'))) AS s_es,
+    len(list_filter(L, x -> x IN ('le','la','de','et','un'))) AS s_fr
+  FROM t),
+f AS (
+  SELECT doc_id, len(L) AS n_tok, md5(lower(text)) AS fp,
+    ((CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = 'en') AS lang_ok,
+    (0.4 * least(len(L) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(L, x -> x IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) / len(L))
+      + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars)) >= 0.5 AS q_ok
+  FROM s),
+surv AS (
+  SELECT doc_id, n_tok,
+    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM f WHERE lang_ok AND q_ok),
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM f) AS n_all,
+    (SELECT COUNT(*) FROM f WHERE lang_ok) AS n_lang,
+    (SELECT COUNT(*) FROM f WHERE lang_ok AND q_ok) AS n_quality,
+    (SELECT COUNT(*) FROM surv WHERE rn = 1) AS n_dedup,
+    (SELECT COUNT(*) FROM surv WHERE rn = 1 AND n_tok BETWEEN 10 AND 5000) AS n_length)
+SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name, n_all AS n FROM counts
+UNION ALL SELECT CAST(1 AS BIGINT), 'lang', n_lang FROM counts
+UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n_quality FROM counts
+UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', n_dedup FROM counts
+UNION ALL SELECT CAST(4 AS BIGINT), 'length', n_length FROM counts
+"""
+
+
+def ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search — the metadata/keyword-constrained ANN
+    every retrieval (RAG) pipeline runs: candidates are docs whose text
+    contains 'vector' (predicate pushed to the documents scan),
+    embeddings joined on the shared id, exact cosine top-5 per query
+    over the survivors (queries broadcast; deterministic neighbor_id
+    tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = docs.filter(F.lower(F.col("text")).contains("vector")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(cand, "vec_id", "left_semi")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = sim_ops.brute_force_topk(corpus, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ANN_FILTERED_TOPK_SQL = """
+WITH cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  WHERE contains(lower(d.text), 'vector')),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM cand c, q
+  WHERE q.query_id <> c.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1213,6 +1337,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_stratified_sample": (curation_stratified_sample, CURATION_STRATIFIED_SQL),
     "curation_contamination": (curation_contamination, CURATION_CONTAMINATION_SQL),
     "text_top_ngrams": (text_top_ngrams, TEXT_TOP_NGRAMS_SQL),
+    "curation_pack_stats": (curation_pack_stats, CURATION_PACK_STATS_SQL),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
+    "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
 }
 
 

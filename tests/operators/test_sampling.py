@@ -73,3 +73,56 @@ def test_top_k_per_group(spark):
     for g, kept in by_group.items():
         assert len(kept) == 3
         assert min(s for s, _ in kept) >= 7.0  # top scores are 9,8,7
+
+
+def test_pack_sequences_bins_and_totals(spark):
+    """Crafted shard: doc tokens 300+300 overflow a 512 bin at the
+    second doc (cum_before 300 -> bin 0), third doc opens bin 1
+    (cum_before 600). Token totals are conserved exactly."""
+    from factstore_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(["w"] * 300)) for i in range(4)]  # 300 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=512, n_shards=1)
+    bins = {(r.shard, r.bin): (r.n_docs, r.n_tokens) for r in out.collect()}
+    # cum_before: 0, 300, 600, 900 -> bins 0, 0, 1, 1
+    assert bins == {(0, 0): (2, 600), (0, 1): (2, 600)}
+    # sharded run conserves docs and tokens
+    out8 = pack_sequences(df, capacity=512, n_shards=8)
+    totals = out8.groupBy().sum("n_docs", "n_tokens").collect()[0]
+    assert totals[0] == 4 and totals[1] == 1200
+
+
+def test_pack_sequences_deterministic_across_runs(spark):
+    from factstore_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, pack_sequences(docs).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7)).collect()))
+    assert a == b  # partitioning of the input never changes bins
+
+
+def test_curation_funnel_monotone_and_exact(spark):
+    """Hand-built corpus with one planted failure per stage: funnel
+    counts must drop by exactly one survivor at each stage."""
+    from factstore_spark.operators.sampling import curation_funnel
+
+    good = ("the data of the table is a good row and it is the best "
+            "table of all the data in the set and the value is good") * 3
+    rows = [
+        (0, good),                      # survives everything
+        (1, good),                      # duplicate of 0 -> dropped at dedup
+        (2, "el la de que y " * 30),    # spanish -> dropped at lang
+        (3, "zzz qqq xxx " * 40),       # no markers -> und -> dropped at lang
+        (4, good + " extra tail"),      # survives (distinct fp)
+        (5, "the a of and is"),         # english but 5 tokens -> dropped at length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.stage_name: r.n for r in curation_funnel(df, min_tokens=10).collect()}
+    assert out["all"] == 6
+    assert out["lang"] == 4          # 2 non-english dropped
+    assert out["quality"] <= out["lang"]
+    assert out["dedup"] == out["quality"] - 1   # the planted duplicate
+    assert out["length"] == out["dedup"] - 1    # the 5-token doc
+    ns = [r.n for r in curation_funnel(df, min_tokens=10).orderBy("stage").collect()]
+    assert ns == sorted(ns, reverse=True)  # monotone non-increasing
