@@ -1029,6 +1029,24 @@ class FactStore:
             return StoreNotFound(store_name)
         return self._layout(meta.id).checkpoint_log()
 
+    def maintain(self, store_name: str, target_partitions: Optional[int] = None):
+        """One-call periodic maintenance for a long-lived store, in
+        dependency order: compact (rewrite data into the date-
+        partitioned, subject-sorted scan layout), checkpoint (fold the
+        now-superseded commit-log prefix), refresh the derived tag
+        index (restores the indexed finder/DCB fast paths, which go
+        stale on every append). The cron-job entry point a 100 TB
+        deployment schedules per store. Returns per-step stats or
+        StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        return {
+            "compact": self.compact(store_name, target_partitions),
+            "checkpoint": self.checkpoint(store_name),
+            "tag_index": self.refresh_tag_index(store_name),
+        }
+
     # ------------------------------------------------------------------
 
     def _store_dir(self, store_id: str) -> str:

@@ -129,6 +129,45 @@ def test_checkpoint_optimistic_retention(spark, store_root):
     assert fresh.facts_df(STORE).count() == 21
 
 
+def test_maintain_runs_full_cycle(fs, spark):
+    """maintain() = compact + checkpoint + tag-index refresh in one
+    call; afterwards every fast path is live (indexed finders, folded
+    log, partition-pruned scans) and results are unchanged."""
+    from factstore_spark import TagOnlyQueryItem, TagQuery
+    from factstore_spark.storage.tag_index import TagIndex
+
+    fs.create(STORE)
+    for i in range(25):
+        fs.append(
+            STORE,
+            FactInput(type=f"T{i % 2}", subject=f"s{i % 4}",
+                      tags={"env": "prod" if i % 3 else "dev"}),
+            idempotency_key=_key(i),
+        )
+    before_tags = [f.id for f in fs.find_by_tags(STORE, {"env": "dev"}).facts]
+    q = TagQuery([TagOnlyQueryItem({"env": "prod"})])
+    before_q = [f.id for f in fs.find_by_tag_query(STORE, q).facts]
+
+    stats = fs.maintain(STORE)
+    assert stats["compact"]["compacted"]
+    assert stats["checkpoint"]["checkpointed"]
+    assert stats["tag_index"]["built"]
+
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+    assert len(StoreLayout(layout.store_dir).read_commits()) == 1  # folded
+    assert TagIndex(layout).is_fresh()  # indexed paths live
+    assert [f.id for f in fs.find_by_tags(STORE, {"env": "dev"}).facts] == before_tags
+    assert [f.id for f in fs.find_by_tag_query_indexed(STORE, q).facts] == before_q
+    # idempotency and appends still intact after the full cycle
+    assert isinstance(
+        fs.append(STORE, FactInput(type="X", subject="s0"),
+                  idempotency_key=_key(3)),
+        AlreadyApplied,
+    )
+    assert isinstance(fs.append(STORE, FactInput(type="N", subject="sn")), Appended)
+
+
 def test_checkpoint_10k_commits_bounds_fresh_open(fs, spark):
     """The judge bar: 10k commits, then compact + checkpoint — a fresh
     process parses O(tail) records, not 10k."""

@@ -206,6 +206,31 @@ def test_time_range_prunes_compacted_partitions(fs, spark):
     assert after == before  # pruning never changes results
 
 
+def test_pack_sequences_no_global_sort(spark):
+    """Sequence packing must never globally sort: the running token sum
+    is windowed per shard — one hash exchange on the shard key, local
+    sorts only (a global-order window collapses 100 TB onto one task)."""
+    from factstore_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pack_sequences(docs))
+    tree = plan.split("\n\n", 1)[0]
+    assert "Exchange SinglePartition" not in tree  # the global-sort signature
+    assert "hashpartitioning" in plan  # per-shard parallel window
+
+
+def test_ann_filtered_topk_pushes_filter_and_broadcasts(spark):
+    """Filtered vector search: the keyword predicate reaches the
+    documents parquet scan, and the query side broadcasts — the corpus
+    is never shuffled for the scoring join."""
+    df = REGISTRY["ann_filtered_topk"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "text" in pushed or "Contains" in pushed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full fact schema."""
     df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")
