@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "curation_pack_stats",
     "curation_funnel",
     "ann_filtered_topk",
+    "retrieval_bm25",
+    "retrieval_hybrid_rrf",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_topk",

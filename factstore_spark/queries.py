@@ -1283,6 +1283,114 @@ WHERE rank <= 5
 """
 
 
+def retrieval_bm25(spark, sf_dir):
+    """BM25 keyword top-15 for a two-term query — ranked retrieval over
+    the curated corpus (operators/retrieval.py). Corpus stats are one
+    broadcast aggregate row; scoring is a map-only projection; the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["vector", "stream"], k=15)
+
+
+RETRIEVAL_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+tf AS (
+  SELECT doc_id, len(L) AS dl,
+    len(list_filter(L, x -> x = 'vector')) AS tf0,
+    len(list_filter(L, x -> x = 'stream')) AS tf1
+  FROM toks),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM tf),
+scored AS (
+  SELECT doc_id,
+    0.0
+    + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+      * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+      * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+  FROM tf, stats)
+SELECT id, rank FROM (
+  SELECT doc_id AS id,
+    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored WHERE score > 0) t
+WHERE rank <= 15
+"""
+
+
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword leg + exact-cosine vector leg
+    (query = vec 0's embedding) over the shared id space, fused with
+    Reciprocal Rank Fusion (1/(60+rank) — integer ranks in, identical
+    IEEE doubles in any engine). The RAG query shape: both legs rank to
+    depth 20, fusion emits the top-10."""
+    from .operators.retrieval import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return hybrid_topk(docs, emb, ["vector", "stream"], q, k=10, depth=20)
+
+
+RETRIEVAL_HYBRID_RRF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+tf AS (
+  SELECT doc_id, len(L) AS dl,
+    len(list_filter(L, x -> x = 'vector')) AS tf0,
+    len(list_filter(L, x -> x = 'stream')) AS tf1
+  FROM toks),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM tf),
+scored AS (
+  SELECT doc_id,
+    0.0
+    + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+      * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+      * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+  FROM tf, stats),
+kw AS (
+  SELECT id, rank FROM (
+    SELECT doc_id AS id,
+      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored WHERE score > 0) t
+  WHERE rank <= 20),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT c.vec_id AS id,
+    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings c, q
+  WHERE q.query_id <> c.vec_id),
+vec AS (
+  SELECT id, rank FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY sim DESC, id ASC) AS rank FROM vs) t
+  WHERE rank <= 20),
+fused AS (
+  SELECT id, SUM(1.0 / (60 + rank)) AS rrf FROM (
+    SELECT id, rank FROM kw UNION ALL SELECT id, rank FROM vec) u
+  GROUP BY id)
+SELECT id, rrf_rank FROM (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS rrf_rank
+  FROM fused) t
+WHERE rrf_rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1340,6 +1448,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_pack_stats": (curation_pack_stats, CURATION_PACK_STATS_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
+    "retrieval_bm25": (retrieval_bm25, RETRIEVAL_BM25_SQL),
+    "retrieval_hybrid_rrf": (retrieval_hybrid_rrf, RETRIEVAL_HYBRID_RRF_SQL),
 }
 
 

@@ -43,6 +43,16 @@ def run_sequence(fs, seed: int):
     last_ids: dict[str, str] = {}
     used_keys = []
     for i in range(40):
+        if i == 20:
+            # Full maintenance mid-sequence: compaction, commit-log
+            # checkpoint, tag-index refresh. Every subsequent op then
+            # runs against a compacted layout + checkpointed log +
+            # (briefly) fresh index — the indexed DCB path, the folded
+            # idempotency keys, and the staleness fallback all get
+            # exercised under the SAME random workload on every
+            # backend, and must not change a single outcome.
+            stats = fs.maintain(STORE)
+            trace.append(("maintain", bool(stats["compact"].get("compacted"))))
         subject = f"s{rnd.randint(0, 4)}"
         tags = {f"k{rnd.randint(0, 2)}": f"v{rnd.randint(0, 2)}"}
         roll = rnd.random()

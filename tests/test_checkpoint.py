@@ -129,6 +129,27 @@ def test_checkpoint_optimistic_retention(spark, store_root):
     assert fresh.facts_df(STORE).count() == 21
 
 
+def test_crashed_checkpoint_tmp_is_swept(fs):
+    """A crash between the checkpoint tmp write and the rename leaves a
+    uniquely-named .tmp next to commits.jsonl; the aged leftover is
+    reclaimed by the next maintenance sweep, and the log itself is
+    untouched (the rename never happened)."""
+    fs.create(STORE)
+    fs.append(STORE, FactInput(type="A", subject="s"))
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+    stray = os.path.join(layout.store_dir, "commits.jsonl.ckpt-deadbeef.tmp")
+    with open(stray, "w") as f:
+        f.write('{"seq": 999}\n')
+    old = time.time() - 7200
+    os.utime(stray, (old, old))
+    before = [c.seq for c in layout.read_commits()]
+    with layout.commit_lock():
+        pass
+    assert not os.path.exists(stray)
+    assert [c.seq for c in layout.read_commits()] == before
+
+
 def test_maintain_runs_full_cycle(fs, spark):
     """maintain() = compact + checkpoint + tag-index refresh in one
     call; afterwards every fast path is live (indexed finders, folded
