@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "text_top_ngrams",
+    "text_chunks",
     "curation_contamination",
     "curation_pack_stats",
     "curation_funnel",

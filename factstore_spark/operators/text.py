@@ -130,6 +130,46 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing / context-
+    window preprocessing stage: split each doc into ``chunk_tokens``-
+    token windows advancing by ``chunk_tokens - overlap``. Map-only
+    (sequence + transform + explode inside one projection, no shuffle,
+    linear in corpus size); deterministic ordinals and integer spans so
+    an independent engine reproduces every chunk boundary. Output:
+    (id, chunk_idx, start_token, n_chunk_tokens, chunk_text)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(step)).cast("long").alias("chunk_idx"),
+            s.cast("long").alias("start_token"),
+            F.slice(toks, s + 1, chunk_tokens).alias("window"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("c")
+    ).select(
+        "id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_token").alias("start_token"),
+        F.size("c.window").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("c.window")).alias("chunk_text"),
+    )
+
+
 def top_ngrams(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -1283,6 +1283,25 @@ WHERE rank <= 5
 """
 
 
+def text_chunks(spark, sf_dir):
+    """Sliding-window chunking of the corpus (32-token windows, 8-token
+    overlap) — RAG-indexing preprocessing; map-only, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+TEXT_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents)
+SELECT doc_id AS id,
+  CAST(s / 24 AS BIGINT) AS chunk_idx,
+  CAST(s AS BIGINT) AS start_token,
+  CAST(len(L[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(L[s + 1 : s + 32], ' ') AS chunk_text
+FROM (SELECT doc_id, L, UNNEST(range(0, greatest(len(L), 1), 24)) AS s FROM toks) t
+"""
+
+
 def retrieval_bm25(spark, sf_dir):
     """BM25 keyword top-15 for a two-term query — ranked retrieval over
     the curated corpus (operators/retrieval.py). Corpus stats are one
@@ -1448,6 +1467,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_pack_stats": (curation_pack_stats, CURATION_PACK_STATS_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
+    "text_chunks": (text_chunks, TEXT_CHUNKS_SQL),
     "retrieval_bm25": (retrieval_bm25, RETRIEVAL_BM25_SQL),
     "retrieval_hybrid_rrf": (retrieval_hybrid_rrf, RETRIEVAL_HYBRID_RRF_SQL),
 }

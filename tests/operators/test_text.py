@@ -79,3 +79,44 @@ def test_top_ngrams_doc_frequency_and_ties(spark):
     # ties broken by ngram ascending
     freqs = [(r.doc_freq, r.ngram) for r in out]
     assert freqs == sorted(freqs, key=lambda t: (-t[0], t[1]))
+
+
+def test_chunk_documents_boundaries(spark):
+    """10 tokens, window 4, overlap 1 (step 3): starts 0,3,6,9 — last
+    chunk truncates; overlapping tokens repeat across chunks."""
+    import pytest
+    from factstore_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in rows] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)
+    ]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[3].chunk_text == "t9"
+
+    # a doc shorter than one window yields exactly one chunk
+    short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    out = chunk_documents(short, chunk_tokens=4, overlap=1).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 2
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_map_only(spark):
+    """Chunking must stay a pure projection: no Exchange in the plan."""
+    import io
+    from contextlib import redirect_stdout
+    from factstore_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        chunk_documents(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
