@@ -21,6 +21,14 @@ protocol below never touches the substrate except through that one
 Data files are written (uuid-suffixed, recorded in the claim via the
 ``file`` field) BEFORE the claim, so readers resolving files through
 the log never see missing data; a lost claim unlinks its own file.
+The data plane needs NO atomic primitive of its own on any substrate:
+every data write here is a create-new-uniquely-named-object (uuid
+suffix) followed by log-claim publication — on S3/GCS that is a plain
+PUT (whole objects appear atomically), on HDFS a create+close; the
+local os.rename is just the POSIX spelling of "make the finished file
+visible under its final name". Visibility, ordering and cleanup all
+flow from the commit log, which is exactly the part the pluggable CAS
+substrate (storage/cas.py) proves portable.
 
 Bulk ingest uses reserve-then-publish: positions are baked into the
 parquet data, so the position RANGE is reserved first with a zero-row

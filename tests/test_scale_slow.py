@@ -92,12 +92,20 @@ def test_runtime_and_output_growth_stays_subquadratic(corpora):
     docs4, emb4 = corpora[K_BIG]
     failures = []
     for name, op in OPS.items():
-        t1, _ = _min_of_2(lambda: op(docs1, emb1, K_SMALL))
-        t4, _ = _min_of_2(lambda: op(docs4, emb4, K_BIG))
-        ratio = t4 / max(t1, 0.05)  # floor: sub-50ms baselines are noise
+        # One full re-measure before declaring a breach: this host is
+        # known to stall individual Spark jobs 10x+ for minutes at a
+        # time, and a quadratic regression reproduces on re-run while
+        # co-tenant noise does not.
+        ratio = t1 = t4 = 0.0
+        for _attempt in (1, 2):
+            t1, _ = _min_of_2(lambda: op(docs1, emb1, K_SMALL))
+            t4, _ = _min_of_2(lambda: op(docs4, emb4, K_BIG))
+            ratio = t4 / max(t1, 0.05)  # floor: sub-50ms baselines are noise
+            if ratio <= RUNTIME_RATIO_CEILING:
+                break
         if ratio > RUNTIME_RATIO_CEILING:
             failures.append(f"{name}: runtime x{ratio:.1f} for x4 rows "
-                            f"({t1:.2f}s -> {t4:.2f}s)")
+                            f"({t1:.2f}s -> {t4:.2f}s, reproduced twice)")
     assert not failures, "; ".join(failures)
 
 
