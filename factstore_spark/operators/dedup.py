@@ -181,6 +181,67 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-window dedup accounting (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr shape, at window
+    granularity): every ``n``-token window of every doc is a
+    fingerprint; a window whose text occurs in >= ``min_docs`` distinct
+    docs is a duplicated span. Reports, per doc, how much of it is
+    covered by cross-document duplicated windows.
+
+    Scale shape — the inverted-index/posting-list pattern, not a
+    suffix array: window explode -> groupBy(window) with map-side
+    combine (the shuffle key is the window text; at 100 TB you'd
+    shuffle xxhash64(window) instead — kept as text here so an
+    independent engine can replay the exact equality) -> semi-join
+    windows against the shared set -> one aggregation by doc. Window
+    count per doc is linear in tokens, so total shuffle volume is
+    O(corpus tokens), and the ``min_docs`` filter collapses the long
+    unique tail before the join-back. Output:
+    (doc_id, n_windows, n_dup_windows, dup_bp)."""
+    grams = shingles_col(text_col, n)
+    windows = _spread(df).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    shared = (
+        windows.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    dup_counts = (
+        windows.join(shared, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    totals = df.select(F.col(id_col), F.size(grams).cast("long").alias("n_windows"))
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.floor(
+                F.coalesce(
+                    F.try_divide(
+                        F.lit(10000.0) * F.coalesce(F.col("n_dup_windows"), F.lit(0)),
+                        F.col("n_windows"),
+                    ),
+                    F.lit(0.0),
+                )
+            ).cast("long")
+            .alias("dup_bp"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -93,6 +93,41 @@ def contamination_check(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM-style 13-gram
+    check, parameterized): a corpus doc is contaminated when it shares
+    >= ``min_shared`` distinct ``n``-token windows with any benchmark
+    doc — catching partial/embedded benchmark leakage that the exact
+    fingerprint check (``contamination_check``) misses.
+
+    Scale shape: benchmark/eval sets are tiny next to a 100 TB corpus,
+    so the benchmark's distinct gram set is BROADCAST and the corpus
+    side is a map-only explode + broadcast-hash-semi-probe of the scan
+    — the corpus text is never shuffled; only the (rare) hits are, for
+    the final per-doc count. Output: (doc_id, n_shared_grams) for
+    contaminated docs only."""
+    from .dedup import _spread, shingles_col
+
+    grams = shingles_col(text_col, n)
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    hits = (
+        _spread(corpus)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+    return hits.select(id_col, F.col("n_shared_grams").cast("long").alias("n_shared_grams"))
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,

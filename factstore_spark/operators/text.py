@@ -130,6 +130,87 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    quality gate that catches boilerplate/looping text generators:
+
+    - ``top_token_bp``: longest same-token run in the SORTED token list
+      (= count of the most frequent token) over total tokens, in basis
+      points. Computed as a single fold over ``array_sort`` — no
+      explode, no shuffle.
+    - ``distinct_ratio_bp``: distinct tokens / total tokens.
+    - ``dup_bigram_bp``: duplicated bigram instances / total bigrams
+      (``n - n_distinct``).
+
+    All map-only built-in expressions; ratios are FLOOR(10000*x/y) on
+    exact integers so an independent engine reproduces every value."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+
+    def _bp(num: Column, den: Column) -> Column:
+        return F.floor(
+            F.coalesce(F.try_divide(F.lit(10000.0) * num, den), F.lit(0.0))
+        ).cast("long")
+
+    zero = F.lit(0).cast("long")
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    bigrams = F.when(n_tok < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    n_big = F.size(bigrams)
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("top_token_bp", _bp(run_state["best"], n_tok))
+        .withColumn("distinct_ratio_bp", _bp(F.size(F.array_distinct(toks)), n_tok))
+        .withColumn("dup_bigram_bp", _bp(n_big - F.size(F.array_distinct(bigrams)), n_big))
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word
+# boundaries — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
+    "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before text leaves curation: count and mask emails, US-style
+    phone numbers, and IPv4 addresses. Map-only regex expressions
+    (whole-stage codegen), no shuffle, linear at 100 TB. Patterns are
+    applied in a fixed order (email -> phone -> ip; phone before ip so
+    a phone number is never half-eaten as a dotted quad). Adds
+    ``n_emails / n_phones / n_ips`` (long) and ``redacted_text``."""
+    out = df
+    redacted = F.col(text_col)
+    for name, (pattern, mask) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}s",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pattern, mask.replace("$", r"\$"))
+    return out.withColumn("redacted_text", redacted)
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

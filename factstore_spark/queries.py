@@ -1410,6 +1410,154 @@ WHERE rrf_rank <= 10
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style per-doc repetition signals (top-token fraction,
+    distinct-token ratio, duplicate-bigram fraction, basis points) —
+    map-only fold over the sorted token array, no explode/shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_repetition_signals(docs).select(
+        "doc_id", "n_tokens", "top_token_bp", "distinct_ratio_bp", "dup_bigram_bp"
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(L) AS tok FROM toks) GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY 1),
+big AS (
+  SELECT doc_id, len(L) AS n_tok, len(list_distinct(L)) AS n_dist,
+    CASE WHEN len(L) < 2 THEN []
+         ELSE list_transform(range(1, len(L)), i -> array_to_string(L[i:i+1], ' '))
+    END AS B
+  FROM toks)
+SELECT b.doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(FLOOR(10000.0 * top_c / n_tok) AS BIGINT) AS top_token_bp,
+  CAST(FLOOR(10000.0 * n_dist / n_tok) AS BIGINT) AS distinct_ratio_bp,
+  CASE WHEN len(B) = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(FLOOR(10000.0 * (len(B) - len(list_distinct(B))) / len(B)) AS BIGINT)
+  END AS dup_bigram_bp
+FROM big b JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing over a deterministically PII-enriched corpus: the
+    testdata text carries no PII, so the query plants emails / phone
+    numbers / IPv4s from doc_id arithmetic (identically in the oracle)
+    and then runs the engine's redact_pii operator — counts + masked
+    text, map-only regex, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    enriched = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 3, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 5,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text_ops.redact_pii(enriched).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "redacted_text"
+    )
+
+
+TEXT_PII_REDACT_SQL = r"""
+WITH enriched AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 3 THEN ' call 555-867-5309' ELSE '' END
+    || CASE WHEN doc_id % 13 = 5
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted_text
+FROM enriched
+"""
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring-window dedup accounting (Lee et al. 2022
+    ExactSubstr shape): per-doc coverage by 8-token windows shared with
+    other docs — posting-list shuffle on the window text, semi-join
+    back, one per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.substring_dup_spans(docs, n=8)
+
+
+DEDUP_SUBSTRING_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+w AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 6), i -> array_to_string(L[i:i+7], ' '))
+    END) AS gram
+  FROM toks),
+shared AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w)
+  GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (
+  SELECT doc_id, COUNT(*) AS n_dup
+  FROM w SEMI JOIN shared USING (gram) GROUP BY doc_id),
+totals AS (
+  SELECT doc_id, CASE WHEN len(L) < 8 THEN 1 ELSE len(L) - 7 END AS n_windows
+  FROM toks)
+SELECT t.doc_id,
+  CAST(n_windows AS BIGINT) AS n_windows,
+  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+  CAST(FLOOR(10000.0 * COALESCE(n_dup, 0) / n_windows) AS BIGINT) AS dup_bp
+FROM totals t LEFT JOIN dup USING (doc_id)
+"""
+
+
+def curation_ngram_contamination(spark, sf_dir):
+    """N-gram-overlap decontamination: docs sharing any 8-token window
+    with the held-out benchmark slice (doc_id % 97 == 0) — benchmark
+    grams broadcast, corpus probed map-side, only hits shuffled."""
+    from .operators.sampling import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, n=8)
+
+
+CURATION_NGRAM_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 6), i -> array_to_string(L[i:i+7], ' '))
+    END) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+corp AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM corp SEMI JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1470,6 +1618,10 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_chunks": (text_chunks, TEXT_CHUNKS_SQL),
     "retrieval_bm25": (retrieval_bm25, RETRIEVAL_BM25_SQL),
     "retrieval_hybrid_rrf": (retrieval_hybrid_rrf, RETRIEVAL_HYBRID_RRF_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
+    "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
+    "curation_ngram_contamination": (curation_ngram_contamination, CURATION_NGRAM_CONTAMINATION_SQL),
 }
 
 

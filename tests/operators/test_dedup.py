@@ -95,3 +95,29 @@ def test_dup_clusters_distributed_path_matches_driver_path(spark):
     fast = {r.doc_id: r.cluster_id for r in D.dup_clusters(df).collect()}
     dist = {r.doc_id: r.cluster_id for r in D.dup_clusters(df, driver_threshold=0).collect()}
     assert fast == dist
+
+
+def test_substring_dup_spans_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),     # windows: abcd, bcde, cdef
+            (1, "x y a b c d"),     # windows: xyab, yabc, abcd
+            (2, "p q r s t u"),     # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.substring_dup_spans(df, n=4).collect()}
+    assert (rows[0].n_windows, rows[0].n_dup_windows, rows[0].dup_bp) == (3, 1, 3333)
+    assert (rows[1].n_windows, rows[1].n_dup_windows, rows[1].dup_bp) == (3, 1, 3333)
+    assert (rows[2].n_windows, rows[2].n_dup_windows, rows[2].dup_bp) == (3, 0, 0)
+
+
+def test_substring_dup_spans_short_docs_whole_text_window(spark):
+    df = spark.createDataFrame(
+        [(0, "hi there"), (1, "hi there"), (2, "bye now")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.substring_dup_spans(df, n=4).collect()}
+    assert (rows[0].n_windows, rows[0].dup_bp) == (1, 10000)
+    assert (rows[1].n_windows, rows[1].dup_bp) == (1, 10000)
+    assert rows[2].dup_bp == 0

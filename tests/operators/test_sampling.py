@@ -126,3 +126,34 @@ def test_curation_funnel_monotone_and_exact(spark):
     assert out["length"] == out["dedup"] - 1    # the 5-token doc
     ns = [r.n for r in curation_funnel(df, min_tokens=10).orderBy("stage").collect()]
     assert ns == sorted(ns, reverse=True)  # monotone non-increasing
+
+
+def test_ngram_contamination_embedded_benchmark_text(spark):
+    from factstore_spark.operators.sampling import ngram_contamination
+
+    bench = spark.createDataFrame([(100, "a b c d e")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (0, "z z a b c d e z"),   # embeds both bench 4-grams
+            (1, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_shared_grams for r in
+           ngram_contamination(corpus, bench, n=4).collect()}
+    assert out == {0: 2}  # 'a b c d' and 'b c d e'
+    assert ngram_contamination(corpus, bench, n=4, min_shared=3).count() == 0
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    import io
+    from contextlib import redirect_stdout
+    from factstore_spark.operators.sampling import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 != 0")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ngram_contamination(corpus, bench).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

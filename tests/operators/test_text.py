@@ -120,3 +120,63 @@ def test_chunk_documents_map_only(spark):
     with redirect_stdout(buf):
         chunk_documents(docs).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y z"), (2, "w")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.with_repetition_signals(df).collect()}
+    # doc0: 4 tokens, top run 'a'x3 -> 7500bp; 2 distinct -> 5000bp;
+    # bigrams [a a, a a, a b]: 1 of 3 duplicated -> 3333bp
+    assert (rows[0].n_tokens, rows[0].top_token_bp) == (4, 7500)
+    assert rows[0].distinct_ratio_bp == 5000
+    assert rows[0].dup_bigram_bp == 3333
+    # doc1: all distinct
+    assert (rows[1].top_token_bp, rows[1].distinct_ratio_bp, rows[1].dup_bigram_bp) == (
+        3333, 10000, 0
+    )
+    # doc2: single token -> no bigrams
+    assert (rows[2].n_tokens, rows[2].top_token_bp, rows[2].dup_bigram_bp) == (1, 10000, 0)
+
+
+def test_repetition_signals_map_only(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        T.with_repetition_signals(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_redact_pii_counts_and_masks(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "write a.b@c.io or 555-123-4567 at 10.0.0.1"),
+            (1, "no pii here at all"),
+            (2, "two mails x@y.org z@w.net and ips 1.2.3.4 5.6.7.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.redact_pii(df).collect()}
+    assert (rows[0].n_emails, rows[0].n_phones, rows[0].n_ips) == (1, 1, 1)
+    assert rows[0].redacted_text == "write [EMAIL] or [PHONE] at [IP]"
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (0, 0, 0)
+    assert rows[1].redacted_text == rows[1].text
+    assert (rows[2].n_emails, rows[2].n_ips) == (2, 2)
+    assert "[EMAIL]" in rows[2].redacted_text and "@" not in rows[2].redacted_text
+
+
+def test_redact_pii_word_boundaries(spark):
+    # digits glued to a candidate phone/ip must NOT match (\b guards)
+    df = spark.createDataFrame(
+        [(0, "serial 1555-123-45678 build 10.0.0.17x but 10.0.0.18, ok")],
+        "doc_id long, text string",
+    )
+    r = T.redact_pii(df).collect()[0]
+    # 1555-... has a digit before the 555 (no \b); 10.0.0.17x has a word
+    # char after the last quad (no \b); 10.0.0.18 is comma-bounded.
+    assert (r.n_phones, r.n_ips) == (0, 1)
