@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_top_ngrams",
     "text_chunks",
+    "text_repetition",
+    "text_pii_redact",
+    "dedup_substring_spans",
+    "curation_ngram_contamination",
+    "curation_shuffle_shards",
+    "events_funnel_steps",
+    "events_retention_cohorts",
     "curation_contamination",
     "curation_pack_stats",
     "curation_funnel",

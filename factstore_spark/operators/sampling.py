@@ -93,6 +93,34 @@ def contamination_check(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort: every row gets an order key md5(seed:id); the first 8 hex
+    chars assign a shard, and position is a row_number within the shard
+    ordered by the full key. Epoch reshuffles are a seed change, not a
+    data move.
+
+    Scale shape: one shuffle on the shard key and per-shard parallel
+    windows — never a single-partition global ORDER BY. Reading shards
+    in (shard, pos) order IS a uniform random permutation of the
+    corpus, which is all training ingestion needs. Deterministic and
+    engine-reproducible (md5, not an RNG or engine hash). Output:
+    (id, shard, pos)."""
+    okey = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % n_shards
+    w = Window.partitionBy("shard").orderBy(F.col("_okey").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), okey.alias("_okey"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1529,6 +1529,109 @@ FROM totals t LEFT JOIN dup USING (doc_id)
 """
 
 
+def events_funnel_steps(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase): a user
+    counts at step N only with a step-N event STRICTLY after their
+    step-(N-1) entry time. Three aggregations all keyed on user_id (the
+    exchange is reused across steps); output is one row per step."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+
+    def first_after(step_type, prev):
+        stage = ev.filter(F.col("event_type") == step_type)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(F.col("ts_us") > F.col("t_prev"))
+        return stage.groupBy("user_id").agg(F.min("ts_us").alias("t_prev"))
+
+    a = first_after("view", None)
+    b = first_after("click", a)
+    c = first_after("purchase", b)
+    steps = [
+        stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n_users"),
+        )
+        for i, (name, stage) in enumerate(
+            [("view", a), ("click", b), ("purchase", c)], start=1
+        )
+    ]
+    return steps[0].unionByName(steps[1]).unionByName(steps[2])
+
+
+EVENTS_FUNNEL_STEPS_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+a AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN a USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+c AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN b USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, (SELECT COUNT(*) FROM a) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM b)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM c)
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: cohort = week of a user's first event,
+    cell = distinct users from that cohort active week_offset weeks
+    later. Two shuffles (first-event agg on user_id; cohort-cell
+    distinct+count), the standard growth-analytics matrix."""
+    week_len = 604_800_000_000  # 7 days in microseconds
+    ev = load_events(spark, sf_dir).withColumn(
+        "week", F.expr(f"(ts_ns div 1000) div {week_len}")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.select("user_id", "week")
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_COHORTS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+cells AS (
+  SELECT DISTINCT e.user_id, cohort_week, week - cohort_week AS week_offset
+  FROM e JOIN f USING (user_id))
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM cells GROUP BY 1, 2
+"""
+
+
+def curation_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch shuffle-shard assignment (md5 order key,
+    per-shard row_number — never a global sort); output is every doc's
+    (shard, pos) training-read address."""
+    from .operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=8, seed="epoch0")
+
+
+CURATION_SHUFFLE_SHARDS_SQL = """
+WITH t AS (
+  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents),
+s AS (
+  SELECT doc_id, okey,
+    CAST('0x' || substring(okey, 1, 8) AS BIGINT) % 8 AS shard
+  FROM t)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+FROM s
+"""
+
+
 def curation_ngram_contamination(spark, sf_dir):
     """N-gram-overlap decontamination: docs sharing any 8-token window
     with the held-out benchmark slice (doc_id % 97 == 0) — benchmark
@@ -1622,6 +1725,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
     "curation_ngram_contamination": (curation_ngram_contamination, CURATION_NGRAM_CONTAMINATION_SQL),
+    "events_funnel_steps": (events_funnel_steps, EVENTS_FUNNEL_STEPS_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_COHORTS_SQL),
+    "curation_shuffle_shards": (curation_shuffle_shards, CURATION_SHUFFLE_SHARDS_SQL),
 }
 
 

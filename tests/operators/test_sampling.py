@@ -157,3 +157,28 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
     with redirect_stdout(buf):
         ngram_contamination(corpus, bench).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_shuffle_shards_is_a_deterministic_permutation(spark):
+    from factstore_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    out = shuffle_shards(df, n_shards=4, seed="e0").collect()
+    # every doc exactly once, shards in range
+    assert sorted(r.doc_id for r in out) == list(range(200))
+    assert {r.shard for r in out} <= set(range(4))
+    # positions are contiguous 0..n-1 within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # identical rerun -> identical assignment; new seed -> different order
+    again = shuffle_shards(df, n_shards=4, seed="e0").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = shuffle_shards(df, n_shards=4, seed="e1").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # the within-shard order is md5-scrambled, not id order
+    first_shard = sorted((r.pos, r.doc_id) for r in out if r.shard == 0)
+    ids_in_pos_order = [d for _, d in first_shard]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
