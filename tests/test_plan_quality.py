@@ -237,3 +237,29 @@ def test_scan_prunes_columns(spark):
     plan = plan_of(df)
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_shuffle_shards_no_global_sort(spark):
+    """The deterministic training shuffle must never range-partition on
+    the order key (a global ORDER BY collapses the corpus onto one
+    ordered exchange): shard assignment hashes, windows sort locally."""
+    from factstore_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(shuffle_shards(docs, n_shards=8))
+    tree = plan.split("\n\n", 1)[0]
+    assert "Exchange SinglePartition" not in tree
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_substring_spans_posting_list_shape(spark):
+    """Substring-span dedup: windows aggregate with map-side partial
+    aggregation (posting-list shape) and the join back to window rows
+    stays a hash join, never a nested-loop product."""
+    from factstore_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(substring_dup_spans(docs, n=8))
+    assert "HashAggregate" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

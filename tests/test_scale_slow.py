@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 from scale_probe import amplify_docs, amplify_embeddings  # noqa: E402
 
 from factstore_spark.operators import dedup as D  # noqa: E402
+from factstore_spark.operators import sampling as SA  # noqa: E402
 from factstore_spark.operators import similarity as S  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -82,6 +83,17 @@ OPS = {
     ).count(),
     "embedding_ivf_dedup": lambda docs, emb, k: S.cosine_dup_pairs(
         emb, threshold=0.45, method="ivf", n_cells=32, n_probe=2
+    ).count(),
+    # posting-list shape: shuffle volume O(corpus tokens), output one
+    # row per doc — both linear in K by construction
+    "substring_dup_spans": lambda docs, emb, k: D.substring_dup_spans(
+        docs, n=8
+    ).count(),
+    # benchmark grams broadcast; corpus side is a map-only probe
+    "ngram_contamination": lambda docs, emb, k: SA.ngram_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=8,
     ).count(),
 }
 
