@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "curation_ngram_contamination",
     "curation_shuffle_shards",
+    "curation_e2e",
     "events_funnel_steps",
     "events_retention_cohorts",
     "curation_contamination",

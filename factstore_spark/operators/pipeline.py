@@ -1,0 +1,98 @@
+"""The composed corpus-curation pipeline: one call from raw documents
+to training-ready shard assignments.
+
+Every stage is one of the engine's individually-oracled operators, so
+the composition stays deterministic and engine-reproducible end to end
+(the default configuration has a full DuckDB oracle in queries.py —
+the whole pipeline, not just its stages, is auditable by an
+independent engine). Stage order follows the standard curation recipe:
+
+  language ID -> quality floor -> exact-dedup keep-first ->
+  token-length bounds -> decontamination (exact fingerprint + n-gram
+  overlap vs the benchmark) -> [optional MinHash near-dup cluster
+  removal] -> deterministic shuffle-shard assignment
+
+Scale shape: the signal stages are one projection over the scan; the
+dedup window shuffles once on the content fingerprint; decontamination
+broadcasts the benchmark; near-dup removal (off by default) runs the
+banded MinHash path; the final shard assignment hashes — there is no
+global sort and no driver-side loop anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    lang: str = "en",
+    quality_threshold: float = 0.5,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    contamination_ngram: int = 8,
+    near_dup: Optional[str] = None,
+    minhash_verify_jaccard: float = 0.8,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the full curation pipeline; returns the curated corpus as
+    training-read addresses ``(id, shard, pos)`` (join back on the id
+    for text). ``near_dup="minhash"`` additionally drops every doc that
+    is not its near-dup cluster's representative (minimum id)."""
+    from .dedup import dup_clusters, minhash_lsh_pairs
+    from .sampling import contamination_check, ngram_contamination, shuffle_shards
+    from .text import with_lang_id, with_quality_score
+
+    flagged = with_quality_score(with_lang_id(docs, text_col), text_col).select(
+        F.col(id_col),
+        F.col(text_col),
+        (F.col("pred_lang") == lang).alias("_lang_ok"),
+        (F.col("quality_score") >= quality_threshold).alias("_q_ok"),
+        F.col("n_tokens").alias("_n_tok"),
+        F.md5(F.lower(F.col(text_col))).alias("_fp"),
+    )
+    survivors = flagged.filter(F.col("_lang_ok") & F.col("_q_ok"))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    deduped = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(
+            (F.col("_n_tok") >= min_tokens) & (F.col("_n_tok") <= max_tokens)
+        )
+        .select(id_col, text_col)
+    )
+    if benchmark is not None:
+        exact_clean = (
+            contamination_check(deduped, benchmark, text_col=text_col, id_col=id_col)
+            .filter(~F.col("contaminated"))
+            .select(id_col)
+        )
+        ngram_hits = ngram_contamination(
+            deduped, benchmark, n=contamination_ngram,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col)
+        deduped = (
+            deduped.join(exact_clean, id_col, "left_semi")
+            .join(ngram_hits, id_col, "left_anti")
+        )
+    if near_dup == "minhash":
+        pairs = minhash_lsh_pairs(
+            deduped, id_col=id_col, text_col=text_col,
+            verify_jaccard=minhash_verify_jaccard,
+        )
+        clusters = dup_clusters(pairs)
+        non_reps = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        deduped = deduped.join(non_reps, id_col, "left_anti")
+    elif near_dup is not None:
+        raise ValueError(f"unknown near_dup strategy: {near_dup!r}")
+    return shuffle_shards(deduped, n_shards=n_shards, seed=seed, id_col=id_col)

@@ -1661,6 +1661,82 @@ GROUP BY doc_id
 """
 
 
+def curation_e2e(spark, sf_dir):
+    """The COMPOSED curation pipeline end-to-end (operators/pipeline.py
+    curate_corpus): language -> quality -> exact dedup -> length ->
+    decontamination (exact fp + 8-gram overlap vs the doc_id%97==0
+    benchmark slice) -> deterministic shuffle-shard assignment. The
+    oracle replays the entire pipeline in SQL — the composition, not
+    just each stage, is engine-reproducible."""
+    from .operators.pipeline import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curate_corpus(corpus, benchmark=bench)
+
+
+CURATION_E2E_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS L,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM d),
+s AS (
+  SELECT doc_id, text, L, n_chars, alpha_chars,
+    len(list_filter(L, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(L, x -> x IN ('the','a','of','and','is'))) AS s_en,
+    len(list_filter(L, x -> x IN ('el','la','de','que','y'))) AS s_es,
+    len(list_filter(L, x -> x IN ('le','la','de','et','un'))) AS s_fr
+  FROM t),
+f AS (
+  SELECT doc_id, text, L, len(L) AS n_tok, md5(lower(text)) AS fp,
+    ((CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = 'en') AS lang_ok,
+    (0.4 * least(len(L) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(L, x -> x IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) / len(L))
+      + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars)) >= 0.5 AS q_ok
+  FROM s),
+surv AS (
+  SELECT doc_id, L, n_tok, fp,
+    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM f WHERE lang_ok AND q_ok),
+kept AS (
+  SELECT doc_id, L, fp FROM surv WHERE rn = 1 AND n_tok BETWEEN 10 AND 5000),
+bfp AS (SELECT DISTINCT md5(lower(text)) AS fp FROM bench),
+bg AS (
+  SELECT DISTINCT UNNEST(
+    CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 6), i -> array_to_string(L[i:i+7], ' '))
+    END) AS gram
+  FROM (SELECT string_split_regex(lower(text), '\s+') AS L FROM bench)),
+kg AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 6), i -> array_to_string(L[i:i+7], ' '))
+    END) AS gram
+  FROM kept),
+contam AS (SELECT DISTINCT doc_id FROM kg SEMI JOIN bg USING (gram)),
+clean AS (
+  SELECT doc_id FROM kept
+  WHERE fp NOT IN (SELECT fp FROM bfp)
+    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+o AS (
+  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS okey FROM clean),
+sh AS (
+  SELECT doc_id, okey,
+    CAST('0x' || substring(okey, 1, 8) AS BIGINT) % 8 AS shard
+  FROM o)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+FROM sh
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1728,6 +1804,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_funnel_steps": (events_funnel_steps, EVENTS_FUNNEL_STEPS_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_COHORTS_SQL),
     "curation_shuffle_shards": (curation_shuffle_shards, CURATION_SHUFFLE_SHARDS_SQL),
+    "curation_e2e": (curation_e2e, CURATION_E2E_SQL),
 }
 
 

@@ -1,0 +1,78 @@
+"""End-to-end curate_corpus semantics on a planted tiny corpus."""
+
+import pytest
+
+from factstore_spark.operators.pipeline import curate_corpus
+
+
+GOOD = ("the data of the table is a good row and it is the best "
+        "table of all the data in the set and the value is good ") * 3
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, GOOD + "alpha tail marker one"),        # survives
+        (1, GOOD + "alpha tail marker one"),        # exact dup of 0 -> dropped
+        (2, "el la de que y " * 30),                # spanish -> dropped
+        (3, GOOD + "beta tail different marker"),   # survives
+        (4, GOOD + "gamma entirely other ending"),  # survives
+        (5, "the a of and is"),                     # too short -> dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_stages_drop_planted_docs(spark, corpus):
+    out = {r.doc_id for r in curate_corpus(corpus).collect()}
+    assert out == {0, 3, 4}
+
+
+TA = "the cat sat on the mat and it was a good day for all of the cats in town " * 3
+TB = "a dog ran through the park and it is fun to watch the dogs play in the sun " * 3
+TC = "the bird flew over the lake and it is nice to see the birds glide in air " * 3
+
+
+def test_curate_corpus_decontaminates_against_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(0, TA), (1, TB), (2, TC)], "doc_id long, text string"
+    )
+    # bench 100 = doc 1's text verbatim (exact fp hit); bench 101 embeds
+    # an 8-gram of doc 2 (n-gram overlap hit); doc 0 is untouched
+    bench = spark.createDataFrame(
+        [
+            (100, TB),
+            (101, "prefix words " + "the bird flew over the lake and it " + "suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in curate_corpus(docs).collect()} == {0, 1, 2}
+    out = {r.doc_id for r in curate_corpus(docs, benchmark=bench).collect()}
+    assert out == {0}
+
+
+def test_curate_corpus_minhash_removes_near_dup_keeping_representative(spark):
+    near = TA
+    near2 = TA.replace("mat", "rug")  # one token changed -> high Jaccard
+    # TC is real-distinct (J ~ 0.2): GOOD-style shared blocks would
+    # collapse ALL docs into one cluster under set-of-shingles Jaccard
+    df = spark.createDataFrame(
+        [(0, near), (1, near2), (2, TC)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in curate_corpus(
+        df, near_dup="minhash", minhash_verify_jaccard=0.5
+    ).collect()}
+    assert out == {0, 2}  # 1 collapses into 0's cluster; 0 is the min-id rep
+
+    with pytest.raises(ValueError):
+        curate_corpus(df, near_dup="simhashish")
+
+
+def test_curate_corpus_output_is_shard_addressed(spark, corpus):
+    rows = curate_corpus(corpus, n_shards=2).collect()
+    assert {c for c in rows[0].asDict()} == {"doc_id", "shard", "pos"}
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
