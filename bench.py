@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "text_chunks",
     "text_repetition",
     "text_pii_redact",
+    "text_vocab_map",
     "dedup_substring_spans",
     "curation_ngram_contamination",
     "curation_shuffle_shards",

@@ -130,6 +130,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def build_vocab(df: DataFrame, max_size: int = 1000, text_col: str = "text") -> DataFrame:
+    """Corpus term-frequency vocabulary: the top ``max_size`` tokens by
+    total count, ids assigned by rank (count desc, token asc — fully
+    deterministic, engine-reproducible). One explode + one partial-
+    aggregated groupBy(token); the top-k fuses to TakeOrderedAndProject
+    (never a global sort). Output: (token, token_id, freq)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    order = [F.col("freq").desc(), F.col("token").asc()]
+    topk = counts.orderBy(*order).limit(max_size)
+    w = Window.orderBy(*order)
+    return topk.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+def map_to_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize against a fixed vocabulary — the id-mapping stage of
+    training ingestion: every token instance looks up its id in the
+    (broadcast) vocab; unknown tokens count as OOV. Per-doc totals plus
+    an order-insensitive id checksum make the mapping auditable without
+    shipping the id arrays. Scale shape: explode + broadcast-hash-join
+    (vocabularies are tiny next to a corpus; the corpus is never
+    shuffled for the lookup) + one groupBy(doc). Output:
+    (id, n_tokens, n_oov, id_checksum)."""
+    exploded = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    joined = exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+        F.sum(F.coalesce(F.col("token_id"), F.lit(0))).cast("long").alias("id_checksum"),
+    )
+
+
 def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
     quality gate that catches boilerplate/looping text generators:

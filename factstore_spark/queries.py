@@ -1661,6 +1661,35 @@ GROUP BY doc_id
 """
 
 
+def text_vocab_map(spark, sf_dir):
+    """Vocabulary build + id-mapping tokenization: top-20 term-frequency
+    vocab (rank-deterministic ids), then every doc mapped against it —
+    per-doc token/OOV counts and an order-insensitive id checksum."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text_ops.build_vocab(docs, max_size=20)
+    return text_ops.map_to_vocab(docs, vocab)
+
+
+TEXT_VOCAB_MAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents),
+cnt AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+vocab AS (
+  SELECT token, CAST(rk - 1 AS BIGINT) AS token_id FROM (
+    SELECT token, freq,
+      ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk
+    FROM cnt) t
+  WHERE rk <= 20)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(COALESCE(v.token_id, 0)) AS BIGINT) AS id_checksum
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def curation_e2e(spark, sf_dir):
     """The COMPOSED curation pipeline end-to-end (operators/pipeline.py
     curate_corpus): language -> quality -> exact dedup -> length ->
@@ -1805,6 +1834,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_COHORTS_SQL),
     "curation_shuffle_shards": (curation_shuffle_shards, CURATION_SHUFFLE_SHARDS_SQL),
     "curation_e2e": (curation_e2e, CURATION_E2E_SQL),
+    "text_vocab_map": (text_vocab_map, TEXT_VOCAB_MAP_SQL),
 }
 
 

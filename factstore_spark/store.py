@@ -660,6 +660,30 @@ class FactStore:
             df = df.filter(F.col("position") <= max_position)
         return df
 
+    def register_views(self, store_name: str, prefix: Optional[str] = None) -> Optional[list[str]]:
+        """Expose the store to plain ``spark.sql`` as temp views:
+        ``<prefix>_facts`` (the full fact envelope) and
+        ``<prefix>_tags`` (exploded ``(position, id, tag_key,
+        tag_value)`` — the relational shape of the reference's tag
+        subspaces, FdbFactStoreContext.kt:25-57, ready for
+        OR-of-AND tag algebra as ordinary SQL joins). Prefix defaults
+        to the store name.
+
+        Views are lazy Catalyst plans pinned to the file set visible
+        at registration (snapshot isolation, same contract as
+        ``facts_df``); re-register to pick up later commits. Returns
+        the view names, or None if the store doesn't exist."""
+        df = self.facts_df(store_name)
+        if df is None:
+            return None
+        p = prefix if prefix is not None else store_name
+        facts_view, tags_view = f"{p}_facts", f"{p}_tags"
+        df.createOrReplaceTempView(facts_view)
+        df.select(
+            "position", "id", F.explode_outer("tags").alias("tag_key", "tag_value")
+        ).createOrReplaceTempView(tags_view)
+        return [facts_view, tags_view]
+
     # -- find_by_id (FdbFactFinder.kt:19-32) ----------------------------
 
     def find_by_id_df(self, store_name: str, fact_id: str) -> Optional[DataFrame]:

@@ -180,3 +180,38 @@ def test_redact_pii_word_boundaries(spark):
     # 1555-... has a digit before the 555 (no \b); 10.0.0.17x has a word
     # char after the last quad (no \b); 10.0.0.18 is comma-bounded.
     assert (r.n_phones, r.n_ips) == (0, 1)
+
+
+def test_build_vocab_rank_deterministic_ids(spark):
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a b d")], "doc_id long, text string"
+    )
+    vocab = {r.token: (r.token_id, r.freq) for r in T.build_vocab(df, max_size=3).collect()}
+    # b:4, a:3, then c/d tie at 1 -> 'c' wins by token asc
+    assert vocab == {"b": (0, 4), "a": (1, 3), "c": (2, 1)}
+
+
+def test_map_to_vocab_counts_and_checksum(spark):
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a b d")], "doc_id long, text string"
+    )
+    vocab = T.build_vocab(df, max_size=3)
+    rows = {r.doc_id: r for r in T.map_to_vocab(df, vocab).collect()}
+    # doc0: b(0)x3 a(1)x2 c(2)x1 -> checksum 0+0+0+1+1+2 = 4, no OOV
+    assert (rows[0].n_tokens, rows[0].n_oov, rows[0].id_checksum) == (6, 0, 4)
+    # doc1: a(1) b(0) d(OOV) -> checksum 1
+    assert (rows[1].n_tokens, rows[1].n_oov, rows[1].id_checksum) == (3, 1, 1)
+
+
+def test_map_to_vocab_broadcasts_vocab(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = T.build_vocab(docs, max_size=20)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        T.map_to_vocab(docs, vocab).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

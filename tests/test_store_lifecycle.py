@@ -88,3 +88,32 @@ def test_operations_on_missing_store_return_store_not_found(fs):
     assert isinstance(fs.find_by_id("non-existing-store", "some-id"), StoreNotFound)
     assert isinstance(fs.find_by_subject("non-existing-store", "S"), StoreNotFound)
     assert isinstance(fs.find_in_time_range("non-existing-store", TimeRange()), StoreNotFound)
+
+
+def test_register_views_exposes_sql_surface(fs, spark):
+    from factstore_spark.model import FactInput
+
+    fs.create("sqlview-store")
+    fs.append("sqlview-store", FactInput(type="T", subject="U:1", tags={"env": "prod", "app": "web"}))
+    fs.append("sqlview-store", FactInput(type="T", subject="U:2", tags={"env": "dev"}))
+    fs.append("sqlview-store", FactInput(type="T", subject="U:3"))
+
+    views = fs.register_views("sqlview-store", prefix="sv")
+    assert views == ["sv_facts", "sv_tags"]
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_facts").collect()[0].n == 3
+    # tag algebra as plain SQL: AND of two tags via self-join
+    got = spark.sql("""
+        SELECT f.subject FROM sv_facts f
+        JOIN sv_tags a ON a.position = f.position AND a.tag_key = 'env' AND a.tag_value = 'prod'
+        JOIN sv_tags b ON b.position = f.position AND b.tag_key = 'app' AND b.tag_value = 'web'
+    """).collect()
+    assert [r.subject for r in got] == ["U:1"]
+    # untagged facts still appear in sv_facts but contribute NULL tag rows
+    n_tag_rows = spark.sql("SELECT COUNT(*) AS n FROM sv_tags WHERE tag_key IS NOT NULL").collect()[0].n
+    assert n_tag_rows == 3
+    # results agree with the native finder
+    from factstore_spark.model import TagQuery, TagOnlyQueryItem
+    native = fs.find_by_tags("sqlview-store", {"env": "prod", "app": "web"})
+    assert [f.subject for f in native.facts] == ["U:1"]
+
+    assert fs.register_views("no-such-store") is None
