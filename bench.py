@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q18_top_quantity_orders",
     "events_sessionize",
     "events_topk_per_user",
     "events_minute_rollup",

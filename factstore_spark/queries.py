@@ -329,6 +329,139 @@ WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
 
+def q7_nation_volume(spark, sf_dir):
+    """Cross-nation shipping volume (TPC-H Q7 shape): revenue between
+    NATION_1 and NATION_2 in both directions by ship year. Fact table
+    joins both dimension chains; every dimension side broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q14_promo_share(spark, sf_dir):
+    """Promo revenue share (TPC-H Q14 shape) for one ship month:
+    conditional aggregation over the part-type dimension (broadcast),
+    share emitted as basis points of exact integer cent sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.floor(F.lit(10000.0) * F.col("promo_cents") / F.col("total_cents"))
+            .cast("long")
+            .alias("promo_bp"),
+        )
+    )
+
+
+Q14_SQL = """
+WITH t AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS promo_cents,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+SELECT promo_cents, total_cents,
+  CAST(FLOOR(10000.0 * promo_cents / total_cents) AS BIGINT) AS promo_bp
+FROM t
+"""
+
+
+def q18_top_quantity_orders(spark, sf_dir):
+    """Large-volume orders (TPC-H Q18 shape): per-order quantity rollup,
+    threshold filter, customer join (broadcast), global top-20 with a
+    total-order tie-break (TakeOrderedAndProject, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") >= 150)
+    )
+    topk = (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+Q18_SQL = """
+WITH q AS (
+  SELECT l_orderkey, CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING CAST(FLOOR(SUM(l_quantity)) AS BIGINT) >= 150)
+SELECT c_custkey, o_orderkey, total_qty, rank FROM (
+  SELECT c_custkey, o_orderkey, total_qty,
+    ROW_NUMBER() OVER (ORDER BY total_qty DESC, o_orderkey ASC) AS rank
+  FROM q
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey) t
+WHERE rank <= 20
+"""
+
+
 def customers_without_orders(spark, sf_dir):
     """Anti join: customers that never ordered."""
     cust = _t(spark, sf_dir, "customer")
@@ -1786,6 +1919,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q18_top_quantity_orders": (q18_top_quantity_orders, Q18_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "parts_with_lineitems": (parts_with_lineitems, PARTS_WITH_LINEITEMS_SQL),
     "orders_priority_rollup": (orders_priority_rollup, ORDERS_PRIORITY_ROLLUP_SQL),
