@@ -136,6 +136,38 @@ def dedup_stream_by_content(
     )
 
 
+def curate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    time_col: str = "appended_at",
+    lang: str = "en",
+    quality_threshold: float = 0.5,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The curation funnel's STREAMING leg: the batch pipeline's
+    language/quality/length signal stages are pure Column expressions,
+    so the very same operators (operators/text.py) run unchanged per
+    micro-batch — one map-only projection — followed by exact content
+    dedup within the watermark horizon (bounded state). The lambda
+    split is deliberate: global/near-dup dedup, decontamination and
+    shard assignment need corpus-wide state and stay in the batch
+    ``curate_corpus`` pass; this stage stops junk and retransmits from
+    ever landing in the raw corpus."""
+    from ..operators.text import with_lang_id, with_quality_score
+
+    cols = stream.columns
+    flagged = with_quality_score(with_lang_id(stream, text_col), text_col)
+    kept = flagged.filter(
+        (F.col("pred_lang") == lang)
+        & (F.col("quality_score") >= quality_threshold)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    ).select(*cols)
+    return dedup_stream_by_content(kept, text_col, time_col, watermark)
+
+
 RUNNING_TOTALS_SCHEMA = StructType(
     [
         StructField("subject", StringType(), False),

@@ -154,3 +154,36 @@ def test_dedup_stream_binary_case_sensitive(fs, spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 2  # A and one of {B, C}; never 1
     assert "A" in {r.type for r in rows}
+
+
+def test_curate_stream_filters_and_dedups(spark, tmp_path):
+    """Streaming curation: junk and retransmits never reach the sink."""
+    from pyspark.sql import functions as F
+    from factstore_spark.streaming.windows import curate_stream
+
+    good = ("the data of the table is a good row and it is the best "
+            "table of all the data in the set and the value is good ") * 3
+    rows = [
+        (0, good + "alpha one", "2024-01-01 10:00:00"),
+        (1, good + "alpha one", "2024-01-01 10:02:00"),   # retransmit -> dropped
+        (2, "el la de que y " * 30, "2024-01-01 10:03:00"),  # wrong lang
+        (3, "the a of", "2024-01-01 10:04:00"),              # too short
+        (4, good + "beta two", "2024-01-01 10:05:00"),
+    ]
+    src_dir = tmp_path / "stream-src"
+    src_dir.mkdir()
+    batch = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.parquet(str(src_dir / "part0"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir / "*"))
+    out = _drain(
+        curate_stream(stream, time_col="ts"), "curated_stream", tmp_path, spark,
+        mode="append",
+    )
+    got = {r.doc_id for r in out.collect()}
+    # junk (2: wrong lang, 3: too short) never lands; exactly ONE of the
+    # retransmit twins survives (dropDuplicatesWithinWatermark keeps an
+    # arbitrary member of the duplicate set, not a deterministic one)
+    assert 4 in got and len(got & {0, 1}) == 1
+    assert got <= {0, 1, 4}
