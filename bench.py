@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "events_funnel_steps",
     "events_retention_cohorts",
     "curation_contamination",
+    "corpus_source_stats",
     "curation_pack_stats",
     "curation_funnel",
     "ann_filtered_topk",

@@ -1823,6 +1823,52 @@ GROUP BY t.doc_id
 """
 
 
+def corpus_source_stats(spark, sf_dir):
+    """The per-source corpus report card every curation run publishes:
+    doc/token totals, an exact integer quality mass (per-doc basis
+    points summed — float means are never aggregated across engines),
+    and the within-source exact-dup count (docs minus distinct
+    fingerprints). One projection + one groupBy(source)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.with_quality_score(docs)
+    return (
+        scored.select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tok"),
+            F.floor(F.lit(10000.0) * F.col("quality_score")).cast("long").alias("q_bp"),
+            F.md5(F.lower(F.col("text"))).alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("q_bp").alias("quality_bp_sum"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        )
+    )
+
+
+CORPUS_SOURCE_STATS_SQL = r"""
+WITH t AS (
+  SELECT source, string_split_regex(lower(text), '\s+') AS L,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars,
+    md5(lower(text)) AS fp
+  FROM documents),
+q AS (
+  SELECT source, fp, len(L) AS n_tok,
+    CAST(FLOOR(10000.0 * (0.4 * least(len(L) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(L, x -> x IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) / len(L))
+      + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars))) AS BIGINT) AS q_bp
+  FROM t)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(q_bp) AS BIGINT) AS quality_bp_sum,
+  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+FROM q GROUP BY source
+"""
+
+
 def curation_e2e(spark, sf_dir):
     """The COMPOSED curation pipeline end-to-end (operators/pipeline.py
     curate_corpus): language -> quality -> exact dedup -> length ->
@@ -1971,6 +2017,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_shuffle_shards": (curation_shuffle_shards, CURATION_SHUFFLE_SHARDS_SQL),
     "curation_e2e": (curation_e2e, CURATION_E2E_SQL),
     "text_vocab_map": (text_vocab_map, TEXT_VOCAB_MAP_SQL),
+    "corpus_source_stats": (corpus_source_stats, CORPUS_SOURCE_STATS_SQL),
 }
 
 

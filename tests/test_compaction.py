@@ -104,3 +104,31 @@ def test_new_subscription_after_compaction_no_duplicates(fs, spark, tmp_path):
     assert len(rows) == 13                       # no duplicates
     assert len({r.id for r in rows}) == 13       # all distinct facts
     assert set(ids) <= {r.id for r in rows}      # pre-compaction facts present
+
+
+def test_facts_df_max_position_is_time_travel_across_maintenance(fs, spark):
+    """max_position pins an as-of snapshot (Delta-style time travel):
+    the pinned view must reproduce the historical state bit-for-bit
+    even after later appends, compaction, and commit-log checkpointing
+    rewrite the physical layout."""
+    from factstore_spark.model import FactInput
+
+    store = "timetravel-store"
+    fs.create(store)
+    r1 = fs.append(store, [FactInput(type="T", subject=f"s{i}") for i in range(5)])
+    head = max(r1.positions)
+    before = sorted(
+        (r.id, r.position)
+        for r in fs.facts_df(store).select("id", "position").collect()
+    )
+
+    fs.append(store, [FactInput(type="T", subject=f"late{i}") for i in range(7)])
+    fs.maintain(store)  # compact + checkpoint + tag index: layout fully rewritten
+
+    pinned = sorted(
+        (r.id, r.position)
+        for r in fs.facts_df(store, max_position=head).select("id", "position").collect()
+    )
+    assert pinned == before
+    # and the live view sees everything
+    assert fs.facts_df(store).count() == 12
