@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "curation_e2e",
     "events_funnel_steps",
     "events_retention_cohorts",
+    "events_asof_join",
+    "events_range_join",
     "curation_contamination",
     "corpus_source_stats",
     "curation_pack_stats",

@@ -1,0 +1,137 @@
+"""Temporal join operators: as-of join and binned range join.
+
+Spark has no native ASOF JOIN (DuckDB/kdb do) and a naive inequality
+join is a broadcast-nested-loop or cartesian disaster at scale. Both
+operators here re-express the semantics as equi-join/window plans:
+
+- **as-of join** (``asof_join``): union the two sides, one shuffle on
+  the key, and a per-key ordered window with ``last(..., ignorenulls)``
+  forward-fill — every left row picks the latest right row at-or-before
+  its time in O(n log n) per key, no row-pair expansion at all. The
+  classic sort-merge as-of, expressed declaratively.
+- **range join** (``range_join_binned``): points join intervals that
+  contain them. Naively that is an inequality join; binning both sides
+  to a coarse grid (intervals exploded to the bins they overlap) turns
+  it into an equi-join on the bin with a residual exact filter — the
+  standard bin-prefilter trick (Databricks' range-join hint does the
+  same under the hood). Bin width trades explode factor against join
+  selectivity: pick ~ the median interval length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Optional[Sequence[str]] = None,
+    tolerance: Optional[int] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the latest right row of the same key
+    with ``right_time <= left_time`` (backward as-of; a right row AT
+    the left instant matches). Equal-time right duplicates are resolved
+    by the largest value tuple order only if ``value_cols`` ties —
+    callers needing strict determinism should pass a unique
+    tie-breaking column last in ``value_cols``.
+
+    ``tolerance`` (same units as the time columns) drops matches older
+    than ``left_time - tolerance`` (they become NULL, as in pandas
+    ``merge_asof``). Output: all left columns + ``<right_time><suffix>``
+    + the requested value columns (suffixed on collision)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_time)]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in value_cols
+    }
+    rt_out = right_time + suffix if right_time in left.columns else right_time
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).cast("long").alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast("long").alias("_rt"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).cast("long").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_time).cast("long").alias("_rt"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows (side 0) sort before left rows (side 1) at the same
+    # instant, so an exactly-simultaneous right row is visible to the
+    # fill — the >= (not >) as-of contract.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias("_m_rt"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+    )
+    rows = filled.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_m_rt") < (F.col("_t") - F.lit(tolerance))
+        rows = rows.select(
+            *left.columns,
+            F.when(stale, F.lit(None)).otherwise(F.col("_m_rt")).alias(rt_out),
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"_m_{c}")).alias(out_names[c])
+                for c in value_cols
+            ],
+        )
+    else:
+        rows = rows.select(
+            *left.columns,
+            F.col("_m_rt").alias(rt_out),
+            *[F.col(f"_m_{c}").alias(out_names[c]) for c in value_cols],
+        )
+    return rows
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval row with
+    ``start <= point <= end`` (closed bounds), via the bin-prefilter
+    equi-join: intervals explode to the coarse bins they overlap
+    (ceil(len/width)+1 rows each), points map to one bin, the join key
+    is the bin, and the exact containment predicate filters residuals.
+    No inequality join, no broadcast-nested-loop; shuffle volume is
+    O(points + intervals * bins_per_interval)."""
+    pt = F.col(point_col).cast("long")
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    binned_pts = points.withColumn("_bin", F.floor(pt / F.lit(bin_width)))
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor(s / F.lit(bin_width)), F.floor(e / F.lit(bin_width)))
+        ),
+    )
+    joined = binned_pts.join(binned_iv, "_bin", how)
+    return joined.filter((pt >= s) & (pt <= e)).drop("_bin")

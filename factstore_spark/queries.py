@@ -1823,6 +1823,82 @@ GROUP BY t.doc_id
 """
 
 
+def events_asof_join(spark, sf_dir):
+    """AS-OF JOIN (operators/temporal.py): every purchase event picks
+    the user's latest click at-or-before it — union + one shuffle on
+    the key + ordered-window forward fill, never a row-pair expansion.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts_us", right_time="ts_us",
+        value_cols=[],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("ts_us_right").alias("last_click_us")
+    )
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS last_click_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+# Five promo windows over the events' January-2024 span; w1/w2 and
+# w4/w5 overlap so multi-interval membership is exercised. Epoch
+# microseconds, UTC midnights.
+_PROMO_WINDOWS = [
+    (1, 1_704_153_600_000_000, 1_704_412_800_000_000),  # Jan 02 - Jan 05
+    (2, 1_704_326_400_000_000, 1_704_672_000_000_000),  # Jan 04 - Jan 08
+    (3, 1_705_017_600_000_000, 1_705_276_800_000_000),  # Jan 12 - Jan 15
+    (4, 1_705_708_800_000_000, 1_706_400_000_000_000),  # Jan 20 - Jan 28
+    (5, 1_706_313_600_000_000, 1_706_659_200_000_000),  # Jan 27 - Jan 31
+]
+
+
+def events_range_join(spark, sf_dir):
+    """RANGE JOIN (operators/temporal.py): events fall into the promo
+    windows containing them via the bin-prefilter equi-join (1-day
+    bins) — no inequality join, no nested loop. Per-window event count
+    and value cents."""
+    from .operators.temporal import range_join_binned
+
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    iv = spark.createDataFrame(_PROMO_WINDOWS, "promo_id long, start_us long, end_us long")
+    joined = range_join_binned(
+        ev.select("event_id", "ts_us", "value"), iv,
+        point_col="ts_us", start_col="start_us", end_col="end_us",
+        bin_width=86_400_000_000,
+    )
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH iv(promo_id, start_us, end_us) AS (VALUES
+  (CAST(1 AS BIGINT), 1704153600000000, 1704412800000000),
+  (CAST(2 AS BIGINT), 1704326400000000, 1704672000000000),
+  (CAST(3 AS BIGINT), 1705017600000000, 1705276800000000),
+  (CAST(4 AS BIGINT), 1705708800000000, 1706400000000000),
+  (CAST(5 AS BIGINT), 1706313600000000, 1706659200000000)),
+e AS (SELECT epoch_us(ts) AS ts_us, value FROM events)
+SELECT promo_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM e JOIN iv ON ts_us >= start_us AND ts_us <= end_us
+GROUP BY promo_id
+"""
+
+
 def corpus_source_stats(spark, sf_dir):
     """The per-source corpus report card every curation run publishes:
     doc/token totals, an exact integer quality mass (per-doc basis
@@ -2018,6 +2094,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_e2e": (curation_e2e, CURATION_E2E_SQL),
     "text_vocab_map": (text_vocab_map, TEXT_VOCAB_MAP_SQL),
     "corpus_source_stats": (corpus_source_stats, CORPUS_SOURCE_STATS_SQL),
+    "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
+    "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
 }
 
 
