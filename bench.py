@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "events_asof_join",
     "events_range_join",
+    "events_distinct_sketch",
     "curation_contamination",
     "corpus_source_stats",
     "curation_pack_stats",

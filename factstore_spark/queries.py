@@ -1899,6 +1899,39 @@ GROUP BY promo_id
 """
 
 
+def events_distinct_sketch(spark, sf_dir):
+    """Mergeable HLL distinct-user cube (operators/sketches.py): daily
+    per-type sketch cells merged up to per-type totals — the rollup
+    reads O(cells), never the raw facts. SELF-VALIDATING (rows-only):
+    each row carries the estimate, the exact distinct count, and the
+    error in basis points (~1% standard error at lg_k=12)."""
+    from .operators.sketches import hll_cells, hll_rollup
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.expr("(ts_ns div 1000) div 86400000000")
+    )
+    cells = hll_cells(ev, ["day", "event_type"], "user_id", lg_k=12)
+    merged = hll_rollup(cells, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("est_distinct").cast("long").alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.floor(
+                F.lit(10000.0)
+                * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )
+
+
 def corpus_source_stats(spark, sf_dir):
     """The per-source corpus report card every curation run publishes:
     doc/token totals, an exact integer quality mass (per-doc basis
@@ -2096,6 +2129,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_source_stats": (corpus_source_stats, CORPUS_SOURCE_STATS_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
+    "events_distinct_sketch": (events_distinct_sketch, None),
 }
 
 

@@ -1,0 +1,29 @@
+"""HLL sketch cells: merge losslessness and error bounds."""
+
+from pyspark.sql import functions as F
+
+from factstore_spark.operators.sketches import hll_cells, hll_rollup
+
+
+def test_merged_cells_equal_direct_sketch(spark):
+    """Unioning per-cell sketches must give EXACTLY the estimate of
+    sketching the whole column directly (HLL merge is lossless at the
+    same lg_k) — the property that makes pre-aggregated cubes sound."""
+    df = spark.createDataFrame(
+        [(i % 7, f"u{i % 97}") for i in range(2000)], "day long, user string"
+    )
+    cells = hll_cells(df, ["day"], "user", lg_k=12)
+    merged = hll_rollup(cells, []).collect()[0]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user", F.lit(12))).alias("est")
+    ).collect()[0]
+    assert merged.est_distinct == direct.est
+    assert merged.n_rows == 2000
+
+
+def test_estimate_error_within_bound(spark):
+    df = spark.createDataFrame(
+        [(0, f"user{i}") for i in range(5000)], "day long, user string"
+    )
+    est = hll_rollup(hll_cells(df, ["day"], "user"), []).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.05  # ~1% standard error at lg_k=12
