@@ -5,9 +5,14 @@ attributes -> tags + JSON payload bytes, ``ts``/``event_id`` -> ingestion
 order. All column work is JVM-side built-ins (to_json / create_map /
 encode) — no Python UDFs.
 
-The raw parquet stores ``ts`` as TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as BIGINT nanos and
-we derive a microsecond timestamp (Spark's native unit).
+The raw parquet ``ts`` encoding has varied across driver testdata
+generations — TIMESTAMP(NANOS) (surfaces as BIGINT nanos under
+``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP(MICROS)
+adjusted-to-UTC (Spark TIMESTAMP), or TIMESTAMP(MICROS) naive (Spark
+TIMESTAMP_NTZ). ``load_events`` normalizes all three to the same
+contract: ``ts`` = session-TZ (UTC) TIMESTAMP, ``ts_ns`` = BIGINT
+epoch nanoseconds, so every downstream query and every DuckDB oracle
+(``epoch_us(ts) == ts_ns div 1000``) is encoding-independent.
 """
 
 from __future__ import annotations
@@ -31,6 +36,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     else:
+        if ts_type == "timestamp_ntz":
+            # Naive micros; session TZ is UTC, so the cast reinterprets
+            # the same wall-clock as the same instant (no value shift).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
     return df
 
