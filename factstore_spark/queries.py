@@ -2055,6 +2055,660 @@ FROM sh
 
 
 # ---------------------------------------------------------------------------
+# Round-4 relational + analytics battery (TPC-H adaptations for the
+# available columns — this star schema has no partsupp / commitdate /
+# receiptdate / shipmode / phone, so Q2/Q11/Q16/Q20/Q21 have no faithful
+# analog and Q4/Q12/Q22 are adapted as documented per entry).
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape). The schema lacks
+    commit/receipt dates, so the EXISTS predicate is adapted to
+    "some lineitem shipped strictly after the order date" — still a
+    conditioned EXISTS semi-join, which is the operator Q4 exercises.
+    Plan: orders filtered to one quarter, LeftSemi hash join on
+    orderkey with the extra non-equi condition."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sel = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): NATION_3's share of
+    ECONOMY-part revenue delivered into ASIA customers, by order year.
+    Share emitted as basis points of exact integer cent sums. All
+    dimension chains broadcast; one shuffle for the year rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cnat = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    snat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias("nation_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.floor(F.lit(10000.0) * F.col("nation_cents") / F.col("total_cents"))
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+
+
+Q8_SQL = """
+WITH t AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS nation_cents,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  GROUP BY 1)
+SELECT o_year, nation_cents, total_cents,
+  CAST(FLOOR(10000.0 * nation_cents / total_cents) AS BIGINT) AS share_bp
+FROM t
+"""
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape). No partsupp/supplycost in
+    this schema, so profit = discounted revenue of 'widget' parts,
+    grouped by supplier nation x order year. LIKE-filtered dimension
+    broadcast down to the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).alias("profit_cents"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    lost revenue (returnflag = 'R') in one quarter, with nation.
+    TakeOrderedAndProject on (revenue desc, custkey asc) — no global
+    sort; customer + nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    topk = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        )
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+Q10_SQL = """
+WITH r AS (
+  SELECT c_custkey, c_name, n_name AS nation,
+    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1, 2, 3, 4)
+SELECT c_custkey, c_name, nation, acctbal_cents, revenue_cents, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, c_custkey ASC) AS rank
+  FROM r) t
+WHERE rank <= 20
+"""
+
+
+def q12_late_shipments(spark, sf_dir):
+    """Shipping-lateness rollup (TPC-H Q12 shape). No shipmode column,
+    so the classification dimension is the order priority and "late"
+    means shipped more than 90 days after the order date. Conditional
+    aggregation after one fact-dim equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.sum(F.when(late & urgent, 1).otherwise(0)).cast("long").alias("n_late_urgent"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+       AND o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_late_urgent
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13): left join so
+    zero-order customers count, then a histogram of counts. Two
+    aggregations = two shuffles, the second one tiny (distinct counts)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Top supplier (TPC-H Q15 shape): per-supplier revenue for one
+    quarter, then the supplier(s) hitting the maximum — the CREATE VIEW
+    + scalar-subquery pattern expressed as an unpartitioned max window
+    over the (small) aggregated set."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue_cents"))
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue_cents").over(w)
+    ).filter(F.col("total_revenue_cents") == F.col("max_rev"))
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape) for one brand.
+    The `quantity < 0.2 * avg(quantity per part)` predicate is done in
+    cross-multiplied integer space (5 * n * q100 < sum_q100) so both
+    engines decide boundaries identically — no float avg. Per-part
+    stats joined back to the brand's lineitems (both sides pre-filtered
+    by the broadcast part dimension)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    brand_li = li.join(brand_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+    q100 = F.floor(F.col("l_quantity") * 100).cast("long")
+    stats = brand_li.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.count(F.lit(1)).alias("n_li"), F.sum(q100).alias("sum_q100")
+    )
+    return (
+        brand_li.join(stats, brand_li.l_partkey == F.col("s_partkey"))
+        .filter(F.lit(5) * F.col("n_li") * q100 < F.col("sum_q100"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.floor(
+                F.sum(_cents(F.col("l_extendedprice"))) / F.lit(7.0)
+            ).cast("long").alias("avg_yearly_cents"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+    CAST(FLOOR(l_quantity * 100) AS BIGINT) AS q100
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM part
+                WHERE p_partkey = l_partkey AND p_brand = 'Brand#1')),
+stats AS (
+  SELECT l_partkey AS s_partkey, COUNT(*) AS n_li,
+    CAST(SUM(q100) AS BIGINT) AS sum_q100
+  FROM brand_li GROUP BY 1)
+SELECT COUNT(*) AS n_small,
+  CAST(FLOOR(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) / 7.0) AS BIGINT) AS avg_yearly_cents
+FROM brand_li JOIN stats ON l_partkey = s_partkey
+WHERE 5 * n_li * q100 < sum_q100
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Discounted revenue under an OR-of-AND predicate (TPC-H Q19
+    shape; container/shipmode columns absent, so the clauses combine
+    brand, size and quantity bands). One broadcast join; the whole
+    disjunction evaluates in the scan stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """Global-sales-opportunity (TPC-H Q22 shape; no phone prefixes, so
+    the grouping key is the market segment): customers with above-
+    average positive balances and no RECENT orders (none since
+    2000-01-01 — every customer in this data has some order, so the
+    unscoped variant is vacuously empty). The "above global average"
+    comparison is cross-multiplied into integers (bal * n_pos >
+    sum_pos) — no float scalar crosses the engines. The one-row global
+    aggregate is broadcast; the no-recent-orders check is an anti join
+    whose right side is date-pruned before the shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    bal = _cents(F.col("c_acctbal"))
+    pos_stats = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0).agg(
+            F.count(F.lit(1)).alias("n_pos"), F.sum(bal).alias("sum_pos_cents")
+        )
+    )
+    return (
+        cust.withColumn("bal_cents", bal)
+        .join(pos_stats)
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos_cents"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH pos AS (
+  SELECT COUNT(*) AS n_pos,
+    CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_pos_cents
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
+FROM customer, pos
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+def suppliers_top_by_nation(spark, sf_dir):
+    """Per-group top-k over a dimension: 3 richest suppliers per
+    nation (row_number window, total-order tie-break on suppkey)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "s_name",
+            _cents(F.col("s_acctbal")).alias("bal_cents"),
+        )
+        .withColumn("rk", F.row_number().over(Window.partitionBy("nation").orderBy(
+            F.col("bal_cents").desc(), F.col("s_suppkey").asc())).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+SUPPLIERS_TOP_BY_NATION_SQL = """
+SELECT nation, s_suppkey, s_name, bal_cents, rk FROM (
+  SELECT n_name AS nation, s_suppkey, s_name,
+    CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS bal_cents,
+    ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY CAST(FLOOR(s_acctbal * 100) AS BIGINT) DESC,
+                                s_suppkey ASC) AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+WHERE rk <= 3
+"""
+
+
+def events_running_totals(spark, sf_dir):
+    """Ordered window frames over the event stream: per-user running
+    total and 3-row moving sum of value cents. ROWS frames over one
+    (user_id) shuffle; integer sums keep both engines bit-identical."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    vc = _cents(F.col("value"))
+    wo = Window.partitionBy("user_id").orderBy("event_id")
+    cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = wo.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        vc.alias("value_cents"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.sum("value_cents").over(cum).alias("cum_cents"),
+        F.sum("value_cents").over(mov).alias("mov3_cents"),
+    )
+
+
+EVENTS_RUNNING_TOTALS_SQL = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
+FROM events WHERE user_id < 20
+"""
+
+
+def events_type_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (explicit value
+    list so the plan is a single-pass conditional aggregation, no
+    distinct-scan), plus the row total."""
+    ev = load_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    total = sum((F.col(t) for t in types[1:]), F.col(types[0]))
+    return out.withColumn("n_total", total.cast("long"))
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+  COUNT(*) AS n_total
+FROM events GROUP BY 1
+"""
+
+
+def revenue_grouping_sets(spark, sf_dir):
+    """GROUPING SETS that is NOT a rollup — ((rf,ls),(ls),()) — via the
+    DataFrame groupingSets API (Spark 4). Group keys coalesced to
+    sentinels so null semantics can't diverge between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.groupingSets(
+            [
+                [F.col("l_returnflag"), F.col("l_linestatus")],
+                [F.col("l_linestatus")],
+                [],
+            ],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).alias("revenue_cents"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("ls"),
+            "n",
+            "revenue_cents",
+        )
+    )
+
+
+REVENUE_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS rf,
+       COALESCE(l_linestatus, '<all>') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def events_value_median(spark, sf_dir):
+    """Exact median per group without engine-specific percentile
+    functions: row_number + count window selects the middle row(s); the
+    median of the (one or two) middle cent values is floor(avg) in
+    integer space — deterministic in both engines."""
+    ev = load_events(spark, sf_dir)
+    vc = _cents(F.col("value"))
+    wo = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", "event_id", vc.alias("value_cents"))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        F.floor(F.sum("value_cents") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("median_cents"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+
+
+EVENTS_VALUE_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(FLOOR(value * 100) AS BIGINT), event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+mid AS (
+  SELECT * FROM ranked
+  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+SELECT event_type,
+  CAST(FLOOR(SUM(value_cents) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS median_cents,
+  CAST(MAX(n) AS BIGINT) AS n_events
+FROM mid GROUP BY 1
+"""
+
+
+def embeddings_label_centroid_norms(spark, sf_dir):
+    """Distributed vector aggregate: per-label centroid built by
+    exploding the embedding array, summing each dimension in QUANTIZED
+    integer space (floor(x*1000) — float32 sums are order-dependent and
+    would never hash-match across engines), then the squared norm of
+    the integer centroid-sum vector. posexplode keeps the dim index;
+    two shuffles ((label,dim) then label), both on small keys."""
+    emb = _t(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("e").cast("double") * 1000).cast("long").alias("q"),
+    )
+    per_dim = expl.groupBy("label", "dim").agg(
+        F.sum("q").alias("dim_sum"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    return per_dim.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n_vecs").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum(F.col("dim_sum") * F.col("dim_sum")).alias("norm2"),
+    )
+
+
+EMBEDDINGS_LABEL_CENTROID_NORMS_SQL = """
+WITH expl AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings),
+per_dim AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS dim_sum, COUNT(*) AS n_vecs
+  FROM expl GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label,
+  CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+  COUNT(*) AS n_dims,
+  CAST(SUM(dim_sum * dim_sum) AS BIGINT) AS norm2
+FROM per_dim GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2130,6 +2784,22 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
     "events_distinct_sketch": (events_distinct_sketch, None),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q12_late_shipments": (q12_late_shipments, Q12_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    "suppliers_top_by_nation": (suppliers_top_by_nation, SUPPLIERS_TOP_BY_NATION_SQL),
+    "events_running_totals": (events_running_totals, EVENTS_RUNNING_TOTALS_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_TYPE_PIVOT_SQL),
+    "revenue_grouping_sets": (revenue_grouping_sets, REVENUE_GROUPING_SETS_SQL),
+    "events_value_median": (events_value_median, EVENTS_VALUE_MEDIAN_SQL),
+    "embeddings_label_centroid_norms": (embeddings_label_centroid_norms, EMBEDDINGS_LABEL_CENTROID_NORMS_SQL),
 }
 
 
