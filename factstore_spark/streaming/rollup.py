@@ -6,21 +6,36 @@ as micro-batches arrive instead of recomputed from the raw log.
 Shape: Structured Streaming keeps the running (bucket, key) totals in
 its aggregation state store; every micro-batch emits only the CHANGED
 cells (update mode), and ``foreachBatch`` upserts them into a
-versioned parquet table. Query cost is O(buckets), not O(facts); the
-write amplification per batch is O(changed cells). At 100 TB the
-rollup table is partitionable by bucket date exactly like the
-compacted fact layout.
+DATE-PARTITIONED versioned parquet table. Query cost is O(buckets);
+write amplification per refresh is O(cells in partitions containing
+changed cells) — an untouched date partition's files are not rewritten
+(or even read). At 100 TB with years of minute x key cells this is
+what keeps maintenance cost proportional to the arrival window rather
+than to table history: a steady stream touches only today's partition,
+so refresh cost stays flat over time instead of growing with the
+table.
 
-Crash safety: each upsert writes a complete new version directory
-``v=<epoch_id>`` and then atomically publishes it via a pointer-file
-rename; readers resolve the pointer so a crash mid-write leaves the
-previous version intact, and Structured Streaming's checkpoint replays
-the unpublished batch (the upsert is idempotent — same cells, same
-totals).
+Layout::
+
+    out_dir/
+      _LATEST                      <- JSON manifest {date: relpath}
+      v=<epoch>-<hex>/bucket_date=<date>/part-*.parquet
+
+Each refresh writes ONE new version directory holding only the changed
+dates' merged partitions (a single partitioned Spark write), then
+atomically publishes a new manifest mapping every date to its current
+partition directory — changed dates point into the new version,
+untouched dates keep pointing at their existing directories. Crash
+safety is unchanged from the whole-table design: the manifest rename
+is the only publish step, so a crash mid-write leaves the previous
+manifest (and every directory it references) intact, and Structured
+Streaming's checkpoint replays the unpublished batch — the upsert is
+idempotent (same cells, same totals).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -30,29 +45,33 @@ from pyspark.sql import functions as F
 _POINTER = "_LATEST"
 
 
-def _publish(out_dir: str, version: str) -> None:
+def _publish(out_dir: str, manifest: dict[str, str]) -> None:
     tmp = os.path.join(out_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
+        json.dump(manifest, fh, sort_keys=True)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(out_dir, _POINTER))
 
 
-def _current_version(out_dir: str) -> str | None:
+def current_manifest(out_dir: str) -> dict[str, str] | None:
+    """The published {bucket_date: relative partition dir} mapping, or
+    None before the first publish."""
     try:
         with open(os.path.join(out_dir, _POINTER), encoding="utf-8") as fh:
-            return fh.read().strip() or None
+            raw = fh.read().strip()
     except FileNotFoundError:
         return None
+    return json.loads(raw) if raw else None
 
 
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """The current rollup table, or None before the first publish."""
-    version = _current_version(out_dir)
-    if version is None:
+    manifest = current_manifest(out_dir)
+    if not manifest:
         return None
-    return spark.read.parquet(os.path.join(out_dir, version))
+    paths = [os.path.join(out_dir, rel) for rel in manifest.values()]
+    return spark.read.parquet(*paths)
 
 
 def start_continuous_rollup(
@@ -68,8 +87,9 @@ def start_continuous_rollup(
     ``stream``: per (time bucket, key) fact counts. Returns the
     StreamingQuery. The rollup equals ``groupBy(window, key).count()``
     over everything ever streamed — asserted against the batch
-    recomputation in tests — but each refresh touches only changed
-    cells."""
+    recomputation in tests — and each refresh reads and rewrites ONLY
+    the date partitions that contain changed cells (asserted
+    byte-identical for untouched partitions in tests)."""
     agg = (
         stream.groupBy(F.window(F.col(time_col), bucket).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -82,23 +102,43 @@ def start_continuous_rollup(
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        changed = batch_df.persist()
+        changed = batch_df.withColumn(
+            "bucket_date", F.date_format("bucket_start", "yyyy-MM-dd")
+        ).persist()
         try:
-            if changed.isEmpty():
+            # Bounded driver collect: one row per distinct DATE in the
+            # micro-batch (a steady stream touches 1-2 dates).
+            dates = sorted(
+                r[0] for r in changed.select("bucket_date").distinct().collect()
+            )
+            if not dates:
                 return
-            prev = read_rollup(spark, out_dir)
-            if prev is not None:
+            manifest = current_manifest(out_dir) or {}
+            prev_paths = [
+                os.path.join(out_dir, manifest[d]) for d in dates if d in manifest
+            ]
+            if prev_paths:
+                # Only the changed dates' partitions are ever read —
+                # partition pruning by construction of the manifest.
+                prev = spark.read.parquet(*prev_paths).withColumn(
+                    "bucket_date", F.date_format("bucket_start", "yyyy-MM-dd")
+                )
                 keep = prev.join(
                     changed.select("bucket_start", "key"),
                     ["bucket_start", "key"],
                     "left_anti",
                 )
-                merged = keep.unionByName(changed)
+                merged = keep.unionByName(changed.select(*keep.columns))
             else:
                 merged = changed
             version = f"v={epoch_id}-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(os.path.join(out_dir, version))
-            _publish(out_dir, version)
+            merged.write.mode("overwrite").partitionBy("bucket_date").parquet(
+                os.path.join(out_dir, version)
+            )
+            new_manifest = dict(manifest)
+            for d in dates:
+                new_manifest[d] = os.path.join(version, f"bucket_date={d}")
+            _publish(out_dir, new_manifest)
         finally:
             changed.unpersist()
 

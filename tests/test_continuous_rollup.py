@@ -1,9 +1,22 @@
 """Continuous rollup (hypertable/continuous-aggregate analog): the
 incrementally-maintained table must equal the batch recomputation
-after every refresh, including across a second catch-up run."""
+after every refresh, including across a second catch-up run — and a
+refresh must NOT rewrite (or even touch) date partitions that contain
+no changed cells."""
+
+import datetime
+import hashlib
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from factstore_spark import FactInput, StartPosition
-from factstore_spark.streaming.rollup import read_rollup, start_continuous_rollup
+from factstore_spark.streaming.rollup import (
+    current_manifest,
+    read_rollup,
+    start_continuous_rollup,
+)
 
 STORE = "rollup-store"
 
@@ -51,3 +64,92 @@ def test_rollup_matches_batch_and_updates_incrementally(fs, spark, tmp_path):
     got2 = _refresh(fs, spark, tmp_path)
     assert got2 == _batch_truth(fs, spark)
     assert sum(got2.values()) == 5
+
+
+def _ts(day, minute):
+    return datetime.datetime(2024, 1, day, 10, minute, 0)
+
+
+def _write_src(spark, src_dir, rows):
+    spark.createDataFrame([Row(ts=t, k=k) for t, k in rows]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+
+def _partition_digest(out_dir, relpath):
+    """(filename, md5, size) for every data file of one published
+    date-partition directory."""
+    root = os.path.join(out_dir, relpath)
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out.append(
+                    (os.path.relpath(p, root), hashlib.md5(fh.read()).hexdigest())
+                )
+    return sorted(out)
+
+
+def _file_refresh(spark, src_dir, tmp_path):
+    stream = (
+        spark.readStream.schema("ts timestamp, k string").parquet(src_dir)
+    )
+    q = start_continuous_rollup(
+        stream,
+        out_dir=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        time_col="ts",
+        key_col="k",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
+    """O(changed cells) write amplification: after a second batch that
+    only touches day 2, day 1's published partition directory is the
+    SAME directory with byte-identical files."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "rollup")
+    _write_src(
+        spark,
+        src,
+        [(_ts(1, 0), "A"), (_ts(1, 0), "A"), (_ts(1, 5), "B"), (_ts(2, 0), "A")],
+        )
+    _file_refresh(spark, src, tmp_path)
+    m1 = current_manifest(out_dir)
+    assert set(m1) == {"2024-01-01", "2024-01-02"}
+    d1_digest = _partition_digest(out_dir, m1["2024-01-01"])
+    assert d1_digest
+
+    # second batch: day 2 only
+    _write_src(spark, src, [(_ts(2, 0), "A"), (_ts(2, 7), "C")])
+    _file_refresh(spark, src, tmp_path)
+    m2 = current_manifest(out_dir)
+
+    # untouched day-1 partition: same directory, same bytes
+    assert m2["2024-01-01"] == m1["2024-01-01"]
+    assert _partition_digest(out_dir, m2["2024-01-01"]) == d1_digest
+    # day-2 partition was rewritten into a new version
+    assert m2["2024-01-02"] != m1["2024-01-02"]
+
+    # and the published table still equals the batch recomputation
+    truth = {
+        (r.bucket_start, r.key): r.n
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), F.col("k").alias("key"), "n")
+        .collect()
+    }
+    got = {
+        (r.bucket_start, r.key): r.n
+        for r in read_rollup(spark, out_dir)
+        .select("bucket_start", "key", "n")
+        .collect()
+    }
+    assert got == truth
+    assert sum(got.values()) == 6
