@@ -37,9 +37,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         if ts_type == "timestamp_ntz":
-            # Naive micros; session TZ is UTC, so the cast reinterprets
-            # the same wall-clock as the same instant (no value shift).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Naive micros that REPRESENT UTC instants. A bare
+            # NTZ->TIMESTAMP cast interprets the wall-clock in the
+            # SESSION timezone — instant-shifting on any non-UTC
+            # caller-supplied session. Route through convert_timezone
+            # instead: render the UTC wall-clock in the session zone,
+            # then let the cast re-interpret it there — net instant ==
+            # wall-clock-as-UTC for ANY session timezone.
+            df = df.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit("UTC"), F.expr("current_timezone()"), F.col("ts")
+                ).cast("timestamp"),
+            )
+        # unix_micros is instant-based, so ts_ns is TZ-independent in
+        # both remaining branches.
         df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
     return df
 
