@@ -162,6 +162,7 @@ def pack_sequences(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence-packing accounting: assign every doc
     to a training-sequence bin of ``capacity`` tokens and report per-bin
@@ -176,14 +177,43 @@ def pack_sequences(
     tokens straddle a boundary opens the next bin (GPT-style
     concat-then-chunk accounting).
 
-    Deterministic and engine-reproducible: whitespace token counts,
-    modulo sharding, integer division — an independent SQL engine
-    recomputes identical bins. Output: (shard, bin, n_docs, n_tokens)."""
-    n_tok = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
-    staged = df.select(
-        F.col(id_col).alias("_id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-        n_tok.alias("n_tok"),
+    Token accounting: with ``vocab=None``, whitespace token counts (a
+    fast proxy). With a ``vocab`` DataFrame (token, token_id — e.g.
+    ``text.build_vocab``), TOKEN-EXACT accounting: each in-vocab token
+    costs one id, each OOV token falls back to character-level ids
+    (len(token) ids — the byte/char-fallback convention of BPE-style
+    tokenizers), so bin capacities reflect what a trainer would
+    actually pack. The vocab is broadcast and the corpus is never
+    shuffled for the lookup (explode + broadcast-hash-join + one
+    per-doc partial agg).
+
+    Deterministic and engine-reproducible either way: modulo sharding,
+    integer division, rank-deterministic vocab. An independent SQL
+    engine recomputes identical bins. Output: (shard, bin, n_docs,
+    n_tokens)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    if vocab is None:
+        per_doc = df.select(
+            F.col(id_col).alias("_id"), F.size(toks).alias("n_tok")
+        )
+    else:
+        exploded = df.select(
+            F.col(id_col).alias("_id"), F.explode(toks).alias("token")
+        )
+        mapped = exploded.join(
+            F.broadcast(vocab.select("token", "token_id")), "token", "left"
+        )
+        per_doc = mapped.groupBy("_id").agg(
+            F.sum(
+                F.when(F.col("token_id").isNotNull(), F.lit(1)).otherwise(
+                    F.length("token")
+                )
+            ).alias("n_tok")
+        )
+    staged = per_doc.select(
+        "_id",
+        F.pmod(F.col("_id"), F.lit(n_shards)).alias("shard"),
+        "n_tok",
     )
     w = (
         Window.partitionBy("shard")

@@ -1293,21 +1293,33 @@ WHERE rank <= 20
 
 
 def curation_pack_stats(spark, sf_dir):
-    """Sequence-packing accounting: shard-parallel concat-and-chunk bin
-    assignment at 512-token capacity (operators/sampling.py
-    pack_sequences) — per-bin doc/token totals. No global sort: the
-    running token sum is windowed per shard (id % 32)."""
+    """TOKEN-EXACT sequence-packing accounting: docs are tokenized
+    against the corpus top-1000 vocabulary (text.build_vocab — rank-
+    deterministic), OOV tokens fall back to char-level ids, and the
+    shard-parallel concat-and-chunk bin assignment at 512-token
+    capacity runs over those REAL token lengths (operators/sampling.py
+    pack_sequences with vocab=). No global sort: the running token sum
+    is windowed per shard (id % 32); the vocab is broadcast."""
     from .operators.sampling import pack_sequences
+    from .operators.text import build_vocab
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(docs, capacity=512, n_shards=32)
+    vocab = build_vocab(docs, max_size=1000)
+    return pack_sequences(docs, capacity=512, n_shards=32, vocab=vocab)
 
 
 CURATION_PACK_STATS_SQL = r"""
-WITH t AS (
-  SELECT doc_id, doc_id % 32 AS shard,
-    len(string_split_regex(lower(text), '\s+')) AS n_tok
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
   FROM documents),
+counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+vocab AS (SELECT token FROM counts ORDER BY freq DESC, token ASC LIMIT 1000),
+per_doc AS (
+  SELECT t.doc_id,
+    SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE length(t.token) END) AS n_tok
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY 1),
+t AS (SELECT doc_id, doc_id % 32 AS shard, n_tok FROM per_doc),
 b AS (
   SELECT shard, n_tok,
     COALESCE(SUM(n_tok) OVER (

@@ -93,6 +93,25 @@ def test_pack_sequences_bins_and_totals(spark):
     assert totals[0] == 4 and totals[1] == 1200
 
 
+def test_pack_sequences_vocab_token_exact(spark):
+    """With a vocab, in-vocab tokens cost 1 id and OOV tokens fall back
+    to char-level ids (len(token) each) — hand-computable on a crafted
+    corpus."""
+    from factstore_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (0, "aa aa bb"),        # aa,aa in vocab (2) + OOV 'bb' (2 chars) = 4
+        (1, "aa zzzz"),         # 1 + 4 = 5
+        (2, "qq"),              # OOV only: 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = spark.createDataFrame([("aa", 0)], "token string, token_id long")
+    out = pack_sequences(df, capacity=6, n_shards=1, vocab=vocab)
+    bins = {(r.shard, r.bin): (r.n_docs, r.n_tokens) for r in out.collect()}
+    # cum_before: 0, 4, 9 -> bins 0, 0, 1 ; totals 4+5=9 and 2
+    assert bins == {(0, 0): (2, 9), (0, 1): (1, 2)}
+
+
 def test_pack_sequences_deterministic_across_runs(spark):
     from factstore_spark.operators.sampling import pack_sequences
 
