@@ -36,6 +36,7 @@ def asof_join(
     value_cols: Optional[Sequence[str]] = None,
     tolerance: Optional[int] = None,
     suffix: str = "_right",
+    bucket: Optional[int] = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row of the same key
     with ``right_time <= left_time`` (backward as-of; a right row AT
@@ -47,7 +48,29 @@ def asof_join(
     ``tolerance`` (same units as the time columns) drops matches older
     than ``left_time - tolerance`` (they become NULL, as in pandas
     ``merge_asof``). Output: all left columns + ``<right_time><suffix>``
-    + the requested value columns (suffixed on collision)."""
+    + the requested value columns (suffixed on collision).
+
+    **Skew** (``bucket=None``, the default plan): the fill window is
+    partitioned by the join key alone, so ONE hot key (10^8 rows at
+    100 TB) serializes into a single task's sort. ``bucket=<width>``
+    (same units as the cast time columns) switches to a time-bucketed
+    two-pass fill whose windows are partitioned by (key, bucket):
+
+    1. per-(key, bucket) forward fill — the hot key now splits across
+       ~(span/width) parallel tasks;
+    2. carry-in — each bucket's last right row (a per-bucket aggregate,
+       O(buckets) rows per key, NOT O(rows)) is forward-filled across
+       buckets with a strictly-earlier RANGE frame, then joined back so
+       left rows whose bucket has no earlier in-bucket right row pick
+       the latest right row of any earlier bucket.
+
+    Same semantics either way (equality is oracle- and test-asserted);
+    pick a width giving 10^2-10^4 buckets over the hot key's span."""
+    if bucket is not None:
+        return _asof_join_bucketed(
+            left, right, on, left_time, right_time, value_cols, tolerance,
+            suffix, bucket,
+        )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_time)]
     out_names = {
@@ -106,6 +129,129 @@ def asof_join(
             *[F.col(f"_m_{c}").alias(out_names[c]) for c in value_cols],
         )
     return rows
+
+
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Optional[Sequence[str]],
+    tolerance: Optional[int],
+    suffix: str,
+    bucket: int,
+) -> DataFrame:
+    """Time-bucketed two-pass as-of fill (see ``asof_join`` docstring).
+    Plan shape: one shuffle on (key, bucket) for the in-bucket windows,
+    one tiny per-bucket aggregate + per-key window over O(buckets)
+    rows for the carry-in, one (key, bucket) equi-join to attach it."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_time)]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in value_cols}
+    rt_out = right_time + suffix if right_time in left.columns else right_time
+
+    b_of = lambda t: F.floor(t / F.lit(bucket))  # noqa: E731
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).cast("long").alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast("long").alias("_rt"),
+    ).withColumn("_b", b_of(F.col("_t")))
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).cast("long").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_time).cast("long").alias("_rt"),
+    ).withColumn("_b", b_of(F.col("_t")))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Pass 1: in-bucket fill — window partitioned by (key, bucket), so
+    # a hot key parallelizes across its buckets.
+    w_in = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w_in).alias("_in_rt"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w_in).alias(f"_in_{c}")
+            for c in value_cols
+        ],
+    )
+
+    # Pass 2: carry-in. Last right row per (key, bucket) — an aggregate,
+    # so O(buckets) rows per key no matter how hot the key is — then a
+    # strictly-earlier RANGE frame (same-bucket rows excluded: an
+    # in-bucket right row AFTER a left row must not leak to it; earlier
+    # in-bucket rows are already handled by pass 1).
+    last_struct = F.max(
+        F.struct(
+            F.col("_t").alias("t"),
+            F.col("_rt").alias("rt"),
+            *[F.col(f"_rv_{c}").alias(f"v_{i}") for i, c in enumerate(value_cols)],
+        )
+    ).alias("_last")
+    r_bucket_last = (
+        unioned.filter(F.col("_side") == 0).groupBy("_k", "_b").agg(last_struct)
+    )
+    l_buckets = (
+        unioned.filter(F.col("_side") == 1).select("_k", "_b").distinct()
+        .withColumn("_last", F.lit(None).cast(r_bucket_last.schema["_last"].dataType))
+        .withColumn("_cside", F.lit(1))
+    )
+    cu = r_bucket_last.withColumn("_cside", F.lit(0)).unionByName(l_buckets)
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_b").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        cu.select(
+            "_k", "_b", "_cside",
+            F.last("_last", ignorenulls=True).over(w_carry).alias("_carry"),
+        )
+        .filter(F.col("_cside") == 1)
+        .drop("_cside")
+    )
+
+    rows = (
+        filled.filter(F.col("_side") == 1)
+        .join(carry, ["_k", "_b"], "left")
+        .select(
+            "*",
+            F.coalesce(F.col("_in_rt"), F.col("_carry.rt")).alias("_m_rt"),
+            *[
+                F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry.v_{i}")).alias(f"_m_{c}")
+                for i, c in enumerate(value_cols)
+            ],
+        )
+    )
+    if tolerance is not None:
+        stale = F.col("_m_rt") < (F.col("_t") - F.lit(tolerance))
+        return rows.select(
+            *left.columns,
+            F.when(stale, F.lit(None)).otherwise(F.col("_m_rt")).alias(rt_out),
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"_m_{c}")).alias(out_names[c])
+                for c in value_cols
+            ],
+        )
+    return rows.select(
+        *left.columns,
+        F.col("_m_rt").alias(rt_out),
+        *[F.col(f"_m_{c}").alias(out_names[c]) for c in value_cols],
+    )
 
 
 def range_join_binned(

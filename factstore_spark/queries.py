@@ -1864,6 +1864,28 @@ SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS last_click_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """
 
+def events_asof_join_bucketed(spark, sf_dir):
+    """The SAME as-of semantics through the skew escape hatch
+    (asof_join bucket=1h): per-(user, hour-bucket) fill + O(buckets)
+    carry-in, so one hot user can never serialize into a single task's
+    sort. Same DuckDB native-ASOF oracle as events_asof_join — the two
+    paths must be indistinguishable."""
+    from .operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts_us", right_time="ts_us",
+        value_cols=[], bucket=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("ts_us_right").alias("last_click_us")
+    )
+
+
 # Five promo windows over the events' January-2024 span; w1/w2 and
 # w4/w5 overlap so multi-interval membership is exercised. Epoch
 # microseconds, UTC midnights.
@@ -2794,6 +2816,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_vocab_map": (text_vocab_map, TEXT_VOCAB_MAP_SQL),
     "corpus_source_stats": (corpus_source_stats, CORPUS_SOURCE_STATS_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
+    "events_asof_join_bucketed": (events_asof_join_bucketed, EVENTS_ASOF_JOIN_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
     "events_distinct_sketch": (events_distinct_sketch, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -75,3 +75,73 @@ def test_range_join_binned_is_an_equi_join(spark):
         range_join_binned(pts, iv, "t", "s", "e", bin_width=4).explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_bucketed_equals_default(spark):
+    """The bucket= escape hatch must reproduce the default path exactly,
+    including cross-bucket carry-in, equal-time matches, no-match NULLs
+    and tolerance — on a corpus engineered so many left buckets have no
+    in-bucket right row."""
+    import random
+
+    rng = random.Random(7)
+    trades = [(f"s{i % 3}", rng.randrange(0, 1000), i) for i in range(200)]
+    quotes = [
+        (f"s{i % 3}", rng.randrange(0, 1000), float(i)) for i in range(40)
+    ]  # sparse: most 10-wide buckets have no quote
+    tdf = spark.createDataFrame(trades, "sym string, t long, trade_id long")
+    qdf = spark.createDataFrame(quotes, "sym string, t long, px double")
+
+    def run(**kw):
+        return sorted(
+            (r.trade_id, r.t_right, r.px)
+            for r in asof_join(
+                tdf, qdf, on="sym", left_time="t", right_time="t",
+                value_cols=["px"], **kw
+            ).collect()
+        )
+
+    assert run(bucket=10) == run()
+    assert run(bucket=1000) == run()      # one bucket == default shape
+    assert run(bucket=7, tolerance=50) == run(tolerance=50)
+
+
+def test_asof_join_bucketed_splits_hot_key(spark):
+    """Skew: one key holds >50% of all rows. The bucketed path's fill
+    window must partition by (key, bucket) — visible in the plan — and
+    still agree with the default path row-for-row."""
+    hot = [("hot", t, t) for t in range(0, 600)]          # 600 rows, one key
+    cold = [(f"c{i}", i * 3, 10_000 + i) for i in range(100)]
+    trades = spark.createDataFrame(hot + cold, "sym string, t long, trade_id long")
+    quotes = spark.createDataFrame(
+        [("hot", t, float(t)) for t in range(0, 600, 50)]
+        + [(f"c{i}", i, float(i)) for i in range(0, 100, 10)],
+        "sym string, t long, px double",
+    )
+    bucketed = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="t",
+        value_cols=["px"], bucket=100,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bucketed.explain("formatted")
+    plan = buf.getvalue()
+    # the in-bucket fill window is partitioned by (_k, _b), not _k alone
+    assert "_b" in plan and "Window" in plan
+    got = sorted((r.trade_id, r.t_right, r.px) for r in bucketed.collect())
+    want = sorted(
+        (r.trade_id, r.t_right, r.px)
+        for r in asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="t",
+            value_cols=["px"],
+        ).collect()
+    )
+    assert got == want
+    # the hot key's 600 rows spread across 6 disjoint (key, bucket)
+    # window partitions => its fill is multi-task, not one sort
+    n_hot_buckets = (
+        bucketed.sparkSession.createDataFrame(
+            [(t,) for t, in ((t,) for _, t, _ in hot)], "t long"
+        ).selectExpr("count(distinct floor(t / 100)) n").collect()[0].n
+    )
+    assert n_hot_buckets == 6
