@@ -27,3 +27,17 @@ def test_estimate_error_within_bound(spark):
     )
     est = hll_rollup(hll_cells(df, ["day"], "user"), []).collect()[0].est_distinct
     assert abs(est - 5000) / 5000 < 0.05  # ~1% standard error at lg_k=12
+
+
+def test_events_distinct_sketch_err_bp_ceiling(spark, sf_dir):
+    """CI ceiling on the self-validating entry: every per-type err_bp
+    must stay under ~3x the lg_k=12 standard error (3 * 1.04/sqrt(2^12)
+    = 4.875% = 487 bp) — the sketch entry FAILS if its accuracy ever
+    balloons, instead of just reporting it."""
+    from factstore_spark.queries import events_distinct_sketch
+
+    rows = events_distinct_sketch(spark, sf_dir).collect()
+    assert rows, "sketch cube produced no cells"
+    ceiling_bp = 487
+    offenders = [(r.event_type, r.err_bp) for r in rows if r.err_bp > ceiling_bp]
+    assert not offenders, f"HLL error exceeded {ceiling_bp} bp: {offenders}"
