@@ -171,12 +171,38 @@ class _ObjectStoreService:
     string, conditional on absence — the If-None-Match: * subset of
     S3/GCS that the commit protocol needs. Runs inside the
     ObjectStoreServer process; the manager serves each client in its
-    own thread, so the lock provides the linearizable CAS."""
+    own thread, so the lock provides the linearizable CAS.
+
+    **Eventual-consistency injection** (``configure``): real object
+    stores differ in listing/read freshness (S3 is strongly consistent
+    today; GCS listings and several S3-compatible stores are not
+    always). Two windows model that:
+
+    - ``list_lag`` seconds: a freshly-created object is OMITTED from
+      ``list_prefix`` until it ages past the window, and a freshly-
+      DELETED object is still listed until its tombstone ages out —
+      the classic list-after-write / list-after-delete lag.
+    - ``read_lag`` seconds: ``get`` of a freshly-created object
+      returns None until the window passes (pre-2020 S3
+      read-after-write anomaly).
+
+    The conditional PUT itself stays linearizable in every mode —
+    that matches every real store's conditional-write contract and is
+    the only operation the commit protocol's SAFETY rests on; the lag
+    windows exercise its LIVENESS/readers instead."""
 
     def __init__(self):
         self._objects: dict[str, bytes] = {}
         self._mtimes: dict[str, float] = {}
+        self._tombstones: dict[str, float] = {}
+        self._list_lag = 0.0
+        self._read_lag = 0.0
         self._lock = threading.Lock()
+
+    def configure(self, list_lag: float = 0.0, read_lag: float = 0.0) -> None:
+        with self._lock:
+            self._list_lag = float(list_lag)
+            self._read_lag = float(read_lag)
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
         with self._lock:
@@ -184,19 +210,43 @@ class _ObjectStoreService:
                 return False
             self._objects[key] = bytes(data)
             self._mtimes[key] = time.time()
+            self._tombstones.pop(key, None)
             return True
 
     def get(self, key: str):
         with self._lock:
-            return self._objects.get(key)
+            data = self._objects.get(key)
+            if data is None:
+                return None
+            if self._read_lag and time.time() - self._mtimes[key] < self._read_lag:
+                return None  # fresh object not yet read-visible
+            return data
 
     def list_prefix(self, prefix: str) -> list[str]:
         with self._lock:
-            return [k for k in self._objects if k.startswith(prefix)]
+            now = time.time()
+            out = [
+                k
+                for k in self._objects
+                if k.startswith(prefix)
+                and not (
+                    self._list_lag and now - self._mtimes[k] < self._list_lag
+                )
+            ]
+            if self._list_lag:
+                out.extend(
+                    k
+                    for k, t in self._tombstones.items()
+                    if k.startswith(prefix)
+                    and now - t < self._list_lag
+                    and k not in self._objects
+                )
+            return out
 
     def delete(self, key: str) -> None:
         with self._lock:
-            self._objects.pop(key, None)
+            if self._objects.pop(key, None) is not None:
+                self._tombstones[key] = time.time()
             self._mtimes.pop(key, None)
 
     def mtime(self, key: str):
@@ -221,7 +271,7 @@ def _service() -> _ObjectStoreService:
 _ObjectStoreManager.register(
     "store",
     callable=_service,
-    exposed=["put_if_absent", "get", "list_prefix", "delete", "mtime"],
+    exposed=["put_if_absent", "get", "list_prefix", "delete", "mtime", "configure"],
 )
 
 
@@ -240,8 +290,12 @@ class ObjectStoreServer:
             address=("127.0.0.1", 0), authkey=self._authkey
         )
 
-    def start(self) -> str:
+    def start(self, list_lag: float = 0.0, read_lag: float = 0.0) -> str:
+        """Start the server; non-zero lags turn on the eventual-
+        consistency mode (see _ObjectStoreService docstring)."""
         self._mgr.start()
+        if list_lag or read_lag:
+            self._mgr.store().configure(list_lag=list_lag, read_lag=read_lag)
         host, port = self._mgr.address
         return f"optimistic+objstore://{host}:{port}/{self._authkey.decode()}"
 

@@ -94,8 +94,10 @@ class OptimisticStoreLayout(StoreLayout):
     # -- commit log (merged: claim dir + legacy jsonl) ----------------------
 
     def read_commits(self) -> list[CommitRecord]:
-        out = list(super().read_commits())  # maintenance-written lines
+        jsonl = list(super().read_commits())  # maintenance-written lines
+        out = list(jsonl)
         live: set[str] = set()
+        claim_seqs: set[int] = set()
         for name in self.slots.list_names():
             if not name.endswith(".json"):
                 continue
@@ -115,7 +117,46 @@ class OptimisticStoreLayout(StoreLayout):
                     continue
                 rec = commit_record_from_dict(d)
                 self._claim_memo[name] = rec
+            if "-" not in name:
+                claim_seqs.add(rec.seq)
             out.append(rec)
+        # Eventual-consistency tolerance: listings on some object
+        # stores (GCS, several S3-compatibles) can omit FRESH slots —
+        # newest-first or with holes — while point reads are already
+        # consistent. A gappy snapshot is unsafe for conditional
+        # appends (a condition could validate against a log missing a
+        # committed middle slot), so (a) fill interior holes and
+        # (b) probe PAST the newest listed seq with direct reads until
+        # one misses. On strongly-consistent substrates (a) finds
+        # nothing and (b) costs one read that returns None.
+        jsonl_seqs = {c.seq for c in jsonl}
+        probe = sorted(
+            s
+            for s in range(min(claim_seqs, default=0), max(claim_seqs, default=-1))
+            if s not in claim_seqs and s not in jsonl_seqs
+        )
+        nxt = max(claim_seqs | jsonl_seqs, default=-1) + 1
+        while True:
+            for s in probe + [nxt]:
+                name = f"{s:020d}.json"
+                rec = self._claim_memo.get(name)
+                if rec is None:
+                    raw = self.slots.read(name)
+                    try:
+                        d = json.loads(raw) if raw else None
+                    except json.JSONDecodeError:
+                        d = None
+                    if d is None:
+                        if s == nxt:
+                            probe = None  # stop: head reached
+                        continue
+                    rec = commit_record_from_dict(d)
+                    self._claim_memo[name] = rec
+                live.add(name)
+                out.append(rec)
+            if probe is None:
+                break
+            probe, nxt = [], nxt + 1
         if len(self._claim_memo) > len(live):
             # Prune names removed by maintenance (superseded claims).
             for gone in set(self._claim_memo) - live:

@@ -99,12 +99,19 @@ def test_backends_equivalent_under_random_ops(spark, tmp_path, seed):
 
     srv = ObjectStoreServer()
     objspec = srv.start()
+    # Second server with a 250 ms eventually-consistent LISTING window:
+    # every append's condition evaluation and every finder runs against
+    # a lagged list, so equivalence passing proves the protocol's
+    # direct-read probing restores a consistent log view.
+    srv_lag = ObjectStoreServer()
+    lagspec = srv_lag.start(list_lag=0.25)
     try:
         fa = FactStore(spark, str(tmp_path / "flock"), commit_backend="flock")
         others = [
             FactStore(spark, str(tmp_path / "opt"), commit_backend="optimistic"),
             FactStore(spark, str(tmp_path / "excl"), commit_backend="optimistic+excl"),
             FactStore(spark, str(tmp_path / "objs"), commit_backend=objspec),
+            FactStore(spark, str(tmp_path / "objl"), commit_backend=lagspec),
         ]
         trace_a = run_sequence(fa, seed)
         obs_a = observable(fa)
@@ -130,3 +137,4 @@ def test_backends_equivalent_under_random_ops(spark, tmp_path, seed):
             assert [f.type for b in fo.replay(STORE) for f in b] == replay_a
     finally:
         srv.stop()
+        srv_lag.stop()

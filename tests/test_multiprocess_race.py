@@ -25,20 +25,24 @@ from factstore_spark import FactInput
 from factstore_spark.results import Appended
 from factstore_spark.store import FactStore
 
-BACKENDS = ["flock", "optimistic", "optimistic+excl", "objstore"]
+BACKENDS = ["flock", "optimistic", "optimistic+excl", "objstore", "objstore-lagged"]
 
 
 @pytest.fixture(params=BACKENDS)
 def backend(request):
     """Backend spec string, starting/stopping the fake object-store
     server for the conditional-PUT substrate (its spec embeds the
-    server address, so it must be minted per test)."""
-    if request.param == "objstore":
+    server address, so it must be minted per test). The lagged variant
+    injects a 300 ms list-after-write/-delete window (GCS-style
+    eventually-consistent listing): safety must come from the CAS PUT
+    + the reader's direct-read probing alone."""
+    if request.param.startswith("objstore"):
         from factstore_spark.storage.cas import ObjectStoreServer
 
         srv = ObjectStoreServer()
+        lag = 0.3 if request.param == "objstore-lagged" else 0.0
         try:
-            yield srv.start()
+            yield srv.start(list_lag=lag)
         finally:
             srv.stop()
     else:
