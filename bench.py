@@ -68,6 +68,24 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "multimodal_meta",
+    # round 4
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "suppliers_top_by_nation",
+    "events_running_totals",
+    "events_type_pivot",
+    "revenue_grouping_sets",
+    "events_value_median",
+    "embeddings_label_centroid_norms",
+    "events_asof_join_bucketed",
 ]
 
 
