@@ -263,3 +263,41 @@ def test_substring_spans_posting_list_shape(spark):
     plan = plan_of(substring_dup_spans(docs, n=8))
     assert "HashAggregate" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+ROUND4_PLAN_RULES = {
+    # name -> (forbidden operators, required operators)
+    "q4_order_priority": (["BroadcastNestedLoopJoin", "CartesianProduct"], ["LeftSemi"]),
+    "q8_market_share": (["BroadcastNestedLoopJoin", "SortMergeJoin"], ["BroadcastHashJoin"]),
+    "q9_profit_by_nation_year": (["BroadcastNestedLoopJoin", "CartesianProduct"], ["BroadcastHashJoin"]),
+    "q10_returned_items": (["BroadcastNestedLoopJoin"], ["TakeOrderedAndProject"]),
+    "q12_late_shipments": (["BroadcastNestedLoopJoin", "CartesianProduct"], []),
+    "q13_customer_distribution": (["BroadcastNestedLoopJoin", "CartesianProduct"], []),
+    "q15_top_supplier": (["BroadcastNestedLoopJoin", "CartesianProduct"], []),
+    "q17_small_quantity_revenue": (["BroadcastNestedLoopJoin", "CartesianProduct"], []),
+    "q19_disjunctive_revenue": (["BroadcastNestedLoopJoin", "SortMergeJoin"], ["BroadcastHashJoin"]),
+    "q22_idle_customers": (["CartesianProduct"], []),
+    "suppliers_top_by_nation": (["SortMergeJoin"], ["BroadcastHashJoin", "Window"]),
+    "events_running_totals": (["BroadcastNestedLoopJoin"], ["Window", "PushedFilters"]),
+    "events_type_pivot": (["BroadcastNestedLoopJoin"], ["HashAggregate"]),
+    "revenue_grouping_sets": (["BroadcastNestedLoopJoin"], ["Expand"]),
+    "events_value_median": (["CartesianProduct"], ["Window"]),
+    "embeddings_label_centroid_norms": (["CartesianProduct"], ["Generate"]),
+    "events_asof_join_bucketed": (
+        ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
+        ["Window"],
+    ),
+}
+
+
+def test_round4_queries_plan_shapes(spark):
+    """One sweep over every round-4 entry: no nested-loop/cartesian
+    anywhere, dimension joins broadcast, windows/pivots/grouping-sets
+    compile to the expected operators. Catches a silently regressed
+    join strategy in any of the 17 entries."""
+    problems = []
+    for name, (forbid, want) in ROUND4_PLAN_RULES.items():
+        plan = plan_of(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
+        problems += [(name, "forbidden", f) for f in forbid if f in plan]
+        problems += [(name, "missing", w) for w in want if w not in plan]
+    assert not problems, problems
