@@ -1,0 +1,95 @@
+"""Skew guards: salted two-phase aggregation and salted joins.
+
+At 100 TB a handful of hot keys (one viral user, one default tag, one
+empty-string fingerprint) can put most of a shuffle into one reducer.
+AQE's skew-join splitting handles the JOIN case after the fact when
+partition-size stats reveal it; these operators remove the hot spot by
+construction, which also covers the aggregation case AQE does not
+split:
+
+- ``salted_groupby``: phase 1 aggregates on (keys + salt) — the hot
+  key spreads over ``salt`` reducers — phase 2 combines the
+  per-salt partials on the real keys (a tiny shuffle: |groups| x salt
+  rows). Only ALGEBRAIC aggregates compose this way; count/sum/min/max
+  are provided (avg = sum/count downstream).
+- ``salted_join``: the skewed fact side gets a deterministic row salt,
+  the dimension side is replicated ``salt`` times, the join key becomes
+  (key, salt) — a hot key's probe rows land on ``salt`` different
+  reducers. For dimensions small enough to broadcast, broadcast
+  instead (no salt needed); this is for the medium dimension that
+  can't broadcast but joins a skewed fact.
+
+The salt is ``xxhash64(monotonically_increasing_id()) % salt`` —
+uniform even over EXACT-DUPLICATE hot rows (a whole-row hash would
+send identical rows to one reducer, and duplicate floods are a common
+skew source). The final RESULT is salt-independent by construction
+(phase 2 re-groups on the real keys; the join drops the salt), so the
+oracle-determinism contract is unaffected by which salt a row gets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL = {
+    "count": lambda c: F.count(F.lit(1) if c == "*" else F.col(c)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+# how phase 2 combines phase-1 partials
+_FINAL = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _salt_col(salt: int):
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation. ``aggs`` is a list of
+    (function, column, output_name) with function in
+    {count, sum, min, max}; pass column "*" for count(*). Result equals
+    ``df.groupBy(keys).agg(...)`` exactly (test- and oracle-asserted)
+    but no reducer ever sees more than ~1/salt of a hot key's rows."""
+    for fn, _, _ in aggs:
+        if fn not in _PARTIAL:
+            raise ValueError(f"non-algebraic aggregate: {fn!r}")
+    salted = df.withColumn("_salt", _salt_col(salt))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[_PARTIAL[fn](col).alias(f"_p_{out}") for fn, col, out in aggs]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_FINAL[fn](f"_p_{out}").alias(out) for fn, _, out in aggs]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join a skewed fact side to a (non-broadcastable) dimension
+    with the hot keys spread over ``salt`` reducers: fact rows get a
+    deterministic salt, the dimension replicates ``salt`` times, and
+    the join key becomes (*on, salt). Shuffle volume: facts unchanged,
+    dimension x salt — the standard trade. Supported ``how``: inner,
+    left (semantics preserved because every fact row's (key, salt)
+    finds exactly the replicas of its key)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on = list(on)
+    s = skewed.withColumn("_salt", _salt_col(salt))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return s.join(d, on + ["_salt"], how).drop("_salt")

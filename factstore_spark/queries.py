@@ -1864,6 +1864,38 @@ SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS last_click_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """
 
+def events_salted_type_stats(spark, sf_dir):
+    """Skew-proof aggregation (operators/skew.py salted_groupby): the
+    5 event types are exactly the hot-key shape that serializes a
+    plain groupBy's reducers at 100 TB. Phase 1 aggregates on
+    (type, salt) — each hot key spreads over 16 reducers — phase 2
+    combines partials on the real key. Oracle is the PLAIN GROUP BY:
+    salting must be invisible in the result."""
+    from .operators.skew import salted_groupby
+
+    ev = load_events(spark, sf_dir).withColumn("vc", _cents(F.col("value")))
+    return salted_groupby(
+        ev,
+        ["event_type"],
+        [
+            ("count", "*", "n"),
+            ("sum", "vc", "value_cents"),
+            ("min", "vc", "min_cents"),
+            ("max", "vc", "max_cents"),
+        ],
+        salt=16,
+    )
+
+
+EVENTS_SALTED_TYPE_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+  CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+  CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY 1
+"""
+
+
 def events_asof_join_bucketed(spark, sf_dir):
     """The SAME as-of semantics through the skew escape hatch
     (asof_join bucket=1h): per-(user, hour-bucket) fill + O(buckets)
@@ -2817,6 +2849,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_source_stats": (corpus_source_stats, CORPUS_SOURCE_STATS_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_asof_join_bucketed": (events_asof_join_bucketed, EVENTS_ASOF_JOIN_SQL),
+    "events_salted_type_stats": (events_salted_type_stats, EVENTS_SALTED_TYPE_STATS_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
     "events_distinct_sketch": (events_distinct_sketch, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
