@@ -74,6 +74,14 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
+_AGG_FNS = {
+    "count": lambda c: F.count(F.lit(1) if c == "*" else F.col(c)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
 def start_continuous_rollup(
     stream: DataFrame,
     out_dir: str,
@@ -81,22 +89,31 @@ def start_continuous_rollup(
     bucket: str = "1 minute",
     time_col: str = "appended_at",
     key_col: str = "type",
+    aggs=(("count", "*", "n"),),
     available_now: bool = False,
 ):
     """Start maintaining ``out_dir`` as the rolled-up view of
-    ``stream``: per (time bucket, key) fact counts. Returns the
-    StreamingQuery. The rollup equals ``groupBy(window, key).count()``
-    over everything ever streamed — asserted against the batch
-    recomputation in tests — and each refresh reads and rewrites ONLY
-    the date partitions that contain changed cells (asserted
-    byte-identical for untouched partitions in tests)."""
+    ``stream``: per (time bucket, key) aggregate cells. ``aggs`` is a
+    sequence of (function, column, output_name) with function in
+    {count, sum, min, max} — the ALGEBRAIC aggregates Structured
+    Streaming's update-mode state maintains incrementally (avg =
+    sum/count downstream; distinct counts belong in the HLL sketch
+    cube). Returns the StreamingQuery. The rollup equals
+    ``groupBy(window, key).agg(...)`` over everything ever streamed —
+    asserted against the batch recomputation in tests — and each
+    refresh reads and rewrites ONLY the date partitions that contain
+    changed cells (asserted byte-identical for untouched partitions in
+    tests)."""
+    for fn, _, _ in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(f"non-algebraic rollup aggregate: {fn!r}")
     agg = (
         stream.groupBy(F.window(F.col(time_col), bucket).alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(*[_AGG_FNS[fn](col).alias(out) for fn, col, out in aggs])
         .select(
             F.col("w.start").alias("bucket_start"),
             F.col(key_col).alias("key"),
-            F.col("n"),
+            *[F.col(out) for _, _, out in aggs],
         )
     )
 

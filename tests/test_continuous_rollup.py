@@ -71,9 +71,9 @@ def _ts(day, minute):
 
 
 def _write_src(spark, src_dir, rows):
-    spark.createDataFrame([Row(ts=t, k=k) for t, k in rows]).coalesce(1).write.mode(
-        "append"
-    ).parquet(src_dir)
+    spark.createDataFrame(
+        [Row(ts=t, k=k, v=v) for t, k, v in rows]
+    ).coalesce(1).write.mode("append").parquet(src_dir)
 
 
 def _partition_digest(out_dir, relpath):
@@ -95,7 +95,7 @@ def _partition_digest(out_dir, relpath):
 
 def _file_refresh(spark, src_dir, tmp_path):
     stream = (
-        spark.readStream.schema("ts timestamp, k string").parquet(src_dir)
+        spark.readStream.schema("ts timestamp, k string, v long").parquet(src_dir)
     )
     q = start_continuous_rollup(
         stream,
@@ -103,6 +103,7 @@ def _file_refresh(spark, src_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         time_col="ts",
         key_col="k",
+        aggs=[("count", "*", "n"), ("sum", "v", "v_sum"), ("max", "v", "v_max")],
         available_now=True,
     )
     q.awaitTermination(120)
@@ -117,8 +118,9 @@ def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
     _write_src(
         spark,
         src,
-        [(_ts(1, 0), "A"), (_ts(1, 0), "A"), (_ts(1, 5), "B"), (_ts(2, 0), "A")],
-        )
+        [(_ts(1, 0), "A", 10), (_ts(1, 0), "A", 5), (_ts(1, 5), "B", 7),
+         (_ts(2, 0), "A", 1)],
+    )
     _file_refresh(spark, src, tmp_path)
     m1 = current_manifest(out_dir)
     assert set(m1) == {"2024-01-01", "2024-01-02"}
@@ -126,7 +128,7 @@ def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
     assert d1_digest
 
     # second batch: day 2 only
-    _write_src(spark, src, [(_ts(2, 0), "A"), (_ts(2, 7), "C")])
+    _write_src(spark, src, [(_ts(2, 0), "A", 3), (_ts(2, 7), "C", 2)])
     _file_refresh(spark, src, tmp_path)
     m2 = current_manifest(out_dir)
 
@@ -136,20 +138,28 @@ def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
     # day-2 partition was rewritten into a new version
     assert m2["2024-01-02"] != m1["2024-01-02"]
 
-    # and the published table still equals the batch recomputation
+    # and the published table (count + sum + max cells) still equals
+    # the batch recomputation
     truth = {
-        (r.bucket_start, r.key): r.n
+        (r.bucket_start, r.key): (r.n, r.v_sum, r.v_max)
         for r in spark.read.parquet(src)
         .groupBy(F.window("ts", "1 minute").alias("w"), "k")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("bucket_start"), F.col("k").alias("key"), "n")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("v_sum"),
+            F.max("v").alias("v_max"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), F.col("k").alias("key"),
+            "n", "v_sum", "v_max",
+        )
         .collect()
     }
     got = {
-        (r.bucket_start, r.key): r.n
+        (r.bucket_start, r.key): (r.n, r.v_sum, r.v_max)
         for r in read_rollup(spark, out_dir)
-        .select("bucket_start", "key", "n")
+        .select("bucket_start", "key", "n", "v_sum", "v_max")
         .collect()
     }
     assert got == truth
-    assert sum(got.values()) == 6
+    assert sum(n for n, _, _ in got.values()) == 6
