@@ -44,3 +44,62 @@ def hll_rollup(cells: DataFrame, group_cols: Sequence[str]) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("est_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Approximate frequent items (heavy hitters) via per-partition
+    Misra-Gries summaries merged by candidate-sum — the frequency
+    companion to the HLL distinct cube.
+
+    Why not exact groupBy at 100 TB: an exact count shuffles EVERY
+    distinct key; MG keeps <= k counters per partition and shuffles
+    only O(partitions x k) candidate rows. Guarantees (standard MG
+    merge bounds, carried in the output):
+
+    - ``est_cnt`` never overestimates: est_cnt <= true count;
+    - true count <= est_cnt + ``err_bound`` (err_bound = total mass
+      decremented across all partitions);
+    - every item with true count > err_bound is PRESENT in the
+      candidates (so a frequency threshold above the bound has perfect
+      recall).
+
+    The per-partition summary runs as an Arrow-batched ``mapInPandas``
+    (Counter per batch at C speed, fold into the k-bounded state, batch
+    decrement by the (len-k)-th smallest on overflow) — the documented
+    custom-sketch slow path, O(k) memory regardless of cardinality.
+    Output: (item, est_cnt, err_bound), err_bound identical on every
+    row."""
+
+    def mg(batches):
+        import pandas as pd
+        from collections import Counter
+
+        state: Counter = Counter()
+        decr = 0
+        for pdf in batches:
+            state.update(Counter(pdf[col].dropna()))
+            if len(state) > k:
+                vals = sorted(state.values())
+                t = vals[len(state) - k - 1] if len(state) > k else 0
+                if t:
+                    decr += t
+                    state = Counter(
+                        {i: c - t for i, c in state.items() if c > t}
+                    )
+        rows = [(str(i), int(c), 0) for i, c in state.items()]
+        rows.append((None, 0, int(decr)))
+        yield pd.DataFrame(rows, columns=["item", "cnt", "decr"])
+
+    summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, "item string, cnt long, decr long"
+    )
+    cand = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est_cnt"))
+    )
+    bound = summaries.agg(F.sum("decr").alias("err_bound"))
+    return cand.join(F.broadcast(bound)).select(
+        "item", F.col("est_cnt").cast("long").alias("est_cnt"),
+        F.col("err_bound").cast("long").alias("err_bound"),
+    )

@@ -1998,6 +1998,37 @@ def events_distinct_sketch(spark, sf_dir):
     )
 
 
+def text_heavy_tokens(spark, sf_dir):
+    """Approximate frequent tokens via per-partition Misra-Gries
+    summaries merged by candidate-sum (operators/sketches.py
+    heavy_hitters): <= k counters per partition, O(partitions x k)
+    shuffle — never a full distinct-key shuffle. SELF-VALIDATING
+    (rows-only): the top-20 estimates are joined with the exact counts
+    and every row carries ok flags for the MG contract
+    (est <= true <= est + bound). No oracle: the estimates depend on
+    the partition layout, which no other engine reproduces."""
+    from .operators.sketches import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(text_ops.tokens_col("text")).alias("tok")
+    )
+    hh = heavy_hitters(toks, "tok", k=512)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = (
+        hh.join(exact, hh.item == exact.tok)
+        .select(
+            "item", "est_cnt", "true_cnt", "err_bound",
+            (F.col("est_cnt") <= F.col("true_cnt")).alias("no_overcount"),
+            (F.col("true_cnt") <= F.col("est_cnt") + F.col("err_bound")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy(F.col("est_cnt").desc(), F.col("item").asc())
+        .limit(20)
+    )
+    return top
+
+
 def corpus_source_stats(spark, sf_dir):
     """The per-source corpus report card every curation run publishes:
     doc/token totals, an exact integer quality mass (per-doc basis
@@ -2852,6 +2883,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_salted_type_stats": (events_salted_type_stats, EVENTS_SALTED_TYPE_STATS_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
     "events_distinct_sketch": (events_distinct_sketch, None),
+    "text_heavy_tokens": (text_heavy_tokens, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),

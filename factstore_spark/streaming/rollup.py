@@ -90,6 +90,7 @@ def start_continuous_rollup(
     time_col: str = "appended_at",
     key_col: str = "type",
     aggs=(("count", "*", "n"),),
+    watermark: str | None = None,
     available_now: bool = False,
 ):
     """Start maintaining ``out_dir`` as the rolled-up view of
@@ -103,10 +104,20 @@ def start_continuous_rollup(
     asserted against the batch recomputation in tests — and each
     refresh reads and rewrites ONLY the date partitions that contain
     changed cells (asserted byte-identical for untouched partitions in
-    tests)."""
+    tests).
+
+    ``watermark`` (e.g. ``"1 hour"``): bound the streaming aggregation
+    state — without it, update-mode keeps EVERY (bucket, key) cell's
+    state forever, which on an unbounded 100 TB stream grows without
+    limit; with it, cells older than the watermark are finalized and
+    evicted (arrivals later than the delay are dropped, the standard
+    late-data trade). The published table keeps all history either
+    way — eviction only bounds the in-flight state store."""
     for fn, _, _ in aggs:
         if fn not in _AGG_FNS:
             raise ValueError(f"non-algebraic rollup aggregate: {fn!r}")
+    if watermark is not None:
+        stream = stream.withWatermark(time_col, watermark)
     agg = (
         stream.groupBy(F.window(F.col(time_col), bucket).alias("w"), F.col(key_col))
         .agg(*[_AGG_FNS[fn](col).alias(out) for fn, col, out in aggs])

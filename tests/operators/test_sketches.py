@@ -41,3 +41,42 @@ def test_events_distinct_sketch_err_bp_ceiling(spark, sf_dir):
     ceiling_bp = 487
     offenders = [(r.event_type, r.err_bp) for r in rows if r.err_bp > ceiling_bp]
     assert not offenders, f"HLL error exceeded {ceiling_bp} bp: {offenders}"
+
+
+def test_heavy_hitters_exact_when_k_exceeds_cardinality(spark):
+    """With k above the distinct count, MG never decrements: estimates
+    ARE the exact counts and the error bound is 0."""
+    from factstore_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"w{i % 5}",) for i in range(1000)], "tok string"
+    ).repartition(8)
+    got = {r.item: (r.est_cnt, r.err_bound) for r in heavy_hitters(df, "tok", k=64).collect()}
+    assert got == {f"w{i}": (200, 0) for i in range(5)}
+
+
+def test_heavy_hitters_bounds_and_recall_under_pressure(spark):
+    """k far below cardinality: every estimate must satisfy
+    est <= true <= est + bound, and every item with true > bound must
+    be present (the MG recall guarantee)."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.sketches import heavy_hitters
+
+    rows = [("heavy",)] * 5000 + [("mid",)] * 800 + [
+        (f"tail{i}",) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    hh = heavy_hitters(df, "tok", k=32)
+    got = {r.item: r.est_cnt for r in hh.collect()}
+    bound = hh.collect()[0].err_bound
+    true = {
+        r.tok: r.n
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for item, est in got.items():
+        assert est <= true[item] <= est + bound, (item, est, true[item], bound)
+    for item, n in true.items():
+        if n > bound:
+            assert item in got, (item, n, bound)
+    assert "heavy" in got and "mid" in got

@@ -109,6 +109,37 @@ def _file_refresh(spark, src_dir, tmp_path):
     q.awaitTermination(120)
 
 
+def test_rollup_with_watermark_matches_batch_when_no_late_data(spark, tmp_path):
+    """The state-bounding watermark must not change results for
+    in-order data (late arrivals are the only trade)."""
+    src = str(tmp_path / "src")
+    _write_src(
+        spark,
+        src,
+        [(_ts(1, 0), "A", 2), (_ts(1, 0), "A", 3), (_ts(1, 9), "B", 4)],
+    )
+    stream = spark.readStream.schema("ts timestamp, k string, v long").parquet(src)
+    q = start_continuous_rollup(
+        stream,
+        out_dir=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        time_col="ts",
+        key_col="k",
+        aggs=[("count", "*", "n"), ("sum", "v", "v_sum")],
+        watermark="10 minutes",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.bucket_start), r.key): (r.n, r.v_sum)
+        for r in read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "A"): (2, 5),
+        ("2024-01-01 10:09:00", "B"): (1, 4),
+    }
+
+
 def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
     """O(changed cells) write amplification: after a second batch that
     only touches day 2, day 1's published partition directory is the
