@@ -201,3 +201,47 @@ def running_totals_stateful(stream: DataFrame, key_col: str = "subject") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time band — the streaming
+    form of "attach each left event to the right events of the same key
+    within ``within``" (click-to-purchase attribution, order-to-ship
+    matching). A capability the reference's ingestion-order streams
+    cannot express at all (SURVEY.md §2.5).
+
+    Both sides are watermarked; the time-band condition
+    ``right_time in [left_time - within, left_time + within]`` is what
+    lets Spark BOUND the join state: rows older than
+    watermark + within are evicted instead of held forever — without
+    the band, stream-stream state grows without limit at 100 TB. State
+    is partitioned by the join key, scaling like any keyed state.
+
+    ``how``: inner (default) or left_outer (unmatched left rows emit
+    with NULL right columns once the watermark proves no match can
+    arrive). Returns the streaming joined DataFrame; right columns
+    keep their names (callers select/alias for collisions)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join_streams supports inner/left_outer, got {how!r}")
+    if left_time == right_time:
+        raise ValueError(
+            "left_time and right_time must have distinct names so the band "
+            "condition is unambiguous — alias one side first"
+        )
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark).withColumnRenamed(key, "_rkey")
+    cond = (
+        (lw[key] == rw["_rkey"])
+        & (rw[right_time] >= F.expr(f"{left_time} - INTERVAL {within}"))
+        & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop("_rkey")

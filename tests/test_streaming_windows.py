@@ -187,3 +187,68 @@ def test_curate_stream_filters_and_dedups(spark, tmp_path):
     # arbitrary member of the duplicate set, not a deterministic one)
     assert 4 in got and len(got & {0, 1}) == 1
     assert got <= {0, 1, 4}
+
+
+def test_join_streams_matches_batch_band_join(spark, tmp_path):
+    """Stream-stream time-band join == the same band join run in batch
+    over identical data (inner and left_outer): clicks attach to
+    purchases of the same user within 10 minutes."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from factstore_spark.streaming.windows import join_streams
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 12, m, 0)
+
+    clicks = [Row(user="u1", c_ts=ts(0), click_id=1),
+              Row(user="u1", c_ts=ts(30), click_id=2),
+              Row(user="u2", c_ts=ts(5), click_id=3),
+              Row(user="u3", c_ts=ts(1), click_id=4)]
+    buys = [Row(user="u1", p_ts=ts(4), buy_id=10),    # within 10m of click 1
+            Row(user="u1", p_ts=ts(29), buy_id=11),   # within 10m of click 2
+            Row(user="u2", p_ts=ts(45), buy_id=12),   # 40m after click 3: out
+            Row(user="u9", p_ts=ts(6), buy_id=13)]    # no clicks
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks).write.parquet(cdir)
+    spark.createDataFrame(buys).write.parquet(bdir)
+
+    batch_c, batch_b = spark.read.parquet(cdir), spark.read.parquet(bdir)
+
+    for how in ("inner", "left_outer"):
+        cs = spark.readStream.schema(batch_c.schema).parquet(cdir)
+        bs = spark.readStream.schema(batch_b.schema).parquet(bdir)
+        joined = join_streams(
+            cs, bs, key="user", left_time="c_ts", right_time="p_ts",
+            within="10 minutes", watermark="10 minutes", how=how,
+        ).select("click_id", "buy_id")
+        name = f"ssj_{how}"
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck-{how}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.click_id, r.buy_id) for r in spark.table(name).collect()
+        )
+        from pyspark.sql import functions as F
+
+        bb = batch_b.withColumnRenamed("user", "_rkey")
+        want = sorted(
+            (r.click_id, r.buy_id)
+            for r in batch_c.join(
+                bb,
+                (batch_c.user == bb._rkey)
+                & (bb.p_ts >= F.expr("c_ts - INTERVAL 10 minutes"))
+                & (bb.p_ts <= F.expr("c_ts + INTERVAL 10 minutes")),
+                how,
+            ).collect()
+        )
+        assert got == want, (how, got, want)
+        assert (1, 10) in got and (2, 11) in got
+        if how == "inner":
+            assert all(c != 3 for c, _ in got)  # out-of-band purchase
+        else:
+            assert (3, None) in got and (4, None) in got
