@@ -2590,6 +2590,44 @@ GROUP BY 1
 """
 
 
+def customer_segment_set_ops(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT / UNION) between two customer
+    key sets: the BUILDING segment vs customers with 1996 orders. Each
+    op is a Catalyst set operator (hash-based, no sort); counts emitted
+    so the output is one deterministic row."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return (
+        a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+        .join(a.subtract(b).agg(F.count(F.lit(1)).alias("n_except")))
+        .join(a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union")))
+        .select("n_intersect", "n_except", "n_union")
+    )
+
+
+CUSTOMER_SEGMENT_SET_OPS_SQL = """
+WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT
+  (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t) AS n_intersect,
+  (SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t) AS n_except,
+  (SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b) t) AS n_union
+"""
+
+
 def suppliers_top_by_nation(spark, sf_dir):
     """Per-group top-k over a dimension: 3 richest suppliers per
     nation (row_number window, total-order tie-break on suppkey)."""
@@ -2895,6 +2933,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "suppliers_top_by_nation": (suppliers_top_by_nation, SUPPLIERS_TOP_BY_NATION_SQL),
+    "customer_segment_set_ops": (customer_segment_set_ops, CUSTOMER_SEGMENT_SET_OPS_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_TOTALS_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_TYPE_PIVOT_SQL),
     "revenue_grouping_sets": (revenue_grouping_sets, REVENUE_GROUPING_SETS_SQL),
