@@ -301,3 +301,40 @@ def test_round4_queries_plan_shapes(spark):
         problems += [(name, "forbidden", f) for f in forbid if f in plan]
         problems += [(name, "missing", w) for w in want if w not in plan]
     assert not problems, problems
+
+
+# BroadcastNestedLoopJoin is allowed ONLY where it is a one-row
+# broadcast stats join (build side = a single aggregated row — O(n),
+# the optimal plan for "attach a global scalar to every row") or a
+# documented exact/oracle baseline whose banded/bucketed sibling is
+# the scale path.
+BNLJ_WHITELIST = {
+    "ann_cosine_topk",          # exact brute-force baseline (corpus x broadcast queries)
+    "dedup_embedding_exact",    # exact pairwise oracle path
+    "dedup_embedding_recall",   # recall harness over the exact path
+    "dedup_simhash_recall",     # recall harness over the exact path
+    "multimodal_features_topk", # 1-row global stats join
+    "curation_funnel",          # 1-row stage-count joins
+    "ann_filtered_topk",        # broadcast query row
+    "retrieval_bm25",           # 1-row corpus-stats broadcast
+    "retrieval_hybrid_rrf",     # 1-row corpus-stats broadcast
+    "text_heavy_tokens",        # 1-row error-bound broadcast
+    "q22_idle_customers",       # 1-row positive-balance stats broadcast
+    "customer_segment_set_ops", # three 1-row count joins
+}
+
+
+def test_no_entry_gains_a_cartesian_or_unlisted_bnlj(spark):
+    """Global guard over EVERY registry entry: CartesianProduct never;
+    BroadcastNestedLoopJoin only in the whitelist above. A new entry
+    (or a regressed join strategy in an old one) fails here before the
+    bench ever sees it."""
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, (fn, _) in REGISTRY.items():
+        plan = plan_of(fn(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
