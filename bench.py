@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "events_value_median",
     "embeddings_label_centroid_norms",
     "events_asof_join_bucketed",
+    "events_salted_type_stats",
+    "customer_segment_set_ops",
+    "text_heavy_tokens",
 ]
 
 
