@@ -168,6 +168,58 @@ class OptimisticStoreLayout(StoreLayout):
         out.sort(key=lambda c: (c.seq, c.compacted_through is not None))
         return _resolve_checkpoints(out)
 
+    # -- maintenance lease (CAS-based commit_lock replacement) --------------
+
+    LEASE_SLOT = "maintenance.lease"
+    LEASE_TTL = 600.0  # seconds; see docstring for the safety argument
+
+    def commit_lock(self):
+        """Maintenance critical section WITHOUT filesystem locking: a
+        TTL lease claimed through the same pluggable CAS primitive as
+        commits, so compaction/checkpoint mutual exclusion works on
+        every substrate — including an object store, where the
+        flock-based lock of the base class has no meaning across
+        hosts.
+
+        Exclusion is best-effort with a TTL (a holder that outlives
+        ``LEASE_TTL`` can be preempted); SAFETY never rests on it —
+        the final swap of every maintenance operation is itself a CAS
+        claim (``write_compaction_record``; checkpoint rewrites are
+        guarded by the claim-dir supersession rules), so a lost lease
+        costs duplicated work, not correctness. The lease slot name
+        carries no ``.json`` suffix, so log readers never parse it.
+
+        Appends never touch this — only maintenance does (module
+        docstring), same as the flock in the base class."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lease():
+            import time
+
+            me = uuid.uuid4().hex
+            while True:
+                if self.slots.put_if_absent(self.LEASE_SLOT, me.encode()):
+                    break
+                mt = self.slots.mtime(self.LEASE_SLOT)
+                if mt is not None and time.time() - mt > self.LEASE_TTL:
+                    # expired holder: clear and re-race (CAS picks ONE
+                    # winner among concurrent reclaimers)
+                    self.slots.delete(self.LEASE_SLOT)
+                    continue
+                time.sleep(0.05)
+            try:
+                self._sweep_orphans()
+                self.sync_stream_links()
+                yield
+            finally:
+                # release only OUR lease: if we were preempted after
+                # expiry, the new holder's slot must survive
+                if self.slots.read(self.LEASE_SLOT) == me.encode():
+                    self.slots.delete(self.LEASE_SLOT)
+
+        return lease()
+
     # -- the atomic claim ---------------------------------------------------
 
     def _claim(self, name: str, record: dict) -> bool:

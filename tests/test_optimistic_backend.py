@@ -196,3 +196,68 @@ def test_replay_and_compaction(fso):
     r = fso.append(STORE, FactInput(type="NEW", subject="S-new"))
     assert isinstance(r, Appended)
     assert fso.facts_df(STORE).count() == 31
+
+
+def test_maintenance_lease_serializes_and_reclaims_expired(tmp_path):
+    """The optimistic backend's commit_lock is a CAS lease, not flock:
+    (a) two concurrent holders serialize; (b) an expired lease is
+    reclaimed instead of deadlocking forever."""
+    import os
+    import threading
+    import time
+
+    from factstore_spark.storage.optimistic import OptimisticStoreLayout
+
+    layout = OptimisticStoreLayout(str(tmp_path / "store"))
+    layout.initialize()
+
+    order = []
+
+    def hold(tag):
+        with layout.commit_lock():
+            order.append(("in", tag))
+            time.sleep(0.3)
+            order.append(("out", tag))
+
+    t1 = threading.Thread(target=hold, args=("a",))
+    t2 = threading.Thread(target=hold, args=("b",))
+    t1.start(); time.sleep(0.05); t2.start()
+    t1.join(); t2.join()
+    # strictly serialized: in/out pairs never interleave
+    assert [e for e, _ in order] == ["in", "out", "in", "out"]
+
+    # expired lease: plant a dead holder's slot, backdate it past TTL
+    assert layout.slots.put_if_absent(layout.LEASE_SLOT, b"dead-holder")
+    lease_path = os.path.join(layout.log_dir, layout.LEASE_SLOT)
+    old = time.time() - layout.LEASE_TTL - 10
+    os.utime(lease_path, (old, old))
+    t0 = time.time()
+    with layout.commit_lock():
+        pass
+    assert time.time() - t0 < 5  # reclaimed promptly, no TTL-long wait
+
+
+def test_maintain_end_to_end_on_object_store_backend(spark, tmp_path):
+    """Full maintenance cycle (compact + checkpoint + tag-index
+    refresh) through the conditional-PUT substrate: no flock involved
+    anywhere — the coarse exclusion rides the CAS lease."""
+    from factstore_spark.storage.cas import ObjectStoreServer
+
+    srv = ObjectStoreServer()
+    spec = srv.start()
+    try:
+        fs = FactStore(spark, str(tmp_path / "root"), commit_backend=spec)
+        fs.create("m-store")
+        for i in range(6):
+            fs.append(
+                "m-store",
+                FactInput(type=f"T{i}", subject=f"s{i % 2}", tags={"k": f"v{i % 3}"}),
+            )
+        stats = fs.maintain("m-store")
+        assert stats["compact"].get("compacted") is True
+        hist = fs.find_by_subject("m-store", "s0")
+        assert [f.type for f in hist.facts] == ["T0", "T2", "T4"]
+        tagged = fs.find_by_tags("m-store", {"k": "v1"})
+        assert len(tagged.facts) == 2
+    finally:
+        srv.stop()
