@@ -626,3 +626,120 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    train_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Build-once persisted IVF index: k-means-trained centroids
+    (JSON sidecar) + the cell-assigned corpus written PARTITIONED BY
+    CELL. Query time then pays zero training and zero assignment, and
+    — because ``cell`` is a partition column — a probe join only reads
+    the probed cells' files (static or dynamic partition pruning),
+    which is the actual FAISS-IVF promise: touch n_probe/n_cells of
+    the data. Layout::
+
+        index_dir/centroids.json
+        index_dir/assignments/cell=<c>/part-*.parquet
+
+    Returns build stats. The build is one training run + one map-only
+    assignment pass + one partitioned write (the write shuffles by
+    cell — paid once, like any index build)."""
+    import json
+    import os
+
+    cents = train_centroids(
+        corpus, n_cells=n_cells, iterations=train_iterations,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    scores = F.transform(
+        cents_arr,
+        lambda cv: F.aggregate(
+            F.zip_with(F.col(vec_col), cv, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    idx = F.zip_with(
+        scores,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(F.array_sort(idx), 1)["cell"].alias("cell"),
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8") as fh:
+        json.dump(cents, fh)
+    n = assigned.count()
+    return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a ``build_ivf_index`` index: load the (tiny) centroid
+    sidecar, rank each query's n_probe cells map-only, then a
+    broadcast probe join against the cell-partitioned assignment
+    table — the partition column lets Spark prune unprobed cells'
+    files instead of scanning the corpus. Same output contract as
+    ``ivf_topk``: (query_id, neighbor_id, sim, rank)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
+        centroids = json.load(fh)
+    n_actual = len(centroids)
+    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+    def top_cells(vec: Column, n: int) -> Column:
+        scored = F.zip_with(
+            F.transform(
+                cents_arr,
+                lambda cv: F.aggregate(
+                    F.zip_with(vec, cv, lambda x, c: x.cast("double") * c),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+            F.sequence(F.lit(0), F.lit(n_actual - 1)),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+        )
+        return F.slice(F.transform(F.array_sort(scored), lambda st: st["cell"]), 1, n)
+
+    assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = q.withColumn(
+        "cell", F.explode(top_cells(F.col("q_vec"), n_probe))
+    ).select("query_id", "q_vec", "cell")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

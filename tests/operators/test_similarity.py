@@ -220,3 +220,57 @@ def test_embedding_recall_entry_trained_beats_sampled(spark):
     assert row.trained_recall_bp >= row.sampled_recall_bp
     assert row.sampled_precision_bp == 10000
     assert row.trained_precision_bp == 10000
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed must return EXACTLY what the
+    inline ivf_topk returns when given the same trained centroids —
+    the persisted index changes where work happens (build time vs
+    query time), never the answer."""
+    from factstore_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(6)
+    stats = build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_cells=8, train_iterations=2
+    )
+    assert stats["n_vectors"] == emb.count() and stats["n_cells"] == 8
+
+    import json
+    import os
+
+    cents = json.load(open(os.path.join(str(tmp_path / "ivf"), "centroids.json")))
+    inline = ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents)
+    indexed = ivf_topk_indexed(
+        spark, str(tmp_path / "ivf"), queries, k=5, n_probe=3
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    a = sorted(((r.query_id, r.rank, r.neighbor_id) for r in inline.collect()))
+    b = sorted(((r.query_id, r.rank, r.neighbor_id) for r in indexed.collect()))
+    assert a == b
+
+
+def test_persisted_ivf_prunes_unprobed_cells(spark, tmp_path):
+    """The assignment table is partitioned by cell, so the probe join
+    must NOT read every cell: the scan carries a partition filter
+    (dynamic pruning from the broadcast probe side) or, at minimum,
+    the join side is the partitioned read with a broadcast probe."""
+    import io
+    from contextlib import redirect_stdout
+
+    from factstore_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build_ivf_index(emb, str(tmp_path / "ivf"), n_cells=8, train_iterations=1)
+    out = ivf_topk_indexed(spark, str(tmp_path / "ivf"), emb.limit(2), k=3, n_probe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "PartitionFilters" in plan
