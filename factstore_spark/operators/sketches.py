@@ -103,3 +103,73 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         "item", F.col("est_cnt").cast("long").alias("est_cnt"),
         F.col("err_bound").cast("long").alias("err_bound"),
     )
+
+
+def quantile_cells(
+    df: DataFrame,
+    cell_cols: Sequence[str],
+    value_col: str,
+    n_bins: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-cell equi-depth histogram — the mergeable QUANTILE cell to
+    go with the HLL distinct cell: ``n_bins + 1`` breakpoints at evenly
+    spaced ranks via ``percentile_approx`` (Greenwald-Khanna — a
+    bounded-memory distributed aggregate, never a per-cell sort
+    collect), plus the row count. One shuffle on the cell key.
+    Output: (*cell_cols, breaks array<double>, n_rows)."""
+    qs = F.array(*[F.lit(i / n_bins) for i in range(n_bins + 1)])
+    return df.groupBy(*cell_cols).agg(
+        F.percentile_approx(F.col(value_col).cast("double"), qs, F.lit(accuracy)).alias(
+            "breaks"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def quantile_rollup(
+    cells: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+) -> DataFrame:
+    """Merge quantile cells up to ``group_cols`` WITHOUT re-reading raw
+    data: each cell's histogram contributes ``n_rows / n_bins`` mass at
+    every breakpoint (equi-depth by construction); the merged q-th
+    quantile is the smallest breakpoint whose cumulative mass reaches
+    q x N. Error: one bin's mass per cell (1/n_bins) + the GK accuracy
+    of the build — tested with a CI ceiling. Aggregation input is
+    O(cells x n_bins), never O(rows).
+    Output: (*group_cols, n_rows, q_<label> per requested quantile)."""
+    from pyspark.sql.window import Window
+
+    # a global rollup (no group cols) rides an internal constant key
+    group_cols = list(group_cols)
+    drop_key = not group_cols
+    if drop_key:
+        cells = cells.withColumn("_g", F.lit(0))
+        group_cols = ["_g"]
+    n_bins = F.size(F.col("breaks")) - 1
+    mass = cells.select(
+        *group_cols, (F.col("n_rows") / n_bins.cast("double")).alias("m"), "breaks"
+    )
+    bins = mass.select(
+        *group_cols, "m", F.posexplode("breaks").alias("bin_idx", "val")
+    ).filter(F.col("bin_idx") > 0)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("val").asc(), F.col("bin_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("cum", F.sum("m").over(w))
+    totals = cells.groupBy(*group_cols).agg(F.sum("n_rows").alias("n_rows"))
+    joined = cum.join(totals, list(group_cols))
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("n_rows"), F.col("val"))
+        ).alias(f"q_{str(q).replace('.', '_')}")
+        for q in quantiles
+    ]
+    out = joined.groupBy(*group_cols).agg(
+        F.max("n_rows").alias("n_rows"), *aggs
+    )
+    return out.drop("_g") if drop_key else out

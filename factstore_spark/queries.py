@@ -1998,6 +1998,50 @@ def events_distinct_sketch(spark, sf_dir):
     )
 
 
+def events_value_quantile_cube(spark, sf_dir):
+    """Mergeable QUANTILE cube (operators/sketches.py quantile_cells /
+    quantile_rollup): per-(day, type) equi-depth histograms merged up
+    to per-type p50/p90/p99 — rollups read O(cells x bins), never the
+    raw events. SELF-VALIDATING (rows-only): each estimate's TRUE rank
+    is computed against the raw values and emitted as a basis-point
+    deviation, with ok flags for the 2/n_bins + GK ceiling."""
+    from .operators.sketches import quantile_cells, quantile_rollup
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
+        "event_type",
+        _cents(F.col("value")).cast("double").alias("vc"),
+    )
+    cells = quantile_cells(ev, ["day", "event_type"], "vc", n_bins=64)
+    merged = quantile_rollup(cells, ["event_type"], [0.5, 0.9, 0.99])
+    ranks = []
+    for q, col_name in ((0.5, "q_0_5"), (0.9, "q_0_9"), (0.99, "q_0_99")):
+        est = merged.select("event_type", F.col(col_name).alias("est"))
+        r = (
+            ev.join(F.broadcast(est), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.floor(
+                    F.lit(10000.0)
+                    * F.sum((F.col("vc") <= F.col("est")).cast("long"))
+                    / F.count(F.lit(1))
+                ).cast("long").alias(f"rank_bp_{col_name}")
+            )
+        )
+        ranks.append((q, col_name, r))
+    out = merged
+    for q, col_name, r in ranks:
+        out = out.join(r, "event_type")
+        dev = F.abs(F.col(f"rank_bp_{col_name}") - F.lit(int(q * 10000)))
+        out = out.withColumn(f"ok_{col_name}", dev <= F.lit(int(2 / 64 * 10000) + 100))
+    return out.select(
+        "event_type", "n_rows",
+        "q_0_5", "q_0_9", "q_0_99",
+        "rank_bp_q_0_5", "rank_bp_q_0_9", "rank_bp_q_0_99",
+        "ok_q_0_5", "ok_q_0_9", "ok_q_0_99",
+    )
+
+
 def text_heavy_tokens(spark, sf_dir):
     """Approximate frequent tokens via per-partition Misra-Gries
     summaries merged by candidate-sum (operators/sketches.py
@@ -2922,6 +2966,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
     "events_distinct_sketch": (events_distinct_sketch, None),
     "text_heavy_tokens": (text_heavy_tokens, None),
+    "events_value_quantile_cube": (events_value_quantile_cube, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),

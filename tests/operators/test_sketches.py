@@ -80,3 +80,39 @@ def test_heavy_hitters_bounds_and_recall_under_pressure(spark):
         if n > bound:
             assert item in got, (item, n, bound)
     assert "heavy" in got and "mid" in got
+
+
+def test_quantile_cube_merges_within_error_ceiling(spark):
+    """Quantile cells built per (day) merged to a global rollup: each
+    estimated quantile must sit within the histogram's resolution of
+    the EXACT quantile — |rank(est) - q| <= 2/n_bins + GK slack."""
+    import random
+
+    from factstore_spark.operators.sketches import quantile_cells, quantile_rollup
+
+    rnd = random.Random(5)
+    rows = [(i % 7, float(rnd.lognormvariate(0, 1))) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "day long, v double")
+    cells = quantile_cells(df, ["day"], "v", n_bins=64)
+    assert cells.count() == 7
+    merged = quantile_rollup(cells, [], [0.5, 0.9, 0.99]).collect()[0]
+    assert merged.n_rows == 20_000
+
+    values = sorted(v for _, v in rows)
+    import bisect
+
+    for q, est in ((0.5, merged.q_0_5), (0.9, merged.q_0_9), (0.99, merged.q_0_99)):
+        # rank of the estimate in the TRUE distribution
+        r = bisect.bisect_right(values, est) / len(values)
+        assert abs(r - q) <= 2 / 64 + 0.01, (q, est, r)
+
+
+def test_quantile_cube_exact_on_single_cell_uniform(spark):
+    """One cell, distinct integers: merged quantiles are the familiar
+    order statistics (resolution-exact)."""
+    from factstore_spark.operators.sketches import quantile_cells, quantile_rollup
+
+    df = spark.createDataFrame([(0, float(i)) for i in range(1, 1001)], "g long, v double")
+    cells = quantile_cells(df, ["g"], "v", n_bins=100)
+    got = quantile_rollup(cells, ["g"], [0.5, 0.9]).collect()[0]
+    assert abs(got.q_0_5 - 500) <= 20 and abs(got.q_0_9 - 900) <= 20
