@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_salted_type_stats",
     "customer_segment_set_ops",
     "text_heavy_tokens",
+    "events_value_quantile_cube",
 ]
 
 
