@@ -1053,6 +1053,52 @@ class FactStore:
             return StoreNotFound(store_name)
         return self._layout(meta.id).checkpoint_log()
 
+    def describe_store(self, store_name: str):
+        """Operational stats for one store — the health card a
+        maintenance scheduler reads to decide WHEN to run
+        ``maintain()``: commit/file counts and bytes (small-file
+        pressure -> compact), commits since the last checkpoint
+        (log-parse cost -> checkpoint), head position and tag-index
+        freshness. Metadata-only: reads the commit log + file stats,
+        never scans fact data. Returns a dict or StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        layout = self._layout(meta.id)
+        commits = layout.read_commits()
+        files = layout.data_files()
+        n_bytes = 0
+        for f in files:
+            try:
+                n_bytes += os.path.getsize(f)
+            except OSError:
+                pass
+        ckpt_seq = max(
+            (c.seq for c in commits if c.checkpoint), default=None
+        )
+        compacted_through = max(
+            (c.compacted_through for c in commits if c.compacted_through is not None),
+            default=None,
+        )
+        from .storage.tag_index import TagIndex
+
+        return {
+            "store": store_name,
+            "store_id": meta.id,
+            "n_commits": len(commits),
+            "head_position": layout.head_position(),
+            "n_rows": sum(c.rows for c in commits),
+            "n_data_files": len(files),
+            "data_bytes": n_bytes,
+            "compacted_through": compacted_through,
+            "commits_since_checkpoint": (
+                len([c for c in commits if c.seq > ckpt_seq])
+                if ckpt_seq is not None
+                else len(commits)
+            ),
+            "tag_index_fresh": TagIndex(layout).is_fresh(),
+        }
+
     def maintain(self, store_name: str, target_partitions: Optional[int] = None):
         """One-call periodic maintenance for a long-lived store, in
         dependency order: compact (rewrite data into the date-

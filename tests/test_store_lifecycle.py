@@ -117,3 +117,30 @@ def test_register_views_exposes_sql_surface(fs, spark):
     assert [f.subject for f in native.facts] == ["U:1"]
 
     assert fs.register_views("no-such-store") is None
+
+
+def test_describe_store_health_card(fs):
+    from factstore_spark.results import StoreNotFound
+
+    assert isinstance(fs.describe_store("nope"), StoreNotFound)
+    fs.create("desc-store")
+    from factstore_spark import FactInput
+
+    fs.append(
+        "desc-store",
+        [FactInput(type="A", subject="s", tags={"k": "v"}) for _ in range(3)],
+    )
+    fs.append("desc-store", FactInput(type="B", subject="s2"))
+    d = fs.describe_store("desc-store")
+    assert d["n_commits"] == 2 and d["n_rows"] == 4
+    assert d["n_data_files"] == 2 and d["data_bytes"] > 0
+    assert d["head_position"] >= 0
+    assert d["compacted_through"] is None
+    assert d["commits_since_checkpoint"] == 2
+    assert d["tag_index_fresh"] is False  # never built yet
+
+    fs.maintain("desc-store")
+    d2 = fs.describe_store("desc-store")
+    assert d2["tag_index_fresh"] is True
+    assert d2["compacted_through"] is not None
+    assert d2["n_rows"] == 4
