@@ -101,7 +101,15 @@ def compact_store(
                 "compacted": False,
                 "reason": "lost race",
             }
-        rows = spark.read.schema(FACT_SCHEMA).parquet(f"{tmp_dir}/fact_date=*").count()
+        # Row count from parquet FOOTERS (pyarrow) — no Spark job, no
+        # directory listing that could race the rename below.
+        import pyarrow.parquet as pq
+
+        rows = 0
+        for root_dir, _dirs, names in os.walk(tmp_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(root_dir, n)).num_rows
         os.rename(tmp_dir, out_dir)
         record = {
             "seq": max_seq,
