@@ -82,6 +82,34 @@ _AGG_FNS = {
 }
 
 
+def vacuum_rollup(out_dir: str, retain_seconds: float = 3600.0) -> dict:
+    """Delete version directories no longer referenced by the published
+    manifest and older than ``retain_seconds`` (the grace window lets a
+    reader that resolved the previous manifest finish its scan — same
+    retention contract as the commit-log claim sweep). Run periodically
+    alongside the stream; refreshes themselves never delete, so a crash
+    during vacuum costs disk, not data."""
+    import shutil
+    import time
+
+    manifest = current_manifest(out_dir) or {}
+    live_versions = {rel.split(os.sep, 1)[0] for rel in manifest.values()}
+    now = time.time()
+    removed = []
+    for name in os.listdir(out_dir):
+        if not name.startswith("v=") or name in live_versions:
+            continue
+        path = os.path.join(out_dir, name)
+        try:
+            if now - os.path.getmtime(path) <= retain_seconds:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    return {"removed": removed, "live": sorted(live_versions)}
+
+
 def start_continuous_rollup(
     stream: DataFrame,
     out_dir: str,

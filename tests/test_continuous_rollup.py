@@ -194,3 +194,31 @@ def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
     }
     assert got == truth
     assert sum(n for n, _, _ in got.values()) == 6
+
+
+def test_vacuum_drops_only_aged_unreferenced_versions(spark, tmp_path):
+    import os
+    import time
+
+    from factstore_spark.streaming.rollup import vacuum_rollup
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "rollup")
+    _write_src(spark, src, [(_ts(1, 0), "A", 1)])
+    _file_refresh(spark, src, tmp_path)
+    _write_src(spark, src, [(_ts(1, 1), "A", 2)])
+    _file_refresh(spark, src, tmp_path)
+    versions = [n for n in os.listdir(out_dir) if n.startswith("v=")]
+    assert len(versions) == 2  # one superseded, one live
+
+    # inside the grace window: nothing removed
+    assert vacuum_rollup(out_dir, retain_seconds=3600)["removed"] == []
+    # age everything: only the unreferenced version goes
+    for n in versions:
+        old = time.time() - 7200
+        os.utime(os.path.join(out_dir, n), (old, old))
+    res = vacuum_rollup(out_dir, retain_seconds=3600)
+    live = set(res["live"])
+    assert len(res["removed"]) == 1 and res["removed"][0] not in live
+    # published table still reads fine
+    assert read_rollup(spark, out_dir).count() == 2
