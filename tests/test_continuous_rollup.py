@@ -222,3 +222,44 @@ def test_vacuum_drops_only_aged_unreferenced_versions(spark, tmp_path):
     assert len(res["removed"]) == 1 and res["removed"][0] not in live
     # published table still reads fine
     assert read_rollup(spark, out_dir).count() == 2
+
+
+def test_unpublished_version_dir_is_invisible_and_vacuumable(spark, tmp_path):
+    """Crash between version-dir write and manifest publish: readers
+    keep the previous state (the manifest is the ONLY publish step),
+    and the orphan dir ages out via vacuum without ever being read."""
+    import os
+    import time
+
+    from factstore_spark.streaming.rollup import vacuum_rollup
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "rollup")
+    _write_src(spark, src, [(_ts(1, 0), "A", 1)])
+    _file_refresh(spark, src, tmp_path)
+    before = {
+        (str(r.bucket_start), r.key): r.n
+        for r in read_rollup(spark, out_dir).collect()
+    }
+    m_before = current_manifest(out_dir)
+
+    # simulate the crash: a fully-written version dir, no manifest swap
+    orphan = os.path.join(out_dir, "v=99-deadbeef")
+    os.makedirs(os.path.join(orphan, "bucket_date=2024-01-03"))
+    with open(
+        os.path.join(orphan, "bucket_date=2024-01-03", "part-0.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not even parquet")  # never read, so never parsed
+
+    assert current_manifest(out_dir) == m_before
+    after = {
+        (str(r.bucket_start), r.key): r.n
+        for r in read_rollup(spark, out_dir).collect()
+    }
+    assert after == before  # reader state unchanged by the orphan
+
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    res = vacuum_rollup(out_dir, retain_seconds=3600)
+    assert "v=99-deadbeef" in res["removed"]
+    assert not os.path.exists(orphan)
