@@ -2,8 +2,13 @@
 
 The append path necessarily accumulates one small parquet file (or bulk
 directory) per commit; a few hundred thousand commits would drown the
-scan in file-listing and per-file overhead. ``compact_store`` rewrites
-all committed data into a single *compacted* commit directory:
+scan in file-listing and per-file overhead. ``compact_store`` folds the
+committed data into a single *compacted* snapshot directory —
+INCREMENTALLY once a snapshot exists: only the date partitions touched
+by post-snapshot commits are read and rewritten; every other partition
+is hardlinked from the previous snapshot (same inodes, zero data moved
+— asserted in tests), so steady-state compaction cost is O(new data +
+touched partitions), not O(store history):
 
 - partitioned by ``date(appended_at)`` -> partition pruning for
   time-range finders;
@@ -72,20 +77,68 @@ def compact_store(
         # collide with the existing compacted-<max_seq> dir.
         return {"files_before": len(files), "compacted": False, "reason": "up to date"}
 
-    df = spark.read.schema(FACT_SCHEMA).parquet(*files)
     out_dir = os.path.join(layout.data_dir, f"compacted-{max_seq:010d}")
     # Unique tmp per run: two concurrent compactions over the same
     # snapshot must never interleave writes into one staging dir (the
     # in-lock guard below resolves which one wins the swap).
     tmp_dir = f"{out_dir}.{uuid.uuid4().hex}.tmp"
-    writer = (
-        df.withColumn("fact_date", F.to_date("appended_at"))
-        .repartition(*([target_partitions] if target_partitions else []), "fact_date")
-        .sortWithinPartitions("subject", "position")
-        .write.partitionBy("fact_date")
-        .mode("overwrite")
-    )
-    writer.parquet(tmp_dir)
+
+    def _write_sorted(df) -> None:
+        (
+            df.withColumn("fact_date", F.to_date("appended_at"))
+            .repartition(
+                *([target_partitions] if target_partitions else []), "fact_date"
+            )
+            .sortWithinPartitions("subject", "position")
+            .write.partitionBy("fact_date")
+            .mode("overwrite")
+            .parquet(tmp_dir)
+        )
+
+    prev_comp_dir, tail_files = layout.data_layout(max_seq)
+    if prev_comp_dir is not None and os.path.isdir(prev_comp_dir):
+        # INCREMENTAL path — the 100 TB behavior: rewrite ONLY the date
+        # partitions the tail commits touch (server-time appends land
+        # in recent dates, so a steady store compacts O(new data +
+        # today's partition), never O(store history)); every untouched
+        # partition is HARDLINKED from the previous snapshot —
+        # byte-identical, same inodes, zero data copied or even read
+        # (test-asserted). The same fix pattern as the continuous
+        # rollup's partitioned manifest.
+        changed_names: set[str] = set()
+        if tail_files:
+            tail_df = spark.read.schema(FACT_SCHEMA).parquet(*tail_files)
+            changed_names = {
+                f"fact_date={r.d.isoformat()}"
+                for r in tail_df.select(
+                    F.to_date("appended_at").alias("d")
+                ).distinct().collect()
+            }
+        prev_parts = {
+            n for n in os.listdir(prev_comp_dir) if n.startswith("fact_date=")
+        }
+        merge_files: list[str] = []
+        for p in prev_parts & changed_names:
+            pdir = os.path.join(prev_comp_dir, p)
+            merge_files.extend(
+                os.path.join(pdir, f)
+                for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")
+            )
+        if merge_files or tail_files:
+            _write_sorted(
+                spark.read.schema(FACT_SCHEMA).parquet(*merge_files, *tail_files)
+            )
+        os.makedirs(tmp_dir, exist_ok=True)
+        for p in sorted(prev_parts - changed_names):
+            sdir = os.path.join(prev_comp_dir, p)
+            ddir = os.path.join(tmp_dir, p)
+            os.makedirs(ddir, exist_ok=True)
+            for f in os.listdir(sdir):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(sdir, f), os.path.join(ddir, f))
+    else:
+        _write_sorted(spark.read.schema(FACT_SCHEMA).parquet(*files))
 
     with layout.commit_lock():
         # Re-check the guard INSIDE the lock: two concurrent compactions

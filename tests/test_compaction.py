@@ -132,3 +132,73 @@ def test_facts_df_max_position_is_time_travel_across_maintenance(fs, spark):
     assert pinned == before
     # and the live view sees everything
     assert fs.facts_df(store).count() == 12
+
+
+def test_incremental_compaction_hardlinks_untouched_dates(fs, spark):
+    """Once a snapshot exists, recompaction only rewrites the date
+    partitions new commits touch: historical date partitions in the new
+    snapshot are HARDLINKS of the previous generation's files (same
+    inode — nothing was read or copied), and the full read-back still
+    equals position order."""
+    import os
+
+    # two distinct historical dates built directly (appended_at is
+    # caller-supplied through the bulk-ingest path)
+    fs.create("inc-store")
+    import datetime as dt
+
+    rows = []
+    for day, n in ((1, 4), (2, 3)):
+        for i in range(n):
+            rows.append(
+                {
+                    "id": f"h{day}-{i}",
+                    "type": "H",
+                    "subject": f"s{day}",
+                    "appended_at": dt.datetime(2024, 1, day, 8, 0, i),
+                    "payload": {"data": b"", "format": None, "schema_ref": None},
+                    "metadata": {},
+                    "tags": {},
+                }
+            )
+    hist_schema = (
+        "id string, type string, subject string, appended_at timestamp, "
+        "payload struct<data binary, format string, schema_ref string>, "
+        "metadata map<string,string>, tags map<string,string>"
+    )
+    hist = spark.createDataFrame(rows, hist_schema)
+    fs.append_dataframe("inc-store", hist)
+    s1 = fs.compact("inc-store")
+    assert s1["compacted"]
+    meta = fs.find_by_name("inc-store")
+    layout = fs._layout(meta.id)
+    gen1 = s1["out_dir"]
+    gen1_inodes = {}
+    for part in os.listdir(gen1):
+        if part.startswith("fact_date="):
+            for f in os.listdir(os.path.join(gen1, part)):
+                if f.endswith(".parquet"):
+                    gen1_inodes[(part, f)] = os.stat(
+                        os.path.join(gen1, part, f)
+                    ).st_ino
+
+    # new commits land TODAY -> only today's partition should be written
+    from factstore_spark import FactInput
+
+    for i in range(3):
+        fs.append("inc-store", FactInput(type="N", subject="snew"))
+    before = [(f.id, f.position) for f in fs.find_in_time_range("inc-store", TimeRange()).facts]
+    s2 = fs.compact("inc-store")
+    assert s2["compacted"]
+    gen2 = s2["out_dir"]
+    parts2 = sorted(n for n in os.listdir(gen2) if n.startswith("fact_date="))
+    assert "fact_date=2024-01-01" in parts2 and "fact_date=2024-01-02" in parts2
+    assert len(parts2) == 3  # two historical + today
+    for part in ("fact_date=2024-01-01", "fact_date=2024-01-02"):
+        for f in os.listdir(os.path.join(gen2, part)):
+            if f.endswith(".parquet"):
+                assert os.stat(os.path.join(gen2, part, f)).st_ino == gen1_inodes[
+                    (part, f)
+                ], "historical partition was rewritten, not hardlinked"
+    after = [(f.id, f.position) for f in fs.find_in_time_range("inc-store", TimeRange()).facts]
+    assert after == before
