@@ -2634,6 +2634,132 @@ GROUP BY 1
 """
 
 
+def orders_customer_share(spark, sf_dir):
+    """Each order's share of its customer's lifetime value, in basis
+    points (window sum per customer + integer ratio) — the ratio-to-
+    group-total window pattern. Limited to one segment to keep the
+    driver compare small; total-order output via orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey, "left_semi")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+        .withColumn("cust_total_cents", F.sum("price_cents").over(w))
+        .withColumn(
+            "share_bp",
+            F.floor(
+                F.lit(10000.0) * F.col("price_cents") / F.col("cust_total_cents")
+            ).cast("long"),
+        )
+    )
+
+
+ORDERS_CUSTOMER_SHARE_SQL = """
+SELECT o_orderkey, o_custkey,
+  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+       OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total_cents,
+  CAST(FLOOR(10000.0 * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+       / SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey))
+       AS BIGINT) AS share_bp
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'MACHINERY')
+"""
+
+
+def lineitem_price_deciles(spark, sf_dir):
+    """NTILE(10) deciles over extended price (total order tie-break so
+    decile boundaries are engine-identical), rolled up to per-decile
+    count + sum — the distribution profile as a window + aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.col("price_cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_cents").alias("total_cents"),
+            F.min("price_cents").alias("min_cents"),
+            F.max("price_cents").alias("max_cents"),
+        )
+    )
+
+
+LINEITEM_PRICE_DECILES_SQL = """
+WITH t AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents,
+    CAST(NTILE(10) OVER (ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT) ASC,
+                         l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS decile
+  FROM lineitem)
+SELECT decile, COUNT(*) AS n,
+  CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+  CAST(MIN(price_cents) AS BIGINT) AS min_cents,
+  CAST(MAX(price_cents) AS BIGINT) AS max_cents
+FROM t GROUP BY 1
+"""
+
+
+def nation_order_full_outer(spark, sf_dir):
+    """FULL OUTER join coverage: per-nation 1996 order counts joined
+    full-outer against the complete nation dimension — nations with no
+    1996 customers keep a row (zero-filled), and any order rows whose
+    customer nation vanished would too. Sentinel coalesces keep null
+    semantics engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # full outer against a nation subset so BOTH dangling sides occur
+    nat = nation.filter(F.col("n_nationkey") < 20).select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    return (
+        per_nation.join(nat, per_nation.nk == nat.n_nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("<unknown>")).alias("nation"),
+            F.coalesce(F.col("nk"), F.col("n_nationkey")).cast("long").alias("nationkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+NATION_ORDER_FULL_OUTER_SQL = """
+WITH pn AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1),
+nat AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20)
+SELECT COALESCE(n_name, '<unknown>') AS nation,
+  CAST(COALESCE(nk, n_nationkey) AS BIGINT) AS nationkey,
+  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders
+FROM pn FULL OUTER JOIN nat ON nk = n_nationkey
+"""
+
+
 def customer_segment_set_ops(spark, sf_dir):
     """Set operations (INTERSECT / EXCEPT / UNION) between two customer
     key sets: the BUILDING segment vs customers with 1996 orders. Each
@@ -2979,6 +3105,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "suppliers_top_by_nation": (suppliers_top_by_nation, SUPPLIERS_TOP_BY_NATION_SQL),
     "customer_segment_set_ops": (customer_segment_set_ops, CUSTOMER_SEGMENT_SET_OPS_SQL),
+    "orders_customer_share": (orders_customer_share, ORDERS_CUSTOMER_SHARE_SQL),
+    "lineitem_price_deciles": (lineitem_price_deciles, LINEITEM_PRICE_DECILES_SQL),
+    "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_TOTALS_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_TYPE_PIVOT_SQL),
     "revenue_grouping_sets": (revenue_grouping_sets, REVENUE_GROUPING_SETS_SQL),
