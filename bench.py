@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "customer_segment_set_ops",
     "text_heavy_tokens",
     "events_value_quantile_cube",
+    "orders_customer_share",
+    "lineitem_price_deciles",
+    "nation_order_full_outer",
 ]
 
 
