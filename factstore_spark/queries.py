@@ -2677,18 +2677,33 @@ WHERE EXISTS (SELECT 1 FROM customer
 def lineitem_price_deciles(spark, sf_dir):
     """NTILE(10) deciles over extended price (total order tie-break so
     decile boundaries are engine-identical), rolled up to per-decile
-    count + sum — the distribution profile as a window + aggregate."""
+    count + sum. NOT the naive unpartitioned-window NTILE — that plan
+    sorts the whole table in ONE task; ranks come from the distributed
+    global rank (operators/ranking.py: range shuffle + per-partition
+    windows + O(partitions) offsets) and the NTILE arithmetic is
+    applied to them, producing the identical standard-SQL result the
+    oracle computes with its window NTILE."""
+    from .operators.ranking import ntile_of_rank, with_global_rank
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        F.col("price_cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    priced = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
     )
+    ranked = with_global_rank(
+        priced,
+        [
+            F.col("price_cents").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+    )
+    total = ranked.count()
     return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        ranked.withColumn(
+            "decile", ntile_of_rank(F.col("rank"), F.lit(total), 10)
         )
-        .withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
