@@ -68,6 +68,40 @@ def stratified_sample(
     return df.filter(bucket < cutoff)
 
 
+def upsample_by_weights(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    n_buckets: int = 100,
+    salt: str = "mix",
+) -> DataFrame:
+    """Pretraining corpus MIXING with epoch weights > 1: a source with
+    weight 2.5 contributes every document twice plus a deterministic
+    half of them a third time (floor(w) copies + the md5-bucketed
+    fraction for the remainder — same auditable no-RNG contract as
+    ``stratified_sample``; weight 0.3 degenerates to plain
+    downsampling). Map-only explode: each row becomes ``n_copies``
+    rows with a 1-based ``copy`` index (0 copies drops the row), no
+    shuffle, reproducible across engines and re-runs."""
+    whole = F.lit(int(default_weight))
+    rem_cut = F.lit(round((default_weight % 1.0) * n_buckets))
+    for value, w in sorted(weights.items()):
+        whole = F.when(F.col(strata_col) == value, F.lit(int(w))).otherwise(whole)
+        rem_cut = F.when(
+            F.col(strata_col) == value, F.lit(round((w % 1.0) * n_buckets))
+        ).otherwise(rem_cut)
+    bucket = split_bucket(key_col, n_buckets, salt)
+    n_copies = whole + (bucket < rem_cut).cast("int")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

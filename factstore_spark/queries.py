@@ -1240,6 +1240,51 @@ GROUP BY lang
 """
 
 
+def curation_mixture_weights(spark, sf_dir):
+    """Epoch-weighted corpus mixing (operators/sampling.py
+    upsample_by_weights): wiki-style sources upsampled (2.5x / 1.5x),
+    the rest downsampled (0.4x) — floor(w) full copies + an md5-
+    deterministic fractional remainder, audited here as per-source
+    input vs output doc/copy counts. Map-only explode, no RNG."""
+    from .operators.sampling import upsample_by_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = upsample_by_weights(
+        docs,
+        "source",
+        {"src0": 2.5, "src1": 1.5},
+        key_col="doc_id",
+        default_weight=0.4,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("copy").cast("long").alias("max_copy"),
+        )
+    )
+
+
+CURATION_MIXTURE_WEIGHTS_SQL = """
+WITH b AS (
+  SELECT source, doc_id,
+    CAST('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM documents),
+c AS (
+  SELECT source, doc_id,
+    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END)
+    + (CASE WHEN bucket < (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 50 ELSE 40 END)
+       THEN 1 ELSE 0 END) AS n_copies
+  FROM b)
+SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+  COUNT(*) FILTER (WHERE n_copies > 0) AS n_docs,
+  CAST(MAX(n_copies) AS BIGINT) AS max_copy
+FROM c WHERE n_copies > 0
+GROUP BY 1
+"""
+
+
 def curation_contamination(spark, sf_dir):
     """Benchmark-decontamination probe: docs whose normalized-text
     fingerprint appears in the 'benchmark' subset (stand-in: every
@@ -3120,6 +3165,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "suppliers_top_by_nation": (suppliers_top_by_nation, SUPPLIERS_TOP_BY_NATION_SQL),
     "customer_segment_set_ops": (customer_segment_set_ops, CUSTOMER_SEGMENT_SET_OPS_SQL),
+    "curation_mixture_weights": (curation_mixture_weights, CURATION_MIXTURE_WEIGHTS_SQL),
     "orders_customer_share": (orders_customer_share, ORDERS_CUSTOMER_SHARE_SQL),
     "lineitem_price_deciles": (lineitem_price_deciles, LINEITEM_PRICE_DECILES_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),

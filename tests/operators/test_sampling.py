@@ -201,3 +201,29 @@ def test_shuffle_shards_is_a_deterministic_permutation(spark):
     first_shard = sorted((r.pos, r.doc_id) for r in out if r.shard == 0)
     ids_in_pos_order = [d for _, d in first_shard]
     assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_upsample_by_weights_copies_and_determinism(spark):
+    """weight 2.5: every doc twice + a deterministic ~half a third
+    time; weight 0: dropped; fractional-only weight: a subset once.
+    Same rows on every run / any partitioning."""
+    from factstore_spark.operators.sampling import upsample_by_weights
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = upsample_by_weights(
+        df, "source", {"a": 2.5, "b": 0.5, "c": 0.0}, key_col="doc_id"
+    )
+    per = {r.source: (r.n, r.docs) for r in mixed.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"),
+        __import__("pyspark.sql.functions", fromlist=["F"]).countDistinct("doc_id").alias("docs"),
+    ).collect()}
+    assert "c" not in per                     # weight 0 drops the source
+    a_n, a_docs = per["a"]
+    assert a_docs == 100 and 200 <= a_n <= 300  # 2 copies + ~half a third
+    b_n, b_docs = per["b"]
+    assert b_n == b_docs and 0 < b_docs < 100   # fractional downsample
+    again = upsample_by_weights(
+        df.repartition(7), "source", {"a": 2.5, "b": 0.5, "c": 0.0}, key_col="doc_id"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, mixed.collect()))
