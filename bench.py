@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "orders_customer_share",
     "lineitem_price_deciles",
     "nation_order_full_outer",
+    "curation_mixture_weights",
 ]
 
 
