@@ -2820,6 +2820,42 @@ FROM pn FULL OUTER JOIN nat ON nk = n_nationkey
 """
 
 
+def sql_surface_revenue(spark, sf_dir):
+    """The SQL-STRING surface of the engine: the same Catalyst plans
+    are reachable through ``spark.sql`` over registered views — this
+    entry runs a pure SQL text (join + conditional aggregation +
+    window) and must match the DuckDB oracle exactly, proving a
+    reference user could drive this engine with SQL alone."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT p_type,
+            CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rc
+          FROM sqlv_lineitem JOIN sqlv_part ON l_partkey = p_partkey
+          WHERE l_quantity >= 10)
+        SELECT p_type, COUNT(*) AS n,
+          CAST(SUM(rc) AS BIGINT) AS revenue_cents,
+          CAST(RANK() OVER (ORDER BY SUM(rc) DESC, p_type ASC) AS BIGINT) AS rev_rank
+        FROM rev GROUP BY p_type
+        """
+    )
+
+
+SQL_SURFACE_REVENUE_SQL = """
+WITH rev AS (
+  SELECT p_type,
+    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity >= 10)
+SELECT p_type, COUNT(*) AS n,
+  CAST(SUM(rc) AS BIGINT) AS revenue_cents,
+  CAST(RANK() OVER (ORDER BY SUM(rc) DESC, p_type ASC) AS BIGINT) AS rev_rank
+FROM rev GROUP BY p_type
+"""
+
+
 def customer_segment_set_ops(spark, sf_dir):
     """Set operations (INTERSECT / EXCEPT / UNION) between two customer
     key sets: the BUILDING segment vs customers with 1996 orders. Each
@@ -3166,6 +3202,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "suppliers_top_by_nation": (suppliers_top_by_nation, SUPPLIERS_TOP_BY_NATION_SQL),
     "customer_segment_set_ops": (customer_segment_set_ops, CUSTOMER_SEGMENT_SET_OPS_SQL),
     "curation_mixture_weights": (curation_mixture_weights, CURATION_MIXTURE_WEIGHTS_SQL),
+    "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_REVENUE_SQL),
     "orders_customer_share": (orders_customer_share, ORDERS_CUSTOMER_SHARE_SQL),
     "lineitem_price_deciles": (lineitem_price_deciles, LINEITEM_PRICE_DECILES_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
