@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "lineitem_price_deciles",
     "nation_order_full_outer",
     "curation_mixture_weights",
+    "sql_surface_revenue",
 ]
 
 
