@@ -1117,6 +1117,14 @@ class FactStore:
             "tag_index": self.refresh_tag_index(store_name),
         }
 
+    def maintain_all(self, target_partitions: Optional[int] = None) -> dict:
+        """Run ``maintain`` over every store — the single cron entry
+        point for a deployment. Returns {store_name: per-step stats}."""
+        return {
+            meta.name: self.maintain(meta.name, target_partitions)
+            for meta in self.list_all()
+        }
+
     # ------------------------------------------------------------------
 
     def _store_dir(self, store_id: str) -> str:

@@ -1,0 +1,54 @@
+"""Standalone plan audit: explain every REGISTRY entry and report any
+CartesianProduct / BroadcastNestedLoopJoin occurrences (the same rules
+tests/test_plan_quality.py enforces in CI, runnable on its own for a
+quick review of the whole battery's physical plans).
+
+Usage: python scripts/plan_audit.py [sf_dir] [--show NAME]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from factstore_spark.queries import REGISTRY
+from factstore_spark.session import get_spark
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    show = None
+    if "--show" in sys.argv:
+        show = sys.argv[sys.argv.index("--show") + 1]
+    spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    from tests.test_plan_quality import BNLJ_WHITELIST  # single source of truth
+
+    bad = []
+    for name, (fn, _) in REGISTRY.items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn(spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        if show == name:
+            print(plan)
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            flags.append("BNLJ(unlisted)")
+        status = ",".join(flags) if flags else "ok"
+        print(f"{name:36s} {status}")
+        if flags:
+            bad.append((name, flags))
+    print(f"\n{len(REGISTRY)} entries, {len(bad)} violations")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

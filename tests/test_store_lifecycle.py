@@ -144,3 +144,17 @@ def test_describe_store_health_card(fs):
     assert d2["tag_index_fresh"] is True
     assert d2["compacted_through"] is not None
     assert d2["n_rows"] == 4
+
+
+def test_maintain_all_covers_every_store(fs):
+    from factstore_spark import FactInput
+
+    fs.create("ma-a")
+    fs.create("ma-b")
+    fs.append("ma-a", FactInput(type="T", subject="s"))
+    fs.append("ma-b", FactInput(type="T", subject="s"))
+    stats = fs.maintain_all()
+    assert set(stats) >= {"ma-a", "ma-b"}
+    for s in ("ma-a", "ma-b"):
+        assert stats[s]["compact"].get("compacted") is True
+        assert fs.describe_store(s)["tag_index_fresh"] is True
