@@ -227,3 +227,29 @@ def test_upsample_by_weights_copies_and_determinism(spark):
         df.repartition(7), "source", {"a": 2.5, "b": 0.5, "c": 0.0}, key_col="doc_id"
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, mixed.collect()))
+
+
+def test_upsample_by_weights_exact_against_python_md5(spark):
+    """The md5 bucket contract is auditable OUTSIDE Spark: recompute
+    every doc's copy count in pure Python (hashlib) and require exact
+    agreement — not just aggregate ranges."""
+    import hashlib
+
+    from factstore_spark.operators.sampling import upsample_by_weights
+
+    weights = {"a": 2.5, "b": 0.5, "c": 0.0}
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def expected_copies(doc_id, source):
+        w = weights.get(source, 1.0)
+        bucket = int(hashlib.md5(f"mix{doc_id}".encode()).hexdigest()[:8], 16) % 100
+        return int(w) + (1 if bucket < round((w % 1.0) * 100) else 0)
+
+    want = {
+        (i, s): expected_copies(i, s) for i, s in rows if expected_copies(i, s) > 0
+    }
+    got = {}
+    for r in upsample_by_weights(df, "source", weights, key_col="doc_id").collect():
+        got[(r.doc_id, r.source)] = max(got.get((r.doc_id, r.source), 0), r.copy)
+    assert got == want
