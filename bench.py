@@ -19,8 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from factstore_spark.queries import REGISTRY  # noqa: E402
 from factstore_spark.session import get_spark  # noqa: E402
 
-# Headline set: every operator family, heaviest variants included.
-BENCH_QUERIES = [
+# The whole registry is benched — every queries() entry gets a timing, so
+# a perf regression anywhere in the battery is visible round-over-round.
+# _HEADLINE keeps the historical ordering stable for cross-round diffs;
+# anything added to REGISTRY later is appended automatically below.
+_HEADLINE = [
     "fs_find_by_tag_query",
     "fs_replay_bounded",
     "q1_pricing_summary",
@@ -96,6 +99,8 @@ BENCH_QUERIES = [
     "curation_mixture_weights",
     "sql_surface_revenue",
 ]
+
+BENCH_QUERIES = _HEADLINE + [k for k in REGISTRY if k not in set(_HEADLINE)]
 
 
 def main() -> None:

@@ -19,6 +19,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hll_cells(
@@ -93,15 +94,23 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         mg, "item string, cnt long, decr long"
     )
-    cand = (
-        summaries.filter(F.col("item").isNotNull())
-        .groupBy("item")
-        .agg(F.sum("cnt").alias("est_cnt"))
+    # ONE aggregation serves both the candidate sums and the error
+    # bound (the null-item rows carry each partition's decrement), so
+    # the mapInPandas pass scans the input exactly once. The bound is
+    # then spread over the aggregated set with an unpartitioned window
+    # — safe here because that set is bounded at O(partitions x k)
+    # rows by the sketch itself, never O(distinct keys).
+    agg = summaries.groupBy("item").agg(
+        F.sum("cnt").alias("est_cnt"), F.sum("decr").alias("decr")
     )
-    bound = summaries.agg(F.sum("decr").alias("err_bound"))
-    return cand.join(F.broadcast(bound)).select(
-        "item", F.col("est_cnt").cast("long").alias("est_cnt"),
-        F.col("err_bound").cast("long").alias("err_bound"),
+    return (
+        agg.withColumn("err_bound", F.sum("decr").over(Window.partitionBy()))
+        .filter(F.col("item").isNotNull())
+        .select(
+            "item",
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            F.col("err_bound").cast("long").alias("err_bound"),
+        )
     )
 
 

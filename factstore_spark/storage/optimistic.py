@@ -172,6 +172,7 @@ class OptimisticStoreLayout(StoreLayout):
 
     LEASE_SLOT = "maintenance.lease"
     LEASE_TTL = 600.0  # seconds; see docstring for the safety argument
+    RECLAIM_TTL = 30.0  # age-out for a crashed reclaimer's token
 
     def commit_lock(self):
         """Maintenance critical section WITHOUT filesystem locking: a
@@ -195,27 +196,68 @@ class OptimisticStoreLayout(StoreLayout):
 
         @contextmanager
         def lease():
+            import hashlib
             import time
 
             me = uuid.uuid4().hex
             while True:
                 if self.slots.put_if_absent(self.LEASE_SLOT, me.encode()):
                     break
+                holder = self.slots.read(self.LEASE_SLOT)
                 mt = self.slots.mtime(self.LEASE_SLOT)
-                if mt is not None and time.time() - mt > self.LEASE_TTL:
-                    # expired holder: clear and re-race (CAS picks ONE
-                    # winner among concurrent reclaimers)
-                    self.slots.delete(self.LEASE_SLOT)
+                if (
+                    holder is not None
+                    and mt is not None
+                    and time.time() - mt > self.LEASE_TTL
+                ):
+                    # Expired holder. A bare delete-then-put would race:
+                    # reclaimer A deletes and acquires, then reclaimer
+                    # B's pending delete removes A's FRESH lease and B
+                    # acquires too — two holders. So the delete is
+                    # gated on a per-generation reclaim token (CAS on
+                    # the expired holder's identity): only the token
+                    # winner may delete, and it re-reads the generation
+                    # immediately before deleting so a stale delete
+                    # misses. Exclusion remains best-effort (SAFETY is
+                    # the maintenance CAS swaps themselves, per the
+                    # docstring) — this closes the known two-holder
+                    # window among concurrent reclaimers.
+                    gen = hashlib.sha256(holder).hexdigest()[:16]
+                    token = f"{self.LEASE_SLOT}.reclaim-{gen}"
+                    if self.slots.put_if_absent(token, me.encode()):
+                        try:
+                            if self.slots.read(self.LEASE_SLOT) == holder:
+                                self.slots.delete(self.LEASE_SLOT)
+                        finally:
+                            self.slots.delete(token)
+                    else:
+                        # A reclaimer that crashed between token and
+                        # delete would wedge this generation forever;
+                        # age the token out.
+                        tmt = self.slots.mtime(token)
+                        if tmt is not None and time.time() - tmt > self.RECLAIM_TTL:
+                            self.slots.delete(token)
                     continue
                 time.sleep(0.05)
+            acquired_at = time.time()
             try:
                 self._sweep_orphans()
                 self.sync_stream_links()
                 yield
             finally:
-                # release only OUR lease: if we were preempted after
-                # expiry, the new holder's slot must survive
-                if self.slots.read(self.LEASE_SLOT) == me.encode():
+                # Release: an UNEXPIRED lease cannot have been taken
+                # over (reclaim deletes are gated on TTL expiry + a
+                # generation check), so while we're inside the TTL the
+                # slot is provably still ours — delete unconditionally.
+                # This also fixes the read-lag hang: under injected
+                # read_lag a fresh slot isn't read-visible yet, so the
+                # read-back verification below would see None and leak
+                # the lease (next caller spins until LEASE_TTL). Only
+                # a holder that overran the TTL (and may have been
+                # preempted) must verify ownership before deleting.
+                if time.time() - acquired_at < self.LEASE_TTL * 0.9:
+                    self.slots.delete(self.LEASE_SLOT)
+                elif self.slots.read(self.LEASE_SLOT) == me.encode():
                     self.slots.delete(self.LEASE_SLOT)
 
         return lease()

@@ -1080,6 +1080,22 @@ class FactStore:
             (c.compacted_through for c in commits if c.compacted_through is not None),
             default=None,
         )
+        # Row count: between a compact and its checkpoint the log holds
+        # BOTH the superseded append records and the compaction record
+        # whose ``rows`` already equals their total, so a plain
+        # sum(c.rows) double-counts. Count the latest compaction
+        # record's total plus only the appends past its fold horizon.
+        if compacted_through is None:
+            n_rows = sum(c.rows for c in commits)
+        else:
+            comp_rows = max(
+                c.rows for c in commits if c.compacted_through == compacted_through
+            )
+            n_rows = comp_rows + sum(
+                c.rows
+                for c in commits
+                if c.compacted_through is None and c.seq > compacted_through
+            )
         from .storage.tag_index import TagIndex
 
         return {
@@ -1087,7 +1103,7 @@ class FactStore:
             "store_id": meta.id,
             "n_commits": len(commits),
             "head_position": layout.head_position(),
-            "n_rows": sum(c.rows for c in commits),
+            "n_rows": n_rows,
             "n_data_files": len(files),
             "data_bytes": n_bytes,
             "compacted_through": compacted_through,

@@ -60,6 +60,31 @@ def test_read_lag_hides_fresh_objects():
         srv.stop()
 
 
+def test_lease_release_under_read_lag(tmp_path):
+    """A maintenance-lease holder that finishes INSIDE the read-lag
+    window must still release: an unexpired lease cannot have been
+    taken over (reclaim deletes are gated on TTL expiry), so release
+    is unconditional. Previously release read the slot back to verify
+    ownership — under read lag a fresh slot reads as None, the lease
+    leaked, and the next commit_lock() spun until LEASE_TTL (600 s)."""
+    from factstore_spark.storage.optimistic import OptimisticStoreLayout
+
+    srv = ObjectStoreServer()
+    spec = srv.start(read_lag=5.0)
+    try:
+        slot_spec = spec.split("optimistic+", 1)[-1]
+        layout = OptimisticStoreLayout(str(tmp_path / "store"), slot_spec=slot_spec)
+        layout.initialize()
+        t0 = time.time()
+        with layout.commit_lock():
+            pass
+        with layout.commit_lock():  # must not spin toward LEASE_TTL
+            pass
+        assert time.time() - t0 < 5.0
+    finally:
+        srv.stop()
+
+
 def test_conditional_put_stays_linearizable_under_lag(lagged_spec):
     c = _client(lagged_spec)
     assert c.put_if_absent("slot", b"w1")

@@ -237,6 +237,54 @@ def test_maintenance_lease_serializes_and_reclaims_expired(tmp_path):
     assert time.time() - t0 < 5  # reclaimed promptly, no TTL-long wait
 
 
+def test_reclaim_storm_single_winner(tmp_path):
+    """Concurrent reclaimers of ONE expired lease must never produce
+    two simultaneous holders. The bare delete-then-put reclaim had a
+    race (reclaimer A deletes + acquires, reclaimer B's pending delete
+    removes A's FRESH lease and B acquires too); the delete is now
+    gated on a per-generation reclaim token, so a stale delete misses.
+    A barrier-synced storm maximizes the old race window."""
+    import os
+    import threading
+    import time
+
+    from factstore_spark.storage.optimistic import OptimisticStoreLayout
+
+    layout = OptimisticStoreLayout(str(tmp_path / "store"))
+    layout.initialize()
+    assert layout.slots.put_if_absent(layout.LEASE_SLOT, b"dead-holder")
+    lease_path = os.path.join(layout.log_dir, layout.LEASE_SLOT)
+    old = time.time() - layout.LEASE_TTL - 10
+    os.utime(lease_path, (old, old))
+
+    n = 8
+    barrier = threading.Barrier(n)
+    active, overlaps = [], []
+    lock = threading.Lock()
+
+    def worker():
+        barrier.wait()
+        with layout.commit_lock():
+            with lock:
+                if active:
+                    overlaps.append(tuple(active))
+                active.append(threading.get_ident())
+            time.sleep(0.05)
+            with lock:
+                active.remove(threading.get_ident())
+
+    threads = [threading.Thread(target=worker) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert overlaps == []
+    # everyone released; neither the lease nor any reclaim token leaks
+    assert layout.slots.read(layout.LEASE_SLOT) is None
+    leftover = [s for s in os.listdir(layout.log_dir) if "lease" in s]
+    assert leftover == []
+
+
 def test_maintain_end_to_end_on_object_store_backend(spark, tmp_path):
     """Full maintenance cycle (compact + checkpoint + tag-index
     refresh) through the conditional-PUT substrate: no flock involved

@@ -139,11 +139,23 @@ def test_describe_store_health_card(fs):
     assert d["commits_since_checkpoint"] == 2
     assert d["tag_index_fresh"] is False  # never built yet
 
+    # compact WITHOUT checkpoint: the log now holds both the original
+    # append records and the compaction summary — n_rows must not
+    # double-count (ADVICE r4: describe_store reported ~2x here).
+    fs.compact("desc-store")
+    d_mid = fs.describe_store("desc-store")
+    assert d_mid["n_rows"] == 4
+    assert d_mid["compacted_through"] is not None
+
+    # a post-compact append lands on top of the compacted total
+    fs.append("desc-store", FactInput(type="C", subject="s3"))
+    assert fs.describe_store("desc-store")["n_rows"] == 5
+
     fs.maintain("desc-store")
     d2 = fs.describe_store("desc-store")
     assert d2["tag_index_fresh"] is True
     assert d2["compacted_through"] is not None
-    assert d2["n_rows"] == 4
+    assert d2["n_rows"] == 5
 
 
 def test_maintain_all_covers_every_store(fs):
