@@ -318,7 +318,14 @@ def train_pq_codebooks(
     of a vector is then m bytes instead of dim floats — the
     memory-compression leg of FAISS-style IVF-PQ, which is what makes
     billion-vector ANN fit a cluster's RAM. Returns a nested list
-    (m, k, dim//m)."""
+    (m, k, dim//m).
+
+    SAMPLE BOUND: codebooks reflect only ``sample_size`` rows. On a
+    corpus whose mode count approaches or exceeds the sample size the
+    sample provably misses modes and ADC recall degrades — use
+    ``train_pq_codebooks_distributed`` (full-corpus, one
+    combiner-backed shuffle per iteration) when distribution drift
+    from any bounded sample is a concern."""
     rows = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
         .orderBy(F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.lit(1 << 31)))
@@ -346,6 +353,86 @@ def train_pq_codebooks(
                 if mask.any():
                     C[c] = S[mask].mean(axis=0)
         books.append(C.copy())
+    return [b.tolist() for b in books]
+
+
+def train_pq_codebooks_distributed(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list:
+    """Product-quantization codebooks trained on the FULL corpus — the
+    scale path next to ``train_pq_codebooks``'s bounded driver sample.
+    Same contract (nested (m, k, dim//m) list), different execution:
+    each Lloyd's iteration is ONE distributed pass handling all m
+    subspaces at once —
+
+    1. broadcast the current codebooks (m*k*(dim/m) floats — tiny)
+       and assign every vector's m sub-codes with the vectorized
+       ``pq_encode_col`` (map-only, Arrow-batched);
+    2. partial-sum the per-(subspace, code, dim) coordinate sums with
+       one groupBy — posexplode fans each vector into dim rows, but
+       map-side combine collapses them to O(partitions * k * dim)
+       shuffle rows before the exchange (the k-means|| partial-sum
+       shape, and exactly the scale note on ``train_centroids``);
+    3. collect the O(k * dim) aggregated sums and form the new means
+       driver-side (codebooks are tiny by design).
+
+    Cost per iteration: one codegen scan + one combiner-backed shuffle;
+    no vector ever travels to the driver. Prefer this when the corpus
+    distribution drifts from any bounded sample (the sampled trainer
+    documents its ``sample_size`` bound; at 100 TB a 2048-row sample
+    can miss whole modes)."""
+    head = corpus.select(vec_col).first()
+    if head is None:
+        return []
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # deterministic seeded init: k vectors in xxhash order, sliced per subspace
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(
+            F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.lit(1 << 31))
+        )
+        .limit(k)
+        .collect()
+    )
+    X0 = np.asarray([[float(x) for x in r.v] for r in rows], dtype=np.float64)
+    kk = X0.shape[0]
+    books = [X0[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+
+    for _ in range(iterations):
+        enc = corpus.select(
+            F.col(vec_col).alias("v"),
+            pq_encode_col(F.col(vec_col), [b.tolist() for b in books]).alias("code"),
+        )
+        expl = enc.select(
+            F.col("code"), F.posexplode(F.col("v")).alias("pos", "x")
+        ).select(
+            F.floor(F.col("pos") / dsub).cast("int").alias("j"),
+            F.col("pos").alias("pos"),
+            F.element_at(
+                F.col("code"), (F.floor(F.col("pos") / dsub) + 1).cast("int")
+            ).alias("c"),
+            F.col("x").cast("double").alias("x"),
+        )
+        agg = (
+            expl.groupBy("j", "c", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_books = [b.copy() for b in books]
+        for r in agg:
+            if r.c is not None and r.c < kk:
+                new_books[r.j][r.c, r.pos - r.j * dsub] = r.s / r.n
+        books = new_books
     return [b.tolist() for b in books]
 
 
@@ -684,7 +771,137 @@ def build_ivf_index(
     with open(os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8") as fh:
         json.dump(cents, fh)
     n = assigned.count()
+    _write_ivf_manifest(index_dir, {"n_vectors": n, "n_cells": len(cents)})
     return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
+
+
+def _write_ivf_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest swap (tmp + rename), same discipline as the
+    rollup/tag-index manifests: readers never observe a torn state."""
+    import json
+    import os
+    import uuid as _uuid
+
+    path = os.path.join(index_dir, "manifest.json")
+    tmp = path + f".{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)
+
+
+def _read_ivf_manifest(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def refresh_ivf_index(
+    spark,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    delta_only: bool = False,
+) -> dict:
+    """Incrementally fold NEW corpus rows into a ``build_ivf_index``
+    index — the append path that keeps the index usable without the
+    full-rebuild fallback (re-training + re-assigning the whole
+    corpus). Mirrors the derived tag index's refresh contract
+    (storage/tag_index.py): detect the un-indexed delta, process ONLY
+    it, publish atomically.
+
+    Like FAISS ``add()``, a refresh never re-trains: new vectors are
+    assigned to the EXISTING centroids with the same map-only argmax
+    the build uses, then appended into the cell partitions
+    (``partitionBy("cell")`` append — touched cells gain one file
+    each, untouched cells' files are never rewritten). Cost is
+    O(delta), not O(corpus): the only look at existing index data is
+    an ids-only column-pruned scan for delta detection, and even that
+    disappears when the caller passes the delta directly
+    (``delta_only=True``).
+
+    Centroid drift: after heavy appends the un-retrained centroids
+    recall less; ``describe_ivf_index`` exposes ``n_appended`` vs
+    ``n_trained`` so a maintenance scheduler can decide when a full
+    rebuild is worth paying — the same WHEN-to-run contract as
+    ``describe_store``."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
+        centroids = json.load(fh)
+    n_cells = len(centroids)
+    if delta_only:
+        delta = corpus
+    else:
+        indexed_ids = spark.read.parquet(
+            os.path.join(index_dir, "assignments")
+        ).select(F.col("neighbor_id").alias(id_col))
+        delta = corpus.join(indexed_ids, on=id_col, how="left_anti")
+
+    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scores = F.transform(
+        cents_arr,
+        lambda cv: F.aggregate(
+            F.zip_with(F.col(vec_col), cv, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    idx = F.zip_with(
+        scores,
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+    )
+    assigned = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(F.array_sort(idx), 1)["cell"].alias("cell"),
+    )
+    n_new = assigned.count()
+    if n_new:
+        assigned.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(index_dir, "assignments"))
+    manifest = _read_ivf_manifest(index_dir)
+    manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
+    manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
+    _write_ivf_manifest(index_dir, manifest)
+    return {"n_new": n_new, "n_vectors": manifest["n_vectors"], "index_dir": index_dir}
+
+
+def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,
+                       id_col: str = "vec_id") -> dict:
+    """Health card for a persisted IVF index — what a maintenance
+    scheduler reads to decide between ``refresh_ivf_index`` (cheap,
+    O(delta)) and a full ``build_ivf_index`` (re-train, O(corpus)).
+    With ``corpus`` given, ``fresh`` is EXACT: an ids-only anti-join
+    counts corpus rows the index has not assigned (the tag index's
+    is_fresh analog, paid as one column-pruned scan)."""
+    manifest = _read_ivf_manifest(index_dir)
+    out = {
+        "index_dir": index_dir,
+        "n_vectors": int(manifest.get("n_vectors", 0)),
+        "n_cells": int(manifest.get("n_cells", 0)),
+        "n_appended": int(manifest.get("n_appended", 0)),
+        "n_trained": int(manifest.get("n_vectors", 0))
+        - int(manifest.get("n_appended", 0)),
+    }
+    if corpus is not None:
+        import os
+
+        indexed_ids = spark.read.parquet(
+            os.path.join(index_dir, "assignments")
+        ).select(F.col("neighbor_id").alias(id_col))
+        missing = corpus.join(indexed_ids, on=id_col, how="left_anti").count()
+        out["missing_vectors"] = missing
+        out["fresh"] = missing == 0
+    return out
 
 
 def ivf_topk_indexed(

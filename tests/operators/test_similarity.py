@@ -274,3 +274,97 @@ def test_persisted_ivf_prunes_unprobed_cells(spark, tmp_path):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "PartitionFilters" in plan
+
+
+def test_ivf_refresh_appends_without_rebuild(spark, tmp_path):
+    """refresh_ivf_index is the FAISS-add() path: new rows are assigned
+    with the EXISTING centroids and appended into the cell partitions.
+    Query-after-append must equal inline ivf_topk over the FULL corpus
+    with those centroids; pre-existing index files survive untouched
+    (append, never rewrite); the freshness probe flips stale -> fresh;
+    a second refresh is a no-op."""
+    import glob
+    import json
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter("vec_id % 10 != 0")
+    new = emb.filter("vec_id % 10 = 0")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(old, idx, n_cells=8, train_iterations=2)
+
+    d = S.describe_ivf_index(spark, idx, corpus=emb)
+    assert d["fresh"] is False
+    assert d["missing_vectors"] == new.count()
+
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(idx, "assignments", "cell=*", "part-*"))
+    }
+    stats = S.refresh_ivf_index(spark, emb, idx)  # detects the delta itself
+    assert stats["n_new"] == new.count()
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(idx, "assignments", "cell=*", "part-*"))
+    }
+    for p, mt in before.items():  # O(delta): old files never rewritten
+        assert after[p] == mt
+
+    d2 = S.describe_ivf_index(spark, idx, corpus=emb)
+    assert d2["fresh"] is True
+    assert d2["n_appended"] == new.count()
+    assert d2["n_vectors"] == emb.count()
+
+    with open(os.path.join(idx, "centroids.json")) as fh:
+        cents = json.load(fh)
+    queries = emb.limit(6)
+    inline = S.ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents)
+    indexed = S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=3)
+    a = sorted((r.query_id, r.rank, r.neighbor_id) for r in inline.collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id) for r in indexed.collect())
+    assert a == b
+
+    assert S.refresh_ivf_index(spark, emb, idx)["n_new"] == 0
+
+
+def test_pq_distributed_training_full_corpus(spark):
+    """train_pq_codebooks_distributed trains on the FULL corpus (one
+    combiner-backed shuffle per iteration; no vector ever reaches the
+    driver) and returns the same nested (m, k, dsub) contract. On
+    multi-mode data it must match-or-beat a mode-starved driver
+    sample, and its codebooks plug into pq_topk unchanged."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for c in range(16):  # 16 separated modes — more than a tiny sample can see
+        center = [rnd.gauss(0, 6) for _ in range(16)]
+        for i in range(20):
+            rows.append((c * 20 + i, [x + rnd.gauss(0, 0.3) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 20 = 0")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(df, q, k=5).collect()
+    }
+
+    dist_books = S.train_pq_codebooks_distributed(df, m=4, k=16, iterations=4)
+    assert len(dist_books) == 4
+    assert all(len(b) == 16 and len(b[0]) == 4 for b in dist_books)
+    # sample_size=8 over 16 modes: the bounded driver sample CANNOT see
+    # half the corpus's modes — the exact failure the full-corpus
+    # trainer exists for (the sampled trainer documents this bound).
+    samp_books = S.train_pq_codebooks(df, m=4, k=16, sample_size=8)
+
+    def recall(books):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.pq_topk(
+                df, q, k=5, m=4, n_cells=4, n_probe=4, codebooks=books, refine=4
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_dist, r_samp = recall(dist_books), recall(samp_books)
+    assert r_dist >= r_samp  # full-corpus training never worse than a starved sample
+    assert r_dist >= 0.9  # deterministic seeds: observed 0.9375 vs 0.8125
