@@ -105,3 +105,108 @@ def test_append_then_read_consistent_under_list_lag(spark, store_root, lagged_sp
         assert isinstance(res, Appended)
     got = fs.find_by_subject("lag-store", "s")
     assert [f.type for f in got.facts] == [f"T{i}" for i in range(6)]
+
+
+def test_dcb_condition_sees_fresh_commit_under_list_lag(spark, store_root, lagged_spec):
+    """TagQueryBased (DCB) must fail-fast against a commit the lagged
+    LISTING still hides: the condition path reads commit records
+    through the same probing reader as the finders, so a fresh commit
+    carrying the fail-if tags refuses the append even inside the lag
+    window (a listing-only reader would wrongly admit it)."""
+    from factstore_spark.model import TagOnlyQueryItem, TagQuery, TagQueryBased
+    from factstore_spark.results import AppendConditionViolated
+
+    fs = FactStore(spark, store_root, commit_backend=lagged_spec)
+    fs.create("dcb-lag")
+    res = fs.append(
+        "dcb-lag", FactInput(type="CREATED", subject="U:1", tags={"user": "u1"})
+    )
+    assert isinstance(res, Appended)
+    # immediately — the commit above is still absent from list_prefix
+    cond = TagQueryBased(TagQuery([TagOnlyQueryItem({"user": "u1"})]))
+    dup = fs.append(
+        "dcb-lag", FactInput(type="CREATED", subject="U:1b", tags={"user": "u1"}),
+        condition=cond,
+    )
+    assert isinstance(dup, AppendConditionViolated)
+    # a condition on untouched tags still passes under the same lag
+    ok = fs.append(
+        "dcb-lag", FactInput(type="CREATED", subject="U:2", tags={"user": "u2"}),
+        condition=TagQueryBased(TagQuery([TagOnlyQueryItem({"user": "u2"})])),
+    )
+    assert isinstance(ok, Appended)
+
+
+def test_dcb_race_exactly_one_winner_under_list_lag(spark, store_root, lagged_spec):
+    """THE DCB race (AbstractFactStoreTest.kt:385-420 shape) on the
+    eventually-consistent substrate: 8 threads race the SAME
+    fail-if-match condition while every fresh commit is hidden from
+    listings for 400 ms. The optimistic claim CAS stays linearizable
+    and losers re-validate against the probing reader, so exactly one
+    append wins — lagged listings must never admit two."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from factstore_spark.model import TagOnlyQueryItem, TagQuery, TagQueryBased
+    from factstore_spark.results import AppendConditionViolated
+
+    fs = FactStore(spark, store_root, commit_backend=lagged_spec)
+    fs.create("dcb-race-lag")
+    cond = TagQueryBased(TagQuery([TagOnlyQueryItem({"slot": "s1"})]))
+
+    def racer(i):
+        return fs.append(
+            "dcb-race-lag",
+            FactInput(type=f"CLAIM_{i}", subject=f"W:{i}", tags={"slot": "s1"}),
+            condition=cond,
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(racer, range(8)))
+    wins = [r for r in results if isinstance(r, Appended)]
+    losses = [r for r in results if isinstance(r, AppendConditionViolated)]
+    assert len(wins) == 1 and len(losses) == 7
+    # the surviving history holds exactly the winner's fact
+    time.sleep(0.5)  # age past the listing lag before the read-side check
+    got = fs.find_by_tag_query(
+        "dcb-race-lag", TagQuery([TagOnlyQueryItem({"slot": "s1"})])
+    )
+    assert len(got.facts) == 1
+
+
+def test_dcb_index_served_path_under_list_lag(spark, store_root, lagged_spec):
+    """The index-served DCB fast path under lag: right after maintain()
+    the tag index is fresh, but the compaction/checkpoint commit
+    records it is gated on are themselves still inside the listing-lag
+    window. built_through()/last_commit() must agree through the
+    probing reader — the condition keeps refusing matching tags and
+    admitting clean ones; and after ONE more lagged append the now
+    stale index must fall through to the fingerprint-skip scan path,
+    still correctly."""
+    from factstore_spark.model import TagOnlyQueryItem, TagQuery, TagQueryBased
+    from factstore_spark.results import AppendConditionViolated
+
+    fs = FactStore(spark, store_root, commit_backend=lagged_spec)
+    fs.create("dcb-idx-lag")
+    fs.append(
+        "dcb-idx-lag", FactInput(type="T", subject="s1", tags={"k": "v1"})
+    )
+    st = fs.maintain("dcb-idx-lag")
+    assert st["compact"].get("compacted") is True
+    # inside the lag window after maintenance: index-served refusal + admit
+    hit = fs.append(
+        "dcb-idx-lag", FactInput(type="T", subject="s2", tags={"k": "v1"}),
+        condition=TagQueryBased(TagQuery([TagOnlyQueryItem({"k": "v1"})])),
+    )
+    assert isinstance(hit, AppendConditionViolated)
+    ok = fs.append(
+        "dcb-idx-lag", FactInput(type="T", subject="s3", tags={"k": "v2"}),
+        condition=TagQueryBased(TagQuery([TagOnlyQueryItem({"k": "v2"})])),
+    )
+    assert isinstance(ok, Appended)
+    # the ok-append made the index stale; a condition on ITS tag must be
+    # served by the scan fallback against the still-lag-hidden commit
+    hit2 = fs.append(
+        "dcb-idx-lag", FactInput(type="T", subject="s4", tags={"k": "v2"}),
+        condition=TagQueryBased(TagQuery([TagOnlyQueryItem({"k": "v2"})])),
+    )
+    assert isinstance(hit2, AppendConditionViolated)

@@ -230,3 +230,53 @@ def test_subscribe_stream_sees_bulk_ingested_facts(fs, spark, tmp_path, sf_dir):
     q.awaitTermination(60)
     n = spark.sql("select count(*) c from bulk_sub").collect()[0].c
     assert n == 51
+
+
+def test_subscribe_stream_resumes_from_checkpoint_across_compaction(
+    fs, spark, tmp_path
+):
+    """Checkpoint-resumable consumption (the FactReplayer.kt:8-16
+    contract carried onto Structured Streaming): stop a subscription,
+    run full maintenance — compaction rewrites every file under data/
+    — append more facts, then restart from the SAME checkpoint. The
+    resumed query must deliver exactly the facts the first run never
+    saw: no loss, and no redelivery of the pre-stop prefix even though
+    compaction replaced all the files the first run read (the stream/
+    hardlink mirror keeps the source's file set stable; a stream over
+    data/ would see the compacted rewrite as all-new files and
+    duplicate everything)."""
+    fs.create("resume-store")
+    for i in range(5):
+        fs.append("resume-store", fi(f"PRE{i}"))
+    ckpt = str(tmp_path / "ckpt-resume")
+    sink = str(tmp_path / "sink-resume")  # parquet sink: checkpoint-recoverable
+
+    def drain():
+        stream = fs.subscribe_stream("resume-store", StartPosition.Beginning())
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return [
+            r.type
+            for r in spark.read.parquet(sink).orderBy("position").collect()
+        ]
+
+    assert drain() == [f"PRE{i}" for i in range(5)]
+
+    # subscription is down: full maintenance (compact + log checkpoint +
+    # index refresh) rewrites data/, then the store keeps moving
+    stats = fs.maintain("resume-store")
+    assert stats["compact"].get("compacted") is True
+    for i in range(3):
+        fs.append("resume-store", fi(f"POST{i}"))
+
+    # resume from the SAME checkpoint: the sink ends with exactly the
+    # union — no loss, no dups, no compaction-induced replay of PRE*
+    assert drain() == [f"PRE{i}" for i in range(5)] + [
+        f"POST{i}" for i in range(3)
+    ]
