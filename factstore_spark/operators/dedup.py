@@ -41,7 +41,14 @@ def _spread(df: DataFrame) -> DataFrame:
     this is a no-op (the condition is false — no extra shuffle of the
     text payload ever happens on the real path)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        # JVM-side RDD: reads the plan's partition count without
+        # building the Python-RDD deserializer pipeline that df.rdd
+        # constructs just to answer getNumPartitions().
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - non-classic sessions
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -68,6 +68,34 @@ def amplify_embeddings(emb, k: int):
     )
 
 
+def amplify_events(ev, k: int):
+    """K replicas per event, same user (per-user volume grows Kx — the
+    skew axis as-of cares about), timestamps shifted by rep
+    microseconds so replicas stay distinct instants."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type", reps)
+        .select(
+            (F.col("event_id") * k + F.col("rep")).alias("event_id"),
+            # ts may arrive as TIMESTAMP_NTZ; cast via session-UTC for
+            # a deterministic epoch (probe-only — queries.py uses
+            # convert_timezone for the oracle-exact path)
+            (F.unix_micros(F.col("ts").cast("timestamp")) + F.col("rep")).alias(
+                "ts_us"
+            ),
+            "user_id",
+            "event_type",
+        )
+    )
+
+
+def amplify_lineitem(li, k: int):
+    reps = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", reps
+    )
+
+
 def timed(name: str, fn):
     t0 = time.time()
     n = fn()
@@ -98,10 +126,16 @@ def main():
         "ngram_jaccard_capped",
         lambda: D.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2, max_shingle_df=20 * k).count(),
     )
+    # n_cells follows the operator's own scale policy (docstring:
+    # "grow n_cells ~ sqrt(n) for O(n^1.5) total work") — pinning the
+    # 1x cell count at Kx leaves cells Kx overfull and the candidate
+    # self-join quadratic (measured: 32 cells at 10x = 34-69 s vs
+    # ~6 s with sqrt-scaled cells, at ~5% fewer verified pairs).
+    ivf_cells = max(32, int(32 * k**0.5))
     timed(
         "embedding_ivf_dedup",
         lambda: S.cosine_dup_pairs(
-            emb, threshold=0.45, method="ivf", n_cells=32, n_probe=2
+            emb, threshold=0.45, method="ivf", n_cells=ivf_cells, n_probe=2
         ).count(),
     )
     timed(
@@ -112,6 +146,62 @@ def main():
     )
     timed("text_quality", lambda: T.with_quality_score(docs).count())
     timed("top_ngrams", lambda: T.top_ngrams(docs, n=2, k=20).count())
+
+    # Temporal + ranking heavy hitters at the sf1-ish row counts
+    # (K=10 -> 1M events / 6M lineitem rows).
+    from factstore_spark.operators import ranking as R
+    from factstore_spark.operators import temporal as TP
+
+    ev = (
+        amplify_events(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")), k
+        )
+        .repartition(32)
+        .cache()
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    print(json.dumps({"op": "events_corpus", "rows": ev.count()}))
+    timed(
+        "asof_join",
+        lambda: TP.asof_join(
+            purchases, clicks, on="user_id", left_time="ts_us",
+            right_time="ts_us", value_cols=[],
+        ).count(),
+    )
+    timed(
+        "asof_join_bucketed_1h",
+        lambda: TP.asof_join(
+            purchases, clicks, on="user_id", left_time="ts_us",
+            right_time="ts_us", value_cols=[], bucket=3_600_000_000,
+        ).count(),
+    )
+
+    li = (
+        amplify_lineitem(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")), k
+        )
+        .repartition(32)
+        .cache()
+    )
+    print(json.dumps({"op": "lineitem_corpus", "rows": li.count()}))
+    timed(
+        "lineitem_global_deciles",
+        lambda: R.with_global_rank(
+            li,
+            [
+                F.col("l_extendedprice"),
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("rep"),
+            ],
+        )
+        .groupBy(F.ceil(F.col("rank") * 10 / li.count()).alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("l_extendedprice").alias("avg_price"))
+        .count(),
+    )
     spark.stop()
 
 

@@ -320,6 +320,7 @@ BNLJ_WHITELIST = {
     "retrieval_hybrid_rrf",     # 1-row corpus-stats broadcast
     "text_heavy_tokens",        # 1-row error-bound broadcast
     "q22_idle_customers",       # 1-row positive-balance stats broadcast
+    "q11_important_parts",      # 1-row global-total broadcast (fraction HAVING)
     "customer_segment_set_ops", # three 1-row count joins
 }
 
