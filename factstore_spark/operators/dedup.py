@@ -565,3 +565,99 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): restrict the pairwise cosine search to rows in
+    the same cluster (the clusterer's assignment arrives in
+    ``cluster_col`` — a k-means cell id from ``assign_cells`` or any
+    upstream label), then emit (id_a, id_b) pairs with
+    cos(a, b) >= tau_num/tau_den and id_a < id_b.
+
+    Quantized-integer decision: embeddings are quantized to
+    round(x * scale) longs (the int8/PQ production trick), so dot and
+    norms are exact integer sums and the threshold test
+    ``dot^2 * tau_den^2 >= tau_num^2 * |a|^2 |b|^2`` (with dot >= 0)
+    uses only integer multiplies — bit-reproducible in any engine, no
+    FP summation-order hazard. Overflow bound: |round(x*scale)| <=
+    ~2900 at dim 64 keeps every term under 2^63.
+
+    Shape at 100 TB: the self-join shuffles on the cluster id only —
+    candidate volume is sum over clusters of C(n_c, 2), the SemDeDup
+    contract (clusters are sized ~corpus/k). Vectors travel once into
+    the join; the all-pairs explosion never happens across clusters.
+    Skewed/oversized clusters should be split upstream by the
+    clusterer (probe split in assign_cells), exactly as the paper
+    shards its largest cluster."""
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        q.alias("q"),
+    )
+    sq_norm = F.aggregate(
+        F.transform(F.col("q"), lambda v: v * v), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    base = base.withColumn("sq", sq_norm)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("cluster"), F.col("q").alias("qa"),
+        F.col("sq").alias("sqa"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("cluster"), F.col("q").alias("qb"),
+        F.col("sq").alias("sqb"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = pairs.withColumn("dot", dot)
+    cond = (F.col("dot") >= 0) & (
+        F.col("dot") * F.col("dot") * F.lit(tau_den * tau_den)
+        >= F.lit(tau_num * tau_num) * F.col("sqa") * F.col("sqb")
+    )
+    return pairs.filter(cond).select("cluster", "id_a", "id_b", "dot")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup keep/drop decision: a row is dropped when a LOWER-id
+    row in its cluster sits within the cosine threshold (the paper
+    keeps one representative per semantic duplicate set; lowest id is
+    the deterministic choice). Returns (id, cluster, is_dup, dup_of) —
+    ``dup_of`` is the smallest lower-id neighbor for audit.
+
+    One aggregation over the pair stream (min per id_b) + one left
+    join back to the corpus: ids-only traffic after the pair stage."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, cluster_col, tau_num, tau_den, scale
+    )
+    dup_of = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster"))
+    return (
+        base.join(dup_of, "id", "left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .select("id", "cluster", "is_dup", "dup_of")
+    )

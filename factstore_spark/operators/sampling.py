@@ -352,3 +352,39 @@ def top_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample of k rows without replacement:
+    each row draws a reproducible uniform u from md5(salt || key) and
+    gets priority u / weight; the k smallest priorities win (heavier
+    rows draw proportionally smaller priorities — the uniform/weight
+    priority scheme, the integer-friendly cousin of Efraimidis-
+    Spirakis A-ES exponential clocks).
+
+    Determinism across engines: u is the first 60 bits of md5 (exact
+    integer in both engines), the only FP op is one correctly-rounded
+    IEEE division — no log/exp, whose last-ulp behavior differs
+    between libm implementations. Same input -> same sample, in Spark
+    or in the DuckDB oracle, on every run.
+
+    Shape at 100 TB: map-only priority assignment, then orderBy+limit
+    fuses into TakeOrderedAndProject — a per-partition top-k plus a
+    k-row driver merge, never a global sort. Ties (u collisions) break
+    by key ascending."""
+    hex15 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+    )
+    u = F.conv(hex15, 16, 10).cast("double")
+    pri = u / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

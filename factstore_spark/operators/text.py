@@ -328,3 +328,157 @@ def top_ngrams(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "ngram", "doc_freq", F.col("rank").cast("long").alias("rank")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", Appendix A1.1 — public filter recipe; thresholds
+    are the paper's defaults except ``min_words``, lowered for short
+    synthetic docs). Adds one boolean per rule plus ``keep`` (AND of
+    all) so a pipeline can both filter and audit per-rule rejection
+    rates in a single pass.
+
+    Rules:
+    - ``r_word_count``: word count in [min_words, max_words]
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_symbol_ratio``: (# + ellipsis) per word <= 0.1
+    - ``r_alpha_words``: >= 80% of words contain a letter
+    - ``r_stopwords``: >= 2 hits from the 8-word Gopher stop list
+    - ``r_bullet_lines`` / ``r_ellipsis_lines``: <= 90% of lines start
+      with a bullet, <= 30% end with an ellipsis
+
+    Shape at 100 TB: pure map-only built-in expressions over one
+    projection — whole-stage codegen, no shuffle, no Python. All
+    ratios are single FP divisions of exact integer counts, so the
+    flags are bit-reproducible in any engine (oracle-checked)."""
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # mean word length over whitespace tokens: chars excluding the
+    # (n_words - 1) separators, divided by word count.
+    mean_wl = F.coalesce(
+        F.try_divide(n_chars - (n_words - F.lit(1)), n_words), F.lit(0.0)
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•])")))
+    n_ell = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "r_word_count",
+            (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words)),
+        )
+        .withColumn(
+            "r_mean_word_len",
+            (mean_wl >= F.lit(min_mean_word_len))
+            & (mean_wl <= F.lit(max_mean_word_len)),
+        )
+        .withColumn(
+            "r_symbol_ratio",
+            F.coalesce(F.try_divide(n_symbols, n_words), F.lit(0.0))
+            <= F.lit(max_symbol_ratio),
+        )
+        .withColumn(
+            "r_alpha_words",
+            F.coalesce(F.try_divide(n_alpha_words, n_words), F.lit(0.0))
+            >= F.lit(min_alpha_word_ratio),
+        )
+        .withColumn("r_stopwords", n_stop_hits >= F.lit(min_stopword_hits))
+        .withColumn(
+            "r_bullet_lines",
+            F.coalesce(F.try_divide(n_bullet, n_lines), F.lit(0.0)) <= F.lit(0.9),
+        )
+        .withColumn(
+            "r_ellipsis_lines",
+            F.coalesce(F.try_divide(n_ell, n_lines), F.lit(0.0)) <= F.lit(0.3),
+        )
+    )
+    keep = (
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_alpha_words")
+        & F.col("r_stopwords")
+        & F.col("r_bullet_lines")
+        & F.col("r_ellipsis_lines")
+    )
+    return out.withColumn("keep", keep)
+
+
+def tfdf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by tf x (N/df) — TF-IDF with a
+    LINEAR inverse-document-frequency term instead of log(N/df).
+
+    Why linear: the score must be bit-reproducible in an independent
+    engine (the oracle), and ``log`` is the one place Spark (JVM
+    Math.log intrinsic) and a C++ engine (libm) may disagree in the
+    last ulp. tf*N and df are exact integers and IEEE division is
+    correctly rounded everywhere, so tf*N/df is bit-identical by
+    construction. The ranking it induces is the standard rare-term
+    preference; swap in log1p for the classic weighting when
+    cross-engine auditability is not required.
+
+    Shape at 100 TB: explode -> map-side-combined groupBy(doc,token)
+    for tf, groupBy(token) for df (the posting-list shuffle — same key
+    cardinality as a vocabulary build), one join tf><df on token (AQE
+    broadcasts the df side when the vocabulary is small), then a
+    per-document window for the top-k — partitioned by doc id, never a
+    global sort. N arrives as a literal from a count (one scalar off an
+    already-needed scan), not a cross join."""
+    from pyspark.sql.window import Window
+
+    # tf = within-doc term count (not presence): explode the full token
+    # list and count per (doc, token).
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = (
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "token").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -3422,6 +3422,301 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: quality-rule filtering, keyword extraction,
+# weighted sampling, semantic dedup, OHLC bars, sliding windows,
+# per-user anomaly flags
+# ---------------------------------------------------------------------------
+
+
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style rule filter over documents: per-rule booleans + the
+    composite keep decision (operators/text.py:with_gopher_rules).
+    Map-only codegen; the per-rule flags make rejection-rate audits one
+    groupBy away."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_gopher_rules(docs).select(
+        "doc_id", "n_words",
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_stopwords", "r_bullet_lines",
+        "r_ellipsis_lines", "keep",
+    )
+
+
+TEXT_GOPHER_RULES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    string_split_regex(lower(text), '\s+') AS L,
+    string_split(text, chr(10)) AS lines,
+    length(text) AS n_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, len(L) AS n_words,
+    CAST(n_chars - (len(L) - 1) AS DOUBLE) / len(L) AS mwl,
+    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+    len(list_filter(L, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter(L, x -> x IN
+      ('the','be','to','of','and','that','have','with'))) AS n_stop,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell
+  FROM t),
+f AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    (n_words >= 20 AND n_words <= 100000) AS r_word_count,
+    (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+    (CAST(n_sym AS DOUBLE) / n_words <= 0.1) AS r_symbol_ratio,
+    (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha_words,
+    (n_stop >= 2) AS r_stopwords,
+    (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS r_bullet_lines,
+    (CAST(n_ell AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis_lines
+  FROM c)
+SELECT *, (r_word_count AND r_mean_word_len AND r_symbol_ratio
+  AND r_alpha_words AND r_stopwords AND r_bullet_lines
+  AND r_ellipsis_lines) AS keep
+FROM f
+"""
+
+
+def text_tfdf_keywords(spark, sf_dir):
+    """Top-5 keywords per document by tf x (N/df) — linear-idf TF-IDF
+    (operators/text.py:tfdf_keywords; see docstring for why linear idf
+    is the cross-engine-deterministic choice)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tfdf_keywords(docs, k=5)
+
+
+TEXT_TFDF_KEYWORDS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+    t.tf * CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE)
+      / d.df AS score
+  FROM tf t JOIN dfreq d USING (token)),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def curation_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample: 50 docs weighted by n_chars via
+    md5-uniform / weight priorities
+    (operators/sampling.py:weighted_priority_sample)."""
+    from .operators.sampling import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(docs, "n_chars", 50, "doc_id").select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "priority",
+    )
+
+
+CURATION_WEIGHTED_SAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+    CAST(CAST('0x' || substring(md5('wsample' || CAST(doc_id AS VARCHAR)),
+      1, 15) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, priority
+FROM p ORDER BY priority ASC, doc_id ASC LIMIT 50
+"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over embeddings: cluster-blocked quantized-cosine
+    near-dup decision, lowest-id representative kept
+    (operators/dedup.py:semantic_dedup). The stored ``label`` plays the
+    k-means cell id the paper's clusterer would supply."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # tau calibrated to the synthetic embeddings (intra-label cosine
+    # tops out near 0.48; real sentence embeddings would use ~0.95)
+    return dedup_ops.semantic_dedup(emb, tau_num=30, tau_den=100, scale=1000)
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, q,
+    CAST(list_dot_product(q, q) AS BIGINT) AS sq
+  FROM q),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+    a.sq AS sqa, b.sq AS sqb
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+hits AS (
+  SELECT id_b, MIN(id_a) AS dup_of FROM pairs
+  WHERE dot >= 0 AND dot * dot * 10000 >= 900 * sqa * sqb
+  GROUP BY 1)
+SELECT e.vec_id AS id, e.label AS cluster,
+  h.dup_of IS NOT NULL AS is_dup, h.dup_of
+FROM embeddings e LEFT JOIN hits h ON h.id_b = e.vec_id
+"""
+
+
+def events_ohlc_bars(spark, sf_dir):
+    """Per (user, minute) OHLC bars over event values — the batch form
+    of a streaming bar builder. Open/close via first/last over a
+    (ts, event_id)-ordered frame inside each bar partition; high/low/
+    volume off the same grouped pass. One shuffle on (user_id, minute);
+    bars scale with users x active minutes, never a global sort."""
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "minute_us", F.expr("(ts_ns div 1000 div 60000000) * 60000000")
+    ).withColumn("value_cents", _cents(F.col("value")))
+    frame = (
+        Window.partitionBy("user_id", "minute_us")
+        .orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.withColumn("open_cents", F.first("value_cents").over(frame))
+        .withColumn("close_cents", F.last("value_cents").over(frame))
+        .groupBy("user_id", "minute_us")
+        .agg(
+            F.min("open_cents").alias("open_cents"),
+            F.max("value_cents").alias("high_cents"),
+            F.min("value_cents").alias("low_cents"),
+            F.min("close_cents").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum("value_cents").alias("volume_cents"),
+        )
+    )
+
+
+EVENTS_OHLC_BARS_SQL = """
+WITH e AS (
+  SELECT user_id, (epoch_us(ts) // 60000000) * 60000000 AS minute_us,
+    CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+    epoch_us(ts) AS ts_us, event_id
+  FROM events),
+w AS (
+  SELECT user_id, minute_us, value_cents,
+    first_value(value_cents) OVER (
+      PARTITION BY user_id, minute_us ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_cents,
+    last_value(value_cents) OVER (
+      PARTITION BY user_id, minute_us ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_cents
+  FROM e)
+SELECT user_id, minute_us,
+  MIN(open_cents) AS open_cents, MAX(value_cents) AS high_cents,
+  MIN(value_cents) AS low_cents, MIN(close_cents) AS close_cents,
+  COUNT(*) AS n_trades, CAST(SUM(value_cents) AS BIGINT) AS volume_cents
+FROM w GROUP BY 1, 2
+"""
+
+
+def events_sliding_windows(spark, sf_dir):
+    """5-minute windows sliding by 1 minute, per event type: each event
+    maps to the 5 window starts that cover it (explode of a 5-element
+    sequence — the exact expansion Structured Streaming's
+    ``window(ts, '5 minutes', '1 minute')`` performs), then one
+    map-side-combined groupBy. Arithmetic on epoch minutes, not
+    timestamps: timezone-free and engine-neutral. Shuffle volume is
+    5x events — the slide ratio, the known cost of hopping windows."""
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("minute_idx", F.expr("ts_ns div 1000 div 60000000"))
+    expanded = ev.select(
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "minute_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("off"),
+    ).withColumn(
+        "window_start_us", (F.col("minute_idx") - F.col("off")) * F.lit(60_000_000)
+    )
+    return (
+        expanded.groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+
+
+EVENTS_SLIDING_WINDOWS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+    epoch_us(ts) // 60000000 AS minute_idx,
+    unnest([0, 1, 2, 3, 4]) AS off
+  FROM events)
+SELECT (minute_idx - off) * 60000000 AS window_start_us, event_type,
+  COUNT(*) AS n, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
+def events_user_zscore(spark, sf_dir):
+    """Per-user outlier events: |value - user_mean| > 2 x user_stddev,
+    decided in EXACT integer arithmetic. The test
+    ``(v*n - sum)^2 * (n-1) > 4 * n * (n*sumsq - sum^2)`` is the
+    2-sigma rule with both sides multiplied through by n^2(n-1) — no
+    sqrt, no FP mean, so the flag is bit-reproducible cross-engine and
+    immune to float summation order. Aggregates are integer cents;
+    the comparison runs in decimal(38,0) (HUGEINT in the oracle)
+    because (v*n - sum)^2 * n overflows int64 once a user has ~1e9
+    events — the 100 TB case.
+
+    Shape: one groupBy(user) for moments, one join back (AQE
+    broadcasts the stats side when users are few), map-only flag."""
+    ev = load_events(spark, sf_dir).withColumn("value_cents", _cents(F.col("value")))
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").alias("s"),
+        F.sum(F.col("value_cents") * F.col("value_cents")).alias("ss"),
+    )
+    j = ev.join(stats, "user_id").filter(F.col("n") >= 10)
+    dec = "decimal(38,0)"
+    dev = (F.col("value_cents") * F.col("n") - F.col("s")).cast(dec)
+    var_num = (F.col("n").cast(dec) * F.col("ss").cast(dec)
+               - F.col("s").cast(dec) * F.col("s").cast(dec))
+    lhs = dev * dev * (F.col("n") - 1).cast(dec)
+    rhs = F.lit(4).cast(dec) * F.col("n").cast(dec) * var_num
+    return (
+        j.filter(lhs > rhs)
+        .select(
+            "event_id", "user_id", "value_cents",
+            F.col("n").alias("user_n"),
+        )
+    )
+
+
+EVENTS_USER_ZSCORE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+    CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+  FROM events),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+    CAST(SUM(value_cents) AS BIGINT) AS s,
+    CAST(SUM(value_cents * value_cents) AS BIGINT) AS ss
+  FROM e GROUP BY 1)
+SELECT e.event_id, e.user_id, e.value_cents, s.n AS user_n
+FROM e JOIN s USING (user_id)
+WHERE s.n >= 10
+  AND CAST(e.value_cents * s.n - s.s AS HUGEINT)
+      * CAST(e.value_cents * s.n - s.s AS HUGEINT) * (s.n - 1)
+    > 4 * s.n * (CAST(s.n AS HUGEINT) * s.ss
+                 - CAST(s.s AS HUGEINT) * s.s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3440,6 +3735,13 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # then the remainder green in CORRECTNESS_r01..r04.  Ordering is
     # presentation-only: every entry runs identically regardless of
     # position.
+    "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
+    "text_tfdf_keywords": (text_tfdf_keywords, TEXT_TFDF_KEYWORDS_SQL),
+    "curation_weighted_sample": (curation_weighted_sample, CURATION_WEIGHTED_SAMPLE_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "events_ohlc_bars": (events_ohlc_bars, EVENTS_OHLC_BARS_SQL),
+    "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_WINDOWS_SQL),
+    "events_user_zscore": (events_user_zscore, EVENTS_USER_ZSCORE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),

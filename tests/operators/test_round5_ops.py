@@ -1,0 +1,244 @@
+"""Round-5 operator invariants: Gopher rules, tf-df keywords, weighted
+priority sampling, semantic dedup, and the events OHLC/sliding/zscore
+query shapes — hand-computed expectations on tiny in-line data."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from factstore_spark.operators import dedup as D
+from factstore_spark.operators import text as T
+from factstore_spark.operators.sampling import weighted_priority_sample
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gopher_docs(spark):
+    long_good = " ".join(
+        ["the", "and", "that", "with"] * 3 + ["quality", "prose", "here"] * 4
+    )  # 24 words, all alpha, 4+ stopword hits
+    rows = [
+        (0, long_good),
+        (1, "too short to pass"),  # < 20 words
+        (2, " ".join(["####"] * 25)),  # symbols, no alpha, no stopwords
+        (3, "- bullet\n- bullet\n- bullet"),  # all lines bulleted + short
+        (4, " ".join(["the", "of"] * 12)),  # 24 words, mean len < 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rule_flags(gopher_docs):
+    out = {r.doc_id: r for r in T.with_gopher_rules(gopher_docs).collect()}
+    assert out[0].keep is True
+    assert out[1].keep is False and out[1].r_word_count is False
+    # doc2: word count ok (25) but symbols/alpha/stopwords all fail
+    assert out[2].r_word_count is True
+    assert out[2].r_symbol_ratio is False
+    assert out[2].r_alpha_words is False
+    assert out[2].r_stopwords is False
+    # doc3: 3/3 lines bulleted > 0.9 cap
+    assert out[3].r_bullet_lines is False
+    # doc4: mean word length (24*2+... ) below 3
+    assert out[4].r_mean_word_len is False and out[4].r_word_count is True
+
+
+def test_gopher_rules_empty_text_is_rejected_not_crash(spark):
+    df = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    row = T.with_gopher_rules(df).collect()[0]
+    assert row.keep is False  # word-count rule rejects; no div-by-zero
+
+
+# ---------------------------------------------------------------------------
+# tf-df keywords
+# ---------------------------------------------------------------------------
+
+
+def test_tfdf_keywords_prefers_rare_terms(spark):
+    rows = [
+        (0, "common common rare0"),
+        (1, "common rare1 rare1"),
+        (2, "common rare2 zebra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.tfdf_keywords(df, k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc0: 'common' tf=2 df=3 -> score 2, 'rare0' tf=1 df=1 -> score 3
+    d0 = {r.token: r for r in by_doc[0]}
+    assert d0["rare0"].rank == 1 and d0["rare0"].score == pytest.approx(3.0)
+    assert d0["common"].rank == 2 and d0["common"].score == pytest.approx(2.0)
+    # doc1: 'rare1' tf=2 df=1 -> score 6 beats 'common' (score 1)
+    d1 = {r.token: r for r in by_doc[1]}
+    assert d1["rare1"].rank == 1 and d1["rare1"].score == pytest.approx(6.0)
+    # every doc returns exactly k=2 rows (enough distinct tokens)
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_tfdf_keywords_tie_breaks_by_token(spark):
+    df = spark.createDataFrame([(0, "bb aa")], "doc_id long, text string")
+    out = T.tfdf_keywords(df, k=2).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.token for r in ranked] == ["aa", "bb"]  # equal scores
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    # two strata: ids 0..199 weight 1, ids 200..399 weight 50 — the
+    # heavy stratum must dominate the sample.
+    rows = [(i, 1) for i in range(200)] + [(i, 50) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = weighted_priority_sample(df, "w", 40, "id")
+    picked1 = sorted(r.id for r in s1.collect())
+    picked2 = sorted(
+        r.id for r in weighted_priority_sample(df, "w", 40, "id").collect()
+    )
+    assert picked1 == picked2  # same sample every run
+    heavy = sum(1 for i in picked1 if i >= 200)
+    assert heavy >= 30  # E[heavy] ≈ 40 * 50/51 under weighting
+    assert len(picked1) == 40
+
+
+def test_weighted_sample_priority_formula(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(7, 3)], "id long, w long")
+    row = weighted_priority_sample(df, "w", 1, "id").collect()[0]
+    u = int(hashlib.md5(b"wsample7").hexdigest()[:15], 16)
+    assert row.priority == pytest.approx(float(u) / 3.0, rel=0, abs=0)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    # cluster 0: two near-identical vectors + one orthogonal;
+    # cluster 1: a vector nearly identical to id 0 — but cross-cluster,
+    # so it must NOT pair (the SemDeDup blocking contract).
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.001, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_semantic_dedup_pairs_within_cluster_only(emb_df):
+    pairs = D.semantic_dedup_pairs(emb_df, tau_num=95, tau_den=100).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def test_semantic_dedup_keeps_lowest_id(emb_df):
+    out = {r.id: r for r in D.semantic_dedup(emb_df, tau_num=95, tau_den=100).collect()}
+    assert out[0].is_dup is False
+    assert out[1].is_dup is True and out[1].dup_of == 0
+    assert out[2].is_dup is False
+    assert out[3].is_dup is False  # near-dup of 0 but in another cluster
+
+
+def test_semantic_dedup_threshold_matches_float_cosine(spark):
+    # decision boundary sanity: quantized-integer decision agrees with
+    # float cosine away from the quantization noise floor.
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base, 0))
+        noisy = [x + rng.uniform(-0.01, 0.01) for x in base]
+        rows.append((2 * i + 1, noisy, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (p.id_a, p.id_b)
+        for p in D.semantic_dedup_pairs(df, tau_num=90, tau_den=100).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    expect = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            c = cos(rows[i][1], rows[j][1])
+            if abs(c - 0.9) > 0.005:  # outside the quantization band
+                if c >= 0.9:
+                    expect.add((rows[i][0], rows[j][0]))
+    assert expect <= got  # every clear near-dup found
+    for (a, b) in got - expect:
+        # anything extra must sit inside the boundary band
+        ra = next(r for r in rows if r[0] == a)[1]
+        rb = next(r for r in rows if r[0] == b)[1]
+        assert abs(cos(ra, rb) - 0.9) <= 0.005
+
+
+# ---------------------------------------------------------------------------
+# events query shapes (registry entries on crafted frames)
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_bars_open_close_order(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one user, one minute: values 5.0 -> 1.0 -> 9.0 (open 500, close 900)
+    ts = [1_700_000_000_000_000 + i * 1_000_000 for i in range(3)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([42, 42, 42], pa.int64()),
+            "event_type": pa.array(["a"] * 3),
+            "value": pa.array([5.0, 1.0, 9.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    from factstore_spark.queries import events_ohlc_bars
+
+    bars = events_ohlc_bars(spark, str(tmp_path)).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert (b.open_cents, b.high_cents, b.low_cents, b.close_cents) == (
+        500, 900, 100, 900,
+    )
+    assert b.n_trades == 3 and b.volume_cents == 1500
+
+
+def test_user_zscore_flags_planted_outlier(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    values = [10.0] * (n - 1) + [500.0]  # one wild outlier
+    ts = [1_700_000_000_000_000 + i * 1_000_000 for i in range(n)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    from factstore_spark.queries import events_user_zscore
+
+    rows = events_user_zscore(spark, str(tmp_path)).collect()
+    assert [r.event_id for r in rows] == [n - 1]
+    assert rows[0].user_n == n
