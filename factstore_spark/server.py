@@ -63,46 +63,87 @@ from .results import (
 EXPLORER_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>factstore explorer</title>
 <style>
-body{font:14px/1.45 system-ui,sans-serif;margin:0;display:flex;height:100vh}
-#side{width:230px;border-right:1px solid #ddd;padding:12px;overflow:auto}
+:root{--bg:#fff;--fg:#111;--line:#ddd;--panel:#f5f5f5;--sel:#eef}
+@media (prefers-color-scheme: dark){
+ :root{--bg:#16181d;--fg:#e8e8e8;--line:#3a3d44;--panel:#22252b;--sel:#2b3040}}
+body{font:14px/1.45 system-ui,sans-serif;margin:0;display:flex;height:100vh;
+ background:var(--bg);color:var(--fg)}
+#side{width:230px;border-right:1px solid var(--line);padding:12px;overflow:auto}
 #main{flex:1;padding:12px;overflow:auto}
 h1{font-size:16px;margin:0 0 10px}
-li{cursor:pointer;padding:3px 6px;border-radius:4px;list-style:none}
-li:hover,li.sel{background:#eef}
+li{cursor:pointer;padding:3px 6px;border-radius:4px;list-style:none;display:flex;
+ justify-content:space-between;align-items:center}
+li:hover,li.sel{background:var(--sel)}
+li .del{visibility:hidden;color:#c33;border:none;background:none;cursor:pointer}
+li:hover .del{visibility:visible}
 ul{padding:0;margin:0}
 table{border-collapse:collapse;width:100%;margin-top:10px;font-size:12px}
-td,th{border:1px solid #ddd;padding:4px 6px;text-align:left;vertical-align:top}
-th{background:#f5f5f5}
-input,select,button{font:inherit;padding:3px 6px;margin-right:6px}
+td,th{border:1px solid var(--line);padding:4px 6px;text-align:left;vertical-align:top}
+th{background:var(--panel)}
+input,select,button{font:inherit;padding:3px 6px;margin-right:6px;
+ background:var(--bg);color:var(--fg);border:1px solid var(--line);border-radius:4px}
 #live{color:#0a0}
-code{background:#f5f5f5;padding:1px 4px;border-radius:3px}
+#detail{white-space:pre-wrap;background:var(--panel);padding:8px;border-radius:4px;
+ margin-top:10px;display:none;font:12px/1.4 ui-monospace,monospace}
+tr{cursor:pointer}
+code{background:var(--panel);padding:1px 4px;border-radius:3px}
+#range{display:none}
 </style></head><body>
-<div id="side"><h1>Stores</h1><ul id="stores"></ul></div>
+<div id="side"><h1>Stores</h1><ul id="stores"></ul>
+ <p><input id="newname" placeholder="new store" size="12">
+ <button onclick="createStore()">Create</button></p></div>
 <div id="main">
   <h1 id="title">factstore explorer</h1>
   <div>
-    <select id="mode">
+    <select id="mode" onchange="modeChanged()">
       <option value="subject">by subject</option>
       <option value="tags">by tags (k=v,k2=v2)</option>
+      <option value="time">by time range</option>
       <option value="replay">replay</option>
     </select>
     <input id="q" placeholder="subject or tags">
+    <span id="range"><input id="from" placeholder="from ISO" size="17">
+      <input id="to" placeholder="to ISO" size="17"></span>
     <input id="limit" placeholder="limit" size="4">
+    <select id="dir"><option value="">forward</option>
+      <option value="backward">backward</option></select>
     <button onclick="run()">Find</button>
     <button onclick="tail()">Tail (SSE)</button> <span id="live"></span>
   </div>
   <table id="out"><thead><tr><th>position</th><th>type</th><th>subject</th>
   <th>appendedAt</th><th>tags</th><th>id</th></tr></thead><tbody></tbody></table>
+  <div id="detail"></div>
 </div>
 <script>
 let store=null,es=null;
 async function loadStores(){
   const r=await fetch('/api/v1/stores');const stores=await r.json();
   const ul=document.getElementById('stores');ul.innerHTML='';
-  for(const s of stores){const li=document.createElement('li');li.textContent=s.name;
+  for(const s of stores){const li=document.createElement('li');
+    const span=document.createElement('span');span.textContent=s.name;
+    const del=document.createElement('button');del.textContent='\u2715';del.className='del';
+    del.title='delete store';
+    del.onclick=async e=>{e.stopPropagation();
+      if(!confirm('Delete store \''+s.name+'\' and every fact in it?'))return;
+      await fetch('/api/v1/stores/'+encodeURIComponent(s.name),{method:'DELETE'});
+      if(store===s.name){store=null;document.getElementById('title').textContent='factstore explorer';}
+      loadStores();};
+    li.appendChild(span);li.appendChild(del);
     li.onclick=()=>{store=s.name;document.getElementById('title').textContent=s.name;
       [...ul.children].forEach(c=>c.classList.remove('sel'));li.classList.add('sel');run();};
     ul.appendChild(li);}
+}
+async function createStore(){
+  const name=document.getElementById('newname').value.trim();if(!name)return;
+  const r=await fetch('/api/v1/stores',{method:'POST',
+    headers:{'Content-Type':'application/json'},body:JSON.stringify({name})});
+  if(!r.ok){const b=await r.json().catch(()=>({}));alert(b.error||('HTTP '+r.status));return;}
+  document.getElementById('newname').value='';loadStores();
+}
+function modeChanged(){
+  const m=document.getElementById('mode').value;
+  document.getElementById('range').style.display=m==='time'?'inline':'none';
+  document.getElementById('q').style.display=(m==='time'||m==='replay')?'none':'inline';
 }
 function render(facts){
   const tb=document.querySelector('#out tbody');tb.innerHTML='';
@@ -113,19 +154,37 @@ function addRow(f){
   const tags=Object.entries(f.tags||{}).map(([k,v])=>k+'='+v).join(', ');
   for(const v of [f.position,f.type,f.subject,f.appendedAt,tags,f.id]){
     const td=document.createElement('td');td.textContent=v??'';tr.appendChild(td);}
+  tr.onclick=()=>showDetail(f);
   tb.appendChild(tr);
+}
+function showDetail(f){
+  const d=document.getElementById('detail');
+  let payload='';
+  try{payload=atob((f.payload&&f.payload.data)||'');}catch(_){payload='<binary>';}
+  d.textContent=JSON.stringify({...f,payloadDecoded:payload},null,2);
+  d.style.display='block';
 }
 async function run(){
   if(!store)return;stopTail();
+  document.getElementById('detail').style.display='none';
   const mode=document.getElementById('mode').value;
   const q=document.getElementById('q').value.trim();
   const lim=document.getElementById('limit').value.trim();
+  const dir=document.getElementById('dir').value;
   let url;
   if(mode==='subject')url=`/api/v1/stores/${store}/subjects/${encodeURIComponent(q)}/facts`;
   else if(mode==='tags')url=`/api/v1/stores/${store}/facts?`+
     q.split(',').filter(Boolean).map(t=>'tag='+encodeURIComponent(t.trim())).join('&');
+  else if(mode==='time'){
+    const from=document.getElementById('from').value.trim();
+    const to=document.getElementById('to').value.trim();
+    const ps=[];if(from)ps.push('from='+encodeURIComponent(from));
+    if(to)ps.push('to='+encodeURIComponent(to));
+    url=`/api/v1/stores/${store}/facts`+(ps.length?'?'+ps.join('&'):'');
+  }
   else url=`/api/v1/stores/${store}/facts/replay`;
   if(lim&&mode!=='replay')url+=(url.includes('?')?'&':'?')+'limit='+lim;
+  if(dir&&mode!=='replay')url+=(url.includes('?')?'&':'?')+'direction='+dir;
   const r=await fetch(url);const body=await r.json();
   render(Array.isArray(body)?body:[]);
 }
@@ -137,7 +196,7 @@ function tail(){
   document.getElementById('live').textContent='live';
   es.onmessage=e=>{try{addRow(JSON.parse(e.data));}catch(_){}};
 }
-loadStores();
+modeChanged();loadStores();
 </script></body></html>
 """
 

@@ -203,10 +203,45 @@ def test_info_endpoint(server):
 
 
 def test_explorer_page_served(server):
-    """The explorer single-page UI is served at / and /explorer."""
+    """The explorer single-page UI is served at / and /explorer, and
+    carries every feature of the reference UI (factstore-explorer
+    README: browse AND manage stores, query by time range / tags /
+    subject, SSE streaming, dark mode)."""
     for path in ("/", "/explorer"):
         with urllib.request.urlopen(f"{server}{path}") as r:
             assert r.status == 200
             assert "text/html" in r.headers["Content-Type"]
             body = r.read().decode()
             assert "factstore explorer" in body and "/api/v1/stores" in body
+    # feature inventory of the single-file UI
+    for feature in (
+        "createStore",            # create store form -> POST /v1/stores
+        "method:'DELETE'",        # per-store delete button
+        "by time range",          # from/to finder mode
+        "direction=",             # forward/backward toggle
+        "EventSource",            # SSE tail
+        "prefers-color-scheme",   # dark mode
+        "showDetail",             # fact payload inspector
+    ):
+        assert feature in body, feature
+
+
+def test_explorer_backing_endpoints_roundtrip(server):
+    """The exact request shapes the explorer JS issues all resolve:
+    create -> query by time range with direction+limit -> delete."""
+    code, _ = req("POST", f"{server}/api/v1/stores", {"name": "ui"})
+    assert code == 201
+    code, _ = req(
+        "POST",
+        f"{server}/api/v1/stores/ui/facts",
+        {"facts": [{"type": "T", "subject": "s", "payload": {"data": b64("x")}}]},
+    )
+    assert code == 200
+    code, facts = req(
+        "GET",
+        f"{server}/api/v1/stores/ui/facts"
+        "?from=2020-01-01T00:00:00Z&limit=5&direction=backward",
+    )
+    assert code == 200 and len(facts) == 1
+    code, _ = req("DELETE", f"{server}/api/v1/stores/ui")
+    assert code == 204
