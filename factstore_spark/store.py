@@ -747,10 +747,16 @@ class FactStore:
     # -- find_by_tags: AND semantics (FdbFactFinder.kt:108-167) ---------
 
     # Above this many resolved positions the indexed find_by_tags
-    # switches from a collected isin pushdown (point-load analog) to a
+    # switches from a collected pushdown (point-load analog) to a
     # distributed semi join — the same bounded-driver-probe rule the
     # dedup operators use.
     TAG_INDEX_PUSHDOWN_CAP = 10_000
+    # Literal-list bound for the compiled ``isin`` predicate. Between
+    # this and PUSHDOWN_CAP the scan still gets a position min/max
+    # RANGE filter (pushed to parquet row-group stats — the part of
+    # isin pruning that actually skips IO) while exactness comes from
+    # a semi join, so no 10k-literal expression is ever compiled.
+    TAG_INDEX_ISIN_CAP = 1_000
 
     def find_by_tags_df(
         self,
@@ -791,9 +797,20 @@ class FactStore:
                 if not probe:
                     matched = facts.filter(F.lit(False))
                 else:
-                    matched = facts.filter(
-                        F.col("position").isin([r.position for r in probe])
+                    pos = [r.position for r in probe]
+                    rng = (F.col("position") >= min(pos)) & (
+                        F.col("position") <= max(pos)
                     )
+                    if len(pos) <= self.TAG_INDEX_ISIN_CAP:
+                        matched = facts.filter(rng & F.col("position").isin(pos))
+                    else:
+                        # range prunes row groups at the scan; the semi
+                        # join supplies exactness without compiling a
+                        # thousands-literal predicate (Spark's runtime
+                        # bloom/DPP can further prune inside the join).
+                        matched = facts.filter(rng).join(
+                            positions, "position", "left_semi"
+                        )
             else:
                 matched = facts.join(positions, "position", "left_semi")
             return ordered_limited(matched, limit, direction)

@@ -220,3 +220,37 @@ def test_dcb_condition_through_index(fs):
         condition=TagQueryBased(TagQuery([TagTypeItem({"T1"}, {"k": "v"})])),
     )
     assert isinstance(typed_hit, AppendConditionViolated)
+
+
+def test_find_by_tags_mid_band_uses_range_plus_semi_join(fs):
+    """Between TAG_INDEX_ISIN_CAP and TAG_INDEX_PUSHDOWN_CAP matches,
+    the indexed finder must not compile a thousands-literal isin:
+    the plan carries a position RANGE filter (row-group pruning) and a
+    LeftSemi join for exactness — and still equals the scan path."""
+    fs.create(STORE)
+    n = 1_300  # > ISIN_CAP (1000), < PUSHDOWN_CAP (10000)
+    batch = [
+        FactInput(type="T", subject=f"S{i}", tags={"hot": "y"}) for i in range(n)
+    ] + [FactInput(type="T", subject="cold", tags={"hot": "n"})]
+    fs.append(STORE, batch)
+    scan_ids = [f.id for f in fs.find_by_tags(STORE, {"hot": "y"}).facts]
+    assert fs.build_tag_index(STORE)["built"]
+    df = fs.find_by_tags_df(STORE, {"hot": "y"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "isin" not in plan.lower()
+    got = [f.id for f in fs.find_by_tags(STORE, {"hot": "y"}).facts]
+    assert got == scan_ids and len(got) == n
+
+    # small band still point-loads through a bounded isin literal list
+    fs.create("small-band")
+    fs.append(
+        "small-band",
+        [FactInput(type="T", subject=f"P{i}", tags={"k": "v" if i % 2 else ""}) for i in range(40)],
+    )
+    fs.build_tag_index("small-band")
+    plan_small = (
+        fs.find_by_tags_df("small-band", {"k": "v"})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" not in plan_small
