@@ -235,11 +235,28 @@ def cosine_dup_pairs(
     """
     ids = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if exact:
-        a = ids.withColumnsRenamed({"_id": "id_a", "_v": "va"})
-        b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"})
+        from .dedup import _spread
+
+        # Per-row norms are hoisted out of the pair loop: norm(v) is
+        # the same fold expression either way, so sim stays bit-
+        # identical to the oracle while the O(n^2) stage computes one
+        # dot (not dot + two norms) per pair. The left side is spread
+        # across the parallelism BEFORE the non-equi join — a small
+        # parquet scan arrives in one split, and a 1-partition probe
+        # side serializes the entire nested-loop stage on one core.
+        a = _spread(ids).withColumnsRenamed({"_id": "id_a", "_v": "va"}).withColumn(
+            "na", _norm(F.col("va"))
+        )
+        b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"}).withColumn(
+            "nb", _norm(F.col("vb"))
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
+        sim = F.coalesce(
+            F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+            F.lit(0.0),
+        )
         return (
-            cand.withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+            cand.withColumn("sim", sim)
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim")
         )
