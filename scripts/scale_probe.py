@@ -56,7 +56,7 @@ def amplify_embeddings(emb, k: int):
         return x.cast("double") + (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 20000.0
 
     return (
-        emb.select("vec_id", "embedding", reps)
+        emb.select("vec_id", "embedding", "label", reps)
         .select(
             (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
             F.zip_with(
@@ -64,6 +64,7 @@ def amplify_embeddings(emb, k: int):
                 F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
                 jitter,
             ).cast("array<float>").alias("embedding"),
+            "label",
         )
     )
 
@@ -74,7 +75,7 @@ def amplify_events(ev, k: int):
     microseconds so replicas stay distinct instants."""
     reps = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
     return (
-        ev.select("event_id", "ts", "user_id", "event_type", reps)
+        ev.select("event_id", "ts", "user_id", "event_type", "value", reps)
         .select(
             (F.col("event_id") * k + F.col("rep")).alias("event_id"),
             # ts may arrive as TIMESTAMP_NTZ; cast via session-UTC for
@@ -85,6 +86,7 @@ def amplify_events(ev, k: int):
             ),
             "user_id",
             "event_type",
+            "value",
         )
     )
 
@@ -146,6 +148,29 @@ def main():
     )
     timed("text_quality", lambda: T.with_quality_score(docs).count())
     timed("top_ngrams", lambda: T.top_ngrams(docs, n=2, k=20).count())
+    timed("gopher_rules", lambda: T.with_gopher_rules(docs).count())
+    timed("tfdf_keywords", lambda: T.tfdf_keywords(docs, k=5).count())
+
+    from factstore_spark.operators.sampling import weighted_priority_sample
+
+    wdocs = docs.withColumn("n_chars", F.length("text"))
+    timed(
+        "weighted_sample_1k",
+        lambda: weighted_priority_sample(wdocs, "n_chars", 1000, "doc_id").count(),
+    )
+
+    # SemDeDup probe: block sizes follow the operator's cluster
+    # contract (cells ~ corpus/k). The amplified corpus reuses the
+    # stored label split K ways by rep so blocks stay ~sf0.1-cluster
+    # sized x sqrt(k) — the sqrt-cell policy the IVF probe documents.
+    sem_blocks = max(10, int(10 * k**0.5))
+    sem = emb.withColumn(
+        "label", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sem_blocks)).cast("int")
+    )
+    timed(
+        "semantic_dedup_pairs",
+        lambda: D.semantic_dedup_pairs(sem, tau_num=30, tau_den=100).count(),
+    )
 
     # Temporal + ranking heavy hitters at the sf1-ish row counts
     # (K=10 -> 1M events / 6M lineitem rows).
@@ -164,6 +189,40 @@ def main():
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
     print(json.dumps({"op": "events_corpus", "rows": ev.count()}))
+    cents = F.floor(F.col("value") * 100).cast("long")
+    timed(
+        "user_zscore_flags",
+        lambda: (lambda e: (
+            e.join(
+                e.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value_cents").alias("s"),
+                    F.sum(F.col("value_cents") * F.col("value_cents")).alias("ss"),
+                ),
+                "user_id",
+            )
+            .filter(
+                (F.col("value_cents") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+                * (F.col("value_cents") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+                * (F.col("n") - 1).cast("decimal(38,0)")
+                > F.lit(4).cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+                * (F.col("n").cast("decimal(38,0)") * F.col("ss").cast("decimal(38,0)")
+                   - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+            )
+            .count()
+        ))(ev.withColumn("value_cents", cents)),
+    )
+    timed(
+        "sliding_windows_5x",
+        lambda: ev.select(
+            "event_type",
+            (F.col("ts_us") / 60_000_000).cast("long").alias("mi"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("off"),
+        )
+        .groupBy((F.col("mi") - F.col("off")).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count(),
+    )
     timed(
         "asof_join",
         lambda: TP.asof_join(
