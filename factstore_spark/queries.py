@@ -3729,10 +3729,13 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # Rounds 1-4 always presented the same long-stable prefix, so the 44
     # entries added in round 4 never received a driver-green CORRECTNESS
     # row (the judge had to selfcheck them).  This ordering puts the
-    # never-driver-checked entries first — the 5 round-5 TPC-H
-    # completions (Q2/Q11/Q16/Q20/Q21) and the 44 round-4 additions —
-    # then representative long-green entries to fill any window slack,
-    # then the remainder green in CORRECTNESS_r01..r04.  Ordering is
+    # never-driver-checked entries first — the 7 new round-5 operators,
+    # the 5 round-5 TPC-H completions (Q2/Q11/Q16/Q20/Q21), and the 44
+    # round-4 additions — then the remainder green in
+    # CORRECTNESS_r01..r04.  With 56 never-checked entries and a
+    # 50-entry window, the ~6 at positions 51+ (sql_surface_revenue
+    # through embeddings_label_centroid_norms) stay judge-selfcheck-only
+    # this round; ROUND 6 SHOULD ROTATE THEM INTO THE HEAD.  Ordering is
     # presentation-only: every entry runs identically regardless of
     # position.
     "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
