@@ -587,9 +587,12 @@ def semantic_dedup_pairs(
     round(x * scale) longs (the int8/PQ production trick), so dot and
     norms are exact integer sums and the threshold test
     ``dot^2 * tau_den^2 >= tau_num^2 * |a|^2 |b|^2`` (with dot >= 0)
-    uses only integer multiplies — bit-reproducible in any engine, no
-    FP summation-order hazard. Overflow bound: |round(x*scale)| <=
-    ~2900 at dim 64 keeps every term under 2^63.
+    uses only exact integer multiplies — bit-reproducible in any
+    engine, no FP summation-order hazard. The cross-multiplied squares
+    overflow int64 long before the int64 dot itself does (dot ~5e8
+    already breaks dot^2*tau_den^2), so the comparison runs in
+    decimal(38,0) (HUGEINT in the DuckDB oracle): exact for any |dot|
+    up to ~1e17, i.e. any vector whose quantized components fit int32.
 
     Shape at 100 TB: the self-join shuffles on the cluster id only —
     candidate volume is sum over clusters of C(n_c, 2), the SemDeDup
@@ -625,9 +628,13 @@ def semantic_dedup_pairs(
         lambda acc, v: acc + v,
     )
     pairs = pairs.withColumn("dot", dot)
+    dec = "decimal(38,0)"
+    d = F.col("dot").cast(dec)
     cond = (F.col("dot") >= 0) & (
-        F.col("dot") * F.col("dot") * F.lit(tau_den * tau_den)
-        >= F.lit(tau_num * tau_num) * F.col("sqa") * F.col("sqb")
+        d * d * F.lit(tau_den * tau_den).cast(dec)
+        >= F.lit(tau_num * tau_num).cast(dec)
+        * F.col("sqa").cast(dec)
+        * F.col("sqb").cast(dec)
     )
     return pairs.filter(cond).select("cluster", "id_a", "id_b", "dot")
 

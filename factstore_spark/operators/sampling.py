@@ -377,14 +377,21 @@ def weighted_priority_sample(
     Shape at 100 TB: map-only priority assignment, then orderBy+limit
     fuses into TakeOrderedAndProject — a per-partition top-k plus a
     k-row driver merge, never a global sort. Ties (u collisions) break
-    by key ascending."""
+    by key ascending.
+
+    Weights must be positive to mean anything; rows with weight <= 0
+    are EXCLUDED up front (selection probability proportional to a
+    non-positive weight is zero). Without the guard a single w=0 row
+    either fails the job (ANSI division) or — worse — sorts NULL/inf
+    first and wins unconditionally."""
     hex15 = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
     )
     u = F.conv(hex15, 16, 10).cast("double")
     pri = u / F.col(weight_col).cast("double")
     return (
-        df.withColumn("priority", pri)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -879,13 +879,26 @@ def refresh_ivf_index(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(F.array_sort(idx), 1)["cell"].alias("cell"),
-    )
+    ).localCheckpoint()  # one pass: count + write reuse the same
+    # materialized delta instead of re-running the anti-join and the
+    # n_cells-score argmax twice (the expensive stages of a refresh)
     n_new = assigned.count()
     if n_new:
         assigned.repartition("cell").write.mode("append").partitionBy(
             "cell"
         ).parquet(os.path.join(index_dir, "assignments"))
     manifest = _read_ivf_manifest(index_dir)
+    if "n_vectors" not in manifest:
+        # Index predates manifests (bare build): derive the baseline
+        # once from what IS on disk, so refresh/describe never report
+        # a delta-only n_vectors or a fabricated n_cells=0 that would
+        # trip the rebuild scheduler.
+        manifest["n_cells"] = n_cells
+        manifest["n_vectors"] = (
+            spark.read.parquet(os.path.join(index_dir, "assignments"))
+            .count()
+            - n_new
+        )
     manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
     manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
     _write_ivf_manifest(index_dir, manifest)
@@ -900,7 +913,18 @@ def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,
     With ``corpus`` given, ``fresh`` is EXACT: an ids-only anti-join
     counts corpus rows the index has not assigned (the tag index's
     is_fresh analog, paid as one column-pruned scan)."""
+    import json
+    import os
+
     manifest = _read_ivf_manifest(index_dir)
+    if "n_vectors" not in manifest:
+        # Manifest-less index (bare build): report real counts from
+        # disk instead of zeros a rebuild scheduler would act on.
+        with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
+            manifest["n_cells"] = len(json.load(fh))
+        manifest["n_vectors"] = spark.read.parquet(
+            os.path.join(index_dir, "assignments")
+        ).count()
     out = {
         "index_dir": index_dir,
         "n_vectors": int(manifest.get("n_vectors", 0)),

@@ -3526,7 +3526,7 @@ WITH p AS (
   SELECT doc_id, source, n_chars,
     CAST(CAST('0x' || substring(md5('wsample' || CAST(doc_id AS VARCHAR)),
       1, 15) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
-  FROM documents)
+  FROM documents WHERE n_chars > 0)
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, priority
 FROM p ORDER BY priority ASC, doc_id ASC LIMIT 50
 """
@@ -3560,7 +3560,9 @@ pairs AS (
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
 hits AS (
   SELECT id_b, MIN(id_a) AS dup_of FROM pairs
-  WHERE dot >= 0 AND dot * dot * 10000 >= 900 * sqa * sqb
+  WHERE dot >= 0
+    AND CAST(dot AS HUGEINT) * dot * 10000
+        >= CAST(900 AS HUGEINT) * sqa * sqb
   GROUP BY 1)
 SELECT e.vec_id AS id, e.label AS cluster,
   h.dup_of IS NOT NULL AS is_dup, h.dup_of
@@ -3668,17 +3670,20 @@ def events_user_zscore(spark, sf_dir):
     2-sigma rule with both sides multiplied through by n^2(n-1) — no
     sqrt, no FP mean, so the flag is bit-reproducible cross-engine and
     immune to float summation order. Aggregates are integer cents;
-    the comparison runs in decimal(38,0) (HUGEINT in the oracle)
-    because (v*n - sum)^2 * n overflows int64 once a user has ~1e9
-    events — the 100 TB case.
+    the squared-sum aggregate AND the comparison run in decimal(38,0)
+    (HUGEINT in the oracle) because sum(v^2) and (v*n - sum)^2 * n
+    both overflow int64 once a user has ~1e9 events — the 100 TB case
+    (a long sum of cent-squares breaks first, at ~1e19).
 
     Shape: one groupBy(user) for moments, one join back (AQE
     broadcasts the stats side when users are few), map-only flag."""
     ev = load_events(spark, sf_dir).withColumn("value_cents", _cents(F.col("value")))
+    _d = "decimal(38,0)"
+    vc_dec = F.col("value_cents").cast(_d)
     stats = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value_cents").alias("s"),
-        F.sum(F.col("value_cents") * F.col("value_cents")).alias("ss"),
+        F.sum(vc_dec * vc_dec).alias("ss"),
     )
     j = ev.join(stats, "user_id").filter(F.col("n") >= 10)
     dec = "decimal(38,0)"
@@ -3704,7 +3709,7 @@ WITH e AS (
 s AS (
   SELECT user_id, COUNT(*) AS n,
     CAST(SUM(value_cents) AS BIGINT) AS s,
-    CAST(SUM(value_cents * value_cents) AS BIGINT) AS ss
+    SUM(CAST(value_cents AS HUGEINT) * value_cents) AS ss
   FROM e GROUP BY 1)
 SELECT e.event_id, e.user_id, e.value_cents, s.n AS user_n
 FROM e JOIN s USING (user_id)

@@ -185,7 +185,8 @@ async function run(){
   else url=`/api/v1/stores/${store}/facts/replay`;
   if(lim&&mode!=='replay')url+=(url.includes('?')?'&':'?')+'limit='+lim;
   if(dir&&mode!=='replay')url+=(url.includes('?')?'&':'?')+'direction='+dir;
-  const r=await fetch(url);const body=await r.json();
+  const r=await fetch(url);const body=await r.json().catch(()=>({}));
+  if(!r.ok){alert(body.error||('HTTP '+r.status));render([]);return;}
   render(Array.isArray(body)?body:[]);
 }
 function stopTail(){if(es){es.close();es=null;document.getElementById('live').textContent='';}}

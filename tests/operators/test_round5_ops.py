@@ -242,3 +242,49 @@ def test_user_zscore_flags_planted_outlier(spark, tmp_path):
     rows = events_user_zscore(spark, str(tmp_path)).collect()
     assert [r.event_id for r in rows] == [n - 1]
     assert rows[0].user_n == n
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    rows = [(0, 0), (1, -5), (2, 10), (3, 1)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sorted(r.id for r in weighted_priority_sample(df, "w", 10, "id").collect())
+    assert got == [2, 3]  # w<=0 rows never sampled, job never fails
+
+
+def test_semantic_dedup_survives_large_magnitude_vectors(spark):
+    # components at the docstring's old "safe" bound used to overflow
+    # int64 in the cross-multiplied threshold test (ANSI crash)
+    rows = [
+        (0, [2.9] * 64, 0),
+        (1, [2.9] * 64, 0),
+        (2, [-2.9] * 64, 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = D.semantic_dedup_pairs(df, tau_num=95, tau_den=100).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}  # antipode excluded
+
+
+def test_user_zscore_survives_large_cent_values(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # values ~1e7 dollars -> 1e9 cents; cents^2 = 1e18, three of them
+    # overflow an int64 sum — the aggregate must run in decimal
+    n = 12
+    values = [1.0e7] * (n - 1) + [9.0e7]
+    ts = [1_700_000_000_000_000 + i * 1_000_000 for i in range(n)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([3] * n, pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    from factstore_spark.queries import events_user_zscore
+
+    rows = events_user_zscore(spark, str(tmp_path)).collect()
+    assert [r.event_id for r in rows] == [n - 1]
