@@ -26,9 +26,12 @@ def tags_all_match(tags: dict[str, str], col: str = "tags") -> Column:
     """AND over tag pairs (find_by_tags semantics, MemoryFactStore.kt:153-161).
 
     ``element_at(tags, k) <=> v`` — null-safe so a missing key is False,
-    not null."""
+    not null. Empty ``tags`` matches ALL facts (reference
+    fact_matches_tags semantics; the lit(True) initializer also keeps
+    reduce() total — callers that forbid empty queries validate at the
+    API layer, not here)."""
     preds = [F.col(col).getItem(k).eqNullSafe(F.lit(v)) for k, v in tags.items()]
-    return reduce(Column.__and__, preds)
+    return reduce(Column.__and__, preds, F.lit(True))
 
 
 def tag_query_predicate(query: TagQuery, tags_col: str = "tags", type_col: str = "type") -> Column:

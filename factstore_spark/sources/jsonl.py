@@ -36,11 +36,32 @@ JSONL_INPUT_SCHEMA = StructType(
 
 def read_fact_inputs_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """JSONL file(s) -> FactInput-shaped DataFrame ready for
-    ``FactStore.append_dataframe``."""
-    raw = spark.read.schema(JSONL_INPUT_SCHEMA).json(path)
+    ``FactStore.append_dataframe``.
+
+    Ingest-time validation, not query-time corruption: malformed JSON
+    lines fail the read (FAILFAST — the default PERMISSIVE mode turns
+    a truncated line into an all-null row), and a well-formed line
+    missing type/subject raises through the kept column itself (not a
+    droppable side column, so Catalyst cannot prune the check away).
+    Without this, one bad line would plant a null-typed fact that only
+    explodes much later, at read time, far from its cause."""
+    raw = spark.read.schema(JSONL_INPUT_SCHEMA).option("mode", "FAILFAST").json(path)
+
+    def _required(col: str):
+        return F.when(
+            F.col(col).isNull() | (F.trim(F.col(col)) == ""),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"jsonl fact input missing required '{col}' (subject="),
+                    F.coalesce(F.col("subject"), F.lit("null")),
+                    F.lit(")"),
+                )
+            ),
+        ).otherwise(F.col(col))
+
     return raw.select(
-        F.col("type"),
-        F.trim(F.col("subject")).alias("subject"),
+        _required("type").alias("type"),
+        F.trim(_required("subject")).alias("subject"),
         F.struct(
             F.unbase64(F.coalesce(F.col("payload"), F.lit(""))).alias("data"),
             F.col("payload_format").alias("format"),

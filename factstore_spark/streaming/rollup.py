@@ -52,6 +52,16 @@ def _publish(out_dir: str, manifest: dict[str, str]) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(out_dir, _POINTER))
+    # fsync the DIRECTORY too: os.replace orders the rename in memory,
+    # but power loss can still drop the directory entry after
+    # Structured Streaming commits the epoch — and a committed batch
+    # never replays, so the rename must be durable before foreachBatch
+    # returns.
+    dir_fd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def current_manifest(out_dir: str) -> dict[str, str] | None:
@@ -101,7 +111,20 @@ def vacuum_rollup(out_dir: str, retain_seconds: float = 3600.0) -> dict:
             continue
         path = os.path.join(out_dir, name)
         try:
-            if now - os.path.getmtime(path) <= retain_seconds:
+            # Age by the NEWEST mtime anywhere under the version dir,
+            # not the top-level dir alone: files landing in nested
+            # bucket_date partitions don't bump the parent's mtime, so
+            # a long in-flight (not yet published) refresh would look
+            # idle and get deleted mid-write. The walk is O(files in
+            # one version) and vacuum is rare.
+            newest = os.path.getmtime(path)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        pass
+            if now - newest <= retain_seconds:
                 continue
         except OSError:
             continue
@@ -158,8 +181,18 @@ def start_continuous_rollup(
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Partition date from UTC epoch arithmetic, NOT date_format
+        # (which renders in spark.sql.session.timeZone: a stream
+        # resumed under a different session TZ would map existing
+        # cells to different dates, miss their prior versions in the
+        # anti-join, and leave duplicate cells in the published
+        # table). date_add on a DATE is timezone-free.
+        epoch_days = F.floor(
+            F.unix_micros(F.col("bucket_start")) / F.lit(86_400_000_000)
+        ).cast("int")
         changed = batch_df.withColumn(
-            "bucket_date", F.date_format("bucket_start", "yyyy-MM-dd")
+            "bucket_date",
+            F.date_add(F.to_date(F.lit("1970-01-01")), epoch_days).cast("string"),
         ).persist()
         try:
             # Bounded driver collect: one row per distinct DATE in the

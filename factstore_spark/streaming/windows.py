@@ -168,20 +168,22 @@ def curate_stream(
     return dedup_stream_by_content(kept, text_col, time_col, watermark)
 
 
-RUNNING_TOTALS_SCHEMA = StructType(
-    [
-        StructField("subject", StringType(), False),
-        StructField("n_facts", LongType(), False),
-    ]
-)
-
 _RUNNING_STATE_SCHEMA = StructType([StructField("n", LongType(), False)])
 
 
 def running_totals_stateful(stream: DataFrame, key_col: str = "subject") -> DataFrame:
     """Per-key running fact counts via applyInPandasWithState — the
     custom-stateful-operator template: O(1) state per key, emits the
-    updated total on every micro-batch that touches the key."""
+    updated total on every micro-batch that touches the key. The key
+    column keeps its own name in the output (a hardcoded "subject"
+    label over, say, type values would silently mislabel downstream
+    joins)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType(), True),
+            StructField("n_facts", LongType(), False),
+        ]
+    )
 
     def update(
         key: Tuple[str],
@@ -192,11 +194,11 @@ def running_totals_stateful(stream: DataFrame, key_col: str = "subject") -> Data
         (prev,) = state.get if state.exists else (0,)
         total = prev + new
         state.update((total,))
-        yield pd.DataFrame({"subject": [key[0]], "n_facts": [total]})
+        yield pd.DataFrame({key_col: [key[0]], "n_facts": [total]})
 
     return stream.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
-        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_RUNNING_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -196,6 +196,15 @@ def test_refresh_rewrites_only_changed_date_partitions(spark, tmp_path):
     assert sum(n for n, _, _ in got.values()) == 6
 
 
+def _age_tree(path, old):
+    """Age EVERY entry under a version dir — vacuum now ages by the
+    newest file anywhere in the tree, not the top-level dir alone."""
+    for dirpath, dirs, files in os.walk(path, topdown=False):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+        os.utime(dirpath, (old, old))
+
+
 def test_vacuum_drops_only_aged_unreferenced_versions(spark, tmp_path):
     import os
     import time
@@ -215,8 +224,7 @@ def test_vacuum_drops_only_aged_unreferenced_versions(spark, tmp_path):
     assert vacuum_rollup(out_dir, retain_seconds=3600)["removed"] == []
     # age everything: only the unreferenced version goes
     for n in versions:
-        old = time.time() - 7200
-        os.utime(os.path.join(out_dir, n), (old, old))
+        _age_tree(os.path.join(out_dir, n), time.time() - 7200)
     res = vacuum_rollup(out_dir, retain_seconds=3600)
     live = set(res["live"])
     assert len(res["removed"]) == 1 and res["removed"][0] not in live
@@ -258,8 +266,67 @@ def test_unpublished_version_dir_is_invisible_and_vacuumable(spark, tmp_path):
     }
     assert after == before  # reader state unchanged by the orphan
 
-    old = time.time() - 7200
-    os.utime(orphan, (old, old))
+    _age_tree(orphan, time.time() - 7200)
     res = vacuum_rollup(out_dir, retain_seconds=3600)
     assert "v=99-deadbeef" in res["removed"]
     assert not os.path.exists(orphan)
+
+
+def test_rollup_partition_dates_survive_session_tz_change(spark, tmp_path):
+    """bucket_date comes from UTC epoch arithmetic, not session-TZ
+    date_format: a stream resumed under a different session timezone
+    must keep mapping existing cells to the SAME date partitions, or
+    the anti-join misses prior versions and duplicates cells."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "rollup")
+    # 23:30 UTC — a cell whose local date differs by timezone
+    late = datetime.datetime(2024, 1, 1, 23, 30, 0)
+    _write_src(spark, src, [(late, "A", 10)])
+    _file_refresh(spark, src, tmp_path)
+    m1 = current_manifest(out_dir)
+    assert set(m1) == {"2024-01-01"}
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")  # UTC+9
+    try:
+        _write_src(spark, src, [(late, "A", 5)])  # update the SAME cell
+        _file_refresh(spark, src, tmp_path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    m2 = current_manifest(out_dir)
+    assert set(m2) == {"2024-01-01"}  # not a phantom 2024-01-02
+    rows = read_rollup(spark, out_dir).collect()
+    assert len(rows) == 1  # one cell, upserted — no stale duplicate
+    assert rows[0].n == 2 and rows[0].v_sum == 15
+
+
+def test_vacuum_spares_inflight_version_with_fresh_nested_files(spark, tmp_path):
+    """An in-flight refresh writes into NESTED bucket_date dirs without
+    bumping the version dir's own mtime; vacuum must age by the newest
+    file anywhere under the version, not the top-level dir."""
+    from factstore_spark.streaming.rollup import vacuum_rollup
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "rollup")
+    _write_src(spark, src, [(_ts(1, 0), "A", 1)])
+    _file_refresh(spark, src, tmp_path)
+
+    # unpublished in-flight version: top-level dir mtime aged, but a
+    # nested partition file is brand new (the long-running write)
+    inflight = os.path.join(out_dir, "v=42-inflight")
+    nested = os.path.join(inflight, "bucket_date=2024-01-01")
+    os.makedirs(nested)
+    with open(os.path.join(nested, "part-0.parquet"), "wb") as fh:
+        fh.write(b"fresh")
+    old = 10_000.0
+    os.utime(inflight, (old, old))  # top dir looks ancient
+
+    res = vacuum_rollup(out_dir, retain_seconds=3600)
+    assert "v=42-inflight" not in res["removed"]
+    assert os.path.exists(inflight)
+
+    # once every nested file is old too, it ages out
+    os.utime(os.path.join(nested, "part-0.parquet"), (old, old))
+    os.utime(nested, (old, old))
+    res2 = vacuum_rollup(out_dir, retain_seconds=3600)
+    assert "v=42-inflight" in res2["removed"]

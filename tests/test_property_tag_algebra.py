@@ -76,3 +76,16 @@ def test_tags_all_match_predicate_matches_spec(spark):
         }
         spec_ids = {pos for pos, tags in facts if fact_matches_tags(tags, wanted)}
         assert spark_ids == spec_ids, f"trial {trial}: wanted {wanted}"
+
+
+def test_tags_all_match_empty_matches_all(spark):
+    """Reference fact_matches_tags: empty wanted-tags matches every
+    fact. The predicate builder must be total (reduce with a lit(True)
+    initializer), not crash — API layers that forbid empty queries
+    validate separately."""
+    from factstore_spark.plans.predicates import tags_all_match
+
+    df = spark.createDataFrame(
+        [({"a": "1"},), ({},), (None,)], "tags map<string,string>"
+    )
+    assert df.filter(tags_all_match({})).count() == 3

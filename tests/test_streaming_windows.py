@@ -252,3 +252,18 @@ def test_join_streams_matches_batch_band_join(spark, tmp_path):
             assert all(c != 3 for c, _ in got)  # out-of-band purchase
         else:
             assert (3, None) in got and (4, None) in got
+
+
+def test_running_totals_stateful_honors_key_col_name(seeded_stream, spark, tmp_path):
+    """A non-default key column keeps its OWN name in the output — a
+    hardcoded 'subject' label over type values would silently mislabel
+    downstream joins."""
+    out = _drain(
+        running_totals_stateful(seeded_stream, key_col="type"),
+        "run_totals_type", tmp_path, spark,
+    )
+    assert "type" in out.columns and "subject" not in out.columns
+    rows = {}
+    for r in out.collect():
+        rows[r.type] = max(rows.get(r.type, 0), r.n_facts)
+    assert sum(rows.values()) == 4
