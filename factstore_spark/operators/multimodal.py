@@ -211,8 +211,11 @@ def resize_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = target_w * target_h
-        out_ids, thumbs = [], []
         for pdf in batches:
+            # fresh accumulators per batch (like sample_frames /
+            # extract_features) — shared lists with a post-yield reset
+            # re-emit every prior batch if the reset line ever moves
+            out_ids, thumbs = [], []
             for mid, data in zip(pdf[id_col], pdf[data_col]):
                 raw = bytes(data) if data is not None else b""
                 stride = max(len(raw) // n, 1)
@@ -226,7 +229,6 @@ def resize_media(
                     "thumb_h": pd.Series([target_h] * len(out_ids), dtype="int32"),
                 }
             )
-            out_ids, thumbs = [], []
 
     return df.select(id_col, data_col).mapInPandas(run, THUMB_SCHEMA)
 

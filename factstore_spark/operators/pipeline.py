@@ -49,7 +49,7 @@ def curate_corpus(
     is not its near-dup cluster's representative (minimum id)."""
     from .dedup import dup_clusters, minhash_lsh_pairs
     from .sampling import contamination_check, ngram_contamination, shuffle_shards
-    from .text import with_lang_id, with_quality_score
+    from .text import exact_fp_col, with_lang_id, with_quality_score
 
     flagged = with_quality_score(with_lang_id(docs, text_col), text_col).select(
         F.col(id_col),
@@ -57,7 +57,7 @@ def curate_corpus(
         (F.col("pred_lang") == lang).alias("_lang_ok"),
         (F.col("quality_score") >= quality_threshold).alias("_q_ok"),
         F.col("n_tokens").alias("_n_tok"),
-        F.md5(F.lower(F.col(text_col))).alias("_fp"),
+        exact_fp_col(text_col).alias("_fp"),
     )
     survivors = flagged.filter(F.col("_lang_ok") & F.col("_q_ok"))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())

@@ -115,7 +115,9 @@ def contamination_check(
     benchmark side is tiny and BROADCAST, so this is a map-only probe
     of the corpus scan, one flag column, no shuffle of the corpus.
     Output: (id, contaminated)."""
-    fp = F.md5(F.lower(F.col(text_col)))
+    from .text import exact_fp_col
+
+    fp = exact_fp_col(text_col)
     bench_fps = benchmark.select(fp.alias("fp")).distinct()
     return (
         corpus.select(F.col(id_col), fp.alias("fp"))
@@ -291,14 +293,14 @@ def curation_funnel(
     row_number per content fingerprint, doc-id order). Output:
     (stage, stage_name, n) — one row per stage, monotonically
     non-increasing n."""
-    from .text import with_lang_id, with_quality_score
+    from .text import exact_fp_col, with_lang_id, with_quality_score
 
     flagged = with_quality_score(with_lang_id(df, text_col), text_col).select(
         F.col(id_col).alias("_id"),
         (F.col("pred_lang") == lang).alias("lang_ok"),
         (F.col("quality_score") >= quality_threshold).alias("q_ok"),
         F.col("n_tokens"),
-        F.md5(F.lower(F.col(text_col))).alias("_fp"),
+        exact_fp_col(text_col).alias("_fp"),
     )
     base = flagged.agg(
         F.count(F.lit(1)).alias("n_all"),

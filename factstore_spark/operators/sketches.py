@@ -80,13 +80,12 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         for pdf in batches:
             state.update(Counter(pdf[col].dropna()))
             if len(state) > k:
+                # decrement by the (len-k)-th smallest count; counts
+                # are positive so t >= 1 always
                 vals = sorted(state.values())
-                t = vals[len(state) - k - 1] if len(state) > k else 0
-                if t:
-                    decr += t
-                    state = Counter(
-                        {i: c - t for i, c in state.items() if c > t}
-                    )
+                t = vals[len(state) - k - 1]
+                decr += t
+                state = Counter({i: c - t for i, c in state.items() if c > t})
         rows = [(str(i), int(c), 0) for i, c in state.items()]
         rows.append((None, 0, int(decr)))
         yield pd.DataFrame(rows, columns=["item", "cnt", "decr"])
@@ -132,7 +131,12 @@ def quantile_cells(
         F.percentile_approx(F.col(value_col).cast("double"), qs, F.lit(accuracy)).alias(
             "breaks"
         ),
-        F.count(F.lit(1)).alias("n_rows"),
+        # count(value_col), NOT count(*): percentile_approx ignores
+        # nulls, so the histogram mass must too — counting null rows
+        # would overweight high-null cells in the rollup and push its
+        # cum-mass threshold past what the breakpoints can reach
+        # (NULL high quantiles on all-null cells).
+        F.count(F.col(value_col)).alias("n_rows"),
     )
 
 

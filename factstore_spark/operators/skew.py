@@ -19,12 +19,22 @@ split:
   instead (no salt needed); this is for the medium dimension that
   can't broadcast but joins a skewed fact.
 
-The salt is ``xxhash64(monotonically_increasing_id()) % salt`` —
-uniform even over EXACT-DUPLICATE hot rows (a whole-row hash would
+The salt: pass ``row_id_col`` (any unique column — an event id, a
+position) and the salt is ``xxhash64(row_id) % salt`` — fully
+DETERMINISTIC under task retries AND uniform over exact-duplicate hot
+rows (ids differ even when content doesn't; a whole-row hash would
 send identical rows to one reducer, and duplicate floods are a common
-skew source). The final RESULT is salt-independent by construction
-(phase 2 re-groups on the real keys; the join drops the salt), so the
-oracle-determinism contract is unaffected by which salt a row gets.
+skew source). Without ``row_id_col`` the salt falls back to
+``xxhash64(monotonically_increasing_id()) % salt``: same spreading,
+but the expression is NONDETERMINISTIC — if an executor is lost and
+only part of a stage is recomputed, rows can re-salt differently than
+the partials already fetched (the SPARK-23207 class of hazard; Spark
+mitigates by rolling back indeterminate stages, but the deterministic
+id salt removes the question entirely). Prefer ``row_id_col``
+wherever a unique column exists. The final RESULT is
+salt-independent by construction (phase 2 re-groups on the real keys;
+the join drops the salt), so the oracle-determinism contract is
+unaffected by which salt a row gets.
 """
 
 from __future__ import annotations
@@ -44,8 +54,12 @@ _PARTIAL = {
 _FINAL = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
 
-def _salt_col(salt: int):
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+def _salt_col(salt: int, row_id_col: str | None = None):
+    src = (
+        F.col(row_id_col) if row_id_col is not None
+        else F.monotonically_increasing_id()
+    )
+    return F.pmod(F.xxhash64(src), F.lit(salt))
 
 
 def salted_groupby(
@@ -53,6 +67,7 @@ def salted_groupby(
     keys: Sequence[str],
     aggs: Sequence[tuple[str, str, str]],
     salt: int = 16,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Two-phase skew-proof aggregation. ``aggs`` is a list of
     (function, column, output_name) with function in
@@ -62,7 +77,7 @@ def salted_groupby(
     for fn, _, _ in aggs:
         if fn not in _PARTIAL:
             raise ValueError(f"non-algebraic aggregate: {fn!r}")
-    salted = df.withColumn("_salt", _salt_col(salt))
+    salted = df.withColumn("_salt", _salt_col(salt, row_id_col))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[_PARTIAL[fn](col).alias(f"_p_{out}") for fn, col, out in aggs]
     )

@@ -86,7 +86,13 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
         F.lit(None).cast("long").alias("_rt"),
     )
-    r_tagged = right.select(
+    # SQL ASOF equality semantics: NULL keys never match. Null-keyed
+    # right rows are dropped (they could never fill anyone under
+    # equi-join rules); null-keyed LEFT rows then sit alone in the
+    # null window partition and surface with null value cols — without
+    # the filter, Window.partitionBy would group all nulls together
+    # and fill them into each other.
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_time).cast("long").alias("_t"),
         F.lit(0).alias("_side"),
@@ -164,7 +170,13 @@ def _asof_join_bucketed(
         ],
         F.lit(None).cast("long").alias("_rt"),
     ).withColumn("_b", b_of(F.col("_t")))
-    r_tagged = right.select(
+    # SQL ASOF equality semantics: NULL keys never match. Null-keyed
+    # right rows are dropped (they could never fill anyone under
+    # equi-join rules); null-keyed LEFT rows then sit alone in the
+    # null window partition and surface with null value cols — without
+    # the filter, Window.partitionBy would group all nulls together
+    # and fill them into each other.
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_time).cast("long").alias("_t"),
         F.lit(0).alias("_side"),
@@ -274,10 +286,18 @@ def range_join_binned(
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
     binned_pts = points.withColumn("_bin", F.floor(pt / F.lit(bin_width)))
     binned_iv = intervals.withColumn(
-        "_bin",
+        "_bin_iv",
         F.explode(
             F.sequence(F.floor(s / F.lit(bin_width)), F.floor(e / F.lit(bin_width)))
         ),
     )
-    joined = binned_pts.join(binned_iv, "_bin", how)
-    return joined.filter((pt >= s) & (pt <= e)).drop("_bin")
+    # Containment is part of the JOIN CONDITION, not a post-filter:
+    # Spark extracts the bin equality as the hash key and evaluates the
+    # range residual inside the join, so outer variants keep their
+    # semantics (a post-join filter would null-eliminate unmatched
+    # left rows and silently degrade how="left" to inner). Multiplicity
+    # is exact either way: a point has ONE bin, so each (point,
+    # interval) pair can match through at most one bin row.
+    cond = (F.col("_bin") == F.col("_bin_iv")) & (pt >= s) & (pt <= e)
+    joined = binned_pts.join(binned_iv, cond, how)
+    return joined.drop("_bin", "_bin_iv")

@@ -108,6 +108,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_fp_col(text_col: str = "text") -> Column:
+    """THE exact-duplicate fingerprint: md5 of the lower-cased text.
+    Single definition shared by with_fingerprint, the curation
+    pipeline's dedup stage and the contamination probes — if the
+    normalization ever changes (e.g. trimming), every consumer and its
+    oracle moves together."""
+    return F.md5(F.lower(F.col(text_col)))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints:
 
@@ -125,7 +134,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         % F.lit(1_000_000_007),
     )
-    return df.withColumn("md5_fp", F.md5(F.lower(F.col(text_col)))).withColumn(
+    return df.withColumn("md5_fp", exact_fp_col(text_col)).withColumn(
         "roll_fp", roll
     )
 

@@ -1928,6 +1928,7 @@ def events_salted_type_stats(spark, sf_dir):
             ("min", "vc", "min_cents"),
             ("max", "vc", "max_cents"),
         ],
+        row_id_col="event_id",
         salt=16,
     )
 

@@ -116,3 +116,20 @@ def test_quantile_cube_exact_on_single_cell_uniform(spark):
     cells = quantile_cells(df, ["g"], "v", n_bins=100)
     got = quantile_rollup(cells, ["g"], [0.5, 0.9]).collect()[0]
     assert abs(got.q_0_5 - 500) <= 20 and abs(got.q_0_9 - 900) <= 20
+
+
+def test_quantile_cells_ignore_null_values(spark):
+    """n_rows counts NON-NULL values only — percentile_approx ignores
+    nulls, so counting null rows would overweight high-null cells in
+    the rollup and push its cum-mass threshold past reachable mass
+    (NULL q_0_99 on groups containing an all-null cell)."""
+    from factstore_spark.operators.sketches import quantile_cells, quantile_rollup
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", None)] * 100
+    df = spark.createDataFrame(rows, "cell string, v double")
+    cells = quantile_cells(df, ["cell"], "v", n_bins=4)
+    by_cell = {r.cell: r for r in cells.collect()}
+    assert by_cell["a"].n_rows == 100
+    assert by_cell["b"].n_rows == 0  # null mass contributes nothing
+    out = quantile_rollup(cells, [], [0.5, 0.99]).collect()[0]
+    assert out.q_0_99 is not None and out.q_0_99 >= 95.0

@@ -145,3 +145,43 @@ def test_asof_join_bucketed_splits_hot_key(spark):
         ).selectExpr("count(distinct floor(t / 100)) n").collect()[0].n
     )
     assert n_hot_buckets == 6
+
+
+def test_range_join_binned_left_keeps_unmatched_points(spark):
+    """how='left' must RETAIN points no interval contains (containment
+    lives in the join condition, not a post-filter that would
+    null-eliminate the outer rows back to inner semantics)."""
+    pts = spark.createDataFrame(
+        [(0, 3), (1, 21), (2, 100)], "pid long, t long"
+    )
+    iv = spark.createDataFrame([(10, 0, 5)], "iv_id long, s long, e long")
+    rows = {
+        r.pid: r.iv_id
+        for r in range_join_binned(pts, iv, "t", "s", "e", bin_width=4, how="left").collect()
+    }
+    assert rows == {0: 10, 1: None, 2: None}
+    # and inner still drops them
+    inner = range_join_binned(pts, iv, "t", "s", "e", bin_width=4).collect()
+    assert [(r.pid, r.iv_id) for r in inner] == [(0, 10)]
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL ASOF equality semantics: NULL keys match nothing — a
+    null-keyed left row surfaces with null value cols; a null-keyed
+    right row fills nobody (Window.partitionBy would otherwise group
+    all nulls together and fill them into each other)."""
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, "u", 10)], "lid long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 77), ("u", 5, 88)], "k string, rt long, val long"
+    )
+    for bucket in (None, 100):
+        out = {
+            r.lid: r.val
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                value_cols=["val"], bucket=bucket,
+            ).collect()
+        }
+        assert out == {1: None, 2: 88}, f"bucket={bucket}"
