@@ -194,14 +194,36 @@ def compact_store(
             default=None,
         )
         if prev_ct is not None:
+            # A name-embedded seq <= prev_ct does NOT prove the data is
+            # superseded on the optimistic backend: bulk dirs are named
+            # by their RESERVE seq, and the publish can land under a
+            # LATER seq (CommitRecord.file points back at the dir), or
+            # not yet at all (long in-flight write). Protect (a) every
+            # file/dir a still-live commit references and (b) young
+            # unreferenced dirs (same 1 h in-flight grace as the orphan
+            # sweep) — deleting either would be permanent data loss.
+            import time as _time
+
+            protected = {
+                c.file for c in commits_before if c.file and c.seq > prev_ct
+            }
+            now = _time.time()
             for name in os.listdir(layout.data_dir):
                 p = os.path.join(layout.data_dir, name)
                 if name.startswith("commit-"):
+                    if name in protected:
+                        continue
                     try:
                         seq = int(name.split("-")[1].split(".")[0])
                     except (ValueError, IndexError):
                         continue
                     if seq <= prev_ct:
+                        try:
+                            age = now - os.path.getmtime(p)
+                        except OSError:
+                            continue
+                        if age <= 3600:
+                            continue  # possibly an in-flight reservation
                         if os.path.isdir(p):
                             shutil.rmtree(p, ignore_errors=True)
                         else:

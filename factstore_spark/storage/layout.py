@@ -484,6 +484,33 @@ class StoreLayout:
         entry = heads["subjects"].get(subject)
         return (entry[0], entry[1]) if entry else None
 
+    def _merge_heads_from_bulk(
+        self, files: list[str], expect_prev_seq: int, new_seq: int
+    ) -> dict:
+        """Fold ONE bulk commit's subject heads into the cache —
+        O(commit), not O(store). A full ``_rebuild_heads`` after every
+        bulk append re-reads three columns of the ENTIRE store into
+        driver memory; steady-state ingest into a large store pays that
+        scan per batch for no reason. Same crash-gap guard as
+        ``_update_heads``: any seq mismatch falls back to the full
+        rebuild."""
+        heads = self._read_heads()
+        if heads["seq"] != expect_prev_seq:
+            return self._rebuild_heads(new_seq)
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(
+                pq.read_table(f, columns=["id", "subject", "position"]).to_pylist()
+            )
+        rows.sort(key=lambda r: r["position"])
+        for row in rows:
+            heads["subjects"][row["subject"]] = [row["id"], row["position"]]
+        heads["seq"] = new_seq
+        self._write_heads(heads)
+        return heads
+
     def _rebuild_heads(self, last_seq: int) -> dict:
         heads = {"seq": last_seq, "subjects": {}}
         table = self.read_arrow(columns=["id", "subject", "position"])

@@ -130,9 +130,15 @@ class OptimisticStoreLayout(StoreLayout):
         # one misses. On strongly-consistent substrates (a) finds
         # nothing and (b) costs one read that returns None.
         jsonl_seqs = {c.seq for c in jsonl}
+        # Probe from the checkpoint horizon, not from min(claim_seqs):
+        # a listing hole BELOW the lowest listed claim (slot 5 missing
+        # while 6 lists, with jsonl folded through 4) is just as real
+        # as an interior hole, and skipping it would hand conditional
+        # appends a gappy snapshot to evaluate against.
+        lo = max(jsonl_seqs, default=-1) + 1
         probe = sorted(
             s
-            for s in range(min(claim_seqs, default=0), max(claim_seqs, default=-1))
+            for s in range(lo, max(claim_seqs, default=-1))
             if s not in claim_seqs and s not in jsonl_seqs
         )
         nxt = max(claim_seqs | jsonl_seqs, default=-1) + 1
@@ -407,6 +413,23 @@ class OptimisticStoreLayout(StoreLayout):
 
         now = time.time()
         self._sweep_tmp_files()
+        # Crashed put_if_absent calls strand ``.tmp-<hex>`` files in the
+        # commit_log dir (created before the atomic link, unlinked in a
+        # finally a kill skips). The store-dir sweep matches names
+        # ENDING in .tmp, so these would leak unboundedly on a
+        # long-lived store without their own age-gated pass.
+        try:
+            for name in os.listdir(self.log_dir):
+                if not name.startswith(".tmp-"):
+                    continue
+                p = os.path.join(self.log_dir, name)
+                try:
+                    if os.path.isfile(p) and now - os.path.getmtime(p) > 3600:
+                        os.unlink(p)
+                except OSError:
+                    pass
+        except OSError:
+            pass
         committed_files = set()
         for c in self.read_commits():
             if c.file:

@@ -123,9 +123,20 @@ class TagIndex:
         idx.repartition("tag_key").sortWithinPartitions(
             "tag_value", "position"
         ).write.partitionBy("tag_key").mode("overwrite").parquet(tmp)
+        # Swap via rename-aside, not rmtree-then-rename: the old tree's
+        # teardown can take long on a big index, and a concurrent
+        # indexed reader that resolved the path pre-swap would find it
+        # half-gone. Two renames shrink the no-index window to
+        # microseconds; the old generation is torn down AFTER the new
+        # one is live. (POSIX has no atomic dir exchange; the freshness
+        # gate re-checks per query, so post-swap readers always see a
+        # complete tree.)
+        old = self.index_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(self.index_dir):
-            shutil.rmtree(self.index_dir)
+            os.rename(self.index_dir, old)
         os.rename(tmp, self.index_dir)
+        shutil.rmtree(old, ignore_errors=True)
         with open(self.meta_path, "w") as f:
             json.dump({"built_through": last.seq}, f)
         return {"built": True, "through_seq": last.seq}

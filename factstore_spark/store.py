@@ -494,7 +494,11 @@ class FactStore:
             layout.append_bulk_commit_record(
                 seq, int(agg["n"]), appended_at, key, int(agg["hi"])
             )
-            layout._rebuild_heads(seq)
+            # O(commit) heads fold, not an O(store) rebuild: under the
+            # flock there is no concurrency, so the pre-append last seq
+            # is exactly what heads must carry for the merge to be safe.
+            prev_last = commits[-1].seq if commits else -1
+            layout._merge_heads_from_bulk(bulk_files, prev_last, seq)
         return Appended((), appended_at, (int(agg["lo"]), int(agg["hi"])))
 
     def _append_dataframe_optimistic(self, layout, df: DataFrame, key: str) -> AppendResult:
@@ -582,7 +586,26 @@ class FactStore:
         # same shape as a crash mid-ingest) rather than publish a
         # commit that breaks the strict total order.
         n2 = int(agg2["n"] or 0)
-        if n2 > 0 and (int(agg2["lo"]) < base or int(agg2["nd"]) != n2):
+        if n2 == 0:
+            # The re-evaluation produced ZERO rows (nondeterministic
+            # source shrank between the pre-reserve count and the
+            # write): publish an empty commit so the idempotency key is
+            # still honored — mirror of the flock path's empty branch
+            # (agg2.hi is null here; int(None) would crash).
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            pseq = layout.publish_bulk(
+                None, 0, layout.head_position(), appended_at, key
+            )
+            if pseq is None:
+                return AlreadyApplied(key)
+            return Appended((), appended_at, ())
+        if (
+            int(agg2["lo"]) < base
+            or int(agg2["nd"]) != n2
+            or int(agg2["hi"]) > base + rel_hi
+        ):
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -590,6 +613,15 @@ class FactStore:
                 return AppendConditionViolated(
                     "written positions fell below the reserved base "
                     f"(min was {int(agg2['lo']) - base}) — "
+                    "nondeterministic source plan; materialize the input"
+                )
+            if int(agg2["hi"]) > base + rel_hi:
+                # Past the ceiling the positions may collide with a
+                # CONCURRENTLY reserved commit's range — publishing
+                # would put two commits on overlapping positions.
+                return AppendConditionViolated(
+                    "written positions overran the reserved range "
+                    f"(max was {int(agg2['hi']) - base}, reserved {rel_hi}) — "
                     "nondeterministic source plan; materialize the input"
                 )
             return AppendConditionViolated(
@@ -605,7 +637,16 @@ class FactStore:
 
             shutil.rmtree(out_dir, ignore_errors=True)
             return AlreadyApplied(key)
-        layout._rebuild_heads(layout.last_commit().seq)
+        # O(commit) heads fold when we are still the newest commit; any
+        # interleaving (another commit landed after our publish, or a
+        # heads-seq gap) falls back to the full rebuild inside the
+        # merge — heads stay a cache, never a correctness dependency.
+        seqs = sorted({c.seq for c in layout.read_commits()})
+        prev_last = max((s for s in seqs if s < pseq), default=-1)
+        if seqs and seqs[-1] == pseq:
+            layout._merge_heads_from_bulk(files, prev_last, pseq)
+        else:
+            layout._rebuild_heads(seqs[-1] if seqs else pseq)
         for f in files:
             layout._link_into_stream(f)
         return Appended((), appended_at, (int(agg2["lo"]), int(agg2["hi"])))

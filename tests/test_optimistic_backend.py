@@ -309,3 +309,179 @@ def test_maintain_end_to_end_on_object_store_backend(spark, tmp_path):
         assert len(tagged.facts) == 2
     finally:
         srv.stop()
+
+
+def test_compaction_purge_protects_live_referenced_bulk_dir(fso, spark):
+    """A bulk dir is named by its RESERVE seq; the publish can land
+    under a LATER seq. The compaction purge must protect any dir a
+    still-live commit references via ``file`` (and young unreferenced
+    dirs), even when the name-embedded seq sits below prev_ct —
+    deleting it would be permanent data loss."""
+    import os
+    import time
+
+    from factstore_spark.storage.compact import compact_store
+    from factstore_spark.storage.layout import utcnow_us
+
+    fso.create(STORE)
+    fso.append(STORE, FactInput(type="ROW", subject="seed"))
+    meta = fso.catalog.find_by_name(STORE)
+    layout = fso._layout(meta.id)
+
+    # reserve EARLY: the range (and its low seq) is ours while the
+    # long write "runs" across the compactions below
+    seq, base = layout.reserve_position_range(2, utcnow_us())
+    dir_name = f"commit-{seq:010d}-bulk"
+    out_dir = os.path.join(layout.data_dir, dir_name)
+
+    # two compactions move prev_ct past the reserve seq
+    fso.append(STORE, FactInput(type="ROW", subject="mid1"))
+    compact_store(spark, layout)
+    fso.append(STORE, FactInput(type="ROW", subject="mid2"))
+    compact_store(spark, layout)
+
+    # the write finishes AFTER both compactions, in the engine's own
+    # format (borrow a real published bulk commit's bytes), then the
+    # publish lands under a late seq referencing the early-named dir
+    df = spark.range(1).select(
+        F.lit("BULK").alias("type"),
+        F.lit("bulk-src").alias("subject"),
+        F.struct(
+            F.lit(b"").alias("data"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("schema_ref"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    res = fso.append_dataframe(STORE, df)
+    assert isinstance(res, Appended)
+    import shutil
+
+    real_dirs = sorted(
+        d for d in os.listdir(layout.data_dir) if d.endswith("-bulk")
+    )
+    src = os.path.join(layout.data_dir, real_dirs[-1])
+    shutil.copytree(src, out_dir)
+    for f in list(os.listdir(out_dir)):
+        if f.endswith(".crc") or f.startswith("_"):
+            os.unlink(os.path.join(out_dir, f))  # stale Hadoop checksums
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    # rebase the copied rows into the reserved range + rename subject
+    for f in os.listdir(out_dir):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(out_dir, f)
+        t = pq.read_table(p)
+        if t.num_rows == 0:
+            continue
+        t = t.set_column(
+            t.schema.get_field_index("position"),
+            "position",
+            pa.array([base], pa.int64()),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("id"), "id", pa.array(["id-b0"])
+        )
+        t = t.set_column(
+            t.schema.get_field_index("subject"), "subject", pa.array(["bulk-subj"])
+        )
+        # INT96 like the engine's own writer: the session reads
+        # TIMESTAMP(NANOS) as long (nanosAsLong), so a pyarrow-default
+        # nanos annotation would type-mismatch appended_at
+        pq.write_table(t, p, use_deprecated_int96_timestamps=True)
+    pseq = layout.publish_bulk(dir_name, 1, base, utcnow_us(), "bulk-key")
+    assert pseq is not None
+
+    # age the dir so only the protected-set (not the age gate) saves it,
+    # then compact again — the purge must skip the referenced dir
+    old = time.time() - 7200
+    os.utime(out_dir, (old, old))
+    fso.append(STORE, FactInput(type="ROW", subject="mid3"))
+    compact_store(spark, layout)
+    assert os.path.isdir(out_dir), "live-referenced bulk dir was purged"
+    got = fso.find_by_subject(STORE, "bulk-subj")
+    assert [f.id for f in got.facts] == ["id-b0"]
+
+
+def test_read_commits_probes_holes_below_lowest_listed_claim(fso):
+    """A listing hole BELOW min(listed claims) — right above the jsonl
+    checkpoint horizon — must be direct-read-probed like any interior
+    hole; skipping it hands conditional appends a gappy snapshot."""
+    fso.create(STORE)
+    for i in range(4):
+        fso.append(STORE, FactInput(type="T", subject=f"s{i}"))
+    meta = fso.catalog.find_by_name(STORE)
+    layout = fso._layout(meta.id)
+    all_seqs = sorted(c.seq for c in layout.read_commits())
+
+    hidden = min(
+        int(n.split(".")[0]) for n in layout.slots.list_names()
+        if n.endswith(".json") and "-" not in n
+    )
+
+    class HidingSlots:
+        def __init__(self, inner, hide_name):
+            self._inner, self._hide = inner, hide_name
+
+        def list_names(self):
+            return [n for n in self._inner.list_names() if n != self._hide]
+
+        def __getattr__(self, item):
+            return getattr(self._inner, item)
+
+    layout.slots = HidingSlots(layout.slots, f"{hidden:020d}.json")
+    layout._claim_memo.clear()
+    seqs = sorted(c.seq for c in layout.read_commits())
+    assert seqs == all_seqs, "hole below min(listed) was not probed"
+
+
+def test_bulk_reeval_to_zero_rows_publishes_empty_commit(fso, spark):
+    """A nondeterministic source that shrinks to ZERO rows between the
+    pre-reserve count and the write must yield a clean empty Appended
+    (idempotency honored), not an int(None) crash."""
+    import os
+    import tempfile
+
+    marker = os.path.join(tempfile.mkdtemp(), "seen")
+
+    from pyspark.sql.functions import udf
+
+    @udf("boolean", useArrow=False)
+    def first_eval_only(_x):
+        import os as _os
+
+        if _os.path.exists(marker):
+            return False
+        open(marker, "w").close()
+        return True
+
+    keep = first_eval_only.asNondeterministic()
+    fso.create(STORE)
+    df = (
+        spark.range(1).coalesce(1)
+        .select(
+            F.lit("T").alias("type"),
+            F.lit("reeval-subj").alias("subject"),
+            F.struct(
+                F.lit(b"").alias("data"),
+                F.lit(None).cast("string").alias("format"),
+                F.lit(None).cast("string").alias("schema_ref"),
+            ).alias("payload"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+            F.col("id"),
+        )
+        .filter(keep(F.col("id")))
+        .drop("id")
+    )
+    res = fso.append_dataframe(STORE, df, idempotency_key="reeval-key")
+    assert isinstance(res, Appended)
+    assert res.positions == ()
+    # key honored: the retry reports AlreadyApplied
+    from factstore_spark.results import AlreadyApplied
+
+    res2 = fso.append_dataframe(STORE, df, idempotency_key="reeval-key")
+    assert isinstance(res2, AlreadyApplied)
