@@ -62,7 +62,13 @@ def _make_fake_decode() -> Callable[[bytes], tuple[int, int, int]]:
 
     def fake(data: bytes) -> tuple[int, int, int]:
         n = len(data)
-        checksum = sum(data[:64]) if data else 0
+        # checksum over CODE POINTS of the first 64 characters (utf-8
+        # decode, undecodable bytes -> U+FFFD), not raw bytes: the SQL
+        # oracle expresses it as ascii(text[i]) and DuckDB cannot
+        # address blob bytes, so code points are the one formulation
+        # both engines can compute identically for non-ASCII payloads.
+        text = data.decode("utf-8", "replace") if data else ""
+        checksum = sum(ord(c) for c in text[:64])
         width = 16 + (n % 624)
         height = 16 + (checksum % 464)
         n_frames = 1 + (n % 24)

@@ -25,12 +25,18 @@ def with_global_rank(
     order_cols: Sequence[Column],
     rank_col: str = "rank",
     num_partitions: int = 32,
-) -> DataFrame:
+    with_total: bool = False,
+):
     """``row_number() over (ORDER BY order_cols)`` computed scalably:
     one range shuffle + per-partition windows + a broadcast of
     ``num_partitions`` cumulative offsets. ``order_cols`` must be a
     TOTAL order (add unique tie-breakers) or ranks are arbitrary within
-    ties, same as the window form. Adds ``rank_col`` (1-based long)."""
+    ties, same as the window form. Adds ``rank_col`` (1-based long).
+
+    ``with_total=True`` returns ``(df, total_rows)`` — the total is the
+    sum of the per-partition sizes the offsets pass ALREADY collected,
+    so callers that need N (NTILE arithmetic) skip a redundant count
+    job over the checkpointed data."""
     # localCheckpoint PINS the range partitioning: the size job below
     # and the rank job later must see the SAME boundaries (the range
     # sampler is re-seeded per execution, so without materialization
@@ -51,13 +57,16 @@ def with_global_rank(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         ranged.withColumn(
             rank_col,
             (F.row_number().over(w) + off_map[F.col("_pid")]).cast("long"),
         )
         .drop("_pid")
     )
+    if with_total:
+        return out, acc
+    return out
 
 
 def ntile_of_rank(rank: Column, n: Column, tiles: int) -> Column:

