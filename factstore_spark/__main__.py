@@ -58,6 +58,15 @@ def _parse_tags(pairs: list[str]) -> dict[str, str]:
     return out
 
 
+def _positive_int(raw: str) -> int:
+    """argparse type: reject bad limits BEFORE the ~35 s Spark startup
+    (the engine's validate_limit would raise a raw traceback after)."""
+    n = int(raw)
+    if n <= 0:
+        raise argparse.ArgumentTypeError("must be > 0")
+    return n
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="factstore_spark")
     ap.add_argument("--root", default=os.environ.get("FACTSTORE_ROOT", "./factstore-data"))
@@ -92,13 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("find-by-subject")
     p.add_argument("store")
     p.add_argument("subject")
-    p.add_argument("--limit", type=int)
+    p.add_argument("--limit", type=_positive_int)
     p.add_argument("--backward", action="store_true")
 
     p = sub.add_parser("find-by-tags")
     p.add_argument("store")
     p.add_argument("--tag", action="append", required=True)
-    p.add_argument("--limit", type=int)
+    p.add_argument("--limit", type=_positive_int)
     p.add_argument("--backward", action="store_true")
 
     p = sub.add_parser("replay")
@@ -138,7 +147,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="factstore-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    fs = FactStore(spark, args.root, commit_backend=args.backend)
+    try:
+        fs = FactStore(spark, args.root, commit_backend=args.backend)
+    except ValueError as e:
+        ap.error(str(e))  # e.g. unknown --backend: clean exit, not a traceback
     direction = (
         ReadDirection.BACKWARD if getattr(args, "backward", False) else ReadDirection.FORWARD
     )

@@ -163,7 +163,16 @@ def _parse_condition(d: Optional[dict]):
         return NoCondition()
     if "expectedLastFact" in d:
         e = d["expectedLastFact"]
-        return ExpectedLastFact(e["subject"], e.get("expectedLastFactId"))
+        try:
+            subject = e["subject"]
+        except (KeyError, TypeError):
+            # request-shape error, not a server fault: without the wrap
+            # the KeyError escapes to the generic handler and the
+            # client sees INTERNAL for a malformed condition
+            raise RpcError(
+                "INVALID_ARGUMENT", "expectedLastFact requires subject"
+            )
+        return ExpectedLastFact(subject, e.get("expectedLastFactId"))
     if "tagQueryBased" in d:
         t = d["tagQueryBased"]
         return TagQueryBased(
@@ -363,7 +372,9 @@ class FactStoreRpcService:
                 start=_parse_instant(req["from"]) if req.get("from") else None,
                 end=_parse_instant(req["to"]) if req.get("to") else None,
             )
-        except ValueError as e:
+        except (ValueError, TypeError) as e:
+            # TypeError: mixed aware/naive from/to bounds — a malformed
+            # request, same INVALID_ARGUMENT class as a bad format
             raise RpcError("INVALID_ARGUMENT", str(e))
         return self._facts_outcome(
             self.fs.find_in_time_range(
@@ -373,9 +384,6 @@ class FactStoreRpcService:
                 direction=_parse_direction(req.get("direction")),
             )
         )
-
-    def _InfoService_unused(self):  # pragma: no cover
-        pass
 
     def _GetServerInfo(self, req: dict) -> dict:
         return {

@@ -102,8 +102,23 @@ def _as_map(value) -> dict[str, str]:
     return dict(value)
 
 
-def _as_utc(ts: datetime) -> datetime:
+def _as_utc(ts: datetime, naive_is_local: bool = False) -> datetime:
+    """Two different NAIVE timestamp sources flow through row_to_fact,
+    with opposite meanings:
+
+    - Spark ``collect()`` rows: TimestampType.fromInternal renders the
+      instant as naive wall time in the DRIVER OS timezone
+      (``naive_is_local=True`` — astimezone interprets local and
+      converts; replace(utc) would shift by the driver's offset).
+    - pyarrow dict rows (INT96 / unannotated micros): naive wall time
+      that already IS UTC (``naive_is_local=False`` — replace;
+      astimezone would shift).
+
+    On a UTC driver both coincide, which is why either bug hides in CI.
+    """
     if ts.tzinfo is None:
+        if naive_is_local:
+            return ts.astimezone(timezone.utc)
         return ts.replace(tzinfo=timezone.utc)
     return ts.astimezone(timezone.utc)
 
@@ -111,6 +126,7 @@ def _as_utc(ts: datetime) -> datetime:
 def row_to_fact(row) -> Fact:
     """Spark Row / pyarrow dict -> Fact."""
     get = row.__getitem__ if isinstance(row, dict) else row.__getattr__
+    naive_is_local = not isinstance(row, dict)  # Spark Row vs pyarrow
     payload = get("payload")
     if payload is None:
         fp = FactPayload()
@@ -130,7 +146,7 @@ def row_to_fact(row) -> Fact:
         id=get("id"),
         type=get("type"),
         subject=get("subject"),
-        appended_at=_as_utc(get("appended_at")),
+        appended_at=_as_utc(get("appended_at"), naive_is_local),
         position=get("position"),
         payload=fp,
         metadata=_as_map(get("metadata")),

@@ -27,7 +27,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
-from datetime import datetime
+from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -355,7 +355,7 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                 self._facts_response(self.fs.find_by_tag_query(parts[2], query))
                 return
             self._json(404, {"error": "no such route"})
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
+        except (KeyError, ValueError, TypeError, AttributeError, json.JSONDecodeError) as e:
             self._json(400, {"error": str(e)})
 
     def do_GET(self):
@@ -403,7 +403,27 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                 elif isinstance(res, FactIdNotFound):
                     self._json(404, {"error": "fact id not found", "factId": res.fact_id})
                 else:
-                    self._json(200, [_fact_dict(f) for b in res for f in b])
+                    # STREAM the batched replay instead of flattening it
+                    # into one list + one json.dumps: the engine's replay
+                    # is deliberately a bounded-batch generator, and a
+                    # multi-million-fact store would otherwise sit in
+                    # driver RAM twice (dicts + serialized body). Close-
+                    # delimited JSON array (no Content-Length).
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    self.wfile.write(b"[")
+                    first = True
+                    for batch in res:
+                        for f in batch:
+                            if not first:
+                                self.wfile.write(b",")
+                            self.wfile.write(json.dumps(_fact_dict(f)).encode())
+                            first = False
+                        self.wfile.flush()
+                    self.wfile.write(b"]")
+                    self.close_connection = True
                 return
             if len(parts) == 5 and parts[3] == "facts":
                 res = self.fs.find_by_id(parts[2], parts[4])
@@ -441,7 +461,7 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                 self._facts_response(res)
                 return
             self._json(404, {"error": "no such route"})
-        except (KeyError, ValueError) as e:
+        except (KeyError, ValueError, TypeError, AttributeError) as e:
             self._json(400, {"error": str(e)})
 
     def do_DELETE(self):
@@ -488,9 +508,15 @@ class FactStoreHandler(BaseHTTPRequestHandler):
 
 
 def _parse_instant(raw):
+    """Same normalization as rpc.py: accept Z suffix, interpret bare
+    (naive) stamps as UTC so from/to bounds never mix aware and naive
+    (the TypeError class of 500s)."""
     if not raw:
         return None
-    return datetime.fromisoformat(raw)
+    ts = datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts
 
 
 class FactStoreServer:

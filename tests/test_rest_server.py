@@ -245,3 +245,22 @@ def test_explorer_backing_endpoints_roundtrip(server):
     assert code == 200 and len(facts) == 1
     code, _ = req("DELETE", f"{server}/api/v1/stores/ui")
     assert code == 204
+
+
+def test_malformed_requests_get_clean_400s(server):
+    """Shape errors (wrong JSON types, bad instants) must map to 400 —
+    never a dropped connection from an uncaught TypeError/AttributeError."""
+    req("POST", f"{server}/v1/stores", {"name": "m"})
+    code, body = req("POST", f"{server}/v1/stores/m/facts", {"facts": ["a"]})
+    assert code == 400 and "error" in body
+    code, body = req("POST", f"{server}/v1/stores/m/facts", {"facts": "x"})
+    assert code == 400
+    code, body = req("GET", f"{server}/v1/stores/m/facts?from=not-a-time")
+    assert code == 400
+    # Z-suffix and bare stamps both parse (normalized to UTC)
+    code, _ = req(
+        "GET",
+        f"{server}/v1/stores/m/facts"
+        "?from=2020-01-01T00:00:00Z&to=2030-01-02T00:00:00",
+    )
+    assert code == 200

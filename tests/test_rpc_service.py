@@ -423,3 +423,25 @@ def test_get_server_info(channel):
     # proto3 canonical JSON: `string storage_backend = 3` -> lowerCamelCase.
     assert "spark-parquet" in res["storageBackend"]
     assert "storage_backend" not in res
+
+
+def test_malformed_condition_is_invalid_argument(channel):
+    """Request-shape errors surface as INVALID_ARGUMENT, not INTERNAL."""
+    import base64
+
+    from factstore_spark.rpc import RpcError
+
+    _create(channel, "rpc-shape")
+    with pytest.raises(RpcError) as e:
+        channel.unary(
+            "FactService", "AppendFacts",
+            {
+                "storeName": "rpc-shape",
+                "facts": [{
+                    "type": "T", "subject": "s",
+                    "payload": {"data": base64.b64encode(b"x").decode()},
+                }],
+                "condition": {"expectedLastFact": {}},
+            },
+        )
+    assert e.value.code == "INVALID_ARGUMENT"

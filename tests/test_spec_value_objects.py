@@ -144,3 +144,36 @@ def test_query_or_monotonicity(tags, fact_type):
     one = fact_matches_tag_query(fact_type, tags, TagQuery([item1]))
     both = fact_matches_tag_query(fact_type, tags, TagQuery([item1, item2]))
     assert both or not one  # one => both
+
+
+def test_as_utc_disambiguates_naive_timestamp_sources():
+    """Two naive-timestamp sources with OPPOSITE meanings flow through
+    row_to_fact: Spark collect() renders instants as driver-LOCAL wall
+    time, pyarrow INT96 reads as UTC wall time. On a UTC host both
+    coincide (which is how either bug hides); pin a non-UTC TZ and
+    assert each is converted by its own rule."""
+    import os
+    import time as _time
+    from datetime import datetime, timezone
+
+    from factstore_spark.schema import _as_utc
+
+    prev = os.environ.get("TZ")
+    os.environ["TZ"] = "Europe/Berlin"  # CET (+1) on the winter date below
+    _time.tzset()
+    try:
+        naive = datetime(2024, 1, 1, 13, 0, 0)
+        assert _as_utc(naive, naive_is_local=True) == datetime(
+            2024, 1, 1, 12, 0, tzinfo=timezone.utc
+        )
+        assert _as_utc(naive, naive_is_local=False) == datetime(
+            2024, 1, 1, 13, 0, tzinfo=timezone.utc
+        )
+        aware = datetime(2024, 1, 1, 13, 0, tzinfo=timezone.utc)
+        assert _as_utc(aware) == aware
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        _time.tzset()
