@@ -82,9 +82,10 @@ def dup_clusters(
     convergence is O(log diameter) rounds, each a bounded number of
     shuffle joins. ``localCheckpoint`` truncates lineage every round
     (iterative DataFrame plans otherwise grow without bound and OOM the
-    driver's analyzer). Convergence detector: sum(labels) is monotone
-    non-increasing and stationary exactly at the fixpoint — one cheap
-    agg instead of a change-join. Output: (doc_id, cluster_id).
+    driver's analyzer). Convergence detector: zero changed labels this
+    round — exact for ANY id dtype (a sum(label) shortcut would break
+    on string ids and can overflow on huge ints).
+    Output: (doc_id, cluster_id).
     """
     # Null ids cannot participate in a component (and would behave
     # differently per path) — drop them up front in both paths.
@@ -143,7 +144,6 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnsRenamed({"node": "dst", "label": "nl"}), "dst")
@@ -168,13 +168,23 @@ def dup_clusters(
         new_labels = jump.select(
             "node", F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label")
         ).localCheckpoint()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # Convergence = zero labels CHANGED this round — an exact,
+        # dtype-agnostic test. The previous sum(label) detector assumed
+        # numeric ids: string ids cast to NULL (instant false
+        # convergence, wrong components) or raise under ANSI, and huge
+        # int ids could overflow the sum. One extra node-keyed join per
+        # round over the O(nodes) label table, not the data.
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         old = labels
         labels = new_labels
         old.unpersist()
-        if new_sum == prev_sum:
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -432,12 +442,22 @@ def minhash_lsh_pairs(
     shingle -> minhash (map-only) -> explode b bands -> groupBy
     (band, band_hash) self-join -> distinct pairs. Shuffle is
     O(docs*bands), never O(docs^2)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}): rows_per_band=0 makes every band hash "
+            "identical (full O(n^2) cross-product) and a non-divisible "
+            "split silently drops tail hashes from the banding"
+        )
     rows_per_band = num_hashes // bands
     df = _spread(df)
     sig = (
         df.select(F.col(id_col).alias("_id"), shingle_hashes_col(text_col, n).alias("_h"))
         .select("_id", minhash_sig_np("_h", num_hashes, seed).alias("sig"))
-    ).cache()
+    ).cache()  # reused across all bands within THIS plan; Spark evicts
+    # LRU under memory pressure — callers running many corpora in one
+    # session can spark.catalog.clearCache() between them (no handle
+    # survives the returned lazy DataFrame to unpersist earlier)
     banded = sig.select(
         "_id",
         F.explode(
@@ -524,7 +544,19 @@ def simhash_near_dup_pairs(
     pigeonhole banding trick: split 64 bits into ``chunks`` 16-bit
     chunks; any pair within distance < chunks must agree on >= 1 chunk,
     so exact-match joins per chunk find all candidates sub-quadratically."""
-    sim = _spread(df).select(F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")).cache()
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    if max_hamming >= chunks:
+        # The pigeonhole guarantee (any pair within distance < chunks
+        # shares a chunk) breaks when max_hamming >= chunks: a pair
+        # differing once per chunk would be silently missed. Auto-raise
+        # to the smallest divisor of 64 that restores the guarantee —
+        # more candidate volume, never lost recall.
+        chunks = next(c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming)
+    sim = _spread(df).select(
+        F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")
+    ).cache()  # reused per chunk-join; same eviction/clearCache note as
+    # the MinHash signature cache above
     width = 64 // chunks
     banded = sim.select(
         "_id",
@@ -630,11 +662,21 @@ def semantic_dedup_pairs(
     pairs = pairs.withColumn("dot", dot)
     dec = "decimal(38,0)"
     d = F.col("dot").cast(dec)
-    cond = (F.col("dot") >= 0) & (
-        d * d * F.lit(tau_den * tau_den).cast(dec)
-        >= F.lit(tau_num * tau_num).cast(dec)
-        * F.col("sqa").cast(dec)
-        * F.col("sqb").cast(dec)
+    # sq > 0 guards: a zero-quantized vector has sq=0, degenerating the
+    # cross-multiplied test to 0 >= 0 — it would pair with EVERY
+    # cluster neighbor and semantic_dedup would drop the whole cluster
+    # as its dups. Zero-norm cosine is 0 (< tau) by the module's own
+    # cosine_similarity convention.
+    cond = (
+        (F.col("sqa") > 0)
+        & (F.col("sqb") > 0)
+        & (F.col("dot") >= 0)
+        & (
+            d * d * F.lit(tau_den * tau_den).cast(dec)
+            >= F.lit(tau_num * tau_num).cast(dec)
+            * F.col("sqa").cast(dec)
+            * F.col("sqb").cast(dec)
+        )
     )
     return pairs.filter(cond).select("cluster", "id_a", "id_b", "dot")
 

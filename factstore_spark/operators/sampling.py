@@ -248,7 +248,11 @@ def pack_sequences(
         )
     staged = per_doc.select(
         "_id",
-        F.pmod(F.col("_id"), F.lit(n_shards)).alias("shard"),
+        # md5 bucket, not arithmetic pmod: doc ids may be strings (an
+        # implicit cast NULLs the shard non-ANSI — collapsing every row
+        # into ONE window partition — or raises under ANSI), and the
+        # md5 bucket is the module-wide engine-neutral contract
+        split_bucket("_id", n_shards, "pack").alias("shard"),
         "n_tok",
     )
     w = (

@@ -127,6 +127,12 @@ def _band_hash_col(vec_col: Column, planes: np.ndarray, bands: int) -> Column:
     shrinks candidate volume geometrically (VERDICT r1 fix: the old
     F.hash(slice) form capped the space at 2^4)."""
     n_planes = planes.shape[0]
+    if bands <= 0 or n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a positive multiple of bands "
+            f"({bands}) — a zero-width band hashes every vector into one "
+            "bucket (full cross-product)"
+        )
     rpb = n_planes // bands
     weights = (1 << np.arange(rpb, dtype=np.int64))
 
@@ -687,6 +693,17 @@ def ivf_topk(
             v = [float(x) for x in r.cvec]
             norm = sum(x * x for x in v) ** 0.5 or 1.0
             centroids.append([x / norm for x in v])
+    else:
+        # normalize CALLER centroids too (cosine_dup_pairs does the
+        # same): the argmax-dot == nearest-by-cosine identity below
+        # only holds for unit centroids, and a longer centroid would
+        # silently bias assignment toward its cell
+        normed = []
+        for c in centroids:
+            v = [float(x) for x in c]
+            norm = sum(x * x for x in v) ** 0.5 or 1.0
+            normed.append([x / norm for x in v])
+        centroids = normed
     # Literal array<array<double>> of unit-normalized centroids: nearest-
     # by-cosine == argmax dot product, computed per row with no shuffle.
     cents_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
@@ -780,7 +797,9 @@ def build_ivf_index(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(F.array_sort(idx), 1)["cell"].alias("cell"),
-    )
+    ).localCheckpoint()  # one pass: write + n_vectors count share the
+    # materialized assignment instead of re-scanning the whole corpus
+    # for the manifest count (same pattern as refresh_ivf_index)
     os.makedirs(index_dir, exist_ok=True)
     assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, "assignments")

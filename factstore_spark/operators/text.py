@@ -253,17 +253,22 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     phone numbers, and IPv4 addresses. Map-only regex expressions
     (whole-stage codegen), no shuffle, linear at 100 TB. Patterns are
     applied in a fixed order (email -> phone -> ip; phone before ip so
-    a phone number is never half-eaten as a dotted quad). Adds
-    ``n_emails / n_phones / n_ips`` (long) and ``redacted_text``."""
+    a phone number is never half-eaten as a dotted quad). Each count is
+    taken on the text state BEFORE its own pattern applies (i.e. after
+    the earlier masks), so the n_* columns reconcile exactly with the
+    masks present in ``redacted_text`` — counting everything on the
+    raw text would report phantom hits for spans an earlier pattern
+    already consumed (an email swallowing a phone-shaped substring).
+    Adds ``n_emails / n_phones / n_ips`` (long) and ``redacted_text``."""
     out = df
-    redacted = F.col(text_col)
+    current = F.col(text_col)
     for name, (pattern, mask) in PII_PATTERNS.items():
         out = out.withColumn(
             f"n_{name}s",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast("long"),
+            F.size(F.regexp_extract_all(current, F.lit(pattern), 0)).cast("long"),
         )
-        redacted = F.regexp_replace(redacted, pattern, mask.replace("$", r"\$"))
-    return out.withColumn("redacted_text", redacted)
+        current = F.regexp_replace(current, pattern, mask.replace("$", r"\$"))
+    return out.withColumn("redacted_text", current)
 
 
 def chunk_documents(
@@ -316,13 +321,13 @@ def top_ngrams(
     explosion) -> TakeOrderedAndProject for the global top-k (never a
     full sort). Ties broken by ngram text ascending for full
     determinism. Output: (ngram, doc_freq, rank)."""
-    from .dedup import _spread
+    from .dedup import _spread, shingles_col
 
-    toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    # THE word n-gram definition lives in dedup.shingles_col — reusing
+    # it keeps the corpus profile consistent with the dedup and
+    # contamination operators that share it (same discipline as
+    # exact_fp_col)
+    grams = shingles_col(text_col, n)
     counts = (
         _spread(df).select(F.explode(F.array_distinct(grams)).alias("ngram"))
         .groupBy("ngram")

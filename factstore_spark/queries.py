@@ -1379,7 +1379,9 @@ per_doc AS (
     SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE length(t.token) END) AS n_tok
   FROM tok t LEFT JOIN vocab v ON t.token = v.token
   GROUP BY 1),
-t AS (SELECT doc_id, doc_id % 32 AS shard, n_tok FROM per_doc),
+t AS (SELECT doc_id,
+  CAST('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)
+    AS BIGINT) % 32 AS shard, n_tok FROM per_doc),
 b AS (
   SELECT shard, n_tok,
     COALESCE(SUM(n_tok) OVER (
@@ -1686,16 +1688,20 @@ WITH enriched AS (
     || CASE WHEN doc_id % 13 = 5
             THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS text
   FROM documents)
+-- each count runs on the text state BEFORE its own mask (matching the
+-- operator), so counts reconcile exactly with the emitted masks
+, s1 AS (SELECT doc_id, text,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM enriched),
+s2 AS (SELECT doc_id, text, t1,
+    regexp_replace(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS t2
+  FROM s1)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
-  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
-    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted_text
-FROM enriched
+  CAST(len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted_text
+FROM s2
 """
 
 

@@ -288,3 +288,68 @@ def test_user_zscore_survives_large_cent_values(spark, tmp_path):
 
     rows = events_user_zscore(spark, str(tmp_path)).collect()
     assert [r.event_id for r in rows] == [n - 1]
+
+
+def test_semantic_dedup_zero_vector_never_pairs(spark):
+    """A zero-quantized vector has sq=0; without the sq>0 guards the
+    threshold test degenerates to 0>=0 and the zero vector would pair
+    with (and absorb) its ENTIRE cluster."""
+    rows = [
+        (0, [0.0001] * 8, 0),  # quantizes to all zeros at scale=1000? no — 0.1; use tiny
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+    ]
+    rows[0] = (0, [0.0] * 8, 0)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = D.semantic_dedup_pairs(df, tau_num=80, tau_den=100).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    out = {r.id: r for r in D.semantic_dedup(df, tau_num=80, tau_den=100).collect()}
+    assert out[1].is_dup is False and out[2].dup_of == 1
+    assert out[0].is_dup is False  # the zero vector neither dups nor absorbs
+
+
+def test_dup_clusters_distributed_path_string_ids(spark):
+    """The distributed propagation must converge correctly for STRING
+    ids (the old sum(label) detector NULLed/raised on them)."""
+    # chain a-b-c-d plus isolated pair x-y; force the distributed path
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("y", "x")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.dup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_banding_parameter_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "a b c"), (1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="multiple of"):
+        D.minhash_lsh_pairs(df, num_hashes=16, bands=32)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_dup_pairs(df, max_hamming=64)
+    # max_hamming >= chunks auto-raises the chunk count (recall kept,
+    # no silent pigeonhole hole); identical docs must still be found
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup_pairs(df, max_hamming=7, chunks=4).collect()
+    }
+    assert (0, 1) in got
+
+
+def test_redact_pii_counts_reconcile_with_masks(spark):
+    """Counts are taken on the progressively-redacted text, so a span
+    an earlier pattern consumed is not reported as a phantom hit."""
+    from factstore_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "write 555-123-4567@mail.example.com today")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert r.n_emails == 1
+    assert r.n_phones == 0  # consumed by the email mask — no phantom count
+    assert "[EMAIL]" in r.redacted_text and "[PHONE]" not in r.redacted_text
