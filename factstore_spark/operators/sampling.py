@@ -389,7 +389,12 @@ def weighted_priority_sample(
     are EXCLUDED up front (selection probability proportional to a
     non-positive weight is zero). Without the guard a single w=0 row
     either fails the job (ANSI division) or — worse — sorts NULL/inf
-    first and wins unconditionally."""
+    first and wins unconditionally. NULL keys are excluded for the
+    same reason: a NULL key makes the md5 (hence the priority) NULL,
+    and Spark's ASC default of NULLS FIRST would hand those rows
+    sample slots unconditionally (DuckDB's NULLS LAST default would
+    instead drop them — so the filter is also what keeps the two
+    engines in agreement)."""
     hex15 = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
     )
@@ -397,6 +402,7 @@ def weighted_priority_sample(
     pri = u / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)
+        .filter(F.col(key_col).isNotNull())
         .withColumn("priority", pri)
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)

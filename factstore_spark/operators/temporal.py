@@ -281,7 +281,20 @@ def range_join_binned(
     (ceil(len/width)+1 rows each), points map to one bin, the join key
     is the bin, and the exact containment predicate filters residuals.
     No inequality join, no broadcast-nested-loop; shuffle volume is
-    O(points + intervals * bins_per_interval)."""
+    O(points + intervals * bins_per_interval).
+
+    ``how`` is restricted to ``inner``/``left`` (point-preserving): the
+    interval side is exploded to one row per overlapped bin BEFORE the
+    join, so a right/full outer would surface an unmatched interval
+    once per bin it spans (N null-point rows instead of 1). Interval-
+    preserving outer semantics would need a post-join dedup keyed on
+    the interval identity, which this operator does not assume exists."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "range_join_binned supports how='inner'|'left' only; "
+            f"got {how!r} (outer variants would duplicate unmatched "
+            "intervals once per exploded bin)"
+        )
     pt = F.col(point_col).cast("long")
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
     binned_pts = points.withColumn("_bin", F.floor(pt / F.lit(bin_width)))
@@ -293,10 +306,10 @@ def range_join_binned(
     )
     # Containment is part of the JOIN CONDITION, not a post-filter:
     # Spark extracts the bin equality as the hash key and evaluates the
-    # range residual inside the join, so outer variants keep their
-    # semantics (a post-join filter would null-eliminate unmatched
-    # left rows and silently degrade how="left" to inner). Multiplicity
-    # is exact either way: a point has ONE bin, so each (point,
+    # range residual inside the join, so how="left" keeps its semantics
+    # (a post-join filter would null-eliminate unmatched left rows and
+    # silently degrade it to inner). Multiplicity is exact for the
+    # point-preserving variants: a point has ONE bin, so each (point,
     # interval) pair can match through at most one bin row.
     cond = (F.col("_bin") == F.col("_bin_iv")) & (pt >= s) & (pt <= e)
     joined = binned_pts.join(binned_iv, cond, how)

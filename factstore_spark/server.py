@@ -413,16 +413,25 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Connection", "close")
                     self.end_headers()
-                    self.wfile.write(b"[")
-                    first = True
-                    for batch in res:
-                        for f in batch:
-                            if not first:
-                                self.wfile.write(b",")
-                            self.wfile.write(json.dumps(_fact_dict(f)).encode())
-                            first = False
-                        self.wfile.flush()
-                    self.wfile.write(b"]")
+                    # Once headers are out, a mid-stream failure must NOT
+                    # fall through to do_GET's outer handler — its
+                    # _json(400, ...) would write a second status line
+                    # into the open close-delimited body, corrupting it.
+                    # Log and drop the connection instead: the truncated
+                    # (unterminated) array is the client's failure signal.
+                    try:
+                        self.wfile.write(b"[")
+                        first = True
+                        for batch in res:
+                            for f in batch:
+                                if not first:
+                                    self.wfile.write(b",")
+                                self.wfile.write(json.dumps(_fact_dict(f)).encode())
+                                first = False
+                            self.wfile.flush()
+                        self.wfile.write(b"]")
+                    except Exception as exc:  # noqa: BLE001
+                        self.log_error("replay stream aborted mid-body: %r", exc)
                     self.close_connection = True
                 return
             if len(parts) == 5 and parts[3] == "facts":
