@@ -69,6 +69,80 @@ def with_global_rank(
     return out
 
 
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    rank_col: str = "rank",
+    count_col: str | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``row_number() over (PARTITION BY group_cols ORDER BY
+    order_cols)`` without capping parallelism at group cardinality.
+
+    ``Window.partitionBy(group)`` puts each ENTIRE group into one
+    task's sort — fine for high-cardinality keys, a straggler's sort
+    when a handful of groups span the corpus (5 event types over 1e9
+    rows = 5 tasks). Same trick as :func:`with_global_rank`, keyed:
+
+    1. range-repartition on ``(group_cols, order_cols)`` — each
+       partition holds a CONTIGUOUS slice of each group's total order,
+       so partition boundaries respect per-group rank order;
+    2. collect per-(partition, group) sizes — O(partitions x groups)
+       rows, the only driver data;
+    3. cumulative-sum those sizes per group into offsets, broadcast-
+       join them back, and window only within the (partition, group)
+       cell: parallelism = partitions x groups, each task sorts
+       ~1/partitions of one group.
+
+    ``order_cols`` must total-order rows WITHIN a group (add unique
+    tie-breakers). ``count_col`` additionally attaches each group's
+    total row count (free — the offsets pass already summed it),
+    which is what median/NTILE callers need next."""
+    gcols = [F.col(g) for g in group_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *gcols, *order_cols)
+        .localCheckpoint(eager=True)  # pin boundaries; see with_global_rank
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    size_rows = (
+        ranged.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    # Driver-side cumulative sum per group over sorted partition ids.
+    totals: dict[tuple, int] = {}
+    offset_rows = []
+    for r in sorted(size_rows, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        offset_rows.append(tuple(r[c] for c in group_cols) + (r["_pid"], totals.get(g, 0)))
+        totals[g] = totals.get(g, 0) + r["_n"]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gfields = [ranged.schema[c] for c in group_cols]
+    off_schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in gfields]
+        + [StructField("_pid", LongType(), False), StructField("_off", LongType(), False)]
+    )
+    spark = ranged.sparkSession
+    offs = spark.createDataFrame(
+        [row[:-2] + (int(row[-2]), int(row[-1])) for row in offset_rows], off_schema
+    )
+    if count_col is not None:
+        tot_rows = [g + (int(n),) for g, n in totals.items()]
+        tot_schema = StructType(
+            [StructField(f.name, f.dataType, f.nullable) for f in gfields]
+            + [StructField(count_col, LongType(), False)]
+        )
+        offs = offs.join(F.broadcast(spark.createDataFrame(tot_rows, tot_schema)), list(group_cols))
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def ntile_of_rank(rank: Column, n: Column, tiles: int) -> Column:
     """Standard SQL NTILE(tiles) from a precomputed exact global rank
     and total count: the first ``n % tiles`` tiles carry

@@ -3047,17 +3047,25 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 
 def events_value_median(spark, sf_dir):
     """Exact median per group without engine-specific percentile
-    functions: row_number + count window selects the middle row(s); the
-    median of the (one or two) middle cent values is floor(avg) in
-    integer space — deterministic in both engines."""
+    functions: the middle row(s) by exact per-group rank; the median of
+    the (one or two) middle cent values is floor(avg) in integer space
+    — deterministic in both engines.
+
+    Plan shape: ranks come from operators/ranking.py:with_grouped_rank
+    (range shuffle on (event_type, value_cents, event_id) + O(parts x
+    groups) driver offsets), NOT from Window.partitionBy(event_type) —
+    the plain window caps parallelism at group cardinality (5 event
+    types), making each task sort ~1/5 of the corpus at 100x scale."""
+    from .operators.ranking import with_grouped_rank
+
     ev = load_events(spark, sf_dir)
     vc = _cents(F.col("value"))
-    wo = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
-    wall = Window.partitionBy("event_type")
-    ranked = (
-        ev.select("event_type", "event_id", vc.alias("value_cents"))
-        .withColumn("rn", F.row_number().over(wo))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
+    ranked = with_grouped_rank(
+        ev.select("event_type", "event_id", vc.alias("value_cents")),
+        ["event_type"],
+        [F.col("value_cents"), F.col("event_id")],
+        rank_col="rn",
+        count_col="n",
     )
     mid = ranked.filter(
         (F.col("rn") == F.floor((F.col("n") + 1) / 2))

@@ -6,13 +6,25 @@ import random
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from factstore_spark.operators.ranking import ntile_of_rank, with_global_rank
+from factstore_spark.operators.ranking import (
+    ntile_of_rank,
+    with_global_rank,
+    with_grouped_rank,
+)
 
 
 def _df(spark, n=5000, seed=3):
     rnd = random.Random(seed)
     rows = [(i, rnd.randint(0, 500)) for i in range(n)]
     return spark.createDataFrame(rows, "id long, v long").repartition(16)
+
+
+def _gdf(spark, n=5000, seed=7, groups=("a", "b", "c", "lone")):
+    rnd = random.Random(seed)
+    # 'lone' gets exactly one row; the rest spread over every partition
+    rows = [(i, groups[rnd.randint(0, len(groups) - 2)], rnd.randint(0, 500)) for i in range(n - 1)]
+    rows.append((n - 1, "lone", 42))
+    return spark.createDataFrame(rows, "id long, g string, v long").repartition(16)
 
 
 def test_global_rank_equals_window_row_number(spark):
@@ -48,6 +60,56 @@ def test_ntile_of_rank_equals_window_ntile(spark):
             ).collect()
         }
         assert got == want, (n, tiles)
+
+
+def test_grouped_rank_equals_window_row_number(spark):
+    df = _gdf(spark)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    ranked = with_grouped_rank(df, ["g"], order, rank_col="rank", count_col="n", num_partitions=8)
+    got = {(r.g, r.id): (r.rank, r.n) for r in ranked.collect()}
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r.g, r.id): (r.rank, r.n)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_empty_and_single_group(spark):
+    empty = spark.createDataFrame([], "id long, g string, v long")
+    assert (
+        with_grouped_rank(empty, ["g"], [F.col("v"), F.col("id")], num_partitions=4).count() == 0
+    )
+    one = spark.createDataFrame([(1, "x", 9)], "id long, g string, v long")
+    row = with_grouped_rank(
+        one, ["g"], [F.col("v"), F.col("id")], rank_col="rank", count_col="n", num_partitions=4
+    ).collect()[0]
+    assert (row.rank, row.n) == (1, 1)
+
+
+def test_grouped_rank_plan_windows_within_pid_cells(spark):
+    """The whole point: windows partition by (_pid, group) so each task
+    sorts one range slice of one group — never a whole group."""
+    import io
+    from contextlib import redirect_stdout
+
+    ranked = with_grouped_rank(
+        _gdf(spark), ["g"], [F.col("v").asc(), F.col("id").asc()], num_partitions=8
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("formatted")
+    plan = buf.getvalue()
+    window_args = [
+        line
+        for line in plan.splitlines()
+        if "row_number()" in line and "windowspecdefinition" in line
+    ]
+    assert window_args, "no window operator found in plan"
+    for line in window_args:
+        assert "_pid" in line, f"window sorts whole groups: {line}"
 
 
 def test_global_rank_plan_has_no_unpartitioned_window(spark):

@@ -281,7 +281,10 @@ ROUND4_PLAN_RULES = {
     "events_running_totals": (["BroadcastNestedLoopJoin"], ["Window", "PushedFilters"]),
     "events_type_pivot": (["BroadcastNestedLoopJoin"], ["HashAggregate"]),
     "revenue_grouping_sets": (["BroadcastNestedLoopJoin"], ["Expand"]),
-    "events_value_median": (["CartesianProduct"], ["Window"]),
+    # Median windows must be (_pid, group)-partitioned grouped-rank
+    # cells (operators/ranking.py:with_grouped_rank), never a whole
+    # group per task — "_pid" in the windowspec is the tell.
+    "events_value_median": (["CartesianProduct"], ["Window", "_pid"]),
     "embeddings_label_centroid_norms": (["CartesianProduct"], ["Generate"]),
     "events_asof_join_bucketed": (
         ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
