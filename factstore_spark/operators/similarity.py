@@ -165,17 +165,27 @@ def _centroid_cells_col(
             return pd.Series([], dtype="object")
         M = np.vstack(v.to_numpy()).astype(np.float64)
         scores = M @ centroids.T  # n x n_cells
-        if p >= n_cells:
-            top = np.argsort(-scores, axis=1)[:, :p]
-        else:
-            part = np.argpartition(-scores, p - 1, axis=1)[:, :p]
-            # order the selected cells by score desc for determinism
-            rows = np.arange(M.shape[0])[:, None]
-            order = np.argsort(-scores[rows, part], axis=1)
-            top = part[rows, order]
+        # STABLE argsort, full width: n_cells is small by design, so a
+        # full sort costs the same as argpartition while giving the
+        # (score desc, cell asc) tie order every call site shares —
+        # zero vectors (all-tie scores) probe cells 0..p-1, not an
+        # argpartition-dependent arbitrary set.
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :p]
         return pd.Series(list(top.astype(np.int32)))
 
     return _cells(vec_col)
+
+
+def _unit_rows(centroids) -> np.ndarray:
+    """Centroid list/matrix -> unit-normalized float64 matrix. Every
+    IVF site normalizes through HERE so the argmax-dot == nearest-by-
+    cosine identity holds identically (to the bit) in train, build,
+    refresh, inline query and indexed query — a site that normalized
+    differently would break the persisted==inline equality contract."""
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return C / norms
 
 
 def _sample_centroids(
@@ -619,25 +629,15 @@ def train_centroids(
     cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
 
     for _ in range(iterations):
-        cents_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-        )
-        scores = F.transform(
-            cents_arr,
-            lambda cv: F.aggregate(
-                F.zip_with(F.col("v"), cv, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # argmax via (neg score, idx) sort — same trick as top_cells
-        idx = F.zip_with(
-            scores,
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-        )
+        # Vectorized nearest-centroid assignment (numpy matmul over
+        # Arrow batches). The previous form embedded the centroids as
+        # an O(n_cells x dim) literal expression tree scored with
+        # transform+zip_with+aggregate — correct, but Catalyst
+        # re-analyzes that tree EVERY iteration (~2 s of driver time
+        # at 32x64 before a single row moves).
         assigned = corpus.select(F.col(vec_col).alias("v")).withColumn(
-            "cell", F.element_at(F.array_sort(idx), 1)["cell"]
+            "cell",
+            F.element_at(_centroid_cells_col(F.col("v"), _unit_rows(cents), 1), 1),
         )
         means = (
             assigned.groupBy("cell")
@@ -681,59 +681,23 @@ def ivf_topk(
     cells; default is the deterministic seeded sample (one pass, no
     training). Output: (query_id, neighbor_id, sim, rank)."""
     if centroids is None:
-        cents_rows = (
-            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy(F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(1 << 31)))
-            .limit(n_cells)
-            .orderBy("cid")
-            .collect()
-        )
-        centroids = []
-        for r in cents_rows:
-            v = [float(x) for x in r.cvec]
-            norm = sum(x * x for x in v) ** 0.5 or 1.0
-            centroids.append([x / norm for x in v])
+        C = _sample_centroids(corpus, n_cells, id_col, vec_col, seed)
     else:
         # normalize CALLER centroids too (cosine_dup_pairs does the
         # same): the argmax-dot == nearest-by-cosine identity below
         # only holds for unit centroids, and a longer centroid would
         # silently bias assignment toward its cell
-        normed = []
-        for c in centroids:
-            v = [float(x) for x in c]
-            norm = sum(x * x for x in v) ** 0.5 or 1.0
-            normed.append([x / norm for x in v])
-        centroids = normed
-    # Literal array<array<double>> of unit-normalized centroids: nearest-
-    # by-cosine == argmax dot product, computed per row with no shuffle.
-    cents_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    n_actual = len(centroids)
-
-    def cell_scores(vec: Column) -> Column:
-        """array of (dot(v, centroid_k)) for all cells."""
-        return F.transform(
-            cents_arr,
-            lambda cv: F.aggregate(
-                F.zip_with(vec, cv, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-
-    def top_cells(vec: Column, n: int) -> Column:
-        """cells ranked by score desc, cell asc — as an array of ints."""
-        scored = F.zip_with(
-            cell_scores(vec),
-            F.sequence(F.lit(0), F.lit(n_actual - 1)),
-            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-        )
-        return F.slice(F.transform(F.array_sort(scored), lambda st: st["cell"]), 1, n)
-
+        C = _unit_rows(centroids)
+    # Vectorized assignment/probing over the broadcast unit-centroid
+    # matrix (_centroid_cells_col) — map-only, no shuffle, and no
+    # O(n_cells x dim) literal expression tree for Catalyst to chew.
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    assigned = c.withColumn("cell", F.element_at(top_cells(F.col("c_vec"), 1), 1))
+    assigned = c.withColumn(
+        "cell", F.element_at(_centroid_cells_col(F.col("c_vec"), C, 1), 1)
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probes = q.withColumn(
-        "cell", F.explode(top_cells(F.col("q_vec"), n_probe))
+        "cell", F.explode(_centroid_cells_col(F.col("q_vec"), C, n_probe))
     ).select("query_id", "q_vec", "cell")
 
     scored = (
@@ -779,24 +743,12 @@ def build_ivf_index(
         corpus, n_cells=n_cells, iterations=train_iterations,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
-    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    scores = F.transform(
-        cents_arr,
-        lambda cv: F.aggregate(
-            F.zip_with(F.col(vec_col), cv, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    idx = F.zip_with(
-        scores,
-        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-        lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-    )
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(F.array_sort(idx), 1)["cell"].alias("cell"),
+        F.element_at(
+            _centroid_cells_col(F.col(vec_col), _unit_rows(cents), 1), 1
+        ).alias("cell"),
     ).localCheckpoint()  # one pass: write + n_vectors count share the
     # materialized assignment instead of re-scanning the whole corpus
     # for the manifest count (same pattern as refresh_ivf_index)
@@ -880,24 +832,12 @@ def refresh_ivf_index(
         ).select(F.col("neighbor_id").alias(id_col))
         delta = corpus.join(indexed_ids, on=id_col, how="left_anti")
 
-    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    scores = F.transform(
-        cents_arr,
-        lambda cv: F.aggregate(
-            F.zip_with(F.col(vec_col), cv, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    idx = F.zip_with(
-        scores,
-        F.sequence(F.lit(0), F.lit(n_cells - 1)),
-        lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-    )
     assigned = delta.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(F.array_sort(idx), 1)["cell"].alias("cell"),
+        F.element_at(
+            _centroid_cells_col(F.col(vec_col), _unit_rows(centroids), 1), 1
+        ).alias("cell"),
     ).localCheckpoint()  # one pass: count + write reuse the same
     # materialized delta instead of re-running the anti-join and the
     # n_cells-score argmax twice (the expensive stages of a refresh)
@@ -984,28 +924,12 @@ def ivf_topk_indexed(
 
     with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
         centroids = json.load(fh)
-    n_actual = len(centroids)
-    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-
-    def top_cells(vec: Column, n: int) -> Column:
-        scored = F.zip_with(
-            F.transform(
-                cents_arr,
-                lambda cv: F.aggregate(
-                    F.zip_with(vec, cv, lambda x, c: x.cast("double") * c),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            ),
-            F.sequence(F.lit(0), F.lit(n_actual - 1)),
-            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-        )
-        return F.slice(F.transform(F.array_sort(scored), lambda st: st["cell"]), 1, n)
 
     assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probes = q.withColumn(
-        "cell", F.explode(top_cells(F.col("q_vec"), n_probe))
+        "cell",
+        F.explode(_centroid_cells_col(F.col("q_vec"), _unit_rows(centroids), n_probe)),
     ).select("query_id", "q_vec", "cell")
     scored = (
         assigned.join(F.broadcast(probes), "cell")

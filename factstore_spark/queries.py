@@ -843,25 +843,68 @@ def _pair_recall_stats(approx, exact):
     )
 
 
-def dedup_minhash_recall(spark, sf_dir):
+# Recall probes score on a deterministic md5 id sample, NOT the full
+# corpus: the exact ground truth is O(n^2) BY CONSTRUCTION (it exists
+# to measure the sub-quadratic path), and at sf0.1 the three probes'
+# full exact sets were ~40% of battery wall-time. Pair semantics here
+# are pair-local (Jaccard, Hamming, cosine depend only on the two
+# members), so the within-sample pair set of a probe corpus S IS the
+# restriction of the full pair set to S x S — an unbiased recall
+# estimate over C(|S|,2) trials, with the normal-approximation CI
+# emitted alongside. The FULL-corpus comparison still runs in
+# `pytest -m slow` (tests/test_scale_slow.py::test_recall_probes_full).
+RECALL_PROBE_PCT = 50
+
+
+def _probe_sample(df, id_col: str, pct: int, salt: str = "recallprobe"):
+    if pct >= 100:
+        return df
+    from .operators.sampling import split_bucket
+
+    return df.filter(split_bucket(id_col, 100, salt) < pct)
+
+
+def _with_recall_ci(stats):
+    """recall_ci_lo_bp: lower 95% normal-approx bound on recall over
+    the n_exact sampled trials (floor'd to basis points, clipped at 0).
+    FP sqrt is fine here — recall entries are rows-only, never hashed
+    against a SQL oracle."""
+    p = F.col("n_common") / F.col("n_exact")
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / F.col("n_exact"))
+    return stats.withColumn(
+        "recall_ci_lo_bp",
+        F.when(
+            F.col("n_exact") > 0,
+            F.greatest(F.floor(F.lit(10000) * (p - half)), F.lit(0)),
+        )
+        .otherwise(F.lit(10000))
+        .cast("long"),
+    )
+
+
+def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     """Self-validating MinHash contract: recall/precision of the
     MinHash-LSH pairs (est_jaccard >= 0.5) against the EXACT n-gram
-    Jaccard pairs (jaccard >= 0.5) on the same shingle space. Rows-only
-    (the signature family is xxhash64-based), but the output IS the
-    quality check: recall_bp below ~9000 means the banding broke."""
-    docs = _t(spark, sf_dir, "documents")
+    Jaccard pairs (jaccard >= 0.5) on the same shingle space, scored on
+    the md5-sampled probe corpus (see _probe_sample block comment).
+    Rows-only (the signature family is xxhash64-based), but the output
+    IS the quality check: recall_ci_lo_bp below ~8500 means the
+    banding broke. Banding is pair-local, so probing the sample scores
+    exactly the full operator's behaviour on those pairs."""
+    docs = _probe_sample(_t(spark, sf_dir, "documents"), "doc_id", sample_pct)
     approx = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
     exact = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
-    return _pair_recall_stats(approx, exact)
+    return _with_recall_ci(_pair_recall_stats(approx, exact))
 
 
-def dedup_simhash_recall(spark, sf_dir):
+def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     """Self-validating SimHash contract: the 4-chunk pigeonhole banding
     is EXACT for Hamming <= 3 (any such pair agrees on >= 1 chunk), so
     recall_bp and precision_bp must both be exactly 10000 vs the
-    brute-force all-pairs Hamming scan. A deviation means the banding
-    or the signature broke."""
-    docs = _t(spark, sf_dir, "documents")
+    brute-force all-pairs Hamming scan — on ANY corpus, including the
+    md5-sampled probe corpus (exactness needs no CI; a deviation on
+    any subset means the banding or the signature broke)."""
+    docs = _probe_sample(_t(spark, sf_dir, "documents"), "doc_id", sample_pct)
     approx = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
     sig = docs.select(F.col("doc_id").alias("_id"), dedup_ops.simhash_col("text").alias("sim"))
     a = sig.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})
@@ -874,7 +917,7 @@ def dedup_simhash_recall(spark, sf_dir):
     return _pair_recall_stats(approx, exact)
 
 
-def dedup_embedding_recall(spark, sf_dir):
+def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     """Self-validating embedding-dedup contract: recall/precision of
     the centroid-blocked pairs vs the exact all-pairs cosine set at the
     same threshold (vectorized verify on both sides), for BOTH coarse
@@ -885,8 +928,17 @@ def dedup_embedding_recall(spark, sf_dir):
     On THIS corpus the embeddings are isotropic noise (random-pair sims
     reach the threshold tail), which upper-bounds any sub-quadratic
     method's recall — the emitted numbers document the trade honestly
-    instead of hiding it."""
-    emb = _t(spark, sf_dir, "embeddings")
+    instead of hiding it.
+
+    Scored on the md5-sampled probe corpus (see _probe_sample block
+    comment): exact ground truth shrinks by sample_pct^2 and the IVF
+    under measurement runs on the same probe corpus, so the emitted
+    recall is the method's recall at |S| — the full-corpus comparison
+    lives in `pytest -m slow`."""
+    # The probe corpus is scanned ~8x (2 quantizer runs, 3 Lloyd
+    # iterations, both exact-join sides) — cache it for the entry's
+    # lifetime; released below with the exact pair set.
+    emb = _probe_sample(_t(spark, sf_dir, "embeddings"), "vec_id", sample_pct).persist()
     sampled = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
     )
@@ -905,15 +957,17 @@ def dedup_embedding_recall(spark, sf_dir):
         .select("id_a", "id_b")
         .persist()  # scored against BOTH quantizers — compute once
     )
-    s = _pair_recall_stats(sampled, exact).select(
+    s = _with_recall_ci(_pair_recall_stats(sampled, exact)).select(
         "n_exact",
         F.col("n_approx").alias("sampled_n_approx"),
         F.col("recall_bp").alias("sampled_recall_bp"),
+        F.col("recall_ci_lo_bp").alias("sampled_recall_ci_lo_bp"),
         F.col("precision_bp").alias("sampled_precision_bp"),
     )
-    t = _pair_recall_stats(trained, exact).select(
+    t = _with_recall_ci(_pair_recall_stats(trained, exact)).select(
         F.col("n_approx").alias("trained_n_approx"),
         F.col("recall_bp").alias("trained_recall_bp"),
+        F.col("recall_ci_lo_bp").alias("trained_recall_ci_lo_bp"),
         F.col("precision_bp").alias("trained_precision_bp"),
     )
     # materialize the single stats row EAGERLY so the cached exact-pair
@@ -923,6 +977,7 @@ def dedup_embedding_recall(spark, sf_dir):
     out = s.crossJoin(t)
     rows = out.collect()
     exact.unpersist()
+    emb.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 

@@ -205,3 +205,30 @@ def test_embedding_ivf_recall_on_planted_duplicates(corpora):
     assert len(planted_exact) >= 100, "amplification planted too few near-dups"
     recall = len(found & planted_exact) / len(planted_exact)
     assert recall >= 0.95, f"planted-duplicate recall {recall:.3f} < 0.95"
+
+
+@pytest.mark.slow
+def test_recall_probes_full_corpus_match_sampled_contract(spark):
+    """The battery's three recall entries score on an md5-sampled probe
+    corpus (queries.py:_probe_sample); this is the FULL-corpus run the
+    entries' docstrings defer to. Asserts the same contracts at
+    sample_pct=100: SimHash pigeonhole exactness, MinHash banding
+    recall floor, and embedding precision-10000 / trained >= sampled
+    on the whole sf0.01 corpus."""
+    from factstore_spark.queries import (
+        dedup_embedding_recall,
+        dedup_minhash_recall,
+        dedup_simhash_recall,
+    )
+
+    sim = dedup_simhash_recall(spark, SF_DIR, sample_pct=100).collect()[0]
+    assert (sim.recall_bp, sim.precision_bp) == (10000, 10000)
+
+    mh = dedup_minhash_recall(spark, SF_DIR, sample_pct=100).collect()[0]
+    assert mh.recall_bp >= 8500, mh
+    assert mh.precision_bp == 10000  # verify_jaccard filters false accepts
+
+    emb = dedup_embedding_recall(spark, SF_DIR, sample_pct=100).collect()[0]
+    assert emb.sampled_precision_bp == 10000
+    assert emb.trained_precision_bp == 10000
+    assert emb.trained_recall_bp >= emb.sampled_recall_bp
