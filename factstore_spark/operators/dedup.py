@@ -599,6 +599,73 @@ def simhash_near_dup_pairs(
     )
 
 
+def _shard_oversized_clusters(
+    base: DataFrame, max_cluster_size: int, seed: int = 7
+) -> DataFrame:
+    """Replace the join key of oversized clusters with a sharded key so
+    candidate volume stays bounded no matter what the upstream
+    clusterer produced. ``base`` is semantic_dedup_pairs' internal
+    (id, cluster, q, sq) frame; adds ``_jkey`` (string).
+
+    Two levels, both map-only after one size aggregation each:
+
+    1. **Similarity-aware subcells** — rows of oversized clusters are
+       assigned to the nearest of ``ceil(max_oversized /
+       max_cluster_size)`` fine centroids (deterministic seeded sample
+       over the oversized rows, vectorized argmax). Near-duplicates
+       have cosine >= tau, so they overwhelmingly share a fine cell:
+       most true pairs survive the split.
+    2. **Hash shards** — a (cluster, subcell) cell STILL above the cap
+       (the degenerate all-identical-vector cluster, which no
+       similarity split can separate) is xxhash-sharded into
+       ``ceil(n/max)`` shards. Within such a cell a true pair survives
+       with probability ~1/n_shards — the recall price of the volume
+       contract, the same trade SemDeDup (Abbas et al. 2023) accepts
+       when sharding its largest cluster; for the template/boilerplate
+       mega-groups this targets, within-shard pairs still mark the
+       bulk of members as dups."""
+    from .similarity import _centroid_cells_col, _sample_centroids
+
+    sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    over = sizes.filter(F.col("_n") > max_cluster_size)
+    stats = over.agg(F.max("_n").alias("m")).collect()[0]
+    plain_key = F.col("cluster").cast("string")
+    if stats.m is None:
+        return base.withColumn("_jkey", plain_key)
+    n_fine = -(-int(stats.m) // max_cluster_size)
+    marked = base.join(
+        F.broadcast(over.select("cluster", F.lit(True).alias("_over"))),
+        "cluster",
+        "left",
+    )
+    cents = _sample_centroids(
+        marked.filter("_over").select("id", F.col("q").alias("v")), n_fine, "id", "v", seed
+    )
+    marked = marked.withColumn(
+        "_sub",
+        F.when(F.col("_over"), F.element_at(_centroid_cells_col(F.col("q"), cents, 1), 1)),
+    )
+    cell_sizes = (
+        marked.filter("_over")
+        .groupBy("cluster", "_sub")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+    )
+    big = cell_sizes.filter(F.col("_cn") > max_cluster_size).select(
+        "cluster", "_sub", F.ceil(F.col("_cn") / max_cluster_size).cast("long").alias("_nsh")
+    )
+    marked = marked.join(F.broadcast(big), ["cluster", "_sub"], "left")
+    shard = F.coalesce(
+        F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(seed)), F.col("_nsh")),
+        F.lit(0),
+    )
+    key = F.when(F.col("_over").isNull(), plain_key).otherwise(
+        F.concat_ws(
+            "#", plain_key, F.col("_sub").cast("string"), shard.cast("string")
+        )
+    )
+    return marked.withColumn("_jkey", key).drop("_over", "_sub", "_nsh")
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -607,6 +674,7 @@ def semantic_dedup_pairs(
     tau_num: int = 95,
     tau_den: int = 100,
     scale: int = 1000,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): restrict the pairwise cosine search to rows in
@@ -630,9 +698,13 @@ def semantic_dedup_pairs(
     candidate volume is sum over clusters of C(n_c, 2), the SemDeDup
     contract (clusters are sized ~corpus/k). Vectors travel once into
     the join; the all-pairs explosion never happens across clusters.
-    Skewed/oversized clusters should be split upstream by the
-    clusterer (probe split in assign_cells), exactly as the paper
-    shards its largest cluster."""
+    With ``max_cluster_size`` set, the operator ENFORCES that contract
+    against a skewed upstream clusterer: oversized clusters are split
+    by _shard_oversized_clusters (similarity-aware subcells, then hash
+    shards for cells no similarity split can separate) before the
+    self-join, bounding per-key candidate volume at the documented
+    recall cost (see its docstring). Default None preserves exact
+    within-cluster semantics for compliant clusterers."""
     q = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
     )
@@ -645,15 +717,19 @@ def semantic_dedup_pairs(
         F.transform(F.col("q"), lambda v: v * v), F.lit(0).cast("long"), lambda a, b: a + b
     )
     base = base.withColumn("sq", sq_norm)
+    if max_cluster_size is not None:
+        base = _shard_oversized_clusters(base, max_cluster_size)
+    else:
+        base = base.withColumn("_jkey", F.col("cluster").cast("string"))
     a = base.select(
-        F.col("id").alias("id_a"), F.col("cluster"), F.col("q").alias("qa"),
-        F.col("sq").alias("sqa"),
+        F.col("id").alias("id_a"), F.col("cluster"), F.col("_jkey"),
+        F.col("q").alias("qa"), F.col("sq").alias("sqa"),
     )
     b = base.select(
-        F.col("id").alias("id_b"), F.col("cluster"), F.col("q").alias("qb"),
-        F.col("sq").alias("sqb"),
+        F.col("id").alias("id_b"), F.col("_jkey"),
+        F.col("q").alias("qb"), F.col("sq").alias("sqb"),
     )
-    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "_jkey").filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -689,6 +765,7 @@ def semantic_dedup(
     tau_num: int = 95,
     tau_den: int = 100,
     scale: int = 1000,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup keep/drop decision: a row is dropped when a LOWER-id
     row in its cluster sits within the cosine threshold (the paper
@@ -699,7 +776,8 @@ def semantic_dedup(
     One aggregation over the pair stream (min per id_b) + one left
     join back to the corpus: ids-only traffic after the pair stage."""
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, cluster_col, tau_num, tau_den, scale
+        df, id_col, vec_col, cluster_col, tau_num, tau_den, scale,
+        max_cluster_size=max_cluster_size,
     )
     dup_of = pairs.groupBy(F.col("id_b").alias("id")).agg(
         F.min("id_a").alias("dup_of")

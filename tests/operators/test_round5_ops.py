@@ -353,3 +353,52 @@ def test_redact_pii_counts_reconcile_with_masks(spark):
     assert r.n_emails == 1
     assert r.n_phones == 0  # consumed by the email mask — no phantom count
     assert "[EMAIL]" in r.redacted_text and "[PHONE]" not in r.redacted_text
+
+
+def test_semantic_dedup_oversized_cluster_guard(spark):
+    """max_cluster_size enforces the operator's own candidate-volume
+    contract. A 300-member all-identical-vector mega-cluster (the case
+    no similarity split can separate) must be hash-sharded: candidate
+    volume drops from C(300,2) to ~n_shards * C(n/n_shards, 2), and
+    every emitted pair is still a true near-dup. Compliant clusters
+    return EXACTLY the unguarded result."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    # mega-cluster 0: 300 identical vectors
+    for i in range(300):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+    # compliant cluster 1: near-dup pair + an orthogonal member
+    rows += [
+        (1000, [0.0, 1.0, 0.0, 0.0], 1),
+        (1001, [0.0, 0.999, 0.01, 0.0], 1),
+        (1002, [0.0, 0.0, 0.0, 1.0], 1),
+    ]
+    # compliant cluster 2: random spread, no dups expected at tau=.95
+    for i in range(20):
+        v = [rnd.uniform(-1, 1) for _ in range(4)]
+        rows.append((2000 + i, v, 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    unguarded = D.semantic_dedup_pairs(df, tau_num=95, tau_den=100)
+    guarded = D.semantic_dedup_pairs(df, tau_num=95, tau_den=100, max_cluster_size=50)
+    un = {(p.id_a, p.id_b) for p in unguarded.collect()}
+    gu = {(p.id_a, p.id_b) for p in guarded.collect()}
+
+    # sharding only ever removes pairs, never invents them
+    assert gu <= un
+    # compliant clusters: bit-identical pair sets
+    assert {p for p in gu if p[0] >= 1000} == {p for p in un if p[0] >= 1000}
+    assert (1000, 1001) in gu
+    # mega-cluster: full C(300,2)=44850 without the guard; with cap 50
+    # -> 6 shards, expected ~6 * C(50,2) = 7350. Assert well below the
+    # quadratic and nonzero (within-shard dups still found).
+    mega_un = {p for p in un if p[1] < 1000}
+    mega_gu = {p for p in gu if p[1] < 1000}
+    assert len(mega_un) == 44850
+    assert 0 < len(mega_gu) < len(mega_un) // 3
+    # the keep/drop decision still marks almost every mega member a dup
+    decided = D.semantic_dedup(df, tau_num=95, tau_den=100, max_cluster_size=50)
+    mega_kept = decided.filter((F.col("cluster") == 0) & (~F.col("is_dup"))).count()
+    assert mega_kept <= 6  # one representative per shard at most
