@@ -32,6 +32,54 @@ from .text import tokens_col
 # Mersenne-ish prime for the universal-hash family (fits in long math).
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
 
+# Active signature_cache_scope tokens (innermost last). Module-level on
+# purpose: the scope is a driver-side lifecycle construct, and operators
+# must see it without threading a parameter through every call chain.
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def signature_cache_scope():
+    """Deterministic lifecycle for the MinHash/SimHash signature caches.
+
+    The LSH operators ``cache()`` their signature frame (reused by every
+    band join side within one returned plan). Outside a scope that cache
+    lives until LRU eviction or ``spark.catalog.clearCache()`` — fine
+    for one corpus, but a long session deduping MANY corpora accumulates
+    evict-only storage. Running the operator (and materializing its
+    result) inside this scope unpersists every signature frame the
+    operators registered on exit::
+
+        with signature_cache_scope():
+            pairs = minhash_lsh_pairs(docs).collect()
+        # executor storage for the signature cache is released here
+
+    Materialize INSIDE the scope: exiting unpersists, so a DataFrame
+    collected afterwards still computes correctly but re-derives
+    signatures per use instead of reading the cache. Scopes nest;
+    each frame is released by the innermost scope open at its creation."""
+    token: list[DataFrame] = []
+    _CACHE_SCOPES.append(token)
+    try:
+        yield
+    finally:
+        _CACHE_SCOPES.pop()
+        for df in token:
+            df.unpersist()
+
+
+def _scoped_cache(df: DataFrame) -> DataFrame:
+    """cache() + registration with the innermost signature_cache_scope
+    (no-op registration when no scope is active — the documented
+    clearCache fallback applies then)."""
+    out = df.cache()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(out)
+    return out
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Widen pathologically narrow inputs before CPU-heavy map work
@@ -451,13 +499,13 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     df = _spread(df)
-    sig = (
+    sig = _scoped_cache(
         df.select(F.col(id_col).alias("_id"), shingle_hashes_col(text_col, n).alias("_h"))
         .select("_id", minhash_sig_np("_h", num_hashes, seed).alias("sig"))
-    ).cache()  # reused across all bands within THIS plan; Spark evicts
-    # LRU under memory pressure — callers running many corpora in one
-    # session can spark.catalog.clearCache() between them (no handle
-    # survives the returned lazy DataFrame to unpersist earlier)
+    )  # reused across all bands within THIS plan; Spark evicts LRU
+    # under memory pressure. Lifecycle: run inside signature_cache_scope
+    # to release the cache deterministically (many-corpora sessions);
+    # otherwise spark.catalog.clearCache() remains the fallback.
     banded = sig.select(
         "_id",
         F.explode(
@@ -553,10 +601,12 @@ def simhash_near_dup_pairs(
         # to the smallest divisor of 64 that restores the guarantee —
         # more candidate volume, never lost recall.
         chunks = next(c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming)
-    sim = _spread(df).select(
-        F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")
-    ).cache()  # reused per chunk-join; same eviction/clearCache note as
-    # the MinHash signature cache above
+    sim = _scoped_cache(
+        _spread(df).select(
+            F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")
+        )
+    )  # reused per chunk-join; same lifecycle note as the MinHash
+    # signature cache above (signature_cache_scope / clearCache)
     width = 64 // chunks
     banded = sim.select(
         "_id",

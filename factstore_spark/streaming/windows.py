@@ -247,3 +247,73 @@ def join_streams(
         & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {within}"))
     )
     return lw.join(rw, cond, how).drop("_rkey")
+
+
+def ohlc_bars_stream(
+    stream: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value_cents",
+    order_col: str = "event_id",
+    bar: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming OHLC bar builder — the Structured-Streaming form of the
+    batch ``events_ohlc_bars`` query (queries.py), asserted equal to it
+    in tests/test_streaming_windows.py.
+
+    Open/close are ``min_by``/``max_by`` on the (time, order) struct —
+    declarative aggregates with partial merge, so the bar state per
+    (key, window) is O(1) (six scalars), map-side-combined per
+    micro-batch; the watermark closes bars and evicts their state. Same
+    shape a 100 TB tick pipeline needs: state scales with OPEN bars
+    (keys x bar span), never with events."""
+    ord_struct = F.struct(F.col(time_col), F.col(order_col))
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), bar).alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(F.col(value_col), ord_struct).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), ord_struct).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(value_col).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            F.col(key_col),
+            "open", "high", "low", "close", "n_trades", "volume",
+        )
+    )
+
+
+def hopping_counts(
+    stream: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value_cents",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sliding/hopping window aggregation — the native Structured-
+    Streaming form of the batch ``events_sliding_windows`` query's
+    explicit explode-by-slide-ratio expansion; asserted equal to it in
+    tests/test_streaming_windows.py. ``window(ts, window, slide)``
+    performs exactly that expansion internally (window/slide copies per
+    event), then map-side-combines into (window, key) state."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n",
+            "value_sum",
+        )
+    )

@@ -121,3 +121,27 @@ def test_substring_dup_spans_short_docs_whole_text_window(spark):
     assert (rows[0].n_windows, rows[0].dup_bp) == (1, 10000)
     assert (rows[1].n_windows, rows[1].dup_bp) == (1, 10000)
     assert rows[2].dup_bp == 0
+
+
+def test_signature_cache_scope_releases_caches(spark):
+    """Session-reuse contract: after a signature_cache_scope exits, the
+    CacheManager holds nothing — a many-corpora session doesn't
+    accumulate evict-only signature storage (VERDICT r5 #6)."""
+    from factstore_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        signature_cache_scope,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over dog {i % 5}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    with signature_cache_scope():
+        minhash_lsh_pairs(docs, verify_jaccard=0.5).collect()
+        simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        assert not cm.isEmpty()  # caches live while the scope is open
+    assert cm.isEmpty()  # and are gone the moment it closes

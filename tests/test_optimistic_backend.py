@@ -485,3 +485,66 @@ def test_bulk_reeval_to_zero_rows_publishes_empty_commit(fso, spark):
 
     res2 = fso.append_dataframe(STORE, df, idempotency_key="reeval-key")
     assert isinstance(res2, AlreadyApplied)
+
+
+def test_crashed_reclaimer_token_ages_out(tmp_path):
+    """Crash injection for the reclaim token wedge (VERDICT r5 #7): a
+    reclaimer that died BETWEEN claiming the per-generation token and
+    deleting the expired lease must not wedge that generation forever.
+    Plant exactly that state (expired lease + orphan token, both from
+    'crashed' holders), then race several live reclaimers: acquisition
+    happens only AFTER RECLAIM_TTL ages the orphan token out, exactly
+    one holder at a time, and nothing leaks."""
+    import hashlib
+    import os
+    import threading
+    import time
+
+    from factstore_spark.storage.optimistic import OptimisticStoreLayout
+
+    layout = OptimisticStoreLayout(str(tmp_path / "store"))
+    layout.initialize()
+    layout.RECLAIM_TTL = 1.0  # instance override: keep the test fast
+
+    # dead holder's expired lease
+    assert layout.slots.put_if_absent(layout.LEASE_SLOT, b"dead-holder")
+    lease_path = os.path.join(layout.log_dir, layout.LEASE_SLOT)
+    old = time.time() - layout.LEASE_TTL - 10
+    os.utime(lease_path, (old, old))
+    # crashed reclaimer: token claimed for THIS generation, delete never ran
+    gen = hashlib.sha256(b"dead-holder").hexdigest()[:16]
+    token = f"{layout.LEASE_SLOT}.reclaim-{gen}"
+    assert layout.slots.put_if_absent(token, b"crashed-reclaimer")
+
+    n = 4
+    barrier = threading.Barrier(n)
+    active, overlaps, entered_at = [], [], []
+    lock = threading.Lock()
+    t0 = time.time()
+
+    def worker():
+        barrier.wait()
+        with layout.commit_lock():
+            with lock:
+                if active:
+                    overlaps.append(tuple(active))
+                active.append(threading.get_ident())
+                entered_at.append(time.time() - t0)
+            time.sleep(0.05)
+            with lock:
+                active.remove(threading.get_ident())
+
+    threads = [threading.Thread(target=worker) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not active, "a worker never released (wedged)"
+    assert len(entered_at) == n, "a worker never acquired (generation wedged)"
+    assert overlaps == [], "two simultaneous holders during reclaim"
+    # nobody got in before the orphan token's TTL elapsed
+    assert min(entered_at) >= layout.RECLAIM_TTL - 0.1, entered_at
+    # the orphan token itself was aged out, and nothing leaks
+    assert layout.slots.read(layout.LEASE_SLOT) is None
+    leftover = [s for s in os.listdir(layout.log_dir) if "lease" in s]
+    assert leftover == []

@@ -267,3 +267,94 @@ def test_running_totals_stateful_honors_key_col_name(seeded_stream, spark, tmp_p
     for r in out.collect():
         rows[r.type] = max(rows.get(r.type, 0), r.n_facts)
     assert sum(rows.values()) == 4
+
+
+# ---------------------------------------------------------------------------
+# SS == batch: OHLC bars and hopping windows over the events table
+# ---------------------------------------------------------------------------
+
+SF_EVENTS = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark):
+    """The events table as a file-source STREAM, with the same ts
+    normalization load_events applies to the batch side. The file
+    source wants a DIRECTORY; testdata is read-only, so the single
+    events.parquet is symlinked into a scratch dir."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = SF_EVENTS + "/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="events-stream-")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    ts_type = {f.name: f.dataType.simpleString() for f in schema}["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # UTC session (conftest): wall-clock-as-UTC == instant
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src.withColumn(
+        "value_cents", F.floor(F.col("value") * F.lit(100)).cast("long")
+    )
+
+
+def test_streaming_ohlc_equals_batch(spark, tmp_path):
+    """ohlc_bars_stream over the events file-stream must produce the
+    batch events_ohlc_bars result exactly — same bars, same open/close
+    tie-breaks — across whatever micro-batch boundaries the trigger
+    picks."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.queries import events_ohlc_bars
+    from factstore_spark.streaming.windows import ohlc_bars_stream
+
+    want = {
+        (r.user_id, r.minute_us): (
+            r.open_cents, r.high_cents, r.low_cents, r.close_cents,
+            r.n_trades, r.volume_cents,
+        )
+        for r in events_ohlc_bars(spark, SF_EVENTS).collect()
+    }
+    out = _drain(
+        ohlc_bars_stream(_events_stream(spark)), "ohlc_ss", tmp_path, spark,
+        mode="complete",
+    )
+    got = {
+        (r.user_id, r.bar_us): (r.open, r.high, r.low, r.close, r.n_trades, r.volume)
+        for r in out.select(
+            "user_id", F.unix_micros("bar_start").alias("bar_us"),
+            "open", "high", "low", "close", "n_trades", "volume",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_hopping_equals_batch(spark, tmp_path):
+    """hopping_counts (native window(ts, 5m, 1m)) must equal the batch
+    events_sliding_windows explode-by-slide-ratio expansion, window for
+    window."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.queries import events_sliding_windows
+    from factstore_spark.streaming.windows import hopping_counts
+
+    want = {
+        (r.window_start_us, r.event_type): (r.n, r.value_cents)
+        for r in events_sliding_windows(spark, SF_EVENTS).collect()
+    }
+    out = _drain(
+        hopping_counts(_events_stream(spark)), "hop_ss", tmp_path, spark,
+        mode="complete",
+    )
+    got = {
+        (r.ws_us, r.event_type): (r.n, r.value_sum)
+        for r in out.filter(F.col("n") >= 3)  # the batch entry's HAVING
+        .select(
+            F.unix_micros("window_start").alias("ws_us"), "event_type", "n", "value_sum"
+        ).collect()
+    }
+    assert got == want
