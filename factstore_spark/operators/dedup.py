@@ -307,19 +307,19 @@ def substring_dup_spans(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    min_jaccard: float = 0.5,
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join.
-
-    Output: (id_a, id_b, intersect_cnt, union_cnt, jaccard), id_a < id_b.
-    ``max_shingle_df`` caps shingle document frequency to bound join
-    fan-out (skew guard for hot shingles at scale)."""
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+):
+    """Shared inverted-index machinery for exact set-overlap dedup:
+    returns ``(inter, sizes)`` where ``inter`` is (id_a, id_b,
+    intersect_cnt) with id_a < id_b over distinct n-gram shingles and
+    ``sizes`` is (_id, sz) per-doc distinct-shingle counts — both
+    computed from the SAME (optionally df-capped) shingle sets, so any
+    similarity derived from them is internally consistent."""
     # Shingles join-key as a 64-bit hash (not the string): smaller
     # shuffle payload; collision odds are negligible for the counts.
     df = _spread(df)
@@ -341,7 +341,7 @@ def ngram_jaccard_pairs(
         # shingle's document frequency): one filter instead of a
         # separate count pass + anti-join over the raw postings. Doc
         # sizes are then derived from the SAME capped postings, so
-        # jaccard denominators see exactly the capped shingle sets.
+        # similarity denominators see exactly the capped shingle sets.
         posting = posting.filter(F.size("ids") <= max_shingle_df)
         sizes = (
             posting.select(F.explode("ids").alias("_id"))
@@ -365,6 +365,23 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("intersect_cnt"))
     )
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join.
+
+    Output: (id_a, id_b, intersect_cnt, union_cnt, jaccard), id_a < id_b.
+    ``max_shingle_df`` caps shingle document frequency to bound join
+    fan-out (skew guard for hot shingles at scale)."""
+    inter, sizes = _shingle_pair_counts(df, id_col, text_col, n, max_shingle_df)
     out = (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "sz": "sz_b"}), "id_b")
@@ -374,6 +391,38 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "intersect_cnt", "union_cnt", "jaccard")
     )
     return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs: containment =
+    |A intersect B| / min(|A|, |B|) — the asymmetric-overlap measure
+    that catches SUBSET duplication Jaccard misses (a short doc wholly
+    embedded in a long one has tiny Jaccard but containment ~1; the
+    classic quote/excerpt/boilerplate-wrapper case in training-data
+    dedup, cf. Broder's containment measure in the resemblance paper).
+
+    Output: (id_a, id_b, intersect_cnt, sz_a, sz_b, containment),
+    id_a < id_b, containment of the SMALLER side (symmetric form).
+    Same inverted-index shape and hot-shingle cap as
+    ngram_jaccard_pairs — one posting shuffle, one pair shuffle,
+    fan-out bounded by max_shingle_df."""
+    inter, sizes = _shingle_pair_counts(df, id_col, text_col, n, max_shingle_df)
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "containment", F.col("intersect_cnt") / F.least("sz_a", "sz_b")
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "intersect_cnt", "sz_a", "sz_b", "containment")
+    )
 
 
 def shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:

@@ -407,3 +407,31 @@ def weighted_priority_sample(
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_cols,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Source balancing: keep at most ``n`` rows per group, chosen by
+    ``order_cols`` (e.g. longest documents first) — the per-domain cap
+    every web-corpus curation applies so one crawl host cannot dominate
+    the mixture.
+
+    Ranks come from operators/ranking.py:with_grouped_rank, NOT a
+    Window.partitionBy(group): source/domain cardinality is routinely
+    tiny next to the corpus (a handful of crawls over billions of
+    docs), and the plain window would sort each entire group in one
+    task. The grouped rank range-partitions on (group, order), so
+    parallelism is partitions x groups regardless of group size.
+    ``order_cols`` must total-order within a group (append a unique id
+    as tie-break)."""
+    from .ranking import with_grouped_rank
+
+    ranked = with_grouped_rank(
+        df, [group_col], list(order_cols), rank_col="_r", num_partitions=num_partitions
+    )
+    return ranked.filter(F.col("_r") <= n).drop("_r")

@@ -463,8 +463,9 @@ def tfdf_keywords(
     cardinality as a vocabulary build), one join tf><df on token (AQE
     broadcasts the df side when the vocabulary is small), then a
     per-document window for the top-k — partitioned by doc id, never a
-    global sort. N arrives as a literal from a count (one scalar off an
-    already-needed scan), not a cross join."""
+    global sort. N rides along as a one-row broadcast (the optimal
+    attach-a-global-scalar plan, same as retrieval_bm25's corpus
+    stats) instead of an eager count() job per invocation."""
     from pyspark.sql.window import Window
 
     # tf = within-doc term count (not presence): explode the full token
@@ -474,12 +475,17 @@ def tfdf_keywords(
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = df.select(id_col).distinct().count()
+    n_row = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
     dfreq = (
         tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     )
-    scored = tf.join(dfreq, "token").withColumn(
-        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_row))
+        .withColumn("score", F.col("tf") * F.col("_n_docs") / F.col("df"))
+        .drop("_n_docs")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("token").asc()
@@ -495,4 +501,74 @@ def tfdf_keywords(
             "score",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    max_line_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style boilerplate-line stats: a (trimmed, non-empty) line
+    appearing in MORE than ``max_line_df`` distinct documents is
+    boilerplate (nav bars, cookie banners, licence footers — the
+    template noise paragraph-level dedup removes before training).
+
+    Output per doc: ``n_lines`` (non-empty line instances), ``n_kept``,
+    ``n_removed`` (instances of boilerplate lines), so the caller can
+    both filter and audit removal rates per source.
+
+    Shape at 100 TB: explode lines -> one groupBy(line-hash) for
+    document frequency (map-side combined; the line hash — not the
+    line text — is the shuffle payload) -> one broadcast-free join
+    back on the hash -> per-doc re-aggregation. Hot boilerplate lines
+    are exactly the high-df keys, but the df aggregation reduces them
+    to one row each before the join, so there is no skewed fan-out."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(F.col(id_col), F.trim(F.col("raw")).alias("line")).filter(
+        F.col("line") != ""
+    ).withColumn("lh", F.xxhash64("line"))
+    linedf = (
+        lines.select(F.col(id_col), "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    flagged = lines.join(linedf, "lh").withColumn(
+        "is_boiler", F.col("line_df") > max_line_df
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("long").alias("n_removed"),
+    )
+
+
+def token_bigrams(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k adjacent token pairs (collocation/BPE-merge
+    candidates — the first statistic a tokenizer-training pass
+    computes). Bigrams are built JVM-side by zipping the token array
+    with its own tail (no posexplode + window), exploded, counted with
+    map-side combine, and the top-k taken by (count desc, bigram asc)
+    — TakeOrderedAndProject, a k-row driver merge, never a global
+    sort."""
+    t = tokens_col(text_col)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
     )

@@ -934,11 +934,25 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     comment): exact ground truth shrinks by sample_pct^2 and the IVF
     under measurement runs on the same probe corpus, so the emitted
     recall is the method's recall at |S| — the full-corpus comparison
-    lives in `pytest -m slow`."""
+    lives in `pytest -m slow`.
+
+    The probe is capped at a fixed SIZE (~2,500 ids), not just a fixed
+    fraction: a fractional sample leaves the exact ground truth
+    O((n*f)^2), which the sf1 battery bench measured as a 21x blow-up
+    at 4x corpus. A quality probe should cost O(target^2) = O(1) at
+    any corpus scale — the effective pct shrinks as the corpus grows
+    (one cheap columnar count decides it), and the CI the entry emits
+    prices the fixed trial count honestly."""
+    emb_full = _t(spark, sf_dir, "embeddings")
+    if sample_pct < 100:
+        n_corpus = emb_full.count()
+        target = 2500
+        if n_corpus > 0:
+            sample_pct = min(sample_pct, max(1, -(-100 * target // n_corpus)))
     # The probe corpus is scanned ~8x (2 quantizer runs, 3 Lloyd
     # iterations, both exact-join sides) — cache it for the entry's
     # lifetime; released below with the exact pair set.
-    emb = _probe_sample(_t(spark, sf_dir, "embeddings"), "vec_id", sample_pct).persist()
+    emb = _probe_sample(emb_full, "vec_id", sample_pct).persist()
     sampled = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
     )
@@ -3814,6 +3828,147 @@ WHERE s.n >= 10
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: containment dedup, boilerplate lines, bigram stats,
+# per-source caps, rolling DAU
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric-overlap near-dup pairs: containment = intersection /
+    min(|A|, |B|) over capped 3-gram shingle sets — catches a short doc
+    wholly embedded in a long one, which Jaccard scores near zero
+    (operators/dedup.py:ngram_containment_pairs). Same inverted-index
+    shape and df-20 hot-shingle cap as the capped Jaccard entry; the
+    oracle applies the identical cap."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_containment_pairs(
+        docs, n=3, min_containment=0.4, max_shingle_df=20
+    )
+    return out.select("id_a", "id_b", "intersect_cnt", "sz_a", "sz_b", "containment")
+
+
+DEDUP_NGRAM_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS L FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 1), i -> array_to_string(L[i:i+2], ' '))
+    END) AS s
+  FROM toks),
+hot AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY s) WHERE c > 20),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 ANTI JOIN hot USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersect_cnt
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, intersect_cnt, sa.sz AS sz_a, sb.sz AS sz_b,
+  CAST(intersect_cnt AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(intersect_cnt AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.4
+"""
+
+
+def text_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate-line stats: per-doc counts of line
+    instances whose trimmed text appears in > 5 distinct documents
+    (operators/text.py:boilerplate_lines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.boilerplate_lines(docs, max_line_df=5)
+
+
+TEXT_BOILERPLATE_SQL = """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS l FROM documents)
+  WHERE trim(l) <> ''),
+ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_lines,
+  SUM(CASE WHEN line_df <= 5 THEN 1 ELSE 0 END) AS n_kept,
+  SUM(CASE WHEN line_df > 5 THEN 1 ELSE 0 END) AS n_removed
+FROM lines JOIN ldf USING (line) GROUP BY 1
+"""
+
+
+def text_token_bigrams(spark, sf_dir):
+    """Global top-20 adjacent token pairs — collocation / first-BPE-
+    merge statistics (operators/text.py:token_bigrams)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.token_bigrams(docs, k=20)
+
+
+TEXT_TOKEN_BIGRAMS_SQL = r"""
+WITH tok AS (
+  SELECT string_split_regex(lower(text), '\s+') AS L FROM documents),
+bg AS (
+  SELECT UNNEST(list_transform(range(1, len(L)), i -> L[i] || ' ' || L[i+1])) AS bigram
+  FROM tok WHERE len(L) >= 2)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def curation_source_cap(spark, sf_dir):
+    """Per-source document cap (domain balancing): keep the 30 longest
+    docs per source, ties by doc_id. Ranks come from the grouped
+    distributed rank (operators/sampling.py:cap_per_group ->
+    ranking.py:with_grouped_rank), not a whole-group-per-task window —
+    source cardinality is tiny next to the corpus."""
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs, "source", 30, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return capped.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+CURATION_SOURCE_CAP_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rn <= 30
+"""
+
+
+def events_rolling_dau(spark, sf_dir):
+    """Trailing-7-day distinct active users per day: each event fans
+    out to the 7 calendar days whose trailing window covers it (the
+    hopping-window expansion on epoch days), then one count_distinct
+    per day — Spark plans that as the standard two-level
+    Expand/partial-distinct aggregation, never a per-day scan. Shuffle
+    volume is 7x events; day arithmetic is integer epoch-microseconds,
+    timezone-free in both engines."""
+    ev = load_events(spark, sf_dir)
+    expanded = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000 div 86400000000").alias("event_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).withColumn("day", F.col("event_day") + F.col("off"))
+    return expanded.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(F.col("day").cast("long").alias("day"), "dau", "n_events")
+
+
+EVENTS_ROLLING_DAU_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS event_day,
+    UNNEST([0, 1, 2, 3, 4, 5, 6]) AS off
+  FROM events)
+SELECT (event_day + off) AS day, COUNT(DISTINCT user_id) AS dau,
+  COUNT(*) AS n_events
+FROM e GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3830,6 +3985,12 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # Ordering is presentation-only: every entry runs identically
     # regardless of position.
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
+    # --- new in round 6 -------------------------------------------------
+    "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),
+    "text_boilerplate_lines": (text_boilerplate_lines, TEXT_BOILERPLATE_SQL),
+    "text_token_bigrams": (text_token_bigrams, TEXT_TOKEN_BIGRAMS_SQL),
+    "curation_source_cap": (curation_source_cap, CURATION_SOURCE_CAP_SQL),
+    "events_rolling_dau": (events_rolling_dau, EVENTS_ROLLING_DAU_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_TOTALS_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_TYPE_PIVOT_SQL),
     "revenue_grouping_sets": (revenue_grouping_sets, REVENUE_GROUPING_SETS_SQL),

@@ -145,3 +145,27 @@ def test_signature_cache_scope_releases_caches(spark):
         simhash_near_dup_pairs(docs, max_hamming=3).collect()
         assert not cm.isEmpty()  # caches live while the scope is open
     assert cm.isEmpty()  # and are gone the moment it closes
+
+
+def test_ngram_containment_catches_subset_duplication(spark):
+    """A short doc embedded verbatim in a long one: Jaccard is tiny
+    (small/union) but containment of the smaller side is 1.0 — the
+    case the containment operator exists for."""
+    from factstore_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(docs, min_containment=0.8).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert all(p == (1, 2) for p in cont)
+    jac = {(r.id_a, r.id_b)
+           for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    assert (1, 2) not in jac  # Jaccard misses exactly this pair

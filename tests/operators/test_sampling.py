@@ -253,3 +253,30 @@ def test_upsample_by_weights_exact_against_python_md5(spark):
     for r in upsample_by_weights(df, "source", weights, key_col="doc_id").collect():
         got[(r.doc_id, r.source)] = max(got.get((r.doc_id, r.source), 0), r.copy)
     assert got == want
+
+
+def test_cap_per_group_matches_window_form(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from factstore_spark.operators.sampling import cap_per_group
+
+    rnd = random.Random(5)
+    rows = [(i, f"src{i % 4}", rnd.randint(0, 99)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, src string, w long").repartition(16)
+    got = {
+        (r.src, r.id)
+        for r in cap_per_group(
+            df, "src", 10, [F.col("w").desc(), F.col("id").asc()], num_partitions=8
+        ).collect()
+    }
+    wdw = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("id").asc())
+    want = {
+        (r.src, r.id)
+        for r in df.withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    assert got == want and len(got) == 40

@@ -215,3 +215,30 @@ def test_map_to_vocab_broadcasts_vocab(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_lines_flags_high_df_lines(spark):
+    from factstore_spark.operators.text import boilerplate_lines
+
+    footer = "copyright acme corp all rights reserved"
+    rows = [(i, f"unique body {i}\n{footer}\n  \n") for i in range(8)]
+    rows.append((100, "no footer here\njust content"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_lines(docs, max_line_df=5).collect()}
+    for i in range(8):
+        # 2 non-empty lines; the footer (df=8 > 5) is removed
+        assert (out[i].n_lines, out[i].n_kept, out[i].n_removed) == (2, 1, 1)
+    assert (out[100].n_lines, out[100].n_removed) == (2, 0)
+
+
+def test_token_bigrams_counts_and_ties(spark):
+    from factstore_spark.operators.text import token_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "single")],
+        "doc_id long, text string",
+    )
+    got = [(r.bigram, r.n) for r in token_bigrams(docs, k=3).collect()]
+    # "a b": doc1 twice + doc2 once = 3; then ties at 1 break lexically
+    assert got[0] == ("a b", 3)
+    assert got[1:] == [("b a", 1), ("b c", 1)]

@@ -322,6 +322,7 @@ BNLJ_WHITELIST = {
     "retrieval_bm25",           # 1-row corpus-stats broadcast
     "retrieval_hybrid_rrf",     # 1-row corpus-stats broadcast
     "text_heavy_tokens",        # 1-row error-bound broadcast
+    "text_tfdf_keywords",       # 1-row n_docs broadcast (linear-idf scale)
     "q22_idle_customers",       # 1-row positive-balance stats broadcast
     "q11_important_parts",      # 1-row global-total broadcast (fraction HAVING)
     "customer_segment_set_ops", # three 1-row count joins
