@@ -854,6 +854,13 @@ def _pair_recall_stats(approx, exact):
 # emitted alongside. The FULL-corpus comparison still runs in
 # `pytest -m slow` (tests/test_scale_slow.py::test_recall_probes_full).
 RECALL_PROBE_PCT = 50
+# Fixed probe SIZE, not just a fixed fraction: a fractional sample
+# leaves the exact ground truth O((n*f)^2) — the sf1 battery bench
+# measured dedup_embedding_recall at 21x for 4x corpus before this cap.
+# A quality probe should cost O(target^2) = O(1) at any corpus scale;
+# the effective pct shrinks as the corpus grows (one columnar count
+# decides it) and the emitted CI prices the fixed trial count.
+RECALL_PROBE_TARGET = 2500
 
 
 def _probe_sample(df, id_col: str, pct: int, salt: str = "recallprobe"):
@@ -862,6 +869,18 @@ def _probe_sample(df, id_col: str, pct: int, salt: str = "recallprobe"):
     from .operators.sampling import split_bucket
 
     return df.filter(split_bucket(id_col, 100, salt) < pct)
+
+
+def _probe_pct(df, sample_pct: int, target: int = RECALL_PROBE_TARGET) -> int:
+    """Clamp a probe's sampling pct so the expected sample stays near
+    ``target`` rows regardless of corpus size (see RECALL_PROBE_TARGET
+    comment). At sf0.1 (5k rows) this is a no-op for pct=50."""
+    if sample_pct >= 100:
+        return sample_pct
+    n = df.count()
+    if n <= 0:
+        return sample_pct
+    return min(sample_pct, max(1, -(-100 * target // n)))
 
 
 def _with_recall_ci(stats):
@@ -891,7 +910,8 @@ def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     IS the quality check: recall_ci_lo_bp below ~8500 means the
     banding broke. Banding is pair-local, so probing the sample scores
     exactly the full operator's behaviour on those pairs."""
-    docs = _probe_sample(_t(spark, sf_dir, "documents"), "doc_id", sample_pct)
+    docs_full = _t(spark, sf_dir, "documents")
+    docs = _probe_sample(docs_full, "doc_id", _probe_pct(docs_full, sample_pct))
     approx = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
     exact = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
     return _with_recall_ci(_pair_recall_stats(approx, exact))
@@ -904,7 +924,8 @@ def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     brute-force all-pairs Hamming scan — on ANY corpus, including the
     md5-sampled probe corpus (exactness needs no CI; a deviation on
     any subset means the banding or the signature broke)."""
-    docs = _probe_sample(_t(spark, sf_dir, "documents"), "doc_id", sample_pct)
+    docs_full = _t(spark, sf_dir, "documents")
+    docs = _probe_sample(docs_full, "doc_id", _probe_pct(docs_full, sample_pct))
     approx = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
     sig = docs.select(F.col("doc_id").alias("_id"), dedup_ops.simhash_col("text").alias("sim"))
     a = sig.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})
@@ -944,15 +965,12 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     (one cheap columnar count decides it), and the CI the entry emits
     prices the fixed trial count honestly."""
     emb_full = _t(spark, sf_dir, "embeddings")
-    if sample_pct < 100:
-        n_corpus = emb_full.count()
-        target = 2500
-        if n_corpus > 0:
-            sample_pct = min(sample_pct, max(1, -(-100 * target // n_corpus)))
     # The probe corpus is scanned ~8x (2 quantizer runs, 3 Lloyd
     # iterations, both exact-join sides) — cache it for the entry's
     # lifetime; released below with the exact pair set.
-    emb = _probe_sample(emb_full, "vec_id", sample_pct).persist()
+    emb = _probe_sample(
+        emb_full, "vec_id", _probe_pct(emb_full, sample_pct)
+    ).persist()
     sampled = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
     )
