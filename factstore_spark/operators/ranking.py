@@ -134,10 +134,22 @@ def with_grouped_rank(
             [StructField(f.name, f.dataType, f.nullable) for f in gfields]
             + [StructField(count_col, LongType(), False)]
         )
-        offs = offs.join(F.broadcast(spark.createDataFrame(tot_rows, tot_schema)), list(group_cols))
+        tots_df = spark.createDataFrame(tot_rows, tot_schema)
+        tcond = None
+        for g in group_cols:
+            c = offs[g].eqNullSafe(tots_df[g])
+            tcond = c if tcond is None else (tcond & c)
+        offs = offs.join(F.broadcast(tots_df), tcond).drop(*[tots_df[g] for g in group_cols])
+    # NULL-SAFE group equality: a plain equi-join on the group columns
+    # would silently DROP rows whose group value is null, while the
+    # window form this replaces keeps them as their own group.
+    cond = ranged["_pid"] == offs["_pid"]
+    for g in group_cols:
+        cond = cond & ranged[g].eqNullSafe(offs[g])
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     return (
-        ranged.join(F.broadcast(offs), ["_pid", *group_cols])
+        ranged.join(F.broadcast(offs), cond)
+        .drop(offs["_pid"], *[offs[g] for g in group_cols])
         .withColumn(rank_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )

@@ -603,10 +603,11 @@ def train_centroids(
     seed: int = 42,
 ) -> list[list[float]]:
     """Lloyd's k-means over the embedding column (coarse quantizer
-    training for IVF). Each iteration: broadcast current centroids as
-    literals, one map-only nearest-centroid assignment pass, then a
-    groupBy(cell) mean — the only shuffle. Returns unit-normalized
-    centroids (driver-side list; centroid tables are tiny by design).
+    training for IVF). Each iteration: one map-only nearest-centroid
+    assignment pass (vectorized matmul against the broadcast centroid
+    matrix, _centroid_cells_col), then a groupBy(cell) mean — the only
+    shuffle. Returns unit-normalized centroids (driver-side list;
+    centroid tables are tiny by design).
 
     Initialization is the deterministic seeded sample (xxhash64 order),
     so results are reproducible run-to-run.

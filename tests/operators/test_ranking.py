@@ -137,3 +137,21 @@ def test_global_rank_plan_has_no_unpartitioned_window(spark):
     assert window_args, "no window operator found in plan"
     for line in window_args:
         assert "_pid" in line, f"window not partitioned by _pid: {line}"
+
+
+def test_grouped_rank_keeps_null_group(spark):
+    """NULL group values must rank within their own group (as the
+    window form does), not vanish through a null-unsafe offsets join."""
+    rows = [(1, None, 5), (2, None, 3), (3, "g", 7), (4, "g", 1)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {
+        (r.g, r.id): (r.rank, r.n)
+        for r in with_grouped_rank(
+            df, ["g"], [F.col("v").asc(), F.col("id").asc()],
+            rank_col="rank", count_col="n", num_partitions=4,
+        ).collect()
+    }
+    assert out == {
+        (None, 2): (1, 2), (None, 1): (2, 2),
+        ("g", 4): (1, 2), ("g", 3): (2, 2),
+    }
