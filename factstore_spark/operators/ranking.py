@@ -88,58 +88,48 @@ def with_grouped_rank(
     1. range-repartition on ``(group_cols, order_cols)`` — each
        partition holds a CONTIGUOUS slice of each group's total order,
        so partition boundaries respect per-group rank order;
-    2. collect per-(partition, group) sizes — O(partitions x groups)
-       rows, the only driver data;
-    3. cumulative-sum those sizes per group into offsets, broadcast-
-       join them back, and window only within the (partition, group)
-       cell: parallelism = partitions x groups, each task sorts
-       ~1/partitions of one group.
+    2. aggregate per-(partition, group) sizes — O(partitions x groups)
+       rows — and cumulative-sum them per group with a window over
+       that TINY frame (each window cell is one group's <=partitions
+       rows), entirely distributed: unlike with_global_rank's
+       O(partitions) driver fold, grouped offsets can reach
+       O(groups x partitions) rows, which must never ride through the
+       driver;
+    3. broadcast-join the offsets back and window only within the
+       (partition, group) cell: parallelism = partitions x groups,
+       each task sorts ~1/partitions of one group.
 
     ``order_cols`` must total-order rows WITHIN a group (add unique
     tie-breakers). ``count_col`` additionally attaches each group's
-    total row count (free — the offsets pass already summed it),
-    which is what median/NTILE callers need next."""
+    total row count (free — the same window pass sums it), which is
+    what median/NTILE callers need next.
+
+    Regime: built for group cardinality SMALL relative to the corpus
+    (event types, sources, domains) — where Window.partitionBy(group)
+    serializes. There the offsets frame (groups x partitions rows)
+    broadcasts trivially. With millions of groups the plain window
+    already parallelizes fine and is the better plan."""
     gcols = [F.col(g) for g in group_cols]
     ranged = (
         df.repartitionByRange(num_partitions, *gcols, *order_cols)
         .localCheckpoint(eager=True)  # pin boundaries; see with_global_rank
         .withColumn("_pid", F.spark_partition_id())
     )
-    size_rows = (
-        ranged.groupBy("_pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
-    # Driver-side cumulative sum per group over sorted partition ids.
-    totals: dict[tuple, int] = {}
-    offset_rows = []
-    for r in sorted(size_rows, key=lambda r: r["_pid"]):
-        g = tuple(r[c] for c in group_cols)
-        offset_rows.append(tuple(r[c] for c in group_cols) + (r["_pid"], totals.get(g, 0)))
-        totals[g] = totals.get(g, 0) + r["_n"]
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    gfields = [ranged.schema[c] for c in group_cols]
-    off_schema = StructType(
-        [StructField(f.name, f.dataType, f.nullable) for f in gfields]
-        + [StructField("_pid", LongType(), False), StructField("_off", LongType(), False)]
-    )
-    spark = ranged.sparkSession
-    offs = spark.createDataFrame(
-        [row[:-2] + (int(row[-2]), int(row[-1])) for row in offset_rows], off_schema
+    sizes = ranged.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    ow = Window.partitionBy(*group_cols).orderBy("_pid")
+    offs = sizes.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(
+            F.sum("_n").over(ow.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_off"),
+        F.sum("_n")
+        .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_gtot"),
     )
     if count_col is not None:
-        tot_rows = [g + (int(n),) for g, n in totals.items()]
-        tot_schema = StructType(
-            [StructField(f.name, f.dataType, f.nullable) for f in gfields]
-            + [StructField(count_col, LongType(), False)]
-        )
-        tots_df = spark.createDataFrame(tot_rows, tot_schema)
-        tcond = None
-        for g in group_cols:
-            c = offs[g].eqNullSafe(tots_df[g])
-            tcond = c if tcond is None else (tcond & c)
-        offs = offs.join(F.broadcast(tots_df), tcond).drop(*[tots_df[g] for g in group_cols])
+        offs = offs.withColumn(count_col, F.col("_gtot").cast("long"))
+    offs = offs.drop("_gtot")
     # NULL-SAFE group equality: a plain equi-join on the group columns
     # would silently DROP rows whose group value is null, while the
     # window form this replaces keeps them as their own group.
