@@ -737,32 +737,47 @@ def _shard_oversized_clusters(
         "cluster",
         "left",
     )
+    # SPLIT-UNION, not a F.when() mask over the whole corpus: a masked
+    # pandas UDF still Arrow-ships and scores EVERY row (when() does
+    # not prune vectorized UDF evaluation), turning a one-mega-cluster
+    # guard into a full-corpus matmul. Filtering first runs the
+    # assignment on oversized rows only; compliant rows never leave
+    # the JVM. unionByName keeps it shuffle-free.
+    compliant = marked.filter(F.col("_over").isNull()).withColumn(
+        "_jkey", F.concat(F.lit("p:"), plain_key)
+    )
+    over_rows = marked.filter("_over")
     cents = _sample_centroids(
-        marked.filter("_over").select("id", F.col("q").alias("v")), n_fine, "id", "v", seed
+        over_rows.filter(F.col("q").isNotNull()).select("id", F.col("q").alias("v")),
+        n_fine, "id", "v", seed,
     )
-    marked = marked.withColumn(
-        "_sub",
-        F.when(F.col("_over"), F.element_at(_centroid_cells_col(F.col("q"), cents, 1), 1)),
+    subbed = over_rows.withColumn(
+        "_sub", F.element_at(_centroid_cells_col(F.col("q"), cents, 1), 1)
     )
-    cell_sizes = (
-        marked.filter("_over")
-        .groupBy("cluster", "_sub")
-        .agg(F.count(F.lit(1)).alias("_cn"))
-    )
+    cell_sizes = subbed.groupBy("cluster", "_sub").agg(F.count(F.lit(1)).alias("_cn"))
     big = cell_sizes.filter(F.col("_cn") > max_cluster_size).select(
         "cluster", "_sub", F.ceil(F.col("_cn") / max_cluster_size).cast("long").alias("_nsh")
     )
-    marked = marked.join(F.broadcast(big), ["cluster", "_sub"], "left")
+    subbed = subbed.join(F.broadcast(big), ["cluster", "_sub"], "left")
     shard = F.coalesce(
         F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(seed)), F.col("_nsh")),
         F.lit(0),
     )
-    key = F.when(F.col("_over").isNull(), plain_key).otherwise(
-        F.concat_ws(
-            "#", plain_key, F.col("_sub").cast("string"), shard.cast("string")
-        )
-    )
-    return marked.withColumn("_jkey", key).drop("_over", "_sub", "_nsh")
+    # Key namespaces: "p:" for plain clusters, "s:" for sharded ones —
+    # without the prefix a compliant cluster literally named "a#0#0"
+    # would collide with shard (cluster="a", sub=0, shard=0) and the
+    # self-join would pair rows ACROSS distinct clusters. Within the
+    # "s:" namespace composite keys are injective: sub and shard are
+    # single integers, so right-splitting the two trailing "#" fields
+    # recovers (cluster, sub, shard) uniquely.
+    sharded = subbed.withColumn(
+        "_jkey",
+        F.concat(
+            F.lit("s:"), plain_key, F.lit("#"),
+            F.col("_sub").cast("string"), F.lit("#"), shard.cast("string"),
+        ),
+    ).drop("_sub", "_nsh")
+    return compliant.unionByName(sharded).drop("_over")
 
 
 def semantic_dedup_pairs(

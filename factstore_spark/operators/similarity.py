@@ -159,19 +159,36 @@ def _centroid_cells_col(
     n_cells = centroids.shape[0]
     p = min(n_probe, n_cells)
 
+    dim = centroids.shape[1]
+
     @F.pandas_udf("array<int>")
     def _cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        scores = M @ centroids.T  # n x n_cells
+        vals = v.to_numpy()
+        # NULL / ragged-length embeddings yield a NULL cell list (the
+        # row is excluded by downstream cell joins) instead of
+        # crashing the whole task in np.vstack — matching the old
+        # expression-based scoring, where a null vector null-ed out of
+        # the argmax. array<float> columns are nullable by default, so
+        # one missing embedding must not fail train/build/query.
+        ok = np.fromiter(
+            (x is not None and len(x) == dim for x in vals), dtype=bool, count=len(vals)
+        )
+        if not ok.any():
+            return pd.Series([None] * len(vals), dtype="object")
+        M = np.vstack(vals[ok]).astype(np.float64)
+        scores = M @ centroids.T  # n_ok x n_cells
         # STABLE argsort, full width: n_cells is small by design, so a
         # full sort costs the same as argpartition while giving the
         # (score desc, cell asc) tie order every call site shares —
         # zero vectors (all-tie scores) probe cells 0..p-1, not an
         # argpartition-dependent arbitrary set.
-        top = np.argsort(-scores, axis=1, kind="stable")[:, :p]
-        return pd.Series(list(top.astype(np.int32)))
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :p].astype(np.int32)
+        out = [None] * len(vals)
+        for j, i in enumerate(np.flatnonzero(ok)):
+            out[i] = top[j]
+        return pd.Series(out, dtype="object")
 
     return _cells(vec_col)
 
@@ -192,13 +209,23 @@ def _sample_centroids(
     df: DataFrame, n_cells: int, id_col: str, vec_col: str, seed: int
 ) -> np.ndarray:
     """Deterministic seeded-sample centroids (xxhash64 order), unit-
-    normalized. Centroid tables are tiny by design — driver-side."""
+    normalized. Centroid tables are tiny by design — driver-side.
+    Null embeddings are excluded (nullable columns must not crash the
+    sample); a ragged-length row is excluded with them by keeping the
+    majority dimension."""
     rows = (
         df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.lit(1 << 31)))
         .limit(n_cells)
         .collect()
     )
+    if rows:
+        dim = max(
+            (len(r.v) for r in rows),
+            key=lambda d: sum(1 for r in rows if len(r.v) == d),
+        )
+        rows = [r for r in rows if len(r.v) == dim]
     C = np.asarray([[float(x) for x in r.v] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
@@ -620,13 +647,23 @@ def train_centroids(
 
     rows = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        # null embeddings can't seed centroids (nullable array<float>
+        # columns must not crash training; such rows assign cell=null)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.lit(1 << 31)))
         .limit(n_cells)
         .collect()
     )
     if not rows:
         return []  # empty corpus: nothing to train on
-    cents = [np.asarray([float(x) for x in r.v], dtype=np.float64) for r in rows]
+    # A ragged-length sample row would make the centroid matrix
+    # inhomogeneous; keep the majority dimension's rows.
+    dim = max((len(r.v) for r in rows), key=lambda d: sum(1 for r in rows if len(r.v) == d))
+    cents = [
+        np.asarray([float(x) for x in r.v], dtype=np.float64)
+        for r in rows
+        if len(r.v) == dim
+    ]
     cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
 
     for _ in range(iterations):
@@ -654,6 +691,8 @@ def train_centroids(
         )
         new_cents = list(cents)
         for r in means:
+            if r.cell is None:
+                continue  # null/ragged embeddings assign a null cell
             m = np.asarray(r.sum_v, dtype=np.float64) / r.n
             norm = np.linalg.norm(m)
             if norm > 0:

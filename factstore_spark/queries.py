@@ -863,38 +863,58 @@ RECALL_PROBE_PCT = 50
 RECALL_PROBE_TARGET = 2500
 
 
-def _probe_sample(df, id_col: str, pct: int, salt: str = "recallprobe"):
-    if pct >= 100:
+# Probe sampling granularity: parts-per-million, not percent. With
+# percent buckets the smallest rate is 1%, so any corpus over
+# 100*target rows (250k) silently regrows the sample linearly — the
+# exact O((n*f)^2) failure the fixed-size cap exists to prevent. At
+# ppm the cap holds to target*1e6 rows (2.5e9); beyond that, raise
+# PROBE_BUCKETS before raising RECALL_PROBE_TARGET.
+PROBE_BUCKETS = 1_000_000
+
+
+def _probe_sample(df, id_col: str, ppm: int, salt: str = "recallprobe"):
+    if ppm >= PROBE_BUCKETS:
         return df
     from .operators.sampling import split_bucket
 
-    return df.filter(split_bucket(id_col, 100, salt) < pct)
+    return df.filter(split_bucket(id_col, PROBE_BUCKETS, salt) < ppm)
 
 
-def _probe_pct(df, sample_pct: int, target: int = RECALL_PROBE_TARGET) -> int:
-    """Clamp a probe's sampling pct so the expected sample stays near
-    ``target`` rows regardless of corpus size (see RECALL_PROBE_TARGET
-    comment). At sf0.1 (5k rows) this is a no-op for pct=50."""
+def _probe_ppm(df, sample_pct: int, target: int = RECALL_PROBE_TARGET) -> int:
+    """Probe sampling rate in ppm: the caller's pct ceiling converted
+    to ppm, then clamped so the expected sample stays near ``target``
+    rows regardless of corpus size (see RECALL_PROBE_TARGET comment).
+    At sf0.1 (5k rows) this resolves to the plain pct. One columnar
+    count decides it."""
     if sample_pct >= 100:
-        return sample_pct
+        return PROBE_BUCKETS
     n = df.count()
+    ceiling = sample_pct * (PROBE_BUCKETS // 100)
     if n <= 0:
-        return sample_pct
-    return min(sample_pct, max(1, -(-100 * target // n)))
+        return ceiling
+    return min(ceiling, max(1, -(-PROBE_BUCKETS * target // n)))
 
 
 def _with_recall_ci(stats):
-    """recall_ci_lo_bp: lower 95% normal-approx bound on recall over
-    the n_exact sampled trials (floor'd to basis points, clipped at 0).
-    FP sqrt is fine here — recall entries are rows-only, never hashed
-    against a SQL oracle."""
-    p = F.col("n_common") / F.col("n_exact")
-    half = F.lit(1.96) * F.sqrt(p * (1 - p) / F.col("n_exact"))
+    """recall_ci_lo_bp: lower 95% WILSON bound on recall over the
+    n_exact sampled trials (floor'd to basis points, clipped at 0).
+    Wilson, not the Wald normal approximation: Wald degenerates to
+    zero width at p=1, so a probe that found its only 1-2 sampled
+    pairs would emit full confidence (10000 bp) from one trial —
+    exactly when the banding-broke alarm must stay armed. Wilson at
+    p=1, n=1 gives ~2066 bp. FP sqrt is fine here — recall entries
+    are rows-only, never hashed against a SQL oracle."""
+    n = F.col("n_exact").cast("double")
+    p = F.col("n_common") / n
+    z2 = F.lit(1.96 * 1.96)
+    center = p + z2 / (2 * n)
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    lo = (center - half) / (1 + z2 / n)
     return stats.withColumn(
         "recall_ci_lo_bp",
         F.when(
             F.col("n_exact") > 0,
-            F.greatest(F.floor(F.lit(10000) * (p - half)), F.lit(0)),
+            F.greatest(F.floor(F.lit(10000) * lo), F.lit(0)),
         )
         .otherwise(F.lit(10000))
         .cast("long"),
@@ -911,7 +931,7 @@ def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     banding broke. Banding is pair-local, so probing the sample scores
     exactly the full operator's behaviour on those pairs."""
     docs_full = _t(spark, sf_dir, "documents")
-    docs = _probe_sample(docs_full, "doc_id", _probe_pct(docs_full, sample_pct))
+    docs = _probe_sample(docs_full, "doc_id", _probe_ppm(docs_full, sample_pct))
     approx = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
     exact = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
     return _with_recall_ci(_pair_recall_stats(approx, exact))
@@ -925,7 +945,7 @@ def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     md5-sampled probe corpus (exactness needs no CI; a deviation on
     any subset means the banding or the signature broke)."""
     docs_full = _t(spark, sf_dir, "documents")
-    docs = _probe_sample(docs_full, "doc_id", _probe_pct(docs_full, sample_pct))
+    docs = _probe_sample(docs_full, "doc_id", _probe_ppm(docs_full, sample_pct))
     approx = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
     sig = docs.select(F.col("doc_id").alias("_id"), dedup_ops.simhash_col("text").alias("sim"))
     a = sig.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})
@@ -969,7 +989,7 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     # iterations, both exact-join sides) — cache it for the entry's
     # lifetime; released below with the exact pair set.
     emb = _probe_sample(
-        emb_full, "vec_id", _probe_pct(emb_full, sample_pct)
+        emb_full, "vec_id", _probe_ppm(emb_full, sample_pct)
     ).persist()
     sampled = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
@@ -3139,10 +3159,12 @@ def events_value_median(spark, sf_dir):
     — deterministic in both engines.
 
     Plan shape: ranks come from operators/ranking.py:with_grouped_rank
-    (range shuffle on (event_type, value_cents, event_id) + O(parts x
-    groups) driver offsets), NOT from Window.partitionBy(event_type) —
-    the plain window caps parallelism at group cardinality (5 event
-    types), making each task sort ~1/5 of the corpus at 100x scale."""
+    (range shuffle on (event_type, value_cents, event_id); cumulative
+    offsets computed DISTRIBUTED by a window over the tiny
+    (partition, group) size frame and broadcast back — no driver data
+    path), NOT from Window.partitionBy(event_type) — the plain window
+    caps parallelism at group cardinality (5 event types), making each
+    task sort ~1/5 of the corpus at 100x scale."""
     from .operators.ranking import with_grouped_rank
 
     ev = load_events(spark, sf_dir)

@@ -402,3 +402,25 @@ def test_semantic_dedup_oversized_cluster_guard(spark):
     decided = D.semantic_dedup(df, tau_num=95, tau_den=100, max_cluster_size=50)
     mega_kept = decided.filter((F.col("cluster") == 0) & (~F.col("is_dup"))).count()
     assert mega_kept <= 6  # one representative per shard at most
+
+
+def test_semantic_dedup_guard_string_clusters_no_key_collision(spark):
+    """String cluster ids containing '#' must not alias a sharded key:
+    a compliant cluster literally named 'a#0#0' and an oversized
+    cluster 'a' (whose shards emit ...#sub#shard composites) stay in
+    disjoint join namespaces ('p:' vs 's:'). Cross-cluster pairs must
+    never appear."""
+    rows = []
+    for i in range(80):  # oversized cluster "a", identical vectors
+        rows.append((i, [1.0, 0.0], "a"))
+    # compliant cluster whose NAME matches a possible composite key
+    rows += [(500, [1.0, 0.0], "a#0#0"), (501, [0.999, 0.01], "a#0#0")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    pairs = D.semantic_dedup_pairs(
+        df, tau_num=95, tau_den=100, max_cluster_size=20
+    ).collect()
+    for p in pairs:
+        same_side = (p.id_a < 500) == (p.id_b < 500)
+        assert same_side, f"cross-cluster pair {p.id_a},{p.id_b}"
+    # the compliant pair is intact
+    assert {(p.id_a, p.id_b) for p in pairs if p.id_a >= 500} == {(500, 501)}

@@ -368,3 +368,35 @@ def test_pq_distributed_training_full_corpus(spark):
     r_dist, r_samp = recall(dist_books), recall(samp_books)
     assert r_dist >= r_samp  # full-corpus training never worse than a starved sample
     assert r_dist >= 0.9  # deterministic seeds: observed 0.9375 vs 0.8125
+
+
+def test_ivf_paths_tolerate_null_and_ragged_embeddings(spark, tmp_path):
+    """A nullable array<float> column with a NULL (or wrong-length)
+    embedding must not crash the vectorized centroid assignment — the
+    bad row assigns a NULL cell and drops out of cell joins, matching
+    the old expression-based scoring's null-propagation."""
+    import random
+
+    from factstore_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)], 0) for i in range(40)]
+    rows.append((100, None, 0))
+    rows.append((101, [1.0, 2.0], 0))  # ragged: wrong dimension
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter("vec_id < 3")
+
+    cents = train_centroids(emb, n_cells=4, iterations=2)
+    assert len(cents) == 4
+    out = ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2, centroids=cents).collect()
+    assert out and all(r.neighbor_id not in (100, 101) for r in out)
+
+    stats = build_ivf_index(emb, str(tmp_path / "ivf"), n_cells=4, train_iterations=1)
+    assert stats["n_vectors"] == 42  # bad rows still in the table, cell=null
+    out2 = ivf_topk_indexed(spark, str(tmp_path / "ivf"), queries, k=3, n_probe=2).collect()
+    assert out2 and all(r.neighbor_id not in (100, 101) for r in out2)
