@@ -4008,6 +4008,114 @@ FROM e GROUP BY 1
 """
 
 
+def curation_length_deciles(spark, sf_dir):
+    """Document-length decile stats: every doc ranked by (n_chars,
+    doc_id) via the distributed global rank (no single-task sort),
+    NTILE'd into 10 buckets, then per-decile count and char bounds —
+    the length-distribution report a curation pass uses to set
+    min/max-length filters."""
+    from .operators.ranking import ntile_of_rank, with_global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, total = with_global_rank(
+        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], with_total=True
+    )
+    return (
+        ranked.withColumn("decile", ntile_of_rank(F.col("rank"), F.lit(total), 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+CURATION_LENGTH_DECILES_SQL = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+    ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents)
+SELECT decile, COUNT(*) AS n_docs,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM r GROUP BY 1
+"""
+
+
+def dedup_cross_source(spark, sf_dir):
+    """Provenance-aware dedup report: capped n-gram Jaccard near-dup
+    pairs joined to each side's source, counted per (source_a,
+    source_b) with the pair ordered so source_a <= source_b — the
+    which-crawls-overlap matrix a corpus audit reads before deciding
+    mixture weights. Pairs travel as ids; sources attach via two
+    joins against an ids->source projection (AQE broadcasts it)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_shingle_df=20
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    annotated = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    return annotated.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = (
+    "WITH pairs AS (" + DEDUP_NGRAM_CAPPED_SQL + """)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+  GREATEST(sa.source, sb.source) AS source_b,
+  COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents sa ON sa.doc_id = pairs.id_a
+JOIN documents sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+)
+
+
+def events_type_transitions(spark, sf_dir):
+    """Per-user event-type transition counts (the Markov-chain edge
+    list behind funnel/next-action models): each user's events ordered
+    by (ts, event_id), lag(1) pairs consecutive types, then one
+    map-side-combined count per (from_type, to_type). The lag window
+    partitions by user_id — key cardinality is the user population, so
+    parallelism is never group-capped (the opposite regime from
+    events_value_median's 5 event types)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+    ) AS from_type
+  FROM events)
+SELECT from_type, event_type AS to_type, COUNT(*) AS n
+FROM o WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4031,6 +4139,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_token_bigrams": (text_token_bigrams, TEXT_TOKEN_BIGRAMS_SQL),
     "curation_source_cap": (curation_source_cap, CURATION_SOURCE_CAP_SQL),
     "events_rolling_dau": (events_rolling_dau, EVENTS_ROLLING_DAU_SQL),
+    "curation_length_deciles": (curation_length_deciles, CURATION_LENGTH_DECILES_SQL),
+    "dedup_cross_source": (dedup_cross_source, DEDUP_CROSS_SOURCE_SQL),
+    "events_type_transitions": (events_type_transitions, EVENTS_TYPE_TRANSITIONS_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_TOTALS_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_TYPE_PIVOT_SQL),
     "revenue_grouping_sets": (revenue_grouping_sets, REVENUE_GROUPING_SETS_SQL),
