@@ -3493,52 +3493,62 @@ def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape — THE multi-correlated EXISTS / NOT EXISTS
     query: suppliers who were the SOLE late supplier of a failed
     multi-supplier order. Lateness is ship-lag > 150 days (the data
-    has no commit/receipt dates). Plan: the late set l1 is one
-    pushed-filter join of lineitem to 'F' orders; EXISTS becomes a
-    left-semi join on order key with a supplier-inequality residual;
-    NOT EXISTS becomes a left-anti self-join of l1 — both shuffle on
-    the order key, no correlated per-row re-execution anywhere."""
+    has no commit/receipt dates). Plan (round 7, replacing four
+    lineitem scans with ONE): join lineitem to 'F' orders once, flag
+    lateness per line, then fold the correlated EXISTS / NOT EXISTS
+    into per-order supplier statistics — a (orderkey, suppkey) pair
+    aggregate (late-line count) and an orderkey aggregate over the
+    pair frame (supplier count, late-supplier count). A pair
+    qualifies iff it is late, the order has >= 2 suppliers (EXISTS a
+    different-supplier line), and exactly 1 late supplier (NOT EXISTS
+    a different late supplier). After the shuffle join on l_orderkey
+    the two groupBys and the stats join-back are all satisfied by the
+    existing HashPartitioning(l_orderkey) (subset-of-clustering-keys
+    rule), so lineitem crosses exactly one Exchange (plan-asserted in
+    test_plan_quality)."""
     orders_f = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    late = (
+    lines = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 150 DAYS")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 150 DAYS")
+            ).cast("int").alias("is_late"),
         )
-        .select("l_orderkey", "l_suppkey")
     )
-    other_lines = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
+    pairs = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_lines")
     )
-    l1 = late.join(
-        other_lines,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    )
-    late_other = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
-    )
-    sole = l1.join(
-        late_other,
-        (F.col("l_orderkey") == F.col("o3_orderkey"))
-        & (F.col("l_suppkey") != F.col("o3_suppkey")),
-        "left_anti",
+    # When exactly one supplier is late, the order's total late-line
+    # count IS that supplier's count and max(when(late)) IS its key —
+    # so the whole EXISTS/NOT-EXISTS resolves in one more (tiny,
+    # order-level) aggregate with no self-join and no window.
+    sole = (
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+            F.sum("late_lines").alias("late_lines"),
+            F.max(
+                F.when(F.col("late_lines") > 0, F.col("l_suppkey"))
+            ).alias("late_suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(_t(spark, sf_dir, "nation")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     )
     return (
-        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole.join(F.broadcast(supp), F.col("late_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
     )
 
 
@@ -3927,8 +3937,8 @@ WITH lines AS (
   WHERE trim(l) <> ''),
 ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1)
 SELECT doc_id, COUNT(*) AS n_lines,
-  SUM(CASE WHEN line_df <= 5 THEN 1 ELSE 0 END) AS n_kept,
-  SUM(CASE WHEN line_df > 5 THEN 1 ELSE 0 END) AS n_removed
+  CAST(SUM(CASE WHEN line_df <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN line_df > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM lines JOIN ldf USING (line) GROUP BY 1
 """
 

@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
 from factstore_spark.queries import REGISTRY
 from factstore_spark.session import get_spark
@@ -22,6 +23,68 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def _spark_class(dt: str) -> str:
+    """Coarse dtype class for a Spark simpleString dtype."""
+    d = dt.lower()
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d == "boolean":
+        return "bool"
+    if d in ("string", "varchar"):
+        return "str"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d.startswith("array"):
+        return "array"
+    return "other:" + d
+
+
+def _arrow_class(t) -> str:
+    """Coarse dtype class for a DuckDB-arrow column type."""
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    return "other:" + str(t)
+
+
+def dtype_drift(s_dtypes, d_schema):
+    """Columns whose coarse dtype class differs between Spark and the
+    oracle's arrow output. The driver's value hash is dtype-sensitive
+    (e.g. DuckDB HUGEINT -> decimal128 vs Spark bigint hashed apart even
+    when every value is equal — the round-6 text_boilerplate_lines red
+    row), while Python compares Decimal(3) == 3 as equal, so plain value
+    comparison cannot catch this class of oracle bug."""
+    s_map = {c: _spark_class(t) for c, t in s_dtypes}
+    drift = []
+    for field in d_schema:
+        if field.name not in s_map:
+            continue  # column-name mismatch is reported separately
+        dc = _arrow_class(field.type)
+        sc = s_map[field.name]
+        if dc != sc:
+            drift.append(f"{field.name}: spark={sc} oracle={dc}")
+    return drift
 
 
 def norm_cell(v):
@@ -64,11 +127,17 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
-            cur = con.execute(sql)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = [tuple(r) for r in cur.fetchall()]
+            tbl = con.execute(sql).fetch_arrow_table()
+            d_cols = list(tbl.column_names)
+            col_vals = [tbl.column(j).to_pylist() for j in range(tbl.num_columns)]
+            d_rows = [tuple(col[i] for col in col_vals) for i in range(tbl.num_rows)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        drift = dtype_drift(sdf.dtypes, tbl.schema)
+        if drift:
+            print(f"FAIL {name}: dtype drift (driver hash would mismatch): {drift}")
             failures.append(name)
             continue
         sc, sr = norm_rows(s_cols, s_rows)

@@ -343,3 +343,16 @@ def test_no_entry_gains_a_cartesian_or_unlisted_bnlj(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_q21_single_lineitem_scan(spark):
+    """Q21's correlated EXISTS / NOT EXISTS must resolve via the
+    per-order supplier-stats aggregate (queries.py:q21_waiting_suppliers)
+    — ONE lineitem scan, no self-join of the late set. Four scans of
+    the biggest table was the round-6 sf1 bench's worst scaler (6.0x
+    at 10x data, SCALE.md)."""
+    df = REGISTRY["q21_waiting_suppliers"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned exactly once"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
