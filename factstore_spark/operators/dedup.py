@@ -630,6 +630,45 @@ def simhash_col(text_col: str = "text", bits: int = 64) -> Column:
     )
 
 
+def exact_hamming_pairs_bounded(
+    sig_df: DataFrame,
+    max_hamming: int,
+    id_col: str = "_id",
+    sig_col: str = "sim",
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """Exact all-pairs Hamming <= ``max_hamming`` over a SIZE-BOUNDED
+    signature frame (recall-probe ground truth): one bounded collect of
+    (id, 64-bit sig) rows, a numpy pairwise XOR-popcount, and only the
+    qualifying (id_a, id_b) pairs re-enter Spark. Signature COMPUTATION
+    stays distributed — only the O(probe) id/sig rows ride the driver,
+    same bounded-data rationale as similarity.exact_cosine_pairs_bounded.
+    ``max_rows`` turns unbounded misuse into a loud error."""
+    import numpy as np
+
+    rows = sig_df.select(F.col(id_col), F.col(sig_col)).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"exact_hamming_pairs_bounded: corpus exceeds max_rows={max_rows}; "
+            "use the banded join for unbounded inputs"
+        )
+    spark = sig_df.sparkSession
+    schema = f"id_a {dict(sig_df.dtypes)[id_col]}, id_b {dict(sig_df.dtypes)[id_col]}"
+    if len(rows) < 2:
+        return spark.createDataFrame([], schema)
+    ids = [r[0] for r in rows]
+    sig = np.asarray([r[1] for r in rows], dtype=np.int64).view(np.uint64)
+    x = (sig[:, None] ^ sig[None, :]).view(np.uint8).reshape(len(ids), len(ids), 8)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    ham = lut[x].sum(axis=2)
+    ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
+    pairs = [
+        (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
+        for a, b in zip(ia.tolist(), ib.tolist())
+    ]
+    return spark.createDataFrame(pairs, schema)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

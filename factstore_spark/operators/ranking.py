@@ -13,7 +13,7 @@ range sampler places boundaries; the sampling only balances work.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -76,6 +76,7 @@ def with_grouped_rank(
     rank_col: str = "rank",
     count_col: str | None = None,
     num_partitions: int = 32,
+    target_ranks: Callable[[Column], Sequence[Column]] | None = None,
 ) -> DataFrame:
     """``row_number() over (PARTITION BY group_cols ORDER BY
     order_cols)`` without capping parallelism at group cardinality.
@@ -104,6 +105,17 @@ def with_grouped_rank(
     total row count (free — the same window pass sums it), which is
     what median/NTILE callers need next.
 
+    ``target_ranks`` (optional): a callable taking the per-group total
+    count Column and returning the rank positions the caller will
+    consume (e.g. the two middle ranks for a median). When given, the
+    offsets frame — which already knows each (partition, group) cell's
+    rank interval ``(_off, _off + _n]`` — is filtered to cells that can
+    contain a target, and the broadcast join back prunes every other
+    row BEFORE the window sort: the rank pass then sorts ~|targets|
+    cells per group (each ~1/partitions of a group) instead of the
+    whole corpus. Ranks are only attached (and only valid) at rows in
+    surviving cells; the caller's rank filter is unchanged.
+
     Regime: built for group cardinality SMALL relative to the corpus
     (event types, sources, domains) — where Window.partitionBy(group)
     serializes. There the offsets frame (groups x partitions rows)
@@ -120,6 +132,7 @@ def with_grouped_rank(
     offs = sizes.select(
         "_pid",
         *group_cols,
+        "_n",
         F.coalesce(
             F.sum("_n").over(ow.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
         ).alias("_off"),
@@ -127,9 +140,14 @@ def with_grouped_rank(
         .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .alias("_gtot"),
     )
+    if target_ranks is not None:
+        hit = F.lit(False)
+        for t in target_ranks(F.col("_gtot")):
+            hit = hit | ((t > F.col("_off")) & (t <= F.col("_off") + F.col("_n")))
+        offs = offs.filter(hit)
     if count_col is not None:
         offs = offs.withColumn(count_col, F.col("_gtot").cast("long"))
-    offs = offs.drop("_gtot")
+    offs = offs.drop("_gtot", "_n")
     # NULL-SAFE group equality: a plain equi-join on the group columns
     # would silently DROP rows whose group value is null, while the
     # window form this replaces keeps them as their own group.

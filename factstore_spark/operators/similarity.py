@@ -85,6 +85,59 @@ def brute_force_topk(
     )
 
 
+def exact_cosine_pairs_bounded(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold for a SIZE-BOUNDED corpus
+    (recall-probe ground truth): one bounded collect, one float64 gemm,
+    only qualifying (id_a, id_b) pairs re-enter Spark.
+
+    The probe corpora this serves are capped at a fixed size
+    (queries.py:RECALL_PROBE_TARGET), so the ground truth is
+    O(target^2) = O(1) in corpus scale BY CONSTRUCTION — at that size
+    the distributed all-pairs join is pure scheduling overhead (a
+    ~10-stage plan moving every vector pair through Arrow), while one
+    driver gemm is milliseconds. Same spirit as with_global_rank's
+    O(partitions) offsets collect: bounded driver data is fine, and
+    ``max_rows`` turns an unbounded misuse into a loud error instead
+    of a silent driver OOM. Math matches cosine_batch (float64
+    einsum), so verify-filtered candidate sets stay consistent.
+    Null/empty vectors never qualify (zero norm -> sim 0), matching
+    the join-form's behaviour of dropping them below any threshold."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs_bounded: corpus exceeds max_rows={max_rows}; "
+            "this helper is for fixed-size probe corpora — use the "
+            "distributed pair join for unbounded inputs"
+        )
+    spark = df.sparkSession
+    schema = f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = [r[0] for r in rows]
+    M = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors never reach any threshold
+    U = M / norms[:, None]
+    S = U @ U.T
+    ia, ib = np.where(np.triu(S >= threshold, k=1))
+    pairs = [
+        (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
+        for x, y in zip(ia.tolist(), ib.tolist())
+    ]
+    return spark.createDataFrame(pairs, schema)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Seeded random hyperplane matrix (n_planes x dim), driver-side.
     Data-independent constants shipped to workers in the UDF closure

@@ -860,7 +860,12 @@ RECALL_PROBE_PCT = 50
 # A quality probe should cost O(target^2) = O(1) at any corpus scale;
 # the effective pct shrinks as the corpus grows (one columnar count
 # decides it) and the emitted CI prices the fixed trial count.
-RECALL_PROBE_TARGET = 2500
+# 1,000 ids (round 7, was 2,500): at sf0.1 the cap was a no-op (5k
+# docs x 50% = 2,500) and the three probes were ~17% of battery
+# wall-time; 1,000 ids shrinks the exact ground-truth work 6.25x
+# while C(1000,2) ~ 500k trials still bound recall_ci_lo_bp within
+# ~±1% of the point estimate at the contract thresholds.
+RECALL_PROBE_TARGET = 1000
 
 
 # Probe sampling granularity: parts-per-million, not percent. With
@@ -880,15 +885,31 @@ def _probe_sample(df, id_col: str, ppm: int, salt: str = "recallprobe"):
     return df.filter(split_bucket(id_col, PROBE_BUCKETS, salt) < ppm)
 
 
-def _probe_ppm(df, sample_pct: int, target: int = RECALL_PROBE_TARGET) -> int:
+# Corpus-size memo for _probe_ppm: testdata parquet at a given path is
+# immutable for a session, so the three probe entries share one count
+# job per table instead of re-running it.
+_PROBE_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _probe_ppm(
+    df,
+    sample_pct: int,
+    target: int = RECALL_PROBE_TARGET,
+    cache_key: tuple[str, str] | None = None,
+) -> int:
     """Probe sampling rate in ppm: the caller's pct ceiling converted
     to ppm, then clamped so the expected sample stays near ``target``
     rows regardless of corpus size (see RECALL_PROBE_TARGET comment).
-    At sf0.1 (5k rows) this resolves to the plain pct. One columnar
-    count decides it."""
+    One columnar count decides it (memoized per (sf_dir, table) when
+    ``cache_key`` is given)."""
     if sample_pct >= 100:
         return PROBE_BUCKETS
-    n = df.count()
+    if cache_key is not None and cache_key in _PROBE_COUNT_CACHE:
+        n = _PROBE_COUNT_CACHE[cache_key]
+    else:
+        n = df.count()
+        if cache_key is not None:
+            _PROBE_COUNT_CACHE[cache_key] = n
     ceiling = sample_pct * (PROBE_BUCKETS // 100)
     if n <= 0:
         return ceiling
@@ -931,7 +952,10 @@ def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     banding broke. Banding is pair-local, so probing the sample scores
     exactly the full operator's behaviour on those pairs."""
     docs_full = _t(spark, sf_dir, "documents")
-    docs = _probe_sample(docs_full, "doc_id", _probe_ppm(docs_full, sample_pct))
+    docs = _probe_sample(
+        docs_full, "doc_id",
+        _probe_ppm(docs_full, sample_pct, cache_key=(sf_dir, "documents")),
+    )
     approx = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
     exact = dedup_ops.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
     return _with_recall_ci(_pair_recall_stats(approx, exact))
@@ -945,16 +969,17 @@ def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     md5-sampled probe corpus (exactness needs no CI; a deviation on
     any subset means the banding or the signature broke)."""
     docs_full = _t(spark, sf_dir, "documents")
-    docs = _probe_sample(docs_full, "doc_id", _probe_ppm(docs_full, sample_pct))
-    approx = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
-    sig = docs.select(F.col("doc_id").alias("_id"), dedup_ops.simhash_col("text").alias("sim"))
-    a = sig.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})
-    b = sig.withColumnsRenamed({"_id": "id_b", "sim": "sim_b"})
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
-        .select("id_a", "id_b")
+    docs = _probe_sample(
+        docs_full, "doc_id",
+        _probe_ppm(docs_full, sample_pct, cache_key=(sf_dir, "documents")),
     )
+    approx = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
+    # Signatures are computed distributed; the exact Hamming ground
+    # truth is O(probe^2) = O(1) by the fixed-size cap, so it runs as
+    # one bounded driver popcount (exact_hamming_pairs_bounded) instead
+    # of an all-pairs join.
+    sig = docs.select(F.col("doc_id").alias("_id"), dedup_ops.simhash_col("text").alias("sim"))
+    exact = dedup_ops.exact_hamming_pairs_bounded(sig, max_hamming=3)
     return _pair_recall_stats(approx, exact)
 
 
@@ -989,7 +1014,8 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     # iterations, both exact-join sides) — cache it for the entry's
     # lifetime; released below with the exact pair set.
     emb = _probe_sample(
-        emb_full, "vec_id", _probe_ppm(emb_full, sample_pct)
+        emb_full, "vec_id",
+        _probe_ppm(emb_full, sample_pct, cache_key=(sf_dir, "embeddings")),
     ).persist()
     sampled = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
@@ -999,16 +1025,14 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
         centroids=cents,
     )
-    ids = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
-    a = ids.withColumnsRenamed({"_id": "id_a", "_v": "va"})
-    b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"})
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", sim_ops.cosine_batch(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= 0.45)
-        .select("id_a", "id_b")
-        .persist()  # scored against BOTH quantizers — compute once
-    )
+    # Probe ground truth: the corpus is capped at RECALL_PROBE_TARGET
+    # ids, so the exact pair set is computed with one bounded driver
+    # gemm (exact_cosine_pairs_bounded) instead of a ~10-stage
+    # distributed pair join that moves every vector pair through Arrow
+    # — the join form cost more in scheduling than the whole probe.
+    exact = sim_ops.exact_cosine_pairs_bounded(
+        emb, threshold=0.45, id_col="vec_id", vec_col="embedding",
+    ).persist()  # scored against BOTH quantizers — compute once
     s = _with_recall_ci(_pair_recall_stats(sampled, exact)).select(
         "n_exact",
         F.col("n_approx").alias("sampled_n_approx"),
@@ -3175,6 +3199,13 @@ def events_value_median(spark, sf_dir):
         [F.col("value_cents"), F.col("event_id")],
         rank_col="rn",
         count_col="n",
+        # Median-only pruning: the offsets join keeps just the
+        # (partition, group) cells that can contain a middle rank, so
+        # the rank window sorts ~2 cells per group, not the corpus.
+        target_ranks=lambda n: [
+            F.floor((n + 1) / 2),
+            F.floor((n + 2) / 2),
+        ],
     )
     mid = ranked.filter(
         (F.col("rn") == F.floor((F.col("n") + 1) / 2))

@@ -169,3 +169,35 @@ def test_ngram_containment_catches_subset_duplication(spark):
     jac = {(r.id_a, r.id_b)
            for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
     assert (1, 2) not in jac  # Jaccard misses exactly this pair
+
+
+def test_exact_hamming_pairs_bounded_matches_join_form(spark):
+    """The bounded-driver Hamming ground truth (probe path) must equal
+    the all-pairs join form bit-for-bit, including sign-bit signatures
+    (int64 view of uint64 hashes)."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import exact_hamming_pairs_bounded
+
+    sigs = [
+        (1, 0), (2, 1), (3, 3), (4, 7), (5, -1), (6, -2),  # negative = high bit set
+        (7, 0x7FFFFFFFFFFFFFFF), (8, 12345), (9, 12344),
+    ]
+    df = spark.createDataFrame(sigs, "_id long, sim long")
+    a = df.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})
+    b = df.withColumnsRenamed({"_id": "id_b", "sim": "sim_b"})
+    want = set(
+        tuple(r)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    got = set(tuple(r) for r in exact_hamming_pairs_bounded(df, max_hamming=3).collect())
+    assert got == want and want  # non-vacuous
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_hamming_pairs_bounded(df, max_hamming=3, max_rows=5)
+    assert exact_hamming_pairs_bounded(df.limit(1), max_hamming=3).count() == 0

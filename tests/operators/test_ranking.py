@@ -155,3 +155,39 @@ def test_grouped_rank_keeps_null_group(spark):
         (None, 2): (1, 2), (None, 1): (2, 2),
         ("g", 4): (1, 2), ("g", 3): (2, 2),
     }
+
+
+def test_grouped_rank_target_pruning_keeps_target_rows_exact(spark):
+    """target_ranks prunes to cells that can contain a target rank; the
+    surviving rows' ranks and counts must be IDENTICAL to the unpruned
+    form at those ranks (median path: the two middle ranks), including
+    a null group and a single-row group."""
+    rows = [(1, None, 5), (2, None, 3), (3, None, 9)]  # null group, odd n
+    rnd = random.Random(11)
+    rows += [(10 + i, "big", rnd.randint(0, 500)) for i in range(500)]  # even n
+    rows.append((900, "lone", 42))
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(16)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    targets = lambda n: [F.floor((n + 1) / 2), F.floor((n + 2) / 2)]
+
+    full = with_grouped_rank(
+        df, ["g"], order, rank_col="rank", count_col="n", num_partitions=8
+    )
+    want = {
+        (r.g, r.id): (r.rank, r.n)
+        for r in full.collect()
+        if r.rank in ((r.n + 1) // 2, (r.n + 2) // 2)
+    }
+    pruned = with_grouped_rank(
+        df, ["g"], order, rank_col="rank", count_col="n", num_partitions=8,
+        target_ranks=targets,
+    )
+    got = {
+        (r.g, r.id): (r.rank, r.n)
+        for r in pruned.collect()
+        if r.rank in ((r.n + 1) // 2, (r.n + 2) // 2)
+    }
+    assert got == want
+    # and the pruned frame really is smaller than the corpus when the
+    # group spans many cells
+    assert pruned.count() < df.count()

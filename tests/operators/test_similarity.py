@@ -400,3 +400,44 @@ def test_ivf_paths_tolerate_null_and_ragged_embeddings(spark, tmp_path):
     assert stats["n_vectors"] == 42  # bad rows still in the table, cell=null
     out2 = ivf_topk_indexed(spark, str(tmp_path / "ivf"), queries, k=3, n_probe=2).collect()
     assert out2 and all(r.neighbor_id not in (100, 101) for r in out2)
+
+
+def test_exact_cosine_pairs_bounded_matches_join_form(spark):
+    """The bounded-driver cosine ground truth (probe path) must equal
+    the pair-join + cosine_batch form: same float64 einsum math, zero
+    vectors never qualify, ids normalized id_a < id_b."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.similarity import (
+        cosine_batch,
+        exact_cosine_pairs_bounded,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((60, [0.0] * 8))  # zero vector: must never pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ids = df.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    a = ids.withColumnsRenamed({"_id": "id_a", "_v": "va"})
+    b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"})
+    want = set(
+        tuple(r)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("s", cosine_batch(F.col("va"), F.col("vb")))
+        .filter(F.col("s") >= 0.5)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    got = set(
+        tuple(r) for r in exact_cosine_pairs_bounded(df, threshold=0.5).collect()
+    )
+    assert got == want and want
+    assert not any(60 in p for p in got)
+
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_cosine_pairs_bounded(df, threshold=0.5, max_rows=10)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert exact_cosine_pairs_bounded(empty, threshold=0.5).count() == 0
