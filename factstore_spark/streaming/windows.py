@@ -317,3 +317,125 @@ def hopping_counts(
             "value_sum",
         )
     )
+
+
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType(), True),
+        StructField("last_ts_us", LongType(), True),
+        StructField("last_order", LongType(), True),
+    ]
+)
+
+
+def type_transitions_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming form of the batch ``events_type_transitions`` lag
+    (queries.py): per-key consecutive event-type pairs via
+    applyInPandasWithState carrying ONE row of state per key — the
+    last seen (type, ts, order). Each micro-batch sorts the key's rows
+    by (ts, order), chains them onto the carried last event, and emits
+    one (from_type, to_type) edge per consecutive pair; downstream
+    counts are an ordinary groupBy over the emitted edges (kept
+    separate so consumers can window them however they like).
+
+    State is O(1) per key and keyed by ``key_col``, so it scales like
+    any keyed state store (key cardinality = user population — the
+    high-cardinality regime, never group-capped). Ordering caveat,
+    stated honestly: pairs are exact when each key's events arrive
+    time-ordered ACROSS micro-batches (within a batch any order is
+    fine — the batch slice is sorted before chaining). An event older
+    than the carried state is chained in batch-local order instead of
+    globally re-sorted; a pipeline needing exact lag under arbitrary
+    cross-batch disorder should buffer by watermark first or use the
+    batch entry (the standard lambda split, as with dedup_stream)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType(), True),
+            StructField("from_type", StringType(), True),
+            StructField("to_type", StringType(), True),
+        ]
+    )
+
+    def chain(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["_ts_us", "_order"], kind="mergesort")
+        types = batch["_type"].tolist()
+        if state.exists:
+            last_type, _, _ = state.get
+            types = [last_type] + types
+        if len(types) > 1:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * (len(types) - 1),
+                    "from_type": types[:-1],
+                    "to_type": types[1:],
+                }
+            )
+        tail = batch.iloc[-1]
+        state.update((tail["_type"], int(tail["_ts_us"]), int(tail["_order"])))
+
+    prepped = stream.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(type_col).alias("_type"),
+        F.unix_micros(F.col(time_col)).alias("_ts_us"),
+        F.col(order_col).cast("long").alias("_order"),
+    )
+    return prepped.groupBy(F.col(key_col)).applyInPandasWithState(
+        chain,
+        outputStructType=out_schema,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rolling_dau_stream(
+    stream: DataFrame,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming trailing-window distinct active users — the
+    Structured-Streaming form of the batch ``events_rolling_dau``
+    hopping expansion (queries.py). Exact, not HLL: chained stateful
+    operators (Spark 3.5+) — ``window(ts, 7d, 1d)`` fans each event
+    into its 7 trailing windows, ``dropDuplicates`` on
+    (window, user) keeps the FIRST sighting per window (state = one
+    tombstone per active (window, user), evicted by the watermark),
+    then an ordinary windowed count. ``day`` matches the batch
+    entry's integer epoch-day arithmetic: the trailing day of a
+    7-day window starting at w.start is epoch_days(w.start) + 6.
+
+    State scales with (windows held open by the watermark) x (daily
+    actives) — the same cardinality the batch expansion shuffles,
+    held incrementally instead of recomputed per run."""
+    w = F.window(F.col(time_col), window, slide)
+    deduped = (
+        stream.withWatermark(time_col, watermark)
+        .select(w.alias("w"), F.col(user_col), F.col(time_col))
+        .dropDuplicates(["w", user_col])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+        .select(
+            (F.floor(F.unix_micros(F.col("w.start")) / F.lit(86400000000)) + F.lit(6))
+            .cast("long")
+            .alias("day"),
+            "dau",
+        )
+    )

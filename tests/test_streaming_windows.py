@@ -358,3 +358,96 @@ def test_streaming_hopping_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_type_transitions_equals_batch(spark, tmp_path):
+    """type_transitions_stream's per-key stateful lag must reproduce
+    the batch events_type_transitions edge counts exactly over the
+    events file-stream."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.queries import events_type_transitions
+    from factstore_spark.streaming.windows import type_transitions_stream
+
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in events_type_transitions(spark, SF_EVENTS).collect()
+    }
+    out = _drain(
+        type_transitions_stream(_events_stream(spark)), "trans_ss", tmp_path, spark,
+        mode="append",
+    )
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in out.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and want
+
+
+def test_streaming_type_transitions_state_carries_across_batches(spark, tmp_path):
+    """The cross-batch contract: with the events time-split into two
+    files and maxFilesPerTrigger=1 (so availableNow processes them as
+    separate micro-batches, oldest first), the carried last-event
+    state must stitch each key's boundary pair — total edges still
+    equal the batch lag."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.queries import events_type_transitions, load_events
+    from factstore_spark.streaming.windows import type_transitions_stream
+
+    ev = load_events(spark, SF_EVENTS).select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    )
+    cut = ev.approxQuantile("ts_us", [0.5], 0.001)[0]
+    src_dir = tmp_path / "split-events"
+    src_dir.mkdir()
+    early = ev.filter(F.col("ts_us") <= cut)
+    late = ev.filter(F.col("ts_us") > cut)
+    early.coalesce(1).write.parquet(str(src_dir / "batch0"))
+    _time.sleep(1.1)  # distinct mtimes: the file source orders oldest-first
+    late.coalesce(1).write.parquet(str(src_dir / "batch1"))
+
+    schema = early.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = _drain(
+        type_transitions_stream(src), "trans_split_ss", tmp_path, spark,
+        mode="append",
+    )
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in out.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in events_type_transitions(spark, SF_EVENTS).collect()
+    }
+    assert got == want and want
+
+
+def test_streaming_rolling_dau_equals_batch(spark, tmp_path):
+    """rolling_dau_stream (window fan-out + dropDuplicates +
+    windowed count — chained stateful operators, exact not HLL) must
+    equal the batch events_rolling_dau (day, dau) pairs."""
+    from factstore_spark.queries import events_rolling_dau
+    from factstore_spark.streaming.windows import rolling_dau_stream
+
+    want = {
+        r.day: r.dau for r in events_rolling_dau(spark, SF_EVENTS).collect()
+    }
+    out = _drain(
+        rolling_dau_stream(_events_stream(spark)), "dau_ss", tmp_path, spark,
+        mode="complete",
+    )
+    got = {r.day: r.dau for r in out.collect()}
+    assert got == want and want
