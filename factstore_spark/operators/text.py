@@ -547,6 +547,58 @@ def boilerplate_lines(
     )
 
 
+def rare_bigram_stats(
+    df: DataFrame,
+    rare_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc corpus-rare bigram stats — an integer-exact LM-surprise
+    proxy (a document whose adjacent-token pairs mostly appear nowhere
+    else in the corpus is gibberish, boilerplate-mangled, or OCR noise;
+    the heavy-tailed twin of the boilerplate-line filter above).
+
+    Output per doc (docs with >= 2 tokens): ``n_bigrams`` (instances),
+    ``n_rare`` (instances whose bigram occurs in <= ``rare_df``
+    distinct docs), ``rare_bp`` (basis points, integer division — no
+    float ever crosses an aggregation boundary).
+
+    Shape at 100 TB: bigrams built JVM-side (zip_with, as
+    token_bigrams), instances pre-aggregated per (doc, bigram-hash) —
+    map-side combine collapses within-doc repeats BEFORE any shuffle —
+    then one count per hash for document frequency (partial-combined:
+    hot bigrams reduce to one row per map task) and a hash-keyed join
+    back. Hot keys concentrate only on the join's probe side, where
+    AQE's skew-join split applies; the df side is one row per bigram."""
+    t = tokens_col(text_col)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .withColumn("bh", F.xxhash64("bigram"))
+        .groupBy(id_col, "bh")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bdf = per.groupBy("bh").agg(F.count(F.lit(1)).alias("bdf"))
+    return (
+        per.join(bdf, "bh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("bdf") <= rare_df, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .withColumn(
+            "rare_bp",
+            F.expr("(10000 * n_rare) div n_bigrams").cast("long"),
+        )
+    )
+
+
 def token_bigrams(
     df: DataFrame,
     k: int = 20,

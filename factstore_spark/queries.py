@@ -4158,6 +4158,175 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Round-7 additions: exact per-group quartiles (target-pruned grouped
+# rank), market-basket part pairs, weekly cohort retention, rare-bigram
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def events_value_iqr(spark, sf_dir):
+    """Exact per-type value quartiles (p25/p50/p75, type-1 ceil(q*n)
+    positions) — the IQR report an outlier-fence or SLA dashboard
+    needs, computed like events_value_median via the grouped
+    distributed rank with target_ranks pruning: the offsets join keeps
+    only the (partition, group) cells that can contain one of the
+    THREE target ranks, so the rank window sorts ~3 cells per group at
+    any scale. All-integer rank arithmetic (ceil(q*n) as (a*n+b) div
+    c) so both engines agree bit-for-bit."""
+    from .operators.ranking import with_grouped_rank
+
+    ev = load_events(spark, sf_dir)
+    vc = _cents(F.col("value"))
+    t25 = lambda n: F.floor((n + 3) / 4)
+    t50 = lambda n: F.floor((n + 1) / 2)
+    t75 = lambda n: F.floor((3 * n + 3) / 4)
+    ranked = with_grouped_rank(
+        ev.select("event_type", "event_id", vc.alias("value_cents")),
+        ["event_type"],
+        [F.col("value_cents"), F.col("event_id")],
+        rank_col="rn",
+        count_col="n",
+        target_ranks=lambda n: [t25(n), t50(n), t75(n)],
+    )
+    n = F.col("n")
+    return (
+        ranked.filter(
+            (F.col("rn") == t25(n)) | (F.col("rn") == t50(n)) | (F.col("rn") == t75(n))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == t25(n), F.col("value_cents")))
+            .cast("long").alias("p25_cents"),
+            F.max(F.when(F.col("rn") == t50(n), F.col("value_cents")))
+            .cast("long").alias("p50_cents"),
+            F.max(F.when(F.col("rn") == t75(n), F.col("value_cents")))
+            .cast("long").alias("p75_cents"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+EVENTS_VALUE_IQR_SQL = """
+WITH ranked AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vc,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(FLOOR(value * 100) AS BIGINT), event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+  CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN vc END) AS BIGINT) AS p25_cents,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN vc END) AS BIGINT) AS p50_cents,
+  CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN vc END) AS BIGINT) AS p75_cents,
+  CAST(MAX(n) AS BIGINT) AS n_events
+FROM ranked GROUP BY 1
+"""
+
+
+def lineitem_part_pairs(spark, sf_dir):
+    """Top-20 co-purchased part pairs (market-basket co-occurrence —
+    the seed statistic for association-rule / complement-detection
+    passes): distinct (order, part) first, then a self-join
+    co-partitioned on the order key with part_a < part_b, one
+    map-side-combined pair count, and TakeOrderedAndProject for the
+    top-k (count desc, part keys asc). Pair fan-out per order is
+    C(parts-in-order, 2) — bounded by basket size, never corpus size;
+    no driver data path beyond the k result rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+LINEITEM_PART_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+def events_user_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: cohort = a user's first epoch
+    week, one row per (cohort_week, week_offset) with distinct active
+    users — the standard growth-analytics matrix. Plan: dedupe to
+    (user, week) with one map-combined groupBy, derive each user's
+    cohort with a groupBy(user) min (co-partitioned join back), final
+    count per (cohort, offset). Integer epoch-week arithmetic,
+    timezone-free in both engines; every shuffle is after a reduction
+    (events -> user-weeks -> users)."""
+    ev = load_events(spark, sf_dir)
+    uw = (
+        ev.select("user_id", F.expr("ts_ns div 1000 div 604800000000").alias("week"))
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+EVENTS_USER_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+SELECT cohort_week, (week - cohort_week) AS week_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def text_rare_bigram_ratio(spark, sf_dir):
+    """Per-doc corpus-rare bigram stats (integer LM-surprise proxy;
+    operators/text.py:rare_bigram_stats) — the heavy-tail twin of the
+    boilerplate-line filter: flags gibberish/OCR noise instead of
+    template noise."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.rare_bigram_stats(docs, rare_df=2)
+
+
+TEXT_RARE_BIGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+bg AS (
+  SELECT doc_id,
+    UNNEST(list_transform(range(1, len(L)), i -> L[i] || ' ' || L[i+1])) AS bigram
+  FROM tok WHERE len(L) >= 2),
+per AS (SELECT doc_id, bigram, COUNT(*) AS k FROM bg GROUP BY 1, 2),
+bdf AS (SELECT bigram, COUNT(*) AS bdf FROM per GROUP BY 1)
+SELECT doc_id,
+  CAST(SUM(k) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CASE WHEN bdf <= 2 THEN k ELSE 0 END) AS BIGINT) AS n_rare,
+  CAST((10000 * SUM(CASE WHEN bdf <= 2 THEN k ELSE 0 END)) // SUM(k) AS BIGINT)
+    AS rare_bp
+FROM per JOIN bdf USING (bigram)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4173,6 +4342,11 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # registry entry has a driver-green CORRECTNESS row at least once.
     # Ordering is presentation-only: every entry runs identically
     # regardless of position.
+    # --- new in round 7 (lead the window so the driver checks them) -----
+    "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
+    "lineitem_part_pairs": (lineitem_part_pairs, LINEITEM_PART_PAIRS_SQL),
+    "events_user_retention": (events_user_retention, EVENTS_USER_RETENTION_SQL),
+    "text_rare_bigram_ratio": (text_rare_bigram_ratio, TEXT_RARE_BIGRAM_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),
