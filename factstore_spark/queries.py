@@ -4334,13 +4334,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
-    # --- Driver-window rotation (round 6) -------------------------------
+    # --- Driver-window rotation (round 7) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 5's rotation drove 50 of the 56 previously-unchecked entries
-    # green; the 6 that fell at positions 51-56 of that window — and any
-    # NEW round-6 entries — now lead, so that after this round every
-    # registry entry has a driver-green CORRECTNESS row at least once.
-    # Ordering is presentation-only: every entry runs identically
+    # Round 7: the four new entries lead, followed by the round-6 block
+    # (incl. text_boilerplate_lines, whose oracle's uncast SUMs were the
+    # only red r6 row — fixed with CAST(... AS BIGINT), needs a green
+    # driver re-check). Every other entry has a driver-green row from
+    # r5/r6. Ordering is presentation-only: every entry runs identically
     # regardless of position.
     # --- new in round 7 (lead the window so the driver checks them) -----
     "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
