@@ -356,3 +356,19 @@ def test_q21_single_lineitem_scan(spark):
     assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned exactly once"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iqr_uses_pid_cell_windows(spark):
+    """events_value_iqr must rank inside (_pid, group) cells like the
+    median (grouped distributed rank with target pruning), never a
+    whole-group window."""
+    df = REGISTRY["events_value_iqr"][0](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    lines = [
+        l for l in plan.splitlines()
+        if "row_number()" in l and "windowspecdefinition" in l
+    ]
+    assert lines, "no rank window found"
+    for l in lines:
+        assert "_pid" in l, f"window sorts whole groups: {l}"
+    assert "CartesianProduct" not in plan
