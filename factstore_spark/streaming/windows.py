@@ -439,3 +439,105 @@ def rolling_dau_stream(
             "dau",
         )
     )
+
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("vals", StringType(), True),  # \x1f-joined counter keys
+        StructField("counts", StringType(), True),  # comma-joined counts
+        StructField("n", LongType(), False),
+        StructField("d", LongType(), False),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    m: int = 64,
+) -> DataFrame:
+    """Per-key streaming heavy hitters with BOUNDED state — the
+    streaming form of the batch heavy-hitter sketch
+    (operators/sketches.py): at most ``m`` Misra-Gries counters per
+    key, merged per micro-batch with the summary-reduction rule
+    (sort merged counts, subtract the (m+1)-th largest, drop zeros).
+
+    Emits, on every batch touching a key, the key's current counters:
+    (key, value, est, n_seen, max_undercount) where ``est`` never
+    OVERcounts and undercounts by at most ``max_undercount`` (the
+    accumulated subtraction total d) — so any value with true count
+    > d is guaranteed present, the classic MG deck. State per key is
+    O(m) regardless of stream length; keys partition across the
+    cluster like any keyed state. Downstream can filter
+    est >= threshold - d for a no-false-negative report.
+
+    Counters ride the state row as two joined strings because the
+    applyInPandasWithState state schema must be flat; m is small so
+    the encode/decode is noise."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType(), True),
+            StructField("value", StringType(), True),
+            StructField("est", LongType(), False),
+            StructField("n_seen", LongType(), False),
+            StructField("max_undercount", LongType(), False),
+        ]
+    )
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        counts: dict[str, int] = {}
+        n, d = 0, 0
+        if state.exists:
+            vals_s, counts_s, n, d = state.get
+            if vals_s:
+                counts = dict(
+                    zip(vals_s.split("\x1f"), (int(c) for c in counts_s.split(",")))
+                )
+        for v, c in batch["_v"].value_counts().items():
+            counts[v] = counts.get(v, 0) + int(c)
+        n += len(batch)
+        if len(counts) > m:
+            ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            delta = ordered[m][1]  # (m+1)-th largest count
+            d += delta
+            counts = {
+                v: c - delta for v, c in ordered[:m] if c - delta > 0
+            }
+        state.update(
+            (
+                "\x1f".join(counts),
+                ",".join(str(c) for c in counts.values()),
+                n,
+                d,
+            )
+        )
+        if counts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(counts),
+                    "value": list(counts),
+                    "est": list(counts.values()),
+                    "n_seen": [n] * len(counts),
+                    "max_undercount": [d] * len(counts),
+                }
+            )
+
+    prepped = stream.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    return prepped.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

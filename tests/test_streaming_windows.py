@@ -451,3 +451,70 @@ def test_streaming_rolling_dau_equals_batch(spark, tmp_path):
     )
     got = {r.day: r.dau for r in out.collect()}
     assert got == want and want
+
+
+def test_streaming_heavy_hitters_mg_bounds(spark, tmp_path):
+    """Misra-Gries contract over the events stream, split into two
+    micro-batches (maxFilesPerTrigger=1) so the per-batch summary
+    reduction and cross-batch counter merge both execute: estimates
+    never overcount, undercount by <= the emitted max_undercount, any
+    value with true count > max_undercount is present, and state holds
+    <= m counters per key."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.queries import load_events
+    from factstore_spark.streaming.windows import heavy_hitters_stream
+
+    M = 16
+    ev = load_events(spark, SF_EVENTS).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id"), "event_id"
+    )
+    src_dir = tmp_path / "hh-events"
+    src_dir.mkdir()
+    half = ev.approxQuantile("event_id", [0.5], 0.001)[0]
+    ev.filter(F.col("event_id") <= half).coalesce(1).write.parquet(str(src_dir / "b0"))
+    _time.sleep(1.1)
+    ev.filter(F.col("event_id") > half).coalesce(1).write.parquet(str(src_dir / "b1"))
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    out = _drain(
+        heavy_hitters_stream(src, key_col="event_type", value_col="user_id", m=M),
+        "hh_ss", tmp_path, spark, mode="update",
+    )
+    rows = out.collect()
+    assert rows
+    # final snapshot per key = rows from its max n_seen emission
+    latest_n = {}
+    for r in rows:
+        latest_n[r.event_type] = max(latest_n.get(r.event_type, 0), r.n_seen)
+    final = [r for r in rows if r.n_seen == latest_n[r.event_type]]
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_per_key = {}
+    for (k, _), n in exact.items():
+        n_per_key[k] = n_per_key.get(k, 0) + n
+    by_key = {}
+    for r in final:
+        by_key.setdefault(r.event_type, []).append(r)
+    for k, ests in by_key.items():
+        assert len(ests) <= M, (k, len(ests))
+        assert ests[0].n_seen == n_per_key[k], "n_seen must count every event"
+        d = ests[0].max_undercount
+        present = {r.value: r.est for r in ests}
+        for (ek, v), true_n in exact.items():
+            if ek != k:
+                continue
+            if v in present:
+                assert present[v] <= true_n, "MG must never overcount"
+                assert present[v] >= true_n - d, "undercount beyond bound"
+            else:
+                assert true_n <= d, f"missed a heavy value: {v} ({true_n} > d={d})"
