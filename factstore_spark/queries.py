@@ -4326,6 +4326,42 @@ GROUP BY 1
 """
 
 
+def corpus_column_profile(spark, sf_dir):
+    """Single-pass column profile of the documents table — the
+    ANALYZE-style stats a pipeline health check (or a cost-based
+    planner) wants: row count, per-column exact NDV, null counts, and
+    integer length bounds/totals. One aggregate; the multi-distinct
+    plan is Spark's standard Expand expansion (rows x #distinct-aggs
+    before partial combine — bounded fan-out, no joins, no windows).
+    All-integer output."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("lang")).cast("long").alias("ndv_lang"),
+        F.count_distinct(F.col("source")).cast("long").alias("ndv_source"),
+        F.count_distinct(F.col("doc_id")).cast("long").alias("ndv_doc_id"),
+        F.sum(F.col("lang").isNull().cast("int")).cast("long").alias("nulls_lang"),
+        F.sum(F.col("source").isNull().cast("int")).cast("long").alias("nulls_source"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+CORPUS_COLUMN_PROFILE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndv_lang,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS ndv_source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndv_doc_id,
+  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang,
+  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4347,6 +4383,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "lineitem_part_pairs": (lineitem_part_pairs, LINEITEM_PART_PAIRS_SQL),
     "events_user_retention": (events_user_retention, EVENTS_USER_RETENTION_SQL),
     "text_rare_bigram_ratio": (text_rare_bigram_ratio, TEXT_RARE_BIGRAM_SQL),
+    "corpus_column_profile": (corpus_column_profile, CORPUS_COLUMN_PROFILE_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),
