@@ -4362,6 +4362,86 @@ FROM documents
 """
 
 
+def curation_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup CLUSTERS, not docs,
+    are the assignment unit — a near-duplicate of a training document
+    can never land in eval (the train/test contamination mode document
+    -level splits cannot prevent). Capped n-gram Jaccard pairs ->
+    connected components (the oracle-checked dedup_clusters pipeline),
+    singletons are their own unit, md5 bucket on the unit id assigns
+    80/10/10. Emits per-split doc/unit counts plus a straddling-pair
+    audit count that is ZERO BY CONSTRUCTION (same-cluster docs share a
+    unit, and the one-row audit join proves it in-band rather than
+    asserting it out-of-band)."""
+    from .operators.sampling import split_bucket
+
+    docs_t = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs_t, n=3, min_jaccard=0.2, max_shingle_df=20
+    ).select("id_a", "id_b")
+    clusters = dedup_ops.dup_clusters(pairs)
+    assign = (
+        docs_t.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("unit"))
+        .withColumn("b", split_bucket("unit", 100, salt="leakage"))
+        .withColumn(
+            "split",
+            F.when(F.col("b") < 80, "train")
+            .when(F.col("b") < 90, "val")
+            .otherwise("test"),
+        )
+    )
+    sa = assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("straddling_pairs"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("unit").cast("long").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )
+
+
+CURATION_LEAKAGE_SPLIT_SQL = (
+    "WITH RECURSIVE pairs AS (" + DEDUP_NGRAM_CAPPED_SQL + """),
+edges2 AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS node, s AS r FROM edges2
+  UNION
+  SELECT e.s, reach.r FROM edges2 e JOIN reach ON e.d = reach.node),
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS unit
+  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+splits AS (
+  SELECT doc_id, unit,
+    CASE WHEN CAST('0x' || substring(md5('leakage' || CAST(unit AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+         WHEN CAST('0x' || substring(md5('leakage' || CAST(unit AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM assign),
+straddle AS (
+  SELECT COUNT(*) AS n FROM pairs p
+  JOIN splits a ON a.doc_id = p.id_a
+  JOIN splits b ON b.doc_id = p.id_b
+  WHERE a.split <> b.split)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units,
+  CAST((SELECT n FROM straddle) AS BIGINT) AS straddling_pairs
+FROM splits GROUP BY 1
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4384,6 +4464,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_user_retention": (events_user_retention, EVENTS_USER_RETENTION_SQL),
     "text_rare_bigram_ratio": (text_rare_bigram_ratio, TEXT_RARE_BIGRAM_SQL),
     "corpus_column_profile": (corpus_column_profile, CORPUS_COLUMN_PROFILE_SQL),
+    "curation_leakage_safe_split": (curation_leakage_safe_split, CURATION_LEAKAGE_SPLIT_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),

@@ -326,6 +326,7 @@ BNLJ_WHITELIST = {
     "q22_idle_customers",       # 1-row positive-balance stats broadcast
     "q11_important_parts",      # 1-row global-total broadcast (fraction HAVING)
     "customer_segment_set_ops", # three 1-row count joins
+    "curation_leakage_safe_split",  # 1-row straddling-pair audit join
 }
 
 
