@@ -23,6 +23,8 @@ aggregate) — JVM-side, no Python.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -602,6 +604,184 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "est_jaccard")
     )
     return est
+
+
+def _minhash_banded_sig(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+):
+    """(sig frame, banded frame) for a corpus — the shared head of the
+    one-shot LSH pass and the persisted-index paths."""
+    rows_per_band = num_hashes // bands
+    sig = _scoped_cache(
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), shingle_hashes_col(text_col, n).alias("_h"))
+        .select("_id", minhash_sig_np("_h", num_hashes, seed).alias("sig"))
+    )
+    banded = sig.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "sig", "b.band", "b.bh")
+    return sig, banded
+
+
+def write_minhash_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus's banded MinHash signatures as a band-
+    partitioned parquet index: history is shingled ONCE; afterwards a
+    daily increment dedups against the whole archive by joining its
+    own (band, bucket) rows to the index — signature rows only, the
+    historical TEXT is never re-read. The manifest pins the signature
+    parameters so an increment computed with different shingling can
+    never silently join incompatible sketches (same atomic-swap
+    discipline as the IVF index manifest)."""
+    from .similarity import _write_ivf_manifest
+
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError("num_hashes must be a positive multiple of bands")
+    sig, banded = _minhash_banded_sig(df, id_col, text_col, n, num_hashes, bands, seed)
+    # Two stores: bucket rows (12B-ish each, banded join side) and one
+    # signature row per doc (verify side) — NOT the signature repeated
+    # per band, which would 16x the index footprint.
+    banded.select("_id", "band", "bh").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(index_dir, "buckets"))
+    sig.write.mode("overwrite").parquet(os.path.join(index_dir, "sigs"))
+    _write_ivf_manifest(
+        index_dir,
+        {
+            "kind": "minhash",
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "seed": seed,
+            "id_col": id_col,
+        },
+    )
+
+
+def append_minhash_index(df: DataFrame, index_dir: str, text_col: str = "text") -> None:
+    """Add an increment's signatures to the index (after its pairs have
+    been harvested) so the NEXT increment dedups against it too —
+    parquet append into the band partitions, no rewrite of history."""
+    m = _read_minhash_manifest(index_dir)
+    sig, banded = _minhash_banded_sig(
+        df, m["id_col"], text_col, m["n"], m["num_hashes"], m["bands"], m["seed"]
+    )
+    banded.select("_id", "band", "bh").write.mode("append").partitionBy(
+        "band"
+    ).parquet(os.path.join(index_dir, "buckets"))
+    sig.write.mode("append").parquet(os.path.join(index_dir, "sigs"))
+
+
+def _read_minhash_manifest(index_dir: str) -> dict:
+    from .similarity import _read_ivf_manifest
+
+    m = _read_ivf_manifest(index_dir)
+    if m.get("kind") != "minhash":
+        raise ValueError(f"{index_dir} is not a minhash signature index")
+    return m
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    verify_jaccard: float | None = 0.5,
+) -> DataFrame:
+    """Near-dup candidates of an INCREMENT against the indexed archive
+    plus within the increment itself, with the same signature-agreement
+    verify as minhash_lsh_pairs. Cost: shingle the increment only, one
+    (band, bucket) join against stored signature rows — O(increment x
+    bands + matched buckets), independent of archive text size. Pair
+    ids are normalized id_a < id_b across both sides. History-history
+    pairs are NOT re-emitted (they were harvested when their batches
+    arrived — the standard incremental-dedup contract)."""
+    m = _read_minhash_manifest(index_dir)
+    num_hashes = m["num_hashes"]
+    sig_new, banded_new = _minhash_banded_sig(
+        new_docs, m["id_col"], text_col, m["n"], num_hashes, m["bands"], m["seed"]
+    )
+    spark = new_docs.sparkSession
+    hist_buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
+    nb = banded_new.select("_id", "band", "bh").alias("nb")
+    hb = hist_buckets.alias("hb")
+    cross = (
+        nb.join(
+            hb,
+            (F.col("nb.band") == F.col("hb.band"))
+            & (F.col("nb.bh") == F.col("hb.bh"))
+            & (F.col("nb._id") != F.col("hb._id")),
+        )
+        .select(
+            F.least(F.col("nb._id"), F.col("hb._id")).alias("id_a"),
+            F.greatest(F.col("nb._id"), F.col("hb._id")).alias("id_b"),
+        )
+    )
+    a = banded_new.select("_id", "band", "bh").alias("a")
+    b = banded_new.select("_id", "band", "bh").alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    cand = cross.union(within).distinct()
+    if verify_jaccard is None:
+        return cand
+    hist_sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    all_sigs = (
+        sig_new.union(hist_sigs.select("_id", "sig"))
+        .groupBy("_id")
+        .agg(F.first("sig").alias("sig"))
+    )
+    sa = all_sigs.withColumnsRenamed({"_id": "id_a", "sig": "sig_a"})
+    sb = all_sigs.withColumnsRenamed({"_id": "id_b", "sig": "sig_b"})
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda mch: mch,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= verify_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def simhash_col(text_col: str = "text", bits: int = 64) -> Column:

@@ -201,3 +201,58 @@ def test_exact_hamming_pairs_bounded_matches_join_form(spark):
     with pytest.raises(ValueError, match="max_rows"):
         exact_hamming_pairs_bounded(df, max_hamming=3, max_rows=5)
     assert exact_hamming_pairs_bounded(df.limit(1), max_hamming=3).count() == 0
+
+
+def test_incremental_minhash_index_matches_batch_pairs(spark, tmp_path):
+    """The persisted signature index contract: an increment's pairs
+    (against history + within itself) must equal the one-shot
+    minhash_lsh_pairs over the union, restricted to pairs touching the
+    increment — and a second increment, after append, must also see
+    FIRST-increment docs as history."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        append_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 2], ids[3 * len(ids) // 4]
+    hist = docs.filter(F.col("doc_id") <= c1)
+    inc1 = docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
+    inc2 = docs.filter(F.col("doc_id") > c2)
+    idx = str(tmp_path / "mh-index")
+    write_minhash_index(hist, idx)
+
+    def pairs_touching(corpus, members):
+        got = minhash_lsh_pairs(corpus, verify_jaccard=0.5)
+        return {
+            (r.id_a, r.id_b, round(r.est_jaccard, 9))
+            for r in got.collect()
+            if r.id_a in members or r.id_b in members
+        }
+
+    m1 = {r.doc_id for r in inc1.select("doc_id").collect()}
+    want1 = pairs_touching(docs.filter(F.col("doc_id") <= c2), m1)
+    got1 = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in incremental_minhash_pairs(inc1, idx).collect()
+    }
+    assert got1 == want1 and want1  # non-vacuous: the corpus has near-dups
+
+    append_minhash_index(inc1, idx)
+    m2 = {r.doc_id for r in inc2.select("doc_id").collect()}
+    want2 = pairs_touching(docs, m2)
+    got2 = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in incremental_minhash_pairs(inc2, idx).collect()
+    }
+    assert got2 == want2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not a minhash"):
+        incremental_minhash_pairs(inc1, str(tmp_path))
