@@ -4442,6 +4442,67 @@ FROM splits GROUP BY 1
 )
 
 
+def dedup_incremental_minhash(spark, sf_dir):
+    """Self-validating incremental-dedup contract
+    (operators/dedup.py:write_minhash_index / incremental_minhash_pairs):
+    build the signature index on the even-doc_id half, run the odd half
+    as an increment, and score the incremental pair set against the
+    one-shot LSH over the full corpus restricted to pairs touching the
+    increment — match_bp must be 10000 (same banding, same verify, so
+    any drift means the index layout or manifest plumbing broke). Rows
+    -only (xxhash-based signatures); the output row IS the check, like
+    the recall probes. The index lives in a per-run temp dir, removed
+    eagerly after the one-row result is materialized."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import (
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = tempfile.mkdtemp(prefix="mh-idx-")
+    try:
+        write_minhash_index(hist, idx)
+        got = incremental_minhash_pairs(inc, idx).select("id_a", "id_b")
+        inline = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5).select(
+            "id_a", "id_b"
+        ).filter((F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1))
+        a = got.withColumn("in_a", F.lit(1))
+        b = inline.withColumn("in_b", F.lit(1))
+        stats = (
+            a.join(b, ["id_a", "id_b"], "full_outer")
+            .agg(
+                F.sum("in_a").cast("long").alias("n_incremental"),
+                F.sum("in_b").cast("long").alias("n_inline"),
+                F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+            )
+            .withColumn(
+                "match_bp",
+                F.when(
+                    (F.col("n_incremental") == F.col("n_common"))
+                    & (F.col("n_inline") == F.col("n_common")),
+                    F.lit(10000),
+                )
+                .otherwise(
+                    F.floor(
+                        F.lit(10000)
+                        * F.col("n_common")
+                        / F.greatest(F.col("n_incremental"), F.col("n_inline"))
+                    )
+                )
+                .cast("long"),
+            )
+        )
+        rows = stats.collect()
+        return spark.createDataFrame(rows, stats.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4465,6 +4526,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_rare_bigram_ratio": (text_rare_bigram_ratio, TEXT_RARE_BIGRAM_SQL),
     "corpus_column_profile": (corpus_column_profile, CORPUS_COLUMN_PROFILE_SQL),
     "curation_leakage_safe_split": (curation_leakage_safe_split, CURATION_LEAKAGE_SPLIT_SQL),
+    "dedup_incremental_minhash": (dedup_incremental_minhash, None),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),
