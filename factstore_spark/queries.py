@@ -4503,6 +4503,69 @@ def dedup_incremental_minhash(spark, sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def events_quantile_sketch_bounds(spark, sf_dir):
+    """Self-validating quantile-sketch contract: percentile_approx (the
+    Greenwald-Khanna sketch, accuracy=100 => rank error <= n/100) for
+    p25/p50/p75 per event type, scored against its own guarantee with
+    one exact conditional-count pass — for each returned value v the
+    true rank interval is [count(vc < v) + 1, count(vc <= v)], and
+    err_bp is that interval's distance from the target rank q*n in
+    basis points of n. The emitted worst err_bp must stay <= 100bp on
+    ANY data or the sketch (or this plumbing) broke; the mergeable
+    sketch is the 100 TB path, the exact grouped-rank entries
+    (events_value_iqr) are its ground-truth siblings. Rows-only:
+    DuckDB's approx_quantile is t-digest, not GK — the contract column
+    is the check instead."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", _cents(F.col("value")).alias("vc")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("vc", [0.25, 0.5, 0.75], 100).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(approx), "event_type")
+    counted = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            agg
+            for i in range(3)
+            for agg in (
+                F.sum((F.col("vc") < F.element_at(F.col("ap"), i + 1)).cast("long"))
+                .alias(f"lt{i}"),
+                F.sum((F.col("vc") <= F.element_at(F.col("ap"), i + 1)).cast("long"))
+                .alias(f"le{i}"),
+            )
+        ],
+        F.max("ap").alias("ap"),
+    )
+    qnum = [1, 2, 3]  # q = qnum/4
+    err_terms = []
+    for i, qn in enumerate(qnum):
+        target4 = F.col("n") * qn  # 4 * target rank (integer math)
+        lo4 = (F.col(f"lt{i}") + 1) * 4
+        hi4 = F.col(f"le{i}") * 4
+        # distance from target to [lo, hi] in quarter-rank units
+        err_terms.append(
+            F.greatest(lo4 - target4, target4 - hi4, F.lit(0))
+        )
+    # GK's guarantee is DISCRETE: rank within target +/- ceil(eps*n),
+    # which at small n exceeds the continuous 100bp (n=188: 2 ranks =
+    # 106bp) — so the contract column compares integer quarter-ranks
+    # against 4*ceil(n/100), never floats.
+    err4 = F.greatest(*err_terms)
+    allowed4 = F.lit(4) * F.floor((F.col("n") + 99) / 100)
+    return counted.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.element_at("ap", 1).cast("long").alias("p25_est"),
+        F.element_at("ap", 2).cast("long").alias("p50_est"),
+        F.element_at("ap", 3).cast("long").alias("p75_est"),
+        # max over quantiles of rank-error, bp of n: err4 / (4n) * 10000
+        F.floor(err4 * F.lit(2500) / F.col("n")).cast("long").alias("worst_rank_err_bp"),
+        (err4 <= allowed4).cast("long").alias("within_gk_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4527,6 +4590,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_column_profile": (corpus_column_profile, CORPUS_COLUMN_PROFILE_SQL),
     "curation_leakage_safe_split": (curation_leakage_safe_split, CURATION_LEAKAGE_SPLIT_SQL),
     "dedup_incremental_minhash": (dedup_incremental_minhash, None),
+    "events_quantile_sketch_bounds": (events_quantile_sketch_bounds, None),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),

@@ -133,3 +133,18 @@ def test_quantile_cells_ignore_null_values(spark):
     assert by_cell["b"].n_rows == 0  # null mass contributes nothing
     out = quantile_rollup(cells, [], [0.5, 0.99]).collect()[0]
     assert out.q_0_99 is not None and out.q_0_99 >= 95.0
+
+
+def test_quantile_sketch_entry_honors_gk_bound(spark):
+    """events_quantile_sketch_bounds must emit worst_rank_err_bp within
+    the GK guarantee (accuracy=100 => ceil(n/100) ranks — discrete, so
+    >100bp is legal at small n) at both test SFs, with ordered
+    estimates."""
+    from factstore_spark.queries import events_quantile_sketch_bounds
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = events_quantile_sketch_bounds(spark, sf).collect()
+        assert rows
+        for r in rows:
+            assert r.within_gk_bound == 1, (sf, tuple(r))
+            assert r.p25_est <= r.p50_est <= r.p75_est
