@@ -435,3 +435,116 @@ def cap_per_group(
         df, [group_col], list(order_cols), rank_col="_r", num_partitions=num_partitions
     )
     return ranked.filter(F.col("_r") <= n).drop("_r")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> dict:
+    """Materialize the :func:`shuffle_shards` permutation as ONE sorted
+    parquet file per shard plus an integrity manifest — the physical
+    artifact a training loader streams ((shard, pos) order IS the
+    epoch's uniform permutation; an epoch reshuffle is a new seed and a
+    rewrite, never a comparison of row orders between engines).
+
+    Layout: ``path/shard=<k>/part-*.parquet`` (exactly one file per
+    non-empty shard: every row of a shard hashes to the same task, so
+    the partitioned write emits a single sorted file per shard dir) and
+    ``path/manifest.json`` with per-shard row counts and an order-
+    independent content hash (sum of per-row xxhash64 over (id, pos) in
+    decimal(38,0) — no overflow, no float), published with the atomic
+    tmp+rename swap every other manifest in this repo uses. Returns the
+    manifest dict.
+
+    Scale shape: one shuffle keyed by shard + per-shard window (the
+    shuffle_shards plan), one partitioned write, one small aggregate
+    for the manifest; no driver data path beyond n_shards manifest rows."""
+    import os
+
+    from .similarity import _write_ivf_manifest
+
+    assign = shuffle_shards(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    data = df.join(assign, id_col)
+    (
+        data.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(path, "data"))
+    )
+    stats = (
+        data.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.sum(
+                F.xxhash64(
+                    F.col(id_col).cast("string"), F.col("pos").cast("string")
+                ).cast("decimal(38,0)")
+            ).alias("content_hash"),
+        )
+        .collect()
+    )
+    manifest = {
+        "kind": "training_shards",
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "shards": {
+            str(r.shard): {"rows": r.rows, "content_hash": str(r.content_hash)}
+            for r in stats
+        },
+    }
+    _write_ivf_manifest(path, manifest)
+    return manifest
+
+
+def validate_training_shards(spark, path: str) -> dict:
+    """Re-derive every shard's row count, order-independent content
+    hash, and position contiguity from the WRITTEN files and compare
+    against the manifest — the loader-side integrity check that catches
+    a lost, truncated, or re-written shard before an epoch trains on
+    it. Returns {"ok": bool, "problems": [...]}."""
+    import os
+
+    from .similarity import _read_ivf_manifest
+
+    m = _read_ivf_manifest(path)
+    if m.get("kind") != "training_shards":
+        raise ValueError(f"{path} is not a training-shard set")
+    id_col = m["id_col"]
+    got = {
+        str(r.shard): r
+        for r in spark.read.parquet(os.path.join(path, "data"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.sum(
+                F.xxhash64(
+                    F.col(id_col).cast("string"), F.col("pos").cast("string")
+                ).cast("decimal(38,0)")
+            ).alias("content_hash"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.count_distinct("pos").alias("n_pos"),
+        )
+        .collect()
+    }
+    problems = []
+    for shard, want in m["shards"].items():
+        r = got.get(shard)
+        if r is None:
+            problems.append(f"shard {shard}: missing from data")
+            continue
+        if r.rows != want["rows"]:
+            problems.append(f"shard {shard}: rows {r.rows} != manifest {want['rows']}")
+        if str(r.content_hash) != want["content_hash"]:
+            problems.append(f"shard {shard}: content hash mismatch")
+        if not (r.min_pos == 0 and r.max_pos == r.rows - 1 and r.n_pos == r.rows):
+            problems.append(f"shard {shard}: positions not contiguous 0..rows-1")
+    for shard in got:
+        if shard not in m["shards"]:
+            problems.append(f"shard {shard}: not in manifest")
+    return {"ok": not problems, "problems": problems}

@@ -280,3 +280,43 @@ def test_cap_per_group_matches_window_form(spark):
         .collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_write_training_shards_deterministic_and_validated(spark, tmp_path):
+    """Two writes of the same corpus+seed produce IDENTICAL manifests
+    (md5 permutation, no RNG); the written files validate; per-shard
+    positions are a contiguous permutation and every doc appears exactly
+    once; deleting a shard's data is caught by validation."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.sampling import (
+        validate_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, p1, n_shards=4)
+    m2 = write_training_shards(docs, p2, n_shards=4)
+    assert m1["shards"] == m2["shards"]
+    assert sum(v["rows"] for v in m1["shards"].values()) == docs.count()
+
+    v = validate_training_shards(spark, p1)
+    assert v["ok"], v["problems"]
+    back = spark.read.parquet(os.path.join(p1, "data"))
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # one data file per non-empty shard: the sorted read order IS the epoch order
+    for shard_dir in os.listdir(os.path.join(p1, "data")):
+        if shard_dir.startswith("shard="):
+            files = [
+                f for f in os.listdir(os.path.join(p1, "data", shard_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (shard_dir, files)
+
+    shutil.rmtree(os.path.join(p1, "data", "shard=1"))
+    v2 = validate_training_shards(spark, p1)
+    assert not v2["ok"] and any("shard 1" in p for p in v2["problems"])
