@@ -273,12 +273,13 @@ def _sample_centroids(
         .limit(n_cells)
         .collect()
     )
-    if rows:
-        dim = max(
-            (len(r.v) for r in rows),
-            key=lambda d: sum(1 for r in rows if len(r.v) == d),
-        )
-        rows = [r for r in rows if len(r.v) == dim]
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)  # empty corpus
+    dim = max(
+        (len(r.v) for r in rows),
+        key=lambda d: sum(1 for r in rows if len(r.v) == d),
+    )
+    rows = [r for r in rows if len(r.v) == dim]
     C = np.asarray([[float(x) for x in r.v] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
@@ -357,14 +358,12 @@ def cosine_dup_pairs(
             .select("id_a", "id_b", "sim")
         )
 
-    head = df.select(vec_col).first()
-    if head is None:  # empty corpus -> empty result, id dtype preserved
+    def _empty():
         return df.select(
             F.col(id_col).alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("sim"),
         ).limit(0)
-    dim = len(head[0])
 
     # Candidates carry IDS ONLY: deduping (id_a, id_b) longs is a
     # HashAggregate; dragging the vectors through the self-join would
@@ -380,11 +379,21 @@ def cosine_dup_pairs(
             C = C / norms
         else:
             C = _sample_centroids(df, n_cells, id_col, vec_col, seed)
+        if len(C) == 0:  # empty corpus
+            return _empty()
         banded = ids.select(
             "_id",
             F.explode(_centroid_cells_col(F.col("_v"), C, n_probe)).alias("bh"),
         ).withColumn("band", F.lit(0))
     else:
+        # Only the hyperplane path needs the corpus dim up front (the
+        # plane matrix is data-independent); probing it here instead of
+        # before the branch saves one driver job per ivf call — the
+        # recall probe runs two of those per entry.
+        head = df.select(vec_col).first()
+        if head is None:
+            return _empty()
+        dim = len(head[0])
         planes = _hyperplanes(dim, n_planes, seed)
         banded = ids.select(
             "_id",
@@ -681,6 +690,7 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    init_centroids=None,
 ) -> list[list[float]]:
     """Lloyd's k-means over the embedding column (coarse quantizer
     training for IVF). Each iteration: one map-only nearest-centroid
@@ -697,6 +707,18 @@ def train_centroids(
     posexplode(v) + groupBy(cell, dim) + sum — more shuffle rows, O(1)
     memory. Cell counts here are small enough that the simpler plan wins."""
     import numpy as np
+
+    if init_centroids is not None:
+        # Caller already holds the seeded-sample centroids (e.g. the
+        # recall probe runs the sampled quantizer first) — skip the
+        # duplicate sample job; Lloyd iterations proceed identically.
+        cents = [np.asarray(c, dtype=np.float64) for c in init_centroids]
+        cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+        if not cents:
+            return []
+        for _ in range(iterations):
+            cents = _lloyd_step(corpus, vec_col, cents)
+        return [c.tolist() for c in cents]
 
     rows = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
@@ -720,38 +742,43 @@ def train_centroids(
     cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
 
     for _ in range(iterations):
-        # Vectorized nearest-centroid assignment (numpy matmul over
-        # Arrow batches). The previous form embedded the centroids as
-        # an O(n_cells x dim) literal expression tree scored with
-        # transform+zip_with+aggregate — correct, but Catalyst
-        # re-analyzes that tree EVERY iteration (~2 s of driver time
-        # at 32x64 before a single row moves).
-        assigned = corpus.select(F.col(vec_col).alias("v")).withColumn(
-            "cell",
-            F.element_at(_centroid_cells_col(F.col("v"), _unit_rows(cents), 1), 1),
-        )
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                F.aggregate(
-                    F.collect_list("v"),
-                    F.array_repeat(F.lit(0.0), len(cents[0])),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
-                ).alias("sum_v"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        new_cents = list(cents)
-        for r in means:
-            if r.cell is None:
-                continue  # null/ragged embeddings assign a null cell
-            m = np.asarray(r.sum_v, dtype=np.float64) / r.n
-            norm = np.linalg.norm(m)
-            if norm > 0:
-                new_cents[r.cell] = m / norm
-        cents = new_cents
+        cents = _lloyd_step(corpus, vec_col, cents)
     return [c.tolist() for c in cents]
+
+
+def _lloyd_step(corpus: DataFrame, vec_col: str, cents):
+    """One Lloyd iteration: vectorized nearest-centroid assignment
+    (numpy matmul over Arrow batches — the old O(n_cells x dim) literal
+    expression tree cost ~2 s of Catalyst re-analysis per iteration
+    before a single row moved), then a groupBy(cell) mean (the only
+    shuffle). Returns the updated unit centroids."""
+    import numpy as np
+
+    assigned = corpus.select(F.col(vec_col).alias("v")).withColumn(
+        "cell",
+        F.element_at(_centroid_cells_col(F.col("v"), _unit_rows(cents), 1), 1),
+    )
+    means = (
+        assigned.groupBy("cell")
+        .agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0.0), len(cents[0])),
+                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
+            ).alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    new_cents = list(cents)
+    for r in means:
+        if r.cell is None:
+            continue  # null/ragged embeddings assign a null cell
+        m = np.asarray(r.sum_v, dtype=np.float64) / r.n
+        norm = np.linalg.norm(m)
+        if norm > 0:
+            new_cents[r.cell] = m / norm
+    return new_cents
 
 
 def ivf_topk(

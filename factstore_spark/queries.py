@@ -1017,10 +1017,19 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
         emb_full, "vec_id",
         _probe_ppm(emb_full, sample_pct, cache_key=(sf_dir, "embeddings")),
     ).persist()
+    # One seeded-sample job feeds BOTH quantizers: the sampled run uses
+    # the sample as its centroids directly (identical to letting
+    # cosine_dup_pairs re-sample with the same seed) and Lloyd training
+    # starts from it (identical to its own internal init) — three
+    # duplicate driver jobs removed from the probe, zero semantic change.
+    seed_cents = sim_ops._sample_centroids(emb, 32, "vec_id", "embedding", 42).tolist()
     sampled = sim_ops.cosine_dup_pairs(
-        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
+        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
+        centroids=seed_cents,
     )
-    cents = sim_ops.train_centroids(emb, n_cells=32, iterations=3)
+    cents = sim_ops.train_centroids(
+        emb, n_cells=32, iterations=3, init_centroids=seed_cents
+    )
     trained = sim_ops.cosine_dup_pairs(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
         centroids=cents,
