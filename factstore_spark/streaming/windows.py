@@ -443,8 +443,7 @@ def rolling_dau_stream(
 
 _HH_STATE_SCHEMA = StructType(
     [
-        StructField("vals", StringType(), True),  # \x1f-joined counter keys
-        StructField("counts", StringType(), True),  # comma-joined counts
+        StructField("counters", StringType(), True),  # JSON {value: count}
         StructField("n", LongType(), False),
         StructField("d", LongType(), False),
     ]
@@ -472,7 +471,8 @@ def heavy_hitters_stream(
     cluster like any keyed state. Downstream can filter
     est >= threshold - d for a no-false-negative report.
 
-    Counters ride the state row as two joined strings because the
+    Counters ride the state row as one JSON string (keys are arbitrary
+    user values, so no separator byte is safe) because the
     applyInPandasWithState state schema must be flat; m is small so
     the encode/decode is noise."""
     out_schema = StructType(
@@ -493,14 +493,16 @@ def heavy_hitters_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
+        import json
+
         counts: dict[str, int] = {}
         n, d = 0, 0
         if state.exists:
-            vals_s, counts_s, n, d = state.get
-            if vals_s:
-                counts = dict(
-                    zip(vals_s.split("\x1f"), (int(c) for c in counts_s.split(",")))
-                )
+            counters_s, n, d = state.get
+            if counters_s:
+                # JSON, not a joined string: counter KEYS are arbitrary
+                # user values and may contain any separator byte.
+                counts = json.loads(counters_s)
         for v, c in batch["_v"].value_counts().items():
             counts[v] = counts.get(v, 0) + int(c)
         n += len(batch)
@@ -511,14 +513,7 @@ def heavy_hitters_stream(
             counts = {
                 v: c - delta for v, c in ordered[:m] if c - delta > 0
             }
-        state.update(
-            (
-                "\x1f".join(counts),
-                ",".join(str(c) for c in counts.values()),
-                n,
-                d,
-            )
-        )
+        state.update((json.dumps(counts, sort_keys=True), n, d))
         if counts:
             yield pd.DataFrame(
                 {
