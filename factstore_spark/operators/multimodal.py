@@ -160,6 +160,54 @@ def sample_frames(
     return df.select(id_col, data_col).mapInPandas(run, schema)
 
 
+def frame_dup_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    every_nth: int = 8,
+    max_frame_df: int = 20,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Media pairs sharing >= ``min_shared`` sampled frames — the
+    frame-level near-dup detector a video/image corpus needs (re-posts
+    and re-encodes share frames long before they share file bytes).
+    Composes the existing plumbing: :func:`sample_frames` -> JVM-side
+    xxhash64 per frame -> the same capped inverted-index shape as the
+    text dedup core (distinct (media, frame-hash), hot frames above
+    ``max_frame_df`` dropped like hot shingles — intros/logos appear in
+    everything and would otherwise drive O(df^2) fan-out), pair counts
+    via one self-join on the frame hash. With a real decoder plugged
+    into sample_frames this becomes true visual dedup; the shape,
+    capping, and counting are what run at scale either way."""
+    frames = sample_frames(df, every_nth=every_nth, id_col=id_col, data_col=data_col)
+    fh = (
+        frames.filter(F.col("frame").isNotNull() & (F.length("frame") > 0))
+        .select(F.col("media_id"), F.xxhash64("frame").alias("fh"))
+        .distinct()
+    )
+    hot = (
+        fh.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_frame_df)
+        .select("fh")
+    )
+    cold = fh.join(hot, "fh", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 64,

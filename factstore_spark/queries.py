@@ -4575,6 +4575,19 @@ def events_quantile_sketch_bounds(spark, sf_dir):
     )
 
 
+def multimodal_frame_dup(spark, sf_dir):
+    """Frame-level media near-dup pairs over the documents-as-media
+    corpus (operators/multimodal.py:frame_dup_pairs): sampled-frame
+    hashes through the capped inverted-index core. Rows-only — the
+    frame sampler's fake decode is Python-side plumbing DuckDB cannot
+    reproduce; pair semantics are unit-tested on synthetic media with
+    known shared frames."""
+    from .operators.multimodal import documents_as_media, frame_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_dup_pairs(documents_as_media(docs), min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4600,6 +4613,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_leakage_safe_split": (curation_leakage_safe_split, CURATION_LEAKAGE_SPLIT_SQL),
     "dedup_incremental_minhash": (dedup_incremental_minhash, None),
     "events_quantile_sketch_bounds": (events_quantile_sketch_bounds, None),
+    "multimodal_frame_dup": (multimodal_frame_dup, None),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),

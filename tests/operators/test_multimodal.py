@@ -65,3 +65,45 @@ def test_resize_media_shape(spark):
     assert len(rows) == 1
     assert rows[0].thumb_w == 8 and rows[0].thumb_h == 8
     assert len(rows[0].thumb) == 64
+
+
+def test_frame_dup_pairs_finds_shared_frames(spark):
+    """Identical media bytes share every sampled frame; unrelated bytes
+    share none; a frame present in EVERY media (hot, logo-like) is
+    capped out and creates no pairs on its own."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.multimodal import frame_dup_pairs
+
+    rnd = random.Random(4)
+    blob = bytes(rnd.randrange(256) for _ in range(4096))
+    other = bytes(rnd.randrange(256) for _ in range(4096))
+    rows = [
+        (1, bytearray(blob)),
+        (2, bytearray(blob)),        # exact re-post of 1
+        (3, bytearray(other)),       # unrelated
+        (4, bytearray(blob[:2048] + other[2048:])),  # half shared with 1/2
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in frame_dup_pairs(df, min_shared=2, max_frame_df=20).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in pair for pair in got)
+    full = got[(1, 2)]
+    assert full >= 2
+    for pair in ((1, 4), (2, 4)):
+        if pair in got:
+            # partial overlap never shares MORE than the exact re-post
+            # (with few sampled frames the counts can tie)
+            assert got[pair] <= full
+
+    # hot-frame cap: the same blob in MANY media exceeds max_frame_df
+    many = spark.createDataFrame(
+        [(i, bytearray(blob)) for i in range(30)], "media_id long, data binary"
+    )
+    assert frame_dup_pairs(many, min_shared=1, max_frame_df=20).count() == 0
