@@ -450,30 +450,35 @@ def write_training_shards(
     epoch's uniform permutation; an epoch reshuffle is a new seed and a
     rewrite, never a comparison of row orders between engines).
 
-    Layout: ``path/shard=<k>/part-*.parquet`` (exactly one file per
-    non-empty shard: every row of a shard hashes to the same task, so
-    the partitioned write emits a single sorted file per shard dir) and
-    ``path/manifest.json`` with per-shard row counts and an order-
-    independent content hash (sum of per-row xxhash64 over (id, pos) in
-    decimal(38,0) — no overflow, no float), published with the atomic
-    tmp+rename swap every other manifest in this repo uses. Returns the
-    manifest dict.
+    Layout: ``path/v=<token>/shard=<k>/part-*.parquet`` (exactly one
+    file per non-empty shard: every row of a shard hashes to the same
+    task, so the partitioned write emits a single sorted file per shard
+    dir) and ``path/manifest.json`` naming the live version plus
+    per-shard row counts and an order-independent content hash (sum of
+    per-row xxhash64 over (id, pos) in decimal(38,0) — no overflow, no
+    float). CRASH SAFETY, same discipline as the rollup/tag-index
+    manifests: each write lands in a FRESH version dir and the atomic
+    manifest rename is the only publish step — a crash mid-write leaves
+    the previous epoch fully readable (an in-place overwrite would have
+    destroyed it at job start). Returns the manifest dict.
 
     Scale shape: one shuffle keyed by shard + per-shard window (the
     shuffle_shards plan), one partitioned write, one small aggregate
     for the manifest; no driver data path beyond n_shards manifest rows."""
     import os
+    import uuid
 
     from .similarity import _write_ivf_manifest
 
     assign = shuffle_shards(df, n_shards=n_shards, seed=seed, id_col=id_col)
     data = df.join(assign, id_col)
+    version = f"v={uuid.uuid4().hex[:12]}"
     (
         data.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(os.path.join(path, "data"))
+        .parquet(os.path.join(path, version))
     )
     stats = (
         data.groupBy("shard")
@@ -489,6 +494,7 @@ def write_training_shards(
     )
     manifest = {
         "kind": "training_shards",
+        "version": version,
         "n_shards": n_shards,
         "seed": seed,
         "id_col": id_col,
@@ -517,7 +523,7 @@ def validate_training_shards(spark, path: str) -> dict:
     id_col = m["id_col"]
     got = {
         str(r.shard): r
-        for r in spark.read.parquet(os.path.join(path, "data"))
+        for r in spark.read.parquet(os.path.join(path, m["version"]))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows"),

@@ -306,17 +306,26 @@ def test_write_training_shards_deterministic_and_validated(spark, tmp_path):
 
     v = validate_training_shards(spark, p1)
     assert v["ok"], v["problems"]
-    back = spark.read.parquet(os.path.join(p1, "data"))
+    vdir = m1["version"]
+    back = spark.read.parquet(os.path.join(p1, vdir))
     assert back.select("doc_id").distinct().count() == docs.count()
     # one data file per non-empty shard: the sorted read order IS the epoch order
-    for shard_dir in os.listdir(os.path.join(p1, "data")):
+    for shard_dir in os.listdir(os.path.join(p1, vdir)):
         if shard_dir.startswith("shard="):
             files = [
-                f for f in os.listdir(os.path.join(p1, "data", shard_dir))
+                f for f in os.listdir(os.path.join(p1, vdir, shard_dir))
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (shard_dir, files)
 
-    shutil.rmtree(os.path.join(p1, "data", "shard=1"))
+    # re-shard with a new seed: a crash mid-write must never touch the
+    # published epoch, so the NEW version lands beside the old and only
+    # the manifest swap republishes — the old version dir survives
+    m3 = write_training_shards(docs, p1, n_shards=4, seed="epoch1")
+    assert m3["version"] != m1["version"]
+    assert os.path.isdir(os.path.join(p1, vdir))  # previous epoch intact
+    assert validate_training_shards(spark, p1)["ok"]
+
+    shutil.rmtree(os.path.join(p1, m3["version"], "shard=1"))
     v2 = validate_training_shards(spark, p1)
     assert not v2["ok"] and any("shard 1" in p for p in v2["problems"])
