@@ -1,0 +1,222 @@
+"""Keyed-table MERGE over partitioned parquet — the lakehouse
+``MERGE INTO`` analog (Delta/Iceberg upsert) from plain Spark
+primitives, with copy-on-write restricted to partitions that contain
+changed keys.
+
+Why this exists at 100 TB: plain parquet cannot update a row, and
+rewriting the whole table per correction batch is O(table). Here a
+merge reads ONLY the partitions named by the updates (manifest-pruned —
+no scan even touches the others), anti-joins the changed keys, writes
+the merged partitions into a FRESH version dir, and atomically swaps a
+manifest that maps every partition value to its current directory —
+changed partitions point into the new version, untouched partitions
+keep pointing at their existing files. Write amplification per merge is
+O(partitions touched), crash safety is the manifest rename (same
+discipline as the continuous rollup and tag-index manifests, whose
+``_publish`` this module reuses).
+
+Layout::
+
+    table_dir/
+      _LATEST                       <- {"meta": ..., "partitions": {val: rel}}
+      v=<hex>/_pval=<value>/part-*.parquet
+
+The partition column is duplicated into a shadow dir key (``_pval``) so
+the real column survives inside the data files — reading a leaf
+partition dir directly would otherwise lose it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.rollup import _POINTER, _publish
+
+
+def _read_manifest(table_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(table_dir, _POINTER), encoding="utf-8") as fh:
+            raw = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    m = json.loads(raw) if raw else None
+    if m is not None and m.get("meta", {}).get("kind") != "merge_table":
+        raise ValueError(f"{table_dir} is not a merge table")
+    return m
+
+
+def _require_unique_keys(df: DataFrame, key_cols: list[str], what: str) -> None:
+    """One row per key is the table's invariant; a duplicate-key batch
+    would make merge results order-dependent — fail loudly instead."""
+    dup = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{what} has duplicate keys (e.g. "
+            f"{tuple(dup[0][k] for k in key_cols)}); dedupe to one row per "
+            "key (pick your winner explicitly) before merging"
+        )
+
+
+def _write_version(df: DataFrame, table_dir: str, partition_col: str) -> str:
+    version = f"v={uuid.uuid4().hex[:12]}"
+    (
+        df.withColumn("_pval", F.col(partition_col).cast("string"))
+        .write.mode("overwrite")
+        .partitionBy("_pval")
+        .parquet(os.path.join(table_dir, version))
+    )
+    return version
+
+
+def _partition_values(df: DataFrame, partition_col: str) -> list[str]:
+    # Bounded driver collect: one row per distinct partition VALUE in
+    # the batch (a correction batch touches few partitions by design).
+    return sorted(
+        str(r[0])
+        for r in df.select(F.col(partition_col).cast("string")).distinct().collect()
+        if r[0] is not None
+    )
+
+
+def create_table(
+    df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> dict:
+    """Initial full write + manifest publish. ``key_cols`` must be
+    unique per row (checked); ``partition_col`` must be non-null (null
+    partitions have no directory identity — map them to a sentinel
+    value upstream)."""
+    _require_unique_keys(df, key_cols, "create_table input")
+    if df.filter(F.col(partition_col).isNull()).limit(1).collect():
+        raise ValueError(f"{partition_col} must be non-null for merge tables")
+    os.makedirs(table_dir, exist_ok=True)
+    version = _write_version(df, table_dir, partition_col)
+    manifest = {
+        "meta": {
+            "kind": "merge_table",
+            "key_cols": list(key_cols),
+            "partition_col": partition_col,
+        },
+        "partitions": {
+            v: os.path.join(version, f"_pval={v}")
+            for v in _partition_values(df, partition_col)
+        },
+    }
+    _publish(table_dir, manifest)
+    return manifest
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """The current table, or None before the first publish. Reads only
+    manifest-named directories; a crashed (unpublished) merge's version
+    dir is invisible."""
+    m = _read_manifest(table_dir)
+    if not m or not m["partitions"]:
+        return None
+    paths = [os.path.join(table_dir, rel) for rel in m["partitions"].values()]
+    return spark.read.parquet(*paths)
+
+
+def merge_upsert(
+    updates: DataFrame,
+    table_dir: str,
+    delete_col: str | None = None,
+) -> dict:
+    """Upsert (and optionally delete) by key: rows whose key exists are
+    replaced, new keys are inserted, and — when ``delete_col`` names a
+    boolean column — rows flagged true are removed instead. Only
+    partitions present in ``updates`` are read or rewritten; a key's
+    partition value must not change across merges (that is an
+    anti-join miss in its OLD partition — reassignments must be a
+    delete in the old partition plus an insert in the new one, stated
+    loudly here rather than silently duplicating)."""
+    m = _read_manifest(table_dir)
+    if m is None:
+        raise ValueError(f"{table_dir} has no published manifest; create_table first")
+    meta = m["meta"]
+    key_cols, partition_col = meta["key_cols"], meta["partition_col"]
+    _require_unique_keys(updates, key_cols, "merge_upsert updates")
+    if updates.filter(F.col(partition_col).isNull()).limit(1).collect():
+        raise ValueError(f"{partition_col} must be non-null for merge tables")
+    spark = updates.sparkSession
+    vals = _partition_values(updates, partition_col)
+    if not vals:
+        return m
+    prev_paths = [
+        os.path.join(table_dir, m["partitions"][v]) for v in vals if v in m["partitions"]
+    ]
+    deletes = None
+    if delete_col is not None:
+        deletes = updates.filter(F.col(delete_col))
+        updates = updates.filter(~F.col(delete_col) | F.col(delete_col).isNull())
+        updates = updates.drop(delete_col)
+        deletes = deletes.drop(delete_col)
+    if prev_paths:
+        prev = spark.read.parquet(*prev_paths)
+        changed_keys = updates.select(*key_cols)
+        if deletes is not None:
+            changed_keys = changed_keys.unionByName(deletes.select(*key_cols))
+        keep = prev.join(changed_keys, key_cols, "left_anti")
+        merged = keep.unionByName(updates.select(*keep.columns))
+    else:
+        merged = updates
+    version = _write_version(merged, table_dir, partition_col)
+    new_manifest = {
+        "meta": meta,
+        "partitions": dict(m["partitions"]),
+    }
+    merged_vals = set(_partition_values(merged, partition_col))
+    for v in vals:
+        if v in merged_vals:
+            new_manifest["partitions"][v] = os.path.join(version, f"_pval={v}")
+        else:
+            # every row of the partition was deleted
+            new_manifest["partitions"].pop(v, None)
+    _publish(table_dir, new_manifest)
+    return new_manifest
+
+
+def vacuum_table(table_dir: str, retain_seconds: float = 3600.0) -> dict:
+    """Delete version dirs no longer referenced by the manifest and
+    idle longer than ``retain_seconds`` (grace for in-flight readers
+    that resolved the previous manifest; aged by the newest mtime under
+    the version so an unpublished in-progress merge is never reaped)."""
+    import shutil
+    import time
+
+    m = _read_manifest(table_dir) or {"partitions": {}}
+    live = {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
+    now = time.time()
+    removed = []
+    for name in os.listdir(table_dir):
+        if not name.startswith("v=") or name in live:
+            continue
+        path = os.path.join(table_dir, name)
+        try:
+            newest = os.path.getmtime(path)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        pass
+            if now - newest <= retain_seconds:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    return {"removed": removed, "live": sorted(live)}

@@ -1,0 +1,94 @@
+"""Keyed-table MERGE (storage/merge.py): upsert/delete with
+partition-restricted copy-on-write and manifest-swap crash safety."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from factstore_spark.storage.merge import (
+    create_table,
+    merge_upsert,
+    read_table,
+    vacuum_table,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id long, part string, v string")
+
+
+def _snap(spark, d):
+    return {(r.id): (r.part, r.v) for r in read_table(spark, d).collect()}
+
+
+def test_create_read_roundtrip_and_validation(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = _rows(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")])
+    create_table(df, d, ["id"], "part")
+    assert _snap(spark, d) == {1: ("a", "x"), 2: ("a", "y"), 3: ("b", "z")}
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        create_table(
+            _rows(spark, [(1, "a", "x"), (1, "a", "y")]), str(tmp_path / "t2"),
+            ["id"], "part",
+        )
+    with pytest.raises(ValueError, match="non-null"):
+        create_table(
+            _rows(spark, [(1, None, "x")]), str(tmp_path / "t3"), ["id"], "part"
+        )
+    assert read_table(spark, str(tmp_path / "nothing")) is None
+    alien = tmp_path / "alien"
+    alien.mkdir()
+    (alien / "_LATEST").write_text('{"2024-01-01": "v=x/bucket_date=2024-01-01"}')
+    with pytest.raises(ValueError, match="not a merge table"):
+        read_table(spark, str(alien))
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    d = str(tmp_path / "t")
+    m0 = create_table(
+        _rows(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "c", "w")]),
+        d, ["id"], "part",
+    )
+    # update key 1, insert key 5 — both in partition a; b and c untouched
+    m1 = merge_upsert(_rows(spark, [(1, "a", "X"), (5, "a", "new")]), d)
+    assert _snap(spark, d) == {
+        1: ("a", "X"), 2: ("a", "y"), 3: ("b", "z"), 4: ("c", "w"), 5: ("a", "new"),
+    }
+    assert m1["partitions"]["a"] != m0["partitions"]["a"]
+    for untouched in ("b", "c"):
+        assert m1["partitions"][untouched] == m0["partitions"][untouched]
+        assert os.path.isdir(os.path.join(d, m0["partitions"][untouched]))
+
+
+def test_delete_col_removes_rows_and_empty_partitions(spark, tmp_path):
+    d = str(tmp_path / "t")
+    create_table(
+        _rows(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]), d, ["id"], "part"
+    )
+    upd = spark.createDataFrame(
+        [(2, "a", "y2", False), (3, "b", None, True)],
+        "id long, part string, v string, is_deleted boolean",
+    )
+    m = merge_upsert(upd, d, delete_col="is_deleted")
+    assert _snap(spark, d) == {1: ("a", "x"), 2: ("a", "y2")}
+    assert "b" not in m["partitions"]  # fully-deleted partition unlinked
+
+
+def test_unpublished_version_invisible_and_vacuum_reaps(spark, tmp_path):
+    d = str(tmp_path / "t")
+    m0 = create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+    # a crashed merge: version dir on disk, never published
+    ghost = os.path.join(d, "v=deadbeefcafe", "_pval=a")
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "junk.txt"), "w") as fh:
+        fh.write("partial")
+    assert _snap(spark, d) == {1: ("a", "x")}  # reader never sees it
+
+    merge_upsert(_rows(spark, [(1, "a", "x2")]), d)
+    out = vacuum_table(d, retain_seconds=0.0)
+    assert "v=deadbeefcafe" in out["removed"]
+    old_version = m0["partitions"]["a"].split(os.sep)[0]
+    assert old_version in out["removed"]  # superseded version reaped
+    assert _snap(spark, d) == {1: ("a", "x2")}  # live version intact
