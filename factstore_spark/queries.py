@@ -4588,6 +4588,100 @@ def multimodal_frame_dup(spark, sf_dir):
     return frame_dup_pairs(documents_as_media(docs), min_shared=2)
 
 
+def storage_merge_upsert(spark, sf_dir):
+    """Self-validating MERGE-table contract (storage/merge.py): load
+    orders as a keyed table partitioned by status, apply one batch that
+    UPDATES every 97th key, INSERTS shifted new keys, and DELETES every
+    101st key, then compare the read-back table against the same
+    transformation computed directly on the source frame. The emitted
+    row carries match_bp (must be 10000) plus the audit counts — the
+    merge machinery (manifest pruning, anti-join, version swap) is the
+    thing under test, the DataFrame expression of the same change is
+    the oracle. Rows-only (the contract column IS the check); tmp table
+    removed eagerly after the one-row result materializes."""
+    import shutil
+    import tempfile
+
+    from .storage.merge import create_table, merge_upsert, read_table
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="merge-tbl-")
+    try:
+        create_table(base, d, ["o_orderkey"], "o_orderstatus")
+        # delete wins where the 97- and 101-divisible sets overlap
+        # (key 0): one row per key is the merge contract.
+        upd = base.filter(
+            (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 101 != 0)
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit(False).alias("is_deleted"),
+        )
+        ins = base.filter(F.col("o_orderkey") % 89 == 0).select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit(False).alias("is_deleted"),
+        )
+        dele = base.filter(F.col("o_orderkey") % 101 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(True).alias("is_deleted"),
+        )
+        batch = upd.unionByName(ins).unionByName(dele)
+        merge_upsert(batch, d, delete_col="is_deleted")
+        got = read_table(spark, d)
+
+        want = (
+            base.filter(F.col("o_orderkey") % 101 != 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(
+                    F.col("o_orderkey") % 97 == 0,
+                    F.col("o_totalprice") + F.lit(1000.0),
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            )
+            .unionByName(ins.drop("is_deleted"))
+        )
+        a = got.withColumn("in_a", F.lit(1))
+        b = want.withColumn("in_b", F.lit(1))
+        stats = (
+            a.join(
+                b, ["o_orderkey", "o_orderstatus", "o_totalprice"], "full_outer"
+            )
+            .agg(
+                F.sum("in_a").cast("long").alias("n_table"),
+                F.sum("in_b").cast("long").alias("n_expected"),
+                F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+            )
+            .withColumn(
+                "match_bp",
+                F.when(
+                    (F.col("n_table") == F.col("n_common"))
+                    & (F.col("n_expected") == F.col("n_common")),
+                    F.lit(10000),
+                )
+                .otherwise(
+                    F.floor(
+                        F.lit(10000)
+                        * F.col("n_common")
+                        / F.greatest(F.col("n_table"), F.col("n_expected"))
+                    )
+                )
+                .cast("long"),
+            )
+        )
+        rows = stats.collect()
+        return spark.createDataFrame(rows, stats.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4614,6 +4708,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "dedup_incremental_minhash": (dedup_incremental_minhash, None),
     "events_quantile_sketch_bounds": (events_quantile_sketch_bounds, None),
     "multimodal_frame_dup": (multimodal_frame_dup, None),
+    "storage_merge_upsert": (storage_merge_upsert, None),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),
