@@ -4470,7 +4470,15 @@ def dedup_incremental_minhash(spark, sf_dir):
         write_minhash_index,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs_full = _t(spark, sf_dir, "documents")
+    # The contract holds on any corpus; run it on a fixed-size md5
+    # sample (same cap discipline as the recall probes) so the entry's
+    # bench cost stays O(1) as the corpus grows.
+    docs = _probe_sample(
+        docs_full, "doc_id",
+        _probe_ppm(docs_full, 50, target=2500, cache_key=(sf_dir, "documents")),
+        salt="incdedup",
+    )
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
     idx = tempfile.mkdtemp(prefix="mh-idx-")
@@ -4604,8 +4612,16 @@ def storage_merge_upsert(spark, sf_dir):
 
     from .storage.merge import create_table, merge_upsert, read_table
 
-    base = _t(spark, sf_dir, "orders").select(
+    orders_full = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # Same fixed-size-sample discipline as the probes: the MERGE
+    # contract is corpus-size-independent, the bench cost should be too
+    # (two full table versions are written per run).
+    base = _probe_sample(
+        orders_full, "o_orderkey",
+        _probe_ppm(orders_full, 50, target=20_000, cache_key=(sf_dir, "orders")),
+        salt="mergetbl",
     )
     d = tempfile.mkdtemp(prefix="merge-tbl-")
     try:
