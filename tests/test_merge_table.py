@@ -92,3 +92,47 @@ def test_unpublished_version_invisible_and_vacuum_reaps(spark, tmp_path):
     old_version = m0["partitions"]["a"].split(os.sep)[0]
     assert old_version in out["removed"]  # superseded version reaped
     assert _snap(spark, d) == {1: ("a", "x2")}  # live version intact
+
+
+def test_merge_model_based_random_batches(spark, tmp_path):
+    """Model-based: random upsert/delete batch sequences must leave the
+    table equal to a driver-side dict model after every merge —
+    including re-deletes of absent keys, re-inserts of deleted keys,
+    and batches touching one or many partitions."""
+    import random
+
+    rnd = random.Random(13)
+    parts = ["p0", "p1", "p2"]
+    d = str(tmp_path / "model")
+    init = [(k, parts[k % 3], f"v{k}") for k in range(20)]
+    model = {k: (p, v) for k, p, v in init}
+    create_table(_rows(spark, init), d, ["id"], "part")
+
+    for step in range(6):
+        batch = []
+        for _ in range(rnd.randint(1, 8)):
+            k = rnd.randint(0, 29)
+            p = parts[k % 3]  # a key's partition never changes (contract)
+            if rnd.random() < 0.3:
+                batch.append((k, p, None, True))
+            else:
+                batch.append((k, p, f"s{step}k{k}", False))
+        # one row per key: keep the LAST op for a key (explicit winner)
+        dedup = {}
+        for row in batch:
+            dedup[row[0]] = row
+        batch = list(dedup.values())
+        for k, p, v, is_del in batch:
+            if is_del:
+                model.pop(k, None)
+            else:
+                model[k] = (p, v)
+        upd = spark.createDataFrame(
+            batch, "id long, part string, v string, is_deleted boolean"
+        )
+        merge_upsert(upd, d, delete_col="is_deleted")
+        got = read_table(spark, d)
+        got_d = (
+            {} if got is None else {r.id: (r.part, r.v) for r in got.collect()}
+        )
+        assert got_d == model, f"diverged at step {step}"
