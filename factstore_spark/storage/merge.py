@@ -18,8 +18,17 @@ discipline as the continuous rollup and tag-index manifests, whose
 Layout::
 
     table_dir/
-      _LATEST                       <- {"meta": ..., "partitions": {val: rel}}
+      _LATEST                       <- {"meta": ..., "snapshot": N, "partitions": {val: rel}}
+      _snapshots/snap-<N>.json      <- every published manifest, immutable
       v=<hex>/_pval=<value>/part-*.parquet
+
+Every publish also lands an immutable numbered snapshot file, so
+``read_table(..., snapshot=N)`` time-travels to any retained state —
+audits ("what did the table say when the model trained?") and
+reproducible re-runs read old snapshots while writers move on. Vacuum
+keeps the versions referenced by the newest ``retain_snapshots``
+manifests and deletes the older snapshot files with their orphaned
+versions.
 
 The partition column is duplicated into a shadow dir key (``_pval``) so
 the real column survives inside the data files — reading a leaf
@@ -38,16 +47,43 @@ from pyspark.sql import functions as F
 from ..streaming.rollup import _POINTER, _publish
 
 
-def _read_manifest(table_dir: str) -> dict | None:
+def _read_manifest(table_dir: str, snapshot: int | None = None) -> dict | None:
+    path = (
+        os.path.join(table_dir, _POINTER)
+        if snapshot is None
+        else os.path.join(table_dir, "_snapshots", f"snap-{snapshot}.json")
+    )
     try:
-        with open(os.path.join(table_dir, _POINTER), encoding="utf-8") as fh:
+        with open(path, encoding="utf-8") as fh:
             raw = fh.read().strip()
     except FileNotFoundError:
+        if snapshot is not None:
+            raise ValueError(
+                f"snapshot {snapshot} not found (vacuumed or never published)"
+            )
         return None
     m = json.loads(raw) if raw else None
     if m is not None and m.get("meta", {}).get("kind") != "merge_table":
         raise ValueError(f"{table_dir} is not a merge table")
     return m
+
+
+def _publish_snapshot(table_dir: str, manifest: dict) -> dict:
+    """Assign the next snapshot number, write the immutable snapshot
+    file FIRST, then swap _LATEST — a crash between the two leaves an
+    extra snapshot file and an older _LATEST, never a pointer to a
+    missing snapshot."""
+    snap_dir = os.path.join(table_dir, "_snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    prev = _read_manifest(table_dir)
+    n = (prev.get("snapshot", 0) if prev else 0) + 1
+    manifest = dict(manifest, snapshot=n)
+    tmp = os.path.join(snap_dir, f".snap-{n}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(snap_dir, f"snap-{n}.json"))
+    _publish(table_dir, manifest)
+    return manifest
 
 
 def _require_unique_keys(df: DataFrame, key_cols: list[str], what: str) -> None:
@@ -115,15 +151,17 @@ def create_table(
             for v in _partition_values(df, partition_col)
         },
     }
-    _publish(table_dir, manifest)
-    return manifest
+    return _publish_snapshot(table_dir, manifest)
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """The current table, or None before the first publish. Reads only
-    manifest-named directories; a crashed (unpublished) merge's version
-    dir is invisible."""
-    m = _read_manifest(table_dir)
+def read_table(
+    spark: SparkSession, table_dir: str, snapshot: int | None = None
+) -> DataFrame | None:
+    """The current table — or, with ``snapshot=N``, the table exactly
+    as published at snapshot N (time travel; raises if N was vacuumed).
+    Reads only manifest-named directories; a crashed (unpublished)
+    merge's version dir is invisible."""
+    m = _read_manifest(table_dir, snapshot)
     if not m or not m["partitions"]:
         return None
     paths = [os.path.join(table_dir, rel) for rel in m["partitions"].values()]
@@ -185,20 +223,47 @@ def merge_upsert(
         else:
             # every row of the partition was deleted
             new_manifest["partitions"].pop(v, None)
-    _publish(table_dir, new_manifest)
-    return new_manifest
+    return _publish_snapshot(table_dir, new_manifest)
 
 
-def vacuum_table(table_dir: str, retain_seconds: float = 3600.0) -> dict:
-    """Delete version dirs no longer referenced by the manifest and
-    idle longer than ``retain_seconds`` (grace for in-flight readers
-    that resolved the previous manifest; aged by the newest mtime under
-    the version so an unpublished in-progress merge is never reaped)."""
+def vacuum_table(
+    table_dir: str,
+    retain_seconds: float = 3600.0,
+    retain_snapshots: int = 1,
+) -> dict:
+    """Delete version dirs referenced by NO retained snapshot and idle
+    longer than ``retain_seconds`` (grace for in-flight readers; aged
+    by the newest mtime under the version so an unpublished in-progress
+    merge is never reaped). ``retain_snapshots`` newest snapshots stay
+    time-travelable; older snapshot files are removed with their
+    orphaned versions — the standard retention/time-travel trade,
+    chosen explicitly by the operator."""
     import shutil
     import time
 
-    m = _read_manifest(table_dir) or {"partitions": {}}
-    live = {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
+    m = _read_manifest(table_dir) or {"partitions": {}, "snapshot": 0}
+    head = m.get("snapshot", 0)
+    keep_snaps = {n for n in range(head - max(retain_snapshots, 1) + 1, head + 1) if n >= 1}
+    live = set()
+    snap_dir = os.path.join(table_dir, "_snapshots")
+    removed_snaps = []
+    if os.path.isdir(snap_dir):
+        for name in sorted(os.listdir(snap_dir)):
+            if not (name.startswith("snap-") and name.endswith(".json")):
+                continue
+            try:
+                n = int(name[len("snap-"):-len(".json")])
+            except ValueError:
+                continue
+            if n in keep_snaps:
+                snap = _read_manifest(table_dir, n)
+                live |= {
+                    rel.split(os.sep, 1)[0] for rel in snap["partitions"].values()
+                }
+            else:
+                os.remove(os.path.join(snap_dir, name))
+                removed_snaps.append(n)
+    live |= {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
     now = time.time()
     removed = []
     for name in os.listdir(table_dir):
@@ -219,4 +284,9 @@ def vacuum_table(table_dir: str, retain_seconds: float = 3600.0) -> dict:
             continue
         shutil.rmtree(path, ignore_errors=True)
         removed.append(name)
-    return {"removed": removed, "live": sorted(live)}
+    return {
+        "removed": removed,
+        "removed_snapshots": removed_snaps,
+        "live": sorted(live),
+        "retained_snapshots": sorted(keep_snaps),
+    }

@@ -136,3 +136,35 @@ def test_merge_model_based_random_batches(spark, tmp_path):
             {} if got is None else {r.id: (r.part, r.v) for r in got.collect()}
         )
         assert got_d == model, f"diverged at step {step}"
+
+
+def test_time_travel_snapshots_and_retention(spark, tmp_path):
+    """Every publish is an immutable numbered snapshot: old snapshots
+    read exactly their historical state while the head moves on; vacuum
+    with retain_snapshots=2 keeps the last two readable and reaps the
+    rest (reading a reaped snapshot raises)."""
+    from factstore_spark.storage.merge import _read_manifest
+
+    d = str(tmp_path / "tt")
+    m1 = create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+    assert m1["snapshot"] == 1
+    m2 = merge_upsert(_rows(spark, [(1, "a", "x2")]), d)
+    m3 = merge_upsert(_rows(spark, [(3, "b", "z")]), d)
+    assert (m2["snapshot"], m3["snapshot"]) == (2, 3)
+
+    def snap(n):
+        return {r.id: (r.part, r.v) for r in read_table(spark, d, snapshot=n).collect()}
+
+    assert snap(1) == {1: ("a", "x"), 2: ("b", "y")}
+    assert snap(2) == {1: ("a", "x2"), 2: ("b", "y")}
+    assert snap(3) == {1: ("a", "x2"), 2: ("b", "y"), 3: ("b", "z")}
+    assert _snap(spark, d) == snap(3)
+
+    out = vacuum_table(d, retain_seconds=0.0, retain_snapshots=2)
+    assert out["removed_snapshots"] == [1]
+    assert snap(2) and snap(3)  # retained snapshots still readable
+    with pytest.raises(ValueError, match="snapshot 1 not found"):
+        read_table(spark, d, snapshot=1)
+    # version dirs still referenced by snapshot 2 must survive
+    for rel in _read_manifest(d, 2)["partitions"].values():
+        assert os.path.isdir(os.path.join(d, rel.split(os.sep, 1)[0]))
