@@ -45,6 +45,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.rollup import _POINTER, _publish
+from .cas import HardlinkSlotStore
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another writer committed a snapshot after this merge read its
+    base state — the merge result would silently drop that writer's
+    changes if published. Re-read and re-run the merge (the standard
+    optimistic-concurrency retry, same single-winner contract as the
+    fact store's conditional appends)."""
 
 
 def _read_manifest(table_dir: str, snapshot: int | None = None) -> dict | None:
@@ -68,20 +77,53 @@ def _read_manifest(table_dir: str, snapshot: int | None = None) -> dict | None:
     return m
 
 
-def _publish_snapshot(table_dir: str, manifest: dict) -> dict:
-    """Assign the next snapshot number, write the immutable snapshot
-    file FIRST, then swap _LATEST — a crash between the two leaves an
-    extra snapshot file and an older _LATEST, never a pointer to a
-    missing snapshot."""
+def _max_snapshot_on_disk(table_dir: str) -> int:
+    snap_dir = os.path.join(table_dir, "_snapshots")
+    best = 0
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[len("snap-"):-len(".json")]))
+                except ValueError:
+                    pass
+    return best
+
+
+def _head_manifest(table_dir: str) -> dict | None:
+    """The true head: the SNAPSHOT LOG is the source of truth, _LATEST
+    is a cache — a writer that crashed between landing its snapshot and
+    swapping the pointer must not be lost (or every later merge would
+    conflict against its invisible commit forever)."""
+    latest = _read_manifest(table_dir)
+    disk_n = _max_snapshot_on_disk(table_dir)
+    if disk_n > (latest.get("snapshot", 0) if latest else 0):
+        head = _read_manifest(table_dir, disk_n)
+        _publish(table_dir, head)  # opportunistic pointer repair
+        return head
+    return latest
+
+
+def _publish_snapshot(table_dir: str, manifest: dict, base_snapshot: int) -> dict:
+    """Single-winner commit: the next snapshot file is claimed with the
+    hardlink O_EXCL CAS (storage/cas.py). If snap-(base+1) already
+    exists, another writer committed after this merge read its base —
+    raising instead of publishing is what keeps two racing merges from
+    silently losing one side's rows. The _LATEST swap after a won claim
+    is cache maintenance, not the commit (see _head_manifest)."""
     snap_dir = os.path.join(table_dir, "_snapshots")
     os.makedirs(snap_dir, exist_ok=True)
-    prev = _read_manifest(table_dir)
-    n = (prev.get("snapshot", 0) if prev else 0) + 1
+    n = base_snapshot + 1
     manifest = dict(manifest, snapshot=n)
-    tmp = os.path.join(snap_dir, f".snap-{n}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-    os.replace(tmp, os.path.join(snap_dir, f"snap-{n}.json"))
+    store = HardlinkSlotStore(snap_dir)
+    won = store.put_if_absent(
+        f"snap-{n}.json", json.dumps(manifest, sort_keys=True).encode()
+    )
+    if not won:
+        raise ConcurrentMergeError(
+            f"merge based on snapshot {base_snapshot} lost to a concurrent "
+            f"commit of snapshot {n}; re-read the table and re-run the merge"
+        )
     _publish(table_dir, manifest)
     return manifest
 
@@ -151,7 +193,7 @@ def create_table(
             for v in _partition_values(df, partition_col)
         },
     }
-    return _publish_snapshot(table_dir, manifest)
+    return _publish_snapshot(table_dir, manifest, base_snapshot=0)
 
 
 def read_table(
@@ -161,7 +203,7 @@ def read_table(
     as published at snapshot N (time travel; raises if N was vacuumed).
     Reads only manifest-named directories; a crashed (unpublished)
     merge's version dir is invisible."""
-    m = _read_manifest(table_dir, snapshot)
+    m = _head_manifest(table_dir) if snapshot is None else _read_manifest(table_dir, snapshot)
     if not m or not m["partitions"]:
         return None
     paths = [os.path.join(table_dir, rel) for rel in m["partitions"].values()]
@@ -181,7 +223,7 @@ def merge_upsert(
     anti-join miss in its OLD partition — reassignments must be a
     delete in the old partition plus an insert in the new one, stated
     loudly here rather than silently duplicating)."""
-    m = _read_manifest(table_dir)
+    m = _head_manifest(table_dir)
     if m is None:
         raise ValueError(f"{table_dir} has no published manifest; create_table first")
     meta = m["meta"]
@@ -223,7 +265,7 @@ def merge_upsert(
         else:
             # every row of the partition was deleted
             new_manifest["partitions"].pop(v, None)
-    return _publish_snapshot(table_dir, new_manifest)
+    return _publish_snapshot(table_dir, new_manifest, base_snapshot=m["snapshot"])
 
 
 def vacuum_table(
@@ -241,7 +283,7 @@ def vacuum_table(
     import shutil
     import time
 
-    m = _read_manifest(table_dir) or {"partitions": {}, "snapshot": 0}
+    m = _head_manifest(table_dir) or {"partitions": {}, "snapshot": 0}
     head = m.get("snapshot", 0)
     keep_snaps = {n for n in range(head - max(retain_snapshots, 1) + 1, head + 1) if n >= 1}
     live = set()

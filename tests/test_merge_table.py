@@ -168,3 +168,41 @@ def test_time_travel_snapshots_and_retention(spark, tmp_path):
     # version dirs still referenced by snapshot 2 must survive
     for rel in _read_manifest(d, 2)["partitions"].values():
         assert os.path.isdir(os.path.join(d, rel.split(os.sep, 1)[0]))
+
+
+def test_concurrent_merge_single_winner_and_pointer_repair(spark, tmp_path):
+    """A merge that read base N must lose if snap-(N+1) lands before its
+    publish (its result would drop the winner's rows); a writer that
+    crashed between snapshot and _LATEST swap is recovered — the
+    snapshot log is the truth, the pointer a cache."""
+    import json
+
+    from factstore_spark.storage.merge import (
+        ConcurrentMergeError,
+        _publish_snapshot,
+        _read_manifest,
+    )
+
+    d = str(tmp_path / "race")
+    create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+
+    # pointer-repair: competitor commits snap 2, then its _LATEST swap
+    # "crashes" (we rewind the pointer). The next merge must see snap 2
+    # through the log, base on it, and commit 3 — not conflict forever.
+    m1 = _read_manifest(d)
+    merge_upsert(_rows(spark, [(2, "a", "w")]), d)
+    with open(os.path.join(d, "_LATEST"), "w") as fh:
+        json.dump(m1, fh)
+    m3 = merge_upsert(_rows(spark, [(3, "a", "z")]), d)
+    assert m3["snapshot"] == 3
+    assert _snap(spark, d) == {1: ("a", "x"), 2: ("a", "w"), 3: ("a", "z")}
+
+    # single-winner: a publish based on snapshot 2 while snap-3 exists
+    # is exactly "competitor landed between my read and my publish"
+    with pytest.raises(ConcurrentMergeError, match="re-run the merge"):
+        _publish_snapshot(d, dict(m3), base_snapshot=2)
+
+    # and the loser's retry against the refreshed head succeeds
+    m4 = merge_upsert(_rows(spark, [(4, "a", "q")]), d)
+    assert m4["snapshot"] == 4
+    assert _snap(spark, d)[4] == ("a", "q")
