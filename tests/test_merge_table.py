@@ -206,3 +206,60 @@ def test_concurrent_merge_single_winner_and_pointer_repair(spark, tmp_path):
     m4 = merge_upsert(_rows(spark, [(4, "a", "q")]), d)
     assert m4["snapshot"] == 4
     assert _snap(spark, d)[4] == ("a", "q")
+
+
+def test_threaded_merge_race_applies_every_batch_exactly_once(spark, tmp_path):
+    """Four threads each merge three disjoint batches concurrently,
+    retrying on ConcurrentMergeError: every batch must land exactly
+    once (no lost updates — the failure mode the CAS claim exists to
+    prevent) and the snapshot numbers must be a contiguous single-
+    winner sequence."""
+    import threading
+
+    from factstore_spark.storage.merge import ConcurrentMergeError
+
+    d = str(tmp_path / "race2")
+    create_table(_rows(spark, [(0, "a", "seed")]), d, ["id"], "part")
+    errors = []
+
+    def worker(wid):
+        try:
+            for b in range(3):
+                base = 1000 * wid + 10 * b
+                batch = _rows(
+                    spark,
+                    [(base + i, "a", f"w{wid}b{b}") for i in range(3)],
+                )
+                for attempt in range(30):
+                    try:
+                        merge_upsert(batch, d)
+                        break
+                    except ConcurrentMergeError:
+                        continue
+                else:
+                    raise AssertionError(f"worker {wid} starved")
+        except Exception as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = _snap(spark, d)
+    want_keys = {0} | {
+        1000 * w + 10 * b + i for w in range(4) for b in range(3) for i in range(3)
+    }
+    assert set(got) == want_keys
+    for w in range(4):
+        for b in range(3):
+            for i in range(3):
+                assert got[1000 * w + 10 * b + i] == ("a", f"w{w}b{b}")
+    # contiguous snapshot history: 1 (create) + 12 merges
+    from factstore_spark.storage.merge import _read_manifest
+
+    assert _read_manifest(d)["snapshot"] == 13
+    for n in range(1, 14):
+        assert read_table(spark, d, snapshot=n) is not None
