@@ -207,13 +207,17 @@ def read_table(
     if not m or not m["partitions"]:
         return None
     paths = [os.path.join(table_dir, rel) for rel in m["partitions"].values()]
-    return spark.read.parquet(*paths)
+    # mergeSchema: partitions written before a schema-evolving merge
+    # lack the new columns; without it Spark picks one file's schema
+    # arbitrarily and silently drops columns from the others.
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def merge_upsert(
     updates: DataFrame,
     table_dir: str,
     delete_col: str | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Upsert (and optionally delete) by key: rows whose key exists are
     replaced, new keys are inserted, and — when ``delete_col`` names a
@@ -222,7 +226,11 @@ def merge_upsert(
     partition value must not change across merges (that is an
     anti-join miss in its OLD partition — reassignments must be a
     delete in the old partition plus an insert in the new one, stated
-    loudly here rather than silently duplicating)."""
+    loudly here rather than silently duplicating). With
+    ``merge_schema=True`` the update batch may carry NEW columns
+    (existing rows read back null there — parquet schema merge across
+    versions); without it a new column is an analysis error, never a
+    silent drop."""
     m = _head_manifest(table_dir)
     if m is None:
         raise ValueError(f"{table_dir} has no published manifest; create_table first")
@@ -245,12 +253,22 @@ def merge_upsert(
         updates = updates.drop(delete_col)
         deletes = deletes.drop(delete_col)
     if prev_paths:
-        prev = spark.read.parquet(*prev_paths)
+        prev = spark.read.option("mergeSchema", "true").parquet(*prev_paths)
         changed_keys = updates.select(*key_cols)
         if deletes is not None:
             changed_keys = changed_keys.unionByName(deletes.select(*key_cols))
         keep = prev.join(changed_keys, key_cols, "left_anti")
-        merged = keep.unionByName(updates.select(*keep.columns))
+        new_cols = set(updates.columns) - set(keep.columns)
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"update batch adds columns {sorted(new_cols)}; pass "
+                "merge_schema=True to evolve the table schema (old rows "
+                "read back null there) — silent drops are not an option"
+            )
+        if merge_schema:
+            merged = keep.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = keep.unionByName(updates.select(*keep.columns))
     else:
         merged = updates
     version = _write_version(merged, table_dir, partition_col)

@@ -263,3 +263,20 @@ def test_threaded_merge_race_applies_every_batch_exactly_once(spark, tmp_path):
     assert _read_manifest(d)["snapshot"] == 13
     for n in range(1, 14):
         assert read_table(spark, d, snapshot=n) is not None
+
+
+def test_schema_evolution_opt_in(spark, tmp_path):
+    """A batch with a new column fails loudly by default; with
+    merge_schema=True the column lands, old rows read back null in it
+    (mergeSchema read across versions), and the previous behavior is
+    unchanged for the old columns."""
+    d = str(tmp_path / "evolve")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+    upd = spark.createDataFrame(
+        [(1, "a", "x2", 9)], "id long, part string, v string, score long"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_upsert(upd, d)
+    merge_upsert(upd, d, merge_schema=True)
+    got = {r.id: (r.part, r.v, r.score) for r in read_table(spark, d).collect()}
+    assert got == {1: ("a", "x2", 9), 2: ("b", "y", None)}
