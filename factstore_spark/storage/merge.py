@@ -350,3 +350,45 @@ def vacuum_table(
         "live": sorted(live),
         "retained_snapshots": sorted(keep_snaps),
     }
+
+
+def start_merge_stream(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    delete_col: str | None = None,
+    available_now: bool = False,
+    max_retries: int = 10,
+):
+    """Continuously upsert a stream into a merge table: foreachBatch
+    merges each micro-batch, retrying on ConcurrentMergeError so a
+    concurrent batch writer and the stream can share the table (the
+    stream is just another optimistic committer). Re-delivery of a
+    micro-batch after a sink failure re-merges the same rows — an
+    idempotent no-op, since identical keys get identical values — so
+    end-to-end semantics stay effectively-once without any sink-side
+    transaction log beyond the snapshot CAS. Batches must be unique
+    per key, like every merge (aggregated/keyed streams are; dedupe
+    upstream otherwise)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        for attempt in range(max_retries):
+            try:
+                merge_upsert(batch_df, table_dir, delete_col=delete_col)
+                return
+            except ConcurrentMergeError:
+                continue
+        raise ConcurrentMergeError(
+            f"micro-batch {epoch_id} starved after {max_retries} merge attempts"
+        )
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -280,3 +280,37 @@ def test_schema_evolution_opt_in(spark, tmp_path):
     merge_upsert(upd, d, merge_schema=True)
     got = {r.id: (r.part, r.v, r.score) for r in read_table(spark, d).collect()}
     assert got == {1: ("a", "x2", 9), 2: ("b", "y", None)}
+
+
+def test_streaming_merge_sink_upserts_micro_batches(spark, tmp_path):
+    """A keyed stream drained through start_merge_stream must leave the
+    table equal to last-value-per-key of the streamed updates, across
+    multiple micro-batches (maxFilesPerTrigger=1)."""
+    import time as _time
+
+    from factstore_spark.storage.merge import start_merge_stream
+
+    d = str(tmp_path / "stream-tbl")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    _rows(spark, [(1, "a", "x2"), (3, "a", "new")]).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    _time.sleep(1.1)
+    _rows(spark, [(1, "a", "x3"), (4, "b", "w")]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema("id long, part string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_merge_stream(
+        stream, d, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    assert q.awaitTermination(180)
+    assert _snap(spark, d) == {
+        1: ("a", "x3"), 2: ("b", "y"), 3: ("a", "new"), 4: ("b", "w"),
+    }
