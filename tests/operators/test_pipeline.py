@@ -76,3 +76,61 @@ def test_curate_corpus_output_is_shard_addressed(spark, corpus):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for positions in by_shard.values():
         assert sorted(positions) == list(range(len(positions)))
+
+
+def test_prepare_training_data_end_to_end(spark, tmp_path):
+    """The full prepare-training-data story composed from its parts:
+    curate -> leakage-safe cluster split -> physical shard write for the
+    train split -> manifest validation. Invariants: every shard row is a
+    curated TRAIN doc, no near-dup pair straddles train/eval, and the
+    shard manifest re-validates from the written files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from factstore_spark.operators.pipeline import curate_corpus
+    from factstore_spark.operators.sampling import (
+        split_bucket,
+        validate_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    curated = curate_corpus(docs, quality_threshold=0.3, min_tokens=5)
+    kept = curated.select("doc_id")  # curate_corpus emits (id, shard, pos)
+    assert kept.count() > 0
+
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2, max_shingle_df=20)
+    clusters = dup_clusters(pairs)
+    assign = (
+        kept.join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("unit"))
+        .withColumn("b", split_bucket("unit", 100, salt="leakage"))
+        .withColumn("split", F.when(F.col("b") < 90, "train").otherwise("eval"))
+    )
+    sa = assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddle = (
+        pairs.join(sa, "id_a").join(sb, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+
+    train = docs.join(
+        assign.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    d = str(tmp_path / "train-shards")
+    manifest = write_training_shards(train, d, n_shards=4)
+    assert validate_training_shards(spark, d)["ok"]
+    shard_rows = sum(v["rows"] for v in manifest["shards"].values())
+    assert shard_rows == train.count()
+    back_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(d, manifest["version"]))
+        .select("doc_id").collect()
+    }
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert back_ids == train_ids
