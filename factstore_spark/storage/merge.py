@@ -150,6 +150,13 @@ def _write_version(df: DataFrame, table_dir: str, partition_col: str) -> str:
     version = f"v={uuid.uuid4().hex[:12]}"
     (
         df.withColumn("_pval", F.col(partition_col).cast("string"))
+        # Cluster by the partition key before the partitioned write
+        # (SCALE.md rule #7): without it every shuffle partition writes
+        # a sliver into every partition dir (measured 32 files where 1
+        # suffices). One file per partition per version is the classic
+        # CoW unit; a table whose single partitions outgrow one task
+        # should range-repartition on (_pval, key) here instead.
+        .repartition(F.col("_pval"))
         .write.mode("overwrite")
         .partitionBy("_pval")
         .parquet(os.path.join(table_dir, version))

@@ -314,3 +314,20 @@ def test_streaming_merge_sink_upserts_micro_batches(spark, tmp_path):
     assert _snap(spark, d) == {
         1: ("a", "x3"), 2: ("b", "y"), 3: ("a", "new"), 4: ("b", "w"),
     }
+
+
+def test_one_file_per_partition_per_version(spark, tmp_path):
+    """Rule #7 applied to the table writer: each version dir holds ONE
+    file per partition value, not one sliver per shuffle partition."""
+    d = str(tmp_path / "files")
+    df = (
+        spark.range(5000)
+        .selectExpr("id", "CAST(id % 3 AS STRING) part", "CAST(id AS STRING) v")
+        .repartition(16)
+    )
+    m = create_table(df, d, ["id"], "part")
+    for rel in m["partitions"].values():
+        files = [
+            f for f in os.listdir(os.path.join(d, rel)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (rel, files)
