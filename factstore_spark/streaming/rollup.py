@@ -221,9 +221,12 @@ def start_continuous_rollup(
             else:
                 merged = changed
             version = f"v={epoch_id}-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").partitionBy("bucket_date").parquet(
-                os.path.join(out_dir, version)
-            )
+            # Cluster by the partition key before the partitioned write
+            # (SCALE.md rule #7): otherwise every shuffle partition
+            # writes a sliver into every changed date's dir.
+            merged.repartition(F.col("bucket_date")).write.mode(
+                "overwrite"
+            ).partitionBy("bucket_date").parquet(os.path.join(out_dir, version))
             new_manifest = dict(manifest)
             for d in dates:
                 new_manifest[d] = os.path.join(version, f"bucket_date={d}")
