@@ -17,6 +17,7 @@ from ..operators.dedup import (
     shingles_col,
     simhash_col,
 )
+from ..operators.layout import zorder_value
 from ..operators.sampling import split_bucket
 from ..operators.similarity import cosine_batch, cosine_similarity, pq_encode_col
 from ..operators.text import TOKEN_REGEX, tokens_col
@@ -38,6 +39,7 @@ __all__ = [
     "cosine_batch",
     "pq_encode_col",
     "split_bucket",
+    "zorder_value",
     "money_cents",
     "epoch_us",
     "tags_all_match",
