@@ -844,14 +844,22 @@ def exact_hamming_pairs_bounded(
         return spark.createDataFrame([], schema)
     ids = [r[0] for r in rows]
     sig = np.asarray([r[1] for r in rows], dtype=np.int64).view(np.uint64)
-    x = (sig[:, None] ^ sig[None, :]).view(np.uint8).reshape(len(ids), len(ids), 8)
     lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-    ham = lut[x].sum(axis=2)
-    ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
-    pairs = [
-        (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
-        for a, b in zip(ia.tolist(), ib.tolist())
-    ]
+    # Blocked pairwise popcount: the full n x n x 8 byte tensor is
+    # O(n^2) (800 MB at the 10k cap); 1024-row blocks keep peak memory
+    # at O(block x n) with identical results.
+    pairs = []
+    block = 1024
+    n = len(ids)
+    for lo in range(0, n, block):
+        x = (sig[lo : lo + block, None] ^ sig[None, :]).view(np.uint8)
+        ham = lut[x.reshape(x.shape[0], n, 8)].sum(axis=2)
+        ia, ib = np.where(ham <= max_hamming)
+        for a, b in zip((ia + lo).tolist(), ib.tolist()):
+            if a < b:
+                pairs.append(
+                    (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
+                )
     return spark.createDataFrame(pairs, schema)
 
 

@@ -129,12 +129,19 @@ def exact_cosine_pairs_bounded(
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0.0] = np.inf  # zero vectors never reach any threshold
     U = M / norms[:, None]
-    S = U @ U.T
-    ia, ib = np.where(np.triu(S >= threshold, k=1))
-    pairs = [
-        (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
-        for x, y in zip(ia.tolist(), ib.tolist())
-    ]
+    # Block the gemm: a full n x n similarity matrix is O(n^2) doubles
+    # (800 MB at the 10k cap); 1024-row blocks keep peak memory at
+    # O(block x n) with identical results.
+    pairs = []
+    block = 1024
+    for lo in range(0, len(ids), block):
+        S = U[lo : lo + block] @ U.T
+        ia, ib = np.where(S >= threshold)
+        for x, y in zip((ia + lo).tolist(), ib.tolist()):
+            if x < y:
+                pairs.append(
+                    (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
+                )
     return spark.createDataFrame(pairs, schema)
 
 
