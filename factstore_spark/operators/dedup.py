@@ -832,7 +832,14 @@ def exact_hamming_pairs_bounded(
     ``max_rows`` turns unbounded misuse into a loud error."""
     import numpy as np
 
-    rows = sig_df.select(F.col(id_col), F.col(sig_col)).limit(max_rows + 1).collect()
+    rows = (
+        sig_df.select(F.col(id_col), F.col(sig_col))
+        # null sigs/ids never pair in the join form (bit_count(null) is
+        # null); drop them here too instead of crashing the int64 view
+        .filter(F.col(sig_col).isNotNull() & F.col(id_col).isNotNull())
+        .limit(max_rows + 1)
+        .collect()
+    )
     if len(rows) > max_rows:
         raise ValueError(
             f"exact_hamming_pairs_bounded: corpus exceeds max_rows={max_rows}; "

@@ -480,8 +480,14 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(os.path.join(path, version))
     )
+    # Stats come from the WRITTEN files, not a recompute of the plan:
+    # re-executing the join+shuffle doubles the epoch cost, and worse,
+    # hashes data that was never witnessed on disk — a non-deterministic
+    # upstream would publish a manifest that later "detects corruption"
+    # on perfectly intact files. Reading back hashes ground truth.
+    written = df.sparkSession.read.parquet(os.path.join(path, version))
     stats = (
-        data.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows"),
             F.sum(

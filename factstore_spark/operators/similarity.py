@@ -128,14 +128,16 @@ def exact_cosine_pairs_bounded(
     M = np.asarray([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0.0] = np.inf  # zero vectors never reach any threshold
-    U = M / norms[:, None]
     # Block the gemm: a full n x n similarity matrix is O(n^2) doubles
     # (800 MB at the 10k cap); 1024-row blocks keep peak memory at
-    # O(block x n) with identical results.
+    # O(block x n). Rounding order matches cosine_batch EXACTLY —
+    # dot(a,b) / (|a|*|b|), NOT pre-normalized rows — so a knife-edge
+    # pair can never disagree between the probe's approx-verify side
+    # and this exact side.
     pairs = []
     block = 1024
     for lo in range(0, len(ids), block):
-        S = U[lo : lo + block] @ U.T
+        S = (M[lo : lo + block] @ M.T) / (norms[lo : lo + block, None] * norms[None, :])
         ia, ib = np.where(S >= threshold)
         for x, y in zip((ia + lo).tolist(), ib.tolist()):
             if x < y:
@@ -380,6 +382,8 @@ def cosine_dup_pairs(
     # shuffle-hash at 100 TB (AQE picks).
     if method == "ivf":
         if centroids is not None:
+            if len(centroids) == 0:  # empty corpus produced no centroids
+                return _empty()
             C = np.asarray(centroids, dtype=np.float64)
             norms = np.linalg.norm(C, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0

@@ -32,8 +32,9 @@ def read_documents_csv(
     spark: SparkSession,
     path: str,
     sep: str = ",",
-) -> tuple[DataFrame, DataFrame]:
-    """Read delimited documents; returns ``(clean, quarantine)``.
+) -> tuple[DataFrame, DataFrame, "object"]:
+    """Read delimited documents; returns ``(clean, quarantine,
+    release)``.
 
     ``clean`` has the document columns with both required fields
     present; ``quarantine`` carries the raw line (for corrupt rows) or
@@ -41,9 +42,11 @@ def read_documents_csv(
     sink and alert on its RATE. The parsed frame is persisted for the
     two derivations because Spark refuses to filter on the internal
     corrupt-record column of a lazy CSV scan (SPARK-38523 guidance);
-    callers should ``unpersist`` the returned frames' parent when done
-    or wrap the read in a short-lived job, which is how the tests and
-    any sane ingest step use it."""
+    call ``release()`` once both frames are consumed — it unpersists
+    the shared parent (the frames themselves cannot: unpersisting a
+    derived frame is a no-op on its cached ancestor, and
+    ``clearCache()`` would nuke unrelated caches like the dedup
+    signature scopes)."""
     raw = (
         spark.read.schema(DOCS_CSV_SCHEMA)
         .option("header", "true")
@@ -72,4 +75,8 @@ def read_documents_csv(
         F.coalesce(F.col("_corrupt"), F.col("text")).alias("raw"),
         reason.alias("reason"),
     )
-    return clean, quarantine
+
+    def release() -> None:
+        raw.unpersist()
+
+    return clean, quarantine, release

@@ -272,6 +272,18 @@ def merge_upsert(
                 "merge_schema=True to evolve the table schema (old rows "
                 "read back null there) — silent drops are not an option"
             )
+        # Schema evolution is ADD-only: a batch missing an EXISTING
+        # column would null it out on every updated row via
+        # allowMissingColumns — that is data loss, not evolution, and
+        # it fails loudly on both paths.
+        missing = set(keep.columns) - set(updates.columns)
+        if missing:
+            raise ValueError(
+                f"update batch is missing existing table columns "
+                f"{sorted(missing)}; carry every current column (nulls "
+                "are fine) — omitting one would silently erase it on "
+                "updated rows"
+            )
         if merge_schema:
             merged = keep.unionByName(updates, allowMissingColumns=True)
         else:

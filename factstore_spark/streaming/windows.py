@@ -372,9 +372,9 @@ def type_transitions_stream(
             return
         batch = batch.sort_values(["_ts_us", "_order"], kind="mergesort")
         types = batch["_type"].tolist()
-        if state.exists:
-            last_type, _, _ = state.get
-            types = [last_type] + types
+        carried = state.get if state.exists else None
+        if carried is not None:
+            types = [carried[0]] + types
         if len(types) > 1:
             yield pd.DataFrame(
                 {
@@ -384,7 +384,13 @@ def type_transitions_stream(
                 }
             )
         tail = batch.iloc[-1]
-        state.update((tail["_type"], int(tail["_ts_us"]), int(tail["_order"])))
+        tail_key = (int(tail["_ts_us"]), int(tail["_order"]))
+        # Never REGRESS the carried state: a purely-late micro-batch
+        # chains its edges off the carried event (documented
+        # best-effort) but must not rewind last-seen, or every future
+        # in-order pair would chain off the stale event.
+        if carried is None or (carried[1], carried[2]) <= tail_key:
+            state.update((tail["_type"], tail_key[0], tail_key[1]))
 
     prepped = stream.select(
         F.col(key_col).cast("string").alias(key_col),

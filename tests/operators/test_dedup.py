@@ -182,6 +182,7 @@ def test_exact_hamming_pairs_bounded_matches_join_form(spark):
     sigs = [
         (1, 0), (2, 1), (3, 3), (4, 7), (5, -1), (6, -2),  # negative = high bit set
         (7, 0x7FFFFFFFFFFFFFFF), (8, 12345), (9, 12344),
+        (10, None),  # null sig (null text): join form never pairs it
     ]
     df = spark.createDataFrame(sigs, "_id long, sim long")
     a = df.withColumnsRenamed({"_id": "id_a", "sim": "sim_a"})

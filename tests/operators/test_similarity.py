@@ -120,6 +120,10 @@ def test_empty_corpus_dup_pairs_schema(spark):
         out = S.cosine_dup_pairs(df, method=method)
         assert out.count() == 0
         assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "sim"]
+    # explicit empty centroids (what _sample_centroids yields on an
+    # empty corpus) must return empty too, not crash on axis-1 norm
+    out = S.cosine_dup_pairs(df, method="ivf", centroids=[])
+    assert out.count() == 0
 
 
 def test_pq_topk_finds_planted_neighbors(spark):

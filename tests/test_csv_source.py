@@ -14,7 +14,7 @@ def test_csv_source_splits_clean_and_quarantine(spark, tmp_path):
     )
     from factstore_spark.sources.csv_docs import read_documents_csv
 
-    clean, quarantine = read_documents_csv(spark, str(csv))
+    clean, quarantine, release = read_documents_csv(spark, str(csv))
     got = {r.doc_id: (r.text, r.lang, r.source) for r in clean.collect()}
     assert got == {
         1: ("hello world", "en", "web"),
@@ -26,3 +26,4 @@ def test_csv_source_splits_clean_and_quarantine(spark, tmp_path):
     assert quarantine.count() == 3
     raws = [r.raw for r in quarantine.collect() if r.reason == "unparseable line"]
     assert raws and "not_a_number" in raws[0]  # original line preserved for review
+    release()  # unpersists the shared parsed parent

@@ -331,3 +331,21 @@ def test_one_file_per_partition_per_version(spark, tmp_path):
             f for f in os.listdir(os.path.join(d, rel)) if f.endswith(".parquet")
         ]
         assert len(files) == 1, (rel, files)
+
+
+def test_merge_schema_never_nulls_omitted_existing_columns(spark, tmp_path):
+    """A batch missing an EXISTING column must fail loudly on both
+    paths — allowMissingColumns would otherwise silently null it on
+    every updated row (data loss, not evolution)."""
+    d = str(tmp_path / "omit")
+    create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+    partial = spark.createDataFrame([(1, "a")], "id long, part string")  # no v
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        merge_upsert(partial, d)
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        merge_upsert(partial, d, merge_schema=True)
+    partial_plus = spark.createDataFrame(
+        [(1, "a", 5)], "id long, part string, score long"  # new col, still no v
+    )
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        merge_upsert(partial_plus, d, merge_schema=True)

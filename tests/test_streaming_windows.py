@@ -518,3 +518,43 @@ def test_streaming_heavy_hitters_mg_bounds(spark, tmp_path):
                 assert present[v] >= true_n - d, "undercount beyond bound"
             else:
                 assert true_n <= d, f"missed a heavy value: {v} ({true_n} > d={d})"
+
+
+def test_streaming_type_transitions_late_batch_never_regresses_state(spark, tmp_path):
+    """A micro-batch that is entirely OLDER than the carried state must
+    not rewind last-seen: subsequent in-order events chain off the
+    newest event ever observed, not the stale late one."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.streaming.windows import type_transitions_stream
+
+    src = tmp_path / "late-events"
+    src.mkdir()
+    schema = "user_id string, event_type string, ts_us long, event_id long"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        _time.sleep(1.1)
+
+    write("b0", [("u", "A", 100, 1)])
+    write("b1", [("u", "B", 50, 0)])   # purely-late batch
+    write("b2", [("u", "C", 150, 2)])  # in-order again
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = _drain(
+        type_transitions_stream(stream), "late_trans_ss", tmp_path, spark,
+        mode="append",
+    )
+    edges = sorted((r.from_type, r.to_type) for r in out.collect())
+    # A->B is the documented best-effort chaining of the late batch;
+    # the regression under test is C chaining off B instead of A.
+    assert ("A", "C") in edges, edges
+    assert ("B", "C") not in edges, edges
