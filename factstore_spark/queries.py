@@ -4753,6 +4753,11 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
     "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    # round-7 re-planned probes (bounded exact ground truths) — rotated
+    # into the driver window for a fresh post-change check
+    "dedup_minhash_recall": (dedup_minhash_recall, None),
+    "dedup_simhash_recall": (dedup_simhash_recall, None),
+    "dedup_embedding_recall": (dedup_embedding_recall, None),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
     "text_chunks": (text_chunks, TEXT_CHUNKS_SQL),
@@ -4824,9 +4829,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard_capped": (dedup_ngram_jaccard_capped, DEDUP_NGRAM_CAPPED_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_minhash_recall": (dedup_minhash_recall, None),
     "dedup_simhash": (dedup_simhash, None),
-    "dedup_simhash_recall": (dedup_simhash_recall, None),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
@@ -4836,7 +4839,6 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "ann_pq_topk": (ann_pq_topk, None),
     "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
-    "dedup_embedding_recall": (dedup_embedding_recall, None),
     "multimodal_features_topk": (multimodal_features_topk, None),
     "curation_split_stats": (curation_split_stats, CURATION_SPLIT_STATS_SQL),
     "curation_quality_topk": (curation_quality_topk, CURATION_QUALITY_TOPK_SQL),
