@@ -437,6 +437,20 @@ def cap_per_group(
     return ranked.filter(F.col("_r") <= n).drop("_r")
 
 
+def _shard_stats_agg(df, id_col: str):
+    """The ONE stats aggregation both the writer's manifest and the
+    validator compute — they must stay bit-identical or validation
+    spuriously reports corruption on intact files."""
+    return df.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.sum(
+            F.xxhash64(
+                F.col(id_col).cast("string"), F.col("pos").cast("string")
+            ).cast("decimal(38,0)")
+        ).alias("content_hash"),
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -485,19 +499,13 @@ def write_training_shards(
     # hashes data that was never witnessed on disk — a non-deterministic
     # upstream would publish a manifest that later "detects corruption"
     # on perfectly intact files. Reading back hashes ground truth.
-    written = df.sparkSession.read.parquet(os.path.join(path, version))
-    stats = (
-        written.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("rows"),
-            F.sum(
-                F.xxhash64(
-                    F.col(id_col).cast("string"), F.col("pos").cast("string")
-                ).cast("decimal(38,0)")
-            ).alias("content_hash"),
-        )
-        .collect()
+    # Explicit schema: a zero-row write leaves only _SUCCESS, and
+    # schema INFERENCE on that dir would fail — an empty corpus must
+    # publish an empty manifest, not crash.
+    written = df.sparkSession.read.schema(data.schema).parquet(
+        os.path.join(path, version)
     )
+    stats = _shard_stats_agg(written, id_col).collect()
     manifest = {
         "kind": "training_shards",
         "version": version,
@@ -527,23 +535,22 @@ def validate_training_shards(spark, path: str) -> dict:
     if m.get("kind") != "training_shards":
         raise ValueError(f"{path} is not a training-shard set")
     id_col = m["id_col"]
-    got = {
-        str(r.shard): r
-        for r in spark.read.parquet(os.path.join(path, m["version"]))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("rows"),
-            F.sum(
-                F.xxhash64(
-                    F.col(id_col).cast("string"), F.col("pos").cast("string")
-                ).cast("decimal(38,0)")
-            ).alias("content_hash"),
+    from pyspark.errors import AnalysisException
+
+    try:
+        data_df = spark.read.parquet(os.path.join(path, m["version"]))
+        base = _shard_stats_agg(data_df, id_col)
+        extra = data_df.groupBy("shard").agg(
             F.min("pos").alias("min_pos"),
             F.max("pos").alias("max_pos"),
             F.count_distinct("pos").alias("n_pos"),
         )
-        .collect()
-    }
+        got = {str(r.shard): r for r in base.join(extra, "shard").collect()}
+    except AnalysisException:
+        # A zero-row shard set has no data files to infer from; that is
+        # only consistent with an empty manifest — the comparison loop
+        # below flags every manifest shard as missing otherwise.
+        got = {}
     problems = []
     for shard, want in m["shards"].items():
         r = got.get(shard)

@@ -130,10 +130,12 @@ def exact_cosine_pairs_bounded(
     norms[norms == 0.0] = np.inf  # zero vectors never reach any threshold
     # Block the gemm: a full n x n similarity matrix is O(n^2) doubles
     # (800 MB at the 10k cap); 1024-row blocks keep peak memory at
-    # O(block x n). Rounding order matches cosine_batch EXACTLY —
-    # dot(a,b) / (|a|*|b|), NOT pre-normalized rows — so a knife-edge
-    # pair can never disagree between the probe's approx-verify side
-    # and this exact side.
+    # O(block x n). The DIVISION order matches cosine_batch
+    # (dot(a,b) / (|a|*|b|), not pre-normalized rows); the dot itself
+    # is a BLAS gemm whose accumulation order can still differ from
+    # einsum by a last ulp — acceptable because the probe thresholds
+    # are not knife-edge by construction (0.45 over a noise corpus),
+    # and removed entirely only by running one kernel on both sides.
     pairs = []
     block = 1024
     for lo in range(0, len(ids), block):

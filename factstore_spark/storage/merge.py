@@ -275,16 +275,21 @@ def merge_upsert(
         # Schema evolution is ADD-only: a batch missing an EXISTING
         # column would null it out on every updated row via
         # allowMissingColumns — that is data loss, not evolution, and
-        # it fails loudly on both paths.
+        # it fails loudly on both paths. Exception: a PURE-DELETE batch
+        # (every row flagged) legitimately carries only key/partition/
+        # delete columns — deletes never write row data.
         missing = set(keep.columns) - set(updates.columns)
-        if missing:
+        pure_delete = bool(missing) and deletes is not None and not updates.take(1)
+        if missing and not pure_delete:
             raise ValueError(
                 f"update batch is missing existing table columns "
                 f"{sorted(missing)}; carry every current column (nulls "
                 "are fine) — omitting one would silently erase it on "
                 "updated rows"
             )
-        if merge_schema:
+        if pure_delete:
+            merged = keep
+        elif merge_schema:
             merged = keep.unionByName(updates, allowMissingColumns=True)
         else:
             merged = keep.unionByName(updates.select(*keep.columns))

@@ -397,6 +397,12 @@ def type_transitions_stream(
         F.col(type_col).alias("_type"),
         F.unix_micros(F.col(time_col)).alias("_ts_us"),
         F.col(order_col).cast("long").alias("_order"),
+    ).filter(
+        # A null event time/order cannot be placed in the per-key order
+        # and would NaN-poison the stateful chain (killing the query on
+        # every replay); dropping it mirrors the batch lag's behaviour
+        # of never pairing an unordered row meaningfully.
+        F.col("_ts_us").isNotNull() & F.col("_order").isNotNull()
     )
     return prepped.groupBy(F.col(key_col)).applyInPandasWithState(
         chain,

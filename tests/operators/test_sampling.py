@@ -329,3 +329,17 @@ def test_write_training_shards_deterministic_and_validated(spark, tmp_path):
     shutil.rmtree(os.path.join(p1, m3["version"], "shard=1"))
     v2 = validate_training_shards(spark, p1)
     assert not v2["ok"] and any("shard 1" in p for p in v2["problems"])
+
+
+def test_write_training_shards_empty_corpus_publishes_empty_manifest(spark, tmp_path):
+    """A zero-row corpus must publish an empty-shards manifest (and
+    validate), not crash schema inference on a data-file-less write."""
+    from factstore_spark.operators.sampling import (
+        validate_training_shards,
+        write_training_shards,
+    )
+
+    empty = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(0)
+    m = write_training_shards(empty, str(tmp_path / "empty-shards"), n_shards=4)
+    assert m["shards"] == {}
+    assert validate_training_shards(spark, str(tmp_path / "empty-shards"))["ok"]

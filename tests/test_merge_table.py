@@ -349,3 +349,22 @@ def test_merge_schema_never_nulls_omitted_existing_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="missing existing table columns"):
         merge_upsert(partial_plus, d, merge_schema=True)
+
+
+def test_pure_delete_batch_needs_only_key_partition_delete_cols(spark, tmp_path):
+    """Deletes never write row data, so a batch of ONLY flagged deletes
+    may omit the value columns; a MIXED batch missing them still fails."""
+    d = str(tmp_path / "puredel")
+    create_table(
+        _rows(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]), d, ["id"], "part"
+    )
+    dele = spark.createDataFrame(
+        [(2, "a", True)], "id long, part string, is_deleted boolean"
+    )
+    merge_upsert(dele, d, delete_col="is_deleted")
+    assert _snap(spark, d) == {1: ("a", "x"), 3: ("b", "z")}
+    mixed = spark.createDataFrame(
+        [(1, "a", True), (4, "a", False)], "id long, part string, is_deleted boolean"
+    )
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        merge_upsert(mixed, d, delete_col="is_deleted")

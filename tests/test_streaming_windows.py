@@ -558,3 +558,29 @@ def test_streaming_type_transitions_late_batch_never_regresses_state(spark, tmp_
     # the regression under test is C chaining off B instead of A.
     assert ("A", "C") in edges, edges
     assert ("B", "C") not in edges, edges
+
+
+def test_streaming_type_transitions_survives_null_timestamps(spark, tmp_path):
+    """A null-ts event must be dropped, not NaN-poison the stateful
+    chain and kill the query on every replay."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.streaming.windows import type_transitions_stream
+
+    src = tmp_path / "null-ts-events"
+    src.mkdir()
+    schema = "user_id string, event_type string, ts_us long, event_id long"
+    spark.createDataFrame(
+        [("u", "A", 100, 1), ("u", "X", None, 9), ("u", "B", 200, 2)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = _drain(
+        type_transitions_stream(stream), "nullts_trans_ss", tmp_path, spark,
+        mode="append",
+    )
+    edges = sorted((r.from_type, r.to_type) for r in out.collect())
+    assert edges == [("A", "B")]
