@@ -416,3 +416,32 @@ def start_merge_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """Operator introspection: every retained snapshot, oldest first,
+    with its partition map size and version dirs — the `DESCRIBE
+    HISTORY` analog for audits and retention decisions. Reads only
+    manifest JSON; never touches data files."""
+    snap_dir = os.path.join(table_dir, "_snapshots")
+    out = []
+    if not os.path.isdir(snap_dir):
+        return out
+    ns = sorted(
+        int(name[len("snap-"):-len(".json")])
+        for name in os.listdir(snap_dir)
+        if name.startswith("snap-") and name.endswith(".json")
+        and name[len("snap-"):-len(".json")].isdigit()
+    )
+    for n in ns:
+        m = _read_manifest(table_dir, n)
+        out.append(
+            {
+                "snapshot": n,
+                "n_partitions": len(m["partitions"]),
+                "versions": sorted(
+                    {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
+                ),
+            }
+        )
+    return out

@@ -368,3 +368,16 @@ def test_pure_delete_batch_needs_only_key_partition_delete_cols(spark, tmp_path)
     )
     with pytest.raises(ValueError, match="missing existing table columns"):
         merge_upsert(mixed, d, delete_col="is_deleted")
+
+
+def test_table_history_lists_retained_snapshots(spark, tmp_path):
+    from factstore_spark.storage.merge import table_history, vacuum_table
+
+    d = str(tmp_path / "hist")
+    create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+    merge_upsert(_rows(spark, [(2, "b", "y")]), d)
+    h = table_history(d)
+    assert [e["snapshot"] for e in h] == [1, 2]
+    assert h[0]["n_partitions"] == 1 and h[1]["n_partitions"] == 2
+    vacuum_table(d, retain_seconds=0.0, retain_snapshots=1)
+    assert [e["snapshot"] for e in table_history(d)] == [2]
