@@ -164,6 +164,23 @@ def _write_version(df: DataFrame, table_dir: str, partition_col: str) -> str:
     return version
 
 
+def _partition_stats(df: DataFrame, key_cols, partition_col: str) -> dict:
+    """Per-partition row count + order-independent key hash (decimal
+    sum of xxhash64 over the key columns) for the manifest: detects a
+    lost, duplicated, or wrong-partition KEY at validation time. Value-
+    level corruption detection is the parquet page checksums' job."""
+    kh = F.xxhash64(*[F.col(k).cast("string") for k in key_cols])
+    rows = (
+        df.groupBy(F.col(partition_col).cast("string").alias("_p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.sum(kh.cast("decimal(38,0)")).alias("key_hash"),
+        )
+        .collect()
+    )
+    return {r._p: {"rows": r.rows, "key_hash": str(r.key_hash)} for r in rows}
+
+
 def _partition_values(df: DataFrame, partition_col: str) -> list[str]:
     # Bounded driver collect: one row per distinct partition VALUE in
     # the batch (a correction batch touches few partitions by design).
@@ -189,16 +206,22 @@ def create_table(
         raise ValueError(f"{partition_col} must be non-null for merge tables")
     os.makedirs(table_dir, exist_ok=True)
     version = _write_version(df, table_dir, partition_col)
+    stats = _partition_stats(
+        _read_version_df(df.sparkSession, table_dir, version, df.schema),
+        key_cols,
+        partition_col,
+    )
     manifest = {
         "meta": {
             "kind": "merge_table",
             "key_cols": list(key_cols),
             "partition_col": partition_col,
         },
+        # one read-back pass yields BOTH the partition map and its stats
         "partitions": {
-            v: os.path.join(version, f"_pval={v}")
-            for v in _partition_values(df, partition_col)
+            v: os.path.join(version, f"_pval={v}") for v in stats
         },
+        "stats": stats,
     }
     return _publish_snapshot(table_dir, manifest, base_snapshot=0)
 
@@ -299,15 +322,69 @@ def merge_upsert(
     new_manifest = {
         "meta": meta,
         "partitions": dict(m["partitions"]),
+        "stats": dict(m.get("stats", {})),
     }
-    merged_vals = set(_partition_values(merged, partition_col))
+    written = _read_version_df(spark, table_dir, version, merged.schema)
+    new_stats = _partition_stats(written, key_cols, partition_col)
+    merged_vals = set(new_stats)
     for v in vals:
         if v in merged_vals:
             new_manifest["partitions"][v] = os.path.join(version, f"_pval={v}")
+            new_manifest["stats"][v] = new_stats[v]
         else:
             # every row of the partition was deleted
             new_manifest["partitions"].pop(v, None)
+            new_manifest["stats"].pop(v, None)
     return _publish_snapshot(table_dir, new_manifest, base_snapshot=m["snapshot"])
+
+
+def _read_version_df(spark, table_dir: str, version: str, schema) -> DataFrame:
+    """Read back one version dir with the writer's schema (schema
+    inference would fail on a zero-row write) — manifest stats must
+    hash the WRITTEN files, not the plan that produced them."""
+    keep = [f for f in schema.fields if f.name != "_pval"]
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType(keep)).parquet(
+        os.path.join(table_dir, version)
+    )
+
+
+def validate_table(spark: SparkSession, table_dir: str) -> dict:
+    """Loader-side integrity check: recompute per-partition row counts
+    and key hashes from the manifest-named files and compare — catches
+    a lost/duplicated/misplaced key before anything consumes the table.
+    Returns {"ok": bool, "problems": [...]}."""
+    m = _read_manifest(table_dir)
+    if m is None:
+        raise ValueError(f"{table_dir} has no published manifest")
+    meta = m["meta"]
+    problems = []
+    for v, want in m.get("stats", {}).items():
+        rel = m["partitions"].get(v)
+        if rel is None:
+            problems.append(f"partition {v}: stats but no directory mapping")
+            continue
+        if not os.path.isdir(os.path.join(table_dir, rel)):
+            problems.append(f"partition {v}: directory missing on disk")
+            continue
+        df = spark.read.parquet(os.path.join(table_dir, rel))
+        got = _partition_stats(
+            df.withColumn(meta["partition_col"], F.lit(v)),
+            meta["key_cols"],
+            meta["partition_col"],
+        ).get(v)
+        if got is None:
+            problems.append(f"partition {v}: no rows on disk")
+        elif got["rows"] != want["rows"] or got["key_hash"] != want["key_hash"]:
+            problems.append(
+                f"partition {v}: rows/key_hash mismatch "
+                f"(disk {got} vs manifest {want})"
+            )
+    for v in m["partitions"]:
+        if v not in m.get("stats", {}):
+            problems.append(f"partition {v}: no stats in manifest")
+    return {"ok": not problems, "problems": problems}
 
 
 def vacuum_table(

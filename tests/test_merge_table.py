@@ -381,3 +381,27 @@ def test_table_history_lists_retained_snapshots(spark, tmp_path):
     assert h[0]["n_partitions"] == 1 and h[1]["n_partitions"] == 2
     vacuum_table(d, retain_seconds=0.0, retain_snapshots=1)
     assert [e["snapshot"] for e in table_history(d)] == [2]
+
+
+def test_validate_table_catches_tampering(spark, tmp_path):
+    """Manifest stats (rows + key hash per partition) must re-derive
+    from the written files; a vanished partition dir is caught."""
+    import shutil
+
+    from factstore_spark.storage.merge import validate_table
+
+    d = str(tmp_path / "integ")
+    create_table(
+        _rows(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]), d, ["id"], "part"
+    )
+    merge_upsert(_rows(spark, [(2, "a", "y2"), (4, "b", "w")]), d)
+    v = validate_table(spark, d)
+    assert v["ok"], v["problems"]
+
+    # nuke partition b's current files
+    from factstore_spark.storage.merge import _read_manifest
+
+    rel = _read_manifest(d)["partitions"]["b"]
+    shutil.rmtree(os.path.join(d, rel))
+    v2 = validate_table(spark, d)
+    assert not v2["ok"] and any("b" in p for p in v2["problems"])
