@@ -4698,6 +4698,46 @@ def storage_merge_upsert(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def orders_weekly_revenue_wow(spark, sf_dir):
+    """Weekly revenue with week-over-week delta — the growth-report
+    shape (windowed lag over an aggregated frame): one map-combined
+    groupBy to epoch-week cents totals, then lag(1) over the TINY
+    weekly frame (rows = weeks, the single-partition window is over
+    dozens of rows by construction, never the corpus — the opposite
+    regime from the grouped-rank entries). Integer cents end to end."""
+    orders = _t(spark, sf_dir, "orders")
+    wk = (
+        orders.select(
+            F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7)
+            .cast("long")
+            .alias("week"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .groupBy("week")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    w = Window.orderBy("week")
+    return wk.select(
+        "week",
+        "revenue_cents",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w))
+        .cast("long")
+        .alias("wow_delta_cents"),
+    )
+
+
+ORDERS_WEEKLY_WOW_SQL = """
+WITH wk AS (
+  SELECT CAST(FLOOR(date_diff('day', DATE '1970-01-01', o_orderdate) / 7.0) AS BIGINT) AS week,
+    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY 1)
+SELECT week, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+  CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY week) AS BIGINT)
+    AS wow_delta_cents
+FROM wk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4725,6 +4765,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_quantile_sketch_bounds": (events_quantile_sketch_bounds, None),
     "multimodal_frame_dup": (multimodal_frame_dup, None),
     "storage_merge_upsert": (storage_merge_upsert, None),
+    "orders_weekly_revenue_wow": (orders_weekly_revenue_wow, ORDERS_WEEKLY_WOW_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------
     "dedup_ngram_containment": (dedup_ngram_containment, DEDUP_NGRAM_CONTAINMENT_SQL),
