@@ -216,6 +216,12 @@ def create_table(
             "kind": "merge_table",
             "key_cols": list(key_cols),
             "partition_col": partition_col,
+            # The table's authoritative column set (ordered). Schema
+            # checks in merge_upsert validate every batch against THIS,
+            # not against whichever partitions the batch happens to
+            # touch — a batch landing only on fresh partition values
+            # must pass the same add-only evolution rules.
+            "columns": list(df.columns),
         },
         # one read-back pass yields BOTH the partition map and its stats
         "partitions": {
@@ -282,13 +288,19 @@ def merge_upsert(
         updates = updates.filter(~F.col(delete_col) | F.col(delete_col).isNull())
         updates = updates.drop(delete_col)
         deletes = deletes.drop(delete_col)
-    if prev_paths:
-        prev = spark.read.option("mergeSchema", "true").parquet(*prev_paths)
-        changed_keys = updates.select(*key_cols)
-        if deletes is not None:
-            changed_keys = changed_keys.unionByName(deletes.select(*key_cols))
-        keep = prev.join(changed_keys, key_cols, "left_anti")
-        new_cols = set(updates.columns) - set(keep.columns)
+    # Schema discipline runs against the MANIFEST's column set, never
+    # against whichever partitions the batch happens to touch — a batch
+    # landing only on fresh partition values gets the exact same
+    # add-only checks (the prev_paths-empty bypass was a silent
+    # cross-partition schema-divergence hole). Legacy manifests written
+    # before meta carried "columns" fall back to the data files.
+    table_cols = meta.get("columns")
+    if table_cols is None and m["partitions"]:
+        current = read_table(spark, table_dir)
+        table_cols = list(current.columns) if current is not None else None
+    if table_cols is not None:
+        known = set(table_cols)
+        new_cols = [c for c in updates.columns if c not in known]
         if new_cols and not merge_schema:
             raise ValueError(
                 f"update batch adds columns {sorted(new_cols)}; pass "
@@ -301,7 +313,7 @@ def merge_upsert(
         # it fails loudly on both paths. Exception: a PURE-DELETE batch
         # (every row flagged) legitimately carries only key/partition/
         # delete columns — deletes never write row data.
-        missing = set(keep.columns) - set(updates.columns)
+        missing = [c for c in table_cols if c not in set(updates.columns)]
         pure_delete = bool(missing) and deletes is not None and not updates.take(1)
         if missing and not pure_delete:
             raise ValueError(
@@ -310,17 +322,34 @@ def merge_upsert(
                 "are fine) — omitting one would silently erase it on "
                 "updated rows"
             )
+        # pure-delete batches never write row data, so they never
+        # evolve the schema either
+        final_cols = table_cols if pure_delete else table_cols + new_cols
+    else:
+        new_cols, pure_delete = [], False
+        final_cols = list(updates.columns)
+    if prev_paths:
+        prev = spark.read.option("mergeSchema", "true").parquet(*prev_paths)
+        changed_keys = updates.select(*key_cols)
+        if deletes is not None:
+            changed_keys = changed_keys.unionByName(deletes.select(*key_cols))
+        keep = prev.join(changed_keys, key_cols, "left_anti")
         if pure_delete:
             merged = keep
-        elif merge_schema:
-            merged = keep.unionByName(updates, allowMissingColumns=True)
         else:
-            merged = keep.unionByName(updates.select(*keep.columns))
+            # allowMissingColumns covers BOTH directions of legitimate
+            # drift: keep partitions written before an evolution lack
+            # the new columns, and an evolving batch adds them — the
+            # column-set contract was already enforced above, so any
+            # remaining mismatch here is schema history, not data loss.
+            merged = keep.unionByName(
+                updates.select(*final_cols), allowMissingColumns=True
+            )
     else:
-        merged = updates
+        merged = updates.limit(0) if pure_delete else updates.select(*final_cols)
     version = _write_version(merged, table_dir, partition_col)
     new_manifest = {
-        "meta": meta,
+        "meta": dict(meta, columns=final_cols),
         "partitions": dict(m["partitions"]),
         "stats": dict(m.get("stats", {})),
     }
@@ -354,8 +383,11 @@ def validate_table(spark: SparkSession, table_dir: str) -> dict:
     """Loader-side integrity check: recompute per-partition row counts
     and key hashes from the manifest-named files and compare — catches
     a lost/duplicated/misplaced key before anything consumes the table.
-    Returns {"ok": bool, "problems": [...]}."""
-    m = _read_manifest(table_dir)
+    Returns {"ok": bool, "problems": [...]}. Validates the TRUE head
+    (snapshot log, not the _LATEST pointer cache) so a writer that
+    crashed between the snapshot CAS and the pointer swap is validated
+    against its committed state, not the stale predecessor."""
+    m = _head_manifest(table_dir)
     if m is None:
         raise ValueError(f"{table_dir} has no published manifest")
     meta = m["meta"]

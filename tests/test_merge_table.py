@@ -405,3 +405,72 @@ def test_validate_table_catches_tampering(spark, tmp_path):
     shutil.rmtree(os.path.join(d, rel))
     v2 = validate_table(spark, d)
     assert not v2["ok"] and any("b" in p for p in v2["problems"])
+
+
+def test_schema_checks_apply_on_fresh_partition_values(spark, tmp_path):
+    """A batch touching ONLY new partition values gets the same
+    add-only schema discipline as one touching existing partitions —
+    the checks run against the manifest's column set, so an empty
+    prev_paths list is not a bypass."""
+    d = str(tmp_path / "freshpart")
+    create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+    partial = spark.createDataFrame([(9, "z")], "id long, part string")  # no v
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        merge_upsert(partial, d)
+    extra = spark.createDataFrame(
+        [(9, "z", "w", 5)], "id long, part string, v string, score long"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_upsert(extra, d)
+    merge_upsert(extra, d, merge_schema=True)
+    got = {r.id: (r.part, r.v, r.score) for r in read_table(spark, d).collect()}
+    assert got == {1: ("a", "x", None), 9: ("z", "w", 5)}
+
+
+def test_evolved_columns_remembered_across_partitions(spark, tmp_path):
+    """After an evolution lands on one partition, later batches are
+    validated against the EVOLVED column set everywhere — including
+    partitions whose files predate the evolution."""
+    d = str(tmp_path / "evmem")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "a", "x2", 7)], "id long, part string, v string, score long"
+        ),
+        d, merge_schema=True,
+    )
+    # partition b's files predate the evolution; a batch carrying score
+    # must pass WITHOUT merge_schema — score is already a table column
+    merge_upsert(
+        spark.createDataFrame(
+            [(2, "b", "y2", 8)], "id long, part string, v string, score long"
+        ),
+        d,
+    )
+    # and a batch missing score now fails even on a fresh partition
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        merge_upsert(_rows(spark, [(9, "zz", "q")]), d)
+    got = {r.id: (r.part, r.v, r.score) for r in read_table(spark, d).collect()}
+    assert got == {1: ("a", "x2", 7), 2: ("b", "y2", 8)}
+
+
+def test_validate_table_checks_snapshot_head_not_pointer(spark, tmp_path):
+    """A writer that crashed between the snapshot CAS and the _LATEST
+    swap has COMMITTED; validate_table must validate that head (and
+    repair the pointer), not the stale pointed-to predecessor."""
+    import json
+    import shutil
+
+    from factstore_spark.storage.merge import _read_manifest, validate_table
+
+    d = str(tmp_path / "headval")
+    m1 = create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+    merge_upsert(_rows(spark, [(1, "a", "x2")]), d)
+    # simulate the crash window: stale pointer back in place, and the
+    # superseded snap-1 version dir vacuumed away
+    with open(os.path.join(d, "_LATEST"), "w") as fh:
+        fh.write(json.dumps(m1))
+    shutil.rmtree(os.path.join(d, m1["partitions"]["a"].split(os.sep)[0]))
+    v = validate_table(spark, d)
+    assert v["ok"], v["problems"]  # head (snap-2) is what gets validated
+    assert _read_manifest(d)["snapshot"] == 2  # pointer repaired
