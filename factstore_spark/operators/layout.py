@@ -16,6 +16,8 @@ so the layout pass is one range shuffle + a sorted write at any scale.
 
 from __future__ import annotations
 
+import glob
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -58,10 +60,32 @@ def write_zordered(
     dimension columns: range-partition by z-value (balanced files —
     the range sampler splits the curve by data density, not key space),
     sort within each file so row-group stats are tight too, drop the
-    helper column. One shuffle, one write; no driver data path."""
+    helper column. One shuffle, one write; no driver data path.
+
+    Each dimension is affine-normalized to a common 16-bit domain from
+    its observed min/max (one tiny agg job) before interleaving.
+    Interleaving RAW values lets whichever dimension happens to span
+    more varying bits dominate the curve — e.g. an id spanning 20 bits
+    against an epoch-day whose high bits are constant degenerates to
+    id-major order, and the day dimension's pruning silently vanishes.
+    Range-normalizing per column first is the same discipline
+    Delta/Iceberg OPTIMIZE ZORDER applies (range-partition ids per
+    column, then interleave)."""
     if len(dims) != 2:
         raise ValueError("write_zordered interleaves exactly two dimensions")
-    z = zorder_value(F.col(dims[0]), F.col(dims[1]))
+    b = df.agg(
+        F.min(dims[0]).alias("a0"), F.max(dims[0]).alias("a1"),
+        F.min(dims[1]).alias("b0"), F.max(dims[1]).alias("b1"),
+    ).collect()[0]
+
+    def _norm(col: str, lo, hi) -> Column:
+        span = (hi if hi is not None else 0) - (lo if lo is not None else 0)
+        if span <= 0:
+            return F.lit(0).cast("long")
+        c = F.coalesce(F.col(col).cast("long"), F.lit(lo))
+        return F.floor(((c - F.lit(lo)) * F.lit(65535)) / F.lit(span)).cast("long")
+
+    z = zorder_value(_norm(dims[0], b.a0, b.a1), _norm(dims[1], b.b0, b.b1))
     (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, F.col("_z"))
@@ -70,3 +94,50 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def candidate_files(path: str, box: dict[str, tuple]) -> tuple[int, int]:
+    """Footer-stats pruning simulation: (total files, files whose
+    column min/max stats INTERSECT the conjunctive ``box`` of
+    ``{column: (lo, hi)}`` inclusive bounds) — exactly the
+    file-skipping decision a scan planner makes from parquet column
+    statistics. Driver-side and metadata-only (one footer per file,
+    never a data page), bounded by the file count of the layout under
+    inspection. A file with absent stats for a boxed column is kept
+    (a planner cannot prune what it cannot see)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    n_candidates = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        lo_hi: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name not in box:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    lo_hi[name] = None  # unknowable -> never prunes
+                    continue
+                cur = lo_hi.get(name)
+                if cur is None and name in lo_hi:
+                    continue
+                if cur is None:
+                    lo_hi[name] = [st.min, st.max]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+        keep = True
+        for name, (lo, hi) in box.items():
+            span = lo_hi.get(name)
+            if span is None:
+                continue  # missing stats: cannot prune on this column
+            if span[1] < lo or span[0] > hi:
+                keep = False
+                break
+        n_candidates += 1 if keep else 0
+    return len(files), n_candidates

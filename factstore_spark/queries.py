@@ -4753,6 +4753,169 @@ FROM wk
 """
 
 
+def events_gap_fill(spark, sf_dir):
+    """Per-user minute-grid gap filling with forward fill — the
+    time-series imputation stage of a training pipeline (metric/sensor
+    streams need a dense grid before windowed featurization). Shape:
+    one map-combined groupBy to per-(user, minute) cents sums, a
+    per-user minute grid via sequence+explode (bounded by the slice
+    span — <= 1440 cells per user for the one-day slice, independent of
+    event volume), a left join back on (user, minute), and a forward
+    fill with last(ignorenulls) over the per-user minute order. All
+    JVM-side; shuffles key on user_id, and the explode multiplies rows
+    by grid density, never by corpus size."""
+    m0 = 1_705_017_600 // 60  # 2024-01-12T00:00:00Z in epoch minutes
+    ev = load_events(spark, sf_dir)
+    mb = (
+        ev.withColumn("minute", F.expr("ts_ns div 1000 div 60000000").cast("long"))
+        .filter((F.col("minute") >= m0) & (F.col("minute") < m0 + 1440))
+        .groupBy("user_id", "minute")
+        .agg(F.sum(_cents(F.col("value"))).cast("long").alias("v"))
+    )
+    bounds = mb.groupBy("user_id").agg(
+        F.min("minute").alias("mn"), F.max("minute").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("minute")
+    )
+    j = grid.join(mb, ["user_id", "minute"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = j.withColumn("fv", F.last("v", ignorenulls=True).over(w))
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled"),
+        F.sum("fv").cast("long").alias("ffill_checksum_cents"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH mb AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+  FROM events
+  WHERE epoch_us(ts) // 60000000 >= 28416960
+    AND epoch_us(ts) // 60000000 < 28418400
+  GROUP BY 1, 2),
+bounds AS (SELECT user_id, MIN(minute) AS mn, MAX(minute) AS mx FROM mb GROUP BY 1),
+grid AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS minute FROM bounds),
+j AS (SELECT g.user_id, g.minute, mb.v
+      FROM grid g LEFT JOIN mb ON mb.user_id = g.user_id AND mb.minute = g.minute),
+f AS (SELECT user_id, minute, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY minute
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM j)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_minutes,
+  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+  CAST(SUM(fv) AS BIGINT) AS ffill_checksum_cents
+FROM f GROUP BY user_id
+"""
+
+
+def storage_zorder_pruning(spark, sf_dir):
+    """Self-validating Z-ORDER layout contract (operators/layout.py):
+    write one bounded events projection twice — z-ordered on
+    (user_id, day) vs single-dim day-sorted — then plan three box
+    predicates against each layout's parquet FOOTER stats
+    (operators/layout.py:candidate_files — exactly the min/max
+    file-skipping decision a scan planner makes). The contract the row
+    asserts: (a) the z layout prunes files on EITHER dimension alone
+    (the single-sort layout is blind on its non-sort dimension — every
+    file is a candidate for the user-only box), and (b) the rows the
+    z layout returns for the conjunctive box are IDENTICAL to filtering
+    the source frame (match_bp 10000 — relayout must never lose or
+    duplicate a row). Rows-only (the emitted row IS the check); layouts
+    land in a per-run temp dir, removed eagerly. Bench cost is bounded
+    by the probe cap: the sample is O(1) beyond sf0.1."""
+    import shutil
+    import tempfile
+
+    from .operators.layout import candidate_files, write_zordered
+
+    n_files = 16
+    ev = load_events(spark, sf_dir)
+    df_full = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000 div 86400000000").cast("long").alias("day"),
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    df = _probe_sample(
+        df_full, "event_id",
+        _probe_ppm(df_full, 100, target=120_000, cache_key=(sf_dir, "events_z")),
+        salt="zorder",
+    ).drop("event_id")
+    b = df.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("day").alias("dmin"), F.max("day").alias("dmax"),
+    ).collect()[0]
+    uspan, dspan = b.umax - b.umin, b.dmax - b.dmin
+    ubox = (b.umin + 2 * uspan // 5, b.umin + 3 * uspan // 5)
+    dbox = (b.dmin + 2 * dspan // 5, b.dmin + 3 * dspan // 5)
+    root = tempfile.mkdtemp(prefix="zorder-")
+    try:
+        dz, dl = os.path.join(root, "z"), os.path.join(root, "linear")
+        write_zordered(df, ["user_id", "day"], dz, num_files=n_files)
+        (
+            df.repartitionByRange(n_files, "day", "user_id")
+            .sortWithinPartitions("day", "user_id")
+            .write.mode("overwrite")
+            .parquet(dl)
+        )
+        n_z, cand_z_day = candidate_files(dz, {"day": dbox})
+        _, cand_z_user = candidate_files(dz, {"user_id": ubox})
+        _, cand_z_both = candidate_files(dz, {"day": dbox, "user_id": ubox})
+        n_l, cand_l_day = candidate_files(dl, {"day": dbox})
+        _, cand_l_user = candidate_files(dl, {"user_id": ubox})
+        box_pred = (
+            F.col("user_id").between(*ubox) & F.col("day").between(*dbox)
+        )
+
+        def _digest(frame):
+            return frame.filter(box_pred).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.xxhash64("user_id", "day", "value_cents").cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+
+        got, want = _digest(spark.read.parquet(dz)), _digest(df)
+        match_bp = 10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
+        layout_ok = int(
+            cand_z_day < n_z
+            and cand_z_user < n_z
+            and cand_z_both <= min(cand_z_day, cand_z_user)
+            and cand_l_user == n_l
+        )
+        row = [
+            (
+                int(n_z), int(cand_z_day), int(cand_z_user), int(cand_z_both),
+                int(cand_l_day), int(cand_l_user), int(want.n),
+                int(layout_ok), int(match_bp),
+            )
+        ]
+        return spark.createDataFrame(
+            row,
+            "n_files long, cand_z_day long, cand_z_user long, cand_z_both long, "
+            "cand_linear_day long, cand_linear_user long, n_box_rows long, "
+            "layout_ok long, match_bp long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4761,15 +4924,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
-    # --- Driver-window rotation (round 7) -------------------------------
+    # --- Driver-window rotation (round 8) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 7: the four new entries lead, followed by the round-6 block
-    # (incl. text_boilerplate_lines, whose oracle's uncast SUMs were the
-    # only red r6 row — fixed with CAST(... AS BIGINT), needs a green
-    # driver re-check). Every other entry has a driver-green row from
-    # r5/r6. Ordering is presentation-only: every entry runs identically
+    # Round 8: the two new entries lead, then the round-7 block (whose
+    # dedup_incremental_minhash / storage_merge_upsert contracts got the
+    # ADVICE coalesce fix and should be re-checked), then round 6. Every
+    # entry in the registry has at least one driver-green row (r1-r7).
+    # Ordering is presentation-only: every entry runs identically
     # regardless of position.
-    # --- new in round 7 (lead the window so the driver checks them) -----
+    # --- new in round 8 (lead the window so the driver checks them) -----
+    "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
+    "storage_zorder_pruning": (storage_zorder_pruning, None),
+    # --- new in round 7 -------------------------------------------------
     "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
     "lineitem_part_pairs": (lineitem_part_pairs, LINEITEM_PART_PAIRS_SQL),
     "events_user_retention": (events_user_retention, EVENTS_USER_RETENTION_SQL),

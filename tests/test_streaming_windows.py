@@ -584,3 +584,39 @@ def test_streaming_type_transitions_survives_null_timestamps(spark, tmp_path):
     )
     edges = sorted((r.from_type, r.to_type) for r in out.collect())
     assert edges == [("A", "B")]
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """Native session_window (30 min gap) over the events file-stream
+    must reproduce the batch events_sessionize lag+cumsum result —
+    per user, same session count and same event total. (The two
+    formulations differ only on a gap of EXACTLY 30 minutes — batch
+    `gap > 30m` starts a session, session_window splits at `>= 30m`;
+    microsecond timestamps make an exact tie absent from the data, and
+    a tie would fail this assertion loudly rather than silently.)"""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.queries import events_sessionize
+    from factstore_spark.streaming.windows import session_counts
+
+    want = {
+        (r.user_id): (r.n_sessions, r.n_events)
+        for r in events_sessionize(spark, SF_EVENTS).collect()
+    }
+    out = _drain(
+        session_counts(
+            _events_stream(spark), time_col="ts", key_col="user_id",
+            gap="30 minutes", watermark="2 hours",
+        ),
+        "sess_ss", tmp_path, spark, mode="complete",
+    )
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want and want
