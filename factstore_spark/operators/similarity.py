@@ -184,6 +184,65 @@ def cosine_batch(a_col: Column, b_col: Column) -> Column:
     return _cos(a_col, b_col)
 
 
+def _rp_matrix(dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Deterministic ±1/sqrt(out_dim) projection matrix
+    (dim x out_dim) from a seeded PRNG — regenerated identically on
+    every executor, so the operator ships a SEED, not a matrix."""
+    import random as _random
+
+    rnd = _random.Random(repr((seed, dim, out_dim)))
+    scale = 1.0 / (out_dim**0.5)
+    return np.asarray(
+        [
+            [scale if rnd.getrandbits(1) else -scale for _ in range(out_dim)]
+            for _ in range(dim)
+        ],
+        dtype=np.float64,
+    )
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 32,
+    seed: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "projection",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: add ``out_col`` =
+    ``vec @ R`` with a deterministic ±1/sqrt(out_dim) matrix derived
+    from ``seed`` — the dimensionality-reduction stage in front of ANN
+    or clustering (out_dim floats per row instead of dim; pairwise
+    distances preserved to within JL distortion).
+
+    Map-ONLY at any scale: one Arrow-batched numpy gemm per batch, and
+    the matrix is regenerated from the seed inside each task — an
+    all-executor constant is cheaper to recompute (~µs) than to
+    broadcast, and nothing shuffles. Null/empty vectors project to
+    null; a ragged vector length inside a batch raises loudly (a
+    corrupt embedding column is an upstream bug, not a shape to paper
+    over)."""
+
+    @F.pandas_udf("array<float>")
+    def _proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        vals = v.to_numpy()
+        mask = np.asarray([x is not None and len(x) > 0 for x in vals])
+        out = np.empty(len(vals), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            M = np.vstack(vals[mask]).astype(np.float64)  # raises on ragged
+            R = _rp_matrix(M.shape[1], out_dim, seed)
+            P = (M @ R).astype(np.float32)
+            # row-by-row assignment: a bulk 2-D assign would broadcast
+            # into the object array instead of storing one array per cell
+            for pos, row in zip(np.flatnonzero(mask), P):
+                out[pos] = row
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
 def _band_hash_col(vec_col: Column, planes: np.ndarray, bands: int) -> Column:
     """array<long> of per-band bucket hashes: sign-sketch of
     ``planes @ v`` with each band's bits packed into one integer —

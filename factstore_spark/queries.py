@@ -4916,6 +4916,63 @@ def storage_zorder_pruning(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def embeddings_random_projection(spark, sf_dir):
+    """Self-validating Johnson-Lindenstrauss projection contract
+    (operators/similarity.py:random_project): project the embeddings
+    table 64 -> 32 dims with the map-only seeded-matrix operator, then
+    score the contract on a bounded sample (O(1) in corpus size — the
+    probe-cap discipline): (a) the distributed projection must equal a
+    driver-side gemm with the same seeded matrix at float32 resolution
+    (proj_match — determinism across executors and batches), and
+    (b) pairwise squared-distance distortion d2_proj/d2_orig over the
+    sampled pairs must center on 1 — mean within ±5%, p95 |ratio-1|
+    <= 75% for out_dim=32. JL noise sits far inside those bars, so a
+    trip means broken scaling or dropped dimensions, not statistics.
+    Rows-only (the emitted row IS the check)."""
+    import numpy as np
+
+    from .operators.similarity import _rp_matrix
+
+    k, seed = 32, 8
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = sim_ops.random_project(emb, out_dim=k, seed=seed)
+    sample = _probe_sample(
+        proj, "vec_id",
+        _probe_ppm(emb, 50, target=220, cache_key=(sf_dir, "embeddings")),
+        salt="randproj",
+    ).select("vec_id", "embedding", "projection")
+    rows = [r for r in sample.limit(1001).collect() if r.embedding]
+    if len(rows) > 1000:
+        raise ValueError("random-projection probe sample exceeded its bound")
+    M = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    P = np.asarray([r.projection for r in rows], dtype=np.float64)
+    want = M @ _rp_matrix(M.shape[1], k, seed)
+    tol = 1e-3 * max(1.0, float(np.max(np.abs(want))))
+    proj_match = int(np.max(np.abs(P - want)) <= tol)
+
+    def _pdist2(x):
+        n2 = (x * x).sum(axis=1)
+        return n2[:, None] + n2[None, :] - 2.0 * (x @ x.T)
+
+    iu = np.triu_indices(len(rows), k=1)
+    d2o, d2p = _pdist2(M)[iu], _pdist2(P)[iu]
+    good = d2o > 1e-12
+    ratio = d2p[good] / d2o[good]
+    n_pairs = int(good.sum())
+    mean_bp = int(np.floor(float(ratio.mean()) * 10000)) if n_pairs else 10000
+    p95_bp = (
+        int(np.floor(float(np.quantile(np.abs(ratio - 1.0), 0.95)) * 10000))
+        if n_pairs
+        else 0
+    )
+    ok = int(proj_match == 1 and 9500 <= mean_bp <= 10500 and p95_bp <= 7500)
+    return spark.createDataFrame(
+        [(len(rows), n_pairs, proj_match, mean_bp, p95_bp, ok)],
+        "n_vectors long, n_pairs long, proj_match long, mean_ratio_bp long, "
+        "p95_abs_err_bp long, contract_ok long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4935,6 +4992,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 8 (lead the window so the driver checks them) -----
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, None),
+    "embeddings_random_projection": (embeddings_random_projection, None),
     # --- new in round 7 -------------------------------------------------
     "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
     "lineitem_part_pairs": (lineitem_part_pairs, LINEITEM_PART_PAIRS_SQL),

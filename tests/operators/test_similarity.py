@@ -445,3 +445,71 @@ def test_exact_cosine_pairs_bounded_matches_join_form(spark):
         exact_cosine_pairs_bounded(df, threshold=0.5, max_rows=10)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert exact_cosine_pairs_bounded(empty, threshold=0.5).count() == 0
+
+
+def test_random_project_deterministic_null_safe_and_distance_preserving(spark):
+    """random_project: same seed -> identical output regardless of
+    partitioning/batching (the matrix is regenerated per task); nulls
+    and empty vectors project to null; distances are preserved to
+    within JL distortion; a different seed gives a different matrix."""
+    import math
+    import random
+
+    import numpy as np
+
+    from factstore_spark.operators.similarity import random_project
+
+    rnd = random.Random(77)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(300)]
+    rows += [(900, None), (901, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    p1 = {
+        r.vec_id: r.projection
+        for r in random_project(df.repartition(7), out_dim=16).collect()
+    }
+    p2 = {
+        r.vec_id: r.projection
+        for r in random_project(df.coalesce(1), out_dim=16).collect()
+    }
+    assert p1[900] is None and p1[901] is None
+    for k in p1:
+        if p1[k] is None:
+            assert p2[k] is None
+            continue
+        assert len(p1[k]) == 16
+        assert p1[k] == pytest.approx(p2[k], abs=1e-6)
+
+    pother = {
+        r.vec_id: r.projection for r in random_project(df, out_dim=16, seed=99).collect()
+    }
+    assert any(
+        p1[k] != pytest.approx(pother[k], abs=1e-6) for k in p1 if p1[k] is not None
+    )
+
+    # distance preservation on a handful of pairs (loose JL bars)
+    orig = {i: np.asarray(v, dtype=np.float64) for i, v in rows[:40] if v}
+    ratios = []
+    ks = sorted(orig)
+    for a, b in zip(ks[:-1], ks[1:]):
+        do = float(((orig[a] - orig[b]) ** 2).sum())
+        dp = float(
+            ((np.asarray(p1[a], dtype=np.float64) - np.asarray(p1[b], dtype=np.float64)) ** 2).sum()
+        )
+        ratios.append(dp / do)
+    m = sum(ratios) / len(ratios)
+    assert 0.6 <= m <= 1.4, m
+    assert not math.isnan(m)
+
+
+def test_random_project_raises_on_ragged_vectors(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from factstore_spark.operators.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 9)], "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    with _pytest.raises(PySparkException):
+        random_project(df, out_dim=4).collect()
