@@ -62,30 +62,37 @@ def write_zordered(
     sort within each file so row-group stats are tight too, drop the
     helper column. One shuffle, one write; no driver data path.
 
-    Each dimension is affine-normalized to a common 16-bit domain from
-    its observed min/max (one tiny agg job) before interleaving.
-    Interleaving RAW values lets whichever dimension happens to span
-    more varying bits dominate the curve — e.g. an id spanning 20 bits
-    against an epoch-day whose high bits are constant degenerates to
-    id-major order, and the day dimension's pruning silently vanishes.
-    Range-normalizing per column first is the same discipline
-    Delta/Iceberg OPTIMIZE ZORDER applies (range-partition ids per
-    column, then interleave)."""
+    Each dimension is first rank-normalized to an equi-depth bucket id
+    (up to 64 approx-quantile buckets, one metadata-light pass per dim)
+    before interleaving. Interleaving RAW values lets whichever
+    dimension happens to span more varying bits dominate the curve —
+    e.g. an id spanning 20 bits against an epoch-day whose high bits
+    are constant degenerates to id-major order, and the day dimension's
+    pruning silently vanishes. Quantile buckets rather than min/max
+    affine scaling: one sentinel outlier (a 2^40 'unknown' id) would
+    collapse an affine domain so every real value lands in bucket 0 —
+    equi-depth ranks are outlier-immune and give equal-density curve
+    tiles, which is the actual Delta/Iceberg OPTIMIZE ZORDER discipline
+    (range-partition ids per column, then interleave)."""
     if len(dims) != 2:
         raise ValueError("write_zordered interleaves exactly two dimensions")
-    b = df.agg(
-        F.min(dims[0]).alias("a0"), F.max(dims[0]).alias("a1"),
-        F.min(dims[1]).alias("b0"), F.max(dims[1]).alias("b1"),
-    ).collect()[0]
+    n_buckets = 64
+    probs = [i / n_buckets for i in range(1, n_buckets)]
 
-    def _norm(col: str, lo, hi) -> Column:
-        span = (hi if hi is not None else 0) - (lo if lo is not None else 0)
-        if span <= 0:
-            return F.lit(0).cast("long")
-        c = F.coalesce(F.col(col).cast("long"), F.lit(lo))
-        return F.floor(((c - F.lit(lo)) * F.lit(65535)) / F.lit(span)).cast("long")
+    def _norm(col: str) -> Column:
+        bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.01)))
+        if not bounds:
+            return F.lit(0).cast("long")  # all-null or constant dimension
+        arr = F.array(*[F.lit(float(v)) for v in bounds])
+        c = F.coalesce(F.col(col).cast("double"), F.lit(float(bounds[0]) - 1.0))
+        # equi-depth bucket id = #boundaries <= value (nulls -> 0)
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(c >= b, 1).otherwise(0),
+        ).cast("long")
 
-    z = zorder_value(_norm(dims[0], b.a0, b.a1), _norm(dims[1], b.b0, b.b1))
+    z = zorder_value(_norm(dims[0]), _norm(dims[1]))
     (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, F.col("_z"))

@@ -207,6 +207,7 @@ def random_project(
     seed: int = 8,
     vec_col: str = "embedding",
     out_col: str = "projection",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: add ``out_col`` =
     ``vec @ R`` with a deterministic ±1/sqrt(out_dim) matrix derived
@@ -218,9 +219,23 @@ def random_project(
     the matrix is regenerated from the seed inside each task — an
     all-executor constant is cheaper to recompute (~µs) than to
     broadcast, and nothing shuffles. Null/empty vectors project to
-    null; a ragged vector length inside a batch raises loudly (a
-    corrupt embedding column is an upstream bug, not a shape to paper
-    over)."""
+    null; ANY vector whose length differs from the input dimension
+    raises loudly — the dimension is pinned up front (``dim``, or one
+    cheap first() when omitted), never inferred per Arrow batch, so a
+    corrupt mixed-length column fails regardless of which partition or
+    batch boundary the lengths straddle (per-batch inference would
+    silently project different batches with different matrices)."""
+    if dim is None:
+        first = (
+            df.select(F.size(F.col(vec_col)).alias("d"))
+            .filter(F.col("d") > 0)
+            .first()
+        )
+        if first is None:
+            return df.withColumn(
+                out_col, F.lit(None).cast("array<float>")
+            )  # no non-empty vectors: nothing to project
+        dim = int(first.d)
 
     @F.pandas_udf("array<float>")
     def _proj(v: pd.Series) -> pd.Series:
@@ -232,7 +247,12 @@ def random_project(
         out[~mask] = None
         if mask.any():
             M = np.vstack(vals[mask]).astype(np.float64)  # raises on ragged
-            R = _rp_matrix(M.shape[1], out_dim, seed)
+            if M.shape[1] != dim:
+                raise ValueError(
+                    f"random_project: vector length {M.shape[1]} != pinned "
+                    f"input dim {dim} — the embedding column is corrupt"
+                )
+            R = _rp_matrix(dim, out_dim, seed)
             P = (M @ R).astype(np.float32)
             # row-by-row assignment: a bulk 2-D assign would broadcast
             # into the object array instead of storing one array per cell

@@ -82,3 +82,24 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         )
 
     assert rows(zpath) == rows(spath)
+
+
+def test_zorder_normalization_survives_sentinel_outlier(spark, tmp_path):
+    """Equi-depth bucket normalization must be outlier-immune: one
+    sentinel id (2^40 'unknown') among small ids would collapse an
+    affine min/max domain to bucket 0 everywhere and silently erase
+    that dimension's pruning."""
+    df = spark.range(20000).select(
+        (F.col("id") % 997).alias("a"),
+        (F.col("id") % 31 + 19000).alias("b"),
+        F.col("id").alias("v"),
+    ).union(spark.createDataFrame([(1 << 40, 19010, -1)], "a long, b long, v long"))
+    from factstore_spark.operators.layout import candidate_files
+
+    d = str(tmp_path / "z")
+    write_zordered(df, ["a", "b"], d, num_files=16)
+    n, ca = candidate_files(d, {"a": (100, 200)})
+    _, cb = candidate_files(d, {"b": (19010, 19013)})
+    assert n == 16 and ca < n and cb < n, (n, ca, cb)
+    # and the relayout loses nothing, sentinel row included
+    assert spark.read.parquet(d).count() == 20001

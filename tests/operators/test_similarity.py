@@ -513,3 +513,28 @@ def test_random_project_raises_on_ragged_vectors(spark):
     ).coalesce(1)
     with _pytest.raises(PySparkException):
         random_project(df, out_dim=4).collect()
+
+
+def test_random_project_pins_dim_across_batches(spark):
+    """Mixed vector lengths must raise even when each length lives in
+    its own partition/batch — the input dimension is pinned up front,
+    never inferred per Arrow batch (per-batch inference would silently
+    project different batches with different matrices)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from factstore_spark.operators.similarity import random_project
+
+    a = spark.createDataFrame([(i, [1.0] * 64) for i in range(50)],
+                              "vec_id long, embedding array<float>").repartition(1)
+    b = spark.createDataFrame([(100 + i, [1.0] * 32) for i in range(50)],
+                              "vec_id long, embedding array<float>").repartition(1)
+    mixed = a.union(b)
+    with _pytest.raises(PySparkException, match="pinned|corrupt"):
+        random_project(mixed, out_dim=8).collect()
+
+    # all-empty input: projects to null without a job-killing inference
+    empty = spark.createDataFrame([(1, None), (2, [])],
+                                  "vec_id long, embedding array<float>")
+    got = random_project(empty, out_dim=8).collect()
+    assert all(r.projection is None for r in got)
