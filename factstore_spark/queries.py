@@ -4998,6 +4998,94 @@ def embeddings_random_projection(spark, sf_dir):
     )
 
 
+def storage_bucketed_join(spark, sf_dir):
+    """Self-validating bucketed-layout contract (storage/bucketing.py):
+    write a bounded, KEY-CONSISTENT orders/lineitem sample (same md5
+    bucket predicate on the join key for both tables — no prep join) as
+    co-bucketed catalog tables, join on the bucket key with broadcast
+    disabled, and assert (a) the physical plan contains NO Exchange
+    above either scan — the shuffle was paid ONCE at write time, which
+    at 100 TB is the difference between re-shuffling the fact table on
+    every join and never shuffling it again — and (b) the bucketed join
+    returns exactly the plain parquet join's rows (match_bp 10000).
+    Rows-only (the emitted row IS the check); tables and warehouse dirs
+    are per-run temporaries dropped eagerly. Bench cost is O(1) beyond
+    sf0.1 via the fixed-size key cap."""
+    import io
+    import shutil
+    import tempfile
+    import uuid as _uuid
+    from contextlib import redirect_stdout
+
+    from .operators.sampling import split_bucket
+    from .storage.bucketing import write_bucketed
+
+    orders_full = _t(spark, sf_dir, "orders")
+    n_orders = _PROBE_COUNT_CACHE.get((sf_dir, "orders")) or orders_full.count()
+    _PROBE_COUNT_CACHE[(sf_dir, "orders")] = n_orders
+    # same deterministic md5 predicate on BOTH sides: key-consistent
+    # samples without a preparatory join
+    n_b = max(1, min(1000, -(-n_orders // 20_000)))
+    keep = lambda c: split_bucket(c, 1000, salt="bjoin") < (1000 // n_b)  # noqa: E731
+    orders = orders_full.filter(keep("o_orderkey"))
+    lineitem = _t(spark, sf_dir, "lineitem").filter(keep("l_orderkey"))
+    tag = _uuid.uuid4().hex[:10]
+    t_o, t_l = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
+    root = tempfile.mkdtemp(prefix="bjoin-")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            orders, t_o, os.path.join(root, "o"), "o_orderkey", 8,
+            sort_col="o_orderkey",
+        )
+        write_bucketed(
+            lineitem, t_l, os.path.join(root, "l"), "l_orderkey", 8,
+            sort_col="l_orderkey",
+        )
+        bj = spark.table(t_l).join(
+            spark.table(t_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bj.explain("formatted")
+        plan_head = buf.getvalue().split("\n\n", 1)[0]
+        no_exchange = int("Exchange" not in plan_head)
+        sort_merge = int("SortMergeJoin" in plan_head)
+
+        def _digest(frame):
+            return frame.agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.xxhash64(
+                            "o_orderkey", "l_linenumber", "l_partkey",
+                            "o_orderstatus", "l_returnflag",
+                        ).cast("decimal(38,0)")
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+
+        got = _digest(bj)
+        want = _digest(
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        match_bp = 10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
+        contract_ok = int(no_exchange == 1 and sort_merge == 1 and match_bp == 10000)
+        return spark.createDataFrame(
+            [(int(got.n), no_exchange, sort_merge, match_bp, contract_ok)],
+            "n_join_rows long, no_exchange long, sort_merge long, "
+            "match_bp long, contract_ok long",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        for t in (t_o, t_l):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5018,6 +5106,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, None),
     "embeddings_random_projection": (embeddings_random_projection, None),
+    "storage_bucketed_join": (storage_bucketed_join, None),
     # --- new in round 7 -------------------------------------------------
     "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
     "lineitem_part_pairs": (lineitem_part_pairs, LINEITEM_PART_PAIRS_SQL),
