@@ -666,19 +666,7 @@ def write_minhash_index(
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError("num_hashes must be a positive multiple of bands")
     sig, banded = _minhash_banded_sig(df, id_col, text_col, n, num_hashes, bands, seed)
-    # Two stores: bucket rows (12B-ish each, banded join side) and one
-    # signature row per doc (verify side) — NOT the signature repeated
-    # per band, which would 16x the index footprint. Cluster bucket
-    # rows by band before the partitioned write: without it every
-    # shuffle partition writes a sliver into every band dir (bands x
-    # partitions small files — measured 512 at local defaults); with it
-    # each band dir gets contiguous files. At archive scale raise the
-    # parallelism with a (band, bh-range) repartition — the layout and
-    # manifest are unchanged.
-    banded.select("_id", "band", "bh").repartition(F.col("band")).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(os.path.join(index_dir, "buckets"))
-    sig.write.mode("overwrite").parquet(os.path.join(index_dir, "sigs"))
+    seg = _write_minhash_segment(sig, banded, index_dir)
     _write_ivf_manifest(
         index_dir,
         {
@@ -688,22 +676,65 @@ def write_minhash_index(
             "bands": bands,
             "seed": seed,
             "id_col": id_col,
+            "segments": [seg],
         },
     )
 
 
+def _write_minhash_segment(sig, banded, index_dir: str) -> str:
+    """One increment = one SEGMENT directory holding both stores:
+    bucket rows (12B-ish each, banded join side) and one signature row
+    per doc (verify side) — NOT the signature repeated per band, which
+    would 16x the index footprint. The segment is invisible until its
+    name lands in the manifest (atomic swap), so a crash between the
+    two store writes — or mid-write — can never publish bucket rows
+    whose verify-side signatures are missing (the old in-place parquet
+    append could, silently dropping those pairs at verify). Cluster
+    bucket rows by band before the partitioned write: without it every
+    shuffle partition writes a sliver into every band dir (bands x
+    partitions small files — measured 512 at local defaults); at
+    archive scale raise parallelism with a (band, bh-range)
+    repartition — layout and manifest are unchanged."""
+    import uuid as _uuid
+
+    seg = f"seg-{_uuid.uuid4().hex[:12]}"
+    banded.select("_id", "band", "bh").repartition(F.col("band")).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(os.path.join(index_dir, seg, "buckets"))
+    sig.write.mode("overwrite").parquet(os.path.join(index_dir, seg, "sigs"))
+    return seg
+
+
+def _minhash_store_paths(index_dir: str, m: dict, store: str) -> list[str]:
+    segs = m.get("segments")
+    if segs is None:
+        # pre-segment layout: stores at the index root
+        return [os.path.join(index_dir, store)]
+    return [os.path.join(index_dir, seg, store) for seg in segs]
+
+
 def append_minhash_index(df: DataFrame, index_dir: str, text_col: str = "text") -> None:
     """Add an increment's signatures to the index (after its pairs have
-    been harvested) so the NEXT increment dedups against it too —
-    parquet append into the band partitions, no rewrite of history."""
+    been harvested) so the NEXT increment dedups against it too. The
+    increment lands as a fresh SEGMENT committed by the manifest swap:
+    both stores are fully written before anything becomes visible, so
+    a crash leaves an invisible orphan dir, never a half-applied
+    increment. History is never rewritten. Appenders are single-writer
+    (the index maintenance job, like the compaction lease): two racing
+    manifest swaps would last-win a segment away."""
+    from .similarity import _write_ivf_manifest
+
     m = _read_minhash_manifest(index_dir)
     sig, banded = _minhash_banded_sig(
         df, m["id_col"], text_col, m["n"], m["num_hashes"], m["bands"], m["seed"]
     )
-    banded.select("_id", "band", "bh").repartition(F.col("band")).write.mode(
-        "append"
-    ).partitionBy("band").parquet(os.path.join(index_dir, "buckets"))
-    sig.write.mode("append").parquet(os.path.join(index_dir, "sigs"))
+    seg = _write_minhash_segment(sig, banded, index_dir)
+    segs = m.get("segments")
+    if segs is None:
+        # pre-segment index: keep serving the root stores alongside
+        segs = ["."]
+        m["segments"] = segs
+    _write_ivf_manifest(index_dir, dict(m, segments=segs + [seg]))
 
 
 def _read_minhash_manifest(index_dir: str) -> dict:
@@ -735,7 +766,20 @@ def incremental_minhash_pairs(
         new_docs, m["id_col"], text_col, m["n"], num_hashes, m["bands"], m["seed"]
     )
     spark = new_docs.sparkSession
-    hist_buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
+    # One read per segment root, unioned: the band=N partition dirs sit
+    # under differing seg-* prefixes, which multi-path partition
+    # discovery rejects as conflicting structures. Segment counts stay
+    # small (one per increment); a grown index gets compacted by
+    # rewriting into one segment, not by widening this union.
+    from functools import reduce as _reduce
+
+    hist_buckets = _reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(p)
+            for p in _minhash_store_paths(index_dir, m, "buckets")
+        ],
+    )
     nb = banded_new.select("_id", "band", "bh").alias("nb")
     hb = hist_buckets.alias("hb")
     cross = (
@@ -764,7 +808,7 @@ def incremental_minhash_pairs(
     cand = cross.union(within).distinct()
     if verify_jaccard is None:
         return cand
-    hist_sigs = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    hist_sigs = spark.read.parquet(*_minhash_store_paths(index_dir, m, "sigs"))
     all_sigs = (
         sig_new.union(hist_sigs.select("_id", "sig"))
         .groupBy("_id")

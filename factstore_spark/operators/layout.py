@@ -34,8 +34,11 @@ _SPREAD_STEPS = [
 
 def _spread_bits(x: Column) -> Column:
     """Spread a 21-bit value so its bits occupy every 3rd position —
-    the standard 64-bit Morton magic-mask chain, as Column arithmetic."""
-    x = x.bitwiseAND(F.lit((1 << 21) - 1))
+    the standard 64-bit Morton magic-mask chain, as Column arithmetic.
+    Out-of-range values CLAMP to the domain edges (a bare mask would
+    wrap k and k+2^21 onto the same spread bits, silently interleaving
+    unrelated ranges and erasing the layout's pruning)."""
+    x = F.least(F.greatest(x, F.lit(0)), F.lit((1 << 21) - 1))
     for shift, mask in _SPREAD_STEPS:
         x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
     return x

@@ -900,10 +900,14 @@ def _probe_ppm(
     """Probe sampling rate in ppm: the caller's pct ceiling converted
     to ppm, then clamped so the expected sample stays near ``target``
     rows regardless of corpus size (see RECALL_PROBE_TARGET comment).
-    One columnar count decides it (memoized per (sf_dir, table) when
-    ``cache_key`` is given)."""
-    if sample_pct >= 100:
-        return PROBE_BUCKETS
+    ``sample_pct=100`` raises the ceiling to the whole corpus but does
+    NOT bypass the target cap — the bounded exact kernels behind the
+    probes have a hard max_rows, so an uncapped pct=100 on a large
+    corpus would crash the entry rather than probe it; on corpora at
+    or under the target, 100 still means everything. One columnar
+    count decides it (memoized per (sf_dir, table) when ``cache_key``
+    is given)."""
+    sample_pct = min(sample_pct, 100)
     if cache_key is not None and cache_key in _PROBE_COUNT_CACHE:
         n = _PROBE_COUNT_CACHE[cache_key]
     else:
@@ -4641,8 +4645,12 @@ def storage_merge_upsert(spark, sf_dir):
             (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
             F.lit(False).alias("is_deleted"),
         )
+        # shift past the sample's max key so synthesized insert keys can
+        # never collide with real orderkeys at any scale factor (a fixed
+        # +10M offset collides once max(o_orderkey) crosses 10M)
+        shift = (base.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
         ins = base.filter(F.col("o_orderkey") % 89 == 0).select(
-            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
             "o_orderstatus",
             "o_totalprice",
             F.lit(False).alias("is_deleted"),

@@ -99,7 +99,13 @@ def _head_manifest(table_dir: str) -> dict | None:
     disk_n = _max_snapshot_on_disk(table_dir)
     if disk_n > (latest.get("snapshot", 0) if latest else 0):
         head = _read_manifest(table_dir, disk_n)
-        _publish(table_dir, head)  # opportunistic pointer repair
+        try:
+            _publish(table_dir, head)  # opportunistic pointer repair
+        except OSError:
+            # read-only caller (or read-only mount): the repair is a
+            # cache refresh, never a correctness requirement — serve
+            # the true head regardless
+            pass
         return head
     return latest
 
@@ -181,6 +187,24 @@ def _partition_stats(df: DataFrame, key_cols, partition_col: str) -> dict:
     return {r._p: {"rows": r.rows, "key_hash": str(r.key_hash)} for r in rows}
 
 
+def _pval_dirs(table_dir: str, version: str) -> dict[str, str]:
+    """Map partition VALUE -> the on-disk relative path the writer
+    actually created for one version dir. Spark percent-escapes
+    special characters ('/', '=', ':', '%', ...) in partition
+    directory names, so a manifest built as f"_pval={value}" would
+    point at a non-existent directory for any value needing escaping —
+    record what was written, decoded back to the value."""
+    from urllib.parse import unquote
+
+    out = {}
+    vdir = os.path.join(table_dir, version)
+    if os.path.isdir(vdir):
+        for name in os.listdir(vdir):
+            if name.startswith("_pval="):
+                out[unquote(name[len("_pval="):])] = os.path.join(version, name)
+    return out
+
+
 def _partition_values(df: DataFrame, partition_col: str) -> list[str]:
     # Bounded driver collect: one row per distinct partition VALUE in
     # the batch (a correction batch touches few partitions by design).
@@ -223,10 +247,10 @@ def create_table(
             # must pass the same add-only evolution rules.
             "columns": list(df.columns),
         },
-        # one read-back pass yields BOTH the partition map and its stats
-        "partitions": {
-            v: os.path.join(version, f"_pval={v}") for v in stats
-        },
+        # one read-back pass yields BOTH the partition map and its
+        # stats; paths come from what the writer actually created
+        # (Spark escapes special chars in partition dir names)
+        "partitions": {v: _pval_dirs(table_dir, version)[v] for v in stats},
         "stats": stats,
     }
     return _publish_snapshot(table_dir, manifest, base_snapshot=0)
@@ -356,9 +380,10 @@ def merge_upsert(
     written = _read_version_df(spark, table_dir, version, merged.schema)
     new_stats = _partition_stats(written, key_cols, partition_col)
     merged_vals = set(new_stats)
+    dirmap = _pval_dirs(table_dir, version)
     for v in vals:
         if v in merged_vals:
-            new_manifest["partitions"][v] = os.path.join(version, f"_pval={v}")
+            new_manifest["partitions"][v] = dirmap[v]
             new_manifest["stats"][v] = new_stats[v]
         else:
             # every row of the partition was deleted

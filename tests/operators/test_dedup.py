@@ -257,3 +257,38 @@ def test_incremental_minhash_index_matches_batch_pairs(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not a minhash"):
         incremental_minhash_pairs(inc1, str(tmp_path))
+
+
+def test_minhash_index_crash_leaves_orphan_segment_invisible(spark, tmp_path):
+    """Segment-commit atomicity: bucket/sig stores that never made it
+    into the manifest (a crashed append) must not contribute pairs —
+    the old in-place parquet append could publish bucket rows whose
+    verify-side signatures were missing, silently dropping pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        _minhash_banded_sig,
+        _write_minhash_segment,
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh")
+    write_minhash_index(hist, idx)
+    before = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(inc, idx).collect()
+    }
+    # simulate the crash: a fully-written segment that never reached
+    # the manifest (write_minhash_segment without the manifest swap)
+    sig, banded = _minhash_banded_sig(inc, "doc_id", "text", 3, 64, 16, 42)
+    orphan = _write_minhash_segment(sig, banded, idx)
+    assert os.path.isdir(os.path.join(idx, orphan))
+    after = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(inc, idx).collect()
+    }
+    assert after == before and before  # orphan invisible, pairs unchanged

@@ -103,3 +103,18 @@ def test_zorder_normalization_survives_sentinel_outlier(spark, tmp_path):
     assert n == 16 and ca < n and cb < n, (n, ca, cb)
     # and the relayout loses nothing, sentinel row included
     assert spark.read.parquet(d).count() == 20001
+
+
+def test_zorder_value_clamps_instead_of_wrapping(spark):
+    """Values beyond 21 bits must CLAMP to the domain edge — a bare
+    mask wraps k and k+2^21 onto identical spread bits, interleaving
+    unrelated ranges and silently erasing the layout's pruning."""
+    lim = (1 << 21) - 1
+    df = spark.createDataFrame(
+        [(lim, 0), (lim + 5, 0), ((1 << 22) + 7, 0), (-3, 0), (0, 0)],
+        "a long, b long",
+    )
+    got = {r.a: r.z for r in df.select(
+        "a", zorder_value(F.col("a"), F.col("b")).alias("z")).collect()}
+    assert got[lim + 5] == got[lim] and got[(1 << 22) + 7] == got[lim]
+    assert got[-3] == got[0]

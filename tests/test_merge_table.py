@@ -474,3 +474,46 @@ def test_validate_table_checks_snapshot_head_not_pointer(spark, tmp_path):
     v = validate_table(spark, d)
     assert v["ok"], v["problems"]  # head (snap-2) is what gets validated
     assert _read_manifest(d)["snapshot"] == 2  # pointer repaired
+
+
+def test_partition_values_needing_escaping_round_trip(spark, tmp_path):
+    """Spark percent-escapes special characters in partition dir names;
+    the manifest must record the REAL paths, or values like '2024/01'
+    publish a manifest pointing at directories that do not exist."""
+    d = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "2024/01", "x"), (2, "a=b", "y"), (3, "c:d%e", "z")],
+        "id long, part string, v string",
+    )
+    create_table(df, d, ["id"], "part")
+    assert _snap(spark, d) == {
+        1: ("2024/01", "x"), 2: ("a=b", "y"), 3: ("c:d%e", "z"),
+    }
+    merge_upsert(
+        spark.createDataFrame([(1, "2024/01", "x2")], "id long, part string, v string"),
+        d,
+    )
+    assert _snap(spark, d)[1] == ("2024/01", "x2")
+    from factstore_spark.storage.merge import validate_table
+
+    v = validate_table(spark, d)
+    assert v["ok"], v["problems"]
+
+
+def test_head_manifest_repair_survives_read_only_dir(spark, tmp_path):
+    """The opportunistic _LATEST repair is cache maintenance: a
+    read-only consumer must still be served the true head after a
+    writer crashed between the snapshot CAS and the pointer swap."""
+    import json
+    import os as _os
+
+    d = str(tmp_path / "ro")
+    m1 = create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
+    merge_upsert(_rows(spark, [(1, "a", "x2")]), d)
+    with open(_os.path.join(d, "_LATEST"), "w") as fh:
+        fh.write(json.dumps(m1))  # stale pointer = the crash window
+    _os.chmod(d, 0o555)
+    try:
+        assert _snap(spark, d) == {1: ("a", "x2")}  # true head served
+    finally:
+        _os.chmod(d, 0o755)
