@@ -737,6 +737,81 @@ def append_minhash_index(df: DataFrame, index_dir: str, text_col: str = "text") 
     _write_ivf_manifest(index_dir, dict(m, segments=segs + [seg]))
 
 
+def compact_minhash_index(
+    spark,
+    index_dir: str,
+    retain_seconds: float = 3600.0,
+) -> dict:
+    """Rewrite all committed segments into ONE fresh segment and swap
+    the manifest — the maintenance pass for an index grown by many
+    increments (readers union one frame per segment, so hundreds of
+    daily segments mean hundreds of scan roots and small files; after
+    compaction they read one). Same crash discipline as every other
+    writer here: the new segment is invisible until the swap, and a
+    crash leaves the old manifest serving the old segments.
+
+    Also reclaims segment dirs referenced by NO manifest (crashed
+    appends, superseded compactions) once idle longer than
+    ``retain_seconds`` — the grace window keeps in-flight readers that
+    resolved paths from the previous manifest alive."""
+    import shutil
+    import time
+    import uuid as _uuid
+
+    from .similarity import _write_ivf_manifest
+
+    m = _read_minhash_manifest(index_dir)
+    old_segs = m.get("segments")
+    compacted = None
+    if old_segs is not None and len(old_segs) > 1:
+        from functools import reduce as _reduce
+
+        buckets = _reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p)
+                for p in _minhash_store_paths(index_dir, m, "buckets")
+            ],
+        )
+        sigs = _reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p)
+                for p in _minhash_store_paths(index_dir, m, "sigs")
+            ],
+        )
+        seg = f"seg-{_uuid.uuid4().hex[:12]}"
+        buckets.repartition(F.col("band")).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(os.path.join(index_dir, seg, "buckets"))
+        sigs.write.mode("overwrite").parquet(os.path.join(index_dir, seg, "sigs"))
+        _write_ivf_manifest(index_dir, dict(m, segments=[seg]))
+        m = _read_minhash_manifest(index_dir)
+        compacted = seg
+    live = set(m.get("segments") or [])
+    now = time.time()
+    removed = []
+    for name in os.listdir(index_dir):
+        path = os.path.join(index_dir, name)
+        if not (name.startswith("seg-") and os.path.isdir(path)) or name in live:
+            continue
+        newest = os.path.getmtime(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                except OSError:
+                    pass
+        if now - newest > retain_seconds:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+    return {
+        "segments": sorted(live),
+        "compacted_into": compacted,
+        "removed": sorted(removed),
+    }
+
+
 def _read_minhash_manifest(index_dir: str) -> dict:
     from .similarity import _read_ivf_manifest
 

@@ -292,3 +292,46 @@ def test_minhash_index_crash_leaves_orphan_segment_invisible(spark, tmp_path):
         (r.id_a, r.id_b) for r in incremental_minhash_pairs(inc, idx).collect()
     }
     assert after == before and before  # orphan invisible, pairs unchanged
+
+
+def test_compact_minhash_index_one_segment_same_pairs(spark, tmp_path):
+    """Compaction folds all committed segments into one and reclaims
+    orphans past the grace window — incremental pairs are identical
+    before and after (same rows, one scan root)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        _minhash_banded_sig,
+        _write_minhash_segment,
+        append_minhash_index,
+        compact_minhash_index,
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    inc1 = docs.filter(F.col("doc_id") % 3 == 1)
+    inc2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "mh")
+    write_minhash_index(hist, idx)
+    append_minhash_index(inc1, idx)
+    # an orphaned (crashed) segment to reclaim
+    sig, banded = _minhash_banded_sig(inc2, "doc_id", "text", 3, 64, 16, 42)
+    orphan = _write_minhash_segment(sig, banded, idx)
+
+    before = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(inc2, idx).collect()
+    }
+    out = compact_minhash_index(spark, idx, retain_seconds=0.0)
+    m = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(m["segments"]) == 1 and m["segments"] == out["segments"]
+    assert orphan in out["removed"]
+    assert not os.path.isdir(os.path.join(idx, orphan))
+    after = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(inc2, idx).collect()
+    }
+    assert after == before and before
