@@ -60,9 +60,16 @@ def read_fact_inputs_jsonl(spark: SparkSession, path: str) -> DataFrame:
         ).otherwise(F.col(col))
 
     return raw.select(
-        _required("type").alias("type"),
+        # trim BOTH validated columns — trimming subject but not type
+        # would let ' order ' pass validation and land verbatim,
+        # silently missed by every type == 'order' filter downstream
+        F.trim(_required("type")).alias("type"),
         F.trim(_required("subject")).alias("subject"),
         F.struct(
+            # absent payload materializes as b'' — the model invariant
+            # (FactPayload.data is non-null bytes, mirroring the
+            # reference's ByteArray; "no payload" is not a fact state),
+            # so the export/import cycle is faithful: b'' out, b'' back
             F.unbase64(F.coalesce(F.col("payload"), F.lit(""))).alias("data"),
             F.col("payload_format").alias("format"),
             F.col("schema_ref"),

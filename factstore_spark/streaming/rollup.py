@@ -209,8 +209,22 @@ def start_continuous_rollup(
             if prev_paths:
                 # Only the changed dates' partitions are ever read —
                 # partition pruning by construction of the manifest.
+                # Kept rows re-derive bucket_date with the SAME UTC
+                # epoch arithmetic as the changed side: date_format
+                # renders in the session TZ, so under a non-UTC
+                # session the kept cells would be relabeled into a
+                # date the manifest remap below never covers — written
+                # to an unreferenced partition dir and silently
+                # dropped from the published table.
                 prev = spark.read.parquet(*prev_paths).withColumn(
-                    "bucket_date", F.date_format("bucket_start", "yyyy-MM-dd")
+                    "bucket_date",
+                    F.date_add(
+                        F.to_date(F.lit("1970-01-01")),
+                        F.floor(
+                            F.unix_micros(F.col("bucket_start"))
+                            / F.lit(86_400_000_000)
+                        ).cast("int"),
+                    ).cast("string"),
                 )
                 keep = prev.join(
                     changed.select("bucket_start", "key"),

@@ -110,7 +110,9 @@ def dedup_stream_by_content(
     repeats within the watermark horizon. Map-only before the stateful
     dedup; the fingerprint (16 bytes) is all the state ever holds per
     key."""
-    from pyspark.sql.types import BinaryType, StringType
+    import uuid as _uuid
+
+    from pyspark.sql.types import BinaryType
 
     col = F.col(text_col)
     # Analysis-only dtype probe (handles nested paths like payload.data).
@@ -119,21 +121,26 @@ def dedup_stream_by_content(
         # Hash the raw bytes — a string round-trip would lower-case
         # ASCII and mangle non-UTF-8, fingerprinting DISTINCT payloads
         # identically and silently dropping the non-duplicate row.
-        fp = F.md5(F.coalesce(col, F.lit(b"")))
+        fp = F.md5(col)
     elif isinstance(dtype, StringType):
-        fp = F.md5(F.coalesce(F.lower(col), F.lit("")).cast("binary"))
+        fp = F.md5(F.lower(col).cast("binary"))
     else:
         from pyspark.sql.types import ArrayType, MapType, StructType
 
         if isinstance(dtype, (StructType, MapType, ArrayType)):
             # Structured payloads: canonical JSON text, case-preserving.
-            fp = F.md5(F.coalesce(F.to_json(col), F.lit("")).cast("binary"))
+            fp = F.md5(F.to_json(col).cast("binary"))
         else:
-            fp = F.md5(F.coalesce(col.cast("string"), F.lit("")).cast("binary"))
-    with_fp = stream.withColumn("_content_fp", fp)
-    return dedup_stream(with_fp, ["_content_fp"], time_col, watermark).drop(
-        "_content_fp"
-    )
+            fp = F.md5(col.cast("string").cast("binary"))
+    # NULL content fingerprints as the literal "null" marker — distinct
+    # from md5(empty), so a payload-less row never dedups against an
+    # empty-payload row (they are different states, not duplicates).
+    fp = F.coalesce(fp, F.lit("null"))
+    # Unique helper name: a caller-owned "_content_fp" column (e.g. a
+    # prior dedup stage's audit output) must survive untouched.
+    fp_col = f"_content_fp_{_uuid.uuid4().hex[:8]}"
+    with_fp = stream.withColumn(fp_col, fp)
+    return dedup_stream(with_fp, [fp_col], time_col, watermark).drop(fp_col)
 
 
 def curate_stream(
@@ -196,6 +203,11 @@ def running_totals_stateful(stream: DataFrame, key_col: str = "subject") -> Data
         state.update((total,))
         yield pd.DataFrame({key_col: [key[0]], "n_facts": [total]})
 
+    # Cast the grouping key to the declared StringType — a bigint key
+    # would reach Arrow as int64 against the string output field and
+    # kill the query on the first touched micro-batch (same discipline
+    # as type_transitions_stream / heavy_hitters_stream).
+    stream = stream.withColumn(key_col, F.col(key_col).cast("string"))
     return stream.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -241,10 +253,15 @@ def join_streams(
         )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark).withColumnRenamed(key, "_rkey")
+    # Bind the left time column through lw[...] — a bare name inside
+    # F.expr resolves against the JOINED plan and turns ambiguous (or
+    # unparseable for names needing backticks) the moment the right
+    # stream carries a same-named column.
+    band = F.expr(f"INTERVAL {within}")
     cond = (
         (lw[key] == rw["_rkey"])
-        & (rw[right_time] >= F.expr(f"{left_time} - INTERVAL {within}"))
-        & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {within}"))
+        & (rw[right_time] >= lw[left_time] - band)
+        & (rw[right_time] <= lw[left_time] + band)
     )
     return lw.join(rw, cond, how).drop("_rkey")
 
@@ -537,7 +554,11 @@ def heavy_hitters_stream(
                 }
             )
 
-    prepped = stream.select(
+    # Null values are excluded up front (same discipline as
+    # type_transitions_stream): pandas value_counts drops NaN from the
+    # counters, so counting null rows into n_seen would overstate the
+    # counted population and skew every est/n_seen coverage ratio.
+    prepped = stream.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).cast("string").alias(key_col),
         F.col(value_col).cast("string").alias("_v"),
     )

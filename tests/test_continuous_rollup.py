@@ -330,3 +330,31 @@ def test_vacuum_spares_inflight_version_with_fresh_nested_files(spark, tmp_path)
     os.utime(nested, (old, old))
     res2 = vacuum_rollup(out_dir, retain_seconds=3600)
     assert "v=42-inflight" in res2["removed"]
+
+
+def test_rollup_kept_cells_survive_session_tz_change(spark, tmp_path):
+    """The KEPT side of the refresh (prior rows surviving the
+    anti-join) must re-derive bucket_date with the same UTC epoch
+    arithmetic as the changed side: under a non-UTC session TZ,
+    date_format would relabel a 23:30-UTC kept cell into the next
+    local date — written to a partition dir the manifest remap never
+    covers and silently dropped from the published table."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "rollup")
+    late = datetime.datetime(2024, 1, 1, 23, 30, 0)
+    _write_src(spark, src, [(late, "A", 10)])
+    _file_refresh(spark, src, tmp_path)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")  # UTC+9
+    try:
+        # a DIFFERENT cell on the same date: cell A must ride the
+        # kept path (anti-join keeps it) and stay on 2024-01-01
+        _write_src(spark, src, [(late, "B", 5)])
+        _file_refresh(spark, src, tmp_path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    m = current_manifest(out_dir)
+    assert set(m) == {"2024-01-01"}
+    rows = {r.key: (r.n, r.v_sum) for r in read_rollup(spark, out_dir).collect()}
+    assert rows == {"A": (1, 10), "B": (1, 5)}

@@ -58,3 +58,12 @@ def test_blank_subject_raises_at_ingest(spark, tmp_path):
     with pytest.raises(Exception) as e:
         read_fact_inputs_jsonl(spark, path).collect()
     assert "missing required 'subject'" in str(e.value)
+
+
+def test_type_and_subject_both_trimmed(spark, tmp_path):
+    """type gets the same trim as subject — ' order ' passing
+    validation verbatim would be missed by every type == 'order'
+    filter downstream."""
+    path = _write(tmp_path, ['{"type": " order ", "subject": " s1 "}'])
+    row = read_fact_inputs_jsonl(spark, path).collect()[0]
+    assert row.type == "order" and row.subject == "s1"

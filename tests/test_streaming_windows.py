@@ -620,3 +620,49 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and want
+
+
+def test_running_totals_stateful_bigint_key(spark, tmp_path):
+    """A numeric grouping key must work: the output schema declares the
+    key as string, so the operator casts the grouping column first —
+    otherwise Arrow dies on int64-vs-string at the first micro-batch."""
+    from pyspark.sql import functions as F
+
+    out = _drain(
+        running_totals_stateful(_events_stream(spark), key_col="user_id"),
+        "rt_bigint", tmp_path, spark, mode="update",
+    )
+    got = {r.user_id: r.n_facts for r in out.groupBy("user_id")
+           .agg(F.max("n_facts").alias("n_facts")).collect()}
+    want = {
+        str(r.user_id): r.n
+        for r in spark.read.parquet(SF_EVENTS + "/events.parquet")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and want
+
+
+def test_dedup_stream_by_content_preserves_caller_fp_column(fs, spark, tmp_path):
+    """A caller-owned '_content_fp' column (e.g. a prior stage's audit
+    output) must survive the content dedup untouched."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark import FactInput, FactPayload, StartPosition
+    from factstore_spark.streaming.windows import dedup_stream_by_content
+
+    fs.create("fp-store")
+    fs.append("fp-store", [
+        FactInput(type="T", subject="s1", payload=FactPayload(data=b"one")),
+        FactInput(type="T", subject="s2", payload=FactPayload(data=b"one")),
+        FactInput(type="T", subject="s3", payload=FactPayload(data=b"two")),
+    ])
+    stream = fs.subscribe_stream("fp-store", StartPosition.Beginning()).withColumn(
+        "_content_fp", F.lit("caller-owned")
+    )
+    out = _drain(
+        dedup_stream_by_content(stream, text_col="payload.data"),
+        "fp_keep", tmp_path, spark, mode="append",
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # b"one" deduped
+    assert all(r._content_fp == "caller-owned" for r in rows)
