@@ -45,6 +45,10 @@ def bm25_topk(
     even for terms in most documents."""
     if not terms:
         raise ValueError("bm25_topk requires at least one query term")
+    # Tokens are lower-cased, so terms must be too — an uppercase query
+    # term would otherwise silently never match (tf=0 everywhere) and
+    # contribute nothing, including to the hybrid RRF fusion.
+    terms = [t.lower() for t in terms]
     toks = tokens_col(text_col)
     dl = F.size(toks)
 

@@ -84,7 +84,13 @@ def upsample_by_weights(
     ``stratified_sample``; weight 0.3 degenerates to plain
     downsampling). Map-only explode: each row becomes ``n_copies``
     rows with a 1-based ``copy`` index (0 copies drops the row), no
-    shuffle, reproducible across engines and re-runs."""
+    shuffle, reproducible across engines and re-runs. Weights must be
+    >= 0: Python's modulo maps a negative fraction to a POSITIVE
+    remainder (-0.5 % 1.0 == 0.5), so an unchecked negative weight
+    would duplicate half the stratum instead of dropping it."""
+    bad = {v: w for v, w in {**weights, "<default>": default_weight}.items() if w < 0}
+    if bad:
+        raise ValueError(f"upsample_by_weights: negative weights {bad}")
     whole = F.lit(int(default_weight))
     rem_cut = F.lit(round((default_weight % 1.0) * n_buckets))
     for value, w in sorted(weights.items()):
@@ -226,8 +232,12 @@ def pack_sequences(
     Deterministic and engine-reproducible either way: modulo sharding,
     integer division, rank-deterministic vocab. An independent SQL
     engine recomputes identical bins. Output: (shard, bin, n_docs,
-    n_tokens)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_tokens). Token definition is text.tokens_col — ONE definition
+    shared with with_token_count/build_vocab, so bin capacities always
+    match the token counts every other operator reports."""
+    from .text import tokens_col
+
+    toks = tokens_col(text_col)
     if vocab is None:
         per_doc = df.select(
             F.col(id_col).alias("_id"), F.size(toks).alias("n_tok")
@@ -484,6 +494,23 @@ def write_training_shards(
 
     from .similarity import _write_ivf_manifest
 
+    # id discipline up front: a duplicate id fans the join out into
+    # duplicate (shard, pos) rows whose manifest can NEVER validate
+    # (the writer would publish data its own validator flags), and a
+    # null id silently vanishes through the equi-join.
+    bad = (
+        df.select(F.col(id_col).alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("_id").isNull() | (F.col("n") > 1))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"write_training_shards: {id_col} must be unique and non-null "
+            f"(offender: {bad[0]._id!r}) — dedupe/assign ids upstream"
+        )
     assign = shuffle_shards(df, n_shards=n_shards, seed=seed, id_col=id_col)
     data = df.join(assign, id_col)
     version = f"v={uuid.uuid4().hex[:12]}"

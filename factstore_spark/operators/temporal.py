@@ -40,10 +40,14 @@ def asof_join(
 ) -> DataFrame:
     """For every left row, attach the latest right row of the same key
     with ``right_time <= left_time`` (backward as-of; a right row AT
-    the left instant matches). Equal-time right duplicates are resolved
-    by the largest value tuple order only if ``value_cols`` ties —
-    callers needing strict determinism should pass a unique
-    tie-breaking column last in ``value_cols``.
+    the left instant matches). The right row is attached ATOMICALLY —
+    one struct per row forward-filled as a unit, so a NULL in one value
+    column of the winning row stays NULL instead of resurrecting that
+    column from an older row (per-column fills would stitch together a
+    row that never existed). Equal-time right duplicates resolve to the
+    largest (time, value-tuple) struct — deterministic, and identical
+    in the default and bucketed plans; value columns must be orderable
+    types for that tie-break (maps need a caller-side tie column).
 
     ``tolerance`` (same units as the time columns) drops matches older
     than ``left_time - tolerance`` (they become NULL, as in pandas
@@ -78,13 +82,13 @@ def asof_join(
     }
     rt_out = right_time + suffix if right_time in left.columns else right_time
 
+    rrow, rrow_type = _rrow_struct(right, right_time, value_cols)
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).cast("long").alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
-        F.lit(None).cast("long").alias("_rt"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     # SQL ASOF equality semantics: NULL keys never match. Null-keyed
     # right rows are dropped (they could never fill anyone under
@@ -97,44 +101,60 @@ def asof_join(
         F.col(right_time).cast("long").alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_time).cast("long").alias("_rt"),
+        rrow.alias("_rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows (side 0) sort before left rows (side 1) at the same
     # instant, so an exactly-simultaneous right row is visible to the
-    # fill — the >= (not >) as-of contract.
+    # fill — the >= (not >) as-of contract. _rrow last in the order:
+    # equal-time right duplicates resolve to the LARGEST struct — the
+    # same resolution the bucketed carry's max(struct) applies, so the
+    # two plans agree row for row instead of leaving ties to
+    # post-shuffle order.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE atomic fill: the whole right row forward-fills as a unit.
     filled = unioned.select(
-        "*",
-        F.last("_rt", ignorenulls=True).over(w).alias("_m_rt"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_m")
     )
     rows = filled.filter(F.col("_side") == 1)
+    return _asof_project(rows, left, value_cols, out_names, rt_out, tolerance)
+
+
+def _rrow_struct(right: DataFrame, right_time: str, value_cols):
+    """The atomic right-row payload: (rt, v_0..v_n) as one struct, plus
+    its type for the left side's typed NULL."""
+    rrow = F.struct(
+        F.col(right_time).cast("long").alias("rt"),
+        *[F.col(c).alias(f"v_{i}") for i, c in enumerate(value_cols)],
+    )
+    rrow_type = right.select(rrow.alias("_rrow")).schema["_rrow"].dataType
+    return rrow, rrow_type
+
+
+def _asof_project(rows, left, value_cols, out_names, rt_out, tolerance):
+    """Unpack the matched struct ``_m`` (tolerance-masked as a unit —
+    a stale match nulls every field together)."""
     if tolerance is not None:
-        stale = F.col("_m_rt") < (F.col("_t") - F.lit(tolerance))
-        rows = rows.select(
+        stale = F.col("_m.rt") < (F.col("_t") - F.lit(tolerance))
+        return rows.select(
             *left.columns,
-            F.when(stale, F.lit(None)).otherwise(F.col("_m_rt")).alias(rt_out),
+            F.when(stale, F.lit(None)).otherwise(F.col("_m.rt")).alias(rt_out),
             *[
-                F.when(stale, F.lit(None)).otherwise(F.col(f"_m_{c}")).alias(out_names[c])
-                for c in value_cols
+                F.when(stale, F.lit(None))
+                .otherwise(F.col(f"_m.v_{i}"))
+                .alias(out_names[c])
+                for i, c in enumerate(value_cols)
             ],
         )
-    else:
-        rows = rows.select(
-            *left.columns,
-            F.col("_m_rt").alias(rt_out),
-            *[F.col(f"_m_{c}").alias(out_names[c]) for c in value_cols],
-        )
-    return rows
+    return rows.select(
+        *left.columns,
+        F.col("_m.rt").alias(rt_out),
+        *[F.col(f"_m.v_{i}").alias(out_names[c]) for i, c in enumerate(value_cols)],
+    )
 
 
 def _asof_join_bucketed(
@@ -159,16 +179,13 @@ def _asof_join_bucketed(
 
     b_of = lambda t: F.floor(t / F.lit(bucket))  # noqa: E731
 
+    rrow, rrow_type = _rrow_struct(right, right_time, value_cols)
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).cast("long").alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
-        F.lit(None).cast("long").alias("_rt"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     ).withColumn("_b", b_of(F.col("_t")))
     # SQL ASOF equality semantics: NULL keys never match. Null-keyed
     # right rows are dropped (they could never fill anyone under
@@ -181,25 +198,22 @@ def _asof_join_bucketed(
         F.col(right_time).cast("long").alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_time).cast("long").alias("_rt"),
+        rrow.alias("_rrow"),
     ).withColumn("_b", b_of(F.col("_t")))
     unioned = l_tagged.unionByName(r_tagged)
 
     # Pass 1: in-bucket fill — window partitioned by (key, bucket), so
-    # a hot key parallelizes across its buckets.
+    # a hot key parallelizes across its buckets. The whole right row
+    # fills as ONE struct (atomic attachment), _rrow last in the order
+    # so equal-time duplicates resolve to the largest struct — the
+    # exact resolution pass 2's max(struct) applies.
     w_in = (
         Window.partitionBy("_k", "_b")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        F.last("_rt", ignorenulls=True).over(w_in).alias("_in_rt"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w_in).alias(f"_in_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rrow", ignorenulls=True).over(w_in).alias("_in")
     )
 
     # Pass 2: carry-in. Last right row per (key, bucket) — an aggregate,
@@ -208,11 +222,7 @@ def _asof_join_bucketed(
     # in-bucket right row AFTER a left row must not leak to it; earlier
     # in-bucket rows are already handled by pass 1).
     last_struct = F.max(
-        F.struct(
-            F.col("_t").alias("t"),
-            F.col("_rt").alias("rt"),
-            *[F.col(f"_rv_{c}").alias(f"v_{i}") for i, c in enumerate(value_cols)],
-        )
+        F.struct(F.col("_t").alias("t"), F.col("_rrow").alias("r"))
     ).alias("_last")
     r_bucket_last = (
         unioned.filter(F.col("_side") == 0).groupBy("_k", "_b").agg(last_struct)
@@ -240,30 +250,11 @@ def _asof_join_bucketed(
     rows = (
         filled.filter(F.col("_side") == 1)
         .join(carry, ["_k", "_b"], "left")
-        .select(
-            "*",
-            F.coalesce(F.col("_in_rt"), F.col("_carry.rt")).alias("_m_rt"),
-            *[
-                F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry.v_{i}")).alias(f"_m_{c}")
-                for i, c in enumerate(value_cols)
-            ],
-        )
+        # struct-level coalesce: in-bucket match or the carried row, as
+        # a UNIT — never a column-wise mix of the two
+        .select("*", F.coalesce(F.col("_in"), F.col("_carry.r")).alias("_m"))
     )
-    if tolerance is not None:
-        stale = F.col("_m_rt") < (F.col("_t") - F.lit(tolerance))
-        return rows.select(
-            *left.columns,
-            F.when(stale, F.lit(None)).otherwise(F.col("_m_rt")).alias(rt_out),
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(f"_m_{c}")).alias(out_names[c])
-                for c in value_cols
-            ],
-        )
-    return rows.select(
-        *left.columns,
-        F.col("_m_rt").alias(rt_out),
-        *[F.col(f"_m_{c}").alias(out_names[c]) for c in value_cols],
-    )
+    return _asof_project(rows, left, value_cols, out_names, rt_out, tolerance)
 
 
 def range_join_binned(
@@ -295,13 +286,35 @@ def range_join_binned(
             f"got {how!r} (outer variants would duplicate unmatched "
             "intervals once per exploded bin)"
         )
+    if bin_width <= 0:
+        raise ValueError(
+            f"bin_width must be positive, got {bin_width} (zero divides "
+            "the binning, negative reverses it)"
+        )
     pt = F.col(point_col).cast("long")
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
     binned_pts = points.withColumn("_bin", F.floor(pt / F.lit(bin_width)))
+    # A reversed interval (end < start) fails LOUDLY per row: sequence()
+    # would otherwise auto-step -1 and explode a descending bin array —
+    # one corrupt interval row (end=0, start=10^12) tries to build a
+    # ~10^10-element array and kills the whole job far from the cause.
     binned_iv = intervals.withColumn(
         "_bin_iv",
         F.explode(
-            F.sequence(F.floor(s / F.lit(bin_width)), F.floor(e / F.lit(bin_width)))
+            F.when(
+                e < s,
+                F.raise_error(
+                    F.concat(
+                        F.lit("range_join_binned: reversed interval (start="),
+                        s.cast("string"), F.lit(", end="), e.cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("array<bigint>"),
+            ).otherwise(
+                F.sequence(
+                    F.floor(s / F.lit(bin_width)), F.floor(e / F.lit(bin_width))
+                )
+            )
         ),
     )
     # Containment is part of the JOIN CONDITION, not a post-filter:

@@ -34,8 +34,15 @@ TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def tokens_col(text_col: str = "text") -> Column:
-    """Lower-cased whitespace tokens."""
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    """Lower-cased whitespace tokens, EMPTY TOKENS REMOVED: split on
+    \\s+ keeps leading/trailing empty strings, so "hello world\\n"
+    would count a phantom third token — inflating every downstream
+    count, ratio and bigram, and making empty text count 1 token. The
+    DuckDB oracles apply the identical list_filter so both engines
+    share one token definition."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -284,13 +291,21 @@ def chunk_documents(
     (sequence + transform + explode inside one projection, no shuffle,
     linear in corpus size); deterministic ordinals and integer spans so
     an independent engine reproduces every chunk boundary. Output:
-    (id, chunk_idx, start_token, n_chunk_tokens, chunk_text)."""
+    (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+
+    The last start is bounded by n_tokens - overlap (not n_tokens):
+    a start within the final ``overlap`` tokens yields a chunk fully
+    CONTAINED in its predecessor — for defaults that is ~1 in 3
+    document lengths shipping a 100%-duplicate chunk into the RAG
+    index."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     toks = tokens_col(text_col)
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(step),
     )
     chunks = F.transform(
         starts,

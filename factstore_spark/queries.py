@@ -733,7 +733,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 DEDUP_NGRAM_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS L FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, UNNEST(
     CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
@@ -769,7 +769,7 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
 
 DEDUP_NGRAM_CAPPED_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS L FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id, UNNEST(
     CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
@@ -1098,7 +1098,7 @@ def text_token_stats(spark, sf_dir):
 
 TEXT_TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-  len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ws_tokens,
   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
 FROM documents
 """
@@ -1117,7 +1117,7 @@ def text_quality(spark, sf_dir):
 TEXT_QUALITY_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
-    string_split_regex(lower(text), '\s+') AS L,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     length(text) AS n_chars,
     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
   FROM documents),
@@ -1144,7 +1144,7 @@ def text_lang_id(spark, sf_dir):
 
 TEXT_LANG_ID_SQL = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 s AS (
   SELECT doc_id,
     len(list_filter(L, x -> x IN ('der','die','das','und','ist'))) AS s_de,
@@ -1171,7 +1171,7 @@ TEXT_FINGERPRINT_SQL = r"""
 SELECT doc_id, md5(lower(text)) AS md5_fp,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-      list_transform(string_split_regex(lower(text), '\s+'),
+      list_transform(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
                      t -> CAST(ascii(t[1]) * 31 + length(t) AS BIGINT))),
     (acc, e) -> (acc * 131 + e) % 1000000007) AS roll_fp
 FROM documents
@@ -1336,7 +1336,7 @@ def curation_quality_topk(spark, sf_dir):
 CURATION_QUALITY_TOPK_SQL = r"""
 WITH t AS (
   SELECT doc_id, source,
-    string_split_regex(lower(text), '\s+') AS L,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     length(text) AS n_chars,
     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
   FROM documents),
@@ -1480,7 +1480,7 @@ def text_top_ngrams(spark, sf_dir):
 
 TEXT_TOP_NGRAMS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 grams AS (
   SELECT DISTINCT doc_id, UNNEST(
     CASE WHEN len(L) < 2 THEN [array_to_string(L, ' ')]
@@ -1514,7 +1514,7 @@ def curation_pack_stats(spark, sf_dir):
 
 CURATION_PACK_STATS_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
   FROM documents),
 counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
 vocab AS (SELECT token FROM counts ORDER BY freq DESC, token ASC LIMIT 1000),
@@ -1553,7 +1553,7 @@ def curation_funnel(spark, sf_dir):
 
 CURATION_FUNNEL_SQL = r"""
 WITH t AS (
-  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS L,
+  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     length(text) AS n_chars,
     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
   FROM documents),
@@ -1643,13 +1643,13 @@ def text_chunks(spark, sf_dir):
 
 TEXT_CHUNKS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents)
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents)
 SELECT doc_id AS id,
   CAST(s / 24 AS BIGINT) AS chunk_idx,
   CAST(s AS BIGINT) AS start_token,
   CAST(len(L[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
   array_to_string(L[s + 1 : s + 32], ' ') AS chunk_text
-FROM (SELECT doc_id, L, UNNEST(range(0, greatest(len(L), 1), 24)) AS s FROM toks) t
+FROM (SELECT doc_id, L, UNNEST(range(0, greatest(len(L) - 8, 1), 24)) AS s FROM toks) t
 """
 
 
@@ -1666,7 +1666,7 @@ def retrieval_bm25(spark, sf_dir):
 
 RETRIEVAL_BM25_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 tf AS (
   SELECT doc_id, len(L) AS dl,
     len(list_filter(L, x -> x = 'vector')) AS tf0,
@@ -1711,7 +1711,7 @@ def retrieval_hybrid_rrf(spark, sf_dir):
 
 RETRIEVAL_HYBRID_RRF_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 tf AS (
   SELECT doc_id, len(L) AS dl,
     len(list_filter(L, x -> x = 'vector')) AS tf0,
@@ -1773,7 +1773,7 @@ def text_repetition(spark, sf_dir):
 
 TEXT_REPETITION_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 tc AS (
   SELECT doc_id, tok, COUNT(*) AS c
   FROM (SELECT doc_id, UNNEST(L) AS tok FROM toks) GROUP BY 1, 2),
@@ -1860,7 +1860,7 @@ def dedup_substring_spans(spark, sf_dir):
 
 DEDUP_SUBSTRING_SPANS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 w AS (
   SELECT doc_id, UNNEST(
     CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
@@ -2001,7 +2001,7 @@ def curation_ngram_contamination(spark, sf_dir):
 
 CURATION_NGRAM_CONTAMINATION_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 g AS (
   SELECT doc_id, UNNEST(
     CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
@@ -2027,7 +2027,7 @@ def text_vocab_map(spark, sf_dir):
 
 TEXT_VOCAB_MAP_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
   FROM documents),
 cnt AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
 vocab AS (
@@ -2311,7 +2311,7 @@ def corpus_source_stats(spark, sf_dir):
 
 CORPUS_SOURCE_STATS_SQL = r"""
 WITH t AS (
-  SELECT source, string_split_regex(lower(text), '\s+') AS L,
+  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     length(text) AS n_chars,
     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars,
     md5(lower(text)) AS fp
@@ -2349,7 +2349,7 @@ CURATION_E2E_SQL = r"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
 bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
 t AS (
-  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS L,
+  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     length(text) AS n_chars,
     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
   FROM d),
@@ -2382,7 +2382,7 @@ bg AS (
     CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
          ELSE list_transform(range(1, len(L) - 6), i -> array_to_string(L[i:i+7], ' '))
     END) AS gram
-  FROM (SELECT string_split_regex(lower(text), '\s+') AS L FROM bench)),
+  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM bench)),
 kg AS (
   SELECT DISTINCT doc_id, UNNEST(
     CASE WHEN len(L) < 8 THEN [array_to_string(L, ' ')]
@@ -3638,7 +3638,7 @@ def text_gopher_rules(spark, sf_dir):
 TEXT_GOPHER_RULES_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
-    string_split_regex(lower(text), '\s+') AS L,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     string_split(text, chr(10)) AS lines,
     length(text) AS n_chars
   FROM documents),
@@ -3681,7 +3681,7 @@ def text_tfdf_keywords(spark, sf_dir):
 TEXT_TFDF_KEYWORDS_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
-    unnest(string_split_regex(lower(text), '\s+')) AS token
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
   FROM documents),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -3943,7 +3943,7 @@ def dedup_ngram_containment(spark, sf_dir):
 
 DEDUP_NGRAM_CONTAINMENT_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS L FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id, UNNEST(
     CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
@@ -3996,7 +3996,7 @@ def text_token_bigrams(spark, sf_dir):
 
 TEXT_TOKEN_BIGRAMS_SQL = r"""
 WITH tok AS (
-  SELECT string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 bg AS (
   SELECT UNNEST(list_transform(range(1, len(L)), i -> L[i] || ' ' || L[i+1])) AS bigram
   FROM tok WHERE len(L) >= 2)
@@ -4322,7 +4322,7 @@ def text_rare_bigram_ratio(spark, sf_dir):
 
 TEXT_RARE_BIGRAM_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS L FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM documents),
 bg AS (
   SELECT doc_id,
     UNNEST(list_transform(range(1, len(L)), i -> L[i] || ' ' || L[i+1])) AS bigram

@@ -82,8 +82,10 @@ def test_top_ngrams_doc_frequency_and_ties(spark):
 
 
 def test_chunk_documents_boundaries(spark):
-    """10 tokens, window 4, overlap 1 (step 3): starts 0,3,6,9 — last
-    chunk truncates; overlapping tokens repeat across chunks."""
+    """10 tokens, window 4, overlap 1 (step 3): starts 0,3,6 — a start
+    of 9 would yield chunk [t9], fully CONTAINED in chunk 2 (t6..t9),
+    so starts stop at n_tokens - overlap; every chunk contributes at
+    least one new token."""
     import pytest
     from factstore_spark.operators.text import chunk_documents
 
@@ -94,11 +96,14 @@ def test_chunk_documents_boundaries(spark):
         key=lambda r: r.chunk_idx,
     )
     assert [(r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in rows] == [
-        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)
+        (0, 0, 4), (1, 3, 4), (2, 6, 4)
     ]
     assert rows[0].chunk_text == "t0 t1 t2 t3"
     assert rows[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
-    assert rows[3].chunk_text == "t9"
+    assert rows[2].chunk_text == "t6 t7 t8 t9"  # reaches the end
+    # no chunk is contained in its predecessor (each adds new tokens)
+    spans = [(r.start_token, r.start_token + r.n_chunk_tokens) for r in rows]
+    assert all(b[1] > a[1] for a, b in zip(spans, spans[1:]))
 
     # a doc shorter than one window yields exactly one chunk
     short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
