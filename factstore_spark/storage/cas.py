@@ -100,7 +100,13 @@ class HardlinkSlotStore(SlotStore):
             os.link(tmp, os.path.join(self.dir, name))
             won = True
         except FileExistsError:
-            won = False
+            # NFS lost-reply hazard: a retransmit of a SUCCESSFUL
+            # link(2) returns EEXIST — declaring a loss here while OUR
+            # link actually landed would make the caller delete the
+            # data file its durably-published claim references. The
+            # inode tells the truth: our tmp has nlink == 2 iff our
+            # link is the one that landed.
+            won = os.stat(tmp).st_nlink == 2
         finally:
             os.unlink(tmp)
         if won:

@@ -138,7 +138,14 @@ def compact_store(
                 if f.endswith(".parquet"):
                     os.link(os.path.join(sdir, f), os.path.join(ddir, f))
     else:
-        _write_sorted(spark.read.schema(FACT_SCHEMA).parquet(*files))
+        # First-ever compaction: the snapshot must come from the SAME
+        # commit-log state as max_seq (tail_files is data_layout's
+        # log-bounded resolution). The directory listing captured at
+        # entry (`files`) predates the log read — a commit landing
+        # between the two would be superseded by compacted_through =
+        # max_seq with its rows MISSING from the snapshot: silent,
+        # permanent data loss once the next compaction purges it.
+        _write_sorted(spark.read.schema(FACT_SCHEMA).parquet(*tail_files))
 
     with layout.commit_lock():
         # Re-check the guard INSIDE the lock: two concurrent compactions
@@ -163,7 +170,21 @@ def compact_store(
             for n in names:
                 if n.endswith(".parquet"):
                     rows += pq.read_metadata(os.path.join(root_dir, n)).num_rows
-        os.rename(tmp_dir, out_dir)
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            # Best-effort lease (optimistic backend): a concurrent
+            # compaction may have renamed its snapshot into out_dir
+            # after our in-lock guard ran — the rename hits the
+            # winner's non-empty dir (ENOTEMPTY/EEXIST). Back out
+            # cleanly; the lease contract is "a lost race costs
+            # duplicated work, not correctness" (and not a crash).
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return {
+                "files_before": len(files),
+                "compacted": False,
+                "reason": "lost race",
+            }
         record = {
             "seq": max_seq,
             "rows": rows,

@@ -315,17 +315,37 @@ class StoreLayout:
 
     # -- locking ------------------------------------------------------------
 
+    # Reconciliation cadence for the in-lock upkeep (orphan sweep +
+    # stream-mirror sync) on the APPEND path. Both are pure
+    # reconciliation — appends link their own file into the mirror and
+    # subscription builds re-sync explicitly — but each pass lists
+    # O(data files + lifetime stream entries), so running them on EVERY
+    # append made every single-row append pay the store's lifetime
+    # listing cost (the exact quadratic-lifetime tax this module's log
+    # parsing avoids). Maintenance acquisitions keep sweeping
+    # unconditionally (upkeep="always", the default).
+    UPKEEP_INTERVAL = 60.0
+
     @contextmanager
-    def commit_lock(self) -> Iterator[None]:
+    def commit_lock(self, upkeep: str = "always") -> Iterator[None]:
         """Per-store critical section. Serializes the check-and-append,
         giving the exactly-one-winner contract for racing conditional
-        appends (AbstractFactStoreTest.kt:385-420)."""
+        appends (AbstractFactStoreTest.kt:385-420). ``upkeep``:
+        "always" (maintenance) runs the reconciliation sweep on entry;
+        "cadence" (hot append path) at most once per UPKEEP_INTERVAL."""
+        import time as _time
+
         os.makedirs(self.store_dir, exist_ok=True)
         fd = os.open(os.path.join(self.store_dir, LOCK_FILE), os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
-            self._sweep_orphans()
-            self.sync_stream_links()
+            now = _time.time()
+            if upkeep == "always" or (
+                now - getattr(self, "_last_upkeep", 0.0) > self.UPKEEP_INTERVAL
+            ):
+                self._sweep_orphans()
+                self.sync_stream_links()
+                self._last_upkeep = now
             yield
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
@@ -404,7 +424,12 @@ class StoreLayout:
             "rows": len(rows),
             "appended_at": appended_at.isoformat(),
             "idempotency_key": idempotency_key,
-            "max_position": positions[-1] if positions else self.head_position(),
+            # empty commits derive the head from the snapshot in hand —
+            # head_position() would re-parse the whole log, and the
+            # record should describe the snapshot its seq came from
+            "max_position": positions[-1]
+            if positions
+            else max((c.max_position for c in commits), default=-1),
             "tag_fps": commit_tag_fps(rows),
         }
         path = os.path.join(self.store_dir, COMMITS_FILE)

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Optional
 
@@ -86,12 +87,37 @@ class OptimisticStoreLayout(StoreLayout):
         # incremental jsonl parse in layout.py eliminates for the flock
         # backend).
         self._claim_memo: dict[str, CommitRecord] = {}
+        # Seqs proven permanently vacant (see _seal_horizon): skipped by
+        # the hole-probe loop forever. Per-process only — a fresh open
+        # re-probes once, and a late-filled hole (arbitrarily-paused
+        # writer) still surfaces through LISTINGS, which memoization
+        # never suppresses.
+        self._vacant_memo: set[int] = set()
 
     def initialize(self) -> None:
         super().initialize()
         os.makedirs(self.log_dir, exist_ok=True)
 
     # -- commit log (merged: claim dir + legacy jsonl) ----------------------
+
+    def _read_claim(self, name: str) -> Optional[CommitRecord]:
+        """Read+parse+memoize ONE claim slot; None for an absent slot,
+        a raced delete, or an in-flight excl-create whose content has
+        not landed yet (transient — the next read re-attempts; claims
+        are immutable once complete, so a parsed record memoizes)."""
+        rec = self._claim_memo.get(name)
+        if rec is not None:
+            return rec
+        raw = self.slots.read(name)
+        try:
+            d = json.loads(raw) if raw else None
+        except json.JSONDecodeError:
+            d = None
+        if d is None:
+            return None
+        rec = commit_record_from_dict(d)
+        self._claim_memo[name] = rec
+        return rec
 
     def read_commits(self) -> list[CommitRecord]:
         jsonl = list(super().read_commits())  # maintenance-written lines
@@ -101,22 +127,10 @@ class OptimisticStoreLayout(StoreLayout):
         for name in self.slots.list_names():
             if not name.endswith(".json"):
                 continue
-            live.add(name)
-            rec = self._claim_memo.get(name)
+            rec = self._read_claim(name)
             if rec is None:
-                raw = self.slots.read(name)
-                try:
-                    d = json.loads(raw) if raw else None
-                except json.JSONDecodeError:
-                    d = None
-                if d is None:
-                    # Raced with a delete, or an in-flight excl-create
-                    # slot whose content hasn't landed yet — transient;
-                    # the next read re-attempts the parse.
-                    live.discard(name)
-                    continue
-                rec = commit_record_from_dict(d)
-                self._claim_memo[name] = rec
+                continue
+            live.add(name)
             if "-" not in name:
                 claim_seqs.add(rec.seq)
             out.append(rec)
@@ -139,26 +153,34 @@ class OptimisticStoreLayout(StoreLayout):
         probe = sorted(
             s
             for s in range(lo, max(claim_seqs, default=-1))
-            if s not in claim_seqs and s not in jsonl_seqs
+            if s not in claim_seqs
+            and s not in jsonl_seqs
+            and s not in self._vacant_memo
         )
+        # Vacancy sealing: bulk commits with caller-assigned positions
+        # jump next_seq past thousands of seqs, and re-probing every
+        # vacant interior seq on EVERY read (one RPC each on the
+        # objstore substrate) makes steady-state append cost
+        # O(position_span/stride). A hole can only fill late through a
+        # writer whose snapshot missed every younger commit — bounded
+        # by the substrate's listing/read lag — so once some committed
+        # claim is older than SEAL_TTL (>> any real lag), every vacant
+        # seq below it is memoized as permanently vacant. Residual: an
+        # arbitrarily-paused writer filling a sealed hole is still
+        # observed via listings (never memo-suppressed); only the
+        # direct-read re-probe stops.
+        seal = self._seal_horizon(claim_seqs) if probe else -1
         nxt = max(claim_seqs | jsonl_seqs, default=-1) + 1
         while True:
             for s in probe + [nxt]:
-                name = f"{s:020d}.json"
-                rec = self._claim_memo.get(name)
+                rec = self._read_claim(f"{s:020d}.json")
                 if rec is None:
-                    raw = self.slots.read(name)
-                    try:
-                        d = json.loads(raw) if raw else None
-                    except json.JSONDecodeError:
-                        d = None
-                    if d is None:
-                        if s == nxt:
-                            probe = None  # stop: head reached
-                        continue
-                    rec = commit_record_from_dict(d)
-                    self._claim_memo[name] = rec
-                live.add(name)
+                    if s == nxt:
+                        probe = None  # stop: head reached
+                    elif s < seal:
+                        self._vacant_memo.add(s)
+                    continue
+                live.add(f"{s:020d}.json")
                 out.append(rec)
             if probe is None:
                 break
@@ -174,13 +196,27 @@ class OptimisticStoreLayout(StoreLayout):
         out.sort(key=lambda c: (c.seq, c.compacted_through is not None))
         return _resolve_checkpoints(out)
 
+    SEAL_TTL = 3600.0  # see the vacancy-sealing comment in read_commits
+
+    def _seal_horizon(self, claim_seqs: set[int]) -> int:
+        """Largest committed claim seq whose slot is older than
+        SEAL_TTL — every vacant seq below it is permanently vacant
+        (newest-first scan: steady-state cost is one mtime per
+        younger-than-gate claim, and checkpointing bounds the claim
+        count)."""
+        for s in sorted(claim_seqs, reverse=True):
+            mt = self.slots.mtime(f"{s:020d}.json")
+            if mt is not None and time.time() - mt > self.SEAL_TTL:
+                return s
+        return -1
+
     # -- maintenance lease (CAS-based commit_lock replacement) --------------
 
     LEASE_SLOT = "maintenance.lease"
     LEASE_TTL = 600.0  # seconds; see docstring for the safety argument
     RECLAIM_TTL = 30.0  # age-out for a crashed reclaimer's token
 
-    def commit_lock(self):
+    def commit_lock(self, upkeep: str = "always"):
         """Maintenance critical section WITHOUT filesystem locking: a
         TTL lease claimed through the same pluggable CAS primitive as
         commits, so compaction/checkpoint mutual exclusion works on
@@ -270,11 +306,49 @@ class OptimisticStoreLayout(StoreLayout):
 
     # -- the atomic claim ---------------------------------------------------
 
+    # A writer killed between ExclCreateSlotStore's O_CREAT|O_EXCL name
+    # reservation and the content write leaves an EMPTY slot no record
+    # ever lands in: next_seq keeps deriving that seq and every claim
+    # fails forever — the append path is wedged. The gate is ~5 orders
+    # of magnitude above the create->write syscall gap; a live writer
+    # paused longer than this inside those two syscalls loses its claim
+    # (the same trade HDFS lease recovery makes).
+    EMPTY_SLOT_TTL = 60.0
+
     def _claim(self, name: str, record: dict) -> bool:
         """Atomically publish ``record`` as commit-log slot ``name``
         through the pluggable CAS primitive (storage/cas.py). Returns
         False if the slot is already taken (conflict)."""
-        return self.slots.put_if_absent(name, json.dumps(record).encode())
+        if self.slots.put_if_absent(name, json.dumps(record).encode()):
+            return True
+        self._maybe_reclaim_empty_slot(name)
+        return False
+
+    def _maybe_reclaim_empty_slot(self, name: str) -> None:
+        """Reclaim an aged EMPTY slot (crashed excl-create writer, see
+        EMPTY_SLOT_TTL) so the caller's retry loop can take the seq.
+        The delete is gated on a per-generation token — the same
+        two-reclaimer-safe pattern as the maintenance lease: only the
+        token winner deletes, re-checking the slot right before, so a
+        concurrent reclaimer's stale delete can never remove a freshly
+        re-claimed complete slot."""
+        raw = self.slots.read(name)
+        if raw:
+            return  # complete slot: a real conflicting commit
+        mt = self.slots.mtime(name)
+        if mt is None or time.time() - mt <= self.EMPTY_SLOT_TTL:
+            return
+        token = f"{name}.reclaim-{int(mt)}"
+        if self.slots.put_if_absent(token, b"reclaim"):
+            try:
+                if not self.slots.read(name) and self.slots.mtime(name) == mt:
+                    self.slots.delete(name)
+            finally:
+                self.slots.delete(token)
+        else:
+            tmt = self.slots.mtime(token)
+            if tmt is not None and time.time() - tmt > self.RECLAIM_TTL:
+                self.slots.delete(token)
 
     # -- row-append protocol ------------------------------------------------
 
@@ -316,7 +390,13 @@ class OptimisticStoreLayout(StoreLayout):
             "rows": len(rows),
             "appended_at": appended_at.isoformat(),
             "idempotency_key": idempotency_key,
-            "max_position": positions[-1] if positions else self.head_position(),
+            # empty commits derive the head from the snapshot in hand —
+            # head_position() would trigger a whole extra read_commits
+            # (one RPC per slot on the objstore substrate), and the
+            # record should describe the snapshot its seq came from
+            "max_position": positions[-1]
+            if positions
+            else max((c.max_position for c in commits), default=-1),
             "file": fname,
             "tag_fps": commit_tag_fps(rows),
         }
@@ -431,6 +511,22 @@ class OptimisticStoreLayout(StoreLayout):
         except OSError:
             pass
         committed_files = set()
+        # Claim-backed commits name their data via CommitRecord.file.
+        # LEGACY jsonl records (flock-era data, or claims folded by a
+        # checkpoint) may carry file=None with seq-derived paths —
+        # protect those by the same derivation _files_of uses, or a
+        # backend switch would sweep committed flock-era parquet as
+        # "orphans" after the age gate: permanent data loss. Only
+        # jsonl-sourced records get the derived-name shield; a
+        # claim-side reservation with file=None must NOT shield its
+        # bulk dir (the documented crashed-ingest leak).
+        for c in StoreLayout.read_commits(self):
+            if c.file:
+                committed_files.add(c.file)
+            elif c.bulk:
+                committed_files.add(f"commit-{c.seq:010d}-bulk")
+            else:
+                committed_files.add(f"commit-{c.seq:010d}.parquet")
         for c in self.read_commits():
             if c.file:
                 committed_files.add(c.file)

@@ -23,12 +23,19 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..schema import FACT_SCHEMA
 from .layout import StoreLayout
+
+try:  # pyspark>=4 moved it; keep both spellings importable
+    from pyspark.errors import AnalysisException  # noqa: F811
+except ImportError:  # pragma: no cover
+    pass
 
 INDEX_DIR = "tag_index"
 META_FILE = "tag_index_meta.json"
@@ -141,8 +148,17 @@ class TagIndex:
             json.dump({"built_through": last.seq}, f)
         return {"built": True, "through_seq": last.seq}
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.index_dir)
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        """None when the index tree is absent — including the
+        microseconds-wide two-rename swap window in build(): a reader
+        landing exactly there must FALL BACK to the scan path (the
+        documented contract), not surface an AnalysisException."""
+        if not os.path.isdir(self.index_dir):
+            return None
+        try:
+            return spark.read.parquet(self.index_dir)
+        except AnalysisException:
+            return None
 
     def positions_for_tags(self, spark: SparkSession, tags: dict[str, str]) -> DataFrame:
         """Position set for an AND-of-tags lookup (find_by_tags) —
@@ -210,6 +226,8 @@ class TagIndex:
         from ..model import TagOnlyQueryItem
 
         idx = self.read(spark)
+        if idx is None:
+            return None  # swap window / missing tree: caller falls back
         item_dfs = []
         for item in query.items:
             tag_sets = []

@@ -273,7 +273,8 @@ class FactStore:
             raise RuntimeError("append contention: 256 optimistic retries exhausted")
 
         # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
-        with layout.commit_lock():
+        # Hot path: reconciliation upkeep runs on a cadence, not per append.
+        with layout.commit_lock(upkeep="cadence"):
             commits = layout.read_commits()  # one parse serves key/seq/head
             if layout.idempotency_key_seen(key, commits):
                 return AlreadyApplied(key)
@@ -392,7 +393,7 @@ class FactStore:
         if isinstance(layout, OptimisticStoreLayout):
             return self._append_dataframe_optimistic(layout, df, key)
 
-        with layout.commit_lock():
+        with layout.commit_lock(upkeep="cadence"):
             commits = layout.read_commits()
             if layout.idempotency_key_seen(key, commits):
                 return AlreadyApplied(key)
@@ -829,9 +830,13 @@ class FactStore:
         # (same pattern as find_by_tag_query_indexed_df).
         commits = layout.read_commits()
         last_seq = commits[-1].seq if commits else -1
-        if last_seq >= 0 and tidx.built_through() >= last_seq:
+        positions = (
+            tidx.positions_for_tags(self.spark, tags)
+            if last_seq >= 0 and tidx.built_through() >= last_seq
+            else None  # stale index: scan path below
+        )
+        if positions is not None:  # None also covers the rebuild-swap window
             head_pos = commits[-1].max_position
-            positions = tidx.positions_for_tags(self.spark, tags)
             facts = self.facts_df(store_name, max_position=head_pos)
             probe = positions.limit(self.TAG_INDEX_PUSHDOWN_CAP + 1).collect()
             if len(probe) <= self.TAG_INDEX_PUSHDOWN_CAP:
@@ -923,6 +928,8 @@ class FactStore:
             return self.find_by_tag_query_df(store_name, query)
         head_pos = commits[-1].max_position
         positions = tidx.positions_for_query(self.spark, query)
+        if positions is None:  # rebuild-swap window: scan-path fallback
+            return self.find_by_tag_query_df(store_name, query)
         facts = self.facts_df(store_name, max_position=head_pos)
         return facts.join(positions, "position", "left_semi").orderBy(
             F.col("position").asc()
