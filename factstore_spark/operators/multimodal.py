@@ -127,11 +127,15 @@ def sample_frames(
     every_nth: int = 8,
     id_col: str = "media_id",
     data_col: str = "data",
+    decode_fn: Callable[[bytes], tuple[int, int, int]] = fake_decode,
 ) -> DataFrame:
     """Frame-sampling plumbing: emits one row per sampled frame with a
     deterministic fake frame payload (slice of the source bytes). A real
-    implementation swaps the slicing for ffmpeg keyframe extraction; the
-    explode shape, schema, and batch flow are what this exercises."""
+    implementation passes a ``decode_fn`` (same hook contract as
+    extract_media_meta — swapping in a real decoder must be a
+    one-argument change, never an operator edit) and swaps the slicing
+    for ffmpeg keyframe extraction; the explode shape, schema, and
+    batch flow are what this exercises."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -145,7 +149,7 @@ def sample_frames(
             ids, frame_nos, frames = [], [], []
             for mid, data in zip(pdf[id_col], pdf[data_col]):
                 raw = bytes(data) if data is not None else b""
-                _, _, n_frames = fake_decode(raw)
+                _, _, n_frames = decode_fn(raw)
                 for fno in range(0, n_frames, every_nth):
                     ids.append(mid)
                     frame_nos.append(fno)
@@ -167,6 +171,7 @@ def frame_dup_pairs(
     max_frame_df: int = 20,
     id_col: str = "media_id",
     data_col: str = "data",
+    decode_fn: Callable[[bytes], tuple[int, int, int]] = fake_decode,
 ) -> DataFrame:
     """Media pairs sharing >= ``min_shared`` sampled frames — the
     frame-level near-dup detector a video/image corpus needs (re-posts
@@ -179,7 +184,10 @@ def frame_dup_pairs(
     via one self-join on the frame hash. With a real decoder plugged
     into sample_frames this becomes true visual dedup; the shape,
     capping, and counting are what run at scale either way."""
-    frames = sample_frames(df, every_nth=every_nth, id_col=id_col, data_col=data_col)
+    frames = sample_frames(
+        df, every_nth=every_nth, id_col=id_col, data_col=data_col,
+        decode_fn=decode_fn,
+    )
     fh = (
         frames.filter(F.col("frame").isNotNull() & (F.length("frame") > 0))
         .select(F.col("media_id"), F.xxhash64("frame").alias("fh"))

@@ -53,6 +53,12 @@ def with_global_rank(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
+    if not offsets:
+        # Empty input: F.create_map() with no entries is map<void,void>
+        # and off_map[_pid] fails ANALYSIS (not just returns null) — an
+        # empty frame must rank to an empty frame, not raise.
+        out = ranged.withColumn(rank_col, F.lit(None).cast("long")).drop("_pid")
+        return (out, 0) if with_total else out
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )

@@ -153,8 +153,6 @@ def quantile_rollup(
     of the build — tested with a CI ceiling. Aggregation input is
     O(cells x n_bins), never O(rows).
     Output: (*group_cols, n_rows, q_<label> per requested quantile)."""
-    from pyspark.sql.window import Window
-
     # a global rollup (no group cols) rides an internal constant key
     group_cols = list(group_cols)
     drop_key = not group_cols
@@ -177,8 +175,17 @@ def quantile_rollup(
     totals = cells.groupBy(*group_cols).agg(F.sum("n_rows").alias("n_rows"))
     joined = cum.join(totals, list(group_cols))
     aggs = [
+        # relative epsilon on the threshold: cum is n_bins float
+        # additions of n_rows/n_bins, so full mass can land a few ulps
+        # BELOW q*N (e.g. 6 x 1/6 = 0.9999999999999999) and q=1.0
+        # would return NULL instead of the max breakpoint; 1e-9
+        # relative covers accumulation error out to ~10^7 bins while
+        # staying far under one bin's mass
         F.min(
-            F.when(F.col("cum") >= F.lit(q) * F.col("n_rows"), F.col("val"))
+            F.when(
+                F.col("cum") >= F.lit(q) * F.col("n_rows") * F.lit(1.0 - 1e-9),
+                F.col("val"),
+            )
         ).alias(f"q_{str(q).replace('.', '_')}")
         for q in quantiles
     ]

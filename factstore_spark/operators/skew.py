@@ -39,6 +39,7 @@ unaffected by which salt a row gets.
 
 from __future__ import annotations
 
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -92,6 +93,7 @@ def salted_join(
     on: Sequence[str],
     salt: int = 16,
     how: str = "inner",
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Equi-join a skewed fact side to a (non-broadcastable) dimension
     with the hot keys spread over ``salt`` reducers: fact rows get a
@@ -99,12 +101,20 @@ def salted_join(
     the join key becomes (*on, salt). Shuffle volume: facts unchanged,
     dimension x salt — the standard trade. Supported ``how``: inner,
     left (semantics preserved because every fact row's (key, salt)
-    finds exactly the replicas of its key)."""
+    finds exactly the replicas of its key).
+
+    Pass ``row_id_col`` (any unique fact column) wherever one exists —
+    the monotonically_increasing_id fallback is nondeterministic under
+    partial stage recomputation (the module-docstring caveat), which
+    for a JOIN means recomputed rows can land in different reduce
+    partitions than already-fetched partial output (the SPARK-23207
+    class of duplicated/lost rows). The internal salt column is
+    collision-proofed: a caller-owned ``_salt`` column passes through
+    untouched."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = list(on)
-    s = skewed.withColumn("_salt", _salt_col(salt))
-    d = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
-    return s.join(d, on + ["_salt"], how).drop("_salt")
+    sc = f"_salt_{uuid.uuid4().hex[:8]}"
+    s = skewed.withColumn(sc, _salt_col(salt, row_id_col))
+    d = dim.withColumn(sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return s.join(d, on + [sc], how).drop(sc)

@@ -59,21 +59,23 @@ def time_range_predicate(time_range: TimeRange, col: str = "appended_at") -> Col
 
 def compacted_date_bounds(time_range: TimeRange, col: str = "fact_date") -> Column:
     """Partition-pruning bounds for the compacted hive layout
-    (partitioned by ``fact_date`` = date(appended_at)). Widened by one
-    day on each side so a session-timezone difference between the
+    (partitioned by ``fact_date`` = date(appended_at)). Widened by TWO
+    days on each side so a session-timezone difference between the
     compacting and the querying cluster can never prune a partition
-    that holds in-range facts — the exact half-open ``appended_at``
-    predicate still decides membership."""
+    that holds in-range facts — the extreme legal zones span 26 hours
+    (UTC-12 vs UTC+14), so one day of slack is not enough at the edges.
+    The exact half-open ``appended_at`` predicate still decides
+    membership; the bounds only govern which partitions are read."""
     from datetime import timedelta
 
     pred = F.lit(True)
     if time_range.start is not None:
         pred = pred & (
-            F.col(col) >= F.lit((time_range.start - timedelta(days=1)).date())
+            F.col(col) >= F.lit((time_range.start - timedelta(days=2)).date())
         )
     if time_range.end is not None:
         pred = pred & (
-            F.col(col) <= F.lit((time_range.end + timedelta(days=1)).date())
+            F.col(col) <= F.lit((time_range.end + timedelta(days=2)).date())
         )
     return pred
 

@@ -191,3 +191,17 @@ def test_grouped_rank_target_pruning_keeps_target_rows_exact(spark):
     # and the pruned frame really is smaller than the corpus when the
     # group spans many cells
     assert pruned.count() < df.count()
+
+
+def test_global_rank_empty_input(spark):
+    """Empty input must rank to an empty frame, not fail analysis on
+    the empty offsets map (map<void,void>)."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.ranking import with_global_rank
+
+    df = spark.createDataFrame([], "v long, id long").filter(F.lit(False))
+    out, total = with_global_rank(
+        df, [F.col("v"), F.col("id")], with_total=True
+    )
+    assert out.count() == 0 and total == 0

@@ -148,3 +148,15 @@ def test_quantile_sketch_entry_honors_gk_bound(spark):
         for r in rows:
             assert r.within_gk_bound == 1, (sf, tuple(r))
             assert r.p25_est <= r.p50_est <= r.p75_est
+
+
+def test_quantile_rollup_q1_never_null(spark):
+    """q=1.0 must return the max breakpoint even when float
+    accumulation of n_bins x (n/n_bins) lands a few ulps below n
+    (e.g. 6 x 1/6 < 1.0)."""
+    from factstore_spark.operators.sketches import quantile_cells, quantile_rollup
+
+    df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    cells = quantile_cells(df, ["k"], "v", n_bins=6)
+    out = quantile_rollup(cells, [], [0.5, 1.0]).collect()[0]
+    assert out.q_1_0 is not None and out.q_0_5 is not None

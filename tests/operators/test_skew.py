@@ -81,3 +81,20 @@ def test_salted_join_rejects_right_joins(spark):
     df = _skewed_df(spark)
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, ["k"], how="right")
+
+
+def test_salted_join_preserves_caller_salt_column_and_row_id(spark):
+    """A caller-owned `_salt` column must pass through untouched, and
+    row_id_col gives a deterministic fact-side salt."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10, "keep-a"), (2, 20, "keep-b"), (1, 30, "keep-c")],
+        "k long, rid long, _salt string",
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, attr string")
+    out = salted_join(fact, dim, ["k"], salt=4, row_id_col="rid")
+    rows = {(r.rid): (r._salt, r.attr) for r in out.collect()}
+    assert rows == {10: ("keep-a", "x"), 20: ("keep-b", "y"), 30: ("keep-c", "x")}
