@@ -39,7 +39,7 @@ import socket
 import socketserver
 import struct
 import threading
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Iterator, Optional
 
 from .model import (
@@ -113,7 +113,14 @@ def _store_info(m) -> dict:
 
 
 def _parse_instant(raw: str) -> datetime:
-    return datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    # Same normalization as server.py's HTTP layer: bare (naive)
+    # stamps are interpreted as UTC, so time-range bounds never mix
+    # aware and naive datetimes (session-TZ-dependent results or a
+    # TypeError-class INTERNAL deep in the engine).
+    ts = datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts
 
 
 def _parse_payload(d: Optional[dict]):
@@ -199,7 +206,14 @@ def _parse_limit(raw) -> Optional[int]:
     if raw is None:
         return None
     n = int(raw)
-    if n <= 0:
+    if n == 0:
+        # proto3 cannot distinguish an unset int32 from 0: a generated
+        # stub (or MessageToDict with default printing) delivers 0 for
+        # "no limit", so 0 means unbounded — same as the HTTP layer.
+        # The spec's Limit must be > 0 (Limit.kt:12-34); explicit
+        # negatives are still a caller error.
+        return None
+    if n < 0:
         raise RpcError("INVALID_ARGUMENT", "limit must be > 0")
     return n
 
@@ -404,7 +418,13 @@ class FactStoreRpcService:
             start = StartPosition.After(req["afterFactId"])
         else:
             start = StartPosition.Beginning()
-        res = self.fs.subscribe(req.get("storeName", ""), start)
+        # keepalive_every: a quiet store yields an EMPTY batch that the
+        # wire layer writes as an empty frame — the only way a dead
+        # client socket ever surfaces on a quiet stream (same leak
+        # fix as the SSE ping in server.py).
+        res = self.fs.subscribe(
+            req.get("storeName", ""), start, keepalive_every=10.0
+        )
         yield from self._stream_outcomes(res)
 
     def _ReplayFacts(self, req: dict) -> Iterator[dict]:

@@ -350,7 +350,7 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                 elif isinstance(res, StoreNotFound):
                     self._json(404, {"error": "store not found"})
                 return
-            if len(parts) == 5 and parts[3] == "facts" and parts[4] == "query":
+            if len(parts) == 5 and parts[:2] == ["v1", "stores"] and parts[3] == "facts" and parts[4] == "query":
                 query = _parse_tag_query(self._read_body())
                 self._facts_response(self.fs.find_by_tag_query(parts[2], query))
                 return
@@ -391,10 +391,10 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                 else:
                     self._json(200, {"id": m.id, "name": m.name, "createdAt": m.created_at.isoformat()})
                 return
-            if len(parts) == 5 and parts[3] == "facts" and parts[4] == "subscribe":
+            if len(parts) == 5 and parts[:2] == ["v1", "stores"] and parts[3] == "facts" and parts[4] == "subscribe":
                 self._subscribe(parts[2], qs)
                 return
-            if len(parts) == 5 and parts[3] == "facts" and parts[4] == "replay":
+            if len(parts) == 5 and parts[:2] == ["v1", "stores"] and parts[3] == "facts" and parts[4] == "replay":
                 after = qs.get("after", [None])[0]
                 start = ReplayStart.After(after) if after else ReplayStart.Beginning()
                 res = self.fs.replay(parts[2], start)
@@ -434,20 +434,20 @@ class FactStoreHandler(BaseHTTPRequestHandler):
                         self.log_error("replay stream aborted mid-body: %r", exc)
                     self.close_connection = True
                 return
-            if len(parts) == 5 and parts[3] == "facts":
+            if len(parts) == 5 and parts[:2] == ["v1", "stores"] and parts[3] == "facts":
                 res = self.fs.find_by_id(parts[2], parts[4])
                 if isinstance(res, FactFound):
                     self._json(200, _fact_dict(res.fact))
                 else:
                     self._json(404, {"error": type(res).__name__})
                 return
-            if len(parts) == 6 and parts[3] == "subjects" and parts[5] == "facts":
+            if len(parts) == 6 and parts[:2] == ["v1", "stores"] and parts[3] == "subjects" and parts[5] == "facts":
                 res = self.fs.find_by_subject(
                     parts[2], parts[4], limit=_parse_limit(qs), direction=_parse_direction(qs)
                 )
                 self._facts_response(res)
                 return
-            if len(parts) == 4 and parts[3] == "facts":
+            if len(parts) == 4 and parts[:2] == ["v1", "stores"] and parts[3] == "facts":
                 tags = dict(t.split("=", 1) if "=" in t else (t, "") for t in qs.get("tag", []))
                 if tags:
                     if qs.get("from") or qs.get("to"):
@@ -474,15 +474,21 @@ class FactStoreHandler(BaseHTTPRequestHandler):
             self._json(400, {"error": str(e)})
 
     def do_DELETE(self):
-        parts, _qs = self._segments()
-        if len(parts) == 3 and parts[:2] == ["v1", "stores"]:
-            res = self.fs.remove(parts[2])
-            if isinstance(res, StoreRemoved):
-                self._json(204)
-            else:
-                self._json(404, {"error": "store not found"})
-            return
-        self._json(404, {"error": "no such route"})
+        try:
+            parts, _qs = self._segments()
+            if len(parts) == 3 and parts[:2] == ["v1", "stores"]:
+                res = self.fs.remove(parts[2])
+                if isinstance(res, StoreRemoved):
+                    self._json(204)
+                else:
+                    self._json(404, {"error": "store not found"})
+                return
+            self._json(404, {"error": "no such route"})
+        except (KeyError, ValueError, TypeError, AttributeError, OSError) as e:
+            # same guard as do_GET/do_POST — an engine error (e.g. an
+            # rmtree OSError under a concurrent reader) must yield an
+            # HTTP response, not a bare connection reset
+            self._json(400, {"error": str(e)})
 
     # -- SSE subscription (StreamResource.kt:23-39 analog) ---------------
 
@@ -495,7 +501,12 @@ class FactStoreHandler(BaseHTTPRequestHandler):
             start = StartPosition.End()
         else:
             start = StartPosition.Beginning()
-        gen = self.fs.subscribe(store, start, poll_interval=0.1)
+        # keepalive: on a quiet store the generator yields an empty
+        # batch every 10 s, which becomes an SSE comment write — the
+        # only way a dead socket ever surfaces (BrokenPipeError) so an
+        # abandoned subscription doesn't leak its thread + poll loop
+        # until process exit.
+        gen = self.fs.subscribe(store, start, poll_interval=0.1, keepalive_every=10.0)
         if isinstance(gen, StoreNotFound):
             self._json(404, {"error": "store not found"})
             return
@@ -508,12 +519,24 @@ class FactStoreHandler(BaseHTTPRequestHandler):
         self.end_headers()
         try:
             for batch in gen:
+                if not batch:
+                    self.wfile.write(b": ping\n\n")
+                    self.wfile.flush()
+                    continue
                 for f in batch:
                     payload = json.dumps(_fact_dict(f))
                     self.wfile.write(f"data: {payload}\n\n".encode())
                 self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
             return  # client went away — the flow is infinite by contract
+        except Exception as exc:  # noqa: BLE001
+            # Same rule as the replay stream: once headers are out, a
+            # mid-stream engine error (e.g. ArrowInvalid, a ValueError
+            # subclass that would otherwise fall through to do_GET's
+            # handler) must NOT write a second status line into the
+            # open event stream — log and drop the connection.
+            self.log_error("subscribe stream aborted mid-body: %r", exc)
+            self.close_connection = True
 
 
 def _parse_instant(raw):

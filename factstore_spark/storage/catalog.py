@@ -38,11 +38,26 @@ class Catalog:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    def _read(self) -> dict:
+    def _read(self, for_write: bool = False) -> dict:
+        """Read the catalog. Plain readers degrade an unreadable file to
+        an empty view (a fresh root genuinely has no catalog yet), but
+        WRITERS must not: create/remove read-modify-WRITE the whole
+        file, so treating a transiently unreadable or corrupted catalog
+        as empty would rewrite it with one entry and silently erase
+        every existing store registration. A writer therefore raises on
+        anything except clean absence."""
         try:
             with open(self._path()) as f:
                 return json.load(f)
-        except (OSError, json.JSONDecodeError):
+        except FileNotFoundError:
+            return {}
+        except (OSError, json.JSONDecodeError) as e:
+            if for_write:
+                raise RuntimeError(
+                    f"catalog {self._path()} unreadable ({e!r}); refusing to "
+                    "rewrite it from an empty view — that would erase every "
+                    "registered store. Repair or remove the file explicitly."
+                ) from e
             return {}
 
     def _write(self, data: dict) -> None:
@@ -64,7 +79,7 @@ class Catalog:
     def create(self, name: str) -> Optional[StoreMetadata]:
         """None -> name already exists (CreateStoreResult.kt:3-8)."""
         with self._lock():
-            data = self._read()
+            data = self._read(for_write=True)
             if name in data:
                 return None
             entry = {
@@ -87,7 +102,7 @@ class Catalog:
 
     def remove(self, name: str) -> Optional[StoreMetadata]:
         with self._lock():
-            data = self._read()
+            data = self._read(for_write=True)
             entry = data.pop(name, None)
             if entry is None:
                 return None

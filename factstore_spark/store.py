@@ -1052,12 +1052,20 @@ class FactStore:
         start=None,
         batch_size: int = DEFAULT_BATCH_SIZE,
         poll_interval: float = 0.1,
+        keepalive_every: Optional[float] = None,
     ):
         """Generator-based live subscription for embedded use: drain
         existing facts from ``start`` then follow the tail forever,
         yielding position-ordered batches. Poll-based like the memory
         backend (MemoryFactStore.kt:212-234, 100 ms); the Structured
-        Streaming variant above is the scale path."""
+        Streaming variant above is the scale path.
+
+        ``keepalive_every`` (seconds): yield an EMPTY batch when the
+        store has been quiet that long — transport adapters turn it
+        into a heartbeat write so a disconnected client is detected
+        (the write raises BrokenPipeError) instead of leaking a
+        thread + a poll loop forever on a quiet store. Embedded
+        consumers that skip the option never see empty batches."""
         start = start if start is not None else StartPosition.Beginning()
         meta = self.catalog.find_by_name(store_name)
         if meta is None:
@@ -1075,6 +1083,7 @@ class FactStore:
 
         def gen() -> Iterator[list[Fact]]:
             cursor = after_pos
+            last_emit = time.monotonic()
             while True:
                 head = layout.head_position()
                 if head > cursor:
@@ -1085,8 +1094,15 @@ class FactStore:
                     for i in range(0, len(rows), batch_size):
                         batch = [row_to_fact(r) for r in rows[i : i + batch_size]]
                         cursor = batch[-1].position
+                        last_emit = time.monotonic()
                         yield batch
                 else:
+                    if (
+                        keepalive_every is not None
+                        and time.monotonic() - last_emit >= keepalive_every
+                    ):
+                        last_emit = time.monotonic()
+                        yield []
                     time.sleep(poll_interval)
 
         return gen()

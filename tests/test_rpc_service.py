@@ -445,3 +445,26 @@ def test_malformed_condition_is_invalid_argument(channel):
             },
         )
     assert e.value.code == "INVALID_ARGUMENT"
+
+
+def test_rpc_naive_timestamp_and_zero_limit(fs):
+    """Bare timestamps are normalized to UTC (parity with the HTTP
+    layer) and proto3's unset-int default limit=0 means unbounded."""
+    from factstore_spark import FactInput
+    from factstore_spark.rpc import FactStoreRpcService, RpcError
+
+    svc = FactStoreRpcService(fs)
+    fs.create("tz-store")
+    fs.append("tz-store", FactInput(type="T", subject="a"))
+    out = svc.call("FactService", "FindFactsInTimeRange", {
+        "storeName": "tz-store",
+        "from": "2020-01-01T00:00:00",  # naive: interpreted as UTC
+        "to": "2099-01-01T00:00:00Z",
+    })
+    assert len(out["found"]["facts"]) == 1
+    out2 = svc.call("FactService", "FindFactsBySubject",
+                    {"storeName": "tz-store", "subject": "a", "limit": 0})
+    assert len(out2["found"]["facts"]) == 1
+    with pytest.raises(RpcError):
+        svc.call("FactService", "FindFactsBySubject",
+                 {"storeName": "tz-store", "subject": "a", "limit": -1})

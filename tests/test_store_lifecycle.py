@@ -170,3 +170,27 @@ def test_maintain_all_covers_every_store(fs):
     for s in ("ma-a", "ma-b"):
         assert stats[s]["compact"].get("compacted") is True
         assert fs.describe_store(s)["tag_index_fresh"] is True
+
+
+def test_catalog_writer_refuses_unreadable_file(spark, tmp_path):
+    """A transiently unreadable/corrupted catalog must never be
+    rewritten from an empty view — that would erase every registered
+    store. Writers raise; plain readers degrade gracefully."""
+    import pytest as _pytest
+
+    from factstore_spark import FactStore
+
+    fs = FactStore(spark, str(tmp_path / "root"))
+    fs.create("a")
+    fs.create("b")
+    path = fs.catalog._path()
+    with open(path, "w") as f:
+        f.write("{corrupted json")
+    assert fs.list_all() == []  # reader view degrades, no crash
+    with _pytest.raises(RuntimeError, match="refusing to rewrite"):
+        fs.create("c")
+    # repair: both original entries still present (file untouched)
+    import json as _json
+
+    raw = open(path).read()
+    assert raw.startswith("{corrupted")  # writer never clobbered it
