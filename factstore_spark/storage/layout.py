@@ -110,6 +110,12 @@ class CommitRecord:
     checkpoint: bool = False
     # Idempotency keys of all folded commits (checkpoint records only).
     keys: Optional[frozenset] = None
+    # Optimistic-backend bulk RESERVATION (zero-row claim that raises
+    # the head to make a position range unstealable before the data is
+    # published). Reservations never update the heads cache, and a
+    # pending one bounds published_head_position so subscription
+    # cursors cannot advance past data that has not landed yet.
+    reserved: bool = False
 
 
 def commit_record_from_dict(d: dict) -> CommitRecord:
@@ -126,6 +132,7 @@ def commit_record_from_dict(d: dict) -> CommitRecord:
         tag_fps=d.get("tag_fps"),
         checkpoint=d.get("checkpoint", False),
         keys=frozenset(keys) if keys is not None else None,
+        reserved=d.get("reserved", False),
     )
 
 
@@ -149,6 +156,8 @@ def commit_record_to_dict(c: CommitRecord) -> dict:
         d["checkpoint"] = True
     if c.keys is not None:
         d["keys"] = sorted(c.keys)
+    if c.reserved:
+        d["reserved"] = True
     return d
 
 
@@ -259,6 +268,40 @@ class StoreLayout:
         head pin (FdbFactStreamer.kt:60-84) reads this once, up front."""
         commits = self.read_commits()
         return max((c.max_position for c in commits), default=-1)
+
+    def published_head_position(self) -> int:
+        """Highest position SAFE for a forward-moving subscription
+        cursor: the head, bounded below any PENDING bulk reservation
+        (range claimed, data not yet published). A cursor advanced past
+        an unpublished range would exclude those facts forever once
+        they publish — both the no-loss and the position-ordered
+        delivery contracts require holding the cursor at the lowest
+        pending base. Reservations older than the in-flight grace (1h,
+        the orphan sweep's gate — after which a crashed ingest's data
+        dir is reaped anyway) stop holding the cursor back. Equals
+        head_position() on the flock backend (no reservations)."""
+        import time as _time
+        from datetime import datetime as _dt
+        from datetime import timezone as _tz
+
+        commits = self.read_commits()
+        head = max((c.max_position for c in commits), default=-1)
+        published = {c.file for c in commits if c.file}
+        for c in commits:
+            if not c.reserved:
+                continue
+            if f"commit-{c.seq:010d}-bulk" in published:
+                continue  # its data landed
+            try:
+                ts = _dt.fromisoformat(c.appended_at)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_tz.utc)
+                if _time.time() - ts.timestamp() > 3600:
+                    continue  # crashed ingest: a permanent hole
+            except ValueError:
+                pass
+            head = min(head, c.seq * POSITION_STRIDE - 1)
+        return head
 
     def next_seq(self, commits: Optional[list[CommitRecord]] = None) -> int:
         """Next commit seq: past both the last seq AND the head position
@@ -405,7 +448,18 @@ class StoreLayout:
         Returns (seq, positions). ``commits`` lets the append path reuse
         its one commit-log read (appends stay O(log) not O(log^2))."""
         commits = self.read_commits() if commits is None else commits
-        prev_seq = commits[-1].seq if commits else -1
+        # expected heads.seq = the last HEADS-UPDATING commit: the log
+        # is file-ordered, so commits[-1] can be a compaction record
+        # whose stale snapshot seq would falsely satisfy the crash-gap
+        # guard against heads that are missing newer commits
+        prev_seq = max(
+            (
+                c.seq
+                for c in commits
+                if c.compacted_through is None and not c.checkpoint and not c.reserved
+            ),
+            default=-1,
+        )
         seq = self.next_seq(commits)
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]

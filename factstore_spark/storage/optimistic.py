@@ -368,7 +368,22 @@ class OptimisticStoreLayout(StoreLayout):
 
         from ..schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
 
-        prev_seq = commits[-1].seq if commits else -1
+        # expected heads.seq = the last HEADS-UPDATING commit — not
+        # reservations / zero-row bulk publishes / compaction or
+        # checkpoint records, which never touch heads.json (a raw
+        # commits[-1] after a reservation made the heads fast path
+        # trip into a full rebuild on every row append)
+        prev_seq = max(
+            (
+                c.seq
+                for c in commits
+                if not c.reserved
+                and not c.checkpoint
+                and c.compacted_through is None
+                and (c.rows > 0 or not c.bulk)
+            ),
+            default=-1,
+        )
         seq = self.next_seq(commits)
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]

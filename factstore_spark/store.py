@@ -88,7 +88,19 @@ from .storage.layout import StoreLayout, utcnow_us
 DEFAULT_BATCH_SIZE = 10_000  # FdbFactStreamer.kt:22
 
 
-def assign_contiguous_positions(df: DataFrame, base: int) -> DataFrame:
+def _fresh_or_valid_key(idempotency_key: Optional[str]) -> str:
+    """None -> fresh key (a convenience append is NOT retry-idempotent,
+    FactAppender.kt:16-42). A caller-supplied key must be non-blank:
+    the falsy-or idiom would silently replace "" with a fresh UUID,
+    downgrading the call to non-idempotent with no error."""
+    if idempotency_key is None:
+        return str(uuid.uuid4())
+    if not idempotency_key.strip():
+        raise ValueError("idempotency_key must be non-blank")
+    return idempotency_key
+
+
+def assign_contiguous_positions(df: DataFrame, base: int, with_count: bool = False):
     """Assign contiguous positions ``base..base+n-1`` across an
     arbitrarily-partitioned frame with NO shuffle and NO global sort
     (the naive ``row_number() over (order by ...)`` collapses the whole
@@ -112,11 +124,34 @@ def assign_contiguous_positions(df: DataFrame, base: int) -> DataFrame:
         offsets[r["_pid"]] = acc
         acc += r["count"]
     if not offsets:
-        return df.withColumn("position", F.lit(base).cast("long"))
+        out = df.withColumn("position", F.lit(base).cast("long"))
+        return (out, 0) if with_count else out
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     intra = F.monotonically_increasing_id() - F.shiftleft(pid.cast("long"), 33)
-    return df.withColumn(
+    out = df.withColumn(
         "position", (F.lit(base) + off_map[pid] + intra).cast("long")
+    )
+    # acc == total rows: callers get the count of the SAME evaluation
+    # the offsets came from instead of paying a separate df.count()
+    return (out, acc) if with_count else out
+
+
+def _written_positions_agg(spark, files):
+    """One-pass (count, min, max, countDistinct) over a written bulk
+    commit's position column — the shared kernel of the post-write
+    total-order/unique-position validation in BOTH bulk append paths
+    (the invariant is checked on the WRITTEN data, never the plan that
+    produced it)."""
+    return (
+        spark.read.schema(FACT_SCHEMA)
+        .parquet(*files)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("position").alias("lo"),
+            F.max("position").alias("hi"),
+            F.countDistinct("position").alias("nd"),
+        )
+        .collect()[0]
     )
 
 
@@ -221,7 +256,7 @@ class FactStore:
         facts = list(facts)
         if not facts:
             raise ValueError("append requires at least one fact")
-        key = idempotency_key or str(uuid.uuid4())
+        key = _fresh_or_valid_key(idempotency_key)
 
         meta = self.catalog.find_by_name(store_name)
         if meta is None:
@@ -386,7 +421,7 @@ class FactStore:
         if meta is None:
             return StoreNotFound(store_name)
         layout = self._layout(meta.id)
-        key = idempotency_key or str(uuid.uuid4())
+        key = _fresh_or_valid_key(idempotency_key)
 
         from .storage.optimistic import OptimisticStoreLayout
 
@@ -434,17 +469,7 @@ class FactStore:
             ]
             agg = None
             if bulk_files:
-                agg = (
-                    self.spark.read.schema(FACT_SCHEMA)
-                    .parquet(*bulk_files)
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.min("position").alias("lo"),
-                        F.max("position").alias("hi"),
-                        F.countDistinct("position").alias("n_distinct"),
-                    )
-                    .collect()[0]
-                )
+                agg = _written_positions_agg(self.spark, bulk_files)
             if agg is not None and agg["n"] > 0:
                 # The strict total-order/unique-position invariant that
                 # cursors, replay bounds and heads depend on is checked
@@ -470,15 +495,15 @@ class FactStore:
                         f"min was {int(agg['lo']) - base} below base)"
                     )
                     return AppendConditionViolated(msg)
-                if int(agg["n_distinct"]) != int(agg["n"]):
+                if int(agg["nd"]) != int(agg["n"]):
                     shutil.rmtree(out_dir, ignore_errors=True)
                     msg = (
                         "pre-assigned positions must be unique within the commit "
-                        f"({int(agg['n']) - int(agg['n_distinct'])} duplicates)"
+                        f"({int(agg['n']) - int(agg['nd'])} duplicates)"
                         if preassigned
                         else "position assignment produced duplicates "
                         "(nondeterministic source partitioning between jobs; "
-                        f"{int(agg['n']) - int(agg['n_distinct'])} duplicates) — "
+                        f"{int(agg['n']) - int(agg['nd'])} duplicates) — "
                         "materialize the input or pre-assign positions"
                     )
                     return AppendConditionViolated(msg)
@@ -498,7 +523,7 @@ class FactStore:
             # O(commit) heads fold, not an O(store) rebuild: under the
             # flock there is no concurrency, so the pre-append last seq
             # is exactly what heads must carry for the merge to be safe.
-            prev_last = commits[-1].seq if commits else -1
+            prev_last = max((c.seq for c in commits), default=-1)
             layout._merge_heads_from_bulk(bulk_files, prev_last, seq)
         return Appended((), appended_at, (int(agg["lo"]), int(agg["hi"])))
 
@@ -544,9 +569,11 @@ class FactStore:
             rel_hi = int(agg["hi"]) if n else 0
             rel = staged
         else:
-            n = df.count()
+            # reuse the per-partition count job the position assignment
+            # runs anyway — a separate df.count() is a whole extra
+            # evaluation of the source plan per bulk append
+            rel, n = assign_contiguous_positions(staged, base=0, with_count=True)
             rel_hi = max(n - 1, 0)
-            rel = assign_contiguous_positions(staged, base=0)
         if n == 0:
             pseq = layout.publish_bulk(None, 0, layout.head_position(), appended_at, key)
             if pseq is None:
@@ -568,17 +595,7 @@ class FactStore:
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        agg2 = (
-            self.spark.read.schema(FACT_SCHEMA)
-            .parquet(*files)
-            .agg(
-                F.count("*").alias("n"),
-                F.min("position").alias("lo"),
-                F.max("position").alias("hi"),
-                F.countDistinct("position").alias("nd"),
-            )
-            .collect()[0]
-        )
+        agg2 = _written_positions_agg(self.spark, files)
         # Validate the invariant on the WRITTEN data, not the pre-write
         # evaluation of ``df`` (the write re-evaluates the plan; a
         # nondeterministic source can shift rows between partitions and
@@ -642,12 +659,30 @@ class FactStore:
         # interleaving (another commit landed after our publish, or a
         # heads-seq gap) falls back to the full rebuild inside the
         # merge — heads stay a cache, never a correctness dependency.
-        seqs = sorted({c.seq for c in layout.read_commits()})
-        prev_last = max((s for s in seqs if s < pseq), default=-1)
-        if seqs and seqs[-1] == pseq:
+        commits2 = layout.read_commits()
+        latest = max((c.seq for c in commits2), default=pseq)
+        # expected heads.seq = the last HEADS-UPDATING commit below our
+        # publish: reservations, zero-row bulk publishes and
+        # compaction/checkpoint records never touch heads.json — using
+        # the raw max seq (which is usually our own reservation) made
+        # the guard trip every time and this fast path an unreachable
+        # O(store) rebuild per batch
+        prev_last = max(
+            (
+                c.seq
+                for c in commits2
+                if c.seq < pseq
+                and not c.reserved
+                and not c.checkpoint
+                and c.compacted_through is None
+                and (c.rows > 0 or not c.bulk)
+            ),
+            default=-1,
+        )
+        if latest == pseq:
             layout._merge_heads_from_bulk(files, prev_last, pseq)
         else:
-            layout._rebuild_heads(seqs[-1] if seqs else pseq)
+            layout._rebuild_heads(latest)
         for f in files:
             layout._link_into_stream(f)
         return Appended((), appended_at, (int(agg2["lo"]), int(agg2["hi"])))
@@ -718,7 +753,16 @@ class FactStore:
         df = self.facts_df(store_name)
         if df is None:
             return None
-        p = prefix if prefix is not None else store_name
+        # Store names legally contain '-' (StoreName.kt regex), which
+        # is not a valid SQL identifier character — sanitize the
+        # DEFAULT prefix so register_views('my-store') registers
+        # my_store_facts instead of raising ParseException. An explicit
+        # prefix is the caller's responsibility, verbatim.
+        p = (
+            prefix
+            if prefix is not None
+            else "".join(c if c.isalnum() or c == "_" else "_" for c in store_name)
+        )
         facts_view, tags_view = f"{p}_facts", f"{p}_tags"
         df.createOrReplaceTempView(facts_view)
         df.select(
@@ -829,14 +873,18 @@ class FactStore:
         # One commit snapshot decides freshness AND caps the fact side
         # (same pattern as find_by_tag_query_indexed_df).
         commits = layout.read_commits()
-        last_seq = commits[-1].seq if commits else -1
+        # logically-latest, not commits[-1]: the flock log is
+        # file-ordered and a compaction record appended last carries
+        # the OLD snapshot seq/max_position — commits[-1] would pass a
+        # stale index as fresh and cap the scan below the true head
+        last_seq = max((c.seq for c in commits), default=-1)
         positions = (
             tidx.positions_for_tags(self.spark, tags)
             if last_seq >= 0 and tidx.built_through() >= last_seq
             else None  # stale index: scan path below
         )
         if positions is not None:  # None also covers the rebuild-swap window
-            head_pos = commits[-1].max_position
+            head_pos = max(c.max_position for c in commits)
             facts = self.facts_df(store_name, max_position=head_pos)
             probe = positions.limit(self.TAG_INDEX_PUSHDOWN_CAP + 1).collect()
             if len(probe) <= self.TAG_INDEX_PUSHDOWN_CAP:
@@ -923,10 +971,11 @@ class FactStore:
         # is then capped at that snapshot's head position so index and
         # fact table agree even if more commits land mid-query.
         commits = layout.read_commits()
-        last_seq = commits[-1].seq if commits else -1
+        # logically-latest, not commits[-1] (see find_by_tags_df)
+        last_seq = max((c.seq for c in commits), default=-1)
         if last_seq < 0 or tidx.built_through() < last_seq:
             return self.find_by_tag_query_df(store_name, query)
-        head_pos = commits[-1].max_position
+        head_pos = max(c.max_position for c in commits)
         positions = tidx.positions_for_query(self.spark, query)
         if positions is None:  # rebuild-swap window: scan-path fallback
             return self.find_by_tag_query_df(store_name, query)
@@ -1074,7 +1123,11 @@ class FactStore:
 
         after_pos = -1
         if isinstance(start, StartPosition.End):
-            after_pos = layout.head_position()
+            # published head: an IN-FLIGHT bulk (range reserved, data
+            # unpublished) commits after subscribe time, so its facts
+            # are post-open — pinning at the raw head would exclude
+            # them forever
+            after_pos = layout.published_head_position()
         elif isinstance(start, StartPosition.After):
             pos = layout.position_of_fact(start.fact_id)
             if pos is None:
@@ -1085,10 +1138,15 @@ class FactStore:
             cursor = after_pos
             last_emit = time.monotonic()
             while True:
-                head = layout.head_position()
+                # published head, never the raw head: advancing the
+                # cursor past a pending bulk reservation would exclude
+                # its facts FOREVER once they publish (and emit later
+                # positions first, breaking ordered delivery)
+                head = layout.published_head_position()
                 if head > cursor:
                     table = layout.read_arrow(
-                        filter=pa_ds.field("position") > cursor
+                        filter=(pa_ds.field("position") > cursor)
+                        & (pa_ds.field("position") <= head)
                     ).sort_by("position")
                     rows = table.to_pylist()
                     for i in range(0, len(rows), batch_size):

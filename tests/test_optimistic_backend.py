@@ -86,8 +86,9 @@ def test_bulk_auto_position_instability_rejected_optimistic(fso, spark, monkeypa
     the harmless reservation hole."""
     import factstore_spark.store as store_mod
 
-    def unstable(df, base):
-        return df.withColumn("position", F.lit(base).cast("long"))
+    def unstable(df, base, with_count=False):
+        out = df.withColumn("position", F.lit(base).cast("long"))
+        return (out, df.count()) if with_count else out
 
     monkeypatch.setattr(store_mod, "assign_contiguous_positions", unstable)
     fso.create(STORE)

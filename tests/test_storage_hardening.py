@@ -167,3 +167,95 @@ def test_vacant_seq_sealing_bounds_hole_probes(spark, tmp_path):
     rec3 = dict(rec, seq=3, max_position=3 * (1 << 20))
     assert layout.slots.put_if_absent("%020d.json" % 3, json.dumps(rec3).encode())
     assert any(c.seq == 3 for c in layout.read_commits())
+
+
+def test_indexed_finders_see_commits_landed_during_compaction(spark, tmp_path):
+    """A compaction record is appended LAST but carries the OLD
+    snapshot seq: with commits landing during the rewrite, the indexed
+    finders must resolve freshness against the logically-latest commit
+    (max seq), not the physically-last log line — or committed facts
+    silently vanish until the next append."""
+    from factstore_spark.storage.compact import compact_store
+    from factstore_spark.storage.layout import utcnow_us
+
+    fs, layout = _mk(spark, tmp_path)
+    fs.append("s", FactInput(type="T", subject="a", tags={"k": "v"}))
+    compact_store(spark, layout)
+    fs.build_tag_index("s")
+    fs.append("s", FactInput(type="T", subject="b", tags={"k": "v"}))
+    # replay the race's end state: a compaction record for the OLD
+    # snapshot becomes the physically-last log line
+    snap = [c for c in layout.read_commits() if c.compacted_through is not None][-1]
+    with layout.commit_lock():
+        layout.write_compaction_record({
+            "seq": snap.seq, "rows": snap.rows,
+            "appended_at": utcnow_us().isoformat(), "idempotency_key": None,
+            "max_position": snap.max_position,
+            "compacted_through": snap.compacted_through,
+        })
+    got = fs.find_by_tags("s", {"k": "v"})
+    assert {f.subject for f in got.facts} == {"a", "b"}
+
+    from factstore_spark.model import TagOnlyQueryItem, TagQuery
+
+    got2 = fs.find_by_tag_query_indexed("s", TagQuery([TagOnlyQueryItem({"k": "v"})]))
+    assert {f.subject for f in got2.facts} == {"a", "b"}
+
+
+def test_published_head_holds_below_pending_reservation(spark, tmp_path):
+    """A pending bulk reservation (range claimed, data unpublished)
+    must bound published_head_position so a subscription cursor can
+    never advance past facts that have not landed yet."""
+    from factstore_spark.schema import POSITION_STRIDE
+
+    fs, layout = _mk(spark, tmp_path, backend="optimistic")
+    fs.append("s", FactInput(type="T", subject="a"))
+    seq, base = layout.reserve_position_range(99, layout_now())
+    assert layout.head_position() >= base + 99
+    assert layout.published_head_position() == base - 1
+    # a row commit AFTER the reservation publishes at higher positions;
+    # the safe head still holds below the pending range
+    fs.append("s", FactInput(type="T", subject="b"))
+    assert layout.published_head_position() == base - 1
+    # once the reservation's bulk dir publishes, the bound lifts
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from factstore_spark.schema import FACT_ARROW_SCHEMA
+
+    d = os.path.join(layout.data_dir, f"commit-{seq:010d}-bulk")
+    os.makedirs(d)
+    rows = [{
+        "id": "x", "type": "T", "subject": "c",
+        "appended_at": layout_now(), "position": base,
+        "payload": {"data": b"", "format": None, "schema_ref": None},
+        "metadata": {}, "tags": {},
+    }]
+    pq.write_table(pa.Table.from_pylist(rows, schema=FACT_ARROW_SCHEMA),
+                   os.path.join(d, "part-0.parquet"))
+    layout.publish_bulk(f"commit-{seq:010d}-bulk", 1, base, layout_now(), None)
+    assert layout.published_head_position() == layout.head_position()
+
+
+def layout_now():
+    from factstore_spark.storage.layout import utcnow_us
+
+    return utcnow_us()
+
+
+def test_register_views_default_prefix_sanitizes_hyphens(spark, tmp_path):
+    fs = FactStore(spark, str(tmp_path / "root"))
+    fs.create("my-store")
+    fs.append("my-store", FactInput(type="T", subject="a"))
+    views = fs.register_views("my-store")
+    assert views == ["my_store_facts", "my_store_tags"]
+    assert spark.sql("SELECT count(*) n FROM my_store_facts").collect()[0].n == 1
+
+
+def test_blank_idempotency_key_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    fs = FactStore(spark, str(tmp_path / "root"))
+    fs.create("s")
+    with _pytest.raises(ValueError, match="non-blank"):
+        fs.append("s", [FactInput(type="T", subject="a")], idempotency_key="")
