@@ -124,7 +124,24 @@ def main() -> int:
             failures.append(name)
             continue
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
+            # Rows-only entries: "the emitted row IS the check" — so
+            # CHECK it. Convention across the battery: a column named
+            # match_bp must be 10000 and any *_ok column must be
+            # truthy, in every row; printing ok unconditionally let a
+            # failing contract (e.g. layout_ok=0) pass as green.
+            bad = []
+            for r in s_rows:
+                d = dict(zip(s_cols, r))
+                for col, v in d.items():
+                    if col == "match_bp" and v != 10000:
+                        bad.append(f"{col}={v}")
+                    elif col.endswith("_ok") and not v:
+                        bad.append(f"{col}={v}")
+            if bad:
+                print(f"FAIL {name}: contract columns tripped: {sorted(set(bad))}")
+                failures.append(name)
+            else:
+                print(f"ok   {name}: rows-only ({len(s_rows)} rows, contract green)")
             continue
         try:
             tbl = con.execute(sql).fetch_arrow_table()
