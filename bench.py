@@ -141,6 +141,7 @@ def main() -> None:
     from factstore_spark.store import FactStore
 
     root = tempfile.mkdtemp(prefix="bench-ingest-")
+    stream_timeout = False
     try:
         fs = FactStore(spark, root)
         fs.create("bench-ingest")
@@ -168,7 +169,12 @@ def main() -> None:
         finished = q.awaitTermination(300)
         if not finished:
             q.stop()  # don't let rmtree race an active query
-        timings["stream_catchup"] = round(time.time() - t0, 3) if finished else -1.0
+        # Record the real elapsed cost either way: a -1.0 sentinel summed
+        # into bench_total_sec would make a broken streaming leg LOWER the
+        # headline metric; the timeout is flagged out-of-band instead.
+        timings["stream_catchup"] = round(time.time() - t0, 3)
+        if not finished:
+            stream_timeout = True
         print(
             f"# stream_catchup: {timings['stream_catchup']}s "
             f"({n} rows{'' if finished else ', TIMED OUT'})",
@@ -336,6 +342,8 @@ def main() -> None:
         **append_stats,
         **subscribe_stats,
     }
+    if stream_timeout:
+        payload["stream_timeout"] = True
     # The driver records only the LAST ~2 KB of stdout; a single long
     # JSON line gets its head truncated and parses as null (BENCH_r04-
     # r06). Full detail goes to stderr; stdout gets exactly ONE compact

@@ -38,6 +38,15 @@ def _fact_json(f) -> str:
     )
 
 
+def _json_default(v):
+    # Datetimes nested inside dataclasses reach here; isoformat keeps
+    # every command's timestamp output parseable by one ISO-8601 parser
+    # (str(datetime) uses a space separator).
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
 def _result_json(res) -> str:
     return json.dumps(
         {"result": type(res).__name__, **{
@@ -46,7 +55,7 @@ def _result_json(res) -> str:
                 dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v)
             for k, v in (dataclasses.asdict(res) if dataclasses.is_dataclass(res) else {}).items()
         }},
-        default=str,
+        default=_json_default,
     )
 
 

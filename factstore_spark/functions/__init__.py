@@ -20,7 +20,12 @@ from ..operators.dedup import (
 from ..operators.layout import zorder_value
 from ..operators.sampling import split_bucket
 from ..operators.similarity import cosine_batch, cosine_similarity, pq_encode_col
-from ..operators.text import TOKEN_REGEX, tokens_col
+from ..operators.text import (
+    TOKEN_REGEX,
+    bpe_token_count_col,
+    token_count_col,
+    tokens_col,
+)
 from ..plans.predicates import (
     tag_query_predicate,
     tags_all_match,
@@ -48,14 +53,11 @@ __all__ = [
 ]
 
 
-def token_count(text_col: str = "text") -> Column:
-    """Whitespace token count."""
-    return F.size(tokens_col(text_col))
-
-
-def bpe_token_count(text_col: str = "text") -> Column:
-    """BPE-ish regex token count (letter runs / digit runs / other)."""
-    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0))
+# Aliases of the text-operator definitions — ONE token definition
+# shared by operators and facade (divergence here silently skews every
+# token-count consumer).
+token_count = token_count_col
+bpe_token_count = bpe_token_count_col
 
 
 def money_cents(col: Column | str) -> Column:

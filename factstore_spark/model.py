@@ -27,7 +27,7 @@ from datetime import datetime
 from enum import Enum
 from typing import Optional, Sequence, Union
 
-STORE_NAME_RE = re.compile(r"^[a-zA-Z]([a-zA-Z0-9_-]{0,253}[a-zA-Z0-9])?$|^[a-zA-Z]$")
+STORE_NAME_RE = re.compile(r"[a-zA-Z]([a-zA-Z0-9_-]{0,253}[a-zA-Z0-9])?")
 
 
 def validate_store_name(name: str) -> bool:
@@ -278,6 +278,11 @@ class ExpectedLastFact:
 
     def __post_init__(self) -> None:
         _require_non_blank(self.subject, "subject")
+        # Normalize exactly like FactInput does on append: a condition
+        # naming 'order/1 ' must check the same stream the fact 'order/1'
+        # was stored under, or the None-expectation guard silently passes
+        # against an empty phantom stream.
+        object.__setattr__(self, "subject", self.subject.strip())
 
 
 @dataclass(frozen=True)

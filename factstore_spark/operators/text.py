@@ -45,14 +45,23 @@ def tokens_col(text_col: str = "text") -> Column:
     )
 
 
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace token count (single source of truth — the functions
+    facade re-exports this; keeping one definition means the empty-token
+    filter in tokens_col can never diverge between the two)."""
+    return F.size(tokens_col(text_col))
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    """BPE-ish regex token count (runs of letters, runs of digits,
+    single other non-space chars)."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0))
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count (runs of
-    letters, runs of digits, single other non-space chars)."""
-    return df.withColumn(
-        "ws_tokens", F.size(tokens_col(text_col))
-    ).withColumn(
-        "bpe_tokens",
-        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)),
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.withColumn("ws_tokens", token_count_col(text_col)).withColumn(
+        "bpe_tokens", bpe_token_count_col(text_col)
     )
 
 

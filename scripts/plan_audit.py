@@ -20,11 +20,19 @@ from factstore_spark.session import get_spark
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    argv = sys.argv[1:]
     show = None
-    if "--show" in sys.argv:
-        show = sys.argv[sys.argv.index("--show") + 1]
+    if "--show" in argv:
+        i = argv.index("--show")
+        if i + 1 >= len(argv):
+            print("usage: plan_audit.py [sf_dir] [--show NAME]")
+            return 2
+        show = argv[i + 1]
+        del argv[i : i + 2]  # NAME is --show's operand, not a positional
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    if show is not None and show not in REGISTRY:
+        print(f"ERROR: unknown query name: {show}")
+        return 2
     spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     from tests.test_plan_quality import BNLJ_WHITELIST  # single source of truth

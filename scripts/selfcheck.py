@@ -104,6 +104,11 @@ def norm_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    unknown = only - set(REGISTRY)
+    if unknown:
+        # A typo'd filter must not report ALL MATCH having checked nothing.
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
     for t in TABLES:

@@ -117,7 +117,12 @@ def build(spark, k: int, out: str) -> None:
             (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" salt"), F.col("rep").cast("string")).alias("text"),
             "lang", "source",
-            (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+            # ' salt' is 5 chars + however many digits rep has — a
+            # constant +6 under-counts once K > 10 (rep >= 10 is 2 digits).
+            (
+                F.col("n_chars") + F.lit(5)
+                + F.length(F.col("rep").cast("string"))
+            ).alias("n_chars"),
         ),
         "documents",
     )

@@ -47,6 +47,17 @@ def test_expected_no_facts_violated_when_history_exists(fs):
     assert isinstance(r, AppendConditionViolated)
 
 
+def test_expected_last_fact_subject_normalized_like_fact_input(fs):
+    """FactInput strips its subject on append, so the condition must
+    check the SAME normalized stream — 'USER:ALICE ' with a trailing
+    space must see ALICE's facts, not an empty phantom subject (which
+    would let the None-expectation guard pass a duplicate 'first')."""
+    fs.create(STORE)
+    fs.append(STORE, FactInput(type="USER_CREATED", subject="USER:ALICE "))
+    r = fs.append(STORE, fi(), condition=ExpectedLastFact("USER:ALICE ", None))
+    assert isinstance(r, AppendConditionViolated)
+
+
 def test_expected_last_fact_other_subject_unaffected(fs):
     fs.create(STORE)
     fs.append(STORE, fi(subject="USER:BOB"))
