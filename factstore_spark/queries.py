@@ -4392,9 +4392,16 @@ def curation_leakage_safe_split(spark, sf_dir):
     from .operators.sampling import split_bucket
 
     docs_t = _t(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(
-        docs_t, n=3, min_jaccard=0.2, max_shingle_df=20
-    ).select("id_a", "id_b")
+    # Pin the LSH-filtered pair set once: it is consumed TWICE (the
+    # dup_clusters probe collect and the straddle-audit subtree of the
+    # final plan), and each execution re-runs the full shingle+join
+    # pipeline. The pair set is far smaller than the corpus by
+    # construction, so the checkpoint is cheap at any scale.
+    pairs = (
+        dedup_ops.ngram_jaccard_pairs(docs_t, n=3, min_jaccard=0.2, max_shingle_df=20)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     clusters = dedup_ops.dup_clusters(pairs)
     assign = (
         docs_t.select("doc_id")
@@ -4486,6 +4493,9 @@ def dedup_incremental_minhash(spark, sf_dir):
         _probe_ppm(docs_full, 50, target=2500, cache_key=(sf_dir, "documents")),
         salt="incdedup",
     )
+    # NOT pinned: the 3 passes re-scan parquet + re-filter the sample,
+    # but an A/B at sf0.1 measured the eager localCheckpoint 1.2s SLOWER
+    # than the codegen rescans it saves (50k-row pruned scans are cheap).
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
     idx = tempfile.mkdtemp(prefix="mh-idx-")
