@@ -114,6 +114,13 @@ def test_backends_equivalent_under_random_ops(spark, tmp_path, seed):
             FactStore(spark, str(tmp_path / "objl"), commit_backend=lagspec),
         ]
         trace_a = run_sequence(fa, seed)
+        # The trace must exercise ALL outcome types, or a drift in the
+        # random thresholds/seeds silently reduces this to
+        # unconditional-append equivalence — the DCB/idempotency paths
+        # are the hard part of swapping the commit substrate.
+        assert {"Appended", "AppendConditionViolated", "AlreadyApplied"} <= set(
+            trace_a
+        ), sorted(set(trace_a))
         obs_a = observable(fa)
         subj_a = {
             s: [(f.type, f.subject) for f in fa.find_by_subject(STORE, s).facts]

@@ -105,6 +105,7 @@ def test_random_ops_match_memory_model(fs):
     fs.create(STORE)
     model = MemoryModel()
 
+    appends = rejects = 0
     for step in range(40):
         fi = FactInput(
             type=rnd.choice(TYPES), subject=rnd.choice(SUBJECTS), tags=rand_tags(rnd)
@@ -114,11 +115,16 @@ def test_random_ops_match_memory_model(fs):
             STORE, fi, condition=cond if cond is not None else __default_cond()
         )
         if isinstance(res, Appended):
+            appends += 1
             ok = model.append(res.fact_ids[0], fi, cond)
             assert ok, f"step {step}: engine appended, model rejected cond={cond}"
         else:
+            rejects += 1
             assert isinstance(res, AppendConditionViolated), res
             assert not model.check(cond), f"step {step}: engine rejected, model allowed cond={cond}"
+    # Both branches must have been exercised — a drift in the condition
+    # generator could otherwise silently skip the rejection semantics.
+    assert appends > 0 and rejects > 0, (appends, rejects)
 
     # Observable state comparison across the finder surface.
     for subject in SUBJECTS:

@@ -18,6 +18,7 @@ Workers use pure pyarrow engine paths (no Spark needed to append)."""
 import json
 import subprocess
 import sys
+import tempfile
 
 import pytest
 
@@ -48,7 +49,23 @@ def backend(request):
     else:
         yield request.param
 
-WORKER = r"""
+# Start barrier shared by both workers: interpreter+import startup
+# (hundreds of jittery ms) dwarfs the few-append window, so without a
+# barrier the processes can fully SERIALIZE and the exactly-one-winner
+# assertion passes without any actual cross-process contention.
+BARRIER = r"""
+import os, time
+barrier_dir, wid = sys.argv[-2], sys.argv[-1]
+open(os.path.join(barrier_dir, "ready-" + wid), "w").close()
+deadline = time.time() + 60
+while not os.path.exists(os.path.join(barrier_dir, "go")):
+    if time.time() > deadline:
+        raise SystemExit("barrier timeout")
+    time.sleep(0.002)
+"""
+
+WORKER = (
+    r"""
 import json, sys
 sys.path.insert(0, "/root/repo")
 from factstore_spark.model import ExpectedLastFact, FactInput
@@ -56,6 +73,9 @@ from factstore_spark.store import FactStore
 
 root, seed_id, n, backend = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
 fs = FactStore(spark=None, root=root, commit_backend=backend)
+"""
+    + BARRIER
+    + r"""
 results = []
 for i in range(n):
     res = fs.append(
@@ -66,6 +86,21 @@ for i in range(n):
     results.append(type(res).__name__)
 print(json.dumps(results))
 """
+)
+
+
+def _release_when_ready(barrier_dir, n_workers):
+    """Wait (in-process) for every worker's ready file, then open the
+    gate so all workers enter their append loops together."""
+    import os
+    import time
+
+    deadline = time.time() + 60
+    while len([f for f in os.listdir(barrier_dir) if f.startswith("ready-")]) < n_workers:
+        if time.time() > deadline:
+            raise AssertionError("workers never reached the barrier")
+        time.sleep(0.002)
+    open(os.path.join(barrier_dir, "go"), "w").close()
 
 
 def test_multiprocess_exactly_one_winner(spark, store_root, backend):
@@ -75,13 +110,16 @@ def test_multiprocess_exactly_one_winner(spark, store_root, backend):
     assert isinstance(seed, Appended)
     seed_id = seed.fact_ids[0]
 
+    barrier_dir = tempfile.mkdtemp(prefix="race-barrier-")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, store_root, seed_id, "3", backend],
+            [sys.executable, "-c", WORKER, store_root, seed_id, "3", backend,
+             barrier_dir, str(w)],
             stdout=subprocess.PIPE,
         )
-        for _ in range(4)
+        for w in range(4)
     ]
+    _release_when_ready(barrier_dir, 4)
     outcomes = []
     for p in procs:
         out, _ = p.communicate(timeout=120)
@@ -98,28 +136,36 @@ def test_multiprocess_unconditional_appends_all_land(spark, store_root, backend)
     """Unconditional appends from racing processes must ALL commit with
     unique seqs/positions — on the optimistic backend every loser
     retries until it claims its own slot."""
-    worker = r"""
+    worker = (
+        r"""
 import json, sys
 sys.path.insert(0, "/root/repo")
 from factstore_spark.model import FactInput
 from factstore_spark.store import FactStore
 root, n, backend, wid = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
 fs = FactStore(spark=None, root=root, commit_backend=backend)
+"""
+        + BARRIER
+        + r"""
 ok = 0
 for i in range(n):
     res = fs.append("mp-store", FactInput(type="E", subject=f"S{wid}-{i}"))
     ok += type(res).__name__ == "Appended"
 print(json.dumps(ok))
 """
+    )
     fs = FactStore(spark, store_root, commit_backend=backend)
     fs.create("mp-store")
+    barrier_dir = tempfile.mkdtemp(prefix="race-barrier-")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", worker, store_root, "5", backend, str(w)],
+            [sys.executable, "-c", worker, store_root, "5", backend, str(w),
+             barrier_dir, str(w)],
             stdout=subprocess.PIPE,
         )
         for w in range(4)
     ]
+    _release_when_ready(barrier_dir, 4)
     total = 0
     for p in procs:
         out, _ = p.communicate(timeout=120)

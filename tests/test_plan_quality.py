@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from factstore_spark import FactInput, ReadDirection
 from factstore_spark.queries import REGISTRY
 
+# Single source for the testdata path (was hardcoded at ~15 call sites).
+SF_DIR = "/root/testdata/sf0.001"
+
 STORE = "default-test-store"
 
 
@@ -43,17 +46,21 @@ def test_replay_position_filter_pushdown(fs):
 
 
 def test_q3_broadcasts_dimensions(spark):
-    df = REGISTRY["q3_top_orders"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["q3_top_orders"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must not sort-merge at this size
 
 
 def test_text_ops_are_map_only(spark):
-    df = REGISTRY["text_token_stats"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["text_token_stats"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert "Exchange" not in plan  # pure projection: no shuffle at all
-    assert "WholeStageCodegen" in plan or "Project" in plan
+    # Map-only means NO aggregate/join/sort operators anywhere (a
+    # "WholeStageCodegen or Project" disjunction is true of virtually
+    # every plan and guards nothing).
+    for op in ("Aggregate", "Join", "Sort", "Window", "Expand"):
+        assert op not in plan, f"map-only plan contains {op}"
 
 
 def test_bulk_position_assignment_no_global_sort(spark):
@@ -80,7 +87,7 @@ def test_embedding_lsh_candidates_are_ids_only(spark):
     longs — dragging the vectors through the self-join forces a
     sort-based aggregate on array keys and shuffles the payload once
     per band (the measured 10x regression this guards against)."""
-    df = REGISTRY["dedup_embedding_lsh"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["dedup_embedding_lsh"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
@@ -89,7 +96,7 @@ def test_embedding_lsh_candidates_are_ids_only(spark):
 def test_pq_probe_join_broadcasts(spark):
     """IVF-PQ: the probe side (queries x probed cells) must broadcast;
     the corpus scan must never shuffle for cell assignment."""
-    df = REGISTRY["ann_pq_topk"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["ann_pq_topk"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -98,7 +105,7 @@ def test_pq_probe_join_broadcasts(spark):
 def test_contamination_probe_broadcasts_benchmark(spark):
     """Decontamination: benchmark fingerprints broadcast; the corpus is
     probed map-side, never shuffled."""
-    df = REGISTRY["curation_contamination"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["curation_contamination"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -109,7 +116,7 @@ def test_top_ngrams_uses_take_ordered(spark):
     — never a full global sort of the ngram counts."""
     from factstore_spark.operators.text import top_ngrams
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(top_ngrams(docs, n=2, k=20))
     assert "TakeOrderedAndProject" in plan
 
@@ -212,7 +219,7 @@ def test_pack_sequences_no_global_sort(spark):
     sorts only (a global-order window collapses 100 TB onto one task)."""
     from factstore_spark.operators.sampling import pack_sequences
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(pack_sequences(docs))
     tree = plan.split("\n\n", 1)[0]
     assert "Exchange SinglePartition" not in tree  # the global-sort signature
@@ -223,7 +230,7 @@ def test_ann_filtered_topk_pushes_filter_and_broadcasts(spark):
     """Filtered vector search: the keyword predicate reaches the
     documents parquet scan, and the query side broadcasts — the corpus
     is never shuffled for the scoring join."""
-    df = REGISTRY["ann_filtered_topk"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["ann_filtered_topk"][0](spark, SF_DIR)
     plan = plan_of(df)
     pushed = plan.split("PushedFilters", 1)[1][:300]
     assert "text" in pushed or "Contains" in pushed
@@ -233,7 +240,7 @@ def test_ann_filtered_topk_pushes_filter_and_broadcasts(spark):
 
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full fact schema."""
-    df = REGISTRY["fs_find_by_tags"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["fs_find_by_tags"][0](spark, SF_DIR)
     plan = plan_of(df)
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "props" not in read_schema and "value" not in read_schema
@@ -245,7 +252,7 @@ def test_shuffle_shards_no_global_sort(spark):
     ordered exchange): shard assignment hashes, windows sort locally."""
     from factstore_spark.operators.sampling import shuffle_shards
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(shuffle_shards(docs, n_shards=8))
     tree = plan.split("\n\n", 1)[0]
     assert "Exchange SinglePartition" not in tree
@@ -259,7 +266,7 @@ def test_substring_spans_posting_list_shape(spark):
     stays a hash join, never a nested-loop product."""
     from factstore_spark.operators.dedup import substring_dup_spans
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(substring_dup_spans(docs, n=8))
     assert "HashAggregate" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
@@ -300,7 +307,7 @@ def test_round4_queries_plan_shapes(spark):
     join strategy in any of the 17 entries."""
     problems = []
     for name, (forbid, want) in ROUND4_PLAN_RULES.items():
-        plan = plan_of(REGISTRY[name][0](spark, "/root/testdata/sf0.001"))
+        plan = plan_of(REGISTRY[name][0](spark, SF_DIR))
         problems += [(name, "forbidden", f) for f in forbid if f in plan]
         problems += [(name, "missing", w) for w in want if w not in plan]
     assert not problems, problems
@@ -335,7 +342,7 @@ def test_no_entry_gains_a_cartesian_or_unlisted_bnlj(spark):
     BroadcastNestedLoopJoin only in the whitelist above. A new entry
     (or a regressed join strategy in an old one) fails here before the
     bench ever sees it."""
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     offenders = []
     for name, (fn, _) in REGISTRY.items():
         plan = plan_of(fn(spark, sf))
@@ -352,7 +359,7 @@ def test_q21_single_lineitem_scan(spark):
     — ONE lineitem scan, no self-join of the late set. Four scans of
     the biggest table was the round-6 sf1 bench's worst scaler (6.0x
     at 10x data, SCALE.md)."""
-    df = REGISTRY["q21_waiting_suppliers"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["q21_waiting_suppliers"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned exactly once"
     assert "CartesianProduct" not in plan
@@ -363,7 +370,7 @@ def test_iqr_uses_pid_cell_windows(spark):
     """events_value_iqr must rank inside (_pid, group) cells like the
     median (grouped distributed rank with target pruning), never a
     whole-group window."""
-    df = REGISTRY["events_value_iqr"][0](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["events_value_iqr"][0](spark, SF_DIR)
     plan = plan_of(df)
     lines = [
         l for l in plan.splitlines()

@@ -31,15 +31,22 @@ def test_first_compaction_uses_log_consistent_file_list(spark, tmp_path, monkeyp
     real = layout.data_files
     calls = {"n": 0}
 
+    truncated = {"hit": False}
+
     def stale_listing(max_seq=None):
         calls["n"] += 1
         files = real(max_seq)
         if calls["n"] == 1 and max_seq is None:
+            truncated["hit"] = True
             return files[:1]  # entry listing predates the second commit
         return files
 
     monkeypatch.setattr(layout, "data_files", stale_listing)
     out = compact_store(spark, layout)
+    # The fault must actually have fired — a compact_store refactor that
+    # stops listing without max_seq would turn this into a no-fault
+    # happy-path test without this guard.
+    assert truncated["hit"], "stale-listing fault was never injected"
     assert out["compacted"] and out["rows"] == 2  # BOTH commits present
     facts = fs.find_by_subject("s", "s2")
     assert len(facts.facts) == 1
@@ -97,12 +104,18 @@ def test_hardlink_put_if_absent_survives_eexist_retransmit(tmp_path, monkeypatch
     store = HardlinkSlotStore(str(tmp_path / "slots"))
     real_link = os.link
 
+    raised = {"hit": False}
+
     def flaky_link(src, dst, **kw):
         real_link(src, dst, **kw)
+        raised["hit"] = True
         raise FileExistsError(dst)  # the retransmit's EEXIST
 
     monkeypatch.setattr(os, "link", flaky_link)
     assert store.put_if_absent("a.json", b"{}") is True
+    # Guard: if HardlinkSlotStore stops using os.link the fault never
+    # fires and the EEXIST-retransmit path goes untested.
+    assert raised["hit"], "flaky-link fault was never injected"
     monkeypatch.undo()
     assert store.read("a.json") == b"{}"
     assert store.put_if_absent("a.json", b"other") is False  # real conflict
@@ -206,8 +219,6 @@ def test_published_head_holds_below_pending_reservation(spark, tmp_path):
     """A pending bulk reservation (range claimed, data unpublished)
     must bound published_head_position so a subscription cursor can
     never advance past facts that have not landed yet."""
-    from factstore_spark.schema import POSITION_STRIDE
-
     fs, layout = _mk(spark, tmp_path, backend="optimistic")
     fs.append("s", FactInput(type="T", subject="a"))
     seq, base = layout.reserve_position_range(99, layout_now())

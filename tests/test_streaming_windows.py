@@ -122,8 +122,11 @@ def test_dedup_stream_by_content(fs, spark, tmp_path):
     )
     rows = out.collect()
     assert len(rows) == 2  # one survivor per distinct content
-    assert {r.type for r in rows} <= {"A", "B", "C"}
-    assert "C" in {r.type for r in rows}  # the unique content always survives
+    # Exactly ONE of the duplicate pair {A, B} survives (a <= {A,B,C}
+    # subset check would be tautological — the store contains nothing
+    # else), and the unique content C always survives.
+    assert len({r.type for r in rows} & {"A", "B"}) == 1
+    assert "C" in {r.type for r in rows}
 
 
 def test_dedup_stream_binary_case_sensitive(fs, spark, tmp_path):
@@ -276,7 +279,7 @@ def test_running_totals_stateful_honors_key_col_name(seeded_stream, spark, tmp_p
 SF_EVENTS = "/root/testdata/sf0.001"
 
 
-def _events_stream(spark):
+def _events_stream(spark, sf_dir=SF_EVENTS):
     """The events table as a file-source STREAM, with the same ts
     normalization load_events applies to the batch side. The file
     source wants a DIRECTORY; testdata is read-only, so the single
@@ -286,7 +289,7 @@ def _events_stream(spark):
 
     from pyspark.sql import functions as F
 
-    path = SF_EVENTS + "/events.parquet"
+    path = sf_dir + "/events.parquet"
     stream_dir = tempfile.mkdtemp(prefix="events-stream-")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
@@ -330,7 +333,7 @@ def test_streaming_ohlc_equals_batch(spark, tmp_path):
             "open", "high", "low", "close", "n_trades", "volume",
         ).collect()
     }
-    assert got == want
+    assert got == want and want  # `and want`: empty==empty must not pass
 
 
 def test_streaming_hopping_equals_batch(spark, tmp_path):
@@ -342,12 +345,16 @@ def test_streaming_hopping_equals_batch(spark, tmp_path):
     from factstore_spark.queries import events_sliding_windows
     from factstore_spark.streaming.windows import hopping_counts
 
+    # sf0.01, not sf0.001: at sf0.001 NO 5-minute window accrues 3
+    # events of one type, both sides are empty, and the equivalence
+    # would pass vacuously (it did, until the `and want` guard below).
+    sf = "/root/testdata/sf0.01"
     want = {
         (r.window_start_us, r.event_type): (r.n, r.value_cents)
-        for r in events_sliding_windows(spark, SF_EVENTS).collect()
+        for r in events_sliding_windows(spark, sf).collect()
     }
     out = _drain(
-        hopping_counts(_events_stream(spark)), "hop_ss", tmp_path, spark,
+        hopping_counts(_events_stream(spark, sf)), "hop_ss", tmp_path, spark,
         mode="complete",
     )
     got = {
@@ -357,7 +364,7 @@ def test_streaming_hopping_equals_batch(spark, tmp_path):
             F.unix_micros("window_start").alias("ws_us"), "event_type", "n", "value_sum"
         ).collect()
     }
-    assert got == want
+    assert got == want and want  # `and want`: empty==empty must not pass
 
 
 def test_streaming_type_transitions_equals_batch(spark, tmp_path):
@@ -505,6 +512,10 @@ def test_streaming_heavy_hitters_mg_bounds(spark, tmp_path):
     by_key = {}
     for r in final:
         by_key.setdefault(r.event_type, []).append(r)
+    # Every key with events must appear in the stream output — the
+    # per-key loops below iterate over EMITTED keys, so without this a
+    # whole key silently dropped by the operator would pass green.
+    assert set(by_key) == set(n_per_key), (set(by_key), set(n_per_key))
     for k, ests in by_key.items():
         assert len(ests) <= M, (k, len(ests))
         assert ests[0].n_seen == n_per_key[k], "n_seen must count every event"
