@@ -65,14 +65,40 @@ def test_concurrent_compactions_one_winner(fs, spark):
     (ADVICE r1: the guard is re-checked inside the commit lock)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    import threading
+
     seed(fs, n=12)
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futures = [ex.submit(fs.compact, STORE) for _ in range(2)]
-        results = [f.result() for f in futures]
+    # Force a TRUE race: both compactions must capture their snapshot
+    # (the first read_commits call) before either proceeds to the swap.
+    # Without this the threads can serialize — the loser reports
+    # 'up to date' and the in-lock guard re-check never fires.
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+    real_read = layout.read_commits
+    barrier = threading.Barrier(2, timeout=30)
+    synced = threading.local()
+
+    def synced_read(*a, **kw):
+        out = real_read(*a, **kw)
+        if not getattr(synced, "done", False):
+            synced.done = True
+            barrier.wait()
+        return out
+
+    layout.read_commits = synced_read
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futures = [ex.submit(fs.compact, STORE) for _ in range(2)]
+            results = [f.result() for f in futures]
+    finally:
+        layout.read_commits = real_read
     wins = [r for r in results if r.get("compacted")]
     losses = [r for r in results if not r.get("compacted")]
     assert len(wins) == 1 and len(losses) == 1
-    assert losses[0].get("reason") in ("lost race", "up to date")
+    # Both read the same snapshot, so the loser MUST have lost the
+    # race at the in-lock guard — 'up to date' would mean it never
+    # raced at all.
+    assert losses[0].get("reason") == "lost race", losses[0]
     # store still fully readable after the race
     assert len(fs.find_by_subject(STORE, "S1").facts) > 0
 

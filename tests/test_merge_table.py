@@ -326,6 +326,9 @@ def test_one_file_per_partition_per_version(spark, tmp_path):
         .repartition(16)
     )
     m = create_table(df, d, ["id"], "part")
+    # All 3 partition values must be present — an empty/short partitions
+    # map would otherwise skip the loop body and pass vacuously.
+    assert set(m["partitions"]) == {"0", "1", "2"}, sorted(m["partitions"])
     for rel in m["partitions"].values():
         files = [
             f for f in os.listdir(os.path.join(d, rel)) if f.endswith(".parquet")
@@ -500,20 +503,34 @@ def test_partition_values_needing_escaping_round_trip(spark, tmp_path):
     assert v["ok"], v["problems"]
 
 
-def test_head_manifest_repair_survives_read_only_dir(spark, tmp_path):
+def test_head_manifest_repair_survives_read_only_dir(spark, tmp_path, monkeypatch):
     """The opportunistic _LATEST repair is cache maintenance: a
     read-only consumer must still be served the true head after a
-    writer crashed between the snapshot CAS and the pointer swap."""
+    writer crashed between the snapshot CAS and the pointer swap.
+
+    The failure is injected by making _publish raise (chmod 0o555
+    cannot block a root-run suite — the original chmod version of this
+    test passed vacuously via the ordinary writable-dir repair path)."""
     import json
     import os as _os
+
+    from factstore_spark.storage import merge as merge_mod
 
     d = str(tmp_path / "ro")
     m1 = create_table(_rows(spark, [(1, "a", "x")]), d, ["id"], "part")
     merge_upsert(_rows(spark, [(1, "a", "x2")]), d)
     with open(_os.path.join(d, "_LATEST"), "w") as fh:
         fh.write(json.dumps(m1))  # stale pointer = the crash window
-    _os.chmod(d, 0o555)
-    try:
-        assert _snap(spark, d) == {1: ("a", "x2")}  # true head served
-    finally:
-        _os.chmod(d, 0o755)
+    denied = {"hit": False}
+
+    def deny_publish(table_dir, manifest):
+        denied["hit"] = True
+        raise OSError(30, "Read-only file system", table_dir)
+
+    monkeypatch.setattr(merge_mod, "_publish", deny_publish)
+    assert _snap(spark, d) == {1: ("a", "x2")}  # true head served
+    assert denied["hit"], "repair write was never attempted"
+    monkeypatch.undo()
+    # Next read repairs the pointer for real.
+    assert _snap(spark, d) == {1: ("a", "x2")}
+    assert json.load(open(_os.path.join(d, "_LATEST")))["snapshot"] == 2

@@ -122,7 +122,15 @@ def test_dcb_condition_sees_fresh_commit_under_list_lag(spark, store_root, lagge
         "dcb-lag", FactInput(type="CREATED", subject="U:1", tags={"user": "u1"})
     )
     assert isinstance(res, Appended)
-    # immediately — the commit above is still absent from list_prefix
+    # PREMISE pin, not just a comment: the commit above must still be
+    # hidden from the lagged listing when the condition evaluates, or
+    # this silently degenerates to the ordinary visible-commit case.
+    meta = fs.catalog.find_by_name("dcb-lag")
+    layout = fs._layout(meta.id)
+    newest = max(c.seq for c in layout.read_commits())
+    assert f"{newest:020d}.json" not in layout.slots.list_names(), (
+        "lag window already expired — the probing-reader path is not being tested"
+    )
     cond = TagQueryBased(TagQuery([TagOnlyQueryItem({"user": "u1"})]))
     dup = fs.append(
         "dcb-lag", FactInput(type="CREATED", subject="U:1b", tags={"user": "u1"}),
@@ -173,7 +181,23 @@ def test_dcb_race_exactly_one_winner_under_list_lag(spark, store_root, lagged_sp
     assert len(got.facts) == 1
 
 
-def test_dcb_index_served_path_under_list_lag(spark, store_root, lagged_spec):
+@pytest.fixture()
+def long_lagged_spec():
+    """A 15 s listing lag: maintain() runs seconds of Spark work AFTER
+    writing its compaction/checkpoint records, so the default 0.4 s
+    window has always expired by the first post-maintenance append —
+    the index-served-under-lag premise needs a window that outlives the
+    maintenance tail (correctness never depends on listings, so the
+    long lag costs nothing but honesty)."""
+    srv = ObjectStoreServer()
+    try:
+        yield srv.start(list_lag=15.0, read_lag=0.0)
+    finally:
+        srv.stop()
+
+
+def test_dcb_index_served_path_under_list_lag(spark, store_root, long_lagged_spec):
+    lagged_spec = long_lagged_spec
     """The index-served DCB fast path under lag: right after maintain()
     the tag index is fresh, but the compaction/checkpoint commit
     records it is gated on are themselves still inside the listing-lag
@@ -192,6 +216,15 @@ def test_dcb_index_served_path_under_list_lag(spark, store_root, lagged_spec):
     )
     st = fs.maintain("dcb-idx-lag")
     assert st["compact"].get("compacted") is True
+    # PREMISE pin: the compaction record the fast path is gated on must
+    # STILL be hidden by the listing lag — otherwise this is the plain
+    # visible-commit case and the probing reader goes untested.
+    # st proved the record was WRITTEN; the lagged listing must not
+    # show it (or any commit slot) yet.
+    meta = fs.catalog.find_by_name("dcb-idx-lag")
+    layout = fs._layout(meta.id)
+    listed = layout.slots.list_names()
+    assert not any(n.endswith(".json") for n in listed), listed
     # inside the lag window after maintenance: index-served refusal + admit
     hit = fs.append(
         "dcb-idx-lag", FactInput(type="T", subject="s2", tags={"k": "v1"}),

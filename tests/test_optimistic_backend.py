@@ -260,25 +260,35 @@ def test_reclaim_storm_single_winner(tmp_path):
 
     n = 8
     barrier = threading.Barrier(n)
-    active, overlaps = [], []
+    active, overlaps, entered, errors = [], [], [], []
     lock = threading.Lock()
 
     def worker():
         barrier.wait()
-        with layout.commit_lock():
-            with lock:
-                if active:
-                    overlaps.append(tuple(active))
-                active.append(threading.get_ident())
-            time.sleep(0.05)
-            with lock:
-                active.remove(threading.get_ident())
+        try:
+            with layout.commit_lock():
+                with lock:
+                    if active:
+                        overlaps.append(tuple(active))
+                    active.append(threading.get_ident())
+                    entered.append(threading.get_ident())
+                time.sleep(0.05)
+                with lock:
+                    active.remove(threading.get_ident())
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
 
     threads = [threading.Thread(target=worker) for _ in range(n)]
     for t in threads:
         t.start()
     for t in threads:
         t.join(timeout=30)
+    # Every reclaimer must have ACQUIRED (not crashed): a regression
+    # that raises in the token-CAS retry loop would otherwise leave
+    # overlaps empty and the test green with 7/8 workers dead.
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads), "worker wedged"
+    assert len(entered) == n, f"only {len(entered)}/{n} reclaimers acquired"
     assert overlaps == []
     # everyone released; neither the lease nor any reclaim token leaks
     assert layout.slots.read(layout.LEASE_SLOT) is None

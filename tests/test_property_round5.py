@@ -134,4 +134,7 @@ def test_weighted_sample_prefix_property(spark):
     df = spark.createDataFrame(rows, "id long, w long")
     small = {r.id for r in weighted_priority_sample(df, "w", 20, "id").collect()}
     large = {r.id for r in weighted_priority_sample(df, "w", 80, "id").collect()}
+    # Exact sizes first: set() <= anything is vacuously true, so the
+    # prefix property only bites over full-size samples.
+    assert len(small) == 20 and len(large) == 80, (len(small), len(large))
     assert small <= large

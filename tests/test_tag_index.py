@@ -41,10 +41,15 @@ def test_indexed_tag_query_matches_scan_path(fs):
     seed_random(fs, rnd)
     stats = fs.build_tag_index(STORE)
     assert stats["built"]
+    nonempty = 0
     for q in queries_under_test():
         scan = fs.find_by_tag_query(STORE, q)
         indexed = fs.find_by_tag_query_indexed(STORE, q)
         assert [f.id for f in indexed.facts] == [f.id for f in scan.facts], q
+        nonempty += bool(scan.facts)
+    # [] == [] across all four queries proves nothing — the fixed seed
+    # must actually produce matches for the comparison to bite.
+    assert nonempty >= 2, f"only {nonempty} queries matched anything"
 
 
 def test_stale_index_falls_back_to_scan(fs):
@@ -52,10 +57,15 @@ def test_stale_index_falls_back_to_scan(fs):
     seed_random(fs, rnd, n=30)
     fs.build_tag_index(STORE)
     # New append makes the index stale; finder must still be correct.
-    fs.append(STORE, FactInput(type="T1", subject="SX", tags={"k1": "a"}))
+    res = fs.append(STORE, FactInput(type="T1", subject="SX", tags={"k1": "a"}))
+    new_id = res.fact_ids[0]
     q = TagQuery([TagOnlyQueryItem({"k1": "a"})])
     scan = fs.find_by_tag_query(STORE, q)
     indexed = fs.find_by_tag_query_indexed(STORE, q)
+    # The staleness-inducing fact must be VISIBLE in both paths — a
+    # shared stale snapshot would otherwise make indexed == scan hold
+    # with both wrong.
+    assert new_id in [f.id for f in scan.facts]
     assert [f.id for f in indexed.facts] == [f.id for f in scan.facts]
     # Rebuild restores the indexed path.
     fs.build_tag_index(STORE)
@@ -87,6 +97,9 @@ def test_incremental_refresh_covers_new_commits(fs):
         scan = [f.id for f in fs.find_by_tag_query(STORE, q).facts]
         idx = [f.id for f in fs.find_by_tag_query_indexed(STORE, q).facts]
         assert idx == scan
+    # The k9 probe targets the refreshed increment specifically — it
+    # must have found the 5 new facts, not compared empty to empty.
+    assert len(scan) == 5, scan
 
 
 def test_refresh_without_existing_index_builds(fs):
@@ -187,7 +200,8 @@ def test_dcb_condition_through_index(fs):
     assert isinstance(res3, AppendConditionViolated)
 
     # refresh, then `after` cursor: only facts AFTER the cursor count
-    fs.refresh_tag_index(STORE)
+    r_ = fs.refresh_tag_index(STORE)
+    assert r_["built"] or r_.get("reason") == "fresh", r_
     assert tidx.is_fresh()
     q4 = TagQuery([TagOnlyQueryItem({"k": "v"})])
     after_ok = fs.append(
@@ -196,7 +210,9 @@ def test_dcb_condition_through_index(fs):
         condition=TagQueryBased(q4, after=r1.fact_ids[0]),
     )
     assert isinstance(after_ok, Appended)  # k=v only exists AT the cursor
-    fs.refresh_tag_index(STORE)
+    r_ = fs.refresh_tag_index(STORE)
+    assert r_["built"] or r_.get("reason") == "fresh", r_
+    assert tidx.is_fresh()
     after_hit = fs.append(
         STORE,
         FactInput(type="Z", subject="sz"),
@@ -206,14 +222,18 @@ def test_dcb_condition_through_index(fs):
     assert isinstance(after_hit, AppendConditionViolated)  # k=w is after r1
 
     # typed item through the index: type must gate the match
-    fs.refresh_tag_index(STORE)
+    r_ = fs.refresh_tag_index(STORE)
+    assert r_["built"] or r_.get("reason") == "fresh", r_
+    assert tidx.is_fresh()
     typed_miss = fs.append(
         STORE,
         FactInput(type="Q", subject="sq"),
         condition=TagQueryBased(TagQuery([TagTypeItem({"T9"}, {"k": "v"})])),
     )
     assert isinstance(typed_miss, Appended)
-    fs.refresh_tag_index(STORE)
+    r_ = fs.refresh_tag_index(STORE)
+    assert r_["built"] or r_.get("reason") == "fresh", r_
+    assert tidx.is_fresh()
     typed_hit = fs.append(
         STORE,
         FactInput(type="Q", subject="sq"),
