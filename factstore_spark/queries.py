@@ -3253,6 +3253,122 @@ FROM mid GROUP BY 1
 """
 
 
+def events_user_mad_outliers(spark, sf_dir):
+    """Robust per-user outlier counts via exact median + exact MAD
+    (median absolute deviation), the z-score entry's heavy-tail-safe
+    twin: a single wild value inflates a stddev enough to hide itself,
+    but moves a median by at most one rank. All arithmetic in integer
+    cents; a value is an outlier when |value - median| > 5 * MAD
+    (integer comparison — no float boundary flakes across engines).
+
+    Plan shape: group cardinality = USERS (high), so the exact ranks
+    come from plain ``Window.partitionBy(user_id)`` — parallelism
+    scales with the user count and each task sorts ONE user's history
+    (the same shape as events_user_zscore / events_topk_per_user; at
+    100 TB user counts are millions and histories modest). This is the
+    opposite regime from events_value_median's 5-value event_type key,
+    which needs operators/ranking.py:with_grouped_rank to avoid
+    whole-corpus single-group sorts — a hyperactive-user skew here
+    would call for that bucketing, not the default. Deviations join
+    back on user_id (shuffle hash join on the natural key).
+    approx_percentile would be one pass but is sketch-approximate and
+    engine-specific; this is exact in both engines."""
+    from pyspark.sql.window import Window
+
+    def grouped_median(df, value_col, out_col):
+        w = Window.partitionBy("user_id").orderBy(F.col(value_col), F.col("event_id"))
+        ranked = df.select(
+            "user_id",
+            value_col,
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("long").alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("user_id").agg(
+            F.floor(F.sum(value_col) / F.count(F.lit(1))).cast("long").alias(out_col),
+            F.max("n").cast("long").alias("n_events"),
+        )
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", _cents(F.col("value")).alias("value_cents"))
+    )
+    meds = grouped_median(ev, "value_cents", "median_cents")
+    # dev is consumed twice (MAD pass + outlier count). Rule #10 A/B at
+    # sf0.1: localCheckpoint(eager) 1.70 s vs rescan 1.76 s warm — a
+    # wash, because the recomputed subtree is a pruned codegen scan plus
+    # one hash join, not an expensive shuffle pipeline. Left unpinned.
+    dev = ev.join(meds.select("user_id", "median_cents"), "user_id").select(
+        "user_id",
+        "event_id",
+        F.abs(F.col("value_cents") - F.col("median_cents")).alias("ad_cents"),
+    )
+    mads = grouped_median(dev, "ad_cents", "mad_cents").drop("n_events")
+    outliers = (
+        dev.join(mads, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ad_cents") > F.lit(5) * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        meds.join(mads, "user_id")
+        .join(outliers, "user_id")
+        .select("user_id", "n_events", "median_cents", "mad_cents", "n_outliers")
+    )
+
+
+EVENTS_USER_MAD_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT user_id, value_cents,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value_cents, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM ev),
+meds AS (
+  SELECT user_id,
+    CAST(FLOOR(SUM(value_cents) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS median_cents,
+    CAST(MAX(n) AS BIGINT) AS n_events
+  FROM ranked
+  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+  GROUP BY 1),
+dev AS (
+  SELECT e.user_id, e.event_id, ABS(e.value_cents - m.median_cents) AS ad_cents
+  FROM ev e JOIN meds m USING (user_id)),
+dranked AS (
+  SELECT user_id, ad_cents,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad_cents, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM dev),
+mads AS (
+  SELECT user_id,
+    CAST(FLOOR(SUM(ad_cents) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mad_cents
+  FROM dranked
+  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+  GROUP BY 1),
+outliers AS (
+  SELECT d.user_id,
+    CAST(SUM(CASE WHEN d.ad_cents > 5 * md.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_outliers
+  FROM dev d JOIN mads md USING (user_id)
+  GROUP BY 1)
+SELECT m.user_id, m.n_events, m.median_cents, md.mad_cents, o.n_outliers
+FROM meds m JOIN mads md USING (user_id) JOIN outliers o USING (user_id)
+"""
+
+
 def embeddings_label_centroid_norms(spark, sf_dir):
     """Distributed vector aggregate: per-label centroid built by
     exploding the embedding array, summing each dimension in QUANTIZED
@@ -5137,6 +5253,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # Ordering is presentation-only: every entry runs identically
     # regardless of position.
     # --- new in round 8 (lead the window so the driver checks them) -----
+    "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, None),
     "embeddings_random_projection": (embeddings_random_projection, None),

@@ -424,3 +424,48 @@ def test_semantic_dedup_guard_string_clusters_no_key_collision(spark):
         assert same_side, f"cross-cluster pair {p.id_a},{p.id_b}"
     # the compliant pair is intact
     assert {(p.id_a, p.id_b) for p in pairs if p.id_a >= 500} == {(500, 501)}
+
+
+def test_user_mad_outliers_hand_computed(spark, tmp_path):
+    """Planted per-user shapes: a wild outlier among stable values
+    (flagged), a constant-valued user (MAD 0 — nothing deviates, nothing
+    flagged), a single-event user (its own median, 0 outliers), and the
+    robustness contract itself: the SAME outlier that hides from a
+    z-score-style stddev cannot hide from the MAD rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from factstore_spark.queries import events_user_mad_outliers
+
+    rows = []
+    # user 1: values 10.0 x9 + one 500.0 -> med 1000c, ad 49000c, MAD 0
+    rows += [(1, float(10 if i < 9 else 500)) for i in range(10)]
+    # user 2: constant 7.0 x5 -> MAD 0, ad 0 everywhere, no outliers
+    rows += [(2, 7.0)] * 5
+    # user 3: single event
+    rows += [(3, 42.5)]
+    # user 4: spread 1..7 (odd n): med 4.0; ads (cents) sorted are
+    # 0,100,100,200,200,300,300 -> MAD = 200c (the 4th of 7)
+    rows += [(4, float(v)) for v in range(1, 8)]
+    ts = [1_700_000_000_000_000 + i * 1_000_000 for i in range(len(rows))]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.n_events, r.median_cents, r.mad_cents, r.n_outliers)
+        for r in events_user_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (10, 1000, 0, 1),   # the 500.0 event: ad 49000 > 5*0
+        2: (5, 700, 0, 0),
+        3: (1, 4250, 0, 0),
+        4: (7, 400, 200, 0),   # max ad 300 <= 5*200
+    }
