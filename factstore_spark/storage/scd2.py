@@ -1,0 +1,327 @@
+"""SCD2 (slowly-changing-dimension, type 2) history over merge tables —
+the warehouse ``MERGE ... WHEN MATCHED AND attrs changed`` pattern that
+keeps every attribute version as a validity interval instead of
+overwriting in place.
+
+Why this exists at 100 TB: training-data lineage and point-in-time
+correctness both need "what did this dimension say WHEN" — joining
+facts against a mutable dimension silently rewrites history every time
+an attribute changes (the classic leakage bug: a model trained last
+month suddenly 'trained' on this month's customer segment). SCD2 rows
+carry ``(valid_from, valid_to]``-style intervals: the current row is
+open (``valid_to IS NULL``); an attribute change CLOSES the old row at
+the update's effective time and opens a new one.
+
+Layering: each SCD2 row is a merge-table row keyed by
+``(business key, valid_from)`` — closing an interval is an upsert of
+its existing key, opening one is an insert of a fresh key — so ALL the
+storage discipline is inherited from :mod:`.merge`: manifest-pruned
+copy-on-write, single-winner snapshot CAS (concurrent SCD2 writers get
+:class:`.merge.ConcurrentMergeError`), add-only schema rules, vacuum,
+and numbered snapshots. That makes reads BITEMPORAL for free:
+``read_scd2(as_of=T)`` answers along business time (which interval
+covered T), ``read_scd2(snapshot=N)`` along system time (what the
+table said when snapshot N was published), and the two compose.
+
+Partition-attribute changes are naturally safe: the closed row rewrites
+its EXISTING merge key with its OLD attribute values (same partition
+directory), while the re-opened row is a brand-new merge key carrying
+the new value — no key ever migrates between partitions.
+
+Reference parity note: the reference engine has no dimension-history
+feature; this module is part of the relational/lakehouse surplus, same
+family as merge.py (cited there) and the continuous rollup.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import (
+    _head_manifest,
+    _require_unique_keys,
+    create_table,
+    merge_upsert,
+    read_table,
+)
+
+_SYS_COLS = {"valid_from", "valid_to"}
+
+
+def _attr_cols(columns, key_cols) -> list[str]:
+    return [c for c in columns if c not in set(key_cols) | _SYS_COLS]
+
+
+def create_scd2_table(
+    df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+    effective_col: str = "effective_ts",
+) -> dict:
+    """Initial dimension snapshot: every row becomes an OPEN interval
+    starting at its ``effective_col`` value. One row per business key
+    (checked). ``effective_col`` may be any orderable type (epoch day
+    longs keep cross-engine comparisons exact); its type becomes the
+    interval columns' type."""
+    _require_unique_keys(df, key_cols, "create_scd2_table input")
+    if df.filter(F.col(effective_col).isNull()).limit(1).collect():
+        raise ValueError(f"{effective_col} must be non-null")
+    eff_type = df.schema[effective_col].dataType
+    rows = df.withColumnRenamed(effective_col, "valid_from").withColumn(
+        "valid_to", F.lit(None).cast(eff_type)
+    )
+    return create_table(rows, table_dir, list(key_cols) + ["valid_from"], partition_col)
+
+
+def _changed(attr_cols: list[str]) -> Column:
+    """Null-safe any-attribute-differs predicate vs the ``_cur_`` twin
+    columns."""
+    return reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"_cur_{c}")) for c in attr_cols],
+    )
+
+
+def scd2_upsert(
+    updates: DataFrame,
+    table_dir: str,
+    effective_col: str = "effective_ts",
+    delete_col: str | None = None,
+) -> dict:
+    """Apply one batch of "state as of ``effective_col``" rows:
+
+    - new business key       -> open an interval at effective
+    - attrs unchanged        -> no-op (no row is touched or rewritten)
+    - any attribute changed  -> close the open interval AT effective
+                                and open a new one FROM effective
+    - ``delete_col`` true    -> close the open interval, open nothing
+                                (soft delete; the key keeps its history)
+
+    One row per business key per batch (checked). Effective times must
+    move strictly forward per key: a batch whose effective is at or
+    before a key's current ``valid_from`` raises — accepting it would
+    publish a zero-width or overlapping interval, corrupting every
+    as-of read over that key (late-arriving history is a rewrite job,
+    not an upsert). Deleting an unknown or already-closed key raises
+    (a delete that matches nothing is a caller bug, not a no-op).
+    Returns the published manifest (unchanged if the batch was fully
+    a no-op)."""
+    m = _head_manifest(table_dir)
+    if m is None:
+        raise ValueError(f"{table_dir} has no published manifest; create_scd2_table first")
+    merge_keys = m["meta"]["key_cols"]
+    if not merge_keys or merge_keys[-1] != "valid_from":
+        raise ValueError(f"{table_dir} is not an SCD2 table (merge key {merge_keys})")
+    key_cols = merge_keys[:-1]
+    spark = updates.sparkSession
+
+    flags = None
+    if delete_col is not None:
+        flags = updates.select(
+            *key_cols, F.coalesce(F.col(delete_col), F.lit(False)).alias("_del")
+        )
+        updates = updates.drop(delete_col)
+    _require_unique_keys(updates, key_cols, "scd2_upsert updates")
+    if updates.filter(F.col(effective_col).isNull()).limit(1).collect():
+        raise ValueError(f"{effective_col} must be non-null")
+
+    table = read_table(spark, table_dir)
+    table_cols = list(table.columns)
+    attr_cols = _attr_cols(table_cols, key_cols)
+    batch_attrs = _attr_cols(
+        [c if c != effective_col else "valid_from" for c in updates.columns], key_cols
+    )
+    if sorted(batch_attrs) != sorted(attr_cols):
+        raise ValueError(
+            f"scd2 batch attributes {sorted(batch_attrs)} != table attributes "
+            f"{sorted(attr_cols)}; carry every attribute (nulls are fine) — "
+            "schema evolution goes through a full-history rewrite, not an upsert"
+        )
+
+    u = updates.withColumnRenamed(effective_col, "_eff")
+    if flags is not None:
+        u = u.join(flags, key_cols)
+    else:
+        u = u.withColumn("_del", F.lit(False))
+    current = table.filter(F.col("valid_to").isNull()).select(
+        *key_cols,
+        *[F.col(c).alias(f"_cur_{c}") for c in attr_cols],
+        F.col("valid_from").alias("_cur_from"),
+    )
+    # soft-deleted keys have no open row, so the forward-motion guard
+    # needs the key's last CLOSED boundary too — a re-insert opening
+    # before it would overlap retired history
+    closed_latest = (
+        table.filter(F.col("valid_to").isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.max("valid_to").alias("_max_to"))
+    )
+    j = (
+        u.join(current, key_cols, "left")
+        .join(closed_latest, key_cols, "left")
+        .localCheckpoint(eager=True)
+    )
+    # ^ consumed by 4 guard probes + 2 branch selects below; the
+    #   recomputed subtree is a shuffle join against the table scan,
+    #   exactly rule #10's "pin" case.
+    try:
+        # Guard predicates. Only rows that would WRITE are held to
+        # forward motion — a replayed old batch whose attrs still match
+        # is a no-op, not an error (retry idempotency, same spirit as
+        # AlreadyApplied). A re-insert of a deleted key at-or-after its
+        # last closed boundary is contiguous-or-gapped history (fine);
+        # before it would overlap a retired interval.
+        stale_c = (
+            F.col("_cur_from").isNotNull()
+            & (F.col("_eff") <= F.col("_cur_from"))
+            & (_changed(attr_cols) | F.col("_del"))
+        )
+        early_c = (
+            F.col("_cur_from").isNull()
+            & F.col("_max_to").isNotNull()
+            & (F.col("_eff") < F.col("_max_to"))
+        )
+        ghost_c = F.col("_del") & F.col("_cur_from").isNull()
+        # one aggregate job covers every guard on the happy path; the
+        # per-key detail probes run only on the error path
+        flags_row = j.agg(
+            *[
+                F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(n)
+                for n, c in (("stale", stale_c), ("early", early_c), ("ghost", ghost_c))
+            ]
+        ).collect()[0]
+        if flags_row.stale:
+            r = j.filter(stale_c).select(*key_cols, "_eff", "_cur_from").limit(3).collect()
+            raise ValueError(f"out-of-order effective time for keys {r}")
+        if flags_row.early:
+            r = j.filter(early_c).select(*key_cols, "_eff", "_max_to").limit(3).collect()
+            raise ValueError(f"re-insert before retired history for keys {r}")
+        if flags_row.ghost:
+            r = j.filter(ghost_c).select(*key_cols).limit(3).collect()
+            raise ValueError(f"delete for unknown/closed keys {r}")
+
+        eff_type = table.schema["valid_from"].dataType
+        matched = j.filter(F.col("_cur_from").isNotNull())
+        to_close = matched.filter(F.col("_del") | _changed(attr_cols))
+        closed = to_close.select(
+            *key_cols,
+            *[F.col(f"_cur_{c}").alias(c) for c in attr_cols],
+            F.col("_cur_from").alias("valid_from"),
+            F.col("_eff").cast(eff_type).alias("valid_to"),
+        )
+        opened = (
+            j.filter(
+                ~F.col("_del")
+                & (F.col("_cur_from").isNull() | _changed(attr_cols))
+            )
+            .select(
+                *key_cols,
+                *attr_cols,
+                F.col("_eff").cast(eff_type).alias("valid_from"),
+                F.lit(None).cast(eff_type).alias("valid_to"),
+            )
+        )
+        batch = closed.unionByName(opened).select(*table_cols)
+        if not batch.take(1):
+            return m  # fully unchanged batch: publish nothing
+        return merge_upsert(batch, table_dir)
+    finally:
+        j.unpersist()
+
+
+def read_scd2(
+    spark: SparkSession,
+    table_dir: str,
+    as_of=None,
+    snapshot: int | None = None,
+    history: bool = False,
+) -> DataFrame | None:
+    """Bitemporal read. ``history=True`` returns every interval row;
+    otherwise ``as_of=None`` returns the current (open) rows and
+    ``as_of=T`` the rows whose interval covered T — ``valid_from <= T
+    AND (valid_to IS NULL OR valid_to > T)`` (valid_from inclusive,
+    valid_to exclusive: at the instant of a change the NEW row is the
+    truth). ``snapshot`` composes on either axis (read_table time
+    travel along system time)."""
+    t = read_table(spark, table_dir, snapshot=snapshot)
+    if t is None or history:
+        return t
+    if as_of is None:
+        return t.filter(F.col("valid_to").isNull())
+    return t.filter(
+        (F.col("valid_from") <= F.lit(as_of))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
+    )
+
+
+def validate_scd2(spark: SparkSession, table_dir: str) -> dict:
+    """Interval invariants over the full history, one aggregation pass
+    per check (all distributed, no driver data path):
+
+    - at most one OPEN row per key (zero after a soft delete);
+    - every closed interval is non-empty (``valid_to > valid_from``);
+    - no OVERLAPS: ordered by valid_from, every closed row ends at or
+      before the next row starts (a strict gap is legal history — a
+      soft-deleted key re-inserted later), and an open row is always
+      the key's last (an open row with a successor covers it).
+    """
+    from pyspark.sql.window import Window
+
+    m = _head_manifest(table_dir)
+    key_cols = m["meta"]["key_cols"][:-1]
+    t = read_table(spark, table_dir)
+    problems: list[str] = []
+    if t is None:
+        return {"ok": True, "problems": problems}
+
+    multi_open = (
+        t.groupBy(*key_cols)
+        .agg(F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_open"))
+        .filter(F.col("n_open") > 1)
+        .count()
+    )
+    if multi_open:
+        problems.append(f"{multi_open} keys with more than one open interval")
+
+    # one windowed pass yields both remaining checks: empty/inverted
+    # closed intervals, and overlaps — a closed row may hand off exactly
+    # (change) or with a gap (delete then re-insert), never PAST the
+    # next interval's start; an OPEN row must be the last (no successor)
+    w = Window.partitionBy(*key_cols).orderBy("valid_from")
+    row = (
+        t.select(
+            "valid_from",
+            "valid_to",
+            F.lead("valid_from").over(w).alias("_next_from"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull()
+                    & (F.col("valid_to") <= F.col("valid_from")),
+                    1,
+                ).otherwise(0)
+            ).alias("empty"),
+            F.sum(
+                F.when(
+                    (
+                        F.col("valid_to").isNotNull()
+                        & F.col("_next_from").isNotNull()
+                        & (F.col("valid_to") > F.col("_next_from"))
+                    )
+                    | (F.col("valid_to").isNull() & F.col("_next_from").isNotNull()),
+                    1,
+                ).otherwise(0)
+            ).alias("overlaps"),
+        )
+        .collect()[0]
+    )
+    if row.empty:
+        problems.append(f"{row.empty} empty/inverted closed intervals")
+    if row.overlaps:
+        problems.append(f"{row.overlaps} overlapping intervals")
+    return {"ok": not problems, "problems": problems}

@@ -130,17 +130,20 @@ def main() -> int:
             continue
         if sql is None:
             # Rows-only entries: "the emitted row IS the check" — so
-            # CHECK it. Convention across the battery: a column named
-            # match_bp must be 10000 and any *_ok column must be
-            # truthy, in every row; printing ok unconditionally let a
+            # CHECK it. Convention across the battery: any column named
+            # match_bp or ending in _match_bp must be 10000, any *_ok
+            # column must be truthy, and any *_problems count must be
+            # 0, in every row; printing ok unconditionally let a
             # failing contract (e.g. layout_ok=0) pass as green.
             bad = []
             for r in s_rows:
                 d = dict(zip(s_cols, r))
                 for col, v in d.items():
-                    if col == "match_bp" and v != 10000:
+                    if (col == "match_bp" or col.endswith("_match_bp")) and v != 10000:
                         bad.append(f"{col}={v}")
                     elif col.endswith("_ok") and not v:
+                        bad.append(f"{col}={v}")
+                    elif col.endswith("_problems") and v != 0:
                         bad.append(f"{col}={v}")
             if bad:
                 print(f"FAIL {name}: contract columns tripped: {sorted(set(bad))}")
