@@ -278,6 +278,7 @@ def merge_upsert(
     table_dir: str,
     delete_col: str | None = None,
     merge_schema: bool = False,
+    base_manifest: dict | None = None,
 ) -> dict:
     """Upsert (and optionally delete) by key: rows whose key exists are
     replaced, new keys are inserted, and — when ``delete_col`` names a
@@ -290,8 +291,17 @@ def merge_upsert(
     ``merge_schema=True`` the update batch may carry NEW columns
     (existing rows read back null there — parquet schema merge across
     versions); without it a new column is an analysis error, never a
-    silent drop."""
-    m = _head_manifest(table_dir)
+    silent drop.
+
+    ``base_manifest`` pins the snapshot this merge is BASED on. Pass it
+    when the batch was DERIVED from a read of the table (read-modify-
+    write, e.g. scd2_upsert computing interval closes from the open
+    rows): if another writer commits after that read, the snapshot CAS
+    fails with :class:`ConcurrentMergeError` instead of publishing rows
+    computed against stale state. Plain last-writer-wins upserts (the
+    batch is self-contained truth per key) can keep the default
+    head-read base."""
+    m = base_manifest if base_manifest is not None else _head_manifest(table_dir)
     if m is None:
         raise ValueError(f"{table_dir} has no published manifest; create_table first")
     meta = m["meta"]

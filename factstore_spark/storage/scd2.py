@@ -67,6 +67,9 @@ def create_scd2_table(
     (checked). ``effective_col`` may be any orderable type (epoch day
     longs keep cross-engine comparisons exact); its type becomes the
     interval columns' type."""
+    clash = _SYS_COLS & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns {sorted(clash)} collide with the interval columns")
     _require_unique_keys(df, key_cols, "create_scd2_table input")
     if df.filter(F.col(effective_col).isNull()).limit(1).collect():
         raise ValueError(f"{effective_col} must be non-null")
@@ -129,7 +132,12 @@ def scd2_upsert(
     if updates.filter(F.col(effective_col).isNull()).limit(1).collect():
         raise ValueError(f"{effective_col} must be non-null")
 
-    table = read_table(spark, table_dir)
+    # read-modify-write: the batch below is DERIVED from this read, so
+    # both the read and the final commit pin the SAME snapshot — a
+    # writer landing in between must surface as ConcurrentMergeError,
+    # never publish interval rows computed against stale open rows
+    # (which could leave a key with two open intervals)
+    table = read_table(spark, table_dir, snapshot=m["snapshot"])
     table_cols = list(table.columns)
     attr_cols = _attr_cols(table_cols, key_cols)
     batch_attrs = _attr_cols(
@@ -228,7 +236,7 @@ def scd2_upsert(
         batch = closed.unionByName(opened).select(*table_cols)
         if not batch.take(1):
             return m  # fully unchanged batch: publish nothing
-        return merge_upsert(batch, table_dir)
+        return merge_upsert(batch, table_dir, base_manifest=m)
     finally:
         j.unpersist()
 
@@ -256,6 +264,62 @@ def read_scd2(
         (F.col("valid_from") <= F.lit(as_of))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
     )
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    history: DataFrame,
+    on: str,
+    left_time: str,
+    bucket: int | None = None,
+) -> DataFrame:
+    """Point-in-time enrichment — THE consumption pattern SCD2 exists
+    for: attach to every fact the dimension attributes whose interval
+    covered the fact's own timestamp. Facts before the key's first
+    interval and facts inside a deleted gap get NULL attributes, never
+    a later (leaked) or stale (resurrected) version.
+
+    Plan shape: the interval table is flattened to a CHANGE STREAM —
+    one row per interval open, plus a null-attribute TOMBSTONE at every
+    close that no interval reopens (the soft-delete boundaries) — and
+    attached with :func:`..operators.temporal.asof_join`: union + ONE
+    shuffle + an ordered-window forward fill, no join operator at all,
+    and the stream is O(changes), not O(facts). ``bucket=`` passes
+    through for hot-key splitting (a celebrity key's 10^8 facts fill in
+    ~span/bucket parallel tasks). Composite business keys: concat them
+    into one column on both sides first (``on`` is a single column).
+
+    ``history`` is an interval frame as returned by
+    ``read_scd2(..., history=True)`` — pass a ``snapshot=`` read to
+    enrich against what the dimension said at publish time N (the
+    bitemporal axes compose here too)."""
+    from ..operators.temporal import asof_join
+
+    attr_cols = _attr_cols(history.columns, [on])
+    opens = history.select(on, F.col("valid_from").alias("_dim_from"), *attr_cols)
+    closed = history.filter(F.col("valid_to").isNotNull())
+    reopened = history.select(
+        F.col(on).alias("_re_key"), F.col("valid_from").alias("_reopen_at")
+    )
+    tombstones = (
+        closed.join(
+            reopened,
+            (closed[on] == reopened["_re_key"])
+            & (closed["valid_to"] == reopened["_reopen_at"]),
+            "left_anti",
+        )
+        .select(
+            on,
+            F.col("valid_to").alias("_dim_from"),
+            *[F.lit(None).cast(history.schema[c].dataType).alias(c) for c in attr_cols],
+        )
+    )
+    stream = opens.unionByName(tombstones)
+    out = asof_join(
+        facts, stream, on=on, left_time=left_time, right_time="_dim_from",
+        value_cols=attr_cols, bucket=bucket,
+    )
+    return out.drop("_dim_from_right")
 
 
 def validate_scd2(spark: SparkSession, table_dir: str) -> dict:

@@ -217,26 +217,91 @@ def test_validate_scd2_catches_planted_overlap(spark, dim_dir):
 
 
 def test_scd2_concurrent_writers_single_winner(spark, dim_dir):
-    """Inherited merge discipline: two upserts from the same base — the
-    loser raises ConcurrentMergeError instead of silently dropping the
-    winner's intervals (no barrier needed: scd2_upsert reads its base
-    manifest at call time, so issuing the second call after the first
-    committed exercises the stale-base path via a monkey-hold)."""
-    from factstore_spark.storage import merge as merge_mod
+    """Read-modify-write race: writer B reads its base, writer A
+    commits, then B tries to publish interval rows DERIVED from the
+    stale open rows. B must get ConcurrentMergeError — the base
+    manifest is pinned from B's read through to the snapshot CAS. (A
+    head-re-read at publish time would pass the CAS and leave key 1
+    with TWO open intervals: B's close targets the pre-A open row, so
+    A's new open row would survive the anti-join untouched.)"""
+    from factstore_spark.storage import scd2 as scd2_mod
     from factstore_spark.storage.merge import ConcurrentMergeError, _head_manifest
 
     d = dim_dir
-    base = _head_manifest(d)
-    # freeze the base: first writer commits normally…
+    base = _head_manifest(d)  # writer B's base read happens "now"
+    # writer A commits in between…
     scd2_upsert(_dim(spark, [(1, "platinum", "eu", 20)]), d)
-    # …second writer replays from the FROZEN base manifest
-    orig = merge_mod._head_manifest
-    merge_mod._head_manifest = lambda td: dict(base) if td == d else orig(td)
+    # …writer B proceeds from its FROZEN base
+    orig = scd2_mod._head_manifest
+    scd2_mod._head_manifest = lambda td: dict(base) if td == d else orig(td)
     try:
         with pytest.raises(ConcurrentMergeError):
             scd2_upsert(_dim(spark, [(1, "bronze", "eu", 30)]), d)
     finally:
-        merge_mod._head_manifest = orig
-    # the winner's history is intact
+        scd2_mod._head_manifest = orig
+    # the winner's history is intact — and crucially, exactly ONE open
+    # row for the contested key
     assert _state(spark, d)[1] == ("platinum", "eu")
+    hist = read_scd2(spark, d, history=True).filter("cust_id = 1")
+    assert hist.filter("valid_to is null").count() == 1
     assert validate_scd2(spark, d)["ok"]
+
+
+def test_scd2_enrich_point_in_time(spark, dim_dir):
+    """The consumption pattern: per-fact attributes from the covering
+    interval — boundary-exact (valid_from inclusive, valid_to
+    exclusive), NULL before first existence and inside deleted gaps,
+    correct across a re-change and a re-insert; both asof plans
+    (default and bucketed) agree with a pure-Python interval walk."""
+    from factstore_spark.storage.scd2 import scd2_enrich
+
+    d = dim_dir
+    scd2_upsert(_dim(spark, [(1, "platinum", "eu", 20)]), d)
+    scd2_upsert(_dim(spark, [(1, "gold", "eu", 30)]), d)
+    deleting = spark.createDataFrame(
+        [(2, None, None, 25, True)],
+        "cust_id long, segment string, region string, effective_ts long, is_deleted boolean",
+    )
+    scd2_upsert(deleting, d, delete_col="is_deleted")
+    scd2_upsert(_dim(spark, [(2, "back", "us", 40)]), d)  # re-insert after gap
+
+    hist = read_scd2(spark, d, history=True)
+    intervals = [
+        (r.cust_id, r.valid_from, r.valid_to, r.segment)
+        for r in hist.collect()
+    ]
+
+    def ref(key, t):
+        best = None
+        for k, lo, hi, seg in intervals:
+            if k == key and lo <= t and (hi is None or t < hi):
+                best = seg
+        return best
+
+    facts = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(
+            [(1, 5), (1, 10), (1, 19), (1, 20), (1, 29), (1, 30), (1, 99),
+             (2, 10), (2, 24), (2, 25), (2, 39), (2, 40), (2, 50),
+             (3, 10)]  # key never in the dimension
+        )],
+        "fact_id long, cust_id long, ts long",
+    )
+    want = {
+        r.fact_id: ref(r.cust_id, r.ts) for r in facts.collect()
+    }
+    for bucket in (None, 10):
+        got = {
+            r.fact_id: r.segment
+            for r in scd2_enrich(facts, hist, on="cust_id", left_time="ts",
+                                 bucket=bucket).collect()
+        }
+        assert got == want, f"bucket={bucket}"
+    # spot checks pin the reference itself (falsifiability)
+    assert want[0] is None            # before key 1 existed
+    assert want[3] == "platinum"      # valid_from inclusive
+    assert want[4] == "platinum"      # last instant before re-change
+    assert want[5] == "gold"          # re-change boundary
+    assert want[9] is None            # delete boundary: gone AT 25
+    assert want[8] == "silver"        # last instant before delete
+    assert want[11] == "back"         # re-insert boundary
+    assert want[13] is None           # key never existed
