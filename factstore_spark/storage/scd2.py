@@ -128,6 +128,12 @@ def scd2_upsert(
             *key_cols, F.coalesce(F.col(delete_col), F.lit(False)).alias("_del")
         )
         updates = updates.drop(delete_col)
+    clash = _SYS_COLS & set(updates.columns)
+    if clash:
+        raise ValueError(
+            f"update batch carries {sorted(clash)} — interval columns are "
+            "derived from the effective time, never caller-supplied"
+        )
     _require_unique_keys(updates, key_cols, "scd2_upsert updates")
     if updates.filter(F.col(effective_col).isNull()).limit(1).collect():
         raise ValueError(f"{effective_col} must be non-null")

@@ -187,6 +187,14 @@ def test_scd2_batch_hygiene(spark, dim_dir):
                 "cust_id long, segment string, region string, effective_ts long",
             ), d,
         )
+    with pytest.raises(ValueError, match="never caller-supplied"):
+        scd2_upsert(
+            spark.createDataFrame(
+                [(1, "gold", "eu", 20, 99)],
+                "cust_id long, segment string, region string, "
+                "effective_ts long, valid_to long",
+            ), d,
+        )
     with pytest.raises(ValueError, match="not an SCD2 table"):
         from factstore_spark.storage.merge import create_table
 
