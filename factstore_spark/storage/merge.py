@@ -152,6 +152,30 @@ def _require_unique_keys(df: DataFrame, key_cols: list[str], what: str) -> None:
         )
 
 
+def _validate_batch(
+    df: DataFrame, key_cols: list[str], partition_col: str, what: str
+) -> list[str]:
+    """Single-pass batch validation: uniqueness (count vs distinct-
+    struct count — a struct with null FIELDS is itself non-null, so
+    null-keyed duplicates are counted, matching the groupBy probe),
+    null-partition rejection, and the distinct partition values, in ONE
+    aggregate job instead of three full scans of the batch. The
+    detailed duplicate probe (_require_unique_keys) runs only on the
+    error path, to name an offending key."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.struct(*key_cols)).alias("nk"),
+        F.max(F.when(F.col(partition_col).isNull(), 1).otherwise(0)).alias("null_p"),
+        F.collect_set(F.col(partition_col).cast("string")).alias("vals"),
+    ).collect()[0]
+    if row.n != row.nk:
+        _require_unique_keys(df, key_cols, what)  # names the key; raises
+        raise ValueError(f"{what} has duplicate keys")  # unreachable safety
+    if row.null_p:
+        raise ValueError(f"{partition_col} must be non-null for merge tables")
+    return sorted(row.vals)
+
+
 def _write_version(df: DataFrame, table_dir: str, partition_col: str) -> str:
     version = f"v={uuid.uuid4().hex[:12]}"
     (
@@ -205,16 +229,6 @@ def _pval_dirs(table_dir: str, version: str) -> dict[str, str]:
     return out
 
 
-def _partition_values(df: DataFrame, partition_col: str) -> list[str]:
-    # Bounded driver collect: one row per distinct partition VALUE in
-    # the batch (a correction batch touches few partitions by design).
-    return sorted(
-        str(r[0])
-        for r in df.select(F.col(partition_col).cast("string")).distinct().collect()
-        if r[0] is not None
-    )
-
-
 def create_table(
     df: DataFrame,
     table_dir: str,
@@ -225,9 +239,7 @@ def create_table(
     unique per row (checked); ``partition_col`` must be non-null (null
     partitions have no directory identity — map them to a sentinel
     value upstream)."""
-    _require_unique_keys(df, key_cols, "create_table input")
-    if df.filter(F.col(partition_col).isNull()).limit(1).collect():
-        raise ValueError(f"{partition_col} must be non-null for merge tables")
+    _validate_batch(df, key_cols, partition_col, "create_table input")
     os.makedirs(table_dir, exist_ok=True)
     version = _write_version(df, table_dir, partition_col)
     stats = _partition_stats(
@@ -306,11 +318,8 @@ def merge_upsert(
         raise ValueError(f"{table_dir} has no published manifest; create_table first")
     meta = m["meta"]
     key_cols, partition_col = meta["key_cols"], meta["partition_col"]
-    _require_unique_keys(updates, key_cols, "merge_upsert updates")
-    if updates.filter(F.col(partition_col).isNull()).limit(1).collect():
-        raise ValueError(f"{partition_col} must be non-null for merge tables")
     spark = updates.sparkSession
-    vals = _partition_values(updates, partition_col)
+    vals = _validate_batch(updates, key_cols, partition_col, "merge_upsert updates")
     if not vals:
         return m
     prev_paths = [

@@ -55,6 +55,22 @@ def _attr_cols(columns, key_cols) -> list[str]:
     return [c for c in columns if c not in set(key_cols) | _SYS_COLS]
 
 
+def _validate_updates(df: DataFrame, key_cols, effective_col: str, what: str) -> None:
+    """Uniqueness + non-null effective time in ONE aggregate job (the
+    same single-pass discipline as merge._validate_batch); the detailed
+    duplicate probe runs only on the error path."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.struct(*key_cols)).alias("nk"),
+        F.max(F.when(F.col(effective_col).isNull(), 1).otherwise(0)).alias("null_eff"),
+    ).collect()[0]
+    if row.n != row.nk:
+        _require_unique_keys(df, key_cols, what)  # names the key; raises
+        raise ValueError(f"{what} has duplicate keys")  # unreachable safety
+    if row.null_eff:
+        raise ValueError(f"{effective_col} must be non-null")
+
+
 def create_scd2_table(
     df: DataFrame,
     table_dir: str,
@@ -70,9 +86,7 @@ def create_scd2_table(
     clash = _SYS_COLS & set(df.columns)
     if clash:
         raise ValueError(f"input columns {sorted(clash)} collide with the interval columns")
-    _require_unique_keys(df, key_cols, "create_scd2_table input")
-    if df.filter(F.col(effective_col).isNull()).limit(1).collect():
-        raise ValueError(f"{effective_col} must be non-null")
+    _validate_updates(df, key_cols, effective_col, "create_scd2_table input")
     eff_type = df.schema[effective_col].dataType
     rows = df.withColumnRenamed(effective_col, "valid_from").withColumn(
         "valid_to", F.lit(None).cast(eff_type)
@@ -134,9 +148,7 @@ def scd2_upsert(
             f"update batch carries {sorted(clash)} — interval columns are "
             "derived from the effective time, never caller-supplied"
         )
-    _require_unique_keys(updates, key_cols, "scd2_upsert updates")
-    if updates.filter(F.col(effective_col).isNull()).limit(1).collect():
-        raise ValueError(f"{effective_col} must be non-null")
+    _validate_updates(updates, key_cols, effective_col, "scd2_upsert updates")
 
     # read-modify-write: the batch below is DERIVED from this read, so
     # both the read and the final commit pin the SAME snapshot — a
