@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .merge import (
+    ConcurrentMergeError,
     _head_manifest,
     _require_unique_keys,
     create_table,
@@ -124,7 +125,10 @@ def scd2_upsert(
     publish a zero-width or overlapping interval, corrupting every
     as-of read over that key (late-arriving history is a rewrite job,
     not an upsert). Deleting an unknown or already-closed key raises
-    (a delete that matches nothing is a caller bug, not a no-op).
+    (a delete that matches nothing is a caller bug, not a no-op) —
+    EXCEPT a delete of a key already closed at exactly the effective
+    time, which is the replayed-batch signature and no-ops (retry
+    idempotency, so streaming redelivery never double-fails).
     Returns the published manifest (unchanged if the batch was fully
     a no-op)."""
     m = _head_manifest(table_dir)
@@ -211,7 +215,15 @@ def scd2_upsert(
             & F.col("_max_to").isNotNull()
             & (F.col("_eff") < F.col("_max_to"))
         )
-        ghost_c = F.col("_del") & F.col("_cur_from").isNull()
+        # a delete whose key is already closed at EXACTLY the effective
+        # time is a replayed batch (retry idempotency: the requested
+        # state — absent as of eff — already holds); any other delete
+        # of an unknown/closed key is a caller bug
+        ghost_c = (
+            F.col("_del")
+            & F.col("_cur_from").isNull()
+            & (F.col("_max_to").isNull() | (F.col("_max_to") != F.col("_eff")))
+        )
         # one aggregate job covers every guard on the happy path; the
         # per-key detail probes run only on the error path
         flags_row = j.agg(
@@ -338,6 +350,104 @@ def scd2_enrich(
         value_cols=attr_cols, bucket=bucket,
     )
     return out.drop("_dim_from_right")
+
+
+def start_scd2_stream(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    effective_col: str = "effective_ts",
+    delete_col: str | None = None,
+    on_late: str = "error",
+    available_now: bool = False,
+    max_retries: int = 10,
+):
+    """Continuously maintain an SCD2 dimension from a change stream
+    (the streaming twin of :func:`.merge.start_merge_stream`). Each
+    micro-batch collapses to the LATEST change per key (effective desc,
+    attr-struct desc tie-break — deterministic; intra-batch
+    intermediate versions are below the micro-batch's time resolution
+    by definition) and applies through scd2_upsert, retrying on
+    ConcurrentMergeError so batch writers and the stream share the
+    table.
+
+    Effectively-once for free: a micro-batch re-delivered after a sink
+    failure re-applies rows whose attributes now MATCH the open
+    interval — scd2_upsert's no-op path — so nothing double-closes.
+
+    ``on_late``: a cross-batch late change (effective at/before the
+    key's current ``valid_from``) is a stream-killing ValueError by
+    default — late business history needs a rewrite job, and silent
+    drops hide upstream disorder. ``on_late="drop"`` filters those rows
+    per batch instead (re-read inside the retry loop, so the filter
+    never races the state it guards) for sources with known stragglers."""
+    if on_late not in ("error", "drop"):
+        raise ValueError(f"on_late must be 'error' or 'drop', got {on_late!r}")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        if not batch_df.take(1):
+            return
+        m = _head_manifest(table_dir)
+        key_cols = m["meta"]["key_cols"][:-1]
+        tie_cols = [c for c in batch_df.columns if c not in set(key_cols) | {effective_col}]
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(effective_col).desc(), F.struct(*tie_cols).desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        for _attempt in range(max_retries):
+            todo = latest
+            if on_late == "drop":
+                # per-key forward-motion boundary from the FULL history:
+                # open keys bound at their open valid_from (strict >),
+                # deleted keys at their last valid_to (>= re-insert ok)
+                bound = (
+                    read_scd2(batch_df.sparkSession, table_dir, history=True)
+                    .groupBy(*key_cols)
+                    .agg(
+                        F.max(
+                            F.when(F.col("valid_to").isNull(), F.col("valid_from"))
+                        ).alias("_open_from"),
+                        F.max("valid_to").alias("_max_to"),
+                    )
+                )
+                todo = (
+                    latest.join(bound, key_cols, "left")
+                    .filter(
+                        (F.col("_open_from").isNull() & F.col("_max_to").isNull())
+                        | (F.col(effective_col) > F.col("_open_from"))
+                        | (
+                            F.col("_open_from").isNull()
+                            & (F.col(effective_col) >= F.col("_max_to"))
+                        )
+                    )
+                    .drop("_open_from", "_max_to")
+                )
+            try:
+                scd2_upsert(
+                    todo, table_dir,
+                    effective_col=effective_col, delete_col=delete_col,
+                )
+                return
+            except ConcurrentMergeError:
+                continue
+        raise ConcurrentMergeError(
+            f"micro-batch {epoch_id} starved after {max_retries} scd2 attempts"
+        )
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def validate_scd2(spark: SparkSession, table_dir: str) -> dict:

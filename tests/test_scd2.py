@@ -126,6 +126,12 @@ def test_scd2_soft_delete_and_reinsert(spark, dim_dir):
             ), d, delete_col="is_deleted",
         )
 
+    # EXACT replay of the applied delete (same effective as the closed
+    # boundary): the requested state already holds -> idempotent no-op
+    m_replay = scd2_upsert(df, d, delete_col="is_deleted")
+    assert 2 not in _state(spark, d)
+    assert m_replay["snapshot"] == scd2_upsert(df, d, delete_col="is_deleted")["snapshot"]
+
     # re-insert before the retired interval would overlap -> rejected
     with pytest.raises(ValueError, match="retired"):
         scd2_upsert(_dim(spark, [(2, "new", "us", 15)]), d)
@@ -313,3 +319,96 @@ def test_scd2_enrich_point_in_time(spark, dim_dir):
     assert want[8] == "silver"        # last instant before delete
     assert want[11] == "back"         # re-insert boundary
     assert want[13] is None           # key never existed
+
+
+def _stream_src(spark, src, rows):
+    spark.createDataFrame(
+        rows,
+        "cust_id long, segment string, region string, effective_ts long, "
+        "is_deleted boolean",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_stream(spark, src, d, ckpt, **kw):
+    from factstore_spark.storage.scd2 import start_scd2_stream
+
+    stream = spark.readStream.schema(
+        "cust_id long, segment string, region string, effective_ts long, "
+        "is_deleted boolean"
+    ).parquet(src)
+    q = start_scd2_stream(
+        stream, d, ckpt, delete_col="is_deleted", available_now=True, **kw
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_scd2_stream_maintains_dimension(spark, dim_dir, tmp_path):
+    """Streaming maintainer: per-batch latest-change collapse, resume
+    from checkpoint applies only new files, and a full REDELIVERY (same
+    source, fresh checkpoint) is a no-op — scd2_upsert's idempotent
+    paths absorb already-applied changes, re-inserts and deletes."""
+    d = dim_dir
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: key1 changes twice in-batch (18 then 20 -> collapses to
+    # the 20 version; 18 is below batch resolution), key2 soft-deleted
+    _stream_src(spark, src, [
+        (1, "mid", "eu", 18, False),
+        (1, "platinum", "eu", 20, False),
+        (2, None, None, 25, True),
+    ])
+    _run_stream(spark, src, d, ckpt)
+    assert _state(spark, d) == {1: ("platinum", "eu")}
+    assert _history(spark, d) == [
+        (1, 10, 20, "gold"), (1, 20, None, "platinum"),
+        (2, 10, 25, "silver"),
+    ]
+
+    # batch 2 through the SAME checkpoint: re-insert + new key
+    _stream_src(spark, src, [
+        (2, "back", "us", 40, False),
+        (3, "bronze", "eu", 40, False),
+    ])
+    _run_stream(spark, src, d, ckpt)
+    assert _state(spark, d) == {
+        1: ("platinum", "eu"), 2: ("back", "us"), 3: ("bronze", "eu"),
+    }
+    assert validate_scd2(spark, d)["ok"]
+    hist_after = _history(spark, d)
+
+    # redelivery: FRESH checkpoint over the same source — every row
+    # re-applies as a no-op (latest-per-key collapse + idempotent
+    # upsert), the history is byte-identical and the stream survives
+    _run_stream(spark, src, d, str(tmp_path / "ckpt2"))
+    assert _history(spark, d) == hist_after
+    assert validate_scd2(spark, d)["ok"]
+
+
+def test_scd2_stream_late_rows_policy(spark, dim_dir, tmp_path):
+    """A cross-batch LATE change kills the stream by default (loud
+    upstream-disorder signal); on_late='drop' filters it — including a
+    late change to a soft-deleted key — and the dimension is untouched."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    d = dim_dir
+    scd2_upsert(_dim(spark, [(1, "platinum", "eu", 20)]), d)
+    deleting = spark.createDataFrame(
+        [(2, None, None, 20, True)],
+        "cust_id long, segment string, region string, effective_ts long, is_deleted boolean",
+    )
+    scd2_upsert(deleting, d, delete_col="is_deleted")
+    hist_before = _history(spark, d)
+
+    src = str(tmp_path / "late-src")
+    _stream_src(spark, src, [
+        (1, "stale", "eu", 15, False),   # late change: 15 <= open from 20
+        (2, "ghost", "us", 12, False),   # late re-insert into retired history
+    ])
+    with pytest.raises(StreamingQueryException):
+        _run_stream(spark, src, d, str(tmp_path / "ckpt-err"))
+    assert _history(spark, d) == hist_before  # nothing leaked through
+
+    _run_stream(spark, src, d, str(tmp_path / "ckpt-drop"), on_late="drop")
+    assert _history(spark, d) == hist_before  # dropped, stream survived
+    assert validate_scd2(spark, d)["ok"]
