@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,16 +159,29 @@ def _validate_batch(
     """Single-pass batch validation: uniqueness (count vs distinct-
     struct count — a struct with null FIELDS is itself non-null, so
     null-keyed duplicates are counted, matching the groupBy probe),
+    null-key rejection (a null key field can never be matched by the
+    merge anti-join — standard joins are not null-safe — so "upserting"
+    it again would silently DUPLICATE the row instead of replacing it),
     null-partition rejection, and the distinct partition values, in ONE
-    aggregate job instead of three full scans of the batch. The
-    detailed duplicate probe (_require_unique_keys) runs only on the
-    error path, to name an offending key."""
+    aggregate job instead of four full scans of the batch. The detailed
+    duplicate probe (_require_unique_keys) runs only on the error path,
+    to name an offending key."""
+    null_key = reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+    )
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.struct(*key_cols)).alias("nk"),
+        F.max(F.when(null_key, 1).otherwise(0)).alias("null_k"),
         F.max(F.when(F.col(partition_col).isNull(), 1).otherwise(0)).alias("null_p"),
         F.collect_set(F.col(partition_col).cast("string")).alias("vals"),
     ).collect()[0]
+    if row.null_k:
+        raise ValueError(
+            f"{what} has NULL key fields ({key_cols}); null keys can never "
+            "be re-matched by a merge (joins are not null-safe) — map them "
+            "to a sentinel value upstream"
+        )
     if row.n != row.nk:
         _require_unique_keys(df, key_cols, what)  # names the key; raises
         raise ValueError(f"{what} has duplicate keys")  # unreachable safety

@@ -57,14 +57,23 @@ def _attr_cols(columns, key_cols) -> list[str]:
 
 
 def _validate_updates(df: DataFrame, key_cols, effective_col: str, what: str) -> None:
-    """Uniqueness + non-null effective time in ONE aggregate job (the
-    same single-pass discipline as merge._validate_batch); the detailed
+    """Uniqueness, non-null keys and non-null effective time in ONE
+    aggregate job (the same single-pass discipline as
+    merge._validate_batch — null keys would silently vanish from the
+    flags join and can never be re-matched downstream); the detailed
     duplicate probe runs only on the error path."""
+    null_key = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.struct(*key_cols)).alias("nk"),
+        F.max(F.when(null_key, 1).otherwise(0)).alias("null_k"),
         F.max(F.when(F.col(effective_col).isNull(), 1).otherwise(0)).alias("null_eff"),
     ).collect()[0]
+    if row.null_k:
+        raise ValueError(
+            f"{what} has NULL key fields ({list(key_cols)}); map null "
+            "business keys to a sentinel value upstream"
+        )
     if row.n != row.nk:
         _require_unique_keys(df, key_cols, what)  # names the key; raises
         raise ValueError(f"{what} has duplicate keys")  # unreachable safety

@@ -534,3 +534,29 @@ def test_head_manifest_repair_survives_read_only_dir(spark, tmp_path, monkeypatc
     # Next read repairs the pointer for real.
     assert _snap(spark, d) == {1: ("a", "x2")}
     assert json.load(open(_os.path.join(d, "_LATEST")))["snapshot"] == 2
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    """Null business keys are unmergeable: the anti-join is not
+    null-safe, so 'upserting' a null-keyed row again would silently
+    DUPLICATE it instead of replacing it (reproduced before the guard:
+    two upserts of the same null-keyed row -> two table rows). Both the
+    create and the merge path must reject them loudly."""
+    import pytest
+    from factstore_spark.storage.merge import create_table, merge_upsert, read_table
+
+    d = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="NULL key"):
+        create_table(
+            spark.createDataFrame([(None, "a", 1.0)], "k long, p string, v double"),
+            d, ["k"], "p",
+        )
+    create_table(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, p string, v double"),
+        d, ["k"], "p",
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        merge_upsert(
+            spark.createDataFrame([(None, "a", 9.0)], "k long, p string, v double"), d
+        )
+    assert read_table(spark, d).count() == 1  # nothing leaked
