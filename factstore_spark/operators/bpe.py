@@ -1,0 +1,244 @@
+"""Distributed BPE (byte-pair-encoding) merge learning — tokenizer
+TRAINING as a Spark job, the step build_vocab (frequency top-k) cannot
+do. Classic Sennrich-style formulation: words are symbol sequences
+(characters + an end-of-word marker), and each round merges the
+globally most frequent adjacent symbol pair, left-to-right
+non-overlapping.
+
+Scale shape: the corpus is shuffled ONCE into a (word, count) frame —
+every later round touches only the DISTINCT-WORDS table, which stays
+distributed (billions of distinct words at 100 TB never visit the
+driver). Per round: one map-side-combined pair-count aggregation whose
+shuffle rows are capped by min(distinct pairs, words x avg_len), a
+TakeOrdered(1) for the winning pair (a single row to the driver — the
+only driver traffic per round), and a map-only JVM fold that rewrites
+each word's symbol array (no Python round trip in the loop). The words
+frame is localCheckpointed each round: the fold otherwise nests one
+higher-order expression PER ROUND into a single unanalyzable tree, and
+the pinned frame is exactly what the next round's two consumers read
+(rule #10's pin case).
+
+Tie-breaks are fully deterministic (count desc, then (left, right)
+asc), so the same corpus yields the same merge table on any cluster —
+and equals the pure-Python reference implementation symbol-for-symbol
+(tested; the battery entry re-learns on a bounded sample in plain
+Python and requires an exact match).
+
+Reference parity note: the reference engine has no tokenizer-training
+operator; this module belongs to the LLM-pipeline surplus family
+(SURVEY.md §6 text-analysis group).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+END = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the corpus — the single corpus-wide shuffle of
+    BPE training (map-side combined)."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _symbolize(word: Column) -> Column:
+    """word -> [c1, c2, ..., ck, '</w>'] (the marker keeps suffix
+    merges distinct from mid-word merges, per the classic algorithm)."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END)))
+
+
+def _merge_pair(sym: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of the adjacent pair
+    (left, right) -> left||right inside one symbol array, as a JVM
+    fold: append each symbol, and when the accumulator's last element
+    is `left` and the incoming one is `right`, replace the last element
+    with the merged symbol instead. Left-to-right is exactly what the
+    fold gives: once a merge lands, the new last element is the MERGED
+    symbol, so it cannot chain into an overlapping second merge."""
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (x == lit_r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges; returns
+    ``[(left, right, pair_count), ...]`` in merge order. Stops early
+    when the best remaining pair drops below ``min_pair_count``
+    (merging singletons memorizes the corpus).
+
+    ``checkpoint_every``: the per-round merge fold nests one
+    higher-order expression into the words frame's plan — checkpointing
+    every round doubled the per-round job count for nothing (a 4-deep
+    fold analyzes fine), so the pin lands every K rounds: the pair
+    count between pins recomputes at most K cheap folds over the pinned
+    base, and the argmax job is the only other per-round cost."""
+    words = word_counts(docs, text_col).select(
+        _symbolize(F.col("word")).alias("sym"), "n"
+    )
+    words = pinned = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    since_pin = 0
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                words.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                            F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("left"), b.alias("right")
+                            ),
+                        )
+                    ).alias("pair"),
+                    "n",
+                )
+                .groupBy("pair")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(
+                    F.col("cnt").desc(),
+                    F.col("pair.left").asc(),
+                    F.col("pair.right").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0].cnt < min_pair_count:
+                break
+            left, right = pairs[0].pair.left, pairs[0].pair.right
+            merges.append((left, right, pairs[0].cnt))
+            words = words.select(
+                _merge_pair(F.col("sym"), left, right).alias("sym"), "n"
+            )
+            since_pin += 1
+            if since_pin >= checkpoint_every:
+                nxt = words.localCheckpoint(eager=True)
+                pinned.unpersist()
+                words = pinned = nxt
+                since_pin = 0
+    finally:
+        pinned.unpersist()
+    return merges
+
+
+def learn_bpe_reference(texts: list[str], n_merges: int = 50, min_pair_count: int = 2):
+    """Pure-Python reference learner (same tokenization, symbolization,
+    tie-breaks and left-to-right merge) — the oracle the distributed
+    form is tested and battery-checked against, and a readable spec of
+    the algorithm."""
+    import re
+    from collections import Counter
+
+    # Java's \s is ASCII-only; Python's is unicode-aware — split on the
+    # exact Java class so both learners share one token definition
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    wc = Counter()
+    for t in texts:
+        for w in ws.split(t.lower()):
+            if w:
+                wc[w] += 1
+    words = {tuple(list(w) + [END]): n for w, n in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym[:-1], sym[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, cnt))
+        out = {}
+        for sym, n in words.items():
+            acc = []
+            for x in sym:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(x)
+            out[tuple(acc)] = out.get(tuple(acc), 0) + n
+        words = out
+    return merges
+
+
+def bpe_segment_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table and count BPE tokens per document —
+    the compression measurement that tells you whether the tokenizer
+    fits the corpus. Application runs over the DISTINCT words (an
+    Arrow-batched pandas UDF applying all merges per word in one pass —
+    N sequential JVM folds would cost N interpreted passes), then a
+    broadcast join maps per-word BPE lengths back onto the corpus:
+    (id, n_words, n_chars, n_bpe_tokens)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rules = [(left, right) for left, right, _ in merges]
+
+    @pandas_udf("long")
+    def bpe_len(words: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def seg(w: str) -> int:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            sym = list(w) + [END]
+            for left, right in rules:
+                acc: list[str] = []
+                for x in sym:
+                    if acc and acc[-1] == left and x == right:
+                        acc[-1] = left + right
+                    else:
+                        acc.append(x)
+                sym = acc
+            cache[w] = len(sym)
+            return len(sym)
+
+        return words.map(seg)
+
+    distinct_words = word_counts(docs, text_col).select(
+        "word", bpe_len(F.col("word")).alias("bpe_len")
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("word")
+    )
+    return (
+        exploded.join(F.broadcast(distinct_words), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("bpe_len").cast("long").alias("n_bpe_tokens"),
+        )
+    )

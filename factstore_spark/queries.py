@@ -5018,6 +5018,62 @@ def storage_scd2_history(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def text_bpe_learn(spark, sf_dir):
+    """Self-validating tokenizer-training contract (operators/bpe.py):
+    learn a BPE merge table DISTRIBUTED on a fixed-size document
+    sample, re-learn it in the pure-Python reference implementation on
+    the same collected texts, and require an exact positional match
+    (merge_match_bp must be 10000 — order, pairs AND counts). Then
+    apply the learned table CORPUS-WIDE (distinct-word Arrow UDF +
+    broadcast join-back — the full-scale application path) and emit the
+    compression it achieves vs the char-level baseline. Rows-only: the
+    reference learner IS the oracle; the iterative argmax loop is not
+    SQL-expressible. Cost is bounded by sample size x n_merges (one
+    pair-count job + one checkpoint per merge on the sampled words
+    table), corpus-size-independent for the learn phase."""
+    from .operators.bpe import bpe_segment_stats, learn_bpe, learn_bpe_reference
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = _probe_sample(
+        docs, "doc_id",
+        _probe_ppm(docs, 80, target=400, cache_key=(sf_dir, "documents")),
+        salt="bpe",
+    ).select("doc_id", "text").cache()
+    try:
+        n_docs = sample.count()  # materialize once; scanned again below
+        merges = learn_bpe(sample, n_merges=12, min_pair_count=2)
+        texts = [r.text for r in sample.select("text").collect()]  # bounded
+        want = learn_bpe_reference(texts, n_merges=12, min_pair_count=2)
+        common = sum(1 for a, b in zip(merges, want) if a == b)
+        match_bp = (
+            10000
+            if merges == want
+            else (10000 * common) // max(len(merges), len(want), 1)
+        )
+        stats = bpe_segment_stats(docs, merges).agg(
+            F.sum("n_words").cast("long").alias("corpus_words"),
+            F.sum("n_chars").cast("long").alias("corpus_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("corpus_bpe_tokens"),
+        ).collect()[0]
+        # char-level baseline segments every word to chars + marker
+        baseline = stats.corpus_chars + stats.corpus_words
+        row = (
+            int(len(merges)),
+            int(n_docs),
+            int(match_bp),
+            int(stats.corpus_words),
+            int(stats.corpus_bpe_tokens),
+            int(10000 * stats.corpus_bpe_tokens // max(baseline, 1)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_merges long, n_docs long, merge_match_bp long, "
+            "corpus_words long, corpus_bpe_tokens long, compression_bp long",
+        )
+    finally:
+        sample.unpersist()
+
+
 def orders_weekly_revenue_wow(spark, sf_dir):
     """Weekly revenue with week-over-week delta — the growth-report
     shape (windowed lag over an aggregated frame): one map-combined
@@ -5423,6 +5479,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 8 (lead the window so the driver checks them) -----
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, None),
+    "text_bpe_learn": (text_bpe_learn, None),
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, None),
     "embeddings_random_projection": (embeddings_random_projection, None),
