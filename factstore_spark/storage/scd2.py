@@ -219,8 +219,12 @@ def scd2_upsert(
             & (F.col("_eff") <= F.col("_cur_from"))
             & (_changed(attr_cols) | F.col("_del"))
         )
+        # re-inserts only: a DELETE aimed at a closed key is a ghost
+        # delete whatever its effective says — the precise caller
+        # signal, not a re-insert-ordering complaint
         early_c = (
-            F.col("_cur_from").isNull()
+            ~F.col("_del")
+            & F.col("_cur_from").isNull()
             & F.col("_max_to").isNotNull()
             & (F.col("_eff") < F.col("_max_to"))
         )

@@ -412,3 +412,89 @@ def test_scd2_stream_late_rows_policy(spark, dim_dir, tmp_path):
     _run_stream(spark, src, d, str(tmp_path / "ckpt-drop"), on_late="drop")
     assert _history(spark, d) == hist_before  # dropped, stream survived
     assert validate_scd2(spark, d)["ok"]
+
+
+def test_scd2_model_based_random_histories(spark, tmp_path):
+    """Model-based: random operation sequences (change / unchanged /
+    delete / re-insert / new key / late row, random effectives) applied
+    through scd2_upsert, mirrored in a pure-Python interval model.
+    Outcomes must agree on every step (applied vs rejected AND the
+    rejection kind), the final histories must be identical, and the
+    trace must have exercised every outcome class (no vacuous run)."""
+    import random
+
+    rnd = random.Random(20260814)
+    d = str(tmp_path / "model-dim")
+    keys = list(range(6))
+    create_scd2_table(
+        _dim(spark, [(k, f"s{k}", "eu", 10) for k in keys[:4]]),
+        d, ["cust_id"], "region",
+    )
+    # python model: key -> list of [from, to_or_None, segment, region]
+    model = {k: [[10, None, f"s{k}", "eu"]] for k in keys[:4]}
+    outcomes = {"applied": 0, "noop": 0, "stale": 0, "early": 0, "ghost": 0}
+
+    def model_apply(k, seg, reg, eff, dele):
+        """Returns the outcome the engine must produce, applying to the
+        model when legal."""
+        hist = model.get(k, [])
+        open_iv = next((iv for iv in hist if iv[1] is None), None)
+        if dele:
+            if open_iv is None:
+                last_to = max((iv[1] for iv in hist if iv[1] is not None), default=None)
+                return "noop" if (last_to is not None and last_to == eff) else "ghost"
+            if eff <= open_iv[0]:
+                return "stale"
+            open_iv[1] = eff
+            return "applied"
+        if open_iv is None:
+            last_to = max((iv[1] for iv in hist if iv[1] is not None), default=None)
+            if last_to is not None and eff < last_to:
+                return "early"
+            model.setdefault(k, []).append([eff, None, seg, reg])
+            return "applied"
+        if (open_iv[2], open_iv[3]) == (seg, reg):
+            return "noop"
+        if eff <= open_iv[0]:
+            return "stale"
+        open_iv[1] = eff
+        model[k].append([eff, None, seg, reg])
+        return "applied"
+
+    for step in range(40):
+        k = rnd.choice(keys)
+        dele = rnd.random() < 0.2
+        seg = rnd.choice(["a", "b", f"s{k}"])
+        reg = rnd.choice(["eu", "us"])
+        eff = rnd.randint(5, 60)
+        want = model_apply(k, seg, reg, eff, dele)
+        outcomes[want] += 1
+        batch = spark.createDataFrame(
+            [(k, None if dele else seg, None if dele else reg, eff, dele)],
+            "cust_id long, segment string, region string, "
+            "effective_ts long, is_deleted boolean",
+        )
+        try:
+            scd2_upsert(batch, d, delete_col="is_deleted")
+            got = "applied-or-noop"
+        except ValueError as e:
+            msg = str(e)
+            got = ("stale" if "out-of-order" in msg
+                   else "early" if "retired" in msg
+                   else "ghost" if "unknown/closed" in msg
+                   else f"unexpected: {msg}")
+        if want in ("applied", "noop"):
+            assert got == "applied-or-noop", (step, k, seg, reg, eff, dele, got)
+        else:
+            assert got == want, (step, k, seg, reg, eff, dele, got, want)
+
+    # the random trace must have exercised EVERY outcome class
+    assert all(n > 0 for n in outcomes.values()), outcomes
+
+    want_hist = sorted(
+        (k, iv[0], iv[1], iv[2])
+        for k, ivs in model.items()
+        for iv in ivs
+    )
+    assert _history(spark, d) == want_hist
+    assert validate_scd2(spark, d)["ok"]
