@@ -188,6 +188,71 @@ def learn_bpe_reference(texts: list[str], n_merges: int = 50, min_pair_count: in
     return merges
 
 
+def _bpe_word_udf(merges: list, out: str):
+    """Arrow-batched per-word segmenter over the merge rules with a
+    per-batch memo (corpora repeat words heavily); ``out`` picks the
+    column shape — 'len' (long) or 'tokens' (array<string>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rules = [(left, right) for left, right, _ in merges]
+
+    def seg(w: str, cache: dict) -> list:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        sym = list(w) + [END]
+        for left, right in rules:
+            acc: list[str] = []
+            for x in sym:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(x)
+            sym = acc
+        cache[w] = sym
+        return sym
+
+    if out == "len":
+
+        @pandas_udf("long")
+        def f(words: pd.Series) -> pd.Series:
+            cache: dict = {}
+            return words.map(lambda w: len(seg(w, cache)))
+
+    else:
+
+        @pandas_udf("array<string>")
+        def f(words: pd.Series) -> pd.Series:
+            cache: dict = {}
+            return words.map(lambda w: seg(w, cache))
+
+    return f
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table and return the actual token
+    sequences: one row per (id, word_pos, word) with its BPE token
+    array — the consumable tokenizer output (join a vocab for ids, or
+    flatten for sequence packing). Same scale shape as the stats form:
+    segmentation runs ONCE per distinct word (Arrow UDF + per-batch
+    memo), then a broadcast join maps arrays back onto the corpus;
+    in-document word order is preserved by ``word_pos`` (posexplode)."""
+    distinct_words = word_counts(docs, text_col).select(
+        "word", _bpe_word_udf(merges, "tokens")(F.col("word")).alias("bpe_tokens")
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("word_pos", "word")
+    )
+    return exploded.join(F.broadcast(distinct_words), "word").select(
+        id_col, "word_pos", "word", "bpe_tokens"
+    )
+
+
 def bpe_segment_stats(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -201,34 +266,8 @@ def bpe_segment_stats(
     N sequential JVM folds would cost N interpreted passes), then a
     broadcast join maps per-word BPE lengths back onto the corpus:
     (id, n_words, n_chars, n_bpe_tokens)."""
-    from pyspark.sql.functions import pandas_udf
-
-    rules = [(left, right) for left, right, _ in merges]
-
-    @pandas_udf("long")
-    def bpe_len(words: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def seg(w: str) -> int:
-            got = cache.get(w)
-            if got is not None:
-                return got
-            sym = list(w) + [END]
-            for left, right in rules:
-                acc: list[str] = []
-                for x in sym:
-                    if acc and acc[-1] == left and x == right:
-                        acc[-1] = left + right
-                    else:
-                        acc.append(x)
-                sym = acc
-            cache[w] = len(sym)
-            return len(sym)
-
-        return words.map(seg)
-
     distinct_words = word_counts(docs, text_col).select(
-        "word", bpe_len(F.col("word")).alias("bpe_len")
+        "word", _bpe_word_udf(merges, "len")(F.col("word")).alias("bpe_len")
     )
     exploded = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("word")

@@ -5470,12 +5470,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- Driver-window rotation (round 8) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 8: the four new entries lead, then the round-7 block (whose
-    # dedup_incremental_minhash / storage_merge_upsert contracts got the
-    # ADVICE coalesce fix and should be re-checked), then round 6. Every
-    # entry in the registry has at least one driver-green row (r1-r7).
-    # Ordering is presentation-only: every entry runs identically
-    # regardless of position.
+    # Round 8: all seven new entries lead (the three continuation-
+    # session additions first — MAD outliers, SCD2 history, BPE
+    # training — then the four from the main session), then the
+    # round-7 block (whose dedup_incremental_minhash /
+    # storage_merge_upsert contracts got the ADVICE coalesce fix and
+    # should be re-checked), then round 6. Every entry in the registry
+    # has at least one driver-green row (r1-r7). Ordering is
+    # presentation-only: every entry runs identically regardless of
+    # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, None),

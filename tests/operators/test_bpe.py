@@ -119,3 +119,32 @@ def test_bpe_segment_broadcasts_word_table(spark):
     with redirect_stdout(buf):
         bpe_segment_stats(docs, merges).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_bpe_tokenize_sequences_and_consistency(spark):
+    """bpe_tokenize returns the actual per-word token arrays in
+    document order; flattened lengths agree with bpe_segment_stats,
+    and joining the arrays back reconstructs each word exactly."""
+    texts = ["banana banana na", "xy banana"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, n_merges=3, min_pair_count=2)
+    from factstore_spark.operators.bpe import bpe_tokenize
+
+    rows = bpe_tokenize(docs, merges).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.word_pos] = (r.word, list(r.bpe_tokens))
+    # word order round-trips
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert [by_doc[i][p][0] for p in sorted(by_doc[i])] == words
+        for p, w in enumerate(words):
+            toks = by_doc[i][p][1]
+            assert "".join(toks) == w + END  # concatenation reconstructs
+            assert toks[-1].endswith(END)
+    # flattened token counts equal the stats form
+    stats = {r.doc_id: r.n_bpe_tokens for r in bpe_segment_stats(docs, merges).collect()}
+    for i in by_doc:
+        assert stats[i] == sum(len(v[1]) for v in by_doc[i].values())
