@@ -234,21 +234,31 @@ def bpe_tokenize(
     merges: list[tuple[str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_words: bool = False,
 ) -> DataFrame:
     """Apply a learned merge table and return the actual token
     sequences: one row per (id, word_pos, word) with its BPE token
     array — the consumable tokenizer output (join a vocab for ids, or
     flatten for sequence packing). Same scale shape as the stats form:
     segmentation runs ONCE per distinct word (Arrow UDF + per-batch
-    memo), then a broadcast join maps arrays back onto the corpus;
-    in-document word order is preserved by ``word_pos`` (posexplode)."""
+    memo), then a join maps arrays back onto the corpus; in-document
+    word order is preserved by ``word_pos`` (posexplode).
+
+    ``broadcast_words=True`` force-broadcasts the segmented word table
+    — right for bounded vocabularies, WRONG at open-web scale where
+    distinct words run to billions (driver OOM / the 8 GB broadcast
+    cap). The default lets Catalyst/AQE pick: a small built side still
+    becomes a runtime broadcast, a huge one stays a shuffle hash join
+    on ``word``."""
     distinct_words = word_counts(docs, text_col).select(
         "word", _bpe_word_udf(merges, "tokens")(F.col("word")).alias("bpe_tokens")
     )
+    if broadcast_words:
+        distinct_words = F.broadcast(distinct_words)
     exploded = docs.select(
         F.col(id_col), F.posexplode(tokens_col(text_col)).alias("word_pos", "word")
     )
-    return exploded.join(F.broadcast(distinct_words), "word").select(
+    return exploded.join(distinct_words, "word").select(
         id_col, "word_pos", "word", "bpe_tokens"
     )
 
@@ -258,22 +268,27 @@ def bpe_segment_stats(
     merges: list[tuple[str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_words: bool = False,
 ) -> DataFrame:
     """Apply a learned merge table and count BPE tokens per document —
     the compression measurement that tells you whether the tokenizer
     fits the corpus. Application runs over the DISTINCT words (an
     Arrow-batched pandas UDF applying all merges per word in one pass —
     N sequential JVM folds would cost N interpreted passes), then a
-    broadcast join maps per-word BPE lengths back onto the corpus:
-    (id, n_words, n_chars, n_bpe_tokens)."""
+    join maps per-word BPE lengths back onto the corpus:
+    (id, n_words, n_chars, n_bpe_tokens). ``broadcast_words`` as in
+    :func:`bpe_tokenize` — opt-in only; distinct words at open-web
+    scale are NOT broadcastable."""
     distinct_words = word_counts(docs, text_col).select(
         "word", _bpe_word_udf(merges, "len")(F.col("word")).alias("bpe_len")
     )
+    if broadcast_words:
+        distinct_words = F.broadcast(distinct_words)
     exploded = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("word")
     )
     return (
-        exploded.join(F.broadcast(distinct_words), "word")
+        exploded.join(distinct_words, "word")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),

@@ -153,38 +153,52 @@ def _require_unique_keys(df: DataFrame, key_cols: list[str], what: str) -> None:
         )
 
 
-def _validate_batch(
-    df: DataFrame, key_cols: list[str], partition_col: str, what: str
-) -> list[str]:
-    """Single-pass batch validation: uniqueness (count vs distinct-
-    struct count — a struct with null FIELDS is itself non-null, so
-    null-keyed duplicates are counted, matching the groupBy probe),
-    null-key rejection (a null key field can never be matched by the
-    merge anti-join — standard joins are not null-safe — so "upserting"
-    it again would silently DUPLICATE the row instead of replacing it),
-    null-partition rejection, and the distinct partition values, in ONE
-    aggregate job instead of four full scans of the batch. The detailed
+def validate_keyed_batch(df: DataFrame, key_cols, what: str, extra_aggs=None):
+    """Single-pass keyed-batch validation core, shared by the merge and
+    SCD2 layers: uniqueness (count vs distinct-struct count — a struct
+    with null FIELDS is itself non-null, so null-keyed duplicates are
+    counted, matching the groupBy probe) and null-key rejection (a null
+    key field can never be matched by the merge anti-join — standard
+    joins are not null-safe — so "upserting" it again would silently
+    DUPLICATE the row instead of replacing it), in ONE aggregate job.
+    ``extra_aggs`` (name -> aggregate Column) ride the same job; the
+    returned Row carries them for the caller's own checks. The detailed
     duplicate probe (_require_unique_keys) runs only on the error path,
     to name an offending key."""
-    null_key = reduce(
-        lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
-    )
+    null_key = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.struct(*key_cols)).alias("nk"),
         F.max(F.when(null_key, 1).otherwise(0)).alias("null_k"),
-        F.max(F.when(F.col(partition_col).isNull(), 1).otherwise(0)).alias("null_p"),
-        F.collect_set(F.col(partition_col).cast("string")).alias("vals"),
+        *[v.alias(k) for k, v in (extra_aggs or {}).items()],
     ).collect()[0]
     if row.null_k:
         raise ValueError(
-            f"{what} has NULL key fields ({key_cols}); null keys can never "
-            "be re-matched by a merge (joins are not null-safe) — map them "
-            "to a sentinel value upstream"
+            f"{what} has NULL key fields ({list(key_cols)}); null keys can "
+            "never be re-matched by a merge (joins are not null-safe) — map "
+            "them to a sentinel value upstream"
         )
     if row.n != row.nk:
         _require_unique_keys(df, key_cols, what)  # names the key; raises
         raise ValueError(f"{what} has duplicate keys")  # unreachable safety
+    return row
+
+
+def _validate_batch(
+    df: DataFrame, key_cols: list[str], partition_col: str, what: str
+) -> list[str]:
+    """Merge-table batch validation: the shared keyed core plus
+    null-partition rejection and the distinct partition values, all in
+    the same single aggregate job."""
+    row = validate_keyed_batch(
+        df, key_cols, what,
+        extra_aggs={
+            "null_p": F.max(
+                F.when(F.col(partition_col).isNull(), 1).otherwise(0)
+            ),
+            "vals": F.collect_set(F.col(partition_col).cast("string")),
+        },
+    )
     if row.null_p:
         raise ValueError(f"{partition_col} must be non-null for merge tables")
     return sorted(row.vals)

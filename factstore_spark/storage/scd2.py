@@ -43,10 +43,10 @@ from pyspark.sql import functions as F
 from .merge import (
     ConcurrentMergeError,
     _head_manifest,
-    _require_unique_keys,
     create_table,
     merge_upsert,
     read_table,
+    validate_keyed_batch,
 )
 
 _SYS_COLS = {"valid_from", "valid_to"}
@@ -57,28 +57,35 @@ def _attr_cols(columns, key_cols) -> list[str]:
 
 
 def _validate_updates(df: DataFrame, key_cols, effective_col: str, what: str) -> None:
-    """Uniqueness, non-null keys and non-null effective time in ONE
-    aggregate job (the same single-pass discipline as
-    merge._validate_batch — null keys would silently vanish from the
-    flags join and can never be re-matched downstream); the detailed
-    duplicate probe runs only on the error path."""
-    null_key = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.struct(*key_cols)).alias("nk"),
-        F.max(F.when(null_key, 1).otherwise(0)).alias("null_k"),
-        F.max(F.when(F.col(effective_col).isNull(), 1).otherwise(0)).alias("null_eff"),
-    ).collect()[0]
-    if row.null_k:
-        raise ValueError(
-            f"{what} has NULL key fields ({list(key_cols)}); map null "
-            "business keys to a sentinel value upstream"
-        )
-    if row.n != row.nk:
-        _require_unique_keys(df, key_cols, what)  # names the key; raises
-        raise ValueError(f"{what} has duplicate keys")  # unreachable safety
+    """SCD2 batch validation: the shared keyed core (uniqueness +
+    null-key rejection, merge.validate_keyed_batch) plus the non-null
+    effective time, all in the same single aggregate job."""
+    row = validate_keyed_batch(
+        df, key_cols, what,
+        extra_aggs={
+            "null_eff": F.max(
+                F.when(F.col(effective_col).isNull(), 1).otherwise(0)
+            )
+        },
+    )
     if row.null_eff:
         raise ValueError(f"{effective_col} must be non-null")
+
+
+def _scd2_meta(table_dir: str) -> tuple[dict, list[str]]:
+    """Head manifest + business key columns, with the same loud errors
+    at EVERY entry point: unpublished dir and not-an-SCD2-table both
+    fail with actionable messages instead of a bare TypeError or a
+    silent mis-slice of a plain merge table's key columns."""
+    m = _head_manifest(table_dir)
+    if m is None:
+        raise ValueError(
+            f"{table_dir} has no published manifest; create_scd2_table first"
+        )
+    merge_keys = m["meta"]["key_cols"]
+    if not merge_keys or merge_keys[-1] != "valid_from":
+        raise ValueError(f"{table_dir} is not an SCD2 table (merge key {merge_keys})")
+    return m, merge_keys[:-1]
 
 
 def create_scd2_table(
@@ -140,13 +147,7 @@ def scd2_upsert(
     idempotency, so streaming redelivery never double-fails).
     Returns the published manifest (unchanged if the batch was fully
     a no-op)."""
-    m = _head_manifest(table_dir)
-    if m is None:
-        raise ValueError(f"{table_dir} has no published manifest; create_scd2_table first")
-    merge_keys = m["meta"]["key_cols"]
-    if not merge_keys or merge_keys[-1] != "valid_from":
-        raise ValueError(f"{table_dir} is not an SCD2 table (merge key {merge_keys})")
-    key_cols = merge_keys[:-1]
+    m, key_cols = _scd2_meta(table_dir)
     spark = updates.sparkSession
 
     flags = None
@@ -362,7 +363,10 @@ def scd2_enrich(
         facts, stream, on=on, left_time=left_time, right_time="_dim_from",
         value_cols=attr_cols, bucket=bucket,
     )
-    return out.drop("_dim_from_right")
+    # asof_join emits the right-time column under its own name and only
+    # suffixes on collision with a fact column — drop BOTH spellings so
+    # the private column never escapes into the public output
+    return out.drop("_dim_from", "_dim_from_right")
 
 
 def start_scd2_stream(
@@ -402,8 +406,7 @@ def start_scd2_stream(
 
         if not batch_df.take(1):
             return
-        m = _head_manifest(table_dir)
-        key_cols = m["meta"]["key_cols"][:-1]
+        _, key_cols = _scd2_meta(table_dir)
         tie_cols = [c for c in batch_df.columns if c not in set(key_cols) | {effective_col}]
         w = Window.partitionBy(*key_cols).orderBy(
             F.col(effective_col).desc(), F.struct(*tie_cols).desc()
@@ -449,6 +452,21 @@ def start_scd2_stream(
                 return
             except ConcurrentMergeError:
                 continue
+            except ValueError as e:
+                # drop-mode race: the bound above is read from the head,
+                # but a concurrent writer can advance a key BETWEEN that
+                # read and the upsert's pinned-snapshot validation — the
+                # row passes the filter yet arrives late. The lateness
+                # classes are exactly what the drop policy exists to
+                # absorb: retry, and the recomputed bound drops them.
+                # Every other ValueError (schema, ghosts, nulls) still
+                # kills the stream loudly.
+                late = str(e).startswith(
+                    ("out-of-order effective", "re-insert before retired")
+                )
+                if on_late == "drop" and late:
+                    continue
+                raise
         raise ConcurrentMergeError(
             f"micro-batch {epoch_id} starved after {max_retries} scd2 attempts"
         )
@@ -476,8 +494,7 @@ def validate_scd2(spark: SparkSession, table_dir: str) -> dict:
     """
     from pyspark.sql.window import Window
 
-    m = _head_manifest(table_dir)
-    key_cols = m["meta"]["key_cols"][:-1]
+    _, key_cols = _scd2_meta(table_dir)
     t = read_table(spark, table_dir)
     problems: list[str] = []
     if t is None:

@@ -110,6 +110,9 @@ def test_bpe_segment_stats_hand_computed(spark):
 
 
 def test_bpe_segment_broadcasts_word_table(spark):
+    """broadcast_words=True pins the small-vocab broadcast plan; the
+    default leaves the strategy to Catalyst/AQE (billions of distinct
+    words at open-web scale are NOT broadcastable)."""
     import io
     from contextlib import redirect_stdout
 
@@ -117,8 +120,12 @@ def test_bpe_segment_broadcasts_word_table(spark):
     merges = [("e", "s", 10), ("t", "h", 8)]
     buf = io.StringIO()
     with redirect_stdout(buf):
-        bpe_segment_stats(docs, merges).explain("formatted")
+        bpe_segment_stats(docs, merges, broadcast_words=True).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+    # default: no forced hint anywhere in the plan (scale-safe)
+    plan = bpe_segment_stats(docs, merges)
+    rows = {r.doc_id: r.n_bpe_tokens for r in plan.limit(0).collect()}
+    assert rows == {}  # analyzes and runs without the hint
 
 
 def test_bpe_tokenize_sequences_and_consistency(spark):

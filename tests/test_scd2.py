@@ -210,6 +210,12 @@ def test_scd2_batch_hygiene(spark, dim_dir):
             plain, ["k"], "p",
         )
         scd2_upsert(_dim(spark, [(1, "a", "eu", 20)]), plain)
+    # every entry point shares the loud manifest errors — never a bare
+    # TypeError on a dir create_scd2_table never touched
+    with pytest.raises(ValueError, match="no published manifest"):
+        validate_scd2(spark, str(os.path.dirname(d)) + "/nowhere")
+    with pytest.raises(ValueError, match="not an SCD2 table"):
+        validate_scd2(spark, plain)
 
 
 def test_validate_scd2_catches_planted_overlap(spark, dim_dir):
@@ -304,11 +310,11 @@ def test_scd2_enrich_point_in_time(spark, dim_dir):
         r.fact_id: ref(r.cust_id, r.ts) for r in facts.collect()
     }
     for bucket in (None, 10):
-        got = {
-            r.fact_id: r.segment
-            for r in scd2_enrich(facts, hist, on="cust_id", left_time="ts",
-                                 bucket=bucket).collect()
-        }
+        out = scd2_enrich(facts, hist, on="cust_id", left_time="ts", bucket=bucket)
+        # public schema only: fact columns + attributes, no internal
+        # change-stream columns leaking through
+        assert sorted(out.columns) == ["cust_id", "fact_id", "region", "segment", "ts"]
+        got = {r.fact_id: r.segment for r in out.collect()}
         assert got == want, f"bucket={bucket}"
     # spot checks pin the reference itself (falsifiability)
     assert want[0] is None            # before key 1 existed
