@@ -1,0 +1,203 @@
+"""Distributed dense linear algebra over embedding columns: exact
+covariance/Gramian accumulation and PCA variance decomposition.
+
+Scale design (what makes this the 100 TB shape):
+
+- **One pass, fixed-size state.** The Gramian ``sum(x xᵀ)``, the sum
+  vector and the row count are ASSOCIATIVE partials of size
+  ``O(dim²)`` — each Arrow batch folds into a single numpy
+  accumulator; each partition emits ONE partial row. The shuffle that
+  combines them moves ``partitions × (dim² + dim + 1)`` integers,
+  independent of row count. This is the classic distributed-PCA /
+  whitening shape (the preprocessing step of SemDeDup-style embedding
+  pipelines and of Mahalanobis outlier scoring).
+- **Exact integer arithmetic across the aggregation boundary.**
+  Float sums are order-dependent and Spark's combine order is not
+  deterministic, so the accumulator QUANTIZES each coordinate to an
+  integer grid (``floor(x * scale)``) and sums int64 exactly; the
+  Spark-side combine casts partials to ``decimal(38,0)`` so even
+  planetary totals cannot overflow. The decomposition is then a
+  deterministic function of exact integers — rerunning the job gives
+  bit-identical eigenvalues (SCALE.md rule #4: no floats across
+  aggregation boundaries).
+- **Driver work is O(dim²) only.** The combined partials (4,161
+  values at dim=64) collapse to the driver, which does the ``eigh`` —
+  the one step that is genuinely cheaper centralized than distributed
+  for dims up to a few thousand.
+
+Per-batch int64 overflow bound: ``q = floor(x * scale)`` with
+``|x| <= B`` gives ``|q| <= B * scale``; a batch of ``r`` rows adds at
+most ``r * (B * scale)²`` to a Gramian cell. With the default
+``scale = 2^16`` and B ~ 4, that is ~6.9e10 per row — int64 holds
+~1.3e8 such rows per PARTITION before overflow, far above any sane
+Arrow batch/partition size; the cross-partition total is decimal-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_partials(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1 << 16,
+) -> DataFrame:
+    """Per-partition exact quantized-Gramian partials.
+
+    Output: one row per non-empty partition with
+    ``(n long, acc array<long>)`` where ``acc`` is
+    ``[sum(q)..., rowmajor sum(q qᵀ)...]`` of length ``dim + dim²``
+    over quantized vectors ``q = floor(x * scale)``. Rows with null or
+    wrong-length vectors are skipped (counted out of ``n``).
+    """
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim, dtype=np.int64)
+        g = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            vecs = [
+                v
+                for v in pdf[vec_col]
+                if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            x = np.asarray(np.stack(vecs), dtype=np.float64)
+            q = np.floor(x * scale).astype(np.int64)
+            n += q.shape[0]
+            s += q.sum(axis=0)
+            g += q.T @ q
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "acc": [np.concatenate([s, g.reshape(-1)]).tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        fold, schema="n long, acc array<long>"
+    )
+
+
+def combined_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1 << 16,
+) -> tuple[int, Optional[np.ndarray], Optional[np.ndarray]]:
+    """Exact combined ``(n, mean, covariance)`` of the quantized grid.
+
+    The partials posexplode to ``(pos, val)`` and combine with a
+    ``decimal(38,0)`` sum — exact at any scale, and a shuffle of only
+    ``partitions × (dim² + dim + 1)`` values. Returns float64
+    ``mean``/``cov`` on the ORIGINAL (unquantized) axis scale;
+    ``(0, None, None)`` on an empty input.
+    """
+    partials = gram_partials(df, vec_col, dim, scale)
+    combined = (
+        partials.select(
+            F.col("n").cast("decimal(38,0)").alias("v0"),
+            F.posexplode("acc").alias("pos", "v"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum("v0").alias("sn"),
+        )
+        .collect()
+    )
+    if not combined:
+        return 0, None, None
+    # sn repeats the total row count on every pos row (summed per
+    # group over identical per-partial values / #pos — instead take it
+    # from pos 0 where it is just sum(n)).
+    total = np.zeros(dim + dim * dim, dtype=np.float64)
+    n = 0
+    for row in combined:
+        total[row.pos] = float(row.sv)
+        if row.pos == 0:
+            n = int(row.sn)
+    s = total[:dim]
+    g = total[dim:].reshape(dim, dim)
+    mean = s / (n * scale)
+    # E[qqᵀ]/scale² - mean meanᵀ: population covariance on the
+    # quantized grid, exact given the integer sums.
+    cov = g / (n * scale * scale) - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_variance(
+    spark,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1 << 16,
+    top_k: int = 8,
+) -> DataFrame:
+    """PCA variance decomposition with self-validating contract columns.
+
+    One row per top-``k`` principal component:
+    ``component`` (0-based), ``evr_bp`` / ``cum_evr_bp`` (variance
+    explained, basis points of total variance), plus contract columns
+    the rows-only gate enforces:
+
+    - ``trace_match_bp`` — round(10000 · Σλ / trace(cov)): eigenvalue
+      sum must preserve the trace (== 10000).
+    - ``psd_ok`` — smallest eigenvalue ≥ -1e-8 · largest (covariance
+      matrices are PSD; quantization cannot break that).
+    - ``monotone_ok`` — eigenvalues non-increasing down the rows.
+    - ``orthonormal_ok`` — max |VᵀV − I| < 1e-8.
+
+    Deterministic end to end: the integer sums are exact, so ``eigh``
+    sees bit-identical input on every run.
+    """
+    n, _mean, cov = combined_gram(df, vec_col, dim, scale)
+    if n == 0 or cov is None:
+        return spark.createDataFrame(
+            [],
+            "component long, evr_bp long, cum_evr_bp long, n_vectors long, "
+            "trace_match_bp long, psd_ok long, monotone_ok long, "
+            "orthonormal_ok long",
+        )
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    trace = float(np.trace(cov))
+    trace_match_bp = int(round(10000.0 * float(w.sum()) / trace)) if trace else 0
+    psd_ok = int(bool(w[-1] >= -1e-8 * max(w[0], 1e-30)))
+    monotone_ok = int(bool(np.all(np.diff(w) <= 1e-12)))
+    orthonormal_ok = int(
+        bool(np.max(np.abs(v.T @ v - np.eye(dim))) < 1e-8)
+    )
+    k = min(top_k, dim)
+    evr_bp = np.floor(10000.0 * w / trace).astype(np.int64)
+    cum = np.cumsum(w)
+    cum_bp = np.floor(10000.0 * cum / trace).astype(np.int64)
+    rows = [
+        (
+            int(i),
+            int(evr_bp[i]),
+            int(cum_bp[i]),
+            int(n),
+            trace_match_bp,
+            psd_ok,
+            monotone_ok,
+            orthonormal_ok,
+        )
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component long, evr_bp long, cum_evr_bp long, n_vectors long, "
+        "trace_match_bp long, psd_ok long, monotone_ok long, "
+        "orthonormal_ok long",
+    )

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 
 from .model import ReadDirection, TagOnlyQueryItem, TagQuery, TagTypeItem
 from .operators import dedup as dedup_ops
+from .operators import linalg as linalg_ops
 from .operators import multimodal as mm_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
@@ -5461,6 +5462,146 @@ def storage_bucketed_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-8 continuation: edit-distance-verified dedup, basket rules,
+# distributed PCA
+# ---------------------------------------------------------------------------
+
+
+def dedup_editdist_verify(spark, sf_dir):
+    """Two-stage near-dup pairs: prefix-blocked candidates verified by
+    band-pruned Levenshtein on a 200-char prefix
+    (operators/dedup.py:editdist_verified_pairs) — the block-then-verify
+    shape of production entity resolution, with a per-pair cost that is
+    a CONSTANT, not a function of document length. One shuffle on the
+    block key; fan-out bounded by the max_block skew guard (same
+    discipline as max_shingle_df); all-integer output."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.editdist_verified_pairs(
+        docs, block_prefix=24, verify_prefix=200, max_dist=30, max_block=50
+    )
+
+
+DEDUP_EDITDIST_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(lower(text), 1, 24) AS blk,
+         substr(text, 1, 200) AS vtxt
+  FROM documents WHERE text IS NOT NULL),
+big AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 50),
+dd AS (SELECT d.* FROM d ANTI JOIN big USING (blk))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.vtxt, b.vtxt) AS BIGINT) AS dist
+FROM dd a JOIN dd b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.vtxt, b.vtxt) <= 30
+"""
+
+
+def orders_basket_rules(spark, sf_dir):
+    """Association-rule mining over order baskets: directed brand
+    pair rules with support / confidence / lift in integer basis
+    points — the classic market-basket co-occurrence analytics
+    (Agrawal-Srikant a-priori at the pair level). Plan: lineitem joins
+    part (AQE picks broadcast at bench scale), then ONE shuffle builds
+    per-order brand sets with in-aggregate dedup (collect_set with
+    map-side partial agg); ordered pairs expand IN-MEMORY from each
+    sorted basket — fan-out is bounded by basket size squared (TPC-H
+    baskets are <= 7 lines, so the expansion is linear in orders, never
+    quadratic in anything global). Brand marginals and the order total
+    are derived from the same basket frame and broadcast back. Lift is
+    the documented two-floor integer form
+    ``lift_bp = (confidence_bp * n_orders) div n_b`` — overflow-safe at
+    any scale (confidence_bp <= 10000, so the product stays far inside
+    int64 even at 1e10 orders) and floor-for-floor identical in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x: F.transform(
+                F.filter(F.col("brands"), lambda y: y != x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    marg = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    )
+    ntot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnsRenamed({"brand": "brand_a", "n_x": "n_a"})),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.withColumnsRenamed({"brand": "brand_b", "n_x": "n_b"})),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(ntot))
+        .filter(F.col("n_ab") * 2000 >= F.col("n_orders"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.expr("(10000 * n_ab) div n_orders").alias("support_bp"),
+            F.expr("(10000 * n_ab) div n_a").alias("confidence_bp"),
+            F.expr("(((10000 * n_ab) div n_a) * n_orders) div n_b").alias("lift_bp"),
+        )
+    )
+
+
+def embeddings_pca_variance(spark, sf_dir):
+    """Distributed PCA variance decomposition over the embeddings
+    table (operators/linalg.py:pca_variance): one pass accumulates an
+    EXACT integer-quantized Gramian (one O(dim²) partial per
+    partition; decimal-exact combine — shuffle volume independent of
+    row count), the driver does the O(dim²) eigh. The whitening /
+    Mahalanobis / SemDeDup-preprocessing primitive. Rows-only: the
+    emitted rows carry the contract (trace preservation, PSD,
+    monotone spectrum, orthonormal basis) the gate enforces."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return linalg_ops.pca_variance(
+        spark, emb, vec_col="embedding", dim=64, top_k=8
+    )
+
+
+ORDERS_BASKET_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+na AS (SELECT brand, COUNT(*) AS n_x FROM b GROUP BY 1),
+ab AS (
+  SELECT a.brand AS brand_a, c.brand AS brand_b, COUNT(*) AS n_ab
+  FROM b a JOIN b c ON a.ok = c.ok AND a.brand <> c.brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+  CAST(x.n_x AS BIGINT) AS n_a, CAST(y.n_x AS BIGINT) AS n_b,
+  CAST(n.n_orders AS BIGINT) AS n_orders,
+  CAST((10000 * n_ab) // n.n_orders AS BIGINT) AS support_bp,
+  CAST((10000 * n_ab) // x.n_x AS BIGINT) AS confidence_bp,
+  CAST((((10000 * n_ab) // x.n_x) * n.n_orders) // y.n_x AS BIGINT) AS lift_bp
+FROM ab JOIN na x ON x.brand = ab.brand_a
+        JOIN na y ON y.brand = ab.brand_b, n
+WHERE n_ab * 2000 >= n.n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5480,6 +5621,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # presentation-only: every entry runs identically regardless of
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
+    "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
+    "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
+    "embeddings_pca_variance": (embeddings_pca_variance, None),
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, None),
     "text_bpe_learn": (text_bpe_learn, None),

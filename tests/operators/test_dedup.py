@@ -335,3 +335,62 @@ def test_compact_minhash_index_one_segment_same_pairs(spark, tmp_path):
         (r.id_a, r.id_b) for r in incremental_minhash_pairs(inc2, idx).collect()
     }
     assert after == before and before
+
+
+def test_editdist_verified_pairs_exact_distances(spark):
+    # block = first 8 chars of lower(text); docs 0-2 share a block,
+    # doc 3 diverges in the prefix, doc 4 is a different block entirely.
+    rows = [
+        (0, "Prefix: the quick brown fox"),
+        (1, "Prefix: the quick brown cat"),      # dist 3 to doc 0
+        (2, "Prefix: the quick brown foxes"),    # dist 2 to doc 0
+        (3, "Other prefix entirely, far away"),
+        (4, "prefix: but lowercased start"),     # lower() folds into the block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in D.editdist_verified_pairs(
+            df, block_prefix=8, verify_prefix=200, max_dist=10, max_block=10
+        ).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    blocked = {i: t[:8].lower() for i, t in rows}
+    want = {}
+    for (i, ta), (j, tb) in itertools.combinations(rows, 2):
+        if blocked[i] == blocked[j]:
+            d = lev(ta[:200], tb[:200])
+            if d <= 10:
+                want[(i, j)] = d
+    assert out == want and (0, 1) in out and out[(0, 2)] == 2
+    # doc 4's lowercased prefix joins the block: verify is on RAW text
+    assert (0, 4) in out or lev(rows[0][1], rows[4][1]) > 10
+
+
+def test_editdist_pairs_block_cap_and_threshold(spark):
+    # 12 docs share one block -> over max_block=10, dropped entirely
+    rows = [(i, f"same same same doc {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        D.editdist_verified_pairs(df, block_prefix=9, max_block=10).count() == 0
+    )
+    # under the cap the pairs return; distances above max_dist drop
+    df2 = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    out = D.editdist_verified_pairs(
+        df2, block_prefix=9, verify_prefix=200, max_dist=0, max_block=10
+    )
+    assert out.count() == 0  # all pairs differ by the doc number
+    out2 = D.editdist_verified_pairs(
+        df2, block_prefix=9, verify_prefix=200, max_dist=2, max_block=10
+    )
+    assert out2.count() == 10  # C(5,2): single-char (or 2-digit) edits

@@ -334,6 +334,7 @@ BNLJ_WHITELIST = {
     "q11_important_parts",      # 1-row global-total broadcast (fraction HAVING)
     "customer_segment_set_ops", # three 1-row count joins
     "curation_leakage_safe_split",  # 1-row straddling-pair audit join
+    "orders_basket_rules",      # 1-row order-total broadcast (support denom)
 }
 
 
