@@ -135,6 +135,124 @@ def combined_gram(
     return n, mean, cov
 
 
+def mahalanobis_topk(
+    spark,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1 << 16,
+    top_k: int = 25,
+    probe_k: int = 200,
+) -> DataFrame:
+    """Top-k embedding outliers by exact-covariance Mahalanobis
+    distance — the covariance-aware outlier filter an embedding
+    curation pass wants (isotropic cosine/L2 misses outliers that hide
+    along high-variance axes).
+
+    Two jobs: (1) the one-pass exact Gramian (``combined_gram`` —
+    fixed-size partials, row-count-independent shuffle) gives the mean
+    and a ridge-regularized precision matrix on the driver
+    (``eps = 1e-6·trace/dim`` keeps Cholesky solvable on degenerate
+    clouds); (2) a map-only scoring pass — mean/precision ship to
+    executors as O(dim²) closure constants, each Arrow batch scores as
+    one ``(Xc @ P * Xc).sum(1)`` gemm — followed by a global top-k
+    (TakeOrdered: per-partition heaps, k rows to the driver; ties
+    break by id).
+
+    Contract columns (the rows-only gate enforces them):
+
+    - ``probe_match_bp`` — the top-k distances recomputed DRIVER-side
+      from the winners' own vectors with the same float64 expression
+      must agree to 1e-9 relative (== 10000).
+    - ``calib_bp`` — round(10000 · avg(d²) / dim). With the precision
+      matrix inverted from this corpus's OWN population covariance,
+      ``Σ d² = n·dim`` exactly (trace identity), so avg(d²)/dim must
+      sit at 1 up to ridge + quantization slack; enforced in
+      [9900, 10001] via ``calib_ok``.
+
+    Output: one row per winner, rank 1..k by descending d².
+    """
+    n, mean, cov = combined_gram(df, vec_col, dim, scale)
+    empty_schema = (
+        f"{id_col} long, rank long, d2 double, n_vectors long, "
+        "probe_match_bp long, calib_bp long, calib_ok long"
+    )
+    if n == 0 or cov is None:
+        return spark.createDataFrame([], empty_schema)
+    eps = 1e-6 * float(np.trace(cov)) / dim
+    prec = np.linalg.inv(cov + eps * np.eye(dim))
+    prec = (prec + prec.T) / 2.0
+    mean_b, prec_b = mean.copy(), prec.copy()
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = [
+                (i, v)
+                for i, v in zip(pdf[id_col], pdf[vec_col])
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            ids = [i for i, _ in keep]
+            x = np.asarray(
+                np.stack([v for _, v in keep]), dtype=np.float64
+            )
+            xc = x - mean_b
+            d2 = (xc @ prec_b * xc).sum(axis=1)
+            yield pd.DataFrame({id_col: ids, "d2": d2})
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, d2 double"
+    )
+    # calibration over the FULL corpus: tolerance-banded, so the
+    # order-dependent float sum across partitions is fine here
+    stats = scored.agg(
+        F.sum("d2").alias("s"), F.count(F.lit(1)).alias("m")
+    ).collect()[0]
+    if not stats.m:
+        return spark.createDataFrame([], empty_schema)
+    calib_bp = int(round(10000.0 * float(stats.s) / (stats.m * dim)))
+    calib_ok = int(9900 <= calib_bp <= 10001)
+    top = (
+        scored.orderBy(F.col("d2").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .collect()
+    )
+    win_ids = [r[id_col] for r in top]
+    probe = {
+        r[id_col]: r[vec_col]
+        for r in df.filter(F.col(id_col).isin(win_ids[:probe_k]))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    ok = True
+    for r in top[:probe_k]:
+        v = probe.get(r[id_col])
+        if v is None or len(v) != dim:
+            ok = False
+            break
+        xc = np.asarray(v, dtype=np.float64) - mean_b
+        want = float(xc @ prec_b @ xc)
+        if abs(want - r.d2) > 1e-9 * max(abs(want), 1.0):
+            ok = False
+            break
+    probe_match_bp = 10000 if ok else 0
+    rows = [
+        (
+            int(r[id_col]),
+            i + 1,
+            float(r.d2),
+            int(stats.m),
+            probe_match_bp,
+            calib_bp,
+            calib_ok,
+        )
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(rows, empty_schema)
+
+
 def pca_variance(
     spark,
     df: DataFrame,

@@ -5579,6 +5579,123 @@ def embeddings_pca_variance(spark, sf_dir):
     )
 
 
+def events_peak_concurrency(spark, sf_dir):
+    """Per-day PEAK concurrent sessions — the capacity-planning number
+    (max simultaneous actives, not DAU) — via the classic sweep-line:
+    sessionize (30-min-gap rule, identical to events_sessionize),
+    split each session interval at day boundaries, emit +1/-1 deltas,
+    and take the running-sum maximum per day. The day split is the
+    scale move: the cumulative sum partitions by DAY (bounded frames,
+    parallel across days) instead of one global single-task order-by.
+    Tie rule: at equal timestamps starts sort before ends (delta desc),
+    so touching sessions count as concurrent — enforced identically in
+    the oracle. All-integer, TZ-free epoch-day math."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.withColumn("sid", F.sum(new_s).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    day_us = 86_400_000_000
+    clipped = sessions.select(
+        F.explode(
+            F.sequence(F.expr(f"s div {day_us}"), F.expr(f"e div {day_us}"))
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "day",
+        F.greatest(F.col("s"), F.col("day") * day_us).alias("cs"),
+        F.least(F.col("e"), (F.col("day") + 1) * day_us - 1).alias("ce"),
+    )
+    bounds = clipped.select(
+        "day", F.col("cs").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select("day", F.col("ce").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bounds.withColumn("cum", F.sum("delta").over(wd))
+    peaks = cum.groupBy("day").agg(
+        F.max("cum").cast("long").alias("peak"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
+    first_at_peak = (
+        cum.join(peaks, ["day"])
+        .filter(F.col("cum") == F.col("peak"))
+        .groupBy("day", "peak", "n_sessions")
+        .agg(F.min("t").alias("peak_ts_us"))
+    )
+    return first_at_peak.select(
+        F.col("day").cast("long").alias("day"),
+        "n_sessions",
+        "peak",
+        "peak_ts_us",
+    )
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+g AS (
+  SELECT user_id, event_id, t,
+    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+         IS NULL THEN 1
+         WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e),
+sids AS (
+  SELECT user_id, t,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess AS (SELECT user_id, sid, MIN(t) AS s, MAX(t) AS e
+         FROM sids GROUP BY 1, 2),
+clipped AS (
+  SELECT day,
+    GREATEST(s, day * 86400000000) AS cs,
+    LEAST(e, (day + 1) * 86400000000 - 1) AS ce
+  FROM (SELECT s, e,
+          UNNEST(generate_series(s // 86400000000, e // 86400000000)) AS day
+        FROM sess)),
+bounds AS (
+  SELECT day, cs AS t, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, ce AS t, -1 AS delta FROM clipped),
+cum AS (
+  SELECT day, t, delta,
+    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                     ROWS UNBOUNDED PRECEDING) AS c
+  FROM bounds),
+peaks AS (
+  SELECT day, MAX(c) AS peak, CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+  FROM cum GROUP BY day)
+SELECT CAST(cum.day AS BIGINT) AS day, peaks.n_sessions,
+  CAST(peaks.peak AS BIGINT) AS peak,
+  CAST(MIN(cum.t) AS BIGINT) AS peak_ts_us
+FROM cum JOIN peaks ON cum.day = peaks.day AND cum.c = peaks.peak
+GROUP BY 1, 2, 3
+"""
+
+
+def embeddings_mahalanobis_outliers(spark, sf_dir):
+    """Top-25 embedding outliers by exact-covariance Mahalanobis
+    distance (operators/linalg.py:mahalanobis_topk): the one-pass
+    integer-exact Gramian gives mean + ridge-regularized precision on
+    the driver; a map-only Arrow gemm scores every vector; TakeOrdered
+    collapses to k rows. Rows-only contract: the winners' distances
+    re-derive driver-side (probe_match_bp) and the trace identity pins
+    avg(d²)/dim at 1 (calib_bp in [9900, 10001])."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return linalg_ops.mahalanobis_topk(
+        spark, emb, id_col="vec_id", vec_col="embedding", dim=64, top_k=25
+    )
+
+
 ORDERS_BASKET_RULES_SQL = """
 WITH b AS (
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
@@ -5624,6 +5741,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
     "embeddings_pca_variance": (embeddings_pca_variance, None),
+    "events_peak_concurrency": (events_peak_concurrency, EVENTS_PEAK_CONCURRENCY_SQL),
+    "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, None),
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, None),
     "text_bpe_learn": (text_bpe_learn, None),

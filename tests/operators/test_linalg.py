@@ -81,3 +81,39 @@ def test_empty_input(spark):
     n, mean, cov = L.combined_gram(empty, dim=DIM)
     assert (n, mean, cov) == (0, None, None)
     assert L.pca_variance(spark, empty, dim=DIM).count() == 0
+
+
+def test_mahalanobis_topk_matches_brute_force(spark, cloud):
+    # plant an outlier along the LOW-variance axis: small L2 distance,
+    # huge Mahalanobis — the covariance-awareness this operator exists for
+    pts = cloud.copy()
+    pts[0] = pts.mean(axis=0)
+    pts[0, DIM - 1] += 1.0  # ~20x the 0.05 std of that axis
+    pts = pts.astype(np.float32).astype(np.float64)
+    out = L.mahalanobis_topk(
+        spark, _mk(spark, pts), id_col="vec_id", dim=DIM, scale=SCALE, top_k=10
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.probe_match_bp == 10000
+        assert r.calib_ok == 1 and 9900 <= r.calib_bp <= 10001
+        assert r.n_vectors == 400
+    assert out[0].vec_id == 0  # the planted outlier wins
+    # brute force with the operator's own covariance definition
+    q = np.floor(pts * SCALE).astype(np.int64)
+    m = q.sum(axis=0) / (400 * SCALE)
+    cov = (q.T @ q) / (400 * SCALE * SCALE) - np.outer(m, m)
+    eps = 1e-6 * np.trace(cov) / DIM
+    prec = np.linalg.inv(cov + eps * np.eye(DIM))
+    prec = (prec + prec.T) / 2.0
+    xc = pts - m
+    d2 = (xc @ prec * xc).sum(axis=1)
+    want = sorted(range(400), key=lambda i: (-d2[i], i))[:10]
+    assert [r.vec_id for r in out] == want
+    got_d2 = np.array([r.d2 for r in out])
+    assert np.allclose(got_d2, d2[want], rtol=1e-9)
+
+
+def test_mahalanobis_empty_and_malformed(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert L.mahalanobis_topk(spark, empty, dim=DIM).count() == 0
