@@ -5519,26 +5519,60 @@ def orders_basket_rules(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
+    # UNDIRECTED pair expansion (i<j index slicing, as in the shingle
+    # inverted-index core): co-occurrence counts are symmetric, so the
+    # directed rules mirror from the aggregated ~#brands²/2 frame below
+    # instead of doubling the explode volume here.
     pair_structs = F.flatten(
         F.transform(
             F.col("brands"),
-            lambda x: F.transform(
-                F.filter(F.col("brands"), lambda y: y != x),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size(F.col("brands"))),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    # Pairs, per-brand marginals AND the basket total ride ONE explode
+    # out of a single baskets pass (tagged rows: (a,b)=pair,
+    # (a,NULL)=marginal, (NULL,NULL)=basket counter) — the
+    # lineitem-part join + basket shuffle, the only big work here,
+    # runs exactly once, and every downstream frame is
+    # #brands²-bounded (tiny, broadcast).
+    null_s = F.lit(None).cast("string")
+    tagged = baskets.select(
+        F.explode(
+            F.concat(
+                pair_structs,
+                F.transform(
+                    F.col("brands"),
+                    lambda x: F.struct(x.alias("a"), null_s.alias("b")),
+                ),
+                F.array(F.struct(null_s.alias("a"), null_s.alias("b"))),
+            )
+        ).alias("p")
     )
-    marg = (
-        baskets.select(F.explode("brands").alias("brand"))
-        .groupBy("brand")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    # counts is #brands²-bounded (~650 rows at any SF) — pinning THIS
+    # frame is what makes the single-pass claim true: its three
+    # filter-consumers below would otherwise each re-run the join.
+    counts = tagged.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()
+    und = counts.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    pairs = und.select(
+        F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
+        F.col("n").alias("n_ab"),
+    ).unionByName(
+        und.select(
+            F.col("b").alias("brand_a"), F.col("a").alias("brand_b"),
+            F.col("n").alias("n_ab"),
+        )
     )
-    ntot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    marg = counts.filter(F.col("a").isNotNull() & F.col("b").isNull()).select(
+        F.col("a").alias("brand"), F.col("n").alias("n_x")
+    )
+    ntot = counts.filter(F.col("a").isNull()).select(
+        F.col("n").alias("n_orders")
+    )
     return (
         pairs.join(
             F.broadcast(marg.withColumnsRenamed({"brand": "brand_a", "n_x": "n_a"})),
@@ -5621,21 +5655,21 @@ def events_peak_concurrency(spark, sf_dir):
         F.col("t").asc(), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = bounds.withColumn("cum", F.sum("delta").over(wd))
-    peaks = cum.groupBy("day").agg(
-        F.max("cum").cast("long").alias("peak"),
+    # argmax without a join-back: max over (cum, -t) structs picks the
+    # highest concurrency and, within it, the EARLIEST t — one
+    # aggregation instead of a self-join that would recompute the whole
+    # sessionize+sweep pipeline on both sides.
+    agg = cum.groupBy("day").agg(
+        F.max(
+            F.struct(F.col("cum").alias("c"), (-F.col("t")).alias("nt"))
+        ).alias("pk"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
-    first_at_peak = (
-        cum.join(peaks, ["day"])
-        .filter(F.col("cum") == F.col("peak"))
-        .groupBy("day", "peak", "n_sessions")
-        .agg(F.min("t").alias("peak_ts_us"))
-    )
-    return first_at_peak.select(
+    return agg.select(
         F.col("day").cast("long").alias("day"),
         "n_sessions",
-        "peak",
-        "peak_ts_us",
+        F.col("pk.c").cast("long").alias("peak"),
+        (-F.col("pk.nt")).cast("long").alias("peak_ts_us"),
     )
 
 
