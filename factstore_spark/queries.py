@@ -5762,13 +5762,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- Driver-window rotation (round 8) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 8: all seven new entries lead (the three continuation-
-    # session additions first — MAD outliers, SCD2 history, BPE
-    # training — then the four from the main session), then the
-    # round-7 block (whose dedup_incremental_minhash /
-    # storage_merge_upsert contracts got the ADVICE coalesce fix and
-    # should be re-checked), then round 6. Every entry in the registry
-    # has at least one driver-green row (r1-r7). Ordering is
+    # Round 8: the twelve new entries lead, newest first — the five
+    # third-continuation additions (editdist dedup, basket rules, PCA,
+    # peak concurrency, Mahalanobis), then the three second-
+    # continuation ones (MAD outliers, SCD2 history, BPE training),
+    # then the four from the main session — followed by the round-7
+    # block (whose dedup_incremental_minhash / storage_merge_upsert
+    # contracts got the ADVICE coalesce fix and should be re-checked),
+    # then round 6. Every entry registered before this round has at
+    # least one driver-green row (r1-r7). Ordering is
     # presentation-only: every entry runs identically regardless of
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
