@@ -5716,6 +5716,171 @@ GROUP BY 1, 2, 3
 """
 
 
+def storage_table_diff(spark, sf_dir):
+    """Self-validating snapshot-diff (CDC) contract
+    (storage/merge.py:table_diff): create a keyed table from an orders
+    sample, merge one batch with DISJOINT planted update / insert /
+    delete key sets, then diff snapshot 1 -> head and require the
+    classified (key, change_type) set to EQUAL the planted sets
+    (match_bp == 10000). The diff itself scans only changed-partition
+    version dirs (pruning asserted in test_merge_table.py); carried
+    keep-rows inside rewritten partitions must NOT surface. Rows-only;
+    tmp table removed after the one-row result materializes."""
+    import shutil
+    import tempfile
+
+    from .storage.merge import create_table, merge_upsert, table_diff
+
+    orders_full = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _probe_sample(
+        orders_full, "o_orderkey",
+        _probe_ppm(orders_full, 50, target=10_000, cache_key=(sf_dir, "orders")),
+        salt="difftbl",
+    )
+    d = tempfile.mkdtemp(prefix="diff-tbl-")
+    try:
+        create_table(base, d, ["o_orderkey"], "o_orderstatus")
+        upd = base.filter(
+            (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 101 != 0)
+        ).select(
+            "o_orderkey", "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit(False).alias("is_deleted"),
+        )
+        shift = (base.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+        ins = base.filter(F.col("o_orderkey") % 89 == 0).select(
+            (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
+            "o_orderstatus", "o_totalprice",
+            F.lit(False).alias("is_deleted"),
+        )
+        dele = base.filter(F.col("o_orderkey") % 101 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(True).alias("is_deleted"),
+        )
+        merge_upsert(
+            upd.unionByName(ins).unionByName(dele), d, delete_col="is_deleted"
+        )
+        got = table_diff(spark, d, 1).withColumn("in_a", F.lit(1))
+        want = (
+            upd.select("o_orderkey", F.lit("update").alias("change_type"))
+            .unionByName(
+                ins.select("o_orderkey", F.lit("insert").alias("change_type"))
+            )
+            .unionByName(
+                dele.select("o_orderkey", F.lit("delete").alias("change_type"))
+            )
+            .withColumn("in_b", F.lit(1))
+        )
+        stats = (
+            got.join(want, ["o_orderkey", "change_type"], "full_outer")
+            .agg(
+                F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_diff"),
+                F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_planted"),
+                F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+                .cast("long").alias("n_common"),
+                F.coalesce(
+                    F.sum(F.when(F.col("change_type") == "update", F.col("in_a"))),
+                    F.lit(0),
+                ).cast("long").alias("n_updates"),
+                F.coalesce(
+                    F.sum(F.when(F.col("change_type") == "insert", F.col("in_a"))),
+                    F.lit(0),
+                ).cast("long").alias("n_inserts"),
+                F.coalesce(
+                    F.sum(F.when(F.col("change_type") == "delete", F.col("in_a"))),
+                    F.lit(0),
+                ).cast("long").alias("n_deletes"),
+            )
+            .withColumn(
+                "match_bp",
+                F.when(
+                    (F.col("n_diff") == F.col("n_common"))
+                    & (F.col("n_planted") == F.col("n_common")),
+                    F.lit(10000),
+                )
+                .otherwise(
+                    F.floor(
+                        F.lit(10000) * F.col("n_common")
+                        / F.greatest(F.col("n_diff"), F.col("n_planted"), F.lit(1))
+                    )
+                )
+                .cast("long"),
+            )
+        )
+        rows = stats.collect()
+        return spark.createDataFrame(rows, stats.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def customers_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM cube: per-customer last order date, order count
+    and lifetime cents quintile-scored independently, then segment
+    counts over the 5x5x5 score space. Each quintile rides the
+    scale-safe distributed global rank (operators/ranking.py — range
+    shuffle + O(partitions) offsets, never a single-task window); the
+    per-customer frame is pinned ONCE so the three rank consumers
+    don't re-run the orders aggregation. Ties break by custkey in both
+    engines; cents are floor(price*100) integers end to end."""
+    from .operators.ranking import ntile_of_rank, with_global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .localCheckpoint()
+    )
+
+    def score(order_cols, name):
+        ranked, total = with_global_rank(cust, order_cols, with_total=True)
+        return ranked.select(
+            "o_custkey",
+            ntile_of_rank(F.col("rank"), F.lit(total), 5).alias(name),
+        )
+
+    r = score([F.col("last_d").desc(), F.col("o_custkey").asc()], "r_score")
+    f = score([F.col("freq").desc(), F.col("o_custkey").asc()], "f_score")
+    m = score([F.col("cents").desc(), F.col("o_custkey").asc()], "m_score")
+    return (
+        cust.select("o_custkey", "cents")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+CUSTOMERS_RFM_SQL = """
+WITH c AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_d, COUNT(*) AS freq,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT o_custkey, cents,
+    ntile(5) OVER (ORDER BY last_d DESC, o_custkey ASC) AS r_score,
+    ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+    ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_score
+  FROM c)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+  CAST(m_score AS BIGINT) AS m_score,
+  COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS monetary_cents
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 def embeddings_mahalanobis_outliers(spark, sf_dir):
     """Top-25 embedding outliers by exact-covariance Mahalanobis
     distance (operators/linalg.py:mahalanobis_topk): the one-pass
@@ -5779,6 +5944,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "embeddings_pca_variance": (embeddings_pca_variance, None),
     "events_peak_concurrency": (events_peak_concurrency, EVENTS_PEAK_CONCURRENCY_SQL),
     "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, None),
+    "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
+    "storage_table_diff": (storage_table_diff, None),
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, None),
     "text_bpe_learn": (text_bpe_learn, None),

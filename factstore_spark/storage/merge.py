@@ -626,3 +626,111 @@ def table_history(table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def table_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """CDC-style diff between two published snapshots: one row per key
+    whose state changed, ``change_type`` in insert / delete / update —
+    the change-data-feed read a downstream incremental consumer wants
+    instead of re-diffing full table scans.
+
+    Scale shape — CHANGED-PARTITION PRUNING: a partition value mapping
+    to the SAME version path in both manifests is byte-identical by
+    construction (merge never rewrites in place), so only partitions
+    whose path differs are read on either side. A merge that touched
+    one partition of ten thousand diffs by scanning one partition, not
+    the table. Within the changed set it is one full-outer join on the
+    key columns; unchanged rows inside rewritten partitions (the
+    keep-side rows a merge carries over) hash-compare equal and drop
+    out. Schema evolution is handled by aligning both sides to the
+    UNION of the two snapshots' column sets (absent = null, the same
+    read semantics mergeSchema gives): a column added between
+    snapshots marks a row updated only if its value is non-null.
+
+    Raises ``ValueError`` if either snapshot is unknown (vacuumed or
+    never published). ``to_snapshot=None`` means the current head.
+    """
+    ma = _read_manifest(table_dir, from_snapshot)
+    mb = (
+        _head_manifest(table_dir)
+        if to_snapshot is None
+        else _read_manifest(table_dir, to_snapshot)
+    )
+    if ma is None or mb is None:
+        raise ValueError(
+            f"table_diff: unknown snapshot(s) {from_snapshot} -> "
+            f"{to_snapshot} in {table_dir}"
+        )
+    key_cols = list(ma["meta"]["key_cols"])
+    pa, pb = ma["partitions"], mb["partitions"]
+    a_paths = [
+        os.path.join(table_dir, rel)
+        for v, rel in pa.items()
+        if pb.get(v) != rel
+    ]
+    b_paths = [
+        os.path.join(table_dir, rel)
+        for v, rel in pb.items()
+        if pa.get(v) != rel
+    ]
+    cols_a = list(ma["meta"].get("columns") or [])
+    cols_b = list(mb["meta"].get("columns") or [])
+    union_cols = cols_a + [c for c in cols_b if c not in cols_a]
+    val_cols = [c for c in union_cols if c not in key_cols]
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in key_cols] + ["change_type string"]
+    )
+
+    def side(paths, have_cols, tag):
+        if not paths:
+            return None
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        have = set(df.columns)
+        return df.select(
+            *key_cols,
+            *[
+                (F.col(c) if c in have else F.lit(None)).alias(f"_{tag}_{c}")
+                for c in val_cols
+            ],
+            F.lit(True).alias(f"_{tag}_present"),
+        )
+
+    a = side(a_paths, cols_a, "a")
+    b = side(b_paths, cols_b, "b")
+    if a is None and b is None:
+        # no changed partitions: empty diff, typed off the real table
+        # when it has any data (the string-schema fallback only covers
+        # a table that is empty on both sides)
+        base = read_table(spark, table_dir, snapshot=to_snapshot)
+        if base is None:
+            base = read_table(spark, table_dir, snapshot=from_snapshot)
+        if base is None:
+            return spark.createDataFrame([], out_schema)
+        return (
+            base.select(*key_cols)
+            .withColumn("change_type", F.lit(None).cast("string"))
+            .filter(F.lit(False))
+        )
+    if a is None or b is None:
+        only = b if a is None else a
+        ctype = "insert" if a is None else "delete"
+        return only.select(*key_cols, F.lit(ctype).alias("change_type"))
+    j = a.join(b, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("_a_present").isNull(), F.lit("insert"))
+            .when(F.col("_b_present").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -560,3 +560,58 @@ def test_merge_rejects_null_keys(spark, tmp_path):
             spark.createDataFrame([(None, "a", 9.0)], "k long, p string, v double"), d
         )
     assert read_table(spark, d).count() == 1  # nothing leaked
+
+
+def test_table_diff_classifications(spark, tmp_path):
+    from factstore_spark.storage.merge import table_diff
+
+    d = str(tmp_path / "t")
+    create_table(
+        _rows(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "b", "w")]),
+        d, ["id"], "part",
+    )
+    # update 1, delete 3, insert 5; 2 and 4 untouched (4's partition IS
+    # rewritten by the delete — its carried-over row must NOT diff)
+    batch = _rows(spark, [(1, "a", "X"), (5, "b", "new"), (3, "b", "z")])
+    merge_upsert(
+        batch.withColumn("is_deleted", F.col("id") == 3),
+        d, delete_col="is_deleted",
+    )
+    got = {(r.id): r.change_type for r in table_diff(spark, d, 1).collect()}
+    assert got == {1: "update", 3: "delete", 5: "insert"}
+    # explicit to_snapshot and the no-change diff
+    assert table_diff(spark, d, 2, 2).count() == 0
+    assert table_diff(spark, d, 1, 2).count() == 3
+    with pytest.raises(ValueError, match="not found"):
+        table_diff(spark, d, 99)
+
+
+def test_table_diff_prunes_unchanged_partitions(spark, tmp_path):
+    from factstore_spark.storage.merge import table_diff
+
+    d = str(tmp_path / "t")
+    create_table(
+        _rows(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]), d,
+        ["id"], "part",
+    )
+    merge_upsert(_rows(spark, [(2, "b", "Y")]), d)
+    diff = table_diff(spark, d, 1)
+    assert {(r.id, r.change_type) for r in diff.collect()} == {(2, "update")}
+    # partition pruning: only part=b version dirs are ever read
+    files = diff.inputFiles()
+    assert files and all("_pval=b" in f for f in files)
+
+
+def test_table_diff_schema_evolution(spark, tmp_path):
+    from factstore_spark.storage.merge import table_diff
+
+    d = str(tmp_path / "t")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "a", "y")]), d, ["id"], "part")
+    evolved = spark.createDataFrame(
+        [(1, "a", "x", "extra")], "id long, part string, v string, note string"
+    )
+    merge_upsert(evolved, d, merge_schema=True)
+    got = {(r.id): r.change_type for r in table_diff(spark, d, 1).collect()}
+    # row 1 gains a non-null new column -> update; row 2 rides along in
+    # the rewritten partition with note=null == absent -> no change
+    assert got == {1: "update"}
