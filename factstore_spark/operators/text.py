@@ -648,3 +648,71 @@ def token_bigrams(
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def unigram_surprise(
+    df: DataFrame,
+    train: Column,
+    max_vocab: int = 50000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality score, integer-exact: train an add-one-
+    smoothed unigram LM on the ``train`` slice of the corpus, score
+    every held-out document by its total/mean token surprise. Instead
+    of float log-probabilities (whose summation order would make the
+    result non-deterministic across partitionings), surprise is
+    measured in WHOLE BITS via pure integer arithmetic:
+
+        q(w)    = (N + V) div (c(w) + 1)      -- inverse smoothed prob
+        bits(w) = length(bin(q)) - 1          -- floor(log2 q), exact
+
+    where ``c(w)`` is the train-corpus count (0 for OOV / beyond the
+    ``max_vocab`` cap), ``N`` the total train token count and ``V``
+    the retained vocab size. Output per held-out doc: ``n_tokens``,
+    ``total_bits``, and ``surprise_bp`` = 10000*total_bits div
+    n_tokens (mean bits-per-token in basis points — the discretized
+    cross-entropy a perplexity filter thresholds on). No float ever
+    exists in the plan, so the result is bit-identical to the DuckDB
+    oracle.
+
+    Shape at 100 TB: one map-combined groupBy builds the token counts;
+    the vocab is capped to ``max_vocab`` by (count desc, token asc) —
+    a TakeOrdered k-row driver merge, never a global sort — and
+    BROADCAST to the scoring side, so scoring is a map-only pass
+    (explode -> broadcast-hash-join -> per-doc partial agg). N and V
+    ride along as a broadcast single-row cross join. No shuffle ever
+    carries the exploded token stream."""
+    tok = df.select(
+        F.col(id_col),
+        train.alias("_train"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    cnt = tok.filter(F.col("_train")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = cnt.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(max_vocab)
+    # coalesce: SUM over an empty train slice is NULL; an empty corpus
+    # must yield bits=length(bin(0))-1=0, not a NULL cascade.
+    totals = cnt.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("N"),
+        F.least(
+            F.lit(max_vocab).cast("long"), F.count(F.lit(1)).cast("long")
+        ).alias("V"),
+    )
+    q = F.expr("(N + V) div (coalesce(c, cast(0 as bigint)) + 1)")
+    return (
+        tok.filter(~F.col("_train"))
+        .join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("bits", (F.length(F.bin(q)) - F.lit(1)).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+        .withColumn(
+            "surprise_bp",
+            F.expr("(10000 * total_bits) div n_tokens").cast("long"),
+        )
+    )

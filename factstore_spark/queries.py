@@ -4851,6 +4851,101 @@ def storage_merge_upsert(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def storage_compact_table(spark, sf_dir):
+    """Self-validating COMPACTION contract (storage/merge.py:
+    compact_table — the OPTIMIZE/rewrite-data-files analog): build a
+    keyed table from sampled orders, apply three narrow merges that
+    each touch ONE status partition (scattering the live table across
+    four version dirs — the copy-on-write sprawl every merge table
+    accumulates), compact, and verify (a) the read-back content is
+    IDENTICAL to the pre-compaction read (full-outer match_bp must be
+    10000 — the operator's own stats contract re-checked end-to-end),
+    (b) the live table collapsed to one version dir, (c) validate_table
+    still passes, and (d) vacuum can now actually reclaim the
+    superseded versions. Rows-only (the contract columns ARE the
+    check); fixed-size sample keeps cost corpus-size-independent; tmp
+    table removed eagerly."""
+    import shutil
+    import tempfile
+
+    from .storage.merge import (
+        compact_table,
+        create_table,
+        merge_upsert,
+        read_table,
+        vacuum_table,
+        validate_table,
+    )
+
+    orders_full = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _probe_sample(
+        orders_full, "o_orderkey",
+        _probe_ppm(orders_full, 50, target=20_000, cache_key=(sf_dir, "orders")),
+        salt="compacttbl",
+    )
+    d = tempfile.mkdtemp(prefix="compact-tbl-")
+    try:
+        create_table(base, d, ["o_orderkey"], "o_orderstatus")
+        statuses = [
+            r[0]
+            for r in base.select("o_orderstatus").distinct()
+            .orderBy("o_orderstatus").collect()
+        ]
+        for i, s in enumerate(statuses[:3]):
+            batch = base.filter(
+                (F.col("o_orderstatus") == s) & (F.col("o_orderkey") % 7 == i)
+            ).select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("o_totalprice") + F.lit(float(i + 1))).alias("o_totalprice"),
+            )
+            merge_upsert(batch, d)
+        # the expected content: lazy over the OLD version dirs, which
+        # stay on disk until the post-comparison vacuum below
+        want = read_table(spark, d)
+        rep = compact_table(spark, d)
+        got = read_table(spark, d)
+        a = got.withColumn("in_a", F.lit(1))
+        b = want.withColumn("in_b", F.lit(1))
+        row = (
+            a.join(
+                b, ["o_orderkey", "o_orderstatus", "o_totalprice"], "full_outer"
+            )
+            .agg(
+                F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_after"),
+                F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_before"),
+                F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+                .cast("long").alias("n_common"),
+            )
+            .collect()[0]
+        )
+        match_bp = (
+            10000
+            if row.n_after == row.n_common and row.n_before == row.n_common
+            else (10000 * row.n_common) // max(row.n_after, row.n_before, 1)
+        )
+        valid_ok = 1 if validate_table(spark, d)["ok"] else 0
+        vac = vacuum_table(d, retain_seconds=0.0, retain_snapshots=1)
+        return spark.createDataFrame(
+            [
+                (
+                    row.n_after,
+                    rep["versions_before"],
+                    rep["versions_after"],
+                    len(vac["removed"]),
+                    valid_ok,
+                    match_bp,
+                )
+            ],
+            "n_rows long, versions_before long, versions_after long, "
+            "reclaimed_versions long, valid_ok long, match_bp long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def storage_scd2_history(spark, sf_dir):
     """Self-validating SCD2 dimension-history contract (storage/
     scd2.py): build a customer dimension, apply two effective-dated
@@ -5917,6 +6012,46 @@ WHERE n_ab * 2000 >= n.n_orders
 """
 
 
+def text_lm_surprise(spark, sf_dir):
+    """CCNet-style unigram-LM quality score, fully integer-exact
+    (operators/text.py:unigram_surprise): train an add-one-smoothed
+    unigram LM on the even-doc_id half of the corpus, score every odd
+    doc by whole-bit token surprise (floor(log2) via length(bin(q))-1
+    — no float anywhere in either engine). surprise_bp is the
+    discretized cross-entropy a perplexity filter thresholds on; the
+    deterministic doc_id%2 split keeps the oracle trivially aligned.
+    Scoring is a map-only broadcast-join pass; only the bounded vocab
+    count shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.unigram_surprise(
+        docs, train=(F.col("doc_id") % 2 == 0), max_vocab=50000
+    )
+
+
+TEXT_LM_SURPRISE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 2 = 0 AS train,
+    UNNEST(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+      AS tok
+  FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok WHERE train GROUP BY 1),
+vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 50000),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS N,
+         CAST(LEAST(50000, COUNT(*)) AS BIGINT) AS V
+  FROM cnt)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(LENGTH(BIN(CAST((N + V) // (COALESCE(v.c, 0) + 1) AS BIGINT))) - 1)
+    AS BIGINT) AS total_bits,
+  CAST((10000 * SUM(LENGTH(BIN(CAST((N + V) // (COALESCE(v.c, 0) + 1)
+    AS BIGINT))) - 1)) // COUNT(*) AS BIGINT) AS surprise_bp
+FROM tok t LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+WHERE NOT t.train
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5939,6 +6074,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # presentation-only: every entry runs identically regardless of
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
+    "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
+    "storage_compact_table": (storage_compact_table, None),
     "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
     "embeddings_pca_variance": (embeddings_pca_variance, None),

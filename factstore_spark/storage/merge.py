@@ -557,6 +557,96 @@ def vacuum_table(
     }
 
 
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    partitions: list | None = None,
+) -> dict:
+    """Rewrite live partitions into ONE fresh version dir — the
+    OPTIMIZE / rewrite-data-files analog for this layout. Every merge
+    is copy-on-write per partition, so after many narrow merges the
+    live table is scattered across as many version dirs as there were
+    distinct write batches: each read opens every one of them, vacuum
+    can reclaim nothing (every dir still carries some live partition),
+    and partitions written before a schema evolution still lack the
+    evolved columns on disk (papered over per-read by mergeSchema).
+    Compaction rewrites the selected partitions (default: all live)
+    into a single version, materializing the merged schema as typed
+    nulls, then publishes through the SAME snapshot CAS as any merge —
+    a concurrent writer wins cleanly (ConcurrentMergeError; compaction
+    is stateless and retryable), never silently loses rows.
+
+    Content contract, enforced in-operator: the manifest's
+    per-partition stats (row count + order-independent key hash) are
+    layout-independent, so the rewritten files must reproduce them
+    EXACTLY; any drift raises and the new version dir is abandoned
+    unpublished (invisible to readers, reclaimed by vacuum).
+
+    Shape at 100 TB: pass ``partitions`` to compact incrementally (the
+    cold tail first — hot partitions get rewritten by their next merge
+    anyway); the rewrite is one cluster-by-partition shuffle of
+    exactly the selected bytes, no driver data path."""
+    m = _head_manifest(table_dir)
+    if m is None:
+        raise ValueError(f"{table_dir} has no published manifest; create_table first")
+    meta = m["meta"]
+    key_cols, partition_col = meta["key_cols"], meta["partition_col"]
+    if partitions is None:
+        vals = sorted(m["partitions"])
+    else:
+        vals = [str(p) for p in partitions if str(p) in m["partitions"]]
+    versions_before = sorted(
+        {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
+    )
+    if not vals:
+        return {
+            "snapshot": m["snapshot"],
+            "compacted": [],
+            "versions_before": len(versions_before),
+            "versions_after": len(versions_before),
+        }
+    paths = [os.path.join(table_dir, m["partitions"][v]) for v in vals]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    # canonical column order = the manifest's schema history; columns
+    # evolved in partitions OUTSIDE this subset stay absent from these
+    # files (no dtype to conjure) — a later full compaction or their
+    # own next merge normalizes them
+    cols = meta.get("columns") or list(df.columns)
+    ordered = [c for c in cols if c in df.columns] + [
+        c for c in df.columns if c not in cols
+    ]
+    version = _write_version(df.select(*ordered), table_dir, partition_col)
+    written = _read_version_df(spark, table_dir, version, df.select(*ordered).schema)
+    new_stats = _partition_stats(written, key_cols, partition_col)
+    old_stats = m.get("stats", {})
+    for v in vals:
+        want, got = old_stats.get(v), new_stats.get(v)
+        if want is not None and got != want:
+            raise RuntimeError(
+                f"compaction stats drift for partition {v}: wrote {got}, "
+                f"manifest says {want} — version {version} left unpublished"
+            )
+    dirmap = _pval_dirs(table_dir, version)
+    new_manifest = {
+        "meta": dict(meta),
+        "partitions": dict(m["partitions"]),
+        "stats": dict(old_stats),
+    }
+    for v in vals:
+        new_manifest["partitions"][v] = dirmap[v]
+        new_manifest["stats"][v] = new_stats[v]
+    published = _publish_snapshot(table_dir, new_manifest, base_snapshot=m["snapshot"])
+    versions_after = sorted(
+        {rel.split(os.sep, 1)[0] for rel in published["partitions"].values()}
+    )
+    return {
+        "snapshot": published["snapshot"],
+        "compacted": vals,
+        "versions_before": len(versions_before),
+        "versions_after": len(versions_after),
+    }
+
+
 def start_merge_stream(
     stream: DataFrame,
     table_dir: str,

@@ -247,3 +247,38 @@ def test_token_bigrams_counts_and_ties(spark):
     # "a b": doc1 twice + doc2 once = 3; then ties at 1 break lexically
     assert got[0] == ("a b", 3)
     assert got[1:] == [("b a", 1), ("b c", 1)]
+
+
+def test_unigram_surprise_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (2, "a c"), (1, "a b z"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    train = F.col("doc_id") % 2 == 0
+    out = {
+        r.doc_id: (r.n_tokens, r.total_bits, r.surprise_bp)
+        for r in T.unigram_surprise(docs, train).collect()
+    }
+    # train counts a:3 b:1 c:1 -> N=5 V=3, N+V=8
+    # doc1: a q=8//4=2 (1 bit), b q=8//2=4 (2), z OOV q=8 (3) -> 6 bits
+    assert out == {1: (3, 6, 20000)}
+    # doc3 is whitespace-only: zero tokens, must NOT appear (no 0-div row)
+
+    # max_vocab cap binds: top-1 vocab keeps only 'a'; V=1, N+V=6
+    # doc1: a q=6//4=1 (0 bits), b OOV q=6 (2), z OOV q=6 (2) -> 4 bits
+    capped = {
+        r.doc_id: (r.n_tokens, r.total_bits, r.surprise_bp)
+        for r in T.unigram_surprise(docs, train, max_vocab=1).collect()
+    }
+    assert capped == {1: (3, 4, 13333)}
+
+
+def test_unigram_surprise_empty_train_slice(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    out = T.unigram_surprise(docs, F.col("doc_id") % 2 == 0).collect()
+    # N=0 V=0 -> q=0, bin(0)='0', bits=0: defined, not a NULL cascade
+    assert [(r.n_tokens, r.total_bits, r.surprise_bp) for r in out] == [(2, 0, 0)]

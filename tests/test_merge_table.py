@@ -615,3 +615,87 @@ def test_table_diff_schema_evolution(spark, tmp_path):
     # row 1 gains a non-null new column -> update; row 2 rides along in
     # the rewritten partition with note=null == absent -> no change
     assert got == {1: "update"}
+
+
+def test_compact_table_collapses_versions_and_preserves_content(spark, tmp_path):
+    from factstore_spark.storage.merge import compact_table, table_history, validate_table
+
+    d = str(tmp_path / "t")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]), d, ["id"], "part")
+    # three narrow merges -> live partitions scattered across 4 versions
+    merge_upsert(_rows(spark, [(1, "a", "X")]), d)
+    merge_upsert(_rows(spark, [(2, "b", "Y")]), d)
+    merge_upsert(_rows(spark, [(4, "c", "w")]), d)
+    before = _snap(spark, d)
+    hist = table_history(d)
+    assert len(hist[-1]["versions"]) == 3  # a, b, c dirs from 3 different merges
+
+    rep = compact_table(spark, d)
+    assert rep["versions_before"] == 3 and rep["versions_after"] == 1
+    assert sorted(rep["compacted"]) == ["a", "b", "c"]
+    assert _snap(spark, d) == before  # content byte-identical
+    assert validate_table(spark, d)["ok"]
+    # compaction is a snapshot like any other: time travel still works
+    assert rep["snapshot"] == 5
+    # old versions now unreferenced by head -> vacuum can reclaim them
+    v = vacuum_table(d, retain_seconds=0.0, retain_snapshots=1)
+    assert len(v["removed"]) == 4  # create + 3 merges
+    assert _snap(spark, d) == before
+
+
+def test_compact_table_materializes_evolved_schema(spark, tmp_path):
+    from factstore_spark.storage.merge import compact_table
+
+    d = str(tmp_path / "t")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+    # evolve schema touching only partition a: partition b's files lack
+    # the new column on disk (mergeSchema papers over it per-read)
+    evolved = spark.createDataFrame(
+        [(1, "a", "x2", 7)], "id long, part string, v string, extra long"
+    )
+    merge_upsert(evolved, d, merge_schema=True)
+    compact_table(spark, d)
+    got = {r.id: (r.v, r.extra) for r in read_table(spark, d).collect()}
+    assert got == {1: ("x2", 7), 2: ("y", None)}
+    # after compaction the head's single version carries the evolved
+    # column for EVERY partition (typed null), not just the touched one
+    from factstore_spark.storage.merge import _head_manifest
+    m = _head_manifest(d)
+    rels = set(m["partitions"].values())
+    assert len({rel.split(os.sep, 1)[0] for rel in rels}) == 1
+    for rel in rels:
+        df = spark.read.parquet(os.path.join(d, rel))
+        assert "extra" in df.columns
+
+
+def test_compact_table_subset_and_concurrent_writer(spark, tmp_path):
+    from factstore_spark.storage.merge import (
+        ConcurrentMergeError,
+        _head_manifest,
+        _publish_snapshot,
+        compact_table,
+    )
+
+    d = str(tmp_path / "t")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+    merge_upsert(_rows(spark, [(2, "b", "Y")]), d)
+    rep = compact_table(spark, d, partitions=["a", "zzz-not-live"])
+    assert rep["compacted"] == ["a"]
+    assert _snap(spark, d) == {1: ("a", "x"), 2: ("b", "Y")}
+
+    # a writer that lands between head-read and publish wins the CAS
+    m = _head_manifest(d)
+    _publish_snapshot(d, dict(m), base_snapshot=m["snapshot"])
+
+    import factstore_spark.storage.merge as M
+
+    stale = dict(m)  # the head compact_table will base on (now stale)
+    orig = M._head_manifest
+    M._head_manifest = lambda td: stale
+    try:
+        with pytest.raises(ConcurrentMergeError):
+            compact_table(spark, d)
+    finally:
+        M._head_manifest = orig
+    # losing the race published nothing: table unchanged and valid
+    assert _snap(spark, d) == {1: ("a", "x"), 2: ("b", "Y")}
