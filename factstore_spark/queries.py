@@ -6012,6 +6012,23 @@ WHERE n_ab * 2000 >= n.n_orders
 """
 
 
+def curation_quality_classifier(spark, sf_dir):
+    """Learned quality gate (operators/quality_model.py): fit a
+    pyspark.ml logistic regression on JVM-computed text features
+    against Gopher-rule weak labels (even doc_ids), score the held-out
+    half, and emit the one-row contract: the learned gate must beat —
+    or at worst match — the majority-class baseline on unseen docs
+    (beats_baseline_ok). The distributed-iterative-ML family's battery
+    entry: per-iteration cost is one treeAggregate of map-side
+    gradient partials (no row shuffle), features are whole-stage
+    codegen, scoring is map-only. Rows-only (integer contract row —
+    gradient-sum order can't move counts)."""
+    from .operators.quality_model import quality_classifier_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier_report(docs, F.col("doc_id") % 2 == 0)
+
+
 def text_lm_surprise(spark, sf_dir):
     """CCNet-style unigram-LM quality score, fully integer-exact
     (operators/text.py:unigram_surprise): train an add-one-smoothed
@@ -6078,6 +6095,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 8 (lead the window so the driver checks them) -----
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
     "storage_compact_table": (storage_compact_table, None),
+    "curation_quality_classifier": (curation_quality_classifier, None),
     "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
     "embeddings_pca_variance": (embeddings_pca_variance, None),

@@ -335,6 +335,7 @@ BNLJ_WHITELIST = {
     "customer_segment_set_ops", # three 1-row count joins
     "curation_leakage_safe_split",  # 1-row straddling-pair audit join
     "orders_basket_rules",      # 1-row order-total broadcast (support denom)
+    "text_lm_surprise",         # 1-row N/V LM-normalizer broadcast
 }
 
 
