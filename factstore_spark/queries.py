@@ -4854,10 +4854,11 @@ def storage_merge_upsert(spark, sf_dir):
 def storage_compact_table(spark, sf_dir):
     """Self-validating COMPACTION contract (storage/merge.py:
     compact_table — the OPTIMIZE/rewrite-data-files analog): build a
-    keyed table from sampled orders, apply three narrow merges that
+    keyed table from sampled orders, apply two narrow merges that
     each touch ONE status partition (scattering the live table across
-    four version dirs — the copy-on-write sprawl every merge table
-    accumulates), compact, and verify (a) the read-back content is
+    three version dirs — the copy-on-write sprawl every merge table
+    accumulates; two merges already prove the n-dir collapse, and each
+    versioned write is the entry's unit of cost), compact, and verify (a) the read-back content is
     IDENTICAL to the pre-compaction read (full-outer match_bp must be
     10000 — the operator's own stats contract re-checked end-to-end),
     (b) the live table collapsed to one version dir, (c) validate_table
@@ -4893,7 +4894,7 @@ def storage_compact_table(spark, sf_dir):
             for r in base.select("o_orderstatus").distinct()
             .orderBy("o_orderstatus").collect()
         ]
-        for i, s in enumerate(statuses[:3]):
+        for i, s in enumerate(statuses[:2]):
             batch = base.filter(
                 (F.col("o_orderstatus") == s) & (F.col("o_orderkey") % 7 == i)
             ).select(
@@ -6022,11 +6023,13 @@ def curation_quality_classifier(spark, sf_dir):
     entry: per-iteration cost is one treeAggregate of map-side
     gradient partials (no row shuffle), features are whole-stage
     codegen, scoring is map-only. Rows-only (integer contract row —
-    gradient-sum order can't move counts)."""
+    gradient-sum order can't move counts). max_iter=12: measured
+    identical accuracy to 25 at sf0.1 (loss plateaus ~iter 10); the
+    battery entry pays only the converged cost."""
     from .operators.quality_model import quality_classifier_report
 
     docs = _t(spark, sf_dir, "documents")
-    return quality_classifier_report(docs, F.col("doc_id") % 2 == 0)
+    return quality_classifier_report(docs, F.col("doc_id") % 2 == 0, max_iter=12)
 
 
 def text_lm_surprise(spark, sf_dir):
