@@ -69,3 +69,45 @@ def test_text_signals_agree_with_python_reference(spark):
         assert (
             r.n_emails, r.n_phones, r.n_ips, r.redacted_text
         ) == _ref_pii(text), f"pii mismatch on {text!r}"
+
+
+def _ref_unigram_surprise(rows, max_vocab):
+    """Pure-Python reference for operators/text.py:unigram_surprise."""
+    train_toks, held = [], {}
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        if doc_id % 2 == 0:
+            train_toks.extend(toks)
+        elif toks:
+            held[doc_id] = toks
+    cnt = Counter(train_toks)
+    vocab = dict(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    )
+    n_total, v = sum(cnt.values()), len(vocab)
+    out = {}
+    for doc_id, toks in held.items():
+        bits = 0
+        for t in toks:
+            q = (n_total + v) // (vocab.get(t, 0) + 1)
+            bits += q.bit_length() - 1 if q >= 1 else 0
+        out[doc_id] = (len(toks), bits, (10000 * bits) // len(toks))
+    return out
+
+
+def test_unigram_surprise_agrees_with_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.text import unigram_surprise
+
+    rnd = random.Random(13)
+    rows = [(i, _gen_text(rnd)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_vocab in (50000, 5):  # uncapped AND a binding cap with ties
+        got = {
+            r.doc_id: (r.n_tokens, r.total_bits, r.surprise_bp)
+            for r in unigram_surprise(
+                df, F.col("doc_id") % 2 == 0, max_vocab=max_vocab
+            ).collect()
+        }
+        assert got == _ref_unigram_surprise(rows, max_vocab), max_vocab
