@@ -677,12 +677,18 @@ def unigram_surprise(
     oracle.
 
     Shape at 100 TB: one map-combined groupBy builds the token counts;
-    the vocab is capped to ``max_vocab`` by (count desc, token asc) —
-    a TakeOrdered k-row driver merge, never a global sort — and
-    BROADCAST to the scoring side, so scoring is a map-only pass
-    (explode -> broadcast-hash-join -> per-doc partial agg). N and V
-    ride along as a broadcast single-row cross join. No shuffle ever
-    carries the exploded token stream."""
+    the ``max_vocab`` cap is a DISTRIBUTED rank over the count frame
+    (ranking.py:with_global_rank — range shuffle + O(partitions)
+    offsets; an orderBy().limit() TakeOrdered here would merge
+    partitions x k rows on the driver, 50M rows at 1000 executors),
+    so only the <= max_vocab retained rows are ever collected, into
+    the scoring side's BROADCAST hash join. Scoring is a map-only pass
+    (explode -> broadcast-join -> per-doc partial agg); N and V come
+    from ONE aggregate over the already-pinned rank frame and ride
+    along as a broadcast single-row cross join. No shuffle ever
+    carries the held-out token stream."""
+    from .ranking import with_global_rank
+
     tok = df.select(
         F.col(id_col),
         train.alias("_train"),
@@ -691,14 +697,18 @@ def unigram_surprise(
     cnt = tok.filter(F.col("_train")).groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    vocab = cnt.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(max_vocab)
+    ranked = with_global_rank(
+        cnt, [F.col("c").desc(), F.col("tok").asc()], rank_col="_vr"
+    )
+    vocab = ranked.filter(F.col("_vr") <= max_vocab).select("tok", "c")
     # coalesce: SUM over an empty train slice is NULL; an empty corpus
-    # must yield bits=length(bin(0))-1=0, not a NULL cascade.
-    totals = cnt.agg(
+    # must yield bits=length(bin(0))-1=0, not a NULL cascade. One agg
+    # over the pinned rank frame — the token explode is never re-run.
+    totals = ranked.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("N"),
-        F.least(
-            F.lit(max_vocab).cast("long"), F.count(F.lit(1)).cast("long")
-        ).alias("V"),
+        F.coalesce(
+            F.sum((F.col("_vr") <= max_vocab).cast("long")), F.lit(0)
+        ).cast("long").alias("V"),
     )
     q = F.expr("(N + V) div (coalesce(c, cast(0 as bigint)) + 1)")
     return (
