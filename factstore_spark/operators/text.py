@@ -159,21 +159,24 @@ def build_vocab(df: DataFrame, max_size: int = 1000, text_col: str = "text") -> 
     """Corpus term-frequency vocabulary: the top ``max_size`` tokens by
     total count, ids assigned by rank (count desc, token asc — fully
     deterministic, engine-reproducible). One explode + one partial-
-    aggregated groupBy(token); the top-k fuses to TakeOrderedAndProject
-    (never a global sort). Output: (token, token_id, freq)."""
-    from pyspark.sql.window import Window
+    aggregated groupBy(token); the top-k and the ids both come from the
+    DISTRIBUTED global rank (ranking.py — an orderBy().limit()
+    TakeOrdered would merge partitions x k rows on the driver, and the
+    naive row_number() id window is a single-task sort). Output:
+    (token, token_id, freq)."""
+    from .ranking import with_global_rank
 
     counts = (
         df.select(F.explode(tokens_col(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    order = [F.col("freq").desc(), F.col("token").asc()]
-    topk = counts.orderBy(*order).limit(max_size)
-    w = Window.orderBy(*order)
-    return topk.select(
+    ranked = with_global_rank(
+        counts, [F.col("freq").desc(), F.col("token").asc()], rank_col="_vr"
+    )
+    return ranked.filter(F.col("_vr") <= max_size).select(
         "token",
-        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        (F.col("_vr") - 1).cast("long").alias("token_id"),
         F.col("freq").cast("long").alias("freq"),
     )
 
