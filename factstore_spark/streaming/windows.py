@@ -175,6 +175,33 @@ def curate_stream(
     return dedup_stream_by_content(kept, text_col, time_col, watermark)
 
 
+def quality_gate_stream(
+    stream: DataFrame,
+    model,
+    text_col: str = "text",
+    keep_only: bool = False,
+) -> DataFrame:
+    """The LEARNED quality gate's streaming leg: a quality classifier
+    fitted offline (operators/quality_model.py:train_quality_classifier
+    — where the corpus-wide LBFGS iterations belong) transforms each
+    micro-batch as a pure map — VectorAssembler and the linear scorer
+    are stateless row expressions, so the same fitted model runs
+    unchanged over batch and stream and the two MUST agree doc-for-doc
+    (asserted in tests/test_streaming_windows.py). No state, no
+    watermark, no shuffle: the lambda split mirrors curate_stream —
+    train offline, gate inline. ``keep_only=True`` drops rejected docs
+    instead of annotating them."""
+    from ..operators.quality_model import _featurize
+
+    cols = list(stream.columns)
+    scored = model.transform(_featurize(stream, text_col)).select(
+        *cols, F.col("prediction").cast("long").alias("keep_pred")
+    )
+    if keep_only:
+        return scored.filter(F.col("keep_pred") == 1).select(*cols)
+    return scored
+
+
 _RUNNING_STATE_SCHEMA = StructType([StructField("n", LongType(), False)])
 
 

@@ -677,3 +677,55 @@ def test_dedup_stream_by_content_preserves_caller_fp_column(fs, spark, tmp_path)
     rows = out.collect()
     assert len(rows) == 2  # b"one" deduped
     assert all(r._content_fp == "caller-owned" for r in rows)
+
+
+def test_streaming_quality_gate_equals_batch(spark, tmp_path):
+    """quality_gate_stream with an offline-trained model must score a
+    document file-stream EXACTLY as the batch transform scores the
+    same corpus — the model is a pure map, so micro-batch boundaries
+    cannot move a single prediction."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.quality_model import (
+        _featurize,
+        train_quality_classifier,
+    )
+    from factstore_spark.streaming.windows import quality_gate_stream
+
+    docs_path = SF_EVENTS + "/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    model = train_quality_classifier(docs.filter(F.col("doc_id") % 2 == 0))
+
+    want = {
+        r.doc_id: int(r.prediction)
+        for r in model.transform(_featurize(docs, "text"))
+        .select("doc_id", "prediction")
+        .collect()
+    }
+
+    stream_dir = tempfile.mkdtemp(prefix="docs-stream-")
+    os.symlink(docs_path, os.path.join(stream_dir, "documents.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    out = _drain(
+        quality_gate_stream(stream, model), "qgate_ss", tmp_path, spark,
+        mode="append",
+    )
+    got = {r.doc_id: int(r.keep_pred) for r in out.select("doc_id", "keep_pred").collect()}
+    assert got == want and want
+
+    # keep_only drops rejects and restores the input schema
+    kept = _drain(
+        quality_gate_stream(
+            spark.readStream.schema(docs.schema).parquet(stream_dir),
+            model,
+            keep_only=True,
+        ),
+        "qgate_keep_ss", tmp_path, spark, mode="append",
+    )
+    assert kept.columns == docs.columns
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {
+        d for d, p in want.items() if p == 1
+    }
