@@ -71,3 +71,22 @@ def test_trained_model_scores_new_corpus_map_only(spark):
 
     out = model.transform(_featurize(fresh, "text"))
     assert out.select("prediction").collect()[0][0] == 1.0
+
+
+def test_model_persists_and_reloads(spark, tmp_path):
+    """Train once, save, reload in a fresh handle, score identically —
+    the production path: the gate is fitted by a training job and
+    SHIPPED to every downstream scoring job (batch or stream)."""
+    from pyspark.ml import PipelineModel
+
+    model = train_quality_classifier(_corpus(spark))
+    path = str(tmp_path / "quality-gate-model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    from factstore_spark.operators.quality_model import _featurize
+
+    feats = _featurize(_corpus(spark), "text")
+    want = [(r.doc_id, r.prediction) for r in model.transform(feats).select("doc_id", "prediction").collect()]
+    got = [(r.doc_id, r.prediction) for r in reloaded.transform(feats).select("doc_id", "prediction").collect()]
+    assert sorted(got) == sorted(want) and want
