@@ -205,3 +205,24 @@ def test_global_rank_empty_input(spark):
         df, [F.col("v"), F.col("id")], with_total=True
     )
     assert out.count() == 0 and total == 0
+
+
+def test_global_rank_desc_order_with_heavy_ties(spark):
+    """The vocab-cap consumers rank by (count DESC, token ASC) where
+    most counts are ties (Zipf tail of 1s): the range shuffle must
+    respect the DESC direction and the tie-breaker must yield the
+    window-exact ranking across partition boundaries."""
+    rows = [(i, i % 3) for i in range(200)]  # 3 huge tie groups
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r.id: r.rank
+        for r in with_global_rank(df, order, num_partitions=8).collect()
+    }
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want and len(got) == 200
