@@ -42,11 +42,16 @@ def curate_corpus(
     seed: str = "epoch0",
     id_col: str = "doc_id",
     text_col: str = "text",
+    learned_gate=None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus as
     training-read addresses ``(id, shard, pos)`` (join back on the id
     for text). ``near_dup="minhash"`` additionally drops every doc that
-    is not its near-dup cluster's representative (minimum id)."""
+    is not its near-dup cluster's representative (minimum id).
+    ``learned_gate`` (a fitted quality_model pipeline) adds the learned
+    quality stage after the heuristic one — docs the model rejects are
+    dropped before dedup pays for them; the transform is map-only, so
+    the stage adds no shuffle."""
     from .dedup import dup_clusters, minhash_lsh_pairs
     from .sampling import contamination_check, ngram_contamination, shuffle_shards
     from .text import exact_fp_col, with_lang_id, with_quality_score
@@ -60,6 +65,15 @@ def curate_corpus(
         exact_fp_col(text_col).alias("_fp"),
     )
     survivors = flagged.filter(F.col("_lang_ok") & F.col("_q_ok"))
+    if learned_gate is not None:
+        from .quality_model import _featurize
+
+        kept = (
+            learned_gate.transform(_featurize(docs, text_col))
+            .filter(F.col("prediction") == 1.0)
+            .select(F.col(id_col))
+        )
+        survivors = survivors.join(kept, id_col, "left_semi")
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
     deduped = (
         survivors.withColumn("_rn", F.row_number().over(w))

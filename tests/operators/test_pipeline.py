@@ -134,3 +134,33 @@ def test_prepare_training_data_end_to_end(spark, tmp_path):
     }
     train_ids = {r.doc_id for r in train.select("doc_id").collect()}
     assert back_ids == train_ids
+
+
+def test_curate_corpus_learned_gate_stage(spark):
+    """The optional learned-gate stage drops model-rejected docs before
+    dedup; with no gate the pipeline is unchanged."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.pipeline import curate_corpus
+    from factstore_spark.operators.quality_model import train_quality_classifier
+
+    good = (
+        "the quick brown foxes have jumped over the lazy dogs "
+        "with great energy and style " * 2
+    )
+    rows = [
+        (i, good + f"variant{i}" if i % 2 == 0 else "@@ ## $$")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_quality_classifier(docs)
+
+    base = {r.doc_id for r in curate_corpus(docs, quality_threshold=0.0).collect()}
+    gated = {
+        r.doc_id
+        for r in curate_corpus(docs, quality_threshold=0.0, learned_gate=model).collect()
+    }
+    # the junk docs die at the heuristic lang stage either way; the
+    # gate must never ADD docs, and must keep the clearly-good ones
+    assert gated <= base
+    assert gated == {i for i in range(40) if i % 2 == 0}
