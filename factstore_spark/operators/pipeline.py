@@ -50,8 +50,11 @@ def curate_corpus(
     is not its near-dup cluster's representative (minimum id).
     ``learned_gate`` (a fitted quality_model pipeline) adds the learned
     quality stage after the heuristic one — docs the model rejects are
-    dropped before dedup pays for them; the transform is map-only, so
-    the stage adds no shuffle."""
+    dropped before dedup pays for them. The gate scores ONLY the
+    heuristic survivors and filters in place (a pure map over the
+    surviving rows: feature projection + linear scorer); joining a
+    separately-scored corpus back would shuffle the whole corpus
+    twice for nothing."""
     from .dedup import dup_clusters, minhash_lsh_pairs
     from .sampling import contamination_check, ngram_contamination, shuffle_shards
     from .text import exact_fp_col, with_lang_id, with_quality_score
@@ -66,14 +69,14 @@ def curate_corpus(
     )
     survivors = flagged.filter(F.col("_lang_ok") & F.col("_q_ok"))
     if learned_gate is not None:
-        from .quality_model import _featurize
+        from .quality_model import score_features
 
-        kept = (
-            learned_gate.transform(_featurize(docs, text_col))
+        gate_cols = list(survivors.columns)
+        survivors = (
+            learned_gate.transform(score_features(survivors, text_col))
             .filter(F.col("prediction") == 1.0)
-            .select(F.col(id_col))
+            .select(*gate_cols)
         )
-        survivors = survivors.join(kept, id_col, "left_semi")
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
     deduped = (
         survivors.withColumn("_rn", F.row_number().over(w))

@@ -24,23 +24,28 @@ from .text import with_gopher_rules, with_quality_score
 FEATURES = ["n_tokens", "mean_word_len", "stopword_ratio", "alpha_ratio"]
 
 
-def _featurize(df: DataFrame, text_col: str) -> DataFrame:
-    """Cheap JVM-side features + the Gopher-rule weak label."""
-    out = with_quality_score(with_gopher_rules(df, text_col=text_col), text_col)
-    return out.withColumn("label", F.col("keep").cast("double")).withColumn(
+def score_features(df: DataFrame, text_col: str) -> DataFrame:
+    """The 4 model features only — the SCORING path's featurizer. The
+    Gopher rules exist solely to manufacture the training label;
+    running their ~8 extra regex/array expressions per row on a hot
+    scoring path (every micro-batch of a 100 TB stream) would be pure
+    waste, so transform-time callers use this."""
+    return with_quality_score(df, text_col).withColumn(
         "n_tokens", F.col("n_tokens").cast("double")
     )
 
 
-def train_quality_classifier(
-    df: DataFrame,
-    text_col: str = "text",
-    max_iter: int = 25,
-    reg_param: float = 0.01,
-):
-    """Fit the linear quality gate on Gopher-rule weak labels. Returns
-    the fitted pipeline model (assembler + logistic regression) for
-    map-only scoring of any corpus with a ``text_col``."""
+def _featurize(df: DataFrame, text_col: str) -> DataFrame:
+    """Features + the Gopher-rule weak label — the TRAINING frame."""
+    return score_features(with_gopher_rules(df, text_col=text_col), text_col).withColumn(
+        "label", F.col("keep").cast("double")
+    )
+
+
+def _fit(feats: DataFrame, max_iter: int, reg_param: float):
+    """One fit definition for the production train path AND the battery
+    contract — diverging hyper-parameters between the two would make
+    the contract test a different model than users ship."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
@@ -52,7 +57,20 @@ def train_quality_classifier(
         labelCol="label",
         featuresCol="features",
     )
-    return Pipeline(stages=[assembler, lr]).fit(_featurize(df, text_col))
+    return Pipeline(stages=[assembler, lr]).fit(feats)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    max_iter: int = 25,
+    reg_param: float = 0.01,
+):
+    """Fit the linear quality gate on Gopher-rule weak labels. Returns
+    the fitted pipeline model (assembler + logistic regression) for
+    map-only scoring of any corpus carrying the FEATURES columns
+    (score_features builds them from a text column)."""
+    return _fit(_featurize(df, text_col), max_iter, reg_param)
 
 
 def quality_classifier_report(
@@ -76,31 +94,26 @@ def quality_classifier_report(
     baseline_bp, accuracy_bp, lift_bp, beats_baseline_ok.
     """
     feats = _featurize(df, text_col)
-    train_df = feats.filter(train)
+    # cache: the count below materializes the featurized train slice
+    # once and LBFGS's iterations then read the cached frame instead of
+    # re-featurizing per pass (pyspark.ml itself warns on uncached fit
+    # input); one action serves both the empty-slice guard and the
+    # n_train contract column.
+    train_df = feats.filter(train).persist()
     eval_df = feats.filter(~train)
-    model = None
-    # a one-class training slice (tiny or pathologically filtered
-    # corpus) still fits — LR degenerates to the constant majority
-    # predictor — but guard the truly empty slice explicitly
-    if train_df.take(1):
-        from pyspark.ml import Pipeline
-        from pyspark.ml.classification import LogisticRegression
-        from pyspark.ml.feature import VectorAssembler
-
-        assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
-        lr = LogisticRegression(
-            maxIter=max_iter,
-            regParam=reg_param,
-            labelCol="label",
-            featuresCol="features",
-        )
-        model = Pipeline(stages=[assembler, lr]).fit(train_df)
+    try:
+        n_train = train_df.count()
+        # a one-class training slice (tiny or pathologically filtered
+        # corpus) still fits — LR degenerates to the constant majority
+        # predictor — but guard the truly empty slice explicitly
+        model = _fit(train_df, max_iter, reg_param) if n_train else None
+    finally:
+        train_df.unpersist()
     scored = (
         model.transform(eval_df)
         if model is not None
         else eval_df.withColumn("prediction", F.lit(0.0))
     )
-    n_train = train_df.count()
     row = (
         scored.agg(
             F.count(F.lit(1)).cast("long").alias("n_eval"),

@@ -6082,9 +6082,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- Driver-window rotation (round 8) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 8: the fourteen new entries lead, newest first — the two
-    # fourth-continuation additions (LM surprise, table compaction),
-    # then the five
+    # Round 8: the fifteen new entries lead, newest first — the three
+    # fourth-continuation additions (LM surprise, table compaction,
+    # learned quality gate), then the five
     # third-continuation additions (editdist dedup, basket rules, PCA,
     # peak concurrency, Mahalanobis), then the three second-
     # continuation ones (MAD outliers, SCD2 history, BPE training),

@@ -190,12 +190,20 @@ def quality_gate_stream(
     (asserted in tests/test_streaming_windows.py). No state, no
     watermark, no shuffle: the lambda split mirrors curate_stream —
     train offline, gate inline. ``keep_only=True`` drops rejected docs
-    instead of annotating them."""
-    from ..operators.quality_model import _featurize
+    instead of annotating them.
+
+    Caller columns are packed into a struct before featurization so
+    the gate can never silently overwrite caller-owned columns that
+    happen to share a feature name (n_tokens, quality_score, ...) —
+    the same caller-column contract dedup_stream_by_content keeps."""
+    from ..operators.quality_model import score_features
 
     cols = list(stream.columns)
-    scored = model.transform(_featurize(stream, text_col)).select(
-        *cols, F.col("prediction").cast("long").alias("keep_pred")
+    packed = stream.select(
+        F.struct(*cols).alias("_row"), F.col(text_col).alias("_gate_text")
+    )
+    scored = model.transform(score_features(packed, "_gate_text")).select(
+        F.col("_row.*"), F.col("prediction").cast("long").alias("keep_pred")
     )
     if keep_only:
         return scored.filter(F.col("keep_pred") == 1).select(*cols)

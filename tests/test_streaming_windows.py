@@ -729,3 +729,33 @@ def test_streaming_quality_gate_equals_batch(spark, tmp_path):
     assert {r.doc_id for r in kept.select("doc_id").collect()} == {
         d for d, p in want.items() if p == 1
     }
+
+
+def test_streaming_quality_gate_preserves_caller_columns(spark, tmp_path):
+    """A stream already carrying a column named like a feature
+    (n_tokens, quality_score, ...) must get it back UNTOUCHED — the
+    gate computes features under the packed-struct projection, never
+    over caller-owned names (same contract as
+    dedup_stream_by_content's caller-fp test)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.quality_model import train_quality_classifier
+    from factstore_spark.streaming.windows import quality_gate_stream
+
+    docs = spark.read.parquet(SF_EVENTS + "/documents.parquet").select(
+        "doc_id", "text",
+        F.lit(-7).cast("long").alias("n_tokens"),      # caller-owned!
+        F.lit(0.5).alias("quality_score"),             # caller-owned!
+    )
+    model = train_quality_classifier(spark.read.parquet(SF_EVENTS + "/documents.parquet"))
+    d = tempfile.mkdtemp(prefix="docs-clash-")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "docs.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(os.path.join(d, "docs.parquet"))
+    out = _drain(quality_gate_stream(stream, model), "qgate_clash_ss", tmp_path, spark, mode="append")
+    rows = out.collect()
+    assert rows
+    assert all(r.n_tokens == -7 and r.quality_score == 0.5 for r in rows)
+    assert out.columns == ["doc_id", "text", "n_tokens", "quality_score", "keep_pred"]
