@@ -47,6 +47,7 @@ __all__ = [
     "zorder_value",
     "money_cents",
     "epoch_us",
+    "int_log2",
     "tags_all_match",
     "tag_query_predicate",
     "time_range_predicate",
@@ -71,3 +72,14 @@ def epoch_us(ts_col: Column | str) -> Column:
     """Timestamp -> epoch microseconds BIGINT."""
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return F.unix_micros(c)
+
+
+def int_log2(col: Column | str) -> Column:
+    """floor(log2(x)) for non-negative integer x, EXACTLY:
+    length(bin(x)) - 1 — pure integer/string ops, so (unlike a float
+    log2 whose last-ulp rounding can cross an integer boundary) the
+    result is bit-identical in any engine with a binary-string
+    function. x=0 maps to 0 (bin(0)='0'), negative x is undefined.
+    The whole-bit surprise unit of the LM quality scorer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(F.bin(c)) - F.lit(1)).cast("long")

@@ -713,12 +713,14 @@ def unigram_surprise(
             F.sum((F.col("_vr") <= max_vocab).cast("long")), F.lit(0)
         ).cast("long").alias("V"),
     )
+    from ..functions import int_log2
+
     q = F.expr("(N + V) div (coalesce(c, cast(0 as bigint)) + 1)")
     return (
         tok.filter(~F.col("_train"))
         .join(F.broadcast(vocab), "tok", "left")
         .crossJoin(F.broadcast(totals))
-        .withColumn("bits", (F.length(F.bin(q)) - F.lit(1)).cast("long"))
+        .withColumn("bits", int_log2(q))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

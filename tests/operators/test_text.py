@@ -282,3 +282,15 @@ def test_unigram_surprise_empty_train_slice(spark):
     out = T.unigram_surprise(docs, F.col("doc_id") % 2 == 0).collect()
     # N=0 V=0 -> q=0, bin(0)='0', bits=0: defined, not a NULL cascade
     assert [(r.n_tokens, r.total_bits, r.surprise_bp) for r in out] == [(2, 0, 0)]
+
+
+def test_int_log2_exact_over_boundary_values(spark):
+    from pyspark.sql import functions as F
+
+    from factstore_spark.functions import int_log2
+
+    vals = [0, 1, 2, 3, 4, 7, 8, 1023, 1024, 1025, (1 << 40) - 1, 1 << 40]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.x: r.b for r in df.select("x", int_log2("x").alias("b")).collect()}
+    want = {v: (v.bit_length() - 1 if v >= 1 else 0) for v in vals}
+    assert got == want
