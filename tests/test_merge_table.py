@@ -699,3 +699,37 @@ def test_compact_table_subset_and_concurrent_writer(spark, tmp_path):
         M._head_manifest = orig
     # losing the race published nothing: table unchanged and valid
     assert _snap(spark, d) == {1: ("a", "x"), 2: ("b", "Y")}
+
+
+def test_compact_table_stats_drift_aborts_unpublished(spark, tmp_path, monkeypatch):
+    """If the rewritten files fail to reproduce the manifest's
+    per-partition stats (torn write, bad disk, bug), compaction must
+    raise and leave the new version UNPUBLISHED — readers keep the old
+    layout, vacuum reaps the orphan."""
+    import factstore_spark.storage.merge as M
+
+    d = str(tmp_path / "t")
+    create_table(_rows(spark, [(1, "a", "x"), (2, "b", "y")]), d, ["id"], "part")
+    merge_upsert(_rows(spark, [(2, "b", "Y")]), d)
+    before = _snap(spark, d)
+    head_before = M._head_manifest(d)["snapshot"]
+
+    real = M._partition_stats
+
+    def corrupted(df, key_cols, partition_col):
+        stats = real(df, key_cols, partition_col)
+        return {v: dict(s, rows=s["rows"] + 1) for v, s in stats.items()}
+
+    monkeypatch.setattr(M, "_partition_stats", corrupted)
+    with pytest.raises(RuntimeError, match="stats drift"):
+        M.compact_table(spark, d)
+    monkeypatch.undo()
+
+    # nothing published: same head, same content, table still valid
+    assert M._head_manifest(d)["snapshot"] == head_before
+    assert _snap(spark, d) == before
+    assert M.validate_table(spark, d)["ok"]
+    # the abandoned version dir is an unreferenced orphan vacuum reaps
+    v = vacuum_table(d, retain_seconds=0.0, retain_snapshots=10)
+    assert len(v["removed"]) == 1
+    assert _snap(spark, d) == before
