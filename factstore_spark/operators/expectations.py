@@ -1,0 +1,252 @@
+"""Declarative data-quality expectations — the pre-training data gate.
+
+A training-data pipeline at 100 TB cannot eyeball its inputs: every
+ingest lands behind a declarative contract ("doc_id is never null and
+unique", "lang is one of the corpus languages", "every lineitem's
+orderkey exists in orders") whose violations are COUNTED, not sampled.
+This module is that gate, the Great-Expectations / Deequ capability
+re-expressed in plain Spark primitives:
+
+- **Single-table expectations compile to ONE aggregate pass.** Each
+  expectation becomes a ``SUM(CASE WHEN violated ...)`` column inside a
+  single ``agg`` over one scan — map-side combined, whole-stage
+  codegen, no per-expectation jobs. ``unique`` rides the same pass as
+  ``COUNT(col) - COUNT(DISTINCT col)`` (Spark plans the multi-distinct
+  agg with one Expand, so E expectations over a 100 TB table still cost
+  one scan).
+- **Cross-table (foreign-key) expectations are LEFT ANTI joins** on the
+  parent's distinct key set. Small parents (dimensions) broadcast;
+  big-big parents fall back to a shuffled anti join — the unavoidable
+  shape, paid once per FK. Parent key frames are deduplicated before
+  the join so the anti probe never fans out.
+- The result is a tiny (one row per expectation) frame: ``check``,
+  ``n_checked``, ``n_violations``, ``passed`` — the shape a CI gate or
+  a freshness dashboard consumes directly.
+
+Reference parity: the reference validates its write-path inputs
+row-by-row in the appender (AppendRequest.kt:37-42 precondition checks,
+StoreName.kt:7-9 name rules); this generalizes that contract-first
+stance to whole-corpus read-side audits, which is where it must live
+when inputs arrive as 100 TB of parquet rather than single RPCs.
+
+Cross-engine determinism: every count is an exact BIGINT; expectations
+are pure predicates (no floats, no RNG); regex patterns follow the
+PII-module rule (text.py PII_PATTERNS) of staying inside the
+Java-regex / RE2 common subset so a DuckDB oracle reproduces them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative check. ``kind`` picks the compiled shape:
+
+    - ``not_null``: col IS NOT NULL for every row.
+    - ``unique``: no two rows share a non-null value of ``col``
+      (violations = n_nonnull - n_distinct, the number of surplus rows
+      occupying an already-taken value).
+    - ``between``: lo <= col <= hi over non-null values (params
+      ``lo``/``hi``; either side may be None for a one-sided bound).
+    - ``in_set``: col (non-null) is one of ``values``.
+    - ``regex``: col (non-null) fully matches ``pattern``.
+    - ``foreign_key``: col (non-null) exists in a parent frame's key
+      column — resolved by ``validate_expectations(fk_parents=...)``.
+
+    Null handling is deliberate: only ``not_null`` treats NULL as a
+    violation. Every other kind skips NULLs, so "lang in {...}" and
+    "lang not null" stay independent, composable checks instead of one
+    check double-counting.
+    """
+
+    kind: str
+    col: str
+    name: str = ""
+    lo: object = None
+    hi: object = None
+    values: tuple = ()
+    pattern: str = ""
+    parent: str = ""  # key into fk_parents for foreign_key checks
+    parent_col: str = ""
+
+    def check_name(self) -> str:
+        if self.name:
+            return self.name
+        if self.kind == "foreign_key":
+            return f"fk_{self.col}__{self.parent}_{self.parent_col}"
+        return f"{self.kind}_{self.col}"
+
+
+def expect_not_null(col: str, name: str = "") -> Expectation:
+    return Expectation("not_null", col, name)
+
+
+def expect_unique(col: str, name: str = "") -> Expectation:
+    return Expectation("unique", col, name)
+
+
+def expect_between(col: str, lo=None, hi=None, name: str = "") -> Expectation:
+    if lo is None and hi is None:
+        raise ValueError("expect_between: need at least one of lo/hi")
+    return Expectation("between", col, name, lo=lo, hi=hi)
+
+
+def expect_in_set(col: str, values, name: str = "") -> Expectation:
+    vals = tuple(values)
+    if not vals:
+        raise ValueError("expect_in_set: empty value set")
+    return Expectation("in_set", col, name, values=vals)
+
+
+def expect_regex(col: str, pattern: str, name: str = "") -> Expectation:
+    return Expectation("regex", col, name, pattern=pattern)
+
+
+def expect_foreign_key(
+    col: str, parent: str, parent_col: str, name: str = ""
+) -> Expectation:
+    return Expectation(
+        "foreign_key", col, name, parent=parent, parent_col=parent_col
+    )
+
+
+def _violation_predicate(e: Expectation) -> Column:
+    """Row-level violation predicate for the single-pass kinds (never
+    called for unique/foreign_key, which have their own shapes)."""
+    c = F.col(e.col)
+    if e.kind == "not_null":
+        return c.isNull()
+    if e.kind == "between":
+        bad = F.lit(False)
+        if e.lo is not None:
+            bad = bad | (c < F.lit(e.lo))
+        if e.hi is not None:
+            bad = bad | (c > F.lit(e.hi))
+        return c.isNotNull() & bad
+    if e.kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(e.values))
+    if e.kind == "regex":
+        return c.isNotNull() & ~c.rlike(e.pattern)
+    raise ValueError(f"unknown expectation kind: {e.kind}")
+
+
+def validate_expectations(
+    df: DataFrame,
+    suite: list[Expectation],
+    fk_parents: dict[str, DataFrame] | None = None,
+    broadcast_parents: bool = True,
+) -> DataFrame:
+    """Run a suite against ``df``; returns one row per expectation:
+    ``(check string, n_checked long, n_violations long, passed
+    boolean)`` ordered by check name.
+
+    ``n_checked`` is the number of rows the expectation actually
+    examined (all rows for ``not_null``; non-null rows for the
+    value-predicate kinds; non-null child keys for ``foreign_key``).
+
+    Single-table kinds share ONE aggregate over one scan; each
+    ``foreign_key`` adds one LEFT ANTI join against
+    ``fk_parents[e.parent]`` (deduplicated on ``parent_col``; hinted
+    broadcast when ``broadcast_parents`` — turn off for big-big FKs
+    where a shuffled anti join is the right plan).
+    """
+    if not suite:
+        raise ValueError("validate_expectations: empty suite")
+    names = [e.check_name() for e in suite]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names in suite: {names}")
+
+    local = [e for e in suite if e.kind != "foreign_key"]
+    fks = [e for e in suite if e.kind == "foreign_key"]
+
+    result_parts: list[DataFrame] = []
+    if local:
+        aggs: list[Column] = []
+        for e in local:
+            n = e.check_name()
+            if e.kind == "unique":
+                aggs.append(F.count(F.col(e.col)).alias(f"__chk_{n}"))
+                aggs.append(
+                    (F.count(F.col(e.col)) - F.count_distinct(F.col(e.col)))
+                    .cast("long")
+                    .alias(f"__bad_{n}")
+                )
+            else:
+                bad = _violation_predicate(e)
+                checked = (
+                    F.count(F.lit(1))
+                    if e.kind == "not_null"
+                    else F.count(F.col(e.col))
+                )
+                aggs.append(checked.alias(f"__chk_{n}"))
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias(f"__bad_{n}")
+                )
+        one = df.agg(*aggs)
+        # unpivot the single wide row into (check, n_checked, n_violations)
+        stack_args: list[Column] = []
+        for e in local:
+            n = e.check_name()
+            stack_args += [
+                F.lit(n),
+                F.col(f"__chk_{n}").cast("long"),
+                F.col(f"__bad_{n}"),
+            ]
+        result_parts.append(
+            one.select(
+                F.stack(F.lit(len(local)), *stack_args).alias(
+                    "check", "n_checked", "n_violations"
+                )
+            )
+        )
+
+    for e in fks:
+        if not fk_parents or e.parent not in fk_parents:
+            raise ValueError(
+                f"foreign_key expectation {e.check_name()!r} needs "
+                f"fk_parents[{e.parent!r}]"
+            )
+        parent_keys = (
+            fk_parents[e.parent]
+            .select(F.col(e.parent_col).alias("__pk"))
+            .filter(F.col("__pk").isNotNull())
+            .distinct()
+        )
+        if broadcast_parents:
+            parent_keys = F.broadcast(parent_keys)
+        child = df.select(F.col(e.col).alias("__ck")).filter(
+            F.col("__ck").isNotNull()
+        )
+        orphans = child.join(
+            parent_keys, child["__ck"] == parent_keys["__pk"], "left_anti"
+        )
+        result_parts.append(
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_violations")
+                )
+            )
+            .select(
+                F.lit(e.check_name()).alias("check"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+
+    out = result_parts[0]
+    for p in result_parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "passed", (F.col("n_violations") == 0).alias("passed")
+    ).orderBy("check")

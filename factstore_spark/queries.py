@@ -6072,6 +6072,230 @@ GROUP BY 1
 """
 
 
+def corpus_expectations_gate(spark, sf_dir):
+    """Declarative data-quality gate over the documents corpus
+    (operators/expectations.py) — the contract-first audit a pipeline
+    runs before any corpus version is allowed near training: six
+    expectations (id not-null + unique, text not-null, lang whitelist,
+    char-length floor, source-name shape) compiled into ONE aggregate
+    over ONE scan (the multi-distinct plan is Spark's standard Expand;
+    no joins, no windows), unpivoted to one row per check. The
+    whitelist / floor / regex are chosen to BITE on the driver corpus
+    (nonzero violation counts), so the entry checks real counting, not
+    six zeros. Regex stays inside the Java-regex / RE2 common subset
+    and is anchored (rlike is contains-match)."""
+    from .operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_regex,
+        expect_unique,
+        validate_expectations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    suite = [
+        expect_not_null("doc_id"),
+        expect_unique("doc_id"),
+        expect_not_null("text"),
+        expect_in_set("lang", ["en", "de", "fr"]),
+        expect_between("n_chars", lo=200),
+        expect_regex("source", "^src[0-9]$"),
+    ]
+    return validate_expectations(docs, suite)
+
+
+CORPUS_EXPECTATIONS_SQL = """
+WITH checks AS (
+  SELECT 'not_null_doc_id' AS "check",
+    CAST(COUNT(*) AS BIGINT) AS n_checked,
+    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_violations
+  FROM documents
+  UNION ALL
+  SELECT 'unique_doc_id',
+    CAST(COUNT(doc_id) AS BIGINT),
+    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'not_null_text',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'in_set_lang',
+    CAST(COUNT(lang) AS BIGINT),
+    CAST(SUM(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END)
+      AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'between_n_chars',
+    CAST(COUNT(n_chars) AS BIGINT),
+    CAST(SUM(CASE WHEN n_chars IS NOT NULL AND n_chars < 200
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'regex_source',
+    CAST(COUNT(source) AS BIGINT),
+    CAST(SUM(CASE WHEN source IS NOT NULL
+                   AND NOT regexp_matches(source, '^src[0-9]$')
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents)
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY "check"
+"""
+
+
+def schema_integrity_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit of the star schema —
+    the lakehouse constraint check Spark itself doesn't enforce (no FK
+    constraints on parquet): every fact/dimension edge (lineitem ->
+    orders -> customer -> nation -> region, supplier -> nation)
+    verified as a LEFT ANTI orphan count, plus primary-key uniqueness
+    on the two biggest tables. Dimension parents broadcast (hinted);
+    the lineitem->orders probe deliberately runs UNHINTED so at real
+    scale it plans the shuffled anti join (big-big). One planted
+    liveness probe (parent = orders minus keys ending in 00) proves
+    nonzero detection in-band — an audit whose every row is zero
+    can't distinguish 'intact' from 'not counting'."""
+    from .operators.expectations import (
+        expect_foreign_key,
+        expect_unique,
+        validate_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    parts = [
+        validate_expectations(
+            lineitem,
+            [
+                expect_foreign_key("l_orderkey", "orders", "o_orderkey"),
+                expect_foreign_key(
+                    "l_orderkey",
+                    "orders_probe",
+                    "o_orderkey",
+                    name="fk_liveness_probe",
+                ),
+            ],
+            fk_parents={
+                "orders": orders,
+                "orders_probe": orders.filter(
+                    F.col("o_orderkey") % 100 != 0
+                ),
+            },
+            broadcast_parents=False,
+        ),
+        validate_expectations(
+            orders,
+            [
+                expect_unique("o_orderkey"),
+                expect_foreign_key("o_custkey", "customer", "c_custkey"),
+            ],
+            fk_parents={"customer": customer},
+        ),
+        validate_expectations(
+            customer,
+            [expect_foreign_key("c_nationkey", "nation", "n_nationkey")],
+            fk_parents={"nation": nation},
+        ),
+        validate_expectations(
+            supplier,
+            [expect_foreign_key("s_nationkey", "nation", "n_nationkey")],
+            fk_parents={"nation": nation},
+        ),
+        validate_expectations(
+            nation,
+            [expect_foreign_key("n_regionkey", "region", "r_regionkey")],
+            fk_parents={"region": region},
+        ),
+        validate_expectations(
+            _t(spark, sf_dir, "part"), [expect_unique("p_partkey")]
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check")
+
+
+SCHEMA_INTEGRITY_SQL = """
+WITH checks AS (
+  SELECT 'fk_l_orderkey__orders_o_orderkey' AS "check",
+    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+      AS BIGINT) AS n_checked,
+    CAST((SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+      AS BIGINT) AS n_violations
+  UNION ALL
+  SELECT 'fk_liveness_probe',
+    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey % 100 <> 0
+                              AND o.o_orderkey = l.l_orderkey))
+      AS BIGINT)
+  UNION ALL
+  SELECT 'unique_o_orderkey',
+    CAST((SELECT COUNT(o_orderkey) FROM orders) AS BIGINT),
+    CAST((SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+          FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_o_custkey__customer_c_custkey',
+    CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+      AS BIGINT)
+  UNION ALL
+  SELECT 'fk_c_nationkey__nation_n_nationkey',
+    CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM customer c
+          WHERE c.c_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+      AS BIGINT)
+  UNION ALL
+  SELECT 'fk_s_nationkey__nation_n_nationkey',
+    CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM supplier s
+          WHERE s.s_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey))
+      AS BIGINT)
+  UNION ALL
+  SELECT 'fk_n_regionkey__region_r_regionkey',
+    CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM nation n
+          WHERE n.n_regionkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM region r
+                            WHERE r.r_regionkey = n.n_regionkey))
+      AS BIGINT)
+  UNION ALL
+  SELECT 'unique_p_partkey',
+    CAST((SELECT COUNT(p_partkey) FROM part) AS BIGINT),
+    CAST((SELECT COUNT(p_partkey) - COUNT(DISTINCT p_partkey) FROM part)
+      AS BIGINT))
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY "check"
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6096,6 +6320,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # presentation-only: every entry runs identically regardless of
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
+    "corpus_expectations_gate": (corpus_expectations_gate, CORPUS_EXPECTATIONS_SQL),
+    "schema_integrity_audit": (schema_integrity_audit, SCHEMA_INTEGRITY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
     "storage_compact_table": (storage_compact_table, None),
     "curation_quality_classifier": (curation_quality_classifier, None),

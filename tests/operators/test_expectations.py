@@ -1,0 +1,163 @@
+"""Declarative expectations gate (operators/expectations.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from factstore_spark.operators.expectations import (
+    Expectation,
+    expect_between,
+    expect_foreign_key,
+    expect_in_set,
+    expect_not_null,
+    expect_regex,
+    expect_unique,
+    validate_expectations,
+)
+
+
+def _result_map(df):
+    return {
+        r["check"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", "en", 10),
+            (2, "beta", "de", 3),
+            (3, None, "xx", 40),
+            (None, "gamma", None, 200),
+            (3, "delta", "en", -1),
+        ],
+        "id long, text string, lang string, n long",
+    )
+
+
+def test_single_pass_kinds_count_exactly(spark, docs):
+    out = validate_expectations(
+        docs,
+        [
+            expect_not_null("id"),
+            expect_unique("id"),
+            expect_not_null("lang"),
+            expect_in_set("lang", ["en", "de"]),
+            expect_between("n", lo=0, hi=100),
+            expect_regex("text", "^[a-z]+$"),
+        ],
+    )
+    got = _result_map(out)
+    # 5 rows; one null id; ids (1,2,3,3) -> 4 checked, 1 surplus dup
+    assert got["not_null_id"] == (5, 1, False)
+    assert got["unique_id"] == (4, 1, False)
+    assert got["not_null_lang"] == (5, 1, False)
+    # non-null langs: en,de,xx,en -> one violation (xx); nulls skipped
+    assert got["in_set_lang"] == (4, 1, False)
+    # non-null n: 10,3,40,200,-1 -> 200 above hi, -1 below lo
+    assert got["between_n"] == (5, 2, False)
+    # non-null texts all lowercase words -> pass (null skipped)
+    assert got["regex_text"] == (4, 0, True)
+    # ordered by check name
+    names = [r["check"] for r in out.collect()]
+    assert names == sorted(names)
+
+
+def test_clean_table_passes_everything(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, tag string"
+    )
+    out = validate_expectations(
+        df,
+        [expect_not_null("id"), expect_unique("id"),
+         expect_in_set("tag", ["a", "b"])],
+    )
+    assert all(r["passed"] for r in out.collect())
+
+
+def test_foreign_key_orphans_counted_with_duplicates(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk long")
+    out = validate_expectations(
+        child,
+        [expect_foreign_key("fk", "parent", "pk")],
+        fk_parents={"parent": parent},
+    )
+    got = _result_map(out)
+    # 5 non-null child keys checked; the two 9-rows are orphans
+    assert got["fk_fk__parent_pk"] == (5, 2, False)
+
+
+def test_foreign_key_without_parent_frame_raises(spark, docs):
+    with pytest.raises(ValueError, match="fk_parents"):
+        validate_expectations(
+            docs, [expect_foreign_key("id", "missing", "pk")]
+        )
+
+
+def test_mixed_suite_unions_local_and_fk_rows(spark):
+    child = spark.createDataFrame([(1, "x"), (3, "y")], "fk long, t string")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    out = validate_expectations(
+        child,
+        [expect_not_null("t"), expect_foreign_key("fk", "p", "pk")],
+        fk_parents={"p": parent},
+    )
+    got = _result_map(out)
+    assert got["not_null_t"] == (2, 0, True)
+    assert got["fk_fk__p_pk"] == (2, 1, False)
+    assert out.columns == ["check", "n_checked", "n_violations", "passed"]
+
+
+def test_empty_table_all_pass_zero_checked(spark):
+    df = spark.createDataFrame([], "id long, lang string")
+    out = validate_expectations(
+        df,
+        [expect_not_null("id"), expect_unique("id"),
+         expect_in_set("lang", ["en"])],
+    )
+    for name, (n_chk, n_bad, passed) in _result_map(out).items():
+        assert (n_chk, n_bad, passed) == (0, 0, True), name
+
+
+def test_suite_validation_errors(spark, docs):
+    with pytest.raises(ValueError, match="empty suite"):
+        validate_expectations(docs, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_expectations(
+            docs, [expect_not_null("id"), expect_not_null("id")]
+        )
+    with pytest.raises(ValueError, match="lo/hi"):
+        expect_between("n")
+    with pytest.raises(ValueError, match="empty value set"):
+        expect_in_set("lang", [])
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        validate_expectations(docs, [Expectation("bogus", "id")])
+
+
+def test_custom_names_and_one_sided_bounds(spark, docs):
+    out = validate_expectations(
+        docs,
+        [
+            expect_between("n", lo=0, name="n_floor"),
+            expect_between("n", hi=50, name="n_ceil"),
+        ],
+    )
+    got = _result_map(out)
+    assert got["n_floor"] == (5, 1, False)  # -1
+    assert got["n_ceil"] == (5, 1, False)  # 200
+
+
+def test_single_table_suite_is_one_aggregate_job(spark, docs):
+    """The local kinds must share one scan — the plan contains no join
+    and exactly one Aggregate chain (plus the unpivot projection)."""
+    out = validate_expectations(
+        docs,
+        [expect_not_null("id"), expect_unique("id"),
+         expect_between("n", lo=0)],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
