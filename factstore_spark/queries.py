@@ -6072,6 +6072,88 @@ GROUP BY 1
 """
 
 
+def storage_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (storage/ivm.py) with a TRUE
+    oracle: a keyed merge table built from a deterministic orders
+    slice (o_orderkey % 20 IN (1,3)) goes through two read-modify-write
+    merge batches (update +500 cents on k%3==0; then +250 on k%5==0
+    with k%7==0 deleted), while a per-status COUNT/SUM aggregate is
+    maintained PURELY from change feeds (table_diff include_values ->
+    signed per-group deltas -> state merge) — the table is never
+    rescanned after bootstrap. The oracle recomputes the FINAL
+    aggregate from the same arithmetic in plain SQL, so a drifted
+    delta (wrong sign, missed preimage, double-applied row) hash-
+    mismatches. At scale each refresh costs O(changed partitions):
+    the diff prunes to version dirs that differ between manifests.
+    Cents are floor(price*100) BIGINTs end to end (house float rule).
+    """
+    import shutil
+    import tempfile
+
+    from .storage.ivm import full_state, refresh_aggregate
+    from .storage.merge import create_table, merge_upsert, read_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="ivm-agg-")
+    try:
+        base = orders.filter(F.col("k") % 20 == 1)
+        create_table(base, d, ["k"], "status")
+        state = full_state(spark, d, ["status"], ["cents"], snapshot=1)
+
+        batch1 = (
+            base.filter(F.col("k") % 3 == 0)
+            .withColumn("cents", F.col("cents") + F.lit(500))
+            .unionByName(orders.filter(F.col("k") % 20 == 3))
+            .withColumn("is_deleted", F.lit(False))
+        )
+        merge_upsert(batch1, d, delete_col="is_deleted")
+        state = refresh_aggregate(spark, d, state, 1, ["status"], ["cents"])
+
+        t2 = read_table(spark, d)
+        batch2 = (
+            t2.filter((F.col("k") % 5 == 0) & (F.col("k") % 7 != 0))
+            .withColumn("cents", F.col("cents") + F.lit(250))
+            .withColumn("is_deleted", F.lit(False))
+            .unionByName(
+                t2.filter(F.col("k") % 7 == 0).withColumn(
+                    "is_deleted", F.lit(True)
+                )
+            )
+        )
+        merge_upsert(batch2, d, delete_col="is_deleted")
+        state = refresh_aggregate(spark, d, state, 2, ["status"], ["cents"])
+
+        out = state.select("status", "n_rows", "sum_cents").orderBy("status")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STORAGE_INCREMENTAL_AGG_SQL = """
+WITH slice AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 20 IN (1, 3)
+),
+final AS (
+  SELECT status,
+         cents
+           + CASE WHEN k % 20 = 1 AND k % 3 = 0 THEN 500 ELSE 0 END
+           + CASE WHEN k % 5 = 0 AND k % 7 <> 0 THEN 250 ELSE 0 END AS cents
+  FROM slice
+  WHERE k % 7 <> 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY status ORDER BY status
+"""
+
+
 def corpus_expectations_gate(spark, sf_dir):
     """Declarative data-quality gate over the documents corpus
     (operators/expectations.py) — the contract-first audit a pipeline
@@ -6320,6 +6402,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # presentation-only: every entry runs identically regardless of
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
+    "storage_incremental_agg": (storage_incremental_agg, STORAGE_INCREMENTAL_AGG_SQL),
     "corpus_expectations_gate": (corpus_expectations_gate, CORPUS_EXPECTATIONS_SQL),
     "schema_integrity_audit": (schema_integrity_audit, SCHEMA_INTEGRITY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),

@@ -1,0 +1,205 @@
+"""Incremental view maintenance over merge-table snapshots.
+
+A 100 TB merge table with a handful of dashboards / downstream
+aggregates cannot afford a full recompute per refresh: the standard
+engine answer (Delta/materialized-view style IVM) is to maintain each
+aggregate from the table's CHANGE FEED — cost proportional to what
+changed, not to table history. This module is that consumer for the
+engine's own CDC read (storage/merge.py:table_diff):
+
+- ``aggregate_state`` — the initial full aggregate at a snapshot
+  (COUNT + SUMs per group; one shuffle, map-side combined).
+- ``delta_from_diff`` — turns a values-carrying diff
+  (``table_diff(..., include_values=True)``) into per-group signed
+  deltas in ONE pass: each changed key contributes its postimage with
+  sign +1 (insert/update) and its preimage with sign -1
+  (update/delete) via an in-row 2-element array explode — the diff
+  frame is consumed once, never joined back to the table. A group-by
+  column that CHANGES in an update migrates mass correctly by
+  construction (the -1 lands in the old group, the +1 in the new).
+- ``apply_delta`` — full-outer merge of state and delta; groups whose
+  row count reaches zero drop out of the state (so state size tracks
+  live groups, not history).
+- ``refresh_aggregate`` — the driver loop: diff from the state's
+  snapshot to the head (changed-partition pruned), delta, apply.
+
+Maintained aggregates are COUNT and SUM — the self-maintainable class
+(every delete is fully determined by the preimage). MIN/MAX are NOT
+offered: a deleted extremum needs a rescan of its group by definition,
+and pretending otherwise silently corrupts state; recompute those
+groups with ``aggregate_state`` instead.
+
+Only exact integer/long sums are maintained (the battery's
+no-floats-across-aggregation-boundaries rule): incremental float sums
+would drift from a recompute by accumulation order alone.
+
+Correctness contract (tested in tests/test_ivm.py): after any chain of
+merges, ``refresh_aggregate`` equals ``aggregate_state`` on the head —
+including group migration, delete-to-zero groups, and replayed
+(idempotent) refreshes keyed by snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import read_table, table_diff
+
+_COUNT = "n_rows"
+
+
+def aggregate_state(
+    table_df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Full recompute: one row per group with ``n_rows`` plus
+    ``sum_<c>`` for each sum column (exact BIGINT; nulls count 0)."""
+    _check_cols(group_cols, sum_cols)
+    return table_df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(_COUNT),
+        *[
+            F.coalesce(F.sum(F.col(c).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def delta_from_diff(
+    diff: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Per-group signed deltas from a ``table_diff(...,
+    include_values=True)`` frame. ``group_cols`` / ``sum_cols`` may be
+    key columns (stable across a change — the diff carries them bare)
+    or value columns (the diff carries ``old_<c>`` / ``new_<c>``)."""
+    _check_cols(group_cols, sum_cols)
+    have = set(diff.columns)
+
+    def image(c: str, side: str):
+        tagged = f"{side}_{c}"
+        if tagged in have:
+            return F.col(tagged)
+        if c in have:  # key column: same on both sides
+            return F.col(c)
+        raise ValueError(
+            f"delta_from_diff: column {c!r} not in diff (was the diff "
+            "built with include_values=True?)"
+        )
+
+    def contrib(side: str, sign: int):
+        return F.struct(
+            *[image(c, side).alias(f"g_{c}") for c in group_cols],
+            F.lit(sign).cast("long").alias("_sign"),
+            *[
+                (F.lit(sign) * F.coalesce(image(c, side).cast("long"), F.lit(0)))
+                .alias(f"d_{c}")
+                for c in sum_cols
+            ],
+        )
+
+    exploded = diff.select(
+        F.explode(
+            F.array(
+                F.when(F.col("change_type") != "delete", contrib("new", 1)),
+                F.when(F.col("change_type") != "insert", contrib("old", -1)),
+            )
+        ).alias("c")
+    ).filter(F.col("c").isNotNull())
+    return exploded.groupBy(
+        *[F.col(f"c.g_{c}").alias(c) for c in group_cols]
+    ).agg(
+        F.sum("c._sign").cast("long").alias(f"d_{_COUNT}"),
+        *[
+            F.sum(F.col(f"c.d_{c}")).cast("long").alias(f"d_sum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def apply_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge signed deltas into a state frame; zero-count groups drop
+    out. Null-safe on group columns (a null group value is a group)."""
+    _check_cols(group_cols, sum_cols)
+    joined = state.alias("s").join(
+        delta.alias("d"),
+        [state[c].eqNullSafe(delta[c]) for c in group_cols],
+        "full_outer",
+    )
+    zero = F.lit(0).cast("long")
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
+        (
+            F.coalesce(F.col(f"s.{_COUNT}"), zero)
+            + F.coalesce(F.col(f"d.d_{_COUNT}"), zero)
+        ).alias(_COUNT),
+        *[
+            (
+                F.coalesce(F.col(f"s.sum_{c}"), zero)
+                + F.coalesce(F.col(f"d.d_sum_{c}"), zero)
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return out.filter(F.col(_COUNT) != 0)
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    state: DataFrame,
+    from_snapshot: int,
+    group_cols: list[str],
+    sum_cols: list[str],
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """One refresh step: state maintained at ``from_snapshot`` ->
+    state at ``to_snapshot`` (default head). Reads only the diff
+    (changed partitions); never rescans the table."""
+    diff = table_diff(
+        spark, table_dir, from_snapshot, to_snapshot, include_values=True
+    )
+    return apply_delta(
+        state, delta_from_diff(diff, group_cols, sum_cols), group_cols, sum_cols
+    )
+
+
+def full_state(
+    spark: SparkSession,
+    table_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    snapshot: int | None = None,
+) -> DataFrame:
+    """``aggregate_state`` over a (possibly time-traveled) table read —
+    the bootstrap and the recompute used to certify a refresh chain."""
+    t = read_table(spark, table_dir, snapshot=snapshot)
+    if t is None:
+        raise ValueError(f"full_state: empty/unknown table at {table_dir}")
+    # A sum column added by later schema evolution is absent from a
+    # pre-evolution snapshot read; surface it as null (= the mergeSchema
+    # read semantics), which aggregate_state coalesces to 0 — matching
+    # what the diff's null preimages contribute.
+    for c in sum_cols:
+        if c not in t.columns:
+            t = t.withColumn(c, F.lit(None).cast("long"))
+    missing = [c for c in group_cols if c not in t.columns]
+    if missing:
+        raise ValueError(f"full_state: group columns {missing} not in table")
+    return aggregate_state(t, group_cols, sum_cols)
+
+
+def _check_cols(group_cols: list[str], sum_cols: list[str]) -> None:
+    if not group_cols:
+        raise ValueError("ivm: need at least one group column")
+    overlap = set(group_cols) & set(sum_cols)
+    if overlap:
+        raise ValueError(f"ivm: columns both grouped and summed: {overlap}")

@@ -723,6 +723,7 @@ def table_diff(
     table_dir: str,
     from_snapshot: int,
     to_snapshot: int | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """CDC-style diff between two published snapshots: one row per key
     whose state changed, ``change_type`` in insert / delete / update —
@@ -741,6 +742,14 @@ def table_diff(
     UNION of the two snapshots' column sets (absent = null, the same
     read semantics mergeSchema gives): a column added between
     snapshots marks a row updated only if its value is non-null.
+
+    With ``include_values=True`` the diff also carries the CDC pre/post
+    images — ``old_<col>`` / ``new_<col>`` for every non-key column
+    (the Delta change-data-feed preimage/postimage shape, flattened to
+    one row per key). Insert rows have null ``old_*``, delete rows null
+    ``new_*``. This is what an incremental consumer (storage/ivm.py)
+    needs to maintain a downstream aggregate WITHOUT re-reading either
+    snapshot: the one diff join already holds both sides.
 
     Raises ``ValueError`` if either snapshot is unknown (vacuumed or
     never published). ``to_snapshot=None`` means the current head.
@@ -792,6 +801,26 @@ def table_diff(
 
     a = side(a_paths, cols_a, "a")
     b = side(b_paths, cols_b, "b")
+
+    def value_cols(frame, present_tags: set[str]) -> list:
+        """old_/new_ projections; a side that is not present in
+        ``frame`` surfaces as typed nulls (insert has no preimage,
+        delete no postimage)."""
+        out = []
+        for prefix, tag in (("old", "a"), ("new", "b")):
+            for c in val_cols:
+                src = f"_{tag}_{c}"
+                if tag in present_tags:
+                    out.append(F.col(src).alias(f"{prefix}_{c}"))
+                else:
+                    other = f"_{'b' if tag == 'a' else 'a'}_{c}"
+                    out.append(
+                        F.lit(None)
+                        .cast(frame.schema[other].dataType)
+                        .alias(f"{prefix}_{c}")
+                    )
+        return out
+
     if a is None and b is None:
         # no changed partitions: empty diff, typed off the real table
         # when it has any data (the string-schema fallback only covers
@@ -800,20 +829,41 @@ def table_diff(
         if base is None:
             base = read_table(spark, table_dir, snapshot=from_snapshot)
         if base is None:
+            if include_values:
+                out_schema += ", " + ", ".join(
+                    f"`{p}_{c}` string"
+                    for p in ("old", "new")
+                    for c in val_cols
+                )
             return spark.createDataFrame([], out_schema)
-        return (
-            base.select(*key_cols)
-            .withColumn("change_type", F.lit(None).cast("string"))
-            .filter(F.lit(False))
-        )
+        sel = [
+            *key_cols,
+            F.lit(None).cast("string").alias("change_type"),
+        ]
+        if include_values:
+            have = set(base.columns)
+            sel += [
+                (F.col(c) if c in have else F.lit(None).cast("string")).alias(
+                    f"{p}_{c}"
+                )
+                for p in ("old", "new")
+                for c in val_cols
+            ]
+        return base.select(*sel).filter(F.lit(False))
     if a is None or b is None:
         only = b if a is None else a
         ctype = "insert" if a is None else "delete"
-        return only.select(*key_cols, F.lit(ctype).alias("change_type"))
+        sel = [*key_cols, F.lit(ctype).alias("change_type")]
+        if include_values:
+            sel += value_cols(only, {"b"} if a is None else {"a"})
+        return only.select(*sel)
     j = a.join(b, key_cols, "full_outer")
     changed = F.lit(False)
     for c in val_cols:
         changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    sel = [*key_cols, "change_type"]
+    if include_values:
+        sel += value_cols(j, {"a", "b"})
     return (
         j.withColumn(
             "change_type",
@@ -822,5 +872,5 @@ def table_diff(
             .when(changed, F.lit("update")),
         )
         .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type")
+        .select(*sel)
     )

@@ -1,0 +1,255 @@
+"""Incremental view maintenance (storage/ivm.py) over merge tables.
+
+The contract: after ANY chain of merges, a state maintained purely
+from change feeds equals a full recompute on the head — including
+group migration, delete-to-zero groups, and schema-evolved columns.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from factstore_spark.storage.ivm import (
+    aggregate_state,
+    apply_delta,
+    delta_from_diff,
+    full_state,
+    refresh_aggregate,
+)
+from factstore_spark.storage.merge import (
+    create_table,
+    merge_upsert,
+    table_diff,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="ivm-tbl-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    rows = [tuple(r[c] for c in sorted(df.columns)) for r in df.collect()]
+    return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, part string, grp string, v long, is_deleted boolean"
+    ).select("k", "part", "grp", "v", "is_deleted")
+
+
+def _base(spark, tdir):
+    base = _mk(
+        spark,
+        [
+            (1, "p1", "a", 10, False),
+            (2, "p1", "a", 20, False),
+            (3, "p2", "b", 30, False),
+            (4, "p2", "b", 40, False),
+        ],
+    ).drop("is_deleted")
+    create_table(base, tdir, ["k"], "part")
+    return base
+
+
+def test_incremental_equals_full_after_each_snapshot(spark, tdir):
+    _base(spark, tdir)
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+
+    # snapshot 2: update (value), insert, delete
+    merge_upsert(
+        _mk(
+            spark,
+            [
+                (1, "p1", "a", 15, False),   # update value
+                (5, "p2", "b", 50, False),   # insert
+                (3, "p2", "b", 30, True),    # delete
+            ],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    state = refresh_aggregate(spark, tdir, state, 1, ["grp"], ["v"])
+    assert _rows(state) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+    # snapshot 3: group migration (grp a -> b) + another insert
+    merge_upsert(
+        _mk(
+            spark,
+            [
+                (2, "p1", "b", 20, False),   # migrates group a -> b
+                (6, "p1", "c", 60, False),   # new group
+            ],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    state = refresh_aggregate(spark, tdir, state, 2, ["grp"], ["v"])
+    full = full_state(spark, tdir, ["grp"], ["v"])
+    assert _rows(state) == _rows(full)
+    got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in state.collect()}
+    assert got == {"a": (1, 15), "b": (3, 110), "c": (1, 60)}
+
+
+def test_delete_to_zero_group_drops_out(spark, tdir):
+    _base(spark, tdir)
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+    merge_upsert(
+        _mk(
+            spark,
+            [(3, "p2", "b", 30, True), (4, "p2", "b", 40, True)],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    state = refresh_aggregate(spark, tdir, state, 1, ["grp"], ["v"])
+    assert {r["grp"] for r in state.collect()} == {"a"}
+    assert _rows(state) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_group_by_key_column_and_multi_sum(spark, tdir):
+    """Group cols may be the merge key itself (carried bare in the
+    diff); multiple sum columns ride one delta pass."""
+    base = spark.createDataFrame(
+        [(1, "p1", 10, 1), (2, "p1", 20, 2)], "k long, part string, v long, w long"
+    )
+    create_table(base, tdir, ["k"], "part")
+    state = full_state(spark, tdir, ["k"], ["v", "w"], snapshot=1)
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "p1", 11, 5, False), (3, "p1", 30, 3, False)],
+            "k long, part string, v long, w long, is_deleted boolean",
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    state = refresh_aggregate(spark, tdir, state, 1, ["k"], ["v", "w"])
+    assert _rows(state) == _rows(full_state(spark, tdir, ["k"], ["v", "w"]))
+
+
+def test_diff_include_values_images(spark, tdir):
+    _base(spark, tdir)
+    merge_upsert(
+        _mk(
+            spark,
+            [
+                (1, "p1", "a", 15, False),
+                (5, "p2", "b", 50, False),
+                (3, "p2", "b", 30, True),
+            ],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    d = {
+        r["k"]: r
+        for r in table_diff(spark, tdir, 1, include_values=True).collect()
+    }
+    assert d[1]["change_type"] == "update"
+    assert (d[1]["old_v"], d[1]["new_v"]) == (10, 15)
+    assert d[5]["change_type"] == "insert"
+    assert d[5]["old_v"] is None and d[5]["new_v"] == 50
+    assert d[3]["change_type"] == "delete"
+    assert d[3]["old_v"] == 30 and d[3]["new_v"] is None
+
+
+def test_empty_diff_yields_noop_refresh(spark, tdir):
+    _base(spark, tdir)
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+    # diff head -> head is empty
+    out = refresh_aggregate(
+        spark, tdir, state, 1, ["grp"], ["v"], to_snapshot=1
+    )
+    assert _rows(out) == _rows(state)
+
+
+def test_null_group_values_are_a_group(spark, tdir):
+    base = spark.createDataFrame(
+        [(1, "p1", None, 10), (2, "p1", "a", 20)],
+        "k long, part string, grp string, v long",
+    )
+    create_table(base, tdir, ["k"], "part")
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+    merge_upsert(
+        spark.createDataFrame(
+            [(3, "p1", None, 30, False)],
+            "k long, part string, grp string, v long, is_deleted boolean",
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    state = refresh_aggregate(spark, tdir, state, 1, ["grp"], ["v"])
+    assert _rows(state) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+    got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in state.collect()}
+    assert got[None] == (2, 40)
+
+
+def test_schema_evolution_new_sum_column(spark, tdir):
+    """A column added by merge_schema=True: old images are null -> the
+    delta treats them as 0, matching the recompute's coalesce."""
+    base = spark.createDataFrame(
+        [(1, "p1", 10), (2, "p1", 20)], "k long, part string, v long"
+    )
+    create_table(base, tdir, ["k"], "part")
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "p1", 11, 100, False), (3, "p1", 30, 300, False)],
+            "k long, part string, v long, extra long, is_deleted boolean",
+        ),
+        tdir,
+        delete_col="is_deleted",
+        merge_schema=True,
+    )
+    state = full_state(spark, tdir, ["part"], ["v", "extra"], snapshot=1)
+    state = refresh_aggregate(spark, tdir, state, 1, ["part"], ["v", "extra"])
+    assert _rows(state) == _rows(
+        full_state(spark, tdir, ["part"], ["v", "extra"])
+    )
+
+
+def test_validation_errors(spark, tdir):
+    _base(spark, tdir)
+    with pytest.raises(ValueError, match="group column"):
+        full_state(spark, tdir, [], ["v"])
+    with pytest.raises(ValueError, match="grouped and summed"):
+        full_state(spark, tdir, ["v"], ["v"])
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 15, False)]), tdir, delete_col="is_deleted"
+    )
+    with pytest.raises(ValueError, match="include_values"):
+        delta_from_diff(
+            table_diff(spark, tdir, 1, include_values=False), ["grp"], ["v"]
+        )
+
+
+def test_refresh_is_pure_no_table_rescan(spark, tdir):
+    """The refresh plan reads only diff-side version dirs: with a
+    merge touching one partition of two, the other partition's files
+    never appear in the refresh's input files."""
+    base = spark.createDataFrame(
+        [(1, "p1", "a", 10), (2, "p2", "b", 20)],
+        "k long, part string, grp string, v long",
+    )
+    create_table(base, tdir, ["k"], "part")
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "p1", "a", 11, False)],
+            "k long, part string, grp string, v long, is_deleted boolean",
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    diff = table_diff(spark, tdir, 1, include_values=True)
+    files = diff.inputFiles()
+    assert files, "diff should read the changed partition"
+    assert all("part=p2" not in f for f in files), files
+    out = apply_delta(
+        state, delta_from_diff(diff, ["grp"], ["v"]), ["grp"], ["v"]
+    )
+    assert _rows(out) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
