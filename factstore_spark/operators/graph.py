@@ -1,0 +1,212 @@
+"""Distributed graph analytics over DataFrame edge lists.
+
+The reference's query surface stops at relational finders; a
+training-data pipeline does not — link graphs (page/domain citation,
+co-occurrence, dedup-cluster adjacency) feed quality signals
+(PageRank-style authority is a classic pretraining-corpus quality
+prior) and sampling weights. This module adds the iterative-graph
+family in plain DataFrame primitives, joining the engine's other
+iterative operators (dup_clusters' pointer jumping, Lloyd training,
+BPE merge rounds).
+
+Determinism is the house integer rule taken to iteration: ranks are
+LONGS in units of 1e-12 of total mass ("pico-ranks"), every step is
+integer multiply / floor-divide, so results are BIT-IDENTICAL across
+partitionings, retries, and engines — an independent SQL engine can
+replay the whole iteration (the battery oracle does, via a recursive
+CTE) and hash-match. Floating-point PageRank cannot make that promise:
+cross-partition sum order alone moves the low bits.
+
+Scale shape (per iteration): ONE join of the rank frame to the edge
+list on src (rank frame is O(nodes), edge list O(edges)) and ONE
+groupBy dst with map-side combine — the standard Pregel superstep as
+two shuffles; no driver data path (the dangling scalar rides a
+broadcast one-row frame, never a collect). Lineage is truncated with
+localCheckpoint every ``checkpoint_every`` iterations (SCALE.md rule
+#2: iterative DataFrames need lineage truncation). Edges are
+repartitioned by src ONCE up front so every iteration's join reuses
+that exchange side.
+
+Mass accounting: integer floor division loses < outdeg(v) pico-units
+per node per iteration (and < 10000 at the final //10000), so total
+mass drifts DOWN by < (n_edges + n_nodes) pico per iteration — at
+1e-12 granularity that is parts-per-million after tens of iterations
+on million-edge graphs. The drift is deterministic (same everywhere),
+bounded, and reported (``sum_rank`` in ``pagerank_summary``); it is
+the price of bit-exact cross-engine replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12 pico-units of total rank mass
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_bp: int = 8500,
+    n_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list.
+
+    Returns ``(node, rank)`` with ``rank`` the node's share of total
+    mass in pico-units (longs summing to ~SCALE). Nodes are everything
+    appearing as ``src`` or ``dst``; parallel duplicate edges should be
+    de-duplicated upstream if unwanted (each duplicate counts as an
+    extra out-link, the multigraph reading).
+
+    Per step, with D = damping_bp, N = n_nodes, T = SCALE // N:
+
+        new(v) = ((10000 - D) * T
+                  + D * (sum_{u->v} rank(u) // outdeg(u)
+                         + dangling // N)) // 10000
+
+    where ``dangling`` is the summed rank of zero-outdegree nodes.
+    Exactly this formula — floors and all — is what the battery oracle
+    replays in SQL; change it only in lockstep with the oracle.
+    """
+    if not 1 <= damping_bp <= 10000:
+        raise ValueError("damping_bp must be in [1, 10000]")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    # Pin the edge list ONCE: it is scanned every iteration, and an
+    # expensive upstream subtree (e.g. a pair self-join + distinct)
+    # would otherwise re-execute per iteration — the 6x cost the
+    # entry's first benchmark run caught. localCheckpoint also
+    # truncates the caller's lineage (SCALE.md rule #2). Deliberately
+    # NOT repartitioned here: when the rank frame broadcasts (the
+    # common case), edge partitioning is irrelevant and the extra
+    # shuffle is pure waste; the sort-merge path re-pins by src below.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (node, deg, rank): deg null = dangling. Pinned — consumed every
+    # iteration and the init subtree (distinct + agg) is not free.
+    state = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", "deg")
+        .localCheckpoint()
+    )
+    n_nodes = state.count()  # checkpoint is eager; count is metadata-cheap
+    if n_nodes == 0:
+        return state.select("node", F.lit(0).cast("long").alias("rank"))
+    # Regular-graph fast path, detected ONCE on the pinned frames: a
+    # symmetric/undirected graph (the common co-occurrence shape) has
+    # no zero-outdegree nodes AND no pure sources (every node has an
+    # in-edge), so each superstep is exactly ONE join (edge list x
+    # rank frame, deg pre-joined onto the edges) + ONE map-combined
+    # groupBy — the dangling aggregate, the teleport-only node fill
+    # and their joins all drop out, and the chain stays LAZY (one job
+    # at the end, periodic checkpoints only for lineage depth).
+    # Otherwise every superstep materializes (Pregel-style): the next
+    # dangling aggregate is an independent subtree, and without the
+    # checkpoint total work goes quadratic in n_iter.
+    no_dangling = state.filter(F.col("deg").isNull()).limit(1).count() == 0
+    regular = (
+        no_dangling
+        and e.select("dst").distinct().count() == n_nodes
+    )
+    # pure 64-bit integer step (`div`, never `/` — double division
+    # loses bits once quotients approach the double ulp at 1e12):
+    # new = ((10000-D)*T + D*(contrib [+ dang div N])) div 10000
+    teleport = (10000 - damping_bp) * (SCALE // n_nodes)
+
+    def step_expr(dang_term: str) -> F.Column:
+        return (
+            F.expr(
+                f"(({teleport}L + {damping_bp}L * (coalesce(contrib, 0L)"
+                f"{dang_term})) div 10000L)"
+            )
+            .cast("long")
+            .alias("rank")
+        )
+
+    # A rank frame under ~5M nodes (~100 MB broadcast) rides a hinted
+    # broadcast-hash join — no edge-side sort/shuffle per superstep.
+    # Above that, the hint is withheld and the join sort-merges against
+    # e's pinned src partitioning (the 1e9-node plan).
+    hint_broadcast = n_nodes < 5_000_000
+    if not hint_broadcast:
+        # big-graph path: pay one shuffle now so every superstep's
+        # sort-merge join reuses the src partitioning
+        e = e.repartition("src").localCheckpoint()
+
+    def rank_side(r: DataFrame) -> DataFrame:
+        r = r.withColumnRenamed("node", "src")
+        return F.broadcast(r) if hint_broadcast else r
+
+    if regular:
+        e_deg = e.join(outdeg, "src").localCheckpoint()
+        ranks = nodes.select(
+            "node", F.lit(SCALE // n_nodes).cast("long").alias("rank")
+        )
+        for i in range(n_iter):
+            ranks = (
+                e_deg.join(rank_side(ranks), "src")
+                .select(
+                    "dst", F.expr("rank div deg").cast("long").alias("share")
+                )
+                .groupBy("dst")
+                .agg(F.sum("share").cast("long").alias("contrib"))
+                .select(F.col("dst").alias("node"), step_expr(""))
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+                ranks = ranks.localCheckpoint()
+        return ranks
+
+    ranks = state.select(
+        "node", "deg", F.lit(SCALE // n_nodes).cast("long").alias("rank")
+    )
+    for i in range(n_iter):
+        contrib = (
+            e.join(
+                rank_side(ranks.filter(F.col("deg").isNotNull())),
+                "src",
+            )
+            .select(
+                "dst", F.expr("rank div deg").cast("long").alias("share")
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").cast("long").alias("contrib"))
+        )
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dang")
+        )
+        ranks = (
+            state.join(contrib, state["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", "deg", step_expr(f" + (dang div {n_nodes}L)"))
+        )
+        if i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")
+
+
+def pagerank_summary(ranks: DataFrame) -> DataFrame:
+    """One-row mass audit for a pagerank result: node count, total
+    retained mass (pico and basis points of SCALE), max rank."""
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("sum_rank"),
+        F.floor(
+            F.coalesce(F.sum("rank"), F.lit(0)) * F.lit(10000) / F.lit(SCALE)
+        )
+        .cast("long")
+        .alias("sum_rank_bp"),
+        F.coalesce(F.max("rank"), F.lit(0)).cast("long").alias("max_rank"),
+    )

@@ -6072,6 +6072,88 @@ GROUP BY 1
 """
 
 
+def graph_part_pagerank(spark, sf_dir):
+    """PageRank over the part co-occurrence graph (operators/graph.py)
+    — the iterative-graph family with a FULL oracle: because every
+    step is pure 64-bit integer arithmetic (pico-rank fixed point,
+    `div` floors), DuckDB can replay all 6 iterations in a recursive
+    CTE and hash-match the top-20 exactly — a bit-exact cross-engine
+    contract no floating-point PageRank can offer. Edges: (src part,
+    dst part) pairs co-ordered in the same order — a symmetric
+    MULTIGRAPH (co-order multiplicity = link weight), so the graph has
+    no dangling nodes and every node appears as src (the oracle's
+    node set = DISTINCT src). Per
+    iteration the rank frame is O(parts) — broadcast-joined to the
+    edge list under AQE at this scale; at 1e9 nodes the same plan
+    degrades gracefully to a sort-merge join + one map-combined
+    groupBy. Per-order pair fan-out is quadratic in basket size —
+    bounded at 7 for TPC-H orders; cap baskets upstream for corpora
+    with unbounded groups (the basket-rules entry's guard)."""
+    from .operators.graph import pagerank
+
+    # Deterministic quarter of the orders: the entry prices 6 full
+    # iterations of the ENTIRE graph pipeline; the pair self-join's
+    # distinct is the dominant constant and scales linearly with the
+    # basket count either way (K=10 leg in SCALE.md).
+    # no inner distinct on (orderkey, partkey): the outer pair
+    # distinct subsumes it, and the extra 600k-row shuffle was ~15% of
+    # entry wall-time (duplicate in-order parts are rare in this data)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    # MULTIGRAPH on purpose (no pair distinct): a pair co-ordered in k
+    # orders contributes k parallel edges = k shares of its endpoints'
+    # mass — weighted co-occurrence PageRank — and the pair-distinct
+    # was the single biggest shuffle in the entry.
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, damping_bp=8500, n_iter=6)
+    return (
+        ranks.select(F.col("node").alias("p_partkey"), "rank")
+        .orderBy(F.desc("rank"), "p_partkey")
+        .limit(20)
+    )
+
+
+GRAPH_PART_PAGERANK_SQL = """
+WITH RECURSIVE
+items AS (SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey % 4 = 0),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM pairs),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
+pr(iter, node, rank) AS (
+  SELECT 0, node,
+    CAST((SELECT 1000000000000 // COUNT(*) FROM nodes) AS BIGINT)
+  FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+    CAST(((SELECT 1500 * (1000000000000 // COUNT(*)) FROM nodes)
+          + 8500 * SUM(p.rank // od.deg)) // 10000 AS BIGINT)
+  FROM pr p
+  JOIN outdeg od ON od.src = p.node
+  JOIN pairs e ON e.src = p.node
+  WHERE p.iter < 6
+  GROUP BY p.iter, e.dst
+)
+SELECT node AS p_partkey, rank FROM pr WHERE iter = 6
+ORDER BY rank DESC, p_partkey LIMIT 20
+"""
+
+
 def storage_incremental_agg(spark, sf_dir):
     """Incremental view maintenance (storage/ivm.py) with a TRUE
     oracle: a keyed merge table built from a deterministic orders
@@ -6402,6 +6484,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # presentation-only: every entry runs identically regardless of
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
+    "graph_part_pagerank": (graph_part_pagerank, GRAPH_PART_PAGERANK_SQL),
     "storage_incremental_agg": (storage_incremental_agg, STORAGE_INCREMENTAL_AGG_SQL),
     "corpus_expectations_gate": (corpus_expectations_gate, CORPUS_EXPECTATIONS_SQL),
     "schema_integrity_audit": (schema_integrity_audit, SCHEMA_INTEGRITY_SQL),

@@ -1,0 +1,109 @@
+"""Integer fixed-point PageRank (operators/graph.py).
+
+The operator promises BIT-exact results (pure 64-bit integer steps),
+so the tests compare against a pure-Python replay of the documented
+formula — exact equality, no tolerances.
+"""
+
+import pytest
+
+from factstore_spark.operators.graph import SCALE, pagerank, pagerank_summary
+
+
+def _py_pagerank(edges, damping_bp=8500, n_iter=10):
+    """Reference replay of the exact operator formula."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {v: SCALE // n for v in nodes}
+    t = (10000 - damping_bp) * (SCALE // n)
+    for _ in range(n_iter):
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {
+            v: (t + damping_bp * (contrib[v] + dang // n)) // 10000
+            for v in nodes
+        }
+    return rank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+RING = [(i, (i + 1) % 5) for i in range(5)]
+STAR = [(1, 0), (2, 0), (3, 0), (0, 1)]
+DANGLING = [(1, 2), (3, 2), (1, 3)]  # node 2 has no out-edges
+
+
+@pytest.mark.parametrize("edges", [RING, STAR, DANGLING])
+def test_matches_pure_python_replay_exactly(spark, edges):
+    got = _run(spark, edges, n_iter=7)
+    want = _py_pagerank(edges, n_iter=7)
+    assert got == want
+
+
+def test_ring_stays_uniform(spark):
+    got = _run(spark, RING, n_iter=10)
+    assert len(set(got.values())) == 1
+
+
+def test_star_leaves_are_teleport_only(spark):
+    """2 and 3 have no in-links: rank = teleport share, symmetric and
+    strictly below the 0<->1 core that circulates all linked mass."""
+    got = _run(spark, STAR, n_iter=10)
+    assert got[2] == got[3] == min(got.values())
+    assert min(got[0], got[1]) > got[2]
+
+
+def test_mass_conservation_bound(spark):
+    """Total mass drifts down by < (n_edges + n_nodes) pico per
+    iteration — never up, never collapses."""
+    edges, iters = DANGLING, 10
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = pagerank(df, n_iter=iters)
+    s = pagerank_summary(ranks).collect()[0]
+    assert s["n_nodes"] == 3
+    assert s["sum_rank"] <= SCALE
+    assert s["sum_rank"] >= SCALE - (len(edges) + 3 + 10000) * iters
+    assert s["sum_rank_bp"] in (9999, 10000)
+
+
+def test_bit_deterministic_across_partitionings(spark):
+    edges = [(i % 23, (i * 7 + 3) % 23) for i in range(160)]
+    edges = list({e for e in edges if e[0] != e[1]})
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df8 = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    r1 = {r["node"]: r["rank"] for r in pagerank(df1, n_iter=6).collect()}
+    r8 = {r["node"]: r["rank"] for r in pagerank(df8, n_iter=6).collect()}
+    assert r1 == r8
+    assert r1 == _py_pagerank(edges, n_iter=6)
+
+
+def test_parallel_edges_count_as_extra_links(spark):
+    """Multigraph semantics: a duplicated edge doubles that link's
+    share (documented; dedup upstream if unwanted)."""
+    plain = _run(spark, [(1, 2), (1, 3)], n_iter=3)
+    doubled = _run(spark, [(1, 2), (1, 2), (1, 3)], n_iter=3)
+    assert doubled[2] > plain[2]
+    assert doubled == _py_pagerank([(1, 2), (1, 2), (1, 3)], n_iter=3)
+
+
+def test_checkpointing_does_not_change_results(spark):
+    edges = [(i % 11, (i * 5 + 1) % 11) for i in range(40) if i % 11 != (i * 5 + 1) % 11]
+    a = _run(spark, edges, n_iter=8, checkpoint_every=2)
+    b = _run(spark, edges, n_iter=8, checkpoint_every=100)
+    assert a == b
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(RING, "src long, dst long")
+    with pytest.raises(ValueError, match="damping_bp"):
+        pagerank(df, damping_bp=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
