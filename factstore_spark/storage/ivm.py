@@ -41,6 +41,11 @@ including group migration, delete-to-zero groups, and replayed
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -195,6 +200,177 @@ def full_state(
     if missing:
         raise ValueError(f"full_state: group columns {missing} not in table")
     return aggregate_state(t, group_cols, sum_cols)
+
+
+# ---------------------------------------------------------------------------
+# Persisted materialized aggregate (incremental materialized view)
+# ---------------------------------------------------------------------------
+#
+# The refresh loop above is in-memory; production wants the state to
+# SURVIVE — a materialized view with incremental refresh. Same
+# publication discipline as merge.py: state versions are immutable
+# directories, readers follow one atomically-replaced meta pointer, a
+# crash mid-refresh leaves the previous state readable and the retry
+# idempotent (the cursor moves only when the pointer swap lands).
+
+
+def _meta_path(agg_dir: str) -> str:
+    return os.path.join(agg_dir, "meta.json")
+
+
+def _read_meta(agg_dir: str) -> dict | None:
+    try:
+        with open(_meta_path(agg_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _publish(
+    spark: SparkSession,
+    state: DataFrame,
+    agg_dir: str,
+    snapshot: int,
+    version: int,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> dict:
+    rel = f"v{version}"
+    target = os.path.join(agg_dir, rel)
+    # a dir at this version number is debris from a crashed attempt:
+    # published versions are never reused (meta.version is monotonic),
+    # so anything here is by construction unpublished and removable
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    state.write.mode("errorifexists").parquet(target)
+    meta = {
+        "kind": "materialized_aggregate",
+        "snapshot": snapshot,
+        "version": version,
+        "state": rel,
+        "group_cols": list(group_cols),
+        "sum_cols": list(sum_cols),
+    }
+    fd, tmp = tempfile.mkstemp(dir=agg_dir, prefix=".meta-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _meta_path(agg_dir))  # the atomic publish
+    return meta
+
+
+def create_materialized_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    agg_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    snapshot: int | None = None,
+) -> dict:
+    """Bootstrap: full aggregate at the table's head (or ``snapshot``),
+    persisted under ``agg_dir`` behind an atomic meta pointer."""
+    from .merge import _head_manifest  # head id for the cursor
+
+    _check_cols(group_cols, sum_cols)
+    if _read_meta(agg_dir) is not None:
+        raise ValueError(f"materialized aggregate already exists: {agg_dir}")
+    head = _head_manifest(table_dir)
+    if head is None:
+        raise ValueError(f"create_materialized_aggregate: no table at {table_dir}")
+    snap = head["snapshot"] if snapshot is None else snapshot
+    state = full_state(spark, table_dir, group_cols, sum_cols, snapshot=snap)
+    os.makedirs(agg_dir, exist_ok=True)
+    return _publish(spark, state, agg_dir, snap, 1, group_cols, sum_cols)
+
+
+def read_materialized_aggregate(
+    spark: SparkSession, agg_dir: str
+) -> DataFrame:
+    meta = _read_meta(agg_dir)
+    if meta is None:
+        raise ValueError(f"no materialized aggregate at {agg_dir}")
+    return spark.read.parquet(os.path.join(agg_dir, meta["state"]))
+
+
+def refresh_materialized_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    agg_dir: str,
+    rebootstrap_on_gap: bool = False,
+) -> dict:
+    """Advance the persisted state from its cursor snapshot to the
+    table head by replaying the change feed (cost: O(changed
+    partitions), never table history). Head == cursor is a no-op (the
+    published meta is returned unchanged — safe to call on a timer or
+    after every streaming micro-batch). If the cursor snapshot has
+    been vacuumed away (diff base unknown), raises — or, with
+    ``rebootstrap_on_gap``, falls back to one full recompute and
+    publishes that (the documented recovery path; MIN/MAX-style
+    non-self-maintainable aggregates would use the same lever)."""
+    from .merge import _head_manifest
+
+    meta = _read_meta(agg_dir)
+    if meta is None:
+        raise ValueError(f"no materialized aggregate at {agg_dir}")
+    head = _head_manifest(table_dir)
+    if head is None:
+        raise ValueError(f"refresh_materialized_aggregate: no table at {table_dir}")
+    if head["snapshot"] == meta["snapshot"]:
+        return meta
+    if head["snapshot"] < meta["snapshot"]:
+        raise ValueError(
+            f"aggregate cursor {meta['snapshot']} is ahead of table head "
+            f"{head['snapshot']} — wrong table?"
+        )
+    group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
+    state = read_materialized_aggregate(spark, agg_dir)
+    try:
+        new_state = refresh_aggregate(
+            spark,
+            table_dir,
+            state,
+            meta["snapshot"],
+            group_cols,
+            sum_cols,
+            to_snapshot=head["snapshot"],
+        )
+    except ValueError:
+        if not rebootstrap_on_gap:
+            raise
+        new_state = full_state(
+            spark, table_dir, group_cols, sum_cols, snapshot=head["snapshot"]
+        )
+    return _publish(
+        spark,
+        new_state,
+        agg_dir,
+        head["snapshot"],
+        meta["version"] + 1,
+        group_cols,
+        sum_cols,
+    )
+
+
+def vacuum_materialized_aggregate(agg_dir: str, keep: int = 2) -> list[str]:
+    """Remove state versions older than the latest ``keep`` (default
+    keeps the published one plus its predecessor for in-flight
+    readers, mirroring merge.py's vacuum grace). Returns removed
+    relative dirs. Never touches the published version."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    meta = _read_meta(agg_dir)
+    if meta is None:
+        raise ValueError(f"no materialized aggregate at {agg_dir}")
+    floor_v = meta["version"] - keep + 1
+    removed = []
+    for name in sorted(os.listdir(agg_dir)):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        if int(name[1:]) < floor_v:
+            shutil.rmtree(os.path.join(agg_dir, name))
+            removed.append(name)
+    return removed
 
 
 def _check_cols(group_cols: list[str], sum_cols: list[str]) -> None:

@@ -253,3 +253,174 @@ def test_refresh_is_pure_no_table_rescan(spark, tdir):
         state, delta_from_diff(diff, ["grp"], ["v"]), ["grp"], ["v"]
     )
     assert _rows(out) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+# ---------------------------------------------------------------------------
+# Persisted materialized aggregate (incremental materialized view)
+# ---------------------------------------------------------------------------
+
+from factstore_spark.storage.ivm import (  # noqa: E402
+    create_materialized_aggregate,
+    read_materialized_aggregate,
+    refresh_materialized_aggregate,
+    vacuum_materialized_aggregate,
+)
+
+
+@pytest.fixture()
+def adir():
+    d = tempfile.mkdtemp(prefix="ivm-agg-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_materialized_bootstrap_refresh_equals_recompute(spark, tdir, adir):
+    _base(spark, tdir)
+    meta = create_materialized_aggregate(
+        spark, tdir, adir, ["grp"], ["v"]
+    )
+    assert (meta["snapshot"], meta["version"]) == (1, 1)
+    merge_upsert(
+        _mk(
+            spark,
+            [
+                (1, "p1", "a", 15, False),
+                (5, "p2", "b", 50, False),
+                (3, "p2", "b", 30, True),
+            ],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    meta = refresh_materialized_aggregate(spark, tdir, adir)
+    assert (meta["snapshot"], meta["version"]) == (2, 2)
+    got = read_materialized_aggregate(spark, adir)
+    assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_refresh_at_head_is_noop(spark, tdir, adir):
+    _base(spark, tdir)
+    m1 = create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    m2 = refresh_materialized_aggregate(spark, tdir, adir)
+    assert m2 == m1  # same published meta, no new version dir
+    assert sorted(
+        n for n in __import__("os").listdir(adir) if n.startswith("v")
+    ) == ["v1"]
+
+
+def test_crashed_refresh_leaves_previous_state_readable(spark, tdir, adir):
+    """Simulate a crash between state write and pointer swap: debris
+    v2 dir exists, meta still points at v1 — reads see v1, and the
+    retried refresh republishes v2 cleanly over the debris."""
+    import os
+
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 99, False)]), tdir, delete_col="is_deleted"
+    )
+    # plant debris where the next publish will land
+    os.makedirs(os.path.join(adir, "v2"))
+    with open(os.path.join(adir, "v2", "junk"), "w") as f:
+        f.write("crashed attempt")
+    before = read_materialized_aggregate(spark, adir)
+    assert _rows(before) == _rows(
+        full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+    )
+    meta = refresh_materialized_aggregate(spark, tdir, adir)
+    assert meta["version"] == 2
+    got = read_materialized_aggregate(spark, adir)
+    assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_rebootstrap_on_vacuumed_gap(spark, tdir, adir):
+    from factstore_spark.storage.merge import vacuum_table
+
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 15, False)]), tdir, delete_col="is_deleted"
+    )
+    merge_upsert(
+        _mk(spark, [(2, "p1", "a", 25, False)]), tdir, delete_col="is_deleted"
+    )
+    vacuum_table(tdir, retain_seconds=0.0, retain_snapshots=1)
+    with pytest.raises(ValueError):
+        refresh_materialized_aggregate(spark, tdir, adir)
+    meta = refresh_materialized_aggregate(
+        spark, tdir, adir, rebootstrap_on_gap=True
+    )
+    assert meta["snapshot"] == 3
+    got = read_materialized_aggregate(spark, adir)
+    assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_vacuum_keeps_published_versions(spark, tdir, adir):
+    import os
+
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    for i, cents in enumerate([11, 12, 13]):
+        merge_upsert(
+            _mk(spark, [(1, "p1", "a", cents, False)]),
+            tdir,
+            delete_col="is_deleted",
+        )
+        refresh_materialized_aggregate(spark, tdir, adir)
+    removed = vacuum_materialized_aggregate(adir, keep=2)
+    assert removed == ["v1", "v2"]
+    dirs = sorted(n for n in os.listdir(adir) if n.startswith("v"))
+    assert dirs == ["v3", "v4"]
+    got = read_materialized_aggregate(spark, adir)
+    assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_materialized_errors(spark, tdir, adir):
+    _base(spark, tdir)
+    with pytest.raises(ValueError, match="no materialized aggregate"):
+        refresh_materialized_aggregate(spark, tdir, adir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    with pytest.raises(ValueError, match="already exists"):
+        create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    with pytest.raises(ValueError, match="keep must be"):
+        vacuum_materialized_aggregate(adir, keep=0)
+
+
+def test_streaming_merge_feeds_materialized_aggregate(spark, tdir, adir):
+    """The streaming composition: start_merge_stream lands micro-
+    batches into the table; refresh_materialized_aggregate after the
+    drain advances the view incrementally; result equals a full
+    recompute."""
+    import os
+
+    from factstore_spark.storage.merge import start_merge_stream
+
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+
+    src_dir = tempfile.mkdtemp(prefix="ivm-stream-src-")
+    chk_dir = tempfile.mkdtemp(prefix="ivm-stream-chk-")
+    try:
+        batch = _mk(
+            spark,
+            [
+                (1, "p1", "a", 100, False),
+                (7, "p2", "c", 70, False),
+                (4, "p2", "b", 40, True),
+            ],
+        )
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        q = start_merge_stream(
+            stream, tdir, chk_dir, delete_col="is_deleted", available_now=True
+        )
+        q.awaitTermination(120)
+        meta = refresh_materialized_aggregate(spark, tdir, adir)
+        assert meta["snapshot"] >= 2
+        got = read_materialized_aggregate(spark, adir)
+        assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+        gm = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in got.collect()}
+        assert gm["c"] == (1, 70) and gm["b"] == (1, 30)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)
