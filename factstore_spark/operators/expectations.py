@@ -227,15 +227,25 @@ def validate_expectations(
         child = df.select(F.col(e.col).alias("__ck")).filter(
             F.col("__ck").isNotNull()
         )
-        orphans = child.join(
-            parent_keys, child["__ck"] == parent_keys["__pk"], "left_anti"
-        )
+        # ONE pass: left join to the deduplicated parent key set, then
+        # count misses — same answer as a separate anti-join count but
+        # without a second child scan or a (1x1) nested-loop crossJoin
         result_parts.append(
-            child.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_violations")
+            child.join(
+                parent_keys, child["__ck"] == parent_keys["__pk"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_checked"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__pk").isNull(), F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
                 )
+                .cast("long")
+                .alias("n_violations"),
             )
             .select(
                 F.lit(e.check_name()).alias("check"),

@@ -74,6 +74,8 @@ def pagerank(
         raise ValueError("damping_bp must be in [1, 10000]")
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     # Pin the edge list ONCE: it is scanned every iteration, and an
     # expensive upstream subtree (e.g. a pair self-join + distinct)
     # would otherwise re-execute per iteration — the 6x cost the

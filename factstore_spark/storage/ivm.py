@@ -60,6 +60,7 @@ def aggregate_state(
     """Full recompute: one row per group with ``n_rows`` plus
     ``sum_<c>`` for each sum column (exact BIGINT; nulls count 0)."""
     _check_cols(group_cols, sum_cols)
+    _check_sum_dtypes(table_df, sum_cols, "aggregate_state")
     return table_df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias(_COUNT),
         *[
@@ -79,6 +80,17 @@ def delta_from_diff(
     key columns (stable across a change — the diff carries them bare)
     or value columns (the diff carries ``old_<c>`` / ``new_<c>``)."""
     _check_cols(group_cols, sum_cols)
+    _check_sum_dtypes(
+        diff.select(
+            *[
+                F.col(f"new_{c}").alias(c)
+                for c in sum_cols
+                if f"new_{c}" in diff.columns
+            ]
+        ),
+        sum_cols,
+        "delta_from_diff",
+    )
     have = set(diff.columns)
 
     def image(c: str, side: str):
@@ -186,6 +198,7 @@ def full_state(
 ) -> DataFrame:
     """``aggregate_state`` over a (possibly time-traveled) table read —
     the bootstrap and the recompute used to certify a refresh chain."""
+    _check_cols(group_cols, sum_cols)
     t = read_table(spark, table_dir, snapshot=snapshot)
     if t is None:
         raise ValueError(f"full_state: empty/unknown table at {table_dir}")
@@ -379,3 +392,29 @@ def _check_cols(group_cols: list[str], sum_cols: list[str]) -> None:
     overlap = set(group_cols) & set(sum_cols)
     if overlap:
         raise ValueError(f"ivm: columns both grouped and summed: {overlap}")
+    # the state frame owns n_rows and the sum_ prefix; a group column
+    # with those names would silently collide in apply_delta's select
+    bad = [
+        c
+        for c in group_cols
+        if c == _COUNT or c.startswith("sum_") or c.startswith("d_")
+    ]
+    if bad:
+        raise ValueError(
+            f"ivm: group column names reserved by the state schema: {bad}"
+        )
+
+
+def _check_sum_dtypes(df: DataFrame, sum_cols: list[str], what: str) -> None:
+    """Only exact integral sums are maintainable (the module's no-
+    float rule); a double column would silently truncate through the
+    cast("long") instead of failing loudly."""
+    for c in sum_cols:
+        if c not in df.columns:
+            continue  # absent = evolved-in later; nulls sum to 0
+        dt = dict(df.dtypes)[c]
+        if dt not in ("bigint", "int", "smallint", "tinyint", "long"):
+            raise ValueError(
+                f"{what}: sum column {c!r} has non-integral type {dt}; "
+                "maintain integer units (e.g. cents) instead"
+            )

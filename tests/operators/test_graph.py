@@ -107,3 +107,9 @@ def test_validation(spark):
         pagerank(df, damping_bp=0)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+def test_checkpoint_every_validated(spark):
+    df = spark.createDataFrame(RING, "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, checkpoint_every=0)

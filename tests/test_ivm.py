@@ -424,3 +424,26 @@ def test_streaming_merge_feeds_materialized_aggregate(spark, tdir, adir):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_reserved_and_float_columns_rejected(spark, tdir):
+    base = spark.createDataFrame(
+        [(1, "p1", 10, 1.5)], "k long, part string, v long, f double"
+    )
+    create_table(base, tdir, ["k"], "part")
+    with pytest.raises(ValueError, match="reserved"):
+        full_state(spark, tdir, ["n_rows"], ["v"])
+    with pytest.raises(ValueError, match="non-integral"):
+        full_state(spark, tdir, ["part"], ["f"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(2, "p1", 20, 2.5, False)],
+            "k long, part string, v long, f double, is_deleted boolean",
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        delta_from_diff(
+            table_diff(spark, tdir, 1, include_values=True), ["part"], ["f"]
+        )
