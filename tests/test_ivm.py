@@ -447,3 +447,92 @@ def test_reserved_and_float_columns_rejected(spark, tdir):
         delta_from_diff(
             table_diff(spark, tdir, 1, include_values=True), ["part"], ["f"]
         )
+
+
+def test_model_based_random_merge_chain_matches_recompute(spark, tdir):
+    """Model-based: a seeded random sequence of merge batches (mixed
+    updates with value AND group changes, inserts, deletes — including
+    re-inserts of previously-deleted keys) maintained purely through
+    refresh_aggregate equals a full recompute after EVERY snapshot,
+    and a Python dict model agrees with both."""
+    import random
+
+    rnd = random.Random(20260815)
+    groups = ["a", "b", "c", None]
+    parts = ["p1", "p2", "p3"]
+
+    live = {}  # key -> (part, grp, v)   the Python model
+    next_key = 100
+    rows0 = []
+    for _ in range(30):
+        k = next_key
+        next_key += 1
+        row = (rnd.choice(parts), rnd.choice(groups), rnd.randrange(-50, 500))
+        live[k] = row
+        rows0.append((k, *row))
+    base = spark.createDataFrame(
+        rows0, "k long, part string, grp string, v long"
+    )
+    create_table(base, tdir, ["k"], "part")
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+
+    for snap in range(2, 7):
+        batch = []
+        used = set()
+        # updates (value and/or group; partition NEVER changes)
+        for k in rnd.sample(sorted(live), min(8, len(live))):
+            part, grp, v = live[k]
+            ng = rnd.choice(groups) if rnd.random() < 0.5 else grp
+            nv = rnd.randrange(-50, 500)
+            live[k] = (part, ng, nv)
+            batch.append((k, part, ng, nv, False))
+            used.add(k)
+        # deletes
+        for k in rnd.sample(sorted(set(live) - used), 3):
+            part, grp, v = live.pop(k)
+            batch.append((k, part, grp, v, True))
+            used.add(k)
+        # inserts (fresh keys, and occasionally a resurrected key)
+        for _ in range(4):
+            if rnd.random() < 0.3:
+                dead = [
+                    k
+                    for k in range(100, next_key)
+                    if k not in live and k not in used
+                ]
+                k = rnd.choice(dead) if dead else next_key
+            else:
+                k = next_key
+            if k == next_key:
+                next_key += 1
+            row = (
+                rnd.choice(parts),
+                rnd.choice(groups),
+                rnd.randrange(-50, 500),
+            )
+            live[k] = row
+            batch.append((k, *row, False))
+            used.add(k)
+        merge_upsert(
+            spark.createDataFrame(
+                batch,
+                "k long, part string, grp string, v long, is_deleted boolean",
+            ),
+            tdir,
+            delete_col="is_deleted",
+        )
+        state = refresh_aggregate(
+            spark, tdir, state, snap - 1, ["grp"], ["v"]
+        )
+        # model expectation
+        want = {}
+        for part, grp, v in live.values():
+            n, s = want.get(grp, (0, 0))
+            want[grp] = (n + 1, s + v)
+        got = {
+            r["grp"]: (r["n_rows"], r["sum_v"]) for r in state.collect()
+        }
+        assert got == want, f"snapshot {snap}"
+        assert _rows(state) == _rows(
+            full_state(spark, tdir, ["grp"], ["v"])
+        ), f"snapshot {snap} vs recompute"
