@@ -51,8 +51,10 @@ def pagerank(
     damping_bp: int = 8500,
     n_iter: int = 10,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """Integer fixed-point PageRank over a directed edge list.
+    """Integer fixed-point (personalized) PageRank over a directed
+    edge list.
 
     Returns ``(node, rank)`` with ``rank`` the node's share of total
     mass in pico-units (longs summing to ~SCALE). Nodes are everything
@@ -60,15 +62,23 @@ def pagerank(
     de-duplicated upstream if unwanted (each duplicate counts as an
     extra out-link, the multigraph reading).
 
-    Per step, with D = damping_bp, N = n_nodes, T = SCALE // N:
+    ``seeds`` (a one-column frame of node ids) personalizes the walk:
+    teleport and dangling mass flow ONLY to seed nodes and the walk
+    starts there — the related-items / recommendations shape. Seeds
+    not present in the graph are ignored; an empty effective seed set
+    raises. ``seeds=None`` is classic PageRank (every node a seed).
 
-        new(v) = ((10000 - D) * T
+    Per step, with D = damping_bp, S = number of seed nodes,
+    T = SCALE // S, seed(v) in {0, 1}:
+
+        new(v) = ((10000 - D) * T * seed(v)
                   + D * (sum_{u->v} rank(u) // outdeg(u)
-                         + dangling // N)) // 10000
+                         + (dangling // S) * seed(v))) // 10000
 
-    where ``dangling`` is the summed rank of zero-outdegree nodes.
-    Exactly this formula — floors and all — is what the battery oracle
-    replays in SQL; change it only in lockstep with the oracle.
+    where ``dangling`` is the summed rank of zero-outdegree nodes and
+    rank0(v) = T * seed(v). Exactly this formula — floors and all —
+    is what the battery oracle replays in SQL; change it only in
+    lockstep with the oracle.
     """
     if not 1 <= damping_bp <= 10000:
         raise ValueError("damping_bp must be in [1, 10000]")
@@ -103,6 +113,30 @@ def pagerank(
     n_nodes = state.count()  # checkpoint is eager; count is metadata-cheap
     if n_nodes == 0:
         return state.select("node", F.lit(0).cast("long").alias("rank"))
+    if seeds is None:
+        state = state.withColumn("is_seed", F.lit(1).cast("long"))
+        n_base = n_nodes
+    else:
+        seed_col = seeds.columns[0]
+        flags = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("is_seed", F.lit(1).cast("long"))
+        )
+        state = (
+            state.join(flags, "node", "left")
+            .select(
+                "node",
+                "deg",
+                F.coalesce(F.col("is_seed"), F.lit(0)).cast("long").alias(
+                    "is_seed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_base = state.filter(F.col("is_seed") == 1).count()
+        if n_base == 0:
+            raise ValueError("pagerank: no seed node exists in the graph")
     # Regular-graph fast path, detected ONCE on the pinned frames: a
     # symmetric/undirected graph (the common co-occurrence shape) has
     # no zero-outdegree nodes AND no pure sources (every node has an
@@ -121,13 +155,14 @@ def pagerank(
     )
     # pure 64-bit integer step (`div`, never `/` — double division
     # loses bits once quotients approach the double ulp at 1e12):
-    # new = ((10000-D)*T + D*(contrib [+ dang div N])) div 10000
-    teleport = (10000 - damping_bp) * (SCALE // n_nodes)
+    # new = ((10000-D)*T*seed + D*(contrib [+ (dang div S)*seed])) div 10000
+    teleport = (10000 - damping_bp) * (SCALE // n_base)
 
     def step_expr(dang_term: str) -> F.Column:
         return (
             F.expr(
-                f"(({teleport}L + {damping_bp}L * (coalesce(contrib, 0L)"
+                f"((({teleport}L * is_seed)"
+                f" + {damping_bp}L * (coalesce(contrib, 0L)"
                 f"{dang_term})) div 10000L)"
             )
             .cast("long")
@@ -149,18 +184,34 @@ def pagerank(
         return F.broadcast(r) if hint_broadcast else r
 
     if regular:
-        e_deg = e.join(outdeg, "src").localCheckpoint()
-        ranks = nodes.select(
-            "node", F.lit(SCALE // n_nodes).cast("long").alias("rank")
+        # dst_is_seed tagged onto the pinned edges once, so the
+        # superstep's groupBy can carry the flag without another join
+        e_deg = (
+            e.join(outdeg, "src")
+            .join(
+                state.select(F.col("node").alias("dst"), "is_seed"), "dst"
+            )
+            .localCheckpoint()
+        )
+        ranks = state.select(
+            "node",
+            (F.lit(SCALE // n_base) * F.col("is_seed"))
+            .cast("long")
+            .alias("rank"),
         )
         for i in range(n_iter):
             ranks = (
                 e_deg.join(rank_side(ranks), "src")
                 .select(
-                    "dst", F.expr("rank div deg").cast("long").alias("share")
+                    "dst",
+                    "is_seed",
+                    F.expr("rank div deg").cast("long").alias("share"),
                 )
                 .groupBy("dst")
-                .agg(F.sum("share").cast("long").alias("contrib"))
+                .agg(
+                    F.sum("share").cast("long").alias("contrib"),
+                    F.max("is_seed").alias("is_seed"),
+                )
                 .select(F.col("dst").alias("node"), step_expr(""))
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
@@ -168,7 +219,10 @@ def pagerank(
         return ranks
 
     ranks = state.select(
-        "node", "deg", F.lit(SCALE // n_nodes).cast("long").alias("rank")
+        "node",
+        "deg",
+        "is_seed",
+        (F.lit(SCALE // n_base) * F.col("is_seed")).cast("long").alias("rank"),
     )
     for i in range(n_iter):
         contrib = (
@@ -192,7 +246,12 @@ def pagerank(
         ranks = (
             state.join(contrib, state["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .select("node", "deg", step_expr(f" + (dang div {n_nodes}L)"))
+            .select(
+                "node",
+                "deg",
+                "is_seed",
+                step_expr(f" + (dang div {n_base}L) * is_seed"),
+            )
         )
         if i + 1 < n_iter:
             ranks = ranks.localCheckpoint()

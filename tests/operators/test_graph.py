@@ -10,30 +10,43 @@ import pytest
 from factstore_spark.operators.graph import SCALE, pagerank, pagerank_summary
 
 
-def _py_pagerank(edges, damping_bp=8500, n_iter=10):
+def _py_pagerank(edges, damping_bp=8500, n_iter=10, seeds=None):
     """Reference replay of the exact operator formula."""
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
-    n = len(nodes)
+    seed = {
+        v: (1 if seeds is None or v in seeds else 0) for v in nodes
+    }
+    s = sum(seed.values())
     outdeg = {}
     for u, _ in edges:
         outdeg[u] = outdeg.get(u, 0) + 1
-    rank = {v: SCALE // n for v in nodes}
-    t = (10000 - damping_bp) * (SCALE // n)
+    rank = {v: (SCALE // s) * seed[v] for v in nodes}
+    t = (10000 - damping_bp) * (SCALE // s)
     for _ in range(n_iter):
         dang = sum(rank[v] for v in nodes if v not in outdeg)
         contrib = {v: 0 for v in nodes}
         for u, v in edges:
             contrib[v] += rank[u] // outdeg[u]
         rank = {
-            v: (t + damping_bp * (contrib[v] + dang // n)) // 10000
+            v: (t * seed[v]
+                + damping_bp * (contrib[v] + (dang // s) * seed[v]))
+            // 10000
             for v in nodes
         }
     return rank
 
 
-def _run(spark, edges, **kw):
+def _run(spark, edges, seeds=None, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+    sdf = (
+        spark.createDataFrame([(s,) for s in seeds], "node long")
+        if seeds is not None
+        else None
+    )
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank(df, seeds=sdf, **kw).collect()
+    }
 
 
 RING = [(i, (i + 1) % 5) for i in range(5)]
@@ -113,3 +126,44 @@ def test_checkpoint_every_validated(spark):
     df = spark.createDataFrame(RING, "src long, dst long")
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(df, checkpoint_every=0)
+
+
+def test_personalized_matches_python_replay(spark):
+    """PPR on a regular ring and on a dangling graph, exact replay."""
+    got = _run(spark, RING, seeds=[0, 2], n_iter=7)
+    assert got == _py_pagerank(RING, n_iter=7, seeds={0, 2})
+    got = _run(spark, DANGLING, seeds=[1], n_iter=7)
+    assert got == _py_pagerank(DANGLING, n_iter=7, seeds={1})
+
+
+def test_personalized_mass_concentrates_near_seeds(spark):
+    """Chain 0->1->2->3->4->0: seeding at 0 ranks nodes by walk
+    distance from the seed."""
+    got = _run(spark, RING, seeds=[0], n_iter=20)
+    assert got[0] == max(got.values())
+    assert got[1] > got[2] > got[3]
+
+
+def test_seeds_all_nodes_equals_classic(spark):
+    edges = [(i % 13, (i * 5 + 2) % 13) for i in range(50)]
+    edges = [e for e in edges if e[0] != e[1]]
+    classic = _run(spark, edges, n_iter=6)
+    seeded = _run(spark, edges, seeds=list(range(13)), n_iter=6)
+    assert classic == seeded
+
+
+def test_unknown_seeds_ignored_empty_raises(spark):
+    got = _run(spark, RING, seeds=[0, 999], n_iter=3)
+    assert got == _py_pagerank(RING, n_iter=3, seeds={0})
+    df = spark.createDataFrame(RING, "src long, dst long")
+    sdf = spark.createDataFrame([(999,)], "node long")
+    with pytest.raises(ValueError, match="no seed node"):
+        pagerank(df, seeds=sdf)
+
+
+def test_non_seed_rank_zero_when_unreachable(spark):
+    """Two disconnected pairs; seeding one leaves the other at 0."""
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3)]
+    got = _run(spark, edges, seeds=[1], n_iter=8)
+    assert got[3] == got[4] == 0
+    assert got[1] > 0 and got[2] > 0
