@@ -57,11 +57,16 @@ class Expectation:
     - ``regex``: col (non-null) fully matches ``pattern``.
     - ``foreign_key``: col (non-null) exists in a parent frame's key
       column — resolved by ``validate_expectations(fk_parents=...)``.
+    - ``sql``: a free-form SQL boolean predicate over the row
+      (``pattern`` holds the SQL; ``name`` required); a row violates
+      when the predicate is NOT TRUE — i.e. false OR null, because an
+      expectation that cannot be evaluated has not been met (write
+      ``col IS NULL OR …`` to exempt nulls explicitly).
 
-    Null handling is deliberate: only ``not_null`` treats NULL as a
-    violation. Every other kind skips NULLs, so "lang in {...}" and
-    "lang not null" stay independent, composable checks instead of one
-    check double-counting.
+    Null handling is deliberate: only ``not_null`` (and ``sql``, per
+    the rule above) treats NULL as a violation. Every other kind skips
+    NULLs, so "lang in {...}" and "lang not null" stay independent,
+    composable checks instead of one check double-counting.
     """
 
     kind: str
@@ -107,6 +112,17 @@ def expect_regex(col: str, pattern: str, name: str = "") -> Expectation:
     return Expectation("regex", col, name, pattern=pattern)
 
 
+def expect_sql(name: str, predicate: str) -> Expectation:
+    """Free-form row predicate, e.g. ``expect_sql("chars_vs_text",
+    "n_chars = length(text)")`` — the escape hatch for cross-column
+    invariants the typed kinds can't express."""
+    if not name:
+        raise ValueError("expect_sql: name is required")
+    if not predicate.strip():
+        raise ValueError("expect_sql: empty predicate")
+    return Expectation("sql", "", name, pattern=predicate)
+
+
 def expect_foreign_key(
     col: str, parent: str, parent_col: str, name: str = ""
 ) -> Expectation:
@@ -132,6 +148,9 @@ def _violation_predicate(e: Expectation) -> Column:
         return c.isNotNull() & ~c.isin(list(e.values))
     if e.kind == "regex":
         return c.isNotNull() & ~c.rlike(e.pattern)
+    if e.kind == "sql":
+        # violated when the predicate is not TRUE (false or null)
+        return ~F.coalesce(F.expr(e.pattern), F.lit(False))
     raise ValueError(f"unknown expectation kind: {e.kind}")
 
 
@@ -180,7 +199,7 @@ def validate_expectations(
                 bad = _violation_predicate(e)
                 checked = (
                     F.count(F.lit(1))
-                    if e.kind == "not_null"
+                    if e.kind in ("not_null", "sql")  # every row examined
                     else F.count(F.col(e.col))
                 )
                 aggs.append(checked.alias(f"__chk_{n}"))

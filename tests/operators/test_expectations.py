@@ -161,3 +161,33 @@ def test_single_table_suite_is_one_aggregate_job(spark, docs):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_expect_sql_cross_column_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "abc", 3), (2, "hello", 5), (3, "x", 9), (4, None, 2)],
+        "id long, text string, n long",
+    )
+    from factstore_spark.operators.expectations import expect_sql
+
+    out = validate_expectations(
+        df,
+        [
+            expect_sql("chars_match", "n = length(text)"),
+            expect_sql("nullsafe_ok", "text IS NULL OR n = length(text)"),
+        ],
+    )
+    got = _result_map(out)
+    # row 3 (9 != 1) violates; row 4's null predicate is NOT TRUE
+    assert got["chars_match"] == (4, 2, False)
+    # the explicit null exemption passes row 4
+    assert got["nullsafe_ok"] == (4, 1, False)
+
+
+def test_expect_sql_validation():
+    from factstore_spark.operators.expectations import expect_sql
+
+    with pytest.raises(ValueError, match="name is required"):
+        expect_sql("", "1 = 1")
+    with pytest.raises(ValueError, match="empty predicate"):
+        expect_sql("x", "   ")
