@@ -154,6 +154,47 @@ def _violation_predicate(e: Expectation) -> Column:
     raise ValueError(f"unknown expectation kind: {e.kind}")
 
 
+def split_by_expectations(
+    df: DataFrame, suite: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level enforcement: route each row to the clean lane or the
+    quarantine lane (the CSV-source quarantine pattern generalized to
+    declarative checks). Only ROW-LOCAL kinds are allowed — not_null /
+    between / in_set / regex / sql; ``unique`` and ``foreign_key``
+    need cross-row or cross-table state and belong to
+    ``validate_expectations``, so their presence here raises.
+
+    Returns ``(clean, quarantined)``; the quarantine frame carries a
+    ``failed_checks array<string>`` column naming every violated
+    expectation. Pure projection + filter (map-only, whole-stage
+    codegen, no shuffle) — applies unchanged to a streaming DataFrame,
+    where each micro-batch is routed independently.
+    """
+    if not suite:
+        raise ValueError("split_by_expectations: empty suite")
+    bad_kinds = [e.check_name() for e in suite if e.kind in ("unique", "foreign_key")]
+    if bad_kinds:
+        raise ValueError(
+            "split_by_expectations: row-local kinds only; move these to "
+            f"validate_expectations: {bad_kinds}"
+        )
+    names = [e.check_name() for e in suite]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names in suite: {names}")
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(_violation_predicate(e), F.lit(e.check_name()))
+                for e in suite
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_checks", failed)
+    clean = tagged.filter(F.size("failed_checks") == 0).drop("failed_checks")
+    quarantined = tagged.filter(F.size("failed_checks") > 0)
+    return clean, quarantined
+
+
 def validate_expectations(
     df: DataFrame,
     suite: list[Expectation],

@@ -191,3 +191,87 @@ def test_expect_sql_validation():
         expect_sql("", "1 = 1")
     with pytest.raises(ValueError, match="empty predicate"):
         expect_sql("x", "   ")
+
+
+def test_split_by_expectations_routes_rows(spark, docs):
+    from factstore_spark.operators.expectations import split_by_expectations
+
+    clean, quar = split_by_expectations(
+        docs,
+        [
+            expect_not_null("id"),
+            expect_in_set("lang", ["en", "de"]),
+            expect_between("n", lo=0, hi=100),
+        ],
+    )
+    assert clean.columns == docs.columns
+    # rows: (1,en,10) ok; (2,de,3) ok; (3,xx,40) bad lang;
+    # (None,...,200) bad id + bad n; (3,en,-1) bad n
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    got = {
+        (r["id"], tuple(sorted(r["failed_checks"])))
+        for r in quar.collect()
+    }
+    assert (3, ("in_set_lang",)) in got
+    assert (None, ("between_n", "not_null_id")) in got
+    assert (3, ("between_n",)) in got
+    # counts reconcile with the aggregate gate
+    assert clean.count() + quar.count() == docs.count()
+
+
+def test_split_rejects_non_row_local_kinds(spark, docs):
+    from factstore_spark.operators.expectations import split_by_expectations
+
+    with pytest.raises(ValueError, match="row-local"):
+        split_by_expectations(docs, [expect_unique("id")])
+    with pytest.raises(ValueError, match="row-local"):
+        split_by_expectations(
+            docs, [expect_foreign_key("id", "p", "pk")]
+        )
+
+
+def test_split_is_map_only_plan(spark, docs):
+    from factstore_spark.operators.expectations import split_by_expectations
+
+    clean, quar = split_by_expectations(docs, [expect_not_null("id")])
+    for side in (clean, quar):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_split_routes_streaming_micro_batches(spark, tmp_path):
+    """The same projection applies to a stream: each micro-batch is
+    routed independently, no state."""
+    import os
+
+    from factstore_spark.operators.expectations import split_by_expectations
+
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "de"), (None, "en")],
+        "id long, lang string",
+    )
+    rows.write.parquet(src)
+    stream = spark.readStream.schema(rows.schema).parquet(src)
+    clean, quar = split_by_expectations(
+        stream, [expect_not_null("id"), expect_in_set("lang", ["en", "de"])]
+    )
+    q1 = (
+        clean.writeStream.format("memory")
+        .queryName("exp_clean")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        quar.writeStream.format("memory")
+        .queryName("exp_quar")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    assert {r["id"] for r in spark.sql("SELECT * FROM exp_clean").collect()} == {1, 3}
+    quar_rows = spark.sql("SELECT * FROM exp_quar").collect()
+    assert {
+        (r["id"], tuple(r["failed_checks"])) for r in quar_rows
+    } == {(2, ("in_set_lang",)), (None, ("not_null_id",))}
