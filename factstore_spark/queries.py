@@ -6317,6 +6317,81 @@ FROM checks ORDER BY "check"
 """
 
 
+def corpus_quarantine_stats(spark, sf_dir):
+    """Row-level expectation routing (split_by_expectations) driver-
+    checked end to end: the documents corpus splits into clean /
+    quarantine lanes under four row-local checks, and the entry emits
+    one row per failed check (a quarantined row with two failures
+    counts under BOTH — the explode of its failed_checks tag) plus a
+    __clean__ row. Map-only routing + one small aggregate; the oracle
+    reproduces every predicate in SQL, so a mis-tagged row moves a
+    count and hash-mismatches. Checks deliberately overlap on some
+    rows (short zh/es docs) to pin the multi-failure semantics."""
+    from .operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_regex,
+        split_by_expectations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clean, quar = split_by_expectations(
+        docs,
+        [
+            expect_not_null("text"),
+            expect_between("n_chars", lo=200),
+            expect_regex("source", "^src[0-9]$"),
+            expect_in_set("lang", ["en", "de", "fr"]),
+        ],
+    )
+    per_check = (
+        quar.select(F.explode("failed_checks").alias("check"))
+        .groupBy("check")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return (
+        per_check.unionByName(
+            clean.agg(
+                F.lit("__clean__").alias("check"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+        .filter(F.col("n_rows") > 0)  # mirror the oracle: zero rows drop
+        .orderBy("check")
+    )
+
+
+CORPUS_QUARANTINE_SQL = """
+WITH flags AS (
+  SELECT
+    CASE WHEN text IS NULL THEN 1 ELSE 0 END AS f_text,
+    CASE WHEN n_chars IS NOT NULL AND n_chars < 200 THEN 1 ELSE 0 END
+      AS f_chars,
+    CASE WHEN source IS NOT NULL
+          AND NOT regexp_matches(source, '^src[0-9]$') THEN 1 ELSE 0 END
+      AS f_src,
+    CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+         THEN 1 ELSE 0 END AS f_lang
+  FROM documents),
+checks AS (
+  SELECT 'not_null_text' AS "check",
+         CAST(SUM(f_text) AS BIGINT) AS n_rows FROM flags
+  UNION ALL
+  SELECT 'between_n_chars', CAST(SUM(f_chars) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'regex_source', CAST(SUM(f_src) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'in_set_lang', CAST(SUM(f_lang) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT '__clean__',
+    CAST(SUM(CASE WHEN f_text + f_chars + f_src + f_lang = 0
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM flags)
+SELECT "check", n_rows FROM checks WHERE n_rows > 0 ORDER BY "check"
+"""
+
+
 def schema_integrity_audit(spark, sf_dir):
     """Cross-table referential-integrity audit of the star schema —
     the lakehouse constraint check Spark itself doesn't enforce (no FK
@@ -6495,6 +6570,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "graph_part_pagerank": (graph_part_pagerank, GRAPH_PART_PAGERANK_SQL),
     "storage_incremental_agg": (storage_incremental_agg, STORAGE_INCREMENTAL_AGG_SQL),
     "corpus_expectations_gate": (corpus_expectations_gate, CORPUS_EXPECTATIONS_SQL),
+    "corpus_quarantine_stats": (corpus_quarantine_stats, CORPUS_QUARANTINE_SQL),
     "schema_integrity_audit": (schema_integrity_audit, SCHEMA_INTEGRITY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
     "storage_compact_table": (storage_compact_table, None),
