@@ -44,7 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -222,21 +222,43 @@ def full_state(
 # The refresh loop above is in-memory; production wants the state to
 # SURVIVE — a materialized view with incremental refresh. Same
 # publication discipline as merge.py: state versions are immutable
-# directories, readers follow one atomically-replaced meta pointer, a
-# crash mid-refresh leaves the previous state readable and the retry
-# idempotent (the cursor moves only when the pointer swap lands).
+# uniquely-named directories, and each meta version is CLAIMED through
+# the hardlink O_EXCL CAS (storage/cas.py) — two concurrent refreshers
+# cannot both publish version N, so a slower refresher can never
+# regress the cursor over a faster one's result (a last-writer-wins
+# pointer swap could). The loser raises ConcurrentRefreshError and
+# simply re-reads + retries; a crash between state write and meta
+# claim leaves an unreferenced state dir that vacuum reaps after a
+# grace period, with the previous state still readable throughout.
 
 
-def _meta_path(agg_dir: str) -> str:
-    return os.path.join(agg_dir, "meta.json")
+class ConcurrentRefreshError(RuntimeError):
+    """Another refresher published this meta version first. Re-read
+    the aggregate and retry (often a no-op: the winner already reached
+    the head)."""
+
+
+def _metas_dir(agg_dir: str) -> str:
+    return os.path.join(agg_dir, "_metas")
 
 
 def _read_meta(agg_dir: str) -> dict | None:
+    """Highest claimed meta version — the published state."""
     try:
-        with open(_meta_path(agg_dir)) as f:
-            return json.load(f)
+        names = os.listdir(_metas_dir(agg_dir))
     except FileNotFoundError:
         return None
+    best = -1
+    for n in names:
+        if n.startswith("meta-") and n.endswith(".json"):
+            try:
+                best = max(best, int(n[5:-5]))
+            except ValueError:
+                continue
+    if best < 0:
+        return None
+    with open(os.path.join(_metas_dir(agg_dir), f"meta-{best}.json")) as f:
+        return json.load(f)
 
 
 def _publish(
@@ -248,14 +270,13 @@ def _publish(
     group_cols: list[str],
     sum_cols: list[str],
 ) -> dict:
-    rel = f"v{version}"
-    target = os.path.join(agg_dir, rel)
-    # a dir at this version number is debris from a crashed attempt:
-    # published versions are never reused (meta.version is monotonic),
-    # so anything here is by construction unpublished and removable
-    if os.path.exists(target):
-        shutil.rmtree(target)
-    state.write.mode("errorifexists").parquet(target)
+    import uuid
+
+    from .cas import HardlinkSlotStore
+
+    rel = f"s-{uuid.uuid4().hex[:12]}"  # unique per attempt: racing
+    # refreshers never write into each other's state directories
+    state.write.mode("errorifexists").parquet(os.path.join(agg_dir, rel))
     meta = {
         "kind": "materialized_aggregate",
         "snapshot": snapshot,
@@ -264,12 +285,15 @@ def _publish(
         "group_cols": list(group_cols),
         "sum_cols": list(sum_cols),
     }
-    fd, tmp = tempfile.mkstemp(dir=agg_dir, prefix=".meta-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _meta_path(agg_dir))  # the atomic publish
+    os.makedirs(_metas_dir(agg_dir), exist_ok=True)
+    won = HardlinkSlotStore(_metas_dir(agg_dir)).put_if_absent(
+        f"meta-{version}.json", json.dumps(meta, sort_keys=True).encode()
+    )
+    if not won:
+        raise ConcurrentRefreshError(
+            f"materialized-aggregate version {version} was published by a "
+            f"concurrent refresher; re-read and retry"
+        )
     return meta
 
 
@@ -320,7 +344,11 @@ def refresh_materialized_aggregate(
     been vacuumed away (diff base unknown), raises — or, with
     ``rebootstrap_on_gap``, falls back to one full recompute and
     publishes that (the documented recovery path; MIN/MAX-style
-    non-self-maintainable aggregates would use the same lever)."""
+    non-self-maintainable aggregates would use the same lever).
+
+    Concurrency: the meta claim is single-winner (hardlink CAS); a
+    racing refresher raises ``ConcurrentRefreshError`` — re-call this
+    function, which re-reads the winner's cursor (usually a no-op)."""
     from .merge import _head_manifest
 
     meta = _read_meta(agg_dir)
@@ -365,23 +393,46 @@ def refresh_materialized_aggregate(
     )
 
 
-def vacuum_materialized_aggregate(agg_dir: str, keep: int = 2) -> list[str]:
-    """Remove state versions older than the latest ``keep`` (default
-    keeps the published one plus its predecessor for in-flight
-    readers, mirroring merge.py's vacuum grace). Returns removed
-    relative dirs. Never touches the published version."""
+def vacuum_materialized_aggregate(
+    agg_dir: str, keep: int = 2, retain_seconds: float = 3600.0
+) -> list[str]:
+    """Remove state dirs NOT referenced by the newest ``keep`` metas
+    (default keeps the published state plus its predecessor for
+    in-flight readers) and idle longer than ``retain_seconds`` — the
+    grace that protects a refresher that has written its state dir but
+    not yet claimed its meta (mirroring merge.py's vacuum). Crashed-
+    attempt debris and losing racers are reaped here. Returns removed
+    relative dirs; never touches a referenced state."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     meta = _read_meta(agg_dir)
     if meta is None:
         raise ValueError(f"no materialized aggregate at {agg_dir}")
-    floor_v = meta["version"] - keep + 1
-    removed = []
-    for name in sorted(os.listdir(agg_dir)):
-        if not (name.startswith("v") and name[1:].isdigit()):
+    keep_rel = set()
+    for v in range(meta["version"], max(0, meta["version"] - keep), -1):
+        try:
+            with open(
+                os.path.join(_metas_dir(agg_dir), f"meta-{v}.json")
+            ) as f:
+                keep_rel.add(json.load(f)["state"])
+        except FileNotFoundError:
             continue
-        if int(name[1:]) < floor_v:
-            shutil.rmtree(os.path.join(agg_dir, name))
+    removed = []
+    now = time.time()
+    for name in sorted(os.listdir(agg_dir)):
+        if not name.startswith("s-") or name in keep_rel:
+            continue
+        path = os.path.join(agg_dir, name)
+        newest = max(
+            (
+                os.path.getmtime(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            ),
+            default=os.path.getmtime(path),
+        )
+        if now - newest >= retain_seconds:
+            shutil.rmtree(path)
             removed.append(name)
     return removed
 

@@ -299,19 +299,20 @@ def test_materialized_bootstrap_refresh_equals_recompute(spark, tdir, adir):
 
 
 def test_refresh_at_head_is_noop(spark, tdir, adir):
+    import os
+
     _base(spark, tdir)
     m1 = create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
     m2 = refresh_materialized_aggregate(spark, tdir, adir)
-    assert m2 == m1  # same published meta, no new version dir
-    assert sorted(
-        n for n in __import__("os").listdir(adir) if n.startswith("v")
-    ) == ["v1"]
+    assert m2 == m1  # same published meta, no new state dir
+    assert len([n for n in os.listdir(adir) if n.startswith("s-")]) == 1
 
 
 def test_crashed_refresh_leaves_previous_state_readable(spark, tdir, adir):
-    """Simulate a crash between state write and pointer swap: debris
-    v2 dir exists, meta still points at v1 — reads see v1, and the
-    retried refresh republishes v2 cleanly over the debris."""
+    """Simulate a crash between state write and meta claim: debris
+    s-* dir exists, highest meta still points at the old state —
+    reads see the old state, the retried refresh publishes version 2
+    into a FRESH dir, and vacuum (grace elapsed) reaps the debris."""
     import os
 
     _base(spark, tdir)
@@ -319,9 +320,9 @@ def test_crashed_refresh_leaves_previous_state_readable(spark, tdir, adir):
     merge_upsert(
         _mk(spark, [(1, "p1", "a", 99, False)]), tdir, delete_col="is_deleted"
     )
-    # plant debris where the next publish will land
-    os.makedirs(os.path.join(adir, "v2"))
-    with open(os.path.join(adir, "v2", "junk"), "w") as f:
+    # plant crashed-attempt debris (state dir written, meta never claimed)
+    os.makedirs(os.path.join(adir, "s-deadbeef0000"))
+    with open(os.path.join(adir, "s-deadbeef0000", "junk"), "w") as f:
         f.write("crashed attempt")
     before = read_materialized_aggregate(spark, adir)
     assert _rows(before) == _rows(
@@ -331,6 +332,8 @@ def test_crashed_refresh_leaves_previous_state_readable(spark, tdir, adir):
     assert meta["version"] == 2
     got = read_materialized_aggregate(spark, adir)
     assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+    removed = vacuum_materialized_aggregate(adir, keep=2, retain_seconds=0.0)
+    assert removed == ["s-deadbeef0000"]
 
 
 def test_rebootstrap_on_vacuumed_gap(spark, tdir, adir):
@@ -355,24 +358,27 @@ def test_rebootstrap_on_vacuumed_gap(spark, tdir, adir):
     assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
 
 
-def test_vacuum_keeps_published_versions(spark, tdir, adir):
+def test_vacuum_keeps_referenced_states(spark, tdir, adir):
     import os
 
     _base(spark, tdir)
     create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
-    for i, cents in enumerate([11, 12, 13]):
+    for cents in [11, 12, 13]:
         merge_upsert(
             _mk(spark, [(1, "p1", "a", cents, False)]),
             tdir,
             delete_col="is_deleted",
         )
         refresh_materialized_aggregate(spark, tdir, adir)
-    removed = vacuum_materialized_aggregate(adir, keep=2)
-    assert removed == ["v1", "v2"]
-    dirs = sorted(n for n in os.listdir(adir) if n.startswith("v"))
-    assert dirs == ["v3", "v4"]
+    # 4 published states; keep the newest 2, grace waived
+    removed = vacuum_materialized_aggregate(adir, keep=2, retain_seconds=0.0)
+    assert len(removed) == 2
+    assert len([n for n in os.listdir(adir) if n.startswith("s-")]) == 2
     got = read_materialized_aggregate(spark, adir)
     assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+    # grace: a fresh unreferenced dir survives a graceful vacuum
+    os.makedirs(os.path.join(adir, "s-freshattempt"))
+    assert vacuum_materialized_aggregate(adir, keep=2) == []
 
 
 def test_materialized_errors(spark, tdir, adir):
@@ -536,3 +542,41 @@ def test_model_based_random_merge_chain_matches_recompute(spark, tdir):
         assert _rows(state) == _rows(
             full_state(spark, tdir, ["grp"], ["v"])
         ), f"snapshot {snap} vs recompute"
+
+
+def test_concurrent_refresh_single_winner(spark, tdir, adir):
+    """Two refreshers racing to publish version 2: the hardlink CAS
+    admits exactly one; the loser raises ConcurrentRefreshError, and
+    its retry is a no-op that lands on the winner's (correct) state.
+    A last-writer-wins pointer could regress the cursor here."""
+    import threading
+
+    from factstore_spark.storage.ivm import ConcurrentRefreshError
+
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 77, False)]), tdir, delete_col="is_deleted"
+    )
+    results, errors = [], []
+    gate = threading.Barrier(2)
+
+    def run():
+        try:
+            gate.wait()
+            results.append(refresh_materialized_aggregate(spark, tdir, adir))
+        except ConcurrentRefreshError as e:
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results) + len(errors) == 2
+    assert len(results) >= 1  # at least one won
+    if errors:  # the loser's retry converges as a no-op
+        meta = refresh_materialized_aggregate(spark, tdir, adir)
+        assert meta["version"] == 2
+    got = read_materialized_aggregate(spark, adir)
+    assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
