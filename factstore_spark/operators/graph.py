@@ -258,6 +258,67 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED
+    reading of the edge list — the local-clustering signal community
+    detection and spam/botnet heuristics start from.
+
+    Edges are canonicalized to ordered pairs (u < v, self-loops and
+    duplicates dropped), each triangle a<b<c is found exactly once via
+    the two-join wedge closure ((a,b)⋈(b,c) closed by (a,c)), then
+    exploded to its three corners for the per-node count. Pure integer
+    counts — bit-identical across engines, so the battery oracle is a
+    plain three-way SQL self-join.
+
+    Scale shape: wedge volume is sum(deg(v)^2) — quadratic in hub
+    degree. ``max_degree`` drops nodes above the cap BEFORE the wedge
+    join (the standard hub guard: a 10^6-degree hub contributes 10^12
+    wedges and is never what a clustering signal wants anyway);
+    triangles touching a dropped hub are not counted, stated loudly
+    here. Canonical-id orientation keeps each wedge built once.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > max_degree)
+            .select("n")
+        )
+        e = e.join(
+            F.broadcast(deg), e["u"] == deg["n"], "left_anti"
+        ).join(F.broadcast(deg), e["v"] == deg["n"], "left_anti")
+    # pin: consumed three times by the wedge closure
+    e = e.localCheckpoint()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
 def pagerank_summary(ranks: DataFrame) -> DataFrame:
     """One-row mass audit for a pagerank result: node count, total
     retained mass (pico and basis points of SCALE), max rank."""

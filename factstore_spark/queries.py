@@ -6154,6 +6154,63 @@ ORDER BY rank DESC, p_partkey LIMIT 20
 """
 
 
+def graph_part_triangles(spark, sf_dir):
+    """Per-part triangle participation over the co-purchase graph
+    (operators/graph.py:triangle_counts) — the local-clustering signal,
+    fully oracled: canonical u<v edges from the same quarter-of-orders
+    pair join as the pagerank entry, the two-join wedge closure finds
+    each triangle a<b<c once, the explode-to-corners groupBy counts
+    per node, and DuckDB replays it as a plain three-way self-join.
+    Top 20 by (count desc, key asc). Wedge volume is sum(deg^2) — the
+    operator's max_degree hub guard stays OFF here (TPC-H degrees are
+    bounded); at open-corpus scale cap hubs first."""
+    from .operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("p_partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "p_partkey")
+        .limit(20)
+    )
+
+
+GRAPH_PART_TRIANGLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey % 4 = 0),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, p_partkey LIMIT 20
+"""
+
+
 def storage_incremental_agg(spark, sf_dir):
     """Incremental view maintenance (storage/ivm.py) with a TRUE
     oracle: a keyed merge table built from a deterministic orders
@@ -6568,6 +6625,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # position.
     # --- new in round 8 (lead the window so the driver checks them) -----
     "graph_part_pagerank": (graph_part_pagerank, GRAPH_PART_PAGERANK_SQL),
+    "graph_part_triangles": (graph_part_triangles, GRAPH_PART_TRIANGLES_SQL),
     "storage_incremental_agg": (storage_incremental_agg, STORAGE_INCREMENTAL_AGG_SQL),
     "corpus_expectations_gate": (corpus_expectations_gate, CORPUS_EXPECTATIONS_SQL),
     "corpus_quarantine_stats": (corpus_quarantine_stats, CORPUS_QUARANTINE_SQL),

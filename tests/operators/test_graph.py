@@ -167,3 +167,81 @@ def test_non_seed_rank_zero_when_unreachable(spark):
     got = _run(spark, edges, seeds=[1], n_iter=8)
     assert got[3] == got[4] == 0
     assert got[1] > 0 and got[2] > 0
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+from factstore_spark.operators.graph import triangle_counts  # noqa: E402
+
+
+def _tri(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, **kw).collect()
+    }
+
+
+def _py_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c <= b:
+                    continue
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, k4)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_square_has_no_triangles(spark):
+    got = _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert got == {}
+
+
+def test_direction_duplicates_and_loops_ignored(spark):
+    tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    got = _tri(spark, tri)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_matches_python_brute_force(spark):
+    import random
+
+    rnd = random.Random(20260815)
+    edges = list(
+        {
+            tuple(sorted((rnd.randrange(15), rnd.randrange(15))))
+            for _ in range(60)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _tri(spark, edges) == _py_triangles(edges)
+
+
+def test_max_degree_drops_hub_triangles(spark):
+    # star hub 0 connected to 1..5, plus triangle 1-2 closes via hub;
+    # separate triangle 7-8-9 untouched by the cap
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2), (7, 8), (8, 9), (7, 9)]
+    full = _tri(spark, edges)
+    assert full[0] == 1 and full[7] == 1
+    capped = _tri(spark, edges, max_degree=3)
+    # hub (deg 5) dropped: its triangle disappears, 7-8-9 survives
+    assert 0 not in capped
+    assert capped == {7: 1, 8: 1, 9: 1}
