@@ -52,6 +52,7 @@ def pagerank(
     n_iter: int = 10,
     checkpoint_every: int = 4,
     seeds: DataFrame | None = None,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Integer fixed-point (personalized) PageRank over a directed
     edge list.
@@ -173,7 +174,7 @@ def pagerank(
     # broadcast-hash join — no edge-side sort/shuffle per superstep.
     # Above that, the hint is withheld and the join sort-merges against
     # e's pinned src partitioning (the 1e9-node plan).
-    hint_broadcast = n_nodes < 5_000_000
+    hint_broadcast = n_nodes < broadcast_max_nodes
     if not hint_broadcast:
         # big-graph path: pay one shuffle now so every superstep's
         # sort-merge join reuses the src partitioning

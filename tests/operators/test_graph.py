@@ -245,3 +245,18 @@ def test_max_degree_drops_hub_triangles(spark):
     # hub (deg 5) dropped: its triangle disappears, 7-8-9 survives
     assert 0 not in capped
     assert capped == {7: 1, 8: 1, 9: 1}
+
+
+def test_big_graph_path_no_broadcast_same_results(spark):
+    """broadcast_max_nodes=0 forces the 1e9-node plan: ranks join
+    sort-merge against src-pinned edges, results bit-identical."""
+    edges = [(i % 17, (i * 3 + 1) % 17) for i in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    small = pagerank(df, n_iter=5)
+    big = pagerank(df, n_iter=5, broadcast_max_nodes=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert {(r["node"], r["rank"]) for r in small.collect()} == {
+        (r["node"], r["rank"]) for r in big.collect()
+    }
