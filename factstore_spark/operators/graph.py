@@ -259,6 +259,27 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Weakly-connected components over an edge list: ``(node,
+    component)`` with component = the minimum node id reachable.
+    Thin graph-vocabulary front for the engine's battle-tested
+    min-label-propagation + pointer-jumping resolver
+    (operators/dedup.py:dup_clusters — O(log diameter) rounds,
+    hybrid driver union-find below 200k pairs, oracled in the battery
+    as dedup_clusters); one implementation, two vocabularies."""
+    from .dedup import dup_clusters
+
+    out = dup_clusters(
+        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    )
+    return out.select(
+        F.col(out.columns[0]).alias("node"),
+        F.col(out.columns[1]).alias("component"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

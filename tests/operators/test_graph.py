@@ -260,3 +260,17 @@ def test_big_graph_path_no_broadcast_same_results(spark):
     assert {(r["node"], r["rank"]) for r in small.collect()} == {
         (r["node"], r["rank"]) for r in big.collect()
     }
+
+
+def test_connected_components_front(spark):
+    from factstore_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20
