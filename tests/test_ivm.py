@@ -580,3 +580,30 @@ def test_concurrent_refresh_single_winner(spark, tdir, adir):
         assert meta["version"] == 2
     got = read_materialized_aggregate(spark, adir)
     assert _rows(got) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_one_sided_diff_values_and_refresh(spark, tdir, adir):
+    """A merge that only INSERTS into a brand-new partition exercises
+    table_diff's one-sided path (no a-side paths): change_type all
+    insert, old_* typed nulls, and the IVM refresh still equals the
+    recompute."""
+    _base(spark, tdir)
+    state = full_state(spark, tdir, ["grp"], ["v"], snapshot=1)
+    merge_upsert(
+        _mk(
+            spark,
+            [(8, "p9", "z", 80, False), (9, "p9", "z", 90, False)],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    diff = table_diff(spark, tdir, 1, include_values=True)
+    rows = diff.collect()
+    assert {r["change_type"] for r in rows} == {"insert"}
+    assert all(r["old_v"] is None and r["old_grp"] is None for r in rows)
+    assert {r["new_v"] for r in rows} == {80, 90}
+    # the one-sided old_* columns must be TYPED (not NullType), or the
+    # delta's long cast breaks
+    assert dict(diff.dtypes)["old_v"] == "bigint"
+    state = refresh_aggregate(spark, tdir, state, 1, ["grp"], ["v"])
+    assert _rows(state) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
