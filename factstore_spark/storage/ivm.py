@@ -322,12 +322,32 @@ def create_materialized_aggregate(
 
 
 def read_materialized_aggregate(
-    spark: SparkSession, agg_dir: str
+    spark: SparkSession, agg_dir: str, version: int | None = None
 ) -> DataFrame:
-    meta = _read_meta(agg_dir)
-    if meta is None:
-        raise ValueError(f"no materialized aggregate at {agg_dir}")
-    return spark.read.parquet(os.path.join(agg_dir, meta["state"]))
+    """The published state — or, with ``version=N``, the state exactly
+    as published at version N (time travel along the refresh history;
+    raises if that version's state dir was vacuumed). Metas are tiny
+    and kept forever; vacuum reclaims only state DIRECTORIES."""
+    if version is None:
+        meta = _read_meta(agg_dir)
+        if meta is None:
+            raise ValueError(f"no materialized aggregate at {agg_dir}")
+    else:
+        try:
+            with open(
+                os.path.join(_metas_dir(agg_dir), f"meta-{version}.json")
+            ) as f:
+                meta = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no published version {version} at {agg_dir}"
+            ) from None
+    state_dir = os.path.join(agg_dir, meta["state"])
+    if not os.path.isdir(state_dir):
+        raise ValueError(
+            f"version {meta['version']}'s state was vacuumed from {agg_dir}"
+        )
+    return spark.read.parquet(state_dir)
 
 
 def refresh_materialized_aggregate(

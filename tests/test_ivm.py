@@ -607,3 +607,29 @@ def test_one_sided_diff_values_and_refresh(spark, tdir, adir):
     assert dict(diff.dtypes)["old_v"] == "bigint"
     state = refresh_aggregate(spark, tdir, state, 1, ["grp"], ["v"])
     assert _rows(state) == _rows(full_state(spark, tdir, ["grp"], ["v"]))
+
+
+def test_materialized_version_time_travel(spark, tdir, adir):
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    v1 = _rows(read_materialized_aggregate(spark, adir))
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 99, False)]), tdir, delete_col="is_deleted"
+    )
+    refresh_materialized_aggregate(spark, tdir, adir)
+    # head moved; version 1 still reads the bootstrap state
+    assert _rows(read_materialized_aggregate(spark, adir, version=1)) == v1
+    assert _rows(read_materialized_aggregate(spark, adir)) == _rows(
+        full_state(spark, tdir, ["grp"], ["v"])
+    )
+    with pytest.raises(ValueError, match="no published version 9"):
+        read_materialized_aggregate(spark, adir, version=9)
+    # vacuum the old state away: time travel fails LOUDLY, head fine
+    merge_upsert(
+        _mk(spark, [(2, "p1", "a", 5, False)]), tdir, delete_col="is_deleted"
+    )
+    refresh_materialized_aggregate(spark, tdir, adir)
+    vacuum_materialized_aggregate(adir, keep=1, retain_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_materialized_aggregate(spark, adir, version=1)
+    read_materialized_aggregate(spark, adir).collect()
