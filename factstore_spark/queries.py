@@ -6608,9 +6608,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- Driver-window rotation (round 8) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 8 fifth continuation: the four newest (pagerank, IVM,
-    # expectations gate, integrity audit — all oracled) lead the
-    # window, then the fifteen earlier round-8 entries — the three
+    # Round 8 fifth continuation: the six newest (triangles, pagerank,
+    # IVM, quarantine routing, expectations gate, integrity audit —
+    # all oracled) lead the window, then the fifteen earlier round-8
+    # entries — the three
     # fourth-continuation additions (LM surprise, table compaction,
     # learned quality gate), then the five
     # third-continuation additions (editdist dedup, basket rules, PCA,
