@@ -6154,6 +6154,83 @@ ORDER BY rank DESC, p_partkey LIMIT 20
 """
 
 
+def graph_related_parts(spark, sf_dir):
+    """PERSONALIZED PageRank driver-checked: the same co-purchase
+    multigraph as graph_part_pagerank, but teleport restricted to a
+    deterministic seed set (parts with partkey % 250 == 1, i.e.
+    'customers who bought these also bought...'). The walk starts on
+    the seeds, dangling/teleport mass flows only to them, and mass
+    decays with co-purchase distance — the related-items shape. All
+    integer fixed point, so DuckDB replays the 6 seeded iterations in
+    a recursive CTE (per-node seed flag joined into the step) and the
+    top-20 hash-matches exactly. Seeds are drawn FROM the edge set, so
+    the effective seed count matches on both engines by construction."""
+    from .operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 250 == 1)
+        .distinct()
+    )
+    ranks = pagerank(edges, damping_bp=8500, n_iter=6, seeds=seeds)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(F.col("node").alias("p_partkey"), "rank")
+        .orderBy(F.desc("rank"), "p_partkey")
+        .limit(20)
+    )
+
+
+GRAPH_RELATED_PARTS_SQL = """
+WITH RECURSIVE
+items AS (SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey % 4 = 0),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM pairs),
+ns AS (
+  SELECT node, CASE WHEN node % 250 = 1 THEN 1 ELSE 0 END AS seed
+  FROM nodes),
+s AS (SELECT CAST(SUM(seed) AS BIGINT) AS n FROM ns),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
+pr(iter, node, rank) AS (
+  SELECT 0, ns.node,
+    CAST((SELECT 1000000000000 // n FROM s) * ns.seed AS BIGINT)
+  FROM ns
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+    CAST(((SELECT 1500 * (1000000000000 // n) FROM s) * MAX(t.seed)
+          + 8500 * SUM(p.rank // od.deg)) // 10000 AS BIGINT)
+  FROM pr p
+  JOIN outdeg od ON od.src = p.node
+  JOIN pairs e ON e.src = p.node
+  JOIN ns t ON t.node = e.dst
+  WHERE p.iter < 6
+  GROUP BY p.iter, e.dst
+)
+SELECT node AS p_partkey, rank FROM pr
+WHERE iter = 6 AND rank > 0
+ORDER BY rank DESC, p_partkey LIMIT 20
+"""
+
+
 def graph_part_triangles(spark, sf_dir):
     """Per-part triangle participation over the co-purchase graph
     (operators/graph.py:triangle_counts) — the local-clustering signal,
@@ -6627,6 +6704,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 8 (lead the window so the driver checks them) -----
     "graph_part_pagerank": (graph_part_pagerank, GRAPH_PART_PAGERANK_SQL),
     "graph_part_triangles": (graph_part_triangles, GRAPH_PART_TRIANGLES_SQL),
+    "graph_related_parts": (graph_related_parts, GRAPH_RELATED_PARTS_SQL),
     "storage_incremental_agg": (storage_incremental_agg, STORAGE_INCREMENTAL_AGG_SQL),
     "corpus_expectations_gate": (corpus_expectations_gate, CORPUS_EXPECTATIONS_SQL),
     "corpus_quarantine_stats": (corpus_quarantine_stats, CORPUS_QUARANTINE_SQL),
