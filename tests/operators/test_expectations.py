@@ -275,3 +275,68 @@ def test_split_routes_streaming_micro_batches(spark, tmp_path):
     assert {
         (r["id"], tuple(r["failed_checks"])) for r in quar_rows
     } == {(2, ("in_set_lang",)), (None, ("not_null_id",))}
+
+
+def test_random_frames_match_python_model(spark):
+    """Seeded-random frames (dup ids, nulls, negative values) -> the
+    aggregate gate's counts equal a pure-Python recomputation, and the
+    router's lanes partition the frame consistently with the gate."""
+    import random
+
+    from factstore_spark.operators.expectations import (
+        expect_sql,
+        split_by_expectations,
+    )
+
+    rnd = random.Random(20260815)
+    langs = ["en", "de", "xx", None]
+    for trial in range(3):
+        rows = [
+            (
+                rnd.choice([None, rnd.randrange(8)]),
+                rnd.choice(langs),
+                rnd.choice([None, rnd.randrange(-5, 30)]),
+            )
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, lang string, n long")
+        suite = [
+            expect_not_null("id"),
+            expect_unique("id"),
+            expect_in_set("lang", ["en", "de"]),
+            expect_between("n", lo=0, hi=20),
+            expect_sql("n_even", "n IS NULL OR n % 2 = 0"),
+        ]
+        got = _result_map(validate_expectations(df, suite))
+
+        ids = [r[0] for r in rows if r[0] is not None]
+        want = {
+            "not_null_id": (len(rows), sum(r[0] is None for r in rows)),
+            "unique_id": (len(ids), len(ids) - len(set(ids))),
+            "in_set_lang": (
+                sum(r[1] is not None for r in rows),
+                sum(r[1] is not None and r[1] not in ("en", "de") for r in rows),
+            ),
+            "between_n": (
+                sum(r[2] is not None for r in rows),
+                sum(r[2] is not None and not 0 <= r[2] <= 20 for r in rows),
+            ),
+            "n_even": (
+                len(rows),
+                sum(r[2] is not None and r[2] % 2 != 0 for r in rows),
+            ),
+        }
+        for name, (chk, bad) in want.items():
+            assert got[name] == (chk, bad, bad == 0), (trial, name)
+
+        row_local = [s for s in suite if s.kind != "unique"]
+        clean, quar = split_by_expectations(df, row_local)
+        n_bad_rows = sum(
+            1
+            for r in rows
+            if r[0] is None
+            or (r[1] is not None and r[1] not in ("en", "de"))
+            or (r[2] is not None and (not 0 <= r[2] <= 20 or r[2] % 2 != 0))
+        )
+        assert quar.count() == n_bad_rows
+        assert clean.count() == len(rows) - n_bad_rows
