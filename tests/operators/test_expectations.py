@@ -236,6 +236,9 @@ def test_split_is_map_only_plan(spark, docs):
     clean, quar = split_by_expectations(docs, [expect_not_null("id")])
     for side in (clean, quar):
         plan = side._jdf.queryExecution().executedPlan().toString()
+        # non-vacuous: the plan string must show the actual scan +
+        # filter pipeline, not an unexpanded AQE placeholder
+        assert "Filter" in plan and "Scan" in plan, plan
         assert "Exchange" not in plan
 
 

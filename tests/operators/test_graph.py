@@ -256,6 +256,7 @@ def test_big_graph_path_no_broadcast_same_results(spark):
     small = pagerank(df, n_iter=5)
     big = pagerank(df, n_iter=5, broadcast_max_nodes=0)
     plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan, plan  # non-vacuous: superstep join visible
     assert "BroadcastHashJoin" not in plan
     assert {(r["node"], r["rank"]) for r in small.collect()} == {
         (r["node"], r["rank"]) for r in big.collect()
