@@ -181,6 +181,14 @@ def split_by_expectations(
     names = [e.check_name() for e in suite]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names in suite: {names}")
+    if "failed_checks" in df.columns:
+        # reserved output column — overwriting user data in the
+        # quarantine lane would silently destroy it (same reserved-name
+        # discipline as ivm._check_cols)
+        raise ValueError(
+            "split_by_expectations: input already has a 'failed_checks' "
+            "column; rename it before routing"
+        )
     failed = F.array_compact(
         F.array(
             *[

@@ -49,7 +49,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge import read_table, table_diff
+from .merge import SnapshotGoneError, read_table, table_diff
 
 _COUNT = "n_rows"
 
@@ -396,7 +396,10 @@ def refresh_materialized_aggregate(
             sum_cols,
             to_snapshot=head["snapshot"],
         )
-    except ValueError:
+    except SnapshotGoneError:
+        # ONLY the vacuumed-diff-base condition triggers the recovery
+        # recompute; any other ValueError (wrong table, bad columns,
+        # non-summable dtype) is a real bug and must propagate.
         if not rebootstrap_on_gap:
             raise
         new_state = full_state(

@@ -57,6 +57,15 @@ class ConcurrentMergeError(RuntimeError):
     fact store's conditional appends)."""
 
 
+class SnapshotGoneError(ValueError):
+    """A referenced snapshot manifest is missing — vacuumed away or
+    never published. Distinct from other ValueErrors (wrong table,
+    bad columns, non-summable dtypes) so recovery paths like
+    ivm.refresh_materialized_aggregate(rebootstrap_on_gap=True) can
+    rebootstrap on EXACTLY this condition instead of masking real
+    configuration bugs behind a silent full recompute."""
+
+
 def _read_manifest(table_dir: str, snapshot: int | None = None) -> dict | None:
     path = (
         os.path.join(table_dir, _POINTER)
@@ -68,7 +77,7 @@ def _read_manifest(table_dir: str, snapshot: int | None = None) -> dict | None:
             raw = fh.read().strip()
     except FileNotFoundError:
         if snapshot is not None:
-            raise ValueError(
+            raise SnapshotGoneError(
                 f"snapshot {snapshot} not found (vacuumed or never published)"
             )
         return None
@@ -761,7 +770,7 @@ def table_diff(
         else _read_manifest(table_dir, to_snapshot)
     )
     if ma is None or mb is None:
-        raise ValueError(
+        raise SnapshotGoneError(
             f"table_diff: unknown snapshot(s) {from_snapshot} -> "
             f"{to_snapshot} in {table_dir}"
         )
@@ -785,22 +794,60 @@ def table_diff(
         [f"`{c}` string" for c in key_cols] + ["change_type string"]
     )
 
-    def side(paths, have_cols, tag):
-        if not paths:
+    df_a = (
+        spark.read.option("mergeSchema", "true").parquet(*a_paths)
+        if a_paths else None
+    )
+    df_b = (
+        spark.read.option("mergeSchema", "true").parquet(*b_paths)
+        if b_paths else None
+    )
+    # Union-schema dtype map: a column absent from one side (schema
+    # evolution) must surface as a TYPED null — an untyped lit(None) is
+    # VOID and poisons downstream consumers (ivm's dtype check rejects
+    # a delete-only diff of an evolved column). A column in the
+    # manifest but in neither changed read (it lives only in unchanged
+    # partitions) falls back to string.
+    dtypes = {}
+    for df in (df_a, df_b):
+        if df is not None:
+            for fld in df.schema.fields:
+                dtypes.setdefault(fld.name, fld.dataType)
+    if any(c not in dtypes for c in val_cols):
+        # rare corner: an evolved column lives only in UNCHANGED
+        # partitions (e.g. delete-only diff of a pre-evolution
+        # partition). Resolve its true type from the snapshot footers —
+        # schema-only reads, paid only when the corner actually occurs.
+        for snap_m in (mb, ma):
+            rels = sorted(set(snap_m["partitions"].values()))
+            if not rels:
+                continue
+            full = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table_dir, rel) for rel in rels]
+            )
+            for fld in full.schema.fields:
+                dtypes.setdefault(fld.name, fld.dataType)
+            if all(c in dtypes for c in val_cols):
+                break
+
+    def side(df, tag):
+        if df is None:
             return None
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         have = set(df.columns)
         return df.select(
             *key_cols,
             *[
-                (F.col(c) if c in have else F.lit(None)).alias(f"_{tag}_{c}")
+                (
+                    F.col(c) if c in have
+                    else F.lit(None).cast(dtypes.get(c, "string"))
+                ).alias(f"_{tag}_{c}")
                 for c in val_cols
             ],
             F.lit(True).alias(f"_{tag}_present"),
         )
 
-    a = side(a_paths, cols_a, "a")
-    b = side(b_paths, cols_b, "b")
+    a = side(df_a, "a")
+    b = side(df_b, "b")
 
     def value_cols(frame, present_tags: set[str]) -> list:
         """old_/new_ projections; a side that is not present in

@@ -343,3 +343,14 @@ def test_random_frames_match_python_model(spark):
         )
         assert quar.count() == n_bad_rows
         assert clean.count() == len(rows) - n_bad_rows
+
+
+def test_split_reserved_failed_checks_column_raises(spark, docs):
+    """'failed_checks' is the router's output column; silently
+    overwriting a user column of that name would destroy data in the
+    quarantine lane (same reserved-name discipline as ivm)."""
+    from factstore_spark.operators.expectations import split_by_expectations
+
+    tagged = docs.withColumn("failed_checks", F.lit("user data"))
+    with pytest.raises(ValueError, match="failed_checks"):
+        split_by_expectations(tagged, [expect_not_null("id")])

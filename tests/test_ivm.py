@@ -633,3 +633,69 @@ def test_materialized_version_time_travel(spark, tdir, adir):
     with pytest.raises(ValueError, match="vacuumed"):
         read_materialized_aggregate(spark, adir, version=1)
     read_materialized_aggregate(spark, adir).collect()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8: SnapshotGoneError discipline + evolved-column diff typing
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_unknown_snapshot_is_snapshot_gone(spark, tdir):
+    from factstore_spark.storage.merge import SnapshotGoneError
+
+    _base(spark, tdir)
+    assert issubclass(SnapshotGoneError, ValueError)
+    with pytest.raises(SnapshotGoneError):
+        table_diff(spark, tdir, 99)
+
+
+def test_rebootstrap_catches_only_snapshot_gone(spark, tdir, adir, monkeypatch):
+    """rebootstrap_on_gap recovers from a vacuumed diff base ONLY; any
+    other ValueError out of the incremental path (misconfigured
+    columns, bad dtype, wrong table) must propagate, never be masked
+    by a silent full recompute."""
+    import factstore_spark.storage.ivm as ivm_mod
+
+    _base(spark, tdir)
+    create_materialized_aggregate(spark, tdir, adir, ["grp"], ["v"])
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 15, False)]), tdir, delete_col="is_deleted"
+    )
+
+    def boom(*a, **k):
+        raise ValueError("misconfigured: not a gap")
+
+    monkeypatch.setattr(ivm_mod, "refresh_aggregate", boom)
+    with pytest.raises(ValueError, match="not a gap"):
+        refresh_materialized_aggregate(spark, tdir, adir, rebootstrap_on_gap=True)
+
+
+def test_delete_only_diff_of_evolved_column_is_typed(spark, tdir):
+    """Delete-only one-sided diff where the deleted partition's files
+    PREDATE a schema-evolved column: old_w/new_w must come out typed
+    (resolved from the snapshot footers), never VOID — ivm's dtype
+    check rejects a void feed even though the delta is well-defined."""
+    _base(spark, tdir)
+    # evolve: add column w to partition p1 only (snapshot 2)
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "p1", "a", 10, 7)],
+            "k long, part string, grp string, v long, w long",
+        ),
+        tdir,
+        merge_schema=True,
+    )
+    # snapshot 3: delete ALL rows of p2 (whose files lack w)
+    merge_upsert(
+        _mk(spark, [(3, "p2", "b", 30, True), (4, "p2", "b", 40, True)]),
+        tdir,
+        delete_col="is_deleted",
+    )
+    diff = table_diff(spark, tdir, 2, include_values=True)
+    rows = diff.collect()
+    assert {r["change_type"] for r in rows} == {"delete"}
+    assert {int(r["k"]) for r in rows} == {3, 4}
+    dt = dict(diff.dtypes)
+    assert dt["old_w"] == "bigint" and dt["new_w"] == "bigint"
+    assert dt["old_v"] == "bigint" and dt["new_v"] == "bigint"
+    assert all(r["new_v"] is None and r["old_v"] is not None for r in rows)
