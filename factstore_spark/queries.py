@@ -4588,11 +4588,22 @@ def dedup_incremental_minhash(spark, sf_dir):
     build the signature index on the even-doc_id half, run the odd half
     as an increment, and score the incremental pair set against the
     one-shot LSH over the full corpus restricted to pairs touching the
-    increment — match_bp must be 10000 (same banding, same verify, so
-    any drift means the index layout or manifest plumbing broke). Rows
-    -only (xxhash-based signatures); the output row IS the check, like
-    the recall probes. The index lives in a per-run temp dir, removed
-    eagerly after the one-row result is materialized."""
+    increment (same banding, same verify, so any drift means the index
+    layout or manifest plumbing broke).
+
+    Driver-oracled since round 9. The pair LIST is xxhash64-based
+    (DuckDB cannot replay Spark's xxhash64), so the emitted row
+    carries the A/B's INVARIANTS instead — n_only_incremental /
+    n_only_oneshot (the asymmetric differences, 0 iff the index path
+    reproduces the one-shot path exactly) and match_bp — alongside
+    three SQL-predictable witnesses the oracle recomputes from the
+    raw parquet: the two probe-half sizes (md5-sample + parity rules)
+    and n_exact_cross_pairs, the EXACT capped 3-gram-Jaccard >= 0.5
+    pair count across the halves, which proves the probe corpus
+    really contains cross-half near-dups (a non-vacuity witness: a
+    banding bug that silently dropped every candidate would still
+    show 0 == 0 on the diffs, but could not fake this column). The
+    index lives in a per-run temp dir, removed eagerly."""
     import shutil
     import tempfile
 
@@ -4624,39 +4635,104 @@ def dedup_incremental_minhash(spark, sf_dir):
         ).filter((F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1))
         a = got.withColumn("in_a", F.lit(1))
         b = inline.withColumn("in_b", F.lit(1))
-        stats = (
+        ab = (
             a.join(b, ["id_a", "id_b"], "full_outer")
             .agg(
                 # coalesce: sum() over ZERO rows is NULL, and a tiny or
                 # heavily-filtered corpus can legitimately produce zero
-                # pairs on both sides — that is a vacuous PASS (0 == 0
-                # == 0 -> match_bp 10000), not an unparseable NULL row.
+                # pairs on both sides — that is a vacuous PASS on the
+                # diff columns (the witness column guards vacuity).
                 F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_incremental"),
                 F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_inline"),
                 F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
                 .cast("long").alias("n_common"),
             )
-            .withColumn(
-                "match_bp",
-                F.when(
-                    (F.col("n_incremental") == F.col("n_common"))
-                    & (F.col("n_inline") == F.col("n_common")),
-                    F.lit(10000),
-                )
-                .otherwise(
-                    F.floor(
-                        F.lit(10000)
-                        * F.col("n_common")
-                        / F.greatest(F.col("n_incremental"), F.col("n_inline"))
-                    )
-                )
-                .cast("long"),
-            )
+            .collect()[0]
         )
-        rows = stats.collect()
-        return spark.createDataFrame(rows, stats.schema)
+        halves = {
+            int(r["h"]): int(r["c"])
+            for r in docs.groupBy((F.col("doc_id") % 2).alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n_exact_cross = (
+            dedup_ops.ngram_jaccard_pairs(
+                docs, n=3, min_jaccard=0.5, max_shingle_df=20
+            )
+            .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+            .count()
+        )
+        match_bp = (
+            10000
+            if ab.n_incremental == ab.n_common and ab.n_inline == ab.n_common
+            else (10000 * ab.n_common)
+            // max(ab.n_incremental, ab.n_inline, 1)
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    halves.get(0, 0),
+                    halves.get(1, 0),
+                    int(n_exact_cross),
+                    int(ab.n_incremental - ab.n_common),
+                    int(ab.n_inline - ab.n_common),
+                    int(match_bp),
+                )
+            ],
+            "n_index_docs long, n_increment_docs long, "
+            "n_exact_cross_pairs long, n_only_incremental long, "
+            "n_only_oneshot long, match_bp long",
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+# The oracle replays the md5 probe sample + doc_id parity for the half
+# sizes and the capped exact-Jaccard pipeline (same shingling as
+# DEDUP_NGRAM_CAPPED_SQL, threshold 0.5, df cap 20 WITHIN the probe)
+# restricted to cross-parity pairs; the A/B invariant columns are
+# predicted at their must-hold values (diffs 0, match 10000).
+DEDUP_INCREMENTAL_MINHASH_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 2500 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+probe AS (
+  SELECT doc_id, text FROM documents, params
+  WHERE CAST('0x' || substring(md5('incdedup' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS L FROM probe),
+sh0 AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 1), i -> array_to_string(L[i:i+2], ' '))
+    END) AS s
+  FROM toks),
+hot AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY s) WHERE c > 20),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 ANTI JOIN hot USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+cross_pairs AS (
+  SELECT COUNT(*) AS n FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    AND (id_a % 2) <> (id_b % 2)),
+halves AS (
+  SELECT COUNT(*) FILTER (doc_id % 2 = 0) AS n_even,
+         COUNT(*) FILTER (doc_id % 2 = 1) AS n_odd
+  FROM probe)
+SELECT CAST(n_even AS BIGINT) AS n_index_docs,
+       CAST(n_odd AS BIGINT) AS n_increment_docs,
+       CAST((SELECT n FROM cross_pairs) AS BIGINT) AS n_exact_cross_pairs,
+       CAST(0 AS BIGINT) AS n_only_incremental,
+       CAST(0 AS BIGINT) AS n_only_oneshot,
+       CAST(10000 AS BIGINT) AS match_bp
+FROM halves
+"""
 
 
 def events_quantile_sketch_bounds(spark, sf_dir):
@@ -4725,14 +4801,38 @@ def events_quantile_sketch_bounds(spark, sf_dir):
 def multimodal_frame_dup(spark, sf_dir):
     """Frame-level media near-dup pairs over the documents-as-media
     corpus (operators/multimodal.py:frame_dup_pairs): sampled-frame
-    hashes through the capped inverted-index core. Rows-only — the
-    frame sampler's fake decode is Python-side plumbing DuckDB cannot
-    reproduce; pair semantics are unit-tested on synthetic media with
-    known shared frames."""
+    hashes through the capped inverted-index core. Driver-oracled
+    since round 9: the fake decoder and frame sampler are
+    deterministic byte arithmetic (n_frames = 1 + n%24, every 8th
+    frame, 32-byte slice at (fno*17) % n), so the oracle replays them
+    with substring + generate_series and pairs on raw frame EQUALITY —
+    which is exactly what pairing on xxhash64(frame) computes (the
+    hash only buckets; equal hashes = equal bytes modulo 2^-64
+    collisions). Char-slices equal byte-slices on this corpus (ASCII,
+    asserted in tests); pair semantics additionally unit-tested on
+    synthetic media with known shared frames."""
     from .operators.multimodal import documents_as_media, frame_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return frame_dup_pairs(documents_as_media(docs), min_shared=2)
+
+
+MULTIMODAL_FRAME_DUP_SQL = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+frames AS (
+  SELECT DISTINCT doc_id,
+         substring(text, ((fno * 17) % greatest(n, 1)) + 1, 32) AS frame
+  FROM d, UNNEST(generate_series(0, (1 + n % 24) - 1, 8)) AS t(fno)),
+fh AS (SELECT doc_id, frame FROM frames WHERE length(frame) > 0),
+hot AS (SELECT frame FROM fh GROUP BY frame HAVING COUNT(*) > 20),
+cold AS (SELECT fh.* FROM fh ANTI JOIN hot USING (frame))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_frames
+FROM cold a JOIN cold b ON a.frame = b.frame AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
 
 
 def storage_merge_upsert(spark, sf_dir):
@@ -4744,8 +4844,13 @@ def storage_merge_upsert(spark, sf_dir):
     row carries match_bp (must be 10000) plus the audit counts — the
     merge machinery (manifest pruning, anti-join, version swap) is the
     thing under test, the DataFrame expression of the same change is
-    the oracle. Rows-only (the contract column IS the check); tmp table
-    removed eagerly after the one-row result materializes."""
+    the oracle. Driver-oracled since round 9: the batch key sets are
+    arithmetic rules over the md5-sampled base, so STORAGE_MERGE_SQL
+    replays them in DuckDB and predicts the whole contract row —
+    counts AND match_bp — independently of the merge machinery; any
+    dropped/duplicated/corrupted row shifts n_table or n_common and
+    hash-mismatches. Tmp table removed eagerly after the one-row
+    result materializes."""
     import shutil
     import tempfile
 
@@ -4851,6 +4956,31 @@ def storage_merge_upsert(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# The oracle replays the SAME sampling (md5 ppm bucket, identical in
+# both engines by construction — operators/sampling.py:split_bucket)
+# and the SAME arithmetic batch rules, then predicts the contract row
+# the merge machinery must produce: every key %101!=0 survives (with
+# %97 keys updated in place — same key, so counted once) plus one
+# shifted insert per %89 key. A machinery bug cannot satisfy the
+# prediction: a dropped/kept-deleted/duplicated row moves n_table, a
+# corrupted value moves n_common, and match_bp leaves 10000.
+STORAGE_MERGE_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 20000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM orders),
+base AS (
+  SELECT o_orderkey AS k FROM orders, params
+  WHERE CAST('0x' || substring(md5('mergetbl' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+exp AS (
+  SELECT COUNT(*) FILTER (k % 101 <> 0) + COUNT(*) FILTER (k % 89 = 0) AS n
+  FROM base)
+SELECT CAST(n AS BIGINT) AS n_table, CAST(n AS BIGINT) AS n_expected,
+       CAST(n AS BIGINT) AS n_common, CAST(10000 AS BIGINT) AS match_bp
+FROM exp
+"""
+
+
 def storage_compact_table(spark, sf_dir):
     """Self-validating COMPACTION contract (storage/merge.py:
     compact_table — the OPTIMIZE/rewrite-data-files analog): build a
@@ -4863,8 +4993,13 @@ def storage_compact_table(spark, sf_dir):
     10000 — the operator's own stats contract re-checked end-to-end),
     (b) the live table collapsed to one version dir, (c) validate_table
     still passes, and (d) vacuum can now actually reclaim the
-    superseded versions. Rows-only (the contract columns ARE the
-    check); fixed-size sample keeps cost corpus-size-independent; tmp
+    superseded versions. Driver-oracled since round 9: the merges are
+    pure updates (no insert/delete), so STORAGE_COMPACT_SQL predicts
+    n_rows = |sample| plus the version-count invariants (3 before —
+    create + two one-partition merges — 1 after, 3 reclaimed) that are
+    constants of the entry's construction; a compaction that loses or
+    duplicates rows, fails validation, or leaves sprawl breaks the
+    hash. Fixed-size sample keeps cost corpus-size-independent; tmp
     table removed eagerly."""
     import shutil
     import tempfile
@@ -4947,6 +5082,21 @@ def storage_compact_table(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+STORAGE_COMPACT_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 20000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM orders),
+base AS (
+  SELECT o_orderkey AS k FROM orders, params
+  WHERE CAST('0x' || substring(md5('compacttbl' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS versions_before,
+       CAST(1 AS BIGINT) AS versions_after, CAST(3 AS BIGINT) AS reclaimed_versions,
+       CAST(1 AS BIGINT) AS valid_ok, CAST(10000 AS BIGINT) AS match_bp
+FROM base
+"""
+
+
 def storage_scd2_history(spark, sf_dir):
     """Self-validating SCD2 dimension-history contract (storage/
     scd2.py): build a customer dimension, apply two effective-dated
@@ -4957,9 +5107,13 @@ def storage_scd2_history(spark, sf_dir):
     business-time read between the batches and the current read after
     them. The emitted row carries asof_match_bp / current_match_bp
     (both must be 10000), n_overlap_problems (must be 0 — the interval
-    invariants over the full history), and the audit counts. Rows-only
-    (the contract columns ARE the check); fixed-size sample keeps the
-    cost corpus-size-independent; tmp table removed eagerly.
+    invariants over the full history), and the audit counts.
+    Driver-oracled since round 9: every count is a sum of modulus-rule
+    set sizes over the md5-sampled base (STORAGE_SCD2_SQL replays
+    them — e.g. n_intervals = |K| + chg1 + new + chg2 + re-inserts),
+    so a missed close, spurious interval, or wrong as-of read moves a
+    count and hash-mismatches. Fixed-size sample keeps the cost
+    corpus-size-independent; tmp table removed eagerly.
 
     Cost note: ~7 s warm at any SF — three versioned writes plus the
     substrate's guard/stat jobs (~25 fixed-overhead Spark jobs), i.e.
@@ -5113,6 +5267,41 @@ def storage_scd2_history(spark, sf_dir):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# Set algebra behind the predicted counts (k ranges over sampled
+# ORIGINAL keys; every %17 key also enters as a shifted NEW key):
+#   intervals: initial |K| + batch-1 changes (%7, not deleted) + new
+#              keys + batch-2 changes (%14, %13-disjoint) + re-inserts
+#              (%26 ⊂ %13 deleted set)
+#   open/current: survivors (%13<>0) + re-inserts + new keys
+#   as-of 25:  survivors + new keys (re-inserts happen at ts=30)
+STORAGE_SCD2_SQL = """
+WITH params AS (
+  SELECT LEAST(800000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 4000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM customer),
+base AS (
+  SELECT c_custkey AS k FROM customer, params
+  WHERE CAST('0x' || substring(md5('scd2' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+c AS (
+  SELECT COUNT(*) AS n_all,
+         COUNT(*) FILTER (k % 17 = 0) AS n_new,
+         COUNT(*) FILTER (k % 7 = 0 AND k % 13 <> 0) AS n_chg1,
+         COUNT(*) FILTER (k % 14 = 0 AND k % 13 <> 0) AS n_chg2,
+         COUNT(*) FILTER (k % 26 = 0) AS n_re,
+         COUNT(*) FILTER (k % 13 <> 0) AS n_live
+  FROM base)
+SELECT CAST(n_all + n_new AS BIGINT) AS n_keys,
+       CAST(n_all + n_chg1 + n_new + n_chg2 + n_re AS BIGINT) AS n_intervals,
+       CAST(n_live + n_re + n_new AS BIGINT) AS n_open,
+       CAST(n_live + n_new AS BIGINT) AS n_asof,
+       CAST(n_live + n_re + n_new AS BIGINT) AS n_current,
+       CAST(10000 AS BIGINT) AS asof_match_bp,
+       CAST(10000 AS BIGINT) AS current_match_bp,
+       CAST(0 AS BIGINT) AS n_overlap_problems
+FROM c
+"""
 
 
 def text_bpe_learn(spark, sf_dir):
@@ -5694,15 +5883,79 @@ def orders_basket_rules(spark, sf_dir):
     )
 
 
+def embeddings_gram_moments(spark, sf_dir):
+    """The exact integer-quantized Gramian itself, emitted element by
+    element — this is the DISTRIBUTED HALF of both embeddings_pca_
+    variance and embeddings_mahalanobis_outliers (operators/linalg.py:
+    gram_partials + the decimal-exact combine); everything after it
+    (eigh, precision solve) is O(dim²) driver math on these integers.
+    One row per moment: pos -1 = row count, pos 0..63 = Σ q_i,
+    pos 64.. = row-major Σ q_i·q_j with q = floor(x·2¹⁶) on the
+    float64-widened vectors. DuckDB replays the identical quantization
+    (same IEEE double ops) and sums the same products, so the oracle
+    pins the accumulator BIT-EXACTLY — any partial lost in the
+    combine, any skipped/double-counted row, any quantization drift
+    hash-mismatches. Shuffle volume is partitions × (dim²+dim+1),
+    row-count-independent: the 100 TB shape."""
+    from .operators.linalg import gram_partials
+
+    emb = _t(spark, sf_dir, "embeddings")
+    partials = gram_partials(emb, "embedding", dim=64)
+    combined = (
+        partials.select(
+            F.col("n").cast("decimal(38,0)").alias("v0"),
+            F.posexplode("acc").alias("pos", "v"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum("v0").alias("sn"),
+        )
+    )
+    # long cast is loud-on-overflow under ANSI; bounds here are
+    # |q| <= 2^16 so Σ q·q <= n·2^32 — int64-safe through corpora of
+    # ~2^31 rows, far past any bench SF
+    return combined.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("sv").cast("long").alias("val"),
+    ).unionByName(
+        combined.filter(F.col("pos") == 0).select(
+            F.lit(-1).cast("long").alias("pos"),
+            F.col("sn").cast("long").alias("val"),
+        )
+    )
+
+
+EMBEDDINGS_GRAM_MOMENTS_SQL = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 65536.0) AS BIGINT) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+sums AS (SELECT CAST(i AS BIGINT) AS pos, CAST(SUM(qv) AS BIGINT) AS val
+         FROM q GROUP BY i),
+gram AS (SELECT CAST(64 + a.i * 64 + b.i AS BIGINT) AS pos,
+                CAST(SUM(a.qv * b.qv) AS BIGINT) AS val
+         FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+nr AS (SELECT CAST(-1 AS BIGINT) AS pos,
+              CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS val FROM q)
+SELECT pos, val FROM sums
+UNION ALL SELECT pos, val FROM gram
+UNION ALL SELECT pos, val FROM nr
+"""
+
+
 def embeddings_pca_variance(spark, sf_dir):
     """Distributed PCA variance decomposition over the embeddings
     table (operators/linalg.py:pca_variance): one pass accumulates an
     EXACT integer-quantized Gramian (one O(dim²) partial per
     partition; decimal-exact combine — shuffle volume independent of
     row count), the driver does the O(dim²) eigh. The whitening /
-    Mahalanobis / SemDeDup-preprocessing primitive. Rows-only: the
-    emitted rows carry the contract (trace preservation, PSD,
-    monotone spectrum, orthonormal basis) the gate enforces."""
+    Mahalanobis / SemDeDup-preprocessing primitive. Rows-only for the
+    eigendecomposition itself, but the distributed half — the Gramian
+    accumulator this reads — is driver-oracled bit-exactly by
+    embeddings_gram_moments; the emitted rows carry the contract
+    (trace preservation, PSD, monotone spectrum, orthonormal basis)
+    the gate enforces on the driver half."""
     emb = _t(spark, sf_dir, "embeddings")
     return linalg_ops.pca_variance(
         spark, emb, vec_col="embedding", dim=64, top_k=8
@@ -5820,8 +6073,12 @@ def storage_table_diff(spark, sf_dir):
     classified (key, change_type) set to EQUAL the planted sets
     (match_bp == 10000). The diff itself scans only changed-partition
     version dirs (pruning asserted in test_merge_table.py); carried
-    keep-rows inside rewritten partitions must NOT surface. Rows-only;
-    tmp table removed after the one-row result materializes."""
+    keep-rows inside rewritten partitions must NOT surface.
+    Driver-oracled since round 9: STORAGE_TABLE_DIFF_SQL replays the
+    planted modulus rules and predicts every per-change-type count —
+    a carried keep-row surfacing, a missed delete, or a misclassified
+    change moves n_diff/n_common off the prediction. Tmp table removed
+    after the one-row result materializes."""
     import shutil
     import tempfile
 
@@ -5909,6 +6166,28 @@ def storage_table_diff(spark, sf_dir):
         return spark.createDataFrame(rows, stats.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+STORAGE_TABLE_DIFF_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 10000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM orders),
+base AS (
+  SELECT o_orderkey AS k FROM orders, params
+  WHERE CAST('0x' || substring(md5('difftbl' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+c AS (
+  SELECT COUNT(*) FILTER (k % 97 = 0 AND k % 101 <> 0) AS n_upd,
+         COUNT(*) FILTER (k % 89 = 0) AS n_ins,
+         COUNT(*) FILTER (k % 101 = 0) AS n_del
+  FROM base)
+SELECT CAST(n_upd + n_ins + n_del AS BIGINT) AS n_diff,
+       CAST(n_upd + n_ins + n_del AS BIGINT) AS n_planted,
+       CAST(n_upd + n_ins + n_del AS BIGINT) AS n_common,
+       CAST(n_upd AS BIGINT) AS n_updates, CAST(n_ins AS BIGINT) AS n_inserts,
+       CAST(n_del AS BIGINT) AS n_deletes, CAST(10000 AS BIGINT) AS match_bp
+FROM c
+"""
 
 
 def customers_rfm_segments(spark, sf_dir):
@@ -6683,25 +6962,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
-    # --- Driver-window rotation (round 8) -------------------------------
+    # --- Driver-window rotation (round 9) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 8 fifth continuation: the six newest (triangles, pagerank,
-    # IVM, quarantine routing, expectations gate, integrity audit —
-    # all oracled) lead the window, then the fifteen earlier round-8
-    # entries — the three
-    # fourth-continuation additions (LM surprise, table compaction,
-    # learned quality gate), then the five
-    # third-continuation additions (editdist dedup, basket rules, PCA,
-    # peak concurrency, Mahalanobis), then the three second-
-    # continuation ones (MAD outliers, SCD2 history, BPE training),
-    # then the four from the main session — followed by the round-7
-    # block (whose dedup_incremental_minhash / storage_merge_upsert
-    # contracts got the ADVICE coalesce fix and should be re-checked),
-    # then round 6. Every entry registered before this round has at
-    # least one driver-green row (r1-r7). Ordering is
-    # presentation-only: every entry runs identically regardless of
-    # position.
-    # --- new in round 8 (lead the window so the driver checks them) -----
+    # Round 9: the new Gramian-moments entry leads, and seven formerly
+    # rows-only entries in this window gained DuckDB oracles (the four
+    # storage contracts via arithmetic-rule replay, frame dup via the
+    # deterministic fake-decode replay, incremental minhash via the
+    # invariant+witness redesign) — keep them in the window for their
+    # first oracled driver check. Ordering is presentation-only: every
+    # entry runs identically regardless of position.
+    # --- new in round 9 (lead the window so the driver checks them) -----
+    "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
+    # --- new in round 8 ---------------------------------------------------
     "graph_part_pagerank": (graph_part_pagerank, GRAPH_PART_PAGERANK_SQL),
     "graph_part_triangles": (graph_part_triangles, GRAPH_PART_TRIANGLES_SQL),
     "graph_related_parts": (graph_related_parts, GRAPH_RELATED_PARTS_SQL),
@@ -6710,7 +6982,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_quarantine_stats": (corpus_quarantine_stats, CORPUS_QUARANTINE_SQL),
     "schema_integrity_audit": (schema_integrity_audit, SCHEMA_INTEGRITY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
-    "storage_compact_table": (storage_compact_table, None),
+    "storage_compact_table": (storage_compact_table, STORAGE_COMPACT_SQL),
     "curation_quality_classifier": (curation_quality_classifier, None),
     "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
@@ -6718,9 +6990,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_peak_concurrency": (events_peak_concurrency, EVENTS_PEAK_CONCURRENCY_SQL),
     "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, None),
     "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
-    "storage_table_diff": (storage_table_diff, None),
+    "storage_table_diff": (storage_table_diff, STORAGE_TABLE_DIFF_SQL),
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
-    "storage_scd2_history": (storage_scd2_history, None),
+    "storage_scd2_history": (storage_scd2_history, STORAGE_SCD2_SQL),
     "text_bpe_learn": (text_bpe_learn, None),
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, None),
@@ -6733,10 +7005,10 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_rare_bigram_ratio": (text_rare_bigram_ratio, TEXT_RARE_BIGRAM_SQL),
     "corpus_column_profile": (corpus_column_profile, CORPUS_COLUMN_PROFILE_SQL),
     "curation_leakage_safe_split": (curation_leakage_safe_split, CURATION_LEAKAGE_SPLIT_SQL),
-    "dedup_incremental_minhash": (dedup_incremental_minhash, None),
+    "dedup_incremental_minhash": (dedup_incremental_minhash, DEDUP_INCREMENTAL_MINHASH_SQL),
     "events_quantile_sketch_bounds": (events_quantile_sketch_bounds, None),
-    "multimodal_frame_dup": (multimodal_frame_dup, None),
-    "storage_merge_upsert": (storage_merge_upsert, None),
+    "multimodal_frame_dup": (multimodal_frame_dup, MULTIMODAL_FRAME_DUP_SQL),
+    "storage_merge_upsert": (storage_merge_upsert, STORAGE_MERGE_SQL),
     "orders_weekly_revenue_wow": (orders_weekly_revenue_wow, ORDERS_WEEKLY_WOW_SQL),
     "nation_order_full_outer": (nation_order_full_outer, NATION_ORDER_FULL_OUTER_SQL),
     # --- new in round 6 -------------------------------------------------

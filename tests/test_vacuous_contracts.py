@@ -23,5 +23,11 @@ def test_incremental_minhash_vacuous_pass_on_unique_corpus(spark, tmp_path):
     out = queries.dedup_incremental_minhash(spark, str(sf)).collect()
     assert len(out) == 1
     r = out[0]
-    assert (r.n_incremental, r.n_inline, r.n_common) == (0, 0, 0)
+    # all-unique corpus: no pairs on either side, no exact cross
+    # near-dups — the diffs are zero BY VACUITY and the witness column
+    # makes that visible instead of indistinguishable from a real pass
+    assert (r.n_only_incremental, r.n_only_oneshot) == (0, 0)
+    assert r.n_exact_cross_pairs == 0
+    # the 50%-ppm md5 sample keeps a deterministic subset of the 12
+    assert 0 < r.n_index_docs + r.n_increment_docs <= 12
     assert r.match_bp == 10000
