@@ -6655,6 +6655,88 @@ FROM final GROUP BY status ORDER BY status
 """
 
 
+def storage_ivm_minmax(spark, sf_dir):
+    """MIN/MAX incremental view maintenance — the HYBRID path
+    (storage/ivm.py:refresh_extrema) that completes the aggregate
+    family: extrema are not self-maintainable (a deleted extremum
+    needs its group rescanned by definition), so the refresh keeps
+    inserts/updates incremental and rescans ONLY endangered groups.
+    Same planted arithmetic as storage_incremental_agg (update +500
+    cents on k%3&~k%7, inserts from the k%200==3 slice, deletes on
+    k%7 — which, at TPC-H's price spread, reliably delete per-status
+    extrema, exercising the rescan leg), and the oracle recomputes the
+    final per-status MIN/MAX from the same rules — an extremum kept
+    stale after its holder's delete, or a rescan that read the wrong
+    snapshot, hash-mismatches. The no-endangered fast path (zero table
+    reads) and the tie-delete case are pytest-certified
+    (tests/test_ivm.py test_extrema_*)."""
+    import shutil
+    import tempfile
+
+    from .storage.ivm import full_extrema, refresh_extrema
+    from .storage.merge import create_table, merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="ivm-ext-")
+    try:
+        both = orders.filter(
+            (F.col("k") % 200).isin(1, 3)
+        ).localCheckpoint()
+        base = both.filter(F.col("k") % 200 == 1)
+        inserts_src = both.filter(F.col("k") % 200 == 3)
+        create_table(base, d, ["k"], "status")
+        state = full_extrema(spark, d, ["status"], ["cents"], snapshot=1)
+
+        updates = (
+            base.filter((F.col("k") % 3 == 0) & (F.col("k") % 7 != 0))
+            .withColumn("cents", F.col("cents") + F.lit(500))
+            .withColumn("is_deleted", F.lit(False))
+        )
+        inserts = inserts_src.withColumn("is_deleted", F.lit(False))
+        deletes = base.filter(F.col("k") % 7 == 0).withColumn(
+            "is_deleted", F.lit(True)
+        )
+        merge_upsert(
+            updates.unionByName(inserts).unionByName(deletes),
+            d,
+            delete_col="is_deleted",
+        )
+        state = refresh_extrema(spark, d, state, 1, ["status"], ["cents"])
+
+        out = state.select(
+            "status", "n_rows", "min_cents", "max_cents"
+        ).orderBy("status")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+STORAGE_IVM_MINMAX_SQL = """
+WITH slice AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 200 IN (1, 3)
+),
+final AS (
+  SELECT status,
+         cents
+           + CASE WHEN k % 200 = 1 AND k % 3 = 0 AND k % 7 <> 0
+             THEN 500 ELSE 0 END AS cents
+  FROM slice
+  WHERE NOT (k % 200 = 1 AND k % 7 = 0)
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM final GROUP BY status ORDER BY status
+"""
+
+
 def corpus_expectations_gate(spark, sf_dir):
     """Declarative data-quality gate over the documents corpus
     (operators/expectations.py) — the contract-first audit a pipeline
@@ -6973,6 +7055,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # entry runs identically regardless of position.
     # --- new in round 9 (lead the window so the driver checks them) -----
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
+    "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),
     # --- new in round 8 ---------------------------------------------------
     "graph_part_pagerank": (graph_part_pagerank, GRAPH_PART_PAGERANK_SQL),
     "graph_part_triangles": (graph_part_triangles, GRAPH_PART_TRIANGLES_SQL),

@@ -24,10 +24,12 @@ engine's own CDC read (storage/merge.py:table_diff):
   snapshot to the head (changed-partition pruned), delta, apply.
 
 Maintained aggregates are COUNT and SUM — the self-maintainable class
-(every delete is fully determined by the preimage). MIN/MAX are NOT
-offered: a deleted extremum needs a rescan of its group by definition,
-and pretending otherwise silently corrupts state; recompute those
-groups with ``aggregate_state`` instead.
+(every delete is fully determined by the preimage) — plus MIN/MAX via
+the HYBRID path (``extrema_state`` / ``refresh_extrema``): a deleted
+extremum needs a rescan of its group by definition, so the refresh
+maintains inserts/updates incrementally and rescans ONLY groups whose
+stored extremum a leaving preimage touched; a refresh with no
+extremum deletes does zero table reads.
 
 Only exact integer/long sums are maintained (the battery's
 no-floats-across-aggregation-boundaries rule): incremental float sums
@@ -213,6 +215,213 @@ def full_state(
     if missing:
         raise ValueError(f"full_state: group columns {missing} not in table")
     return aggregate_state(t, group_cols, sum_cols)
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX: the hybrid (incremental + group-rescan) maintenance
+# ---------------------------------------------------------------------------
+#
+# MIN/MAX are not self-maintainable: deleting a group's extremum needs
+# a rescan of that group BY DEFINITION (the runner-up is not in the
+# state). The hybrid completes the aggregate family honestly:
+#
+# - inserts and arriving update postimages maintain incrementally
+#   (least/greatest of state and candidate — exact);
+# - a refresh rescans ONLY the groups where a LEAVING preimage touched
+#   the stored extremum (value <= min or >= max) and the group still
+#   has rows. Everything else never rereads the table.
+#
+# Cost: O(changes) + one filtered scan of the endangered groups' data.
+# Group by the partition column and the rescan is partition-pruned;
+# the common refresh (no extremum deleted) does ZERO table reads — the
+# empty-endangered fast path is checked driver-side on a frame bounded
+# by the diff's group count.
+
+
+def extrema_state(
+    table_df: DataFrame, group_cols: list[str], ext_cols: list[str]
+) -> DataFrame:
+    """Full recompute: one row per group with ``n_rows`` plus
+    ``min_<c>`` / ``max_<c>`` for each extremum column (exact BIGINT;
+    null iff every value in the group is null)."""
+    _check_cols(group_cols, ext_cols)
+    _check_sum_dtypes(table_df, ext_cols, "extrema_state")
+    return table_df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(_COUNT),
+        *[
+            agg
+            for c in ext_cols
+            for agg in (
+                F.min(F.col(c).cast("long")).alias(f"min_{c}"),
+                F.max(F.col(c).cast("long")).alias(f"max_{c}"),
+            )
+        ],
+    )
+
+
+def full_extrema(
+    spark: SparkSession,
+    table_dir: str,
+    group_cols: list[str],
+    ext_cols: list[str],
+    snapshot: int | None = None,
+) -> DataFrame:
+    """``extrema_state`` over a (possibly time-traveled) table read."""
+    t = read_table(spark, table_dir, snapshot=snapshot)
+    if t is None:
+        raise ValueError(f"full_extrema: empty/unknown table at {table_dir}")
+    for c in ext_cols:
+        if c not in t.columns:
+            t = t.withColumn(c, F.lit(None).cast("long"))
+    return extrema_state(t, group_cols, ext_cols)
+
+
+def refresh_extrema(
+    spark: SparkSession,
+    table_dir: str,
+    state: DataFrame,
+    from_snapshot: int,
+    group_cols: list[str],
+    ext_cols: list[str],
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """One MIN/MAX refresh step: state at ``from_snapshot`` -> state at
+    ``to_snapshot`` (default head). Incremental for everything except
+    groups whose stored extremum was touched by a leaving preimage —
+    exactly those are recomputed from the live table (see the section
+    comment for the cost model)."""
+    _check_cols(group_cols, ext_cols)
+    diff = table_diff(
+        spark, table_dir, from_snapshot, to_snapshot, include_values=True
+    )
+    have = set(diff.columns)
+
+    def image(c: str, side: str):
+        tagged = f"{side}_{c}"
+        if tagged in have:
+            return F.col(tagged)
+        if c in have:  # key column: stable across a change
+            return F.col(c)
+        raise ValueError(
+            f"refresh_extrema: column {c!r} not in diff (was the diff "
+            "built with include_values=True?)"
+        )
+
+    # signed row-count delta rides the existing sum machinery
+    cnt_delta = delta_from_diff(diff, group_cols, [])
+
+    # arriving postimages: per-group extremum candidates (exact to merge)
+    post = (
+        diff.filter(F.col("change_type") != "delete")
+        .groupBy(*[image(c, "new").alias(c) for c in group_cols])
+        .agg(
+            *[
+                agg
+                for c in ext_cols
+                for agg in (
+                    F.min(image(c, "new").cast("long")).alias(f"cand_min_{c}"),
+                    F.max(image(c, "new").cast("long")).alias(f"cand_max_{c}"),
+                )
+            ]
+        )
+    )
+
+    # leaving preimages: endangered iff the value ties or beats the
+    # stored extremum (<= min catches ties — several rows can share the
+    # extremum and ONE leaving is already unsafe to keep incrementally)
+    pre = diff.filter(F.col("change_type") != "insert").select(
+        *[image(c, "old").alias(c) for c in group_cols],
+        *[image(c, "old").cast("long").alias(f"_lv_{c}") for c in ext_cols],
+    )
+    p, st = pre.alias("p"), state.alias("st")
+    cond = [
+        F.col(f"p.{c}").eqNullSafe(F.col(f"st.{c}")) for c in group_cols
+    ]
+    touch = F.lit(False)
+    for c in ext_cols:
+        v = F.col(f"p._lv_{c}")
+        touch = touch | (
+            v.isNotNull()
+            & ((v <= F.col(f"st.min_{c}")) | (v >= F.col(f"st.max_{c}")))
+        )
+    endangered = (
+        p.join(st, cond, "inner")
+        .filter(touch)
+        .select(*[F.col(f"p.{c}") for c in group_cols])
+        .distinct()
+        .localCheckpoint()  # consumed by anti-join + semi-join below
+    )
+
+    # incremental path: count via signed delta, extrema via least/greatest
+    s, d = state.alias("s"), cnt_delta.alias("d")
+    base = s.join(
+        d,
+        [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in group_cols],
+        "full_outer",
+    )
+    zero = F.lit(0).cast("long")
+    incremental = (
+        base.join(
+            post.alias("po"),
+            [
+                F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).eqNullSafe(
+                    F.col(f"po.{c}")
+                )
+                for c in group_cols
+            ],
+            "left",
+        )
+        .select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+                for c in group_cols
+            ],
+            (
+                F.coalesce(F.col(f"s.{_COUNT}"), zero)
+                + F.coalesce(F.col(f"d.d_{_COUNT}"), zero)
+            ).alias(_COUNT),
+            *[
+                col
+                for c in ext_cols
+                for col in (
+                    F.least(F.col(f"s.min_{c}"), F.col(f"po.cand_min_{c}"))
+                    .alias(f"min_{c}"),
+                    F.greatest(F.col(f"s.max_{c}"), F.col(f"po.cand_max_{c}"))
+                    .alias(f"max_{c}"),
+                )
+            ],
+        )
+        .filter(F.col(_COUNT) != 0)
+    )
+
+    # empty-endangered fast path: ZERO table reads on the common refresh
+    # (the frame is bounded by the diff's changed-group count, so the
+    # existence probe is one tiny job, not a collect of unbounded keys)
+    if not endangered.limit(1).count():
+        return incremental
+
+    head = read_table(spark, table_dir, snapshot=to_snapshot)
+    if head is None:  # table fully deleted: nothing left to rescan
+        return incremental
+    for c in ext_cols:
+        if c not in head.columns:
+            head = head.withColumn(c, F.lit(None).cast("long"))
+    e = endangered.alias("e")
+    rescan = extrema_state(
+        head.alias("h").join(
+            F.broadcast(e),
+            [F.col(f"h.{c}").eqNullSafe(F.col(f"e.{c}")) for c in group_cols],
+            "left_semi",
+        ),
+        group_cols,
+        ext_cols,
+    )
+    kept = incremental.alias("i").join(
+        F.broadcast(e),
+        [F.col(f"i.{c}").eqNullSafe(F.col(f"e.{c}")) for c in group_cols],
+        "left_anti",
+    )
+    return kept.unionByName(rescan)
 
 
 # ---------------------------------------------------------------------------
@@ -471,7 +680,8 @@ def _check_cols(group_cols: list[str], sum_cols: list[str]) -> None:
     bad = [
         c
         for c in group_cols
-        if c == _COUNT or c.startswith("sum_") or c.startswith("d_")
+        if c == _COUNT
+        or c.startswith(("sum_", "d_", "min_", "max_", "cand_", "_lv_"))
     ]
     if bad:
         raise ValueError(

@@ -699,3 +699,138 @@ def test_delete_only_diff_of_evolved_column_is_typed(spark, tdir):
     assert dt["old_w"] == "bigint" and dt["new_w"] == "bigint"
     assert dt["old_v"] == "bigint" and dt["new_v"] == "bigint"
     assert all(r["new_v"] is None and r["old_v"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX hybrid maintenance (extrema_state / refresh_extrema)
+# ---------------------------------------------------------------------------
+
+from factstore_spark.storage.ivm import (  # noqa: E402
+    extrema_state,
+    full_extrema,
+    refresh_extrema,
+)
+
+
+def test_extrema_refresh_equals_recompute_under_extremum_deletes(spark, tdir):
+    """The defining case: delete a group's stored MIN and (elsewhere) a
+    stored MAX — the hybrid must rescan exactly those groups and land
+    on the recompute, runner-up values and all."""
+    base = _mk(
+        spark,
+        [
+            (1, "p1", "a", 10, False),
+            (2, "p1", "a", 20, False),
+            (3, "p1", "a", 30, False),
+            (4, "p2", "b", 40, False),
+            (5, "p2", "b", 50, False),
+            (6, "p2", "b", 60, False),
+        ],
+    ).drop("is_deleted")
+    create_table(base, tdir, ["k"], "part")
+    state = full_extrema(spark, tdir, ["grp"], ["v"], snapshot=1)
+    # delete group a's min (k=1, v=10) and group b's max (k=6, v=60)
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 10, True), (6, "p2", "b", 60, True)]),
+        tdir,
+        delete_col="is_deleted",
+    )
+    got = refresh_extrema(spark, tdir, state, 1, ["grp"], ["v"])
+    assert _rows(got) == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+    rows = {r["grp"]: (r["n_rows"], r["min_v"], r["max_v"]) for r in got.collect()}
+    assert rows == {"a": (2, 20, 30), "b": (2, 40, 50)}
+
+
+def test_extrema_tie_delete_rescans_correctly(spark, tdir):
+    """Two rows share the min; deleting ONE of them must keep the min
+    (the naive 'deleted value == stored min -> unknown' shortcut that
+    skips the rescan would wrongly bump it)."""
+    base = _mk(
+        spark,
+        [
+            (1, "p1", "a", 10, False),
+            (2, "p1", "a", 10, False),
+            (3, "p1", "a", 30, False),
+        ],
+    ).drop("is_deleted")
+    create_table(base, tdir, ["k"], "part")
+    state = full_extrema(spark, tdir, ["grp"], ["v"], snapshot=1)
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 10, True)]), tdir, delete_col="is_deleted"
+    )
+    got = refresh_extrema(spark, tdir, state, 1, ["grp"], ["v"])
+    assert _rows(got) == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+    r = got.collect()[0]
+    assert (r["n_rows"], r["min_v"], r["max_v"]) == (2, 10, 30)
+
+
+def test_extrema_insert_update_migration_incremental(spark, tdir):
+    """Inserts, improving updates, and group migration maintain
+    incrementally; chained refreshes equal the recompute at each step."""
+    _base(spark, tdir)  # a: (10, 20), b: (30, 40)
+    state = full_extrema(spark, tdir, ["grp"], ["v"], snapshot=1)
+    # insert new max into a; migrate k=3 from b to a (taking b's min
+    # away -> endangered); update k=4 to a new max of b
+    merge_upsert(
+        _mk(
+            spark,
+            [
+                (5, "p1", "a", 99, False),
+                (3, "p2", "a", 30, False),
+                (4, "p2", "b", 70, False),
+            ],
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    state = refresh_extrema(spark, tdir, state, 1, ["grp"], ["v"])
+    assert _rows(state) == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+    # second refresh on top of the maintained state: delete-to-zero group
+    merge_upsert(
+        _mk(spark, [(4, "p2", "b", 70, True)]), tdir, delete_col="is_deleted"
+    )
+    state = refresh_extrema(spark, tdir, state, 2, ["grp"], ["v"])
+    assert _rows(state) == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+    assert {r["grp"] for r in state.collect()} == {"a"}
+
+
+def test_extrema_no_endangered_refresh_reads_no_table_files(spark, tdir, monkeypatch):
+    """A refresh whose changes never touch a stored extremum must not
+    reread the table: the empty-endangered fast path returns before
+    read_table is ever called."""
+    import factstore_spark.storage.ivm as ivm_mod
+
+    base = _mk(
+        spark,
+        [
+            (1, "p1", "a", 10, False),
+            (2, "p1", "a", 20, False),   # strictly-interior value
+            (3, "p1", "a", 30, False),
+            (4, "p2", "b", 40, False),
+            (5, "p2", "b", 60, False),
+        ],
+    ).drop("is_deleted")
+    create_table(base, tdir, ["k"], "part")
+    state = full_extrema(spark, tdir, ["grp"], ["v"], snapshot=1)
+    # insert 50 strictly inside b's (40, 60) + interior update 20 -> 25:
+    # no leaving preimage touches a stored extremum
+    merge_upsert(
+        _mk(spark, [(6, "p2", "b", 50, False), (2, "p1", "a", 25, False)]),
+        tdir,
+        delete_col="is_deleted",
+    )
+
+    def forbidden(*a, **k):
+        raise AssertionError("refresh_extrema reread the table without need")
+
+    monkeypatch.setattr(ivm_mod, "read_table", forbidden)
+    got = refresh_extrema(spark, tdir, state, 1, ["grp"], ["v"])
+    monkeypatch.undo()
+    assert _rows(got) == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+
+
+def test_extrema_float_column_rejected(spark, tdir):
+    _base(spark, tdir)
+    t = spark.createDataFrame([(1, "a", 1.5)], "k long, grp string, v double")
+    with pytest.raises(ValueError, match="non-integral"):
+        extrema_state(t, ["grp"], ["v"])
