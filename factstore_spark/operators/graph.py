@@ -182,7 +182,15 @@ def pagerank(
 
     def rank_side(r: DataFrame) -> DataFrame:
         r = r.withColumnRenamed("node", "src")
-        return F.broadcast(r) if hint_broadcast else r
+        if hint_broadcast:
+            return F.broadcast(r)
+        # big-graph leg: SHUFFLED HASH, not sort-merge — SMJ re-sorts
+        # the (pinned, far larger) edge side every superstep, measured
+        # 3.3x the broadcast leg at 24M edges; hashing the rank side
+        # (one row per node, the smaller side by the multigraph's
+        # average degree) streams the edges unsorted. K=10 leg in
+        # docs/SCALE.md (round 9).
+        return r.hint("shuffle_hash")
 
     if regular:
         # dst_is_seed tagged onto the pinned edges once, so the

@@ -248,8 +248,10 @@ def test_max_degree_drops_hub_triangles(spark):
 
 
 def test_big_graph_path_no_broadcast_same_results(spark):
-    """broadcast_max_nodes=0 forces the 1e9-node plan: ranks join
-    sort-merge against src-pinned edges, results bit-identical."""
+    """broadcast_max_nodes=0 forces the 1e9-node plan: ranks hash-join
+    (shuffled-hash hint — measured 1.4x over sort-merge at 24M edges,
+    docs/SCALE.md round 9) against src-pinned edges, results
+    bit-identical."""
     edges = [(i % 17, (i * 3 + 1) % 17) for i in range(80)]
     edges = [e for e in edges if e[0] != e[1]]
     df = spark.createDataFrame(edges, "src long, dst long")
@@ -258,6 +260,10 @@ def test_big_graph_path_no_broadcast_same_results(spark):
     plan = big._jdf.queryExecution().executedPlan().toString()
     assert "Join" in plan, plan  # non-vacuous: superstep join visible
     assert "BroadcastHashJoin" not in plan
+    # the superstep join must take the hinted shuffled-hash strategy,
+    # not fall back to sort-merge (which re-sorts the edge side per
+    # superstep)
+    assert "ShuffledHashJoin" in plan, plan
     assert {(r["node"], r["rank"]) for r in small.collect()} == {
         (r["node"], r["rank"]) for r in big.collect()
     }
