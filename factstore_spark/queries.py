@@ -5667,9 +5667,13 @@ def storage_bucketed_join(spark, sf_dir):
     at 100 TB is the difference between re-shuffling the fact table on
     every join and never shuffling it again — and (b) the bucketed join
     returns exactly the plain parquet join's rows (match_bp 10000).
-    Rows-only (the emitted row IS the check); tables and warehouse dirs
-    are per-run temporaries dropped eagerly. Bench cost is O(1) beyond
-    sf0.1 via the fixed-size key cap."""
+    Driver-oracled since round 9: n_join_rows is the exact md5-sample
+    join cardinality (STORAGE_BUCKETED_JOIN_SQL recomputes it from the
+    raw parquet), and the plan/equality invariants are predicted at
+    their must-hold values — a bucketed write that drops or duplicates
+    rows moves n_join_rows or match_bp off the prediction. Tables and
+    warehouse dirs are per-run temporaries dropped eagerly. Bench cost
+    is O(1) beyond sf0.1 via the fixed-size key cap."""
     import io
     import shutil
     import tempfile
@@ -5744,6 +5748,26 @@ def storage_bucketed_join(spark, sf_dir):
         for t in (t_o, t_l):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+STORAGE_BUCKETED_JOIN_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 20000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM orders),
+o AS (
+  SELECT o_orderkey FROM orders, params
+  WHERE CAST('0x' || substring(md5('bjoin' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+l AS (
+  SELECT l_orderkey FROM lineitem, params
+  WHERE CAST('0x' || substring(md5('bjoin' || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows,
+       CAST(1 AS BIGINT) AS no_exchange,
+       CAST(1 AS BIGINT) AS sort_merge,
+       CAST(10000 AS BIGINT) AS match_bp,
+       CAST(1 AS BIGINT) AS contract_ok
+FROM l JOIN o ON l_orderkey = o_orderkey
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -7080,7 +7104,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, None),
     "embeddings_random_projection": (embeddings_random_projection, None),
-    "storage_bucketed_join": (storage_bucketed_join, None),
+    "storage_bucketed_join": (storage_bucketed_join, STORAGE_BUCKETED_JOIN_SQL),
     # --- new in round 7 -------------------------------------------------
     "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
     "lineitem_part_pairs": (lineitem_part_pairs, LINEITEM_PART_PAIRS_SQL),
