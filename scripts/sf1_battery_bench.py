@@ -20,9 +20,10 @@ Amplification keeps EVERY column and keeps join keys consistent:
   true sf1 would also grow customer/part 10x — per-key fan-in here is
   therefore 10x sf1's, which only makes the skew test harsher)
 
-Usage: python scripts/sf1_battery_bench.py [K] [out_dir]
-Prints one markdown table row per entry (one run each, after a scan
-warm-up), for docs/SCALE.md.
+Usage: python scripts/sf1_battery_bench.py [K] [out_dir] [entry ...]
+Extra args select specific registry entries instead of TOP20 (reuses
+an existing out_dir build when present). Prints one markdown table row
+per entry (one run each, after a scan warm-up), for docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -151,17 +152,21 @@ def build(spark, k: int, out: str) -> None:
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_battery"
+    entries = sys.argv[3:] or TOP20
     spark = get_spark(app_name="sf1-battery-bench")
-    t0 = time.time()
-    build(spark, k, out)
-    print(f"amplified K={k} -> {out} in {time.time() - t0:.1f}s", flush=True)
+    if sys.argv[3:] and os.path.isdir(out):
+        print(f"reusing existing build at {out}", flush=True)
+    else:
+        t0 = time.time()
+        build(spark, k, out)
+        print(f"amplified K={k} -> {out} in {time.time() - t0:.1f}s", flush=True)
     # scan warm-up
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
         spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
     print("| entry | sf0.1 s | sf1 s | ratio | rows out |")
     print("|---|---|---|---|---|")
     base = {}
-    for name in TOP20:
+    for name in entries:
         fn = REGISTRY[name][0]
         t0 = time.time()
         n01 = fn(spark, SF_DIR).count()

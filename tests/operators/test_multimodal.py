@@ -1,6 +1,8 @@
 """Multimodal plumbing: Arrow-batched mapInPandas schemas, deterministic
 fake decode, frame-sampling explode shape."""
 
+from pyspark.sql import functions as F
+
 from factstore_spark.operators import multimodal as M
 
 
@@ -107,3 +109,15 @@ def test_frame_dup_pairs_finds_shared_frames(spark):
         [(i, bytearray(blob)) for i in range(30)], "media_id long, data binary"
     )
     assert frame_dup_pairs(many, min_shared=1, max_frame_df=20).count() == 0
+
+
+def test_frame_dup_oracle_char_byte_equivalence(spark, sf_dir):
+    """The MULTIMODAL_FRAME_DUP_SQL oracle slices frames as CHAR
+    substrings while the sampler slices BYTES — equivalent only while
+    the corpus is ASCII. Assert that here so a non-ASCII testdata
+    refresh fails THIS test instead of hash-mismatching the driver."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert n_non_ascii == 0
