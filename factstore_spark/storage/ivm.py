@@ -478,6 +478,7 @@ def _publish(
     version: int,
     group_cols: list[str],
     sum_cols: list[str],
+    agg_kind: str = "sum",
 ) -> dict:
     import uuid
 
@@ -488,6 +489,11 @@ def _publish(
     state.write.mode("errorifexists").parquet(os.path.join(agg_dir, rel))
     meta = {
         "kind": "materialized_aggregate",
+        # "sum" = COUNT/SUM self-maintainable state; "extrema" =
+        # MIN/MAX hybrid state (sum_cols then holds the extremum
+        # columns — the key name is kept stable for old metas, which
+        # predate agg_kind and read back as "sum")
+        "agg_kind": agg_kind,
         "snapshot": snapshot,
         "version": version,
         "state": rel,
@@ -513,21 +519,46 @@ def create_materialized_aggregate(
     group_cols: list[str],
     sum_cols: list[str],
     snapshot: int | None = None,
+    agg_kind: str = "sum",
 ) -> dict:
     """Bootstrap: full aggregate at the table's head (or ``snapshot``),
-    persisted under ``agg_dir`` behind an atomic meta pointer."""
+    persisted under ``agg_dir`` behind an atomic meta pointer.
+    ``agg_kind="extrema"`` bootstraps a MIN/MAX state instead of
+    COUNT/SUM (``sum_cols`` then names the extremum columns); its
+    refreshes take the hybrid path (see ``refresh_extrema``)."""
     from .merge import _head_manifest  # head id for the cursor
 
     _check_cols(group_cols, sum_cols)
+    if agg_kind not in ("sum", "extrema"):
+        raise ValueError(f"unknown agg_kind {agg_kind!r}")
     if _read_meta(agg_dir) is not None:
         raise ValueError(f"materialized aggregate already exists: {agg_dir}")
     head = _head_manifest(table_dir)
     if head is None:
         raise ValueError(f"create_materialized_aggregate: no table at {table_dir}")
     snap = head["snapshot"] if snapshot is None else snapshot
-    state = full_state(spark, table_dir, group_cols, sum_cols, snapshot=snap)
+    bootstrap = full_extrema if agg_kind == "extrema" else full_state
+    state = bootstrap(spark, table_dir, group_cols, sum_cols, snapshot=snap)
     os.makedirs(agg_dir, exist_ok=True)
-    return _publish(spark, state, agg_dir, snap, 1, group_cols, sum_cols)
+    return _publish(
+        spark, state, agg_dir, snap, 1, group_cols, sum_cols, agg_kind
+    )
+
+
+def create_materialized_extrema(
+    spark: SparkSession,
+    table_dir: str,
+    agg_dir: str,
+    group_cols: list[str],
+    ext_cols: list[str],
+    snapshot: int | None = None,
+) -> dict:
+    """MIN/MAX materialized view — sugar for
+    ``create_materialized_aggregate(..., agg_kind="extrema")``."""
+    return create_materialized_aggregate(
+        spark, table_dir, agg_dir, group_cols, ext_cols,
+        snapshot=snapshot, agg_kind="extrema",
+    )
 
 
 def read_materialized_aggregate(
@@ -572,8 +603,10 @@ def refresh_materialized_aggregate(
     after every streaming micro-batch). If the cursor snapshot has
     been vacuumed away (diff base unknown), raises — or, with
     ``rebootstrap_on_gap``, falls back to one full recompute and
-    publishes that (the documented recovery path; MIN/MAX-style
-    non-self-maintainable aggregates would use the same lever).
+    publishes that (the documented recovery path). Dispatches on the
+    meta's ``agg_kind``: COUNT/SUM states refresh via the pure change
+    feed, MIN/MAX states via the hybrid ``refresh_extrema`` (which
+    additionally rescans extremum-endangered groups).
 
     Concurrency: the meta claim is single-winner (hardlink CAS); a
     racing refresher raises ``ConcurrentRefreshError`` — re-call this
@@ -594,9 +627,13 @@ def refresh_materialized_aggregate(
             f"{head['snapshot']} — wrong table?"
         )
     group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
+    # metas written before agg_kind existed are COUNT/SUM states
+    agg_kind = meta.get("agg_kind", "sum")
+    do_refresh = refresh_extrema if agg_kind == "extrema" else refresh_aggregate
+    do_full = full_extrema if agg_kind == "extrema" else full_state
     state = read_materialized_aggregate(spark, agg_dir)
     try:
-        new_state = refresh_aggregate(
+        new_state = do_refresh(
             spark,
             table_dir,
             state,
@@ -611,7 +648,7 @@ def refresh_materialized_aggregate(
         # non-summable dtype) is a real bug and must propagate.
         if not rebootstrap_on_gap:
             raise
-        new_state = full_state(
+        new_state = do_full(
             spark, table_dir, group_cols, sum_cols, snapshot=head["snapshot"]
         )
     return _publish(
@@ -622,6 +659,7 @@ def refresh_materialized_aggregate(
         meta["version"] + 1,
         group_cols,
         sum_cols,
+        agg_kind,
     )
 
 

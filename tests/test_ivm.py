@@ -834,3 +834,55 @@ def test_extrema_float_column_rejected(spark, tdir):
     t = spark.createDataFrame([(1, "a", 1.5)], "k long, grp string, v double")
     with pytest.raises(ValueError, match="non-integral"):
         extrema_state(t, ["grp"], ["v"])
+
+
+def test_materialized_extrema_lifecycle(spark, tdir, adir):
+    """Persisted MIN/MAX materialized view: bootstrap, hybrid refresh
+    (incl. an extremum delete -> group rescan), version time travel,
+    and vacuum — the same CAS-published machinery as the COUNT/SUM
+    kind, dispatched by the meta's agg_kind."""
+    from factstore_spark.storage.ivm import create_materialized_extrema
+
+    _base(spark, tdir)
+    create_materialized_extrema(spark, tdir, adir, ["grp"], ["v"])
+    v1 = _rows(read_materialized_aggregate(spark, adir))
+    assert v1 == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+    # delete group a's max and insert a new b row in one batch
+    merge_upsert(
+        _mk(spark, [(2, "p1", "a", 20, True), (5, "p2", "b", 5, False)]),
+        tdir,
+        delete_col="is_deleted",
+    )
+    meta = refresh_materialized_aggregate(spark, tdir, adir)
+    assert meta["version"] == 2 and meta["agg_kind"] == "extrema"
+    got = {r["grp"]: (r["n_rows"], r["min_v"], r["max_v"])
+           for r in read_materialized_aggregate(spark, adir).collect()}
+    assert got == {"a": (1, 10, 10), "b": (3, 5, 40)}
+    # version 1 still reads the bootstrap state (time travel)
+    assert _rows(read_materialized_aggregate(spark, adir, version=1)) == v1
+    # head == cursor: refresh is a no-op returning the same meta
+    assert refresh_materialized_aggregate(spark, tdir, adir)["version"] == 2
+
+
+def test_materialized_extrema_rebootstrap_on_gap(spark, tdir, adir):
+    from factstore_spark.storage.ivm import create_materialized_extrema
+    from factstore_spark.storage.merge import vacuum_table
+
+    _base(spark, tdir)
+    create_materialized_extrema(spark, tdir, adir, ["grp"], ["v"])
+    merge_upsert(
+        _mk(spark, [(1, "p1", "a", 99, False)]), tdir, delete_col="is_deleted"
+    )
+    merge_upsert(
+        _mk(spark, [(2, "p1", "a", 98, False)]), tdir, delete_col="is_deleted"
+    )
+    vacuum_table(tdir, retain_seconds=0.0, retain_snapshots=1)
+    with pytest.raises(ValueError):
+        refresh_materialized_aggregate(spark, tdir, adir)
+    meta = refresh_materialized_aggregate(
+        spark, tdir, adir, rebootstrap_on_gap=True
+    )
+    assert meta["agg_kind"] == "extrema"
+    assert _rows(read_materialized_aggregate(spark, adir)) == _rows(
+        full_extrema(spark, tdir, ["grp"], ["v"])
+    )
