@@ -886,3 +886,43 @@ def test_materialized_extrema_rebootstrap_on_gap(spark, tdir, adir):
     assert _rows(read_materialized_aggregate(spark, adir)) == _rows(
         full_extrema(spark, tdir, ["grp"], ["v"])
     )
+
+
+def test_streaming_merge_feeds_materialized_extrema(spark, tdir, adir):
+    """Streaming twin for the MIN/MAX kind: micro-batches land through
+    start_merge_stream (including an extremum DELETE that forces the
+    hybrid rescan), the post-drain refresh dispatches through the
+    persisted meta's agg_kind, and the view equals a full recompute."""
+    from factstore_spark.storage.ivm import create_materialized_extrema
+    from factstore_spark.storage.merge import start_merge_stream
+
+    _base(spark, tdir)  # a: (10, 20), b: (30, 40)
+    create_materialized_extrema(spark, tdir, adir, ["grp"], ["v"])
+
+    src_dir = tempfile.mkdtemp(prefix="ivm-ext-src-")
+    chk_dir = tempfile.mkdtemp(prefix="ivm-ext-chk-")
+    try:
+        batch = _mk(
+            spark,
+            [
+                (4, "p2", "b", 40, True),    # deletes b's stored MAX
+                (7, "p2", "c", 70, False),   # new group
+                (1, "p1", "a", 5, False),    # new MIN for a
+            ],
+        )
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        q = start_merge_stream(
+            stream, tdir, chk_dir, delete_col="is_deleted", available_now=True
+        )
+        q.awaitTermination(120)
+        meta = refresh_materialized_aggregate(spark, tdir, adir)
+        assert meta["agg_kind"] == "extrema"
+        got = read_materialized_aggregate(spark, adir)
+        assert _rows(got) == _rows(full_extrema(spark, tdir, ["grp"], ["v"]))
+        gm = {r["grp"]: (r["n_rows"], r["min_v"], r["max_v"])
+              for r in got.collect()}
+        assert gm == {"a": (2, 5, 20), "b": (1, 30, 30), "c": (1, 70, 70)}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)
