@@ -139,8 +139,9 @@ def _gc_ms(spark) -> int:
 
 def _cached_bytes(spark) -> int:
     """Bytes currently pinned in the block manager (cache/persist/
-    localCheckpoint leftovers) — nonzero AFTER the reset means an entry
-    leaked pinned state into its successors."""
+    localCheckpoint leftovers). Sampled after the reset: a nonzero
+    value is an upper bound on leaked state (the async ContextCleaner
+    may still be draining the predecessor's doomed blocks)."""
     try:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         return sum(infos[i].memSize() for i in range(len(infos)))
@@ -190,7 +191,14 @@ def main() -> None:
             "sec": timings[name],
             "rows": n,
             "gc_ms": _gc_ms(spark) - gc0,
-            "cached_mb_before": round(max(leaked, 0) / 1048576, 1),
+            # bytes still pinned at entry START, after clearCache +
+            # gc.collect: includes the predecessor's localCheckpoint
+            # blocks whose async ContextCleaner reclaim hasn't drained
+            # yet — a rough upper bound on leaked state, not an exact
+            # leak. -1.0 = the probe itself failed (distinct from 0).
+            "pinned_mb_before": (
+                round(leaked / 1048576, 1) if leaked >= 0 else -1.0
+            ),
             "trailing_group": name in HEAVY_TRAILING,
         }
         print(

@@ -181,13 +181,16 @@ def split_by_expectations(
     names = [e.check_name() for e in suite]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names in suite: {names}")
-    if "failed_checks" in df.columns:
+    if any(c.lower() == "failed_checks" for c in df.columns):
         # reserved output column — overwriting user data in the
         # quarantine lane would silently destroy it (same reserved-name
-        # discipline as ivm._check_cols)
+        # discipline as ivm._check_cols). Case-INSENSITIVE: withColumn
+        # replaces case-insensitively under the default
+        # spark.sql.caseSensitive=false, so 'Failed_Checks' would be
+        # clobbered just the same.
         raise ValueError(
             "split_by_expectations: input already has a 'failed_checks' "
-            "column; rename it before routing"
+            "column (any case); rename it before routing"
         )
     failed = F.array_compact(
         F.array(

@@ -186,7 +186,7 @@ def pagerank(
             return F.broadcast(r)
         # big-graph leg: SHUFFLED HASH, not sort-merge — SMJ re-sorts
         # the (pinned, far larger) edge side every superstep, measured
-        # 3.3x the broadcast leg at 24M edges; hashing the rank side
+        # 3.7x the broadcast leg at 24M edges; hashing the rank side
         # (one row per node, the smaller side by the multigraph's
         # average degree) streams the edges unsorted. K=10 leg in
         # docs/SCALE.md (round 9).

@@ -4749,9 +4749,15 @@ def events_quantile_sketch_bounds(spark, sf_dir):
     approx_quantile is t-digest, not GK, so the estimates cannot be
     oracled directly — see the invariant+witness note at the return
     for how the row is driver-oracled anyway."""
+    # NULL values are invisible to both percentile_approx and the
+    # lt/le rank counts — n must count the same population or the
+    # target ranks are computed against an inflated total and the
+    # bound check trips on clean data (latent on this testdata, which
+    # has no null values; a group that is ALL null drops out of both
+    # engines identically via the filter)
     ev = load_events(spark, sf_dir).select(
         "event_type", _cents(F.col("value")).alias("vc")
-    )
+    ).filter(F.col("vc").isNotNull())
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("vc", [0.25, 0.5, 0.75], 100).alias("ap"),
         F.count(F.lit(1)).alias("n"),
@@ -4809,7 +4815,7 @@ EVENTS_QUANTILE_SKETCH_SQL = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(4 * ((COUNT(*) + 99) // 100) AS BIGINT) AS allowed_rank_slack_q4,
        CAST(1 AS BIGINT) AS within_gk_bound
-FROM events GROUP BY event_type
+FROM events WHERE value IS NOT NULL GROUP BY event_type
 """
 
 
@@ -5954,15 +5960,16 @@ def embeddings_gram_moments(spark, sf_dir):
     # long cast is loud-on-overflow under ANSI; bounds here are
     # |q| <= 2^16 so Σ q·q <= n·2^32 — int64-safe through corpora of
     # ~2^31 rows, far past any bench SF
+    # n rides its OWN aggregate over the partials (one row even on an
+    # empty/all-invalid corpus — deriving it from the pos==0 group
+    # would emit zero rows there while the oracle still emits (-1, 0))
+    nrow = partials.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("val")
+    ).select(F.lit(-1).cast("long").alias("pos"), "val")
     return combined.select(
         F.col("pos").cast("long").alias("pos"),
         F.col("sv").cast("long").alias("val"),
-    ).unionByName(
-        combined.filter(F.col("pos") == 0).select(
-            F.lit(-1).cast("long").alias("pos"),
-            F.col("sn").cast("long").alias("val"),
-        )
-    )
+    ).unionByName(nrow)
 
 
 EMBEDDINGS_GRAM_MOMENTS_SQL = """

@@ -244,7 +244,7 @@ def extrema_state(
     """Full recompute: one row per group with ``n_rows`` plus
     ``min_<c>`` / ``max_<c>`` for each extremum column (exact BIGINT;
     null iff every value in the group is null)."""
-    _check_cols(group_cols, ext_cols)
+    _check_cols(group_cols, ext_cols, extrema=True)
     _check_sum_dtypes(table_df, ext_cols, "extrema_state")
     return table_df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias(_COUNT),
@@ -290,7 +290,7 @@ def refresh_extrema(
     groups whose stored extremum was touched by a leaving preimage —
     exactly those are recomputed from the live table (see the section
     comment for the cost model)."""
-    _check_cols(group_cols, ext_cols)
+    _check_cols(group_cols, ext_cols, extrema=True)
     diff = table_diff(
         spark, table_dir, from_snapshot, to_snapshot, include_values=True
     )
@@ -528,9 +528,9 @@ def create_materialized_aggregate(
     refreshes take the hybrid path (see ``refresh_extrema``)."""
     from .merge import _head_manifest  # head id for the cursor
 
-    _check_cols(group_cols, sum_cols)
     if agg_kind not in ("sum", "extrema"):
         raise ValueError(f"unknown agg_kind {agg_kind!r}")
+    _check_cols(group_cols, sum_cols, extrema=agg_kind == "extrema")
     if _read_meta(agg_dir) is not None:
         raise ValueError(f"materialized aggregate already exists: {agg_dir}")
     head = _head_manifest(table_dir)
@@ -707,19 +707,22 @@ def vacuum_materialized_aggregate(
     return removed
 
 
-def _check_cols(group_cols: list[str], sum_cols: list[str]) -> None:
+def _check_cols(
+    group_cols: list[str], sum_cols: list[str], extrema: bool = False
+) -> None:
     if not group_cols:
         raise ValueError("ivm: need at least one group column")
     overlap = set(group_cols) & set(sum_cols)
     if overlap:
         raise ValueError(f"ivm: columns both grouped and summed: {overlap}")
-    # the state frame owns n_rows and the sum_ prefix; a group column
-    # with those names would silently collide in apply_delta's select
+    # each KIND owns its own state-schema prefixes; a group column with
+    # those names would silently collide in the state select. The
+    # reserved set is per-kind on purpose — widening the SUM set would
+    # break refresh of pre-existing persisted views whose group column
+    # legally used e.g. 'min_level' before the extrema kind existed.
+    reserved = ("min_", "max_", "cand_", "_lv_") if extrema else ("sum_", "d_")
     bad = [
-        c
-        for c in group_cols
-        if c == _COUNT
-        or c.startswith(("sum_", "d_", "min_", "max_", "cand_", "_lv_"))
+        c for c in group_cols if c == _COUNT or c.startswith(reserved)
     ]
     if bad:
         raise ValueError(

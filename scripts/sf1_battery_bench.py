@@ -154,11 +154,24 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_battery"
     entries = sys.argv[3:] or TOP20
     spark = get_spark(app_name="sf1-battery-bench")
-    if sys.argv[3:] and os.path.isdir(out):
-        print(f"reusing existing build at {out}", flush=True)
+    k_marker = os.path.join(out, "_k.txt")
+
+    def marker_k():
+        try:
+            with open(k_marker) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    # reuse only a build stamped with the SAME K — silently benching a
+    # K=10 corpus under a K=20 label would corrupt the SCALE.md ratios
+    if sys.argv[3:] and os.path.isdir(out) and marker_k() == k:
+        print(f"reusing existing K={k} build at {out}", flush=True)
     else:
         t0 = time.time()
         build(spark, k, out)
+        with open(k_marker, "w") as fh:
+            fh.write(str(k))
         print(f"amplified K={k} -> {out} in {time.time() - t0:.1f}s", flush=True)
     # scan warm-up
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:

@@ -354,3 +354,14 @@ def test_split_reserved_failed_checks_column_raises(spark, docs):
     tagged = docs.withColumn("failed_checks", F.lit("user data"))
     with pytest.raises(ValueError, match="failed_checks"):
         split_by_expectations(tagged, [expect_not_null("id")])
+
+
+def test_split_reserved_failed_checks_case_insensitive(spark, docs):
+    """withColumn replaces case-insensitively under the default
+    spark.sql.caseSensitive=false — the guard must catch 'Failed_Checks'
+    too, or that user column is silently clobbered."""
+    from factstore_spark.operators.expectations import split_by_expectations
+
+    tagged = docs.withColumn("Failed_Checks", F.lit("user data"))
+    with pytest.raises(ValueError, match="failed_checks"):
+        split_by_expectations(tagged, [expect_not_null("id")])

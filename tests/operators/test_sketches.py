@@ -160,3 +160,27 @@ def test_quantile_rollup_q1_never_null(spark):
     cells = quantile_cells(df, ["k"], "v", n_bins=6)
     out = quantile_rollup(cells, [], [0.5, 1.0]).collect()[0]
     assert out.q_1_0 is not None and out.q_0_5 is not None
+
+
+def test_quantile_sketch_entry_ignores_null_values(spark, tmp_path):
+    """NULL event values are invisible to percentile_approx and to the
+    exact rank counts — n must count the same non-null population or
+    the bound check trips on clean data (review finding, round 9)."""
+    import os
+
+    from factstore_spark.queries import events_quantile_sketch_bounds
+
+    rows = [(i, f"u{i % 3}", "click", float(i) if i % 10 else None, "{}")
+            for i in range(1, 301)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, "
+              "value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000))
+    sf = tmp_path / "sf"
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = events_quantile_sketch_bounds(spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 270  # 30 of 300 values are NULL
+    assert r.within_gk_bound == 1

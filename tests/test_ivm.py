@@ -926,3 +926,33 @@ def test_streaming_merge_feeds_materialized_extrema(spark, tdir, adir):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_sum_views_allow_min_prefixed_group_columns(spark, tdir, adir):
+    """The extrema kind's reserved prefixes (min_/max_/...) must NOT
+    leak into the COUNT/SUM kind's validation: a round-8 persisted view
+    grouped by a column named 'min_level' stays refreshable."""
+    base = spark.createDataFrame(
+        [(1, "p1", "lo", 10), (2, "p1", "hi", 20)],
+        "k long, part string, min_level string, v long",
+    )
+    create_table(base, tdir, ["k"], "part")
+    create_materialized_aggregate(spark, tdir, adir, ["min_level"], ["v"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(3, "p1", "lo", 30, False)],
+            "k long, part string, min_level string, v long, is_deleted boolean",
+        ),
+        tdir,
+        delete_col="is_deleted",
+    )
+    refresh_materialized_aggregate(spark, tdir, adir)
+    got = {r["min_level"]: (r["n_rows"], r["sum_v"])
+           for r in read_materialized_aggregate(spark, adir).collect()}
+    assert got == {"lo": (2, 40), "hi": (1, 20)}
+    # and the extrema kind still rejects its own reserved names
+    with pytest.raises(ValueError, match="reserved"):
+        extrema_state(
+            spark.createDataFrame([(1, "a", 2)], "k long, min_x string, v long"),
+            ["min_x"], ["v"],
+        )
