@@ -813,6 +813,56 @@ def append_minhash_index(df: DataFrame, index_dir: str, text_col: str = "text") 
     _write_ivf_manifest(index_dir, dict(m, segments=segs + [seg]))
 
 
+def start_dedup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    verify_jaccard: float | None = 0.5,
+    available_now: bool = False,
+):
+    """Continuous near-dup detection for a document ingest stream —
+    the online face of the incremental index: each micro-batch is
+    deduped against the ENTIRE indexed archive plus itself
+    (:func:`incremental_minhash_pairs` — archive text never re-read,
+    cost O(batch × bands + matched buckets) per batch), its pairs
+    appended to ``pairs_dir`` as parquet, and its own signatures then
+    committed to the index (:func:`append_minhash_index`) so every
+    LATER batch dedups against it too.
+
+    Effectively-once: a batch re-delivered after a sink crash re-emits
+    the same pair rows (downstream consumers dedupe on (id_a, id_b) if
+    exact-once matters) and re-appends a segment with identical
+    signature rows — harmless to correctness (the candidate join is
+    distinct, the verify side takes first-per-id) and collapsed by the
+    next :func:`compact_minhash_index`. The stream IS the index's
+    single writer, satisfying the appender contract; run compaction
+    from the same scheduler slot, never concurrently with the stream.
+    Requires the index to exist (bootstrap the archive with
+    :func:`write_minhash_index`)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # pinned: consumed twice (pair harvest + signature append),
+        # and each pass would otherwise re-shingle the batch
+        batch_df = batch_df.localCheckpoint()
+        incremental_minhash_pairs(
+            batch_df, index_dir, text_col, verify_jaccard
+        ).write.mode("append").parquet(pairs_dir)
+        append_minhash_index(batch_df, index_dir, text_col)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_minhash_index(
     spark,
     index_dir: str,
@@ -842,19 +892,26 @@ def compact_minhash_index(
     if old_segs is not None and len(old_segs) > 1:
         from functools import reduce as _reduce
 
+        # distinct/first-per-id: a re-delivered streaming batch
+        # (start_dedup_stream crash replay) appends a duplicate
+        # segment — harmless to reads, collapsed here for good
         buckets = _reduce(
             DataFrame.unionByName,
             [
                 spark.read.parquet(p)
                 for p in _minhash_store_paths(index_dir, m, "buckets")
             ],
-        )
-        sigs = _reduce(
-            DataFrame.unionByName,
-            [
-                spark.read.parquet(p)
-                for p in _minhash_store_paths(index_dir, m, "sigs")
-            ],
+        ).distinct()
+        sigs = (
+            _reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.parquet(p)
+                    for p in _minhash_store_paths(index_dir, m, "sigs")
+                ],
+            )
+            .groupBy("_id")
+            .agg(*[F.first(c).alias(c) for c in ["sig"]])
         )
         seg = f"seg-{_uuid.uuid4().hex[:12]}"
         buckets.repartition(F.col("band")).write.mode("overwrite").partitionBy(

@@ -394,3 +394,108 @@ def test_editdist_pairs_block_cap_and_threshold(spark):
         df2, block_prefix=9, verify_prefix=200, max_dist=2, max_block=10
     )
     assert out2.count() == 10  # C(5,2): single-char (or 2-digit) edits
+
+
+def test_start_dedup_stream_matches_batch_pairs(spark, tmp_path):
+    """Streaming near-dup detection against the growing archive index
+    (start_dedup_stream): micro-batches of documents are deduped
+    against history + themselves, pairs land in the pairs dir, and
+    each batch's signatures join the index for LATER batches — the
+    union of streamed pairs must equal the one-shot LSH over the whole
+    corpus restricted to pairs touching the streamed docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        start_dedup_stream,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    c1 = ids[len(ids) // 2]
+    hist = docs.filter(F.col("doc_id") <= c1)
+    inc = docs.filter(F.col("doc_id") > c1)
+    idx = str(tmp_path / "mh-index")
+    write_minhash_index(hist, idx)
+
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches, so the
+    # second batch must see the first's docs as archive
+    src = str(tmp_path / "src")
+    inc.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(src)
+    inc.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    q = start_dedup_stream(
+        stream, idx, pairs_dir,
+        str(tmp_path / "chk"), available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    members = {r.doc_id for r in inc.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(docs, verify_jaccard=0.5).collect()
+        if r.id_a in members or r.id_b in members
+    }
+    assert got == want and want  # non-vacuous: corpus has near-dups
+    # the index grew: initial segment + one per micro-batch
+    import json
+    m = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(m["segments"]) == 3
+
+
+def test_redelivered_segment_is_harmless_and_compacted_away(spark, tmp_path):
+    """A streaming crash replay appends the SAME increment twice: the
+    duplicate bucket/signature rows must not change the pair set (the
+    candidate join is distinct, verify takes first-per-id), and
+    compaction collapses them so the index doesn't grow with replays."""
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    probe = docs.filter(F.col("doc_id") % 10 == 4)  # even slice, re-probed
+    idx = str(tmp_path / "mh")
+    write_minhash_index(hist, idx)
+    append_minhash_index(inc, idx)
+    before = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(probe, idx).collect()
+    }
+    append_minhash_index(inc, idx)  # the replayed duplicate
+    dup = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(probe, idx).collect()
+    }
+    assert dup == before and before
+    out = compact_minhash_index(spark, idx, retain_seconds=0.0)
+    assert out["compacted_into"] is not None
+    after = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(probe, idx).collect()
+    }
+    assert after == before
+    # collapsed: one signature row per doc, no duplicated bucket rows
+    import json
+    import os
+    m = json.load(open(os.path.join(idx, "manifest.json")))
+    seg = m["segments"][0]
+    sigs = spark.read.parquet(os.path.join(idx, seg, "sigs"))
+    assert sigs.count() == sigs.select("_id").distinct().count()
