@@ -53,6 +53,34 @@ def zorder_value(a: Column, b: Column) -> Column:
     return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
 
 
+def zorder_col(df: DataFrame, dims: Sequence[str]) -> Column:
+    """The z-value Column for ``df`` over two dimension columns, each
+    first rank-normalized to an equi-depth bucket id (up to 64
+    approx-quantile buckets, one metadata-light pass per dim — see
+    write_zordered's docstring for why ranks, not raw bits). Shared by
+    the standalone layout writer and merge-table compaction
+    (``compact_table(zorder_by=...)``)."""
+    if len(dims) != 2:
+        raise ValueError("z-order interleaves exactly two dimensions")
+    n_buckets = 64
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def _norm(col: str) -> Column:
+        bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.01)))
+        if not bounds:
+            return F.lit(0).cast("long")  # all-null or constant dimension
+        arr = F.array(*[F.lit(float(v)) for v in bounds])
+        c = F.coalesce(F.col(col).cast("double"), F.lit(float(bounds[0]) - 1.0))
+        # equi-depth bucket id = #boundaries <= value (nulls -> 0)
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(c >= b, 1).otherwise(0),
+        ).cast("long")
+
+    return zorder_value(_norm(dims[0]), _norm(dims[1]))
+
+
 def write_zordered(
     df: DataFrame,
     dims: Sequence[str],
@@ -77,25 +105,7 @@ def write_zordered(
     equi-depth ranks are outlier-immune and give equal-density curve
     tiles, which is the actual Delta/Iceberg OPTIMIZE ZORDER discipline
     (range-partition ids per column, then interleave)."""
-    if len(dims) != 2:
-        raise ValueError("write_zordered interleaves exactly two dimensions")
-    n_buckets = 64
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-
-    def _norm(col: str) -> Column:
-        bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.01)))
-        if not bounds:
-            return F.lit(0).cast("long")  # all-null or constant dimension
-        arr = F.array(*[F.lit(float(v)) for v in bounds])
-        c = F.coalesce(F.col(col).cast("double"), F.lit(float(bounds[0]) - 1.0))
-        # equi-depth bucket id = #boundaries <= value (nulls -> 0)
-        return F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(c >= b, 1).otherwise(0),
-        ).cast("long")
-
-    z = zorder_value(_norm(dims[0]), _norm(dims[1]))
+    z = zorder_col(df, dims)
     (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, F.col("_z"))

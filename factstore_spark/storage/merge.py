@@ -42,7 +42,7 @@ import os
 import uuid
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.rollup import _POINTER, _publish
@@ -213,17 +213,30 @@ def _validate_batch(
     return sorted(row.vals)
 
 
-def _write_version(df: DataFrame, table_dir: str, partition_col: str) -> str:
+def _write_version(
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str,
+    sort_col: Column | None = None,
+) -> str:
     version = f"v={uuid.uuid4().hex[:12]}"
+    clustered = df.withColumn("_pval", F.col(partition_col).cast("string"))
+    # Cluster by the partition key before the partitioned write
+    # (SCALE.md rule #7): without it every shuffle partition writes
+    # a sliver into every partition dir (measured 32 files where 1
+    # suffices). One file per partition per version is the classic
+    # CoW unit; a table whose single partitions outgrow one task
+    # should range-repartition on (_pval, key) here instead.
+    clustered = clustered.repartition(F.col("_pval"))
+    if sort_col is not None:
+        # in-partition clustering (compact_table's zorder_by): tight
+        # ROW-GROUP stats on the sort expression inside each partition
+        # file — the pruning grain below the one-file CoW unit
+        clustered = clustered.withColumn("_zsort", sort_col).sortWithinPartitions(
+            "_pval", "_zsort"
+        ).drop("_zsort")
     (
-        df.withColumn("_pval", F.col(partition_col).cast("string"))
-        # Cluster by the partition key before the partitioned write
-        # (SCALE.md rule #7): without it every shuffle partition writes
-        # a sliver into every partition dir (measured 32 files where 1
-        # suffices). One file per partition per version is the classic
-        # CoW unit; a table whose single partitions outgrow one task
-        # should range-repartition on (_pval, key) here instead.
-        .repartition(F.col("_pval"))
+        clustered
         .write.mode("overwrite")
         .partitionBy("_pval")
         .parquet(os.path.join(table_dir, version))
@@ -570,6 +583,7 @@ def compact_table(
     spark: SparkSession,
     table_dir: str,
     partitions: list | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite live partitions into ONE fresh version dir — the
     OPTIMIZE / rewrite-data-files analog for this layout. Every merge
@@ -594,7 +608,15 @@ def compact_table(
     Shape at 100 TB: pass ``partitions`` to compact incrementally (the
     cold tail first — hot partitions get rewritten by their next merge
     anyway); the rewrite is one cluster-by-partition shuffle of
-    exactly the selected bytes, no driver data path."""
+    exactly the selected bytes, no driver data path.
+
+    ``zorder_by=[c1, c2]`` additionally clusters rows INSIDE each
+    partition file by the z-curve of the two columns (equi-depth-rank
+    Morton interleave — operators/layout.py:zorder_col), so
+    conjunctive predicates on both columns prune at the row-group
+    grain within the one-file-per-partition CoW unit: the
+    OPTIMIZE ... ZORDER BY analog. Layout-only — the stats-equality
+    contract below still certifies the content unchanged."""
     m = _head_manifest(table_dir)
     if m is None:
         raise ValueError(f"{table_dir} has no published manifest; create_table first")
@@ -624,7 +646,17 @@ def compact_table(
     ordered = [c for c in cols if c in df.columns] + [
         c for c in df.columns if c not in cols
     ]
-    version = _write_version(df.select(*ordered), table_dir, partition_col)
+    sort_col = None
+    if zorder_by is not None:
+        from ..operators.layout import zorder_col
+
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"compact_table: zorder_by columns {missing} not in table")
+        sort_col = zorder_col(df, zorder_by)
+    version = _write_version(
+        df.select(*ordered), table_dir, partition_col, sort_col=sort_col
+    )
     written = _read_version_df(spark, table_dir, version, df.select(*ordered).schema)
     new_stats = _partition_stats(written, key_cols, partition_col)
     old_stats = m.get("stats", {})

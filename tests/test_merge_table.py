@@ -733,3 +733,94 @@ def test_compact_table_stats_drift_aborts_unpublished(spark, tmp_path, monkeypat
     v = vacuum_table(d, retain_seconds=0.0, retain_snapshots=10)
     assert len(v["removed"]) == 1
     assert _snap(spark, d) == before
+
+
+def test_compact_table_zorder_clusters_rows(spark, tmp_path):
+    """compact_table(zorder_by=[a, b]) — the OPTIMIZE ZORDER analog:
+    content stays byte-identical (the stats-equality contract), and
+    inside each partition file the rows land z-clustered, so per-
+    row-group min/max stats are NARROW on both dimensions (grid data:
+    a and b uncorrelated — a single-column sort would leave the other
+    dimension's ranges full-width)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from factstore_spark.storage.merge import compact_table, validate_table
+
+    d = str(tmp_path / "t")
+    # dense grid in ONE partition, two uncorrelated dims (enough rows
+    # that the shrunken parquet block size yields many row groups)
+    grid = spark.range(100_000).selectExpr(
+        "id", "'p' as part", "id % 32 as a", "(id * 7) % 32 as b"
+    )
+    create_table(grid, d, ["id"], "part")
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "p", 1, 7, False)],
+            "id long, part string, a long, b long, is_deleted boolean",
+        ),
+        d,
+        delete_col="is_deleted",
+    )
+    def snap():
+        from factstore_spark.storage.merge import read_table
+
+        return sorted(
+            tuple(r) for r in read_table(spark, d).select(
+                "id", "part", "a", "b"
+            ).collect()
+        )
+
+    before = snap()
+
+    # small row groups so the clustering is visible in footer stats
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = {k: hconf.get(k) for k in ("parquet.block.size", "parquet.page.size")}
+    hconf.set("parquet.block.size", str(16 * 1024))
+    hconf.set("parquet.page.size", str(4 * 1024))
+    try:
+        rep = compact_table(spark, d, zorder_by=["a", "b"])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)
+    assert rep["versions_after"] == 1
+    assert snap() == before  # layout-only: content unchanged
+    assert validate_table(spark, d)["ok"]
+
+    # inspect the compacted partition file's row-group stats
+    head = _read_head_version(d)
+    files = glob.glob(os.path.join(d, head, "_pval=p", "*.parquet"))
+    assert len(files) == 1
+    md = pq.read_metadata(files[0])
+    names = md.schema.names
+    spans = {"a": [], "b": []}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            if col.path_in_schema in spans and col.statistics is not None:
+                st = col.statistics
+                spans[col.path_in_schema].append(st.max - st.min)
+    assert md.num_row_groups >= 4, md.num_row_groups
+    # full range is 31 on both dims; z-clustered row groups must
+    # average far narrower on BOTH (a single-dim sort would leave the
+    # other at ~31 for every group)
+    for dim in ("a", "b"):
+        avg = sum(spans[dim]) / len(spans[dim])
+        assert avg <= 24, (dim, spans[dim])
+
+    with pytest.raises(ValueError, match="zorder_by"):
+        compact_table(spark, d, zorder_by=["a", "nope"])
+
+
+def _read_head_version(d):
+    from factstore_spark.storage.merge import _head_manifest
+
+    m = _head_manifest(d)
+    vs = {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
+    assert len(vs) == 1
+    return vs.pop()
