@@ -5499,7 +5499,14 @@ def storage_zorder_pruning(spark, sf_dir):
     file is a candidate for the user-only box), and (b) the rows the
     z layout returns for the conjunctive box are IDENTICAL to filtering
     the source frame (match_bp 10000 — relayout must never lose or
-    duplicate a row). Rows-only (the emitted row IS the check); layouts
+    duplicate a row). Driver-oracled since round 9 (invariant +
+    witness): the candidate-file COUNTS depend on range-partitioner
+    sampling and footer layout (deterministic per run, not across
+    partitionings), so they stay IN-BAND, folded into layout_ok; the
+    emitted row carries the invariants (layout_ok 1, match_bp 10000,
+    n_files 16) plus SQL-predictable witnesses the oracle replays from
+    raw parquet — the md5-sample size and the middle-fifth-box row
+    count whose bounds derive from integer min/max arithmetic. Layouts
     land in a per-run temp dir, removed eagerly. Bench cost is bounded
     by the probe cap: the sample is O(1) beyond sf0.1."""
     import shutil
@@ -5533,9 +5540,8 @@ def storage_zorder_pruning(spark, sf_dir):
         # empty slice: nothing to lay out — vacuous pass, not a crash
         df.unpersist()
         return spark.createDataFrame(
-            [(0, 0, 0, 0, 0, 0, 0, 1, 10000)],
-            "n_files long, cand_z_day long, cand_z_user long, cand_z_both long, "
-            "cand_linear_day long, cand_linear_user long, n_box_rows long, "
+            [(0, 0, 0, 1, 10000)],
+            "n_files long, n_sample_rows long, n_box_rows long, "
             "layout_ok long, match_bp long",
         )
     uspan, dspan = b.umax - b.umin, b.dmax - b.dmin
@@ -5595,22 +5601,61 @@ def storage_zorder_pruning(spark, sf_dir):
             not assess_pruning
             or (cand_z_day < n_z and cand_z_user < n_z and cand_l_user == n_l)
         )
+        # cand_l_day/cand_z_both ride only the in-band evidence (the
+        # conjunctive count is an intersection by construction and the
+        # day baseline legitimately prunes its own sort dimension)
         row = [
             (
-                int(n_z), int(cand_z_day), int(cand_z_user), int(cand_z_both),
-                int(cand_l_day), int(cand_l_user), int(want.n),
-                int(layout_ok), int(match_bp),
+                int(n_z),
+                int(df.count()),  # persisted: metadata-cheap second action
+                int(want.n),
+                int(layout_ok),
+                int(match_bp),
             )
         ]
         return spark.createDataFrame(
             row,
-            "n_files long, cand_z_day long, cand_z_user long, cand_z_both long, "
-            "cand_linear_day long, cand_linear_user long, n_box_rows long, "
+            "n_files long, n_sample_rows long, n_box_rows long, "
             "layout_ok long, match_bp long",
         )
     finally:
         df.unpersist()
         shutil.rmtree(root, ignore_errors=True)
+
+
+# The witnesses replay in SQL: the md5 ppm sample (pct=100 ceiling —
+# at 1e6 ppm the bucket predicate is vacuously true, matching
+# _probe_sample's filter), integer epoch-day from the nanos timestamp,
+# and the middle-fifth box bounds min + 2*span//5 .. min + 3*span//5
+# (integer floor division, both engines). The invariants predict the
+# layout/equality contract at its must-hold values.
+STORAGE_ZORDER_SQL = """
+WITH params AS (
+  SELECT LEAST(1000000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 120000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM events),
+s AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events, params
+  WHERE CAST('0x' || substring(md5('zorder' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+b AS (SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(day) AS dmin, MAX(day) AS dmax, COUNT(*) AS n FROM s),
+box AS (
+  SELECT n,
+         umin + 2 * (umax - umin) // 5 AS ulo,
+         umin + 3 * (umax - umin) // 5 AS uhi,
+         dmin + 2 * (dmax - dmin) // 5 AS dlo,
+         dmin + 3 * (dmax - dmin) // 5 AS dhi
+  FROM b)
+SELECT CAST(CASE WHEN n = 0 THEN 0 ELSE 16 END AS BIGINT) AS n_files,
+       CAST(n AS BIGINT) AS n_sample_rows,
+       CAST((SELECT COUNT(*) FROM s, box
+             WHERE user_id BETWEEN ulo AND uhi
+               AND day BETWEEN dlo AND dhi) AS BIGINT) AS n_box_rows,
+       CAST(1 AS BIGINT) AS layout_ok,
+       CAST(10000 AS BIGINT) AS match_bp
+FROM box
+"""
 
 
 def embeddings_random_projection(spark, sf_dir):
@@ -7124,7 +7169,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "storage_scd2_history": (storage_scd2_history, STORAGE_SCD2_SQL),
     "text_bpe_learn": (text_bpe_learn, None),
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
-    "storage_zorder_pruning": (storage_zorder_pruning, None),
+    "storage_zorder_pruning": (storage_zorder_pruning, STORAGE_ZORDER_SQL),
     "embeddings_random_projection": (embeddings_random_projection, None),
     "storage_bucketed_join": (storage_bucketed_join, STORAGE_BUCKETED_JOIN_SQL),
     # --- new in round 7 -------------------------------------------------
