@@ -848,10 +848,15 @@ def start_dedup_stream(
         # pinned: consumed twice (pair harvest + signature append),
         # and each pass would otherwise re-shingle the batch
         batch_df = batch_df.localCheckpoint()
-        incremental_minhash_pairs(
-            batch_df, index_dir, text_col, verify_jaccard
-        ).write.mode("append").parquet(pairs_dir)
-        append_minhash_index(batch_df, index_dir, text_col)
+        # scope the per-batch signature caches: a continuous stream
+        # would otherwise register one evict-only cached frame per
+        # batch forever (the long-session failure signature_cache_scope
+        # exists for)
+        with signature_cache_scope():
+            incremental_minhash_pairs(
+                batch_df, index_dir, text_col, verify_jaccard
+            ).write.mode("append").parquet(pairs_dir)
+            append_minhash_index(batch_df, index_dir, text_col)
 
     writer = (
         stream.writeStream.outputMode("append")

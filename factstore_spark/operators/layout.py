@@ -64,9 +64,12 @@ def zorder_col(df: DataFrame, dims: Sequence[str]) -> Column:
         raise ValueError("z-order interleaves exactly two dimensions")
     n_buckets = 64
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE approxQuantile call for both dims = one scan, not two —
+    # compact_table calls this on an unpersisted multi-version read
+    both = df.stat.approxQuantile(list(dims), probs, 0.01)
 
-    def _norm(col: str) -> Column:
-        bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.01)))
+    def _norm(col: str, raw) -> Column:
+        bounds = sorted(set(raw))
         if not bounds:
             return F.lit(0).cast("long")  # all-null or constant dimension
         arr = F.array(*[F.lit(float(v)) for v in bounds])
@@ -78,7 +81,7 @@ def zorder_col(df: DataFrame, dims: Sequence[str]) -> Column:
             lambda acc, b: acc + F.when(c >= b, 1).otherwise(0),
         ).cast("long")
 
-    return zorder_value(_norm(dims[0]), _norm(dims[1]))
+    return zorder_value(_norm(dims[0], both[0]), _norm(dims[1], both[1]))
 
 
 def write_zordered(

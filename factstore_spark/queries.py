@@ -5536,12 +5536,13 @@ def storage_zorder_pruning(spark, sf_dir):
         F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
         F.min("day").alias("dmin"), F.max("day").alias("dmax"),
     ).collect()[0]
-    if b.umax is None:
-        # empty slice: nothing to lay out — vacuous pass, not a crash
+    if b.umax is None or b.dmax is None:
+        # empty slice (or an all-null dimension): nothing to lay out —
+        # vacuous pass, not a crash
         df.unpersist()
         return spark.createDataFrame(
-            [(0, 0, 0, 1, 10000)],
-            "n_files long, n_sample_rows long, n_box_rows long, "
+            [(0, 0, 1, 10000)],
+            "n_sample_rows long, n_box_rows long, "
             "layout_ok long, match_bp long",
         )
     uspan, dspan = b.umax - b.umin, b.dmax - b.dmin
@@ -5570,11 +5571,12 @@ def storage_zorder_pruning(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(dl)
         )
+        # three probes feed layout_ok; the conjunctive-box probe was
+        # dropped with the round-9 column trim (an intersection by
+        # construction — probing it was dead footer reads)
         n_z, cand_z_day = candidate_files(dz, {"day": dbox})
         _, cand_z_user = candidate_files(dz, {"user_id": ubox})
-        _, cand_z_both = candidate_files(dz, {"day": dbox, "user_id": ubox})
-        n_l, cand_l_day = candidate_files(dl, {"day": dbox})
-        _, cand_l_user = candidate_files(dl, {"user_id": ubox})
+        n_l, cand_l_user = candidate_files(dl, {"user_id": ubox})
         box_pred = (
             F.col("user_id").between(*ubox) & F.col("day").between(*dbox)
         )
@@ -5601,12 +5603,8 @@ def storage_zorder_pruning(spark, sf_dir):
             not assess_pruning
             or (cand_z_day < n_z and cand_z_user < n_z and cand_l_user == n_l)
         )
-        # cand_l_day/cand_z_both ride only the in-band evidence (the
-        # conjunctive count is an intersection by construction and the
-        # day baseline legitimately prunes its own sort dimension)
         row = [
             (
-                int(n_z),
                 int(df.count()),  # persisted: metadata-cheap second action
                 int(want.n),
                 int(layout_ok),
@@ -5615,7 +5613,7 @@ def storage_zorder_pruning(spark, sf_dir):
         ]
         return spark.createDataFrame(
             row,
-            "n_files long, n_sample_rows long, n_box_rows long, "
+            "n_sample_rows long, n_box_rows long, "
             "layout_ok long, match_bp long",
         )
     finally:
@@ -5647,8 +5645,7 @@ box AS (
          dmin + 2 * (dmax - dmin) // 5 AS dlo,
          dmin + 3 * (dmax - dmin) // 5 AS dhi
   FROM b)
-SELECT CAST(CASE WHEN n = 0 THEN 0 ELSE 16 END AS BIGINT) AS n_files,
-       CAST(n AS BIGINT) AS n_sample_rows,
+SELECT CAST(CASE WHEN uhi IS NULL OR dhi IS NULL THEN 0 ELSE n END AS BIGINT) AS n_sample_rows,
        CAST((SELECT COUNT(*) FROM s, box
              WHERE user_id BETWEEN ulo AND uhi
                AND day BETWEEN dlo AND dhi) AS BIGINT) AS n_box_rows,

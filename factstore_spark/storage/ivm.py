@@ -720,7 +720,14 @@ def _check_cols(
     # reserved set is per-kind on purpose — widening the SUM set would
     # break refresh of pre-existing persisted views whose group column
     # legally used e.g. 'min_level' before the extrema kind existed.
-    reserved = ("min_", "max_", "cand_", "_lv_") if extrema else ("sum_", "d_")
+    # The extrema set INCLUDES sum_/d_: its refresh rides
+    # delta_from_diff for the count (d_n_rows), so a d_-prefixed group
+    # column must fail at CREATE, not at the first refresh.
+    reserved = (
+        ("sum_", "d_", "min_", "max_", "cand_", "_lv_")
+        if extrema
+        else ("sum_", "d_")
+    )
     bad = [
         c for c in group_cols if c == _COUNT or c.startswith(reserved)
     ]

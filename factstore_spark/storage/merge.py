@@ -231,10 +231,15 @@ def _write_version(
     if sort_col is not None:
         # in-partition clustering (compact_table's zorder_by): tight
         # ROW-GROUP stats on the sort expression inside each partition
-        # file — the pruning grain below the one-file CoW unit
-        clustered = clustered.withColumn("_zsort", sort_col).sortWithinPartitions(
-            "_pval", "_zsort"
-        ).drop("_zsort")
+        # file — the pruning grain below the one-file CoW unit. The
+        # helper column is uuid-suffixed: a fixed name would silently
+        # replace-and-drop a user column of the same name (withColumn
+        # replaces case-insensitively; no reserved-name guard exists
+        # for table columns beyond _pval).
+        zc = f"_zsort_{uuid.uuid4().hex[:8]}"
+        clustered = clustered.withColumn(zc, sort_col).sortWithinPartitions(
+            "_pval", zc
+        ).drop(zc)
     (
         clustered
         .write.mode("overwrite")

@@ -956,3 +956,17 @@ def test_sum_views_allow_min_prefixed_group_columns(spark, tdir, adir):
             spark.createDataFrame([(1, "a", 2)], "k long, min_x string, v long"),
             ["min_x"], ["v"],
         )
+
+
+def test_extrema_rejects_d_prefixed_group_col_at_create(spark, tdir, adir):
+    """The extrema refresh rides delta_from_diff for its count, so a
+    d_-prefixed group column must fail at CREATE — not create fine and
+    then raise on every refresh forever (review finding, round 9)."""
+    from factstore_spark.storage.ivm import create_materialized_extrema
+
+    base = spark.createDataFrame(
+        [(1, "p1", "x", 10)], "k long, part string, d_code string, v long"
+    )
+    create_table(base, tdir, ["k"], "part")
+    with pytest.raises(ValueError, match="reserved"):
+        create_materialized_extrema(spark, tdir, adir, ["d_code"], ["v"])

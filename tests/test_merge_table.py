@@ -824,3 +824,21 @@ def _read_head_version(d):
     vs = {rel.split(os.sep, 1)[0] for rel in m["partitions"].values()}
     assert len(vs) == 1
     return vs.pop()
+
+
+def test_zorder_compaction_preserves_user_zsort_column(spark, tmp_path):
+    """A user column literally named '_zsort' must survive zorder
+    compaction — the helper sort column is uuid-suffixed so withColumn
+    can never replace-and-drop user data (review finding, round 9)."""
+    from factstore_spark.storage.merge import compact_table, read_table
+
+    d = str(tmp_path / "t")
+    g = spark.range(500).selectExpr(
+        "id", "'p' as part", "id % 8 as a", "(id * 3) % 8 as b",
+        "id * 2 as _zsort",
+    )
+    create_table(g, d, ["id"], "part")
+    compact_table(spark, d, zorder_by=["a", "b"])
+    back = read_table(spark, d)
+    assert "_zsort" in back.columns
+    assert back.filter("_zsort <> id * 2").count() == 0
