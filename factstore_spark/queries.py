@@ -6389,14 +6389,71 @@ def curation_quality_classifier(spark, sf_dir):
     (beats_baseline_ok). The distributed-iterative-ML family's battery
     entry: per-iteration cost is one treeAggregate of map-side
     gradient partials (no row shuffle), features are whole-stage
-    codegen, scoring is map-only. Rows-only (integer contract row —
-    gradient-sum order can't move counts). max_iter=12: measured
-    identical accuracy to 25 at sf0.1 (loss plateaus ~iter 10); the
-    battery entry pays only the converged cost."""
+    codegen, scoring is map-only. max_iter=12: measured identical
+    accuracy to 25 at sf0.1 (loss plateaus ~iter 10); the battery
+    entry pays only the converged cost.
+
+    Driver-oracled since round 9 (invariant + witness): the model's
+    accuracy_bp/lift_bp stay in the library report (they depend on the
+    fitted coefficients, which SQL cannot replay), while the battery
+    row emits the must-hold invariant beats_baseline_ok plus witnesses
+    the oracle recomputes exactly — the parity-split sizes, the
+    Gopher-weak-label positive count on the eval half (the same keep
+    predicate as the green text_gopher_rules oracle), and the
+    majority-class baseline derived from them. A training or scoring
+    regression that stops beating the baseline flips the invariant."""
     from .operators.quality_model import quality_classifier_report
 
     docs = _t(spark, sf_dir, "documents")
-    return quality_classifier_report(docs, F.col("doc_id") % 2 == 0, max_iter=12)
+    return quality_classifier_report(
+        docs, F.col("doc_id") % 2 == 0, max_iter=12
+    ).select(
+        "n_train", "n_eval", "n_keep_eval", "baseline_bp", "beats_baseline_ok"
+    )
+
+
+CURATION_QUALITY_CLASSIFIER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
+    string_split(text, chr(10)) AS lines,
+    length(text) AS n_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, len(L) AS n_words,
+    CAST(n_chars - (len(L) - 1) AS DOUBLE) / len(L) AS mwl,
+    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+    len(list_filter(L, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter(L, x -> x IN
+      ('the','be','to','of','and','that','have','with'))) AS n_stop,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell
+  FROM t),
+g AS (
+  SELECT doc_id,
+    ((n_words >= 20 AND n_words <= 100000)
+     AND (mwl >= 3.0 AND mwl <= 10.0)
+     AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+     AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+     AND (n_stop >= 2)
+     AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+     AND (CAST(n_ell AS DOUBLE) / n_lines <= 0.3)) AS keep
+  FROM c),
+counts AS (
+  SELECT COUNT(*) FILTER (doc_id % 2 = 0) AS n_train,
+         COUNT(*) FILTER (doc_id % 2 = 1) AS n_eval,
+         COUNT(*) FILTER (doc_id % 2 = 1 AND keep) AS n_keep_eval
+  FROM g)
+SELECT CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_eval AS BIGINT) AS n_eval,
+       CAST(n_keep_eval AS BIGINT) AS n_keep_eval,
+       CAST(CASE WHEN n_eval = 0 THEN 10000
+            ELSE (10000 * GREATEST(n_keep_eval, n_eval - n_keep_eval)) // n_eval
+            END AS BIGINT) AS baseline_bp,
+       CAST(1 AS BIGINT) AS beats_baseline_ok
+FROM counts
+"""
 
 
 def text_lm_surprise(spark, sf_dir):
@@ -7154,7 +7211,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "schema_integrity_audit": (schema_integrity_audit, SCHEMA_INTEGRITY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
     "storage_compact_table": (storage_compact_table, STORAGE_COMPACT_SQL),
-    "curation_quality_classifier": (curation_quality_classifier, None),
+    "curation_quality_classifier": (curation_quality_classifier, CURATION_QUALITY_CLASSIFIER_SQL),
     "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
     "embeddings_pca_variance": (embeddings_pca_variance, None),
