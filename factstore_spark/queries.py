@@ -6038,16 +6038,40 @@ def embeddings_pca_variance(spark, sf_dir):
     EXACT integer-quantized Gramian (one O(dim²) partial per
     partition; decimal-exact combine — shuffle volume independent of
     row count), the driver does the O(dim²) eigh. The whitening /
-    Mahalanobis / SemDeDup-preprocessing primitive. Rows-only for the
-    eigendecomposition itself, but the distributed half — the Gramian
-    accumulator this reads — is driver-oracled bit-exactly by
-    embeddings_gram_moments; the emitted rows carry the contract
-    (trace preservation, PSD, monotone spectrum, orthonormal basis)
-    the gate enforces on the driver half."""
+    Mahalanobis / SemDeDup-preprocessing primitive.
+
+    Driver-oracled since round 9 (invariant + witness): the spectrum
+    (evr_bp / cum_evr_bp) stays in the library output — eigenvalues
+    are not SQL-replayable — while the battery row carries the
+    must-hold contract columns (trace preservation, PSD, monotone
+    spectrum, orthonormal basis) plus the component ids and the
+    valid-vector count the oracle recomputes from raw parquet. The
+    distributed half this reads — the Gramian accumulator — is
+    separately driver-oracled BIT-EXACTLY by embeddings_gram_moments,
+    so between the two entries only the driver-side eigh is trusted
+    to its own four invariants."""
     emb = _t(spark, sf_dir, "embeddings")
     return linalg_ops.pca_variance(
         spark, emb, vec_col="embedding", dim=64, top_k=8
+    ).select(
+        "component", "n_vectors", "trace_match_bp",
+        "psd_ok", "monotone_ok", "orthonormal_ok",
     )
+
+
+EMBEDDINGS_PCA_SQL = """
+WITH q AS (
+  SELECT COUNT(*) AS n FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+SELECT CAST(c AS BIGINT) AS component,
+       CAST(n AS BIGINT) AS n_vectors,
+       CAST(10000 AS BIGINT) AS trace_match_bp,
+       CAST(1 AS BIGINT) AS psd_ok,
+       CAST(1 AS BIGINT) AS monotone_ok,
+       CAST(1 AS BIGINT) AS orthonormal_ok
+FROM q, UNNEST(generate_series(0, 7)) AS t(c)
+WHERE n > 0
+"""
 
 
 def events_peak_concurrency(spark, sf_dir):
@@ -7214,7 +7238,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curation_quality_classifier": (curation_quality_classifier, CURATION_QUALITY_CLASSIFIER_SQL),
     "dedup_editdist_verify": (dedup_editdist_verify, DEDUP_EDITDIST_SQL),
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
-    "embeddings_pca_variance": (embeddings_pca_variance, None),
+    "embeddings_pca_variance": (embeddings_pca_variance, EMBEDDINGS_PCA_SQL),
     "events_peak_concurrency": (events_peak_concurrency, EVENTS_PEAK_CONCURRENCY_SQL),
     "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, None),
     "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
