@@ -4621,9 +4621,11 @@ def dedup_incremental_minhash(spark, sf_dir):
         _probe_ppm(docs_full, 50, target=2500, cache_key=(sf_dir, "documents")),
         salt="incdedup",
     )
-    # NOT pinned: the 3 passes re-scan parquet + re-filter the sample,
-    # but an A/B at sf0.1 measured the eager localCheckpoint 1.2s SLOWER
-    # than the codegen rescans it saves (50k-row pruned scans are cheap).
+    # NOT pinned — re-A/B'd in round 9 after the witness pass raised
+    # the sample consumers from 3 to 5: eager localCheckpoint measured
+    # 8.2s vs 5.8s unpinned at sf0.1 (warm min-of-3) — the md5-filtered
+    # parquet rescans are cheap codegen, the checkpoint materialization
+    # is not. Same conclusion as the original 3-pass A/B.
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
     idx = tempfile.mkdtemp(prefix="mh-idx-")
