@@ -179,6 +179,15 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         leaked = _cached_bytes(spark)
+        if leaked > 256 * 1048576:
+            # localCheckpoint blocks are reclaimed by the JVM
+            # ContextCleaner only after their RDD objects are GC'd —
+            # with a 128 GiB heap that can be never during a bench. A
+            # threshold-gated full GC (rare by construction) drains the
+            # backlog so pinned_mb_before measures real leaks, not
+            # collector laziness.
+            spark.sparkContext._jvm.System.gc()
+            leaked = _cached_bytes(spark)
         gc0 = _gc_ms(spark)
         best, n = None, 0
         for _ in range(2):  # min of 2 — shields against transient host noise
