@@ -185,8 +185,17 @@ def main() -> None:
             # with a 128 GiB heap that can be never during a bench. A
             # threshold-gated full GC (rare by construction) drains the
             # backlog so pinned_mb_before measures real leaks, not
-            # collector laziness.
+            # collector laziness. The cleaner drains its reference
+            # queue on its own daemon thread, so poll briefly instead
+            # of racing it with an immediate re-read.
             spark.sparkContext._jvm.System.gc()
+            for _ in range(20):
+                now_pinned = _cached_bytes(spark)
+                if now_pinned < leaked:
+                    leaked = now_pinned
+                    if leaked <= 256 * 1048576:
+                        break
+                time.sleep(0.1)
             leaked = _cached_bytes(spark)
         gc0 = _gc_ms(spark)
         best, n = None, 0

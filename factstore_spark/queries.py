@@ -3755,8 +3755,11 @@ def text_gopher_rules(spark, sf_dir):
     )
 
 
-TEXT_GOPHER_RULES_SQL = r"""
-WITH t AS (
+# Shared by TEXT_GOPHER_RULES_SQL and CURATION_QUALITY_CLASSIFIER_SQL:
+# the weak label the classifier trains on IS the gopher keep rule, and
+# a single fragment keeps both oracles moving together when a
+# threshold changes (same single-definition discipline as exact_fp_col).
+_GOPHER_RULES_CTES = r"""t AS (
   SELECT doc_id, text,
     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
     string_split(text, chr(10)) AS lines,
@@ -3782,12 +3785,17 @@ f AS (
     (n_stop >= 2) AS r_stopwords,
     (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS r_bullet_lines,
     (CAST(n_ell AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis_lines
-  FROM c)
+  FROM c)"""
+
+
+TEXT_GOPHER_RULES_SQL = (
+    "WITH " + _GOPHER_RULES_CTES + """
 SELECT *, (r_word_count AND r_mean_word_len AND r_symbol_ratio
   AND r_alpha_words AND r_stopwords AND r_bullet_lines
   AND r_ellipsis_lines) AS keep
 FROM f
 """
+)
 
 
 def text_tfdf_keywords(spark, sf_dir):
@@ -6438,34 +6446,14 @@ def curation_quality_classifier(spark, sf_dir):
     )
 
 
-CURATION_QUALITY_CLASSIFIER_SQL = r"""
-WITH t AS (
-  SELECT doc_id, text,
-    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L,
-    string_split(text, chr(10)) AS lines,
-    length(text) AS n_chars
-  FROM documents),
-c AS (
-  SELECT doc_id, len(L) AS n_words,
-    CAST(n_chars - (len(L) - 1) AS DOUBLE) / len(L) AS mwl,
-    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
-    len(list_filter(L, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-    len(list_filter(L, x -> x IN
-      ('the','be','to','of','and','that','have','with'))) AS n_stop,
-    len(lines) AS n_lines,
-    len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
-    len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell
-  FROM t),
+CURATION_QUALITY_CLASSIFIER_SQL = (
+    "WITH " + _GOPHER_RULES_CTES + """,
 g AS (
   SELECT doc_id,
-    ((n_words >= 20 AND n_words <= 100000)
-     AND (mwl >= 3.0 AND mwl <= 10.0)
-     AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
-     AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
-     AND (n_stop >= 2)
-     AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
-     AND (CAST(n_ell AS DOUBLE) / n_lines <= 0.3)) AS keep
-  FROM c),
+    (r_word_count AND r_mean_word_len AND r_symbol_ratio
+     AND r_alpha_words AND r_stopwords AND r_bullet_lines
+     AND r_ellipsis_lines) AS keep
+  FROM f),
 counts AS (
   SELECT COUNT(*) FILTER (doc_id % 2 = 0) AS n_train,
          COUNT(*) FILTER (doc_id % 2 = 1) AS n_eval,
@@ -6480,6 +6468,7 @@ SELECT CAST(n_train AS BIGINT) AS n_train,
        CAST(1 AS BIGINT) AS beats_baseline_ok
 FROM counts
 """
+)
 
 
 def text_lm_surprise(spark, sf_dir):
