@@ -7206,13 +7206,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- Driver-window rotation (round 9) -------------------------------
     # The correctness driver samples the FIRST 50 entries of queries().
-    # Round 9: the new Gramian-moments entry leads, and seven formerly
-    # rows-only entries in this window gained DuckDB oracles (the four
-    # storage contracts via arithmetic-rule replay, frame dup via the
-    # deterministic fake-decode replay, incremental minhash via the
-    # invariant+witness redesign) — keep them in the window for their
-    # first oracled driver check. Ordering is presentation-only: every
-    # entry runs identically regardless of position.
+    # Round 9: two new oracled entries lead (Gramian moments, MIN/MAX
+    # IVM), and ELEVEN formerly rows-only entries in this window gained
+    # DuckDB oracles — the four storage contracts + bucketed join via
+    # arithmetic-rule replay, frame dup via the deterministic
+    # fake-decode replay, and incremental minhash / GK sketch bounds /
+    # z-order pruning / quality classifier / PCA variance via the
+    # invariant+witness redesign (non-replayable payloads stay in-band
+    # or in the library API; the hashed row carries must-hold
+    # invariants plus SQL-recomputable witnesses). Window: 47/50
+    # oracled; the three remaining rows-only entries carry genuinely
+    # non-SQL-replayable payloads. Ordering is presentation-only:
+    # every entry runs identically regardless of position.
     # --- new in round 9 (lead the window so the driver checks them) -----
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),

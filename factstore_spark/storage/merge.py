@@ -735,6 +735,48 @@ def start_merge_stream(
     return writer.start()
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_by: list[str] | None = None,
+    retain_seconds: float = 3600.0,
+    retain_snapshots: int = 2,
+) -> dict:
+    """One-call table maintenance — the scheduler-slot composition a
+    production merge table runs nightly (the FactStore.maintain analog
+    for the lakehouse substrate): compact the live partitions into one
+    version (optionally z-ordered on two columns for row-group-grain
+    conjunctive pruning), validate the rewritten head against the
+    manifest stats, then vacuum superseded versions and snapshots past
+    the retention window. Validation BEFORE vacuum: if the compacted
+    head ever failed its stats check, the superseded versions are
+    still on disk to read (the compaction itself also self-checks
+    pre-publish; this is defense in depth at the operational seam).
+    Each step inherits its own concurrency contract — a racing merge
+    surfaces as ConcurrentMergeError from the compaction and the
+    table is untouched; rerun in the next slot."""
+    rep = compact_table(spark, table_dir, zorder_by=zorder_by)
+    check = validate_table(spark, table_dir)
+    if not check["ok"]:
+        raise ValueError(
+            f"maintain_table: post-compaction validation failed, vacuum "
+            f"skipped (superseded versions retained): {check['problems']}"
+        )
+    vac = vacuum_table(
+        table_dir,
+        retain_seconds=retain_seconds,
+        retain_snapshots=retain_snapshots,
+    )
+    return {
+        "snapshot": rep["snapshot"],
+        "versions_before": rep["versions_before"],
+        "versions_after": rep["versions_after"],
+        "validated": True,
+        "vacuumed_versions": vac["removed"],
+        "vacuumed_snapshots": vac["removed_snapshots"],
+    }
+
+
 def table_history(table_dir: str) -> list[dict]:
     """Operator introspection: every retained snapshot, oldest first,
     with its partition map size and version dirs — the `DESCRIBE

@@ -842,3 +842,26 @@ def test_zorder_compaction_preserves_user_zsort_column(spark, tmp_path):
     back = read_table(spark, d)
     assert "_zsort" in back.columns
     assert back.filter("_zsort <> id * 2").count() == 0
+
+
+def test_maintain_table_one_call(spark, tmp_path):
+    """maintain_table = compact (optionally z-ordered) + validate +
+    vacuum in one scheduler slot; content unchanged, sprawl collapsed,
+    superseded versions reclaimed, retained snapshots still readable."""
+    from factstore_spark.storage.merge import maintain_table, read_table
+
+    d = str(tmp_path / "t")
+    create_table(
+        _rows(spark, [(1, "a", "x"), (2, "b", "y"), (3, "a", "z")]),
+        d, ["id"], "part",
+    )
+    merge_upsert(_rows(spark, [(1, "a", "X")]), d)
+    merge_upsert(_rows(spark, [(2, "b", "Y")]), d)
+    before = _snap(spark, d)
+    out = maintain_table(spark, d, retain_seconds=0.0, retain_snapshots=1)
+    assert out["validated"] and out["versions_after"] == 1
+    assert len(out["vacuumed_versions"]) >= 2  # superseded CoW sprawl gone
+    assert _snap(spark, d) == before
+    # the maintenance snapshot is the only retained one
+    with pytest.raises(ValueError, match="not found"):
+        read_table(spark, d, snapshot=1)
