@@ -907,22 +907,37 @@ def compact_minhash_index(
                 for p in _minhash_store_paths(index_dir, m, "buckets")
             ],
         ).distinct()
-        sigs = (
-            _reduce(
-                DataFrame.unionByName,
-                [
-                    spark.read.parquet(p)
-                    for p in _minhash_store_paths(index_dir, m, "sigs")
-                ],
-            )
-            .groupBy("_id")
-            .agg(*[F.first(c).alias(c) for c in ["sig"]])
+        # first-per-id is only safe when duplicate _ids carry IDENTICAL
+        # signatures (the crash-replay case). A mutated re-ingest would
+        # leave bucket rows whose verify-side signature mismatches —
+        # silently wrong pairs — so conflicting sigs fail LOUDLY here.
+        sigs_all = _reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p)
+                for p in _minhash_store_paths(index_dir, m, "sigs")
+            ],
         )
+        agg = sigs_all.groupBy("_id").agg(
+            F.first("sig").alias("sig"),
+            F.count_distinct(F.to_json(F.struct("sig"))).alias("_nsig"),
+        ).persist()
+        conflicts = agg.filter(F.col("_nsig") > 1).select("_id").limit(5).collect()
+        if conflicts:
+            agg.unpersist()
+            raise ValueError(
+                "compact_minhash_index: conflicting signatures for _ids "
+                f"{[r['_id'] for r in conflicts]} — re-ingesting mutated "
+                "documents violates the appender contract (same _id must "
+                "keep the same text); rebuild the index instead"
+            )
+        sigs = agg.drop("_nsig")
         seg = f"seg-{_uuid.uuid4().hex[:12]}"
         buckets.repartition(F.col("band")).write.mode("overwrite").partitionBy(
             "band"
         ).parquet(os.path.join(index_dir, seg, "buckets"))
         sigs.write.mode("overwrite").parquet(os.path.join(index_dir, seg, "sigs"))
+        agg.unpersist()
         _write_ivf_manifest(index_dir, dict(m, segments=[seg]))
         m = _read_minhash_manifest(index_dir)
         compacted = seg

@@ -55,7 +55,11 @@ def gram_partials(
     ``(n long, acc array<long>)`` where ``acc`` is
     ``[sum(q)..., rowmajor sum(q qᵀ)...]`` of length ``dim + dim²``
     over quantized vectors ``q = floor(x * scale)``. Rows with null or
-    wrong-length vectors are skipped (counted out of ``n``).
+    wrong-length vectors are skipped (counted out of ``n``), as are
+    vectors containing null/NaN/inf ELEMENTS — ``np.floor(nan)`` cast
+    to int64 is undefined garbage on the Spark side while a SQL
+    oracle's SUM silently skips nulls, so dirty elements must be
+    excluded symmetrically rather than quantized.
     """
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,6 +75,11 @@ def gram_partials(
             if not vecs:
                 continue
             x = np.asarray(np.stack(vecs), dtype=np.float64)
+            finite = np.isfinite(x).all(axis=1)
+            if not finite.all():
+                x = x[finite]
+                if x.shape[0] == 0:
+                    continue
             q = np.floor(x * scale).astype(np.int64)
             n += q.shape[0]
             s += q.sum(axis=0)

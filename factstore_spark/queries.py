@@ -5999,15 +5999,9 @@ def embeddings_gram_moments(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     partials = gram_partials(emb, "embedding", dim=64)
     combined = (
-        partials.select(
-            F.col("n").cast("decimal(38,0)").alias("v0"),
-            F.posexplode("acc").alias("pos", "v"),
-        )
+        partials.select(F.posexplode("acc").alias("pos", "v"))
         .groupBy("pos")
-        .agg(
-            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-            F.sum("v0").alias("sn"),
-        )
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"))
     )
     # long cast is loud-on-overflow under ANSI; bounds here are
     # |q| <= 2^16 so Σ q·q <= n·2^32 — int64-safe through corpora of

@@ -169,6 +169,14 @@ def main():
         print(f"reusing existing K={k} build at {out}", flush=True)
     else:
         t0 = time.time()
+        # invalidate the marker BEFORE rebuilding: a crash mid-rebuild
+        # over an existing out_dir must not leave the old K stamp in
+        # place, or a later run would reuse a half-overwritten mixed-K
+        # corpus and corrupt the SCALE.md ratios
+        try:
+            os.remove(k_marker)
+        except OSError:
+            pass
         build(spark, k, out)
         with open(k_marker, "w") as fh:
             fh.write(str(k))

@@ -337,6 +337,50 @@ def test_compact_minhash_index_one_segment_same_pairs(spark, tmp_path):
     assert after == before and before
 
 
+def test_compact_minhash_index_mutated_reingest_raises(spark, tmp_path):
+    """first-per-_id collapse is only safe for IDENTICAL re-appends
+    (crash replay). An appender that re-ingests an _id with CHANGED
+    text leaves bucket rows whose verify-side signature mismatches —
+    compaction must fail loudly instead of keeping an arbitrary sig."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    idx = str(tmp_path / "mh")
+    write_minhash_index(docs, idx)
+    mutated = docs.withColumn("text", F.concat(F.col("text"), F.lit(" MUTATED tail")))
+    append_minhash_index(mutated, idx)
+    with _pytest.raises(ValueError, match="conflicting signatures"):
+        compact_minhash_index(spark, idx, retain_seconds=0.0)
+
+
+def test_compact_minhash_index_crash_replay_still_collapses(spark, tmp_path):
+    """Identical re-appends (the crash-replay case the collapse exists
+    for) still compact fine under the new conflict assertion."""
+    import json
+    import os
+
+    from factstore_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    idx = str(tmp_path / "mh")
+    write_minhash_index(docs, idx)
+    append_minhash_index(docs, idx)  # byte-identical replay
+    out = compact_minhash_index(spark, idx, retain_seconds=0.0)
+    m = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(m["segments"]) == 1 and m["segments"] == out["segments"]
+
+
 def test_editdist_verified_pairs_exact_distances(spark):
     # block = first 8 chars of lower(text); docs 0-2 share a block,
     # doc 3 diverges in the prefix, doc 4 is a different block entirely.

@@ -76,6 +76,43 @@ def test_malformed_vectors_skipped(spark, cloud):
     assert np.array_equal(cov, cov2)
 
 
+def test_nonfinite_elements_skipped(spark, cloud):
+    """A vector with a NaN/inf/null ELEMENT must be excluded entirely:
+    np.floor(nan).astype(int64) is undefined garbage, while a SQL
+    oracle's SUM silently skips nulls — symmetric exclusion is the only
+    consistent contract (ADVICE r9, linalg.py:69)."""
+    good = _mk(spark, cloud[:50])
+    dirty = spark.createDataFrame(
+        [
+            (2000, [float("nan")] + [1.0] * (DIM - 1)),
+            (2001, [float("inf")] + [1.0] * (DIM - 1)),
+            (2002, [None] + [1.0] * (DIM - 1)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    n, _, cov = L.combined_gram(good.unionByName(dirty), dim=DIM, scale=SCALE)
+    n2, _, cov2 = L.combined_gram(good, dim=DIM, scale=SCALE)
+    assert n == n2 == 50
+    assert np.array_equal(cov, cov2)
+
+
+def test_testdata_embeddings_all_finite(spark):
+    """Guard for the bit-exact gram oracle: the sf0.001 embeddings
+    table must contain no null/NaN/inf elements, so the Spark-side
+    whole-row exclusion and the DuckDB SUM never diverge (mirrors
+    test_frame_dup_oracle_char_byte_equivalence)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bad = emb.filter(
+        F.exists(
+            "embedding",
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(1e30)),
+        )
+    ).count()
+    assert bad == 0
+
+
 def test_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     n, mean, cov = L.combined_gram(empty, dim=DIM)
