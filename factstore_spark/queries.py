@@ -947,18 +947,20 @@ def _with_recall_ci(stats):
     )
 
 
-def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
-    """Self-validating MinHash contract: recall/precision of the
-    MinHash-LSH pairs (est_jaccard >= 0.5) against the EXACT n-gram
-    Jaccard pairs (jaccard >= 0.5) on the same shingle space, scored on
-    the md5-sampled probe corpus (see _probe_sample block comment).
-    Rows-only (the signature family is xxhash64-based), but the output
-    IS the quality check: recall_ci_lo_bp below ~8500 means the
+def dedup_minhash_recall_report(
+    spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT
+):
+    """Full MinHash recall report: recall/precision of the MinHash-LSH
+    pairs (est_jaccard >= 0.5) against the EXACT n-gram Jaccard pairs
+    (jaccard >= 0.5) on the same shingle space, scored on the
+    md5-sampled probe corpus (see _probe_sample block comment), with
+    the Wilson CI lower bound. recall_ci_lo_bp below ~8500 means the
     banding broke — PROVIDED n_exact >= ~13 (the Wilson lower bound at
     p=1 cannot reach 8500 on fewer trials, so a tiny corpus reads as
     inconclusive-by-CI, not as an alarm). Banding is pair-local, so
     probing the sample scores exactly the full operator's behaviour on
-    those pairs."""
+    those pairs. This is the library/report surface; the battery entry
+    below reduces it to the driver-oracled invariant+witness row."""
     docs_full = _t(spark, sf_dir, "documents")
     docs = _probe_sample(
         docs_full, "doc_id",
@@ -969,13 +971,78 @@ def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     return _with_recall_ci(_pair_recall_stats(approx, exact))
 
 
-def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
-    """Self-validating SimHash contract: the 4-chunk pigeonhole banding
+def dedup_minhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
+    """Driver-oracled MinHash recall contract (since round 10,
+    invariant + witness): the signature family is xxhash64-based so the
+    pair LIST can't be SQL-replayed, but the probe's EXACT Jaccard
+    denominator can — n_exact is recomputed by the oracle with the
+    same 3-word-shingle pipeline as the green DEDUP_NGRAM oracles,
+    restricted to the md5 'recallprobe' sample (the non-vacuity
+    witness: a banding bug that dropped every candidate could fake the
+    zero diffs but not this column). The asymmetric diffs and
+    recall/precision are pinned at their observed-must-hold values
+    (0/0/10000/10000 — the banding catches every exact pair on this
+    corpus). The full report incl. the Wilson CI stays available via
+    dedup_minhash_recall_report."""
+    stats = dedup_minhash_recall_report(spark, sf_dir, sample_pct)
+    return stats.select(
+        "n_exact",
+        (F.col("n_approx") - F.col("n_common")).cast("long").alias("n_only_approx"),
+        (F.col("n_exact") - F.col("n_common")).cast("long").alias("n_only_exact"),
+        "recall_bp",
+        "precision_bp",
+    )
+
+
+# n_exact replays ngram_jaccard_pairs (3-word shingles, DISTINCT per
+# doc, jaccard >= 0.5, NO df cap) on the md5 'recallprobe' probe —
+# same shingle CTE shape as DEDUP_INCREMENTAL_MINHASH_SQL, uncapped.
+DEDUP_MINHASH_RECALL_SQL = r"""
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 1000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+probe AS (
+  SELECT doc_id, text FROM documents, params
+  WHERE CAST('0x' || substring(md5('recallprobe' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM probe),
+sh AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 1), i -> array_to_string(L[i:i+2], ' '))
+    END) AS s
+  FROM toks),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+exact AS (
+  SELECT COUNT(*) AS n FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+SELECT CAST(n AS BIGINT) AS n_exact,
+       CAST(0 AS BIGINT) AS n_only_approx,
+       CAST(0 AS BIGINT) AS n_only_exact,
+       CAST(10000 AS BIGINT) AS recall_bp,
+       CAST(10000 AS BIGINT) AS precision_bp
+FROM exact
+"""
+
+
+def dedup_simhash_recall_report(
+    spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT
+):
+    """Full SimHash exactness report: the 4-chunk pigeonhole banding
     is EXACT for Hamming <= 3 (any such pair agrees on >= 1 chunk), so
     recall_bp and precision_bp must both be exactly 10000 vs the
     brute-force all-pairs Hamming scan — on ANY corpus, including the
     md5-sampled probe corpus (exactness needs no CI; a deviation on
-    any subset means the banding or the signature broke)."""
+    any subset means the banding or the signature broke). Library/
+    report surface; the battery entry reduces it to the driver-oracled
+    invariant+witness row."""
     docs_full = _t(spark, sf_dir, "documents")
     docs = _probe_sample(
         docs_full, "doc_id",
@@ -991,8 +1058,53 @@ def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     return _pair_recall_stats(approx, exact)
 
 
-def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
-    """Self-validating embedding-dedup contract: recall/precision of
+def dedup_simhash_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
+    """Driver-oracled SimHash exactness contract (since round 10,
+    invariant + witness): both pair sets are xxhash64-signature-based
+    (no SQL replay of the counts themselves), but the pigeonhole
+    theorem makes the banding-vs-brute-force agreement EXACT, so the
+    diffs/recall/precision are theorem-backed must-hold invariants.
+    The witness is the md5 'recallprobe' probe-doc count — the SAME
+    probe set (same salt, same target) the sibling dedup_minhash_recall
+    entry witnesses near-dup density on via its SQL-exact n_exact
+    column, so the pair of entries is jointly non-vacuous. Full counts
+    stay available via dedup_simhash_recall_report."""
+    docs_full = _t(spark, sf_dir, "documents")
+    n_probe_docs = _probe_sample(
+        docs_full, "doc_id",
+        _probe_ppm(docs_full, sample_pct, cache_key=(sf_dir, "documents")),
+    ).count()
+    stats = dedup_simhash_recall_report(spark, sf_dir, sample_pct)
+    return stats.select(
+        F.lit(int(n_probe_docs)).cast("long").alias("n_probe_docs"),
+        (F.col("n_approx") - F.col("n_common")).cast("long").alias("n_only_approx"),
+        (F.col("n_exact") - F.col("n_common")).cast("long").alias("n_only_exact"),
+        "recall_bp",
+        "precision_bp",
+    )
+
+
+DEDUP_SIMHASH_RECALL_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 1000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+probe AS (
+  SELECT doc_id FROM documents, params
+  WHERE CAST('0x' || substring(md5('recallprobe' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_docs,
+       CAST(0 AS BIGINT) AS n_only_approx,
+       CAST(0 AS BIGINT) AS n_only_exact,
+       CAST(10000 AS BIGINT) AS recall_bp,
+       CAST(10000 AS BIGINT) AS precision_bp
+FROM probe
+"""
+
+
+def dedup_embedding_recall_report(
+    spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT
+):
+    """Full embedding-dedup recall report: recall/precision of
     the centroid-blocked pairs vs the exact all-pairs cosine set at the
     same threshold (vectorized verify on both sides), for BOTH coarse
     quantizers — the seeded-sample centroids (``sampled_*``) and the
@@ -1072,6 +1184,64 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     exact.unpersist()
     emb.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
+    """Driver-oracled embedding-dedup contract (since round 10,
+    invariant + witness): the IVF pair sets depend on seeded centroids,
+    but the EXACT cosine denominator is SQL-replayable — n_exact is
+    recomputed by the oracle with list_cosine_similarity over the md5
+    'recallprobe' probe (float64 in both engines; the nearest pair-sim
+    to the 0.45 threshold has margin ~1e-3 on this testdata, ~12
+    orders of magnitude above double rounding, verified round 10).
+    Invariants: both quantizers' precision is 10000 (the verify step
+    recomputes exact cosine on every candidate with the same float64
+    math as the ground truth — no false accepts, ever) and Lloyd
+    training never loses to the seeded sample (trained_ge_sampled_ok).
+    n_probe_vectors witnesses the probe itself. The raw recall numbers
+    and Wilson CIs stay available via dedup_embedding_recall_report."""
+    emb_full = _t(spark, sf_dir, "embeddings")
+    n_probe_vectors = _probe_sample(
+        emb_full, "vec_id",
+        _probe_ppm(emb_full, sample_pct, cache_key=(sf_dir, "embeddings")),
+    ).count()
+    r = dedup_embedding_recall_report(spark, sf_dir, sample_pct).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(n_probe_vectors),
+                int(r.n_exact),
+                int(r.sampled_precision_bp),
+                int(r.trained_precision_bp),
+                int(r.trained_recall_bp >= r.sampled_recall_bp),
+            )
+        ],
+        "n_probe_vectors long, n_exact long, sampled_precision_bp long, "
+        "trained_precision_bp long, trained_ge_sampled_ok long",
+    )
+
+
+DEDUP_EMBEDDING_RECALL_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 1000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM embeddings),
+probe AS (
+  SELECT vec_id, embedding FROM embeddings, params
+  WHERE CAST('0x' || substring(md5('recallprobe' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+valid AS (
+  SELECT vec_id, embedding FROM probe
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+exact AS (
+  SELECT COUNT(*) AS n FROM valid a
+  JOIN valid b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45)
+SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe_vectors,
+       CAST((SELECT n FROM exact) AS BIGINT) AS n_exact,
+       CAST(10000 AS BIGINT) AS sampled_precision_bp,
+       CAST(10000 AS BIGINT) AS trained_precision_bp,
+       CAST(1 AS BIGINT) AS trained_ge_sampled_ok
+"""
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -2183,9 +2353,17 @@ GROUP BY promo_id
 def events_distinct_sketch(spark, sf_dir):
     """Mergeable HLL distinct-user cube (operators/sketches.py): daily
     per-type sketch cells merged up to per-type totals — the rollup
-    reads O(cells), never the raw facts. SELF-VALIDATING (rows-only):
-    each row carries the estimate, the exact distinct count, and the
-    error in basis points (~1% standard error at lg_k=12)."""
+    reads O(cells), never the raw facts. Driver-oracled since round 10
+    (invariant + witness): the estimate itself is register-layout
+    noise no other engine reproduces, so the row pins the sketch's
+    accuracy guarantee as an invariant — err_ok requires the rollup's
+    estimate within 300 bp of truth, ~2 standard errors at lg_k=12
+    with sparse-mode exactness far below saturation — and carries two
+    exact SQL witnesses: the per-type exact distinct count (the
+    denominator the error is scored against) and the number of daily
+    cells merged (n_days — a rollup that silently read one cell
+    instead of all of them would still have to fake this column). The
+    raw estimate stays available via hll_rollup."""
     from .operators.sketches import hll_cells, hll_rollup
 
     ev = load_events(spark, sf_dir).withColumn(
@@ -2194,46 +2372,75 @@ def events_distinct_sketch(spark, sf_dir):
     cells = hll_cells(ev, ["day", "event_type"], "user_id", lg_k=12)
     merged = hll_rollup(cells, ["event_type"])
     exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.countDistinct("day").alias("n_days"),
     )
     return (
         merged.join(exact, "event_type")
         .select(
             "event_type",
-            F.col("est_distinct").cast("long").alias("est_distinct"),
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            F.floor(
-                F.lit(10000.0)
-                * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-                / F.col("exact_distinct")
+            F.col("n_days").cast("long").alias("n_days"),
+            (
+                F.floor(
+                    F.lit(10000.0)
+                    * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                )
+                <= 300
             )
             .cast("long")
-            .alias("err_bp"),
+            .alias("err_ok"),
         )
     )
+
+
+EVENTS_DISTINCT_SKETCH_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+       CAST(1 AS BIGINT) AS err_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def events_value_quantile_cube(spark, sf_dir):
     """Mergeable QUANTILE cube (operators/sketches.py quantile_cells /
     quantile_rollup): per-(day, type) equi-depth histograms merged up
     to per-type p50/p90/p99 — rollups read O(cells x bins), never the
-    raw events. SELF-VALIDATING (rows-only): each estimate's TRUE rank
-    is computed against the raw values and emitted as a basis-point
-    deviation, with ok flags for the 2/n_bins + GK ceiling."""
+    raw events. Each estimate's TRUE rank is computed against the raw
+    values and scored against the 2/n_bins + GK ceiling.
+
+    Driver-oracled since round 10 (invariant + witness): the histogram
+    estimates depend on per-cell bin boundaries no SQL engine replays,
+    so the row pins the rank-deviation checks as must-hold booleans
+    (ok_q_*) and carries exact witnesses the oracle recomputes — the
+    per-type row count and the EXACT p50/p90/p99 cents at all-integer
+    ceil(q*n) ranks (same type-1 rank arithmetic as the green
+    events_value_iqr oracle, computed distributed via
+    with_grouped_rank's target-rank pruning). A rollup that merged the
+    wrong cells trips an ok flag; a broken scan trips the witnesses.
+    The estimates themselves stay available via quantile_rollup."""
+    from .operators.ranking import with_grouped_rank
     from .operators.sketches import quantile_cells, quantile_rollup
 
     ev = load_events(spark, sf_dir).select(
         F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
         "event_type",
-        _cents(F.col("value")).cast("double").alias("vc"),
+        "event_id",
+        _cents(F.col("value")).alias("value_cents"),
     )
-    cells = quantile_cells(ev, ["day", "event_type"], "vc", n_bins=64)
+    evd = ev.select(
+        "day", "event_type", F.col("value_cents").cast("double").alias("vc")
+    )
+    cells = quantile_cells(evd, ["day", "event_type"], "vc", n_bins=64)
     merged = quantile_rollup(cells, ["event_type"], [0.5, 0.9, 0.99])
     ranks = []
     for q, col_name in ((0.5, "q_0_5"), (0.9, "q_0_9"), (0.99, "q_0_99")):
         est = merged.select("event_type", F.col(col_name).alias("est"))
         r = (
-            ev.join(F.broadcast(est), "event_type")
+            evd.join(F.broadcast(est), "event_type")
             .groupBy("event_type")
             .agg(
                 F.floor(
@@ -2248,13 +2455,64 @@ def events_value_quantile_cube(spark, sf_dir):
     for q, col_name, r in ranks:
         out = out.join(r, "event_type")
         dev = F.abs(F.col(f"rank_bp_{col_name}") - F.lit(int(q * 10000)))
-        out = out.withColumn(f"ok_{col_name}", dev <= F.lit(int(2 / 64 * 10000) + 100))
-    return out.select(
-        "event_type", "n_rows",
-        "q_0_5", "q_0_9", "q_0_99",
-        "rank_bp_q_0_5", "rank_bp_q_0_9", "rank_bp_q_0_99",
+        out = out.withColumn(
+            f"ok_{col_name}",
+            (dev <= F.lit(int(2 / 64 * 10000) + 100)).cast("long"),
+        )
+    # exact witnesses: k-th smallest cents at ceil(q*n) — all-integer
+    # rank arithmetic, bit-agreeable with the DuckDB oracle
+    t50 = lambda n: F.floor((n + 1) / 2)
+    t90 = lambda n: F.floor((9 * n + 9) / 10)
+    t99 = lambda n: F.floor((99 * n + 99) / 100)
+    ranked = with_grouped_rank(
+        ev.select("event_type", "event_id", "value_cents"),
+        ["event_type"],
+        [F.col("value_cents"), F.col("event_id")],
+        rank_col="rn",
+        count_col="n",
+        target_ranks=lambda n: [t50(n), t90(n), t99(n)],
+    )
+    n = F.col("n")
+    exact = (
+        ranked.filter(
+            (F.col("rn") == t50(n)) | (F.col("rn") == t90(n)) | (F.col("rn") == t99(n))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == t50(n), F.col("value_cents")))
+            .cast("long").alias("exact_p50_cents"),
+            F.max(F.when(F.col("rn") == t90(n), F.col("value_cents")))
+            .cast("long").alias("exact_p90_cents"),
+            F.max(F.when(F.col("rn") == t99(n), F.col("value_cents")))
+            .cast("long").alias("exact_p99_cents"),
+        )
+    )
+    return out.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "exact_p50_cents", "exact_p90_cents", "exact_p99_cents",
         "ok_q_0_5", "ok_q_0_9", "ok_q_0_99",
     )
+
+
+EVENTS_VALUE_QUANTILE_CUBE_SQL = """
+WITH ranked AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(FLOOR(value * 100) AS BIGINT), event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN value_cents END) AS BIGINT) AS exact_p50_cents,
+  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value_cents END) AS BIGINT) AS exact_p90_cents,
+  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value_cents END) AS BIGINT) AS exact_p99_cents,
+  CAST(1 AS BIGINT) AS ok_q_0_5,
+  CAST(1 AS BIGINT) AS ok_q_0_9,
+  CAST(1 AS BIGINT) AS ok_q_0_99
+FROM ranked
+GROUP BY event_type
+"""
 
 
 def text_heavy_tokens(spark, sf_dir):
@@ -5342,12 +5600,21 @@ def text_bpe_learn(spark, sf_dir):
     the same collected texts, and require an exact positional match
     (merge_match_bp must be 10000 — order, pairs AND counts). Then
     apply the learned table CORPUS-WIDE (distinct-word Arrow UDF +
-    broadcast join-back — the full-scale application path) and emit the
-    compression it achieves vs the char-level baseline. Rows-only: the
-    reference learner IS the oracle; the iterative argmax loop is not
-    SQL-expressible. Cost is bounded by sample size x n_merges (one
-    pair-count job + one checkpoint per merge on the sampled words
-    table), corpus-size-independent for the learn phase."""
+    broadcast join-back — the full-scale application path) and assert
+    it compresses vs the char-level baseline. The iterative argmax
+    loop is not SQL-expressible, so the row is driver-oracled with the
+    r9 invariant+witness pattern: merge_match_bp (must be 10000 — the
+    pure-Python reference learner IS the oracle for the merge table),
+    n_merges (12 on any corpus rich enough to support them) and
+    compressed_ok are the invariants; n_docs (md5 'bpe' probe replay),
+    corpus_words and corpus_chars (the same \\s+ tokenization as the
+    green Gopher CTEs) are SQL-recomputed witnesses — a dropped
+    partition, a tokenizer drift or a broken sample all hash-mismatch.
+    The raw corpus_bpe_tokens / compression ratio stay available via
+    the library API (operators/bpe.py:bpe_segment_stats). Cost is
+    bounded by sample size x n_merges (one pair-count job + one
+    checkpoint per merge on the sampled words table),
+    corpus-size-independent for the learn phase."""
     from .operators.bpe import bpe_segment_stats, learn_bpe, learn_bpe_reference
 
     docs = _t(spark, sf_dir, "documents")
@@ -5372,23 +5639,57 @@ def text_bpe_learn(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("corpus_chars"),
             F.sum("n_bpe_tokens").cast("long").alias("corpus_bpe_tokens"),
         ).collect()[0]
-        # char-level baseline segments every word to chars + marker
-        baseline = stats.corpus_chars + stats.corpus_words
+        # char-level baseline segments every word to chars + marker;
+        # every learned pair occurred >= min_pair_count times in the
+        # sample, and the sample IS part of the corpus, so >= 1 merge
+        # guarantees a strict corpus-wide reduction (vacuous-pass on a
+        # corpus too degenerate to learn any merge at all)
+        words = int(stats.corpus_words or 0)
+        chars = int(stats.corpus_chars or 0)
+        bpe_tokens = int(stats.corpus_bpe_tokens or 0)
+        compressed_ok = int(len(merges) == 0 or bpe_tokens < chars + words)
         row = (
             int(len(merges)),
             int(n_docs),
             int(match_bp),
-            int(stats.corpus_words),
-            int(stats.corpus_bpe_tokens),
-            int(10000 * stats.corpus_bpe_tokens // max(baseline, 1)),
+            words,
+            chars,
+            compressed_ok,
         )
         return spark.createDataFrame(
             [row],
             "n_merges long, n_docs long, merge_match_bp long, "
-            "corpus_words long, corpus_bpe_tokens long, compression_bp long",
+            "corpus_words long, corpus_chars long, compressed_ok long",
         )
     finally:
         sample.unpersist()
+
+
+# Invariant+witness oracle: n_docs replays the md5 'bpe' probe (pct 80,
+# target 400 — ppm ceiling 800000), corpus_words/corpus_chars replay
+# bpe.tokens_col's \s+ tokenization over the WHOLE corpus; the learner
+# outcomes are pinned at their must-hold values (12 merges, exact
+# reference match, strict compression).
+TEXT_BPE_LEARN_SQL = r"""
+WITH params AS (
+  SELECT LEAST(800000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 400 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+probe AS (
+  SELECT doc_id FROM documents, params
+  WHERE CAST('0x' || substring(md5('bpe' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
+  FROM documents),
+agg AS (SELECT COUNT(*) AS words, COALESCE(SUM(length(w)), 0) AS chars FROM tok)
+SELECT CAST(12 AS BIGINT) AS n_merges,
+       CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_docs,
+       CAST(10000 AS BIGINT) AS merge_match_bp,
+       CAST(words AS BIGINT) AS corpus_words,
+       CAST(chars AS BIGINT) AS corpus_chars,
+       CAST(1 AS BIGINT) AS compressed_ok
+FROM agg
+"""
 
 
 def orders_weekly_revenue_wow(spark, sf_dir):
@@ -5677,7 +5978,16 @@ def embeddings_random_projection(spark, sf_dir):
     sampled pairs must center on 1 — mean within ±5%, p95 |ratio-1|
     <= 75% for out_dim=32. JL noise sits far inside those bars, so a
     trip means broken scaling or dropped dimensions, not statistics.
-    Rows-only (the emitted row IS the check)."""
+
+    Driver-oracled since round 10 (invariant + witness): the seeded
+    float projection itself is not SQL-replayable, so the row pins the
+    contract booleans (proj_match / mean_ok / p95_ok / contract_ok, all
+    must-hold 1) and carries two witnesses the oracle recomputes from
+    the raw parquet — the md5 'randproj' probe-sample size and the
+    count of non-identical vector pairs within it (exact array
+    comparison, the same pair set the distortion stats run over). The
+    raw distortion numbers stay pytest-pinned via random_project's
+    tests."""
     import numpy as np
 
     from .operators.similarity import _rp_matrix
@@ -5697,9 +6007,9 @@ def embeddings_random_projection(spark, sf_dir):
         # empty or all-null sample: a vacuous pass, not an IndexError
         # (same tiny-corpus discipline as the coalesced contract sums)
         return spark.createDataFrame(
-            [(0, 0, 1, 10000, 0, 1)],
-            "n_vectors long, n_pairs long, proj_match long, mean_ratio_bp long, "
-            "p95_abs_err_bp long, contract_ok long",
+            [(0, 0, 1, 1, 1, 1)],
+            "n_vectors long, n_pairs long, proj_match long, mean_ok long, "
+            "p95_ok long, contract_ok long",
         )
     M = np.asarray([r.embedding for r in rows], dtype=np.float64)
     P = np.asarray([r.projection for r in rows], dtype=np.float64)
@@ -5713,7 +6023,11 @@ def embeddings_random_projection(spark, sf_dir):
 
     iu = np.triu_indices(len(rows), k=1)
     d2o, d2p = _pdist2(M)[iu], _pdist2(P)[iu]
-    good = d2o > 1e-12
+    # pair universe = NON-IDENTICAL vector pairs (exact array compare),
+    # the definition the SQL witness replays verbatim; a distinct pair
+    # at numerically-zero distance would blow the ratio up and trip the
+    # contract loudly, which is the correct failure mode
+    good = ~((M[:, None, :] == M[None, :, :]).all(axis=2)[iu])
     ratio = d2p[good] / d2o[good]
     n_pairs = int(good.sum())
     mean_bp = int(np.floor(float(ratio.mean()) * 10000)) if n_pairs else 10000
@@ -5722,12 +6036,35 @@ def embeddings_random_projection(spark, sf_dir):
         if n_pairs
         else 0
     )
-    ok = int(proj_match == 1 and 9500 <= mean_bp <= 10500 and p95_bp <= 7500)
+    mean_ok = int(9500 <= mean_bp <= 10500)
+    p95_ok = int(p95_bp <= 7500)
+    ok = int(proj_match == 1 and mean_ok == 1 and p95_ok == 1)
     return spark.createDataFrame(
-        [(len(rows), n_pairs, proj_match, mean_bp, p95_bp, ok)],
-        "n_vectors long, n_pairs long, proj_match long, mean_ratio_bp long, "
-        "p95_abs_err_bp long, contract_ok long",
+        [(len(rows), n_pairs, proj_match, mean_ok, p95_ok, ok)],
+        "n_vectors long, n_pairs long, proj_match long, mean_ok long, "
+        "p95_ok long, contract_ok long",
     )
+
+
+EMBEDDINGS_RANDOM_PROJECTION_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 220 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM embeddings),
+probe AS (
+  SELECT vec_id, embedding FROM embeddings, params
+  WHERE CAST('0x' || substring(md5('randproj' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm
+    AND embedding IS NOT NULL AND len(embedding) > 0),
+pairs AS (
+  SELECT COUNT(*) AS np FROM probe a
+  JOIN probe b ON a.vec_id < b.vec_id AND a.embedding <> b.embedding)
+SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_vectors,
+       CAST((SELECT np FROM pairs) AS BIGINT) AS n_pairs,
+       CAST(1 AS BIGINT) AS proj_match,
+       CAST(1 AS BIGINT) AS mean_ok,
+       CAST(1 AS BIGINT) AS p95_ok,
+       CAST(1 AS BIGINT) AS contract_ok
+"""
 
 
 def storage_bucketed_join(spark, sf_dir):
@@ -6377,13 +6714,62 @@ def embeddings_mahalanobis_outliers(spark, sf_dir):
     distance (operators/linalg.py:mahalanobis_topk): the one-pass
     integer-exact Gramian gives mean + ridge-regularized precision on
     the driver; a map-only Arrow gemm scores every vector; TakeOrdered
-    collapses to k rows. Rows-only contract: the winners' distances
-    re-derive driver-side (probe_match_bp) and the trace identity pins
-    avg(d²)/dim at 1 (calib_bp in [9900, 10001])."""
+    collapses to k rows. The winners themselves are eigendecomposition
+    outputs no SQL engine replays, so since round 10 the battery row is
+    driver-oracled with the invariant+witness pattern: the per-winner
+    contracts (probe_match_bp == 10000 distance re-derivation,
+    calib_ok trace identity) collapse to must-hold booleans, and the
+    oracle recomputes two exact witnesses from the raw parquet — the
+    valid-vector count and the integer Gramian TRACE (Σ q·q over the
+    same floor(x·2¹⁶) grid as the bit-exact embeddings_gram_moments
+    oracle), so a dropped partition or quantization drift in the
+    covariance pass hash-mismatches. The winner list stays available
+    via the library API (mahalanobis_topk), pytest-pinned against a
+    driver-side brute force in tests/operators/test_linalg.py."""
+    from .operators.linalg import gram_partials
+
     emb = _t(spark, sf_dir, "embeddings")
-    return linalg_ops.mahalanobis_topk(
+    top = linalg_ops.mahalanobis_topk(
         spark, emb, id_col="vec_id", vec_col="embedding", dim=64, top_k=25
+    ).collect()  # <= 25 rows by construction
+    # all() over no winners is a vacuous pass — the n_vectors witness
+    # (0 on an empty corpus, matching the oracle's count) guards it
+    winners_ok = int(all(r.probe_match_bp == 10000 for r in top))
+    calib_ok = int(all(r.calib_ok == 1 for r in top))
+    n_vectors = int(top[0].n_vectors) if top else 0
+    trace = (
+        gram_partials(emb, "embedding", dim=64)
+        .select(F.posexplode("acc").alias("pos", "v"))
+        # diagonal of the row-major dim x dim Gramian block: pos = 64 + 65*i
+        .filter((F.col("pos") >= 64) & ((F.col("pos") - 64) % 65 == 0))
+        .agg(
+            F.coalesce(F.sum(F.col("v").cast("decimal(38,0)")), F.lit(0))
+            .cast("long")
+            .alias("t")
+        )
+        .collect()[0]["t"]
     )
+    return spark.createDataFrame(
+        [(len(top), n_vectors, int(trace), winners_ok, calib_ok)],
+        "n_outliers long, n_vectors long, gram_trace long, "
+        "winners_match_ok long, calib_ok long",
+    )
+
+
+EMBEDDINGS_MAHALANOBIS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 65536.0) AS BIGINT) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+n AS (SELECT COUNT(DISTINCT vec_id) AS nv FROM q),
+tr AS (SELECT COALESCE(SUM(qv * qv), 0) AS t FROM q)
+SELECT CAST(LEAST(25, nv) AS BIGINT) AS n_outliers,
+       CAST(nv AS BIGINT) AS n_vectors,
+       CAST(t AS BIGINT) AS gram_trace,
+       CAST(1 AS BIGINT) AS winners_match_ok,
+       CAST(1 AS BIGINT) AS calib_ok
+FROM n, tr
+"""
 
 
 ORDERS_BASKET_RULES_SQL = """
@@ -7230,15 +7616,15 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "orders_basket_rules": (orders_basket_rules, ORDERS_BASKET_RULES_SQL),
     "embeddings_pca_variance": (embeddings_pca_variance, EMBEDDINGS_PCA_SQL),
     "events_peak_concurrency": (events_peak_concurrency, EVENTS_PEAK_CONCURRENCY_SQL),
-    "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, None),
+    "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, EMBEDDINGS_MAHALANOBIS_SQL),
     "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
     "storage_table_diff": (storage_table_diff, STORAGE_TABLE_DIFF_SQL),
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, STORAGE_SCD2_SQL),
-    "text_bpe_learn": (text_bpe_learn, None),
+    "text_bpe_learn": (text_bpe_learn, TEXT_BPE_LEARN_SQL),
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "storage_zorder_pruning": (storage_zorder_pruning, STORAGE_ZORDER_SQL),
-    "embeddings_random_projection": (embeddings_random_projection, None),
+    "embeddings_random_projection": (embeddings_random_projection, EMBEDDINGS_RANDOM_PROJECTION_SQL),
     "storage_bucketed_join": (storage_bucketed_join, STORAGE_BUCKETED_JOIN_SQL),
     # --- new in round 7 -------------------------------------------------
     "events_value_iqr": (events_value_iqr, EVENTS_VALUE_IQR_SQL),
@@ -7282,9 +7668,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     # round-7 re-planned probes (bounded exact ground truths) — rotated
     # into the driver window for a fresh post-change check
-    "dedup_minhash_recall": (dedup_minhash_recall, None),
-    "dedup_simhash_recall": (dedup_simhash_recall, None),
-    "dedup_embedding_recall": (dedup_embedding_recall, None),
+    "dedup_minhash_recall": (dedup_minhash_recall, DEDUP_MINHASH_RECALL_SQL),
+    "dedup_simhash_recall": (dedup_simhash_recall, DEDUP_SIMHASH_RECALL_SQL),
+    "dedup_embedding_recall": (dedup_embedding_recall, DEDUP_EMBEDDING_RECALL_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
     "text_chunks": (text_chunks, TEXT_CHUNKS_SQL),
@@ -7304,9 +7690,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_asof_join_bucketed": (events_asof_join_bucketed, EVENTS_ASOF_JOIN_SQL),
     "events_salted_type_stats": (events_salted_type_stats, EVENTS_SALTED_TYPE_STATS_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
-    "events_distinct_sketch": (events_distinct_sketch, None),
+    "events_distinct_sketch": (events_distinct_sketch, EVENTS_DISTINCT_SKETCH_SQL),
     "text_heavy_tokens": (text_heavy_tokens, None),
-    "events_value_quantile_cube": (events_value_quantile_cube, None),
+    "events_value_quantile_cube": (events_value_quantile_cube, EVENTS_VALUE_QUANTILE_CUBE_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),

@@ -216,9 +216,9 @@ def test_embedding_recall_entry_trained_beats_sampled(spark):
     on the real testdata the k-means-trained centroids must match or
     beat the seeded-sample ones, and the verify step guarantees
     precision 10000 bp for both (no false accepts ever)."""
-    from factstore_spark.queries import REGISTRY
+    from factstore_spark.queries import dedup_embedding_recall_report
 
-    row = REGISTRY["dedup_embedding_recall"][0](
+    row = dedup_embedding_recall_report(
         spark, "/root/testdata/sf0.001"
     ).collect()[0]
     assert row.trained_recall_bp >= row.sampled_recall_bp

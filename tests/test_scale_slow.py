@@ -216,19 +216,19 @@ def test_recall_probes_full_corpus_match_sampled_contract(spark):
     recall floor, and embedding precision-10000 / trained >= sampled
     on the whole sf0.01 corpus."""
     from factstore_spark.queries import (
-        dedup_embedding_recall,
-        dedup_minhash_recall,
-        dedup_simhash_recall,
+        dedup_embedding_recall_report,
+        dedup_minhash_recall_report,
+        dedup_simhash_recall_report,
     )
 
-    sim = dedup_simhash_recall(spark, SF_DIR, sample_pct=100).collect()[0]
+    sim = dedup_simhash_recall_report(spark, SF_DIR, sample_pct=100).collect()[0]
     assert (sim.recall_bp, sim.precision_bp) == (10000, 10000)
 
-    mh = dedup_minhash_recall(spark, SF_DIR, sample_pct=100).collect()[0]
+    mh = dedup_minhash_recall_report(spark, SF_DIR, sample_pct=100).collect()[0]
     assert mh.recall_bp >= 8500, mh
     assert mh.precision_bp == 10000  # verify_jaccard filters false accepts
 
-    emb = dedup_embedding_recall(spark, SF_DIR, sample_pct=100).collect()[0]
+    emb = dedup_embedding_recall_report(spark, SF_DIR, sample_pct=100).collect()[0]
     assert emb.sampled_precision_bp == 10000
     assert emb.trained_precision_bp == 10000
     assert emb.trained_recall_bp >= emb.sampled_recall_bp
