@@ -2519,11 +2519,18 @@ def text_heavy_tokens(spark, sf_dir):
     """Approximate frequent tokens via per-partition Misra-Gries
     summaries merged by candidate-sum (operators/sketches.py
     heavy_hitters): <= k counters per partition, O(partitions x k)
-    shuffle — never a full distinct-key shuffle. SELF-VALIDATING
-    (rows-only): the top-20 estimates are joined with the exact counts
-    and every row carries ok flags for the MG contract
-    (est <= true <= est + bound). No oracle: the estimates depend on
-    the partition layout, which no other engine reproduces."""
+    shuffle — never a full distinct-key shuffle.
+
+    Driver-oracled since round 10 (invariant + witness): the MG
+    estimates depend on the partition layout, but the MG THEOREM does
+    not — est <= true <= est + bound holds for every tracked item on
+    any layout, and any item with frequency > n/(k+1) is guaranteed
+    tracked. So the row set anchors on the SQL-replayable exact top-20
+    (by exact count, ties by token), left-joins the sketch, and pins
+    one must-hold flag per row: mg_bounds_ok = the token is tracked
+    and its estimate respects the bound (top-20 tokens here sit far
+    above the n/513 tracking floor). true_cnt is the exact witness.
+    The estimates themselves stay available via heavy_hitters."""
     from .operators.sketches import heavy_hitters
 
     toks = _t(spark, sf_dir, "documents").select(
@@ -2531,19 +2538,36 @@ def text_heavy_tokens(spark, sf_dir):
     )
     hh = heavy_hitters(toks, "tok", k=512)
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
-    top = (
-        hh.join(exact, hh.item == exact.tok)
+    top_true = exact.orderBy(
+        F.col("true_cnt").desc(), F.col("tok").asc()
+    ).limit(20)
+    return (
+        # hh is <= partitions x k rows — broadcastable by construction
+        top_true.join(F.broadcast(hh), top_true.tok == hh.item, "left")
         .select(
-            "item", "est_cnt", "true_cnt", "err_bound",
-            (F.col("est_cnt") <= F.col("true_cnt")).alias("no_overcount"),
-            (F.col("true_cnt") <= F.col("est_cnt") + F.col("err_bound")).alias(
-                "within_bound"
-            ),
+            F.col("tok").alias("item"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            (
+                F.col("est_cnt").isNotNull()
+                & (F.col("est_cnt") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("est_cnt") + F.col("err_bound"))
+            )
+            .cast("long")
+            .alias("mg_bounds_ok"),
         )
-        .orderBy(F.col("est_cnt").desc(), F.col("item").asc())
-        .limit(20)
+        .orderBy(F.col("true_cnt").desc(), F.col("item").asc())
     )
-    return top
+
+
+TEXT_HEAVY_TOKENS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS item
+  FROM documents),
+cnt AS (SELECT item, COUNT(*) AS true_cnt FROM tok GROUP BY item)
+SELECT item, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(1 AS BIGINT) AS mg_bounds_ok
+FROM cnt ORDER BY true_cnt DESC, item ASC LIMIT 20
+"""
 
 
 def corpus_source_stats(spark, sf_dir):
@@ -7691,7 +7715,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_salted_type_stats": (events_salted_type_stats, EVENTS_SALTED_TYPE_STATS_SQL),
     "events_range_join": (events_range_join, EVENTS_RANGE_JOIN_SQL),
     "events_distinct_sketch": (events_distinct_sketch, EVENTS_DISTINCT_SKETCH_SQL),
-    "text_heavy_tokens": (text_heavy_tokens, None),
+    "text_heavy_tokens": (text_heavy_tokens, TEXT_HEAVY_TOKENS_SQL),
     "events_value_quantile_cube": (events_value_quantile_cube, EVENTS_VALUE_QUANTILE_CUBE_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
