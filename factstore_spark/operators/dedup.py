@@ -735,15 +735,16 @@ def write_minhash_index(
     own (band, bucket) rows to the index — signature rows only, the
     historical TEXT is never re-read. The manifest pins the signature
     parameters so an increment computed with different shingling can
-    never silently join incompatible sketches (same atomic-swap
-    discipline as the IVF index manifest)."""
-    from .similarity import _write_ivf_manifest
-
+    never silently join incompatible sketches, and the swap is a
+    single-winner CAS commit (_cas_swap_minhash_manifest) — a racing
+    writer raises ConcurrentIndexSwapError instead of last-win
+    overwriting this build."""
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError("num_hashes must be a positive multiple of bands")
+    _m, base = _read_minhash_manifest_versioned(index_dir)
     sig, banded = _minhash_banded_sig(df, id_col, text_col, n, num_hashes, bands, seed)
     seg = _write_minhash_segment(sig, banded, index_dir)
-    _write_ivf_manifest(
+    _cas_swap_minhash_manifest(
         index_dir,
         {
             "kind": "minhash",
@@ -754,6 +755,7 @@ def write_minhash_index(
             "id_col": id_col,
             "segments": [seg],
         },
+        base,
     )
 
 
@@ -795,12 +797,15 @@ def append_minhash_index(df: DataFrame, index_dir: str, text_col: str = "text") 
     increment lands as a fresh SEGMENT committed by the manifest swap:
     both stores are fully written before anything becomes visible, so
     a crash leaves an invisible orphan dir, never a half-applied
-    increment. History is never rewritten. Appenders are single-writer
-    (the index maintenance job, like the compaction lease): two racing
-    manifest swaps would last-win a segment away."""
-    from .similarity import _write_ivf_manifest
-
-    m = _read_minhash_manifest(index_dir)
+    increment. History is never rewritten. The swap is a single-winner
+    CAS commit: a misconfigured second appender (or a compaction racing
+    the stream) raises ConcurrentIndexSwapError and leaves its segment
+    an orphan for GC, instead of last-win overwriting the other
+    writer's manifest — same hardlink-O_EXCL substrate as the merge
+    table's snapshot log (storage/cas.py)."""
+    m, base = _read_minhash_manifest_versioned(index_dir)
+    if m.get("kind") != "minhash":
+        raise ValueError(f"{index_dir} is not a minhash signature index")
     sig, banded = _minhash_banded_sig(
         df, m["id_col"], text_col, m["n"], m["num_hashes"], m["bands"], m["seed"]
     )
@@ -810,7 +815,7 @@ def append_minhash_index(df: DataFrame, index_dir: str, text_col: str = "text") 
         # pre-segment index: keep serving the root stores alongside
         segs = ["."]
         m["segments"] = segs
-    _write_ivf_manifest(index_dir, dict(m, segments=segs + [seg]))
+    _cas_swap_minhash_manifest(index_dir, dict(m, segments=segs + [seg]), base)
 
 
 def start_dedup_stream(
@@ -889,9 +894,9 @@ def compact_minhash_index(
     import time
     import uuid as _uuid
 
-    from .similarity import _write_ivf_manifest
-
-    m = _read_minhash_manifest(index_dir)
+    m, base = _read_minhash_manifest_versioned(index_dir)
+    if m.get("kind") != "minhash":
+        raise ValueError(f"{index_dir} is not a minhash signature index")
     old_segs = m.get("segments")
     compacted = None
     if old_segs is not None and len(old_segs) > 1:
@@ -938,7 +943,10 @@ def compact_minhash_index(
         ).parquet(os.path.join(index_dir, seg, "buckets"))
         sigs.write.mode("overwrite").parquet(os.path.join(index_dir, seg, "sigs"))
         agg.unpersist()
-        _write_ivf_manifest(index_dir, dict(m, segments=[seg]))
+        # single-winner swap: an append that committed between our read
+        # and this claim wins, and the compaction raises rather than
+        # silently dropping that increment's segment from the list
+        _cas_swap_minhash_manifest(index_dir, dict(m, segments=[seg]), base)
         m = _read_minhash_manifest(index_dir)
         compacted = seg
     live = set(m.get("segments") or [])
@@ -965,10 +973,75 @@ def compact_minhash_index(
     }
 
 
-def _read_minhash_manifest(index_dir: str) -> dict:
+class ConcurrentIndexSwapError(RuntimeError):
+    """A racing writer committed the signature-index manifest first.
+
+    Raised by the hardlink-O_EXCL CAS swap (same substrate as the merge
+    table's snapshot commit, storage/cas.py) instead of letting the
+    second rename silently last-win a segment away. Re-read the index
+    and re-run the append/compaction."""
+
+
+def _read_minhash_manifest_versioned(index_dir: str) -> tuple[dict, int]:
+    """(manifest, version) with the CAS snapshot LOG as the source of
+    truth and ``manifest.json`` as a legacy/pointer cache — a writer
+    that crashed between winning its snapshot claim and refreshing the
+    pointer must not be lost (mirrors storage/merge.py:_head_manifest).
+    Version 0 = pre-CAS index (pointer file only) or empty dir."""
+    import json as _json
+    import re as _re
+
+    snap_dir = os.path.join(index_dir, "_manifests")
+    best_n, best_name = 0, None
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            mo = _re.fullmatch(r"snap-(\d+)\.json", name)
+            if mo and int(mo.group(1)) > best_n:
+                best_n, best_name = int(mo.group(1)), name
+    if best_name is not None:
+        with open(os.path.join(snap_dir, best_name), encoding="utf-8") as fh:
+            return _json.load(fh), best_n
     from .similarity import _read_ivf_manifest
 
-    m = _read_ivf_manifest(index_dir)
+    return _read_ivf_manifest(index_dir), 0
+
+
+def _cas_swap_minhash_manifest(
+    index_dir: str, manifest: dict, base_version: int
+) -> int:
+    """Single-winner manifest commit: claim snap-(base+1) with the
+    hardlink O_EXCL CAS; a racing appender/compactor loses LOUDLY
+    (ConcurrentIndexSwapError) instead of last-win overwriting the
+    other side's segment list. The ``manifest.json`` refresh after a
+    won claim is cache maintenance for legacy readers, not the commit.
+    Old snapshots beyond a 10-version tail are pruned opportunistically
+    (readers resolve the max, so pruning history never races a read of
+    the head)."""
+    import json as _json
+
+    from ..storage.cas import HardlinkSlotStore
+
+    from .similarity import _write_ivf_manifest
+
+    n = base_version + 1
+    store = HardlinkSlotStore(os.path.join(index_dir, "_manifests"))
+    won = store.put_if_absent(
+        f"snap-{n}.json", _json.dumps(manifest, sort_keys=True).encode()
+    )
+    if not won:
+        raise ConcurrentIndexSwapError(
+            f"signature-index swap based on version {base_version} lost to a "
+            f"concurrent commit of version {n} in {index_dir}; re-read the "
+            "index and re-run"
+        )
+    _write_ivf_manifest(index_dir, manifest)
+    if n > 10:
+        store.delete(f"snap-{n - 10}.json")
+    return n
+
+
+def _read_minhash_manifest(index_dir: str) -> dict:
+    m, _v = _read_minhash_manifest_versioned(index_dir)
     if m.get("kind") != "minhash":
         raise ValueError(f"{index_dir} is not a minhash signature index")
     return m

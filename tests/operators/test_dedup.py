@@ -543,3 +543,74 @@ def test_redelivered_segment_is_harmless_and_compacted_away(spark, tmp_path):
     seg = m["segments"][0]
     sigs = spark.read.parquet(os.path.join(idx, seg, "sigs"))
     assert sigs.count() == sigs.select("_id").distinct().count()
+
+
+def test_append_minhash_index_concurrent_swap_raises(spark, tmp_path):
+    """An append whose base version was superseded between its read and
+    its swap must raise ConcurrentIndexSwapError (single-winner CAS),
+    never last-win overwrite the other writer's manifest."""
+    import pytest as _pytest
+
+    from factstore_spark.operators.dedup import (
+        ConcurrentIndexSwapError,
+        _cas_swap_minhash_manifest,
+        _read_minhash_manifest_versioned,
+        append_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    idx = str(tmp_path / "mh")
+    write_minhash_index(docs, idx)
+    m, base = _read_minhash_manifest_versioned(idx)
+    # simulate the racing writer landing first: claim base+1 out from
+    # under the append below
+    _cas_swap_minhash_manifest(idx, dict(m, segments=m["segments"]), base)
+    import factstore_spark.operators.dedup as D
+
+    real = D._read_minhash_manifest_versioned
+
+    def stale_read(index_dir):
+        mm, _v = real(index_dir)
+        return mm, base  # stale base: the other writer already took base+1
+
+    D._read_minhash_manifest_versioned, orig = stale_read, D._read_minhash_manifest_versioned
+    try:
+        with _pytest.raises(ConcurrentIndexSwapError):
+            append_minhash_index(docs, idx)
+    finally:
+        D._read_minhash_manifest_versioned = orig
+    # the winning manifest is intact
+    head, v = real(idx)
+    assert v == base + 1 and head["segments"] == m["segments"]
+
+
+def test_minhash_index_legacy_pointer_upgrades_to_cas(spark, tmp_path):
+    """A pre-CAS index (manifest.json only, no _manifests log) reads as
+    version 0 and the first append claims snap-1 while keeping the
+    pointer cache in sync."""
+    import json
+    import os
+    import shutil
+
+    from factstore_spark.operators.dedup import (
+        _read_minhash_manifest_versioned,
+        append_minhash_index,
+        incremental_minhash_pairs,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh")
+    write_minhash_index(hist, idx)
+    shutil.rmtree(os.path.join(idx, "_manifests"))  # back-date to legacy
+    m, v = _read_minhash_manifest_versioned(idx)
+    assert v == 0 and m["kind"] == "minhash"
+    append_minhash_index(inc, idx)
+    head, v2 = _read_minhash_manifest_versioned(idx)
+    assert v2 == 1 and len(head["segments"]) == 2
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        assert json.load(fh) == head
+    assert incremental_minhash_pairs(inc, idx).count() >= 0

@@ -176,3 +176,76 @@ print(json.dumps(ok))
     assert len(facts) == 20
     positions = [f.position for f in facts]
     assert len(set(positions)) == 20  # strict unique total order
+
+
+def test_multiprocess_minhash_manifest_swap_exactly_one_winner(tmp_path):
+    """Signature-index manifest CAS (VERDICT r9 #4): racing appenders
+    used to last-win a segment away via plain rename; the swap now goes
+    through the hardlink-O_EXCL claim, so exactly ONE of N processes
+    racing from the same base version commits and every loser raises
+    ConcurrentIndexSwapError. The surviving manifest must be the
+    winner's, byte-consistent with its claimed snapshot."""
+    import json as _json
+    import os
+
+    from factstore_spark.operators.dedup import (
+        _read_minhash_manifest_versioned,
+    )
+
+    idx = str(tmp_path / "mh-idx")
+    os.makedirs(idx)
+    # seed a version-1 manifest (stand-in for write_minhash_index's
+    # commit — the race is about the swap, not the segment contents)
+    from factstore_spark.operators.dedup import _cas_swap_minhash_manifest
+
+    base_manifest = {"kind": "minhash", "segments": ["seg-base"], "seed": 42}
+    _cas_swap_minhash_manifest(idx, base_manifest, 0)
+
+    worker = (
+        r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from factstore_spark.operators.dedup import (
+    ConcurrentIndexSwapError,
+    _cas_swap_minhash_manifest,
+    _read_minhash_manifest_versioned,
+)
+idx, wid_arg = sys.argv[1], sys.argv[2]
+m, base = _read_minhash_manifest_versioned(idx)
+assert base == 1, base
+"""
+        + BARRIER
+        + r"""
+try:
+    _cas_swap_minhash_manifest(
+        idx, dict(m, segments=m["segments"] + ["seg-from-" + wid_arg]), base
+    )
+    print(json.dumps("won"))
+except ConcurrentIndexSwapError:
+    print(json.dumps("lost"))
+"""
+    )
+    barrier_dir = tempfile.mkdtemp(prefix="race-barrier-")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, idx, str(w), barrier_dir, str(w)],
+            stdout=subprocess.PIPE,
+        )
+        for w in range(4)
+    ]
+    _release_when_ready(barrier_dir, 4)
+    outcomes = []
+    for p in procs:
+        out, _ = p.communicate(timeout=60)
+        assert p.returncode == 0
+        outcomes.append(_json.loads(out))
+    assert outcomes.count("won") == 1, outcomes
+    assert outcomes.count("lost") == 3, outcomes
+
+    head, version = _read_minhash_manifest_versioned(idx)
+    assert version == 2
+    winner = outcomes.index("won")
+    assert head["segments"] == ["seg-base", f"seg-from-{winner}"]
+    # pointer cache agrees with the snapshot log head
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        assert _json.load(fh) == head
