@@ -117,6 +117,7 @@ HEAVY_TRAILING = {
     "storage_bucketed_join",
     "storage_ivm_minmax",
     "dedup_incremental_minhash",
+    "dedup_stream_sink",
     "text_bpe_learn",
     "curation_quality_classifier",
 }

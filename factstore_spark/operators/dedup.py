@@ -848,11 +848,15 @@ def start_dedup_stream(
     :func:`write_minhash_index`)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # pin FIRST, then probe emptiness on the pinned frame: the
+        # take(1)-before-checkpoint order scanned the micro-batch
+        # source twice per batch (measured 2x numInputRows in the
+        # round-10 per-batch report) — the checkpoint is the single
+        # source read, consumed by the guard, the pair harvest and
+        # the signature append alike
+        batch_df = batch_df.localCheckpoint()
         if not batch_df.take(1):
             return
-        # pinned: consumed twice (pair harvest + signature append),
-        # and each pass would otherwise re-shingle the batch
-        batch_df = batch_df.localCheckpoint()
         # scope the per-batch signature caches: a continuous stream
         # would otherwise register one evict-only cached frame per
         # batch forever (the long-session failure signature_cache_scope

@@ -5027,6 +5027,218 @@ FROM halves
 """
 
 
+def _run_dedup_stream_probe(spark, sf_dir, target: int = 1200):
+    """Shared core of dedup_stream_sink and its per-batch report: drive
+    start_dedup_stream (operators/dedup.py) over a bounded md5 probe of
+    the documents table as THREE availableNow micro-batches against a
+    25%-slice bootstrap archive, then A/B the harvested pair union
+    against the one-shot LSH restricted to pairs touching streamed
+    docs. Returns (per-batch progress rows, contract dict). Everything
+    lives in a per-run temp dir, removed eagerly."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import (
+        _read_minhash_manifest,
+        start_dedup_stream,
+        write_minhash_index,
+    )
+
+    docs_full = _t(spark, sf_dir, "documents")
+    docs = _probe_sample(
+        docs_full, "doc_id",
+        _probe_ppm(docs_full, 50, target=target, cache_key=(sf_dir, "documents")),
+        salt="streamdedup",
+    ).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="mh-stream-")
+    src, idx, pairs, ckpt = (
+        os.path.join(root, p) for p in ("src", "idx", "pairs", "ckpt")
+    )
+    try:
+        write_minhash_index(docs.filter(F.col("doc_id") % 4 == 0), idx)
+        # one parquet file per batch; maxFilesPerTrigger=1 makes
+        # availableNow replay them as three distinct micro-batches
+        for b in (1, 2, 3):
+            docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_dedup_stream(stream, idx, pairs, ckpt, available_now=True)
+        q.awaitTermination()
+        batches = [
+            {
+                "batch_id": int(p.batchId),
+                "input_rows": int(p.numInputRows),
+                "batch_ms": int(p.batchDuration),
+            }
+            for p in q.recentProgress
+            if int(p.numInputRows) > 0
+        ]
+        got = (
+            spark.read.parquet(pairs)
+            .select("id_a", "id_b")
+            .distinct()
+            .withColumn("in_a", F.lit(1))
+        )
+        inline = (
+            dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
+            .select("id_a", "id_b")
+            .filter(~((F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)))
+            .withColumn("in_b", F.lit(1))
+        )
+        ab = (
+            got.join(inline, ["id_a", "id_b"], "full_outer")
+            .agg(
+                F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_stream"),
+                F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_oneshot"),
+                F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+                .cast("long")
+                .alias("n_common"),
+            )
+            .collect()[0]
+        )
+        halves = {
+            int(r["h"]): int(r["c"])
+            for r in docs.groupBy((F.col("doc_id") % 4 == 0).cast("int").alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        # non-vacuity witness, same capped exact-Jaccard pipeline as
+        # the incremental entry's oracle (df cap 20 within the probe)
+        n_exact_stream = (
+            dedup_ops.ngram_jaccard_pairs(
+                docs, n=3, min_jaccard=0.5, max_shingle_df=20
+            )
+            .filter(~((F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)))
+            .count()
+        )
+        n_segments = len(_read_minhash_manifest(idx)["segments"])
+        match_bp = (
+            10000
+            if ab.n_stream == ab.n_common and ab.n_oneshot == ab.n_common
+            else (10000 * ab.n_common) // max(ab.n_stream, ab.n_oneshot, 1)
+        )
+        contract = {
+            "n_archive_docs": halves.get(1, 0),
+            "n_stream_docs": halves.get(0, 0),
+            "n_exact_stream_pairs": int(n_exact_stream),
+            "n_batches": len(batches),
+            "n_segments_after": n_segments,
+            "n_only_stream": int(ab.n_stream - ab.n_common),
+            "n_only_oneshot": int(ab.n_oneshot - ab.n_common),
+            "match_bp": int(match_bp),
+        }
+        return batches, contract
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def dedup_stream_sink_report(spark, sf_dir):
+    """Per-batch view of the streaming dedup sink probe: one row per
+    non-empty micro-batch with its input rows and wall-clock — the
+    latency/segment-growth report (VERDICT r9 task 5). Library/report
+    surface; the battery entry reduces the run to the contract row."""
+    batches, contract = _run_dedup_stream_probe(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (b["batch_id"], b["input_rows"], b["batch_ms"],
+             contract["n_segments_after"])
+            for b in batches
+        ],
+        "batch_id long, input_rows long, batch_ms long, n_segments_after long",
+    )
+
+
+def dedup_stream_sink(spark, sf_dir):
+    """Streaming near-dup sink contract (operators/dedup.py:
+    start_dedup_stream), driver-oracled with the invariant+witness
+    pattern: three availableNow micro-batches stream a bounded md5
+    probe against a bootstrap archive; the unioned per-batch pair
+    harvest must equal the one-shot LSH restricted to pairs touching
+    streamed docs (zero asymmetric diffs, match_bp 10000), every
+    non-empty batch must have committed exactly one index segment
+    (n_segments_after = 1 + n_batches), and the oracle recomputes the
+    witnesses from raw parquet: the archive/stream split sizes (md5
+    'streamdedup' replay + mod-4 rule) and the EXACT capped
+    3-gram-Jaccard pair count touching the stream (non-vacuity — a
+    sink that silently dropped every pair could fake the zero diffs
+    but not this column). Per-batch latency lives in
+    dedup_stream_sink_report. Cost is probe-capped O(1) in corpus
+    size, same discipline as dedup_incremental_minhash."""
+    _batches, c = _run_dedup_stream_probe(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                c["n_archive_docs"],
+                c["n_stream_docs"],
+                c["n_exact_stream_pairs"],
+                c["n_batches"],
+                c["n_segments_after"],
+                c["n_only_stream"],
+                c["n_only_oneshot"],
+                c["match_bp"],
+            )
+        ],
+        "n_archive_docs long, n_stream_docs long, n_exact_stream_pairs long, "
+        "n_batches long, n_segments_after long, n_only_stream long, "
+        "n_only_oneshot long, match_bp long",
+    )
+
+
+# The oracle replays the md5 'streamdedup' probe + mod-4 split for the
+# size witnesses and the capped exact-Jaccard pipeline (same shingling
+# as DEDUP_INCREMENTAL_MINHASH_SQL, threshold 0.5, df cap 20 within the
+# probe) restricted to pairs touching the streamed three-quarters; the
+# batch/segment/diff invariants are pinned at their must-hold values.
+DEDUP_STREAM_SINK_SQL = r"""
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 1200 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+probe AS (
+  SELECT doc_id, text FROM documents, params
+  WHERE CAST('0x' || substring(md5('streamdedup' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS L FROM probe),
+sh0 AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(L) < 3 THEN [array_to_string(L, ' ')]
+         ELSE list_transform(range(1, len(L) - 1), i -> array_to_string(L[i:i+2], ' '))
+    END) AS s
+  FROM toks),
+hot AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY s) WHERE c > 20),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 ANTI JOIN hot USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+stream_pairs AS (
+  SELECT COUNT(*) AS n FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    AND NOT (id_a % 4 = 0 AND id_b % 4 = 0)),
+halves AS (
+  SELECT COUNT(*) FILTER (doc_id % 4 = 0) AS n_arch,
+         COUNT(*) FILTER (doc_id % 4 <> 0) AS n_stream
+  FROM probe)
+SELECT CAST(n_arch AS BIGINT) AS n_archive_docs,
+       CAST(n_stream AS BIGINT) AS n_stream_docs,
+       CAST((SELECT n FROM stream_pairs) AS BIGINT) AS n_exact_stream_pairs,
+       CAST(3 AS BIGINT) AS n_batches,
+       CAST(4 AS BIGINT) AS n_segments_after,
+       CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_oneshot,
+       CAST(10000 AS BIGINT) AS match_bp
+FROM halves
+"""
+
+
 def events_quantile_sketch_bounds(spark, sf_dir):
     """Self-validating quantile-sketch contract: percentile_approx (the
     Greenwald-Khanna sketch, accuracy=100 => rank error <= n/100) for
@@ -7658,6 +7870,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_column_profile": (corpus_column_profile, CORPUS_COLUMN_PROFILE_SQL),
     "curation_leakage_safe_split": (curation_leakage_safe_split, CURATION_LEAKAGE_SPLIT_SQL),
     "dedup_incremental_minhash": (dedup_incremental_minhash, DEDUP_INCREMENTAL_MINHASH_SQL),
+    "dedup_stream_sink": (dedup_stream_sink, DEDUP_STREAM_SINK_SQL),
     "events_quantile_sketch_bounds": (events_quantile_sketch_bounds, EVENTS_QUANTILE_SKETCH_SQL),
     "multimodal_frame_dup": (multimodal_frame_dup, MULTIMODAL_FRAME_DUP_SQL),
     "storage_merge_upsert": (storage_merge_upsert, STORAGE_MERGE_SQL),

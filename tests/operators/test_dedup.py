@@ -614,3 +614,23 @@ def test_minhash_index_legacy_pointer_upgrades_to_cas(spark, tmp_path):
     with open(os.path.join(idx, "manifest.json")) as fh:
         assert json.load(fh) == head
     assert incremental_minhash_pairs(inc, idx).count() >= 0
+
+
+def test_dedup_stream_sink_report_per_batch_rows(spark):
+    """The streaming-sink probe must process exactly three non-empty
+    micro-batches (one per staged file), each committing one index
+    segment, and the contract entry must come back all-green on the
+    same run's invariants."""
+    from factstore_spark.queries import (
+        dedup_stream_sink,
+        dedup_stream_sink_report,
+    )
+
+    rows = dedup_stream_sink_report(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    assert all(r.input_rows > 0 and r.batch_ms > 0 for r in rows)
+    assert all(r.n_segments_after == 4 for r in rows)
+    c = dedup_stream_sink(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (c.n_only_stream, c.n_only_oneshot, c.match_bp) == (0, 0, 10000)
+    assert c.n_batches == 3 and c.n_segments_after == 4
+    assert c.n_archive_docs > 0 and c.n_stream_docs > 0
