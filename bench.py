@@ -440,6 +440,89 @@ def main() -> None:
         finally:
             shutil.rmtree(sub_root, ignore_errors=True)
 
+    # Under-WRITE-LOAD leg (VERDICT r9 task 7): p99 first-delivery
+    # latency while a k6-style append loop hammers the SAME store —
+    # contention is what the reference's watch mechanism optimizes
+    # (FdbFactStreamer.kt:186-190). Four writer threads append
+    # continuously; the probe thread appends marked facts at ~50/s and
+    # measures commit-completion -> subscriber-delivery lag for those.
+    sub_root = tempfile.mkdtemp(prefix="bench-subload-")
+    try:
+        fs4 = _FS(None, sub_root)
+        fs4.create("subload")
+        committed: dict[str, float] = {}
+        received: dict[str, float] = {}
+        done = threading.Event()
+        stop_writers = threading.Event()
+        n_load_probe = int(os.environ.get("SPARK_GRAFT_SUB_FACTS", "60")) + 40
+
+        def load_subscriber() -> None:
+            gen = fs4.subscribe("subload", _StartPosition.Beginning(),
+                                poll_interval=0.1)
+            for batch in gen:
+                now = time.time()
+                for f in batch:
+                    received[f.id] = now
+                if len(committed) >= n_load_probe and all(
+                    fid in received for fid in list(committed)
+                ):
+                    done.set()
+                    return
+
+        def writer(wid: int) -> None:
+            i = 0
+            while not stop_writers.is_set():
+                fs4.append("subload", _FactInput(type="Load", subject=f"w{wid}-{i % 9}"))
+                i += 1
+
+        sub_t = threading.Thread(target=load_subscriber, daemon=True)
+        sub_t.start()
+        writer_ts = [
+            threading.Thread(target=writer, args=(w,), daemon=True)
+            for w in range(4)
+        ]
+        for t in writer_ts:
+            t.start()
+        time.sleep(0.3)  # writers up to speed before the probe starts
+        for i in range(n_load_probe):
+            r = fs4.append("subload", _FactInput(type="Probe", subject=f"p{i % 5}"))
+            committed[r.fact_ids[0]] = time.time()
+            time.sleep(0.02)
+        done.wait(timeout=120)
+        stop_writers.set()
+        for t in writer_ts:
+            t.join(timeout=10)
+        load_appends = len(received) - len(committed)
+        lags = sorted(
+            (received[fid] - committed[fid]) * 1000.0
+            for fid in committed
+            if fid in received
+        )
+
+        def lpct(p: float) -> float:
+            return (
+                round(lags[min(len(lags) - 1, int(p * len(lags)))], 1)
+                if lags
+                else -1.0
+            )
+
+        subscribe_stats.update(
+            {
+                "sub_p50_under_load": lpct(0.50),
+                "sub_p90_under_load": lpct(0.90),
+                "sub_p99_under_load": lpct(0.99),
+                "sub_load_concurrent_appends": load_appends,
+            }
+        )
+        print(
+            f"# subscribe-under-load poll=100ms: n={len(lags)} "
+            f"p50={lpct(0.50)} p90={lpct(0.90)} p99={lpct(0.99)} "
+            f"concurrent_appends={load_appends}",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(sub_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "bench_total_sec",

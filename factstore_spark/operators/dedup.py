@@ -1038,7 +1038,14 @@ def _cas_swap_minhash_manifest(
             f"concurrent commit of version {n} in {index_dir}; re-read the "
             "index and re-run"
         )
-    _write_ivf_manifest(index_dir, manifest)
+    # refresh the pointer cache from the LOG HEAD, not from this
+    # writer's own manifest: a winner that stalled between its claim
+    # and this refresh must not overwrite a LATER committed head with
+    # its older manifest (the head re-read closes that regression to a
+    # tiny read->rename window, and the next writer/reader repairs it
+    # — same self-healing stance as storage/merge.py:_head_manifest)
+    head, _hv = _read_minhash_manifest_versioned(index_dir)
+    _write_ivf_manifest(index_dir, head)
     if n > 10:
         store.delete(f"snap-{n - 10}.json")
     return n

@@ -203,10 +203,20 @@ def mahalanobis_topk(
             ]
             if not keep:
                 continue
-            ids = [i for i, _ in keep]
+            ids = np.asarray([i for i, _ in keep])
             x = np.asarray(
                 np.stack([v for _, v in keep]), dtype=np.float64
             )
+            # mirror gram_partials' exclusion of non-finite ELEMENTS:
+            # the covariance never saw these rows, so scoring them
+            # would emit NaN/inf d2 (Spark sorts NaN above everything,
+            # a dirty vector would win the top-k) and poison the
+            # calibration sum into a ValueError at the round()
+            finite = np.isfinite(x).all(axis=1)
+            if not finite.all():
+                ids, x = ids[finite], x[finite]
+                if x.shape[0] == 0:
+                    continue
             xc = x - mean_b
             d2 = (xc @ prec_b * xc).sum(axis=1)
             yield pd.DataFrame({id_col: ids, "d2": d2})

@@ -2357,8 +2357,9 @@ def events_distinct_sketch(spark, sf_dir):
     (invariant + witness): the estimate itself is register-layout
     noise no other engine reproduces, so the row pins the sketch's
     accuracy guarantee as an invariant — err_ok requires the rollup's
-    estimate within 300 bp of truth, ~2 standard errors at lg_k=12
-    with sparse-mode exactness far below saturation — and carries two
+    estimate within 500 bp of truth, ~3 standard errors at lg_k=12
+    (3 x 1.04/sqrt(2^12) = 487 bp; sparse-mode exactness holds far
+    below saturation, so testdata sits at 0 bp) — and carries two
     exact SQL witnesses: the per-type exact distinct count (the
     denominator the error is scored against) and the number of daily
     cells merged (n_days — a rollup that silently read one cell
@@ -2387,7 +2388,7 @@ def events_distinct_sketch(spark, sf_dir):
                     * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
                     / F.col("exact_distinct")
                 )
-                <= 300
+                <= 500
             )
             .cast("long")
             .alias("err_ok"),
@@ -5078,29 +5079,17 @@ def _run_dedup_stream_probe(spark, sf_dir, target: int = 1200):
             for p in q.recentProgress
             if int(p.numInputRows) > 0
         ]
-        got = (
-            spark.read.parquet(pairs)
-            .select("id_a", "id_b")
-            .distinct()
-            .withColumn("in_a", F.lit(1))
-        )
+        got = spark.read.parquet(pairs).select("id_a", "id_b")
         inline = (
             dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5)
             .select("id_a", "id_b")
             .filter(~((F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)))
-            .withColumn("in_b", F.lit(1))
         )
-        ab = (
-            got.join(inline, ["id_a", "id_b"], "full_outer")
-            .agg(
-                F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_stream"),
-                F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_oneshot"),
-                F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
-                .cast("long")
-                .alias("n_common"),
-            )
-            .collect()[0]
-        )
+        # one shared A/B membership join (the same coalesced-sums
+        # semantics every recall/diff entry uses): approx = the
+        # stream's harvested pairs, exact = the one-shot restriction
+        st = _pair_recall_stats(got, inline).collect()[0]
+        n_stream, n_oneshot, n_common = st.n_approx, st.n_exact, st.n_common
         halves = {
             int(r["h"]): int(r["c"])
             for r in docs.groupBy((F.col("doc_id") % 4 == 0).cast("int").alias("h"))
@@ -5119,8 +5108,8 @@ def _run_dedup_stream_probe(spark, sf_dir, target: int = 1200):
         n_segments = len(_read_minhash_manifest(idx)["segments"])
         match_bp = (
             10000
-            if ab.n_stream == ab.n_common and ab.n_oneshot == ab.n_common
-            else (10000 * ab.n_common) // max(ab.n_stream, ab.n_oneshot, 1)
+            if n_stream == n_common and n_oneshot == n_common
+            else (10000 * n_common) // max(n_stream, n_oneshot, 1)
         )
         contract = {
             "n_archive_docs": halves.get(1, 0),
@@ -5128,8 +5117,8 @@ def _run_dedup_stream_probe(spark, sf_dir, target: int = 1200):
             "n_exact_stream_pairs": int(n_exact_stream),
             "n_batches": len(batches),
             "n_segments_after": n_segments,
-            "n_only_stream": int(ab.n_stream - ab.n_common),
-            "n_only_oneshot": int(ab.n_oneshot - ab.n_common),
+            "n_only_stream": int(n_stream - n_common),
+            "n_only_oneshot": int(n_oneshot - n_common),
             "match_bp": int(match_bp),
         }
         return batches, contract
@@ -6249,6 +6238,20 @@ def embeddings_random_projection(spark, sf_dir):
         )
     M = np.asarray([r.embedding for r in rows], dtype=np.float64)
     P = np.asarray([r.projection for r in rows], dtype=np.float64)
+    # exclude vectors with non-finite/null ELEMENTS, mirroring
+    # gram_partials: a NaN row would slip past the exact-equality pair
+    # mask ((nan == nan) is False) and crash the ratio stats; the
+    # testdata all-finite guard keeps the SQL witness symmetric
+    finite = np.isfinite(M).all(axis=1)
+    if not finite.all():
+        M, P = M[finite], P[finite]
+        rows = [r for r, f in zip(rows, finite) if f]
+        if not rows:
+            return spark.createDataFrame(
+                [(0, 0, 1, 1, 1, 1)],
+                "n_vectors long, n_pairs long, proj_match long, mean_ok long, "
+                "p95_ok long, contract_ok long",
+            )
     want = M @ _rp_matrix(M.shape[1], k, seed)
     tol = 1e-3 * max(1.0, float(np.max(np.abs(want))))
     proj_match = int(np.max(np.abs(P - want)) <= tol)

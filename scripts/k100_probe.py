@@ -36,27 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from factstore_spark.queries import REGISTRY, _cents  # noqa: E402
 from factstore_spark.session import get_spark  # noqa: E402
-from sf1_battery_bench import build  # noqa: E402
-
-
-def _ensure(spark, k: int, out: str) -> None:
-    marker = os.path.join(out, "_k.txt")
-    try:
-        with open(marker) as fh:
-            if int(fh.read().strip()) == k:
-                print(f"reusing K={k} build at {out}", flush=True)
-                return
-    except (OSError, ValueError):
-        pass
-    t0 = time.time()
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
-    build(spark, k, out)
-    with open(marker, "w") as fh:
-        fh.write(str(k))
-    print(f"built K={k} -> {out} in {time.time() - t0:.1f}s", flush=True)
+from sf1_battery_bench import ensure_build  # noqa: E402
 
 
 def leg_minhash(spark, out: str) -> list[tuple[str, float, int]]:
@@ -148,7 +128,7 @@ def main() -> None:
     results: dict[int, dict[str, tuple[float, int]]] = {}
     for k in (k_small, k_big):
         out = f"{base}_k{k}"
-        _ensure(spark, k, out)
+        ensure_build(spark, k, out)
         for t in ["lineitem", "orders", "documents"]:
             spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         legs: dict[str, tuple[float, int]] = {}

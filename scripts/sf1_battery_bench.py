@@ -149,38 +149,40 @@ def build(spark, k: int, out: str) -> None:
     )
 
 
+def ensure_build(spark, k: int, out: str, reuse: bool = True) -> None:
+    """Build (or reuse) a K-amplified corpus with the crash-safe marker
+    protocol — the ONE home of this logic (also used by k100_probe):
+    reuse only a build stamped with the SAME K, and invalidate the
+    marker BEFORE rebuilding so a crash mid-rebuild can never leave the
+    old K stamp over a half-overwritten mixed-K corpus (either way a
+    later run would corrupt the SCALE.md ratios)."""
+    k_marker = os.path.join(out, "_k.txt")
+    if reuse and os.path.isdir(out):
+        try:
+            with open(k_marker) as fh:
+                if int(fh.read().strip()) == k:
+                    print(f"reusing existing K={k} build at {out}", flush=True)
+                    return
+        except (OSError, ValueError):
+            pass
+    t0 = time.time()
+    try:
+        os.remove(k_marker)
+    except OSError:
+        pass
+    build(spark, k, out)
+    with open(k_marker, "w") as fh:
+        fh.write(str(k))
+    print(f"amplified K={k} -> {out} in {time.time() - t0:.1f}s", flush=True)
+
+
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_battery"
     entries = sys.argv[3:] or TOP20
     spark = get_spark(app_name="sf1-battery-bench")
-    k_marker = os.path.join(out, "_k.txt")
-
-    def marker_k():
-        try:
-            with open(k_marker) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return None
-
-    # reuse only a build stamped with the SAME K — silently benching a
-    # K=10 corpus under a K=20 label would corrupt the SCALE.md ratios
-    if sys.argv[3:] and os.path.isdir(out) and marker_k() == k:
-        print(f"reusing existing K={k} build at {out}", flush=True)
-    else:
-        t0 = time.time()
-        # invalidate the marker BEFORE rebuilding: a crash mid-rebuild
-        # over an existing out_dir must not leave the old K stamp in
-        # place, or a later run would reuse a half-overwritten mixed-K
-        # corpus and corrupt the SCALE.md ratios
-        try:
-            os.remove(k_marker)
-        except OSError:
-            pass
-        build(spark, k, out)
-        with open(k_marker, "w") as fh:
-            fh.write(str(k))
-        print(f"amplified K={k} -> {out} in {time.time() - t0:.1f}s", flush=True)
+    # entry-selecting runs may reuse; a full TOP20 run always rebuilds
+    ensure_build(spark, k, out, reuse=bool(sys.argv[3:]))
     # scan warm-up
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
         spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()

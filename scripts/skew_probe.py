@@ -153,7 +153,12 @@ def leg_shuffle_join(spark, k: int):
                   flush=True)
         li.unpersist()
         orders.unpersist()
+    # restore EVERY conf this leg touched — the probe thresholds must
+    # not leak into the other legs' measurements (128 KB advisory
+    # partitions would inflate their task counts and wall times)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     return rows
 
 
@@ -179,7 +184,13 @@ def leg_bucketed_join(spark, k: int):
         total = sum(r.n for r in j.collect())
         dt = time.time() - t0
         plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan.split("AdaptiveSparkPlan")[0] or True
+        # the leg's premise: the JOIN keys shuffle at WRITE time only —
+        # a hashpartitioning exchange on either key means the bucket
+        # spec was not picked up and this row would measure a shuffled
+        # join under a "bucketed" label
+        final = plan.split("== Initial Plan ==")[0]
+        assert "hashpartitioning(l_orderkey" not in final, final[:800]
+        assert "hashpartitioning(o_orderkey" not in final, final[:800]
         rows.append(("bucketed_hot10pct (no exchange -> no AQE split)",
                      dt, 0, total))
         print(f"  bucketed_hot10pct: {dt:.1f}s rows={total:,}", flush=True)

@@ -31,16 +31,16 @@ def test_estimate_error_within_bound(spark):
 
 def test_events_distinct_sketch_err_bp_ceiling(spark, sf_dir):
     """Accuracy ceiling on the driver-oracled entry: every per-type
-    err_ok flag (estimate within 300 bp of the exact distinct count,
-    ~2x the lg_k=12 standard error) must hold, and the witnesses must
-    be populated — the sketch entry FAILS if its accuracy ever
-    balloons, instead of just reporting it."""
+    err_ok flag (estimate within 500 bp of the exact distinct count,
+    ~3x the lg_k=12 standard error of 162 bp) must hold, and the
+    witnesses must be populated — the sketch entry FAILS if its
+    accuracy ever balloons, instead of just reporting it."""
     from factstore_spark.queries import events_distinct_sketch
 
     rows = events_distinct_sketch(spark, sf_dir).collect()
     assert rows, "sketch cube produced no cells"
     offenders = [(r.event_type,) for r in rows if r.err_ok != 1]
-    assert not offenders, f"HLL error exceeded 300 bp: {offenders}"
+    assert not offenders, f"HLL error exceeded 500 bp: {offenders}"
     assert all(r.exact_distinct > 0 and r.n_days > 0 for r in rows)
 
 
