@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from factstore_spark.queries import REGISTRY  # noqa: E402
 from factstore_spark.session import get_spark  # noqa: E402
+from factstore_spark.session import sweep_checkpoint_blocks as _sweep  # noqa: E402
 
 # The whole registry is benched — every queries() entry gets a timing, so
 # a perf regression anywhere in the battery is visible round-over-round.
@@ -179,6 +180,12 @@ def main() -> None:
         # timings compare across rounds even as the battery grows.
         spark.catalog.clearCache()
         gc.collect()
+        # drop the previous entry's DEAD localCheckpoint blocks now —
+        # clearCache only covers the CacheManager, and the async
+        # ContextCleaner lags entries behind (see
+        # session.sweep_checkpoint_blocks; entries are independent, so
+        # no live frame can depend on a predecessor's blocks)
+        _sweep(spark)
         leaked = _cached_bytes(spark)
         if leaked > 256 * 1048576:
             # localCheckpoint blocks are reclaimed by the JVM

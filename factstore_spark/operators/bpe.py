@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
 from .text import tokens_col
 
 END = "</w>"
@@ -137,11 +138,13 @@ def learn_bpe(
             since_pin += 1
             if since_pin >= checkpoint_every:
                 nxt = words.localCheckpoint(eager=True)
-                pinned.unpersist()
+                # df.unpersist() is a NO-OP for checkpoint blocks —
+                # release the superseded pin's storage explicitly
+                release_local_checkpoint(pinned)
                 words = pinned = nxt
                 since_pin = 0
     finally:
-        pinned.unpersist()
+        release_local_checkpoint(pinned)
     return merges
 
 

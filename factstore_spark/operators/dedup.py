@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
 from .text import tokens_col
 
 # Mersenne-ish prime for the universal-hash family (fits in long math).
@@ -855,17 +856,23 @@ def start_dedup_stream(
         # source read, consumed by the guard, the pair harvest and
         # the signature append alike
         batch_df = batch_df.localCheckpoint()
-        if not batch_df.take(1):
-            return
-        # scope the per-batch signature caches: a continuous stream
-        # would otherwise register one evict-only cached frame per
-        # batch forever (the long-session failure signature_cache_scope
-        # exists for)
-        with signature_cache_scope():
-            incremental_minhash_pairs(
-                batch_df, index_dir, text_col, verify_jaccard
-            ).write.mode("append").parquet(pairs_dir)
-            append_minhash_index(batch_df, index_dir, text_col)
+        try:
+            if not batch_df.take(1):
+                return
+            # scope the per-batch signature caches: a continuous stream
+            # would otherwise register one evict-only cached frame per
+            # batch forever (the long-session failure
+            # signature_cache_scope exists for)
+            with signature_cache_scope():
+                incremental_minhash_pairs(
+                    batch_df, index_dir, text_col, verify_jaccard
+                ).write.mode("append").parquet(pairs_dir)
+                append_minhash_index(batch_df, index_dir, text_col)
+        finally:
+            # free the batch pin NOW: on a continuous stream the async
+            # ContextCleaner lags batches behind, accumulating one dead
+            # checkpoint per micro-batch in executor storage
+            release_local_checkpoint(batch_df)
 
     writer = (
         stream.writeStream.outputMode("append")

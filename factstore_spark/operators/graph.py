@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
+
 SCALE = 1_000_000_000_000  # 1e12 pico-units of total rank mass
 
 
@@ -208,6 +210,7 @@ def pagerank(
             .cast("long")
             .alias("rank"),
         )
+        prev_pin = None
         for i in range(n_iter):
             ranks = (
                 e_deg.join(rank_side(ranks), "src")
@@ -224,7 +227,13 @@ def pagerank(
                 .select(F.col("dst").alias("node"), step_expr(""))
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-                ranks = ranks.localCheckpoint()
+                nxt = ranks.localCheckpoint()
+                # the new eager checkpoint supersedes the previous one;
+                # free its blocks now (unpersist() is a no-op for
+                # checkpoints and the async cleaner lags whole jobs)
+                if prev_pin is not None:
+                    release_local_checkpoint(prev_pin)
+                ranks = prev_pin = nxt
         return ranks
 
     ranks = state.select(
@@ -233,6 +242,7 @@ def pagerank(
         "is_seed",
         (F.lit(SCALE // n_base) * F.col("is_seed")).cast("long").alias("rank"),
     )
+    prev_pin = None
     for i in range(n_iter):
         contrib = (
             e.join(
@@ -263,7 +273,10 @@ def pagerank(
             )
         )
         if i + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
+            nxt = ranks.localCheckpoint()
+            if prev_pin is not None:
+                release_local_checkpoint(prev_pin)
+            ranks = prev_pin = nxt
     return ranks.select("node", "rank")
 
 

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import release_local_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -972,6 +974,7 @@ def build_ivf_index(
         json.dump(cents, fh)
     n = assigned.count()
     _write_ivf_manifest(index_dir, {"n_vectors": n, "n_cells": len(cents)})
+    release_local_checkpoint(assigned)  # write + count done; free the pin
     return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
 
 
@@ -1073,6 +1076,7 @@ def refresh_ivf_index(
     manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
     manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
     _write_ivf_manifest(index_dir, manifest)
+    release_local_checkpoint(assigned)  # write + counts done; free the pin
     return {"n_new": n_new, "n_vectors": manifest["n_vectors"], "index_dir": index_dir}
 
 

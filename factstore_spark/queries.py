@@ -42,6 +42,7 @@ from .operators import multimodal as mm_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
 from .plans.predicates import ordered_limited, tag_query_predicate, tags_all_match
+from .session import release_local_checkpoint
 from .sources.events import events_as_facts, load_events
 
 # epoch microseconds for 2024-01-10 / 2024-01-20 UTC (time-range bounds)
@@ -7409,6 +7410,7 @@ def storage_incremental_agg(spark, sf_dir):
 
         out = state.select("status", "n_rows", "sum_cents").orderBy("status")
         rows = out.collect()
+        release_local_checkpoint(both)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -7490,6 +7492,7 @@ def storage_ivm_minmax(spark, sf_dir):
             "status", "n_rows", "min_cents", "max_cents"
         ).orderBy("status")
         rows = out.collect()
+        release_local_checkpoint(both)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -65,3 +65,63 @@ def ensure_nanos_readable(spark: SparkSession) -> bool:
         return True
     except Exception:
         return spark.conf.get(NANOS_CONF, "false") == "true"
+
+
+def release_local_checkpoint(df) -> bool:
+    """Free a SUPERSEDED localCheckpoint's storage blocks NOW.
+
+    ``df.unpersist()`` is a silent NO-OP for checkpoint blocks — they
+    belong to the materialized RDD, not the CacheManager — and the
+    async ContextCleaner reclaims them only after JVM weak-reference
+    processing, which on a big-heap driver can lag whole jobs behind
+    (measured: hundreds of MB of dead superstep pins resident across
+    bench entries, surviving explicit System.gc). This resolves the
+    checkpoint's LogicalRDD id from the analyzed plan and unpersists
+    the RDD itself through the SparkContext, which removes the blocks
+    from every block manager immediately.
+
+    DANGER: the frame — and anything whose lineage still reads its
+    blocks — becomes unreadable afterwards (local checkpoints cannot
+    recompute). Only call on pins the caller has fully replaced with a
+    NEWER eager checkpoint or consumed to driver data. Returns True if
+    a checkpoint was released; False (never raises) on non-checkpoint
+    frames or reflection failures, so callers can use it as a
+    best-effort drop.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        rdd_id = plan.rdd().id()
+        sc = df.sparkSession.sparkContext
+        # private[spark] in Scala, public in bytecode; non-blocking —
+        # removal completes async, correctness never depends on timing
+        sc._jsc.sc().unpersistRDD(rdd_id, False)
+        return True
+    except Exception:
+        return False
+
+
+def sweep_checkpoint_blocks(spark: SparkSession) -> int:
+    """Unpersist EVERY RDD still holding storage blocks — the
+    between-independent-workloads sweep. After ``clearCache()`` the
+    remaining storage is localCheckpoint blocks whose frames have been
+    consumed but whose JVM-side reclaim (py4j detach -> weak-ref
+    processing -> async ContextCleaner) lags jobs behind; a bench or a
+    many-corpora session accumulates hundreds of MB of dead pins
+    (measured: a PageRank call leaves its edge-scale checkpoints
+    resident until collector pressure). Returns the number of RDDs
+    swept.
+
+    ONLY call between workloads with no live checkpointed frames: any
+    still-referenced local checkpoint becomes unreadable (local
+    checkpoints cannot recompute)."""
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        infos = jsc.getRDDStorageInfo()
+        ids = [infos[i].id() for i in range(len(infos))]
+        for rid in ids:
+            jsc.unpersistRDD(rid, False)
+        return len(ids)
+    except Exception:
+        return 0

@@ -40,6 +40,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
 from .merge import (
     ConcurrentMergeError,
     _head_manifest,
@@ -282,7 +283,8 @@ def scd2_upsert(
             return m  # fully unchanged batch: publish nothing
         return merge_upsert(batch, table_dir, base_manifest=m)
     finally:
-        j.unpersist()
+        # unpersist() is a NO-OP for checkpoint blocks; free them now
+        release_local_checkpoint(j)
 
 
 def read_scd2(
