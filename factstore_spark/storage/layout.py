@@ -820,11 +820,14 @@ class StoreLayout:
         self,
         columns: Optional[list[str]] = None,
         filter: Optional[pa_ds.Expression] = None,
+        files: Optional[list[str]] = None,
     ) -> pa.Table:
         """Engine-internal point reads (condition evaluation, cursor
         resolution) — small, latency-sensitive lookups that would waste a
-        Spark job. All user-facing queries go through DataFrames."""
-        files = self.data_files()
+        Spark job. All user-facing queries go through DataFrames.
+        ``files`` restricts the read to a pre-pruned subset (e.g.
+        ``data_files_after_position`` for tail-follow polls)."""
+        files = self.data_files() if files is None else files
         if not files:
             return FACT_ARROW_SCHEMA.empty_table().select(columns) if columns else FACT_ARROW_SCHEMA.empty_table()
         ds = pa_ds.dataset(files, schema=FACT_ARROW_SCHEMA)
@@ -863,6 +866,25 @@ class StoreLayout:
         always eligible. With fresh/unmatched tags this returns [] and
         the condition check opens NO files — the O(matching-commits)
         behavior the reference gets from its tag subspaces."""
+        files, live = self._eligible_after_position(after_pos)
+        unprunable_item = any(not fps for fps in item_fps) or not item_fps
+        for c in live:
+            if not unprunable_item and c.tag_fps is not None:
+                fpset = set(c.tag_fps)
+                if not any(all(fp in fpset for fp in fps) for fps in item_fps):
+                    continue  # no item's full tag set appears in this commit
+            files.extend(self._files_of(c))
+        return files
+
+    def _eligible_after_position(
+        self, after_pos: int
+    ) -> tuple[list[str], list[CommitRecord]]:
+        """Shared position prune: (compacted-prefix files — only when
+        the compaction's max_position passes the cursor — and the
+        post-compaction commit records whose max_position passes it).
+        Both the DCB condition check and the tail-follow subscription
+        start from this; the commit log's max_position bounds every
+        commit's file, so nothing below the cursor is ever opened."""
         committed = [c for c in self.read_commits() if c.rows > 0]
         compaction = None
         for c in committed:
@@ -886,16 +908,23 @@ class StoreLayout:
                 for c in committed
                 if c.compacted_through is None and c.seq > compaction.compacted_through
             ]
-        unprunable_item = any(not fps for fps in item_fps) or not item_fps
-        for c in committed:
-            if c.compacted_through is not None:
-                continue
-            if c.max_position <= after_pos:
-                continue
-            if not unprunable_item and c.tag_fps is not None:
-                fpset = set(c.tag_fps)
-                if not any(all(fp in fpset for fp in fps) for fps in item_fps):
-                    continue  # no item's full tag set appears in this commit
+        live = [
+            c
+            for c in committed
+            if c.compacted_through is None and c.max_position > after_pos
+        ]
+        return files, live
+
+    def data_files_after_position(self, after_pos: int) -> list[str]:
+        """Parquet files that can contain positions > ``after_pos`` —
+        the tail-follower's per-poll prune. A live subscription's poll
+        previously opened EVERY store file through a dataset filter
+        (O(store lifetime) footers per poll — measured as the dominant
+        term of delivery lag under write load, where each append adds a
+        file); with the commit-log prune a tail poll opens only the
+        commits that actually landed past the cursor."""
+        files, live = self._eligible_after_position(after_pos)
+        for c in live:
             files.extend(self._files_of(c))
         return files
 

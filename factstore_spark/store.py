@@ -1144,9 +1144,16 @@ class FactStore:
                 # positions first, breaking ordered delivery)
                 head = layout.published_head_position()
                 if head > cursor:
+                    # commit-log prune: a tail poll opens only the
+                    # files of commits past the cursor — without it
+                    # every poll re-opened EVERY store file's footer
+                    # (O(store lifetime) per poll; under write load,
+                    # where each append adds a file, this was the
+                    # dominant term of delivery lag)
                     table = layout.read_arrow(
                         filter=(pa_ds.field("position") > cursor)
-                        & (pa_ds.field("position") <= head)
+                        & (pa_ds.field("position") <= head),
+                        files=layout.data_files_after_position(cursor),
                     ).sort_by("position")
                     rows = table.to_pylist()
                     for i in range(0, len(rows), batch_size):

@@ -280,3 +280,48 @@ def test_subscribe_stream_resumes_from_checkpoint_across_compaction(
     assert drain() == [f"PRE{i}" for i in range(5)] + [
         f"POST{i}" for i in range(3)
     ]
+
+
+def test_tail_poll_opens_only_new_commit_files(spark, store_root):
+    """The subscription's per-poll prune (data_files_after_position):
+    a cursor at the tail must resolve ONLY the files of commits past
+    it — not the whole store — and still deliver exactly the new
+    facts, including across a compaction."""
+    from factstore_spark.model import FactInput, StartPosition
+    from factstore_spark.store import FactStore
+
+    fs = FactStore(spark, store_root)
+    fs.create("tailprune")
+    meta = fs.catalog.find_by_name("tailprune")
+    layout = fs._layout(meta.id)
+    for i in range(10):
+        fs.append("tailprune", FactInput(type=f"E{i}", subject=f"s{i % 3}"))
+    head = layout.published_head_position()
+    all_files = layout.data_files()
+    assert len(all_files) >= 10
+    # cursor at head: nothing to open
+    assert layout.data_files_after_position(head) == []
+    # cursor two commits back: exactly the last two commits' files
+    two_back = layout.data_files_after_position(head - 2)
+    assert 1 <= len(two_back) <= 2
+    assert set(two_back) <= set(all_files)
+    # delivery correctness through the pruned read path
+    gen = fs.subscribe(
+        "tailprune", StartPosition.Beginning(), poll_interval=0.01
+    )
+    got = []
+    for batch in gen:
+        got.extend(batch)
+        if len(got) >= 10:
+            break
+    assert [f.position for f in got] == sorted(f.position for f in got)
+    assert len(got) == 10
+    # compaction rewrites data/ — the prune must serve the compacted
+    # prefix when the cursor predates it and skip it when past it
+    fs.compact("tailprune")
+    assert layout.data_files_after_position(head) == []
+    again = layout.data_files_after_position(-1)
+    assert again, "cursor before everything must include compacted data"
+    fs.append("tailprune", FactInput(type="post", subject="s9"))
+    post = layout.data_files_after_position(head)
+    assert len(post) == 1 and "compacted" not in post[0]
