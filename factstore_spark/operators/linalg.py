@@ -111,6 +111,32 @@ def combined_gram(
     ``mean``/``cov`` on the ORIGINAL (unquantized) axis scale;
     ``(0, None, None)`` on an empty input.
     """
+    n, tot = _gram_sums(df, vec_col, dim, scale)
+    if not n:
+        return 0, None, None
+    return (n, *_mean_cov(tot, n, dim, scale))
+
+
+def combined_gram_with_trace(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1 << 16,
+) -> tuple[int, Optional[np.ndarray], Optional[np.ndarray], int]:
+    """``combined_gram`` plus the EXACT integer Gramian trace (Σ q·q
+    over the quantized grid) from the SAME single pass — the witness
+    column the battery's Mahalanobis oracle recomputes in SQL, without
+    paying a second corpus scan for it."""
+    n, tot = _gram_sums(df, vec_col, dim, scale)
+    if not n:
+        return 0, None, None, 0
+    trace = sum(tot[dim + i * dim + i] for i in range(dim))
+    return (n, *_mean_cov(tot, n, dim, scale), trace)
+
+
+def _gram_sums(df, vec_col: str, dim: int, scale: int) -> tuple[int, list[int]]:
+    """One pass: (row count, EXACT integer accumulator of length
+    dim + dim²) — decimal(38,0) combine, Python-int results."""
     partials = gram_partials(df, vec_col, dim, scale)
     combined = (
         partials.select(
@@ -125,23 +151,30 @@ def combined_gram(
         .collect()
     )
     if not combined:
-        return 0, None, None
+        return 0, []
     # sn repeats the total row count on every pos row (summed per
     # group over identical per-partial values / #pos — instead take it
     # from pos 0 where it is just sum(n)).
-    total = np.zeros(dim + dim * dim, dtype=np.float64)
+    tot = [0] * (dim + dim * dim)
     n = 0
     for row in combined:
-        total[row.pos] = float(row.sv)
+        tot[row.pos] = int(row.sv)
         if row.pos == 0:
             n = int(row.sn)
+    return n, tot
+
+
+def _mean_cov(
+    tot: list[int], n: int, dim: int, scale: int
+) -> tuple[np.ndarray, np.ndarray]:
+    total = np.asarray(tot, dtype=np.float64)
     s = total[:dim]
     g = total[dim:].reshape(dim, dim)
     mean = s / (n * scale)
     # E[qqᵀ]/scale² - mean meanᵀ: population covariance on the
     # quantized grid, exact given the integer sums.
     cov = g / (n * scale * scale) - np.outer(mean, mean)
-    return n, mean, cov
+    return mean, cov
 
 
 def mahalanobis_topk(
@@ -153,6 +186,7 @@ def mahalanobis_topk(
     scale: int = 1 << 16,
     top_k: int = 25,
     probe_k: int = 200,
+    gram: Optional[tuple] = None,
 ) -> DataFrame:
     """Top-k embedding outliers by exact-covariance Mahalanobis
     distance — the covariance-aware outlier filter an embedding
@@ -181,8 +215,15 @@ def mahalanobis_topk(
       [9900, 10001] via ``calib_ok``.
 
     Output: one row per winner, rank 1..k by descending d².
+
+    ``gram``: an already-computed ``(n, mean, cov)`` from
+    :func:`combined_gram` / :func:`combined_gram_with_trace` — callers
+    that also need the exact trace (the battery's oracle witness) pass
+    it in so the corpus is scanned once for the Gramian, not twice.
     """
-    n, mean, cov = combined_gram(df, vec_col, dim, scale)
+    n, mean, cov = gram if gram is not None else combined_gram(
+        df, vec_col, dim, scale
+    )
     empty_schema = (
         f"{id_col} long, rank long, d2 double, n_vectors long, "
         "probe_match_bp long, calib_bp long, calib_ok long"

@@ -2438,27 +2438,36 @@ def events_value_quantile_cube(spark, sf_dir):
     )
     cells = quantile_cells(evd, ["day", "event_type"], "vc", n_bins=64)
     merged = quantile_rollup(cells, ["event_type"], [0.5, 0.9, 0.99])
-    ranks = []
-    for q, col_name in ((0.5, "q_0_5"), (0.9, "q_0_9"), (0.99, "q_0_99")):
-        est = merged.select("event_type", F.col(col_name).alias("est"))
-        r = (
-            evd.join(F.broadcast(est), "event_type")
-            .groupBy("event_type")
-            .agg(
+    # ONE broadcast join + ONE grouped pass scores all three estimates'
+    # true ranks (the per-quantile-join form cost three corpus scans)
+    qcols = (("q_0_5", 0.5), ("q_0_9", 0.9), ("q_0_99", 0.99))
+    rank_bps = (
+        evd.join(
+            F.broadcast(
+                merged.select(
+                    "event_type",
+                    *[F.col(c).alias(f"est_{c}") for c, _q in qcols],
+                )
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
                 F.floor(
                     F.lit(10000.0)
-                    * F.sum((F.col("vc") <= F.col("est")).cast("long"))
+                    * F.sum((F.col("vc") <= F.col(f"est_{c}")).cast("long"))
                     / F.count(F.lit(1))
-                ).cast("long").alias(f"rank_bp_{col_name}")
-            )
+                ).cast("long").alias(f"rank_bp_{c}")
+                for c, _q in qcols
+            ]
         )
-        ranks.append((q, col_name, r))
-    out = merged
-    for q, col_name, r in ranks:
-        out = out.join(r, "event_type")
-        dev = F.abs(F.col(f"rank_bp_{col_name}") - F.lit(int(q * 10000)))
+    )
+    out = merged.join(rank_bps, "event_type")
+    for c, q in qcols:
+        dev = F.abs(F.col(f"rank_bp_{c}") - F.lit(int(q * 10000)))
         out = out.withColumn(
-            f"ok_{col_name}",
+            f"ok_{c}",
             (dev <= F.lit(int(2 / 64 * 10000) + 100)).cast("long"),
         )
     # exact witnesses: k-th smallest cents at ceil(q*n) — all-integer
@@ -6966,29 +6975,22 @@ def embeddings_mahalanobis_outliers(spark, sf_dir):
     covariance pass hash-mismatches. The winner list stays available
     via the library API (mahalanobis_topk), pytest-pinned against a
     driver-side brute force in tests/operators/test_linalg.py."""
-    from .operators.linalg import gram_partials
+    from .operators.linalg import combined_gram_with_trace
 
     emb = _t(spark, sf_dir, "embeddings")
+    # ONE Gramian pass serves both the covariance (fed into the top-k)
+    # and the exact integer trace witness — the naive form re-scanned
+    # the corpus for the trace (bench r10: 1.6x the r9 entry cost)
+    n_g, mean, cov, trace = combined_gram_with_trace(emb, "embedding", 64)
     top = linalg_ops.mahalanobis_topk(
-        spark, emb, id_col="vec_id", vec_col="embedding", dim=64, top_k=25
+        spark, emb, id_col="vec_id", vec_col="embedding", dim=64, top_k=25,
+        gram=(n_g, mean, cov),
     ).collect()  # <= 25 rows by construction
     # all() over no winners is a vacuous pass — the n_vectors witness
     # (0 on an empty corpus, matching the oracle's count) guards it
     winners_ok = int(all(r.probe_match_bp == 10000 for r in top))
     calib_ok = int(all(r.calib_ok == 1 for r in top))
     n_vectors = int(top[0].n_vectors) if top else 0
-    trace = (
-        gram_partials(emb, "embedding", dim=64)
-        .select(F.posexplode("acc").alias("pos", "v"))
-        # diagonal of the row-major dim x dim Gramian block: pos = 64 + 65*i
-        .filter((F.col("pos") >= 64) & ((F.col("pos") - 64) % 65 == 0))
-        .agg(
-            F.coalesce(F.sum(F.col("v").cast("decimal(38,0)")), F.lit(0))
-            .cast("long")
-            .alias("t")
-        )
-        .collect()[0]["t"]
-    )
     return spark.createDataFrame(
         [(len(top), n_vectors, int(trace), winners_ok, calib_ok)],
         "n_outliers long, n_vectors long, gram_trace long, "
