@@ -984,78 +984,38 @@ def compact_minhash_index(
     }
 
 
-class ConcurrentIndexSwapError(RuntimeError):
-    """A racing writer committed the signature-index manifest first.
-
-    Raised by the hardlink-O_EXCL CAS swap (same substrate as the merge
-    table's snapshot commit, storage/cas.py) instead of letting the
-    second rename silently last-win a segment away. Re-read the index
-    and re-run the append/compaction."""
+# Alias kept for the tests/callers that adopted it in round 10; the
+# versioned-swap machinery itself is shared engine substrate now
+# (storage/cas.py — the IVF index uses the same core).
+from ..storage.cas import ConcurrentManifestSwapError as ConcurrentIndexSwapError  # noqa: E402
 
 
 def _read_minhash_manifest_versioned(index_dir: str) -> tuple[dict, int]:
-    """(manifest, version) with the CAS snapshot LOG as the source of
-    truth and ``manifest.json`` as a legacy/pointer cache — a writer
-    that crashed between winning its snapshot claim and refreshing the
-    pointer must not be lost (mirrors storage/merge.py:_head_manifest).
-    Version 0 = pre-CAS index (pointer file only) or empty dir."""
-    import json as _json
-    import re as _re
+    """(manifest, version): the shared versioned read
+    (storage/cas.py:read_versioned_manifest) with ``manifest.json`` as
+    the legacy pointer. Version 0 = pre-CAS index or empty dir."""
+    from ..storage.cas import read_versioned_manifest
 
-    snap_dir = os.path.join(index_dir, "_manifests")
-    best_n, best_name = 0, None
-    if os.path.isdir(snap_dir):
-        for name in os.listdir(snap_dir):
-            mo = _re.fullmatch(r"snap-(\d+)\.json", name)
-            if mo and int(mo.group(1)) > best_n:
-                best_n, best_name = int(mo.group(1)), name
-    if best_name is not None:
-        with open(os.path.join(snap_dir, best_name), encoding="utf-8") as fh:
-            return _json.load(fh), best_n
     from .similarity import _read_ivf_manifest
 
-    return _read_ivf_manifest(index_dir), 0
+    return read_versioned_manifest(index_dir, _read_ivf_manifest)
 
 
 def _cas_swap_minhash_manifest(
     index_dir: str, manifest: dict, base_version: int
 ) -> int:
-    """Single-winner manifest commit: claim snap-(base+1) with the
-    hardlink O_EXCL CAS; a racing appender/compactor loses LOUDLY
-    (ConcurrentIndexSwapError) instead of last-win overwriting the
-    other side's segment list. The ``manifest.json`` refresh after a
-    won claim is cache maintenance for legacy readers, not the commit.
-    Old snapshots beyond a 10-version tail are pruned opportunistically
-    (readers resolve the max, so pruning history never races a read of
-    the head)."""
-    import json as _json
-
-    from ..storage.cas import HardlinkSlotStore
+    """Single-winner signature-index manifest commit — the shared CAS
+    swap (storage/cas.py:cas_swap_manifest); a racing appender or
+    compactor raises instead of last-win overwriting the other side's
+    segment list."""
+    from ..storage.cas import cas_swap_manifest
 
     from .similarity import _write_ivf_manifest
 
-    n = base_version + 1
-    store = HardlinkSlotStore(os.path.join(index_dir, "_manifests"))
-    won = store.put_if_absent(
-        f"snap-{n}.json", _json.dumps(manifest, sort_keys=True).encode()
+    return cas_swap_manifest(
+        index_dir, manifest, base_version, _write_ivf_manifest,
+        what="signature-index",
     )
-    if not won:
-        raise ConcurrentIndexSwapError(
-            f"signature-index swap based on version {base_version} lost to a "
-            f"concurrent commit of version {n} in {index_dir}; re-read the "
-            "index and re-run"
-        )
-    # refresh the pointer cache from the LOG HEAD, not from this
-    # writer's own manifest: a winner that stalled between its claim
-    # and this refresh must not overwrite a LATER committed head with
-    # its older manifest (the head re-read closes that regression to a
-    # tiny read->rename window, and the next writer/reader repairs it
-    # — same self-healing stance as storage/merge.py:_head_manifest)
-    head, _hv = _read_minhash_manifest_versioned(index_dir)
-    _write_ivf_manifest(index_dir, head)
-    if n > 10:
-        store.delete(f"snap-{n - 10}.json")
-    return n
 
 
 def _read_minhash_manifest(index_dir: str) -> dict:

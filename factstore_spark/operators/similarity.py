@@ -973,7 +973,19 @@ def build_ivf_index(
     with open(os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8") as fh:
         json.dump(cents, fh)
     n = assigned.count()
-    _write_ivf_manifest(index_dir, {"n_vectors": n, "n_cells": len(cents)})
+    # versioned single-winner commit (storage/cas.py): a rebuild racing
+    # a refresh serializes at the manifest; losers raise instead of
+    # last-win shadowing each other's counts
+    from ..storage.cas import cas_swap_manifest, read_versioned_manifest
+
+    _m, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
+    cas_swap_manifest(
+        index_dir,
+        {"n_vectors": n, "n_cells": len(cents)},
+        base,
+        _write_ivf_manifest,
+        what="ivf-index",
+    )
     release_local_checkpoint(assigned)  # write + count done; free the pin
     return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
 
@@ -1010,13 +1022,25 @@ def refresh_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     delta_only: bool = False,
+    lease_seconds: float = 3600.0,
 ) -> dict:
     """Incrementally fold NEW corpus rows into a ``build_ivf_index``
     index — the append path that keeps the index usable without the
     full-rebuild fallback (re-training + re-assigning the whole
     corpus). Mirrors the derived tag index's refresh contract
     (storage/tag_index.py): detect the un-indexed delta, process ONLY
-    it, publish atomically.
+    it, commit the manifest through the single-winner CAS swap.
+
+    Concurrency (since round 10): the refresh takes a LEASE via a
+    versioned manifest claim BEFORE appending, so a racing refresh
+    raises ConcurrentManifestSwapError instead of double-appending the
+    same delta (duplicated vectors would surface as repeated top-k
+    neighbors). Crash recovery is the anti-join itself: a refresh that
+    died mid-append holds the lease for ``lease_seconds``, after which
+    a new refresh supersedes it and re-detects whatever rows are still
+    missing — partial appends are absorbed, never duplicated (unless
+    the caller bypasses detection with ``delta_only=True``, which keeps
+    the single-writer burden it always had).
 
     Like FAISS ``add()``, a refresh never re-trains: new vectors are
     assigned to the EXISTING centroids with the same map-only argmax
@@ -1035,10 +1059,39 @@ def refresh_ivf_index(
     ``describe_store``."""
     import json
     import os
+    import time as _time
+    import uuid as _uuid
+
+    from ..storage.cas import cas_swap_manifest, read_versioned_manifest
 
     with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
         centroids = json.load(fh)
     n_cells = len(centroids)
+
+    # LEASE before any data lands: two refreshes computing the same
+    # delta would BOTH append it (silently duplicated vectors — the
+    # top-k would return repeated neighbors); claiming a manifest
+    # version with a pending marker makes the second refresh raise
+    # BEFORE writing anything. A refresh that crashed mid-append holds
+    # the lease for ``lease_seconds`` (its partial append is harmless:
+    # the next refresh's anti-join re-detects the still-missing rows),
+    # after which a new lease supersedes it.
+    manifest, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
+    pending = manifest.get("pending")
+    if pending and _time.time() - float(pending.get("ts", 0)) < lease_seconds:
+        from ..storage.cas import ConcurrentManifestSwapError
+
+        raise ConcurrentManifestSwapError(
+            f"ivf-index refresh already in progress in {index_dir} "
+            f"(lease {pending.get('id')}); wait for it or for the "
+            f"{lease_seconds}s lease to lapse"
+        )
+    lease = {"id": _uuid.uuid4().hex, "ts": _time.time()}
+    base = cas_swap_manifest(
+        index_dir, dict(manifest, pending=lease), base,
+        _write_ivf_manifest, what="ivf-refresh lease",
+    )
+
     if delta_only:
         delta = corpus
     else:
@@ -1061,7 +1114,6 @@ def refresh_ivf_index(
         assigned.repartition("cell").write.mode("append").partitionBy(
             "cell"
         ).parquet(os.path.join(index_dir, "assignments"))
-    manifest = _read_ivf_manifest(index_dir)
     if "n_vectors" not in manifest:
         # Index predates manifests (bare build): derive the baseline
         # once from what IS on disk, so refresh/describe never report
@@ -1075,7 +1127,13 @@ def refresh_ivf_index(
         )
     manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
     manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
-    _write_ivf_manifest(index_dir, manifest)
+    manifest.pop("pending", None)
+    # finalize: we hold the lease version, so this claim can lose only
+    # to a lease-expiry takeover — in which case raising is CORRECT
+    # (the takeover's anti-join will absorb our landed rows)
+    cas_swap_manifest(
+        index_dir, manifest, base, _write_ivf_manifest, what="ivf-refresh",
+    )
     release_local_checkpoint(assigned)  # write + counts done; free the pin
     return {"n_new": n_new, "n_vectors": manifest["n_vectors"], "index_dir": index_dir}
 
@@ -1091,7 +1149,9 @@ def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,
     import json
     import os
 
-    manifest = _read_ivf_manifest(index_dir)
+    from ..storage.cas import read_versioned_manifest
+
+    manifest, _v = read_versioned_manifest(index_dir, _read_ivf_manifest)
     if "n_vectors" not in manifest:
         # Manifest-less index (bare build): report real counts from
         # disk instead of zeros a rebuild scheduler would act on.

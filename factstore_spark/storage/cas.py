@@ -364,3 +364,69 @@ def make_slot_store(spec: str, log_dir: str) -> SlotStore:
             raise ValueError(f"bad objstore spec: {spec!r}")
         return FakeObjectStoreSlotStore(host, int(port), key.encode(), log_dir)
     raise ValueError(f"unknown slot-store spec: {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# Versioned manifest CAS: single-winner swaps for index manifests
+# ---------------------------------------------------------------------------
+
+
+class ConcurrentManifestSwapError(RuntimeError):
+    """A racing writer committed a manifest version first.
+
+    Raised by the hardlink-O_EXCL versioned swap instead of letting a
+    second plain rename silently last-win the other writer's state
+    away (same substrate as the merge table's snapshot commit above).
+    Re-read the index and re-run."""
+
+
+def read_versioned_manifest(root, read_pointer):
+    """(manifest, version) with the ``_manifests/snap-N.json`` CAS log
+    as the source of truth and the caller's pointer file as a
+    legacy/cache fallback — a writer that crashed between winning its
+    claim and refreshing the pointer must not be lost (mirrors
+    storage/merge.py:_head_manifest). Version 0 = pre-CAS state
+    (pointer only) or an empty root. ``read_pointer(root) -> dict``
+    reads the legacy pointer."""
+    import json as _json
+    import re as _re
+
+    snap_dir = os.path.join(root, "_manifests")
+    best_n, best_name = 0, None
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            mo = _re.fullmatch(r"snap-(\d+)\.json", name)
+            if mo and int(mo.group(1)) > best_n:
+                best_n, best_name = int(mo.group(1)), name
+    if best_name is not None:
+        with open(os.path.join(snap_dir, best_name), encoding="utf-8") as fh:
+            return _json.load(fh), best_n
+    return read_pointer(root), 0
+
+
+def cas_swap_manifest(root, manifest, base_version, write_pointer, what="manifest"):
+    """Single-winner manifest commit: claim snap-(base+1) with the
+    hardlink O_EXCL CAS; a racing writer loses LOUDLY
+    (ConcurrentManifestSwapError). The pointer refresh after a won
+    claim is cache maintenance for legacy readers, not the commit, and
+    is taken from the LOG HEAD so a stalled winner can never overwrite
+    a later committed head with its older manifest. Old snapshots are
+    pruned past a 10-version tail. ``write_pointer(root, manifest)``
+    writes the legacy pointer. Returns the committed version."""
+    import json as _json
+
+    n = base_version + 1
+    store = HardlinkSlotStore(os.path.join(root, "_manifests"))
+    won = store.put_if_absent(
+        f"snap-{n}.json", _json.dumps(manifest, sort_keys=True).encode()
+    )
+    if not won:
+        raise ConcurrentManifestSwapError(
+            f"{what} swap based on version {base_version} lost to a "
+            f"concurrent commit of version {n} in {root}; re-read and re-run"
+        )
+    head, _hv = read_versioned_manifest(root, lambda _root: manifest)
+    write_pointer(root, head)
+    if n > 10:
+        store.delete(f"snap-{n - 10}.json")
+    return n

@@ -538,3 +538,79 @@ def test_random_project_pins_dim_across_batches(spark):
                                   "vec_id long, embedding array<float>")
     got = random_project(empty, out_dim=8).collect()
     assert all(r.projection is None for r in got)
+
+
+def test_ivf_refresh_lease_blocks_racing_refresh(spark, tmp_path):
+    """Two refreshes over the same delta would silently double-append
+    (duplicated top-k neighbors); the lease claim makes the second one
+    raise BEFORE writing anything."""
+    import pytest as _pytest
+
+    from factstore_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+    )
+    from factstore_spark.storage.cas import (
+        ConcurrentManifestSwapError,
+        read_versioned_manifest,
+    )
+    from factstore_spark.operators.similarity import _read_ivf_manifest
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, n_cells=4)
+    inc = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # simulate a refresh IN PROGRESS: plant a live lease at the head
+    from factstore_spark.storage.cas import cas_swap_manifest
+    import time
+
+    m, v = read_versioned_manifest(idx, _read_ivf_manifest)
+    cas_swap_manifest(
+        idx, dict(m, pending={"id": "other", "ts": time.time()}), v,
+        lambda root, man: None, what="test-lease",
+    )
+    with _pytest.raises(ConcurrentManifestSwapError, match="in progress"):
+        refresh_ivf_index(spark, inc, idx)
+
+    # a LAPSED lease is superseded and the refresh lands exactly once
+    m, v = read_versioned_manifest(idx, _read_ivf_manifest)
+    cas_swap_manifest(
+        idx, dict(m, pending={"id": "stale", "ts": time.time() - 9999}), v,
+        lambda root, man: None, what="test-lease",
+    )
+    out = refresh_ivf_index(spark, inc, idx, lease_seconds=3600.0)
+    assert out["n_new"] == inc.count()
+    head, _v2 = read_versioned_manifest(idx, _read_ivf_manifest)
+    assert "pending" not in head
+    assert head["n_vectors"] == emb.count()
+    # idempotent: a re-run detects nothing new (no duplicates landed)
+    again = refresh_ivf_index(spark, inc, idx)
+    assert again["n_new"] == 0
+
+
+def test_ivf_refresh_duplicate_protection_no_double_vectors(spark, tmp_path):
+    """End to end: after a lapsed-lease takeover, the assignments hold
+    each vector exactly once."""
+    from pyspark.sql import functions as FF
+
+    from factstore_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(FF.col("vec_id") % 2 == 0), idx, n_cells=4)
+    refresh_ivf_index(spark, emb, idx)
+    refresh_ivf_index(spark, emb, idx)  # second refresh: nothing new
+    counts = (
+        spark.read.parquet(f"{idx}/assignments")
+        .groupBy("neighbor_id")
+        .count()
+        .filter(FF.col("count") > 1)
+        .count()
+    )
+    assert counts == 0
