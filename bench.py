@@ -188,6 +188,10 @@ def main() -> None:
         _sweep(spark)
         leaked = _cached_bytes(spark)
         if leaked > 256 * 1048576:
+            # fallback only: _sweep above removes every storage-holding
+            # RDD synchronously, so this branch fires ONLY when the
+            # sweep's py4j reflection failed (returns 0) — kept as the
+            # defense the pre-sweep bench relied on
             # localCheckpoint blocks are reclaimed by the JVM
             # ContextCleaner only after their RDD objects are GC'd —
             # with a 128 GiB heap that can be never during a bench. A

@@ -953,9 +953,40 @@ def build_ivf_index(
     import json
     import os
 
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    from ..storage.cas import (
+        ConcurrentManifestSwapError,
+        cas_swap_manifest,
+        read_versioned_manifest,
+    )
+
     cents = train_centroids(
         corpus, n_cells=n_cells, iterations=train_iterations,
         id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    # Take the SAME lease a refresh takes, BEFORE touching the index
+    # dirs: overwriting assignments/ under an in-flight refresh would
+    # leave its eventual publish keyed by the centroids this rebuild
+    # replaces, and vice versa — build and refresh serialize on the
+    # versioned manifest (storage/cas.py), losers raising with nothing
+    # written. (Training above only reads the corpus — lease held only
+    # across the mutating tail.)
+    os.makedirs(index_dir, exist_ok=True)
+    m, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
+    pending = m.get("pending")
+    if pending and _time.time() - float(pending.get("ts", 0)) < 3600.0:
+        raise ConcurrentManifestSwapError(
+            f"ivf-index refresh in progress in {index_dir} "
+            f"(lease {pending.get('id')}); rebuild after it finishes or "
+            "its lease lapses"
+        )
+    lease = {"id": _uuid.uuid4().hex, "ts": _time.time()}
+    base = cas_swap_manifest(
+        index_dir, dict(m, pending=lease), base,
+        _write_ivf_manifest, what="ivf-rebuild lease",
     )
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -966,27 +997,40 @@ def build_ivf_index(
     ).localCheckpoint()  # one pass: write + n_vectors count share the
     # materialized assignment instead of re-scanning the whole corpus
     # for the manifest count (same pattern as refresh_ivf_index)
-    os.makedirs(index_dir, exist_ok=True)
-    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "assignments")
-    )
-    with open(os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8") as fh:
-        json.dump(cents, fh)
-    n = assigned.count()
-    # versioned single-winner commit (storage/cas.py): a rebuild racing
-    # a refresh serializes at the manifest; losers raise instead of
-    # last-win shadowing each other's counts
-    from ..storage.cas import cas_swap_manifest, read_versioned_manifest
-
-    _m, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
-    cas_swap_manifest(
-        index_dir,
-        {"n_vectors": n, "n_cells": len(cents)},
-        base,
-        _write_ivf_manifest,
-        what="ivf-index",
-    )
-    release_local_checkpoint(assigned)  # write + count done; free the pin
+    try:
+        assigned.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(index_dir, "assignments"))
+        with open(
+            os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(cents, fh)
+        n = assigned.count()
+        cas_swap_manifest(
+            index_dir,
+            {"n_vectors": n, "n_cells": len(cents)},
+            base,
+            _write_ivf_manifest,
+            what="ivf-index",
+        )
+    except BaseException:
+        # release the lease if we still hold the head, so a transient
+        # build failure doesn't block refreshes for the lease window
+        try:
+            head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
+            if (head.get("pending") or {}).get("id") == lease["id"]:
+                head.pop("pending", None)
+                cas_swap_manifest(
+                    index_dir, head, hv, _write_ivf_manifest,
+                    what="ivf-rebuild lease release",
+                )
+        except Exception:
+            pass
+        raise
+    finally:
+        release_local_checkpoint(assigned)
+    # superseded refreshes' staged-but-never-published files are dead
+    _shutil.rmtree(os.path.join(index_dir, "_staging"), ignore_errors=True)
     return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
 
 
@@ -1072,10 +1116,7 @@ def refresh_ivf_index(
     # delta would BOTH append it (silently duplicated vectors — the
     # top-k would return repeated neighbors); claiming a manifest
     # version with a pending marker makes the second refresh raise
-    # BEFORE writing anything. A refresh that crashed mid-append holds
-    # the lease for ``lease_seconds`` (its partial append is harmless:
-    # the next refresh's anti-join re-detects the still-missing rows),
-    # after which a new lease supersedes it.
+    # BEFORE writing anything.
     manifest, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
     pending = manifest.get("pending")
     if pending and _time.time() - float(pending.get("ts", 0)) < lease_seconds:
@@ -1092,50 +1133,142 @@ def refresh_ivf_index(
         _write_ivf_manifest, what="ivf-refresh lease",
     )
 
-    if delta_only:
-        delta = corpus
-    else:
-        indexed_ids = spark.read.parquet(
-            os.path.join(index_dir, "assignments")
-        ).select(F.col("neighbor_id").alias(id_col))
-        delta = corpus.join(indexed_ids, on=id_col, how="left_anti")
+    assigned = None
+    staging = os.path.join(index_dir, "_staging", lease["id"])
+    try:
+        if delta_only:
+            delta = corpus
+        else:
+            indexed_ids = spark.read.parquet(
+                os.path.join(index_dir, "assignments")
+            ).select(F.col("neighbor_id").alias(id_col))
+            delta = corpus.join(indexed_ids, on=id_col, how="left_anti")
 
-    assigned = delta.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.element_at(
-            _centroid_cells_col(F.col(vec_col), _unit_rows(centroids), 1), 1
-        ).alias("cell"),
-    ).localCheckpoint()  # one pass: count + write reuse the same
-    # materialized delta instead of re-running the anti-join and the
-    # n_cells-score argmax twice (the expensive stages of a refresh)
-    n_new = assigned.count()
-    if n_new:
-        assigned.repartition("cell").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(os.path.join(index_dir, "assignments"))
-    if "n_vectors" not in manifest:
-        # Index predates manifests (bare build): derive the baseline
-        # once from what IS on disk, so refresh/describe never report
-        # a delta-only n_vectors or a fabricated n_cells=0 that would
-        # trip the rebuild scheduler.
-        manifest["n_cells"] = n_cells
-        manifest["n_vectors"] = (
-            spark.read.parquet(os.path.join(index_dir, "assignments"))
-            .count()
-            - n_new
+        assigned = delta.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.element_at(
+                _centroid_cells_col(F.col(vec_col), _unit_rows(centroids), 1), 1
+            ).alias("cell"),
+        ).localCheckpoint()  # one pass: count + write reuse the same
+        # materialized delta instead of re-running the anti-join and the
+        # n_cells-score argmax twice (the expensive stages of a refresh)
+        n_new = assigned.count()
+        if n_new:
+            # STAGE, don't append: the write lands in a private dir the
+            # readers never union, so a holder whose lease lapses
+            # mid-job (long GC pause, slow stage) can never publish —
+            # the finalize CAS below is the FENCING TOKEN, and only its
+            # winner moves staged files into assignments/. A plain
+            # append here would let the stalled holder's job land AFTER
+            # a takeover already re-appended the same delta.
+            assigned.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(staging)
+        if "n_vectors" not in manifest:
+            # Index predates manifests (bare build): derive the baseline
+            # once from what IS on disk, so refresh/describe never report
+            # a delta-only n_vectors or a fabricated n_cells=0 that would
+            # trip the rebuild scheduler.
+            manifest["n_cells"] = n_cells
+            manifest["n_vectors"] = spark.read.parquet(
+                os.path.join(index_dir, "assignments")
+            ).count()
+        manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
+        manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
+        manifest.pop("pending", None)
+        # finalize: we hold the lease version, so this claim can lose
+        # only to a lease-expiry takeover — raising here is CORRECT and
+        # SAFE: the staged files are never published, and aged staging
+        # dirs are reclaimed below / by the next refresh
+        cas_swap_manifest(
+            index_dir, manifest, base, _write_ivf_manifest, what="ivf-refresh",
         )
-    manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
-    manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
-    manifest.pop("pending", None)
-    # finalize: we hold the lease version, so this claim can lose only
-    # to a lease-expiry takeover — in which case raising is CORRECT
-    # (the takeover's anti-join will absorb our landed rows)
-    cas_swap_manifest(
-        index_dir, manifest, base, _write_ivf_manifest, what="ivf-refresh",
-    )
-    release_local_checkpoint(assigned)  # write + counts done; free the pin
+    except BaseException:
+        # release the lease if we still hold the head (a transient
+        # failure must not block refreshes for the whole lease window);
+        # losing this cleanup swap means a takeover superseded us —
+        # nothing to clean
+        try:
+            head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
+            if (head.get("pending") or {}).get("id") == lease["id"]:
+                head.pop("pending", None)
+                cas_swap_manifest(
+                    index_dir, head, hv, _write_ivf_manifest,
+                    what="ivf-refresh lease release",
+                )
+        except Exception:
+            pass
+        _reap_stale_staging(index_dir, lease_seconds, also=staging)
+        raise
+    finally:
+        # free the pin on success AND failure (the publish below reads
+        # staged FILES, never the frame)
+        if assigned is not None:
+            release_local_checkpoint(assigned)
+    # publish: move the staged cell files into the live partitions.
+    # A crash mid-move loses only the unmoved rows — the NEXT refresh's
+    # anti-join re-detects them (aged staging dirs are deleted, never
+    # moved, so the re-append cannot duplicate) — while duplicates are
+    # impossible: publication is gated on the fencing claim above.
+    if n_new:
+        _publish_staged_cells(staging, os.path.join(index_dir, "assignments"))
+    _reap_stale_staging(index_dir, lease_seconds)
     return {"n_new": n_new, "n_vectors": manifest["n_vectors"], "index_dir": index_dir}
+
+
+def _publish_staged_cells(staging: str, assignments: str) -> None:
+    """Move a finalized refresh's staged cell files into the live
+    partition dirs (same-filesystem renames; POSIX/HDFS semantics),
+    then remove the staging dir. Spark's partitioned readers pick up
+    new files in existing and new cell dirs alike."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid2
+
+    if not _os.path.isdir(staging):
+        return
+    for cell in _os.listdir(staging):
+        src_cell = _os.path.join(staging, cell)
+        if not (cell.startswith("cell=") and _os.path.isdir(src_cell)):
+            continue
+        dst_cell = _os.path.join(assignments, cell)
+        _os.makedirs(dst_cell, exist_ok=True)
+        for name in _os.listdir(src_cell):
+            if not name.endswith(".parquet"):
+                continue
+            # uuid-suffix to dodge same-name collisions across refreshes
+            _os.rename(
+                _os.path.join(src_cell, name),
+                _os.path.join(dst_cell, f"ref-{_uuid2.uuid4().hex[:12]}-{name}"),
+            )
+    _shutil.rmtree(staging, ignore_errors=True)
+
+
+def _reap_stale_staging(
+    index_dir: str, lease_seconds: float, also: str | None = None
+) -> None:
+    """Delete staging dirs older than the lease window (crashed or
+    superseded refreshes), plus ``also`` (the caller's own dir on a
+    failed run). Deleted, NEVER published — a takeover already
+    re-appended whatever these contained."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time2
+
+    if also is not None:
+        _shutil.rmtree(also, ignore_errors=True)
+    root = _os.path.join(index_dir, "_staging")
+    if not _os.path.isdir(root):
+        return
+    now = _time2.time()
+    for name in _os.listdir(root):
+        path = _os.path.join(root, name)
+        try:
+            if now - _os.path.getmtime(path) > lease_seconds:
+                _shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,

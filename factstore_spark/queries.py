@@ -7380,6 +7380,7 @@ def storage_incremental_agg(spark, sf_dir):
         _cents(F.col("o_totalprice")).alias("cents"),
     )
     d = tempfile.mkdtemp(prefix="ivm-agg-")
+    both = None
     try:
         # Pin both tiny slices in ONE scan: the storage path runs ~8
         # jobs (validate / write / stats readback / diff), and each
@@ -7412,9 +7413,10 @@ def storage_incremental_agg(spark, sf_dir):
 
         out = state.select("status", "n_rows", "sum_cents").orderBy("status")
         rows = out.collect()
-        release_local_checkpoint(both)
         return spark.createDataFrame(rows, out.schema)
     finally:
+        if both is not None:
+            release_local_checkpoint(both)
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -7465,6 +7467,7 @@ def storage_ivm_minmax(spark, sf_dir):
         _cents(F.col("o_totalprice")).alias("cents"),
     )
     d = tempfile.mkdtemp(prefix="ivm-ext-")
+    both = None
     try:
         both = orders.filter(
             (F.col("k") % 200).isin(1, 3)
@@ -7494,9 +7497,10 @@ def storage_ivm_minmax(spark, sf_dir):
             "status", "n_rows", "min_cents", "max_cents"
         ).orderBy("status")
         rows = out.collect()
-        release_local_checkpoint(both)
         return spark.createDataFrame(rows, out.schema)
     finally:
+        if both is not None:
+            release_local_checkpoint(both)
         shutil.rmtree(d, ignore_errors=True)
 
 

@@ -614,3 +614,70 @@ def test_ivf_refresh_duplicate_protection_no_double_vectors(spark, tmp_path):
         .count()
     )
     assert counts == 0
+
+
+def test_ivf_refresh_stalled_holder_never_publishes(spark, tmp_path):
+    """The FENCE: a refresh whose lease lapses mid-job (long stage /
+    GC pause) must not publish its staged delta after a takeover
+    already re-appended it. Thread A stalls just before its finalize
+    claim until takeover B completes; A must raise and the assignments
+    must hold every vector exactly once."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    import factstore_spark.storage.cas as C
+    from factstore_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+    )
+    from factstore_spark.storage.cas import ConcurrentManifestSwapError
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, n_cells=4)
+    inc = emb.filter(F.col("vec_id") % 2 == 1)
+
+    b_done = threading.Event()
+    a_ident = []
+    real = C.cas_swap_manifest
+
+    def stall_a_finalize(root, manifest, base, wp, what="manifest"):
+        if (
+            what == "ivf-refresh"
+            and a_ident
+            and threading.get_ident() == a_ident[0]
+        ):
+            assert b_done.wait(120), "takeover never finished"
+        return real(root, manifest, base, wp, what)
+
+    C.cas_swap_manifest = stall_a_finalize
+    a_result = {}
+
+    def run_a():
+        a_ident.append(threading.get_ident())
+        try:
+            refresh_ivf_index(spark, inc, idx, lease_seconds=0.5)
+            a_result["outcome"] = "published"
+        except ConcurrentManifestSwapError:
+            a_result["outcome"] = "fenced"
+
+    try:
+        ta = threading.Thread(target=run_a, daemon=True)
+        ta.start()
+        time.sleep(1.0)  # A's lease (0.5s) lapses while it works
+        out_b = refresh_ivf_index(spark, inc, idx, lease_seconds=0.5)
+        b_done.set()
+        ta.join(timeout=120)
+    finally:
+        C.cas_swap_manifest = real
+    assert out_b["n_new"] == inc.count()
+    assert a_result.get("outcome") == "fenced", a_result
+    dup = (
+        spark.read.parquet(f"{idx}/assignments")
+        .groupBy("neighbor_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    total = spark.read.parquet(f"{idx}/assignments").count()
+    assert total == emb.count()
