@@ -77,7 +77,12 @@ def signature_cache_scope():
 def _scoped_cache(df: DataFrame) -> DataFrame:
     """cache() + registration with the innermost signature_cache_scope
     (no-op registration when no scope is active — the documented
-    clearCache fallback applies then)."""
+    clearCache fallback applies then). An already-cached plan is
+    returned as-is: re-caching is a no-op that only emits the JVM's
+    'Asked to cache already cached data' warning (two operators over
+    the same corpus within one scope share a signature frame)."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df
     out = df.cache()
     if _CACHE_SCOPES:
         _CACHE_SCOPES[-1].append(out)
