@@ -935,6 +935,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    lease_seconds: float = 3600.0,
 ) -> dict:
     """Build-once persisted IVF index: k-means-trained centroids
     (JSON sidecar) + the cell-assigned corpus written PARTITIONED BY
@@ -949,89 +950,210 @@ def build_ivf_index(
 
     Returns build stats. The build is one training run + one map-only
     assignment pass + one partitioned write (the write shuffles by
-    cell — paid once, like any index build)."""
+    cell — paid once, like any index build).
+
+    Crash/concurrency discipline (round 10): the rebuild writes into a
+    FRESH versioned data dir (``assignments-<lease>``) plus a versioned
+    centroid sidecar and publishes both in ONE manifest CAS — the
+    published index is never touched in place, so a rebuild that loses
+    the race (or dies mid-write) leaves the serving index byte-intact
+    and only an orphan dir for the age reaper. Builds and refreshes
+    serialize on the same lease; a loser raises
+    ConcurrentManifestSwapError with nothing published."""
     import json
     import os
 
-    import shutil as _shutil
     import time as _time
     import uuid as _uuid
 
-    from ..storage.cas import (
-        ConcurrentManifestSwapError,
-        cas_swap_manifest,
-        read_versioned_manifest,
-    )
+    from ..storage.cas import cas_swap_manifest, read_versioned_manifest
 
     cents = train_centroids(
         corpus, n_cells=n_cells, iterations=train_iterations,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
-    # Take the SAME lease a refresh takes, BEFORE touching the index
-    # dirs: overwriting assignments/ under an in-flight refresh would
-    # leave its eventual publish keyed by the centroids this rebuild
-    # replaces, and vice versa — build and refresh serialize on the
-    # versioned manifest (storage/cas.py), losers raising with nothing
-    # written. (Training above only reads the corpus — lease held only
-    # across the mutating tail.)
+    # Lease BEFORE touching the index (training above only reads the
+    # corpus): a rebuild racing an in-flight refresh must lose at the
+    # manifest, not interleave data writes.
     os.makedirs(index_dir, exist_ok=True)
     m, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
-    pending = m.get("pending")
-    if pending and _time.time() - float(pending.get("ts", 0)) < 3600.0:
-        raise ConcurrentManifestSwapError(
-            f"ivf-index refresh in progress in {index_dir} "
-            f"(lease {pending.get('id')}); rebuild after it finishes or "
-            "its lease lapses"
-        )
-    lease = {"id": _uuid.uuid4().hex, "ts": _time.time()}
+    _raise_if_lease_live(m, index_dir, "rebuild")
+    lease = _new_lease(lease_seconds)
     base = cas_swap_manifest(
         index_dir, dict(m, pending=lease), base,
         _write_ivf_manifest, what="ivf-rebuild lease",
     )
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.element_at(
-            _centroid_cells_col(F.col(vec_col), _unit_rows(cents), 1), 1
-        ).alias("cell"),
-    ).localCheckpoint()  # one pass: write + n_vectors count share the
-    # materialized assignment instead of re-scanning the whole corpus
-    # for the manifest count (same pattern as refresh_ivf_index)
+    tag = lease["id"][:12]
+    data_dir = f"assignments-{tag}"
+    cent_name = f"centroids-{tag}.json"
+    assigned = None
     try:
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.element_at(
+                _centroid_cells_col(F.col(vec_col), _unit_rows(cents), 1), 1
+            ).alias("cell"),
+        ).localCheckpoint()  # one pass: write + n_vectors count share
+        # the materialized assignment instead of re-scanning the corpus
         assigned.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(os.path.join(index_dir, "assignments"))
+        ).parquet(os.path.join(index_dir, data_dir))
+        with open(
+            os.path.join(index_dir, cent_name), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(cents, fh)
+        # legacy sidecar kept in sync for pre-versioning readers
         with open(
             os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8"
         ) as fh:
             json.dump(cents, fh)
         n = assigned.count()
+        # single atomic publish: data dir + centroids + counts flip
+        # together (and the pending lease is dropped by not carrying it)
         cas_swap_manifest(
             index_dir,
-            {"n_vectors": n, "n_cells": len(cents)},
+            {
+                "n_vectors": n,
+                "n_cells": len(cents),
+                "data_dir": data_dir,
+                "centroids": cent_name,
+            },
             base,
             _write_ivf_manifest,
             what="ivf-index",
         )
     except BaseException:
-        # release the lease if we still hold the head, so a transient
-        # build failure doesn't block refreshes for the lease window
-        try:
-            head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
-            if (head.get("pending") or {}).get("id") == lease["id"]:
-                head.pop("pending", None)
-                cas_swap_manifest(
-                    index_dir, head, hv, _write_ivf_manifest,
-                    what="ivf-rebuild lease release",
-                )
-        except Exception:
-            pass
+        _release_ivf_lease(index_dir, lease)
         raise
     finally:
-        release_local_checkpoint(assigned)
-    # superseded refreshes' staged-but-never-published files are dead
-    _shutil.rmtree(os.path.join(index_dir, "_staging"), ignore_errors=True)
+        if assigned is not None:
+            release_local_checkpoint(assigned)
+    _reap_ivf_garbage(index_dir, lease_seconds)
     return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
+
+
+def _new_lease(lease_seconds: float) -> dict:
+    """Pending-lease record: the holder DECLARES its window so every
+    checker honors the same expiry (a short-leased caller must not
+    supersede a live long-leased holder)."""
+    import time as _time
+    import uuid as _uuid
+
+    return {
+        "id": _uuid.uuid4().hex,
+        "ts": _time.time(),
+        "lease_seconds": float(lease_seconds),
+    }
+
+
+def _lease_live(pending) -> bool:
+    import time as _time
+
+    return bool(pending) and _time.time() - float(
+        pending.get("ts", 0)
+    ) < float(pending.get("lease_seconds", 3600.0))
+
+
+def _raise_if_lease_live(manifest: dict, index_dir: str, who: str) -> None:
+    if _lease_live(manifest.get("pending")):
+        from ..storage.cas import ConcurrentManifestSwapError
+
+        p = manifest["pending"]
+        raise ConcurrentManifestSwapError(
+            f"ivf-index writer already in progress in {index_dir} "
+            f"(lease {p.get('id')}); {who} after it finishes or its "
+            f"{p.get('lease_seconds', 3600.0)}s lease lapses"
+        )
+
+
+def _release_ivf_lease(index_dir: str, lease: dict) -> None:
+    """Best-effort lease release on failure: a transient error must not
+    block writers for the whole lease window. Losing this swap means a
+    takeover superseded us — nothing to release."""
+    from ..storage.cas import cas_swap_manifest, read_versioned_manifest
+
+    try:
+        head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
+        if (head.get("pending") or {}).get("id") == lease["id"]:
+            head.pop("pending", None)
+            cas_swap_manifest(
+                index_dir, head, hv, _write_ivf_manifest,
+                what="ivf lease release",
+            )
+    except Exception:
+        pass
+
+
+def _ivf_paths(index_dir: str) -> tuple[str, str, dict]:
+    """(assignments dir, centroids path, head manifest) resolved via
+    the versioned manifest; pre-versioning indexes fall back to the
+    legacy fixed names."""
+    import os
+
+    from ..storage.cas import read_versioned_manifest
+
+    m, _v = read_versioned_manifest(index_dir, _read_ivf_manifest)
+    return (
+        os.path.join(index_dir, m.get("data_dir", "assignments")),
+        os.path.join(index_dir, m.get("centroids", "centroids.json")),
+        m,
+    )
+
+
+def _reap_ivf_garbage(index_dir: str, lease_seconds: float) -> None:
+    """Delete versioned data dirs / centroid sidecars no manifest
+    references and staging dirs from dead refreshes, once older than
+    max(lease window, 1h) — young enough artifacts may belong to an
+    in-flight writer whose Spark job is still materializing them.
+    The dir named by a live-or-publishing pending is never touched."""
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from ..storage.cas import read_versioned_manifest
+
+    m, _v = read_versioned_manifest(index_dir, _read_ivf_manifest)
+    keep = {
+        m.get("data_dir", "assignments"),
+        m.get("centroids", "centroids.json"),
+        "assignments",
+        "centroids.json",
+        "manifest.json",
+        "_manifests",
+    }
+    pending = m.get("pending") or {}
+    min_age = max(float(lease_seconds), 3600.0)
+    now = _time.time()
+
+    def _old(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) > min_age
+        except OSError:
+            return False
+
+    for name in os.listdir(index_dir):
+        path = os.path.join(index_dir, name)
+        if name in keep:
+            continue
+        if name == "_staging":
+            for sub in os.listdir(path):
+                if sub == pending.get("id"):
+                    continue
+                spath = os.path.join(path, sub)
+                if _old(spath):
+                    _shutil.rmtree(spath, ignore_errors=True)
+            continue
+        if (
+            name.startswith("assignments-") or name.startswith("centroids-")
+        ) and _old(path):
+            if os.path.isdir(path):
+                _shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
 
 def _write_ivf_manifest(index_dir: str, manifest: dict) -> None:
@@ -1103,35 +1225,36 @@ def refresh_ivf_index(
     ``describe_store``."""
     import json
     import os
-    import time as _time
-    import uuid as _uuid
 
     from ..storage.cas import cas_swap_manifest, read_versioned_manifest
 
-    with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
-        centroids = json.load(fh)
-    n_cells = len(centroids)
-
     # LEASE before any data lands: two refreshes computing the same
-    # delta would BOTH append it (silently duplicated vectors — the
+    # delta would BOTH land it (silently duplicated vectors — the
     # top-k would return repeated neighbors); claiming a manifest
     # version with a pending marker makes the second refresh raise
-    # BEFORE writing anything.
+    # BEFORE writing anything. An EXPIRED lease still in the
+    # 'publishing' phase is recovered first (its counts are committed,
+    # so its staged rows must land exactly once — the per-file renames
+    # are idempotent, see _publish_staged_cells).
     manifest, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
-    pending = manifest.get("pending")
-    if pending and _time.time() - float(pending.get("ts", 0)) < lease_seconds:
-        from ..storage.cas import ConcurrentManifestSwapError
-
-        raise ConcurrentManifestSwapError(
-            f"ivf-index refresh already in progress in {index_dir} "
-            f"(lease {pending.get('id')}); wait for it or for the "
-            f"{lease_seconds}s lease to lapse"
+    _raise_if_lease_live(manifest, index_dir, "refresh")
+    stale = manifest.get("pending")
+    if stale and stale.get("publishing"):
+        _publish_staged_cells(
+            os.path.join(index_dir, "_staging", stale["id"]),
+            os.path.join(index_dir, manifest.get("data_dir", "assignments")),
         )
-    lease = {"id": _uuid.uuid4().hex, "ts": _time.time()}
+    lease = _new_lease(lease_seconds)
     base = cas_swap_manifest(
         index_dir, dict(manifest, pending=lease), base,
         _write_ivf_manifest, what="ivf-refresh lease",
     )
+    manifest.pop("pending", None)
+
+    assignments_dir, centroids_path, _m = _ivf_paths(index_dir)
+    with open(centroids_path, encoding="utf-8") as fh:
+        centroids = json.load(fh)
+    n_cells = len(centroids)
 
     assigned = None
     staging = os.path.join(index_dir, "_staging", lease["id"])
@@ -1139,9 +1262,9 @@ def refresh_ivf_index(
         if delta_only:
             delta = corpus
         else:
-            indexed_ids = spark.read.parquet(
-                os.path.join(index_dir, "assignments")
-            ).select(F.col("neighbor_id").alias(id_col))
+            indexed_ids = spark.read.parquet(assignments_dir).select(
+                F.col("neighbor_id").alias(id_col)
+            )
             delta = corpus.join(indexed_ids, on=id_col, how="left_anti")
 
         assigned = delta.select(
@@ -1159,9 +1282,8 @@ def refresh_ivf_index(
             # readers never union, so a holder whose lease lapses
             # mid-job (long GC pause, slow stage) can never publish —
             # the finalize CAS below is the FENCING TOKEN, and only its
-            # winner moves staged files into assignments/. A plain
-            # append here would let the stalled holder's job land AFTER
-            # a takeover already re-appended the same delta.
+            # winner (or, after expiry, a recoverer completing its
+            # marker) moves staged files into the live partitions.
             assigned.repartition("cell").write.mode("overwrite").partitionBy(
                 "cell"
             ).parquet(staging)
@@ -1171,104 +1293,79 @@ def refresh_ivf_index(
             # a delta-only n_vectors or a fabricated n_cells=0 that would
             # trip the rebuild scheduler.
             manifest["n_cells"] = n_cells
-            manifest["n_vectors"] = spark.read.parquet(
-                os.path.join(index_dir, "assignments")
-            ).count()
+            manifest["n_vectors"] = spark.read.parquet(assignments_dir).count()
         manifest["n_vectors"] = int(manifest.get("n_vectors", 0)) + n_new
         manifest["n_appended"] = int(manifest.get("n_appended", 0)) + n_new
-        manifest.pop("pending", None)
-        # finalize: we hold the lease version, so this claim can lose
-        # only to a lease-expiry takeover — raising here is CORRECT and
-        # SAFE: the staged files are never published, and aged staging
-        # dirs are reclaimed below / by the next refresh
+        # FINALIZE = the fencing token, committed WITH the lease still
+        # held and a 'publishing' marker: counts and staged data flip
+        # together — a crash after this commit is recovered by the next
+        # writer completing the publish (never re-counting), a loss of
+        # this claim means a takeover superseded us and our staged rows
+        # are never published. The count can never drift from the data.
         cas_swap_manifest(
-            index_dir, manifest, base, _write_ivf_manifest, what="ivf-refresh",
+            index_dir,
+            dict(manifest, pending=dict(lease, publishing=True)),
+            base,
+            _write_ivf_manifest,
+            what="ivf-refresh",
         )
     except BaseException:
-        # release the lease if we still hold the head (a transient
-        # failure must not block refreshes for the whole lease window);
-        # losing this cleanup swap means a takeover superseded us —
-        # nothing to clean
-        try:
-            head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
-            if (head.get("pending") or {}).get("id") == lease["id"]:
-                head.pop("pending", None)
-                cas_swap_manifest(
-                    index_dir, head, hv, _write_ivf_manifest,
-                    what="ivf-refresh lease release",
-                )
-        except Exception:
-            pass
-        _reap_stale_staging(index_dir, lease_seconds, also=staging)
+        _release_ivf_lease(index_dir, lease)
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
         raise
     finally:
         # free the pin on success AND failure (the publish below reads
         # staged FILES, never the frame)
         if assigned is not None:
             release_local_checkpoint(assigned)
-    # publish: move the staged cell files into the live partitions.
-    # A crash mid-move loses only the unmoved rows — the NEXT refresh's
-    # anti-join re-detects them (aged staging dirs are deleted, never
-    # moved, so the re-append cannot duplicate) — while duplicates are
-    # impossible: publication is gated on the fencing claim above.
+    # publish under the held lease: idempotent deterministic renames —
+    # a stalled twin (or a recoverer) moving the same files collides on
+    # the same destination names and each file lands exactly once
     if n_new:
-        _publish_staged_cells(staging, os.path.join(index_dir, "assignments"))
-    _reap_stale_staging(index_dir, lease_seconds)
+        _publish_staged_cells(staging, assignments_dir)
+    # release: drop the pending marker. Losing THIS swap means our
+    # lease expired mid-publish and a recoverer superseded us after
+    # completing our publish — nothing left to do either way.
+    _release_ivf_lease(index_dir, lease)
+    _reap_ivf_garbage(index_dir, lease_seconds)
     return {"n_new": n_new, "n_vectors": manifest["n_vectors"], "index_dir": index_dir}
 
 
 def _publish_staged_cells(staging: str, assignments: str) -> None:
-    """Move a finalized refresh's staged cell files into the live
+    """Move a FENCED refresh's staged cell files into the live
     partition dirs (same-filesystem renames; POSIX/HDFS semantics),
-    then remove the staging dir. Spark's partitioned readers pick up
-    new files in existing and new cell dirs alike."""
+    then remove the staging dir. IDEMPOTENT and race-safe: destination
+    names derive deterministically from source names, so a stalled
+    holder and a recoverer moving the same staging dir collide on the
+    same dst and each file publishes exactly once (the loser's rename
+    finds the source gone and skips). A missing staging dir is a
+    completed publish. Spark's partitioned readers pick up new files
+    in existing and new cell dirs alike."""
     import os as _os
     import shutil as _shutil
-    import uuid as _uuid2
 
     if not _os.path.isdir(staging):
         return
-    for cell in _os.listdir(staging):
+    tag = _os.path.basename(staging)[:12]
+    for cell in sorted(_os.listdir(staging)):
         src_cell = _os.path.join(staging, cell)
         if not (cell.startswith("cell=") and _os.path.isdir(src_cell)):
             continue
         dst_cell = _os.path.join(assignments, cell)
         _os.makedirs(dst_cell, exist_ok=True)
-        for name in _os.listdir(src_cell):
+        for name in sorted(_os.listdir(src_cell)):
             if not name.endswith(".parquet"):
                 continue
-            # uuid-suffix to dodge same-name collisions across refreshes
-            _os.rename(
-                _os.path.join(src_cell, name),
-                _os.path.join(dst_cell, f"ref-{_uuid2.uuid4().hex[:12]}-{name}"),
-            )
+            try:
+                _os.rename(
+                    _os.path.join(src_cell, name),
+                    _os.path.join(dst_cell, f"ref-{tag}-{name}"),
+                )
+            except FileNotFoundError:
+                continue  # a concurrent publisher moved it first
     _shutil.rmtree(staging, ignore_errors=True)
-
-
-def _reap_stale_staging(
-    index_dir: str, lease_seconds: float, also: str | None = None
-) -> None:
-    """Delete staging dirs older than the lease window (crashed or
-    superseded refreshes), plus ``also`` (the caller's own dir on a
-    failed run). Deleted, NEVER published — a takeover already
-    re-appended whatever these contained."""
-    import os as _os
-    import shutil as _shutil
-    import time as _time2
-
-    if also is not None:
-        _shutil.rmtree(also, ignore_errors=True)
-    root = _os.path.join(index_dir, "_staging")
-    if not _os.path.isdir(root):
-        return
-    now = _time2.time()
-    for name in _os.listdir(root):
-        path = _os.path.join(root, name)
-        try:
-            if now - _os.path.getmtime(path) > lease_seconds:
-                _shutil.rmtree(path, ignore_errors=True)
-        except OSError:
-            pass
 
 
 def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,
@@ -1282,17 +1379,13 @@ def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,
     import json
     import os
 
-    from ..storage.cas import read_versioned_manifest
-
-    manifest, _v = read_versioned_manifest(index_dir, _read_ivf_manifest)
+    assignments_dir, centroids_path, manifest = _ivf_paths(index_dir)
     if "n_vectors" not in manifest:
         # Manifest-less index (bare build): report real counts from
         # disk instead of zeros a rebuild scheduler would act on.
-        with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
+        with open(centroids_path, encoding="utf-8") as fh:
             manifest["n_cells"] = len(json.load(fh))
-        manifest["n_vectors"] = spark.read.parquet(
-            os.path.join(index_dir, "assignments")
-        ).count()
+        manifest["n_vectors"] = spark.read.parquet(assignments_dir).count()
     out = {
         "index_dir": index_dir,
         "n_vectors": int(manifest.get("n_vectors", 0)),
@@ -1304,9 +1397,9 @@ def describe_ivf_index(spark, index_dir: str, corpus: DataFrame = None,
     if corpus is not None:
         import os
 
-        indexed_ids = spark.read.parquet(
-            os.path.join(index_dir, "assignments")
-        ).select(F.col("neighbor_id").alias(id_col))
+        indexed_ids = spark.read.parquet(assignments_dir).select(
+            F.col("neighbor_id").alias(id_col)
+        )
         missing = corpus.join(indexed_ids, on=id_col, how="left_anti").count()
         out["missing_vectors"] = missing
         out["fresh"] = missing == 0
@@ -1329,12 +1422,12 @@ def ivf_topk_indexed(
     files instead of scanning the corpus. Same output contract as
     ``ivf_topk``: (query_id, neighbor_id, sim, rank)."""
     import json
-    import os
 
-    with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
+    assignments_dir, centroids_path, _m = _ivf_paths(index_dir)
+    with open(centroids_path, encoding="utf-8") as fh:
         centroids = json.load(fh)
 
-    assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    assigned = spark.read.parquet(assignments_dir)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probes = q.withColumn(
         "cell",

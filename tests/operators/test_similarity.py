@@ -301,15 +301,16 @@ def test_ivf_refresh_appends_without_rebuild(spark, tmp_path):
     assert d["fresh"] is False
     assert d["missing_vectors"] == new.count()
 
+    adir, _cpath, _m = S._ivf_paths(idx)
     before = {
         p: os.path.getmtime(p)
-        for p in glob.glob(os.path.join(idx, "assignments", "cell=*", "part-*"))
+        for p in glob.glob(os.path.join(adir, "cell=*", "part-*"))
     }
     stats = S.refresh_ivf_index(spark, emb, idx)  # detects the delta itself
     assert stats["n_new"] == new.count()
     after = {
         p: os.path.getmtime(p)
-        for p in glob.glob(os.path.join(idx, "assignments", "cell=*", "part-*"))
+        for p in glob.glob(os.path.join(adir, "cell=*", "part-*"))
     }
     for p, mt in before.items():  # O(delta): old files never rewritten
         assert after[p] == mt
@@ -606,8 +607,11 @@ def test_ivf_refresh_duplicate_protection_no_double_vectors(spark, tmp_path):
     build_ivf_index(emb.filter(FF.col("vec_id") % 2 == 0), idx, n_cells=4)
     refresh_ivf_index(spark, emb, idx)
     refresh_ivf_index(spark, emb, idx)  # second refresh: nothing new
+    from factstore_spark.operators.similarity import _ivf_paths
+
+    adir, _c, _m = _ivf_paths(idx)
     counts = (
-        spark.read.parquet(f"{idx}/assignments")
+        spark.read.parquet(adir)
         .groupBy("neighbor_id")
         .count()
         .filter(FF.col("count") > 1)
@@ -674,10 +678,82 @@ def test_ivf_refresh_stalled_holder_never_publishes(spark, tmp_path):
         C.cas_swap_manifest = real
     assert out_b["n_new"] == inc.count()
     assert a_result.get("outcome") == "fenced", a_result
+    from factstore_spark.operators.similarity import _ivf_paths
+
+    adir, _c, _m = _ivf_paths(idx)
     dup = (
-        spark.read.parquet(f"{idx}/assignments")
+        spark.read.parquet(adir)
         .groupBy("neighbor_id").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
-    total = spark.read.parquet(f"{idx}/assignments").count()
+    total = spark.read.parquet(adir).count()
     assert total == emb.count()
+
+
+def test_ivf_refresh_recovers_expired_publish(spark, tmp_path):
+    """Crash between the fencing finalize and the publish: the counts
+    are committed with a 'publishing' lease marker, so the NEXT refresh
+    must complete the dead holder's publish (idempotent renames) before
+    taking its own lease — counts and data can never drift."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.similarity import (
+        _centroid_cells_col,
+        _ivf_paths,
+        _read_ivf_manifest,
+        _unit_rows,
+        build_ivf_index,
+        refresh_ivf_index,
+    )
+    from factstore_spark.storage.cas import (
+        cas_swap_manifest,
+        read_versioned_manifest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(90)
+    third = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(third[0], idx, n_cells=4)
+    adir, cpath, m0 = _ivf_paths(idx)
+    with open(cpath, encoding="utf-8") as fh:
+        cents = json.load(fh)
+
+    # simulate a refresh of third[1] that crashed AFTER its fencing
+    # finalize: stage its delta + commit counts with an EXPIRED
+    # publishing lease
+    dead_id = "deadbeefdead"
+    staging = os.path.join(idx, "_staging", dead_id)
+    third[1].select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.element_at(
+            _centroid_cells_col(F.col("embedding"), _unit_rows(cents), 1), 1
+        ).alias("cell"),
+    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(staging)
+    head, v = read_versioned_manifest(idx, _read_ivf_manifest)
+    n1 = third[1].count()
+    crashed = dict(
+        head,
+        n_vectors=int(head["n_vectors"]) + n1,
+        n_appended=int(head.get("n_appended", 0)) + n1,
+        pending={
+            "id": dead_id, "ts": time.time() - 9999,
+            "lease_seconds": 60.0, "publishing": True,
+        },
+    )
+    cas_swap_manifest(idx, crashed, v, lambda r, man: None, what="test-crash")
+
+    # the next refresh (third[2]) recovers the publish, then lands its
+    # own delta; totals exact, zero duplicates
+    out = refresh_ivf_index(spark, third[2], idx)
+    assert out["n_new"] == third[2].count()
+    assert out["n_vectors"] == emb.count()
+    adir2, _c, _m = _ivf_paths(idx)
+    got = spark.read.parquet(adir2)
+    assert got.count() == emb.count()
+    assert got.groupBy("neighbor_id").count().filter(F.col("count") > 1).count() == 0
+    assert not os.path.isdir(staging)  # recovered and removed
