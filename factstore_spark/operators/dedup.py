@@ -1470,3 +1470,76 @@ def semantic_dedup(
         .withColumn("is_dup", F.col("dup_of").isNotNull())
         .select("id", "cluster", "is_dup", "dup_of")
     )
+
+
+def describe_minhash_index(spark, index_dir: str) -> dict:
+    """Health card for a persisted signature index — what a maintenance
+    scheduler reads to decide WHEN to run compaction (the
+    describe_store / describe_ivf_index analog): committed segment
+    count (each is one more scan root a reader unions), indexed doc
+    count, manifest version, and how many orphan segment dirs (crashed
+    or CAS-losing appends) await the grace reaper."""
+    m, version = _read_minhash_manifest_versioned(index_dir)
+    if m.get("kind") != "minhash":
+        raise ValueError(f"{index_dir} is not a minhash signature index")
+    segs = m.get("segments") or []
+    from functools import reduce as _reduce
+
+    n_docs = 0
+    paths = _minhash_store_paths(index_dir, m, "sigs")
+    if paths:
+        n_docs = _reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(p) for p in paths],
+        ).select("_id").distinct().count()
+    orphans = [
+        name
+        for name in os.listdir(index_dir)
+        if name.startswith("seg-")
+        and os.path.isdir(os.path.join(index_dir, name))
+        and name not in set(segs)
+    ]
+    return {
+        "index_dir": index_dir,
+        "n_segments": len(segs),
+        "n_docs": n_docs,
+        "manifest_version": version,
+        "n_orphan_segments": len(orphans),
+        "params": {
+            k: m.get(k) for k in ("n", "num_hashes", "bands", "seed", "id_col")
+        },
+    }
+
+
+def maintain_minhash_index(
+    spark,
+    index_dir: str,
+    max_segments: int = 8,
+    retain_seconds: float = 3600.0,
+) -> dict:
+    """One-call signature-index maintenance — the scheduler-slot
+    composition an incrementally-grown index runs nightly (the
+    maintain_table analog for the dedup substrate): describe, compact
+    when the committed segment count exceeds ``max_segments`` (readers
+    union one frame per segment — hundreds of daily appends mean
+    hundreds of scan roots and small files), and reap orphan segment
+    dirs past the grace window either way. Compaction carries its own
+    safety contracts: identical pairs before/after (pytest-pinned),
+    loud failure on conflicting signatures for one _id (a mutated
+    re-ingest), and the single-winner CAS manifest swap — a racing
+    appender surfaces as ConcurrentIndexSwapError and the index is
+    untouched; rerun in the next slot."""
+    before = describe_minhash_index(spark, index_dir)
+    compacted = None
+    removed: list[str] = []
+    if before["n_segments"] > max_segments or before["n_orphan_segments"]:
+        rep = compact_minhash_index(spark, index_dir, retain_seconds=retain_seconds)
+        compacted = rep["compacted_into"]
+        removed = rep["removed"]
+    after = describe_minhash_index(spark, index_dir)
+    return {
+        "before": before,
+        "after": after,
+        "compacted_into": compacted,
+        "removed_orphans": removed,
+    }

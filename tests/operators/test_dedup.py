@@ -634,3 +634,54 @@ def test_dedup_stream_sink_report_per_batch_rows(spark):
     assert (c.n_only_stream, c.n_only_oneshot, c.match_bp) == (0, 0, 10000)
     assert c.n_batches == 3 and c.n_segments_after == 4
     assert c.n_archive_docs > 0 and c.n_stream_docs > 0
+
+
+def test_maintain_minhash_index_one_call(spark, tmp_path):
+    """describe -> compact-if-needed -> reap, one call: an index grown
+    by several appends (plus an orphan from a crashed one) folds to a
+    single segment with identical incremental pairs, and a healthy
+    index is left untouched."""
+    import os
+
+    from factstore_spark.operators.dedup import (
+        _minhash_banded_sig,
+        _write_minhash_segment,
+        append_minhash_index,
+        describe_minhash_index,
+        incremental_minhash_pairs,
+        maintain_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    slices = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    idx = str(tmp_path / "mh")
+    write_minhash_index(slices[0], idx)
+    for s in slices[1:3]:
+        append_minhash_index(s, idx)
+    # a crashed append: fully-written segment, never in the manifest
+    sig, banded = _minhash_banded_sig(slices[3], "doc_id", "text", 3, 64, 16, 42)
+    orphan = _write_minhash_segment(sig, banded, idx)
+
+    d = describe_minhash_index(spark, idx)
+    assert d["n_segments"] == 3 and d["n_orphan_segments"] == 1
+    assert d["n_docs"] == slices[0].count() + slices[1].count() + slices[2].count()
+    assert d["params"]["bands"] == 16
+
+    before_pairs = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(slices[3], idx).collect()
+    }
+    rep = maintain_minhash_index(spark, idx, max_segments=2, retain_seconds=0.0)
+    assert rep["after"]["n_segments"] == 1
+    assert rep["after"]["n_orphan_segments"] == 0
+    assert orphan in rep["removed_orphans"]
+    assert not os.path.isdir(os.path.join(idx, orphan))
+    after_pairs = {
+        (r.id_a, r.id_b) for r in incremental_minhash_pairs(slices[3], idx).collect()
+    }
+    assert after_pairs == before_pairs and before_pairs
+
+    # healthy index: a second maintenance is a no-op describe
+    rep2 = maintain_minhash_index(spark, idx, max_segments=2)
+    assert rep2["compacted_into"] is None
+    assert rep2["after"]["n_segments"] == 1
