@@ -847,10 +847,12 @@ def start_dedup_stream(
     exact-once matters) and re-appends a segment with identical
     signature rows — harmless to correctness (the candidate join is
     distinct, the verify side takes first-per-id) and collapsed by the
-    next :func:`compact_minhash_index`. The stream IS the index's
-    single writer, satisfying the appender contract; run compaction
-    from the same scheduler slot, never concurrently with the stream.
-    Requires the index to exist (bootstrap the archive with
+    next :func:`compact_minhash_index`. Prefer running the stream as
+    the index's only writer with compaction in the same scheduler
+    slot; since round 10 a misconfigured concurrent writer is no
+    longer SILENT — the CAS manifest swap makes one side's batch fail
+    loudly with ConcurrentIndexSwapError instead of last-win dropping
+    a segment. Requires the index to exist (bootstrap the archive with
     :func:`write_minhash_index`)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
