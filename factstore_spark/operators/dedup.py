@@ -968,6 +968,26 @@ def compact_minhash_index(
         m = _read_minhash_manifest(index_dir)
         compacted = seg
     live = set(m.get("segments") or [])
+    removed = _reap_orphan_segments(index_dir, live, retain_seconds)
+    return {
+        "segments": sorted(live),
+        "compacted_into": compacted,
+        "removed": sorted(removed),
+    }
+
+
+def _reap_orphan_segments(
+    index_dir: str, live: set, retain_seconds: float
+) -> list:
+    """Remove segment dirs referenced by NO manifest (crashed or
+    CAS-losing appends, superseded compactions) once idle longer than
+    ``retain_seconds`` — the grace window keeps both in-flight readers
+    that resolved paths from a previous manifest and an in-flight
+    append that has not committed yet alive. O(orphans), no data read
+    — callable standalone (maintenance) or from compaction."""
+    import shutil
+    import time
+
     now = time.time()
     removed = []
     for name in os.listdir(index_dir):
@@ -984,11 +1004,7 @@ def compact_minhash_index(
         if now - newest > retain_seconds:
             shutil.rmtree(path, ignore_errors=True)
             removed.append(name)
-    return {
-        "segments": sorted(live),
-        "compacted_into": compacted,
-        "removed": sorted(removed),
-    }
+    return removed
 
 
 # Alias kept for the tests/callers that adopted it in round 10; the
@@ -1474,26 +1490,35 @@ def semantic_dedup(
     )
 
 
-def describe_minhash_index(spark, index_dir: str) -> dict:
+def describe_minhash_index(
+    spark, index_dir: str, count_docs: bool = True
+) -> dict:
     """Health card for a persisted signature index — what a maintenance
     scheduler reads to decide WHEN to run compaction (the
     describe_store / describe_ivf_index analog): committed segment
     count (each is one more scan root a reader unions), indexed doc
     count, manifest version, and how many orphan segment dirs (crashed
-    or CAS-losing appends) await the grace reaper."""
+    or CAS-losing appends) await the grace reaper.
+
+    ``count_docs=False`` skips the doc count (a distinct over every
+    sigs store — the only part of the card that reads data); the
+    manifest/filesystem fields alone decide compaction, so the
+    maintenance path uses the cheap form."""
     m, version = _read_minhash_manifest_versioned(index_dir)
     if m.get("kind") != "minhash":
         raise ValueError(f"{index_dir} is not a minhash signature index")
     segs = m.get("segments") or []
     from functools import reduce as _reduce
 
-    n_docs = 0
-    paths = _minhash_store_paths(index_dir, m, "sigs")
-    if paths:
-        n_docs = _reduce(
-            DataFrame.unionByName,
-            [spark.read.parquet(p) for p in paths],
-        ).select("_id").distinct().count()
+    n_docs = None
+    if count_docs:
+        n_docs = 0
+        paths = _minhash_store_paths(index_dir, m, "sigs")
+        if paths:
+            n_docs = _reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(p) for p in paths],
+            ).select("_id").distinct().count()
     orphans = [
         name
         for name in os.listdir(index_dir)
@@ -1530,15 +1555,28 @@ def maintain_minhash_index(
     loud failure on conflicting signatures for one _id (a mutated
     re-ingest), and the single-winner CAS manifest swap — a racing
     appender surfaces as ConcurrentIndexSwapError and the index is
-    untouched; rerun in the next slot."""
-    before = describe_minhash_index(spark, index_dir)
+    untouched; rerun in the next slot. The compaction REWRITE is gated
+    on the segment count alone — orphans only need the O(1) reap, and
+    an in-flight append's not-yet-committed segment dir must never
+    trigger (or be touched by) a rewrite, only aged ones are removed.
+    Doc counting is skipped here (describe_minhash_index(count_docs=
+    False)) — it is the only part of the card that reads index data,
+    and the compaction decision never needs it."""
+    before = describe_minhash_index(spark, index_dir, count_docs=False)
     compacted = None
     removed: list[str] = []
-    if before["n_segments"] > max_segments or before["n_orphan_segments"]:
+    if before["n_segments"] > max_segments:
         rep = compact_minhash_index(spark, index_dir, retain_seconds=retain_seconds)
         compacted = rep["compacted_into"]
         removed = rep["removed"]
-    after = describe_minhash_index(spark, index_dir)
+    elif before["n_orphan_segments"]:
+        m, _v = _read_minhash_manifest_versioned(index_dir)
+        removed = sorted(
+            _reap_orphan_segments(
+                index_dir, set(m.get("segments") or []), retain_seconds
+            )
+        )
+    after = describe_minhash_index(spark, index_dir, count_docs=False)
     return {
         "before": before,
         "after": after,

@@ -962,9 +962,7 @@ def build_ivf_index(
     ConcurrentManifestSwapError with nothing published."""
     import json
     import os
-
     import time as _time
-    import uuid as _uuid
 
     from ..storage.cas import cas_swap_manifest, read_versioned_manifest
 
@@ -974,10 +972,15 @@ def build_ivf_index(
     )
     # Lease BEFORE touching the index (training above only reads the
     # corpus): a rebuild racing an in-flight refresh must lose at the
-    # manifest, not interleave data writes.
+    # manifest, not interleave data writes. An EXPIRED lease still in
+    # its publishing phase is recovered first — its counts are already
+    # committed, so its staged rows must land even though this rebuild
+    # is about to supersede them (otherwise the dead refresh's
+    # n_appended history and the next delta detection would disagree).
     os.makedirs(index_dir, exist_ok=True)
     m, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
     _raise_if_lease_live(m, index_dir, "rebuild")
+    _recover_expired_publish(index_dir, m)
     lease = _new_lease(lease_seconds)
     base = cas_swap_manifest(
         index_dir, dict(m, pending=lease), base,
@@ -986,6 +989,13 @@ def build_ivf_index(
     tag = lease["id"][:12]
     data_dir = f"assignments-{tag}"
     cent_name = f"centroids-{tag}.json"
+    # NOTE: no legacy centroids.json is written — overwriting the fixed
+    # sidecar in place (pre-CAS) corrupted a pre-versioning index when
+    # the rebuild failed after it, and post-CAS it still couldn't serve
+    # legacy READER CODE correctly (such code also reads the fixed
+    # assignments/ dir, which a versioned rebuild never rewrites).
+    # Pre-round-10 indexes keep working via _ivf_paths' fallbacks; the
+    # first rebuild upgrades them to versioned names.
     assigned = None
     try:
         assigned = corpus.select(
@@ -1003,14 +1013,21 @@ def build_ivf_index(
             os.path.join(index_dir, cent_name), "w", encoding="utf-8"
         ) as fh:
             json.dump(cents, fh)
-        # legacy sidecar kept in sync for pre-versioning readers
-        with open(
-            os.path.join(index_dir, "centroids.json"), "w", encoding="utf-8"
-        ) as fh:
-            json.dump(cents, fh)
         n = assigned.count()
         # single atomic publish: data dir + centroids + counts flip
-        # together (and the pending lease is dropped by not carrying it)
+        # together (and the pending lease is dropped by not carrying
+        # it). The superseded artifacts get TOMBSTONES (retirement
+        # timestamps) — the reaper's grace runs from retirement, so an
+        # in-flight reader that resolved the old paths just before this
+        # publish keeps its files for a full grace window.
+        now = _time.time()
+        retired = [
+            t for t in (m.get("retired") or [])
+            if isinstance(t, dict) and t.get("name")
+        ]
+        for old_name in (m.get("data_dir"), m.get("centroids")):
+            if old_name and old_name != data_dir and old_name != cent_name:
+                retired.append({"name": old_name, "ts": now})
         cas_swap_manifest(
             index_dir,
             {
@@ -1018,6 +1035,7 @@ def build_ivf_index(
                 "n_cells": len(cents),
                 "data_dir": data_dir,
                 "centroids": cent_name,
+                "retired": retired,
             },
             base,
             _write_ivf_manifest,
@@ -1031,6 +1049,23 @@ def build_ivf_index(
             release_local_checkpoint(assigned)
     _reap_ivf_garbage(index_dir, lease_seconds)
     return {"n_vectors": n, "n_cells": len(cents), "index_dir": index_dir}
+
+
+def _recover_expired_publish(index_dir: str, manifest: dict) -> None:
+    """Complete a dead holder's post-fence publish (idempotent renames)
+    — called by BOTH the refresh and the rebuild before they supersede
+    an expired lease. The dead refresh's counts are already committed,
+    so dropping its staged rows would leave the manifest permanently
+    ahead of the data (and the next anti-join would re-append and
+    double-count them)."""
+    import os
+
+    stale = manifest.get("pending")
+    if stale and stale.get("publishing"):
+        _publish_staged_cells(
+            os.path.join(index_dir, "_staging", stale["id"]),
+            os.path.join(index_dir, manifest.get("data_dir", "assignments")),
+        )
 
 
 def _new_lease(lease_seconds: float) -> dict:
@@ -1068,21 +1103,33 @@ def _raise_if_lease_live(manifest: dict, index_dir: str, who: str) -> None:
 
 
 def _release_ivf_lease(index_dir: str, lease: dict) -> None:
-    """Best-effort lease release on failure: a transient error must not
-    block writers for the whole lease window. Losing this swap means a
-    takeover superseded us — nothing to release."""
+    """Best-effort lease release: a transient error must not block
+    writers for the whole lease window, so the swap is RETRIED through
+    brief I/O hiccups before giving up. Losing the swap (someone else
+    holds a newer version) means a takeover superseded us — nothing to
+    release. If every retry fails, the lease expires on its own clock
+    and the next writer recovers; a completed-but-unreleased publish
+    blocking writers for the residual window is the availability price
+    of lease-based fencing (the alternative — dropping the lease at
+    the fence — reopened the double-publish hole)."""
+    import time as _time
+
     from ..storage.cas import cas_swap_manifest, read_versioned_manifest
 
-    try:
-        head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
-        if (head.get("pending") or {}).get("id") == lease["id"]:
-            head.pop("pending", None)
-            cas_swap_manifest(
-                index_dir, head, hv, _write_ivf_manifest,
-                what="ivf lease release",
-            )
-    except Exception:
-        pass
+    for attempt in range(3):
+        try:
+            head, hv = read_versioned_manifest(index_dir, _read_ivf_manifest)
+            if (head.get("pending") or {}).get("id") == lease["id"]:
+                head.pop("pending", None)
+                cas_swap_manifest(
+                    index_dir, head, hv, _write_ivf_manifest,
+                    what="ivf lease release",
+                )
+            return
+        except Exception:
+            if attempt == 2:
+                return
+            _time.sleep(0.1 * (attempt + 1))
 
 
 def _ivf_paths(index_dir: str) -> tuple[str, str, dict]:
@@ -1102,11 +1149,22 @@ def _ivf_paths(index_dir: str) -> tuple[str, str, dict]:
 
 
 def _reap_ivf_garbage(index_dir: str, lease_seconds: float) -> None:
-    """Delete versioned data dirs / centroid sidecars no manifest
-    references and staging dirs from dead refreshes, once older than
-    max(lease window, 1h) — young enough artifacts may belong to an
-    in-flight writer whose Spark job is still materializing them.
-    The dir named by a live-or-publishing pending is never touched."""
+    """Reclaim dead index artifacts, with READER grace:
+
+    - RETIRED data dirs / centroid sidecars (superseded by a rebuild,
+      tombstoned with their retirement timestamp in the manifest) are
+      deleted only once retired longer than max(lease window, 1h) — an
+      in-flight query that resolved the old paths just before the
+      publish keeps its files for a full grace window, measured from
+      UNREFERENCE time, never from the (possibly hours-old) mtime.
+    - Orphan versioned dirs a crashed build left behind were NEVER
+      referenced by any manifest (no reader could resolve them), so
+      their mtime is a safe clock.
+    - Staging dirs from dead refreshes likewise (private to their
+      writer until published).
+
+    The artifacts of the current manifest and the dir named by a
+    live-or-publishing pending are never touched."""
     import os
     import shutil as _shutil
     import time as _time
@@ -1123,37 +1181,55 @@ def _reap_ivf_garbage(index_dir: str, lease_seconds: float) -> None:
         "_manifests",
     }
     pending = m.get("pending") or {}
+    retired = {
+        t["name"]: float(t.get("ts", 0))
+        for t in (m.get("retired") or [])
+        if isinstance(t, dict) and t.get("name")
+    }
     min_age = max(float(lease_seconds), 3600.0)
     now = _time.time()
 
-    def _old(path: str) -> bool:
+    def _mtime_old(path: str) -> bool:
         try:
             return now - os.path.getmtime(path) > min_age
         except OSError:
             return False
 
-    for name in os.listdir(index_dir):
+    def _rm(path: str) -> None:
+        if os.path.isdir(path):
+            _shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+
+    try:
+        names = os.listdir(index_dir)
+    except FileNotFoundError:
+        return
+    for name in names:
         path = os.path.join(index_dir, name)
         if name in keep:
             continue
         if name == "_staging":
-            for sub in os.listdir(path):
+            try:
+                subs = os.listdir(path)
+            except FileNotFoundError:
+                continue
+            for sub in subs:
                 if sub == pending.get("id"):
                     continue
                 spath = os.path.join(path, sub)
-                if _old(spath):
+                if _mtime_old(spath):
                     _shutil.rmtree(spath, ignore_errors=True)
             continue
-        if (
-            name.startswith("assignments-") or name.startswith("centroids-")
-        ) and _old(path):
-            if os.path.isdir(path):
-                _shutil.rmtree(path, ignore_errors=True)
-            else:
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
+        if name.startswith("assignments-") or name.startswith("centroids-"):
+            if name in retired:
+                if now - retired[name] > min_age:
+                    _rm(path)
+            elif _mtime_old(path):
+                _rm(path)
 
 
 def _write_ivf_manifest(index_dir: str, manifest: dict) -> None:
@@ -1238,12 +1314,7 @@ def refresh_ivf_index(
     # are idempotent, see _publish_staged_cells).
     manifest, base = read_versioned_manifest(index_dir, _read_ivf_manifest)
     _raise_if_lease_live(manifest, index_dir, "refresh")
-    stale = manifest.get("pending")
-    if stale and stale.get("publishing"):
-        _publish_staged_cells(
-            os.path.join(index_dir, "_staging", stale["id"]),
-            os.path.join(index_dir, manifest.get("data_dir", "assignments")),
-        )
+    _recover_expired_publish(index_dir, manifest)
     lease = _new_lease(lease_seconds)
     base = cas_swap_manifest(
         index_dir, dict(manifest, pending=lease), base,
@@ -1346,16 +1417,22 @@ def _publish_staged_cells(staging: str, assignments: str) -> None:
     import os as _os
     import shutil as _shutil
 
-    if not _os.path.isdir(staging):
-        return
     tag = _os.path.basename(staging)[:12]
-    for cell in sorted(_os.listdir(staging)):
+    try:
+        cells = sorted(_os.listdir(staging))
+    except FileNotFoundError:
+        return  # a concurrent publisher already completed + removed it
+    for cell in cells:
         src_cell = _os.path.join(staging, cell)
-        if not (cell.startswith("cell=") and _os.path.isdir(src_cell)):
+        if not cell.startswith("cell="):
             continue
         dst_cell = _os.path.join(assignments, cell)
+        try:
+            names = sorted(_os.listdir(src_cell))
+        except (FileNotFoundError, NotADirectoryError):
+            continue  # concurrent publisher finished this cell
         _os.makedirs(dst_cell, exist_ok=True)
-        for name in sorted(_os.listdir(src_cell)):
+        for name in names:
             if not name.endswith(".parquet"):
                 continue
             try:

@@ -685,3 +685,14 @@ def test_maintain_minhash_index_one_call(spark, tmp_path):
     rep2 = maintain_minhash_index(spark, idx, max_segments=2)
     assert rep2["compacted_into"] is None
     assert rep2["after"]["n_segments"] == 1
+
+    # orphan with segments within bounds: the O(1) reap runs WITHOUT a
+    # compaction rewrite (review r10: a full rewrite for one orphan is
+    # pure waste, and an in-flight append's dir must never trigger one)
+    sig2, banded2 = _minhash_banded_sig(slices[3], "doc_id", "text", 3, 64, 16, 42)
+    orphan2 = _write_minhash_segment(sig2, banded2, idx)
+    rep3 = maintain_minhash_index(spark, idx, max_segments=8, retain_seconds=0.0)
+    assert rep3["compacted_into"] is None
+    assert orphan2 in rep3["removed_orphans"]
+    assert rep3["after"]["n_segments"] == 1
+    assert rep3["after"]["n_orphan_segments"] == 0

@@ -246,9 +246,11 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     assert stats["n_vectors"] == emb.count() and stats["n_cells"] == 8
 
     import json
-    import os
 
-    cents = json.load(open(os.path.join(str(tmp_path / "ivf"), "centroids.json")))
+    from factstore_spark.operators.similarity import _ivf_paths
+
+    _adir, cpath, _m = _ivf_paths(str(tmp_path / "ivf"))
+    cents = json.load(open(cpath))
     inline = ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents)
     indexed = ivf_topk_indexed(
         spark, str(tmp_path / "ivf"), queries, k=5, n_probe=3
@@ -320,7 +322,8 @@ def test_ivf_refresh_appends_without_rebuild(spark, tmp_path):
     assert d2["n_appended"] == new.count()
     assert d2["n_vectors"] == emb.count()
 
-    with open(os.path.join(idx, "centroids.json")) as fh:
+    _adir2, cpath2, _m2 = S._ivf_paths(idx)
+    with open(cpath2) as fh:
         cents = json.load(fh)
     queries = emb.limit(6)
     inline = S.ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents)
@@ -757,3 +760,94 @@ def test_ivf_refresh_recovers_expired_publish(spark, tmp_path):
     assert got.count() == emb.count()
     assert got.groupBy("neighbor_id").count().filter(F.col("count") > 1).count() == 0
     assert not os.path.isdir(staging)  # recovered and removed
+
+
+def test_ivf_rebuild_keeps_superseded_dir_for_reader_grace(spark, tmp_path):
+    """A rebuild retires the previous data dir with a TOMBSTONE instead
+    of deleting it: an in-flight reader that resolved the old paths
+    just before the publish keeps its files for a full grace window
+    (age runs from retirement, not mtime)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.similarity import (
+        _ivf_paths,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, n_cells=4)
+    old_adir, old_cpath, _m = _ivf_paths(idx)
+    build_ivf_index(emb, idx, n_cells=4)  # rebuild supersedes
+    new_adir, new_cpath, head = _ivf_paths(idx)
+    assert new_adir != old_adir
+    # the old dir survives the rebuild's reap (tombstoned, in grace)
+    assert os.path.isdir(old_adir) and os.path.exists(old_cpath)
+    retired = {t["name"] for t in head.get("retired", [])}
+    assert os.path.basename(old_adir) in retired
+    assert os.path.basename(old_cpath) in retired
+    # a pre-publish reader's plan still resolves
+    assert spark.read.parquet(old_adir).count() == emb.filter(
+        F.col("vec_id") % 2 == 0
+    ).count()
+
+
+def test_ivf_rebuild_recovers_expired_publish_first(spark, tmp_path):
+    """A rebuild superseding a refresh that crashed AFTER its fence
+    must complete that refresh's publish first — its counts are
+    committed, so dropping the staged rows would leave the manifest
+    history ahead of the data it describes."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.similarity import (
+        _centroid_cells_col,
+        _ivf_paths,
+        _read_ivf_manifest,
+        _unit_rows,
+        build_ivf_index,
+    )
+    from factstore_spark.storage.cas import (
+        cas_swap_manifest,
+        read_versioned_manifest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(half, idx, n_cells=4)
+    adir, cpath, _m = _ivf_paths(idx)
+    with open(cpath, encoding="utf-8") as fh:
+        cents = json.load(fh)
+    # crashed-after-fence refresh of the odd half
+    inc = emb.filter(F.col("vec_id") % 2 == 1)
+    dead = "deadbeefcafe"
+    staging = os.path.join(idx, "_staging", dead)
+    inc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.element_at(
+            _centroid_cells_col(F.col("embedding"), _unit_rows(cents), 1), 1
+        ).alias("cell"),
+    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(staging)
+    head, v = read_versioned_manifest(idx, _read_ivf_manifest)
+    crashed = dict(
+        head,
+        n_vectors=int(head["n_vectors"]) + inc.count(),
+        pending={"id": dead, "ts": time.time() - 9999,
+                 "lease_seconds": 60.0, "publishing": True},
+    )
+    cas_swap_manifest(idx, crashed, v, lambda r, man: None, what="test-crash")
+
+    build_ivf_index(emb, idx, n_cells=4)  # rebuild must recover first
+    assert not os.path.isdir(staging)
+    # the retired old dir holds BOTH halves: the dead refresh's rows
+    # were published before supersession, matching its committed counts
+    assert spark.read.parquet(adir).count() == emb.count()
+    new_adir, _c, _h = _ivf_paths(idx)
+    assert spark.read.parquet(new_adir).count() == emb.count()
