@@ -908,8 +908,6 @@ def compact_minhash_index(
     appends, superseded compactions) once idle longer than
     ``retain_seconds`` — the grace window keeps in-flight readers that
     resolved paths from the previous manifest alive."""
-    import shutil
-    import time
     import uuid as _uuid
 
     m, base = _read_minhash_manifest_versioned(index_dir)

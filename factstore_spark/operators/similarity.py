@@ -1021,13 +1021,33 @@ def build_ivf_index(
         # in-flight reader that resolved the old paths just before this
         # publish keeps its files for a full grace window.
         now = _time.time()
+        grace = max(float(lease_seconds), 3600.0)
+        # carry forward only tombstones whose artifact still exists —
+        # the list must not grow without bound across nightly rebuilds
         retired = [
             t for t in (m.get("retired") or [])
             if isinstance(t, dict) and t.get("name")
+            and os.path.exists(os.path.join(index_dir, t["name"]))
         ]
-        for old_name in (m.get("data_dir"), m.get("centroids")):
-            if old_name and old_name != data_dir and old_name != cent_name:
-                retired.append({"name": old_name, "ts": now})
+        # a pre-versioning index serves the FIXED names; retire those
+        # too on the first versioned rebuild, or the stale legacy copy
+        # would be kept (and silently served to legacy reader code)
+        # forever
+        old_names = (
+            (m.get("data_dir"), m.get("centroids"))
+            if m.get("data_dir")
+            else ("assignments", "centroids.json")
+        )
+        for old_name in old_names:
+            if (
+                old_name
+                and old_name not in (data_dir, cent_name)
+                and os.path.exists(os.path.join(index_dir, old_name))
+            ):
+                # each tombstone records ITS OWN grace window, so every
+                # later reaper honors the retiring writer's declared
+                # reader grace (same invariant as the lease records)
+                retired.append({"name": old_name, "ts": now, "grace": grace})
         cas_swap_manifest(
             index_dir,
             {
@@ -1175,17 +1195,20 @@ def _reap_ivf_garbage(index_dir: str, lease_seconds: float) -> None:
     keep = {
         m.get("data_dir", "assignments"),
         m.get("centroids", "centroids.json"),
-        "assignments",
-        "centroids.json",
         "manifest.json",
         "_manifests",
     }
-    pending = m.get("pending") or {}
     retired = {
-        t["name"]: float(t.get("ts", 0))
+        t["name"]: (float(t.get("ts", 0)), float(t.get("grace", 3600.0)))
         for t in (m.get("retired") or [])
         if isinstance(t, dict) and t.get("name")
     }
+    # the fixed legacy names stay protected only while they are the
+    # serving copy (pre-versioning manifest) — once a rebuild retired
+    # them they age out like any tombstoned artifact
+    if not m.get("data_dir"):
+        keep.update({"assignments", "centroids.json"})
+    pending = m.get("pending") or {}
     min_age = max(float(lease_seconds), 3600.0)
     now = _time.time()
 
@@ -1224,12 +1247,15 @@ def _reap_ivf_garbage(index_dir: str, lease_seconds: float) -> None:
                 if _mtime_old(spath):
                     _shutil.rmtree(spath, ignore_errors=True)
             continue
-        if name.startswith("assignments-") or name.startswith("centroids-"):
-            if name in retired:
-                if now - retired[name] > min_age:
-                    _rm(path)
-            elif _mtime_old(path):
+        versioned = name.startswith("assignments-") or name.startswith(
+            "centroids-"
+        )
+        if name in retired:
+            ts, grace = retired[name]
+            if now - ts > grace:
                 _rm(path)
+        elif versioned and _mtime_old(path):
+            _rm(path)
 
 
 def _write_ivf_manifest(index_dir: str, manifest: dict) -> None:

@@ -851,3 +851,53 @@ def test_ivf_rebuild_recovers_expired_publish_first(spark, tmp_path):
     assert spark.read.parquet(adir).count() == emb.count()
     new_adir, _c, _h = _ivf_paths(idx)
     assert spark.read.parquet(new_adir).count() == emb.count()
+
+
+def test_ivf_legacy_index_retired_on_first_versioned_rebuild(spark, tmp_path):
+    """A pre-versioning index (fixed assignments/ + centroids.json, no
+    manifest keys) must get its legacy copy TOMBSTONED by the first
+    rebuild — not kept (and silently served to legacy readers) forever
+    — and tombstones whose artifacts are gone must be pruned from the
+    manifest instead of accumulating across nightly rebuilds."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from factstore_spark.operators.similarity import (
+        _ivf_paths,
+        _read_ivf_manifest,
+        _write_ivf_manifest,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=4)
+    adir, cpath, m = _ivf_paths(idx)
+    # back-date to the legacy layout: fixed names, pointer-only
+    # manifest without data_dir/centroids keys, no CAS log
+    os.rename(adir, os.path.join(idx, "assignments"))
+    os.rename(cpath, os.path.join(idx, "centroids.json"))
+    shutil.rmtree(os.path.join(idx, "_manifests"))
+    _write_ivf_manifest(idx, {"n_vectors": m["n_vectors"], "n_cells": m["n_cells"]})
+    # legacy index serves via the fallbacks
+    assert ivf_topk_indexed(spark, idx, emb.limit(3), k=3).count() > 0
+
+    build_ivf_index(emb, idx, n_cells=4)  # first versioned rebuild
+    _a2, _c2, head = _ivf_paths(idx)
+    retired = {t["name"]: t for t in head.get("retired", [])}
+    assert "assignments" in retired and "centroids.json" in retired
+    assert all("grace" in t for t in retired.values())
+    # still on disk (reader grace runs from the tombstone)
+    assert os.path.isdir(os.path.join(idx, "assignments"))
+
+    # artifact deleted out-of-band -> the tombstone is pruned on the
+    # next rebuild instead of accumulating forever
+    shutil.rmtree(os.path.join(idx, "assignments"))
+    build_ivf_index(emb, idx, n_cells=4)
+    _a3, _c3, head3 = _ivf_paths(idx)
+    names3 = {t["name"] for t in head3.get("retired", [])}
+    assert "assignments" not in names3
+    assert "centroids.json" in names3  # its file still exists, still tracked
