@@ -7828,6 +7828,147 @@ FROM checks ORDER BY "check"
 # Registry
 # ---------------------------------------------------------------------------
 
+def storage_bloom_pruning(spark, sf_dir):
+    """Self-validating Bloom-sidecar index contract
+    (storage/bloomindex.py — the lake-native analog of the reference's
+    id->position point index, FdbFactFinder.kt:19-32): write a bounded
+    documents projection hash-partitioned into 16 files (each doc_id
+    lives in exactly ONE file — the layout where footer min/max stats
+    prune nothing for a point probe), build the per-file Bloom sidecar
+    on doc_id, then probe it with 12 present keys (the sample's 12
+    smallest doc_ids — SQL-replayable) and 8 absent keys (max_id+1..8).
+
+    The row asserts: (a) the pruned lookup returns EXACTLY the rows a
+    full scan returns for the same keys (match_bp 10000 — no false
+    negatives by construction, false positives removed by the IN
+    filter), and (b) the sidecar actually prunes — present keys touch
+    at most 12+2fp files of 16 and the absent keys' candidate set is
+    nearly empty (prune_ok 1; ~1% fpp). Candidate-file COUNTS depend
+    on hash partitioning, so they stay IN-BAND, folded into prune_ok
+    (the zorder-entry discipline). Witnesses the oracle replays from
+    raw parquet: the md5 'bloomidx' sample size, the hit-row count,
+    and SUM(n_chars) over the 12 smallest sampled doc_ids. Sidecar +
+    data land in a per-run temp dir, removed eagerly; probe cost is
+    O(1) beyond sf0.1 via the sample cap."""
+    import shutil
+    import tempfile
+
+    from .storage.bloomindex import (
+        bloom_candidate_files,
+        build_bloom_index,
+        pruned_lookup,
+    )
+
+    n_files, n_present, n_absent = 16, 12, 8
+    docs_full = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _probe_sample(
+        docs_full,
+        "doc_id",
+        _probe_ppm(docs_full, 100, target=120_000, cache_key=(sf_dir, "documents")),
+        salt="bloomidx",
+    )
+    # persist: the sample feeds the partitioned write, the present-key
+    # probe, and the want-side digest — unpersisted, each re-scans and
+    # re-md5-filters the full documents parquet
+    docs = docs.persist()
+    try:
+        heads = [
+            r.doc_id
+            for r in docs.orderBy("doc_id").limit(n_present).collect()
+        ]
+        if not heads:
+            return spark.createDataFrame(
+                [(0, 0, 0, 1, 10000)],
+                "n_sample_rows long, n_hit_rows long, hit_chars_sum long, "
+                "prune_ok long, match_bp long",
+            )
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        absents = [max_id + 1 + i for i in range(n_absent)]
+        root = tempfile.mkdtemp(prefix="bloomidx-")
+        try:
+            data_dir = os.path.join(root, "data")
+            index_dir = os.path.join(root, "idx")
+            docs.repartition(n_files, "doc_id").write.parquet(data_dir)
+            build_bloom_index(spark, data_dir, "doc_id", index_dir)
+            p_present = bloom_candidate_files(
+                spark, index_dir, data_dir, "doc_id", heads
+            )
+            p_absent = bloom_candidate_files(
+                spark, index_dir, data_dir, "doc_id", absents
+            )
+            got = pruned_lookup(
+                spark, data_dir, "doc_id", heads + absents, index_dir,
+                on_stale="error",
+            ).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
+                    F.lit(0),
+                ).alias("h"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+            ).collect()[0]
+            want = docs.filter(F.col("doc_id").isin(heads)).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            match_bp = (
+                10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
+            )
+            # Present keys cover <= 12 files; ~1% fpp adds at most a
+            # couple more. Absent keys should prune to nearly nothing.
+            prune_ok = int(
+                not p_present.stale
+                and not p_absent.stale
+                and len(p_present.candidate_files) <= n_present + 2
+                and len(p_absent.candidate_files) <= 6
+                and p_present.total_files == n_files
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        int(docs.count()),
+                        int(want.n),
+                        int(got.chars),
+                        int(prune_ok),
+                        int(match_bp),
+                    )
+                ],
+                "n_sample_rows long, n_hit_rows long, hit_chars_sum long, "
+                "prune_ok long, match_bp long",
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    finally:
+        docs.unpersist()
+
+
+# The witnesses replay in SQL: the md5 ppm 'bloomidx' sample (pct=100
+# ceiling — vacuously whole-corpus at the test scales), the 12 smallest
+# sampled doc_ids, and SUM(n_chars) over them (the absent keys
+# contribute zero rows by definition). The invariants pin the
+# prune/equality contract at its must-hold values.
+STORAGE_BLOOM_PRUNING_SQL = """
+WITH params AS (
+  SELECT LEAST(1000000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 120000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars
+  FROM documents, params
+  WHERE CAST('0x' || substring(md5('bloomidx' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+k AS (SELECT doc_id FROM s ORDER BY doc_id LIMIT 12),
+h AS (SELECT s.doc_id, s.n_chars FROM s JOIN k USING (doc_id))
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
+       CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_hit_rows,
+       CAST(COALESCE((SELECT SUM(n_chars) FROM h), 0) AS BIGINT) AS hit_chars_sum,
+       CAST(1 AS BIGINT) AS prune_ok,
+       CAST(10000 AS BIGINT) AS match_bp
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -7846,7 +7987,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # oracled; the three remaining rows-only entries carry genuinely
     # non-SQL-replayable payloads. Ordering is presentation-only:
     # every entry runs identically regardless of position.
-    # --- new in round 9 (lead the window so the driver checks them) -----
+    # --- new in round 10 (lead the window so the driver checks them) ----
+    "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
+    # --- new in round 9 ---------------------------------------------------
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),
     # --- new in round 8 ---------------------------------------------------

@@ -1,0 +1,351 @@
+"""Per-file Bloom-filter sidecar index — point-lookup pruning for
+unsorted high-cardinality keys.
+
+Reference parity: the FDB backend keeps an id->position secondary
+index so ``findById`` never scans the store
+(FdbFactFinder.kt:19-32, FdbFactStore.kt:108-133). A parquet lake's
+native skipping metadata is footer min/max stats, which prune NOTHING
+for a point probe on an unsorted high-cardinality key: every file's
+[min, max] spans the probed value, so a ``findById``-shaped lookup
+reads every file. Sorting fixes exactly one column (and the z-order
+layout fixes two); the Bloom sidecar is the lake-native analog of the
+reference's point index for every OTHER key — one small bitset per
+data file that answers "might this file contain key x?" with no false
+negatives, so a point lookup opens only the (usually one) file whose
+bitset matches.
+
+Design for 100 TB:
+
+- **Build is two column-pruned scans, all JVM-side.** Pass 1 counts
+  rows per file (sizes each file's filter at ``bits_per_key`` bits per
+  row — 10 bits/key ~= 1% fpp at k=7 hashes). Pass 2 computes, per
+  (file, key, hash_i), the bit position via double hashing
+  ``pmod(h1 + i*h2, m)`` from two ``xxhash64`` seeds, packs positions
+  into 64-bit words with ``bit_or`` aggregation, and writes ONE sidecar
+  row per data file: ``(file, m, k, n_rows, words MAP<long,long>)``.
+  No UDF, no driver data path — the sidecar parquet is written by the
+  same cluster that scanned the data.
+- **Probes never read pruned data pages.** A lookup hashes the probe
+  keys with the identical Spark expressions (same engine, same seeds —
+  build/probe asymmetry is impossible by construction), broadcast-joins
+  them against the sidecar (one row per file), and keeps files where
+  ALL k bits of SOME key are set. Only those files are then scanned,
+  with the exact ``IN`` filter on top — Bloom false positives cost a
+  wasted file read, never a wrong row; false negatives cannot occur.
+- **The index is derived state, never a correctness dependency** (the
+  tag-index discipline, store.py find_by_tags_df): the manifest pins
+  the exact data-file inventory (name + size) it was built from, and a
+  stale or missing index falls back to the full scan by default.
+- **Publication uses the versioned-manifest CAS** shared with the
+  merge table and the minhash signature index (storage/cas.py:
+  cas_swap_manifest) — a racing rebuild loses loudly instead of
+  last-winning the other writer's sidecar away; sidecar data dirs are
+  versioned (copy-on-write) so the serving index is never modified in
+  place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cas import cas_swap_manifest, read_versioned_manifest
+
+# Second xxhash64 stream for double hashing: same column value, extra
+# literal column => an independent 64-bit hash from the same JVM
+# function on both the build and probe sides.
+_H2_SALT = "fsbloom-h2"
+
+_POINTER = "manifest.json"
+
+
+class BloomIndexStaleError(RuntimeError):
+    """The sidecar's pinned file inventory no longer matches the data
+    directory (files added/removed/rewritten since the build)."""
+
+
+def _read_pointer(root: str) -> dict | None:
+    p = os.path.join(root, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_pointer(root: str, manifest: dict) -> None:
+    tmp = os.path.join(root, f"{_POINTER}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def _inventory(data_dir: str) -> dict[str, int]:
+    """{basename: size} of the parquet files the index covers. Name +
+    size (not mtime): copies/moves preserve content, and a rewritten
+    file virtually always changes its byte size; the exact-filter
+    backstop makes the residual risk a pruning (perf) risk only."""
+    out = {}
+    for name in os.listdir(data_dir):
+        if name.endswith(".parquet") and not name.startswith("."):
+            out[name] = os.path.getsize(os.path.join(data_dir, name))
+    return out
+
+
+def _hashes(key: F.Column) -> tuple[F.Column, F.Column]:
+    return F.xxhash64(key), F.xxhash64(key, F.lit(_H2_SALT))
+
+
+def _position(h1: F.Column, h2: F.Column, i: F.Column, m: F.Column) -> F.Column:
+    """Double-hashing bit position ``(h1 + i*h2) mod m`` computed in
+    modular arithmetic — ``pmod(h1,m) + i*pmod(h2,m)`` stays under
+    ~64*m, so ANSI mode (Spark 4 default) can never see a long
+    overflow. Build and probe share this exact expression; divergence
+    between the two sides is structurally impossible."""
+    return F.pmod(F.pmod(h1, m) + i * F.pmod(h2, m), m)
+
+
+def _bit_cols() -> tuple[F.Column, F.Column]:
+    """(word index, single-bit word) from a column named ``pos``
+    (non-negative). SQL shiftleft (the Python wrapper only takes a
+    literal shift); shiftleft(1, 63) yields the sign bit — still one
+    distinct bit, and bitwiseAND membership tests are sign-agnostic."""
+    return (
+        F.expr("pos div 64").cast("long"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"),
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    data_dir: str,
+    key_col: str,
+    index_dir: str,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+) -> dict:
+    """Build (or rebuild) the per-file Bloom sidecar for ``key_col``
+    over every ``*.parquet`` file in ``data_dir``. Returns build stats.
+
+    Each file's filter is sized to its own row count (word-aligned,
+    min 64 bits), so small and large files get the same false-positive
+    rate instead of sharing one global m. Null keys hash like any
+    value (xxhash64(NULL) is the seed constant) — a null probe is
+    rejected at lookup instead.
+    """
+    if bits_per_key < 1 or num_hashes < 1:
+        raise ValueError("bits_per_key and num_hashes must be >= 1")
+    inv = _inventory(data_dir)
+    src = spark.read.parquet(data_dir).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
+        F.col(key_col).alias("_key"),
+    )
+    key_type = src.schema["_key"].dataType.simpleString()
+    # Pass 1: size each file's filter from its row count (an upper
+    # bound on distinct keys — over-sizing only lowers the fpp).
+    meta = src.groupBy("_file").agg(F.count(F.lit(1)).alias("n_rows"))
+    meta = meta.withColumn(
+        "m",
+        F.greatest(
+            F.lit(64).cast("long"),
+            ((F.col("n_rows") * bits_per_key + 63) / 64).cast("long") * 64,
+        ),
+    )
+    # Pass 2: bit positions -> packed words -> one MAP row per file.
+    h1, h2 = _hashes(F.col("_key"))
+    pos_df = (
+        src.join(F.broadcast(meta), "_file")
+        .select(
+            "_file",
+            "m",
+            h1.alias("h1"),
+            h2.alias("h2"),
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        )
+        .select(
+            "_file",
+            _position(
+                F.col("h1"), F.col("h2"), F.col("i"), F.col("m")
+            ).alias("pos"),
+        )
+    )
+    w_idx, w_bit = _bit_cols()
+    words = (
+        pos_df.select("_file", w_idx.alias("w"), w_bit.alias("b"))
+        .groupBy("_file", "w")
+        .agg(F.bit_or("b").alias("word"))
+        .groupBy("_file")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("w", "word")))
+            ).alias("words")
+        )
+    )
+    sidecar = words.join(F.broadcast(meta), "_file").select(
+        "_file", "m", F.lit(num_hashes).cast("int").alias("k"), "n_rows", "words"
+    )
+    head, base_version = read_versioned_manifest(index_dir, _read_pointer)
+    version_token = f"v{base_version + 1}-{uuid.uuid4().hex[:8]}"
+    data_sub = f"sidecar-{version_token}"
+    os.makedirs(index_dir, exist_ok=True)
+    sidecar.write.mode("overwrite").parquet(os.path.join(index_dir, data_sub))
+    manifest = {
+        "key_col": key_col,
+        "key_type": key_type,
+        "bits_per_key": bits_per_key,
+        "num_hashes": num_hashes,
+        "data_dir": data_sub,
+        "files": inv,
+    }
+    version = cas_swap_manifest(
+        index_dir, manifest, base_version, _write_pointer, what="bloom index"
+    )
+    _reap_orphans(index_dir, keep=data_sub, prev=(head or {}).get("data_dir"))
+    n_files = len(inv)
+    return {
+        "version": version,
+        "n_files": n_files,
+        "key_col": key_col,
+        "key_type": key_type,
+        "data_dir": data_sub,
+    }
+
+
+def _reap_orphans(index_dir: str, keep: str, prev: str | None) -> None:
+    """Remove sidecar dirs from superseded builds. The immediately
+    previous serving dir is kept one generation (a reader that loaded
+    the old manifest may still be scanning it); everything older goes.
+    """
+    import shutil
+
+    for name in os.listdir(index_dir):
+        if not name.startswith("sidecar-"):
+            continue
+        if name in (keep, prev):
+            continue
+        shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+
+@dataclass
+class BloomProbe:
+    """Result of the sidecar consultation for one key set."""
+
+    candidate_files: list[str]
+    total_files: int
+    stale: bool
+    version: int
+
+
+def describe_bloom_index(index_dir: str, data_dir: str) -> dict:
+    manifest, version = read_versioned_manifest(index_dir, _read_pointer)
+    if manifest is None:
+        return {"exists": False, "stale": True, "version": 0}
+    return {
+        "exists": True,
+        "version": version,
+        "key_col": manifest["key_col"],
+        "n_files": len(manifest["files"]),
+        "stale": manifest["files"] != _inventory(data_dir),
+    }
+
+
+def bloom_candidate_files(
+    spark: SparkSession,
+    index_dir: str,
+    data_dir: str,
+    key_col: str,
+    keys: list,
+) -> BloomProbe:
+    """Which data files MIGHT contain any of ``keys``, per the sidecar.
+    A stale/missing/mismatched index returns every file as a candidate
+    with ``stale=True`` — callers degrade to the full scan, never to a
+    wrong answer."""
+    manifest, version = read_versioned_manifest(index_dir, _read_pointer)
+    inv_now = _inventory(data_dir)
+    if (
+        manifest is None
+        or manifest.get("key_col") != key_col
+        or manifest.get("files") != inv_now
+    ):
+        return BloomProbe(sorted(inv_now), len(inv_now), True, version)
+    keys = [k for k in keys if k is not None]
+    if not keys:
+        return BloomProbe([], len(inv_now), False, version)
+    sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], f"_key {manifest['key_type']}"
+    )
+    h1, h2 = _hashes(F.col("_key"))
+    probe = kdf.select("_key", h1.alias("h1"), h2.alias("h2"))
+    k_hashes = int(manifest["num_hashes"])
+    w_idx, w_bit = _bit_cols()
+    hit = (
+        F.coalesce(F.element_at(F.col("words"), w_idx), F.lit(0))
+        .bitwiseAND(w_bit)
+        != 0
+    ).cast("int")
+    cands = (
+        sidecar.join(F.broadcast(probe))  # files x keys, metadata-sized
+        .select(
+            "_file",
+            "m",
+            "words",
+            "h1",
+            "h2",
+            "_key",
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+        )
+        .select(
+            "_file",
+            "_key",
+            "words",
+            _position(
+                F.col("h1"), F.col("h2"), F.col("i"), F.col("m")
+            ).alias("pos"),
+        )
+        .select("_file", "_key", hit.alias("hit"))
+        .groupBy("_file", "_key")
+        .agg(F.min("hit").alias("all_hit"))
+        .filter(F.col("all_hit") == 1)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    return BloomProbe(
+        sorted(r._file for r in cands), len(inv_now), False, version
+    )
+
+
+def pruned_lookup(
+    spark: SparkSession,
+    data_dir: str,
+    key_col: str,
+    keys: list,
+    index_dir: str,
+    on_stale: str = "scan",
+) -> DataFrame:
+    """Exact point lookup ``key_col IN keys`` reading ONLY the sidecar's
+    candidate files. The result is always exact: the ``IN`` filter runs
+    on top of the pruned scan, so Bloom false positives never surface
+    as rows. ``on_stale``: 'scan' (default) degrades to the full scan;
+    'error' raises BloomIndexStaleError."""
+    keys = [k for k in keys if k is not None]
+    full = spark.read.parquet(data_dir)
+    if not keys:
+        return full.filter(F.lit(False))
+    probe = bloom_candidate_files(spark, index_dir, data_dir, key_col, keys)
+    if probe.stale:
+        if on_stale == "error":
+            raise BloomIndexStaleError(
+                f"bloom index at {index_dir} is stale or missing for "
+                f"{data_dir}; rebuild with build_bloom_index"
+            )
+        return full.filter(F.col(key_col).isin(keys))
+    if not probe.candidate_files:
+        return full.filter(F.lit(False))
+    paths = [os.path.join(data_dir, f) for f in probe.candidate_files]
+    return spark.read.parquet(*paths).filter(F.col(key_col).isin(keys))

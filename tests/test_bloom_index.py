@@ -1,0 +1,182 @@
+"""Bloom sidecar index (storage/bloomindex.py): the lake-native analog
+of the reference's id->position point index (FdbFactFinder.kt:19-32).
+
+Contract under test: pruned_lookup is ALWAYS exact (no false negatives
+by construction, false positives removed by the IN filter), the
+sidecar actually prunes files for point probes, staleness degrades to
+the full scan (never a wrong answer), and concurrent rebuilds resolve
+through the shared versioned-manifest CAS with exactly one winner.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from factstore_spark.storage.bloomindex import (
+    BloomIndexStaleError,
+    bloom_candidate_files,
+    build_bloom_index,
+    describe_bloom_index,
+    pruned_lookup,
+)
+from factstore_spark.storage.cas import ConcurrentManifestSwapError
+
+
+@pytest.fixture()
+def bloom_table(spark, store_root):
+    """16 hash-partitioned files over 4000 rows keyed by a LONG id —
+    each key lives in exactly one file, the layout where point pruning
+    matters most (and footer min/max stats prune nothing: every file
+    spans nearly the full id range)."""
+    data_dir = os.path.join(store_root, "data")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    df.repartition(16, "k").write.parquet(data_dir)
+    index_dir = os.path.join(store_root, "bloomidx")
+    stats = build_bloom_index(spark, data_dir, "k", index_dir)
+    return data_dir, index_dir, stats
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_lookup_exact_for_present_and_absent_keys(spark, bloom_table):
+    data_dir, index_dir, stats = bloom_table
+    assert stats["n_files"] == 16
+    keys = [0, 1, 17, 999, 3999, 4000, 5555, -3]  # mixed present/absent
+    got = pruned_lookup(spark, data_dir, "k", keys, index_dir)
+    want = spark.read.parquet(data_dir).filter(F.col("k").isin(keys))
+    assert rows_of(got) == rows_of(want)
+    assert got.count() == 5  # the absent keys contribute nothing
+
+
+def test_no_false_negatives_across_many_keys(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    # Every 13th key: each must be found (a single miss = false negative).
+    keys = list(range(0, 4000, 13))
+    got = pruned_lookup(spark, data_dir, "k", keys, index_dir)
+    assert got.count() == len(keys)
+
+
+def test_pruning_actually_skips_files(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    probe = bloom_candidate_files(spark, index_dir, data_dir, "k", [42])
+    assert not probe.stale
+    assert probe.total_files == 16
+    # One present key lives in exactly one file; fpp ~1% makes extra
+    # candidates rare — allow at most one false-positive file.
+    assert 1 <= len(probe.candidate_files) <= 2
+
+
+def test_absent_keys_prune_to_almost_nothing(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    absent = list(range(100_000, 100_024))
+    probe = bloom_candidate_files(spark, index_dir, data_dir, "k", absent)
+    # 24 absent keys x 16 files x ~1% fpp ~= 4 expected candidate hits;
+    # a generous bound still proves the filter bites.
+    assert len(probe.candidate_files) <= 8
+    got = pruned_lookup(spark, data_dir, "k", absent, index_dir)
+    assert got.count() == 0
+
+
+def test_empty_and_null_keys(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    assert pruned_lookup(spark, data_dir, "k", [], index_dir).count() == 0
+    assert pruned_lookup(spark, data_dir, "k", [None], index_dir).count() == 0
+    got = pruned_lookup(spark, data_dir, "k", [None, 7], index_dir)
+    assert [r.k for r in got.collect()] == [7]
+
+
+def test_stale_index_degrades_to_scan_or_raises(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    # Mutate the table: one more file => the pinned inventory mismatches.
+    extra = spark.createDataFrame([(99_991, 1, "row-x")], "k long, v long, s string")
+    extra.coalesce(1).write.mode("append").parquet(data_dir)
+    assert describe_bloom_index(index_dir, data_dir)["stale"] is True
+    # Default: degrade to the full scan — the NEW row is visible.
+    got = pruned_lookup(spark, data_dir, "k", [99_991, 5], index_dir)
+    assert got.count() == 2
+    with pytest.raises(BloomIndexStaleError):
+        pruned_lookup(
+            spark, data_dir, "k", [5], index_dir, on_stale="error"
+        )
+    # Rebuild covers the new file and serves pruned lookups again.
+    build_bloom_index(spark, data_dir, "k", index_dir)
+    probe = bloom_candidate_files(spark, index_dir, data_dir, "k", [99_991])
+    assert not probe.stale
+    assert 1 <= len(probe.candidate_files) <= 2
+
+
+def test_wrong_key_col_treated_as_stale(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    probe = bloom_candidate_files(spark, index_dir, data_dir, "v", [3])
+    assert probe.stale  # an index on k must not prune a probe on v
+    got = pruned_lookup(spark, data_dir, "v", [3], index_dir)
+    want = spark.read.parquet(data_dir).filter(F.col("v") == 3)
+    assert got.count() == want.count()
+
+
+def test_string_keys(spark, store_root):
+    data_dir = os.path.join(store_root, "sdata")
+    index_dir = os.path.join(store_root, "sidx")
+    df = spark.range(0, 1200).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(8, "k").write.parquet(data_dir)
+    build_bloom_index(spark, data_dir, "k", index_dir)
+    keys = ["doc-0", "doc-777", "doc-99999", "nope"]
+    got = pruned_lookup(spark, data_dir, "k", keys, index_dir)
+    assert sorted(r.k for r in got.collect()) == ["doc-0", "doc-777"]
+    probe = bloom_candidate_files(spark, index_dir, data_dir, "k", ["doc-777"])
+    assert 1 <= len(probe.candidate_files) <= 2
+
+
+def test_rebuild_race_single_winner(spark, bloom_table):
+    """Two rebuilds racing from the same base version: the CAS makes
+    exactly one win; the loser gets ConcurrentManifestSwapError, and
+    the surviving manifest serves correct lookups."""
+    data_dir, index_dir, _ = bloom_table
+    from factstore_spark.storage import bloomindex as bi
+
+    manifest, base = bi.read_versioned_manifest(index_dir, bi._read_pointer)
+    # Simulate the race: a competing writer commits base+1 first.
+    bi.cas_swap_manifest(
+        index_dir, dict(manifest), base, bi._write_pointer, what="bloom index"
+    )
+    with pytest.raises(ConcurrentManifestSwapError):
+        bi.cas_swap_manifest(
+            index_dir, dict(manifest), base, bi._write_pointer, what="bloom index"
+        )
+    # A full rebuild reads the NEW head version and lands cleanly on top.
+    stats = build_bloom_index(spark, data_dir, "k", index_dir)
+    assert stats["version"] == base + 2
+    got = pruned_lookup(spark, data_dir, "k", [123], index_dir)
+    assert got.count() == 1
+
+
+def test_orphan_sidecar_dirs_reaped(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    build_bloom_index(spark, data_dir, "k", index_dir)
+    build_bloom_index(spark, data_dir, "k", index_dir)
+    dirs = [d for d in os.listdir(index_dir) if d.startswith("sidecar-")]
+    # current + one-generation grace for in-flight readers
+    assert len(dirs) == 2
+
+
+def test_index_survives_file_removal_as_stale(spark, bloom_table):
+    data_dir, index_dir, _ = bloom_table
+    victim = next(
+        f for f in sorted(os.listdir(data_dir)) if f.endswith(".parquet")
+    )
+    os.remove(os.path.join(data_dir, victim))
+    assert describe_bloom_index(index_dir, data_dir)["stale"] is True
+    # Degraded lookup still matches the (new) truth of the table.
+    got = pruned_lookup(spark, data_dir, "k", list(range(50)), index_dir)
+    want = spark.read.parquet(data_dir).filter(F.col("k").isin(list(range(50))))
+    assert got.count() == want.count()
