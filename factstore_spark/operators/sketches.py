@@ -47,6 +47,67 @@ def hll_rollup(cells: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     )
 
 
+def hll_set_ops(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Distinct-set ALGEBRA on two HLL cell frames: per group, the
+    estimated |A|, |B|, |A∪B| (true sketch merge via ``hll_union``),
+    |A∩B| (inclusion-exclusion, clamped at 0) and |A∖B| — the
+    segment-overlap question ("how many users did BOTH X and Y?",
+    "how much of corpus A is new vs corpus B?") answered from O(cells)
+    bytes of pre-built sketches, never a rescan of either input.
+
+    Why this shape at 100 TB: exact overlap is a distinct-key shuffle
+    of BOTH sides per question; sketch cells are built once per side
+    and every later A/B/overlap query is an aggregation over a few KB
+    per cell. Union estimates carry the standard ~1.04/sqrt(2^lg_k)
+    error; the intersection inherits up to err(A)+err(B)+err(A∪B)
+    (inclusion-exclusion compounds), so small intersections of large
+    sets are the honest weak spot — callers needing tight small-∩
+    bounds should sketch the pre-joined key instead. A group present
+    on only one side union-merges against an empty side (full outer
+    join; absent estimates read as 0)."""
+    # Global (ungrouped) algebra joins on a constant key so the planner
+    # gets an equi-join (broadcast hash), not a nested-loop cross join.
+    keys = list(group_cols) if group_cols else ["_g"]
+    if not group_cols:
+        cells_a = cells_a.withColumn("_g", F.lit(1))
+        cells_b = cells_b.withColumn("_g", F.lit(1))
+    ua = cells_a.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("sketch")).alias("sk_a")
+    )
+    ub = cells_b.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("sketch")).alias("sk_b")
+    )
+    j = ua.join(ub, keys, "full_outer")
+    est_a = F.when(F.col("sk_a").isNull(), F.lit(0.0)).otherwise(
+        F.hll_sketch_estimate(F.col("sk_a"))
+    )
+    est_b = F.when(F.col("sk_b").isNull(), F.lit(0.0)).otherwise(
+        F.hll_sketch_estimate(F.col("sk_b"))
+    )
+    est_u = (
+        F.when(
+            F.col("sk_a").isNull(), F.hll_sketch_estimate(F.col("sk_b"))
+        )
+        .when(F.col("sk_b").isNull(), F.hll_sketch_estimate(F.col("sk_a")))
+        .otherwise(
+            F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b")))
+        )
+    ).cast("double")  # hll_sketch_estimate is BIGINT; align with est_a/b
+    return j.select(
+        *group_cols,
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.greatest(F.lit(0.0), est_a + est_b - est_u).alias("est_intersect"),
+        F.greatest(F.lit(0.0), est_u - est_b).alias("est_only_a"),
+        F.greatest(F.lit(0.0), est_u - est_a).alias("est_only_b"),
+    )
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """Approximate frequent items (heavy hitters) via per-partition
     Misra-Gries summaries merged by candidate-sum — the frequency

@@ -7945,6 +7945,112 @@ def storage_bloom_pruning(spark, sf_dir):
         docs.unpersist()
 
 
+def events_sketch_set_ops(spark, sf_dir):
+    """Self-validating HLL set-ALGEBRA contract
+    (operators/sketches.py:hll_set_ops): per-day sketch cells for the
+    two lexicographically-first event types are union-merged and the
+    segment-overlap question — how many users did BOTH? either? only
+    one? — is answered from O(cells) bytes via inclusion-exclusion,
+    never a rescan. Driver-oracled (invariant + witness): the
+    estimates are register-layout noise, so the row pins the accuracy
+    guarantees as invariants — union within 500 bp of truth (~3
+    standard errors at lg_k=12) and the intersection within 10% of the
+    union magnitude + 2 (inclusion-exclusion compounds up to three
+    estimate errors) — and carries exact SQL witnesses: per-type
+    distinct users, exact union and exact intersection (one
+    two-flag-per-user pass, the same arithmetic DuckDB replays). The
+    raw estimates stay available via hll_set_ops."""
+    from .operators.sketches import hll_cells, hll_set_ops
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.expr("(ts_ns div 1000) div 86400000000")
+    )
+    t = [
+        r.event_type
+        for r in ev.select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .limit(2)
+        .collect()
+    ]
+    schema = (
+        "type_a string, type_b string, exact_a long, exact_b long, "
+        "exact_intersect long, exact_union long, "
+        "union_err_ok long, intersect_err_ok long"
+    )
+    if not t:
+        return spark.createDataFrame([(None, None, 0, 0, 0, 0, 1, 1)], schema)
+    ta, tb = t[0], t[-1]  # one-type corpora degrade to A = B
+    est = hll_set_ops(
+        hll_cells(ev.filter(F.col("event_type") == ta), ["day"], "user_id"),
+        hll_cells(ev.filter(F.col("event_type") == tb), ["day"], "user_id"),
+        [],
+    ).collect()[0]
+    ex = (
+        ev.filter(F.col("event_type").isin([ta, tb]))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == ta).cast("int")).alias("ia"),
+            F.max((F.col("event_type") == tb).cast("int")).alias("ib"),
+        )
+        .agg(
+            F.coalesce(F.sum("ia"), F.lit(0)).cast("long").alias("ea"),
+            F.coalesce(F.sum("ib"), F.lit(0)).cast("long").alias("eb"),
+            F.coalesce(F.sum(F.col("ia") * F.col("ib")), F.lit(0))
+            .cast("long")
+            .alias("ei"),
+            F.count(F.lit(1)).cast("long").alias("eu"),
+        )
+        .collect()[0]
+    )
+    union_err_ok = int(
+        ex.eu > 0 and abs(est.est_union - ex.eu) / ex.eu <= 0.05
+    )
+    intersect_err_ok = int(
+        abs(est.est_intersect - ex.ei) <= 0.10 * ex.eu + 2
+    )
+    return spark.createDataFrame(
+        [
+            (
+                ta,
+                tb,
+                int(ex.ea),
+                int(ex.eb),
+                int(ex.ei),
+                int(ex.eu),
+                union_err_ok,
+                intersect_err_ok,
+            )
+        ],
+        schema,
+    )
+
+
+# The witnesses replay in SQL: the two lexicographically-first event
+# types and the exact per-user two-flag overlap arithmetic. The
+# invariants pin the sketch-accuracy contract at its must-hold values.
+EVENTS_SKETCH_SET_OPS_SQL = """
+WITH t AS (
+  SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2),
+ta AS (SELECT MIN(event_type) AS a, MAX(event_type) AS b FROM t),
+u AS (
+  SELECT e.user_id,
+         MAX(CASE WHEN e.event_type = ta.a THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN e.event_type = ta.b THEN 1 ELSE 0 END) AS ib
+  FROM events e, ta
+  WHERE e.event_type IN (SELECT event_type FROM t)
+  GROUP BY e.user_id)
+SELECT (SELECT a FROM ta) AS type_a,
+       (SELECT b FROM ta) AS type_b,
+       CAST(COALESCE((SELECT SUM(ia) FROM u), 0) AS BIGINT) AS exact_a,
+       CAST(COALESCE((SELECT SUM(ib) FROM u), 0) AS BIGINT) AS exact_b,
+       CAST(COALESCE((SELECT SUM(ia * ib) FROM u), 0) AS BIGINT) AS exact_intersect,
+       CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS exact_union,
+       CAST(1 AS BIGINT) AS union_err_ok,
+       CAST(1 AS BIGINT) AS intersect_err_ok
+"""
+
+
 # The witnesses replay in SQL: the md5 ppm 'bloomidx' sample (pct=100
 # ceiling — vacuously whole-corpus at the test scales), the 12 smallest
 # sampled doc_ids, and SUM(n_chars) over them (the absent keys
@@ -7989,6 +8095,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # every entry runs identically regardless of position.
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
+    "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),
     # --- new in round 9 ---------------------------------------------------
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),

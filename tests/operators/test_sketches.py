@@ -185,3 +185,81 @@ def test_quantile_sketch_entry_ignores_null_values(spark, tmp_path):
     r = out[0]
     assert r.n_events == 270  # 30 of 300 values are NULL
     assert r.within_gk_bound == 1
+
+
+def test_hll_set_ops_near_exact_at_small_cardinality(spark):
+    """Small cardinalities (600 vs 600, 200 shared): every estimate
+    lands within ~1% of truth — tight enough that a broken union merge
+    or a sign slip in the inclusion-exclusion arithmetic (off by
+    hundreds) cannot hide. (Not bit-exact: DataSketches HLL carries
+    sub-1% estimator noise even at low counts.)"""
+    from factstore_spark.operators.sketches import hll_cells, hll_set_ops
+
+    a = spark.createDataFrame(
+        [(i % 5, f"u{i}") for i in range(600)], "day long, user string"
+    )
+    b = spark.createDataFrame(
+        [(i % 3, f"u{i}") for i in range(400, 1000)], "day long, user string"
+    )
+    got = hll_set_ops(
+        hll_cells(a, ["day"], "user"), hll_cells(b, ["day"], "user"), []
+    ).collect()[0]
+    assert abs(got.est_a - 600) <= 10 and abs(got.est_b - 600) <= 10
+    assert abs(got.est_union - 1000) <= 15
+    assert abs(got.est_intersect - 200) <= 30
+    assert abs(got.est_only_a - 400) <= 25
+    assert abs(got.est_only_b - 400) <= 25
+
+
+def test_hll_set_ops_grouped_with_one_sided_groups(spark):
+    """Grouped algebra: a group present on only one side reads as an
+    empty other side (union = the present side, intersection 0) —
+    never a dropped group."""
+    from factstore_spark.operators.sketches import hll_cells, hll_set_ops
+
+    a = spark.createDataFrame(
+        [("g1", 0, f"u{i}") for i in range(100)]
+        + [("g2", 0, f"u{i}") for i in range(50)],
+        "g string, day long, user string",
+    )
+    b = spark.createDataFrame(
+        [("g1", 0, f"u{i}") for i in range(50, 150)]
+        + [("g3", 0, f"v{i}") for i in range(30)],
+        "g string, day long, user string",
+    )
+    rows = {
+        r.g: r
+        for r in hll_set_ops(
+            hll_cells(a, ["g", "day"], "user"),
+            hll_cells(b, ["g", "day"], "user"),
+            ["g"],
+        ).collect()
+    }
+    assert set(rows) == {"g1", "g2", "g3"}
+    assert abs(rows["g1"].est_union - 150) <= 5
+    assert abs(rows["g1"].est_intersect - 50) <= 10
+    assert abs(rows["g2"].est_a - 50) <= 3 and rows["g2"].est_b == 0.0
+    assert abs(rows["g2"].est_union - 50) <= 3
+    assert rows["g2"].est_intersect == 0.0
+    assert abs(rows["g3"].est_b - 30) <= 2
+    assert abs(rows["g3"].est_only_b - 30) <= 2
+
+
+def test_hll_set_ops_error_bounded_at_scale(spark):
+    """Dense-mode bound: 20k vs 20k users with 10k shared — union
+    within 5% and intersection within 10% of the union magnitude
+    (inclusion-exclusion compounds ~3 estimate errors)."""
+    from factstore_spark.operators.sketches import hll_cells, hll_set_ops
+
+    a = spark.createDataFrame(
+        [(i % 7, f"u{i}") for i in range(20_000)], "day long, user string"
+    )
+    b = spark.createDataFrame(
+        [(i % 7, f"u{i}") for i in range(10_000, 30_000)],
+        "day long, user string",
+    )
+    got = hll_set_ops(
+        hll_cells(a, ["day"], "user"), hll_cells(b, ["day"], "user"), []
+    ).collect()[0]
+    assert abs(got.est_union - 30_000) / 30_000 < 0.05
+    assert abs(got.est_intersect - 10_000) <= 0.10 * 30_000
