@@ -85,15 +85,27 @@ def _write_pointer(root: str, manifest: dict) -> None:
 
 
 def _inventory(data_dir: str) -> dict[str, int]:
-    """{basename: size} of the parquet files the index covers. Name +
-    size (not mtime): copies/moves preserve content, and a rewritten
-    file virtually always changes its byte size; the exact-filter
-    backstop makes the residual risk a pruning (perf) risk only."""
+    """{relative path: size} of every parquet file under ``data_dir``
+    (recursive — hive layouts like ``fact_date=.../part-*.parquet``
+    index like flat ones). Name + size (not mtime): copies/moves
+    preserve content, and a rewritten file virtually always changes
+    its byte size; the exact-filter backstop makes the residual risk a
+    pruning (perf) risk only."""
     out = {}
-    for name in os.listdir(data_dir):
-        if name.endswith(".parquet") and not name.startswith("."):
-            out[name] = os.path.getsize(os.path.join(data_dir, name))
+    for root, _dirs, names in os.walk(data_dir):
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("."):
+                p = os.path.join(root, name)
+                out[os.path.relpath(p, data_dir)] = os.path.getsize(p)
     return out
+
+
+def _relpath_col(data_dir: str) -> F.Column:
+    """The scanned file's path relative to ``data_dir``, JVM-side:
+    everything after the absolute data_dir prefix in
+    ``input_file_name()`` (which yields ``file:...<abs>/<rel>``)."""
+    prefix = os.path.abspath(data_dir).rstrip("/") + "/"
+    return F.substring_index(F.input_file_name(), prefix, -1)
 
 
 def _hashes(key: F.Column) -> tuple[F.Column, F.Column]:
@@ -140,9 +152,13 @@ def build_bloom_index(
     if bits_per_key < 1 or num_hashes < 1:
         raise ValueError("bits_per_key and num_hashes must be >= 1")
     inv = _inventory(data_dir)
-    src = spark.read.parquet(data_dir).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
-        F.col(key_col).alias("_key"),
+    src = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+        .select(
+            _relpath_col(data_dir).alias("_file"),
+            F.col(key_col).alias("_key"),
+        )
     )
     key_type = src.schema["_key"].dataType.simpleString()
     # Pass 1: size each file's filter from its row count (an upper
@@ -348,4 +364,10 @@ def pruned_lookup(
     if not probe.candidate_files:
         return full.filter(F.lit(False))
     paths = [os.path.join(data_dir, f) for f in probe.candidate_files]
-    return spark.read.parquet(*paths).filter(F.col(key_col).isin(keys))
+    # basePath keeps hive partition columns derivable when reading a
+    # file subset; harmless for flat directories.
+    return (
+        spark.read.option("basePath", data_dir)
+        .parquet(*paths)
+        .filter(F.col(key_col).isin(keys))
+    )

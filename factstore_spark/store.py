@@ -773,6 +773,49 @@ class FactStore:
     # -- find_by_id (FdbFactFinder.kt:19-32) ----------------------------
 
     def find_by_id_df(self, store_name: str, fact_id: str) -> Optional[DataFrame]:
+        """Point lookup by fact id. With a fresh id index (see
+        build_id_index) the compacted snapshot is pruned to the Bloom
+        sidecar's candidate files — the id->position point-index analog
+        (FdbFactFinder.kt:19-32, FdbFactStore.kt:108-133) — and only
+        the post-compaction tail commits are scanned in full. A stale
+        or absent index falls back to the whole-store scan: derived
+        state, never a correctness dependency (the tag-index rule)."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return None
+        layout = self._layout(meta.id)
+        idx_dir = self._id_index_dir(layout)
+        comp_dir, tail_files = layout.data_layout()
+        if comp_dir is not None and os.path.isdir(idx_dir):
+            from .schema import FACT_COLUMNS, FACT_SCHEMA, FACT_SCHEMA_PARTITIONED
+            from .storage.bloomindex import bloom_candidate_files
+
+            probe = bloom_candidate_files(
+                self.spark, idx_dir, comp_dir, "id", [fact_id]
+            )
+            if not probe.stale:
+                frames = []
+                if probe.candidate_files:
+                    paths = [
+                        os.path.join(comp_dir, f) for f in probe.candidate_files
+                    ]
+                    frames.append(
+                        self.spark.read.schema(FACT_SCHEMA_PARTITIONED)
+                        .option("basePath", comp_dir)
+                        .parquet(*paths)
+                        .select(*FACT_COLUMNS)
+                    )
+                if tail_files:
+                    frames.append(
+                        self.spark.read.schema(FACT_SCHEMA).parquet(*tail_files)
+                    )
+                if not frames:
+                    df = self.spark.createDataFrame([], FACT_SCHEMA)
+                else:
+                    df = frames[0]
+                    for extra in frames[1:]:
+                        df = df.unionByName(extra)
+                return df.filter(F.col("id") == fact_id)
         df = self.facts_df(store_name)
         return None if df is None else df.filter(F.col("id") == fact_id)
 
@@ -938,6 +981,37 @@ class FactStore:
         from .storage.tag_index import TagIndex
 
         return TagIndex(self._layout(meta.id)).build(self.spark)
+
+    # -- id index (FdbFactFinder.kt:19-32 point-index analog) -----------
+
+    @staticmethod
+    def _id_index_dir(layout) -> str:
+        return os.path.join(layout.store_dir, "ididx")
+
+    def build_id_index(self, store_name: str):
+        """Build (or rebuild) the Bloom-sidecar id index over the
+        store's COMPACTED snapshot (storage/bloomindex.py) — the
+        100 TB findById/existsById fast path: a point probe opens only
+        the candidate files the per-file bitsets admit, instead of
+        scanning every file of the snapshot. The post-compaction tail
+        is always scanned (small by definition; the index goes stale
+        only when compaction rewrites the snapshot directory). Returns
+        stats, ``{"built": False, ...}`` before the first compaction,
+        or StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        from .storage.bloomindex import build_bloom_index
+
+        layout = self._layout(meta.id)
+        comp_dir, _tail = layout.data_layout()
+        if comp_dir is None:
+            return {"built": False, "reason": "no compacted snapshot"}
+        stats = build_bloom_index(
+            self.spark, comp_dir, "id", self._id_index_dir(layout)
+        )
+        stats["built"] = True
+        return stats
 
     def refresh_tag_index(self, store_name: str):
         """Incrementally extend the tag index to the current head
@@ -1273,11 +1347,18 @@ class FactStore:
         meta = self.catalog.find_by_name(store_name)
         if meta is None:
             return StoreNotFound(store_name)
-        return {
+        steps = {
             "compact": self.compact(store_name, target_partitions),
             "checkpoint": self.checkpoint(store_name),
             "tag_index": self.refresh_tag_index(store_name),
         }
+        # The id index is opt-in (built once via build_id_index); when
+        # present, compaction just invalidated it — rebuild as part of
+        # the same maintenance pass so point lookups stay on the fast
+        # path between crons.
+        if os.path.isdir(self._id_index_dir(self._layout(meta.id))):
+            steps["id_index"] = self.build_id_index(store_name)
+        return steps
 
     def maintain_all(self, target_partitions: Optional[int] = None) -> dict:
         """Run ``maintain`` over every store — the single cron entry

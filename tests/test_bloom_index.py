@@ -180,3 +180,105 @@ def test_index_survives_file_removal_as_stale(spark, bloom_table):
     got = pruned_lookup(spark, data_dir, "k", list(range(50)), index_dir)
     want = spark.read.parquet(data_dir).filter(F.col("k").isin(list(range(50))))
     assert got.count() == want.count()
+
+
+# ---------------------------------------------------------------------------
+# Store integration: the id index behind findById / existsById
+# ---------------------------------------------------------------------------
+
+from factstore_spark import FactInput
+from factstore_spark.results import Appended, Exists, DoesNotExist, FactFound, FactNotFound
+
+STORE = "bloom-id-store"
+
+
+def _seed(fs, n=40):
+    fs.create(STORE)
+    ids = []
+    for i in range(n):
+        res = fs.append(
+            STORE,
+            FactInput(type=f"T{i % 3}", subject=f"S{i % 5}", tags={"p": str(i % 2)}),
+        )
+        assert isinstance(res, Appended)
+        ids.append(res.fact_ids[0])
+    return ids
+
+
+def test_id_index_requires_compaction_first(fs):
+    _seed(fs, 5)
+    st = fs.build_id_index(STORE)
+    assert st == {"built": False, "reason": "no compacted snapshot"}
+    # And lookups are unaffected.
+    assert isinstance(fs.exists_by_id(STORE, "no-such-id"), DoesNotExist)
+
+
+def test_id_index_point_lookup_and_pruning(fs, spark):
+    ids = _seed(fs)
+    assert fs.compact(STORE)["compacted"]
+    st = fs.build_id_index(STORE)
+    assert st["built"] and st["n_files"] >= 1
+    # Every seeded id resolves through the indexed route.
+    for fid in ids[:6] + ids[-3:]:
+        got = fs.find_by_id(STORE, fid)
+        assert isinstance(got, FactFound) and got.fact.id == fid
+    assert isinstance(fs.find_by_id(STORE, "absent-id"), FactNotFound)
+    assert isinstance(fs.exists_by_id(STORE, ids[0]), Exists)
+    assert isinstance(fs.exists_by_id(STORE, "absent-id"), DoesNotExist)
+    # The sidecar consultation really prunes: an absent id admits
+    # (almost) no candidate files of the compacted snapshot.
+    from factstore_spark.storage.bloomindex import bloom_candidate_files
+
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+    comp_dir, _ = layout.data_layout()
+    probe = bloom_candidate_files(
+        spark, fs._id_index_dir(layout), comp_dir, "id", ["absent-id"]
+    )
+    assert not probe.stale
+    assert len(probe.candidate_files) <= max(1, probe.total_files // 2)
+
+
+def test_id_index_sees_post_compaction_tail(fs):
+    _seed(fs, 20)
+    fs.compact(STORE)
+    fs.build_id_index(STORE)
+    res = fs.append(STORE, FactInput(type="Tail", subject="S9", tags={}))
+    tail_id = res.fact_ids[0]
+    got = fs.find_by_id(STORE, tail_id)  # lives ONLY in the tail
+    assert isinstance(got, FactFound) and got.fact.type == "Tail"
+
+
+def test_id_index_stale_after_recompaction_falls_back(fs):
+    ids = _seed(fs, 20)
+    fs.compact(STORE)
+    fs.build_id_index(STORE)
+    fs.append(STORE, FactInput(type="T9", subject="S9", tags={}))
+    fs.compact(STORE)  # new snapshot dir -> pinned inventory mismatches
+    for fid in (ids[0], ids[-1]):
+        got = fs.find_by_id(STORE, fid)
+        assert isinstance(got, FactFound) and got.fact.id == fid
+
+
+def test_maintain_rebuilds_id_index_when_present(fs):
+    ids = _seed(fs, 20)
+    fs.compact(STORE)
+    fs.build_id_index(STORE)
+    fs.append(STORE, FactInput(type="T9", subject="S9", tags={}))
+    steps = fs.maintain(STORE)
+    assert steps["id_index"]["built"]
+    # Post-maintain the indexed route is fresh again and correct.
+    from factstore_spark.storage.bloomindex import describe_bloom_index
+
+    meta = fs.catalog.find_by_name(STORE)
+    layout = fs._layout(meta.id)
+    comp_dir, _ = layout.data_layout()
+    d = describe_bloom_index(fs._id_index_dir(layout), comp_dir)
+    assert d["exists"] and not d["stale"]
+    assert isinstance(fs.find_by_id(STORE, ids[3]), FactFound)
+
+
+def test_maintain_skips_id_index_when_never_built(fs):
+    _seed(fs, 10)
+    steps = fs.maintain(STORE)
+    assert "id_index" not in steps
