@@ -336,6 +336,100 @@ def bloom_candidate_files(
     )
 
 
+def pruned_semi_join(
+    spark: SparkSession,
+    data_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+    index_dir: str,
+    keys_col: str | None = None,
+) -> DataFrame:
+    """Exact semi-join ``data[key_col] IN keys_df[keys_col]`` reading
+    ONLY the sidecar's candidate files — the Bloom index as a JOIN
+    accelerator: fetch a key set produced by another query (dup
+    survivors, a sampled id list, an export manifest) from a huge
+    table without a driver-side key list and without scanning files
+    that cannot contain any probed key.
+
+    Cost model at scale: the probe job tests |keys| x |files| pairs of
+    METADATA (k hash evaluations + map lookups each, JVM-side, no data
+    pages), then the exact ``left_semi`` runs over candidate files
+    only. Worth it while the probe set is selective; once candidates
+    approach every file the exact join dominates either way, so the
+    all-files case short-circuits to the plain scan. Stale/missing
+    index degrades to the full-scan semi-join (never a wrong answer).
+    """
+    keys_col = keys_col or key_col
+    kdf = (
+        keys_df.select(F.col(keys_col).alias("_key"))
+        .filter(F.col("_key").isNotNull())
+        .distinct()
+    )
+    full = spark.read.parquet(data_dir)
+
+    def _exact(base: DataFrame) -> DataFrame:
+        return base.join(
+            kdf.select(F.col("_key").alias(key_col)), [key_col], "left_semi"
+        )
+
+    manifest, _version = read_versioned_manifest(index_dir, _read_pointer)
+    inv_now = _inventory(data_dir)
+    if (
+        manifest is None
+        or manifest.get("key_col") != key_col
+        or manifest.get("files") != inv_now
+    ):
+        return _exact(full)
+    sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
+    h1, h2 = _hashes(F.col("_key").cast(manifest["key_type"]))
+    probe = kdf.select(h1.alias("h1"), h2.alias("h2"))
+    k_hashes = int(manifest["num_hashes"])
+    w_idx, w_bit = _bit_cols()
+    hit = (
+        F.coalesce(F.element_at(F.col("words"), w_idx), F.lit(0))
+        .bitwiseAND(w_bit)
+        != 0
+    ).cast("int")
+    # A file is a candidate when SOME key hits ALL its k bits: group
+    # the per-(file, key, hash_i) tests by (file, h1, h2) — the hash
+    # pair identifies the key — and keep files with a fully-hit key.
+    key_hit = (
+        probe.join(F.broadcast(sidecar.select("_file", "m", "words")))
+        .select(
+            "_file",
+            "m",
+            "words",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+        )
+        .select(
+            "_file",
+            "words",
+            "h1",
+            "h2",
+            _position(
+                F.col("h1"), F.col("h2"), F.col("i"), F.col("m")
+            ).alias("pos"),
+        )
+        .select("_file", "h1", "h2", hit.alias("hit"))
+        .groupBy("_file", "h1", "h2")
+        .agg(F.min("hit").alias("all_hit"))
+        .filter(F.col("all_hit") == 1)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    cand_files = sorted(r._file for r in key_hit)
+    if not cand_files:
+        return full.filter(F.lit(False))
+    if len(cand_files) == len(inv_now):
+        return _exact(full)  # nothing pruned: skip the subset read
+    paths = [os.path.join(data_dir, f) for f in cand_files]
+    subset = spark.read.option("basePath", data_dir).parquet(*paths)
+    return _exact(subset)
+
+
 def pruned_lookup(
     spark: SparkSession,
     data_dir: str,

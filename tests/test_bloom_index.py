@@ -282,3 +282,86 @@ def test_maintain_skips_id_index_when_never_built(fs):
     _seed(fs, 10)
     steps = fs.maintain(STORE)
     assert "id_index" not in steps
+
+
+# ---------------------------------------------------------------------------
+# pruned_semi_join: the index as a join accelerator
+# ---------------------------------------------------------------------------
+
+
+def test_semi_join_matches_exact_semi_join(spark, bloom_table):
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir, index_dir, _ = bloom_table
+    keys = spark.createDataFrame(
+        [(k,) for k in list(range(0, 300, 3)) + [99999, 123456]], "k long"
+    )
+    got = pruned_semi_join(spark, data_dir, "k", keys, index_dir)
+    want = spark.read.parquet(data_dir).join(keys, ["k"], "left_semi")
+    assert rows_of(got) == rows_of(want)
+
+
+def test_semi_join_with_renamed_key_column_and_dupes(spark, bloom_table):
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir, index_dir, _ = bloom_table
+    keys = spark.createDataFrame(
+        [(7,), (7,), (None,), (4001,)], "probe_id long"
+    )
+    got = pruned_semi_join(
+        spark, data_dir, "k", keys, index_dir, keys_col="probe_id"
+    )
+    assert [r.k for r in got.collect()] == [7]
+
+
+def test_semi_join_selective_probe_prunes_files(spark, bloom_table):
+    """A 3-key probe must NOT read all 16 files: candidate set <= 5
+    (3 true files + fp slack). Verified through the scan's input file
+    list, not just the result."""
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir, index_dir, _ = bloom_table
+    keys = spark.createDataFrame([(11,), (222,), (3333,)], "k long")
+    got = pruned_semi_join(spark, data_dir, "k", keys, index_dir)
+    files = {r.f for r in got.select(F.input_file_name().alias("f")).collect()}
+    assert got.count() == 3
+    assert 1 <= len(files) <= 5
+
+
+def test_semi_join_empty_and_stale(spark, bloom_table):
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir, index_dir, _ = bloom_table
+    empty = spark.createDataFrame([], "k long")
+    assert pruned_semi_join(spark, data_dir, "k", empty, index_dir).count() == 0
+    # Stale (file added): degrades to the full-scan semi-join and sees
+    # the new row.
+    spark.createDataFrame([(70_001, 0, "x")], "k long, v long, s string").coalesce(
+        1
+    ).write.mode("append").parquet(data_dir)
+    keys = spark.createDataFrame([(70_001,), (5,)], "k long")
+    got = pruned_semi_join(spark, data_dir, "k", keys, index_dir)
+    assert got.count() == 2
+
+
+def test_semi_join_property_random_key_sets(spark, bloom_table):
+    """Property: for ANY key set, pruned result == exact semi-join
+    (drawn from a seeded RNG over present/absent/negative keys —
+    hypothesis-style coverage without a per-example Spark session)."""
+    import random
+
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir, index_dir, _ = bloom_table
+    rng = random.Random(20260816)
+    full = spark.read.parquet(data_dir)
+    for _trial in range(4):
+        ks = (
+            [rng.randrange(0, 4000) for _ in range(rng.randrange(1, 40))]
+            + [rng.randrange(4000, 10_000) for _ in range(rng.randrange(0, 10))]
+            + [-rng.randrange(1, 100) for _ in range(rng.randrange(0, 3))]
+        )
+        keys = spark.createDataFrame([(k,) for k in ks], "k long")
+        got = pruned_semi_join(spark, data_dir, "k", keys, index_dir)
+        want = full.join(keys, ["k"], "left_semi")
+        assert rows_of(got) == rows_of(want), f"trial {_trial} keys={ks[:8]}..."
