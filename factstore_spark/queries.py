@@ -7919,12 +7919,24 @@ def storage_bloom_pruning(spark, sf_dir):
             )
             # Present keys cover <= 12 files; ~1% fpp adds at most a
             # couple more. Absent keys should prune to nearly nothing.
+            # Freshness is scale-independent (the index was just
+            # built); the pruning bounds are assessed only when the
+            # hash write actually produced enough non-empty files —
+            # Spark emits no part file for an empty hash partition, so
+            # a tiny corpus yields < 16 files and the bounds would
+            # trip on DATA SIZE, not on an index regression (the
+            # zorder-entry vacuity discipline).
+            assess_pruning = p_present.total_files >= 8
             prune_ok = int(
                 not p_present.stale
                 and not p_absent.stale
-                and len(p_present.candidate_files) <= n_present + 2
-                and len(p_absent.candidate_files) <= 6
-                and p_present.total_files == n_files
+                and (
+                    not assess_pruning
+                    or (
+                        len(p_present.candidate_files) <= n_present + 2
+                        and len(p_absent.candidate_files) <= 6
+                    )
+                )
             )
             return spark.createDataFrame(
                 [

@@ -69,6 +69,14 @@ class BloomIndexStaleError(RuntimeError):
     directory (files added/removed/rewritten since the build)."""
 
 
+class BloomIndexBuildError(RuntimeError):
+    """The freshly-built sidecar's file names do not match the data
+    directory inventory — the relative-path derivation failed (e.g. a
+    data path whose canonical/URI-encoded form differs from its
+    os.path form). Raised at BUILD time so a broken index can never be
+    published and then crash every later lookup."""
+
+
 def _read_pointer(root: str) -> dict | None:
     p = os.path.join(root, _POINTER)
     if not os.path.exists(p):
@@ -152,6 +160,8 @@ def build_bloom_index(
     if bits_per_key < 1 or num_hashes < 1:
         raise ValueError("bits_per_key and num_hashes must be >= 1")
     inv = _inventory(data_dir)
+    if not inv:
+        raise ValueError(f"no parquet files under {data_dir} to index")
     src = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(data_dir)
@@ -209,6 +219,28 @@ def build_bloom_index(
     data_sub = f"sidecar-{version_token}"
     os.makedirs(index_dir, exist_ok=True)
     sidecar.write.mode("overwrite").parquet(os.path.join(index_dir, data_sub))
+    # Fail LOUDLY before publishing if the relative-path derivation
+    # drifted from the inventory (URI-encoded/symlinked/canonicalized
+    # data paths): a mismatched sidecar would pass the freshness check
+    # yet reconstruct nonexistent candidate paths, crashing every
+    # later lookup instead of degrading.
+    written = {
+        r._file
+        for r in spark.read.parquet(os.path.join(index_dir, data_sub))
+        .select("_file")
+        .collect()
+    }
+    if written != set(inv):
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, data_sub), ignore_errors=True)
+        raise BloomIndexBuildError(
+            f"sidecar file names diverge from the {data_dir} inventory "
+            f"(e.g. {sorted(written - set(inv))[:2]} vs "
+            f"{sorted(set(inv) - written)[:2]}); the data path's "
+            "canonical form differs from its os.path form — index not "
+            "published"
+        )
     manifest = {
         "key_col": key_col,
         "key_type": key_type,
@@ -295,45 +327,65 @@ def bloom_candidate_files(
     kdf = spark.createDataFrame(
         [(k,) for k in keys], f"_key {manifest['key_type']}"
     )
+    cands = _probe_candidates(sidecar, kdf, int(manifest["num_hashes"]))
+    if any(c not in manifest["files"] for c in cands):
+        # corrupted sidecar (should be impossible past the build-time
+        # name validation): degrade, don't reconstruct garbage paths
+        return BloomProbe(sorted(inv_now), len(inv_now), True, version)
+    return BloomProbe(cands, len(inv_now), False, version)
+
+
+def _probe_candidates(
+    sidecar: DataFrame, kdf: DataFrame, k_hashes: int
+) -> list[str]:
+    """Candidate files for a probe-key frame ``kdf(_key)``: a file
+    qualifies when SOME key hits ALL its k bits. One shared pipeline
+    for point lookups and semi-joins — build/probe hashing can never
+    diverge between the two read paths. The (h1, h2) hash pair
+    identifies the key, so distinct keys never need an id column.
+
+    Broadcast direction matters at scale: the PROBE KEYS broadcast
+    (small by design — a point-lookup list or a selective distinct key
+    set), while the sidecar with its per-file bitsets (bytes
+    proportional to data rows / bits_per_key) streams through
+    executors, never through the driver."""
     h1, h2 = _hashes(F.col("_key"))
-    probe = kdf.select("_key", h1.alias("h1"), h2.alias("h2"))
-    k_hashes = int(manifest["num_hashes"])
+    probe = kdf.distinct().select(h1.alias("h1"), h2.alias("h2"))
     w_idx, w_bit = _bit_cols()
     hit = (
         F.coalesce(F.element_at(F.col("words"), w_idx), F.lit(0))
         .bitwiseAND(w_bit)
         != 0
     ).cast("int")
-    cands = (
-        sidecar.join(F.broadcast(probe))  # files x keys, metadata-sized
+    rows = (
+        sidecar.select("_file", "m", "words")
+        .join(F.broadcast(probe))
         .select(
             "_file",
             "m",
             "words",
             "h1",
             "h2",
-            "_key",
             F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
         )
         .select(
             "_file",
-            "_key",
             "words",
+            "h1",
+            "h2",
             _position(
                 F.col("h1"), F.col("h2"), F.col("i"), F.col("m")
             ).alias("pos"),
         )
-        .select("_file", "_key", hit.alias("hit"))
-        .groupBy("_file", "_key")
+        .select("_file", "h1", "h2", hit.alias("hit"))
+        .groupBy("_file", "h1", "h2")
         .agg(F.min("hit").alias("all_hit"))
         .filter(F.col("all_hit") == 1)
         .select("_file")
         .distinct()
         .collect()
     )
-    return BloomProbe(
-        sorted(r._file for r in cands), len(inv_now), False, version
-    )
+    return sorted(r._file for r in rows)
 
 
 def pruned_semi_join(
@@ -381,46 +433,13 @@ def pruned_semi_join(
     ):
         return _exact(full)
     sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
-    h1, h2 = _hashes(F.col("_key").cast(manifest["key_type"]))
-    probe = kdf.select(h1.alias("h1"), h2.alias("h2"))
-    k_hashes = int(manifest["num_hashes"])
-    w_idx, w_bit = _bit_cols()
-    hit = (
-        F.coalesce(F.element_at(F.col("words"), w_idx), F.lit(0))
-        .bitwiseAND(w_bit)
-        != 0
-    ).cast("int")
-    # A file is a candidate when SOME key hits ALL its k bits: group
-    # the per-(file, key, hash_i) tests by (file, h1, h2) — the hash
-    # pair identifies the key — and keep files with a fully-hit key.
-    key_hit = (
-        probe.join(F.broadcast(sidecar.select("_file", "m", "words")))
-        .select(
-            "_file",
-            "m",
-            "words",
-            "h1",
-            "h2",
-            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
-        )
-        .select(
-            "_file",
-            "words",
-            "h1",
-            "h2",
-            _position(
-                F.col("h1"), F.col("h2"), F.col("i"), F.col("m")
-            ).alias("pos"),
-        )
-        .select("_file", "h1", "h2", hit.alias("hit"))
-        .groupBy("_file", "h1", "h2")
-        .agg(F.min("hit").alias("all_hit"))
-        .filter(F.col("all_hit") == 1)
-        .select("_file")
-        .distinct()
-        .collect()
+    cand_files = _probe_candidates(
+        sidecar,
+        kdf.select(F.col("_key").cast(manifest["key_type"]).alias("_key")),
+        int(manifest["num_hashes"]),
     )
-    cand_files = sorted(r._file for r in key_hit)
+    if any(c not in manifest["files"] for c in cand_files):
+        return _exact(full)  # corrupted sidecar: degrade, never crash
     if not cand_files:
         return full.filter(F.lit(False))
     if len(cand_files) == len(inv_now):

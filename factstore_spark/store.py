@@ -714,14 +714,35 @@ class FactStore:
             return None
         layout = self._layout(meta.id)
         comp_dir, tail_files = layout.data_layout()
+        df = self._assemble_fact_frames(
+            comp_dir, tail_files, time_range=time_range
+        )
+        if max_position is not None:
+            df = df.filter(F.col("position") <= max_position)
+        return df
+
+    def _assemble_fact_frames(
+        self,
+        comp_dir: Optional[str],
+        tail_files: list[str],
+        *,
+        comp_paths: Optional[list[str]] = None,
+        time_range: Optional[TimeRange] = None,
+    ) -> DataFrame:
+        """The ONE recipe that turns a (compacted snapshot, tail files)
+        layout into the fact DataFrame — shared by the full scan
+        (facts_df) and the id-index fast path (find_by_id_df), so the
+        two can never drift semantically. ``comp_paths`` substitutes a
+        pruned file subset for the snapshot directory (basePath keeps
+        the hive partition column derivable either way)."""
         from .schema import FACT_COLUMNS, FACT_SCHEMA_PARTITIONED
 
         frames = []
-        if comp_dir is not None:
+        if comp_dir is not None and (comp_paths is None or comp_paths):
             comp = (
                 self.spark.read.schema(FACT_SCHEMA_PARTITIONED)
                 .option("basePath", comp_dir)
-                .parquet(comp_dir)
+                .parquet(*(comp_paths if comp_paths is not None else [comp_dir]))
             )
             if time_range is not None:
                 comp = comp.filter(compacted_date_bounds(time_range))
@@ -732,10 +753,11 @@ class FactStore:
             )
         if not frames:
             return self.spark.createDataFrame([], FACT_SCHEMA)
-        df = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
-        if max_position is not None:
-            df = df.filter(F.col("position") <= max_position)
-        return df
+        return (
+            frames[0]
+            if len(frames) == 1
+            else frames[0].unionByName(frames[1])
+        )
 
     def register_views(self, store_name: str, prefix: Optional[str] = None) -> Optional[list[str]]:
         """Expose the store to plain ``spark.sql`` as temp views:
@@ -787,34 +809,20 @@ class FactStore:
         idx_dir = self._id_index_dir(layout)
         comp_dir, tail_files = layout.data_layout()
         if comp_dir is not None and os.path.isdir(idx_dir):
-            from .schema import FACT_COLUMNS, FACT_SCHEMA, FACT_SCHEMA_PARTITIONED
             from .storage.bloomindex import bloom_candidate_files
 
             probe = bloom_candidate_files(
                 self.spark, idx_dir, comp_dir, "id", [fact_id]
             )
             if not probe.stale:
-                frames = []
-                if probe.candidate_files:
-                    paths = [
-                        os.path.join(comp_dir, f) for f in probe.candidate_files
-                    ]
-                    frames.append(
-                        self.spark.read.schema(FACT_SCHEMA_PARTITIONED)
-                        .option("basePath", comp_dir)
-                        .parquet(*paths)
-                        .select(*FACT_COLUMNS)
-                    )
-                if tail_files:
-                    frames.append(
-                        self.spark.read.schema(FACT_SCHEMA).parquet(*tail_files)
-                    )
-                if not frames:
-                    df = self.spark.createDataFrame([], FACT_SCHEMA)
-                else:
-                    df = frames[0]
-                    for extra in frames[1:]:
-                        df = df.unionByName(extra)
+                df = self._assemble_fact_frames(
+                    comp_dir,
+                    tail_files,
+                    comp_paths=[
+                        os.path.join(comp_dir, f)
+                        for f in probe.candidate_files
+                    ],
+                )
                 return df.filter(F.col("id") == fact_id)
         df = self.facts_df(store_name)
         return None if df is None else df.filter(F.col("id") == fact_id)
@@ -1353,11 +1361,23 @@ class FactStore:
             "tag_index": self.refresh_tag_index(store_name),
         }
         # The id index is opt-in (built once via build_id_index); when
-        # present, compaction just invalidated it — rebuild as part of
-        # the same maintenance pass so point lookups stay on the fast
-        # path between crons.
-        if os.path.isdir(self._id_index_dir(self._layout(meta.id))):
-            steps["id_index"] = self.build_id_index(store_name)
+        # present and invalidated by this pass's compaction, rebuild it
+        # so point lookups stay on the fast path between crons. A
+        # no-op compact with a still-fresh index skips the rebuild —
+        # idle maintenance must not pay two snapshot scans per tick.
+        layout = self._layout(meta.id)
+        idx_dir = self._id_index_dir(layout)
+        if os.path.isdir(idx_dir):
+            from .storage.bloomindex import describe_bloom_index
+
+            comp_dir, _tail = layout.data_layout()
+            fresh = comp_dir is not None and not describe_bloom_index(
+                idx_dir, comp_dir
+            ).get("stale", True)
+            if fresh:
+                steps["id_index"] = {"built": False, "reason": "fresh"}
+            else:
+                steps["id_index"] = self.build_id_index(store_name)
         return steps
 
     def maintain_all(self, target_partitions: Optional[int] = None) -> dict:

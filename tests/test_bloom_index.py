@@ -365,3 +365,20 @@ def test_semi_join_property_random_key_sets(spark, bloom_table):
         got = pruned_semi_join(spark, data_dir, "k", keys, index_dir)
         want = full.join(keys, ["k"], "left_semi")
         assert rows_of(got) == rows_of(want), f"trial {_trial} keys={ks[:8]}..."
+
+
+def test_maintain_skips_rebuild_when_index_fresh(fs):
+    _seed(fs, 12)
+    fs.compact(STORE)
+    fs.build_id_index(STORE)
+    steps = fs.maintain(STORE)  # nothing new: compact no-ops
+    assert steps["id_index"] == {"built": False, "reason": "fresh"}
+
+
+def test_build_refuses_empty_data_dir(spark, store_root):
+    import pytest as _pytest
+
+    empty = os.path.join(store_root, "empty")
+    os.makedirs(empty)
+    with _pytest.raises(ValueError, match="no parquet files"):
+        build_bloom_index(spark, empty, "k", os.path.join(store_root, "i"))
