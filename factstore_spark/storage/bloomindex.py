@@ -50,6 +50,7 @@ import json
 import os
 import uuid
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,8 +117,36 @@ def _relpath_col(data_dir: str) -> F.Column:
     return F.substring_index(F.input_file_name(), prefix, -1)
 
 
-def _hashes(key: F.Column) -> tuple[F.Column, F.Column]:
-    return F.xxhash64(key), F.xxhash64(key, F.lit(_H2_SALT))
+def _hashes(*keys: F.Column) -> tuple[F.Column, F.Column]:
+    """Two independent 64-bit hash streams over the (ordered) key
+    columns — composite keys hash all parts in one xxhash64 call, so
+    build and probe agree as long as both use the manifest's key
+    order."""
+    return F.xxhash64(*keys), F.xxhash64(*keys, F.lit(_H2_SALT))
+
+
+def _norm_key_cols(key_cols) -> list[str]:
+    return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def _key_frame(spark: SparkSession, manifest: dict, keys: list) -> DataFrame:
+    """Probe keys -> a typed DataFrame with the manifest's key columns.
+    Scalars for single-column keys, tuples for composite keys; any key
+    containing None is dropped (SQL equality would never match it)."""
+    cols = manifest["key_cols"]
+    types = manifest["key_types"]
+    rows = []
+    for k in keys:
+        t = (k,) if len(cols) == 1 and not isinstance(k, tuple) else tuple(k)
+        if len(t) != len(cols):
+            raise ValueError(
+                f"probe key {k!r} has {len(t)} parts; index key is {cols}"
+            )
+        if any(p is None for p in t):
+            continue
+        rows.append(t)
+    schema = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
+    return spark.createDataFrame(rows, schema)
 
 
 def _position(h1: F.Column, h2: F.Column, i: F.Column, m: F.Column) -> F.Column:
@@ -143,34 +172,49 @@ def _bit_cols() -> tuple[F.Column, F.Column]:
 def build_bloom_index(
     spark: SparkSession,
     data_dir: str,
-    key_col: str,
+    key_cols,
     index_dir: str,
     bits_per_key: int = 10,
     num_hashes: int = 7,
+    files: dict[str, int] | None = None,
 ) -> dict:
-    """Build (or rebuild) the per-file Bloom sidecar for ``key_col``
-    over every ``*.parquet`` file in ``data_dir``. Returns build stats.
+    """Build (or rebuild) the per-file Bloom sidecar for ``key_cols``
+    (one column name, or an ordered sequence for a composite key) over
+    ``data_dir``. Returns build stats.
+
+    By default every ``*.parquet`` under ``data_dir`` (recursive) is
+    indexed and freshness is defined by that directory inventory.
+    Snapshot-pinned callers (a merge table whose live file set is a
+    MANIFEST, not a directory listing — old versions coexist on disk
+    for time travel) pass ``files`` = {relpath: size}: exactly those
+    files are read and pinned, and probes must pass the same map.
 
     Each file's filter is sized to its own row count (word-aligned,
     min 64 bits), so small and large files get the same false-positive
-    rate instead of sharing one global m. Null keys hash like any
-    value (xxhash64(NULL) is the seed constant) — a null probe is
+    rate instead of sharing one global m. Null key parts hash like any
+    value (xxhash64(NULL) is the seed constant) — null probes are
     rejected at lookup instead.
     """
+    key_cols = _norm_key_cols(key_cols)
     if bits_per_key < 1 or num_hashes < 1:
         raise ValueError("bits_per_key and num_hashes must be >= 1")
-    inv = _inventory(data_dir)
+    inv = files if files is not None else _inventory(data_dir)
     if not inv:
         raise ValueError(f"no parquet files under {data_dir} to index")
-    src = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(data_dir)
-        .select(
-            _relpath_col(data_dir).alias("_file"),
-            F.col(key_col).alias("_key"),
-        )
+    if files is None:
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
+    else:
+        # pinned file list: no basePath (version dirs like ``v=abc``
+        # would be misparsed as partition columns), schemas merged
+        # (add-only evolution keeps the key columns in every file)
+        raw = _read_pinned(spark, data_dir, inv)
+    key_types = [
+        raw.schema[c].dataType.simpleString() for c in key_cols
+    ]
+    src = raw.select(
+        _relpath_col(data_dir).alias("_file"),
+        *[F.col(c) for c in key_cols],
     )
-    key_type = src.schema["_key"].dataType.simpleString()
     # Pass 1: size each file's filter from its row count (an upper
     # bound on distinct keys — over-sizing only lowers the fpp).
     meta = src.groupBy("_file").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -182,7 +226,7 @@ def build_bloom_index(
         ),
     )
     # Pass 2: bit positions -> packed words -> one MAP row per file.
-    h1, h2 = _hashes(F.col("_key"))
+    h1, h2 = _hashes(*[F.col(c) for c in key_cols])
     pos_df = (
         src.join(F.broadcast(meta), "_file")
         .select(
@@ -242,8 +286,8 @@ def build_bloom_index(
             "published"
         )
     manifest = {
-        "key_col": key_col,
-        "key_type": key_type,
+        "key_cols": key_cols,
+        "key_types": key_types,
         "bits_per_key": bits_per_key,
         "num_hashes": num_hashes,
         "data_dir": data_sub,
@@ -253,12 +297,11 @@ def build_bloom_index(
         index_dir, manifest, base_version, _write_pointer, what="bloom index"
     )
     _reap_orphans(index_dir, keep=data_sub, prev=(head or {}).get("data_dir"))
-    n_files = len(inv)
     return {
         "version": version,
-        "n_files": n_files,
-        "key_col": key_col,
-        "key_type": key_type,
+        "n_files": len(inv),
+        "key_cols": key_cols,
+        "key_types": key_types,
         "data_dir": data_sub,
     }
 
@@ -288,16 +331,19 @@ class BloomProbe:
     version: int
 
 
-def describe_bloom_index(index_dir: str, data_dir: str) -> dict:
+def describe_bloom_index(
+    index_dir: str, data_dir: str, files: dict[str, int] | None = None
+) -> dict:
     manifest, version = read_versioned_manifest(index_dir, _read_pointer)
     if manifest is None:
         return {"exists": False, "stale": True, "version": 0}
+    inv_now = files if files is not None else _inventory(data_dir)
     return {
         "exists": True,
         "version": version,
-        "key_col": manifest["key_col"],
+        "key_cols": manifest["key_cols"],
         "n_files": len(manifest["files"]),
-        "stale": manifest["files"] != _inventory(data_dir),
+        "stale": manifest["files"] != inv_now,
     }
 
 
@@ -305,29 +351,32 @@ def bloom_candidate_files(
     spark: SparkSession,
     index_dir: str,
     data_dir: str,
-    key_col: str,
+    key_cols,
     keys: list,
+    files: dict[str, int] | None = None,
 ) -> BloomProbe:
-    """Which data files MIGHT contain any of ``keys``, per the sidecar.
-    A stale/missing/mismatched index returns every file as a candidate
-    with ``stale=True`` — callers degrade to the full scan, never to a
-    wrong answer."""
+    """Which data files MIGHT contain any of ``keys`` (scalars, or
+    tuples for a composite key), per the sidecar. A stale/missing/
+    mismatched index returns every file as a candidate with
+    ``stale=True`` — callers degrade to the full scan, never to a
+    wrong answer. Snapshot-pinned callers pass the same ``files`` map
+    they built with."""
+    key_cols = _norm_key_cols(key_cols)
     manifest, version = read_versioned_manifest(index_dir, _read_pointer)
-    inv_now = _inventory(data_dir)
+    inv_now = files if files is not None else _inventory(data_dir)
     if (
         manifest is None
-        or manifest.get("key_col") != key_col
+        or manifest.get("key_cols") != key_cols
         or manifest.get("files") != inv_now
     ):
         return BloomProbe(sorted(inv_now), len(inv_now), True, version)
-    keys = [k for k in keys if k is not None]
-    if not keys:
+    kdf = _key_frame(spark, manifest, keys)
+    if not kdf.take(1):
         return BloomProbe([], len(inv_now), False, version)
     sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
-    kdf = spark.createDataFrame(
-        [(k,) for k in keys], f"_key {manifest['key_type']}"
+    cands = _probe_candidates(
+        sidecar, kdf, manifest["key_cols"], int(manifest["num_hashes"])
     )
-    cands = _probe_candidates(sidecar, kdf, int(manifest["num_hashes"]))
     if any(c not in manifest["files"] for c in cands):
         # corrupted sidecar (should be impossible past the build-time
         # name validation): degrade, don't reconstruct garbage paths
@@ -336,20 +385,20 @@ def bloom_candidate_files(
 
 
 def _probe_candidates(
-    sidecar: DataFrame, kdf: DataFrame, k_hashes: int
+    sidecar: DataFrame, kdf: DataFrame, key_cols: list[str], k_hashes: int
 ) -> list[str]:
-    """Candidate files for a probe-key frame ``kdf(_key)``: a file
-    qualifies when SOME key hits ALL its k bits. One shared pipeline
-    for point lookups and semi-joins — build/probe hashing can never
-    diverge between the two read paths. The (h1, h2) hash pair
-    identifies the key, so distinct keys never need an id column.
+    """Candidate files for a probe-key frame (columns = ``key_cols``):
+    a file qualifies when SOME key hits ALL its k bits. One shared
+    pipeline for point lookups and semi-joins — build/probe hashing
+    can never diverge between the two read paths. The (h1, h2) hash
+    pair identifies the key, so distinct keys never need an id column.
 
     Broadcast direction matters at scale: the PROBE KEYS broadcast
     (small by design — a point-lookup list or a selective distinct key
     set), while the sidecar with its per-file bitsets (bytes
     proportional to data rows / bits_per_key) streams through
     executors, never through the driver."""
-    h1, h2 = _hashes(F.col("_key"))
+    h1, h2 = _hashes(*[F.col(c) for c in key_cols])
     probe = kdf.distinct().select(h1.alias("h1"), h2.alias("h2"))
     w_idx, w_bit = _bit_cols()
     hit = (
@@ -391,12 +440,13 @@ def _probe_candidates(
 def pruned_semi_join(
     spark: SparkSession,
     data_dir: str,
-    key_col: str,
+    key_cols,
     keys_df: DataFrame,
     index_dir: str,
-    keys_col: str | None = None,
+    keys_cols=None,
+    files: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Exact semi-join ``data[key_col] IN keys_df[keys_col]`` reading
+    """Exact semi-join ``data[key_cols] IN keys_df[keys_cols]`` reading
     ONLY the sidecar's candidate files — the Bloom index as a JOIN
     accelerator: fetch a key set produced by another query (dup
     survivors, a sampled id list, an export manifest) from a huge
@@ -411,31 +461,39 @@ def pruned_semi_join(
     all-files case short-circuits to the plain scan. Stale/missing
     index degrades to the full-scan semi-join (never a wrong answer).
     """
-    keys_col = keys_col or key_col
-    kdf = (
-        keys_df.select(F.col(keys_col).alias("_key"))
-        .filter(F.col("_key").isNotNull())
-        .distinct()
+    key_cols = _norm_key_cols(key_cols)
+    keys_cols = _norm_key_cols(keys_cols) if keys_cols is not None else key_cols
+    if len(keys_cols) != len(key_cols):
+        raise ValueError(f"keys_cols {keys_cols} must match {key_cols}")
+    kdf = keys_df.select(
+        *[F.col(kc).alias(c) for kc, c in zip(keys_cols, key_cols)]
     )
-    full = spark.read.parquet(data_dir)
+    for c in key_cols:
+        kdf = kdf.filter(F.col(c).isNotNull())
+    kdf = kdf.distinct()
+    full = _read_pinned(spark, data_dir, files)
 
     def _exact(base: DataFrame) -> DataFrame:
-        return base.join(
-            kdf.select(F.col("_key").alias(key_col)), [key_col], "left_semi"
-        )
+        return base.join(kdf, key_cols, "left_semi")
 
     manifest, _version = read_versioned_manifest(index_dir, _read_pointer)
-    inv_now = _inventory(data_dir)
+    inv_now = files if files is not None else _inventory(data_dir)
     if (
         manifest is None
-        or manifest.get("key_col") != key_col
+        or manifest.get("key_cols") != key_cols
         or manifest.get("files") != inv_now
     ):
         return _exact(full)
     sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
     cand_files = _probe_candidates(
         sidecar,
-        kdf.select(F.col("_key").cast(manifest["key_type"]).alias("_key")),
+        kdf.select(
+            *[
+                F.col(c).cast(t).alias(c)
+                for c, t in zip(key_cols, manifest["key_types"])
+            ]
+        ),
+        key_cols,
         int(manifest["num_hashes"]),
     )
     if any(c not in manifest["files"] for c in cand_files):
@@ -444,43 +502,94 @@ def pruned_semi_join(
         return full.filter(F.lit(False))
     if len(cand_files) == len(inv_now):
         return _exact(full)  # nothing pruned: skip the subset read
-    paths = [os.path.join(data_dir, f) for f in cand_files]
-    subset = spark.read.option("basePath", data_dir).parquet(*paths)
+    subset = _read_subset(spark, data_dir, cand_files, pinned=files is not None)
     return _exact(subset)
+
+
+def _read_subset(
+    spark: SparkSession, data_dir: str, rel_files: list[str], pinned: bool
+) -> DataFrame:
+    """Candidate-file subset read. Directory-inventoried layouts keep
+    basePath so hive partition columns stay derivable; pinned
+    (merge-table) layouts read leaf files schema-merged instead (see
+    _read_pinned)."""
+    paths = [os.path.join(data_dir, f) for f in rel_files]
+    if pinned:
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return spark.read.option("basePath", data_dir).parquet(*paths)
+
+
+def _read_pinned(
+    spark: SparkSession, data_dir: str, files: dict[str, int] | None
+) -> DataFrame:
+    """The full table: the directory itself, or — for snapshot-pinned
+    callers — exactly the pinned file set (old snapshot versions may
+    coexist under the same root). Pinned reads take no basePath (a
+    version dir like ``v=abc`` would be misparsed as a hive partition
+    column) and merge file schemas (pinned callers are merge tables,
+    which evolve schemas add-only)."""
+    if files is None:
+        return spark.read.parquet(data_dir)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(data_dir, f) for f in sorted(files)]
+    )
+
+
+def _exact_key_filter(df: DataFrame, key_cols: list[str], keys: list) -> F.Column:
+    """IN-list predicate for scalar keys (parquet-pushable); an
+    OR-of-AND for composite keys (bounded: point-lookup lists are
+    small by contract)."""
+    if len(key_cols) == 1:
+        return F.col(key_cols[0]).isin([k if not isinstance(k, tuple) else k[0] for k in keys])
+    preds = []
+    for k in keys:
+        t = tuple(k)
+        preds.append(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.lit(p) for c, p in zip(key_cols, t)],
+            )
+        )
+    return reduce(lambda a, b: a | b, preds)
 
 
 def pruned_lookup(
     spark: SparkSession,
     data_dir: str,
-    key_col: str,
+    key_cols,
     keys: list,
     index_dir: str,
     on_stale: str = "scan",
+    files: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Exact point lookup ``key_col IN keys`` reading ONLY the sidecar's
-    candidate files. The result is always exact: the ``IN`` filter runs
-    on top of the pruned scan, so Bloom false positives never surface
-    as rows. ``on_stale``: 'scan' (default) degrades to the full scan;
-    'error' raises BloomIndexStaleError."""
-    keys = [k for k in keys if k is not None]
-    full = spark.read.parquet(data_dir)
+    """Exact point lookup ``key_cols IN keys`` reading ONLY the
+    sidecar's candidate files. The result is always exact: the exact
+    key predicate runs on top of the pruned scan, so Bloom false
+    positives never surface as rows. ``on_stale``: 'scan' (default)
+    degrades to the full scan; 'error' raises BloomIndexStaleError."""
+    key_cols = _norm_key_cols(key_cols)
+    keys = [
+        k
+        for k in keys
+        if k is not None
+        and not (isinstance(k, tuple) and any(p is None for p in k))
+    ]
+    full = _read_pinned(spark, data_dir, files)
     if not keys:
         return full.filter(F.lit(False))
-    probe = bloom_candidate_files(spark, index_dir, data_dir, key_col, keys)
+    probe = bloom_candidate_files(
+        spark, index_dir, data_dir, key_cols, keys, files=files
+    )
+    exact = _exact_key_filter(full, key_cols, keys)
     if probe.stale:
         if on_stale == "error":
             raise BloomIndexStaleError(
                 f"bloom index at {index_dir} is stale or missing for "
                 f"{data_dir}; rebuild with build_bloom_index"
             )
-        return full.filter(F.col(key_col).isin(keys))
+        return full.filter(exact)
     if not probe.candidate_files:
         return full.filter(F.lit(False))
-    paths = [os.path.join(data_dir, f) for f in probe.candidate_files]
-    # basePath keeps hive partition columns derivable when reading a
-    # file subset; harmless for flat directories.
-    return (
-        spark.read.option("basePath", data_dir)
-        .parquet(*paths)
-        .filter(F.col(key_col).isin(keys))
-    )
+    return _read_subset(
+        spark, data_dir, probe.candidate_files, pinned=files is not None
+    ).filter(exact)

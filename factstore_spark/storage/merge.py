@@ -767,7 +767,7 @@ def maintain_table(
         retain_seconds=retain_seconds,
         retain_snapshots=retain_snapshots,
     )
-    return {
+    out = {
         "snapshot": rep["snapshot"],
         "versions_before": rep["versions_before"],
         "versions_after": rep["versions_after"],
@@ -775,6 +775,97 @@ def maintain_table(
         "vacuumed_versions": vac["removed"],
         "vacuumed_snapshots": vac["removed_snapshots"],
     }
+    # Key index is opt-in (built once via build_key_index); compaction
+    # republished the head, so refresh it in the same slot.
+    if os.path.isdir(os.path.join(table_dir, _KEY_INDEX_DIR)):
+        out["key_index"] = build_key_index(spark, table_dir)
+    return out
+
+
+def _live_files(table_dir: str, manifest: dict) -> dict[str, int]:
+    """{relpath: size} of the head snapshot's LIVE file set — the
+    manifest's partition dirs only, never superseded versions that
+    coexist on disk for time travel. A file the manifest names but the
+    FS lacks means the snapshot was vacuumed under us."""
+    out: dict[str, int] = {}
+    for rel in manifest["partitions"].values():
+        d = os.path.join(table_dir, rel)
+        try:
+            walker = list(os.walk(d))
+        except OSError as e:  # pragma: no cover - racing vacuum
+            raise SnapshotGoneError(str(e)) from e
+        for root, _dirs, names in walker:
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith("."):
+                    p = os.path.join(root, n)
+                    try:
+                        out[os.path.relpath(p, table_dir)] = os.path.getsize(p)
+                    except FileNotFoundError as e:
+                        raise SnapshotGoneError(
+                            f"live file vanished under the head snapshot "
+                            f"(racing vacuum?): {p}"
+                        ) from e
+    return out
+
+
+_KEY_INDEX_DIR = "_keyidx"
+
+
+def build_key_index(spark: SparkSession, table_dir: str) -> dict:
+    """Bloom point index over the table's HEAD snapshot
+    (storage/bloomindex.py): per-file bitsets on the manifest's
+    key_cols, pinned to the snapshot's live file set (a directory
+    inventory would see superseded versions kept for time travel).
+    Point lookups and key semi-joins then open only candidate files —
+    the findById-class fast path for keyed lakehouse tables, where
+    partition pruning helps only when the partition value is known.
+    Rebuild after compaction/merge (maintain_table does it when the
+    index exists); a stale index degrades reads to the full scan."""
+    from .bloomindex import build_bloom_index
+
+    m = _head_manifest(table_dir)
+    if not m or not m["partitions"]:
+        raise ValueError(f"no published merge table at {table_dir}")
+    return build_bloom_index(
+        spark,
+        table_dir,
+        m["meta"]["key_cols"],
+        os.path.join(table_dir, _KEY_INDEX_DIR),
+        files=_live_files(table_dir, m),
+    )
+
+
+def point_lookup(
+    spark: SparkSession, table_dir: str, keys: list, on_stale: str = "scan"
+) -> DataFrame | None:
+    """Exact rows for the given keys (scalars, or tuples matching the
+    table's composite key order) from the head snapshot, through the
+    key index when fresh — candidate files only — and the full pinned
+    scan otherwise. Column set matches read_table. None if the table
+    doesn't exist / is empty (read_table contract)."""
+    from .bloomindex import pruned_lookup
+
+    m = _head_manifest(table_dir)
+    if not m or not m["partitions"]:
+        return None
+    df = pruned_lookup(
+        spark,
+        table_dir,
+        m["meta"]["key_cols"],
+        keys,
+        os.path.join(table_dir, _KEY_INDEX_DIR),
+        on_stale=on_stale,
+        files=_live_files(table_dir, m),
+    )
+    # pin read_table's column surface (schema-merged subset reads can
+    # surface evolved columns in any file order; a column absent from
+    # EVERY candidate file comes back as typed-null via lit)
+    return df.select(
+        *[
+            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            for c in m["meta"]["columns"]
+        ]
+    )
 
 
 def table_history(table_dir: str) -> list[dict]:

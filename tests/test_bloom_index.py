@@ -309,7 +309,7 @@ def test_semi_join_with_renamed_key_column_and_dupes(spark, bloom_table):
         [(7,), (7,), (None,), (4001,)], "probe_id long"
     )
     got = pruned_semi_join(
-        spark, data_dir, "k", keys, index_dir, keys_col="probe_id"
+        spark, data_dir, "k", keys, index_dir, keys_cols="probe_id"
     )
     assert [r.k for r in got.collect()] == [7]
 
@@ -382,3 +382,107 @@ def test_build_refuses_empty_data_dir(spark, store_root):
     os.makedirs(empty)
     with _pytest.raises(ValueError, match="no parquet files"):
         build_bloom_index(spark, empty, "k", os.path.join(store_root, "i"))
+
+
+# ---------------------------------------------------------------------------
+# Composite keys + snapshot-pinned file sets (merge-table point lookups)
+# ---------------------------------------------------------------------------
+
+
+def test_composite_key_lookup_and_pruning(spark, store_root):
+    data_dir = os.path.join(store_root, "cdata")
+    index_dir = os.path.join(store_root, "cidx")
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 50).alias("a"),
+        (F.col("id") / 50).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(12, "a", "b").write.parquet(data_dir)
+    st = build_bloom_index(spark, data_dir, ["a", "b"], index_dir)
+    assert st["key_cols"] == ["a", "b"]
+    present = [(7, 3), (49, 59), (0, 0)]
+    absent = [(7, 999), (999, 3)]
+    got = pruned_lookup(
+        spark, data_dir, ["a", "b"], present + absent, index_dir,
+        on_stale="error",
+    )
+    assert sorted(r.v for r in got.collect()) == sorted(
+        a + 50 * b for a, b in present
+    )
+    probe = bloom_candidate_files(
+        spark, index_dir, data_dir, ["a", "b"], absent
+    )
+    assert len(probe.candidate_files) <= 3  # 2 absent keys, ~1% fpp
+    # A key tuple with a None part is dropped, not matched.
+    got2 = pruned_lookup(
+        spark, data_dir, ["a", "b"], [(None, 3), (7, 3)], index_dir
+    )
+    assert [r.v for r in got2.collect()] == [157]
+
+
+def test_composite_key_semi_join(spark, store_root):
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir = os.path.join(store_root, "cdata2")
+    index_dir = os.path.join(store_root, "cidx2")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 40).alias("a"),
+        (F.col("id") / 40).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(8, "a", "b").write.parquet(data_dir)
+    build_bloom_index(spark, data_dir, ["a", "b"], index_dir)
+    keys = spark.createDataFrame(
+        [(3, 3), (17, 21), (999, 999)], "x long, y long"
+    )
+    got = pruned_semi_join(
+        spark, data_dir, ["a", "b"], keys, index_dir, keys_cols=["x", "y"]
+    )
+    want = spark.read.parquet(data_dir).join(
+        keys.select(F.col("x").alias("a"), F.col("y").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    )
+    assert rows_of(got) == rows_of(want)
+    assert got.count() == 2
+
+
+def test_merge_table_point_lookup(spark, tmp_path):
+    from factstore_spark.storage.merge import (
+        build_key_index,
+        create_table,
+        maintain_table,
+        merge_upsert,
+        point_lookup,
+        read_table,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}", f"v{i}") for i in range(400)],
+        "id long, part string, v string",
+    )
+    create_table(df, d, ["id"], "part")
+    st = build_key_index(spark, d)
+    assert st["n_files"] >= 4  # one file per partition per version
+    got = point_lookup(spark, d, [3, 377, 9999], on_stale="error")
+    assert got.columns == read_table(spark, d).columns
+    assert sorted(r.v for r in got.collect()) == ["v3", "v377"]
+    # A merge republishes the head -> index stale -> degraded lookup
+    # still exact, and maintain_table refreshes the index.
+    merge_upsert(
+        spark.createDataFrame([(3, "p3", "V3")], "id long, part string, v string"),
+        d,
+    )
+    got = point_lookup(spark, d, [3])
+    assert [r.v for r in got.collect()] == ["V3"]
+    rep = maintain_table(spark, d)
+    assert rep["key_index"]["n_files"] >= 1
+    got = point_lookup(spark, d, [3, 42], on_stale="error")
+    assert sorted(r.v for r in got.collect()) == ["V3", "v42"]
+
+
+def test_merge_point_lookup_missing_table_returns_none(spark, tmp_path):
+    from factstore_spark.storage.merge import point_lookup
+
+    assert point_lookup(spark, str(tmp_path / "nope"), [1]) is None
