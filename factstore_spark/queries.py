@@ -8087,6 +8087,170 @@ SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
 """
 
 
+def storage_point_lookup(spark, sf_dir):
+    """Self-validating merge-table POINT-LOOKUP contract
+    (storage/merge.py:build_key_index + point_lookup over
+    storage/bloomindex.py): load an orders sample as a keyed table
+    hash-bucketed into 16 partitions, build the snapshot-pinned Bloom
+    key index, and probe it with the sample's 10 smallest orderkeys
+    plus 5 absent keys. The row asserts: (a) the indexed lookup
+    returns EXACTLY the source rows for those keys (match_bp 10000),
+    (b) the index actually prunes (present keys admit <= 12 of the 16
+    per-partition files, absent keys nearly none — in-band, folded
+    into prune_ok with the small-corpus vacuity guard), and (c) after
+    a merge republishes the head WITHOUT an index rebuild, the STALE
+    index degrades to the pinned full scan and still returns the
+    updated row (stale_ok — the derived-state rule under test, not
+    just documented). Witnesses the oracle replays from raw parquet:
+    the md5 'ptlookup' sample size, the hit-row count, and the integer
+    cents sum over the 10 smallest sampled keys. Tmp table removed
+    eagerly."""
+    import shutil
+    import tempfile
+
+    from .storage.bloomindex import bloom_candidate_files
+    from .storage.merge import (
+        _head_manifest,
+        _live_files,
+        build_key_index,
+        create_table,
+        merge_upsert,
+        point_lookup,
+    )
+
+    orders_full = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = _probe_sample(
+        orders_full, "o_orderkey",
+        _probe_ppm(orders_full, 50, target=20_000, cache_key=(sf_dir, "orders")),
+        salt="ptlookup",
+    ).select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(16)).cast("string").alias("bucket"),
+        _cents(F.col("o_totalprice")).alias("total_cents"),
+    )
+    base = base.persist()
+    schema = (
+        "n_sample_rows long, n_hit_rows long, hit_cents_sum long, "
+        "prune_ok long, stale_ok long, match_bp long"
+    )
+    try:
+        head_rows = base.orderBy("o_orderkey").limit(10).collect()
+        if not head_rows:
+            return spark.createDataFrame([(0, 0, 0, 1, 1, 10000)], schema)
+        keys = [r.o_orderkey for r in head_rows]
+        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+        absents = [max_key + 1 + i for i in range(5)]
+        d = tempfile.mkdtemp(prefix="ptlookup-")
+        try:
+            create_table(base, d, ["o_orderkey"], "bucket")
+            build_key_index(spark, d)
+            files = _live_files(d, _head_manifest(d))
+            idx = os.path.join(d, "_keyidx")
+            p_present = bloom_candidate_files(
+                spark, idx, d, ["o_orderkey"], keys, files=files
+            )
+            p_absent = bloom_candidate_files(
+                spark, idx, d, ["o_orderkey"], absents, files=files
+            )
+            got = point_lookup(spark, d, keys + absents, on_stale="error").agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.xxhash64("o_orderkey", "total_cents").cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+                F.coalesce(F.sum("total_cents"), F.lit(0)).alias("cents"),
+            ).collect()[0]
+            want = base.filter(F.col("o_orderkey").isin(keys)).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.xxhash64("o_orderkey", "total_cents").cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            match_bp = (
+                10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
+            )
+            assess = p_present.total_files >= 8
+            prune_ok = int(
+                not p_present.stale
+                and not p_absent.stale
+                and (
+                    not assess
+                    or (
+                        len(p_present.candidate_files) <= len(keys) + 2
+                        and len(p_absent.candidate_files) <= 4
+                    )
+                )
+            )
+            # Stale leg: a merge republishes the head; the un-rebuilt
+            # index must degrade to the pinned scan and see the update.
+            k0 = keys[0]
+            orig0 = next(r.total_cents for r in head_rows if r.o_orderkey == k0)
+            merge_upsert(
+                base.filter(F.col("o_orderkey") == k0).select(
+                    "o_orderkey",
+                    "bucket",
+                    (F.col("total_cents") + F.lit(1000)).alias("total_cents"),
+                ),
+                d,
+            )
+            stale_rows = point_lookup(spark, d, [k0]).collect()
+            stale_ok = int(
+                len(stale_rows) == 1
+                and stale_rows[0].total_cents == orig0 + 1000
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        int(base.count()),
+                        int(want.n),
+                        int(got.cents),
+                        int(prune_ok),
+                        int(stale_ok),
+                        int(match_bp),
+                    )
+                ],
+                schema,
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        base.unpersist()
+
+
+# The witnesses replay in SQL: the md5 ppm 'ptlookup' sample, the 10
+# smallest sampled orderkeys and their integer-cents sum. The
+# invariants pin the lookup/prune/staleness contract at its must-hold
+# values.
+STORAGE_POINT_LOOKUP_SQL = """
+WITH params AS (
+  SELECT LEAST(500000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 20000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM orders),
+s AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, params
+  WHERE CAST('0x' || substring(md5('ptlookup' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+k AS (SELECT o_orderkey, cents FROM s ORDER BY o_orderkey LIMIT 10)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_hit_rows,
+       CAST(COALESCE((SELECT SUM(cents) FROM k), 0) AS BIGINT) AS hit_cents_sum,
+       CAST(1 AS BIGINT) AS prune_ok,
+       CAST(1 AS BIGINT) AS stale_ok,
+       CAST(10000 AS BIGINT) AS match_bp
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8108,6 +8272,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),
+    "storage_point_lookup": (storage_point_lookup, STORAGE_POINT_LOOKUP_SQL),
     # --- new in round 9 ---------------------------------------------------
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),
