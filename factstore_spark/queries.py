@@ -7952,6 +7952,9 @@ def storage_bloom_pruning(spark, sf_dir):
                 "prune_ok long, match_bp long",
             )
         finally:
+            from .storage.bloomindex import release_sidecar_cache
+
+            release_sidecar_cache(index_dir)  # throwaway index: unpin
             shutil.rmtree(root, ignore_errors=True)
     finally:
         docs.unpersist()
@@ -8223,6 +8226,11 @@ def storage_point_lookup(spark, sf_dir):
                 schema,
             )
         finally:
+            from .storage.bloomindex import release_sidecar_cache
+
+            # throwaway index: unpin (idx may not be assigned yet on
+            # an early failure — derive the path from d)
+            release_sidecar_cache(os.path.join(d, "_keyidx"))
             shutil.rmtree(d, ignore_errors=True)
     finally:
         base.unpersist()

@@ -129,10 +129,13 @@ def _norm_key_cols(key_cols) -> list[str]:
     return [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
 
-def _key_frame(spark: SparkSession, manifest: dict, keys: list) -> DataFrame:
-    """Probe keys -> a typed DataFrame with the manifest's key columns.
-    Scalars for single-column keys, tuples for composite keys; any key
-    containing None is dropped (SQL equality would never match it)."""
+def _key_frame(
+    spark: SparkSession, manifest: dict, keys: list
+) -> tuple[DataFrame, int]:
+    """Probe keys -> (typed DataFrame with the manifest's key columns,
+    usable-key count — known driver-side, no job). Scalars for
+    single-column keys, tuples for composite keys; any key containing
+    None is dropped (SQL equality would never match it)."""
     cols = manifest["key_cols"]
     types = manifest["key_types"]
     rows = []
@@ -146,7 +149,7 @@ def _key_frame(spark: SparkSession, manifest: dict, keys: list) -> DataFrame:
             continue
         rows.append(t)
     schema = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema), len(rows)
 
 
 def _position(h1: F.Column, h2: F.Column, i: F.Column, m: F.Column) -> F.Column:
@@ -331,6 +334,49 @@ class BloomProbe:
     version: int
 
 
+# Session-scoped sidecar cache: one persisted frame per index dir,
+# keyed by the manifest version so a rebuild invalidates it on the
+# next probe (the superseded frame is unpersisted eagerly). A sidecar
+# is one row per data file — KBs to a few MBs — so pinning it turns
+# the repeated-point-lookup pattern (a findById service) into a
+# broadcast-join against in-memory metadata instead of a parquet read
+# per call. Same discipline as the signature-index frame cache.
+_SIDECAR_CACHE: dict[str, tuple[int, DataFrame]] = {}
+
+
+def release_sidecar_cache(index_dir: str | None = None) -> int:
+    """Unpersist cached sidecar frames — one index dir, or all. Callers
+    that create THROWAWAY indexes (battery entries, tests) release in
+    their finally block so the session never accumulates pinned frames
+    for deleted directories; long-lived indexes keep theirs."""
+    if index_dir is None:
+        n = len(_SIDECAR_CACHE)
+        for _v, df in _SIDECAR_CACHE.values():
+            df.unpersist()
+        _SIDECAR_CACHE.clear()
+        return n
+    hit = _SIDECAR_CACHE.pop(os.path.abspath(index_dir), None)
+    if hit is None:
+        return 0
+    hit[1].unpersist()
+    return 1
+
+
+def _sidecar_df(
+    spark: SparkSession, index_dir: str, manifest: dict, version: int
+) -> DataFrame:
+    key = os.path.abspath(index_dir)
+    hit = _SIDECAR_CACHE.get(key)
+    if hit is not None and hit[0] == version:
+        return hit[1]
+    df = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
+    df = df.persist()
+    if hit is not None:
+        hit[1].unpersist()
+    _SIDECAR_CACHE[key] = (version, df)
+    return df
+
+
 def describe_bloom_index(
     index_dir: str, data_dir: str, files: dict[str, int] | None = None
 ) -> dict:
@@ -370,10 +416,10 @@ def bloom_candidate_files(
         or manifest.get("files") != inv_now
     ):
         return BloomProbe(sorted(inv_now), len(inv_now), True, version)
-    kdf = _key_frame(spark, manifest, keys)
-    if not kdf.take(1):
+    kdf, n_keys = _key_frame(spark, manifest, keys)
+    if n_keys == 0:
         return BloomProbe([], len(inv_now), False, version)
-    sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
+    sidecar = _sidecar_df(spark, index_dir, manifest, version)
     cands = _probe_candidates(
         sidecar, kdf, manifest["key_cols"], int(manifest["num_hashes"])
     )
@@ -471,10 +517,14 @@ def pruned_semi_join(
     for c in key_cols:
         kdf = kdf.filter(F.col(c).isNotNull())
     kdf = kdf.distinct()
-    full = _read_pinned(spark, data_dir, files)
 
     def _exact(base: DataFrame) -> DataFrame:
         return base.join(kdf, key_cols, "left_semi")
+
+    def _full() -> DataFrame:
+        # constructed only on the paths that use it: parquet-read
+        # construction lists files + reads footers eagerly
+        return _read_pinned(spark, data_dir, files)
 
     manifest, _version = read_versioned_manifest(index_dir, _read_pointer)
     inv_now = files if files is not None else _inventory(data_dir)
@@ -483,8 +533,8 @@ def pruned_semi_join(
         or manifest.get("key_cols") != key_cols
         or manifest.get("files") != inv_now
     ):
-        return _exact(full)
-    sidecar = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
+        return _exact(_full())
+    sidecar = _sidecar_df(spark, index_dir, manifest, _version)
     cand_files = _probe_candidates(
         sidecar,
         kdf.select(
@@ -497,11 +547,11 @@ def pruned_semi_join(
         int(manifest["num_hashes"]),
     )
     if any(c not in manifest["files"] for c in cand_files):
-        return _exact(full)  # corrupted sidecar: degrade, never crash
+        return _exact(_full())  # corrupted sidecar: degrade, never crash
     if not cand_files:
-        return full.filter(F.lit(False))
+        return _full().filter(F.lit(False))
     if len(cand_files) == len(inv_now):
-        return _exact(full)  # nothing pruned: skip the subset read
+        return _exact(_full())  # nothing pruned: skip the subset read
     subset = _read_subset(spark, data_dir, cand_files, pinned=files is not None)
     return _exact(subset)
 
@@ -574,22 +624,26 @@ def pruned_lookup(
         if k is not None
         and not (isinstance(k, tuple) and any(p is None for p in k))
     ]
-    full = _read_pinned(spark, data_dir, files)
+    # ``spark.read.parquet`` lists files + reads footers at construction
+    # time, so the full-table frame is built ONLY on the paths that use
+    # it — the indexed fast path must not pay a whole-directory schema
+    # job for a fallback it doesn't take.
     if not keys:
-        return full.filter(F.lit(False))
+        return _read_pinned(spark, data_dir, files).filter(F.lit(False))
     probe = bloom_candidate_files(
         spark, index_dir, data_dir, key_cols, keys, files=files
     )
-    exact = _exact_key_filter(full, key_cols, keys)
     if probe.stale:
         if on_stale == "error":
             raise BloomIndexStaleError(
                 f"bloom index at {index_dir} is stale or missing for "
                 f"{data_dir}; rebuild with build_bloom_index"
             )
-        return full.filter(exact)
+        full = _read_pinned(spark, data_dir, files)
+        return full.filter(_exact_key_filter(full, key_cols, keys))
     if not probe.candidate_files:
-        return full.filter(F.lit(False))
-    return _read_subset(
+        return _read_pinned(spark, data_dir, files).filter(F.lit(False))
+    subset = _read_subset(
         spark, data_dir, probe.candidate_files, pinned=files is not None
-    ).filter(exact)
+    )
+    return subset.filter(_exact_key_filter(subset, key_cols, keys))

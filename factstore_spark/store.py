@@ -225,6 +225,10 @@ class FactStore:
 
         store_dir = self._store_dir(meta.id)
         if os.path.isdir(store_dir):
+            from .storage.bloomindex import release_sidecar_cache
+
+            # unpin a cached id-index sidecar before its dir vanishes
+            release_sidecar_cache(os.path.join(store_dir, "ididx"))
             shutil.rmtree(store_dir)
         return StoreRemoved(name)
 
