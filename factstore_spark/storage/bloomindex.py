@@ -140,7 +140,17 @@ def _key_frame(
     types = manifest["key_types"]
     rows = []
     for k in keys:
-        t = (k,) if len(cols) == 1 and not isinstance(k, tuple) else tuple(k)
+        if len(cols) == 1:
+            t = tuple(k) if isinstance(k, (tuple, list)) else (k,)
+        elif isinstance(k, (tuple, list)):
+            t = tuple(k)
+        else:
+            # a bare scalar against a composite index would otherwise
+            # coerce surprisingly (tuple("ab") == ("a","b")) or raise a
+            # bare TypeError — fail with the diagnostic instead
+            raise ValueError(
+                f"probe key {k!r} must be a tuple matching index key {cols}"
+            )
         if len(t) != len(cols):
             raise ValueError(
                 f"probe key {k!r} has {len(t)} parts; index key is {cols}"
@@ -277,16 +287,29 @@ def build_bloom_index(
         .select("_file")
         .collect()
     }
-    if written != set(inv):
+    unknown = written - set(inv)
+    absent = set(inv) - written
+    if absent:
+        # A zero-row parquet file legitimately yields no sidecar row
+        # (and is correctly never a candidate) — only a file that HAS
+        # rows but produced no sidecar row indicates relpath drift.
+        # Footer check is metadata-only, bounded by file count.
+        import pyarrow.parquet as pq
+
+        absent = {
+            f
+            for f in absent
+            if pq.read_metadata(os.path.join(data_dir, f)).num_rows > 0
+        }
+    if unknown or absent:
         import shutil
 
         shutil.rmtree(os.path.join(index_dir, data_sub), ignore_errors=True)
         raise BloomIndexBuildError(
             f"sidecar file names diverge from the {data_dir} inventory "
-            f"(e.g. {sorted(written - set(inv))[:2]} vs "
-            f"{sorted(set(inv) - written)[:2]}); the data path's "
-            "canonical form differs from its os.path form — index not "
-            "published"
+            f"(e.g. {sorted(unknown)[:2]} vs {sorted(absent)[:2]}); the "
+            "data path's canonical form differs from its os.path form — "
+            "index not published"
         )
     manifest = {
         "key_cols": key_cols,
@@ -335,13 +358,16 @@ class BloomProbe:
 
 
 # Session-scoped sidecar cache: one persisted frame per index dir,
-# keyed by the manifest version so a rebuild invalidates it on the
-# next probe (the superseded frame is unpersisted eagerly). A sidecar
-# is one row per data file — KBs to a few MBs — so pinning it turns
-# the repeated-point-lookup pattern (a findById service) into a
+# keyed by the manifest's uuid-bearing data_dir token so a rebuild
+# invalidates it on the next probe (the superseded frame is
+# unpersisted eagerly). NOT keyed by version number: a deleted-and-
+# recreated index dir restarts versions at 1, and a version-keyed
+# cache would serve the old frame for a brand-new index. A sidecar is
+# one row per data file — KBs to a few MBs — so pinning it turns the
+# repeated-point-lookup pattern (a findById service) into a
 # broadcast-join against in-memory metadata instead of a parquet read
 # per call. Same discipline as the signature-index frame cache.
-_SIDECAR_CACHE: dict[str, tuple[int, DataFrame]] = {}
+_SIDECAR_CACHE: dict[str, tuple[str, DataFrame]] = {}
 
 
 def release_sidecar_cache(index_dir: str | None = None) -> int:
@@ -363,17 +389,18 @@ def release_sidecar_cache(index_dir: str | None = None) -> int:
 
 
 def _sidecar_df(
-    spark: SparkSession, index_dir: str, manifest: dict, version: int
+    spark: SparkSession, index_dir: str, manifest: dict
 ) -> DataFrame:
     key = os.path.abspath(index_dir)
+    token = manifest["data_dir"]
     hit = _SIDECAR_CACHE.get(key)
-    if hit is not None and hit[0] == version:
+    if hit is not None and hit[0] == token:
         return hit[1]
-    df = spark.read.parquet(os.path.join(index_dir, manifest["data_dir"]))
+    df = spark.read.parquet(os.path.join(index_dir, token))
     df = df.persist()
     if hit is not None:
         hit[1].unpersist()
-    _SIDECAR_CACHE[key] = (version, df)
+    _SIDECAR_CACHE[key] = (token, df)
     return df
 
 
@@ -387,9 +414,14 @@ def describe_bloom_index(
     return {
         "exists": True,
         "version": version,
-        "key_cols": manifest["key_cols"],
+        # .get: a pre-composite-format manifest (key_col/key_type)
+        # must describe as stale, not crash maintenance
+        "key_cols": manifest.get(
+            "key_cols",
+            [manifest["key_col"]] if "key_col" in manifest else None,
+        ),
         "n_files": len(manifest["files"]),
-        "stale": manifest["files"] != inv_now,
+        "stale": "key_cols" not in manifest or manifest["files"] != inv_now,
     }
 
 
@@ -419,7 +451,7 @@ def bloom_candidate_files(
     kdf, n_keys = _key_frame(spark, manifest, keys)
     if n_keys == 0:
         return BloomProbe([], len(inv_now), False, version)
-    sidecar = _sidecar_df(spark, index_dir, manifest, version)
+    sidecar = _sidecar_df(spark, index_dir, manifest)
     cands = _probe_candidates(
         sidecar, kdf, manifest["key_cols"], int(manifest["num_hashes"])
     )
@@ -491,6 +523,7 @@ def pruned_semi_join(
     index_dir: str,
     keys_cols=None,
     files: dict[str, int] | None = None,
+    probe_limit: int = 1_000_000,
 ) -> DataFrame:
     """Exact semi-join ``data[key_cols] IN keys_df[keys_cols]`` reading
     ONLY the sidecar's candidate files — the Bloom index as a JOIN
@@ -506,6 +539,12 @@ def pruned_semi_join(
     approach every file the exact join dominates either way, so the
     all-files case short-circuits to the plain scan. Stale/missing
     index degrades to the full-scan semi-join (never a wrong answer).
+
+    ``probe_limit``: key sets larger than this skip the index entirely
+    and run the plain semi-join — a huge probe set would (a) blow the
+    broadcast the probe pipeline relies on and (b) mark nearly every
+    file a candidate anyway. The distinct-count check costs one cheap
+    aggregate over the keys frame.
     """
     key_cols = _norm_key_cols(key_cols)
     keys_cols = _norm_key_cols(keys_cols) if keys_cols is not None else key_cols
@@ -534,7 +573,9 @@ def pruned_semi_join(
         or manifest.get("files") != inv_now
     ):
         return _exact(_full())
-    sidecar = _sidecar_df(spark, index_dir, manifest, _version)
+    if kdf.limit(probe_limit + 1).count() > probe_limit:
+        return _exact(_full())  # probe set too big for the index to help
+    sidecar = _sidecar_df(spark, index_dir, manifest)
     cand_files = _probe_candidates(
         sidecar,
         kdf.select(
@@ -585,7 +626,7 @@ def _read_pinned(
     )
 
 
-def _exact_key_filter(df: DataFrame, key_cols: list[str], keys: list) -> F.Column:
+def _exact_key_filter(key_cols: list[str], keys: list) -> F.Column:
     """IN-list predicate for scalar keys (parquet-pushable); an
     OR-of-AND for composite keys (bounded: point-lookup lists are
     small by contract)."""
@@ -640,10 +681,10 @@ def pruned_lookup(
                 f"{data_dir}; rebuild with build_bloom_index"
             )
         full = _read_pinned(spark, data_dir, files)
-        return full.filter(_exact_key_filter(full, key_cols, keys))
+        return full.filter(_exact_key_filter(key_cols, keys))
     if not probe.candidate_files:
         return _read_pinned(spark, data_dir, files).filter(F.lit(False))
     subset = _read_subset(
         spark, data_dir, probe.candidate_files, pinned=files is not None
     )
-    return subset.filter(_exact_key_filter(subset, key_cols, keys))
+    return subset.filter(_exact_key_filter(key_cols, keys))

@@ -776,9 +776,15 @@ def maintain_table(
         "vacuumed_snapshots": vac["removed_snapshots"],
     }
     # Key index is opt-in (built once via build_key_index); compaction
-    # republished the head, so refresh it in the same slot.
+    # republished the head, so refresh it in the same slot. A table
+    # whose rows were ALL deleted has nothing to index — skip instead
+    # of failing every later maintenance tick.
     if os.path.isdir(os.path.join(table_dir, _KEY_INDEX_DIR)):
-        out["key_index"] = build_key_index(spark, table_dir)
+        m = _head_manifest(table_dir)
+        if m and m["partitions"]:
+            out["key_index"] = build_key_index(spark, table_dir)
+        else:
+            out["key_index"] = {"built": False, "reason": "empty table"}
     return out
 
 
@@ -790,11 +796,14 @@ def _live_files(table_dir: str, manifest: dict) -> dict[str, int]:
     out: dict[str, int] = {}
     for rel in manifest["partitions"].values():
         d = os.path.join(table_dir, rel)
-        try:
-            walker = list(os.walk(d))
-        except OSError as e:  # pragma: no cover - racing vacuum
-            raise SnapshotGoneError(str(e)) from e
-        for root, _dirs, names in walker:
+        # os.walk on a missing dir yields an EMPTY walk, not an error —
+        # a silently-dropped partition would make point lookups return
+        # partial results; check existence explicitly.
+        if not os.path.isdir(d):
+            raise SnapshotGoneError(
+                f"manifest partition dir vanished (racing vacuum?): {d}"
+            )
+        for root, _dirs, names in os.walk(d):
             for n in names:
                 if n.endswith(".parquet") and not n.startswith("."):
                     p = os.path.join(root, n)
@@ -858,11 +867,28 @@ def point_lookup(
         files=_live_files(table_dir, m),
     )
     # pin read_table's column surface (schema-merged subset reads can
-    # surface evolved columns in any file order; a column absent from
-    # EVERY candidate file comes back as typed-null via lit)
+    # surface evolved columns in any file order). A column absent from
+    # EVERY candidate file backfills as a TYPED null — the type comes
+    # from the pinned full read's merged schema (rare path: only when
+    # all candidates predate a schema evolution).
+    missing = [c for c in m["meta"]["columns"] if c not in df.columns]
+    types = {}
+    if missing:
+        from .bloomindex import _read_pinned
+
+        full_schema = _read_pinned(
+            spark, table_dir, _live_files(table_dir, m)
+        ).schema
+        types = {f.name: f.dataType for f in full_schema.fields}
     return df.select(
         *[
-            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            F.col(c)
+            if c in df.columns
+            else (
+                F.lit(None).cast(types[c]).alias(c)
+                if c in types
+                else F.lit(None).alias(c)
+            )
             for c in m["meta"]["columns"]
         ]
     )

@@ -486,3 +486,117 @@ def test_merge_point_lookup_missing_table_returns_none(spark, tmp_path):
     from factstore_spark.storage.merge import point_lookup
 
     assert point_lookup(spark, str(tmp_path / "nope"), [1]) is None
+
+
+# ---------------------------------------------------------------------------
+# Second-review regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_build_tolerates_zero_row_files(spark, store_root):
+    """A 0-row parquet file yields no sidecar row (correctly never a
+    candidate) — the build-time name validation must not reject it."""
+    data_dir = os.path.join(store_root, "zdata")
+    spark.range(0, 500).select(F.col("id").alias("k")).repartition(
+        4, "k"
+    ).write.parquet(data_dir)
+    spark.createDataFrame([], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    idx = os.path.join(store_root, "zidx")
+    st = build_bloom_index(spark, data_dir, "k", idx)
+    assert st["n_files"] >= 5  # empty part file counted in inventory
+    got = pruned_lookup(spark, data_dir, "k", [7, 9999], idx, on_stale="error")
+    assert [r.k for r in got.collect()] == [7]
+
+
+def test_scalar_probe_against_composite_index_raises(spark, store_root):
+    data_dir = os.path.join(store_root, "c3")
+    idx = os.path.join(store_root, "c3i")
+    spark.range(0, 100).select(
+        (F.col("id") % 10).alias("a"), F.col("id").alias("b")
+    ).coalesce(2).write.parquet(data_dir)
+    build_bloom_index(spark, data_dir, ["a", "b"], idx)
+    with pytest.raises(ValueError, match="must be a tuple"):
+        bloom_candidate_files(spark, idx, data_dir, ["a", "b"], ["ab"])
+
+
+def test_describe_old_format_manifest_reports_stale(spark, bloom_table):
+    """A pre-composite manifest (key_col/key_type) must describe as
+    stale — maintenance then rebuilds instead of crashing."""
+    import json as _json
+
+    data_dir, index_dir, _ = bloom_table
+    from factstore_spark.storage import bloomindex as bi
+
+    manifest, base = bi.read_versioned_manifest(index_dir, bi._read_pointer)
+    old = dict(manifest)
+    old["key_col"] = old.pop("key_cols")[0]
+    old["key_type"] = old.pop("key_types")[0]
+    bi.cas_swap_manifest(index_dir, old, base, bi._write_pointer)
+    d = describe_bloom_index(index_dir, data_dir)
+    assert d["exists"] and d["stale"] and d["key_cols"] == ["k"]
+    # and probes degrade rather than crash
+    probe = bloom_candidate_files(spark, index_dir, data_dir, "k", [1])
+    assert probe.stale
+
+
+def test_merge_maintain_survives_fully_deleted_table(spark, tmp_path):
+    from factstore_spark.storage.merge import (
+        build_key_index,
+        create_table,
+        maintain_table,
+        merge_upsert,
+    )
+
+    d = str(tmp_path / "t2")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, part string, v string"
+    )
+    create_table(df, d, ["id"], "part")
+    build_key_index(spark, d)
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "a", "x", True), (2, "b", "y", True)],
+            "id long, part string, v string, is_deleted boolean",
+        ),
+        d,
+        delete_col="is_deleted",
+    )
+    rep = maintain_table(spark, d)
+    assert rep["key_index"] == {"built": False, "reason": "empty table"}
+
+
+def test_merge_point_lookup_vacuumed_partition_raises(spark, tmp_path):
+    import shutil as _sh
+
+    from factstore_spark.storage.merge import (
+        SnapshotGoneError,
+        _head_manifest,
+        create_table,
+        point_lookup,
+    )
+
+    d = str(tmp_path / "t3")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, part string, v string"
+    )
+    create_table(df, d, ["id"], "part")
+    m = _head_manifest(d)
+    victim = os.path.join(d, next(iter(m["partitions"].values())))
+    _sh.rmtree(victim)
+    with pytest.raises(SnapshotGoneError):
+        point_lookup(spark, d, [1])
+
+
+def test_semi_join_probe_limit_skips_index(spark, bloom_table):
+    """Above probe_limit the index is skipped but the result is still
+    the exact semi-join."""
+    from factstore_spark.storage.bloomindex import pruned_semi_join
+
+    data_dir, index_dir, _ = bloom_table
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    got = pruned_semi_join(
+        spark, data_dir, "k", keys, index_dir, probe_limit=50
+    )
+    assert got.count() == 200
