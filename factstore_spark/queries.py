@@ -8259,6 +8259,70 @@ SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
 """
 
 
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware daily-revenue anomaly flags: per event type,
+    compare each day's cents total against the exact median of ITS
+    day-of-week (the weekly-profile baseline — a Monday is judged
+    against Mondays, so a weekend-shaped dip never false-alarms).
+    High = day >= 1.5x its dow median, low = day <= 0.25x — all
+    integer-cents comparisons, exactly replayable in SQL.
+
+    Scale shape: one map-combined groupBy over raw events produces the
+    (type, day) daily frame; everything after (dow medians via a
+    per-(type,dow) window over <= days rows, the flag join, the final
+    rollup) is O(types x days) — metadata-sized at any corpus scale.
+    Epoch day 0 (1970-01-01) was a Thursday: dow = (day + 4) % 7 in
+    both engines."""
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
+    ).agg(F.sum(_cents(F.col("value"))).cast("long").alias("cents"))
+    dd = d.withColumn("dow", F.pmod(F.col("day") + 4, F.lit(7)))
+    w = Window.partitionBy("event_type", "dow").orderBy("cents", "day")
+    wn = Window.partitionBy("event_type", "dow")
+    r = (
+        dd.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    med = r.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", "dow", F.col("cents").alias("med")
+    )
+    j = dd.join(med, ["event_type", "dow"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum((F.col("cents") * 2 >= F.col("med") * 3).cast("int"))
+        .cast("long")
+        .alias("n_high_days"),
+        F.sum((F.col("cents") * 4 <= F.col("med")).cast("int"))
+        .cast("long")
+        .alias("n_low_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+EVENTS_SEASONAL_ANOMALY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+dd AS (SELECT *, (day + 4) % 7 AS dow FROM d),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY cents, day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type, dow) AS n
+  FROM dd),
+med AS (SELECT event_type, dow, cents AS med FROM r WHERE rk = (n + 1) // 2),
+j AS (SELECT dd.*, med.med FROM dd JOIN med USING (event_type, dow))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN cents * 2 >= med * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_days,
+       CAST(SUM(CASE WHEN cents * 4 <= med THEN 1 ELSE 0 END) AS BIGINT) AS n_low_days,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM j GROUP BY event_type
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8281,6 +8345,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),
     "storage_point_lookup": (storage_point_lookup, STORAGE_POINT_LOOKUP_SQL),
+    "events_seasonal_anomaly": (events_seasonal_anomaly, EVENTS_SEASONAL_ANOMALY_SQL),
     # --- new in round 9 ---------------------------------------------------
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),
