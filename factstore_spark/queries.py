@@ -8323,6 +8323,59 @@ FROM j GROUP BY event_type
 """
 
 
+def corpus_source_gini(spark, sf_dir):
+    """Source-concentration audit for mixture design: the Gini
+    coefficient of document counts across sources plus the largest
+    source's share — the one-row dashboard a 100 TB curation run
+    checks before trusting its mixture weights (a corpus whose tokens
+    concentrate in one crawl behaves like that crawl no matter what
+    the nominal source list says). Exact integer arithmetic end to
+    end: with per-source counts x_1 <= ... <= x_n,
+    gini_bp = floor(10000 * (2*sum(i*x_i) - (n+1)*total) / (n*total))
+    — both engines floor the same non-negative rational. The
+    per-source aggregation is the only pass over raw data; the Gini
+    fold runs over O(sources) rows."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("x", "source")
+    ranked = per_src.withColumn("i", F.row_number().over(w).cast("long"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    # integer div on both engines (// in DuckDB): float division would
+    # round differently from DuckDB's at large magnitudes
+    return sums.select(
+        F.col("n").alias("n_sources"),
+        F.col("tot").alias("total_docs"),
+        F.expr("(10000 * (2 * six - (n + 1) * tot)) div (n * tot)")
+        .cast("long")
+        .alias("gini_bp"),
+        F.expr("(10000 * mx) div tot").cast("long").alias("top_share_bp"),
+    )
+
+
+# O(sources) window frame: source cardinality is bounded (a curated
+# corpus has dozens of sources, not millions), so the unpartitioned
+# ORDER BY here is a metadata-sized fold, not a scan bottleneck —
+# the operators/ranking.py:4 rule.
+CORPUS_SOURCE_GINI_SQL = """
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x
+           FROM documents GROUP BY source),
+r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, source) AS BIGINT) AS i FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(x) AS BIGINT) AS total_docs,
+       CAST((10000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_bp,
+       CAST((10000 * MAX(x)) // SUM(x) AS BIGINT) AS top_share_bp
+FROM r
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8346,6 +8399,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),
     "storage_point_lookup": (storage_point_lookup, STORAGE_POINT_LOOKUP_SQL),
     "events_seasonal_anomaly": (events_seasonal_anomaly, EVENTS_SEASONAL_ANOMALY_SQL),
+    "corpus_source_gini": (corpus_source_gini, CORPUS_SOURCE_GINI_SQL),
     # --- new in round 9 ---------------------------------------------------
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),
