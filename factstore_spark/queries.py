@@ -8348,14 +8348,22 @@ def corpus_source_gini(spark, sf_dir):
         F.max("x").cast("long").alias("mx"),
     )
     # integer div on both engines (// in DuckDB): float division would
-    # round differently from DuckDB's at large magnitudes
+    # round differently from DuckDB's at large magnitudes; the CASE
+    # guard keeps an empty corpus a zero row, not a division error
     return sums.select(
         F.col("n").alias("n_sources"),
-        F.col("tot").alias("total_docs"),
-        F.expr("(10000 * (2 * six - (n + 1) * tot)) div (n * tot)")
+        F.coalesce(F.col("tot"), F.lit(0)).alias("total_docs"),
+        F.expr(
+            "CASE WHEN n > 0 AND tot > 0 THEN "
+            "(10000 * (2 * six - (n + 1) * tot)) div (n * tot) ELSE 0 END"
+        )
         .cast("long")
         .alias("gini_bp"),
-        F.expr("(10000 * mx) div tot").cast("long").alias("top_share_bp"),
+        F.expr(
+            "CASE WHEN tot > 0 THEN (10000 * mx) div tot ELSE 0 END"
+        )
+        .cast("long")
+        .alias("top_share_bp"),
     )
 
 
@@ -8368,10 +8376,12 @@ WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x
            FROM documents GROUP BY source),
 r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, source) AS BIGINT) AS i FROM s)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
-       CAST(SUM(x) AS BIGINT) AS total_docs,
-       CAST((10000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
-            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_bp,
-       CAST((10000 * MAX(x)) // SUM(x) AS BIGINT) AS top_share_bp
+       CAST(COALESCE(SUM(x), 0) AS BIGINT) AS total_docs,
+       CAST(CASE WHEN COUNT(*) > 0 AND SUM(x) > 0 THEN
+              (10000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+              // (COUNT(*) * SUM(x)) ELSE 0 END AS BIGINT) AS gini_bp,
+       CAST(CASE WHEN SUM(x) > 0 THEN (10000 * MAX(x)) // SUM(x)
+            ELSE 0 END AS BIGINT) AS top_share_bp
 FROM r
 """
 
