@@ -8265,14 +8265,19 @@ def events_seasonal_anomaly(spark, sf_dir):
     day-of-week (the weekly-profile baseline — a Monday is judged
     against Mondays, so a weekend-shaped dip never false-alarms).
     High = day >= 1.5x its dow median, low = day <= 0.25x — all
-    integer-cents comparisons, exactly replayable in SQL.
+    integer-cents comparisons, exactly replayable in SQL. The median
+    is the TRUE even-n median (average of both middle ranks, the
+    events_user_mad_outliers convention), carried DOUBLED (med2 =
+    lo+hi middle values) so the .5 case stays integer: high is
+    cents*4 >= 3*med2, low is cents*8 <= med2.
 
     Scale shape: one map-combined groupBy over raw events produces the
     (type, day) daily frame; everything after (dow medians via a
     per-(type,dow) window over <= days rows, the flag join, the final
     rollup) is O(types x days) — metadata-sized at any corpus scale.
-    Epoch day 0 (1970-01-01) was a Thursday: dow = (day + 4) % 7 in
-    both engines."""
+    Epoch day 0 (1970-01-01) was a Thursday: dow = pmod(day + 4, 7);
+    the SQL oracle double-mods because DuckDB's % returns negative
+    remainders for pre-epoch days."""
     ev = load_events(spark, sf_dir)
     d = ev.groupBy(
         "event_type",
@@ -8285,16 +8290,29 @@ def events_seasonal_anomaly(spark, sf_dir):
         dd.withColumn("rk", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
     )
-    med = r.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
-        "event_type", "dow", F.col("cents").alias("med")
+    med = (
+        r.filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            # odd n: both target ranks coincide on one row -> double it
+            F.when(
+                F.max("n") % 2 == 1, F.sum("cents") * 2
+            )
+            .otherwise(F.sum("cents"))
+            .cast("long")
+            .alias("med2")
+        )
     )
     j = dd.join(med, ["event_type", "dow"])
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum((F.col("cents") * 2 >= F.col("med") * 3).cast("int"))
+        F.sum((F.col("cents") * 4 >= F.col("med2") * 3).cast("int"))
         .cast("long")
         .alias("n_high_days"),
-        F.sum((F.col("cents") * 4 <= F.col("med")).cast("int"))
+        F.sum((F.col("cents") * 8 <= F.col("med2")).cast("int"))
         .cast("long")
         .alias("n_low_days"),
         F.sum("cents").cast("long").alias("total_cents"),
@@ -8306,18 +8324,22 @@ WITH d AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2),
-dd AS (SELECT *, (day + 4) % 7 AS dow FROM d),
+dd AS (SELECT *, ((day + 4) % 7 + 7) % 7 AS dow FROM d),
 r AS (
   SELECT *,
          ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY cents, day) AS rk,
          COUNT(*) OVER (PARTITION BY event_type, dow) AS n
   FROM dd),
-med AS (SELECT event_type, dow, cents AS med FROM r WHERE rk = (n + 1) // 2),
-j AS (SELECT dd.*, med.med FROM dd JOIN med USING (event_type, dow))
+med AS (
+  SELECT event_type, dow,
+         CASE WHEN MAX(n) % 2 = 1 THEN 2 * SUM(cents) ELSE SUM(cents) END AS med2
+  FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+  GROUP BY event_type, dow),
+j AS (SELECT dd.*, med.med2 FROM dd JOIN med USING (event_type, dow))
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_days,
-       CAST(SUM(CASE WHEN cents * 2 >= med * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_days,
-       CAST(SUM(CASE WHEN cents * 4 <= med THEN 1 ELSE 0 END) AS BIGINT) AS n_low_days,
+       CAST(SUM(CASE WHEN cents * 4 >= med2 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_days,
+       CAST(SUM(CASE WHEN cents * 8 <= med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_days,
        CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM j GROUP BY event_type
 """
