@@ -263,3 +263,39 @@ def test_hll_set_ops_error_bounded_at_scale(spark):
     ).collect()[0]
     assert abs(got.est_union - 30_000) / 30_000 < 0.05
     assert abs(got.est_intersect - 10_000) <= 0.10 * 30_000
+
+
+def test_hll_set_ops_property_random_partitions(spark):
+    """Property sweep: random A/B partitions of a universe — for every
+    draw the identities must hold within sketch error: est_union <=
+    est_a + est_b (+noise), est_intersect ~ |A∩B|, est_only_a ~
+    |A∖B|, and all estimates non-negative. Seeded RNG, one Spark job
+    per draw."""
+    import random
+
+    from factstore_spark.operators.sketches import hll_cells, hll_set_ops
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n_universe = rng.choice([300, 2_000, 8_000])
+        cut_a = rng.randrange(1, n_universe)
+        cut_b = rng.randrange(0, cut_a)  # overlap [cut_b, cut_a)
+        a_ids = range(0, cut_a)
+        b_ids = range(cut_b, n_universe)
+        inter = cut_a - cut_b
+        a = spark.createDataFrame(
+            [(i % 3, f"u{i}") for i in a_ids], "day long, user string"
+        )
+        b = spark.createDataFrame(
+            [(i % 5, f"u{i}") for i in b_ids], "day long, user string"
+        )
+        got = hll_set_ops(
+            hll_cells(a, ["day"], "user"), hll_cells(b, ["day"], "user"), []
+        ).collect()[0]
+        tol = max(10.0, 0.05 * n_universe)
+        assert abs(got.est_union - n_universe) <= tol, (trial, got)
+        assert abs(got.est_intersect - inter) <= 3 * tol, (trial, got)
+        assert abs(got.est_only_a - cut_b) <= 3 * tol, (trial, got)
+        for v in (got.est_a, got.est_b, got.est_union, got.est_intersect,
+                  got.est_only_a, got.est_only_b):
+            assert v >= 0.0

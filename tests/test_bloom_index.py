@@ -600,3 +600,35 @@ def test_semi_join_probe_limit_skips_index(spark, bloom_table):
         spark, data_dir, "k", keys, index_dir, probe_limit=50
     )
     assert got.count() == 200
+
+
+def test_position_arithmetic_matches_pure_python(spark):
+    """The modular double-hashing expression must equal plain Python
+    integer math for adversarial (h1, h2, m) combos — the guard that a
+    future refactor of _position (or an ANSI-mode change) cannot move
+    any bit silently. Covers negative hashes, min/max longs, and tiny
+    and huge m."""
+    from factstore_spark.storage.bloomindex import _position
+
+    cases = [
+        (-(2**63), 2**63 - 1, 64),
+        (2**63 - 1, -(2**63), 64),
+        (-1, -1, 128),
+        (123456789123456789, -987654321987654321, 640),
+        (-5, 3, 64),
+        (0, 0, 64),
+        (7, -(2**62), 2**30),
+    ]
+    rows = [(h1, h2, i, m) for h1, h2, m in cases for i in range(7)]
+    df = spark.createDataFrame(rows, "h1 long, h2 long, i long, m long")
+    got = {
+        (r.h1, r.h2, r.i, r.m): r.pos
+        for r in df.select(
+            "h1", "h2", "i", "m",
+            _position(F.col("h1"), F.col("h2"), F.col("i"), F.col("m")).alias("pos"),
+        ).collect()
+    }
+    for (h1, h2, i, m), pos in got.items():
+        want = ((h1 % m) + i * (h2 % m)) % m  # python % is pmod for m>0
+        assert pos == want, (h1, h2, i, m, pos, want)
+        assert 0 <= pos < m
