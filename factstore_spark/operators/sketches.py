@@ -108,6 +108,96 @@ def hll_set_ops(
     )
 
 
+def cm_cells(
+    df: DataFrame,
+    cell_cols: Sequence[str],
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch counters per ``cell_cols`` cell — the
+    point-FREQUENCY companion to the HLL distinct cube and the
+    Misra-Gries heavy hitters: ``cm_query`` later answers "how many
+    times did key x occur?" for ANY key over ANY coarser slice from
+    O(cells x depth x width) counter rows, never a rescan, with the
+    one-sided guarantee est >= true (collisions only ever ADD).
+
+    Representation is sparse relational counters
+    ``(cells..., d, w, cnt)`` — a zero counter is an absent row — so
+    building is one JVM-side explode+groupBy (xxhash64 per depth, no
+    UDF, map-side combined) and merging is a SUM by (group, d, w).
+    Per-cell size is bounded by depth x min(width, distinct keys)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    return (
+        df.select(*cell_cols, F.col(key_col).alias("_key"))
+        .select(
+            *cell_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+            "_key",
+        )
+        .select(
+            *cell_cols,
+            "d",
+            F.pmod(
+                F.xxhash64(F.col("_key"), F.concat(F.lit("cm"), F.col("d"))),
+                F.lit(width),
+            ).alias("w"),
+        )
+        .groupBy(*cell_cols, "d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_merge(cells: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge counter cells up to ``group_cols`` — CM sketches are
+    linear, so a sum by (group, d, w) IS the sketch of the union."""
+    return cells.groupBy(*group_cols, "d", "w").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cm_query(
+    merged: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Frequency estimates for ``keys_df[key_col]`` against a merged
+    counter set (no group columns left): est = min over depths of the
+    key's counter, absent counters read as 0. Always est >= true;
+    overcount is bounded by the smallest depth's collision mass
+    (classically <= 2N/width with probability >= 1 - 2^-depth).
+    ``depth``/``width`` must match the build. The merged counter set
+    (O(depth x width) rows, a few KB) broadcasts; the probe keys
+    stream — the left side of an outer join cannot be the build side."""
+    probe = (
+        keys_df.select(F.col(key_col).alias("_key"))
+        .distinct()
+        .select(
+            "_key",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+        .select(
+            "_key",
+            "d",
+            F.pmod(
+                F.xxhash64(F.col("_key"), F.concat(F.lit("cm"), F.col("d"))),
+                F.lit(width),
+            ).alias("w"),
+        )
+    )
+    joined = probe.join(F.broadcast(merged), ["d", "w"], "left")
+    return (
+        joined.groupBy("_key")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+        )
+        .withColumnRenamed("_key", key_col)
+    )
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """Approximate frequent items (heavy hitters) via per-partition
     Misra-Gries summaries merged by candidate-sum — the frequency

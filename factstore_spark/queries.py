@@ -8408,6 +8408,99 @@ FROM r
 """
 
 
+def events_freq_sketch(spark, sf_dir):
+    """Mergeable Count-Min FREQUENCY cube
+    (operators/sketches.py:cm_cells/cm_merge/cm_query): per-day
+    counter cells over user_id merged to a global sketch, then point
+    frequencies for the 8 smallest user ids plus 2 absent ids — the
+    "how often did key x occur?" companion to the HLL distinct cube,
+    answered from O(depth x width) counter rows, never a rescan.
+    Driver-oracled (invariant + witness): the estimates are
+    hash-layout values no other engine replays, so the row pins the
+    sketch guarantees as invariants — ge_true_ok (est >= exact: CM
+    collisions only ever ADD, a hard deterministic property) and
+    bound_ok (est <= exact + 4N/width, the classical overcount band) —
+    and carries exact SQL witnesses: each probed user's true count and
+    the total event count the bound is scored against."""
+    from .operators.sketches import cm_cells, cm_merge, cm_query
+
+    depth, width = 4, 2048
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.expr("(ts_ns div 1000) div 86400000000")
+    )
+    lo = [
+        r.user_id
+        for r in ev.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(8)
+        .collect()
+    ]
+    if not lo:
+        return spark.createDataFrame(
+            [], "user_id long, exact_cnt long, n_total long, "
+            "ge_true_ok long, bound_ok long"
+        )
+    mx = ev.agg(F.max("user_id")).collect()[0][0]
+    probe_ids = lo + [mx + 1, mx + 2]
+    merged = cm_merge(cm_cells(ev, ["day"], "user_id", depth, width), [])
+    keys = spark.createDataFrame([(k,) for k in probe_ids], "user_id long")
+    est = cm_query(merged, keys, "user_id", depth, width)
+    exact = (
+        ev.join(F.broadcast(keys), ["user_id"], "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    n_total = ev.count()
+    out = (
+        keys.join(exact, ["user_id"], "left")
+        .join(est, ["user_id"], "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("exact_cnt"), F.lit(0))
+            .cast("long")
+            .alias("exact_cnt"),
+            F.lit(n_total).cast("long").alias("n_total"),
+            (F.coalesce(F.col("est"), F.lit(0)) >= F.coalesce(F.col("exact_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("ge_true_ok"),
+            (
+                F.coalesce(F.col("est"), F.lit(0))
+                <= F.coalesce(F.col("exact_cnt"), F.lit(0))
+                + F.lit(4 * n_total // width)
+            )
+            .cast("long")
+            .alias("bound_ok"),
+        )
+    )
+    return out
+
+
+# The witnesses replay in SQL: the 8 smallest distinct user ids, two
+# synthesized absent ids (max+1, max+2), each probe's exact count and
+# the total event count. The invariants pin the CM guarantees at their
+# must-hold values.
+EVENTS_FREQ_SKETCH_SQL = """
+WITH lo AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+  ORDER BY user_id LIMIT 8),
+probes AS (
+  SELECT user_id FROM lo
+  UNION ALL SELECT MAX(user_id) + 1 FROM events
+  UNION ALL SELECT MAX(user_id) + 2 FROM events),
+c AS (
+  SELECT p.user_id,
+         (SELECT COUNT(*) FROM events e WHERE e.user_id = p.user_id) AS exact_cnt
+  FROM probes p)
+SELECT user_id,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_total,
+       CAST(1 AS BIGINT) AS ge_true_ok,
+       CAST(1 AS BIGINT) AS bound_ok
+FROM c
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8432,6 +8525,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "storage_point_lookup": (storage_point_lookup, STORAGE_POINT_LOOKUP_SQL),
     "events_seasonal_anomaly": (events_seasonal_anomaly, EVENTS_SEASONAL_ANOMALY_SQL),
     "corpus_source_gini": (corpus_source_gini, CORPUS_SOURCE_GINI_SQL),
+    "events_freq_sketch": (events_freq_sketch, EVENTS_FREQ_SKETCH_SQL),
     # --- new in round 9 ---------------------------------------------------
     "embeddings_gram_moments": (embeddings_gram_moments, EMBEDDINGS_GRAM_MOMENTS_SQL),
     "storage_ivm_minmax": (storage_ivm_minmax, STORAGE_IVM_MINMAX_SQL),

@@ -299,3 +299,60 @@ def test_hll_set_ops_property_random_partitions(spark):
         for v in (got.est_a, got.est_b, got.est_union, got.est_intersect,
                   got.est_only_a, got.est_only_b):
             assert v >= 0.0
+
+
+def test_cm_sketch_never_undercounts_and_is_tight_when_sparse(spark):
+    """CM guarantee: est >= true ALWAYS; with distinct keys far below
+    width the collision mass is ~0 and estimates are exact."""
+    from factstore_spark.operators.sketches import cm_cells, cm_merge, cm_query
+
+    rows = [(i % 3, f"u{i % 50}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "day long, user string")
+    merged = cm_merge(cm_cells(df, ["day"], "user"), [])
+    keys = spark.createDataFrame(
+        [(f"u{i}",) for i in range(50)] + [("ghost",)], "user string"
+    )
+    est = {r.user: r.est for r in cm_query(merged, keys, "user").collect()}
+    true = {f"u{i}": 100 for i in range(50)}
+    for u, t in true.items():
+        assert est[u] >= t
+        assert est[u] == t  # 50 keys vs width 2048: collisions absent
+    assert est["ghost"] == 0
+
+
+def test_cm_merge_equals_direct_build(spark):
+    """Linearity: merging per-day cells must equal sketching the whole
+    frame directly — the property that makes the cube sound."""
+    from factstore_spark.operators.sketches import cm_cells, cm_merge, cm_query
+
+    rows = [(i % 7, f"k{i % 400}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "day long, k string")
+    via_cells = cm_merge(cm_cells(df, ["day"], "k"), [])
+    direct = cm_merge(cm_cells(df.withColumn("g", F.lit(0)), ["g"], "k"), [])
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(0, 400, 7)], "k string")
+    a = {r.k: r.est for r in cm_query(via_cells, keys, "k").collect()}
+    b = {r.k: r.est for r in cm_query(direct, keys, "k").collect()}
+    assert a == b
+
+
+def test_cm_overcount_bounded_under_pressure(spark):
+    """Distinct keys >> width: estimates still never undercount and
+    the min-over-depth overcount stays within the classical
+    2N/width-ish band (generous 4N/width assertion)."""
+    from pyspark.sql import functions as SF
+
+    from factstore_spark.operators.sketches import cm_cells, cm_merge, cm_query
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.lit(0).alias("g"), F.concat(F.lit("k"), (F.col("id") % 9000)).alias("k")
+    )
+    merged = cm_merge(cm_cells(df, ["g"], "k", depth=4, width=512), [])
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(0, 9000, 613)], "k string")
+    true = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    }
+    for r in cm_query(merged, keys, "k", depth=4, width=512).collect():
+        assert r.est >= true[r.k], (r.k, r.est, true[r.k])
+        assert r.est <= true[r.k] + 4 * n // 512, (r.k, r.est, true[r.k])
