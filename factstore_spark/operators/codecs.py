@@ -1,0 +1,361 @@
+"""Pure-stdlib media codecs: PNG, BMP, WAV — encode AND decode.
+
+The reference carries media as opaque binary fact payloads
+(Fact.kt:71-96); the multimodal operators (operators/multimodal.py)
+decode them inside Arrow-batched ``mapInPandas``. This container has
+no PIL/cv2/soundfile, but three ubiquitous formats are decodable with
+nothing beyond ``zlib``/``struct``/``wave``:
+
+- **PNG**: zlib-inflated IDAT, all five scanline filters (None/Sub/
+  Up/Average/Paeth) unfiltered per the spec, bit depth 8, color types
+  0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), non-interlaced.
+  The encoder can emit ANY filter per row (the battery cycles all
+  five), so the decoder's unfilter path is exercised for real.
+- **BMP**: BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB,
+  bottom-up or top-down, row padding handled. Decoded to RGB
+  top-down so PNG and BMP pixels are directly comparable.
+- **WAV**: PCM via the stdlib ``wave`` module (16-bit little-endian
+  samples returned raw).
+
+Genuinely native-lib formats (JPEG's DCT, MP4/H.264) remain behind
+``NotImplementedError`` — that boundary is now format-accurate
+instead of blanket.
+
+Everything is defined inside one factory closure so cloudpickle
+serializes the functions BY VALUE into Spark python workers (the
+package convention — see multimodal._make_fake_decode): executors
+never need ``factstore_spark`` importable on their own sys.path.
+
+Scale note: decode cost is per-row Python, but it runs inside
+mapInPandas Arrow batches on executors — the driver never touches
+payload bytes, and throughput scales with cores. For 100 MB assets,
+lower ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch is
+a handful of rows.
+"""
+
+from __future__ import annotations
+
+
+def _build_codecs():
+    import io
+    import struct
+    import wave
+    import zlib
+
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+    _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def _filter_row(
+        ftype: int, row: bytes, prior: bytes, bpp: int
+    ) -> bytes:
+        """Apply PNG filter ``ftype`` to a reconstructed row (encode
+        direction). ``prior`` is the RECONSTRUCTED previous row (zeros
+        for the first)."""
+        n = len(row)
+        out = bytearray(n)
+        for x in range(n):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = row[x]
+            elif ftype == 1:
+                v = row[x] - a
+            elif ftype == 2:
+                v = row[x] - b
+            elif ftype == 3:
+                v = row[x] - (a + b) // 2
+            elif ftype == 4:
+                v = row[x] - _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter {ftype}")
+            out[x] = v & 0xFF
+        return bytes(out)
+
+    def _unfilter_row(
+        ftype: int, raw: bytearray, prior: bytes, bpp: int
+    ) -> bytes:
+        """Invert PNG filter ``ftype`` in place (decode direction)."""
+        n = len(raw)
+        for x in range(n):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                add = 0
+            elif ftype == 1:
+                add = a
+            elif ftype == 2:
+                add = b
+            elif ftype == 3:
+                add = (a + b) // 2
+            elif ftype == 4:
+                add = _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter {ftype}")
+            raw[x] = (raw[x] + add) & 0xFF
+        return bytes(raw)
+
+    def png_encode(
+        pixels: bytes,
+        width: int,
+        height: int,
+        channels: int = 3,
+        filter_mode: str = "cycle",
+    ) -> bytes:
+        """8-bit PNG from row-major top-down interleaved ``pixels``
+        (``channels``: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA).
+        ``filter_mode``: 'none' filters every row with 0; 'cycle'
+        uses ``row % 5`` so a decoder must invert every filter type
+        to round-trip — the property the battery pins."""
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+        if ctype is None:
+            raise ValueError(f"unsupported channel count {channels}")
+        stride = width * channels
+        if len(pixels) != stride * height:
+            raise ValueError(
+                f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+            )
+        bpp = channels
+        raw = bytearray()
+        prior = bytes(stride)
+        for y in range(height):
+            row = pixels[y * stride : (y + 1) * stride]
+            ftype = (y % 5) if filter_mode == "cycle" else 0
+            raw.append(ftype)
+            raw += _filter_row(ftype, row, prior, bpp)
+            prior = row
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b"")
+        )
+
+    def png_decode(data: bytes) -> dict:
+        """PNG -> dict(width, height, channels, pixels) with pixels
+        row-major top-down interleaved (palette expanded to RGB).
+        Raises ValueError on malformed input, NotImplementedError on
+        interlaced or sub-byte-depth images."""
+        if data[:8] != _PNG_SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos = 8
+        width = height = bitdepth = ctype = interlace = None
+        idat = bytearray()
+        plte = None
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError("truncated PNG chunk")
+            if tag == b"IHDR":
+                width, height, bitdepth, ctype, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+            elif tag == b"PLTE":
+                plte = body
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # len + tag + crc
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        if bitdepth != 8:
+            raise NotImplementedError(f"PNG bit depth {bitdepth} (only 8)")
+        if interlace:
+            raise NotImplementedError("interlaced (Adam7) PNG")
+        channels = _CHANNELS.get(ctype)
+        if channels is None:
+            raise ValueError(f"bad PNG color type {ctype}")
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        out = bytearray()
+        prior = bytes(stride)
+        for y in range(height):
+            base = y * (stride + 1)
+            ftype = raw[base]
+            row = _unfilter_row(
+                ftype, bytearray(raw[base + 1 : base + 1 + stride]), prior, channels
+            )
+            out += row
+            prior = row
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            rgb = bytearray()
+            for idx in out:
+                rgb += plte[idx * 3 : idx * 3 + 3]
+            out, channels = rgb, 3
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "pixels": bytes(out),
+        }
+
+    def bmp_encode(pixels: bytes, width: int, height: int) -> bytes:
+        """24-bit uncompressed BMP from row-major TOP-DOWN RGB
+        ``pixels`` (stored bottom-up/BGR per the format)."""
+        if len(pixels) != width * height * 3:
+            raise ValueError("pixel buffer size mismatch")
+        pad = (-(width * 3)) % 4
+        body = bytearray()
+        for y in range(height - 1, -1, -1):
+            row = pixels[y * width * 3 : (y + 1) * width * 3]
+            for x in range(width):
+                r, g, b = row[x * 3 : x * 3 + 3]
+                body += bytes((b, g, r))
+            body += b"\x00" * pad
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+        return head + info + bytes(body)
+
+    def bmp_decode(data: bytes) -> dict:
+        """Uncompressed 24/32-bit BMP -> RGB top-down pixels dict
+        (same shape as png_decode, channels always 3)."""
+        if data[:2] != b"BM":
+            raise ValueError("not a BMP")
+        (offset,) = struct.unpack("<I", data[10:14])
+        (hsize,) = struct.unpack("<I", data[14:18])
+        if hsize < 40:
+            raise NotImplementedError(f"BMP header size {hsize}")
+        width, height_raw = struct.unpack("<ii", data[18:26])
+        planes, bits = struct.unpack("<HH", data[26:30])
+        (comp,) = struct.unpack("<I", data[30:34])
+        if comp != 0 or bits not in (24, 32):
+            raise NotImplementedError(f"BMP compression={comp} bits={bits}")
+        bottom_up = height_raw > 0
+        height = abs(height_raw)
+        bypp = bits // 8
+        stride = (width * bypp + 3) & ~3
+        out = bytearray(width * height * 3)
+        for row_i in range(height):
+            y = (height - 1 - row_i) if bottom_up else row_i
+            base = offset + row_i * stride
+            for x in range(width):
+                b, g, r = data[base + x * bypp : base + x * bypp + 3]
+                o = (y * width + x) * 3
+                out[o : o + 3] = bytes((r, g, b))
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixels": bytes(out),
+        }
+
+    def wav_encode(
+        samples: bytes, sample_rate: int, n_channels: int = 1
+    ) -> bytes:
+        """PCM 16-bit WAV from raw little-endian int16 ``samples``."""
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_channels)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(samples)
+        return buf.getvalue()
+
+    def wav_decode(data: bytes) -> dict:
+        """WAV -> dict(n_channels, sample_rate, n_frames, samples)
+        with samples as raw little-endian PCM bytes."""
+        try:
+            with wave.open(io.BytesIO(data), "rb") as w:
+                n = w.getnframes()
+                return {
+                    "n_channels": w.getnchannels(),
+                    "sample_rate": w.getframerate(),
+                    "sample_width": w.getsampwidth(),
+                    "n_frames": n,
+                    "samples": w.readframes(n),
+                }
+        except wave.Error as e:
+            raise ValueError(f"not a decodable WAV: {e}") from None
+
+    def sniff_format(data: bytes) -> str | None:
+        """Magic-byte format sniff; None when unknown."""
+        if data[:8] == _PNG_SIG:
+            return "png"
+        if data[:2] == b"BM":
+            return "bmp"
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return "wav"
+        if data[:3] == b"\xff\xd8\xff":
+            return "jpeg"
+        if data[4:8] == b"ftyp":
+            return "mp4"
+        return None
+
+    def decode_media(data: bytes) -> dict:
+        """Sniff + decode. Images -> kind='image' with (width, height,
+        channels, pixels, n_frames=1); audio -> kind='audio' with
+        (width=n_channels, height=sample_rate, n_frames, samples).
+        JPEG/MP4 (native-lib formats) raise NotImplementedError; other
+        bytes raise ValueError."""
+        fmt = sniff_format(data)
+        if fmt == "png":
+            d = png_decode(data)
+            return {"kind": "image", "format": "png", "n_frames": 1, **d}
+        if fmt == "bmp":
+            d = bmp_decode(data)
+            return {"kind": "image", "format": "bmp", "n_frames": 1, **d}
+        if fmt == "wav":
+            d = wav_decode(data)
+            return {
+                "kind": "audio",
+                "format": "wav",
+                "width": d["n_channels"],
+                "height": d["sample_rate"],
+                "n_frames": d["n_frames"],
+                "samples": d["samples"],
+                "sample_width": d["sample_width"],
+            }
+        if fmt in ("jpeg", "mp4"):
+            raise NotImplementedError(
+                f"{fmt} needs native codec libs (PIL/pyav) not present "
+                "in this environment"
+            )
+        raise ValueError("unrecognized media payload")
+
+    return {
+        "png_encode": png_encode,
+        "png_decode": png_decode,
+        "bmp_encode": bmp_encode,
+        "bmp_decode": bmp_decode,
+        "wav_encode": wav_encode,
+        "wav_decode": wav_decode,
+        "sniff_format": sniff_format,
+        "decode_media": decode_media,
+    }
+
+
+_C = _build_codecs()
+png_encode = _C["png_encode"]
+png_decode = _C["png_decode"]
+bmp_encode = _C["bmp_encode"]
+bmp_decode = _C["bmp_decode"]
+wav_encode = _C["wav_encode"]
+wav_decode = _C["wav_decode"]
+sniff_format = _C["sniff_format"]
+decode_media = _C["decode_media"]

@@ -8485,9 +8485,12 @@ WITH lo AS (
   SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
   ORDER BY user_id LIMIT 8),
 probes AS (
+  -- HAVING COUNT(*) > 0 mirrors the Python side's early return on an
+  -- empty corpus: MAX over zero rows is NULL, so unguarded probes
+  -- would emit two NULL-id rows the Spark function never produces.
   SELECT user_id FROM lo
-  UNION ALL SELECT MAX(user_id) + 1 FROM events
-  UNION ALL SELECT MAX(user_id) + 2 FROM events),
+  UNION ALL SELECT MAX(user_id) + 1 FROM events HAVING COUNT(*) > 0
+  UNION ALL SELECT MAX(user_id) + 2 FROM events HAVING COUNT(*) > 0),
 c AS (
   SELECT p.user_id,
          (SELECT COUNT(*) FROM events e WHERE e.user_id = p.user_id) AS exact_cnt

@@ -93,19 +93,29 @@ def _write_pointer(root: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(root, _POINTER))
 
 
-def _inventory(data_dir: str) -> dict[str, int]:
-    """{relative path: size} of every parquet file under ``data_dir``
-    (recursive — hive layouts like ``fact_date=.../part-*.parquet``
-    index like flat ones). Name + size (not mtime): copies/moves
-    preserve content, and a rewritten file virtually always changes
-    its byte size; the exact-filter backstop makes the residual risk a
-    pruning (perf) risk only."""
+def _inventory(data_dir: str) -> dict[str, str]:
+    """{relative path: "size:mtime_ns"} of every parquet file under
+    ``data_dir`` (recursive — hive layouts like
+    ``fact_date=.../part-*.parquet`` index like flat ones). The
+    fingerprint includes mtime_ns because the exact-filter backstop
+    only removes Bloom FALSE POSITIVES: a file rewritten in place with
+    the same name and byte size but different keys would otherwise
+    pass the freshness check and produce false NEGATIVES (silently
+    missed rows) — a correctness gap, not a pruning-cost one. mtime
+    makes copies/moves read as stale too; that costs one degraded
+    full-scan probe + a rebuild, never a wrong answer. Snapshot-pinned
+    callers (merge tables) pass their own ``files`` map instead: their
+    copy-on-write contract means live files are never rewritten in
+    place, so the manifest's name+size pin is already sound there."""
     out = {}
     for root, _dirs, names in os.walk(data_dir):
         for name in names:
             if name.endswith(".parquet") and not name.startswith("."):
                 p = os.path.join(root, name)
-                out[os.path.relpath(p, data_dir)] = os.path.getsize(p)
+                st = os.stat(p)
+                out[os.path.relpath(p, data_dir)] = (
+                    f"{st.st_size}:{st.st_mtime_ns}"
+                )
     return out
 
 
@@ -626,10 +636,18 @@ def _read_pinned(
     )
 
 
+def _norm_probe_keys(keys: list) -> list:
+    """Normalize list-shaped keys to tuples so every downstream path
+    (_key_frame accepts both, but _exact_key_filter's scalar unwrap
+    and the None-drop checks key on tuple) sees one shape."""
+    return [tuple(k) if isinstance(k, list) else k for k in keys]
+
+
 def _exact_key_filter(key_cols: list[str], keys: list) -> F.Column:
     """IN-list predicate for scalar keys (parquet-pushable); an
     OR-of-AND for composite keys (bounded: point-lookup lists are
     small by contract)."""
+    keys = _norm_probe_keys(keys)
     if len(key_cols) == 1:
         return F.col(key_cols[0]).isin([k if not isinstance(k, tuple) else k[0] for k in keys])
     preds = []
@@ -661,7 +679,7 @@ def pruned_lookup(
     key_cols = _norm_key_cols(key_cols)
     keys = [
         k
-        for k in keys
+        for k in _norm_probe_keys(keys)
         if k is not None
         and not (isinstance(k, tuple) and any(p is None for p in k))
     ]

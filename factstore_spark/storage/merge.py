@@ -870,15 +870,28 @@ def point_lookup(
     # surface evolved columns in any file order). A column absent from
     # EVERY candidate file backfills as a TYPED null — the type comes
     # from the pinned full read's merged schema (rare path: only when
-    # all candidates predate a schema evolution).
-    missing = [c for c in m["meta"]["columns"] if c not in df.columns]
-    types = {}
-    if missing:
+    # all candidates predate a schema evolution). Legacy manifests
+    # written before meta carried 'columns' (merge_upsert degrades via
+    # meta.get at its own read site) fall back to that same pinned
+    # schema instead of raising KeyError.
+    cols = m["meta"].get("columns")
+    full_schema = None
+    if cols is None:
         from .bloomindex import _read_pinned
 
         full_schema = _read_pinned(
             spark, table_dir, _live_files(table_dir, m)
         ).schema
+        cols = [f.name for f in full_schema.fields]
+    missing = [c for c in cols if c not in df.columns]
+    types = {}
+    if missing:
+        if full_schema is None:
+            from .bloomindex import _read_pinned
+
+            full_schema = _read_pinned(
+                spark, table_dir, _live_files(table_dir, m)
+            ).schema
         types = {f.name: f.dataType for f in full_schema.fields}
     return df.select(
         *[
@@ -889,7 +902,7 @@ def point_lookup(
                 if c in types
                 else F.lit(None).alias(c)
             )
-            for c in m["meta"]["columns"]
+            for c in cols
         ]
     )
 

@@ -1,0 +1,177 @@
+"""Pure-stdlib media codecs (operators/codecs.py): PNG/BMP/WAV encode
+and decode with no native libs. These run without Spark — the Spark
+plumbing over them is covered by test_multimodal_real.py and the
+battery entries.
+
+Contract under test: byte-exact round trips (encode -> decode) across
+every PNG filter type and channel layout, BMP row padding and both row
+orders, WAV PCM frames, format sniffing, and the format-accurate
+NotImplementedError boundary (JPEG/MP4 only).
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from factstore_spark.operators.codecs import (
+    bmp_decode,
+    bmp_encode,
+    decode_media,
+    png_decode,
+    png_encode,
+    sniff_format,
+    wav_decode,
+    wav_encode,
+)
+
+
+def _pix(n: int, seed: int = 0) -> bytes:
+    return bytes((seed + i) % 251 for i in range(n))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (16, 16), (31, 7), (2, 40)])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_round_trip_all_filters(w, h, channels):
+    """filter_mode='cycle' files every row with row%5 — a decoder that
+    mis-inverts ANY of the five filters fails byte-exactness here."""
+    px = _pix(w * h * channels, seed=w * 7 + h)
+    data = png_encode(px, w, h, channels=channels, filter_mode="cycle")
+    d = png_decode(data)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert d["pixels"] == px
+
+
+def test_png_filter_none_mode():
+    px = _pix(12 * 5 * 3)
+    d = png_decode(png_encode(px, 12, 5, filter_mode="none"))
+    assert d["pixels"] == px
+
+
+def test_png_palette_decode():
+    """Hand-built color-type-3 PNG: the decoder expands PLTE."""
+    w, h = 4, 3
+    plte = bytes(range(30))  # 10 palette entries
+    idx = bytes([i % 10 for i in range(w * h)])
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += idx[y * w : (y + 1) * w]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    d = png_decode(data)
+    assert d["channels"] == 3
+    want = b"".join(plte[i * 3 : i * 3 + 3] for i in idx)
+    assert d["pixels"] == want
+
+
+def test_png_rejects_garbage_and_interlace():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png at all")
+    px = _pix(4 * 4 * 3)
+    data = bytearray(png_encode(px, 4, 4))
+    # IHDR body starts at offset 16; interlace is its last byte (+12)
+    data[16 + 12] = 1
+    # fix the CRC so only the interlace flag is the error
+    body = bytes(data[16 : 16 + 13])
+    data[16 + 13 : 16 + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        png_decode(bytes(data))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 4), (5, 3), (7, 2), (6, 10)])
+def test_bmp_round_trip_covers_padding(w, h):
+    """w=5 and w=7 exercise non-zero row padding (stride % 4 != 0)."""
+    px = _pix(w * h * 3, seed=h)
+    d = bmp_decode(bmp_encode(px, w, h))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == px
+
+
+def test_bmp_top_down_and_32bit():
+    """Hand-built top-down (negative height) 32-bit BMP decodes to the
+    same top-down RGB as the 24-bit bottom-up encoder output."""
+    w, h = 3, 2
+    px = _pix(w * h * 3)
+    rows = bytearray()
+    for y in range(h):  # top-down storage order
+        for x in range(w):
+            r, g, b = px[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            rows += bytes((b, g, r, 0xFF))
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(rows), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    d = bmp_decode(head + info + bytes(rows))
+    assert d["pixels"] == px
+
+
+def test_bmp_rejects_compressed():
+    w, h = 2, 2
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 1, 0, 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    with pytest.raises(NotImplementedError, match="compression"):
+        bmp_decode(head + info + b"\x00" * 16)
+
+
+def test_wav_round_trip_mono_and_stereo():
+    samples = struct.pack("<8h", 0, 100, -100, 32767, -32768, 5, -5, 1)
+    for ch, nframes in [(1, 8), (2, 4)]:
+        d = wav_decode(wav_encode(samples, 16000, n_channels=ch))
+        assert d["n_channels"] == ch
+        assert d["sample_rate"] == 16000
+        assert d["n_frames"] == nframes
+        assert d["samples"] == samples
+
+
+def test_sniff_and_decode_media_dispatch():
+    png = png_encode(_pix(4 * 2 * 3), 4, 2)
+    bmp = bmp_encode(_pix(4 * 2 * 3), 4, 2)
+    wav = wav_encode(struct.pack("<4h", 1, 2, 3, 4), 8000)
+    assert sniff_format(png) == "png"
+    assert sniff_format(bmp) == "bmp"
+    assert sniff_format(wav) == "wav"
+    assert sniff_format(b"\xff\xd8\xff\xe0junk") == "jpeg"
+    assert sniff_format(b"\x00\x00\x00\x18ftypmp42") == "mp4"
+    assert sniff_format(b"plain text") is None
+
+    m = decode_media(png)
+    assert (m["kind"], m["format"], m["n_frames"]) == ("image", "png", 1)
+    m = decode_media(bmp)
+    assert (m["kind"], m["format"]) == ("image", "bmp")
+    m = decode_media(wav)
+    assert (m["kind"], m["width"], m["height"], m["n_frames"]) == (
+        "audio", 1, 8000, 4,
+    )
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_media(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_media(b"plain text")
+
+
+def test_png_pixel_checksum_matches_generation_rule():
+    """The battery's witness: sum of decoded pixel bytes equals the
+    SQL-replayable sum of the generation rule — through a cycle of all
+    five filters and the zlib stream."""
+    for doc_id in [0, 7, 123, 250, 499]:
+        w = 16 + doc_id % 17
+        h = 16 + (doc_id * 7) % 13
+        px = bytes((doc_id + i) % 251 for i in range(w * h * 3))
+        d = png_decode(png_encode(px, w, h))
+        assert sum(d["pixels"]) == sum(
+            (doc_id + i) % 251 for i in range(w * h * 3)
+        )

@@ -632,3 +632,106 @@ def test_position_arithmetic_matches_pure_python(spark):
         want = ((h1 % m) + i * (h2 % m)) % m  # python % is pmod for m>0
         assert pos == want, (h1, h2, i, m, pos, want)
         assert 0 <= pos < m
+
+
+# ---------------------------------------------------------------------------
+# Round-11 advice regressions
+# ---------------------------------------------------------------------------
+
+
+def test_in_place_same_size_rewrite_reads_stale(spark, bloom_table):
+    """ADVICE r10 (medium): a file rewritten IN PLACE with the same
+    name and byte size must invalidate the index — the exact-filter
+    backstop removes only Bloom false POSITIVES, so a stale-but-
+    'fresh-looking' sidecar could silently drop rows (false
+    negatives). The fingerprint now pins mtime_ns, so any in-place
+    rewrite (even byte-identical) reads as stale and lookups degrade
+    to the exact full scan."""
+    data_dir, index_dir, _ = bloom_table
+    target = next(
+        os.path.join(data_dir, n)
+        for n in sorted(os.listdir(data_dir))
+        if n.endswith(".parquet")
+    )
+    st = os.stat(target)
+    with open(target, "rb") as fh:
+        payload = fh.read()
+    with open(target, "wb") as fh:
+        fh.write(payload)  # same bytes, same size — only mtime moves
+    # force a distinct mtime even on coarse-granularity filesystems
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert os.path.getsize(target) == st.st_size
+    assert describe_bloom_index(index_dir, data_dir)["stale"] is True
+    with pytest.raises(BloomIndexStaleError):
+        pruned_lookup(spark, data_dir, "k", [7], index_dir, on_stale="error")
+    got = pruned_lookup(spark, data_dir, "k", [7, 9999], index_dir)
+    want = spark.read.parquet(data_dir).filter(F.col("k").isin([7, 9999]))
+    assert rows_of(got) == rows_of(want)
+
+
+def test_list_shaped_keys_accepted_like_tuples(spark, store_root):
+    """ADVICE r10 (low): one-element LIST keys against a single-column
+    index (and lists for composite keys, including a None part) must
+    behave exactly like tuples — previously the scalar unwrap and the
+    None-drop checked isinstance(tuple) only, so lists leaked a raw
+    array literal into isin."""
+    data_dir = os.path.join(store_root, "ldata")
+    idx = os.path.join(store_root, "lidx")
+    spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4, "k").write.parquet(data_dir)
+    build_bloom_index(spark, data_dir, "k", idx)
+    got = pruned_lookup(
+        spark, data_dir, "k", [[7], [550], [None]], idx, on_stale="error"
+    )
+    assert [(r.k, r.v) for r in got.collect()] == [(7, 21)]
+    # composite: lists interchangeable with tuples, None parts dropped
+    cdata = os.path.join(store_root, "cdata")
+    cidx = os.path.join(store_root, "cidx")
+    spark.range(0, 200).select(
+        (F.col("id") % 10).alias("a"), F.col("id").alias("b")
+    ).coalesce(2).write.parquet(cdata)
+    build_bloom_index(spark, cdata, ["a", "b"], cidx)
+    got = pruned_lookup(
+        spark, cdata, ["a", "b"], [[3, 13], [None, 5], (4, 999)], cidx,
+        on_stale="error",
+    )
+    assert [(r.a, r.b) for r in got.collect()] == [(3, 13)]
+
+
+def test_merge_point_lookup_legacy_manifest_without_columns(spark, tmp_path):
+    """ADVICE r10 (low): manifests written before meta carried
+    'columns' are supported by merge_upsert via meta.get — point_lookup
+    must degrade to the pinned read's schema instead of KeyError."""
+    import json as _json
+
+    from factstore_spark.storage.merge import (
+        build_key_index,
+        create_table,
+        point_lookup,
+        read_table,
+    )
+
+    d = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", f"v{i}") for i in range(50)],
+        "id long, part string, v string",
+    )
+    create_table(df, d, ["id"], "part")
+    # strip meta['columns'] from the head snapshot AND the pointer
+    for p in [os.path.join(d, "_LATEST")] + [
+        os.path.join(d, "_snapshots", n)
+        for n in os.listdir(os.path.join(d, "_snapshots"))
+        if n.endswith(".json")
+    ]:
+        if not os.path.exists(p):
+            continue
+        with open(p, encoding="utf-8") as fh:
+            m = _json.load(fh)
+        m.get("meta", {}).pop("columns", None)
+        with open(p, "w", encoding="utf-8") as fh:
+            _json.dump(m, fh)
+    build_key_index(spark, d)
+    got = point_lookup(spark, d, [3, 9999], on_stale="error")
+    assert sorted(got.columns) == sorted(read_table(spark, d).columns)
+    assert [r.v for r in got.collect()] == ["v3"]
