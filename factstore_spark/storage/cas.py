@@ -86,9 +86,12 @@ class HardlinkSlotStore(SlotStore):
 
     def __init__(self, directory: str):
         self.dir = directory
-        os.makedirs(self.dir, exist_ok=True)
+        # dir creation is LAZY (first put): read_versioned_manifest
+        # constructs slot stores on pure read paths, which must work
+        # on read-only mounts and must not strew empty _manifests dirs
 
     def put_if_absent(self, name: str, data: bytes) -> bool:
+        os.makedirs(self.dir, exist_ok=True)
         tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
         fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         try:
@@ -154,6 +157,7 @@ class ExclCreateSlotStore(HardlinkSlotStore):
     inherited plain-file operations."""
 
     def put_if_absent(self, name: str, data: bytes) -> bool:
+        os.makedirs(self.dir, exist_ok=True)
         path = os.path.join(self.dir, name)
         try:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -380,6 +384,33 @@ class ConcurrentManifestSwapError(RuntimeError):
     Re-read the index and re-run."""
 
 
+# Pluggable manifest-log substrate (round 11): the versioned-manifest
+# CAS shared by the IVF / minhash / bloom / rollup writers claims
+# ``_manifests/snap-N.json`` slots through a SlotStore, so the SAME
+# publish protocol runs on a shared POSIX FS (hardlink, the default),
+# HDFS-style create-no-overwrite, or an object store's conditional PUT
+# — deploy-time choice, no per-writer signature churn. The fault-
+# schedule sweep (tests/test_fault_schedule.py) exercises every
+# protocol step on all three.
+_MANIFEST_STORE_FACTORY = None
+
+
+def set_manifest_store_factory(factory) -> None:
+    """Install ``factory(manifest_dir) -> SlotStore`` for manifest-log
+    claims (None restores the hardlink default). The factory receives
+    the ``<root>/_manifests`` path — filesystem substrates use it as
+    their slot directory, object-store substrates as the key prefix."""
+    global _MANIFEST_STORE_FACTORY
+    _MANIFEST_STORE_FACTORY = factory
+
+
+def _manifest_store(root) -> SlotStore:
+    snap_dir = os.path.join(root, "_manifests")
+    if _MANIFEST_STORE_FACTORY is not None:
+        return _MANIFEST_STORE_FACTORY(snap_dir)
+    return HardlinkSlotStore(snap_dir)
+
+
 def read_versioned_manifest(root, read_pointer):
     """(manifest, version) with the ``_manifests/snap-N.json`` CAS log
     as the source of truth and the caller's pointer file as a
@@ -387,36 +418,46 @@ def read_versioned_manifest(root, read_pointer):
     claim and refreshing the pointer must not be lost (mirrors
     storage/merge.py:_head_manifest). Version 0 = pre-CAS state
     (pointer only) or an empty root. ``read_pointer(root) -> dict``
-    reads the legacy pointer."""
+    reads the legacy pointer.
+
+    Reads descend from the highest snap and skip unparseable slots:
+    the create-no-overwrite substrate can expose a reserved-but-
+    unfinished slot (exactly HDFS semantics, see ExclCreateSlotStore)
+    — a torn head is transient, the last COMPLETE snapshot serves."""
     import json as _json
     import re as _re
 
-    snap_dir = os.path.join(root, "_manifests")
-    best_n, best_name = 0, None
-    if os.path.isdir(snap_dir):
-        for name in os.listdir(snap_dir):
-            mo = _re.fullmatch(r"snap-(\d+)\.json", name)
-            if mo and int(mo.group(1)) > best_n:
-                best_n, best_name = int(mo.group(1)), name
-    if best_name is not None:
-        with open(os.path.join(snap_dir, best_name), encoding="utf-8") as fh:
-            return _json.load(fh), best_n
+    store = _manifest_store(root)
+    versions = []
+    for name in store.list_names():
+        mo = _re.fullmatch(r"snap-(\d+)\.json", name)
+        if mo:
+            versions.append((int(mo.group(1)), name))
+    for n, name in sorted(versions, reverse=True):
+        raw = store.read(name)
+        if raw is None:
+            continue  # deleted (or not yet read-visible) under us
+        try:
+            return _json.loads(raw), n
+        except ValueError:
+            continue  # in-flight excl-create slot: fall to prior snap
     return read_pointer(root), 0
 
 
 def cas_swap_manifest(root, manifest, base_version, write_pointer, what="manifest"):
-    """Single-winner manifest commit: claim snap-(base+1) with the
-    hardlink O_EXCL CAS; a racing writer loses LOUDLY
-    (ConcurrentManifestSwapError). The pointer refresh after a won
-    claim is cache maintenance for legacy readers, not the commit, and
-    is taken from the LOG HEAD so a stalled winner can never overwrite
-    a later committed head with its older manifest. Old snapshots are
-    pruned past a 10-version tail. ``write_pointer(root, manifest)``
-    writes the legacy pointer. Returns the committed version."""
+    """Single-winner manifest commit: claim snap-(base+1) through the
+    configured SlotStore CAS (hardlink O_EXCL by default); a racing
+    writer loses LOUDLY (ConcurrentManifestSwapError). The pointer
+    refresh after a won claim is cache maintenance for legacy readers,
+    not the commit, and is taken from the LOG HEAD so a stalled winner
+    can never overwrite a later committed head with its older
+    manifest. Old snapshots are pruned past a 10-version tail.
+    ``write_pointer(root, manifest)`` writes the legacy pointer.
+    Returns the committed version."""
     import json as _json
 
     n = base_version + 1
-    store = HardlinkSlotStore(os.path.join(root, "_manifests"))
+    store = _manifest_store(root)
     won = store.put_if_absent(
         f"snap-{n}.json", _json.dumps(manifest, sort_keys=True).encode()
     )
