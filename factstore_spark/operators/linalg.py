@@ -262,23 +262,35 @@ def mahalanobis_topk(
             d2 = (xc @ prec_b * xc).sum(axis=1)
             yield pd.DataFrame({id_col: ids, "d2": d2})
 
-    scored = df.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} long, d2 double"
+    # ONE scoring pass: the (id, d2) frame is 16 bytes/row, so pinning
+    # it lets the calibration aggregate AND the top-k read the same
+    # materialization — unpinned, each action re-ran the full Arrow
+    # gemm over the corpus (bench r10: the entry's 1.5x regression was
+    # exactly this second scoring scan plus the winner probe).
+    from ..session import release_local_checkpoint
+
+    scored = (
+        df.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} long, d2 double")
+        .localCheckpoint(eager=True)
     )
-    # calibration over the FULL corpus: tolerance-banded, so the
-    # order-dependent float sum across partitions is fine here
-    stats = scored.agg(
-        F.sum("d2").alias("s"), F.count(F.lit(1)).alias("m")
-    ).collect()[0]
-    if not stats.m:
-        return spark.createDataFrame([], empty_schema)
-    calib_bp = int(round(10000.0 * float(stats.s) / (stats.m * dim)))
-    calib_ok = int(9900 <= calib_bp <= 10001)
-    top = (
-        scored.orderBy(F.col("d2").desc(), F.col(id_col).asc())
-        .limit(top_k)
-        .collect()
-    )
+    try:
+        # calibration over the FULL corpus: tolerance-banded, so the
+        # order-dependent float sum across partitions is fine here
+        stats = scored.agg(
+            F.sum("d2").alias("s"), F.count(F.lit(1)).alias("m")
+        ).collect()[0]
+        if not stats.m:
+            return spark.createDataFrame([], empty_schema)
+        calib_bp = int(round(10000.0 * float(stats.s) / (stats.m * dim)))
+        calib_ok = int(9900 <= calib_bp <= 10001)
+        top = (
+            scored.orderBy(F.col("d2").desc(), F.col(id_col).asc())
+            .limit(top_k)
+            .collect()
+        )
+    finally:
+        release_local_checkpoint(scored)
     win_ids = [r[id_col] for r in top]
     probe = {
         r[id_col]: r[vec_col]

@@ -83,7 +83,8 @@ def with_grouped_rank(
     count_col: str | None = None,
     num_partitions: int = 32,
     target_ranks: Callable[[Column], Sequence[Column]] | None = None,
-) -> DataFrame:
+    size_sums: dict | None = None,
+):
     """``row_number() over (PARTITION BY group_cols ORDER BY
     order_cols)`` without capping parallelism at group cardinality.
 
@@ -122,6 +123,15 @@ def with_grouped_rank(
     whole corpus. Ranks are only attached (and only valid) at rows in
     surviving cells; the caller's rank filter is unchanged.
 
+    ``size_sums`` (optional): ``{name: row-level Column}`` whose
+    per-group SUM the caller also needs. The sums ride the sizes
+    aggregation this operator already runs over the pinned input, so
+    a full-corpus witness (e.g. "how many rows <= this estimate")
+    costs zero extra scans — instead of a separate read + join + agg
+    job beside the rank pass. When given, the return becomes
+    ``(ranked, group_stats)`` with group_stats =
+    ``group_cols + [n (BIGINT group total)] + summed names``.
+
     Regime: built for group cardinality SMALL relative to the corpus
     (event types, sources, domains) — where Window.partitionBy(group)
     serializes. There the offsets frame (groups x partitions rows)
@@ -133,7 +143,16 @@ def with_grouped_rank(
         .localCheckpoint(eager=True)  # pin boundaries; see with_global_rank
         .withColumn("_pid", F.spark_partition_id())
     )
-    sizes = ranged.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    sizes = ranged.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(expr).alias(f"_ss_{k}") for k, expr in (size_sums or {}).items()],
+    )
+    group_stats = None
+    if size_sums:
+        group_stats = sizes.groupBy(*group_cols).agg(
+            F.sum("_n").cast("long").alias("n"),
+            *[F.sum(f"_ss_{k}").alias(k) for k in size_sums],
+        )
     ow = Window.partitionBy(*group_cols).orderBy("_pid")
     offs = sizes.select(
         "_pid",
@@ -161,12 +180,15 @@ def with_grouped_rank(
     for g in group_cols:
         cond = cond & ranged[g].eqNullSafe(offs[g])
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    return (
+    ranked = (
         ranged.join(F.broadcast(offs), cond)
         .drop(offs["_pid"], *[offs[g] for g in group_cols])
         .withColumn(rank_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )
+    if group_stats is not None:
+        return ranked, group_stats
+    return ranked
 
 
 def ntile_of_rank(rank: Column, n: Column, tiles: int) -> Column:
