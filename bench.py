@@ -392,7 +392,11 @@ def main() -> None:
     # cross-round comparability.
     n_probe_facts = int(os.environ.get("SPARK_GRAFT_SUB_FACTS", "60"))
     subscribe_stats: dict[str, float] = {}
-    for poll_ms in (10, 50, 100):
+    # the (100, True) leg is the WATCH wakeup (round 11): same 100 ms
+    # poll as the headline columns, but the commit-log change token is
+    # statted every 4 ms between polls — idle-tail latency should drop
+    # to single-digit ms while the poll stays the fallback cadence
+    for poll_ms, use_watch in ((10, False), (50, False), (100, False), (100, True)):
         sub_root = tempfile.mkdtemp(prefix="bench-sub-")
         try:
             fs3 = _FS(None, sub_root)
@@ -403,7 +407,8 @@ def main() -> None:
 
             def subscriber() -> None:
                 gen = fs3.subscribe("sub", _StartPosition.Beginning(),
-                                    poll_interval=poll_ms / 1000.0)
+                                    poll_interval=poll_ms / 1000.0,
+                                    watch=use_watch)
                 for batch in gen:
                     now = time.time()
                     for f in batch:
@@ -432,7 +437,7 @@ def main() -> None:
                     else -1.0
                 )
 
-            if poll_ms == 100:
+            if poll_ms == 100 and not use_watch:
                 subscribe_stats.update(
                     {
                         "subscribe_msgs": len(lags),
@@ -441,11 +446,12 @@ def main() -> None:
                         "subscribe_poll_ms": 100.0,
                     }
                 )
-            subscribe_stats[f"sub_p50_poll{poll_ms}"] = spct(0.50)
-            subscribe_stats[f"sub_p90_poll{poll_ms}"] = spct(0.90)
+            key = f"poll{poll_ms}" if not use_watch else "watch"
+            subscribe_stats[f"sub_p50_{key}"] = spct(0.50)
+            subscribe_stats[f"sub_p90_{key}"] = spct(0.90)
             print(
-                f"# subscribe-probe poll={poll_ms}ms: n={len(lags)} "
-                f"p50={spct(0.50)} p90={spct(0.90)}",
+                f"# subscribe-probe poll={poll_ms}ms watch={use_watch}: "
+                f"n={len(lags)} p50={spct(0.50)} p90={spct(0.90)}",
                 file=sys.stderr,
             )
         finally:

@@ -204,6 +204,24 @@ class StoreLayout:
     def exists(self) -> bool:
         return os.path.isdir(self.data_dir)
 
+    def change_token(self):
+        """Cheap append-visibility token — changes whenever a commit
+        may have landed. One stat(2) of the commit log file (size +
+        mtime_ns: every flock-backend append grows the file, and a
+        checkpoint swap moves both fields), so a subscriber can watch
+        the tail at millisecond granularity for the cost of a syscall
+        instead of a full head recompute — the lake analog of the
+        reference's FDB head-key watch (FdbFactStreamer.kt:186-190).
+        Purely advisory: equal tokens mean "probably nothing new",
+        never "definitely nothing" — callers must keep a poll-interval
+        fallback (which also covers substrates where the token cannot
+        see appends at all, e.g. object-store commit slots)."""
+        try:
+            st = os.stat(os.path.join(self.store_dir, COMMITS_FILE))
+            return (st.st_size, st.st_mtime_ns)
+        except OSError:
+            return None
+
     # -- commit log ---------------------------------------------------------
 
     def read_commits(self) -> list[CommitRecord]:

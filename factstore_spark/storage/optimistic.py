@@ -98,6 +98,19 @@ class OptimisticStoreLayout(StoreLayout):
         super().initialize()
         os.makedirs(self.log_dir, exist_ok=True)
 
+    def change_token(self):
+        """Append-visibility token (see StoreLayout.change_token): here
+        appends land as claim slots, so the claim DIRECTORY's mtime_ns
+        joins the jsonl stat (a new slot file bumps the dir). For the
+        object-store substrate the dir may not exist locally — the
+        token then degrades to the jsonl component and watchers fall
+        back to their poll interval (advisory contract)."""
+        base = super().change_token()
+        try:
+            return (base, os.stat(self.log_dir).st_mtime_ns)
+        except OSError:
+            return (base, None)
+
     # -- commit log (merged: claim dir + legacy jsonl) ----------------------
 
     def _read_claim(self, name: str) -> Optional[CommitRecord]:

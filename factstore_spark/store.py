@@ -1188,12 +1188,24 @@ class FactStore:
         batch_size: int = DEFAULT_BATCH_SIZE,
         poll_interval: float = 0.1,
         keepalive_every: Optional[float] = None,
+        watch: bool = False,
+        watch_interval: float = 0.004,
     ):
         """Generator-based live subscription for embedded use: drain
         existing facts from ``start`` then follow the tail forever,
         yielding position-ordered batches. Poll-based like the memory
         backend (MemoryFactStore.kt:212-234, 100 ms); the Structured
         Streaming variant above is the scale path.
+
+        ``watch=True`` (opt-in): between polls, stat the commit log's
+        change token every ``watch_interval`` seconds and recompute the
+        head as soon as it moves — the lake analog of the reference's
+        FDB watch on the head key (FdbFactStreamer.kt:186-190). Idle-
+        tail latency drops from ~poll_interval/2 to single-digit ms
+        for the cost of one stat(2) per tick (no busy loop); the poll
+        interval stays as the fallback cadence, which also covers
+        substrates whose appends the token cannot see (advisory
+        contract, StoreLayout.change_token).
 
         ``keepalive_every`` (seconds): yield an EMPTY batch when the
         store has been quiet that long — transport adapters turn it
@@ -1254,7 +1266,20 @@ class FactStore:
                     ):
                         last_emit = time.monotonic()
                         yield []
-                    time.sleep(poll_interval)
+                    if watch:
+                        # token snapshot BEFORE the wait: an append
+                        # racing the head check above moves the token
+                        # and ends the wait on the next tick; a move
+                        # the token cannot see is bounded by the
+                        # poll-interval deadline either way
+                        token = layout.change_token()
+                        deadline = time.monotonic() + poll_interval
+                        while time.monotonic() < deadline:
+                            time.sleep(watch_interval)
+                            if layout.change_token() != token:
+                                break
+                    else:
+                        time.sleep(poll_interval)
 
         return gen()
 

@@ -325,3 +325,51 @@ def test_tail_poll_opens_only_new_commit_files(spark, store_root):
     fs.append("tailprune", FactInput(type="post", subject="s9"))
     post = layout.data_files_after_position(head)
     assert len(post) == 1 and "compacted" not in post[0]
+
+
+# -- subscribe watch wakeup (round 11) ---------------------------------------
+
+
+def test_subscribe_watch_delivers_and_matches_poll_semantics(fs):
+    """watch=True changes only WHEN the tail wakes, never WHAT it
+    delivers: same facts, same order, through appends that land while
+    the subscriber is idle-waiting."""
+    fs.create(STORE)
+    fs.append(STORE, fi("A"))
+    gen = fs.subscribe(
+        STORE, StartPosition.Beginning(), poll_interval=0.5, watch=True
+    )
+    facts = _drain(gen, 1)
+    assert [f.type for f in facts] == ["A"]
+    for t in ("B", "C"):
+        fs.append(STORE, fi(t))
+        got = _drain(gen, 1)
+        assert [f.type for f in got] == [t]
+
+
+def test_subscribe_watch_beats_poll_interval_on_idle_tail(fs):
+    """The point of the watch: with a LONG poll (1 s), an append into
+    an idle tail must still deliver in a small fraction of the poll
+    interval (token stat every 4 ms). Bound loose (250 ms) for CI
+    noise; the bench records the honest single-digit-ms figure."""
+    fs.create(STORE)
+    received = {}
+    gen = fs.subscribe(
+        STORE, StartPosition.End(), poll_interval=1.0, watch=True
+    )
+
+    def run():
+        for batch in gen:
+            received["t"] = time.monotonic()
+            return
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    time.sleep(0.3)  # let the subscriber reach its idle wait
+    t0 = time.monotonic()
+    fs.append(STORE, fi("LATE"))
+    th.join(timeout=5.0)
+    assert "t" in received, "watch subscriber never woke"
+    assert received["t"] - t0 < 0.25, (
+        f"watch latency {received['t'] - t0:.3f}s not << poll 1.0s"
+    )
