@@ -5662,11 +5662,14 @@ def storage_scd2_history(spark, sf_dir):
         # fan-out, not rows — the partition-change path only needs >1
         F.concat(F.lit("r"), F.col("c_nationkey") % 5).alias("nation"),
     )
+    # persist: the sample feeds the create, both batches, and BOTH
+    # want-side unions (~8 evaluations) — unpersisted, each re-scans
+    # and re-md5-filters the customer parquet (VERDICT r10 #6)
     base = _probe_sample(
         cust_full, "cust_id",
         _probe_ppm(cust_full, 80, target=4_000, cache_key=(sf_dir, "customer")),
         salt="scd2",
-    )
+    ).persist()
     k = F.col("cust_id")
     # batch-1 (day 20) rules, precedence: delete > change > untouched
     is_del = k % 13 == 0
@@ -5685,7 +5688,6 @@ def storage_scd2_history(spark, sf_dir):
             base.withColumn("effective_ts", F.lit(10)),
             d, ["cust_id"], "nation",
         )
-        shift = (base.agg(F.max("cust_id")).collect()[0][0] or 0) + 1
         b1 = (
             base.filter(is_del | is_chg1 | (k % 11 == 0)).select(
                 "cust_id",
@@ -5697,7 +5699,7 @@ def storage_scd2_history(spark, sf_dir):
             )
         ).unionByName(
             base.filter(k % 17 == 0).select(
-                (k + F.lit(shift)).alias("cust_id"), "segment", "nation",
+                (-k - F.lit(1)).alias("cust_id"), "segment", "nation",
                 F.lit(20).alias("effective_ts"),
                 F.lit(False).alias("is_deleted"),
             )
@@ -5720,7 +5722,7 @@ def storage_scd2_history(spark, sf_dir):
                 .otherwise(F.col("segment")),
             )
         ).unionByName(
-            dim_rows(base.filter(k % 17 == 0).withColumn("cust_id", k + F.lit(shift)))
+            dim_rows(base.filter(k % 17 == 0).withColumn("cust_id", -k - F.lit(1)))
         )
         want_now = dim_rows(
             base.withColumn(
@@ -5731,7 +5733,7 @@ def storage_scd2_history(spark, sf_dir):
                 .otherwise(F.col("segment")),
             ).filter(~is_del | is_re)
         ).unionByName(
-            dim_rows(base.filter(k % 17 == 0).withColumn("cust_id", k + F.lit(shift)))
+            dim_rows(base.filter(k % 17 == 0).withColumn("cust_id", -k - F.lit(1)))
         )
 
         def match_bp(got, want):
@@ -5791,6 +5793,7 @@ def storage_scd2_history(spark, sf_dir):
             ", ".join(f"{c} long" for c in row),
         )
     finally:
+        base.unpersist()
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -8144,8 +8147,9 @@ def storage_point_lookup(spark, sf_dir):
         if not head_rows:
             return spark.createDataFrame([(0, 0, 0, 1, 1, 10000)], schema)
         keys = [r.o_orderkey for r in head_rows]
-        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
-        absents = [max_key + 1 + i for i in range(5)]
+        # negative keys are absent BY CONSTRUCTION (o_orderkey >= 1),
+        # saving the max-aggregate job the old form paid (r10 #6)
+        absents = [-(i + 1) for i in range(5)]
         d = tempfile.mkdtemp(prefix="ptlookup-")
         try:
             create_table(base, d, ["o_orderkey"], "bucket")
@@ -8622,6 +8626,146 @@ FROM g
 """
 
 
+def storage_tag_bloom_pruning(spark, sf_dir):
+    """Self-validating DERIVED-KEY Bloom-sidecar contract (round 11,
+    VERDICT r10 #7; storage/bloomindex.py expression keys): write a
+    documents sample carrying a ``tags`` MAP column (bucket value
+    ``'b' || doc_id % 97``) hash-partitioned into 16 files, build the
+    per-file Bloom sidecar over the DERIVED column ``tags['bkt']`` —
+    a column that exists only as an expression over the stored schema,
+    the single-tag point-probe case find_by_tags pays a full snapshot
+    scan for on unindexed stores — then probe one present bucket value
+    (the sample's smallest doc_id's bucket, SQL-replayable) and four
+    absent values.
+
+    The row asserts: (a) the pruned lookup returns EXACTLY the rows a
+    full map-value filter returns (match_bp 10000), and (b) the
+    sidecar prunes — the present value admits at most its own row
+    count + fp slack of the 16 files, absent values nearly none
+    (prune_ok, with the small-corpus vacuity guard). Witnesses the
+    oracle replays: sample size, the hit-row count and SUM(n_chars)
+    over the probed bucket's rows."""
+    import shutil
+    import tempfile
+
+    from .storage.bloomindex import (
+        bloom_candidate_files,
+        build_bloom_index,
+        pruned_lookup,
+    )
+
+    n_files = 16
+    docs_full = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs = _probe_sample(
+        docs_full,
+        "doc_id",
+        _probe_ppm(docs_full, 100, target=120_000, cache_key=(sf_dir, "documents")),
+        salt="tagbloom",
+    ).persist()
+    schema = (
+        "n_sample_rows long, n_hit_rows long, hit_chars_sum long, "
+        "prune_ok long, match_bp long"
+    )
+    try:
+        head = docs.agg(F.min("doc_id")).collect()[0][0]
+        if head is None:
+            return spark.createDataFrame([(0, 0, 0, 1, 10000)], schema)
+        present = f"b{head % 97}"
+        absents = [f"zz{i}" for i in range(4)]
+        root = tempfile.mkdtemp(prefix="tagbloom-")
+        index_dir = os.path.join(root, "idx")
+        try:
+            data_dir = os.path.join(root, "data")
+            tagged = docs.select(
+                "doc_id",
+                "n_chars",
+                F.create_map(
+                    F.lit("src"), F.col("source"),
+                    F.lit("bkt"),
+                    F.concat(
+                        F.lit("b"),
+                        F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                    ),
+                ).alias("tags"),
+            )
+            tagged.repartition(n_files, "doc_id").write.parquet(data_dir)
+            spec = "tags['bkt']"
+            build_bloom_index(spark, data_dir, spec, index_dir)
+            p_present = bloom_candidate_files(
+                spark, index_dir, data_dir, spec, [present]
+            )
+            p_absent = bloom_candidate_files(
+                spark, index_dir, data_dir, spec, absents
+            )
+            got = pruned_lookup(
+                spark, data_dir, spec, [present] + absents, index_dir,
+                on_stale="error",
+            ).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
+                    F.lit(0),
+                ).alias("h"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+            ).collect()[0]
+            want = tagged.filter(F.col("tags")["bkt"] == present).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            match_bp = (
+                10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
+            )
+            assess = p_present.total_files >= 8
+            prune_ok = int(
+                not p_present.stale
+                and not p_absent.stale
+                and (
+                    not assess
+                    or (
+                        len(p_present.candidate_files) <= int(want.n) + 2
+                        and len(p_absent.candidate_files) <= 4
+                    )
+                )
+            )
+            return spark.createDataFrame(
+                [(int(docs.count()), int(want.n), int(got.chars),
+                  int(prune_ok), int(match_bp))],
+                schema,
+            )
+        finally:
+            from .storage.bloomindex import release_sidecar_cache
+
+            release_sidecar_cache(index_dir)
+            shutil.rmtree(root, ignore_errors=True)
+    finally:
+        docs.unpersist()
+
+
+STORAGE_TAG_BLOOM_SQL = """
+WITH params AS (
+  SELECT LEAST(1000000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 120000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars
+  FROM documents, params
+  WHERE CAST('0x' || substring(md5('tagbloom' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+h AS (
+  SELECT doc_id, n_chars FROM s
+  WHERE doc_id % 97 = (SELECT MIN(doc_id) % 97 FROM s))
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
+       CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_hit_rows,
+       CAST(COALESCE((SELECT SUM(n_chars) FROM h), 0) AS BIGINT) AS hit_chars_sum,
+       CAST(1 AS BIGINT) AS prune_ok,
+       CAST(10000 AS BIGINT) AS match_bp
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8644,6 +8788,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "media_real_meta": (media_real_meta, MEDIA_REAL_META_SQL),
     "media_real_thumbs": (media_real_thumbs, MEDIA_REAL_THUMBS_SQL),
     "media_real_content_dup": (media_real_content_dup, MEDIA_REAL_CONTENT_DUP_SQL),
+    "storage_tag_bloom_pruning": (storage_tag_bloom_pruning, STORAGE_TAG_BLOOM_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),

@@ -139,15 +139,39 @@ def _norm_key_cols(key_cols) -> list[str]:
     return [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
 
+def _is_expr(spec: str) -> bool:
+    return "[" in spec or "(" in spec
+
+
+def _kcol(spec: str) -> F.Column:
+    """Key spec -> Column. Plain names go through F.col (any
+    identifier is legal, no parser involved); DERIVED specs — map
+    access like ``tags['k']``, or a function call — go through F.expr,
+    which lets a sidecar index a column that only exists as an
+    expression over the stored schema (the tag-value point-probe
+    case). Hashing is value-based (xxhash64 ignores names), so derived
+    and plain keys share the whole build/probe pipeline."""
+    return F.expr(spec) if _is_expr(spec) else F.col(spec)
+
+
+def _alias_names(key_cols: list[str]) -> list[str]:
+    """Internal positional aliases for the key columns: derived specs
+    are not legal column NAMES, so both build and probe frames carry
+    the keys as ``_k0.._kn`` and hash those — the spec strings live
+    only in the manifest (identity) and in data-side predicates."""
+    return [f"_k{i}" for i in range(len(key_cols))]
+
+
 def _key_frame(
     spark: SparkSession, manifest: dict, keys: list
 ) -> tuple[DataFrame, int]:
-    """Probe keys -> (typed DataFrame with the manifest's key columns,
-    usable-key count — known driver-side, no job). Scalars for
-    single-column keys, tuples for composite keys; any key containing
-    None is dropped (SQL equality would never match it)."""
+    """Probe keys -> (typed DataFrame with the internal ``_k*`` key
+    aliases, usable-key count — known driver-side, no job). Scalars
+    for single-column keys, tuples for composite keys; any key
+    containing None is dropped (SQL equality would never match it)."""
     cols = manifest["key_cols"]
     types = manifest["key_types"]
+    names = _alias_names(cols)
     rows = []
     for k in keys:
         if len(cols) == 1:
@@ -168,7 +192,7 @@ def _key_frame(
         if any(p is None for p in t):
             continue
         rows.append(t)
-    schema = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
+    schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
     return spark.createDataFrame(rows, schema), len(rows)
 
 
@@ -231,13 +255,14 @@ def build_bloom_index(
         # would be misparsed as partition columns), schemas merged
         # (add-only evolution keeps the key columns in every file)
         raw = _read_pinned(spark, data_dir, inv)
-    key_types = [
-        raw.schema[c].dataType.simpleString() for c in key_cols
-    ]
+    names = _alias_names(key_cols)
     src = raw.select(
         _relpath_col(data_dir).alias("_file"),
-        *[F.col(c) for c in key_cols],
+        *[_kcol(c).alias(n) for c, n in zip(key_cols, names)],
     )
+    key_types = [
+        src.schema[n].dataType.simpleString() for n in names
+    ]
     # Pass 1: size each file's filter from its row count (an upper
     # bound on distinct keys — over-sizing only lowers the fpp).
     meta = src.groupBy("_file").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -249,7 +274,7 @@ def build_bloom_index(
         ),
     )
     # Pass 2: bit positions -> packed words -> one MAP row per file.
-    h1, h2 = _hashes(*[F.col(c) for c in key_cols])
+    h1, h2 = _hashes(*[F.col(n) for n in names])
     pos_df = (
         src.join(F.broadcast(meta), "_file")
         .select(
@@ -463,7 +488,8 @@ def bloom_candidate_files(
         return BloomProbe([], len(inv_now), False, version)
     sidecar = _sidecar_df(spark, index_dir, manifest)
     cands = _probe_candidates(
-        sidecar, kdf, manifest["key_cols"], int(manifest["num_hashes"])
+        sidecar, kdf, _alias_names(manifest["key_cols"]),
+        int(manifest["num_hashes"]),
     )
     if any(c not in manifest["files"] for c in cands):
         # corrupted sidecar (should be impossible past the build-time
@@ -475,7 +501,9 @@ def bloom_candidate_files(
 def _probe_candidates(
     sidecar: DataFrame, kdf: DataFrame, key_cols: list[str], k_hashes: int
 ) -> list[str]:
-    """Candidate files for a probe-key frame (columns = ``key_cols``):
+    """Candidate files for a probe-key frame (columns = the internal
+    ``_k*`` aliases — value-based hashing makes the original spec
+    irrelevant here):
     a file qualifies when SOME key hits ALL its k bits. One shared
     pipeline for point lookups and semi-joins — build/probe hashing
     can never diverge between the two read paths. The (h1, h2) hash
@@ -560,15 +588,24 @@ def pruned_semi_join(
     keys_cols = _norm_key_cols(keys_cols) if keys_cols is not None else key_cols
     if len(keys_cols) != len(key_cols):
         raise ValueError(f"keys_cols {keys_cols} must match {key_cols}")
+    names = _alias_names(key_cols)
     kdf = keys_df.select(
-        *[F.col(kc).alias(c) for kc, c in zip(keys_cols, key_cols)]
+        *[F.col(kc).alias(n) for kc, n in zip(keys_cols, names)]
     )
-    for c in key_cols:
-        kdf = kdf.filter(F.col(c).isNotNull())
+    for n in names:
+        kdf = kdf.filter(F.col(n).isNotNull())
     kdf = kdf.distinct()
 
     def _exact(base: DataFrame) -> DataFrame:
-        return base.join(kdf, key_cols, "left_semi")
+        # expression-equality semi-join: the key may be DERIVED on the
+        # data side (tags['k']), so join on _kcol(spec) == probe alias
+        # instead of shared column names (kdf carries only _k* names,
+        # so the plain-name case is never ambiguous either)
+        cond = reduce(
+            lambda a, b: a & b,
+            [_kcol(c) == kdf[n] for c, n in zip(key_cols, names)],
+        )
+        return base.join(kdf, cond, "left_semi")
 
     def _full() -> DataFrame:
         # constructed only on the paths that use it: parquet-read
@@ -590,11 +627,11 @@ def pruned_semi_join(
         sidecar,
         kdf.select(
             *[
-                F.col(c).cast(t).alias(c)
-                for c, t in zip(key_cols, manifest["key_types"])
+                F.col(n).cast(t).alias(n)
+                for n, t in zip(names, manifest["key_types"])
             ]
         ),
-        key_cols,
+        names,
         int(manifest["num_hashes"]),
     )
     if any(c not in manifest["files"] for c in cand_files):
@@ -644,19 +681,21 @@ def _norm_probe_keys(keys: list) -> list:
 
 
 def _exact_key_filter(key_cols: list[str], keys: list) -> F.Column:
-    """IN-list predicate for scalar keys (parquet-pushable); an
-    OR-of-AND for composite keys (bounded: point-lookup lists are
-    small by contract)."""
+    """IN-list predicate for scalar keys (parquet-pushable when the
+    key is a plain column); an OR-of-AND for composite keys (bounded:
+    point-lookup lists are small by contract). Derived specs go
+    through _kcol — the predicate then runs post-scan over the pruned
+    candidate files, which is the whole point of the sidecar."""
     keys = _norm_probe_keys(keys)
     if len(key_cols) == 1:
-        return F.col(key_cols[0]).isin([k if not isinstance(k, tuple) else k[0] for k in keys])
+        return _kcol(key_cols[0]).isin([k if not isinstance(k, tuple) else k[0] for k in keys])
     preds = []
     for k in keys:
         t = tuple(k)
         preds.append(
             reduce(
                 lambda a, b: a & b,
-                [F.col(c) == F.lit(p) for c, p in zip(key_cols, t)],
+                [_kcol(c) == F.lit(p) for c, p in zip(key_cols, t)],
             )
         )
     return reduce(lambda a, b: a | b, preds)

@@ -963,7 +963,39 @@ class FactStore:
             else:
                 matched = facts.join(positions, "position", "left_semi")
             return ordered_limited(matched, limit, direction)
-        df = self.facts_df(store_name)
+        # No (fresh) tag index: before the full scan, consult any
+        # tag-value Bloom sidecar built for one of the queried keys —
+        # it prunes the COMPACTED snapshot to candidate files for that
+        # key's probed VALUE (the exact AND-of-tags filter still runs
+        # on top, and the post-compaction tail is always scanned), so
+        # a single-tag point probe on an unindexed store stops paying
+        # a whole-snapshot read. Stale/absent sidecars skip silently:
+        # derived state, never a correctness dependency.
+        df = None
+        comp_dir, tail_files = layout.data_layout()
+        if comp_dir is not None:
+            from .storage.bloomindex import bloom_candidate_files
+
+            for k, v in tags.items():
+                idx_dir = self._tag_bloom_dir(layout, k)
+                if not os.path.isdir(idx_dir):
+                    continue
+                probe = bloom_candidate_files(
+                    self.spark, idx_dir, comp_dir, self._tag_key_spec(k), [v]
+                )
+                if probe.stale:
+                    continue
+                df = self._assemble_fact_frames(
+                    comp_dir,
+                    tail_files,
+                    comp_paths=[
+                        os.path.join(comp_dir, f)
+                        for f in probe.candidate_files
+                    ],
+                )
+                break
+        if df is None:
+            df = self.facts_df(store_name)
         if df is None:
             return None
         return ordered_limited(df.filter(tags_all_match(tags)), limit, direction)
@@ -1021,6 +1053,52 @@ class FactStore:
             return {"built": False, "reason": "no compacted snapshot"}
         stats = build_bloom_index(
             self.spark, comp_dir, "id", self._id_index_dir(layout)
+        )
+        stats["built"] = True
+        return stats
+
+    @staticmethod
+    def _tag_bloom_dir(layout, tag_key: str) -> str:
+        # hex-encoded key: any tag key becomes a safe dir name
+        return os.path.join(
+            layout.store_dir, f"tagbloom-{tag_key.encode('utf-8').hex()}"
+        )
+
+    @staticmethod
+    def _tag_key_spec(tag_key: str) -> str:
+        if "'" in tag_key or "\\" in tag_key:
+            raise ValueError(
+                f"tag key {tag_key!r} cannot carry quotes/backslashes "
+                "into an index expression"
+            )
+        return f"tags['{tag_key}']"
+
+    def build_tag_bloom_index(self, store_name: str, tag_key: str):
+        """Build (or rebuild) a Bloom sidecar over the DERIVED column
+        ``tags['<tag_key>']`` of the compacted snapshot — the point-
+        probe fast path for a single high-cardinality tag VALUE on a
+        store with NO tag index (or one whose rebuild lags): a
+        find_by_tags probe on that key then opens only the candidate
+        files, like findById does through the id sidecar. Unlike the
+        tag index (every key, positions, refresh protocol) this is one
+        cheap per-file bitset for one chosen key — the
+        "index the one key the workload probes" knob. Returns stats,
+        ``{"built": False, ...}`` before the first compaction, or
+        StoreNotFound."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        from .storage.bloomindex import build_bloom_index
+
+        layout = self._layout(meta.id)
+        comp_dir, _tail = layout.data_layout()
+        if comp_dir is None:
+            return {"built": False, "reason": "no compacted snapshot"}
+        stats = build_bloom_index(
+            self.spark,
+            comp_dir,
+            self._tag_key_spec(tag_key),
+            self._tag_bloom_dir(layout, tag_key),
         )
         stats["built"] = True
         return stats
