@@ -293,12 +293,229 @@ def _build_codecs():
         except wave.Error as e:
             raise ValueError(f"not a decodable WAV: {e}") from None
 
+    # ---- GIF (87a/89a): real LZW, real multi-frame animation --------
+
+    def _lzw_encode(indices: bytes, mcs: int = 8) -> bytes:
+        """GIF-variant LZW over palette indices: variable code width
+        9..12 bits LSB-first, CLEAR resets the table at 4096 codes."""
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, size: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        def fresh() -> tuple[dict, int, int]:
+            return (
+                {bytes([i]): i for i in range(1 << mcs)},
+                end + 1,
+                mcs + 1,
+            )
+
+        table, next_code, code_size = fresh()
+        emit(clear, code_size)
+        w = b""
+        for b in indices:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], code_size)
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                # "early change": the width grows as soon as the next
+                # assignable code needs it; the decoder compensates
+                # one step earlier (its table lags one entry)
+                code_size += 1
+            if next_code >= 4096:
+                emit(clear, code_size)
+                table, next_code, code_size = fresh()
+            w = bytes([b])
+        if w:
+            emit(table[w], code_size)
+        emit(end, code_size)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        pos = 0
+        acc = 0
+        nbits = 0
+
+        def read(size: int):
+            nonlocal pos, acc, nbits
+            while nbits < size:
+                if pos >= len(data):
+                    return None
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            return code
+
+        out = bytearray()
+        table: list[bytes] = []
+        code_size = mcs + 1
+        prev: bytes | None = None
+        while True:
+            code = read(code_size)
+            if code is None or code == end:
+                break
+            if code == clear:
+                table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+                code_size = mcs + 1
+                prev = None
+                continue
+            if not table:
+                raise ValueError("GIF LZW stream missing initial clear")
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) - 1 and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= n_expected:
+                break
+        return bytes(out)
+
+    def gif_encode(
+        frames: list, width: int, height: int, delay_cs: int = 4
+    ) -> bytes:
+        """Animated GIF89a from palette-index frames (each ``bytes`` of
+        length w*h, values 0..255). Grayscale 256-entry global color
+        table (r=g=b=index) — decoded RGB sums are then 3x the index
+        sums, which keeps the battery oracles integer-replayable."""
+        if not frames:
+            raise ValueError("need at least one frame")
+        for f in frames:
+            if len(f) != width * height:
+                raise ValueError("frame size mismatch")
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", width, height)
+        out += bytes((0xF7, 0, 0))  # GCT present, 256 entries
+        for i in range(256):
+            out += bytes((i, i, i))
+        if len(frames) > 1:
+            # NETSCAPE looping extension (loop forever)
+            out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        for f in frames:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+            out += bytes((0x00,))  # no LCT, not interlaced
+            out += bytes((8,))  # LZW min code size
+            lzw = _lzw_encode(f, 8)
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                out += bytes((len(chunk),)) + chunk
+            out += b"\x00"  # block terminator
+        out += b"\x3b"
+        return bytes(out)
+
+    def gif_decode(data: bytes) -> dict:
+        """GIF -> dict(width, height, n_frames, frames=[RGB bytes],
+        pixels=first frame RGB). Each frame is decoded standalone over
+        its own rect (no inter-frame disposal compositing — frames
+        that rely on partial updates decode as their own subregion,
+        documented limitation; the fixtures write full frames).
+        Interlaced frames are de-interlaced per the 4-pass order."""
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        sw, sh = struct.unpack("<HH", data[6:10])
+        packed, _bg, _ar = data[10], data[11], data[12]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = data[pos : pos + 3 * n]
+            pos += 3 * n
+        frames = []
+        fw = fh = None
+        while pos < len(data):
+            b0 = data[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks, skip
+                pos += 1
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            _lx, _ty, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+            pos += 8
+            ip = data[pos]
+            pos += 1
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                ct = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            interlaced = bool(ip & 0x40)
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF frame pixel data truncated")
+            if interlaced:
+                de = bytearray(w * h)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, h, step):
+                        de[y * w : (y + 1) * w] = idx[src : src + w]
+                        src += w
+                idx = bytes(de)
+            rgb = bytearray(w * h * 3)
+            for i, ix in enumerate(idx[: w * h]):
+                rgb[i * 3 : i * 3 + 3] = ct[ix * 3 : ix * 3 + 3]
+            frames.append(bytes(rgb))
+            fw, fh = w, h
+        if not frames:
+            raise ValueError("GIF contains no image blocks")
+        return {
+            "width": fw if fw is not None else sw,
+            "height": fh if fh is not None else sh,
+            "channels": 3,
+            "n_frames": len(frames),
+            "frames": frames,
+            "pixels": frames[0],
+        }
+
     def sniff_format(data: bytes) -> str | None:
         """Magic-byte format sniff; None when unknown."""
         if data[:8] == _PNG_SIG:
             return "png"
         if data[:2] == b"BM":
             return "bmp"
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return "wav"
         if data[:3] == b"\xff\xd8\xff":
@@ -320,6 +537,9 @@ def _build_codecs():
         if fmt == "bmp":
             d = bmp_decode(data)
             return {"kind": "image", "format": "bmp", "n_frames": 1, **d}
+        if fmt == "gif":
+            d = gif_decode(data)
+            return {"kind": "image", "format": "gif", **d}
         if fmt == "wav":
             d = wav_decode(data)
             return {
@@ -343,6 +563,8 @@ def _build_codecs():
         "png_decode": png_decode,
         "bmp_encode": bmp_encode,
         "bmp_decode": bmp_decode,
+        "gif_encode": gif_encode,
+        "gif_decode": gif_decode,
         "wav_encode": wav_encode,
         "wav_decode": wav_decode,
         "sniff_format": sniff_format,
@@ -359,3 +581,5 @@ wav_encode = _C["wav_encode"]
 wav_decode = _C["wav_decode"]
 sniff_format = _C["sniff_format"]
 decode_media = _C["decode_media"]
+gif_encode = _C["gif_encode"]
+gif_decode = _C["gif_decode"]

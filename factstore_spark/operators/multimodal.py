@@ -419,7 +419,12 @@ def synth_media_corpus(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, schema)
+    # ids-only repartition: spreads the pure-python encoders across
+    # cores when the source parquet has few files
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
+    )
 
 
 REAL_META_SCHEMA = StructType(
@@ -558,3 +563,163 @@ def real_thumbnails(
             )
 
     return df.select(id_col, data_col).mapInPandas(run, REAL_THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real FRAME pipeline (round 11, part 2): animated GIFs give genuinely
+# multi-frame media — frame sampling and frame-level dedup now run on
+# REAL decoded frames (LZW-inflated pixels), not byte slices.
+# ---------------------------------------------------------------------------
+
+# Generation rule for the animated fixture corpus (Spark synth + SQL
+# oracle both implement it; keep in sync with MEDIA_REAL_FRAME_DUP_SQL):
+#   dims     : 24 x 18, grayscale palette (r=g=b=index)
+#   n_frames : 2 + doc_id % 7
+#   frame f  : h = (doc_id % 40) * 1000 + (f % 3)   <- docs in the same
+#              id-class share frame CONTENT; distinct h = distinct bytes
+#   indices  : px[0] = h % 251, px[1] = (h // 251) % 251,
+#              px[i>=2] = (h + i) % 251
+GIF_FRAME_W, GIF_FRAME_H = 24, 18
+
+
+def synth_gif_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> (media_id, format='gif', data) with REAL animated GIF89a
+    bytes per the generation rule above, Arrow-batched on executors."""
+    from .codecs import _build_codecs
+
+    gif_enc = _build_codecs()["gif_encode"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("data", BinaryType(), False),
+        ]
+    )
+    w, h = GIF_FRAME_W, GIF_FRAME_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frame(hv: int) -> bytes:
+            px = bytearray((hv + i) % 251 for i in range(w * h))
+            px[0] = hv % 251
+            px[1] = (hv // 251) % 251
+            return bytes(px)
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                nf = 2 + d % 7
+                frames = [
+                    frame((d % 40) * 1000 + (f % 3)) for f in range(nf)
+                ]
+                ids.append(d)
+                blobs.append(gif_enc(frames, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "format": ["gif"] * len(ids),
+                    "data": blobs,
+                }
+            )
+
+    # repartition the (ids-only) input: the pure-python LZW encode is
+    # the cost, and a 1-2-file parquet source would otherwise cap the
+    # encode at 1-2 cores
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
+    )
+
+
+def real_sample_frames(
+    df: DataFrame,
+    every_nth: int = 1,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """REAL frame extraction: decode each media payload with the
+    stdlib codecs and emit one row per sampled frame with its decoded
+    RGB bytes — the true-decode counterpart of :func:`sample_frames`
+    (which slices source bytes under the fake hook). Single-frame
+    formats (PNG/BMP) emit frame 0; audio payloads are skipped."""
+    from .codecs import _build_codecs
+
+    decode_media = _build_codecs()["decode_media"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", IntegerType(), False),
+            StructField("frame", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                m = decode_media(bytes(data))
+                if m["kind"] != "image":
+                    continue
+                payloads = m.get("frames") or [m["pixels"]]
+                for fno in range(0, len(payloads), every_nth):
+                    ids.append(int(mid))
+                    nos.append(fno)
+                    frames.append(payloads[fno])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, schema)
+
+
+def real_frame_dup_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    every_nth: int = 1,
+    max_frame_df: int = 1_000,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Frame-level near-dup over REAL decoded frames: decode -> one
+    row per frame -> JVM xxhash64 over the DECODED pixel bytes ->
+    distinct (media, frame-hash) -> hot-frame cap (df > max_frame_df
+    dropped, the intros/logos guard) -> pair counts via one self-join
+    on the frame hash. Same capped inverted-index shape as
+    :func:`frame_dup_pairs`, with the decode real."""
+    frames = real_sample_frames(
+        df, every_nth=every_nth, id_col=id_col, data_col=data_col
+    )
+    # pin the tiny (media, hash) frame: it feeds the hot-frame cap,
+    # BOTH self-join sides, and the anti-join — unpinned, each branch
+    # re-runs the decode mapInPandas over every payload (measured 2x+
+    # the entry cost at sf0.1)
+    fh = (
+        frames.filter(F.length("frame") > 0)
+        .select("media_id", F.xxhash64("frame").alias("fh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        fh.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_frame_df)
+        .select("fh")
+    )
+    cold = fh.join(hot, "fh", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )

@@ -8766,6 +8766,50 @@ SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
 """
 
 
+def media_real_frame_dup(spark, sf_dir):
+    """REAL frame-level dedup (round 11, part 2): document ids ->
+    animated GIF89a fixtures (pure-stdlib LZW encode, 2..8 frames
+    each; ids congruent mod 40 share frame CONTENT by the generation
+    rule) -> decode every frame (LZW inflate + palette expansion) ->
+    JVM xxhash64 over the DECODED pixels -> capped inverted index ->
+    pairs sharing >= 2 frames. The aggregate row (media count, pair
+    count, total shared frames) is replayed by the oracle from the id
+    arithmetic: same-class pairs share exactly min(nf_a, nf_b, 3)
+    frames, cross-class pairs none — so agreement proves the whole
+    GIF encode -> decode -> frame-hash -> pair pipeline, with the
+    Spark side blind to the ids."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_gif_corpus(docs)
+    pairs = mm_ops.real_frame_dup_pairs(media, min_shared=2)
+    # single-row x single-row stats join (the adjudicated crossJoin
+    # pattern, queries.py:corpus stats entries)
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(F.sum("shared_frames"), F.lit(0))
+            .cast("long")
+            .alias("sum_shared"),
+        )
+        .crossJoin(docs.agg(F.count(F.lit(1)).cast("long").alias("n_media")))
+        .select("n_media", "n_pairs", "sum_shared")
+    )
+
+
+MEDIA_REAL_FRAME_DUP_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS g,
+         LEAST(2 + doc_id % 7, 3) AS m
+  FROM documents),
+p AS (
+  SELECT LEAST(a.m, b.m) AS shared
+  FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_media,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(shared), 0) AS BIGINT) AS sum_shared
+FROM p
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8789,6 +8833,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "media_real_thumbs": (media_real_thumbs, MEDIA_REAL_THUMBS_SQL),
     "media_real_content_dup": (media_real_content_dup, MEDIA_REAL_CONTENT_DUP_SQL),
     "storage_tag_bloom_pruning": (storage_tag_bloom_pruning, STORAGE_TAG_BLOOM_SQL),
+    "media_real_frame_dup": (media_real_frame_dup, MEDIA_REAL_FRAME_DUP_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),

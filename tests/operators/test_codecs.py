@@ -175,3 +175,89 @@ def test_png_pixel_checksum_matches_generation_rule():
         assert sum(d["pixels"]) == sum(
             (doc_id + i) % 251 for i in range(w * h * 3)
         )
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 11, part 2): real LZW, real multi-frame animation
+# ---------------------------------------------------------------------------
+
+from factstore_spark.operators.codecs import gif_decode, gif_encode  # noqa: E402
+
+
+def _gray_rgb(indices: bytes) -> bytes:
+    return b"".join(bytes((i, i, i)) for i in indices)
+
+
+def test_gif_multiframe_round_trip():
+    w, h = 24, 18
+    frames = [bytes((s + i) % 251 for i in range(w * h)) for s in (0, 7, 99)]
+    d = gif_decode(gif_encode(frames, w, h))
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, 3)
+    assert d["channels"] == 3
+    for f_in, f_out in zip(frames, d["frames"]):
+        assert f_out == _gray_rgb(f_in)
+    assert d["pixels"] == d["frames"][0]
+
+
+def test_gif_lzw_code_growth_and_dict_reset():
+    """120x90 forces 9->10->11-bit codes; a 300x300 noise frame drives
+    the dictionary to 4096 and through the mid-stream CLEAR reset."""
+    import random
+
+    big = bytes((i * 37 + (i >> 3)) % 251 for i in range(120 * 90))
+    assert gif_decode(gif_encode([big], 120, 90))["frames"][0] == _gray_rgb(big)
+    rnd = random.Random(42)
+    noisy = bytes(rnd.randrange(251) for _ in range(300 * 300))
+    assert gif_decode(gif_encode([noisy], 300, 300))["frames"][0] == _gray_rgb(
+        noisy
+    )
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced frame: rows stored in 4-pass order must
+    come back in display order. Uses the public encoder, then rewrites
+    the image descriptor to claim interlacing with rows pre-shuffled."""
+    w, h = 5, 9
+    display = bytes(range(w * h))
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = b"".join(display[y * w : (y + 1) * w] for y in order)
+    data = bytearray(gif_encode([stored], w, h))
+    # image descriptor offset for this encoder's single-frame layout:
+    # header 6 + LSD 7 + GCT 768 + graphic-control ext 8 (searching for
+    # the 0x2C byte would hit palette entry 44 first)
+    i = 6 + 7 + 768 + 8
+    assert data[i] == 0x2C
+    data[i + 9] |= 0x40
+    d = gif_decode(bytes(data))
+    assert d["frames"][0] == _gray_rgb(display)
+
+
+def test_gif_sniff_and_decode_media_kind():
+    from factstore_spark.operators.codecs import decode_media, sniff_format
+
+    g = gif_encode([bytes(24 * 18)], 24, 18)
+    assert sniff_format(g) == "gif"
+    m = decode_media(g)
+    assert (m["kind"], m["format"], m["n_frames"]) == ("image", "gif", 1)
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"GIFxx nope")
+
+
+def test_gif_frame_rule_uniqueness():
+    """The fixture rule's first-two-pixel embedding makes distinct h
+    values byte-distinct even when (h1 - h2) % 251 == 0 — the property
+    the frame-dup oracle's cross-class-zero claim rests on."""
+    w, h = 24, 18
+
+    def frame(hv: int) -> bytes:
+        px = bytearray((hv + i) % 251 for i in range(w * h))
+        px[0] = hv % 251
+        px[1] = (hv // 251) % 251
+        return bytes(px)
+
+    # 1000 and 1251 collide mod 251; frames must still differ
+    assert frame(1000) != frame(1251)
+    assert frame(3 * 1000 + 1) == frame(3 * 1000 + 1)

@@ -115,3 +115,53 @@ def test_real_decode_raises_only_for_native_formats():
         mm.real_decode(b"\xff\xd8\xff\xe0 jpeg header")
     with pytest.raises(ValueError):
         mm.real_decode(b"no such format")
+
+
+# -- real FRAME pipeline (round 11, part 2: animated GIF) --------------------
+
+
+def _gif_expect_h(d: int):
+    nf = 2 + d % 7
+    return {(d % 40) * 1000 + (f % 3) for f in range(nf)}
+
+
+def test_synth_gif_corpus_decodes_to_rule_frames(spark, ids):
+    from factstore_spark.operators.codecs import decode_media
+
+    rows = mm.synth_gif_corpus(ids).collect()
+    assert len(rows) == 120
+    for r in rows[:20]:
+        m = decode_media(bytes(r.data))
+        d = r.media_id
+        assert m["format"] == "gif"
+        assert m["n_frames"] == 2 + d % 7
+        assert (m["width"], m["height"]) == (mm.GIF_FRAME_W, mm.GIF_FRAME_H)
+
+
+def test_real_sample_frames_every_frame(spark, ids):
+    media = mm.synth_gif_corpus(ids.filter("doc_id < 20"))
+    got = mm.real_sample_frames(media).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.media_id, []).append(r.frame_no)
+    assert set(per) == set(range(20))
+    for d, nos in per.items():
+        assert sorted(nos) == list(range(2 + d % 7))
+
+
+def test_real_frame_dup_matches_id_arithmetic(spark, ids):
+    """Pairs from DECODED frame hashes must equal the generation rule:
+    same id-class pairs share exactly min(nf_a, nf_b, 3) frames,
+    cross-class pairs none."""
+    media = mm.synth_gif_corpus(ids)
+    got = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in mm.real_frame_dup_pairs(media, min_shared=1).collect()
+    }
+    want = {}
+    for a in range(120):
+        for b in range(a + 1, 120):
+            shared = len(_gif_expect_h(a) & _gif_expect_h(b))
+            if shared >= 1:
+                want[(a, b)] = shared
+    assert got == want
