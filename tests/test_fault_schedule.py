@@ -306,3 +306,87 @@ def test_read_path_creates_no_dirs(tmp_path):
     m, v = read_versioned_manifest(root, lambda r: None)
     assert (m, v) == (None, 0)
     assert not os.path.exists(os.path.join(root, "_manifests"))
+
+
+# ---------------------------------------------------------------------------
+# Minhash segment writer: the OTHER user of the shared manifest CAS
+# (segment-append shape: write-all-then-swap, no staging/fence needed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs(spark):
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    d.count()
+    return d
+
+
+@pytest.mark.parametrize("point", ["before_swap", "after_swap"])
+def test_minhash_append_crash_schedule(spark, docs, tmp_path, monkeypatch,
+                                       point):
+    """Kill an index append around its single commit point. Dead
+    BEFORE the swap: the segment is an invisible orphan — the index
+    serves exactly the pre-append state and a retried append lands
+    exactly once. Dead AFTER the swap (before the caller observed
+    success): the commit already happened — the effectively-once
+    contract is that a blind retry re-appends duplicate SIGNATURES,
+    which the candidate-join distinct absorbs (pair results identical)
+    and compaction collapses."""
+    from factstore_spark.operators import dedup as D
+
+    archive = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = str(tmp_path / "mh")
+    D.write_minhash_index(archive, idx)
+    want_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in D.incremental_minhash_pairs(inc, idx).collect()
+    )
+    m0, _v0 = D._read_minhash_manifest_versioned(idx)
+    real_swap = D._cas_swap_minhash_manifest
+
+    def dying_swap(index_dir, manifest, base):
+        if point == "before_swap":
+            raise Killed(point)
+        real_swap(index_dir, manifest, base)
+        raise Killed(point)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(D, "_cas_swap_minhash_manifest", dying_swap)
+        with pytest.raises(Killed):
+            D.append_minhash_index(inc, idx)
+
+    m1, _v1 = D._read_minhash_manifest_versioned(idx)
+    if point == "before_swap":
+        # nothing published: manifest unchanged, probe results identical
+        assert m1.get("segments") == m0.get("segments")
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in D.incremental_minhash_pairs(inc, idx).collect()
+        )
+        assert got == want_pairs
+    # retry (the stream sink's redelivery path)
+    D.append_minhash_index(inc, idx)
+    m2, _v2 = D._read_minhash_manifest_versioned(idx)
+    n_new_segments = len(m2["segments"]) - len(m0.get("segments") or [])
+    assert n_new_segments == (1 if point == "before_swap" else 2)
+    # every manifest-referenced segment exists on disk (no torn refs)
+    for seg in m2["segments"]:
+        assert os.path.isdir(os.path.join(idx, seg)) or seg == "."
+    # the index is self-consistent either way: a FURTHER increment
+    # dedups against the appended docs without duplicate pairs
+    probe = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
+    rows = D.incremental_minhash_pairs(probe, idx).collect()
+    seen = [(r.id_a, r.id_b) for r in rows]
+    assert len(seen) == len(set(seen)), "duplicate pairs from retry segments"
+    # compaction collapses segments (and the orphan never resurfaces)
+    D.compact_minhash_index(spark, idx, retain_seconds=0)
+    m3, _v3 = D._read_minhash_manifest_versioned(idx)
+    assert len(m3["segments"]) == 1
+    rows = D.incremental_minhash_pairs(probe, idx).collect()
+    seen = [(r.id_a, r.id_b) for r in rows]
+    assert len(seen) == len(set(seen))
