@@ -421,9 +421,11 @@ class FactStoreRpcService:
         # keepalive_every: a quiet store yields an EMPTY batch that the
         # wire layer writes as an empty frame — the only way a dead
         # client socket ever surfaces on a quiet stream (same leak
-        # fix as the SSE ping in server.py).
+        # fix as the SSE ping in server.py). "watch": true opts into
+        # the change-token tail wakeup (single-digit-ms idle latency).
         res = self.fs.subscribe(
-            req.get("storeName", ""), start, keepalive_every=10.0
+            req.get("storeName", ""), start, keepalive_every=10.0,
+            watch=bool(req.get("watch", False)),
         )
         yield from self._stream_outcomes(res)
 

@@ -15,7 +15,7 @@ Wire contract mirrors api.kt / the resource paths:
     GET    /v1/stores/{s}/subjects/{subj}/facts?limit=&direction=
     GET    /v1/stores/{s}/facts?from=&to=&tag=k=v&limit=&direction=
     GET    /v1/stores/{s}/facts/replay?after=
-    GET    /v1/stores/{s}/facts/subscribe?start=beginning|end&after=   (SSE)
+    GET    /v1/stores/{s}/facts/subscribe?start=beginning|end&after=&watch=1 (SSE)
 
 Result mapping keeps the zero-exception policy observable: expected
 outcomes are status codes + JSON bodies (409 for NameAlreadyExists and
@@ -506,7 +506,14 @@ class FactStoreHandler(BaseHTTPRequestHandler):
         # only way a dead socket ever surfaces (BrokenPipeError) so an
         # abandoned subscription doesn't leak its thread + poll loop
         # until process exit.
-        gen = self.fs.subscribe(store, start, poll_interval=0.1, keepalive_every=10.0)
+        # watch=1|true: commit-log change-token wakeup — single-digit-ms
+        # idle-tail delivery at the same 100 ms poll fallback (the FDB
+        # head-key watch analog; see FactStore.subscribe).
+        watch = qs.get("watch", ["0"])[0].lower() in ("1", "true")
+        gen = self.fs.subscribe(
+            store, start, poll_interval=0.1, keepalive_every=10.0,
+            watch=watch,
+        )
         if isinstance(gen, StoreNotFound):
             self._json(404, {"error": "store not found"})
             return

@@ -264,3 +264,22 @@ def test_malformed_requests_get_clean_400s(server):
         "?from=2020-01-01T00:00:00Z&to=2030-01-02T00:00:00",
     )
     assert code == 200
+
+
+def test_sse_subscribe_watch_param(server, fs):
+    """?watch=1 opts the SSE tail into the change-token wakeup; the
+    delivered facts are identical to the poll path."""
+    req("POST", f"{server}/v1/stores", {"name": "ssew"})
+    req(
+        "POST",
+        f"{server}/v1/stores/ssew/facts",
+        {"facts": [{"type": "W0", "subject": "S", "payload": {"data": b64("w")}}]},
+    )
+    r = urllib.request.Request(
+        f"{server}/v1/stores/ssew/facts/subscribe?watch=1"
+    )
+    with urllib.request.urlopen(r, timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        line = resp.readline().decode()
+        fact = json.loads(line[len("data: "):])
+        assert fact["type"] == "W0"
