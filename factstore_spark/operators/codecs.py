@@ -290,7 +290,9 @@ def _build_codecs():
                     "n_frames": n,
                     "samples": w.readframes(n),
                 }
-        except wave.Error as e:
+        except (wave.Error, EOFError, struct.error) as e:
+            # EOFError: RIFF/WAVE header truncated before the fmt
+            # chunk — still "malformed bytes", same contract
             raise ValueError(f"not a decodable WAV: {e}") from None
 
     # ---- GIF (87a/89a): real LZW, real multi-frame animation --------
@@ -435,7 +437,15 @@ def _build_codecs():
         its own rect (no inter-frame disposal compositing — frames
         that rely on partial updates decode as their own subregion,
         documented limitation; the fixtures write full frames).
-        Interlaced frames are de-interlaced per the 4-pass order."""
+        Interlaced frames are de-interlaced per the 4-pass order.
+        Malformed/truncated bytes raise ValueError (the decode_media
+        contract) — never a bare IndexError from a short buffer."""
+        try:
+            return _gif_decode_inner(data)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated/malformed GIF: {e}") from None
+
+    def _gif_decode_inner(data: bytes) -> dict:
         if data[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF")
         sw, sh = struct.unpack("<HH", data[6:10])

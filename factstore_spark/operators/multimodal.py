@@ -335,32 +335,6 @@ def documents_as_media(df: DataFrame) -> DataFrame:
 MEDIA_SYNTH_RULE_VERSION = 1
 
 
-def _synth_media_bytes(s: int) -> tuple[str, bytes]:
-    """One media asset from seed ``s`` per the generation rule.
-    Driver-side import is fine here: this helper is only called inside
-    closures that capture the codec closures by value."""
-    from .codecs import bmp_encode, png_encode, wav_encode
-
-    fmt = s % 3
-    if fmt == 0:
-        w, h = 16 + s % 17, 16 + (s * 7) % 13
-        px = bytes((s + i) % 251 for i in range(w * h * 3))
-        return "png", png_encode(px, w, h, filter_mode="cycle")
-    if fmt == 1:
-        w, h = 8 + s % 21, 8 + (s * 5) % 11
-        px = bytes((s + i) % 251 for i in range(w * h * 3))
-        return "bmp", bmp_encode(px, w, h)
-    import struct as _struct
-
-    rate = 8000 + (s % 8) * 1000
-    n = 64 + s % 129
-    samples = b"".join(
-        _struct.pack("<h", ((s * 31 + i * 7) % 65536) - 32768)
-        for i in range(n)
-    )
-    return "wav", wav_encode(samples, rate, n_channels=1)
-
-
 def synth_media_corpus(
     df: DataFrame, id_col: str = "doc_id", group_mod: int | None = None
 ) -> DataFrame:
@@ -540,7 +514,9 @@ def real_thumbnails(
                 px = np.frombuffer(m["pixels"], dtype=np.uint8).reshape(
                     h, w, ch
                 )
-                if ch != 3:  # expand gray/alpha layouts to RGB
+                if ch == 4:  # RGBA: drop alpha, KEEP the color channels
+                    px = px[:, :, :3]
+                elif ch != 3:  # gray / gray+alpha: replicate luminance
                     px = np.repeat(px[:, :, :1], 3, axis=2)
                 sy = (np.arange(target_h) * h) // target_h
                 sx = (np.arange(target_w) * w) // target_w

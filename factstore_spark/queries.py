@@ -8777,8 +8777,22 @@ def media_real_frame_dup(spark, sf_dir):
     arithmetic: same-class pairs share exactly min(nf_a, nf_b, 3)
     frames, cross-class pairs none — so agreement proves the whole
     GIF encode -> decode -> frame-hash -> pair pipeline, with the
-    Spark side blind to the ids."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    Spark side blind to the ids.
+
+    Bounded-probe discipline: the corpus is the md5 'framedup' sample
+    capped near 5,000 docs, so (a) per-frame document frequency stays
+    ~sample/40 ~= 125 — far under real_frame_dup_pairs' hot-frame cap
+    (1,000), which would otherwise silently drop EVERY fixture frame
+    on a 40k+ doc corpus and hard-mismatch the oracle — and (b) the
+    same-class pair fan-out is O(1) beyond sf0.1 instead of
+    C(n/40, 2) x 40."""
+    docs_full = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _probe_sample(
+        docs_full,
+        "doc_id",
+        _probe_ppm(docs_full, 100, target=5_000, cache_key=(sf_dir, "documents")),
+        salt="framedup",
+    )
     media = mm_ops.synth_gif_corpus(docs)
     pairs = mm_ops.real_frame_dup_pairs(media, min_shared=2)
     # single-row x single-row stats join (the adjudicated crossJoin
@@ -8796,14 +8810,22 @@ def media_real_frame_dup(spark, sf_dir):
 
 
 MEDIA_REAL_FRAME_DUP_SQL = """
-WITH d AS (
+WITH params AS (
+  SELECT LEAST(1000000, GREATEST(1,
+    (CAST(1000000 AS BIGINT) * 5000 + COUNT(*) - 1) // COUNT(*))) AS ppm
+  FROM documents),
+s AS (
+  SELECT doc_id
+  FROM documents, params
+  WHERE CAST('0x' || substring(md5('framedup' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < ppm),
+d AS (
   SELECT doc_id, doc_id % 40 AS g,
          LEAST(2 + doc_id % 7, 3) AS m
-  FROM documents),
+  FROM s),
 p AS (
   SELECT LEAST(a.m, b.m) AS shared
   FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id)
-SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_media,
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_media,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(COALESCE(SUM(shared), 0) AS BIGINT) AS sum_shared
 FROM p

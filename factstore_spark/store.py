@@ -1314,6 +1314,13 @@ class FactStore:
             cursor = after_pos
             last_emit = time.monotonic()
             while True:
+                # token snapshot BEFORE the head recompute: an append
+                # landing between the two moves the token relative to
+                # this snapshot, so the watch loop below wakes on the
+                # next tick. Snapshotting after the head check would
+                # bake that append into the token and silently degrade
+                # its delivery to the full poll interval.
+                token = layout.change_token() if watch else None
                 # published head, never the raw head: advancing the
                 # cursor past a pending bulk reservation would exclude
                 # its facts FOREVER once they publish (and emit later
@@ -1345,12 +1352,10 @@ class FactStore:
                         last_emit = time.monotonic()
                         yield []
                     if watch:
-                        # token snapshot BEFORE the wait: an append
-                        # racing the head check above moves the token
-                        # and ends the wait on the next tick; a move
-                        # the token cannot see is bounded by the
+                        # wait against the pre-head-check token; a
+                        # move the token cannot see (object-store
+                        # commit slots) is bounded by the
                         # poll-interval deadline either way
-                        token = layout.change_token()
                         deadline = time.monotonic() + poll_interval
                         while time.monotonic() < deadline:
                             time.sleep(watch_interval)

@@ -169,9 +169,12 @@ def leg_catchup_and_tail(spark, out: str) -> list[Row]:
                 if k in received
             )
             p50 = lags[len(lags) // 2] if lags else -1.0
+            # stored in MILLISECONDS (the name says _ms): dividing into
+            # seconds and printing %.2f would round the single-digit-ms
+            # watch signal — the very thing this leg measures — to 0.00
             rows.append(
-                (f"tail_p50_ms_{'watch' if watch else 'poll100'}",
-                 p50 / 1000.0, len(lags))
+                (f"tail_p50_{'watch' if watch else 'poll100'}_ms",
+                 p50, len(lags))
             )
         return rows
     finally:
@@ -193,10 +196,10 @@ def main() -> None:
         for fn in (leg_stream_sink, leg_catchup_and_tail):
             for name, sec, nrows in fn(spark, out):
                 legs[name] = (sec, nrows)
-                print(f"  K={k} {name}: {sec:.2f}s (rows={nrows:,})",
+                print(f"  K={k} {name}: {sec:.2f} (s, or ms for *_ms legs; rows={nrows:,})",
                       flush=True)
         results[k] = legs
-    print(f"\n| leg | K={k_small} s | K={k_big} s | ratio "
+    print(f"\n| leg (s; *_ms legs in ms) | K={k_small} | K={k_big} | ratio "
           f"({k_big // k_small}x data) | rows at K={k_big} |")
     print("|---|---|---|---|---|")
     for name in results[k_small]:

@@ -261,3 +261,18 @@ def test_gif_frame_rule_uniqueness():
     # 1000 and 1251 collide mod 251; frames must still differ
     assert frame(1000) != frame(1251)
     assert frame(3 * 1000 + 1) == frame(3 * 1000 + 1)
+
+
+def test_truncated_gif_and_wav_raise_valueerror_not_indexerror():
+    """decode_media's documented contract: malformed bytes raise
+    ValueError (or NotImplementedError for native formats) — a
+    truncated GIF sub-block or a RIFF/WAVE header cut before the fmt
+    chunk must not leak IndexError/EOFError into mapInPandas."""
+    g = gif_encode([bytes(24 * 18)], 24, 18)
+    for cut in (8, 12, 20, 700, len(g) // 2, len(g) - 3):
+        with pytest.raises(ValueError):
+            gif_decode(g[:cut])
+    w = wav_encode(struct.pack("<4h", 1, 2, 3, 4), 8000)
+    for cut in (4, 10, 12, 20):
+        with pytest.raises(ValueError):
+            wav_decode(w[:cut])

@@ -165,3 +165,19 @@ def test_real_frame_dup_matches_id_arithmetic(spark, ids):
             if shared >= 1:
                 want[(a, b)] = shared
     assert got == want
+
+
+def test_real_thumbnails_keep_color_for_rgba(spark):
+    """Regression (round-11 review): 4-channel input must keep its
+    COLOR channels (drop alpha), not replicate the red channel."""
+    from factstore_spark.operators.codecs import png_decode, png_encode
+
+    w, h = 16, 16
+    # strongly colored RGBA: R=10, G=200, B=30, A=255 everywhere
+    px = bytes([10, 200, 30, 255] * (w * h))
+    data = png_encode(px, w, h, channels=4)
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, data binary")
+    r = mm.real_thumbnails(df, target_w=4, target_h=4).collect()[0]
+    thumb = png_decode(bytes(r.thumb))
+    assert thumb["pixels"] == bytes([10, 200, 30] * 16)
+    assert r.thumb_cks == (10 + 200 + 30) * 16
