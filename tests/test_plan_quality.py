@@ -336,6 +336,7 @@ BNLJ_WHITELIST = {
     "curation_leakage_safe_split",  # 1-row straddling-pair audit join
     "orders_basket_rules",      # 1-row order-total broadcast (support denom)
     "text_lm_surprise",         # 1-row N/V LM-normalizer broadcast
+    "media_real_frame_dup",     # 1-row pair-stats x 1-row media-count join
 }
 
 
