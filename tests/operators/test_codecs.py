@@ -276,3 +276,73 @@ def test_truncated_gif_and_wav_raise_valueerror_not_indexerror():
     for cut in (4, 10, 12, 20):
         with pytest.raises(ValueError):
             wav_decode(w[:cut])
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trips (hypothesis): random dims x random pixels
+# must survive every codec byte-exactly — the encode side is the
+# adversary the hand-picked cases cannot be.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_dims = st.tuples(st.integers(1, 23), st.integers(1, 17))
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims=_dims, channels=st.sampled_from([1, 2, 3, 4]),
+       seed=st.integers(0, 2**31 - 1),
+       mode=st.sampled_from(["cycle", "none"]))
+def test_png_round_trip_property(dims, channels, seed, mode):
+    w, h = dims
+    rnd = __import__("random").Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    d = png_decode(png_encode(px, w, h, channels=channels, filter_mode=mode))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert d["pixels"] == px
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims=_dims, seed=st.integers(0, 2**31 - 1))
+def test_bmp_round_trip_property(dims, seed):
+    w, h = dims
+    rnd = __import__("random").Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    assert bmp_decode(bmp_encode(px, w, h))["pixels"] == px
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims=_dims, n_frames=st.integers(1, 4), seed=st.integers(0, 2**31 - 1))
+def test_gif_round_trip_property(dims, n_frames, seed):
+    """Random pixels are LZW's worst case (dictionary churn); random
+    REPETITIVE runs its best (long matches). Mix both per frame."""
+    w, h = dims
+    rnd = __import__("random").Random(seed)
+    frames = []
+    for _ in range(n_frames):
+        if rnd.random() < 0.5:
+            frames.append(bytes(rnd.randrange(256) for _ in range(w * h)))
+        else:
+            v = rnd.randrange(256)
+            frames.append(bytes([v]) * (w * h))
+    d = gif_decode(gif_encode(frames, w, h))
+    assert d["n_frames"] == n_frames
+    for f_in, f_out in zip(frames, d["frames"]):
+        assert f_out == _gray_rgb(f_in)
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 300), ch=st.sampled_from([1, 2]),
+       rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31 - 1))
+def test_wav_round_trip_property(n, ch, rate, seed):
+    rnd = __import__("random").Random(seed)
+    frames = n - (n % ch) or ch
+    samples = b"".join(
+        struct.pack("<h", rnd.randrange(-32768, 32768)) for _ in range(frames)
+    )
+    d = wav_decode(wav_encode(samples, rate, n_channels=ch))
+    assert d["samples"] == samples
+    assert d["sample_rate"] == rate
+    assert d["n_frames"] == frames // ch
