@@ -16,10 +16,18 @@ nothing beyond ``zlib``/``struct``/``wave``:
   top-down so PNG and BMP pixels are directly comparable.
 - **WAV**: PCM via the stdlib ``wave`` module (16-bit little-endian
   samples returned raw).
+- **GIF** (round 11): variable-width LZW (9..12-bit codes,
+  early-change, 4096-code CLEAR), multi-frame animation, interlacing.
+- **JPEG** (round 11): baseline sequential DCT per ITU-T T.81 —
+  Annex K huffman tables, FDCT/IDCT as 8x8 matrix products (numpy),
+  YCbCr 4:4:4 and 4:2:0, grayscale and color, encode AND decode.
+  With the DC quant step of 8, FLAT 8x8 blocks round-trip EXACTLY
+  (only the losslessly-quantized DC survives), which is what lets the
+  battery oracle replay real JPEG decodes byte-for-byte; arbitrary
+  content round-trips within the usual quality-table tolerance.
 
-Genuinely native-lib formats (JPEG's DCT, MP4/H.264) remain behind
-``NotImplementedError`` — that boundary is now format-accurate
-instead of blanket.
+The one genuinely native-lib format left is MP4/H.264 — that
+``NotImplementedError`` boundary is format-accurate, not blanket.
 
 Everything is defined inside one factory closure so cloudpickle
 serializes the functions BY VALUE into Spark python workers (the
@@ -518,6 +526,504 @@ def _build_codecs():
             "pixels": frames[0],
         }
 
+    # ---- JPEG (baseline sequential DCT, ITU-T T.81) -----------------
+    # Pure python + numpy: huffman entropy coding (Annex K standard
+    # tables), FDCT/IDCT as 8x8 matrix products, YCbCr color convert,
+    # 4:4:4 and 4:2:0 decode. The encoder emits grayscale or YCbCr
+    # 4:4:4 baseline JPEGs. Quant tables are caller-visible: with the
+    # default DC step of 8, a FLAT 8x8 block round-trips EXACTLY
+    # (only the DC survives; DC = 8*(v-128) quantizes losslessly), so
+    # flat-block fixtures give byte-deterministic decodes the battery
+    # oracles can replay — while arbitrary images round-trip within a
+    # quality-table-dependent tolerance like any real JPEG.
+
+    _ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    # flat-exact table: DC step 8, gentle ACs (ACs are zero for the
+    # fixtures; for natural content this is roughly "quality ~90")
+    _QTAB_FLAT = [8] + [16] * 63
+
+    # Annex K standard huffman tables: (bits[1..16], values)
+    _DC_LUM = (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    )
+    _DC_CHR = (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    )
+    _AC_LUM = (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+            0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+            0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+            0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+            0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+            0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+            0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+            0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+            0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+            0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+            0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    )
+    _AC_CHR = (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+            0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+            0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+            0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+            0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+            0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+            0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+            0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+            0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+            0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    )
+
+    def _huff_codes(bits, values):
+        """Canonical (symbol -> (code, length)) per T.81 Annex C."""
+        out = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[values[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _dct_matrix():
+        import math
+
+        import numpy as np
+
+        c = np.zeros((8, 8))
+        for u in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        return c
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code: int, length: int) -> None:
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                self.n -= 8
+                b = (self.acc >> self.n) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+
+        def flush(self) -> bytes:
+            if self.n:
+                pad = 8 - self.n
+                self.put((1 << pad) - 1, pad)  # pad with 1s
+            return bytes(self.out)
+
+    def _encode_block(bw, coefs, dc_codes, ac_codes, prev_dc: int) -> int:
+        def mag(v: int) -> tuple[int, int]:
+            s = v.bit_length() if v > 0 else (-v).bit_length()
+            bits = v if v >= 0 else v + (1 << s) - 1
+            return s, bits
+
+        dc = int(coefs[0])
+        diff = dc - prev_dc
+        s, bits = mag(diff) if diff else (0, 0)
+        code, ln = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s, bits = mag(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+        return dc
+
+    def jpeg_encode(
+        pixels: bytes,
+        width: int,
+        height: int,
+        channels: int = 1,
+        subsampling: str = "444",
+    ) -> bytes:
+        """Baseline JPEG: grayscale (channels=1) or YCbCr from RGB
+        (channels=3) with 4:4:4 or 4:2:0 chroma (``subsampling``).
+        Dimensions need not be multiples of 8/16 (edge blocks
+        replicate). Quant table: DC step 8 (flat blocks round-trip
+        exactly), AC step 16."""
+        import numpy as np
+
+        if channels not in (1, 3):
+            raise ValueError("jpeg_encode supports 1 or 3 channels")
+        if subsampling not in ("444", "420"):
+            raise ValueError("subsampling must be '444' or '420'")
+        if len(pixels) != width * height * channels:
+            raise ValueError("pixel buffer size mismatch")
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width, channels
+        ).astype(np.float64)
+        if channels == 3:
+            r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ]
+        else:
+            planes = [arr[:, :, 0]]
+        # per-component sampling factors (h, v)
+        if channels == 3 and subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * channels
+        hmax = max(sh for sh, _sv in samp)
+        vmax = max(sv for _sh, sv in samp)
+        if channels == 3 and subsampling == "420":
+            # chroma planes: pad to even dims, then 2x2 box average
+            for ci in (1, 2):
+                p = planes[ci]
+                ph = (p.shape[0] + 1) // 2 * 2
+                pw = (p.shape[1] + 1) // 2 * 2
+                pp = np.empty((ph, pw))
+                pp[: p.shape[0], : p.shape[1]] = p
+                pp[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+                pp[:, p.shape[1]:] = pp[:, p.shape[1] - 1 : p.shape[1]]
+                planes[ci] = (
+                    pp[0::2, 0::2] + pp[1::2, 0::2]
+                    + pp[0::2, 1::2] + pp[1::2, 1::2]
+                ) / 4.0
+        C = _dct_matrix()
+        q = np.array(_QTAB_FLAT, dtype=np.float64)[
+            np.argsort(_ZIGZAG)
+        ].reshape(8, 8)
+        # ^ _QTAB_FLAT is in zigzag order (as written to DQT); invert
+        # the permutation for natural-order block math
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        padded = []
+        for (sh, sv), p in zip(samp, planes):
+            th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+            pp = np.empty((th, tw))
+            pp[: p.shape[0], : p.shape[1]] = p
+            pp[p.shape[0]:, : p.shape[1]] = p[-1:, :]  # replicate edges
+            pp[:, p.shape[1]:] = pp[:, p.shape[1] - 1 : p.shape[1]]
+            padded.append(pp)
+        bw = _BitWriter()
+        prev = [0] * len(planes)
+        tables = [
+            (_huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)),
+            (_huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)),
+            (_huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)),
+        ]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, ((sh, sv), p) in enumerate(zip(samp, padded)):
+                    dc_c, ac_c = tables[min(ci, 2)]
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            y0 = (my * sv + vy) * 8
+                            x0 = (mx * sh + vx) * 8
+                            blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                            coef = C @ blk @ C.T
+                            qz = np.round(coef / q).astype(np.int64)
+                            zz = qz.reshape(64)[_ZIGZAG]
+                            prev[ci] = _encode_block(
+                                bw, zz, dc_c, ac_c, prev[ci]
+                            )
+        scan = bw.flush()
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+        def dht(tc: int, th: int, table) -> bytes:
+            bits, values = table
+            return seg(
+                0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+            )
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += seg(0xDB, bytes([0]) + bytes(_QTAB_FLAT))  # DQT id 0
+        ncomp = len(planes)
+        sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+        for ci, (sh, sv) in enumerate(samp):
+            sof += bytes([ci + 1, sh << 4 | sv, 0])  # qtable 0
+        out += seg(0xC0, sof)  # SOF0 baseline
+        out += dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+        if ncomp == 3:
+            out += dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, t << 4 | t])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += scan
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    class _BitReader:
+        def __init__(self, data: bytes, pos: int):
+            self.data = data
+            self.pos = pos
+            self.acc = 0
+            self.n = 0
+
+        def bit(self) -> int:
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy stream truncated")
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                    if nxt == 0x00:
+                        self.pos += 1  # stuffed byte
+                    else:
+                        raise ValueError("unexpected marker in JPEG scan")
+                self.acc = b
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k: int) -> int:
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+    def _huff_decoder(bits, values):
+        """code-string table: {(length, code): symbol}."""
+        out = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[(ln, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _read_symbol(br, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG huffman code")
+
+    def _extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def jpeg_decode(data: bytes) -> dict:
+        """Baseline sequential JPEG -> dict(width, height, channels,
+        pixels) — grayscale stays 1 channel; color decodes to RGB.
+        Supports 8-bit baseline (SOF0), 4:4:4 and 4:2:0 sampling;
+        progressive (SOF2), 12-bit, arithmetic coding, and restart
+        intervals raise NotImplementedError. Malformed/truncated bytes
+        raise ValueError."""
+        try:
+            return _jpeg_decode_inner(data)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated/malformed JPEG: {e}") from None
+
+    def _jpeg_decode_inner(data: bytes) -> dict:
+        import numpy as np
+
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (no SOI)")
+        pos = 2
+        qtabs: dict[int, list[int]] = {}
+        htabs: dict[tuple[int, int], dict] = {}
+        frame = None
+        scan_comps = None
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            marker = data[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            (length,) = struct.unpack(">H", data[pos : pos + 2])
+            body = data[pos + 2 : pos + length]
+            if len(body) != length - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0:
+                        raise NotImplementedError("16-bit JPEG quant table")
+                    qtabs[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    values = list(body[i + 17 : i + 17 + nv])
+                    htabs[(tc, th)] = _huff_decoder(bits, values)
+                    i += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = body[0]
+                if prec != 8:
+                    raise NotImplementedError(f"{prec}-bit JPEG")
+                h, w = struct.unpack(">HH", body[1:5])
+                ncomp = body[5]
+                comps = []
+                for ci in range(ncomp):
+                    cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                    comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                frame = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"non-baseline JPEG (SOF marker 0x{marker:02x})"
+                )
+            elif marker == 0xDD:
+                raise NotImplementedError("JPEG restart intervals (DRI)")
+            elif marker == 0xDA:  # SOS: entropy data follows
+                ns = body[0]
+                scan_comps = []
+                for ci in range(ns):
+                    cid, tt = body[1 + ci * 2 : 3 + ci * 2]
+                    scan_comps.append((cid, tt >> 4, tt & 0x0F))
+                pos += length
+                break
+            pos += length
+        if frame is None or scan_comps is None:
+            raise ValueError("JPEG missing SOF0/SOS")
+        w, h, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not all(
+            (c[1], c[2]) in ((hmax, vmax), (1, 1)) for c in comps
+        ):
+            raise NotImplementedError("unsupported JPEG sampling layout")
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = (w + mcu_w - 1) // mcu_w
+        mcus_y = (h + mcu_h - 1) // mcu_h
+        C = _dct_matrix()
+        inv_zz = np.argsort(_ZIGZAG)
+        planes = {}
+        for cid, ch, cv, tq in comps:
+            planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+        br = _BitReader(data, pos)
+        prev = {cid: 0 for cid, _h, _v, _q in comps}
+        by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, td, ta in scan_comps:
+                    ch, cv, tq = by_id[cid]
+                    dc_t = htabs.get((0, td))
+                    ac_t = htabs.get((1, ta))
+                    if dc_t is None or ac_t is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    q = np.array(qtabs[tq], dtype=np.float64)
+                    for vy in range(cv):
+                        for vx in range(ch):
+                            zz = np.zeros(64)
+                            s = _read_symbol(br, dc_t)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            prev[cid] += diff
+                            zz[0] = prev[cid]
+                            k = 1
+                            while k < 64:
+                                sym = _read_symbol(br, ac_t)
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0x0F
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError("bad JPEG AC symbol")
+                                    k += 16
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("JPEG AC overflow")
+                                zz[k] = _extend(br.bits(size), size)
+                                k += 1
+                            blk = (zz * q)[inv_zz].reshape(8, 8)
+                            sp = C.T @ blk @ C + 128.0
+                            y0 = (my * cv + vy) * 8
+                            x0 = (mx * ch + vx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = sp
+        ncomp = len(comps)
+        if ncomp == 1:
+            cid = comps[0][0]
+            out = np.clip(np.round(planes[cid][:h, :w]), 0, 255).astype(
+                np.uint8
+            )
+            return {
+                "width": w, "height": h, "channels": 1,
+                "pixels": out.tobytes(),
+            }
+        if ncomp != 3:
+            raise NotImplementedError(f"{ncomp}-component JPEG")
+        full = []
+        for cid, ch, cv, _tq in comps:
+            p = planes[cid]
+            if (ch, cv) != (hmax, vmax):
+                p = p.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
+            full.append(p[:h, :w])
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(np.round(x), 0, 255) for x in (r, g, b)], axis=2
+        ).astype(np.uint8)
+        return {
+            "width": w, "height": h, "channels": 3,
+            "pixels": rgb.tobytes(),
+        }
+
     def sniff_format(data: bytes) -> str | None:
         """Magic-byte format sniff; None when unknown."""
         if data[:8] == _PNG_SIG:
@@ -550,6 +1056,9 @@ def _build_codecs():
         if fmt == "gif":
             d = gif_decode(data)
             return {"kind": "image", "format": "gif", **d}
+        if fmt == "jpeg":
+            d = jpeg_decode(data)
+            return {"kind": "image", "format": "jpeg", "n_frames": 1, **d}
         if fmt == "wav":
             d = wav_decode(data)
             return {
@@ -561,9 +1070,9 @@ def _build_codecs():
                 "samples": d["samples"],
                 "sample_width": d["sample_width"],
             }
-        if fmt in ("jpeg", "mp4"):
+        if fmt == "mp4":
             raise NotImplementedError(
-                f"{fmt} needs native codec libs (PIL/pyav) not present "
+                "mp4/h264 needs native codec libs (pyav) not present "
                 "in this environment"
             )
         raise ValueError("unrecognized media payload")
@@ -575,6 +1084,8 @@ def _build_codecs():
         "bmp_decode": bmp_decode,
         "gif_encode": gif_encode,
         "gif_decode": gif_decode,
+        "jpeg_encode": jpeg_encode,
+        "jpeg_decode": jpeg_decode,
         "wav_encode": wav_encode,
         "wav_decode": wav_decode,
         "sniff_format": sniff_format,
@@ -593,3 +1104,5 @@ sniff_format = _C["sniff_format"]
 decode_media = _C["decode_media"]
 gif_encode = _C["gif_encode"]
 gif_decode = _C["gif_decode"]
+jpeg_encode = _C["jpeg_encode"]
+jpeg_decode = _C["jpeg_decode"]

@@ -89,11 +89,11 @@ fake_decode = _make_fake_decode()
 
 def real_decode(data: bytes) -> tuple[int, int, int]:
     """The genuine decode hook for the decode_fn contract, backed by
-    the pure-stdlib codecs (operators/codecs.py): PNG/BMP return
-    (width, height, 1); WAV returns (n_channels, sample_rate,
-    n_frames). Only genuinely native-lib formats (JPEG/MP4) still
-    raise NotImplementedError — the boundary is format-accurate now,
-    not a blanket stub."""
+    the pure-stdlib codecs (operators/codecs.py): PNG/BMP/JPEG return
+    (width, height, 1), GIF (width, height, frame count); WAV returns
+    (n_channels, sample_rate, n_frames). Only MP4/H.264 — genuinely a
+    native-lib format — still raises NotImplementedError; the
+    boundary is format-accurate, not a blanket stub."""
     from .codecs import decode_media
 
     m = decode_media(data)
@@ -698,4 +698,57 @@ def real_frame_dup_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> (media_id, format='jpeg', data) with REAL baseline JPEG
+    bytes: grayscale flat-8x8-block fixtures, which the DC-step-8
+    quant table round-trips EXACTLY (operators/codecs.py) — the
+    property that makes a lossy codec's decode SQL-replayable.
+
+    Generation rule (keep in sync with MEDIA_REAL_JPEG_SQL):
+      blocks wide  bw = 2 + d % 4          (w = 8*bw, 16..40)
+      blocks high  bh = 2 + (d * 3) % 3    (h = 8*bh, 16..32)
+      block i (row-major) value v = (d + i) % 251
+    so the decoded pixel sum is exactly 64 * sum_i((d + i) % 251)."""
+    from .codecs import _build_codecs
+
+    jpeg_enc = _build_codecs()["jpeg_encode"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("data", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                bw = 2 + d % 4
+                bh = 2 + (d * 3) % 3
+                w, h = bw * 8, bh * 8
+                px = bytearray(w * h)
+                for i in range(bw * bh):
+                    v = (d + i) % 251
+                    by, bx = divmod(i, bw)
+                    for yy in range(8):
+                        base = (by * 8 + yy) * w + bx * 8
+                        px[base : base + 8] = bytes([v]) * 8
+                ids.append(d)
+                blobs.append(jpeg_enc(bytes(px), w, h, channels=1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "format": ["jpeg"] * len(ids),
+                    "data": blobs,
+                }
+            )
+
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
     )

@@ -8832,6 +8832,48 @@ FROM p
 """
 
 
+def media_real_jpeg(spark, sf_dir):
+    """REAL JPEG decode (round 11, part 3): document ids -> baseline
+    sequential JPEG fixtures (pure python+numpy encoder — Annex K
+    huffman tables, FDCT, quantization, entropy coding with byte
+    stuffing) -> full decode (huffman -> dequant -> IDCT) inside
+    mapInPandas -> per-media dims + decoded-pixel checksum. The
+    fixtures are flat-8x8-block grayscale images, which the DC-step-8
+    quant table round-trips EXACTLY (ACs are zero; DC = 8*(v-128)
+    quantizes losslessly) — that is what makes a LOSSY codec's decode
+    SQL-replayable: checksum = 64 * sum of the block values, which
+    the oracle recomputes from the id arithmetic per block."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_jpeg_corpus(docs)
+    out = mm_ops.decode_real_meta(media)
+    return out.select(
+        "media_id",
+        "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "checksum",
+    )
+
+
+MEDIA_REAL_JPEG_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         2 + doc_id % 4 AS bw,
+         2 + (doc_id * 3) % 3 AS bh
+  FROM documents),
+cks AS (
+  SELECT doc_id, SUM(64 * ((doc_id + t.i) % 251)) AS c
+  FROM m, LATERAL (SELECT unnest(range(bw * bh)) AS i) t
+  GROUP BY doc_id)
+SELECT m.doc_id AS media_id,
+       'jpeg' AS fmt,
+       CAST(8 * bw AS BIGINT) AS width,
+       CAST(8 * bh AS BIGINT) AS height,
+       CAST(cks.c AS BIGINT) AS checksum
+FROM m JOIN cks USING (doc_id)
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql or None)
@@ -8856,6 +8898,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "media_real_content_dup": (media_real_content_dup, MEDIA_REAL_CONTENT_DUP_SQL),
     "storage_tag_bloom_pruning": (storage_tag_bloom_pruning, STORAGE_TAG_BLOOM_SQL),
     "media_real_frame_dup": (media_real_frame_dup, MEDIA_REAL_FRAME_DUP_SQL),
+    "media_real_jpeg": (media_real_jpeg, MEDIA_REAL_JPEG_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),

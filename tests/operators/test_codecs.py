@@ -157,8 +157,12 @@ def test_sniff_and_decode_media_dispatch():
     assert (m["kind"], m["width"], m["height"], m["n_frames"]) == (
         "audio", 1, 8000, 4,
     )
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    # JPEG is decodable now (round 11); junk after a JPEG SOI is
+    # MALFORMED, not unimplemented
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(NotImplementedError, match="mp4"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42xxxx")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_media(b"plain text")
 
@@ -346,3 +350,100 @@ def test_wav_round_trip_property(n, ch, rate, seed):
     assert d["samples"] == samples
     assert d["sample_rate"] == rate
     assert d["n_frames"] == frames // ch
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 11, part 3): baseline sequential DCT, pure python+numpy
+# ---------------------------------------------------------------------------
+
+from factstore_spark.operators.codecs import (  # noqa: E402
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _flat_block_image(w: int, h: int, seed: int) -> bytes:
+    """Grayscale image of flat 8x8 blocks — the byte-exact JPEG case
+    (DC quant step 8 quantizes 8*(v-128) losslessly, ACs are zero)."""
+    bw = w // 8
+    px = bytearray(w * h)
+    for by in range(h // 8):
+        for bx in range(bw):
+            v = (seed + by * bw + bx) % 251
+            for yy in range(8):
+                base = (by * 8 + yy) * w + bx * 8
+                px[base : base + 8] = bytes([v]) * 8
+    return bytes(px)
+
+
+@pytest.mark.parametrize("w,h,seed", [(16, 16, 0), (24, 16, 7), (40, 32, 123)])
+def test_jpeg_flat_blocks_round_trip_exactly(w, h, seed):
+    px = _flat_block_image(w, h, seed)
+    d = jpeg_decode(jpeg_encode(px, w, h, channels=1))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+    assert d["pixels"] == px
+
+
+def test_jpeg_lossy_round_trip_within_tolerance():
+    import random
+
+    rnd = random.Random(5)
+    w, h = 24, 24
+    px = bytes(rnd.randrange(256) for _ in range(w * h))
+    d = jpeg_decode(jpeg_encode(px, w, h, channels=1))
+    err = max(abs(a - b) for a, b in zip(px, d["pixels"]))
+    assert err <= 64, err  # AC quant 16 on white noise: bounded, lossy
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_color_round_trip(subsampling):
+    w, h = 32, 24
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(((x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256))
+    d = jpeg_decode(
+        jpeg_encode(bytes(px), w, h, channels=3, subsampling=subsampling)
+    )
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    err = max(abs(a - b) for a, b in zip(px, d["pixels"]))
+    assert err <= (16 if subsampling == "444" else 48), err
+
+
+def test_jpeg_odd_dimensions_and_dispatch():
+    from factstore_spark.operators.codecs import decode_media
+
+    w, h = 19, 13
+    px = bytes((i * 7) % 251 for i in range(w * h))
+    data = jpeg_encode(px, w, h, channels=1)
+    assert sniff_format(data) == "jpeg"
+    m = decode_media(data)
+    assert (m["kind"], m["format"], m["width"], m["height"], m["n_frames"]) == (
+        "image", "jpeg", w, h, 1,
+    )
+    assert len(m["pixels"]) == w * h
+
+
+def test_jpeg_rejects_truncation_and_progressive():
+    px = _flat_block_image(16, 16, 3)
+    data = bytearray(jpeg_encode(px, 16, 16))
+    for cut in (1, 4, 30, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            jpeg_decode(bytes(data[:cut]))
+    # flip SOF0 (0xC0) to SOF2 (progressive): format-accurate boundary
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg_decode(bytes(data))
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=st.tuples(st.integers(1, 5), st.integers(1, 4)),
+       seed=st.integers(0, 2**31 - 1))
+def test_jpeg_flat_block_property(dims, seed):
+    """Property: ANY flat-block grayscale image round-trips exactly —
+    the invariant the media_real_jpeg oracle rests on."""
+    bw, bh = dims
+    w, h = bw * 8, bh * 8
+    px = _flat_block_image(w, h, seed % 251)
+    assert jpeg_decode(jpeg_encode(px, w, h))["pixels"] == px

@@ -111,10 +111,13 @@ def test_real_decode_satisfies_decode_fn_contract(spark, ids):
 
 
 def test_real_decode_raises_only_for_native_formats():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        mm.real_decode(b"\xff\xd8\xff\xe0 jpeg header")
+    with pytest.raises(NotImplementedError, match="mp4"):
+        mm.real_decode(b"\x00\x00\x00\x18ftypmp42 header")
     with pytest.raises(ValueError):
         mm.real_decode(b"no such format")
+    # a JPEG header followed by junk is malformed, never unimplemented
+    with pytest.raises(ValueError):
+        mm.real_decode(b"\xff\xd8\xff\xe0 jpeg junk")
 
 
 # -- real FRAME pipeline (round 11, part 2: animated GIF) --------------------
@@ -181,3 +184,20 @@ def test_real_thumbnails_keep_color_for_rgba(spark):
     thumb = png_decode(bytes(r.thumb))
     assert thumb["pixels"] == bytes([10, 200, 30] * 16)
     assert r.thumb_cks == (10 + 200 + 30) * 16
+
+
+def test_synth_jpeg_corpus_decodes_exactly(spark, ids):
+    """Flat-block JPEG fixtures: decode_real_meta's dims and checksum
+    must equal the generation rule exactly — through huffman entropy
+    coding, dequantization, and the IDCT."""
+    media = mm.synth_jpeg_corpus(ids)
+    got = {r.media_id: r for r in mm.decode_real_meta(media).collect()}
+    assert len(got) == 120
+    for d in range(120):
+        bw = 2 + d % 4
+        bh = 2 + (d * 3) % 3
+        want_cks = sum(64 * ((d + i) % 251) for i in range(bw * bh))
+        r = got[d]
+        assert (r.fmt, r.width, r.height, r.n_frames, r.checksum) == (
+            "jpeg", 8 * bw, 8 * bh, 1, want_cks,
+        ), f"doc {d}"
