@@ -174,9 +174,12 @@ def _build_codecs():
             if len(body) != length:
                 raise ValueError("truncated PNG chunk")
             if tag == b"IHDR":
-                width, height, bitdepth, ctype, _comp, _filt, interlace = (
-                    struct.unpack(">IIBBBBB", body)
-                )
+                try:
+                    width, height, bitdepth, ctype, _comp, _filt, interlace = (
+                        struct.unpack(">IIBBBBB", body)
+                    )
+                except struct.error as e:
+                    raise ValueError(f"bad PNG IHDR: {e}") from e
             elif tag == b"PLTE":
                 plte = body
             elif tag == b"IDAT":
@@ -193,7 +196,13 @@ def _build_codecs():
         channels = _CHANNELS.get(ctype)
         if channels is None:
             raise ValueError(f"bad PNG color type {ctype}")
-        raw = zlib.decompress(bytes(idat))
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            # contract: malformed media bytes raise ValueError (same
+            # wrapping as the gif/jpeg/wav decoders) so a corrupt IDAT
+            # fails a decode batch with the expected exception type
+            raise ValueError(f"corrupt PNG IDAT: {e}") from e
         stride = width * channels
         if len(raw) != (stride + 1) * height:
             raise ValueError("PNG pixel data length mismatch")

@@ -709,7 +709,7 @@ def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Generation rule (keep in sync with MEDIA_REAL_JPEG_SQL):
       blocks wide  bw = 2 + d % 4          (w = 8*bw, 16..40)
-      blocks high  bh = 2 + (d * 3) % 3    (h = 8*bh, 16..32)
+      blocks high  bh = 2 + d % 3          (h = 8*bh, 16..32)
       block i (row-major) value v = (d + i) % 251
     so the decoded pixel sum is exactly 64 * sum_i((d + i) % 251)."""
     from .codecs import _build_codecs
@@ -729,7 +729,7 @@ def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf[id_col]:
                 d = int(mid)
                 bw = 2 + d % 4
-                bh = 2 + (d * 3) % 3
+                bh = 2 + d % 3
                 w, h = bw * 8, bh * 8
                 px = bytearray(w * h)
                 for i in range(bw * bh):

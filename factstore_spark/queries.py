@@ -8859,7 +8859,7 @@ MEDIA_REAL_JPEG_SQL = """
 WITH m AS (
   SELECT doc_id,
          2 + doc_id % 4 AS bw,
-         2 + (doc_id * 3) % 3 AS bh
+         2 + doc_id % 3 AS bh
   FROM documents),
 cks AS (
   SELECT doc_id, SUM(64 * ((doc_id + t.i) % 251)) AS c

@@ -64,6 +64,16 @@ _H2_SALT = "fsbloom-h2"
 
 _POINTER = "manifest.json"
 
+# Inventory-fingerprint format recorded in every manifest. v1 (implied
+# by absence) pinned bare int sizes; v2 pins "size:mtime_ns" strings —
+# the freshness check compares the manifest's pinned inventory against
+# a fresh one, so a FORMAT change makes every pre-upgrade sidecar read
+# as stale (safe direction, but an invisible perf cliff). Recording
+# the format lets describe_bloom_index name the reason ("fingerprint
+# format upgraded, rebuild required") so the maintenance path rebuilds
+# deliberately instead of full-scanning silently forever (ADVICE r11).
+_FP_FORMAT = "size+mtime_ns/v2"
+
 
 class BloomIndexStaleError(RuntimeError):
     """The sidecar's pinned file inventory no longer matches the data
@@ -353,6 +363,7 @@ def build_bloom_index(
         "num_hashes": num_hashes,
         "data_dir": data_sub,
         "files": inv,
+        "fingerprint_format": _FP_FORMAT,
     }
     version = cas_swap_manifest(
         index_dir, manifest, base_version, _write_pointer, what="bloom index"
@@ -439,13 +450,41 @@ def _sidecar_df(
     return df
 
 
+def _stale_reason(manifest: dict, inv_now: dict) -> str | None:
+    """Why a manifest is stale (None = fresh). Distinguishes a pure
+    fingerprint-FORMAT upgrade (same files, same sizes, manifest
+    predates the size:mtime_ns fingerprint) from real inventory drift,
+    so maintenance can report "rebuild required" instead of the
+    sidecar silently degrading every probe to a full scan."""
+    if "key_cols" not in manifest:
+        return "pre-composite manifest format; rebuild required"
+    pinned = manifest["files"]
+    if pinned == inv_now:
+        return None
+    if (
+        manifest.get("fingerprint_format") != _FP_FORMAT
+        and set(pinned) == set(inv_now)
+        and all(
+            str(v).split(":", 1)[0] == str(inv_now[k]).split(":", 1)[0]
+            for k, v in pinned.items()
+        )
+    ):
+        return (
+            "fingerprint format upgraded (pre-v2 size-only -> "
+            f"{_FP_FORMAT}); rebuild required"
+        )
+    return "data directory inventory drift"
+
+
 def describe_bloom_index(
     index_dir: str, data_dir: str, files: dict[str, int] | None = None
 ) -> dict:
     manifest, version = read_versioned_manifest(index_dir, _read_pointer)
     if manifest is None:
-        return {"exists": False, "stale": True, "version": 0}
+        return {"exists": False, "stale": True, "version": 0,
+                "stale_reason": "no index built"}
     inv_now = files if files is not None else _inventory(data_dir)
+    reason = _stale_reason(manifest, inv_now)
     return {
         "exists": True,
         "version": version,
@@ -456,7 +495,8 @@ def describe_bloom_index(
             [manifest["key_col"]] if "key_col" in manifest else None,
         ),
         "n_files": len(manifest["files"]),
-        "stale": "key_cols" not in manifest or manifest["files"] != inv_now,
+        "stale": reason is not None,
+        "stale_reason": reason,
     }
 
 

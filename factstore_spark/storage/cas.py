@@ -384,6 +384,24 @@ class ConcurrentManifestSwapError(RuntimeError):
     Re-read the index and re-run."""
 
 
+class TornManifestSlotError(ConcurrentManifestSwapError):
+    """The next manifest slot is reserved but unparseable — a writer
+    died between claiming the name and landing its content (possible
+    only on create-no-overwrite substrates; hardlink slots are always
+    complete). Unlike the parent error, "re-read and re-run" cannot
+    succeed until the carcass ages past TORN_SLOT_RECLAIM_AGE_SECONDS
+    (at which point cas_swap_manifest reclaims it automatically) or is
+    deleted manually; the message names both remedies."""
+
+
+# How old a reserved-but-unparseable slot must be before a later
+# writer may delete and re-claim it. A live writer reserves and writes
+# its JSON in one put_if_absent call, so anything torn for this long
+# is a dead writer's carcass, not an in-flight publish. Module-level
+# so tests (and unusual deployments) can tighten/loosen it.
+TORN_SLOT_RECLAIM_AGE_SECONDS = 30.0
+
+
 # Pluggable manifest-log substrate (round 11): the versioned-manifest
 # CAS shared by the IVF / minhash / bloom / rollup writers claims
 # ``_manifests/snap-N.json`` slots through a SlotStore, so the SAME
@@ -453,14 +471,57 @@ def cas_swap_manifest(root, manifest, base_version, write_pointer, what="manifes
     can never overwrite a later committed head with its older
     manifest. Old snapshots are pruned past a 10-version tail.
     ``write_pointer(root, manifest)`` writes the legacy pointer.
-    Returns the committed version."""
+    Returns the committed version.
+
+    **Torn-slot reclamation.** On a create-no-overwrite substrate
+    (ExclCreateSlotStore / object-store factory) a writer killed
+    between reserving snap-N and landing its JSON leaves an
+    unparseable slot that readers skip FOREVER: every later writer
+    recomputes base N-1, loses the snap-N claim to the dead
+    reservation, and the generic "re-read and re-run" advice livelocks
+    (readers keep serving N-1, so the re-read keeps yielding base
+    N-1). A lost claim therefore inspects the winning slot: if its
+    content parses, a real writer won — raise. If it is torn AND older
+    than TORN_SLOT_RECLAIM_AGE_SECONDS, the reservation's owner is
+    dead (a live writer reserves and writes in one call — sub-second),
+    so delete the carcass and retry the claim ONCE; two concurrent
+    reclaimers then race on the fresh put_if_absent and exactly one
+    wins, preserving the single-winner contract. A young torn slot
+    raises TornManifestSlotError (distinct type, names the slot and
+    the age gate) instead of advising a retry that cannot succeed yet.
+    """
     import json as _json
 
     n = base_version + 1
+    name = f"snap-{n}.json"
     store = _manifest_store(root)
-    won = store.put_if_absent(
-        f"snap-{n}.json", _json.dumps(manifest, sort_keys=True).encode()
-    )
+    payload = _json.dumps(manifest, sort_keys=True).encode()
+    won = store.put_if_absent(name, payload)
+    if not won:
+        raw = store.read(name)
+        torn = True
+        if raw is not None:
+            try:
+                _json.loads(raw)
+                torn = False
+            except ValueError:
+                pass
+        if raw is not None and torn:
+            age = time.time() - (store.mtime(name) or time.time())
+            if age < TORN_SLOT_RECLAIM_AGE_SECONDS:
+                raise TornManifestSlotError(
+                    f"{what} slot {name} in {root} is reserved but "
+                    f"unparseable (a writer died mid-publish); it becomes "
+                    f"reclaimable {TORN_SLOT_RECLAIM_AGE_SECONDS - age:.1f}s "
+                    f"from now (age gate "
+                    f"{TORN_SLOT_RECLAIM_AGE_SECONDS}s) — retry after the "
+                    f"gate, or delete the slot manually to recover sooner"
+                )
+            store.delete(name)
+        if raw is None or torn:
+            # slot vanished under us (pruned/reclaimed) or we just
+            # reclaimed a dead reservation: one fresh claim attempt
+            won = store.put_if_absent(name, payload)
     if not won:
         raise ConcurrentManifestSwapError(
             f"{what} swap based on version {base_version} lost to a "

@@ -95,6 +95,25 @@ def test_png_rejects_garbage_and_interlace():
         png_decode(bytes(data))
 
 
+def test_png_corrupt_idat_and_short_ihdr_raise_valueerror():
+    """ADVICE r11: malformed PNG bytes must raise ValueError like the
+    gif/jpeg/wav decoders — never a leaking zlib.error/struct.error."""
+    px = _pix(4 * 4 * 3)
+    data = bytearray(png_encode(px, 4, 4))
+    # corrupt the IDAT payload (IDAT starts after the 25-byte IHDR
+    # chunk + 8-byte signature; flip bytes well inside the deflate
+    # stream)
+    idat_off = data.index(b"IDAT") + 8
+    data[idat_off : idat_off + 4] = b"\xff\x00\xff\x00"
+    with pytest.raises(ValueError, match="IDAT"):
+        png_decode(bytes(data))
+    # IHDR body shorter than the 13-byte spec: struct.error -> ValueError
+    sig = data[:8]
+    short_ihdr = struct.pack(">I", 5) + b"IHDR" + b"\x00" * 5 + b"\x00" * 4
+    with pytest.raises(ValueError, match="IHDR"):
+        png_decode(bytes(sig) + short_ihdr)
+
+
 @pytest.mark.parametrize("w,h", [(1, 1), (4, 4), (5, 3), (7, 2), (6, 10)])
 def test_bmp_round_trip_covers_padding(w, h):
     """w=5 and w=7 exercise non-zero row padding (stride % 4 != 0)."""

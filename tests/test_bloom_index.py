@@ -113,6 +113,49 @@ def test_stale_index_degrades_to_scan_or_raises(spark, bloom_table):
     assert 1 <= len(probe.candidate_files) <= 2
 
 
+def test_fingerprint_format_upgrade_reported_not_silent(spark, bloom_table):
+    """ADVICE r11: a pre-v2 manifest (bare int sizes, no mtime_ns)
+    must describe as stale with an explicit 'fingerprint format
+    upgraded' reason — a named rebuild signal, not a silent perf
+    cliff — and a rebuild restores pruning."""
+    from factstore_spark.storage.bloomindex import (
+        _inventory,
+        _read_pointer,
+        _write_pointer,
+    )
+    from factstore_spark.storage.cas import (
+        cas_swap_manifest,
+        read_versioned_manifest,
+    )
+
+    data_dir, index_dir, _ = bloom_table
+    manifest, version = read_versioned_manifest(index_dir, _read_pointer)
+    assert manifest["fingerprint_format"] == "size+mtime_ns/v2"
+    # forge the pre-upgrade manifest: same files, int sizes, no format
+    legacy = dict(manifest)
+    legacy.pop("fingerprint_format")
+    legacy["files"] = {
+        k: int(str(v).split(":", 1)[0]) for k, v in manifest["files"].items()
+    }
+    cas_swap_manifest(index_dir, legacy, version, _write_pointer)
+    desc = describe_bloom_index(index_dir, data_dir)
+    assert desc["stale"] is True
+    assert "fingerprint format upgraded" in desc["stale_reason"]
+    # probes degrade to scan (exactness preserved), never wrong
+    got = pruned_lookup(spark, data_dir, "k", [5], index_dir)
+    assert [r.k for r in got.collect()] == [5]
+    # real drift still reports as drift, not as a format upgrade
+    extra = spark.createDataFrame([(77_777, 1, "x")], "k long, v long, s string")
+    extra.coalesce(1).write.mode("append").parquet(data_dir)
+    assert describe_bloom_index(index_dir, data_dir)["stale_reason"] == (
+        "data directory inventory drift"
+    )
+    # the maintenance rebuild clears both
+    build_bloom_index(spark, data_dir, "k", index_dir)
+    desc = describe_bloom_index(index_dir, data_dir)
+    assert desc["stale"] is False and desc["stale_reason"] is None
+
+
 def test_wrong_key_col_treated_as_stale(spark, bloom_table):
     data_dir, index_dir, _ = bloom_table
     probe = bloom_candidate_files(spark, index_dir, data_dir, "v", [3])

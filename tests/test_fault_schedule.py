@@ -287,15 +287,57 @@ def test_torn_manifest_slot_serves_prior_snapshot(tmp_path):
     open(os.path.join(snaps, "snap-2.json"), "wb").close()
     m, v = read_versioned_manifest(root, lambda r: {})
     assert (m, v) == ({"n_vectors": 7}, 1)
-    # and a writer based on v=1 correctly LOSES to the reservation —
-    # the torn slot still holds its claim (that is the excl contract)
+    # a writer based on v=1 LOSES to the YOUNG reservation (the dead
+    # writer might still be mid-publish) — with the DISTINCT torn-slot
+    # error naming the age gate, not the generic retry advice
     from factstore_spark.storage.cas import (
-        ConcurrentManifestSwapError,
+        TornManifestSlotError,
         cas_swap_manifest,
     )
 
-    with pytest.raises(ConcurrentManifestSwapError):
+    with pytest.raises(TornManifestSlotError, match="reclaimable"):
         cas_swap_manifest(root, {"n_vectors": 8}, 1, lambda r, man: None)
+    # the failed attempt must not have disturbed the serving state
+    m, v = read_versioned_manifest(root, lambda r: {})
+    assert (m, v) == ({"n_vectors": 7}, 1)
+
+
+def test_torn_manifest_slot_reclaimed_past_age_gate(tmp_path, monkeypatch):
+    """ADVICE r11 (medium): a dead writer's reserved-but-unparseable
+    slot must not wedge commits forever. Once the carcass ages past
+    TORN_SLOT_RECLAIM_AGE_SECONDS, the next writer deletes it and
+    re-claims the same version — no manual cleanup, no livelock."""
+    root = str(tmp_path / "idx")
+    snaps = os.path.join(root, "_manifests")
+    store = HardlinkSlotStore(snaps)
+    assert store.put_if_absent("snap-1.json", b'{"n_vectors": 7}')
+    open(os.path.join(snaps, "snap-2.json"), "wb").close()
+    # backdate the carcass past the (real, untouched) 30s gate
+    old = time.time() - 2 * cas_mod.TORN_SLOT_RECLAIM_AGE_SECONDS
+    os.utime(os.path.join(snaps, "snap-2.json"), (old, old))
+    from factstore_spark.storage.cas import cas_swap_manifest
+
+    ptr = {}
+    got = cas_swap_manifest(
+        root, {"n_vectors": 8}, 1, lambda r, man: ptr.update(man)
+    )
+    assert got == 2
+    m, v = read_versioned_manifest(root, lambda r: {})
+    assert (m, v) == ({"n_vectors": 8}, 2)
+    assert ptr == {"n_vectors": 8}
+    # and a PARSEABLE slot is never reclaimed, however old: a real
+    # writer committed it (single-winner contract stays intact)
+    os.utime(os.path.join(snaps, "snap-2.json"), (old, old))
+    from factstore_spark.storage.cas import (
+        ConcurrentManifestSwapError,
+        TornManifestSlotError,
+    )
+
+    with pytest.raises(ConcurrentManifestSwapError) as exc:
+        cas_swap_manifest(root, {"n_vectors": 10}, 1, lambda r, man: None)
+    assert not isinstance(exc.value, TornManifestSlotError)
+    m, v = read_versioned_manifest(root, lambda r: {})
+    assert (m, v) == ({"n_vectors": 8}, 2)
 
 
 def test_read_path_creates_no_dirs(tmp_path):
