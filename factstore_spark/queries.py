@@ -5525,7 +5525,13 @@ def storage_compact_table(spark, sf_dir):
     constants of the entry's construction; a compaction that loses or
     duplicates rows, fails validation, or leaves sprawl breaks the
     hash. Fixed-size sample keeps cost corpus-size-independent; tmp
-    table removed eagerly."""
+    table removed eagerly.
+
+    Perf shape (VERDICT r11 #2): the sample feeds FIVE downstream jobs
+    (create's validate/write/stats, the status collect, two merge
+    batches) — eager localCheckpoint pins the ~20k rows once instead
+    of five md5-filtered orders rescans, measured 6.5 -> 4.2 s warm at
+    sf0.1 (3-run min on a quiet host); released in the finally."""
     import shutil
     import tempfile
 
@@ -5545,7 +5551,7 @@ def storage_compact_table(spark, sf_dir):
         orders_full, "o_orderkey",
         _probe_ppm(orders_full, 50, target=20_000, cache_key=(sf_dir, "orders")),
         salt="compacttbl",
-    )
+    ).localCheckpoint()
     d = tempfile.mkdtemp(prefix="compact-tbl-")
     try:
         create_table(base, d, ["o_orderkey"], "o_orderstatus")
@@ -5604,6 +5610,7 @@ def storage_compact_table(spark, sf_dir):
             "reclaimed_versions long, valid_ok long, match_bp long",
         )
     finally:
+        release_local_checkpoint(base)
         shutil.rmtree(d, ignore_errors=True)
 
 

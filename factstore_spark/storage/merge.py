@@ -491,6 +491,14 @@ def validate_table(spark: SparkSession, table_dir: str) -> dict:
         raise ValueError(f"{table_dir} has no published manifest")
     meta = m["meta"]
     problems = []
+    # Driver-side pre-checks, then ONE Spark job per VERSION dir (not
+    # per partition): reading a version with basePath set parses the
+    # _pval directory name back as a column, so the stats aggregate
+    # groups by DIRECTORY identity — a row sitting in the wrong
+    # partition dir is counted where it physically lives, exactly what
+    # the per-dir F.lit(v) loop asserted, at 1/N the job count (a
+    # compacted table validates in a single aggregate).
+    by_version: dict[str, list[str]] = {}
     for v, want in m.get("stats", {}).items():
         rel = m["partitions"].get(v)
         if rel is None:
@@ -499,12 +507,30 @@ def validate_table(spark: SparkSession, table_dir: str) -> dict:
         if not os.path.isdir(os.path.join(table_dir, rel)):
             problems.append(f"partition {v}: directory missing on disk")
             continue
-        df = spark.read.parquet(os.path.join(table_dir, rel))
-        got = _partition_stats(
-            df.withColumn(meta["partition_col"], F.lit(v)),
-            meta["key_cols"],
-            meta["partition_col"],
-        ).get(v)
+        by_version.setdefault(rel.split(os.sep, 1)[0], []).append(v)
+    got_stats: dict[str, dict] = {}
+    for version, vals in by_version.items():
+        paths = [os.path.join(table_dir, m["partitions"][v]) for v in vals]
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", os.path.join(table_dir, version))
+            .parquet(*paths)
+        )
+        # the parsed _pval column IS the directory identity; feed it
+        # to the shared stats aggregate as the partition column
+        got_stats.update(
+            _partition_stats(
+                df.withColumn(
+                    meta["partition_col"], F.col("_pval").cast("string")
+                ).drop("_pval"),
+                meta["key_cols"],
+                meta["partition_col"],
+            )
+        )
+    for v, want in m.get("stats", {}).items():
+        if v not in {p for vs in by_version.values() for p in vs}:
+            continue  # already reported as a mapping/dir problem
+        got = got_stats.get(v)
         if got is None:
             problems.append(f"partition {v}: no rows on disk")
         elif got["rows"] != want["rows"] or got["key_hash"] != want["key_hash"]:
