@@ -18,13 +18,18 @@ nothing beyond ``zlib``/``struct``/``wave``:
   samples returned raw).
 - **GIF** (round 11): variable-width LZW (9..12-bit codes,
   early-change, 4096-code CLEAR), multi-frame animation, interlacing.
-- **JPEG** (round 11): baseline sequential DCT per ITU-T T.81 —
-  Annex K huffman tables, FDCT/IDCT as 8x8 matrix products (numpy),
-  YCbCr 4:4:4 and 4:2:0, grayscale and color, encode AND decode.
-  With the DC quant step of 8, FLAT 8x8 blocks round-trip EXACTLY
-  (only the losslessly-quantized DC survives), which is what lets the
-  battery oracle replay real JPEG decodes byte-for-byte; arbitrary
-  content round-trips within the usual quality-table tolerance.
+- **JPEG** (round 11, extended round 12): sequential baseline (SOF0)
+  AND progressive (SOF2) DCT per ITU-T T.81 — Annex K huffman tables,
+  FDCT/IDCT as 8x8 matrix products (numpy), YCbCr 4:4:4 and 4:2:0,
+  grayscale and color, restart intervals (DRI/RSTn), spectral
+  selection + successive approximation + EOB-run batching (Annex G),
+  encode AND decode for all of it. With the DC quant step of 8, FLAT
+  8x8 blocks round-trip EXACTLY (only the losslessly-quantized DC
+  survives), which is what lets the battery oracle replay real JPEG
+  decodes byte-for-byte; arbitrary content round-trips within the
+  usual quality-table tolerance, and progressive/DRI encodes decode
+  byte-identically to the baseline encode (same coefficients,
+  different entropy framing — the property the tests pin).
 
 The one genuinely native-lib format left is MP4/H.264 — that
 ``NotImplementedError`` boundary is format-accurate, not blanket.
@@ -657,15 +662,18 @@ def _build_codecs():
                 self.put((1 << pad) - 1, pad)  # pad with 1s
             return bytes(self.out)
 
-    def _encode_block(bw, coefs, dc_codes, ac_codes, prev_dc: int) -> int:
-        def mag(v: int) -> tuple[int, int]:
-            s = v.bit_length() if v > 0 else (-v).bit_length()
-            bits = v if v >= 0 else v + (1 << s) - 1
-            return s, bits
+    def _mag_bits(v: int) -> tuple[int, int]:
+        """(size, raw-bits) magnitude coding per T.81 F.1.2.1 — the
+        one's-complement trick for negatives shared by DC diffs and
+        AC values in every scan kind."""
+        size = v.bit_length() if v > 0 else (-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
 
+    def _encode_block(bw, coefs, dc_codes, ac_codes, prev_dc: int) -> int:
         dc = int(coefs[0])
         diff = dc - prev_dc
-        s, bits = mag(diff) if diff else (0, 0)
+        s, bits = _mag_bits(diff) if diff else (0, 0)
         code, ln = dc_codes[s]
         bw.put(code, ln)
         if s:
@@ -680,7 +688,7 @@ def _build_codecs():
                 code, ln = ac_codes[0xF0]  # ZRL
                 bw.put(code, ln)
                 run -= 16
-            s, bits = mag(v)
+            s, bits = _mag_bits(v)
             code, ln = ac_codes[(run << 4) | s]
             bw.put(code, ln)
             bw.put(bits, s)
@@ -690,18 +698,14 @@ def _build_codecs():
             bw.put(code, ln)
         return dc
 
-    def jpeg_encode(
-        pixels: bytes,
-        width: int,
-        height: int,
-        channels: int = 1,
-        subsampling: str = "444",
-    ) -> bytes:
-        """Baseline JPEG: grayscale (channels=1) or YCbCr from RGB
-        (channels=3) with 4:4:4 or 4:2:0 chroma (``subsampling``).
-        Dimensions need not be multiples of 8/16 (edge blocks
-        replicate). Quant table: DC step 8 (flat blocks round-trip
-        exactly), AC step 16."""
+    def _jpeg_plan(pixels, width, height, channels, subsampling):
+        """Shared encoder front half: color transform, chroma
+        subsampling, padding, FDCT, quantization. Returns
+        (samp, mcus_x, mcus_y, coefs) where coefs[ci] is an int64
+        array (blocks_y, blocks_x, 64) of ZIGZAG-ordered quantized
+        coefficients over the component's MCU-padded block grid —
+        baseline and progressive encodes of the same pixels therefore
+        carry IDENTICAL coefficients and must decode identically."""
         import numpy as np
 
         if channels not in (1, 3):
@@ -751,38 +755,22 @@ def _build_codecs():
         # the permutation for natural-order block math
         mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
         mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-        padded = []
+        coefs = []
         for (sh, sv), p in zip(samp, planes):
             th, tw = mcus_y * sv * 8, mcus_x * sh * 8
             pp = np.empty((th, tw))
             pp[: p.shape[0], : p.shape[1]] = p
             pp[p.shape[0]:, : p.shape[1]] = p[-1:, :]  # replicate edges
             pp[:, p.shape[1]:] = pp[:, p.shape[1] - 1 : p.shape[1]]
-            padded.append(pp)
-        bw = _BitWriter()
-        prev = [0] * len(planes)
-        tables = [
-            (_huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)),
-            (_huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)),
-            (_huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)),
-        ]
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci, ((sh, sv), p) in enumerate(zip(samp, padded)):
-                    dc_c, ac_c = tables[min(ci, 2)]
-                    for vy in range(sv):
-                        for vx in range(sh):
-                            y0 = (my * sv + vy) * 8
-                            x0 = (mx * sh + vx) * 8
-                            blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                            coef = C @ blk @ C.T
-                            qz = np.round(coef / q).astype(np.int64)
-                            zz = qz.reshape(64)[_ZIGZAG]
-                            prev[ci] = _encode_block(
-                                bw, zz, dc_c, ac_c, prev[ci]
-                            )
-        scan = bw.flush()
+            by, bx = th // 8, tw // 8
+            blocks = pp.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+            coef = np.einsum("ab,ijbc,dc->ijad", C, blocks, C)
+            qz = np.round(coef / q).astype(np.int64)
+            coefs.append(qz.reshape(by, bx, 64)[:, :, _ZIGZAG])
+        return samp, mcus_x, mcus_y, coefs
 
+    def _jpeg_headers(samp, width, height, restart_interval, sof_marker):
+        """SOI..tables..SOF..DHT common prefix (scan-independent)."""
         def seg(marker: int, body: bytes) -> bytes:
             return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
@@ -792,16 +780,73 @@ def _build_codecs():
                 0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
             )
 
+        ncomp = len(samp)
         out = bytearray(b"\xff\xd8")  # SOI
         out += seg(0xDB, bytes([0]) + bytes(_QTAB_FLAT))  # DQT id 0
-        ncomp = len(planes)
         sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
         for ci, (sh, sv) in enumerate(samp):
             sof += bytes([ci + 1, sh << 4 | sv, 0])  # qtable 0
-        out += seg(0xC0, sof)  # SOF0 baseline
-        out += dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+        out += seg(sof_marker, sof)
+        out += dht(0, 0, _DC_LUM)
+        if sof_marker == 0xC0:
+            out += dht(1, 0, _AC_LUM)
         if ncomp == 3:
-            out += dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
+            out += dht(0, 1, _DC_CHR)
+            if sof_marker == 0xC0:
+                out += dht(1, 1, _AC_CHR)
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        return out, seg, dht
+
+    def jpeg_encode(
+        pixels: bytes,
+        width: int,
+        height: int,
+        channels: int = 1,
+        subsampling: str = "444",
+        restart_interval: int = 0,
+    ) -> bytes:
+        """Baseline JPEG: grayscale (channels=1) or YCbCr from RGB
+        (channels=3) with 4:4:4 or 4:2:0 chroma (``subsampling``).
+        Dimensions need not be multiples of 8/16 (edge blocks
+        replicate). Quant table: DC step 8 (flat blocks round-trip
+        exactly), AC step 16. ``restart_interval=N`` emits a DRI
+        segment and an RSTn marker every N MCUs (DC predictors reset,
+        entropy stream byte-aligned) — T.81 section B.2.4.4."""
+        samp, mcus_x, mcus_y, coefs = _jpeg_plan(
+            pixels, width, height, channels, subsampling
+        )
+        ri = int(restart_interval)
+        tables = [
+            (_huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)),
+            (_huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)),
+            (_huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)),
+        ]
+        scan = bytearray()
+        bw = _BitWriter()
+        prev = [0] * len(coefs)
+        mcu_i = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and mcu_i and mcu_i % ri == 0:
+                    scan += bw.flush()
+                    scan += bytes((0xFF, 0xD0 + (rst & 7)))
+                    rst += 1
+                    bw = _BitWriter()
+                    prev = [0] * len(coefs)
+                for ci, (sh, sv) in enumerate(samp):
+                    dc_c, ac_c = tables[min(ci, 2)]
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            zz = coefs[ci][my * sv + vy, mx * sh + vx]
+                            prev[ci] = _encode_block(
+                                bw, zz, dc_c, ac_c, prev[ci]
+                            )
+                mcu_i += 1
+        scan += bw.flush()
+        out, seg, _dht = _jpeg_headers(samp, width, height, ri, 0xC0)
+        ncomp = len(samp)
         sos = bytes([ncomp])
         for ci in range(ncomp):
             t = 0 if ci == 0 else 1
@@ -810,6 +855,272 @@ def _build_codecs():
         out += seg(0xDA, sos)
         out += scan
         out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # Progressive AC scans need EOBn symbols (run<<4 | 0 for run>0),
+    # which the baseline Annex K AC tables do not define. One flat
+    # custom table covers every progressive AC symbol — all 176
+    # symbols {run 0..15} x {size 0..10} at code length 8 (Kraft sum
+    # 176/256 < 1; the all-ones code stays unused as T.81 requires).
+    # Compression suffers vs an optimized table; correctness doesn't.
+    _PROG_AC_BITS = [0] * 7 + [176] + [0] * 8
+    _PROG_AC_VALUES = [(r << 4) | sz for r in range(16) for sz in range(11)]
+
+    def jpeg_encode_progressive(
+        pixels: bytes,
+        width: int,
+        height: int,
+        channels: int = 1,
+        subsampling: str = "444",
+        scans=None,
+        restart_interval: int = 0,
+    ) -> bytes:
+        """Progressive (SOF2) JPEG per T.81 Annex G: the SAME
+        quantized coefficients as ``jpeg_encode``, entropy-coded
+        across multiple scans with spectral selection and successive
+        approximation — so decoding a progressive encode matches the
+        baseline decode EXACTLY (the property the tests pin).
+
+        ``scans``: list of ``(comp_indices, Ss, Se, Ah, Al)``; the
+        default script exercises every scan kind — interleaved DC
+        first + refinement, per-component AC first (split bands) +
+        two AC refinement passes, EOB-run batching throughout.
+        ``restart_interval=N`` restarts every N MCUs (DC scans) /
+        blocks (AC scans)."""
+        samp, mcus_x, mcus_y, coefs = _jpeg_plan(
+            pixels, width, height, channels, subsampling
+        )
+        ncomp = len(coefs)
+        ri = int(restart_interval)
+        if scans is None:
+            if ncomp == 1:
+                scans = [
+                    ([0], 0, 0, 0, 1),
+                    ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                    ([0], 1, 63, 2, 1),
+                    ([0], 0, 0, 1, 0),
+                    ([0], 1, 63, 1, 0),
+                ]
+            else:
+                scans = [
+                    ([0, 1, 2], 0, 0, 0, 1),
+                    ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1),
+                    ([1], 1, 63, 0, 1), ([0], 6, 63, 0, 2),
+                    ([0], 1, 63, 2, 1),
+                    ([0, 1, 2], 0, 0, 1, 0),
+                    ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0),
+                    ([0], 1, 63, 1, 0),
+                ]
+        hmax = max(sh for sh, _sv in samp)
+        vmax = max(sv for _sh, sv in samp)
+        # per-component REAL block dims (non-interleaved AC scans
+        # cover ceil(comp_size/8), not the MCU-padded grid)
+        nblocks = []
+        for sh, sv in samp:
+            cw = -(-(width * sh) // hmax)
+            chh = -(-(height * sv) // vmax)
+            nblocks.append((-(-chh // 8), -(-cw // 8)))
+        dc_codes = [
+            _huff_codes(*_DC_LUM),
+            _huff_codes(*_DC_CHR),
+            _huff_codes(*_DC_CHR),
+        ]
+        ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALUES)
+
+        def pt_ac(v: int, al: int) -> int:
+            # AC point transform: divide by 2^Al truncating toward
+            # zero (G.1.2.2) — sign-magnitude, unlike the DC shift
+            return v >> al if v >= 0 else -((-v) >> al)
+
+        def enc_dc_scan(comp_idx, ah, al):
+            bw = _BitWriter()
+            parts = bytearray()
+            prev = {ci: 0 for ci in comp_idx}
+            rst = 0
+            unit = 0
+
+            def block_iter():
+                # single-component scans are NON-interleaved: raster
+                # order over the component's real block grid (T.81
+                # A.2.2) — must mirror the decoder exactly
+                if len(comp_idx) == 1:
+                    bh, bwid = nblocks[comp_idx[0]]
+                    for by in range(bh):
+                        for bx in range(bwid):
+                            yield [(comp_idx[0], by, bx)], True
+                else:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            blocks = []
+                            for ci in comp_idx:
+                                sh, sv = samp[ci]
+                                for vy in range(sv):
+                                    for vx in range(sh):
+                                        blocks.append(
+                                            (ci, my * sv + vy, mx * sh + vx)
+                                        )
+                            yield blocks, True
+
+            for blocks, _ in block_iter():
+                if ri and unit and unit % ri == 0:
+                    parts += bw.flush()
+                    parts += bytes((0xFF, 0xD0 + (rst & 7)))
+                    rst += 1
+                    bw = _BitWriter()
+                    prev = {ci: 0 for ci in comp_idx}
+                for ci, by, bx in blocks:
+                    v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic (G.1.2.1)
+                    if ah == 0:
+                        diff = v - prev[ci]
+                        prev[ci] = v
+                        s, bits = _mag_bits(diff) if diff else (0, 0)
+                        code, ln = dc_codes[min(ci, 2)][s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(bits, s)
+                    else:
+                        bw.put(v & 1, 1)
+                unit += 1
+            parts += bw.flush()
+            return bytes(parts)
+
+        def enc_ac_scan(ci, ss, se, ah, al):
+            """One AC scan (first when ah==0, refinement when ah>0),
+            non-interleaved over the component's real block grid, with
+            EOB-run batching and buffered correction bits. The
+            refinement emitter mirrors the decoder's coefficient sweep
+            position for position, so bit order matches by
+            construction (T.81 G.1.2.2-3 / G.2.2.3)."""
+            arr = coefs[ci]
+            bh, bwid = nblocks[ci]
+            bw = _BitWriter()
+            parts = bytearray()
+            rst = 0
+            eobrun = 0
+            br_bits: list[int] = []  # corrections pending with the EOB run
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    code, ln = ac_codes[nbits << 4]
+                    bw.put(code, ln)
+                    if nbits:
+                        bw.put(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                for bit in br_bits:
+                    bw.put(bit, 1)
+                br_bits.clear()
+
+            unit = 0
+            for by in range(bh):
+                for bx in range(bwid):
+                    if ri and unit and unit % ri == 0:
+                        emit_eobrun()
+                        parts += bw.flush()
+                        parts += bytes((0xFF, 0xD0 + (rst & 7)))
+                        rst += 1
+                        bw = _BitWriter()
+                    unit += 1
+                    zz = arr[by, bx]
+                    t = [pt_ac(int(zz[k]), al) for k in range(se + 1)]
+                    if ah == 0:
+                        r = 0
+                        for k in range(ss, se + 1):
+                            if t[k] == 0:
+                                r += 1
+                                continue
+                            emit_eobrun()
+                            while r > 15:
+                                code, ln = ac_codes[0xF0]
+                                bw.put(code, ln)
+                                r -= 16
+                            s, bits = _mag_bits(t[k])
+                            code, ln = ac_codes[(r << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(bits, s)
+                            r = 0
+                        if r:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                emit_eobrun()
+                        continue
+                    # Refinement. At this precision a coefficient is
+                    # "old" (history nonzero -> one correction bit),
+                    # "new" (exactly +-1 -> a run/size-1 symbol), or
+                    # zero (counts toward the symbol's run).
+                    hist = [
+                        tk >> 1 if tk >= 0 else -((-tk) >> 1) for tk in t
+                    ]
+                    news = [
+                        k for k in range(ss, se + 1)
+                        if t[k] != 0 and hist[k] == 0
+                    ]
+                    cursor = ss
+                    for n in news:
+                        emit_eobrun()
+                        r = sum(1 for k in range(cursor, n) if t[k] == 0)
+                        while r > 15:
+                            # ZRL: the decoder advances over exactly 16
+                            # zero-history coefs, consuming corrections
+                            # of olds interleaved among them — emit in
+                            # that precise order, then move the cursor
+                            # past the 16th zero
+                            code, ln = ac_codes[0xF0]
+                            bw.put(code, ln)
+                            zeros = 0
+                            while zeros < 16:
+                                if t[cursor] == 0:
+                                    zeros += 1
+                                elif hist[cursor] != 0:
+                                    bw.put(abs(t[cursor]) & 1, 1)
+                                cursor += 1
+                            r -= 16
+                        code, ln = ac_codes[(r << 4) | 1]
+                        bw.put(code, ln)
+                        bw.put(1 if t[n] > 0 else 0, 1)
+                        for k in range(cursor, n):
+                            if hist[k] != 0:
+                                bw.put(abs(t[k]) & 1, 1)
+                        cursor = n + 1
+                    if cursor <= se:
+                        # tail joins the EOB run; its olds' correction
+                        # bits ride the run's buffered bits
+                        eobrun += 1
+                        br_bits.extend(
+                            abs(t[k]) & 1
+                            for k in range(cursor, se + 1)
+                            if hist[k] != 0
+                        )
+                        if eobrun == 0x7FFF or len(br_bits) > 900:
+                            emit_eobrun()
+            emit_eobrun()
+            parts += bw.flush()
+            return bytes(parts)
+
+        out, seg, dht = _jpeg_headers(samp, width, height, ri, 0xC2)
+        # the flat progressive AC table (id: tc=1 th=0), once up front
+        out += seg(
+            0xC4,
+            bytes([1 << 4 | 0])
+            + bytes(_PROG_AC_BITS)
+            + bytes(_PROG_AC_VALUES),
+        )
+        for comp_idx, ss, se, ah, al in scans:
+            sos = bytes([len(comp_idx)])
+            for ci in comp_idx:
+                td = min(ci, 1)
+                ta = 0  # every AC scan uses the flat progressive table
+                sos += bytes([ci + 1, (td << 4 | ta) if ss == 0 else ta])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos)
+            if ss == 0:
+                out += enc_dc_scan(comp_idx, ah, al)
+            else:
+                if len(comp_idx) != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                out += enc_ac_scan(comp_idx[0], ss, se, ah, al)
+        out += b"\xff\xd9"
         return bytes(out)
 
     class _BitReader:
@@ -868,16 +1179,41 @@ def _build_codecs():
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def jpeg_decode(data: bytes) -> dict:
-        """Baseline sequential JPEG -> dict(width, height, channels,
-        pixels) — grayscale stays 1 channel; color decodes to RGB.
-        Supports 8-bit baseline (SOF0), 4:4:4 and 4:2:0 sampling;
-        progressive (SOF2), 12-bit, arithmetic coding, and restart
-        intervals raise NotImplementedError. Malformed/truncated bytes
-        raise ValueError."""
+        """JPEG -> dict(width, height, channels, pixels) — grayscale
+        stays 1 channel; color decodes to RGB. Supports 8-bit baseline
+        (SOF0) and progressive (SOF2, spectral selection + successive
+        approximation + EOB runs per T.81 Annex G), 4:4:4 and 4:2:0
+        sampling, and restart intervals (DRI/RSTn) in both modes.
+        12-bit, arithmetic coding, and hierarchical modes raise
+        NotImplementedError. Malformed/truncated bytes raise
+        ValueError."""
         try:
             return _jpeg_decode_inner(data)
         except (IndexError, struct.error) as e:
             raise ValueError(f"truncated/malformed JPEG: {e}") from None
+
+    def _next_marker(data: bytes, p: int) -> int:
+        """Index of the next real marker (FF followed by non-stuffing,
+        non-fill byte) at/after ``p`` — used to resynchronize after an
+        entropy-coded segment's trailing pad bits."""
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+                return p
+            p += 1
+        raise ValueError("JPEG truncated (no trailing marker)")
+
+    def _expect_rst(br, n: int) -> None:
+        """Byte-align past pad bits and consume the RSTn marker that
+        must sit at a restart boundary (T.81 E.2.4); out-of-sequence
+        or missing markers are corruption, reported loudly."""
+        br.n = 0
+        p = _next_marker(br.data, br.pos)
+        m = br.data[p + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("missing JPEG restart marker")
+        if m != 0xD0 + (n & 7):
+            raise ValueError("JPEG restart marker out of sequence")
+        br.pos = p + 2
 
     def _jpeg_decode_inner(data: bytes) -> dict:
         import numpy as np
@@ -887,8 +1223,179 @@ def _build_codecs():
         pos = 2
         qtabs: dict[int, list[int]] = {}
         htabs: dict[tuple[int, int], dict] = {}
-        frame = None
-        scan_comps = None
+        frame = None           # (w, h, comps, progressive)
+        ri = 0                 # restart interval, in MCUs/blocks
+        coef: dict[int, "np.ndarray"] = {}   # cid -> (BY, BX, 64) zigzag
+        nblocks: dict[int, tuple[int, int]] = {}  # cid -> real (bh, bw)
+        mcu_dims = None        # (mcus_x, mcus_y)
+        by_id: dict[int, tuple[int, int, int]] = {}
+        scans_seen = 0
+
+        def decode_scan(scan_comps, ss, se, ah, al, p):
+            """Entropy-decode one scan starting at byte ``p``; fills
+            ``coef``; returns the byte offset of the next marker."""
+            nonlocal scans_seen
+            scans_seen += 1
+            w, h, comps, progressive = frame
+            mcus_x, mcus_y = mcu_dims
+            br = _BitReader(data, p)
+            interleaved = len(scan_comps) > 1
+            if not progressive and not (
+                ss == 0 and se == 63 and ah == 0 and al == 0
+            ):
+                raise ValueError("baseline JPEG scan with progressive params")
+
+            # --- unit (MCU / block) iteration with restart handling
+            def units():
+                if interleaved:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            blocks = []
+                            for cid, td, ta in scan_comps:
+                                ch, cv, _tq = by_id[cid]
+                                for vy in range(cv):
+                                    for vx in range(ch):
+                                        blocks.append(
+                                            (cid, my * cv + vy, mx * ch + vx,
+                                             td, ta)
+                                        )
+                            yield blocks
+                else:
+                    cid, td, ta = scan_comps[0]
+                    bh, bwid = nblocks[cid]
+                    for by in range(bh):
+                        for bx in range(bwid):
+                            yield [(cid, by, bx, td, ta)]
+
+            prev = {cid: 0 for cid, _t, _a in scan_comps}
+            eobrun = 0
+            unit_i = 0
+            rst = 0
+            for blocks in units():
+                if ri and unit_i and unit_i % ri == 0:
+                    _expect_rst(br, rst)
+                    rst += 1
+                    prev = {cid: 0 for cid, _t, _a in scan_comps}
+                    eobrun = 0
+                unit_i += 1
+                for cid, by, bx, td, ta in blocks:
+                    arr = coef[cid]
+                    if not progressive:
+                        dc_t = htabs.get((0, td))
+                        ac_t = htabs.get((1, ta))
+                        if dc_t is None or ac_t is None:
+                            raise ValueError("JPEG scan references missing DHT")
+                        s = _read_symbol(br, dc_t)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev[cid] += diff
+                        arr[by, bx, 0] = prev[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad JPEG AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC overflow")
+                            arr[by, bx, k] = _extend(br.bits(size), size)
+                            k += 1
+                        continue
+                    # ---- progressive scan kinds (T.81 G.2) ----
+                    if ss == 0:  # DC scan (Se must be 0)
+                        if ah == 0:
+                            dc_t = htabs.get((0, td))
+                            if dc_t is None:
+                                raise ValueError(
+                                    "JPEG scan references missing DHT"
+                                )
+                            s = _read_symbol(br, dc_t)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            prev[cid] += diff
+                            arr[by, bx, 0] = prev[cid] << al
+                        else:
+                            if br.bit():
+                                arr[by, bx, 0] = int(arr[by, bx, 0]) | (1 << al)
+                        continue
+                    ac_t = htabs.get((1, ta))
+                    if ac_t is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    if ah == 0:  # AC first (G.2.2.2)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_symbol(br, ac_t)
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run < 15:  # EOBn
+                                    eobrun = (1 << run) - 1
+                                    if run:
+                                        eobrun += br.bits(run)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > se:
+                                raise ValueError("JPEG AC overflow")
+                            arr[by, bx, k] = _extend(br.bits(size), size) * (
+                                1 << al
+                            )
+                            k += 1
+                        continue
+                    # AC refinement (G.2.2.3): the standard sweep —
+                    # every nonzero-history coefficient passed consumes
+                    # one correction bit; a zero-history coefficient
+                    # consumes the run until the new +-1 lands
+                    bit = 1 << al
+                    if eobrun:
+                        eobrun -= 1
+                        for k in range(ss, se + 1):
+                            v = int(arr[by, bx, k])
+                            if v != 0 and br.bit() and (abs(v) & bit) == 0:
+                                arr[by, bx, k] = v + bit if v > 0 else v - bit
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_symbol(br, ac_t)
+                        run, size = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if size == 0:
+                            if run < 15:  # EOBn: finish block w/ sweep
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.bits(run)
+                                run = 64
+                            # run == 15: ZRL -> pass 16 zero histories
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "bad JPEG refinement symbol"
+                                )
+                            newval = bit if br.bit() else -bit
+                        while k <= se:
+                            v = int(arr[by, bx, k])
+                            if v != 0:
+                                if br.bit() and (abs(v) & bit) == 0:
+                                    arr[by, bx, k] = (
+                                        v + bit if v > 0 else v - bit
+                                    )
+                            else:
+                                if run == 0:
+                                    if newval:
+                                        arr[by, bx, k] = newval
+                                    k += 1
+                                    break
+                                run -= 1
+                            k += 1
+            return _next_marker(data, br.pos)
+
         while pos < len(data):
             if data[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
@@ -910,7 +1417,7 @@ def _build_codecs():
                         raise NotImplementedError("16-bit JPEG quant table")
                     qtabs[tq] = list(body[i + 1 : i + 65])
                     i += 65
-            elif marker == 0xC4:  # DHT
+            elif marker == 0xC4:  # DHT (may be redefined between scans)
                 i = 0
                 while i < len(body):
                     tc, th = body[i] >> 4, body[i] & 0x0F
@@ -919,7 +1426,9 @@ def _build_codecs():
                     values = list(body[i + 17 : i + 17 + nv])
                     htabs[(tc, th)] = _huff_decoder(bits, values)
                     i += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if frame is not None:
+                    raise ValueError("multiple JPEG frames")
                 prec = body[0]
                 if prec != 8:
                     raise NotImplementedError(f"{prec}-bit JPEG")
@@ -927,100 +1436,79 @@ def _build_codecs():
                 ncomp = body[5]
                 comps = []
                 for ci in range(ncomp):
-                    cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                    comps.append((cid, samp >> 4, samp & 0x0F, tq))
-                frame = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                    cid, sampb, tq = body[6 + ci * 3 : 9 + ci * 3]
+                    comps.append((cid, sampb >> 4, sampb & 0x0F, tq))
+                frame = (w, h, comps, marker == 0xC2)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if not all(
+                    (c[1], c[2]) in ((hmax, vmax), (1, 1)) for c in comps
+                ):
+                    raise NotImplementedError("unsupported JPEG sampling layout")
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                mcu_dims = (mcus_x, mcus_y)
+                for cid, ch, cv, tq in comps:
+                    by_id[cid] = (ch, cv, tq)
+                    coef[cid] = np.zeros(
+                        (mcus_y * cv, mcus_x * ch, 64), dtype=np.int64
+                    )
+                    cw = -(-(w * ch) // hmax)
+                    chh = -(-(h * cv) // vmax)
+                    nblocks[cid] = (-(-chh // 8), -(-cw // 8))
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     f"non-baseline JPEG (SOF marker 0x{marker:02x})"
                 )
-            elif marker == 0xDD:
-                raise NotImplementedError("JPEG restart intervals (DRI)")
-            elif marker == 0xDA:  # SOS: entropy data follows
+            elif marker == 0xDD:  # DRI
+                (ri,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
                 ns = body[0]
                 scan_comps = []
                 for ci in range(ns):
                     cid, tt = body[1 + ci * 2 : 3 + ci * 2]
                     scan_comps.append((cid, tt >> 4, tt & 0x0F))
-                pos += length
-                break
+                ss, se = body[1 + ns * 2], body[2 + ns * 2]
+                ahal = body[3 + ns * 2]
+                pos = decode_scan(
+                    scan_comps, ss, se, ahal >> 4, ahal & 0x0F, pos + length
+                )
+                continue
             pos += length
-        if frame is None or scan_comps is None:
-            raise ValueError("JPEG missing SOF0/SOS")
-        w, h, comps = frame
+        if frame is None or scans_seen == 0:
+            raise ValueError("JPEG missing SOF/SOS")
+        w, h, comps, _progressive = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
-        if not all(
-            (c[1], c[2]) in ((hmax, vmax), (1, 1)) for c in comps
-        ):
-            raise NotImplementedError("unsupported JPEG sampling layout")
-        mcu_w, mcu_h = 8 * hmax, 8 * vmax
-        mcus_x = (w + mcu_w - 1) // mcu_w
-        mcus_y = (h + mcu_h - 1) // mcu_h
         C = _dct_matrix()
         inv_zz = np.argsort(_ZIGZAG)
-        planes = {}
+        full = []
         for cid, ch, cv, tq in comps:
-            planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
-        br = _BitReader(data, pos)
-        prev = {cid: 0 for cid, _h, _v, _q in comps}
-        by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for cid, td, ta in scan_comps:
-                    ch, cv, tq = by_id[cid]
-                    dc_t = htabs.get((0, td))
-                    ac_t = htabs.get((1, ta))
-                    if dc_t is None or ac_t is None:
-                        raise ValueError("JPEG scan references missing DHT")
-                    q = np.array(qtabs[tq], dtype=np.float64)
-                    for vy in range(cv):
-                        for vx in range(ch):
-                            zz = np.zeros(64)
-                            s = _read_symbol(br, dc_t)
-                            diff = _extend(br.bits(s), s) if s else 0
-                            prev[cid] += diff
-                            zz[0] = prev[cid]
-                            k = 1
-                            while k < 64:
-                                sym = _read_symbol(br, ac_t)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, size = sym >> 4, sym & 0x0F
-                                if size == 0:
-                                    if run != 15:
-                                        raise ValueError("bad JPEG AC symbol")
-                                    k += 16
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("JPEG AC overflow")
-                                zz[k] = _extend(br.bits(size), size)
-                                k += 1
-                            blk = (zz * q)[inv_zz].reshape(8, 8)
-                            sp = C.T @ blk @ C + 128.0
-                            y0 = (my * cv + vy) * 8
-                            x0 = (mx * ch + vx) * 8
-                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = sp
-        ncomp = len(comps)
-        if ncomp == 1:
-            cid = comps[0][0]
-            out = np.clip(np.round(planes[cid][:h, :w]), 0, 255).astype(
-                np.uint8
+            if tq not in qtabs:
+                raise ValueError("JPEG missing quant table")
+            q = np.array(qtabs[tq], dtype=np.float64)
+            deq = coef[cid].astype(np.float64) * q
+            nat = deq[:, :, inv_zz].reshape(deq.shape[0], deq.shape[1], 8, 8)
+            sp = np.einsum("ba,ijbc,cd->ijad", C, nat, C) + 128.0
+            plane = sp.transpose(0, 2, 1, 3).reshape(
+                deq.shape[0] * 8, deq.shape[1] * 8
             )
+            if (ch, cv) != (hmax, vmax):
+                plane = plane.repeat(vmax // cv, axis=0).repeat(
+                    hmax // ch, axis=1
+                )
+            full.append(plane[:h, :w])
+        if len(comps) == 1:
+            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
             return {
                 "width": w, "height": h, "channels": 1,
                 "pixels": out.tobytes(),
             }
-        if ncomp != 3:
-            raise NotImplementedError(f"{ncomp}-component JPEG")
-        full = []
-        for cid, ch, cv, _tq in comps:
-            p = planes[cid]
-            if (ch, cv) != (hmax, vmax):
-                p = p.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
-            full.append(p[:h, :w])
+        if len(comps) != 3:
+            raise NotImplementedError(f"{len(comps)}-component JPEG")
         y, cb, cr = full
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -1094,6 +1582,7 @@ def _build_codecs():
         "gif_encode": gif_encode,
         "gif_decode": gif_decode,
         "jpeg_encode": jpeg_encode,
+        "jpeg_encode_progressive": jpeg_encode_progressive,
         "jpeg_decode": jpeg_decode,
         "wav_encode": wav_encode,
         "wav_decode": wav_decode,
@@ -1114,4 +1603,5 @@ decode_media = _C["decode_media"]
 gif_encode = _C["gif_encode"]
 gif_decode = _C["gif_decode"]
 jpeg_encode = _C["jpeg_encode"]
+jpeg_encode_progressive = _C["jpeg_encode_progressive"]
 jpeg_decode = _C["jpeg_decode"]

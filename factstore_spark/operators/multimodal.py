@@ -701,11 +701,20 @@ def real_frame_dup_pairs(
     )
 
 
-def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """ids -> (media_id, format='jpeg', data) with REAL baseline JPEG
-    bytes: grayscale flat-8x8-block fixtures, which the DC-step-8
-    quant table round-trips EXACTLY (operators/codecs.py) — the
-    property that makes a lossy codec's decode SQL-replayable.
+def synth_jpeg_corpus(
+    df: DataFrame, id_col: str = "doc_id", variant: str = "baseline"
+) -> DataFrame:
+    """ids -> (media_id, format='jpeg', data) with REAL JPEG bytes:
+    grayscale flat-8x8-block fixtures, which the DC-step-8 quant table
+    round-trips EXACTLY (operators/codecs.py) — the property that
+    makes a lossy codec's decode SQL-replayable.
+
+    ``variant``: 'baseline' (SOF0), 'dri' (SOF0 with a per-doc restart
+    interval 1 + d % 4 — RSTn markers + DC predictor resets on the
+    decode path), or 'progressive' (SOF2 — spectral selection,
+    successive approximation, EOB-run batching). All three encode the
+    SAME quantized coefficients, so dims and checksum follow the same
+    generation rule and share one oracle.
 
     Generation rule (keep in sync with MEDIA_REAL_JPEG_SQL):
       blocks wide  bw = 2 + d % 4          (w = 8*bw, 16..40)
@@ -714,7 +723,11 @@ def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     so the decoded pixel sum is exactly 64 * sum_i((d + i) % 251)."""
     from .codecs import _build_codecs
 
-    jpeg_enc = _build_codecs()["jpeg_encode"]
+    if variant not in ("baseline", "dri", "progressive"):
+        raise ValueError(f"unknown jpeg corpus variant {variant!r}")
+    _codecs = _build_codecs()
+    jpeg_enc = _codecs["jpeg_encode"]
+    jpeg_enc_prog = _codecs["jpeg_encode_progressive"]
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -739,7 +752,17 @@ def synth_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         base = (by * 8 + yy) * w + bx * 8
                         px[base : base + 8] = bytes([v]) * 8
                 ids.append(d)
-                blobs.append(jpeg_enc(bytes(px), w, h, channels=1))
+                if variant == "dri":
+                    blobs.append(
+                        jpeg_enc(
+                            bytes(px), w, h, channels=1,
+                            restart_interval=1 + d % 4,
+                        )
+                    )
+                elif variant == "progressive":
+                    blobs.append(jpeg_enc_prog(bytes(px), w, h, channels=1))
+                else:
+                    blobs.append(jpeg_enc(bytes(px), w, h, channels=1))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -8862,6 +8862,47 @@ def media_real_jpeg(spark, sf_dir):
     )
 
 
+def media_real_jpeg_dri(spark, sf_dir):
+    """REAL JPEG decode through RESTART INTERVALS (round 12): the same
+    flat-block fixtures as media_real_jpeg, but each doc's bytes carry
+    a DRI segment (interval 1 + doc_id % 4) with RSTn markers — the
+    decoder byte-aligns at every marker, checks the RST sequence, and
+    resets DC predictors (T.81 E.2.4). Identical quantized
+    coefficients => identical dims/checksums => the SAME oracle as the
+    plain entry; a restart-handling slip breaks the hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_jpeg_corpus(docs, variant="dri")
+    out = mm_ops.decode_real_meta(media)
+    return out.select(
+        "media_id",
+        "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "checksum",
+    )
+
+
+def media_real_jpeg_prog(spark, sf_dir):
+    """REAL PROGRESSIVE (SOF2) JPEG decode (round 12): the same
+    flat-block fixtures entropy-coded across a multi-scan script —
+    interleaved DC first + refinement, per-component AC first +
+    refinement with EOB-run batching (T.81 Annex G). Progressive
+    re-frames the SAME quantized coefficients, so dims/checksums
+    follow the same generation rule and share the plain entry's
+    oracle; any slip in spectral selection, successive approximation,
+    or the EOB-run sweep breaks the hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_jpeg_corpus(docs, variant="progressive")
+    out = mm_ops.decode_real_meta(media)
+    return out.select(
+        "media_id",
+        "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "checksum",
+    )
+
+
 MEDIA_REAL_JPEG_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -8906,6 +8947,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "storage_tag_bloom_pruning": (storage_tag_bloom_pruning, STORAGE_TAG_BLOOM_SQL),
     "media_real_frame_dup": (media_real_frame_dup, MEDIA_REAL_FRAME_DUP_SQL),
     "media_real_jpeg": (media_real_jpeg, MEDIA_REAL_JPEG_SQL),
+    # --- new in round 12 (lead the window so the driver checks them) ----
+    "media_real_jpeg_dri": (media_real_jpeg_dri, MEDIA_REAL_JPEG_SQL),
+    "media_real_jpeg_prog": (media_real_jpeg_prog, MEDIA_REAL_JPEG_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),

@@ -443,17 +443,150 @@ def test_jpeg_odd_dimensions_and_dispatch():
     assert len(m["pixels"]) == w * h
 
 
-def test_jpeg_rejects_truncation_and_progressive():
+def test_jpeg_rejects_truncation_and_lossless():
     px = _flat_block_image(16, 16, 3)
     data = bytearray(jpeg_encode(px, 16, 16))
     for cut in (1, 4, 30, len(data) // 2, len(data) - 3):
         with pytest.raises(ValueError):
             jpeg_decode(bytes(data[:cut]))
-    # flip SOF0 (0xC0) to SOF2 (progressive): format-accurate boundary
+    # flip SOF0 (0xC0) to SOF3 (lossless): format-accurate boundary —
+    # progressive (SOF2) is SUPPORTED since round 12, lossless is not
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    data[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="non-baseline"):
         jpeg_decode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# JPEG round 12: restart intervals (DRI) + progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+from factstore_spark.operators.codecs import (  # noqa: E402
+    jpeg_encode_progressive,
+)
+
+
+@pytest.mark.parametrize("w,h,ri", [(16, 16, 1), (24, 16, 2), (40, 33, 3),
+                                    (17, 9, 5)])
+def test_jpeg_dri_round_trip_matches_plain(w, h, ri):
+    """A DRI encode carries the SAME quantized coefficients as the
+    plain encode — the decodes must match byte-exactly, through DC
+    predictor resets and RSTn byte alignment."""
+    px = bytes((i * 7 + w) % 251 for i in range(w * h))
+    base = jpeg_decode(jpeg_encode(px, w, h))
+    d = jpeg_decode(jpeg_encode(px, w, h, restart_interval=ri))
+    assert d == base
+    data = jpeg_encode(px, w, h, restart_interval=ri)
+    assert b"\xff\xdd" in data  # DRI segment present
+    assert any(bytes((0xFF, 0xD0 + m)) in data for m in range(8))
+
+
+def test_jpeg_dri_color_and_flat_exact():
+    w, h = 32, 24
+    px = bytes(((i * 11) % 251) for i in range(w * h * 3))
+    for sub in ("444", "420"):
+        base = jpeg_decode(jpeg_encode(px, w, h, channels=3, subsampling=sub))
+        got = jpeg_decode(
+            jpeg_encode(px, w, h, channels=3, subsampling=sub,
+                        restart_interval=1)
+        )
+        assert got == base, sub
+    flat = _flat_block_image(24, 16, 9)
+    d = jpeg_decode(jpeg_encode(flat, 24, 16, restart_interval=2))
+    assert d["pixels"] == flat  # byte-exact through restarts
+
+
+def test_jpeg_dri_out_of_sequence_marker_raises():
+    px = bytes((i * 3) % 251 for i in range(24 * 24))
+    data = bytearray(jpeg_encode(px, 24, 24, restart_interval=1))
+    i = data.index(b"\xff\xd0")  # first RST0
+    data[i + 1] = 0xD5  # out of sequence
+    with pytest.raises(ValueError, match="restart marker"):
+        jpeg_decode(bytes(data))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive re-encodes the same quantized coefficients, so its
+    decode must equal the baseline decode BYTE-EXACTLY — any slip in
+    the spectral-selection / successive-approximation / EOB-run logic
+    breaks this equality."""
+    for w, h in [(8, 8), (16, 16), (17, 9), (40, 33)]:
+        px = bytes((i * 13 + h) % 256 for i in range(w * h))
+        base = jpeg_decode(jpeg_encode(px, w, h))
+        prog = jpeg_decode(jpeg_encode_progressive(px, w, h))
+        assert prog == base, (w, h)
+    # SOF2 marker actually present
+    data = jpeg_encode_progressive(bytes(64), 8, 8)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+
+
+def test_jpeg_progressive_color_flat_and_eobruns():
+    w, h = 32, 24
+    px = bytes(((i * 5) % 251) for i in range(w * h * 3))
+    for sub in ("444", "420"):
+        base = jpeg_decode(jpeg_encode(px, w, h, channels=3, subsampling=sub))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(px, w, h, channels=3, subsampling=sub)
+        )
+        assert prog == base, sub
+    # flat blocks: every AC scan is one giant EOB run (all-zero band);
+    # byte-exact reconstruction proves the EOBn path end to end
+    flat = _flat_block_image(48, 40, 21)
+    d = jpeg_decode(jpeg_encode_progressive(flat, 48, 40))
+    assert d["pixels"] == flat
+
+
+def test_jpeg_progressive_with_restarts():
+    for w, h, ri in [(24, 24, 2), (17, 9, 1), (40, 16, 4)]:
+        px = bytes((i * 9 + ri) % 256 for i in range(w * h))
+        base = jpeg_decode(jpeg_encode(px, w, h))
+        got = jpeg_decode(
+            jpeg_encode_progressive(px, w, h, restart_interval=ri)
+        )
+        assert got == base, (w, h, ri)
+
+
+def test_jpeg_progressive_custom_scan_script():
+    """A script with different band splits / Al ladders must decode to
+    the same pixels — the scan script only changes bit ordering."""
+    w, h = 25, 18
+    px = bytes((i * 17) % 256 for i in range(w * h))
+    base = jpeg_decode(jpeg_encode(px, w, h))
+    # each band keeps a consistent successive-approximation ladder
+    # (T.81 G.1.1.1.2: a refinement's Ah must equal the band's prior Al)
+    scans = [
+        ([0], 0, 0, 0, 2),
+        ([0], 1, 2, 0, 1), ([0], 3, 63, 0, 3),
+        ([0], 3, 63, 3, 2), ([0], 3, 63, 2, 1),
+        ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+        ([0], 1, 2, 1, 0), ([0], 3, 63, 1, 0),
+    ]
+    got = jpeg_decode(jpeg_encode_progressive(px, w, h, scans=scans))
+    assert got == base
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims=st.tuples(st.integers(1, 6), st.integers(1, 6)),
+       seed=st.integers(0, 2**31 - 1),
+       mode=st.sampled_from(["dri", "prog", "prog_ri"]))
+def test_jpeg_dri_progressive_property(dims, seed, mode):
+    """Property: for ANY image, DRI and progressive encodes decode
+    byte-identically to the plain baseline encode (same quantized
+    coefficients, different entropy framing)."""
+    rnd = __import__("random").Random(seed)
+    w, h = dims[0] * 7 + 1, dims[1] * 6 + 2
+    px = bytes(rnd.randrange(256) for _ in range(w * h))
+    base = jpeg_decode(jpeg_encode(px, w, h))
+    ri = rnd.randrange(1, 6)
+    if mode == "dri":
+        got = jpeg_decode(jpeg_encode(px, w, h, restart_interval=ri))
+    elif mode == "prog":
+        got = jpeg_decode(jpeg_encode_progressive(px, w, h))
+    else:
+        got = jpeg_decode(
+            jpeg_encode_progressive(px, w, h, restart_interval=ri)
+        )
+    assert got == base
 
 
 @settings(max_examples=20, deadline=None)
