@@ -268,7 +268,17 @@ class StoreLayout:
             raw = raw.strip()
             if not raw:
                 continue
-            out.append(commit_record_from_dict(json.loads(raw)))
+            try:
+                d = json.loads(raw)
+            except json.JSONDecodeError:
+                # torn-write artifact: a writer died mid-line and a
+                # later append isolated the fragment with a healing
+                # newline (append_commit). Only fsynced COMPLETE lines
+                # are commits, so the fragment is a non-commit by
+                # construction — same stance as the optimistic
+                # backend's unparseable-slot skip (_read_claim).
+                continue
+            out.append(commit_record_from_dict(d))
         self._commits_cache = (st.st_ino, parsed_through, list(out))
         return _resolve_checkpoints(out)
 
@@ -455,6 +465,27 @@ class StoreLayout:
 
     # -- append (call only while holding commit_lock) -----------------------
 
+    def _append_log_line(self, record: dict) -> None:
+        """Append one fsynced record line to the commit log, healing a
+        torn tail first: a writer killed mid-write can leave a partial
+        line with no newline, and appending straight after it would
+        garble BOTH records into one unparseable line. A leading
+        newline isolates the dead fragment (the parser skips non-JSON
+        lines; only fsynced full lines are commits). Every caller runs
+        under the flock, so the tail probe is race-free."""
+        path = os.path.join(self.store_dir, COMMITS_FILE)
+        with open(path, "a+b") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            heal = b""
+            if size:
+                f.seek(size - 1)
+                if f.read(1) != b"\n":
+                    heal = b"\n"
+            f.write(heal + json.dumps(record).encode() + b"\n")
+            f.flush()
+            os.fsync(f.fileno())
+
     def append_commit(
         self,
         rows: list[dict],
@@ -504,11 +535,7 @@ class StoreLayout:
             else max((c.max_position for c in commits), default=-1),
             "tag_fps": commit_tag_fps(rows),
         }
-        path = os.path.join(self.store_dir, COMMITS_FILE)
-        with open(path, "a") as f:
-            f.write(json.dumps(record) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        self._append_log_line(record)
 
         self._update_heads(seq, rows, prev_seq=prev_seq)
         if rows:
@@ -705,11 +732,7 @@ class StoreLayout:
         maintenance lock). Returns False if another compaction claimed
         the same snapshot first (only possible on the optimistic
         backend; the flock backend's in-lock guard already resolved it)."""
-        path = os.path.join(self.store_dir, COMMITS_FILE)
-        with open(path, "a") as f:
-            f.write(json.dumps(record) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        self._append_log_line(record)
         return True
 
     # -- commit-log checkpointing (Delta-checkpoint analog) -----------------
@@ -823,11 +846,7 @@ class StoreLayout:
             "max_position": max_position,
             "bulk": True,
         }
-        path = os.path.join(self.store_dir, COMMITS_FILE)
-        with open(path, "a") as f:
-            f.write(json.dumps(record) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        self._append_log_line(record)
         bulk_dir = os.path.join(self.data_dir, f"commit-{seq:010d}-bulk")
         if os.path.isdir(bulk_dir):
             for name in sorted(os.listdir(bulk_dir)):
