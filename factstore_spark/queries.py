@@ -1399,6 +1399,25 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 """
 
 
+def _md5_seed_centroids(emb, n: int, salt: str) -> list:
+    """Deterministic, ORACLE-REPLAYABLE centroid seeding: the ``n``
+    embeddings with the smallest md5(salt || vec_id), ties by vec_id —
+    both engines can rank md5 hex strings identically, unlike the
+    operators' default xxhash64 seeding (Spark-only). The returned
+    LIST ORDER defines the cell ids, so the SQL replay must use the
+    same (md5 asc, vec_id asc) ordering. Driver-side by design:
+    centroid tables are tiny (n <= 32 rows)."""
+    md5r = F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
+    rows = (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .orderBy(md5r.asc(), F.col("vec_id").asc())
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
 def dedup_embedding_lsh(spark, sf_dir):
     """Approximate embedding near-dup pairs via centroid blocking
     (IVF-style) + vectorized cosine verify — the sub-quadratic path.
@@ -1407,26 +1426,114 @@ def dedup_embedding_lsh(spark, sf_dir):
     LSH cannot be simultaneously high-recall and sub-quadratic (per-
     plane collision prob 0.65: any band wide enough to prune needs ~70
     bands to recover recall). Centroid blocking keys on the corpus's
-    own cluster structure instead: top-2 of 32 seeded-sample cells,
-    candidate volume ~ n^2/16 with near-1 recall on clustered data.
-    Rows-only check; recall vs the exact pair set is emitted by the
-    dedup_embedding_recall entry and asserted in
-    tests/operators/test_similarity.py."""
+    own cluster structure instead: top-2 of 32 cells, candidate volume
+    ~ n^2/16 with near-1 recall on clustered data.
+
+    Driver-oracled since round 12 (VERDICT r11 #8): the cells are
+    seeded by an md5 rule instead of the operator's default xxhash64
+    sample, which makes the WHOLE computation — cell assignment
+    (argmax dot against unit centroids, ties to the lower cell),
+    top-2 probing, shared-cell candidate pairs, exact cosine >= 0.45
+    verify — deterministic arithmetic DuckDB replays row for row. The
+    operator and its scale path are untouched (centroids are already
+    a public parameter); recall vs the exact pair set additionally
+    stays asserted in tests/operators/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = _md5_seed_centroids(emb, 32, "dlshseed")
     out = sim_ops.cosine_dup_pairs(
-        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2
+        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
+        centroids=cents,
     )
     return out.select("id_a", "id_b")
 
 
+DEDUP_EMBEDDING_LSH_SQL = """
+WITH seed AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS ce,
+         ROW_NUMBER() OVER (ORDER BY md5('dlshseed' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5('dlshseed' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) <= 32),
+cent AS (
+  SELECT cell, list_transform(ce, x -> x / sqrt(list_dot_product(ce, ce))) AS cu
+  FROM seed),
+dots AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cu) AS d
+  FROM embeddings e CROSS JOIN cent c),
+probed AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM dots) t WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_a, id_b
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+      >= 0.45
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k — approximate by construction, so no SQL
-    oracle; recall vs brute force is asserted in
-    tests/operators/test_similarity.py."""
+    """IVF approximate top-k. Driver-oracled since round 12 (VERDICT
+    r11 #8): md5-seeded cells (replayable ranking both engines agree
+    on) make the full IVF computation — unit-centroid assignment,
+    4-of-16 probing, per-cell cosine top-5 with (sim desc, neighbor
+    asc) ties — deterministic arithmetic the oracle replays exactly.
+    The operator keeps its xxhash64 default for library callers
+    (centroids is a public parameter); recall vs brute force stays
+    asserted in tests/operators/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = _md5_seed_centroids(emb, 16, "ivfseed")
     q = emb.filter(F.col("vec_id") < 10)
-    out = sim_ops.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    out = sim_ops.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4, centroids=cents)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+ANN_IVF_TOPK_SQL = """
+WITH seed AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS ce,
+         ROW_NUMBER() OVER (ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) <= 16),
+cent AS (
+  SELECT cell, list_transform(ce, x -> x / sqrt(list_dot_product(ce, ce))) AS cu
+  FROM seed),
+dots AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cu) AS d
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM dots) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM dots WHERE vec_id < 10) t WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+    list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(ne.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])))) AS sim
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.neighbor_id
+  WHERE p.query_id <> a.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
 
 
 def ann_pq_topk(spark, sf_dir):
@@ -1531,9 +1638,14 @@ WHERE rk <= 5
 
 def multimodal_features_topk(spark, sf_dir):
     """Composed pipeline: binary media -> Arrow-batched featurization ->
-    cosine top-3. Rows-only check (the numpy featurizer is the
-    non-SQL-expressible piece); determinism is covered by
-    tests/operators/test_multimodal.py."""
+    cosine top-3. Driver-oracled since round 12 (VERDICT r11 #8): the
+    featurizer is a (byte % 32) histogram over the UTF-8 payload, and
+    the corpus text is ASCII, so DuckDB recomputes the histograms from
+    codepoints and ranks by double cosine on the raw integer counts —
+    cosine is scale-invariant, so the float32 normalization inside
+    extract_features changes no ordering beyond sub-1e-7 coincidences
+    (none in this corpus at any tested SF). The operator surface
+    (extract_features -> brute_force_topk) is unchanged."""
     docs = _t(spark, sf_dir, "documents")
     media = mm_ops.documents_as_media(docs)
     emb = mm_ops.extract_features(media, dim=32).withColumnsRenamed(
@@ -1544,6 +1656,27 @@ def multimodal_features_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+MULTIMODAL_FEATURES_TOPK_SQL = """
+WITH hist AS (
+  SELECT doc_id,
+         list_transform(range(32), j ->
+           CAST(len(list_filter(string_split(text, ''), c -> ascii(c) % 32 = j))
+                AS DOUBLE)) AS h
+  FROM documents),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+    list_dot_product(q.h, c.h)
+      / (sqrt(list_dot_product(q.h, q.h)) * sqrt(list_dot_product(c.h, c.h))) AS sim
+  FROM hist q, hist c
+  WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
 
 
 def curation_stratified_sample(spark, sf_dir):
@@ -9108,11 +9241,11 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_pq_topk": (ann_pq_topk, None),
     "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
-    "dedup_embedding_lsh": (dedup_embedding_lsh, None),
-    "multimodal_features_topk": (multimodal_features_topk, None),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
+    "multimodal_features_topk": (multimodal_features_topk, MULTIMODAL_FEATURES_TOPK_SQL),
     "curation_split_stats": (curation_split_stats, CURATION_SPLIT_STATS_SQL),
     "curation_quality_topk": (curation_quality_topk, CURATION_QUALITY_TOPK_SQL),
     "curation_stratified_sample": (curation_stratified_sample, CURATION_STRATIFIED_SQL),
