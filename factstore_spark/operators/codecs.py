@@ -31,8 +31,13 @@ nothing beyond ``zlib``/``struct``/``wave``:
   byte-identically to the baseline encode (same coefficients,
   different entropy framing — the property the tests pin).
 
-The one genuinely native-lib format left is MP4/H.264 — that
-``NotImplementedError`` boundary is format-accurate, not blanket.
+- **MP4 / ISO BMFF** (round 12): full container parsing per
+  ISO/IEC 14496-12 — box walk (incl. 64-bit largesize), mvhd/tkhd/
+  mdhd/hdlr/stsd metadata, and real DEMUX via the stsc/stsz/stco
+  sample tables — plus a structurally-valid stub encoder for
+  fixtures. Only the sample PAYLOAD decode (H.264) remains a
+  native-lib boundary (``mp4_decode_frames``' NotImplementedError is
+  format-accurate, not blanket).
 
 Everything is defined inside one factory closure so cloudpickle
 serializes the functions BY VALUE into Spark python workers (the
@@ -1521,6 +1526,306 @@ def _build_codecs():
             "pixels": rgb.tobytes(),
         }
 
+    # -- MP4 / ISO BMFF (round 12): container parsing + demux ----------
+    # The CONTAINER is pure struct arithmetic (ISO/IEC 14496-12 box
+    # grammar — public spec); only the H.264/AAC PAYLOAD codecs are a
+    # native-lib boundary. mp4_probe walks ftyp/moov/trak/mdia/stbl,
+    # returns track metadata, and DEMUXES the samples via
+    # stsc/stsz/stco (the real mdat byte ranges) — what a training
+    # pipeline needs for video metadata extraction and frame-level
+    # dedup keys without decoding pixels. mp4_decode_frames raises the
+    # format-accurate NotImplementedError.
+
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def _fullbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+    def mp4_encode_stub(
+        samples: list[bytes],
+        width: int,
+        height: int,
+        frame_delta: int = 40,
+        timescale: int = 1000,
+        codec: bytes = b"avc1",
+        n_chunks: int = 1,
+        pad_free: int = 0,
+    ) -> bytes:
+        """Structurally valid ISO BMFF file: ftyp + moov (mvhd, one
+        video trak with full stbl sample tables) + mdat holding
+        ``samples``. Sample BYTES are an opaque stub (not valid H.264)
+        — the container, the sample tables, and the demux offsets are
+        real, which is exactly the surface mp4_probe exercises.
+
+        ``n_chunks`` spreads the samples over multiple mdat chunks
+        (run-length-compressed stsc + one stco offset per chunk — the
+        expansion logic real muxers emit); ``pad_free`` inserts a
+        64-bit-largesize ``free`` box before moov so the probe's
+        largesize path is exercised by honest fixtures."""
+        n = len(samples)
+        duration = n * frame_delta
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        free = b""
+        if pad_free:
+            body = b"\x00" * pad_free
+            free = (
+                struct.pack(">I", 1) + b"free"
+                + struct.pack(">Q", len(body) + 16) + body
+            )
+        n_chunks = max(1, min(n_chunks, n)) if n else 1
+        base, rem = divmod(n, n_chunks)
+        chunk_counts = [
+            base + (1 if i < rem else 0) for i in range(n_chunks)
+        ]
+        chunk_counts = [c for c in chunk_counts if c > 0] or [0]
+
+        def moov_for(chunk_off: int) -> bytes:
+            unity = struct.pack(
+                ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+            )
+            mvhd = _fullbox(
+                b"mvhd", 0, 0,
+                struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">iH", 0x00010000, 0x0100)
+                + b"\x00" * 10 + unity + b"\x00" * 24
+                + struct.pack(">I", 2),
+            )
+            tkhd = _fullbox(
+                b"tkhd", 0, 7,
+                struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0, 0)
+                + unity
+                + struct.pack(">II", width << 16, height << 16),
+            )
+            mdhd = _fullbox(
+                b"mdhd", 0, 0,
+                struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">HH", 0x55C4, 0),  # 'und'
+            )
+            hdlr = _fullbox(
+                b"hdlr", 0, 0,
+                struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"factstore video stub\x00",
+            )
+            avcc = _box(b"avcC", bytes([1, 66, 0, 30, 0xFF, 0xE0, 0, 0]))
+            entry = _box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)  # data_ref_index
+                + struct.pack(">HH", 0, 0) + b"\x00" * 12
+                + struct.pack(">HH", width, height)
+                + struct.pack(">II", 0x00480000, 0x00480000)
+                + struct.pack(">I", 0) + struct.pack(">H", 1)
+                + b"\x00" * 32
+                + struct.pack(">Hh", 24, -1)
+                + avcc,
+            )
+            stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+            stts = _fullbox(
+                b"stts", 0, 0, struct.pack(">III", 1, n, frame_delta)
+            )
+            # run-length-compressed stsc: a new run only when the
+            # samples-per-chunk value changes (what real muxers emit)
+            runs = []
+            for i, spc in enumerate(chunk_counts):
+                if not runs or runs[-1][1] != spc:
+                    runs.append((i + 1, spc))
+            stsc = _fullbox(
+                b"stsc", 0, 0,
+                struct.pack(">I", len(runs))
+                + b"".join(
+                    struct.pack(">III", first, spc, 1) for first, spc in runs
+                ),
+            )
+            stsz = _fullbox(
+                b"stsz", 0, 0,
+                struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(x)) for x in samples),
+            )
+            offs, pos, si = [], chunk_off, 0
+            for spc in chunk_counts:
+                offs.append(pos)
+                for _ in range(spc):
+                    pos += len(samples[si])
+                    si += 1
+            stco = _fullbox(
+                b"stco", 0, 0,
+                struct.pack(">I", len(offs))
+                + b"".join(struct.pack(">I", o) for o in offs),
+            )
+            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+            vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            dref = _fullbox(
+                b"dref", 0, 0,
+                struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b""),
+            )
+            dinf = _box(b"dinf", dref)
+            minf = _box(b"minf", vmhd + dinf + stbl)
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            trak = _box(b"trak", tkhd + mdia)
+            return _box(b"moov", mvhd + trak)
+
+        # stco holds ABSOLUTE offsets; the moov size is independent
+        # of the offset VALUES, so one sizing pass then one real pass
+        size_pass = moov_for(0)
+        chunk_off = len(ftyp) + len(free) + len(size_pass) + 8  # + mdat hdr
+        moov = moov_for(chunk_off)
+        mdat = _box(b"mdat", b"".join(samples))
+        return ftyp + free + moov + mdat
+
+    def _walk_boxes(data: bytes, start: int, end: int):
+        """Yield (type, payload_start, payload_end) for the sibling
+        boxes in data[start:end]; raises ValueError on malformed
+        sizes (truncation, overlap past the parent)."""
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            btype = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"bad MP4 box size for {btype!r}")
+            yield btype, pos + hdr, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing garbage inside MP4 box")
+
+    def _find_box(data, start, end, btype):
+        for t, a, b in _walk_boxes(data, start, end):
+            if t == btype:
+                return a, b
+        return None
+
+    def mp4_probe(data: bytes) -> dict:
+        """Parse an ISO BMFF container: track metadata from moov and
+        the DEMUXED video samples from stsc/stsz/stco byte ranges.
+        Returns dict(width, height, n_frames, duration_ms, timescale,
+        codec, handler, samples: bytes). Raises ValueError on
+        malformed bytes; only the sample PAYLOAD decode (H.264) is
+        native-lib territory (mp4_decode_frames)."""
+        if len(data) < 16 or data[4:8] != b"ftyp":
+            raise ValueError("not an MP4 (no ftyp)")
+        moov = _find_box(data, 0, len(data), b"moov")
+        if moov is None:
+            raise ValueError("MP4 missing moov")
+        mvhd = _find_box(data, moov[0], moov[1], b"mvhd")
+        if mvhd is None:
+            raise ValueError("MP4 missing mvhd")
+        ver = data[mvhd[0]]
+        if ver == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", data[mvhd[0] + 20 : mvhd[0] + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", data[mvhd[0] + 12 : mvhd[0] + 20]
+            )
+        trak = _find_box(data, moov[0], moov[1], b"trak")
+        if trak is None:
+            raise ValueError("MP4 missing trak")
+        tkhd = _find_box(data, trak[0], trak[1], b"tkhd")
+        mdia = _find_box(data, trak[0], trak[1], b"mdia")
+        if tkhd is None or mdia is None:
+            raise ValueError("MP4 trak missing tkhd/mdia")
+        # width/height are the LAST 8 bytes of tkhd in both v0 and v1
+        dim_off = tkhd[1] - 8
+        w1616, h1616 = struct.unpack(">II", data[dim_off : dim_off + 8])
+        width, height = w1616 >> 16, h1616 >> 16
+        hdlr = _find_box(data, mdia[0], mdia[1], b"hdlr")
+        handler = (
+            data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
+            if hdlr
+            else "????"
+        )
+        minf = _find_box(data, mdia[0], mdia[1], b"minf")
+        stbl = _find_box(data, minf[0], minf[1], b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("MP4 missing stbl")
+        stsd = _find_box(data, stbl[0], stbl[1], b"stsd")
+        codec = "????"
+        if stsd is not None:
+            for t, a, b in _walk_boxes(data, stsd[0] + 8, stsd[1]):
+                codec = t.decode("ascii", "replace")
+                break
+        stsz = _find_box(data, stbl[0], stbl[1], b"stsz")
+        stco = _find_box(data, stbl[0], stbl[1], b"stco")
+        stsc = _find_box(data, stbl[0], stbl[1], b"stsc")
+        if stsz is None or stco is None or stsc is None:
+            raise ValueError("MP4 missing sample tables (stsz/stco/stsc)")
+        fixed, count = struct.unpack(">II", data[stsz[0] + 4 : stsz[0] + 12])
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            need = stsz[0] + 12 + 4 * count
+            if need > stsz[1]:
+                raise ValueError("truncated stsz table")
+            sizes = list(
+                struct.unpack(f">{count}I", data[stsz[0] + 12 : need])
+            )
+        (n_chunks,) = struct.unpack(">I", data[stco[0] + 4 : stco[0] + 8])
+        offs = list(
+            struct.unpack(
+                f">{n_chunks}I",
+                data[stco[0] + 8 : stco[0] + 8 + 4 * n_chunks],
+            )
+        )
+        (n_runs,) = struct.unpack(">I", data[stsc[0] + 4 : stsc[0] + 8])
+        runs = [
+            struct.unpack(
+                ">III", data[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i]
+            )
+            for i in range(n_runs)
+        ]
+        # expand stsc runs -> samples-per-chunk, then walk mdat ranges
+        per_chunk = []
+        for i, (first, spc, _sdi) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        out = bytearray()
+        si = 0
+        for ci, off in enumerate(offs):
+            pos = off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= len(sizes):
+                    break
+                sz = sizes[si]
+                if pos + sz > len(data):
+                    raise ValueError("MP4 sample range past EOF")
+                out += data[pos : pos + sz]
+                pos += sz
+                si += 1
+        if si != len(sizes):
+            raise ValueError(
+                f"MP4 sample tables inconsistent: demuxed {si} of {len(sizes)}"
+            )
+        return {
+            "width": width,
+            "height": height,
+            "n_frames": count,
+            "duration_ms": (duration * 1000) // timescale if timescale else 0,
+            "timescale": timescale,
+            "codec": codec,
+            "handler": handler,
+            "samples": bytes(out),
+        }
+
+    def mp4_decode_frames(data: bytes):
+        """Sample payloads -> pixels needs an H.264 decoder: genuinely
+        a native-lib boundary (pyav/ffmpeg, not in this environment).
+        The container layer above it (mp4_probe) is fully supported."""
+        mp4_probe(data)  # malformed containers still raise ValueError
+        raise NotImplementedError(
+            "mp4/h264 frame decode needs native codec libs (pyav) not "
+            "present in this environment; mp4_probe covers the container"
+        )
+
     def sniff_format(data: bytes) -> str | None:
         """Magic-byte format sniff; None when unknown."""
         if data[:8] == _PNG_SIG:
@@ -1568,10 +1873,19 @@ def _build_codecs():
                 "sample_width": d["sample_width"],
             }
         if fmt == "mp4":
-            raise NotImplementedError(
-                "mp4/h264 needs native codec libs (pyav) not present "
-                "in this environment"
-            )
+            d = mp4_probe(data)
+            # container metadata + demuxed sample bytes; PIXEL decode
+            # (H.264) remains mp4_decode_frames' NotImplementedError
+            return {
+                "kind": "video",
+                "format": "mp4",
+                "width": d["width"],
+                "height": d["height"],
+                "n_frames": d["n_frames"],
+                "duration_ms": d["duration_ms"],
+                "codec": d["codec"],
+                "samples": d["samples"],
+            }
         raise ValueError("unrecognized media payload")
 
     return {
@@ -1586,6 +1900,9 @@ def _build_codecs():
         "jpeg_decode": jpeg_decode,
         "wav_encode": wav_encode,
         "wav_decode": wav_decode,
+        "mp4_encode_stub": mp4_encode_stub,
+        "mp4_probe": mp4_probe,
+        "mp4_decode_frames": mp4_decode_frames,
         "sniff_format": sniff_format,
         "decode_media": decode_media,
     }
@@ -1605,3 +1922,6 @@ gif_decode = _C["gif_decode"]
 jpeg_encode = _C["jpeg_encode"]
 jpeg_encode_progressive = _C["jpeg_encode_progressive"]
 jpeg_decode = _C["jpeg_decode"]
+mp4_encode_stub = _C["mp4_encode_stub"]
+mp4_probe = _C["mp4_probe"]
+mp4_decode_frames = _C["mp4_decode_frames"]

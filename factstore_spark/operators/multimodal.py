@@ -91,9 +91,10 @@ def real_decode(data: bytes) -> tuple[int, int, int]:
     """The genuine decode hook for the decode_fn contract, backed by
     the pure-stdlib codecs (operators/codecs.py): PNG/BMP/JPEG return
     (width, height, 1), GIF (width, height, frame count); WAV returns
-    (n_channels, sample_rate, n_frames). Only MP4/H.264 — genuinely a
-    native-lib format — still raises NotImplementedError; the
-    boundary is format-accurate, not a blanket stub."""
+    (n_channels, sample_rate, n_frames); MP4 returns the container's
+    (width, height, n_frames) via the ISO BMFF box walk — only the
+    H.264 PIXEL decode remains native-lib territory
+    (codecs.mp4_decode_frames)."""
     from .codecs import decode_media
 
     m = decode_media(data)
@@ -450,6 +451,11 @@ def decode_real_meta(
                 if m["kind"] == "image":
                     buf = m["pixels"]
                     cks.append(int(np.frombuffer(buf, dtype=np.uint8).sum()))
+                elif m["kind"] == "video":
+                    # demuxed sample bytes (container-level content
+                    # witness; pixel decode is the native-lib boundary)
+                    buf = m["samples"]
+                    cks.append(int(np.frombuffer(buf, dtype=np.uint8).sum()))
                 else:
                     buf = m["samples"]
                     cks.append(int(np.frombuffer(buf, dtype="<i2").sum()))
@@ -698,6 +704,64 @@ def real_frame_dup_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> (media_id, format='mp4', data) with REAL ISO BMFF
+    containers (codecs.mp4_encode_stub): full moov/trak/stbl sample
+    tables and multi-chunk mdat layouts; sample payloads are an
+    arithmetic stub (H.264 bytes would need a native encoder), which
+    is exactly what keeps the DEMUX SQL-replayable.
+
+    Generation rule (keep in sync with MEDIA_REAL_MP4_SQL):
+      w        = 16 * (2 + d % 5)
+      h        = 16 * (2 + d % 4)
+      n_frames = 8 + d % 25
+      n_chunks = 1 + d % 3            (exercises stsc run expansion)
+      sample i: size s = 50 + (d + i) % 40,
+                byte j = (d*31 + i*7 + j) % 251
+    so the demuxed-byte checksum has the closed form
+      sum_i [ s*a + s*(s-1)/2 - 251*max(0, a + s - 251) ],
+      a = (d*31 + i*7) % 251  (valid while s < 251)."""
+    from .codecs import _build_codecs
+
+    mp4_enc = _build_codecs()["mp4_encode_stub"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("data", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                w, h = 16 * (2 + d % 5), 16 * (2 + d % 4)
+                nf = 8 + d % 25
+                samples = []
+                for i in range(nf):
+                    size = 50 + (d + i) % 40
+                    a = (d * 31 + i * 7) % 251
+                    samples.append(bytes((a + j) % 251 for j in range(size)))
+                ids.append(d)
+                blobs.append(
+                    mp4_enc(samples, w, h, n_chunks=1 + d % 3)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "format": ["mp4"] * len(ids),
+                    "data": blobs,
+                }
+            )
+
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
     )
 
 

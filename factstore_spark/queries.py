@@ -9036,6 +9036,52 @@ def media_real_jpeg_prog(spark, sf_dir):
     )
 
 
+def media_real_mp4(spark, sf_dir):
+    """REAL MP4 container parse + demux (round 12): document ids ->
+    ISO BMFF fixtures (full moov/trak/stbl tables, 1-3 mdat chunks) ->
+    box walk + stsc/stsz/stco demux inside mapInPandas -> per-media
+    dims, frame count, and a checksum over the DEMUXED sample bytes.
+    The sample payload is arithmetic (H.264 would need native libs),
+    so the oracle replays every demuxed byte via a closed form — a
+    chunk-expansion or offset bug breaks the hash. Reference carries
+    media as opaque payloads (Fact.kt:71-96); this is the video leg
+    of the multimodal column story."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_mp4_corpus(docs)
+    out = mm_ops.decode_real_meta(media)
+    return out.select(
+        "media_id",
+        "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "checksum",
+    )
+
+
+MEDIA_REAL_MP4_SQL = """
+WITH m AS (
+  SELECT doc_id AS d, 8 + doc_id % 25 AS nf FROM documents),
+per_sample AS (
+  SELECT m.d,
+         50 + ((m.d + t.i) % 40) AS s,
+         (m.d * 31 + t.i * 7) % 251 AS a
+  FROM m, LATERAL (SELECT unnest(range(nf)) AS i) t),
+cks AS (
+  SELECT d,
+         SUM(s * a + (s * (s - 1)) // 2
+             - 251 * GREATEST(0, a + s - 251)) AS c
+  FROM per_sample GROUP BY d)
+SELECT m.d AS media_id,
+       'mp4' AS fmt,
+       CAST(16 * (2 + m.d % 5) AS BIGINT) AS width,
+       CAST(16 * (2 + m.d % 4) AS BIGINT) AS height,
+       CAST(m.nf AS BIGINT) AS n_frames,
+       CAST(cks.c AS BIGINT) AS checksum
+FROM m JOIN cks ON cks.d = m.d
+"""
+
+
 MEDIA_REAL_JPEG_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -9083,6 +9129,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 12 (lead the window so the driver checks them) ----
     "media_real_jpeg_dri": (media_real_jpeg_dri, MEDIA_REAL_JPEG_SQL),
     "media_real_jpeg_prog": (media_real_jpeg_prog, MEDIA_REAL_JPEG_SQL),
+    "media_real_mp4": (media_real_mp4, MEDIA_REAL_MP4_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),

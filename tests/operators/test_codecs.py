@@ -180,7 +180,9 @@ def test_sniff_and_decode_media_dispatch():
     # MALFORMED, not unimplemented
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0junk")
-    with pytest.raises(NotImplementedError, match="mp4"):
+    # MP4 containers parse now (round 12); a truncated ftyp with no
+    # moov is MALFORMED, not unimplemented
+    with pytest.raises(ValueError):
         decode_media(b"\x00\x00\x00\x18ftypmp42xxxx")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_media(b"plain text")
@@ -599,3 +601,91 @@ def test_jpeg_flat_block_property(dims, seed):
     w, h = bw * 8, bh * 8
     px = _flat_block_image(w, h, seed % 251)
     assert jpeg_decode(jpeg_encode(px, w, h))["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container (round 12): box walk, sample tables, demux
+# ---------------------------------------------------------------------------
+
+from factstore_spark.operators.codecs import (  # noqa: E402
+    mp4_decode_frames,
+    mp4_encode_stub,
+    mp4_probe,
+)
+
+
+def _mp4_samples(n, seed=0):
+    return [
+        bytes((seed + i * 7 + j) % 251 for j in range(50 + (seed + i) % 40))
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("n,chunks", [(1, 1), (8, 1), (13, 2), (13, 3),
+                                      (20, 5), (7, 7)])
+def test_mp4_probe_round_trip_and_demux(n, chunks):
+    samples = _mp4_samples(n, seed=n)
+    data = mp4_encode_stub(samples, 96, 64, frame_delta=40,
+                           n_chunks=chunks)
+    d = mp4_probe(data)
+    assert (d["width"], d["height"], d["n_frames"]) == (96, 64, n)
+    assert d["duration_ms"] == n * 40
+    assert (d["codec"], d["handler"]) == ("avc1", "vide")
+    # the demux must reassemble every sample byte in order, through
+    # the stsc run expansion and per-chunk stco offsets
+    assert d["samples"] == b"".join(samples)
+
+
+def test_mp4_largesize_box_and_dispatch():
+    from factstore_spark.operators.codecs import decode_media, sniff_format
+
+    samples = _mp4_samples(5)
+    data = mp4_encode_stub(samples, 32, 32, pad_free=64)
+    assert sniff_format(data) == "mp4"
+    d = mp4_probe(data)  # must walk the 64-bit-largesize free box
+    assert d["n_frames"] == 5 and d["samples"] == b"".join(samples)
+    m = decode_media(data)
+    assert (m["kind"], m["format"], m["width"], m["height"], m["n_frames"]) == (
+        "video", "mp4", 32, 32, 5,
+    )
+
+
+def test_mp4_frame_decode_is_the_native_boundary():
+    data = mp4_encode_stub(_mp4_samples(3), 16, 16)
+    with pytest.raises(NotImplementedError, match="h264|pyav"):
+        mp4_decode_frames(data)
+
+
+def test_mp4_malformed_raises_valueerror():
+    data = bytearray(mp4_encode_stub(_mp4_samples(4), 16, 16))
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_probe(b"not an mp4 at all!!")
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(data[: len(data) // 2]))  # truncated mid-boxes
+    # corrupt a box size: claims past EOF
+    i = bytes(data).index(b"moov") - 4
+    data[i : i + 4] = (2 ** 31).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(data))
+    # stsz claiming more samples than mdat holds
+    data = bytearray(mp4_encode_stub(_mp4_samples(4), 16, 16))
+    j = bytes(data).index(b"stsz") + 12
+    data[j : j + 4] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(data))
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(1, 30), chunks=st.integers(1, 6),
+       seed=st.integers(0, 2**31 - 1))
+def test_mp4_demux_property(n, chunks, seed):
+    rnd = __import__("random").Random(seed)
+    samples = [
+        bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 120)))
+        for _ in range(n)
+    ]
+    w, h = 16 * rnd.randrange(1, 9), 16 * rnd.randrange(1, 9)
+    data = mp4_encode_stub(samples, w, h, n_chunks=chunks)
+    d = mp4_probe(data)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
+    assert d["samples"] == b"".join(samples)

@@ -111,8 +111,19 @@ def test_real_decode_satisfies_decode_fn_contract(spark, ids):
 
 
 def test_real_decode_raises_only_for_native_formats():
-    with pytest.raises(NotImplementedError, match="mp4"):
+    # MP4 CONTAINERS parse since round 12; only the H.264 payload
+    # decode is native-lib. A header-only container is malformed.
+    with pytest.raises(ValueError):
         mm.real_decode(b"\x00\x00\x00\x18ftypmp42 header")
+    from factstore_spark.operators.codecs import (
+        mp4_decode_frames,
+        mp4_encode_stub,
+    )
+
+    valid = mp4_encode_stub([b"x" * 40, b"y" * 41], 32, 16)
+    assert mm.real_decode(valid) == (32, 16, 2)
+    with pytest.raises(NotImplementedError, match="h264|H.264|pyav"):
+        mp4_decode_frames(valid)
     with pytest.raises(ValueError):
         mm.real_decode(b"no such format")
     # a JPEG header followed by junk is malformed, never unimplemented
