@@ -9130,6 +9130,12 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "media_real_jpeg_dri": (media_real_jpeg_dri, MEDIA_REAL_JPEG_SQL),
     "media_real_jpeg_prog": (media_real_jpeg_prog, MEDIA_REAL_JPEG_SQL),
     "media_real_mp4": (media_real_mp4, MEDIA_REAL_MP4_SQL),
+    # r12 oracle upgrades (formerly rows-only) lead the window too, so
+    # the driver value-checks their brand-new SQL replays this round —
+    # ordering is presentation-only, every entry runs identically
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
+    "multimodal_features_topk": (multimodal_features_topk, MULTIMODAL_FEATURES_TOPK_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),
@@ -9288,11 +9294,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_pq_topk": (ann_pq_topk, None),
     "dedup_embedding_exact": (dedup_embedding_exact, DEDUP_EMBEDDING_EXACT_SQL),
-    "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
-    "multimodal_features_topk": (multimodal_features_topk, MULTIMODAL_FEATURES_TOPK_SQL),
     "curation_split_stats": (curation_split_stats, CURATION_SPLIT_STATS_SQL),
     "curation_quality_topk": (curation_quality_topk, CURATION_QUALITY_TOPK_SQL),
     "curation_stratified_sample": (curation_stratified_sample, CURATION_STRATIFIED_SQL),
