@@ -1814,6 +1814,9 @@ def _build_codecs():
             "codec": codec,
             "handler": handler,
             "samples": bytes(out),
+            # per-sample byte lengths, demux order — lets callers
+            # split the concatenated samples without re-walking stsz
+            "sample_sizes": sizes,
         }
 
     def mp4_decode_frames(data: bytes):

@@ -765,6 +765,63 @@ def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def mp4_sample_stats(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Demux MP4 containers into PER-SAMPLE rows: (media_id,
+    sample_idx, size, first_byte, content_fnv) — the frame-level
+    identity surface for cross-container duplicate-sample detection
+    (the video analog of media_real_frame_dup). Arrow-batched; the
+    driver never touches payload bytes. content_fnv is a 64-bit
+    FNV-1a over the sample bytes; first_byte/size ride along so
+    downstream groupings have an engine-neutral total order."""
+    from .codecs import _build_codecs
+
+    probe = _build_codecs()["mp4_probe"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("sample_idx", LongType(), False),
+            StructField("size", LongType(), False),
+            StructField("first_byte", LongType(), False),
+            StructField("content_fnv", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fnv64(b: bytes) -> int:
+            h = 0xCBF29CE484222325
+            for byte in b:
+                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h - 0x8000000000000000
+
+        for pdf in batches:
+            mids, idxs, sizes, firsts, fnvs = [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                d = probe(bytes(data))
+                pos = 0
+                buf = d["samples"]
+                for i, sz in enumerate(d["sample_sizes"]):
+                    sample = buf[pos : pos + sz]
+                    pos += sz
+                    mids.append(int(mid))
+                    idxs.append(i)
+                    sizes.append(sz)
+                    firsts.append(sample[0] if sample else -1)
+                    fnvs.append(fnv64(sample))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "sample_idx": pd.Series(idxs, dtype="int64"),
+                    "size": pd.Series(sizes, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="int64"),
+                    "content_fnv": pd.Series(fnvs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, schema)
+
+
 def synth_jpeg_corpus(
     df: DataFrame, id_col: str = "doc_id", variant: str = "baseline"
 ) -> DataFrame:

@@ -9082,6 +9082,57 @@ FROM m JOIN cks ON cks.d = m.d
 """
 
 
+def media_mp4_sample_dup(spark, sf_dir):
+    """Cross-container duplicate-SAMPLE detection (the video analog of
+    frame dedup): demux every container into per-sample rows
+    (mp4_sample_stats), group by content identity, and emit the top-20
+    most-duplicated sample contents with how many containers and total
+    samples carry them. Scale shape: group-by + bounded top-k — NO
+    pairwise explosion, so the entry survives any corpus size (the
+    media_real_frame_dup cap lesson applied at design time).
+
+    Oracle: under the synth rule a sample's bytes are fully determined
+    by (first_byte a, size s), so DuckDB replays the content groups
+    from the id arithmetic alone; Spark groups by the FNV-1a content
+    hash (honest content identity) and carries (size, first_byte) as
+    the engine-neutral order key both sides share."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_mp4_corpus(docs)
+    stats = mm_ops.mp4_sample_stats(media)
+    return (
+        stats.groupBy("content_fnv", "size", "first_byte")
+        .agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .orderBy(
+            F.col("n_samples").desc(), F.col("size").asc(),
+            F.col("first_byte").asc(),
+        )
+        .limit(20)
+        .select("size", "first_byte", "n_media", "n_samples")
+    )
+
+
+MEDIA_MP4_SAMPLE_DUP_SQL = """
+WITH m AS (SELECT doc_id AS d, 8 + doc_id % 25 AS nf FROM documents),
+samples AS (
+  SELECT m.d,
+         50 + ((m.d + t.i) % 40) AS size,
+         (m.d * 31 + t.i * 7) % 251 AS first_byte
+  FROM m, LATERAL (SELECT unnest(range(nf)) AS i) t),
+grouped AS (
+  SELECT size, first_byte,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS n_media,
+         CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM samples GROUP BY size, first_byte)
+SELECT size, first_byte, n_media, n_samples
+FROM grouped
+ORDER BY n_samples DESC, size ASC, first_byte ASC
+LIMIT 20
+"""
+
+
 MEDIA_REAL_JPEG_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -9136,6 +9187,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
     "multimodal_features_topk": (multimodal_features_topk, MULTIMODAL_FEATURES_TOPK_SQL),
+    "media_mp4_sample_dup": (media_mp4_sample_dup, MEDIA_MP4_SAMPLE_DUP_SQL),
     # --- new in round 10 (lead the window so the driver checks them) ----
     "storage_bloom_pruning": (storage_bloom_pruning, STORAGE_BLOOM_PRUNING_SQL),
     "events_sketch_set_ops": (events_sketch_set_ops, EVENTS_SKETCH_SET_OPS_SQL),

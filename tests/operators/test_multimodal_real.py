@@ -212,3 +212,30 @@ def test_synth_jpeg_corpus_decodes_exactly(spark, ids):
         assert (r.fmt, r.width, r.height, r.n_frames, r.checksum) == (
             "jpeg", 8 * bw, 8 * bh, 1, want_cks,
         ), f"doc {d}"
+
+
+def test_mp4_sample_stats_demuxes_per_sample(spark):
+    """Per-sample demux rows: sizes, first bytes and FNV content
+    hashes line up with the container's sample tables, across
+    multi-chunk layouts."""
+    import pandas as pd
+    from factstore_spark.operators.codecs import mp4_encode_stub
+
+    samples_a = [b"aaa", b"bbbb", b"aaa"]
+    samples_b = [b"aaa", b"zzzzz"]
+    rows = [
+        (1, mp4_encode_stub(samples_a, 16, 16, n_chunks=2)),
+        (2, mp4_encode_stub(samples_b, 32, 16)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {
+        (r.media_id, r.sample_idx): r
+        for r in mm.mp4_sample_stats(df).collect()
+    }
+    assert len(got) == 5
+    assert (got[(1, 0)].size, got[(1, 0)].first_byte) == (3, ord("a"))
+    assert (got[(1, 1)].size, got[(1, 1)].first_byte) == (4, ord("b"))
+    # identical bytes -> identical content hash, across containers
+    assert got[(1, 0)].content_fnv == got[(1, 2)].content_fnv
+    assert got[(1, 0)].content_fnv == got[(2, 0)].content_fnv
+    assert got[(1, 1)].content_fnv != got[(2, 1)].content_fnv
