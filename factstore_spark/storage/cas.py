@@ -507,7 +507,8 @@ def cas_swap_manifest(root, manifest, base_version, write_pointer, what="manifes
             except ValueError:
                 pass
         if raw is not None and torn:
-            age = time.time() - (store.mtime(name) or time.time())
+            mt = store.mtime(name)
+            age = time.time() - (mt or time.time())
             if age < TORN_SLOT_RECLAIM_AGE_SECONDS:
                 raise TornManifestSlotError(
                     f"{what} slot {name} in {root} is reserved but "
@@ -517,10 +518,32 @@ def cas_swap_manifest(root, manifest, base_version, write_pointer, what="manifes
                     f"{TORN_SLOT_RECLAIM_AGE_SECONDS}s) — retry after the "
                     f"gate, or delete the slot manually to recover sooner"
                 )
-            store.delete(name)
+            # Token-gated delete (same two-reclaimer-safe pattern as
+            # optimistic._maybe_reclaim_empty_slot): a naive delete here
+            # races another reclaimer's delete + RE-CLAIM — this writer
+            # would then destroy a freshly COMMITTED slot it read as
+            # torn moments earlier. Only the per-(slot, mtime) token
+            # winner deletes, re-reading right before: the slot is
+            # immutable while it exists, so nothing can re-claim the
+            # name between the re-read and the delete.
+            token = f"{name}.reclaim-{int(mt or 0)}"
+            if store.put_if_absent(token, b"reclaim"):
+                try:
+                    raw2 = store.read(name)
+                    torn2 = True
+                    if raw2 is not None:
+                        try:
+                            _json.loads(raw2)
+                            torn2 = False
+                        except ValueError:
+                            pass
+                    if raw2 is not None and torn2 and store.mtime(name) == mt:
+                        store.delete(name)
+                finally:
+                    store.delete(token)
         if raw is None or torn:
-            # slot vanished under us (pruned/reclaimed) or we just
-            # reclaimed a dead reservation: one fresh claim attempt
+            # slot vanished under us (pruned/reclaimed by us or a
+            # sibling): one fresh claim attempt — losers still lose
             won = store.put_if_absent(name, payload)
     if not won:
         raise ConcurrentManifestSwapError(

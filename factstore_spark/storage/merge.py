@@ -509,24 +509,38 @@ def validate_table(spark: SparkSession, table_dir: str) -> dict:
             continue
         by_version.setdefault(rel.split(os.sep, 1)[0], []).append(v)
     got_stats: dict[str, dict] = {}
-    for version, vals in by_version.items():
-        paths = [os.path.join(table_dir, m["partitions"][v]) for v in vals]
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", os.path.join(table_dir, version))
-            .parquet(*paths)
-        )
-        # the parsed _pval column IS the directory identity; feed it
-        # to the shared stats aggregate as the partition column
-        got_stats.update(
-            _partition_stats(
-                df.withColumn(
-                    meta["partition_col"], F.col("_pval").cast("string")
-                ).drop("_pval"),
-                meta["key_cols"],
-                meta["partition_col"],
+    # Partition-type inference OFF for these reads: the manifest keys
+    # are the partition values AS STRINGS, and inference would parse
+    # _pval=007 as int 7 or _pval=1.50 as 1.5 — a false stats mismatch
+    # on any numeric-looking string value. Discovery runs eagerly at
+    # read() time, so the conf toggle is scoped to this loop.
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_inf = spark.conf.get(inf_key, None)
+    spark.conf.set(inf_key, "false")
+    try:
+        for version, vals in by_version.items():
+            paths = [os.path.join(table_dir, m["partitions"][v]) for v in vals]
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", os.path.join(table_dir, version))
+                .parquet(*paths)
             )
-        )
+            # the parsed _pval column IS the directory identity; feed
+            # it to the shared stats aggregate as the partition column
+            got_stats.update(
+                _partition_stats(
+                    df.withColumn(
+                        meta["partition_col"], F.col("_pval").cast("string")
+                    ).drop("_pval"),
+                    meta["key_cols"],
+                    meta["partition_col"],
+                )
+            )
+    finally:
+        if prev_inf is None:
+            spark.conf.unset(inf_key)
+        else:
+            spark.conf.set(inf_key, prev_inf)
     for v, want in m.get("stats", {}).items():
         if v not in {p for vs in by_version.values() for p in vs}:
             continue  # already reported as a mapping/dir problem

@@ -11,6 +11,7 @@ from factstore_spark.storage.merge import (
     merge_upsert,
     read_table,
     vacuum_table,
+    validate_table,
 )
 
 
@@ -865,3 +866,31 @@ def test_maintain_table_one_call(spark, tmp_path):
     # the maintenance snapshot is the only retained one
     with pytest.raises(ValueError, match="not found"):
         read_table(spark, d, snapshot=1)
+
+
+def test_validate_table_numeric_string_partitions(spark, tmp_path):
+    """r12 regression: validate_table's batched per-version read must
+    NOT let partition-type inference mangle numeric-looking STRING
+    partition values (_pval=007 -> int 7, _pval=1.50 -> 1.5) into
+    false stats mismatches against the manifest's string keys."""
+    d = str(tmp_path / "numtbl")
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "007")
+        .when(F.col("id") % 3 == 1, "1.50")
+        .otherwise("2026-01-02")
+        .alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    create_table(base, d, ["k"], "p")
+    val = validate_table(spark, d)
+    assert val["ok"], val["problems"]
+    # and real corruption in such a partition is still detected
+    import glob
+    import shutil
+
+    victim = glob.glob(os.path.join(d, "v=*", "_pval=007"))[-1]
+    shutil.rmtree(victim)
+    val = validate_table(spark, d)
+    assert not val["ok"]
+    assert any("007" in p for p in val["problems"])
