@@ -1249,16 +1249,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates. No SQL oracle: the signature
     depends on Spark's xxhash64, which DuckDB cannot reproduce — the
     driver records the weaker rows-only check; the operator's recall is
-    tested against exact n-gram Jaccard in tests/operators/test_dedup.py."""
+    tested against exact n-gram Jaccard in tests/operators/test_dedup.py.
+    The in-band ``verify_ok`` contract column (r12) makes the rows-only
+    check non-vacuous: every emitted pair must carry a signature-
+    agreement estimate at/above the verify threshold — a banding or
+    verify bug that leaked unverified candidates trips it."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5).select("id_a", "id_b")
+    return dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5).select(
+        "id_a",
+        "id_b",
+        (F.col("est_jaccard") >= 0.5).alias("verify_ok"),
+    )
 
 
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3). xxhash64-based; rows-only
-    check, same rationale as MinHash."""
+    check, same rationale as MinHash. The ``hamming_ok`` contract
+    column (r12) pins the emitted pairs inside the radius — a banding
+    bug that surfaced out-of-radius pairs trips the rows-only gate."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
+    out = dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", "hamming",
+        (F.col("hamming") <= 3).alias("hamming_ok"),
+    )
 
 
 def text_token_stats(spark, sf_dir):
@@ -1557,7 +1571,15 @@ def ann_pq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = sim_ops.pq_topk(emb, q, k=5, m=8, n_codes=16, n_cells=16, n_probe=4)
-    return out.select("query_id", "neighbor_id", "rank")
+    # structural contract columns (r12): rank density and no self-
+    # matches, asserted by the rows-only gate per row
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        ((F.col("rank") >= 1) & (F.col("rank") <= 5)
+         & (F.col("query_id") != F.col("neighbor_id"))).alias("shape_ok"),
+    )
 
 
 def multimodal_meta(spark, sf_dir):
