@@ -925,6 +925,47 @@ def _build_codecs():
             cw = -(-(width * sh) // hmax)
             chh = -(-(height * sv) // vmax)
             nblocks.append((-(-chh // 8), -(-cw // 8)))
+        # Script validation (T.81 G.1.1.1.1-2): catch illegal ladders
+        # HERE with a nameable error — an invalid script otherwise
+        # surfaces as a baffling entropy-decode failure far downstream.
+        # Rules per component: DC first scan (Ss=0, Ah=0) before any
+        # AC scan; Se >= Ss with Se=0 iff Ss=0; every coefficient
+        # band's successive-approximation ladder is contiguous
+        # (a refinement's Ah must equal the band's previous Al).
+        prior_al: dict[tuple, int] = {}  # (ci, k) -> current Al
+        dc_seen: set[int] = set()
+        for comp_idx, ss, se, ah, al in scans:
+            if (ss == 0) != (se == 0):
+                raise ValueError(
+                    f"scan (Ss={ss}, Se={se}): DC scans are exactly "
+                    "Ss=Se=0; AC scans must not include coefficient 0"
+                )
+            if ss > se or se > 63 or ah > 13 or al > 13:
+                raise ValueError(f"scan (Ss={ss}, Se={se}, Ah={ah}, Al={al}) out of range")
+            if ss > 0 and len(comp_idx) != 1:
+                raise ValueError("progressive AC scans are single-component")
+            for ci in comp_idx:
+                if ss > 0 and ci not in dc_seen:
+                    raise ValueError(
+                        f"component {ci}: AC scan before its DC first scan"
+                    )
+                for k in range(ss, se + 1):
+                    prev = prior_al.get((ci, k))
+                    if prev is None:
+                        if ah != 0:
+                            raise ValueError(
+                                f"component {ci} band {ss}-{se}: refinement "
+                                f"(Ah={ah}) before the band's first scan"
+                            )
+                    elif ah != prev:
+                        raise ValueError(
+                            f"component {ci} coefficient {k}: refinement "
+                            f"Ah={ah} must equal the band's prior Al={prev} "
+                            "(contiguous successive-approximation ladder)"
+                        )
+                    prior_al[(ci, k)] = al
+                if ss == 0 and ah == 0:
+                    dc_seen.add(ci)
         dc_codes = [
             _huff_codes(*_DC_LUM),
             _huff_codes(*_DC_CHR),

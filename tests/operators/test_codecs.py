@@ -689,3 +689,25 @@ def test_mp4_demux_property(n, chunks, seed):
     d = mp4_probe(data)
     assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
     assert d["samples"] == b"".join(samples)
+
+
+def test_jpeg_progressive_rejects_invalid_scan_scripts():
+    """Illegal successive-approximation ladders fail LOUDLY at encode
+    time with a nameable reason — not as a baffling entropy-decode
+    error downstream."""
+    px = bytes(range(64))
+    cases = [
+        # refinement Ah must equal the band's prior Al
+        [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1), ([0], 1, 63, 2, 1)],
+        # refinement before the band's first scan
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 1, 0)],
+        # AC scan before the component's DC first scan
+        [([0], 1, 63, 0, 0)],
+        # DC scans are exactly Ss=Se=0
+        [([0], 0, 5, 0, 0)],
+        # multi-component AC scan
+        [([0], 0, 0, 0, 0), ([0, 0], 1, 63, 0, 0)],
+    ]
+    for scans in cases:
+        with pytest.raises(ValueError):
+            jpeg_encode_progressive(px, 8, 8, scans=scans)
