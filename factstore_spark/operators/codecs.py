@@ -1592,6 +1592,9 @@ def _build_codecs():
         codec: bytes = b"avc1",
         n_chunks: int = 1,
         pad_free: int = 0,
+        fragmented: bool = False,
+        samples_per_fragment: int = 4,
+        trun_per_sample_sizes: bool = True,
     ) -> bytes:
         """Structurally valid ISO BMFF file: ftyp + moov (mvhd, one
         video trak with full stbl sample tables) + mdat holding
@@ -1603,7 +1606,13 @@ def _build_codecs():
         (run-length-compressed stsc + one stco offset per chunk — the
         expansion logic real muxers emit); ``pad_free`` inserts a
         64-bit-largesize ``free`` box before moov so the probe's
-        largesize path is exercised by honest fixtures."""
+        largesize path is exercised by honest fixtures.
+
+        ``fragmented=True`` emits the DASH/HLS shape instead: moov
+        carries EMPTY sample tables plus mvex/trex, and the samples
+        arrive in moof+mdat fragment pairs (mfhd sequence numbers,
+        tfhd with default-base-is-moof, trun with data-offset +
+        per-sample sizes) — the other half of real-world MP4s."""
         n = len(samples)
         duration = n * frame_delta
         ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
@@ -1663,6 +1672,28 @@ def _build_codecs():
                 + avcc,
             )
             stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+            if fragmented:
+                # empty sample tables: every sample lives in fragments
+                stts = _fullbox(b"stts", 0, 0, struct.pack(">I", 0))
+                stsc = _fullbox(b"stsc", 0, 0, struct.pack(">I", 0))
+                stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                stco = _fullbox(b"stco", 0, 0, struct.pack(">I", 0))
+                stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+                vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+                dref = _fullbox(
+                    b"dref", 0, 0,
+                    struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b""),
+                )
+                dinf = _box(b"dinf", dref)
+                minf = _box(b"minf", vmhd + dinf + stbl)
+                mdia = _box(b"mdia", mdhd + hdlr + minf)
+                trak = _box(b"trak", tkhd + mdia)
+                trex = _fullbox(
+                    b"trex", 0, 0,
+                    struct.pack(">IIIII", 1, 1, frame_delta, 0, 0),
+                )
+                mvex = _box(b"mvex", trex)
+                return _box(b"moov", mvhd + trak + mvex)
             stts = _fullbox(
                 b"stts", 0, 0, struct.pack(">III", 1, n, frame_delta)
             )
@@ -1707,6 +1738,57 @@ def _build_codecs():
             trak = _box(b"trak", tkhd + mdia)
             return _box(b"moov", mvhd + trak)
 
+        if fragmented:
+            # moov declares the track with EMPTY sample tables; the
+            # samples ride moof+mdat fragment pairs
+            moov = moov_for(0)
+            out = bytearray(ftyp + free + moov)
+            spf = max(1, samples_per_fragment)
+            seq = 1
+            if not trun_per_sample_sizes and len({len(x) for x in samples}) > 1:
+                raise ValueError(
+                    "trun_per_sample_sizes=False needs uniform sample sizes "
+                    "(sizes then come from the tfhd default)"
+                )
+            for i in range(0, n, spf):
+                frag = samples[i : i + spf]
+                mfhd = _fullbox(b"mfhd", 0, 0, struct.pack(">I", seq))
+                seq += 1
+                if trun_per_sample_sizes:
+                    # tfhd: default-base-is-moof (0x020000) + default
+                    # sample duration (0x08)
+                    tfhd = _fullbox(
+                        b"tfhd", 0, 0x020008,
+                        struct.pack(">II", 1, frame_delta),
+                    )
+                    # trun: data-offset (0x01) + size-present (0x200)
+                    trun_payload = struct.pack(">I", len(frag))
+                    trun_payload += struct.pack(">i", 0)  # patched below
+                    trun_payload += b"".join(
+                        struct.pack(">I", len(x)) for x in frag
+                    )
+                    trun = _fullbox(b"trun", 0, 0x000201, trun_payload)
+                else:
+                    # sizes from the tfhd default (0x10): the other
+                    # real-world trun shape (fixed-size audio/video)
+                    tfhd = _fullbox(
+                        b"tfhd", 0, 0x020018,
+                        struct.pack(">III", 1, frame_delta, len(frag[0])),
+                    )
+                    trun_payload = struct.pack(">I", len(frag))
+                    trun_payload += struct.pack(">i", 0)  # patched below
+                    trun = _fullbox(b"trun", 0, 0x000001, trun_payload)
+                traf = _box(b"traf", tfhd + trun)
+                moof = bytearray(_box(b"moof", mfhd + traf))
+                # data_offset is relative to the moof start
+                # (default-base-is-moof): moof size + mdat header
+                doff = len(moof) + 8
+                # the i32 sits right after trun's (vf 4 + count 4)
+                j = bytes(moof).index(b"trun") + 4 + 4 + 4
+                moof[j : j + 4] = struct.pack(">i", doff)
+                out += moof
+                out += _box(b"mdat", b"".join(frag))
+            return bytes(out)
         # stco holds ABSOLUTE offsets; the moov size is independent
         # of the offset VALUES, so one sizing pass then one real pass
         size_pass = moov_for(0)
@@ -1846,6 +1928,71 @@ def _build_codecs():
             raise ValueError(
                 f"MP4 sample tables inconsistent: demuxed {si} of {len(sizes)}"
             )
+        # Fragmented half (fMP4 / DASH / HLS): top-level moof boxes
+        # carry samples the moov tables do not — tfhd defaults +
+        # trun per-sample walk honoring the optional-field flag bits
+        # (ISO/IEC 14496-12 8.8.7-8.8.8), base offset = moof start
+        # under default-base-is-moof (the common shape).
+        for t, a, b in _walk_boxes(data, 0, len(data)):
+            if t != b"moof":
+                continue
+            moof_start = a - 8
+            traf = _find_box(data, a, b, b"traf")
+            if traf is None:
+                raise ValueError("MP4 moof missing traf")
+            tfhd = _find_box(data, traf[0], traf[1], b"tfhd")
+            if tfhd is None:
+                raise ValueError("MP4 traf missing tfhd")
+            tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            p = tfhd[0] + 8  # version/flags + track_ID
+            base_off = moof_start  # default-base-is-moof / spec fallback
+            if tf_flags & 0x01:  # explicit base-data-offset
+                (base_off,) = struct.unpack(">Q", data[p : p + 8])
+                p += 8
+            if tf_flags & 0x02:  # sample-description-index
+                p += 4
+            if tf_flags & 0x08:  # default-sample-duration
+                p += 4
+            default_size = None
+            if tf_flags & 0x10:  # default-sample-size
+                (default_size,) = struct.unpack(">I", data[p : p + 4])
+                p += 4
+            for tt, ta, tb in _walk_boxes(data, traf[0], traf[1]):
+                if tt != b"trun":
+                    continue
+                tr_flags = int.from_bytes(data[ta + 1 : ta + 4], "big")
+                (cnt,) = struct.unpack(">I", data[ta + 4 : ta + 8])
+                q = ta + 8
+                doff = 0
+                if tr_flags & 0x01:  # data-offset
+                    (doff,) = struct.unpack(">i", data[q : q + 4])
+                    q += 4
+                if tr_flags & 0x04:  # first-sample-flags
+                    q += 4
+                pos = base_off + doff
+                for _ in range(cnt):
+                    if tr_flags & 0x100:  # sample-duration
+                        q += 4
+                    if tr_flags & 0x200:  # sample-size
+                        (sz,) = struct.unpack(">I", data[q : q + 4])
+                        q += 4
+                    elif default_size is not None:
+                        sz = default_size
+                    else:
+                        raise ValueError(
+                            "MP4 trun sample size unresolvable (no "
+                            "per-sample size, no tfhd default)"
+                        )
+                    if tr_flags & 0x400:  # sample-flags
+                        q += 4
+                    if tr_flags & 0x800:  # composition-time offset
+                        q += 4
+                    if pos + sz > len(data):
+                        raise ValueError("MP4 fragment sample past EOF")
+                    out += data[pos : pos + sz]
+                    pos += sz
+                    sizes.append(sz)
+                    count += 1
         return {
             "width": width,
             "height": height,

@@ -718,7 +718,11 @@ def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       w        = 16 * (2 + d % 5)
       h        = 16 * (2 + d % 4)
       n_frames = 8 + d % 25
-      n_chunks = 1 + d % 3            (exercises stsc run expansion)
+      layout   : EVEN d -> plain (n_chunks = 1 + d % 3, exercising
+                 stsc run expansion); ODD d -> FRAGMENTED
+                 (moof/tfhd/trun, 2 + d % 4 samples per fragment) —
+                 the DASH/HLS shape. Same samples either way, so the
+                 oracle is layout-independent by construction.
       sample i: size s = 50 + (d + i) % 40,
                 byte j = (d*31 + i*7 + j) % 251
     so the demuxed-byte checksum has the closed form
@@ -748,9 +752,17 @@ def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     a = (d * 31 + i * 7) % 251
                     samples.append(bytes((a + j) % 251 for j in range(size)))
                 ids.append(d)
-                blobs.append(
-                    mp4_enc(samples, w, h, n_chunks=1 + d % 3)
-                )
+                if d % 2:
+                    blobs.append(
+                        mp4_enc(
+                            samples, w, h, fragmented=True,
+                            samples_per_fragment=2 + d % 4,
+                        )
+                    )
+                else:
+                    blobs.append(
+                        mp4_enc(samples, w, h, n_chunks=1 + d % 3)
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -711,3 +711,51 @@ def test_jpeg_progressive_rejects_invalid_scan_scripts():
     for scans in cases:
         with pytest.raises(ValueError):
             jpeg_encode_progressive(px, 8, 8, scans=scans)
+
+
+@pytest.mark.parametrize("spf,per_sample", [(1, True), (3, True), (4, False),
+                                            (99, True)])
+def test_mp4_fragmented_round_trip(spf, per_sample):
+    """fMP4 (moof/tfhd/trun): the fragmented layout must demux to the
+    same bytes as the plain layout — through per-sample trun sizes AND
+    the tfhd default-size shape."""
+    if per_sample:
+        samples = _mp4_samples(11, seed=spf)
+    else:
+        samples = [bytes((spf + j) % 251 for j in range(64))] * 11
+    data = mp4_encode_stub(samples, 48, 32, fragmented=True,
+                           samples_per_fragment=spf,
+                           trun_per_sample_sizes=per_sample)
+    assert data.count(b"moof") >= 1 and b"trex" in data
+    d = mp4_probe(data)
+    assert (d["width"], d["height"], d["n_frames"]) == (48, 32, 11)
+    assert d["samples"] == b"".join(samples)
+    assert d["sample_sizes"] == [len(x) for x in samples]
+    plain = mp4_probe(mp4_encode_stub(samples, 48, 32))
+    assert d["samples"] == plain["samples"]
+
+
+def test_mp4_fragmented_malformed():
+    data = bytearray(
+        mp4_encode_stub(_mp4_samples(6), 16, 16, fragmented=True,
+                        samples_per_fragment=3)
+    )
+    # truncate inside the last mdat: fragment sample past EOF
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(data[:-10]))
+
+
+@settings(max_examples=15, deadline=None)
+@given(n=st.integers(1, 25), spf=st.integers(1, 8),
+       seed=st.integers(0, 2**31 - 1))
+def test_mp4_fragmented_property(n, spf, seed):
+    rnd = __import__("random").Random(seed)
+    samples = [
+        bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 100)))
+        for _ in range(n)
+    ]
+    data = mp4_encode_stub(samples, 32, 16, fragmented=True,
+                           samples_per_fragment=spf)
+    d = mp4_probe(data)
+    assert d["n_frames"] == n
+    assert d["samples"] == b"".join(samples)
