@@ -1850,23 +1850,47 @@ def _build_codecs():
             timescale, duration = struct.unpack(
                 ">II", data[mvhd[0] + 12 : mvhd[0] + 20]
             )
-        trak = _find_box(data, moov[0], moov[1], b"trak")
-        if trak is None:
+        # Track selection: real files are often multi-track (video +
+        # audio); pick the first trak whose hdlr is 'vide', falling
+        # back to the first trak — and remember its track_ID so the
+        # fragment demux below skips other tracks' trafs.
+        traks = [
+            (a, b)
+            for t, a, b in _walk_boxes(data, moov[0], moov[1])
+            if t == b"trak"
+        ]
+        if not traks:
             raise ValueError("MP4 missing trak")
-        tkhd = _find_box(data, trak[0], trak[1], b"tkhd")
-        mdia = _find_box(data, trak[0], trak[1], b"mdia")
-        if tkhd is None or mdia is None:
-            raise ValueError("MP4 trak missing tkhd/mdia")
+
+        def _trak_parts(tk):
+            tkhd = _find_box(data, tk[0], tk[1], b"tkhd")
+            mdia = _find_box(data, tk[0], tk[1], b"mdia")
+            if tkhd is None or mdia is None:
+                raise ValueError("MP4 trak missing tkhd/mdia")
+            hdlr = _find_box(data, mdia[0], mdia[1], b"hdlr")
+            h = (
+                data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
+                if hdlr
+                else "????"
+            )
+            return tkhd, mdia, h
+
+        tkhd = mdia = handler = None
+        for tk in traks:
+            tkhd_c, mdia_c, h_c = _trak_parts(tk)
+            if handler is None or (h_c == "vide" and handler != "vide"):
+                tkhd, mdia, handler = tkhd_c, mdia_c, h_c
+            if handler == "vide":
+                break
+        # track_ID sits after version/flags + creation + modification:
+        # v0 at payload+12 (u32 fields), v1 at payload+20 (u64 times)
+        tk_ver = data[tkhd[0]]
+        tid_off = tkhd[0] + (20 if tk_ver == 1 else 12)
+        (track_id,) = struct.unpack(">I", data[tid_off : tid_off + 4])
         # width/height are the LAST 8 bytes of tkhd in both v0 and v1
         dim_off = tkhd[1] - 8
         w1616, h1616 = struct.unpack(">II", data[dim_off : dim_off + 8])
         width, height = w1616 >> 16, h1616 >> 16
-        hdlr = _find_box(data, mdia[0], mdia[1], b"hdlr")
-        handler = (
-            data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
-            if hdlr
-            else "????"
-        )
         minf = _find_box(data, mdia[0], mdia[1], b"minf")
         stbl = _find_box(data, minf[0], minf[1], b"stbl") if minf else None
         if stbl is None:
@@ -1937,12 +1961,26 @@ def _build_codecs():
             if t != b"moof":
                 continue
             moof_start = a - 8
-            traf = _find_box(data, a, b, b"traf")
-            if traf is None:
+            trafs = [
+                (ta2, tb2)
+                for t2, ta2, tb2 in _walk_boxes(data, a, b)
+                if t2 == b"traf"
+            ]
+            if not trafs:
                 raise ValueError("MP4 moof missing traf")
-            tfhd = _find_box(data, traf[0], traf[1], b"tfhd")
-            if tfhd is None:
-                raise ValueError("MP4 traf missing tfhd")
+            # only the SELECTED track's trafs feed this demux
+            traf = None
+            for cand in trafs:
+                tf = _find_box(data, cand[0], cand[1], b"tfhd")
+                if tf is None:
+                    raise ValueError("MP4 traf missing tfhd")
+                (tf_tid,) = struct.unpack(">I", data[tf[0] + 4 : tf[0] + 8])
+                if tf_tid == track_id:
+                    traf = cand
+                    tfhd = tf
+                    break
+            if traf is None:
+                continue  # this moof carries only other tracks
             tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
             p = tfhd[0] + 8  # version/flags + track_ID
             base_off = moof_start  # default-base-is-moof / spec fallback

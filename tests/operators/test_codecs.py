@@ -759,3 +759,37 @@ def test_mp4_fragmented_property(n, spf, seed):
     d = mp4_probe(data)
     assert d["n_frames"] == n
     assert d["samples"] == b"".join(samples)
+
+
+def test_mp4_multi_track_selects_video():
+    """Multi-track files (audio + video): the probe must pick the
+    'vide' trak even when an audio trak comes first, and the fragment
+    demux must skip other tracks' trafs."""
+    import struct as _s
+
+    samples = _mp4_samples(6, seed=2)
+    data = mp4_encode_stub(samples, 80, 48, fragmented=True,
+                           samples_per_fragment=3)
+    # locate the moov box and the vide trak inside it
+    i = data.index(b"moov") - 4
+    (moov_size,) = _s.unpack(">I", data[i : i + 4])
+    moov = bytearray(data[i : i + moov_size])
+    j = bytes(moov).index(b"trak") - 4
+    (trak_size,) = _s.unpack(">I", moov[j : j + 4])
+    trak = bytes(moov[j : j + trak_size])
+    # forge an AUDIO trak: same structure, handler 'soun', track_ID 2,
+    # zero dims (audio tracks carry none)
+    soun = bytearray(trak)
+    h = bytes(soun).index(b"vide")
+    soun[h : h + 4] = b"soun"
+    tk = bytes(soun).index(b"tkhd") + 4  # -> version byte
+    # v0 tkhd: track_ID at payload+12 -> tkhd tag end + 4 + 12
+    soun[tk + 4 + 12 : tk + 4 + 16] = (2).to_bytes(4, "big")
+    # prepend the audio trak INSIDE moov, before the video trak
+    new_moov = bytearray(moov[:j]) + soun + moov[j:]
+    new_moov[0:4] = _s.pack(">I", len(new_moov))
+    patched = data[:i] + bytes(new_moov) + data[i + moov_size :]
+    d = mp4_probe(patched)
+    assert (d["handler"], d["width"], d["height"]) == ("vide", 80, 48)
+    assert d["n_frames"] == 6
+    assert d["samples"] == b"".join(samples)
