@@ -1595,6 +1595,7 @@ def _build_codecs():
         fragmented: bool = False,
         samples_per_fragment: int = 4,
         trun_per_sample_sizes: bool = True,
+        trun_sample_durations: bool = False,
     ) -> bytes:
         """Structurally valid ISO BMFF file: ftyp + moov (mvhd, one
         video trak with full stbl sample tables) + mdat holding
@@ -1761,13 +1762,21 @@ def _build_codecs():
                         b"tfhd", 0, 0x020008,
                         struct.pack(">II", 1, frame_delta),
                     )
-                    # trun: data-offset (0x01) + size-present (0x200)
+                    # trun: data-offset (0x01) + size-present (0x200),
+                    # optionally + per-sample duration (0x100) and cts
+                    # offset (0x800) — the widest real-world row shape
+                    tr_flags = 0x000201
+                    if trun_sample_durations:
+                        tr_flags |= 0x900
                     trun_payload = struct.pack(">I", len(frag))
                     trun_payload += struct.pack(">i", 0)  # patched below
-                    trun_payload += b"".join(
-                        struct.pack(">I", len(x)) for x in frag
-                    )
-                    trun = _fullbox(b"trun", 0, 0x000201, trun_payload)
+                    for x in frag:
+                        if trun_sample_durations:
+                            trun_payload += struct.pack(">I", frame_delta)
+                        trun_payload += struct.pack(">I", len(x))
+                        if trun_sample_durations:
+                            trun_payload += struct.pack(">I", 0)  # cts
+                    trun = _fullbox(b"trun", 0, tr_flags, trun_payload)
                 else:
                     # sizes from the tfhd default (0x10): the other
                     # real-world trun shape (fixed-size audio/video)

@@ -793,3 +793,16 @@ def test_mp4_multi_track_selects_video():
     assert (d["handler"], d["width"], d["height"]) == ("vide", 80, 48)
     assert d["n_frames"] == 6
     assert d["samples"] == b"".join(samples)
+
+
+def test_mp4_trun_wide_rows_round_trip():
+    """trun rows carrying per-sample duration + cts offset (flags
+    0x100/0x800) alongside sizes: the probe must skip the extra
+    fields per sample and still land every demux offset."""
+    samples = _mp4_samples(10, seed=4)
+    data = mp4_encode_stub(samples, 32, 16, fragmented=True,
+                           samples_per_fragment=3,
+                           trun_sample_durations=True)
+    d = mp4_probe(data)
+    assert d["n_frames"] == 10
+    assert d["samples"] == b"".join(samples)
