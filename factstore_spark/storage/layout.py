@@ -9,8 +9,11 @@ Layout (one directory tree per engine root):
         _commit.lock               # fcntl flock — serializes appends per store
         commits.jsonl              # one line per commit:
                                    #   {"seq", "rows", "appended_at",
-                                   #    "idempotency_key", "max_position"}
-        heads.json                 # {"seq": n, "subjects": {subject: [fact_id, position]}}
+                                   #    "idempotency_key", "max_position",
+                                   #    "tag_fps", "subj_fps"}
+        heads_snap/                # derived sharded subject-head snapshot
+                                   #   (storage/heads.py; folded by maintain,
+                                   #    never touched by the append path)
         data/commit-<seq>.parquet  # fact rows (schema.FACT_ARROW_SCHEMA)
 
 This is the single-node stand-in for the reference's FoundationDB
@@ -48,13 +51,13 @@ import pyarrow.parquet as pq
 from ..schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
 
 COMMITS_FILE = "commits.jsonl"
-HEADS_FILE = "heads.json"
 DATA_DIR = "data"
 STREAM_DIR = "stream"
 LOCK_FILE = "_commit.lock"
 
 
 MAX_TAG_FPS = 64
+MAX_SUBJ_FPS = 64
 
 
 def tag_fingerprint(k: str, v: str) -> int:
@@ -64,6 +67,46 @@ def tag_fingerprint(k: str, v: str) -> int:
     import hashlib
 
     return int(hashlib.md5(f"{k}\x00{v}".encode()).hexdigest()[:15], 16)
+
+
+def subject_fingerprint(subject: str) -> int:
+    """60-bit md5 fingerprint of one subject — the unit of commit-level
+    subject skipping (CommitRecord.subj_fps) and the head-snapshot shard
+    function (storage/heads.py). Must match the Spark-side expression
+    ``conv(substring(md5(subject), 1, 15), 16, 10)`` used by the
+    distributed snapshot rebuild."""
+    import hashlib
+
+    return int(hashlib.md5(subject.encode()).hexdigest()[:15], 16)
+
+
+def commit_subj_fps(rows: list[dict]) -> Optional[list[int]]:
+    """Distinct subject fingerprints of a row batch, or None when over
+    the cap (a too-diverse commit records 'unknown' rather than a huge
+    summary — the lookup then scans it until the snapshot folds it)."""
+    fps: set[int] = set()
+    for row in rows:
+        fps.add(subject_fingerprint(row["subject"]))
+        if len(fps) > MAX_SUBJ_FPS:
+            return None
+    return sorted(fps)
+
+
+def files_subject_fps(files: list[str]) -> Optional[list[int]]:
+    """Distinct subject fingerprints of already-written parquet files
+    (the bulk-ingest commit record), streamed with an early bail to
+    None past the cap — never materializes the commit's subjects."""
+    import pyarrow.compute as pc
+
+    fps: set[int] = set()
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(columns=["subject"], batch_size=65536):
+            for s in pc.unique(batch.column("subject")).to_pylist():
+                fps.add(subject_fingerprint(s))
+            if len(fps) > MAX_SUBJ_FPS:
+                return None
+    return sorted(fps)
 
 
 def commit_tag_fps(rows: list[dict]) -> Optional[list[int]]:
@@ -101,6 +144,13 @@ class CommitRecord:
     # write path (FdbFactAppender.kt:124-274 walks its tag subspaces;
     # we walk the fingerprint summaries).
     tag_fps: Optional[list[int]] = None
+    # Subject-level data skipping for the head lookup (storage/heads.py,
+    # the ExpectedLastFact fast path, FdbFactAppender.kt:91-113):
+    # fingerprints of every distinct subject in this commit (capped at
+    # MAX_SUBJ_FPS; None = unknown, must scan). Lets a head lookup walk
+    # the post-snapshot commit tail with ZERO file opens for subjects a
+    # commit provably does not touch.
+    subj_fps: Optional[list[int]] = None
     # Checkpoint summary record (Delta-checkpoint analog): True when
     # this record FOLDS every commit with seq <= its own seq — it
     # carries their merged idempotency keys (``keys``), the max
@@ -130,6 +180,7 @@ def commit_record_from_dict(d: dict) -> CommitRecord:
         compacted_through=d.get("compacted_through"),
         file=d.get("file"),
         tag_fps=d.get("tag_fps"),
+        subj_fps=d.get("subj_fps"),
         checkpoint=d.get("checkpoint", False),
         keys=frozenset(keys) if keys is not None else None,
         reserved=d.get("reserved", False),
@@ -152,6 +203,8 @@ def commit_record_to_dict(c: CommitRecord) -> dict:
         d["file"] = c.file
     if c.tag_fps is not None:
         d["tag_fps"] = c.tag_fps
+    if c.subj_fps is not None:
+        d["subj_fps"] = c.subj_fps
     if c.checkpoint:
         d["checkpoint"] = True
     if c.keys is not None:
@@ -493,22 +546,13 @@ class StoreLayout:
         idempotency_key: Optional[str],
         commits: Optional[list[CommitRecord]] = None,
     ) -> tuple[int, list[int]]:
-        """Write one commit: parquet file + commit-log line + heads update.
-        Returns (seq, positions). ``commits`` lets the append path reuse
-        its one commit-log read (appends stay O(log) not O(log^2))."""
+        """Write one commit: parquet file + commit-log line. Returns
+        (seq, positions). ``commits`` lets the append path reuse its one
+        commit-log read (appends stay O(log) not O(log^2)). Subject-head
+        state is DERIVED from the log (storage/heads.py) — the append
+        path writes nothing per-subject, so per-append cost is flat in
+        lifetime subject cardinality (round-12 verdict task #1)."""
         commits = self.read_commits() if commits is None else commits
-        # expected heads.seq = the last HEADS-UPDATING commit: the log
-        # is file-ordered, so commits[-1] can be a compaction record
-        # whose stale snapshot seq would falsely satisfy the crash-gap
-        # guard against heads that are missing newer commits
-        prev_seq = max(
-            (
-                c.seq
-                for c in commits
-                if c.compacted_through is None and not c.checkpoint and not c.reserved
-            ),
-            default=-1,
-        )
         seq = self.next_seq(commits)
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]
@@ -534,10 +578,10 @@ class StoreLayout:
             if positions
             else max((c.max_position for c in commits), default=-1),
             "tag_fps": commit_tag_fps(rows),
+            "subj_fps": commit_subj_fps(rows) if rows else [],
         }
         self._append_log_line(record)
 
-        self._update_heads(seq, rows, prev_seq=prev_seq)
         if rows:
             self._link_into_stream(final)
         return seq, positions
@@ -556,94 +600,17 @@ class StoreLayout:
 
     # -- subject heads (ExpectedLastFact fast path) -------------------------
 
-    def _heads_path(self) -> str:
-        return os.path.join(self.store_dir, HEADS_FILE)
-
-    def _read_heads(self) -> dict:
-        try:
-            with open(self._heads_path()) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
-            return {"seq": -1, "subjects": {}}
-
-    def _update_heads(self, seq: int, rows: list[dict], prev_seq: Optional[int] = None) -> None:
-        heads = self._read_heads()
-        if prev_seq is not None and heads["seq"] != prev_seq:
-            # Crash-gap guard: a prior process died between its
-            # commit-log fsync and its heads update, so heads are
-            # missing that commit's subjects. Blindly stamping
-            # heads["seq"] = seq here would make the freshness check in
-            # last_fact_of_subject pass on stale data — an
-            # ExpectedLastFact condition could then succeed against a
-            # lost update. Rebuild from committed data instead (the new
-            # commit's file is already in data/, so the rebuild covers
-            # it too).
-            self._rebuild_heads(seq)
-            return
-        for row in rows:
-            heads["subjects"][row["subject"]] = [row["id"], row["position"]]
-        heads["seq"] = seq
-        self._write_heads(heads)
-
-    def _write_heads(self, heads: dict) -> None:
-        # Unique tmp per writer: heads are an eventually-consistent
-        # cache (the freshness check re-validates seq), so concurrent
-        # lock-free writers may interleave — but they must never share
-        # a tmp name, or one's rename steals the other's file out from
-        # under its own rename (FileNotFoundError).
-        tmp = self._heads_path() + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(heads, f)
-        os.rename(tmp, self._heads_path())
-
     def last_fact_of_subject(self, subject: str) -> Optional[tuple[str, int]]:
-        """O(1) last-fact lookup for ExpectedLastFact conditions — the
+        """Last-fact lookup for ExpectedLastFact conditions — the
         stand-in for the reverse limit-1 subject-index scan
-        (FdbFactAppender.kt:91-113). Rebuilds from data if heads are stale."""
-        heads = self._read_heads()
-        last = self.last_commit()
-        last_seq = last.seq if last else -1
-        if heads["seq"] != last_seq:
-            heads = self._rebuild_heads(last_seq)
-        entry = heads["subjects"].get(subject)
-        return (entry[0], entry[1]) if entry else None
+        (FdbFactAppender.kt:91-113). Fully log-derived: a subj_fps-
+        pruned newest-first scan of the post-snapshot commit tail, then
+        one head-snapshot shard (storage/heads.py) — exact at any
+        snapshot staleness, O(1) file opens for a hot subject, O(shard)
+        for a cold one, never O(all subjects)."""
+        from .heads import HeadsIndex
 
-    def _merge_heads_from_bulk(
-        self, files: list[str], expect_prev_seq: int, new_seq: int
-    ) -> dict:
-        """Fold ONE bulk commit's subject heads into the cache —
-        O(commit), not O(store). A full ``_rebuild_heads`` after every
-        bulk append re-reads three columns of the ENTIRE store into
-        driver memory; steady-state ingest into a large store pays that
-        scan per batch for no reason. Same crash-gap guard as
-        ``_update_heads``: any seq mismatch falls back to the full
-        rebuild."""
-        heads = self._read_heads()
-        if heads["seq"] != expect_prev_seq:
-            return self._rebuild_heads(new_seq)
-        import pyarrow.parquet as pq
-
-        rows: list[dict] = []
-        for f in files:
-            rows.extend(
-                pq.read_table(f, columns=["id", "subject", "position"]).to_pylist()
-            )
-        rows.sort(key=lambda r: r["position"])
-        for row in rows:
-            heads["subjects"][row["subject"]] = [row["id"], row["position"]]
-        heads["seq"] = new_seq
-        self._write_heads(heads)
-        return heads
-
-    def _rebuild_heads(self, last_seq: int) -> dict:
-        heads = {"seq": last_seq, "subjects": {}}
-        table = self.read_arrow(columns=["id", "subject", "position"])
-        if table.num_rows:
-            table = table.sort_by("position")
-            for row in table.to_pylist():
-                heads["subjects"][row["subject"]] = [row["id"], row["position"]]
-        self._write_heads(heads)
-        return heads
+        return HeadsIndex(self).lookup(subject)
 
     # -- local reads (engine-internal; queries go through Spark) ------------
 
@@ -835,6 +802,7 @@ class StoreLayout:
         appended_at: datetime,
         idempotency_key: Optional[str],
         max_position: int,
+        subj_fps: Optional[list[int]] = None,
     ) -> None:
         """Commit line for a Spark-written bulk ingest directory (data
         already renamed into place by the executor writers)."""
@@ -846,6 +814,8 @@ class StoreLayout:
             "max_position": max_position,
             "bulk": True,
         }
+        if subj_fps is not None:
+            record["subj_fps"] = subj_fps
         self._append_log_line(record)
         bulk_dir = os.path.join(self.data_dir, f"commit-{seq:010d}-bulk")
         if os.path.isdir(bulk_dir):

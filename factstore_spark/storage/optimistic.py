@@ -35,10 +35,11 @@ parquet data, so the position RANGE is reserved first with a zero-row
 claim (its ``max_position`` raises the head, making the range
 unstealable — crash leaves a harmless hole in the sparse position
 space), the data is then written at leisure, and a second claim
-publishes the files. Heads stay eventually-consistent: concurrent
-updates may interleave, but ``last_fact_of_subject``'s freshness check
-(heads.seq == last commit seq) detects any stale write and rebuilds —
-the heads file is a cache, never a correctness dependency.
+publishes the files. Subject heads are DERIVED from the commit log
+(storage/heads.py): the append path writes no per-subject state at all,
+so lock-free writers cannot interleave on it — ``last_fact_of_subject``
+resolves through the log's subj_fps summaries plus the maintenance-
+folded snapshot, exact at any staleness.
 
 Maintenance (compaction, orphan sweep) still takes the flock: those are
 rare, coarse operations where mutual exclusion is the simpler contract;
@@ -59,6 +60,7 @@ from .layout import (
     StoreLayout,
     _resolve_checkpoints,
     commit_record_from_dict,
+    commit_subj_fps,
     commit_tag_fps,
 )
 
@@ -381,22 +383,6 @@ class OptimisticStoreLayout(StoreLayout):
 
         from ..schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
 
-        # expected heads.seq = the last HEADS-UPDATING commit — not
-        # reservations / zero-row bulk publishes / compaction or
-        # checkpoint records, which never touch heads.json (a raw
-        # commits[-1] after a reservation made the heads fast path
-        # trip into a full rebuild on every row append)
-        prev_seq = max(
-            (
-                c.seq
-                for c in commits
-                if not c.reserved
-                and not c.checkpoint
-                and c.compacted_through is None
-                and (c.rows > 0 or not c.bulk)
-            ),
-            default=-1,
-        )
         seq = self.next_seq(commits)
         base = seq * POSITION_STRIDE
         positions = [base + i for i in range(len(rows))]
@@ -427,6 +413,7 @@ class OptimisticStoreLayout(StoreLayout):
             else max((c.max_position for c in commits), default=-1),
             "file": fname,
             "tag_fps": commit_tag_fps(rows),
+            "subj_fps": commit_subj_fps(rows),
         }
         if not self._claim(f"{seq:020d}.json", record):
             if final is not None:
@@ -435,7 +422,6 @@ class OptimisticStoreLayout(StoreLayout):
                 except OSError:
                     pass
             return None
-        self._update_heads(seq, rows, prev_seq=prev_seq)
         if final is not None:
             self._link_into_stream(final)
         return seq, positions
@@ -471,6 +457,7 @@ class OptimisticStoreLayout(StoreLayout):
         max_position: int,
         appended_at,
         idempotency_key: Optional[str],
+        subj_fps: Optional[list[int]] = None,
     ) -> Optional[int]:
         """Publish an already-written bulk directory as a commit.
         Returns the publish seq, or None if the idempotency key
@@ -491,6 +478,8 @@ class OptimisticStoreLayout(StoreLayout):
                 "bulk": True,
                 "file": data_dir_name,
             }
+            if subj_fps is not None:
+                record["subj_fps"] = subj_fps
             if self._claim(f"{seq:020d}.json", record):
                 return seq
 

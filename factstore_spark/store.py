@@ -521,14 +521,20 @@ class FactStore:
                     seq, 0, appended_at, key, layout.head_position()
                 )
                 return Appended((), appended_at, ())
+            from .storage.layout import files_subject_fps
+
             layout.append_bulk_commit_record(
-                seq, int(agg["n"]), appended_at, key, int(agg["hi"])
+                seq,
+                int(agg["n"]),
+                appended_at,
+                key,
+                int(agg["hi"]),
+                # Subject skipping summary for head lookups: streamed,
+                # caps out to None (= "must scan until the snapshot
+                # folds this commit") on diverse commits — O(commit
+                # subject column) worst case, O(first batch) typical.
+                subj_fps=files_subject_fps(bulk_files),
             )
-            # O(commit) heads fold, not an O(store) rebuild: under the
-            # flock there is no concurrency, so the pre-append last seq
-            # is exactly what heads must carry for the merge to be safe.
-            prev_last = max((c.seq for c in commits), default=-1)
-            layout._merge_heads_from_bulk(bulk_files, prev_last, seq)
         return Appended((), appended_at, (int(agg["lo"]), int(agg["hi"])))
 
     def _append_dataframe_optimistic(self, layout, df: DataFrame, key: str) -> AppendResult:
@@ -651,42 +657,24 @@ class FactStore:
                 f"({n2 - int(agg2['nd'])} duplicates) — "
                 "nondeterministic source plan; materialize the input"
             )
+        from .storage.layout import files_subject_fps
+
         pseq = layout.publish_bulk(
-            dir_name, int(agg2["n"]), int(agg2["hi"]), appended_at, key
+            dir_name,
+            int(agg2["n"]),
+            int(agg2["hi"]),
+            appended_at,
+            key,
+            # Subject skipping summary for head lookups (heads are
+            # log-derived; the publish record is the only per-subject
+            # state this path ever writes, and it is capped).
+            subj_fps=files_subject_fps(files),
         )
         if pseq is None:
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
             return AlreadyApplied(key)
-        # O(commit) heads fold when we are still the newest commit; any
-        # interleaving (another commit landed after our publish, or a
-        # heads-seq gap) falls back to the full rebuild inside the
-        # merge — heads stay a cache, never a correctness dependency.
-        commits2 = layout.read_commits()
-        latest = max((c.seq for c in commits2), default=pseq)
-        # expected heads.seq = the last HEADS-UPDATING commit below our
-        # publish: reservations, zero-row bulk publishes and
-        # compaction/checkpoint records never touch heads.json — using
-        # the raw max seq (which is usually our own reservation) made
-        # the guard trip every time and this fast path an unreachable
-        # O(store) rebuild per batch
-        prev_last = max(
-            (
-                c.seq
-                for c in commits2
-                if c.seq < pseq
-                and not c.reserved
-                and not c.checkpoint
-                and c.compacted_through is None
-                and (c.rows > 0 or not c.bulk)
-            ),
-            default=-1,
-        )
-        if latest == pseq:
-            layout._merge_heads_from_bulk(files, prev_last, pseq)
-        else:
-            layout._rebuild_heads(latest)
         for f in files:
             layout._link_into_stream(f)
         return Appended((), appended_at, (int(agg2["lo"]), int(agg2["hi"])))
@@ -1381,6 +1369,20 @@ class FactStore:
 
         return compact_store(self.spark, self._layout(meta.id), target_partitions)
 
+    def refresh_heads_snapshot(self, store_name: str):
+        """Fold the commit tail into the sharded subject-head snapshot
+        (storage/heads.py) — restores O(shard) cold-subject lookups for
+        ExpectedLastFact conditions. Incremental (gap commits, touched
+        shards) between compactions; a distributed Spark rebuild when a
+        compaction superseded the gap. Never required for correctness:
+        lookups resolve exactly through the log at any staleness."""
+        meta = self.catalog.find_by_name(store_name)
+        if meta is None:
+            return StoreNotFound(store_name)
+        from .storage.heads import HeadsIndex
+
+        return HeadsIndex(self._layout(meta.id)).refresh(self.spark)
+
     def checkpoint(self, store_name: str):
         """Fold the compaction-superseded prefix of the commit log into
         one summary record (storage/layout.py checkpoint_log) — the
@@ -1436,6 +1438,7 @@ class FactStore:
                 for c in commits
                 if c.compacted_through is None and c.seq > compacted_through
             )
+        from .storage.heads import HeadsIndex
         from .storage.tag_index import TagIndex
 
         return {
@@ -1453,6 +1456,7 @@ class FactStore:
                 else len(commits)
             ),
             "tag_index_fresh": TagIndex(layout).is_fresh(),
+            "heads_snapshot_through": HeadsIndex(layout).snap_meta()["through_seq"],
         }
 
     def maintain(self, store_name: str, target_partitions: Optional[int] = None):
@@ -1471,6 +1475,7 @@ class FactStore:
             "compact": self.compact(store_name, target_partitions),
             "checkpoint": self.checkpoint(store_name),
             "tag_index": self.refresh_tag_index(store_name),
+            "heads_snapshot": self.refresh_heads_snapshot(store_name),
         }
         # The id index is opt-in (built once via build_id_index); when
         # present and invalidated by this pass's compaction, rebuild it

@@ -11,9 +11,17 @@ append path has no handler for — its cleanup never runs, exactly a
 kill -9 as far as on-disk state goes):
 
   flock      : tmp parquet -> rename into data/ -> fsynced commit-log
-               line -> heads cache -> stream-mirror hardlink
+               line -> stream-mirror hardlink
   optimistic : tmp parquet -> rename into data/ -> CAS slot claim ->
-               heads cache -> stream-mirror hardlink
+               stream-mirror hardlink
+
+(Since round 13 the append path writes NO per-subject head state —
+heads are derived from the commit log, storage/heads.py — so the old
+"died before the heads cache write" point no longer exists. The
+head-SNAPSHOT fold, which runs under maintenance instead, gets its own
+kill-at-every-step schedule at the bottom of this file: shards ->
+pointer rename -> old-dir sweep, asserted exact in both rebuild and
+incremental modes.)
 
 plus two torn-write schedules injected directly as on-disk state:
 a partial commit-log line with no newline (flock), and a
@@ -168,9 +176,7 @@ _FLOCK_POINTS = [
     ("before_rename", "rename", False),
     # after rename, before the log line: data file present, no record
     ("data_unreferenced", "tag_fps", False),
-    # after the fsynced log line, before heads: COMMITTED
-    ("committed_heads_stale", "heads", True),
-    # after heads, before the stream hardlink: COMMITTED
+    # after the fsynced log line, before the stream hardlink: COMMITTED
     ("committed_stream_unlinked", "stream", True),
 ]
 
@@ -199,24 +205,13 @@ def _arm(monkeypatch, backend_mod, layout_cls, point_kind):
             return real(rows)
 
         monkeypatch.setattr(backend_mod, "commit_tag_fps", dying_fps)
-    elif point_kind == "heads":
-        real = layout_cls._update_heads
-        state = {"armed": True}
-
-        def dying_heads(self, seq, rows, prev_seq=None):
-            if state["armed"] and rows:
-                state["armed"] = False
-                raise Killed("died after commit, before heads")
-            return real(self, seq, rows, prev_seq=prev_seq)
-
-        monkeypatch.setattr(layout_cls, "_update_heads", dying_heads)
     elif point_kind == "stream":
         state = {"armed": True}
 
         def dying_link(self, data_file):
             if state["armed"]:
                 state["armed"] = False
-                raise Killed("died after heads, before stream link")
+                raise Killed("died after commit, before stream link")
             return layout_mod.StoreLayout._link_into_stream(self, data_file)
 
         monkeypatch.setattr(layout_cls, "_link_into_stream", dying_link)
@@ -241,7 +236,6 @@ def test_flock_append_crash_schedule(tmp_path, monkeypatch, point, kind, visible
 @pytest.mark.parametrize("point,kind,visible", [
     ("before_rename", "rename", False),
     ("data_unreferenced", "tag_fps", False),
-    ("committed_heads_stale", "heads", True),
     ("committed_stream_unlinked", "stream", True),
 ])
 def test_optimistic_append_crash_schedule(
@@ -329,3 +323,135 @@ def test_excl_torn_claim_slot_recovers(tmp_path, monkeypatch):
     got = _visible(_fresh(root, "optimistic+excl"), "s")
     assert len(got) == len(pre) + 1
     assert len({p for p, _ in got}) == len(got)
+
+
+# ---------------------------------------------------------------------------
+# Head-SNAPSHOT fold under fault (VERDICT r12 tasks #1 + #7): the fold
+# runs outside the append path, so a crash can never lose an append —
+# but it must also never corrupt lookups. Kill the fold at every step
+# (mid shard writes / before the pointer rename / before the old-dir
+# sweep), in BOTH modes (full rebuild, incremental gap fold), and
+# assert: every subject's lookup stays exact from a fresh handle, a
+# retried fold completes, and lookups stay exact after it.
+# ---------------------------------------------------------------------------
+
+_FOLD_POINTS = ["mid_shards", "before_pointer", "before_sweep"]
+
+
+def _arm_fold(monkeypatch, point):
+    from factstore_spark.storage import heads as heads_mod
+
+    state = {"armed": True}
+    if point == "mid_shards":
+        real = heads_mod.HeadsIndex._write_shard
+
+        def dying(self, snap_dir, shard, heads):
+            if state["armed"]:
+                state["armed"] = False
+                raise Killed("died mid shard writes")
+            return real(self, snap_dir, shard, heads)
+
+        monkeypatch.setattr(heads_mod.HeadsIndex, "_write_shard", dying)
+    elif point == "before_pointer":
+        real = heads_mod.HeadsIndex._publish
+
+        def dying(self, through_seq, dir_name, shards):
+            if state["armed"]:
+                state["armed"] = False
+                raise Killed("died after shards, before pointer rename")
+            return real(self, through_seq, dir_name, shards)
+
+        monkeypatch.setattr(heads_mod.HeadsIndex, "_publish", dying)
+    elif point == "before_sweep":
+        real = heads_mod.HeadsIndex._sweep_old
+
+        def dying(self):
+            if state["armed"]:
+                state["armed"] = False
+                raise Killed("died after pointer, before sweep")
+            return real(self)
+
+        monkeypatch.setattr(heads_mod.HeadsIndex, "_sweep_old", dying)
+    else:
+        raise AssertionError(point)
+
+
+def _heads_truth(fs, store):
+    """subject -> (id, position) ground truth straight from the data."""
+    truth = {}
+    for pos, fid, subj in sorted(
+        (p, i, s)
+        for p, i, s in _visible_with_subject(fs, store)
+    ):
+        truth[subj] = (fid, pos)
+    return truth
+
+
+def _visible_with_subject(fs, store):
+    lay = _layout(fs, store)
+    rows = []
+    for c in lay.read_commits():
+        if c.rows <= 0 or c.compacted_through is not None or c.checkpoint:
+            continue
+        for f in lay._files_of(c):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f, columns=["position", "id", "subject"])
+            rows.extend(
+                zip(
+                    t["position"].to_pylist(),
+                    t["id"].to_pylist(),
+                    t["subject"].to_pylist(),
+                )
+            )
+    return rows
+
+
+@pytest.mark.parametrize("mode", ["rebuild", "incremental"])
+@pytest.mark.parametrize("point", _FOLD_POINTS)
+def test_heads_fold_crash_schedule(tmp_path, monkeypatch, mode, point):
+    from factstore_spark.storage.heads import HeadsIndex
+
+    root = tmp_path / "store"
+    fs, _pre = _seed(root, "flock")
+    for i in range(4):
+        fs.append("s", _fact(f"subj-{i}", i))
+    lay = _layout(fs, "s")
+    if mode == "incremental":
+        # an initial snapshot, then a gap the dying fold must cover
+        assert HeadsIndex(lay).refresh()["built"]
+        for i in range(4):
+            fs.append("s", _fact(f"subj-{i}", 100 + i))
+        fs.append("s", _fact("subj-new", 0))
+    truth = _heads_truth(fs, "s")
+    assert len(truth) >= 4
+
+    _arm_fold(monkeypatch, point)
+    with pytest.raises(Killed):
+        HeadsIndex(lay).refresh()
+    monkeypatch.undo()
+
+    # fresh handle: every lookup exact despite the dead fold
+    fs2 = _fresh(root, "flock")
+    lay2 = _layout(fs2, "s")
+    for subj, head in truth.items():
+        assert lay2.last_fact_of_subject(subj) == head, (point, mode, subj)
+    assert lay2.last_fact_of_subject("never-seen") is None
+
+    # the retried fold completes and lookups stay exact (at the
+    # before_sweep point the pointer already published, so the retry is
+    # correctly a fresh no-op)
+    out = HeadsIndex(lay2).refresh()
+    assert out["built"] or out.get("reason") == "fresh", out
+    snap = HeadsIndex(lay2).snap_meta()
+    assert snap["through_seq"] == lay2.last_commit().seq
+    for subj, head in truth.items():
+        assert lay2.last_fact_of_subject(subj) == head, (point, mode, subj)
+
+    # appends after the recovered fold keep resolving exactly
+    r = fs2.append("s", _fact("subj-0", 999))
+    assert isinstance(r, Appended)
+    assert lay2.last_fact_of_subject("subj-0") == (
+        r.fact_ids[0],
+        lay2.head_position(),
+    )

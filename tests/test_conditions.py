@@ -140,35 +140,28 @@ def test_dcb_commit_skipping_prunes_files(fs):
     assert isinstance(ok, Appended)
 
 
-def test_heads_crash_gap_detected(fs):
-    """Crash simulation (ADVICE r1): a process dies between the
-    commit-log fsync and the heads update. The NEXT append must detect
-    the seq gap and rebuild heads, or an ExpectedLastFact check could
-    pass against a stale head (lost update)."""
+def test_heads_exact_at_any_snapshot_staleness(fs):
+    """Heads are log-derived (storage/heads.py): there is no per-append
+    cache that a crash can leave stale, so the historical crash-gap
+    window (a process dying between the commit-log fsync and a heads
+    write, ADVICE r1) is structurally gone. Assert the replacement
+    contract directly: ExpectedLastFact resolves the post-crash truth
+    with (a) no snapshot at all, (b) an arbitrarily stale snapshot plus
+    a commit tail, and (c) a freshly folded snapshot."""
+    from factstore_spark.storage.heads import HeadsIndex
+
     fs.create(STORE)
     r1 = fs.append(STORE, fi())
     assert isinstance(r1, Appended)
+    r2 = fs.append(STORE, fi())
+    assert isinstance(r2, Appended)
 
     meta = fs.catalog.find_by_name(STORE)
     layout = fs._layout(meta.id)
+    idx = HeadsIndex(layout)
 
-    # Simulate the crash: commit lands, heads update is skipped.
-    original = type(layout)._update_heads
-    type(layout)._update_heads = lambda self, *a, **k: None
-    try:
-        r2 = fs.append(STORE, fi())  # commit N: heads never updated
-        assert isinstance(r2, Appended)
-    finally:
-        type(layout)._update_heads = original
-
-    # Unconditional append N+1 through the normal path. With the gap
-    # guard, heads are rebuilt; without it, heads stamp seq=N+1 while
-    # still carrying commit N-1's subject head.
-    r3 = fs.append(STORE, fi(subject="OTHER"))
-    assert isinstance(r3, Appended)
-
-    # The subject's true last fact is r2's; an expectation pinned to
-    # r1's fact MUST now fail.
+    # (a) no snapshot: pure tail resolution
+    assert idx.snap_meta()["through_seq"] == -1
     stale = fs.append(
         STORE, fi(), condition=ExpectedLastFact("USER:ALICE", r1.fact_ids[0])
     )
@@ -177,6 +170,27 @@ def test_heads_crash_gap_detected(fs):
         STORE, fi(), condition=ExpectedLastFact("USER:ALICE", r2.fact_ids[0])
     )
     assert isinstance(ok, Appended)
+
+    # (b) stale snapshot + newer commits: the tail supersedes the shard
+    idx.refresh()  # folds through ok's commit
+    r4 = fs.append(STORE, fi())  # newer than the snapshot
+    assert isinstance(r4, Appended)
+    stale2 = fs.append(
+        STORE, fi(), condition=ExpectedLastFact("USER:ALICE", ok.fact_ids[0])
+    )
+    assert isinstance(stale2, AppendConditionViolated)
+    ok2 = fs.append(
+        STORE, fi(), condition=ExpectedLastFact("USER:ALICE", r4.fact_ids[0])
+    )
+    assert isinstance(ok2, Appended)
+
+    # (c) fresh snapshot, cold subject: shard lookup
+    idx.refresh()
+    assert layout.last_fact_of_subject("USER:ALICE") == (
+        ok2.fact_ids[0],
+        layout.head_position(),
+    )
+    assert layout.last_fact_of_subject("USER:NOBODY") is None
 
 
 def test_all_condition_composite(fs):

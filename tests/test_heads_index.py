@@ -1,0 +1,246 @@
+"""Log-derived subject-head index (storage/heads.py) — the round-13
+replacement for the O(all-subjects-ever) heads.json cache (VERDICT r12
+task #1). Covers: subj_fps commit skipping (zero file opens for cold
+subjects), snapshot shard lookups, incremental vs full folds, the
+Spark-distributed rebuild matching the pyarrow shard function exactly,
+bulk-commit fingerprints (capped and over-cap), and post-compaction
+lookups against a stale snapshot."""
+
+import json
+import os
+
+import pytest
+
+from factstore_spark.model import FactInput, FactPayload
+from factstore_spark.results import Appended
+from factstore_spark.storage.heads import HeadsIndex, choose_shards
+from factstore_spark.storage.layout import (
+    MAX_SUBJ_FPS,
+    commit_subj_fps,
+    subject_fingerprint,
+)
+from factstore_spark.store import FactStore
+
+STORE = "heads-probe"
+
+
+def fi(subject="S:1", n=0, tags=None):
+    return FactInput(
+        type="Probe",
+        subject=subject,
+        payload=FactPayload(json.dumps({"n": n}).encode(), format="json"),
+        tags=tags or {},
+    )
+
+
+def _layout(fs, store=STORE):
+    return fs._layout(fs.catalog.find_by_name(store).id)
+
+
+def test_commit_records_carry_subject_fps(fs):
+    fs.create(STORE)
+    fs.append(STORE, [fi("A"), fi("B"), fi("A")])
+    lay = _layout(fs)
+    (c,) = [c for c in lay.read_commits() if c.rows > 0]
+    assert c.subj_fps == sorted(
+        {subject_fingerprint("A"), subject_fingerprint("B")}
+    )
+
+
+def test_subj_fps_caps_to_none():
+    rows = [{"subject": f"s{i}"} for i in range(MAX_SUBJ_FPS + 1)]
+    assert commit_subj_fps(rows) is None
+    assert commit_subj_fps(rows[:MAX_SUBJ_FPS]) is not None
+
+
+def test_lookup_prunes_cold_subjects_to_zero_file_opens(fs, monkeypatch):
+    """A subject no commit's subj_fps contains must resolve (to its
+    snapshot entry or None) WITHOUT opening any tail fact file — the
+    100 TB property: lookup cost is independent of tail length for
+    cold subjects."""
+    fs.create(STORE)
+    for i in range(8):
+        fs.append(STORE, fi(f"S:{i}", i))
+    lay = _layout(fs)
+
+    opened = []
+    idx = HeadsIndex(lay)
+    real = HeadsIndex._max_position_row
+
+    def counting(self, files, subject):
+        opened.extend(files)
+        return real(self, files, subject)
+
+    monkeypatch.setattr(HeadsIndex, "_max_position_row", counting)
+    assert idx.lookup("S:never") is None
+    assert opened == [], "cold-subject lookup opened tail files"
+    # hot subject: exactly its own newest commit's file
+    hit = idx.lookup("S:3")
+    assert hit is not None
+    assert len(opened) == 1
+
+
+def test_hot_subject_early_exits_at_newest_commit(fs, monkeypatch):
+    """A subject appended in many commits costs ONE file open — the
+    newest-first early exit."""
+    fs.create(STORE)
+    results = [fs.append(STORE, fi("HOT", i)) for i in range(10)]
+    lay = _layout(fs)
+    calls = []
+    real = HeadsIndex._max_position_row
+
+    def counting(self, files, subject):
+        calls.append(files)
+        return real(self, files, subject)
+
+    monkeypatch.setattr(HeadsIndex, "_max_position_row", counting)
+    hit = HeadsIndex(lay).lookup("HOT")
+    assert hit == (results[-1].fact_ids[0], lay.head_position())
+    assert len(calls) == 1
+
+
+def test_snapshot_fold_and_shard_lookup(fs):
+    fs.create(STORE)
+    heads = {}
+    for i in range(20):
+        r = fs.append(STORE, fi(f"S:{i % 7}", i))
+        heads[f"S:{i % 7}"] = r.fact_ids[0]
+    lay = _layout(fs)
+    idx = HeadsIndex(lay)
+    out = idx.refresh()
+    assert out["built"] and out["mode"] == "rebuild-local"
+    assert idx.snap_meta()["through_seq"] == lay.last_commit().seq
+    for s, fid in heads.items():
+        got = idx.lookup(s)
+        assert got is not None and got[0] == fid
+    # incremental fold after more commits touches only their shards
+    r = fs.append(STORE, fi("S:0", 99))
+    out2 = idx.refresh()
+    assert out2["built"] and out2["mode"] == "incremental"
+    assert out2["touched_shards"] == 1
+    assert idx.lookup("S:0")[0] == r.fact_ids[0]
+    # untouched subjects still resolve through hardlinked shards
+    for s, fid in heads.items():
+        if s != "S:0":
+            assert idx.lookup(s)[0] == fid
+
+
+def test_spark_rebuild_matches_local_shard_function(fs, spark):
+    """The distributed rebuild's conv(substring(md5..)) shard column
+    must land every subject in the shard subject_fingerprint() % S
+    picks, or lookups would miss snapshot entries."""
+    fs.create(STORE)
+    heads = {}
+    for i in range(25):
+        r = fs.append(STORE, fi(f"Subj:{i}", i))
+        heads[f"Subj:{i}"] = r.fact_ids[0]
+    lay = _layout(fs)
+    idx = HeadsIndex(lay)
+    out = idx.refresh(spark)
+    assert out["built"] and out["mode"] == "rebuild-spark"
+    assert out["heads"] == 25
+    for s, fid in heads.items():
+        got = idx.lookup(s)
+        assert got is not None and got[0] == fid, s
+    assert idx.lookup("Subj:absent") is None
+
+
+@pytest.mark.parametrize("backend", ["flock", "optimistic"])
+def test_bulk_commit_subject_fps_and_lookup(spark, store_root, backend):
+    fs = FactStore(spark, store_root, commit_backend=backend)
+    fs.create(STORE)
+    df = spark.createDataFrame(
+        [(f"B:{i % 5}", "Bulk", bytearray(b"{}"), "json", {}) for i in range(50)],
+        "subject string, type string, payload_data binary, payload_format string, tags map<string,string>",
+    ).selectExpr(
+        "type",
+        "subject",
+        "named_struct('data', payload_data, 'format', payload_format) as payload",
+        "tags",
+    )
+    res = fs.append_dataframe(STORE, df)
+    assert isinstance(res, Appended)
+    lay = _layout(fs)
+    bulk = [c for c in lay.read_commits() if c.rows == 50]
+    assert bulk and bulk[0].subj_fps is not None
+    assert len(bulk[0].subj_fps) == 5
+    # lookup resolves through the bulk commit
+    for i in range(5):
+        got = lay.last_fact_of_subject(f"B:{i}")
+        assert got is not None
+    assert lay.last_fact_of_subject("B:99") is None
+    # a row-wise append after the bulk supersedes the bulk head
+    r = fs.append(STORE, [fi("B:0", 7)])
+    assert lay.last_fact_of_subject("B:0") == (
+        r.fact_ids[0],
+        lay.head_position(),
+    )
+
+
+def test_bulk_over_cap_records_none_and_still_resolves(spark, store_root):
+    fs = FactStore(spark, store_root)
+    fs.create(STORE)
+    n = MAX_SUBJ_FPS + 20
+    df = spark.createDataFrame(
+        [(f"C:{i}", "Bulk", bytearray(b"{}"), "json", {}) for i in range(n)],
+        "subject string, type string, payload_data binary, payload_format string, tags map<string,string>",
+    ).selectExpr(
+        "type",
+        "subject",
+        "named_struct('data', payload_data, 'format', payload_format) as payload",
+        "tags",
+    )
+    assert isinstance(fs.append_dataframe(STORE, df), Appended)
+    lay = _layout(fs)
+    bulk = [c for c in lay.read_commits() if c.rows == n]
+    assert bulk and bulk[0].subj_fps is None  # over cap: must-scan
+    assert lay.last_fact_of_subject("C:5") is not None
+    assert lay.last_fact_of_subject("C:absent") is None
+
+
+def test_lookup_after_compaction_with_stale_snapshot(fs):
+    """Compaction purges per-commit files; a snapshot older than the
+    compaction horizon must fall through to the compacted layout's
+    subject-pushdown scan — exact, with no per-commit files left."""
+    fs.create(STORE)
+    heads = {}
+    for i in range(12):
+        r = fs.append(STORE, fi(f"S:{i % 4}", i, tags={"d": "x"}))
+        heads[f"S:{i % 4}"] = r.fact_ids[0]
+    lay = _layout(fs)
+    out = fs.compact(STORE)
+    assert out.get("compacted"), out
+    idx = HeadsIndex(lay)
+    assert idx.snap_meta()["through_seq"] == -1  # never folded
+    for s, fid in heads.items():
+        got = idx.lookup(s)
+        assert got is not None and got[0] == fid, s
+    assert idx.lookup("S:none") is None
+    # post-compaction appends are found first (tail over compacted)
+    r = fs.append(STORE, fi("S:1", 99))
+    assert idx.lookup("S:1")[0] == r.fact_ids[0]
+    # a refresh now takes the rebuild path (gap superseded by compaction)
+    out2 = idx.refresh()
+    assert out2["built"] and out2["mode"].startswith("rebuild")
+    for s, fid in heads.items():
+        if s != "S:1":
+            assert idx.lookup(s)[0] == fid
+
+
+def test_maintain_folds_heads_snapshot(fs):
+    fs.create(STORE)
+    for i in range(6):
+        fs.append(STORE, fi(f"M:{i}", i, tags={"t": "v"}))
+    steps = fs.maintain(STORE)
+    assert steps["heads_snapshot"]["built"], steps["heads_snapshot"]
+    lay = _layout(fs)
+    info = fs.describe_store(STORE)
+    assert info["heads_snapshot_through"] == lay.last_commit().seq
+
+
+def test_choose_shards_scales():
+    assert choose_shards(0) == 16
+    assert choose_shards(10_000) == 16
+    s = choose_shards(50_000_000)
+    assert s > 16 and s <= 4096
+    assert choose_shards(10**10) == 4096
