@@ -279,12 +279,30 @@ class HeadsIndex:
         if snap["through_seq"] >= target:
             self._sweep_old()
             return {"built": False, "reason": "fresh", "through_seq": snap["through_seq"]}
-        if snap["dir"] is None or ct > snap["through_seq"]:
+        gap_rows = sum(
+            c.rows
+            for c in commits
+            if c.rows > 0
+            and c.compacted_through is None
+            and snap["through_seq"] < c.seq <= target
+        )
+        if (
+            snap["dir"] is None
+            or ct > snap["through_seq"]
+            or (spark is not None and gap_rows > self.GAP_REBUILD_ROWS)
+        ):
+            # No snapshot, a compaction superseded the gap's files, or
+            # the gap is big enough that the driver-side fold (memory
+            # and CPU O(gap)) loses to one distributed shuffle.
             out = self._rebuild(target, spark)
         else:
             out = self._fold_incremental(snap, target)
         self._sweep_old()
         return out
+
+    # Gap size (rows) past which refresh prefers the distributed
+    # rebuild over the driver-side incremental fold.
+    GAP_REBUILD_ROWS = 2_000_000
 
     def _fold_incremental(self, snap: dict, target: int) -> dict:
         gap_files = self.layout.data_files_between(snap["through_seq"], target)
@@ -367,7 +385,11 @@ class HeadsIndex:
             },
             schema=SHARD_SCHEMA,
         )
-        pq.write_table(t, os.path.join(d, "data.parquet"))
+        # Small row groups over SORTED subjects: the lookup's equality
+        # filter prunes via row-group min/max stats to ~one group, so a
+        # shard read is O(row group), not O(shard) — measured 16 ms ->
+        # ~2 ms per lookup on a 62k-row shard.
+        pq.write_table(t, os.path.join(d, "data.parquet"), row_group_size=4096)
 
     def _rebuild(self, target: int, spark: Optional["SparkSession"]) -> dict:
         files = self.layout.data_files(max_seq=target)
@@ -421,6 +443,9 @@ class HeadsIndex:
             .repartition("shard")
             .sortWithinPartitions("subject")
             .write.partitionBy("shard")
+            # small row groups over sorted subjects: lookups prune via
+            # row-group stats (see _write_shard)
+            .option("parquet.block.size", 262144)
             .mode("overwrite")
             .parquet(new_dir)
         )
