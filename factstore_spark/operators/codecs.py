@@ -1596,6 +1596,9 @@ def _build_codecs():
         samples_per_fragment: int = 4,
         trun_per_sample_sizes: bool = True,
         trun_sample_durations: bool = False,
+        use_co64: bool = False,
+        duration_source: str = "mvhd",
+        second_track: bool = False,
     ) -> bytes:
         """Structurally valid ISO BMFF file: ftyp + moov (mvhd, one
         video trak with full stbl sample tables) + mdat holding
@@ -1613,9 +1616,29 @@ def _build_codecs():
         carries EMPTY sample tables plus mvex/trex, and the samples
         arrive in moof+mdat fragment pairs (mfhd sequence numbers,
         tfhd with default-base-is-moof, trun with data-offset +
-        per-sample sizes) — the other half of real-world MP4s."""
+        per-sample sizes) — the other half of real-world MP4s.
+
+        Round-13 shapes (VERDICT r12 task #2): ``use_co64=True``
+        writes 64-bit co64 chunk offsets instead of stco (the >4 GiB
+        capture shape); ``duration_source`` picks where the probe must
+        find the duration — "mvhd" (authored, the default), "mehd"
+        (mvhd says 0, mvex/mehd carries fragment_duration), or
+        "fragments" (mvhd 0, no mehd: only the trun/tfhd sample
+        durations know — the pure-fMP4 live-stream shape);
+        ``second_track=True`` (fragmented only) interleaves a second
+        'soun' track whose traf comes FIRST in each moof while the
+        video traf's tfhd has NEITHER base-data-offset NOR
+        default-base-is-moof, forcing the spec's previous-traf-data-end
+        base fallback (ISO 14496-12 8.8.7.1)."""
         n = len(samples)
-        duration = n * frame_delta
+        if duration_source not in ("mvhd", "mehd", "fragments"):
+            raise ValueError(f"unknown duration_source {duration_source!r}")
+        if duration_source != "mvhd" and not fragmented:
+            raise ValueError("mehd/fragments duration needs fragmented=True")
+        if second_track and not fragmented:
+            raise ValueError("second_track needs fragmented=True")
+        real_duration = n * frame_delta
+        duration = real_duration if duration_source == "mvhd" else 0
         ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
         free = b""
         if pad_free:
@@ -1693,8 +1716,54 @@ def _build_codecs():
                     b"trex", 0, 0,
                     struct.pack(">IIIII", 1, 1, frame_delta, 0, 0),
                 )
-                mvex = _box(b"mvex", trex)
-                return _box(b"moov", mvhd + trak + mvex)
+                mvex_body = b""
+                if duration_source == "mehd":
+                    mvex_body += _fullbox(
+                        b"mehd", 0, 0, struct.pack(">I", real_duration)
+                    )
+                mvex_body += trex
+                snd_trak = b""
+                if second_track:
+                    # minimal second track (track_ID 2, handler 'soun')
+                    # with its own empty tables + trex defaults: its
+                    # trafs lead each moof so the video traf exercises
+                    # the previous-traf-end base fallback
+                    tkhd2 = _fullbox(
+                        b"tkhd", 0, 7,
+                        struct.pack(">IIIII", 0, 0, 2, 0, duration)
+                        + b"\x00" * 8
+                        + struct.pack(">hhhh", 0, 0, 0, 0)
+                        + unity
+                        + struct.pack(">II", 0, 0),
+                    )
+                    hdlr2 = _fullbox(
+                        b"hdlr", 0, 0,
+                        struct.pack(">I", 0) + b"soun" + b"\x00" * 12
+                        + b"factstore audio stub\x00",
+                    )
+                    smhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+                    entry2 = _box(
+                        b"mp4a",
+                        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20,
+                    )
+                    stsd2 = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry2)
+                    stbl2 = _box(
+                        b"stbl",
+                        stsd2
+                        + _fullbox(b"stts", 0, 0, struct.pack(">I", 0))
+                        + _fullbox(b"stsc", 0, 0, struct.pack(">I", 0))
+                        + _fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                        + _fullbox(b"stco", 0, 0, struct.pack(">I", 0)),
+                    )
+                    minf2 = _box(b"minf", smhd + dinf + stbl2)
+                    mdia2 = _box(b"mdia", mdhd + hdlr2 + minf2)
+                    snd_trak = _box(b"trak", tkhd2 + mdia2)
+                    mvex_body += _fullbox(
+                        b"trex", 0, 0,
+                        struct.pack(">IIIII", 2, 1, frame_delta, 16, 0),
+                    )
+                mvex = _box(b"mvex", mvex_body)
+                return _box(b"moov", mvhd + trak + snd_trak + mvex)
             stts = _fullbox(
                 b"stts", 0, 0, struct.pack(">III", 1, n, frame_delta)
             )
@@ -1722,11 +1791,18 @@ def _build_codecs():
                 for _ in range(spc):
                     pos += len(samples[si])
                     si += 1
-            stco = _fullbox(
-                b"stco", 0, 0,
-                struct.pack(">I", len(offs))
-                + b"".join(struct.pack(">I", o) for o in offs),
-            )
+            if use_co64:
+                stco = _fullbox(
+                    b"co64", 0, 0,
+                    struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">Q", o) for o in offs),
+                )
+            else:
+                stco = _fullbox(
+                    b"stco", 0, 0,
+                    struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">I", o) for o in offs),
+                )
             stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
             vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
             dref = _fullbox(
@@ -1754,12 +1830,19 @@ def _build_codecs():
             for i in range(0, n, spf):
                 frag = samples[i : i + spf]
                 mfhd = _fullbox(b"mfhd", 0, 0, struct.pack(">I", seq))
+                # deterministic audio stub samples for the second
+                # track: one 16-byte sample per fragment, bytes
+                # (seq*13 + j) % 251 — lands in mdat BEFORE the video
+                # bytes, so the video traf's fallback base must skip it
+                audio = bytes((seq * 13 + j) % 251 for j in range(16)) if second_track else b""
                 seq += 1
                 if trun_per_sample_sizes:
                     # tfhd: default-base-is-moof (0x020000) + default
-                    # sample duration (0x08)
+                    # sample duration (0x08). With second_track the
+                    # video traf drops BOTH base flags — its base must
+                    # come from the previous traf's data end (8.8.7.1)
                     tfhd = _fullbox(
-                        b"tfhd", 0, 0x020008,
+                        b"tfhd", 0, 0x000008 if second_track else 0x020008,
                         struct.pack(">II", 1, frame_delta),
                     )
                     # trun: data-offset (0x01) + size-present (0x200),
@@ -1778,6 +1861,10 @@ def _build_codecs():
                             trun_payload += struct.pack(">I", 0)  # cts
                     trun = _fullbox(b"trun", 0, tr_flags, trun_payload)
                 else:
+                    if second_track:
+                        raise ValueError(
+                            "second_track needs trun_per_sample_sizes=True"
+                        )
                     # sizes from the tfhd default (0x10): the other
                     # real-world trun shape (fixed-size audio/video)
                     tfhd = _fullbox(
@@ -1788,15 +1875,41 @@ def _build_codecs():
                     trun_payload += struct.pack(">i", 0)  # patched below
                     trun = _fullbox(b"trun", 0, 0x000001, trun_payload)
                 traf = _box(b"traf", tfhd + trun)
-                moof = bytearray(_box(b"moof", mfhd + traf))
-                # data_offset is relative to the moof start
-                # (default-base-is-moof): moof size + mdat header
-                doff = len(moof) + 8
-                # the i32 sits right after trun's (vf 4 + count 4)
-                j = bytes(moof).index(b"trun") + 4 + 4 + 4
-                moof[j : j + 4] = struct.pack(">i", doff)
-                out += moof
-                out += _box(b"mdat", b"".join(frag))
+                if second_track:
+                    # audio traf FIRST: default-base-is-moof + default
+                    # size/duration, one 16-byte sample per fragment.
+                    # Video data follows it in mdat, so the video
+                    # traf's fallback base (= this traf's data end)
+                    # resolves correctly only if the probe walks
+                    # foreign trafs too.
+                    tfhd2 = _fullbox(
+                        b"tfhd", 0, 0x020018,
+                        struct.pack(">III", 2, frame_delta, len(audio)),
+                    )
+                    trun2 = _fullbox(
+                        b"trun", 0, 0x000001, struct.pack(">Ii", 1, 0)
+                    )
+                    traf2 = _box(b"traf", tfhd2 + trun2)
+                    moof = bytearray(_box(b"moof", mfhd + traf2 + traf))
+                    # audio data-offset: mdat payload start (relative
+                    # to moof start); the FIRST 'trun' is the audio one
+                    doff = len(moof) + 8
+                    j = bytes(moof).index(b"trun") + 4 + 4 + 4
+                    moof[j : j + 4] = struct.pack(">i", doff)
+                    # the video trun's data-offset stays 0: its base is
+                    # the audio traf's data end, where video bytes begin
+                    out += moof
+                    out += _box(b"mdat", audio + b"".join(frag))
+                else:
+                    moof = bytearray(_box(b"moof", mfhd + traf))
+                    # data_offset is relative to the moof start
+                    # (default-base-is-moof): moof size + mdat header
+                    doff = len(moof) + 8
+                    # the i32 sits right after trun's (vf 4 + count 4)
+                    j = bytes(moof).index(b"trun") + 4 + 4 + 4
+                    moof[j : j + 4] = struct.pack(">i", doff)
+                    out += moof
+                    out += _box(b"mdat", b"".join(frag))
             return bytes(out)
         # stco holds ABSOLUTE offsets; the moov size is independent
         # of the offset VALUES, so one sizing pass then one real pass
@@ -1910,11 +2023,20 @@ def _build_codecs():
             for t, a, b in _walk_boxes(data, stsd[0] + 8, stsd[1]):
                 codec = t.decode("ascii", "replace")
                 break
+        # media timescale (mdhd): fragment sample DURATIONS are in
+        # this timescale, not the movie one (ISO 14496-12 8.8.8.1)
+        mdhd = _find_box(data, mdia[0], mdia[1], b"mdhd")
+        media_timescale = timescale
+        if mdhd is not None:
+            md_ver = data[mdhd[0]]
+            md_off = mdhd[0] + (20 if md_ver == 1 else 12)
+            (media_timescale,) = struct.unpack(">I", data[md_off : md_off + 4])
         stsz = _find_box(data, stbl[0], stbl[1], b"stsz")
         stco = _find_box(data, stbl[0], stbl[1], b"stco")
+        co64 = _find_box(data, stbl[0], stbl[1], b"co64")
         stsc = _find_box(data, stbl[0], stbl[1], b"stsc")
-        if stsz is None or stco is None or stsc is None:
-            raise ValueError("MP4 missing sample tables (stsz/stco/stsc)")
+        if stsz is None or stsc is None:
+            raise ValueError("MP4 missing sample tables (stsz/stsc)")
         fixed, count = struct.unpack(">II", data[stsz[0] + 4 : stsz[0] + 12])
         if fixed:
             sizes = [fixed] * count
@@ -1925,13 +2047,25 @@ def _build_codecs():
             sizes = list(
                 struct.unpack(f">{count}I", data[stsz[0] + 12 : need])
             )
-        (n_chunks,) = struct.unpack(">I", data[stco[0] + 4 : stco[0] + 8])
-        offs = list(
-            struct.unpack(
-                f">{n_chunks}I",
-                data[stco[0] + 8 : stco[0] + 8 + 4 * n_chunks],
-            )
-        )
+        # chunk offsets: stco (32-bit) or co64 (64-bit — what muxers
+        # emit past 4 GiB, the media-lake case). A fragment-only file
+        # may omit both so long as the moov declares zero samples.
+        if stco is not None:
+            (n_chunks,) = struct.unpack(">I", data[stco[0] + 4 : stco[0] + 8])
+            need = stco[0] + 8 + 4 * n_chunks
+            if need > stco[1]:
+                raise ValueError("truncated stco table")
+            offs = list(struct.unpack(f">{n_chunks}I", data[stco[0] + 8 : need]))
+        elif co64 is not None:
+            (n_chunks,) = struct.unpack(">I", data[co64[0] + 4 : co64[0] + 8])
+            need = co64[0] + 8 + 8 * n_chunks
+            if need > co64[1]:
+                raise ValueError("truncated co64 table")
+            offs = list(struct.unpack(f">{n_chunks}Q", data[co64[0] + 8 : need]))
+        elif count == 0:
+            offs = []
+        else:
+            raise ValueError("MP4 missing chunk offsets (stco/co64)")
         (n_runs,) = struct.unpack(">I", data[stsc[0] + 4 : stsc[0] + 8])
         runs = [
             struct.unpack(
@@ -1961,11 +2095,39 @@ def _build_codecs():
             raise ValueError(
                 f"MP4 sample tables inconsistent: demuxed {si} of {len(sizes)}"
             )
+        # Movie-extends defaults (ISO 14496-12 8.8.2-8.8.3): per-track
+        # trex fallbacks for fragment sample duration/size, plus mehd's
+        # whole-presentation fragment_duration — the duration source
+        # for fragment-only files whose mvhd says 0.
+        trex_defaults: dict[int, tuple[int, int]] = {}
+        mehd_duration = None
+        mvex = _find_box(data, moov[0], moov[1], b"mvex")
+        if mvex is not None:
+            for t2, a2, b2 in _walk_boxes(data, mvex[0], mvex[1]):
+                if t2 == b"mehd":
+                    if data[a2] == 1:
+                        (mehd_duration,) = struct.unpack(
+                            ">Q", data[a2 + 4 : a2 + 12]
+                        )
+                    else:
+                        (mehd_duration,) = struct.unpack(
+                            ">I", data[a2 + 4 : a2 + 8]
+                        )
+                elif t2 == b"trex":
+                    tx_tid, _sdi, tx_dur, tx_sz, _fl = struct.unpack(
+                        ">IIIII", data[a2 + 4 : a2 + 24]
+                    )
+                    trex_defaults[tx_tid] = (tx_dur, tx_sz)
+
         # Fragmented half (fMP4 / DASH / HLS): top-level moof boxes
-        # carry samples the moov tables do not — tfhd defaults +
-        # trun per-sample walk honoring the optional-field flag bits
-        # (ISO/IEC 14496-12 8.8.7-8.8.8), base offset = moof start
-        # under default-base-is-moof (the common shape).
+        # carry samples the moov tables do not — tfhd defaults + trun
+        # per-sample walk honoring the optional-field flag bits
+        # (ISO/IEC 14496-12 8.8.7-8.8.8). Base-offset resolution per
+        # 8.8.7.1: explicit base-data-offset, else default-base-is-moof
+        # (0x020000), else moof start for the FIRST traf and the
+        # previous traf's data end for later ones — so every traf is
+        # walked (not just the selected track's) to track that end.
+        frag_duration = 0  # selected track, media timescale
         for t, a, b in _walk_boxes(data, 0, len(data)):
             if t != b"moof":
                 continue
@@ -1977,74 +2139,120 @@ def _build_codecs():
             ]
             if not trafs:
                 raise ValueError("MP4 moof missing traf")
-            # only the SELECTED track's trafs feed this demux
-            traf = None
-            for cand in trafs:
-                tf = _find_box(data, cand[0], cand[1], b"tfhd")
-                if tf is None:
+            prev_end: Optional[int] = None  # prior traf's data end
+            first_traf = True
+            for traf in trafs:
+                tfhd = _find_box(data, traf[0], traf[1], b"tfhd")
+                if tfhd is None:
                     raise ValueError("MP4 traf missing tfhd")
-                (tf_tid,) = struct.unpack(">I", data[tf[0] + 4 : tf[0] + 8])
-                if tf_tid == track_id:
-                    traf = cand
-                    tfhd = tf
-                    break
-            if traf is None:
-                continue  # this moof carries only other tracks
-            tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
-            p = tfhd[0] + 8  # version/flags + track_ID
-            base_off = moof_start  # default-base-is-moof / spec fallback
-            if tf_flags & 0x01:  # explicit base-data-offset
-                (base_off,) = struct.unpack(">Q", data[p : p + 8])
-                p += 8
-            if tf_flags & 0x02:  # sample-description-index
-                p += 4
-            if tf_flags & 0x08:  # default-sample-duration
-                p += 4
-            default_size = None
-            if tf_flags & 0x10:  # default-sample-size
-                (default_size,) = struct.unpack(">I", data[p : p + 4])
-                p += 4
-            for tt, ta, tb in _walk_boxes(data, traf[0], traf[1]):
-                if tt != b"trun":
-                    continue
-                tr_flags = int.from_bytes(data[ta + 1 : ta + 4], "big")
-                (cnt,) = struct.unpack(">I", data[ta + 4 : ta + 8])
-                q = ta + 8
-                doff = 0
-                if tr_flags & 0x01:  # data-offset
-                    (doff,) = struct.unpack(">i", data[q : q + 4])
-                    q += 4
-                if tr_flags & 0x04:  # first-sample-flags
-                    q += 4
-                pos = base_off + doff
-                for _ in range(cnt):
-                    if tr_flags & 0x100:  # sample-duration
-                        q += 4
-                    if tr_flags & 0x200:  # sample-size
-                        (sz,) = struct.unpack(">I", data[q : q + 4])
-                        q += 4
-                    elif default_size is not None:
-                        sz = default_size
+                (tf_tid,) = struct.unpack(">I", data[tfhd[0] + 4 : tfhd[0] + 8])
+                selected = tf_tid == track_id
+                tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
+                p = tfhd[0] + 8  # version/flags + track_ID
+                tx_dur, tx_sz = trex_defaults.get(tf_tid, (None, None))
+                base_off: Optional[int] = None
+                if tf_flags & 0x01:  # explicit base-data-offset
+                    (base_off,) = struct.unpack(">Q", data[p : p + 8])
+                    p += 8
+                if tf_flags & 0x02:  # sample-description-index
+                    p += 4
+                default_dur = tx_dur
+                if tf_flags & 0x08:  # default-sample-duration
+                    (default_dur,) = struct.unpack(">I", data[p : p + 4])
+                    p += 4
+                default_size = tx_sz if tx_sz else None
+                if tf_flags & 0x10:  # default-sample-size
+                    (default_size,) = struct.unpack(">I", data[p : p + 4])
+                    p += 4
+                if base_off is None:
+                    if tf_flags & 0x020000:  # default-base-is-moof
+                        base_off = moof_start
+                    elif first_traf:
+                        base_off = moof_start  # 8.8.7.1 first-traf default
+                    elif prev_end is not None:
+                        base_off = prev_end  # previous-fragment-end fallback
                     else:
                         raise ValueError(
-                            "MP4 trun sample size unresolvable (no "
-                            "per-sample size, no tfhd default)"
+                            "MP4 tfhd base offset unresolvable (no base-"
+                            "data-offset, no default-base-is-moof, and the "
+                            "preceding traf's data end is unknown)"
                         )
-                    if tr_flags & 0x400:  # sample-flags
+                first_traf = False
+                pos = None  # trun continuity: next run follows the last
+                traf_end: Optional[int] = None
+                for tt, ta, tb in _walk_boxes(data, traf[0], traf[1]):
+                    if tt != b"trun":
+                        continue
+                    tr_flags = int.from_bytes(data[ta + 1 : ta + 4], "big")
+                    (cnt,) = struct.unpack(">I", data[ta + 4 : ta + 8])
+                    q = ta + 8
+                    if tr_flags & 0x01:  # data-offset
+                        (doff,) = struct.unpack(">i", data[q : q + 4])
                         q += 4
-                    if tr_flags & 0x800:  # composition-time offset
+                        pos = base_off + doff
+                    elif pos is None:
+                        # 8.8.8.1: absent offset = straight after the
+                        # previous run; the first run starts at base
+                        pos = base_off
+                    if tr_flags & 0x04:  # first-sample-flags
                         q += 4
-                    if pos + sz > len(data):
-                        raise ValueError("MP4 fragment sample past EOF")
-                    out += data[pos : pos + sz]
-                    pos += sz
-                    sizes.append(sz)
-                    count += 1
+                    for _ in range(cnt):
+                        dur = default_dur
+                        if tr_flags & 0x100:  # sample-duration
+                            (dur,) = struct.unpack(">I", data[q : q + 4])
+                            q += 4
+                        if tr_flags & 0x200:  # sample-size
+                            (sz,) = struct.unpack(">I", data[q : q + 4])
+                            q += 4
+                        elif default_size is not None:
+                            sz = default_size
+                        elif selected:
+                            raise ValueError(
+                                "MP4 trun sample size unresolvable (no "
+                                "per-sample size, no tfhd/trex default)"
+                            )
+                        else:
+                            # a foreign track with unknowable sizes: we
+                            # cannot place its data end; only fatal if a
+                            # LATER traf needs the fallback (checked at
+                            # base_off resolution above)
+                            pos = None
+                            break
+                        if tr_flags & 0x400:  # sample-flags
+                            q += 4
+                        if tr_flags & 0x800:  # composition-time offset
+                            q += 4
+                        if pos + sz > len(data):
+                            raise ValueError("MP4 fragment sample past EOF")
+                        if selected:
+                            out += data[pos : pos + sz]
+                            sizes.append(sz)
+                            count += 1
+                            frag_duration += dur or 0
+                        pos += sz
+                        if traf_end is None or pos > traf_end:
+                            traf_end = pos
+                    if pos is None:
+                        traf_end = None
+                        break
+                prev_end = traf_end
+        # Duration resolution: mvhd (movie timescale) when authored;
+        # else mvex/mehd (movie timescale); else the fragment sample
+        # durations (MEDIA timescale) — so a pure-fMP4 stream reports
+        # its real length instead of 0.
+        if duration and timescale:
+            duration_ms = (duration * 1000) // timescale
+        elif mehd_duration and timescale:
+            duration_ms = (mehd_duration * 1000) // timescale
+        elif frag_duration and media_timescale:
+            duration_ms = (frag_duration * 1000) // media_timescale
+        else:
+            duration_ms = 0
         return {
             "width": width,
             "height": height,
             "n_frames": count,
-            "duration_ms": (duration * 1000) // timescale if timescale else 0,
+            "duration_ms": duration_ms,
             "timescale": timescale,
             "codec": codec,
             "handler": handler,

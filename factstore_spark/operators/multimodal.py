@@ -777,6 +777,136 @@ def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_mp4_edge_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> REAL ISO BMFF containers exercising the round-13 demux
+    edges (VERDICT r12 task #2): co64 64-bit chunk offsets (the >4 GiB
+    capture shape), pure-fMP4 duration (mvhd says 0 — mehd, else the
+    trun/tfhd sample durations), and the previous-traf-end base-offset
+    fallback (a second 'soun' track leads each moof while the video
+    tfhd carries neither base flag, ISO 14496-12 8.8.7.1).
+
+    Same sample rule as synth_mp4_corpus (so MEDIA_REAL_MP4_EDGE_SQL
+    reuses its closed-form checksum); layout by d % 3:
+      0 -> plain + co64, n_chunks = 1 + d % 3
+      1 -> fragmented, duration_source='mehd' (+ per-sample trun
+           durations when d % 2, exercising both duration row shapes)
+      2 -> fragmented, second_track=True, duration_source='fragments'
+    Every layout's true duration is nf * 40 ms (frame_delta 40 @
+    timescale 1000), so the oracle checks the duration PATHS, not just
+    the arithmetic."""
+    from .codecs import _build_codecs
+
+    mp4_enc = _build_codecs()["mp4_encode_stub"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("data", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                w, h = 16 * (2 + d % 5), 16 * (2 + d % 4)
+                nf = 8 + d % 25
+                samples = []
+                for i in range(nf):
+                    size = 50 + (d + i) % 40
+                    a = (d * 31 + i * 7) % 251
+                    samples.append(bytes((a + j) % 251 for j in range(size)))
+                ids.append(d)
+                mode = d % 3
+                if mode == 0:
+                    blobs.append(
+                        mp4_enc(samples, w, h, n_chunks=1 + d % 3, use_co64=True)
+                    )
+                elif mode == 1:
+                    blobs.append(
+                        mp4_enc(
+                            samples, w, h, fragmented=True,
+                            samples_per_fragment=2 + d % 4,
+                            duration_source="mehd",
+                            trun_sample_durations=bool(d % 2),
+                        )
+                    )
+                else:
+                    blobs.append(
+                        mp4_enc(
+                            samples, w, h, fragmented=True,
+                            samples_per_fragment=2 + d % 4,
+                            duration_source="fragments",
+                            second_track=True,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "format": ["mp4"] * len(ids),
+                    "data": blobs,
+                }
+            )
+
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
+    )
+
+
+MP4_CONTAINER_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("checksum", LongType(), False),
+    ]
+)
+
+
+def mp4_container_meta(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Full container probe per media row: dims, frame count, DURATION
+    (the mvhd -> mehd -> fragment-sample-durations resolution chain),
+    and the demuxed-byte checksum. Arrow-batched mapInPandas; the
+    driver never touches payload bytes."""
+    from .codecs import _build_codecs
+
+    probe = _build_codecs()["mp4_probe"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, nfs, durs, cks = [], [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                m = probe(bytes(data))
+                ids.append(int(mid))
+                ws.append(m["width"])
+                hs.append(m["height"])
+                nfs.append(m["n_frames"])
+                durs.append(m["duration_ms"])
+                cks.append(
+                    int(np.frombuffer(m["samples"], dtype=np.uint8).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, MP4_CONTAINER_META_SCHEMA)
+
+
 def mp4_sample_stats(
     df: DataFrame, id_col: str = "media_id", data_col: str = "data"
 ) -> DataFrame:

@@ -806,3 +806,104 @@ def test_mp4_trun_wide_rows_round_trip():
     d = mp4_probe(data)
     assert d["n_frames"] == 10
     assert d["samples"] == b"".join(samples)
+
+
+# --- round-13 demux edges (VERDICT r12 task #2) ---------------------------
+
+
+def test_mp4_co64_chunk_offsets():
+    """64-bit co64 chunk offsets (the >4 GiB capture shape) must demux
+    identically to stco — the r12 probe rejected these as 'missing
+    sample tables'."""
+    samples = _mp4_samples(9, seed=7)
+    data = mp4_encode_stub(samples, 64, 48, use_co64=True, n_chunks=3)
+    assert b"co64" in data and b"stco" not in data
+    d = mp4_probe(data)
+    assert d["samples"] == b"".join(samples)
+    assert d["n_frames"] == 9
+    assert d["duration_ms"] == 9 * 40
+    # truncated co64 table raises, not garbage offsets
+    i = data.index(b"co64") - 4
+    import struct as _s
+
+    (sz,) = _s.unpack(">I", data[i : i + 4])
+    # shrink the declared entry count's data by cutting the box short
+    broken = bytearray(data)
+    broken[i + 4 + 4 + 4 : i + 4 + 4 + 4] = b""  # no-op; instead lie on count
+    broken[i + 12 : i + 16] = _s.pack(">I", 1000)  # count >> box size
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(broken))
+
+
+@pytest.mark.parametrize("source", ["mehd", "fragments"])
+@pytest.mark.parametrize("per_sample_durs", [False, True])
+def test_mp4_pure_fmp4_duration(source, per_sample_durs):
+    """A pure-fMP4 stream (mvhd duration 0) must report its real
+    duration — from mvex/mehd when authored, else by summing the
+    trun/tfhd sample durations (media timescale). The r12 probe
+    reported 0."""
+    samples = _mp4_samples(12, seed=3)
+    data = mp4_encode_stub(
+        samples, 48, 32, fragmented=True, samples_per_fragment=5,
+        duration_source=source, trun_sample_durations=per_sample_durs,
+    )
+    d = mp4_probe(data)
+    assert d["duration_ms"] == 12 * 40, (source, per_sample_durs, d["duration_ms"])
+    assert d["samples"] == b"".join(samples)
+
+
+def test_mp4_tfhd_prev_traf_end_base_fallback():
+    """tfhd with NEITHER base-data-offset nor default-base-is-moof:
+    the base is the previous traf's data end (ISO 14496-12 8.8.7.1) —
+    a leading audio traf in each moof means moof-start would demux
+    audio bytes as video. The r12 probe silently used moof-start."""
+    samples = _mp4_samples(10, seed=5)
+    data = mp4_encode_stub(
+        samples, 80, 48, fragmented=True, samples_per_fragment=4,
+        second_track=True,
+    )
+    d = mp4_probe(data)
+    assert d["handler"] == "vide"
+    assert d["n_frames"] == 10
+    assert d["samples"] == b"".join(samples), "fallback base mis-resolved"
+    # and the whole edge matrix composes
+    combo = mp4_encode_stub(
+        samples, 80, 48, fragmented=True, second_track=True,
+        duration_source="fragments", samples_per_fragment=3,
+    )
+    dc = mp4_probe(combo)
+    assert dc["samples"] == b"".join(samples)
+    assert dc["duration_ms"] == 10 * 40
+
+
+def test_mp4_edge_shapes_stay_fuzz_safe():
+    """Malformed variants of the new shapes raise ValueError, never
+    return garbage."""
+    samples = _mp4_samples(8, seed=9)
+    for kw in (
+        {"use_co64": True, "n_chunks": 2},
+        {"fragmented": True, "duration_source": "mehd"},
+        {"fragmented": True, "second_track": True},
+    ):
+        data = mp4_encode_stub(samples, 32, 32, **kw)
+        with pytest.raises(ValueError):
+            mp4_probe(data[: len(data) - 7])  # truncated tail
+        head = bytearray(data)
+        head[3] = 0xFF  # corrupt ftyp size
+        with pytest.raises(ValueError):
+            mp4_probe(bytes(head))
+
+
+def test_mp4_encode_stub_edge_param_validation():
+    samples = _mp4_samples(4, seed=1)
+    with pytest.raises(ValueError):
+        mp4_encode_stub(samples, 16, 16, duration_source="nope")
+    with pytest.raises(ValueError):
+        mp4_encode_stub(samples, 16, 16, duration_source="mehd")  # not fragmented
+    with pytest.raises(ValueError):
+        mp4_encode_stub(samples, 16, 16, second_track=True)  # not fragmented
+    with pytest.raises(ValueError):
+        mp4_encode_stub(
+            [b"a" * 8] * 4, 16, 16, fragmented=True, second_track=True,
+            trun_per_sample_sizes=False,
+        )
