@@ -190,6 +190,9 @@ class FactStore:
         self.commit_backend = commit_backend
         self.catalog = Catalog(root)
         self._layouts: dict[str, StoreLayout] = {}
+        # Optimistic-claim conflicts retried by this handle (soak
+        # observability: retries/commit = this / commits appended).
+        self.append_conflict_retries = 0
 
     # ------------------------------------------------------------------
     # Store management (StoreFactory / StoreFinder / StoreRemover)
@@ -293,8 +296,19 @@ class FactStore:
             # evaluate conditions against a snapshot, attempt to claim
             # the next seq; a conflict means another commit serialized
             # ahead of us — re-read, RE-EVALUATE the condition against
-            # the new state, retry (FdbFactAppender.kt:33-65).
-            for _ in range(256):
+            # the new state, retry (FdbFactAppender.kt:33-65). Under
+            # SUSTAINED contention (the r12 soak: 8 writers hammering
+            # one store) a bare loop keeps every loser re-colliding
+            # with the same rivals each round — measured 5.7-6.0
+            # conflicts/commit at 8 writers. Jittered exponential
+            # backoff desynchronizes the losers (1.1-2.8 measured,
+            # sub-linear in writers) while adding nothing to the
+            # uncontended path (first retry is sub-millisecond).
+            # Numbers: docs/SCALE.md round-13 soak.
+            import random as _random
+            import time as _time
+
+            for attempt in range(256):
                 commits = layout.read_commits()
                 if layout.idempotency_key_seen(key, commits):
                     return AlreadyApplied(key)
@@ -309,6 +323,10 @@ class FactStore:
                 if res is not None:
                     _, positions = res
                     return Appended(tuple(fact_ids), appended_at, tuple(positions))
+                self.append_conflict_retries += 1
+                _time.sleep(
+                    _random.uniform(0.0, min(0.05, 0.0005 * (1 << min(attempt, 7))))
+                )
             raise RuntimeError("append contention: 256 optimistic retries exhausted")
 
         # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
