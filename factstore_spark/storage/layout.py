@@ -860,7 +860,7 @@ class StoreLayout:
         )
 
     def dcb_candidate_files(
-        self, item_fps: list[list[int]], after_pos: int
+        self, item_fps: list[list[int]], after_pos: int, after_seq: int = -1
     ) -> list[str]:
         """Files that could contain a fact matching ANY tag-query item
         past ``after_pos`` — the commit-level data-skipping pass for the
@@ -872,8 +872,14 @@ class StoreLayout:
         compacted data (no per-commit summary survives the rewrite) are
         always eligible. With fresh/unmatched tags this returns [] and
         the condition check opens NO files — the O(matching-commits)
-        behavior the reference gets from its tag subspaces."""
-        files, live = self._eligible_after_position(after_pos)
+        behavior the reference gets from its tag subspaces.
+
+        ``after_seq``: commits with ``seq <= after_seq`` are already
+        answered by the derived tag index (its NO covers everything
+        through built_through), so only the unindexed tail is
+        eligible — including skipping the compacted prefix when the
+        compaction horizon is itself indexed."""
+        files, live = self._eligible_after_position(after_pos, after_seq=after_seq)
         unprunable_item = any(not fps for fps in item_fps) or not item_fps
         for c in live:
             if not unprunable_item and c.tag_fps is not None:
@@ -884,14 +890,17 @@ class StoreLayout:
         return files
 
     def _eligible_after_position(
-        self, after_pos: int
+        self, after_pos: int, after_seq: int = -1
     ) -> tuple[list[str], list[CommitRecord]]:
         """Shared position prune: (compacted-prefix files — only when
         the compaction's max_position passes the cursor — and the
         post-compaction commit records whose max_position passes it).
         Both the DCB condition check and the tail-follow subscription
         start from this; the commit log's max_position bounds every
-        commit's file, so nothing below the cursor is ever opened."""
+        commit's file, so nothing below the cursor is ever opened.
+        ``after_seq`` additionally drops commits (and the compacted
+        prefix) fully covered by a derived index — see
+        dcb_candidate_files."""
         committed = [c for c in self.read_commits() if c.rows > 0]
         compaction = None
         for c in committed:
@@ -900,7 +909,7 @@ class StoreLayout:
                     compaction = c
         files: list[str] = []
         if compaction is not None:
-            if compaction.max_position > after_pos:
+            if compaction.max_position > after_pos and compaction.compacted_through > after_seq:
                 comp_dir = os.path.join(
                     self.data_dir, f"compacted-{compaction.compacted_through:010d}"
                 )
@@ -918,7 +927,9 @@ class StoreLayout:
         live = [
             c
             for c in committed
-            if c.compacted_through is None and c.max_position > after_pos
+            if c.compacted_through is None
+            and c.max_position > after_pos
+            and c.seq > after_seq
         ]
         return files, live
 

@@ -395,14 +395,27 @@ class FactStore:
 
             tidx = TagIndex(layout)
             last = layout.last_commit()
-            if last is not None and tidx.built_through() >= last.seq:
+            bt = tidx.built_through()
+            scan_after_seq = -1
+            if last is not None and bt >= 0:
                 hit = tidx.exists_after(condition.fail_if_facts_match, after_pos)
+                if hit:
+                    # an index HIT is trustworthy at any staleness:
+                    # facts are immutable and never deleted, so a
+                    # matching indexed position stays a violation
+                    return "facts matching the fail-if query exist after the cursor"
                 if hit is not None:
-                    if hit:
-                        return (
-                            "facts matching the fail-if query exist after the cursor"
-                        )
-                    return None
+                    if bt >= last.seq:
+                        return None  # fully fresh index answered NO
+                    # STALE index (the steady-ingest case — at high
+                    # append rates the cron-refreshed index is stale
+                    # for almost every DCB append): its NO covers
+                    # commits <= built_through, so only the unindexed
+                    # TAIL needs the scan below — O(commits since the
+                    # last maintain), not O(store). r12 task #6: this
+                    # is what keeps DCB append p90 flat on a 10^6-fact
+                    # store whose index lags the head.
+                    scan_after_seq = bt
             # Commit-level data skipping next: prune to the files whose
             # commit tag-fingerprint summary could satisfy some query
             # item (O(commits) record check, no file opens — the write-
@@ -416,7 +429,9 @@ class FactStore:
                 [tag_fingerprint(k, v) for k, v in item.tags.items()]
                 for item in condition.fail_if_facts_match.items
             ]
-            files = layout.dcb_candidate_files(item_fps, after_pos)
+            files = layout.dcb_candidate_files(
+                item_fps, after_pos, after_seq=scan_after_seq
+            )
             if not files:
                 return None
             flt = pa_ds.field("position") > after_pos
