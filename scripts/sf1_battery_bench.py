@@ -177,31 +177,62 @@ def ensure_build(spark, k: int, out: str, reuse: bool = True) -> None:
 
 
 def main():
+    """Usage:
+      python scripts/sf1_battery_bench.py [K] [out_dir] [entry ...]
+      python scripts/sf1_battery_bench.py [K] [out_dir] --all [json_out]
+
+    ``--all`` (r12 task #5) times EVERY registry entry at sf0.1 and at
+    the K-amplified build and writes a JSON artifact
+    ({entry: {sf01_s, sf1_s, ratio, rows_sf1, err}}) — the committed
+    BENCH_SF1_r{N}.json that tests/test_sf1_battery_slow.py asserts
+    growth ceilings against."""
+    import json
+
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_battery"
-    entries = sys.argv[3:] or TOP20
+    all_mode = len(sys.argv) > 3 and sys.argv[3] == "--all"
+    json_out = sys.argv[4] if all_mode and len(sys.argv) > 4 else None
+    entries = list(REGISTRY) if all_mode else (sys.argv[3:] or TOP20)
     spark = get_spark(app_name="sf1-battery-bench")
-    # entry-selecting runs may reuse; a full TOP20 run always rebuilds
-    ensure_build(spark, k, out, reuse=bool(sys.argv[3:]))
+    # entry-selecting runs may reuse; a full run always rebuilds
+    ensure_build(spark, k, out, reuse=bool(sys.argv[3:]) and not all_mode)
     # scan warm-up
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
         spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
     print("| entry | sf0.1 s | sf1 s | ratio | rows out |")
     print("|---|---|---|---|---|")
-    base = {}
+    results = {}
     for name in entries:
         fn = REGISTRY[name][0]
-        t0 = time.time()
-        n01 = fn(spark, SF_DIR).count()
-        base[name] = time.time() - t0
-        t0 = time.time()
-        n1 = fn(spark, out).count()
-        dt = time.time() - t0
-        ratio = dt / base[name] if base[name] > 0 else float("inf")
-        print(
-            f"| {name} | {base[name]:.2f} | {dt:.2f} | {ratio:.1f}x | {n1:,} |",
-            flush=True,
-        )
+        try:
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            b = time.time() - t0
+            t0 = time.time()
+            n1 = fn(spark, out).count()
+            dt = time.time() - t0
+            ratio = dt / b if b > 0 else float("inf")
+            results[name] = {
+                "sf01_s": round(b, 3),
+                "sf1_s": round(dt, 3),
+                "ratio": round(ratio, 2),
+                "rows_sf1": int(n1),
+                "err": None,
+            }
+            print(
+                f"| {name} | {b:.2f} | {dt:.2f} | {ratio:.1f}x | {n1:,} |",
+                flush=True,
+            )
+        except Exception as e:  # record, keep the battery moving
+            results[name] = {
+                "sf01_s": None, "sf1_s": None, "ratio": None,
+                "rows_sf1": None, "err": f"{type(e).__name__}: {e}"[:300],
+            }
+            print(f"| {name} | ERR | {type(e).__name__} | | |", flush=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"k": k, "entries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} entries)")
     spark.stop()
 
 
