@@ -114,8 +114,10 @@ class HeadsIndex:
                 meta = json.load(f)
             if not os.path.isdir(os.path.join(self.root, meta["dir"])):
                 raise OSError("snapshot dir vanished")
+            if int(meta["shards"]) <= 0 or int(meta["through_seq"]) < 0:
+                raise ValueError("corrupt snapshot pointer")
             return meta
-        except (OSError, json.JSONDecodeError, KeyError):
+        except (OSError, json.JSONDecodeError, KeyError, ValueError, TypeError):
             return {"through_seq": -1, "dir": None, "shards": 0}
 
     def _publish(self, through_seq: int, dir_name: str, shards: int) -> None:

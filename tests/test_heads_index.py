@@ -244,3 +244,27 @@ def test_choose_shards_scales():
     s = choose_shards(50_000_000)
     assert s > 16 and s <= 4096
     assert choose_shards(10**10) == 4096
+
+
+def test_corrupt_snapshot_pointer_degrades_to_tail_scan(fs):
+    """A corrupt/garbage pointer file must read as 'no snapshot'
+    (lookups fall back to the exact tail scan), never crash or divide
+    by zero; the next refresh rebuilds cleanly."""
+    fs.create(STORE)
+    r = fs.append(STORE, fi("P:1", 1))
+    lay = _layout(fs)
+    idx = HeadsIndex(lay)
+    idx.refresh()
+    import os
+
+    for garbage in ('{"through_seq": 3, "dir": "x", "shards": 0}', "not json", ""):
+        with open(idx.pointer_path, "w") as f:
+            f.write(garbage)
+        assert idx.snap_meta()["dir"] is None
+        assert lay.last_fact_of_subject("P:1") == (
+            r.fact_ids[0],
+            lay.head_position(),
+        )
+    out = idx.refresh()
+    assert out["built"] and out["mode"].startswith("rebuild")
+    assert lay.last_fact_of_subject("P:1")[0] == r.fact_ids[0]
