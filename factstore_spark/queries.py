@@ -8268,6 +8268,96 @@ SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_rows,
 """
 
 
+def storage_subject_heads(spark, sf_dir):
+    """Write-path contract entry for the LOG-DERIVED subject-head index
+    (storage/heads.py — the round-13 replacement for the per-append
+    heads.json, VERDICT r12 task #1; reference semantics
+    FdbFactAppender.kt:91-113): bulk-ingest an events subset into a
+    REAL store with pre-assigned positions (= event_id, so the oracle
+    can replay them), fold the sharded snapshot via the maintenance
+    API, then resolve heads through the public lookup:
+
+      - users 2 and 7: COLD lookups answered by the snapshot shard
+        (no tail commits touch them after the fold);
+      - user 12: a row-wise append AFTER the fold must supersede its
+        snapshot entry through the subj_fps-pruned tail scan, at
+        position next_seq * 2^20 (the commit-protocol arithmetic the
+        oracle replays).
+
+    Scale note: the subset's distinct-subject count crosses the
+    MAX_SUBJ_FPS cap between sf0.01 (30 subjects -> fps recorded) and
+    the K=10 battery (300 -> None, must-scan until folded), so both
+    bulk-fingerprint branches are exercised across the bench scales.
+    Tmp store removed eagerly."""
+    import shutil
+    import tempfile
+
+    from .model import FactInput, FactPayload
+    from .schema import POSITION_STRIDE
+    from .store import FactStore
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") % 5 == 2)
+    staged = ev.select(
+        F.col("event_type").alias("type"),
+        F.concat(F.lit("user:"), F.col("user_id")).alias("subject"),
+        F.col("event_id").cast("long").alias("position"),
+        F.struct(
+            F.encode(F.lit("{}"), "utf-8").alias("data"),
+            F.lit("json").alias("format"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    root = tempfile.mkdtemp(prefix="fs-heads-entry-")
+    try:
+        fs = FactStore(spark, root)
+        fs.create("heads_probe")
+        res = fs.append_dataframe("heads_probe", staged)
+        if type(res).__name__ != "Appended":
+            raise RuntimeError(f"ingest failed: {res}")
+        fold = fs.refresh_heads_snapshot("heads_probe")
+        if not fold.get("built"):
+            raise RuntimeError(f"snapshot fold failed: {fold}")
+        lay = fs._layout(fs.catalog.find_by_name("heads_probe").id)
+        rows = []
+        for uid in (2, 7):  # snapshot-shard path (cold after the fold)
+            hit = lay.last_fact_of_subject(f"user:{uid}")
+            if hit is not None:
+                rows.append((f"user:{uid}", int(hit[1])))
+        # tail path: a post-fold row append must supersede the snapshot
+        r = fs.append(
+            "heads_probe",
+            [
+                FactInput(
+                    type="HeadProbe",
+                    subject="user:12",
+                    payload=FactPayload(b"{}", format="json"),
+                    tags={},
+                )
+            ],
+        )
+        if type(r).__name__ != "Appended":
+            raise RuntimeError(f"tail append failed: {r}")
+        hit = lay.last_fact_of_subject("user:12")
+        rows.append(("user:12", int(hit[1])))
+        return spark.createDataFrame(rows, "subject string, head_pos long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STORAGE_SUBJECT_HEADS_SQL = f"""
+WITH sub AS (
+  SELECT user_id, event_id FROM events WHERE user_id % 5 = 2)
+SELECT 'user:' || CAST(user_id AS VARCHAR) AS subject,
+       CAST(MAX(event_id) AS BIGINT) AS head_pos
+FROM sub WHERE user_id IN (2, 7) GROUP BY user_id
+UNION ALL
+SELECT 'user:12' AS subject,
+       CAST(((MAX(event_id) // {1 << 20}) + 1) * {1 << 20} AS BIGINT)
+       AS head_pos
+FROM sub
+"""
+
+
 def storage_point_lookup(spark, sf_dir):
     """Self-validating merge-table POINT-LOOKUP contract
     (storage/merge.py:build_key_index + point_lookup over
@@ -9254,6 +9344,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # every entry runs identically regardless of position.
     # --- new in round 13 (lead the window so the driver checks them) ----
     "media_real_mp4_edge": (media_real_mp4_edge, MEDIA_REAL_MP4_EDGE_SQL),
+    "storage_subject_heads": (storage_subject_heads, STORAGE_SUBJECT_HEADS_SQL),
     # --- r13 rotation: the driver's LAST RECORDED status for these
     # nine is a stale r04-r07 no_oracle row; every one has since gained
     # a DuckDB oracle or in-band contract columns (judge-run selfcheck
