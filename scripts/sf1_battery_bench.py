@@ -206,7 +206,7 @@ def main():
         fn = REGISTRY[name][0]
         try:
             t0 = time.time()
-            fn(spark, SF_DIR).count()
+            n01 = fn(spark, SF_DIR).count()
             b = time.time() - t0
             t0 = time.time()
             n1 = fn(spark, out).count()
@@ -216,6 +216,7 @@ def main():
                 "sf01_s": round(b, 3),
                 "sf1_s": round(dt, 3),
                 "ratio": round(ratio, 2),
+                "rows_sf01": int(n01),
                 "rows_sf1": int(n1),
                 "err": None,
             }
