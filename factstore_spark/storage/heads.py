@@ -120,15 +120,41 @@ class HeadsIndex:
         except (OSError, json.JSONDecodeError, KeyError, ValueError, TypeError):
             return {"through_seq": -1, "dir": None, "shards": 0}
 
-    def _publish(self, through_seq: int, dir_name: str, shards: int) -> None:
+    def _publish(
+        self, through_seq: int, dir_name: str, shards: int, max_position: int
+    ) -> None:
+        """``max_position`` records the highest position the snapshot
+        can hold — the lookup's supersession bound (a tail hit above it
+        is final without a shard read)."""
         tmp = self.pointer_path + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"through_seq": through_seq, "dir": dir_name, "shards": shards}, f
+                {
+                    "through_seq": through_seq,
+                    "dir": dir_name,
+                    "shards": shards,
+                    "max_position": max_position,
+                },
+                f,
             )
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self.pointer_path)
+
+    def _covered_max_position(self, commits, target: int) -> int:
+        """Highest position among the data a fold through ``target``
+        covers (compaction/checkpoint records carry their folded data's
+        max; reservations are range claims, not data)."""
+        return max(
+            (
+                c.max_position
+                for c in commits
+                if not c.reserved
+                and (c.rows > 0 or c.compacted_through is not None)
+                and c.seq <= target
+            ),
+            default=-1,
+        )
 
     def _sweep_old(self) -> None:
         """Reap snapshot dirs the pointer no longer references, age-
@@ -188,29 +214,59 @@ class HeadsIndex:
             and c.seq > ct
             and c.seq > through
         ]
+        # Highest position the BELOW-TAIL source (snapshot or compacted
+        # layout) can hold. A tail hit above it is final; a tail hit
+        # BELOW it can be superseded — reachable only on the optimistic
+        # backend, where a bulk commit published after a fold carries
+        # positions from its earlier RESERVATION (lower than commits
+        # folded meanwhile) — so only then is the below-tail source
+        # consulted and the higher position returned. (The r12
+        # heads.json design silently returned the stale bulk row here.)
+        if ct > through:
+            below_max = max(
+                (
+                    c.max_position
+                    for c in commits
+                    if c.compacted_through is not None
+                ),
+                default=-1,
+            )
+        elif snap["dir"] is not None:
+            mp = snap.get("max_position")
+            below_max = float("inf") if mp is None else mp
+        else:
+            below_max = -1
+
+        def below_tail() -> Optional[tuple[str, int]]:
+            if ct > through:
+                # Compaction superseded commits the snapshot has not
+                # folded: their original files are gone, but the
+                # compacted layout holds all data <= ct (subject-
+                # sorted, so the pushdown filter prunes row groups).
+                # Supersedes the snapshot too.
+                comp_dir = os.path.join(
+                    self.layout.data_dir, f"compacted-{ct:010d}"
+                )
+                files = []
+                for root, _dirs, names in os.walk(comp_dir):
+                    files.extend(
+                        os.path.join(root, n)
+                        for n in sorted(names)
+                        if n.endswith(".parquet")
+                    )
+                return self._max_position_row(files, subject)
+            return self._shard_lookup(snap, subject)
+
         for c in sorted(tail, key=lambda c: -c.max_position):
             if c.subj_fps is not None and fp not in c.subj_fps:
                 continue  # commit provably does not touch this subject
             hit = self._max_position_row(self.layout._files_of(c), subject)
             if hit is not None:
-                return hit
-        if ct > through:
-            # Compaction superseded commits the snapshot has not folded:
-            # their original files are gone, but the compacted layout
-            # holds all data <= ct (subject-sorted, so the pushdown
-            # filter prunes row groups). Supersedes the snapshot too.
-            comp_dir = os.path.join(
-                self.layout.data_dir, f"compacted-{ct:010d}"
-            )
-            files = []
-            for root, _dirs, names in os.walk(comp_dir):
-                files.extend(
-                    os.path.join(root, n)
-                    for n in sorted(names)
-                    if n.endswith(".parquet")
-                )
-            return self._max_position_row(files, subject)
-        return self._shard_lookup(snap, subject)
+                if hit[1] > below_max:
+                    return hit  # nothing below can supersede it
+                low = below_tail()
+                return low if low is not None and low[1] > hit[1] else hit
+        return below_tail()
 
     def _max_position_row(
         self, files: list[str], subject: str
@@ -296,9 +352,11 @@ class HeadsIndex:
             # No snapshot, a compaction superseded the gap's files, or
             # the gap is big enough that the driver-side fold (memory
             # and CPU O(gap)) loses to one distributed shuffle.
-            out = self._rebuild(target, spark)
+            out = self._rebuild(target, spark, self._covered_max_position(commits, target))
         else:
-            out = self._fold_incremental(snap, target)
+            out = self._fold_incremental(
+                snap, target, self._covered_max_position(commits, target)
+            )
         self._sweep_old()
         return out
 
@@ -306,7 +364,7 @@ class HeadsIndex:
     # rebuild over the driver-side incremental fold.
     GAP_REBUILD_ROWS = 2_000_000
 
-    def _fold_incremental(self, snap: dict, target: int) -> dict:
+    def _fold_incremental(self, snap: dict, target: int, covered_max: int) -> dict:
         gap_files = self.layout.data_files_between(snap["through_seq"], target)
         updates: dict[int, dict[str, tuple[str, int]]] = {}
         n_rows = 0
@@ -329,7 +387,7 @@ class HeadsIndex:
         if not updates:
             # zero-row gap (empty/reserved commits): republish the same
             # shard dir under the new horizon
-            self._publish(target, snap["dir"], snap["shards"])
+            self._publish(target, snap["dir"], snap["shards"], covered_max)
             return {"built": True, "mode": "pointer-only", "through_seq": target}
         old_dir = os.path.join(self.root, snap["dir"])
         new_name = f"snap-{uuid.uuid4().hex[:12]}"
@@ -361,9 +419,15 @@ class HeadsIndex:
                     t.column("position").to_pylist(),
                 ):
                     merged[s] = (i, p)
-            merged.update(updates[sh])
+            for subj, v in updates[sh].items():
+                # position-compare, never blind-overwrite: a gap bulk
+                # published from an old reservation can carry LOWER
+                # positions than an already-folded head
+                old = merged.get(subj)
+                if old is None or v[1] > old[1]:
+                    merged[subj] = v
             self._write_shard(new_dir, sh, merged)
-        self._publish(target, new_name, snap["shards"])
+        self._publish(target, new_name, snap["shards"], covered_max)
         return {
             "built": True,
             "mode": "incremental",
@@ -393,7 +457,9 @@ class HeadsIndex:
         # ~2 ms per lookup on a 62k-row shard.
         pq.write_table(t, os.path.join(d, "data.parquet"), row_group_size=4096)
 
-    def _rebuild(self, target: int, spark: Optional["SparkSession"]) -> dict:
+    def _rebuild(
+        self, target: int, spark: Optional["SparkSession"], covered_max: int
+    ) -> dict:
         files = self.layout.data_files(max_seq=target)
         if not files:
             return {"built": False, "reason": "no data files"}
@@ -403,7 +469,7 @@ class HeadsIndex:
             n_heads, shards = self._rebuild_spark(spark, files, new_dir)
         else:
             n_heads, shards = self._rebuild_pyarrow(files, new_dir)
-        self._publish(target, new_name, shards)
+        self._publish(target, new_name, shards, covered_max)
         return {
             "built": True,
             "mode": "rebuild" + ("-spark" if spark is not None else "-local"),

@@ -355,11 +355,11 @@ def _arm_fold(monkeypatch, point):
     elif point == "before_pointer":
         real = heads_mod.HeadsIndex._publish
 
-        def dying(self, through_seq, dir_name, shards):
+        def dying(self, through_seq, dir_name, shards, max_position):
             if state["armed"]:
                 state["armed"] = False
                 raise Killed("died after shards, before pointer rename")
-            return real(self, through_seq, dir_name, shards)
+            return real(self, through_seq, dir_name, shards, max_position)
 
         monkeypatch.setattr(heads_mod.HeadsIndex, "_publish", dying)
     elif point == "before_sweep":

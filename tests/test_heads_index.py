@@ -268,3 +268,71 @@ def test_corrupt_snapshot_pointer_degrades_to_tail_scan(fs):
     out = idx.refresh()
     assert out["built"] and out["mode"].startswith("rebuild")
     assert lay.last_fact_of_subject("P:1")[0] == r.fact_ids[0]
+
+
+def test_late_published_reservation_does_not_shadow_newer_head(spark, store_root):
+    """Optimistic backend: a bulk commit PUBLISHED after a snapshot
+    fold carries positions from its earlier RESERVATION — lower than
+    commits folded meanwhile. A tail hit from it must not shadow the
+    snapshot's newer head (the r12 heads.json silently did): the lookup
+    position-compares against the snapshot's max_position bound and
+    returns the higher head. Same for the incremental fold's merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from factstore_spark.schema import FACT_ARROW_SCHEMA, POSITION_STRIDE
+    from factstore_spark.storage.layout import utcnow_us
+
+    fs = FactStore(spark, store_root, commit_backend="optimistic")
+    fs.create(STORE)
+    lay = _layout(fs)
+
+    # seed so the reservation lands above live data
+    fs.append(STORE, fi("S", 0))
+    seq, base = lay.reserve_position_range(10, utcnow_us())
+
+    # two newer row commits touch S at HIGHER positions
+    fs.append(STORE, fi("S", 1))
+    r2 = fs.append(STORE, fi("S", 2))
+    true_head = (r2.fact_ids[0], lay.head_position())
+
+    # snapshot fold covers everything published so far
+    idx = HeadsIndex(lay)
+    assert idx.refresh()["built"]
+    assert lay.last_fact_of_subject("S") == true_head
+
+    # now PUBLISH the reserved bulk containing S at the LOW positions
+    dir_name = f"commit-{seq:010d}-bulk"
+    bulk_dir = os.path.join(lay.data_dir, dir_name)
+    os.makedirs(bulk_dir, exist_ok=True)
+    rows = [
+        {
+            "id": "bulk-fact", "type": "Bulk", "subject": "S",
+            "appended_at": utcnow_us(), "position": base + 3,
+            "payload": {"data": b"{}", "format": "json", "schema_ref": None},
+            "metadata": {}, "tags": {},
+        }
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=FACT_ARROW_SCHEMA),
+        os.path.join(bulk_dir, "part-0.parquet"),
+    )
+    from factstore_spark.storage.layout import subject_fingerprint
+
+    pseq = lay.publish_bulk(
+        dir_name, 1, base + 3, utcnow_us(), None,
+        subj_fps=[subject_fingerprint("S")],
+    )
+    assert pseq is not None
+    assert base + 3 < true_head[1]  # the bulk really is below the head
+
+    # lookup: the tail hit (bulk) must NOT shadow the snapshot head
+    assert lay.last_fact_of_subject("S") == true_head
+
+    # and the incremental fold must keep the higher head too
+    out = idx.refresh()
+    assert out["built"], out
+    assert lay.last_fact_of_subject("S") == true_head
+    # while a subject ONLY in the bulk resolves normally
+    rows2 = lay.last_fact_of_subject("S")  # stability double-check
+    assert rows2 == true_head
