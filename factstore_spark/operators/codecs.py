@@ -1599,6 +1599,8 @@ def _build_codecs():
         use_co64: bool = False,
         duration_source: str = "mvhd",
         second_track: bool = False,
+        sync_every: int = 1,
+        mark_fragment_sync: bool = False,
     ) -> bytes:
         """Structurally valid ISO BMFF file: ftyp + moov (mvhd, one
         video trak with full stbl sample tables) + mdat holding
@@ -1803,7 +1805,18 @@ def _build_codecs():
                     struct.pack(">I", len(offs))
                     + b"".join(struct.pack(">I", o) for o in offs),
                 )
-            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+            stss = b""
+            if sync_every > 1:
+                # sync-sample table: every sync_every-th sample is a
+                # keyframe (1-based indices per ISO 14496-12 8.6.2);
+                # omitted when every sample is sync (the spec default)
+                ks = list(range(1, n + 1, sync_every))
+                stss = _fullbox(
+                    b"stss", 0, 0,
+                    struct.pack(">I", len(ks))
+                    + b"".join(struct.pack(">I", k) for k in ks),
+                )
+            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
             vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
             dref = _fullbox(
                 b"dref", 0, 0,
@@ -1840,19 +1853,30 @@ def _build_codecs():
                     # tfhd: default-base-is-moof (0x020000) + default
                     # sample duration (0x08). With second_track the
                     # video traf drops BOTH base flags — its base must
-                    # come from the previous traf's data end (8.8.7.1)
-                    tfhd = _fullbox(
-                        b"tfhd", 0, 0x000008 if second_track else 0x020008,
-                        struct.pack(">II", 1, frame_delta),
-                    )
+                    # come from the previous traf's data end (8.8.7.1).
+                    # mark_fragment_sync adds default-sample-flags
+                    # (0x20) = non-sync, with trun first-sample-flags
+                    # (0x04) marking each fragment's first sample as
+                    # the keyframe — the steady DASH/HLS GOP shape.
+                    tf_fl = 0x000008 if second_track else 0x020008
+                    tfhd_payload = struct.pack(">II", 1, frame_delta)
+                    if mark_fragment_sync:
+                        tf_fl |= 0x20
+                        tfhd_payload += struct.pack(">I", 0x00010000)
+                    tfhd = _fullbox(b"tfhd", 0, tf_fl, tfhd_payload)
                     # trun: data-offset (0x01) + size-present (0x200),
                     # optionally + per-sample duration (0x100) and cts
                     # offset (0x800) — the widest real-world row shape
                     tr_flags = 0x000201
                     if trun_sample_durations:
                         tr_flags |= 0x900
+                    if mark_fragment_sync:
+                        tr_flags |= 0x04
                     trun_payload = struct.pack(">I", len(frag))
                     trun_payload += struct.pack(">i", 0)  # patched below
+                    if mark_fragment_sync:
+                        # I-frame: depends-on=2, non-sync bit CLEAR
+                        trun_payload += struct.pack(">I", 0x02000000)
                     for x in frag:
                         if trun_sample_durations:
                             trun_payload += struct.pack(">I", frame_delta)
@@ -2037,6 +2061,20 @@ def _build_codecs():
         stsc = _find_box(data, stbl[0], stbl[1], b"stsc")
         if stsz is None or stsc is None:
             raise ValueError("MP4 missing sample tables (stsz/stsc)")
+        # sync-sample table (stss, ISO 14496-12 8.6.2): 1-based indices
+        # of the keyframes. ABSENT means every sample is sync — the
+        # spec default, and what keyframe-sampling pipelines rely on.
+        stss = _find_box(data, stbl[0], stbl[1], b"stss")
+        sync_set = None
+        if stss is not None:
+            (n_sync,) = struct.unpack(">I", data[stss[0] + 4 : stss[0] + 8])
+            need = stss[0] + 8 + 4 * n_sync
+            if need > stss[1]:
+                raise ValueError("truncated stss table")
+            sync_set = {
+                idx - 1
+                for idx in struct.unpack(f">{n_sync}I", data[stss[0] + 8 : need])
+            }
         fixed, count = struct.unpack(">II", data[stsz[0] + 4 : stsz[0] + 12])
         if fixed:
             sizes = [fixed] * count
@@ -2095,11 +2133,15 @@ def _build_codecs():
             raise ValueError(
                 f"MP4 sample tables inconsistent: demuxed {si} of {len(sizes)}"
             )
+        # keyframes over the plain samples: stss membership, or all
+        keyframes = [
+            i for i in range(count) if sync_set is None or i in sync_set
+        ]
         # Movie-extends defaults (ISO 14496-12 8.8.2-8.8.3): per-track
         # trex fallbacks for fragment sample duration/size, plus mehd's
         # whole-presentation fragment_duration — the duration source
         # for fragment-only files whose mvhd says 0.
-        trex_defaults: dict[int, tuple[int, int]] = {}
+        trex_defaults: dict[int, tuple[int, int, int]] = {}
         mehd_duration = None
         mvex = _find_box(data, moov[0], moov[1], b"mvex")
         if mvex is not None:
@@ -2114,10 +2156,10 @@ def _build_codecs():
                             ">I", data[a2 + 4 : a2 + 8]
                         )
                 elif t2 == b"trex":
-                    tx_tid, _sdi, tx_dur, tx_sz, _fl = struct.unpack(
+                    tx_tid, _sdi, tx_dur, tx_sz, tx_fl = struct.unpack(
                         ">IIIII", data[a2 + 4 : a2 + 24]
                     )
-                    trex_defaults[tx_tid] = (tx_dur, tx_sz)
+                    trex_defaults[tx_tid] = (tx_dur, tx_sz, tx_fl)
 
         # Fragmented half (fMP4 / DASH / HLS): top-level moof boxes
         # carry samples the moov tables do not — tfhd defaults + trun
@@ -2149,7 +2191,7 @@ def _build_codecs():
                 selected = tf_tid == track_id
                 tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
                 p = tfhd[0] + 8  # version/flags + track_ID
-                tx_dur, tx_sz = trex_defaults.get(tf_tid, (None, None))
+                tx_dur, tx_sz, tx_fl = trex_defaults.get(tf_tid, (None, None, None))
                 base_off: Optional[int] = None
                 if tf_flags & 0x01:  # explicit base-data-offset
                     (base_off,) = struct.unpack(">Q", data[p : p + 8])
@@ -2163,6 +2205,12 @@ def _build_codecs():
                 default_size = tx_sz if tx_sz else None
                 if tf_flags & 0x10:  # default-sample-size
                     (default_size,) = struct.unpack(">I", data[p : p + 4])
+                    p += 4
+                # default-sample-flags (0x20): sync resolution source
+                # AND an offset-corrupting field if left unparsed
+                default_flags = tx_fl if tx_fl is not None else 0
+                if tf_flags & 0x20:
+                    (default_flags,) = struct.unpack(">I", data[p : p + 4])
                     p += 4
                 if base_off is None:
                     if tf_flags & 0x020000:  # default-base-is-moof
@@ -2194,9 +2242,11 @@ def _build_codecs():
                         # 8.8.8.1: absent offset = straight after the
                         # previous run; the first run starts at base
                         pos = base_off
+                    first_flags = None
                     if tr_flags & 0x04:  # first-sample-flags
+                        (first_flags,) = struct.unpack(">I", data[q : q + 4])
                         q += 4
-                    for _ in range(cnt):
+                    for s_i in range(cnt):
                         dur = default_dur
                         if tr_flags & 0x100:  # sample-duration
                             (dur,) = struct.unpack(">I", data[q : q + 4])
@@ -2218,7 +2268,15 @@ def _build_codecs():
                             # base_off resolution above)
                             pos = None
                             break
+                        # sync resolution per 8.8.3.1: per-sample
+                        # flags > first-sample-flags (sample 0) >
+                        # tfhd default > trex default; bit 0x00010000
+                        # = sample_is_non_sync_sample
+                        flags = default_flags
+                        if s_i == 0 and first_flags is not None:
+                            flags = first_flags
                         if tr_flags & 0x400:  # sample-flags
+                            (flags,) = struct.unpack(">I", data[q : q + 4])
                             q += 4
                         if tr_flags & 0x800:  # composition-time offset
                             q += 4
@@ -2226,6 +2284,8 @@ def _build_codecs():
                             raise ValueError("MP4 fragment sample past EOF")
                         if selected:
                             out += data[pos : pos + sz]
+                            if not flags & 0x00010000:
+                                keyframes.append(count)
                             sizes.append(sz)
                             count += 1
                             frag_duration += dur or 0
@@ -2260,6 +2320,11 @@ def _build_codecs():
             # per-sample byte lengths, demux order — lets callers
             # split the concatenated samples without re-walking stsz
             "sample_sizes": sizes,
+            # demux-order indices of the sync samples (stss for moov
+            # samples; tfhd/trun/trex sample-flags for fragments; all
+            # samples when neither is authored — the spec default).
+            # The keyframe-sampling surface a video pipeline reads.
+            "keyframe_indices": keyframes,
         }
 
     def mp4_decode_frames(data: bytes):

@@ -855,6 +855,121 @@ def synth_mp4_edge_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_mp4_keyframe_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> REAL containers with authored SYNC-SAMPLE structure: even
+    ids get a plain layout with an stss table (keyframe every
+    2 + d % 3 samples); odd ids get the steady DASH/HLS GOP shape
+    (fragments of 2 + d % 4 samples, tfhd default-sample-flags
+    non-sync + trun first-sample-flags marking each fragment's first
+    sample as the keyframe). Same sample-byte rule as
+    synth_mp4_corpus, so the keyframe checksum has the same closed
+    form restricted to i % step == 0."""
+    from .codecs import _build_codecs
+
+    mp4_enc = _build_codecs()["mp4_encode_stub"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("data", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                w, h = 16 * (2 + d % 5), 16 * (2 + d % 4)
+                nf = 8 + d % 25
+                samples = []
+                for i in range(nf):
+                    size = 50 + (d + i) % 40
+                    a = (d * 31 + i * 7) % 251
+                    samples.append(bytes((a + j) % 251 for j in range(size)))
+                ids.append(d)
+                if d % 2 == 0:
+                    blobs.append(
+                        mp4_enc(samples, w, h, sync_every=2 + d % 3)
+                    )
+                else:
+                    blobs.append(
+                        mp4_enc(
+                            samples, w, h, fragmented=True,
+                            samples_per_fragment=2 + d % 4,
+                            mark_fragment_sync=True,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "format": ["mp4"] * len(ids),
+                    "data": blobs,
+                }
+            )
+
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
+    )
+
+
+MP4_KEYFRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_keyframes", IntegerType(), False),
+        StructField("kf_checksum", LongType(), False),
+    ]
+)
+
+
+def mp4_keyframe_stats(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Keyframe-only sampling per container — the frame-sample
+    primitive of a video training pipeline (decode budget goes to sync
+    samples; everything between is delta frames a pixel decoder would
+    need anyway). Emits (media_id, n_frames, n_keyframes, kf_checksum)
+    where kf_checksum sums the bytes of ONLY the sync samples, so a
+    wrong stss parse or a mis-resolved trun/tfhd/trex sample-flag
+    chain breaks the value, not just a count. Arrow-batched
+    mapInPandas."""
+    from .codecs import _build_codecs
+
+    probe = _build_codecs()["mp4_probe"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nfs, nks, cks = [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                m = probe(bytes(data))
+                sizes = m["sample_sizes"]
+                offs = [0]
+                for sz in sizes:
+                    offs.append(offs[-1] + sz)
+                buf = np.frombuffer(m["samples"], dtype=np.uint8)
+                total = 0
+                for i in m["keyframe_indices"]:
+                    total += int(buf[offs[i] : offs[i + 1]].sum())
+                ids.append(int(mid))
+                nfs.append(m["n_frames"])
+                nks.append(len(m["keyframe_indices"]))
+                cks.append(total)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "n_keyframes": pd.Series(nks, dtype="int32"),
+                    "kf_checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, MP4_KEYFRAME_STATS_SCHEMA)
+
+
 MP4_CONTAINER_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

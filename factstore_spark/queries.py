@@ -9231,6 +9231,54 @@ FROM m JOIN cks ON cks.d = m.d
 """
 
 
+def media_mp4_keyframes(spark, sf_dir):
+    """Keyframe-only sampling over REAL sync-sample structure (round
+    13): even ids author an stss table (keyframe every 2 + d % 3
+    samples), odd ids the DASH/HLS GOP shape (tfhd default-sample-flags
+    non-sync + trun first-sample-flags per fragment of 2 + d % 4).
+    The checksum sums ONLY the keyframe sample bytes, so a wrong stss
+    parse or sample-flag resolution (per-sample > first-sample > tfhd
+    > trex, bit 0x10000) breaks the value. This is the decode-budget
+    primitive of a video training pipeline; reference payloads are
+    opaque (Fact.kt:71-96) — beyond-reference multimodal surface."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_mp4_keyframe_corpus(docs)
+    out = mm_ops.mp4_keyframe_stats(media)
+    return out.select(
+        "media_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_keyframes").cast("long").alias("n_keyframes"),
+        "kf_checksum",
+    )
+
+
+MEDIA_MP4_KEYFRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id AS d,
+         8 + doc_id % 25 AS nf,
+         CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 3
+              ELSE 2 + doc_id % 4 END AS step
+  FROM documents),
+kf AS (
+  SELECT m.d,
+         50 + ((m.d + t.i) % 40) AS s,
+         (m.d * 31 + t.i * 7) % 251 AS a
+  FROM m, LATERAL (SELECT unnest(range(nf)) AS i) t
+  WHERE t.i % m.step = 0),
+cks AS (
+  SELECT d,
+         COUNT(*) AS nk,
+         SUM(s * a + (s * (s - 1)) // 2
+             - 251 * GREATEST(0, a + s - 251)) AS c
+  FROM kf GROUP BY d)
+SELECT m.d AS media_id,
+       CAST(m.nf AS BIGINT) AS n_frames,
+       CAST(cks.nk AS BIGINT) AS n_keyframes,
+       CAST(cks.c AS BIGINT) AS kf_checksum
+FROM m JOIN cks ON cks.d = m.d
+"""
+
+
 MEDIA_REAL_MP4_SQL = """
 WITH m AS (
   SELECT doc_id AS d, 8 + doc_id % 25 AS nf FROM documents),
@@ -9345,6 +9393,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- new in round 13 (lead the window so the driver checks them) ----
     "media_real_mp4_edge": (media_real_mp4_edge, MEDIA_REAL_MP4_EDGE_SQL),
     "storage_subject_heads": (storage_subject_heads, STORAGE_SUBJECT_HEADS_SQL),
+    "media_mp4_keyframes": (media_mp4_keyframes, MEDIA_MP4_KEYFRAMES_SQL),
     # --- r13 rotation: the driver's LAST RECORDED status for these
     # nine is a stale r04-r07 no_oracle row; every one has since gained
     # a DuckDB oracle or in-band contract columns (judge-run selfcheck

@@ -907,3 +907,49 @@ def test_mp4_encode_stub_edge_param_validation():
             [b"a" * 8] * 4, 16, 16, fragmented=True, second_track=True,
             trun_per_sample_sizes=False,
         )
+
+
+def test_mp4_stss_sync_samples():
+    """stss keyframe table: 1-based indices parse to 0-based demux
+    indices; absent stss means every sample is sync (spec 8.6.2)."""
+    samples = _mp4_samples(11, seed=6)
+    d = mp4_probe(mp4_encode_stub(samples, 32, 32, sync_every=3, n_chunks=2))
+    assert d["keyframe_indices"] == [0, 3, 6, 9]
+    d = mp4_probe(mp4_encode_stub(samples, 32, 32))
+    assert d["keyframe_indices"] == list(range(11))
+    # truncated stss raises
+    data = bytearray(mp4_encode_stub(samples, 32, 32, sync_every=2))
+    import struct as _s
+
+    i = bytes(data).index(b"stss")
+    data[i + 8 : i + 12] = _s.pack(">I", 9999)  # entry count >> box
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(data))
+
+
+def test_mp4_fragment_sync_flag_resolution():
+    """Fragmented GOP shape: tfhd default-sample-flags non-sync +
+    trun first-sample-flags sync -> keyframe = first sample of each
+    fragment; without authored flags every fragment sample is sync."""
+    samples = _mp4_samples(10, seed=8)
+    d = mp4_probe(
+        mp4_encode_stub(samples, 32, 32, fragmented=True,
+                        samples_per_fragment=4, mark_fragment_sync=True)
+    )
+    assert d["keyframe_indices"] == [0, 4, 8]
+    assert d["samples"] == b"".join(samples)
+    d = mp4_probe(
+        mp4_encode_stub(samples, 32, 32, fragmented=True,
+                        samples_per_fragment=4)
+    )
+    assert d["keyframe_indices"] == list(range(10))
+    # composes with the r13 edge shapes (duration + co64 matrix)
+    d = mp4_probe(
+        mp4_encode_stub(samples, 32, 32, fragmented=True,
+                        samples_per_fragment=3, mark_fragment_sync=True,
+                        duration_source="fragments")
+    )
+    assert d["keyframe_indices"] == [0, 3, 6, 9]
+    assert d["duration_ms"] == 10 * 40
+    d = mp4_probe(mp4_encode_stub(samples, 32, 32, sync_every=4, use_co64=True))
+    assert d["keyframe_indices"] == [0, 4, 8]
