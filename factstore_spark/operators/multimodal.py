@@ -855,6 +855,69 @@ def synth_mp4_edge_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+AUDIO_GATING_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_windows", IntegerType(), False),
+        StructField("active_windows", IntegerType(), False),
+        StructField("total_energy", LongType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+
+def audio_gating_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    window: int = 32,
+    energy_threshold: int = 10_000_000_000,
+) -> DataFrame:
+    """Windowed audio GATING features over decoded PCM — the VAD-ish
+    segment filter an audio training pipeline runs before spending
+    decode/transcription budget: fixed sample windows (ragged tail
+    dropped), per-window energy (sum of squared int16 samples) with an
+    active/silent threshold, and zero-crossing counts (the classic
+    cheap voicing proxy). All integer arithmetic over the DECODED
+    samples, so the oracle replays every value from the synth rule —
+    a wrong sample width, byte order, or window split breaks the
+    numbers. Arrow-batched mapInPandas, numpy-vectorized per payload."""
+    from .codecs import _build_codecs
+
+    wav_decode = _build_codecs()["wav_decode"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nws, nas, tes, zcs = [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                m = wav_decode(bytes(data))
+                s = np.frombuffer(m["samples"], dtype="<i2").astype(np.int64)
+                nw = len(s) // window
+                s = s[: nw * window]
+                win = s.reshape(nw, window)
+                energy = (win * win).sum(axis=1)
+                neg = win < 0
+                zc = int((neg[:, 1:] != neg[:, :-1]).sum())
+                ids.append(int(mid))
+                nws.append(nw)
+                nas.append(int((energy > energy_threshold).sum()))
+                tes.append(int(energy.sum()))
+                zcs.append(zc)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_windows": pd.Series(nws, dtype="int32"),
+                    "active_windows": pd.Series(nas, dtype="int32"),
+                    "total_energy": pd.Series(tes, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, AUDIO_GATING_SCHEMA)
+
+
 def synth_mp4_keyframe_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """ids -> REAL containers with authored SYNC-SAMPLE structure: even
     ids get a plain layout with an stss table (keyframe every

@@ -9183,6 +9183,61 @@ def media_real_mp4(spark, sf_dir):
     )
 
 
+def media_audio_gating(spark, sf_dir):
+    """Audio segment GATING over REAL decoded WAV payloads (round 13):
+    the synth media corpus's wav third (doc_id % 3 == 2) is decoded
+    through the stdlib PCM path, split into 32-sample windows, and
+    each window scored by integer energy (sum of squared int16
+    samples, active above 1e10) plus zero-crossing counts — the
+    silence/voicing pre-filter an audio pipeline runs before spending
+    transcription budget. Every value is replayed by the oracle from
+    the synth rule (sample[i] = ((s*31 + i*7) % 65536) - 32768), so a
+    wrong sample width, endianness, or window split breaks the hash.
+    Beyond-reference multimodal surface (payloads are opaque bytes in
+    the reference, Fact.kt:71-96)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    media = mm_ops.synth_media_corpus(docs)
+    out = mm_ops.audio_gating_stats(media)
+    return out.select(
+        "media_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("active_windows").cast("long").alias("active_windows"),
+        "total_energy",
+        "zero_crossings",
+    )
+
+
+MEDIA_AUDIO_GATING_SQL = """
+WITH m AS (
+  SELECT doc_id AS d, 64 + doc_id % 129 AS n
+  FROM documents WHERE doc_id % 3 = 2),
+sm AS (
+  SELECT m.d, t.i AS i,
+         ((m.d * 31 + t.i * 7) % 65536) - 32768 AS v,
+         t.i // 32 AS w
+  FROM m, LATERAL (SELECT unnest(range(n)) AS i) t
+  WHERE t.i < 32 * (m.n // 32)),
+wstats AS (
+  SELECT d, w, SUM(v * v) AS e FROM sm GROUP BY d, w),
+zc AS (
+  SELECT a.d, COUNT(*) AS z
+  FROM sm a JOIN sm b ON a.d = b.d AND b.i = a.i + 1 AND b.w = a.w
+  WHERE (a.v < 0) <> (b.v < 0) GROUP BY a.d),
+agg AS (
+  SELECT d, COUNT(*) AS nw, SUM(e) AS te,
+         SUM(CASE WHEN e > 10000000000 THEN 1 ELSE 0 END) AS na
+  FROM wstats GROUP BY d)
+SELECT m.d AS media_id,
+       CAST(agg.nw AS BIGINT) AS n_windows,
+       CAST(agg.na AS BIGINT) AS active_windows,
+       CAST(agg.te AS BIGINT) AS total_energy,
+       CAST(COALESCE(zc.z, 0) AS BIGINT) AS zero_crossings
+FROM m JOIN agg ON agg.d = m.d LEFT JOIN zc ON zc.d = m.d
+"""
+
+
 def media_real_mp4_edge(spark, sf_dir):
     """Round-13 MP4 demux edge coverage (VERDICT r12 task #2): co64
     64-bit chunk offsets, pure-fMP4 duration resolution (mvhd 0 ->
@@ -9394,6 +9449,7 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "media_real_mp4_edge": (media_real_mp4_edge, MEDIA_REAL_MP4_EDGE_SQL),
     "storage_subject_heads": (storage_subject_heads, STORAGE_SUBJECT_HEADS_SQL),
     "media_mp4_keyframes": (media_mp4_keyframes, MEDIA_MP4_KEYFRAMES_SQL),
+    "media_audio_gating": (media_audio_gating, MEDIA_AUDIO_GATING_SQL),
     # --- r13 rotation: the driver's LAST RECORDED status for these
     # nine is a stale r04-r07 no_oracle row; every one has since gained
     # a DuckDB oracle or in-band contract columns (judge-run selfcheck

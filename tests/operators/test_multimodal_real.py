@@ -239,3 +239,39 @@ def test_mp4_sample_stats_demuxes_per_sample(spark):
     assert got[(1, 0)].content_fnv == got[(1, 2)].content_fnv
     assert got[(1, 0)].content_fnv == got[(2, 0)].content_fnv
     assert got[(1, 1)].content_fnv != got[(2, 1)].content_fnv
+
+
+def test_audio_gating_stats_hand_computed(spark):
+    """Windowed energy/ZC gating over a hand-built WAV: silence then a
+    loud square wave — the silent window must gate out, the loud one
+    in, and zero-crossings count only within-window sign flips."""
+    import struct
+
+    from factstore_spark.operators.codecs import wav_encode
+    from factstore_spark.operators.multimodal import audio_gating_stats
+
+    # window=4: [0,0,0,0] silent; [20000,-20000,20000,-20000] loud (3 zc);
+    # ragged tail [5] dropped
+    samples = [0, 0, 0, 0, 20000, -20000, 20000, -20000, 5]
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    wav = wav_encode(raw, 8000, n_channels=1)
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, data binary")
+    row = audio_gating_stats(
+        df, window=4, energy_threshold=1_000_000
+    ).collect()[0]
+    assert row.n_windows == 2
+    assert row.active_windows == 1
+    assert row.total_energy == 4 * 20000 * 20000
+    assert row.zero_crossings == 3  # the flat window contributes none
+
+
+def test_media_audio_gating_entry_nonvacuous(spark, sf_dir):
+    """The battery entry must produce BOTH active and silent windows on
+    the driver corpus (a threshold that gates nothing would make the
+    oracle comparison vacuous)."""
+    from factstore_spark import queries as q
+
+    out = q.media_audio_gating(spark, sf_dir).collect()
+    assert out
+    assert sum(r.active_windows for r in out) > 0
+    assert sum(r.n_windows - r.active_windows for r in out) > 0
