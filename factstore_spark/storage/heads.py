@@ -126,6 +126,18 @@ class HeadsIndex:
         """``max_position`` records the highest position the snapshot
         can hold — the lookup's supersession bound (a tail hit above it
         is final without a shard read)."""
+        # Stamp the OUTGOING dir's mtime with the supersession instant:
+        # _sweep_old's 1 h grace must count from when the dir stopped
+        # being live, not from when it was created — a fold cadence
+        # slower than the grace window would otherwise reap the old dir
+        # the moment the new pointer lands, under a reader that just
+        # resolved it.
+        old = self.snap_meta().get("dir")
+        if old is not None and old != dir_name:
+            try:
+                os.utime(os.path.join(self.root, old))
+            except OSError:
+                pass
         tmp = self.pointer_path + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -157,9 +169,11 @@ class HeadsIndex:
         )
 
     def _sweep_old(self) -> None:
-        """Reap snapshot dirs the pointer no longer references, age-
-        gated (1 h) so a reader that resolved the old pointer moments
-        ago can still finish its shard read."""
+        """Reap snapshot dirs the pointer no longer references, 1 h
+        after SUPERSESSION (``_publish`` re-stamps the outgoing dir's
+        mtime when the pointer moves off it) so a reader that resolved
+        the old pointer can still finish its shard read regardless of
+        how rarely folds run."""
         live = self.snap_meta().get("dir")
         now = time.time()
         try:
@@ -285,23 +299,55 @@ class HeadsIndex:
         i = max(range(len(positions)), key=positions.__getitem__)
         return (t.column("id")[i].as_py(), positions[i])
 
-    def _shard_lookup(self, snap: dict, subject: str) -> Optional[tuple[str, int]]:
-        if snap["dir"] is None:
-            return None
+    def _shard_lookup(
+        self, snap: dict, subject: str, _retried: bool = False
+    ) -> Optional[tuple[str, int]]:
+        """One snapshot-shard read. 'Shard empty' and 'snapshot swept
+        under us' are distinct answers: the first means the subject has
+        no below-tail head; the second means nothing — so a read
+        failure re-resolves the pointer and retries once, then falls
+        back to an exact full scan rather than silently reporting 'no
+        head' (which could let an ExpectedLastFact condition falsely
+        succeed)."""
         from .layout import subject_fingerprint
 
-        shard = subject_fingerprint(subject) % snap["shards"]
-        shard_dir = os.path.join(self.root, snap["dir"], f"shard={shard}")
-        files = _parquet_files(shard_dir)
-        if not files:
-            return None
-        ds = pa_ds.dataset(files, schema=SHARD_SCHEMA)
-        t = ds.to_table(
-            columns=["id", "position"], filter=pa_ds.field("subject") == subject
-        )
-        if t.num_rows == 0:
-            return None
-        return (t.column("id")[0].as_py(), t.column("position")[0].as_py())
+        if snap["dir"] is None:
+            # No snapshot was ever expected here (the caller saw dir
+            # None, or it vanished between its pointer read and ours on
+            # the retry): on first entry that's a plain 'no below-tail
+            # source'; on the retry it means the snapshot we failed to
+            # read was swept AND its successor pointer is unreadable —
+            # fall through to the exact fallback.
+            if not _retried:
+                return None
+        else:
+            snap_dir = os.path.join(self.root, snap["dir"])
+            shard = subject_fingerprint(subject) % snap["shards"]
+            try:
+                files = _parquet_files(os.path.join(snap_dir, f"shard={shard}"))
+                if files:
+                    t = pa_ds.dataset(files, schema=SHARD_SCHEMA).to_table(
+                        columns=["id", "position"],
+                        filter=pa_ds.field("subject") == subject,
+                    )
+                    if t.num_rows == 0:
+                        return None
+                    return (t.column("id")[0].as_py(), t.column("position")[0].as_py())
+                if os.path.isdir(snap_dir):
+                    # A shard no folded subject hashes into is never
+                    # written — with the snapshot dir intact, an empty
+                    # shard genuinely means 'subject absent'.
+                    return None
+                raise OSError(f"snapshot dir vanished: {snap_dir}")
+            except OSError:
+                pass  # raced a sweep / partial copy — re-resolve below
+        if not _retried:
+            return self._shard_lookup(self.snap_meta(), subject, _retried=True)
+        # Pointer unreadable twice (or no snapshot after a race): exact
+        # fallback — scan the store for the subject. Returns the GLOBAL
+        # head, a superset of the below-tail answer; lookup()'s
+        # position-compare merge keeps the result exact.
+        return self._max_position_row(self.layout.data_files(), subject)
 
     # -- fold -----------------------------------------------------------
 
@@ -337,26 +383,59 @@ class HeadsIndex:
         if snap["through_seq"] >= target:
             self._sweep_old()
             return {"built": False, "reason": "fresh", "through_seq": snap["through_seq"]}
-        gap_rows = sum(
-            c.rows
+        through = snap["through_seq"]
+        gap = [
+            c
             for c in commits
             if c.rows > 0
             and c.compacted_through is None
-            and snap["through_seq"] < c.seq <= target
-        )
-        if (
-            snap["dir"] is None
-            or ct > snap["through_seq"]
-            or (spark is not None and gap_rows > self.GAP_REBUILD_ROWS)
-        ):
-            # No snapshot, a compaction superseded the gap's files, or
-            # the gap is big enough that the driver-side fold (memory
-            # and CPU O(gap)) loses to one distributed shuffle.
-            out = self._rebuild(target, spark, self._covered_max_position(commits, target))
+            and not c.checkpoint
+            and not c.reserved
+            and through < c.seq <= target
+        ]
+        gap_rows = sum(c.rows for c in gap)
+        # Rebuild only when the incremental fold genuinely cannot run —
+        # the round-13 trigger (`ct > through_seq`) rebuilt on EVERY
+        # compacting maintenance cycle, an O(store) shuffle per cron
+        # tick. A compaction superseding gap commits is fine as long as
+        # their records are still in the log (checkpoint has not folded
+        # them away) and their files are still on disk (compaction keeps
+        # the just-superseded generation at its old paths; only the
+        # PREVIOUS generation is purged) — the fold reads them exactly
+        # as it would live tail files.
+        rebuild_reason = None
+        if snap["dir"] is None:
+            rebuild_reason = "no snapshot"
+        elif spark is not None and gap_rows > self.GAP_REBUILD_ROWS:
+            rebuild_reason = "large gap"
         else:
-            out = self._fold_incremental(
-                snap, target, self._covered_max_position(commits, target)
-            )
+            ckpt = max((c.seq for c in commits if c.checkpoint), default=-1)
+            if ckpt > through:
+                # per-commit records in (through, ckpt] were folded into
+                # the checkpoint summary — the gap is not enumerable
+                rebuild_reason = "checkpoint folded the gap"
+            else:
+                for c in gap:
+                    if c.seq > ct:
+                        continue  # live commit, files guaranteed present
+                    try:
+                        if all(os.path.exists(f) for f in self.layout._files_of(c)):
+                            continue
+                    except OSError:
+                        pass
+                    rebuild_reason = "superseded gap files purged"
+                    break
+        covered_max = self._covered_max_position(commits, target)
+        if rebuild_reason is None:
+            try:
+                out = self._fold_incremental(snap, target, covered_max)
+            except OSError:
+                # a concurrent purge won the race after the existence
+                # check — the rebuild reads the compacted layout instead
+                out = self._rebuild(target, spark, covered_max)
+        else:
+            out = self._rebuild(target, spark, covered_max)
+            out.setdefault("reason", rebuild_reason)
         self._sweep_old()
         return out
 
@@ -365,6 +444,12 @@ class HeadsIndex:
     GAP_REBUILD_ROWS = 2_000_000
 
     def _fold_incremental(self, snap: dict, target: int, covered_max: int) -> dict:
+        """Fold the gap commits' files into the touched shards only.
+        The gap may include compaction-superseded commits — their files
+        stay at their old paths for a full generation (compact.py's
+        purge policy), and ``refresh`` existence-checked them before
+        choosing this path (an OSError from a raced purge falls back to
+        the rebuild there)."""
         gap_files = self.layout.data_files_between(snap["through_seq"], target)
         updates: dict[int, dict[str, tuple[str, int]]] = {}
         n_rows = 0

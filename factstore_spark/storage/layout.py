@@ -92,19 +92,30 @@ def commit_subj_fps(rows: list[dict]) -> Optional[list[int]]:
     return sorted(fps)
 
 
-def files_subject_fps(files: list[str]) -> Optional[list[int]]:
-    """Distinct subject fingerprints of already-written parquet files
-    (the bulk-ingest commit record), streamed with an early bail to
-    None past the cap — never materializes the commit's subjects."""
+def files_subject_fps(
+    files: list[str], row_budget: int = 4_000_000
+) -> Optional[list[int]]:
+    """Distinct subject fingerprints of already-written parquet files,
+    streamed with an early bail to None past the cap AND past a fixed
+    row budget (ADVICE r13: a huge single-subject backfill never
+    crosses the cap, and an unbounded driver-side column read inside a
+    commit path is exactly the cost this summary exists to avoid).
+    Sparkless fallback — the bulk ingest paths compute the same summary
+    as a Spark job riding their validation aggregate (store.py
+    ``_written_subject_fps``)."""
     import pyarrow.compute as pc
 
     fps: set[int] = set()
+    seen = 0
     for f in files:
         pf = pq.ParquetFile(f)
         for batch in pf.iter_batches(columns=["subject"], batch_size=65536):
+            seen += batch.num_rows
             for s in pc.unique(batch.column("subject")).to_pylist():
                 fps.add(subject_fingerprint(s))
             if len(fps) > MAX_SUBJ_FPS:
+                return None
+            if seen > row_budget:
                 return None
     return sorted(fps)
 

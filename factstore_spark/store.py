@@ -150,9 +150,45 @@ def _written_positions_agg(spark, files):
             F.min("position").alias("lo"),
             F.max("position").alias("hi"),
             F.countDistinct("position").alias("nd"),
+            # Subject-cardinality estimate riding the same job (HLL —
+            # no distinct-agg Expand, no extra scan): gates whether the
+            # subj_fps skipping summary is worth computing at all.
+            F.approx_count_distinct("subject").alias("ns"),
         )
         .collect()[0]
     )
+
+
+def _written_subject_fps(spark, files, ns_approx: int):
+    """Distinct subject fingerprints of a written bulk commit (the
+    heads-lookup skipping summary, capped at MAX_SUBJ_FPS), computed as
+    a Spark job over the subject column ONLY when the rider estimate
+    says the commit is plausibly under the cap. The r13 version
+    streamed the subject column of every bulk file on the DRIVER inside
+    the commit path — O(commit) single-threaded work per ingest, the
+    write-path bench regression (VERDICT r13 task #3 / ADVICE)."""
+    from .storage.layout import MAX_SUBJ_FPS
+
+    # HLL rsd is 5% by default; 4x headroom makes a false 'over cap'
+    # (losing only an optional skipping summary, never correctness)
+    # essentially impossible near the 64-subject boundary.
+    if ns_approx > MAX_SUBJ_FPS * 4:
+        return None
+    # Must equal layout.subject_fingerprint: md5 hex prefix (60 bits)
+    # base-16 — the same expression the distributed snapshot rebuild
+    # uses (storage/heads.py _rebuild_spark).
+    fp = F.conv(F.substring(F.md5("subject"), 1, 15), 16, 10).cast("long")
+    rows = (
+        spark.read.schema(FACT_SCHEMA)
+        .parquet(*files)
+        .select(fp.alias("fp"))
+        .distinct()
+        .limit(MAX_SUBJ_FPS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_SUBJ_FPS:
+        return None
+    return sorted(int(r["fp"]) for r in rows)
 
 
 class FactStore:
@@ -554,19 +590,18 @@ class FactStore:
                     seq, 0, appended_at, key, layout.head_position()
                 )
                 return Appended((), appended_at, ())
-            from .storage.layout import files_subject_fps
-
             layout.append_bulk_commit_record(
                 seq,
                 int(agg["n"]),
                 appended_at,
                 key,
                 int(agg["hi"]),
-                # Subject skipping summary for head lookups: streamed,
+                # Subject skipping summary for head lookups: a Spark
+                # job over the subject column, gated by the cardinality
+                # estimate the validation aggregate already computed —
                 # caps out to None (= "must scan until the snapshot
-                # folds this commit") on diverse commits — O(commit
-                # subject column) worst case, O(first batch) typical.
-                subj_fps=files_subject_fps(bulk_files),
+                # folds this commit") on diverse commits.
+                subj_fps=_written_subject_fps(self.spark, bulk_files, int(agg["ns"])),
             )
         return Appended((), appended_at, (int(agg["lo"]), int(agg["hi"])))
 
@@ -690,8 +725,6 @@ class FactStore:
                 f"({n2 - int(agg2['nd'])} duplicates) — "
                 "nondeterministic source plan; materialize the input"
             )
-        from .storage.layout import files_subject_fps
-
         pseq = layout.publish_bulk(
             dir_name,
             int(agg2["n"]),
@@ -700,8 +733,10 @@ class FactStore:
             key,
             # Subject skipping summary for head lookups (heads are
             # log-derived; the publish record is the only per-subject
-            # state this path ever writes, and it is capped).
-            subj_fps=files_subject_fps(files),
+            # state this path ever writes, and it is capped) — Spark
+            # job gated by the validation aggregate's estimate, not a
+            # driver-side column stream.
+            subj_fps=_written_subject_fps(self.spark, files, int(agg2["ns"])),
         )
         if pseq is None:
             import shutil
@@ -1504,12 +1539,29 @@ class FactStore:
         meta = self.catalog.find_by_name(store_name)
         if meta is None:
             return StoreNotFound(store_name)
+        # Fold the heads snapshot BEFORE compacting: the incremental
+        # fold reads the live tail commits' own small files; compacting
+        # first supersedes them mid-cycle and (r13 defect) forced an
+        # O(store) rebuild every compacting tick. The post-compact
+        # refresh is then a pointer-only re-align in the common case
+        # (through_seq catches up to compacted_through so lookups stay
+        # on the shard path) and an incremental fold over any commit
+        # that raced in between the two steps — never a rebuild, since
+        # the raced commits' files survive compaction on disk. Both run
+        # BEFORE checkpoint, which drops the per-commit records the
+        # fold enumerates.
+        heads_pre = self.refresh_heads_snapshot(store_name)
         steps = {
             "compact": self.compact(store_name, target_partitions),
-            "checkpoint": self.checkpoint(store_name),
-            "tag_index": self.refresh_tag_index(store_name),
-            "heads_snapshot": self.refresh_heads_snapshot(store_name),
         }
+        heads_post = self.refresh_heads_snapshot(store_name)
+        steps["heads_snapshot_pre"] = heads_pre
+        steps["heads_snapshot_post"] = heads_post
+        pre_built = isinstance(heads_pre, dict) and heads_pre.get("built")
+        post_built = isinstance(heads_post, dict) and heads_post.get("built")
+        steps["heads_snapshot"] = heads_post if (post_built or not pre_built) else heads_pre
+        steps["checkpoint"] = self.checkpoint(store_name)
+        steps["tag_index"] = self.refresh_tag_index(store_name)
         # The id index is opt-in (built once via build_id_index); when
         # present and invalidated by this pass's compaction, rebuild it
         # so point lookups stay on the fast path between crons. A

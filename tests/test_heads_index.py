@@ -336,3 +336,139 @@ def test_late_published_reservation_does_not_shadow_newer_head(spark, store_root
     # while a subject ONLY in the bulk resolves normally
     rows2 = lay.last_fact_of_subject("S")  # stability double-check
     assert rows2 == true_head
+
+
+# ---------------------------------------------------------------------------
+# Round-14: incremental folds across compaction (VERDICT r13 task #1)
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_cycles_never_rebuild_heads(fs):
+    """The r13 scale defect: maintain() compacted FIRST, superseding the
+    tail files the incremental fold needed, so every compacting
+    maintenance cycle forced a full O(store) heads rebuild. With the
+    fold reordered before compact (plus the cheap post-compact
+    re-align), repeated maintain cycles with new data + compaction must
+    report incremental/pointer-only modes — never rebuild."""
+    fs.create(STORE)
+    for i in range(4):
+        fs.append(STORE, fi(f"C:init:{i}", i))
+    first = fs.refresh_heads_snapshot(STORE)
+    assert first["built"] and first["mode"].startswith("rebuild")  # initial build only
+    heads = {}
+    for cycle in range(2):
+        for i in range(5):
+            r = fs.append(STORE, fi(f"C:{cycle}:{i}", i))
+            heads[f"C:{cycle}:{i}"] = r.fact_ids[0]
+        steps = fs.maintain(STORE)
+        assert steps["compact"].get("compacted"), steps["compact"]
+        pre = steps["heads_snapshot_pre"]
+        assert pre["built"] and pre["mode"] == "incremental", (cycle, pre)
+        post = steps["heads_snapshot_post"]
+        assert not str(post.get("mode", "")).startswith("rebuild"), (cycle, post)
+        lay = _layout(fs)
+        idx = HeadsIndex(lay)
+        snap = idx.snap_meta()
+        commits = lay.read_commits()
+        ct = max(
+            (c.compacted_through for c in commits if c.compacted_through is not None),
+            default=-1,
+        )
+        # snapshot horizon at/above the compaction horizon: lookups stay
+        # on the shard path, never the compacted-layout scan
+        assert snap["through_seq"] >= ct, (snap, ct)
+    for s, fid in heads.items():
+        assert _layout(fs).last_fact_of_subject(s)[0] == fid, s
+
+
+def test_refresh_incremental_over_superseded_on_disk_files(fs):
+    """A commit that lands between the heads fold and a compaction is
+    superseded with its files still on disk (compact keeps the current
+    generation at its old paths) — the next refresh folds it
+    incrementally instead of rebuilding."""
+    fs.create(STORE)
+    for i in range(4):
+        fs.append(STORE, fi(f"R:{i}", i))
+    fs.refresh_heads_snapshot(STORE)
+    r = fs.append(STORE, fi("R:raced", 9))  # lands after the fold
+    out = fs.compact(STORE)  # supersedes it; files survive on disk
+    assert out.get("compacted"), out
+    res = fs.refresh_heads_snapshot(STORE)
+    assert res["built"] and res["mode"] == "incremental", res
+    lay = _layout(fs)
+    assert lay.last_fact_of_subject("R:raced")[0] == r.fact_ids[0]
+    idx = HeadsIndex(lay)
+    commits = lay.read_commits()
+    ct = max(
+        (c.compacted_through for c in commits if c.compacted_through is not None),
+        default=-1,
+    )
+    assert idx.snap_meta()["through_seq"] >= ct
+
+
+def test_checkpoint_folded_gap_forces_rebuild(fs):
+    """When a checkpoint has folded away per-commit records the snapshot
+    never saw, the gap is not enumerable — refresh must detect it and
+    rebuild (with the reason surfaced), never fold a partial gap."""
+    fs.create(STORE)
+    for i in range(3):
+        fs.append(STORE, fi(f"K:{i}", i))
+    fs.refresh_heads_snapshot(STORE)
+    r = fs.append(STORE, fi("K:raced", 7))
+    assert fs.compact(STORE).get("compacted")
+    assert fs.checkpoint(STORE).get("checkpointed")  # drops the raced record
+    res = fs.refresh_heads_snapshot(STORE)
+    assert res["built"] and res["mode"].startswith("rebuild"), res
+    assert res.get("reason") == "checkpoint folded the gap", res
+    lay = _layout(fs)
+    assert lay.last_fact_of_subject("K:raced")[0] == r.fact_ids[0]
+
+
+def test_sweep_waits_for_supersession_not_creation(fs):
+    """ADVICE r13: the 1 h reap grace must count from when a snapshot
+    dir was SUPERSEDED, not from its creation — folds running less
+    often than hourly must not reap the old dir the instant a new
+    pointer publishes (a reader may still be on it)."""
+    import time
+
+    fs.create(STORE)
+    fs.append(STORE, fi("W:1", 1))
+    lay = _layout(fs)
+    idx = HeadsIndex(lay)
+    idx.refresh()
+    dir_a = idx.snap_meta()["dir"]
+    p_a = os.path.join(idx.root, dir_a)
+    old = time.time() - 7200
+    os.utime(p_a, (old, old))  # created >1h ago, still live
+    fs.append(STORE, fi("W:2", 2))
+    out = idx.refresh()
+    assert out["built"], out
+    assert idx.snap_meta()["dir"] != dir_a
+    assert os.path.isdir(p_a), (
+        "superseded dir reaped immediately (grace counted from creation, "
+        "not supersession)"
+    )
+    os.utime(p_a, (old, old))  # now: superseded >1h ago
+    idx._sweep_old()
+    assert not os.path.isdir(p_a)
+
+
+def test_shard_lookup_survives_raced_sweep(fs):
+    """ADVICE r13: a lookup that resolved the old pointer just before a
+    sweep reaped its dir must re-resolve and answer exactly — never
+    silently report 'no head' (which could let an ExpectedLastFact
+    condition falsely succeed: a lost update)."""
+    import shutil
+
+    fs.create(STORE)
+    r1 = fs.append(STORE, fi("V:1", 1))
+    lay = _layout(fs)
+    idx = HeadsIndex(lay)
+    idx.refresh()
+    stale = idx.snap_meta()
+    fs.append(STORE, fi("V:2", 2))
+    idx.refresh()  # publishes a new snapshot dir
+    assert idx.snap_meta()["dir"] != stale["dir"]
+    shutil.rmtree(os.path.join(idx.root, stale["dir"]))  # the raced sweep
+    got = idx._shard_lookup(stale, "V:1")
+    assert got is not None and got[0] == r1.fact_ids[0]
