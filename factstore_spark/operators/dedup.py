@@ -515,6 +515,24 @@ def shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
 
 
+def md5_shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct shingle hashes per doc from an md5 prefix instead of
+    xxhash64 — same distribution properties, but ENGINE-NEUTRAL: any
+    SQL engine with md5() replays the exact values, which is what lets
+    the registry's LSH entries be hash-verified against DuckDB
+    (xxhash64 exists only in Spark). 60-bit hex prefix reduced mod the
+    MinHash prime so the (a*h + b) % p signature math stays inside
+    int64 in both engines."""
+    sh = F.array_distinct(shingles_col(text_col, n))
+    return F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """The seeded (a, b) universal-hash family — SHARED by the JVM and
     numpy signature paths; signature parity depends on this being the
@@ -616,13 +634,24 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     verify_jaccard: float | None = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded MinHash-LSH candidate pairs, optionally verified with the
     estimated Jaccard (signature agreement rate).
 
     shingle -> minhash (map-only) -> explode b bands -> groupBy
     (band, band_hash) self-join -> distinct pairs. Shuffle is
-    O(docs*bands), never O(docs^2)."""
+    O(docs*bands), never O(docs^2).
+
+    ``hash_fn="md5"`` swaps the shingle hash for the engine-neutral md5
+    prefix and the band bucket key for the literal signature slice
+    (instead of a murmur3 of it) — every value then replays in any SQL
+    engine, which is how the registry's ``dedup_minhash_lsh`` entry is
+    hash-verified against DuckDB. Identical banding semantics and
+    shuffle shape; xxhash64 stays the library default (faster JVM-side
+    hashing, no replay requirement)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of "
@@ -632,22 +661,33 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     df = _spread(df)
+    hashes = (
+        md5_shingle_hashes_col(text_col, n)
+        if hash_fn == "md5"
+        else shingle_hashes_col(text_col, n)
+    )
     sig = _scoped_cache(
-        df.select(F.col(id_col).alias("_id"), shingle_hashes_col(text_col, n).alias("_h"))
+        df.select(F.col(id_col).alias("_id"), hashes.alias("_h"))
         .select("_id", minhash_sig_np("_h", num_hashes, seed).alias("sig"))
     )  # reused across all bands within THIS plan; Spark evicts LRU
     # under memory pressure. Lifecycle: run inside signature_cache_scope
     # to release the cache deterministically (many-corpora sessions);
     # otherwise spark.catalog.clearCache() remains the fallback.
+
+    def band_key(i: int) -> Column:
+        sl = F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+        if hash_fn == "md5":
+            # literal slice as the bucket key: replayable in any engine
+            # (murmur3 F.hash is Spark-only); same equality semantics
+            return F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+        return F.hash(sl)
+
     banded = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bh"),
-                    )
+                    F.struct(F.lit(i).alias("band"), band_key(i).alias("bh"))
                     for i in range(bands)
                 ]
             )
@@ -1134,15 +1174,29 @@ def incremental_minhash_pairs(
     )
 
 
-def simhash_col(text_col: str = "text", bits: int = 64) -> Column:
+def simhash_col(
+    text_col: str = "text", bits: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
     """64-bit SimHash: per-token xxhash64, sum of +1/-1 per bit, sign ->
     bit. Built as one SQL higher-order expression (the SQL surface
     allows column-valued shift amounts, the Python ``shiftleft`` API
     does not). Single fold over the token hashes accumulating the
     64-bit vote vector, then one pass assembling the sign bits — the
     hash array is the fold INPUT, evaluated once per row (inlining it
-    in the per-bit lambda re-hashed every token 64x)."""
-    hashes = f"transform(array_distinct(split(lower({text_col}), '\\\\s+')), t -> xxhash64(t))"
+    in the per-bit lambda re-hashed every token 64x).
+
+    ``hash_fn="md5"``: engine-neutral token hash (60-bit md5 hex
+    prefix — bits 60-63 of the fingerprint are then constant-zero,
+    harmless to Hamming distances and banding) so any SQL engine
+    replays the fingerprints exactly; used by the hash-verified
+    registry entry. xxhash64 stays the library default."""
+    if hash_fn == "md5":
+        token_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    elif hash_fn == "xxhash64":
+        token_hash = "xxhash64(t)"
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    hashes = f"transform(array_distinct(split(lower({text_col}), '\\\\s+')), t -> {token_hash})"
     return F.expr(
         f"""
         aggregate(
@@ -1220,11 +1274,14 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance <= ``max_hamming`` via the
     pigeonhole banding trick: split 64 bits into ``chunks`` 16-bit
     chunks; any pair within distance < chunks must agree on >= 1 chunk,
-    so exact-match joins per chunk find all candidates sub-quadratically."""
+    so exact-match joins per chunk find all candidates sub-quadratically.
+    ``hash_fn="md5"`` makes the fingerprints engine-neutral (see
+    ``simhash_col``) for oracle replay; xxhash64 is the default."""
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
     if max_hamming >= chunks:
@@ -1236,7 +1293,8 @@ def simhash_near_dup_pairs(
         chunks = next(c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming)
     sim = _scoped_cache(
         _spread(df).select(
-            F.col(id_col).alias("_id"), simhash_col(text_col).alias("sim")
+            F.col(id_col).alias("_id"),
+            simhash_col(text_col, hash_fn=hash_fn).alias("sim"),
         )
     )  # reused per chunk-join; same lifecycle note as the MinHash
     # signature cache above (signature_cache_scope / clearCache)

@@ -709,6 +709,7 @@ def pq_topk(
     seed: int = 42,
     codebooks: list | None = None,
     refine: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse IVF cells bound the candidate
     set, PQ codes bound the MEMORY — candidates are scored from m-byte
@@ -734,7 +735,12 @@ def pq_topk(
         codebooks = train_pq_codebooks(
             corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col, seed=seed
         )
-    C = _sample_centroids(corpus, n_cells, id_col, vec_col, seed)
+    # caller-supplied coarse cells (k-means-trained or oracle-seeded),
+    # unit-normalized like every IVF site; default: seeded sample
+    if centroids is None:
+        C = _sample_centroids(corpus, n_cells, id_col, vec_col, seed)
+    else:
+        C = _unit_rows(centroids)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(_centroid_cells_col(F.col(vec_col), C, 1), 1).alias("cell"),

@@ -696,3 +696,46 @@ def test_maintain_minhash_index_one_call(spark, tmp_path):
     assert orphan2 in rep3["removed_orphans"]
     assert rep3["after"]["n_segments"] == 1
     assert rep3["after"]["n_orphan_segments"] == 0
+
+
+def test_minhash_lsh_md5_mode_matches_default_semantics(corpus):
+    """hash_fn='md5' (the oracle-replayable registry mode) changes only
+    the hash family and band-key encoding — the planted exact/near dups
+    must surface identically, and a bogus hash_fn must raise."""
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(
+            corpus, verify_jaccard=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] >= 0.5
+    assert (0, 3) not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        D.minhash_lsh_pairs(corpus, hash_fn="sha1")
+
+
+def test_simhash_md5_mode_matches_default_semantics(corpus):
+    """md5 token hashing (60-bit, top bits constant-zero) preserves the
+    SimHash contract: identical docs at distance 0, fingerprints
+    confined to 60 bits, bogus hash_fn raises."""
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_dup_pairs(
+            corpus, max_hamming=16, hash_fn="md5"
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    sims = [
+        r.sim
+        for r in corpus.select(
+            D.simhash_col("text", hash_fn="md5").alias("sim")
+        ).collect()
+    ]
+    assert all(0 <= s < (1 << 60) for s in sims)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        D.simhash_col("text", hash_fn="sha1")

@@ -901,3 +901,25 @@ def test_ivf_legacy_index_retired_on_first_versioned_rebuild(spark, tmp_path):
     names3 = {t["name"] for t in head3.get("retired", [])}
     assert "assignments" not in names3
     assert "centroids.json" in names3  # its file still exists, still tracked
+
+
+def test_pq_topk_caller_centroids_override(spark):
+    """pq_topk accepts caller-supplied coarse cells (the oracle-seeded
+    registry path and the trained-cells path share it): results must
+    keep the (rank dense from 1, no self-match) contract and still
+    surface an exactly-duplicated vector at rank 1."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((999, list(rows[0][1])))  # exact twin of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [rows[i][1] for i in range(4)]  # arbitrary caller cells
+    q = df.filter("vec_id = 0")
+    out = S.pq_topk(
+        df, q, k=5, m=4, n_codes=8, n_cells=4, n_probe=4, centroids=cents
+    ).collect()
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(ranks) + 1))
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert [r.neighbor_id for r in out if r.rank == 1] == [999]
