@@ -123,7 +123,14 @@ def _run_soak(backend: str, writers: int = WRITERS, per_writer: int = PER_WRITER
     return root, results
 
 
-def _assert_soak(backend, root, results, writers=WRITERS, per_writer=PER_WRITER):
+def _assert_soak(
+    backend,
+    root,
+    results,
+    writers=WRITERS,
+    per_writer=PER_WRITER,
+    enforce_p99=True,
+):
     # completion — no starvation, no retry exhaustion
     assert all(r["ok"] == per_writer for r in results), results
     # integrity from a fresh handle: exact row count, unique positions
@@ -153,9 +160,12 @@ def _assert_soak(backend, root, results, writers=WRITERS, per_writer=PER_WRITER)
     if mean_r > 1:
         worst = max(r["retries"] for r in results)
         assert worst <= 4 * mean_r + per_writer * 0.1, results
-    # tail latency
+    # tail latency — enforcement is the caller's call: correctness
+    # asserts above ALWAYS run; the wall-clock bound goes through the
+    # rerun adjudication below when ambient load may be the cause
     worst_p99 = max(r["p99"] for r in results)
-    assert worst_p99 < 2.0, f"p99 {worst_p99:.3f}s under soak"
+    if enforce_p99:
+        assert worst_p99 < P99_BOUND_S, f"p99 {worst_p99:.3f}s under soak"
     return {
         "retries_per_commit": round(per_commit, 3),
         "p50_ms": round(sorted(r["p50"] for r in results)[writers // 2] * 1e3, 1),
@@ -163,11 +173,35 @@ def _assert_soak(backend, root, results, writers=WRITERS, per_writer=PER_WRITER)
     }
 
 
+P99_BOUND_S = 2.0
+
+
+def _soak_adjudicated(backend, per_writer=PER_WRITER):
+    """Run + assert one soak with the bench's rerun-on-breach rule
+    (VERDICT r13 task #4): correctness (completion, integrity, retry
+    amplification, fairness) is enforced unconditionally on the FIRST
+    run — ambient load never excuses a lost update. Only when the
+    wall-clock p99 bound breaches is the soak re-run once after a
+    settle, and the rerun must meet the bound — a slow host window
+    shows up as breach-then-pass; a real protocol regression fails
+    both runs."""
+    root, results = _run_soak(backend, per_writer=per_writer)
+    stats = _assert_soak(
+        backend, root, results, per_writer=per_writer, enforce_p99=False
+    )
+    if stats["worst_p99_ms"] < P99_BOUND_S * 1e3:
+        return stats
+    time.sleep(2.0)
+    root2, results2 = _run_soak(backend, per_writer=per_writer)
+    stats2 = _assert_soak(backend, root2, results2, per_writer=per_writer)
+    stats2["adjudicated"] = {"first_run_p99_ms": stats["worst_p99_ms"]}
+    return stats2
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("substrate", ["optimistic", "optimistic+excl"])
 def test_contention_soak_filesystem_substrates(substrate):
-    root, results = _run_soak(substrate)
-    stats = _assert_soak(substrate, root, results)
+    stats = _soak_adjudicated(substrate)
     print(f"\n[soak {substrate}] {stats}")
 
 
@@ -180,8 +214,42 @@ def test_contention_soak_objstore():
     try:
         # conditional-PUT RPCs per attempt make this substrate the
         # slowest; half the per-writer volume keeps the soak < ~2 min
-        root, results = _run_soak(spec, per_writer=PER_WRITER // 2)
-        stats = _assert_soak(spec, root, results, per_writer=PER_WRITER // 2)
+        stats = _soak_adjudicated(spec, per_writer=PER_WRITER // 2)
         print(f"\n[soak objstore] {stats}")
     finally:
         srv.stop()
+
+
+@pytest.mark.slow
+def test_contention_soak_survives_ambient_load():
+    """VERDICT r13 task #4 'done' check: the p99 assert once failed CI
+    purely because parallel jobs were stealing CPUs. Reproduce that
+    deliberately — CPU burners take ~half the box during the first
+    soak — and require (a) every correctness invariant to hold UNDER
+    load (ambient load must never excuse a lost update or starvation),
+    and (b) the adjudication to settle the latency verdict on a clean
+    rerun once the load is gone."""
+    n_burn = max(2, (os.cpu_count() or 4) // 2)
+    burners = [
+        subprocess.Popen(
+            [sys.executable, "-c", "while True:\n pass"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n_burn)
+    ]
+    try:
+        root, results = _run_soak("optimistic")
+        stats = _assert_soak("optimistic", root, results, enforce_p99=False)
+    finally:
+        for p in burners:
+            p.kill()
+        for p in burners:
+            p.wait()
+    if stats["worst_p99_ms"] >= P99_BOUND_S * 1e3:
+        # latency breached under deliberate load — the clean rerun is
+        # the verdict, exactly what CI does for an ambient-load breach
+        time.sleep(2.0)
+        root2, results2 = _run_soak("optimistic")
+        stats = _assert_soak("optimistic", root2, results2)
+    print(f"\n[soak under-load adjudication] {stats}")
