@@ -1601,6 +1601,9 @@ def _build_codecs():
         second_track: bool = False,
         sync_every: int = 1,
         mark_fragment_sync: bool = False,
+        ctts_pattern: Optional[list] = None,
+        elst_media_time: Optional[int] = None,
+        elst_empty: int = 0,
     ) -> bytes:
         """Structurally valid ISO BMFF file: ftyp + moov (mvhd, one
         video trak with full stbl sample tables) + mdat holding
@@ -1631,7 +1634,18 @@ def _build_codecs():
         'soun' track whose traf comes FIRST in each moof while the
         video traf's tfhd has NEITHER base-data-offset NOR
         default-base-is-moof, forcing the spec's previous-traf-data-end
-        base fallback (ISO 14496-12 8.8.7.1)."""
+        base fallback (ISO 14496-12 8.8.7.1).
+
+        Round-14 timing shapes (VERDICT r13 task #6): ``ctts_pattern``
+        authors per-sample composition offsets (media-timescale ticks,
+        cycled over the pattern) — a ctts v1 box in the plain layout
+        (ISO 14496-12 8.6.1.3), per-sample composition-time offsets in
+        a version-1 trun for fragments; ``elst_media_time`` /
+        ``elst_empty`` author an edts/elst edit list (8.6.6): an
+        optional leading EMPTY edit of ``elst_empty`` movie-timescale
+        ticks (media_time -1, the delayed-start shape) followed by the
+        presentation edit starting at ``elst_media_time`` media ticks
+        (how real muxers cancel the B-frame ctts lead)."""
         n = len(samples)
         if duration_source not in ("mvhd", "mehd", "fragments"):
             raise ValueError(f"unknown duration_source {duration_source!r}")
@@ -1698,6 +1712,27 @@ def _build_codecs():
                 + avcc,
             )
             stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+            # edit list (ISO 14496-12 8.6.6): optional leading empty
+            # edit (media_time -1, duration in MOVIE ticks), then the
+            # presentation edit from elst_media_time (MEDIA ticks) for
+            # the full duration; media_rate fixed 1.0
+            edts = b""
+            if elst_media_time is not None or elst_empty:
+                entries_e = []
+                if elst_empty:
+                    entries_e.append((int(elst_empty), -1))
+                entries_e.append((real_duration, int(elst_media_time or 0)))
+                edts = _box(
+                    b"edts",
+                    _fullbox(
+                        b"elst", 0, 0,
+                        struct.pack(">I", len(entries_e))
+                        + b"".join(
+                            struct.pack(">Ii", d_, m_) + struct.pack(">hh", 1, 0)
+                            for d_, m_ in entries_e
+                        ),
+                    ),
+                )
             if fragmented:
                 # empty sample tables: every sample lives in fragments
                 stts = _fullbox(b"stts", 0, 0, struct.pack(">I", 0))
@@ -1713,7 +1748,7 @@ def _build_codecs():
                 dinf = _box(b"dinf", dref)
                 minf = _box(b"minf", vmhd + dinf + stbl)
                 mdia = _box(b"mdia", mdhd + hdlr + minf)
-                trak = _box(b"trak", tkhd + mdia)
+                trak = _box(b"trak", tkhd + edts + mdia)
                 trex = _fullbox(
                     b"trex", 0, 0,
                     struct.pack(">IIIII", 1, 1, frame_delta, 0, 0),
@@ -1816,7 +1851,25 @@ def _build_codecs():
                     struct.pack(">I", len(ks))
                     + b"".join(struct.pack(">I", k) for k in ks),
                 )
-            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+            ctts = b""
+            if ctts_pattern:
+                # run-length-compressed composition offsets, version 1
+                # (SIGNED — what B-frame muxers emit, 8.6.1.3)
+                offs_ts = [
+                    int(ctts_pattern[i % len(ctts_pattern)]) for i in range(n)
+                ]
+                cruns: list[list[int]] = []
+                for o in offs_ts:
+                    if cruns and cruns[-1][1] == o:
+                        cruns[-1][0] += 1
+                    else:
+                        cruns.append([1, o])
+                ctts = _fullbox(
+                    b"ctts", 1, 0,
+                    struct.pack(">I", len(cruns))
+                    + b"".join(struct.pack(">Ii", c, o) for c, o in cruns),
+                )
+            stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
             vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
             dref = _fullbox(
                 b"dref", 0, 0,
@@ -1825,7 +1878,7 @@ def _build_codecs():
             dinf = _box(b"dinf", dref)
             minf = _box(b"minf", vmhd + dinf + stbl)
             mdia = _box(b"mdia", mdhd + hdlr + minf)
-            trak = _box(b"trak", tkhd + mdia)
+            trak = _box(b"trak", tkhd + edts + mdia)
             return _box(b"moov", mvhd + trak)
 
         if fragmented:
@@ -1870,6 +1923,8 @@ def _build_codecs():
                     tr_flags = 0x000201
                     if trun_sample_durations:
                         tr_flags |= 0x900
+                    if ctts_pattern:
+                        tr_flags |= 0x800
                     if mark_fragment_sync:
                         tr_flags |= 0x04
                     trun_payload = struct.pack(">I", len(frag))
@@ -1877,13 +1932,22 @@ def _build_codecs():
                     if mark_fragment_sync:
                         # I-frame: depends-on=2, non-sync bit CLEAR
                         trun_payload += struct.pack(">I", 0x02000000)
-                    for x in frag:
+                    for j, x in enumerate(frag):
                         if trun_sample_durations:
                             trun_payload += struct.pack(">I", frame_delta)
                         trun_payload += struct.pack(">I", len(x))
-                        if trun_sample_durations:
+                        if ctts_pattern:
+                            # per-sample composition offset, SIGNED
+                            # (trun version 1 below)
+                            trun_payload += struct.pack(
+                                ">i",
+                                int(ctts_pattern[(i + j) % len(ctts_pattern)]),
+                            )
+                        elif trun_sample_durations:
                             trun_payload += struct.pack(">I", 0)  # cts
-                    trun = _fullbox(b"trun", 0, tr_flags, trun_payload)
+                    trun = _fullbox(
+                        b"trun", 1 if ctts_pattern else 0, tr_flags, trun_payload
+                    )
                 else:
                     if second_track:
                         raise ValueError(
@@ -2021,11 +2085,11 @@ def _build_codecs():
             )
             return tkhd, mdia, h
 
-        tkhd = mdia = handler = None
+        tkhd = mdia = handler = sel_tk = None
         for tk in traks:
             tkhd_c, mdia_c, h_c = _trak_parts(tk)
             if handler is None or (h_c == "vide" and handler != "vide"):
-                tkhd, mdia, handler = tkhd_c, mdia_c, h_c
+                tkhd, mdia, handler, sel_tk = tkhd_c, mdia_c, h_c, tk
             if handler == "vide":
                 break
         # track_ID sits after version/flags + creation + modification:
@@ -2075,6 +2139,77 @@ def _build_codecs():
                 idx - 1
                 for idx in struct.unpack(f">{n_sync}I", data[stss[0] + 8 : need])
             }
+        # decode timing (stts, 8.6.1.2): per-sample deltas in MEDIA
+        # ticks; absent/short tables degrade to the last delta (or 0)
+        # so timing never blocks the demux itself
+        stts_b = _find_box(data, stbl[0], stbl[1], b"stts")
+        deltas: list = []
+        if stts_b is not None:
+            (n_tt,) = struct.unpack(">I", data[stts_b[0] + 4 : stts_b[0] + 8])
+            need = stts_b[0] + 8 + 8 * n_tt
+            if need > stts_b[1]:
+                raise ValueError("truncated stts table")
+            for ti in range(n_tt):
+                cnt_t, delta_t = struct.unpack(
+                    ">II", data[stts_b[0] + 8 + 8 * ti : stts_b[0] + 16 + 8 * ti]
+                )
+                deltas.extend([delta_t] * cnt_t)
+        # composition offsets (ctts, 8.6.1.3): v0 unsigned, v1 SIGNED
+        # (the B-frame shape); absent = zero offsets (cts == dts)
+        ctts_b = _find_box(data, stbl[0], stbl[1], b"ctts")
+        cto_list: list = []
+        if ctts_b is not None:
+            ct_ver = data[ctts_b[0]]
+            (n_ct,) = struct.unpack(">I", data[ctts_b[0] + 4 : ctts_b[0] + 8])
+            need = ctts_b[0] + 8 + 8 * n_ct
+            if need > ctts_b[1]:
+                raise ValueError("truncated ctts table")
+            fmt = ">Ii" if ct_ver == 1 else ">II"
+            for ti in range(n_ct):
+                cnt_c, off_c = struct.unpack(
+                    fmt, data[ctts_b[0] + 8 + 8 * ti : ctts_b[0] + 16 + 8 * ti]
+                )
+                cto_list.extend([off_c] * cnt_c)
+        # edit list (edts/elst, 8.6.6) on the SELECTED trak: leading
+        # empty edits (media_time -1, movie ticks) delay the timeline;
+        # the first real edit's media_time shifts it earlier — the two
+        # knobs a player applies before presenting cts
+        elst_media_time = 0
+        elst_empty_media = 0
+        edts_b = _find_box(data, sel_tk[0], sel_tk[1], b"edts")
+        if edts_b is not None:
+            elst_b = _find_box(data, edts_b[0], edts_b[1], b"elst")
+            if elst_b is not None:
+                el_ver = data[elst_b[0]]
+                (n_ed,) = struct.unpack(
+                    ">I", data[elst_b[0] + 4 : elst_b[0] + 8]
+                )
+                p_e = elst_b[0] + 8
+                entry_sz = (16 if el_ver == 1 else 8) + 4
+                if p_e + entry_sz * n_ed > elst_b[1]:
+                    raise ValueError("truncated elst table")
+                found_edit = False
+                for _ in range(n_ed):
+                    if el_ver == 1:
+                        seg_d, med_t = struct.unpack(
+                            ">Qq", data[p_e : p_e + 16]
+                        )
+                    else:
+                        seg_d, med_t = struct.unpack(
+                            ">Ii", data[p_e : p_e + 8]
+                        )
+                    p_e += entry_sz
+                    if found_edit:
+                        continue
+                    if med_t == -1:
+                        # empty edit: movie ticks -> media ticks
+                        if timescale:
+                            elst_empty_media += (
+                                seg_d * media_timescale
+                            ) // timescale
+                    else:
+                        elst_media_time = med_t
+                        found_edit = True
         fixed, count = struct.unpack(">II", data[stsz[0] + 4 : stsz[0] + 12])
         if fixed:
             sizes = [fixed] * count
@@ -2137,6 +2272,19 @@ def _build_codecs():
         keyframes = [
             i for i in range(count) if sync_set is None or i in sync_set
         ]
+        # per-sample decode/composition stamps for the moov samples
+        # (media ticks); fragments continue the dts clock below
+        if len(deltas) < count:
+            deltas.extend([deltas[-1] if deltas else 0] * (count - len(deltas)))
+        if len(cto_list) < count:
+            cto_list.extend([0] * (count - len(cto_list)))
+        sample_dts: list = []
+        sample_cts: list = []
+        cur_dts = 0
+        for si2 in range(count):
+            sample_dts.append(cur_dts)
+            sample_cts.append(cur_dts + cto_list[si2])
+            cur_dts += deltas[si2]
         # Movie-extends defaults (ISO 14496-12 8.8.2-8.8.3): per-track
         # trex fallbacks for fragment sample duration/size, plus mehd's
         # whole-presentation fragment_duration — the duration source
@@ -2278,7 +2426,14 @@ def _build_codecs():
                         if tr_flags & 0x400:  # sample-flags
                             (flags,) = struct.unpack(">I", data[q : q + 4])
                             q += 4
+                        cto = 0
                         if tr_flags & 0x800:  # composition-time offset
+                            # trun v0: unsigned; v1: SIGNED (8.8.8.1 —
+                            # the B-frame fMP4 shape)
+                            if data[ta] == 0:
+                                (cto,) = struct.unpack(">I", data[q : q + 4])
+                            else:
+                                (cto,) = struct.unpack(">i", data[q : q + 4])
                             q += 4
                         if pos + sz > len(data):
                             raise ValueError("MP4 fragment sample past EOF")
@@ -2289,6 +2444,9 @@ def _build_codecs():
                             sizes.append(sz)
                             count += 1
                             frag_duration += dur or 0
+                            sample_dts.append(cur_dts)
+                            sample_cts.append(cur_dts + cto)
+                            cur_dts += dur or 0
                         pos += sz
                         if traf_end is None or pos > traf_end:
                             traf_end = pos
@@ -2325,6 +2483,21 @@ def _build_codecs():
             # samples when neither is authored — the spec default).
             # The keyframe-sampling surface a video pipeline reads.
             "keyframe_indices": keyframes,
+            # presentation timing (round 14, ISO 14496-12 8.6.1.2/
+            # 8.6.1.3/8.6.6, all in MEDIA ticks, demux order): decode
+            # stamps from stts (trun/tfhd durations for fragments),
+            # composition stamps cts = dts + ctts/trun offset, and
+            # presentation stamps pts = cts - elst media_time + the
+            # leading empty-edit delay — what a frame-accurate video
+            # pipeline must stamp rows with (B-frames make pts != dts
+            # order; edits shift the whole timeline).
+            "sample_dts": sample_dts,
+            "sample_cts": sample_cts,
+            "sample_pts": [
+                c - elst_media_time + elst_empty_media for c in sample_cts
+            ],
+            "elst_media_time": elst_media_time,
+            "elst_empty_media": elst_empty_media,
         }
 
     def mp4_decode_frames(data: bytes):

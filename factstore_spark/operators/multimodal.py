@@ -1216,3 +1216,135 @@ def synth_jpeg_corpus(
     return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
         run, schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: presentation timing (ctts + elst — VERDICT r13 task #6)
+# ---------------------------------------------------------------------------
+
+
+def synth_mp4_timing_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids -> REAL containers with authored PRESENTATION TIMING: ctts
+    composition offsets (the B-frame reorder shape, ISO 14496-12
+    8.6.1.3) and edts/elst edit lists (8.6.6) — even ids as the plain
+    layout (ctts v1 box), odd ids as fragments (per-sample SIGNED
+    composition offsets in a version-1 trun). Deterministic rules the
+    oracle replays arithmetically:
+
+      frame_delta 40 @ timescale 1000, nf = 8 + d % 25 samples,
+      composition offset of sample i = 40 * ((d + i) % 3),
+      elst media_time = 40 * (d % 3),
+      a leading empty edit of 40 movie ticks when d % 5 == 0.
+
+    The offset cycle makes pts non-monotone in decode order (one
+    inversion per cycle wrap) — exactly what a pipeline that stamped
+    rows with dts instead of pts would get wrong."""
+    from .codecs import _build_codecs
+
+    mp4_enc = _build_codecs()["mp4_encode_stub"]
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("data", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                w, h = 16 * (2 + d % 5), 16 * (2 + d % 4)
+                nf = 8 + d % 25
+                samples = []
+                for i in range(nf):
+                    size = 50 + (d + i) % 40
+                    a = (d * 31 + i * 7) % 251
+                    samples.append(bytes((a + j) % 251 for j in range(size)))
+                ids.append(d)
+                # offset of GLOBAL sample i is pattern[i % 3] with
+                # pattern[k] = 40 * ((d + k) % 3)
+                pattern = [40 * ((d + k) % 3) for k in range(3)]
+                kw = dict(
+                    ctts_pattern=pattern,
+                    elst_media_time=40 * (d % 3),
+                    elst_empty=40 if d % 5 == 0 else 0,
+                )
+                if d % 2 == 0:
+                    blobs.append(mp4_enc(samples, w, h, n_chunks=1 + d % 3, **kw))
+                else:
+                    blobs.append(
+                        mp4_enc(
+                            samples, w, h, fragmented=True,
+                            samples_per_fragment=2 + d % 4,
+                            trun_sample_durations=(d % 3 == 0),
+                            **kw,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "format": ["mp4"] * len(ids),
+                    "data": blobs,
+                }
+            )
+
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
+    )
+
+
+MP4_TIMING_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("n_reordered", IntegerType(), False),
+        StructField("pts_sum", LongType(), False),
+        StructField("pts_min", LongType(), False),
+        StructField("pts_max", LongType(), False),
+    ]
+)
+
+
+def mp4_timing_stats(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Presentation-timing probe per container: sample count, the
+    number of decode-order pts inversions (n_reordered — the B-frame
+    indicator; counted from the ACTUAL pts sequence, not a formula),
+    and pts sum/min/max in media ticks after applying ctts offsets and
+    the elst edit shift. A demux that stamped frames with decode time,
+    ignored signed offsets, or skipped the edit list breaks these
+    values. Arrow-batched mapInPandas."""
+    from .codecs import _build_codecs
+
+    probe = _build_codecs()["mp4_probe"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nr, psum, pmin, pmax = [], [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                m = probe(bytes(data))
+                pts = m["sample_pts"]
+                ids.append(int(mid))
+                ns.append(len(pts))
+                nr.append(
+                    sum(1 for i in range(1, len(pts)) if pts[i] < pts[i - 1])
+                )
+                psum.append(sum(pts))
+                pmin.append(min(pts) if pts else 0)
+                pmax.append(max(pts) if pts else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "n_reordered": pd.Series(nr, dtype="int32"),
+                    "pts_sum": pd.Series(psum, dtype="int64"),
+                    "pts_min": pd.Series(pmin, dtype="int64"),
+                    "pts_max": pd.Series(pmax, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, MP4_TIMING_STATS_SCHEMA)

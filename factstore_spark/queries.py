@@ -9510,6 +9510,49 @@ FROM m JOIN cks ON cks.d = m.d
 """
 
 
+def media_mp4_timing(spark, sf_dir):
+    """Presentation timing over REAL ctts + elst structure (round 14,
+    VERDICT r13 task #6): even ids author a ctts v1 box in the plain
+    layout, odd ids per-sample SIGNED composition offsets in version-1
+    truns; every id carries an edts/elst edit list (media_time shift,
+    plus a leading empty edit when d % 5 == 0). The probe derives
+    dts from stts (trun/tfhd durations for fragments), cts = dts +
+    offset, pts = cts - elst media_time + the empty-edit delay, and
+    the entry emits pts sum/min/max and the count of decode-order pts
+    inversions — the B-frame signal a pipeline stamping rows with dts
+    would get wrong (ISO 14496-12 8.6.1.2-8.6.1.3, 8.6.6). Reference
+    payloads are opaque (Fact.kt:71-96) — beyond-reference multimodal
+    surface."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = mm_ops.synth_mp4_timing_corpus(docs)
+    out = mm_ops.mp4_timing_stats(media)
+    return out.select(
+        "media_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("n_reordered").cast("long").alias("n_reordered"),
+        "pts_sum", "pts_min", "pts_max",
+    )
+
+
+MEDIA_MP4_TIMING_SQL = """
+WITH m AS (
+  SELECT doc_id AS d, 8 + doc_id % 25 AS nf FROM documents),
+ps AS (
+  SELECT m.d, t.i,
+         t.i * 40 + 40 * ((m.d + t.i) % 3)
+         - 40 * (m.d % 3)
+         + CASE WHEN m.d % 5 = 0 THEN 40 ELSE 0 END AS pts
+  FROM m, LATERAL (SELECT unnest(range(nf)) AS i) t)
+SELECT d AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN i > 0 AND (d + i) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reordered,
+       CAST(SUM(pts) AS BIGINT) AS pts_sum,
+       CAST(MIN(pts) AS BIGINT) AS pts_min,
+       CAST(MAX(pts) AS BIGINT) AS pts_max
+FROM ps GROUP BY d
+"""
+
+
 MEDIA_REAL_MP4_SQL = """
 WITH m AS (
   SELECT doc_id AS d, 8 + doc_id % 25 AS nf FROM documents),
@@ -9621,6 +9664,8 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # oracled; the three remaining rows-only entries carry genuinely
     # non-SQL-replayable payloads. Ordering is presentation-only:
     # every entry runs identically regardless of position.
+    # --- new in round 14 (lead the window so the driver checks it) ------
+    "media_mp4_timing": (media_mp4_timing, MEDIA_MP4_TIMING_SQL),
     # --- new in round 13 (lead the window so the driver checks them) ----
     "media_real_mp4_edge": (media_real_mp4_edge, MEDIA_REAL_MP4_EDGE_SQL),
     "storage_subject_heads": (storage_subject_heads, STORAGE_SUBJECT_HEADS_SQL),

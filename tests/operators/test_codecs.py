@@ -953,3 +953,79 @@ def test_mp4_fragment_sync_flag_resolution():
     assert d["duration_ms"] == 10 * 40
     d = mp4_probe(mp4_encode_stub(samples, 32, 32, sync_every=4, use_co64=True))
     assert d["keyframe_indices"] == [0, 4, 8]
+
+
+# ---------------------------------------------------------------------------
+# Round-14: presentation timing — ctts + elst (VERDICT r13 task #6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fragmented", [False, True])
+def test_mp4_ctts_composition_offsets(fragmented):
+    """cts = dts + ctts offset, for both the stbl ctts v1 box and the
+    per-sample signed trun offsets (version-1 trun, 8.8.8.1)."""
+    n = 9
+    samples = _mp4_samples(n, seed=3)
+    kw = {"fragmented": True, "samples_per_fragment": 4} if fragmented else {}
+    data = mp4_encode_stub(
+        samples, 32, 32, ctts_pattern=[0, 80, 40], **kw
+    )
+    d = mp4_probe(data)
+    assert d["sample_dts"] == [i * 40 for i in range(n)]
+    assert d["sample_cts"] == [i * 40 + [0, 80, 40][i % 3] for i in range(n)]
+    # no edit list: pts == cts
+    assert d["sample_pts"] == d["sample_cts"]
+    assert d["samples"] == b"".join(samples)  # timing never skews demux
+
+
+@pytest.mark.parametrize("fragmented", [False, True])
+def test_mp4_elst_edit_shift_and_empty_edit(fragmented):
+    """pts applies the elst media_time shift and the leading empty-edit
+    delay; negative ctts offsets (v1 signed) survive both layouts."""
+    n = 6
+    samples = _mp4_samples(n, seed=5)
+    kw = {"fragmented": True, "samples_per_fragment": 2} if fragmented else {}
+    data = mp4_encode_stub(
+        samples, 32, 32, ctts_pattern=[80, -40, 0],
+        elst_media_time=80, elst_empty=40, **kw
+    )
+    d = mp4_probe(data)
+    assert d["elst_media_time"] == 80
+    assert d["elst_empty_media"] == 40
+    cts = [i * 40 + [80, -40, 0][i % 3] for i in range(n)]
+    assert d["sample_cts"] == cts
+    assert d["sample_pts"] == [c - 80 + 40 for c in cts]
+
+
+def test_mp4_timing_absent_means_identity():
+    """No ctts, no elst: cts == dts == pts — existing files keep
+    reporting monotone decode-order stamps."""
+    samples = _mp4_samples(5, seed=7)
+    d = mp4_probe(mp4_encode_stub(samples, 32, 32))
+    assert d["sample_dts"] == d["sample_cts"] == d["sample_pts"]
+    assert d["elst_media_time"] == 0 and d["elst_empty_media"] == 0
+    d2 = mp4_probe(
+        mp4_encode_stub(samples, 32, 32, fragmented=True,
+                        trun_sample_durations=True)
+    )
+    assert d2["sample_cts"] == d2["sample_dts"] == [i * 40 for i in range(5)]
+
+
+def test_mp4_truncated_timing_tables_raise():
+    """A ctts/elst/stts table whose declared entry count runs past the
+    box must raise ValueError, never yield garbage stamps."""
+    samples = _mp4_samples(6, seed=2)
+    data = mp4_encode_stub(
+        samples, 32, 32, ctts_pattern=[0, 40], elst_media_time=40
+    )
+    for tag in (b"ctts", b"elst", b"stts"):
+        bad = bytearray(data)
+        at = bytes(bad).index(tag)
+        # inflate the 32-bit entry count (type @ at, version/flags
+        # @ at+4..7, count @ at+8..11)
+        bad[at + 9 : at + 12] = b"\xff\xff\xff"
+        with pytest.raises(ValueError):
+            mp4_probe(bytes(bad))
+    # truncated tail of a timing-bearing file still raises
+    with pytest.raises(ValueError):
+        mp4_probe(data[: len(data) - 7])
