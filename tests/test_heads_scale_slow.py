@@ -119,3 +119,80 @@ def test_append_p90_flat_from_1k_to_1m_subjects(spark, store_root):
     lay = fs._layout(fs.catalog.find_by_name(store).id)
     assert lay.last_fact_of_subject("subj-999999") is not None
     assert lay.last_fact_of_subject("subj-absent") is None
+
+
+def _plant_dated(spark, fs, store, lo, hi, day_mod=30, base="2026-01-01"):
+    """Bulk-ingest subjects with appended_at spread over ``day_mod``
+    PAST dates (or one fixed date when day_mod == 0 and base names the
+    day) — so incremental compaction's date-partition math is
+    exercised the way a steady server-time store exercises it."""
+    date_col = (
+        F.to_timestamp(F.lit(base))
+        if day_mod == 0
+        else F.to_timestamp(
+            F.date_add(F.lit(base).cast("date"), (F.col("id") % day_mod).cast("int"))
+        )
+    )
+    df = spark.range(lo, hi).select(
+        F.lit("Planted").alias("type"),
+        F.concat(F.lit("subj-"), F.col("id")).alias("subject"),
+        F.struct(
+            F.encode(F.lit("{}"), "utf-8").alias("data"),
+            F.lit("json").alias("format"),
+        ).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        date_col.alias("appended_at"),
+    )
+    res = fs.append_dataframe(store, df)
+    assert isinstance(res, Appended), res
+
+
+@pytest.mark.slow
+def test_maintain_cost_flat_in_history(spark, store_root):
+    """VERDICT r13 tasks #1/#5 'done' criterion: maintenance cost must
+    be O(new data + touched partitions), never O(store history). Plant
+    300k rows over 30 date partitions and pay the full first maintain
+    once; then two small-delta cycles (2k rows each, one fresh date
+    partition apiece) must (a) fold the heads snapshot INCREMENTALLY —
+    refresh() never reports a rebuild mode on a snapshot-bearing store
+    across compacting cycles, the r13 scale defect — and (b) cost a
+    small fraction of the full maintain's wall time, cycle over cycle."""
+    fs = FactStore(spark, store_root)
+    store = "maint-flat-probe"
+    fs.create(store)
+    _plant_dated(spark, fs, store, 0, 300_000, day_mod=30)
+    t0 = time.perf_counter()
+    st0 = fs.maintain(store)
+    wall_full = time.perf_counter() - t0
+    assert st0["compact"].get("compacted"), st0["compact"]
+
+    walls = []
+    for cycle in range(2):
+        lo = 300_000 + cycle * 2_000
+        _plant_dated(
+            spark, fs, store, lo, lo + 2_000,
+            day_mod=0, base=f"2026-03-{10 + cycle:02d}",
+        )
+        t1 = time.perf_counter()
+        st = fs.maintain(store)
+        walls.append(time.perf_counter() - t1)
+        pre = st["heads_snapshot_pre"]
+        assert pre["built"] and pre["mode"] == "incremental", (cycle, pre)
+        assert pre.get("gap_rows") == 2_000, pre
+        post = st["heads_snapshot_post"]
+        assert not str(post.get("mode", "")).startswith("rebuild"), (cycle, post)
+        assert st["compact"].get("compacted"), (cycle, st["compact"])
+
+    # O(new data): each small-delta cycle costs a fraction of the full
+    # maintain (which compacted + folded 300k rows); generous 60% bound
+    # — the r13 behavior (full heads rebuild per cycle) sat near 100%.
+    for w in walls:
+        assert w < 0.6 * wall_full, (walls, wall_full)
+    # and cycle-over-cycle flat (same delta size -> same cost, 3x noise)
+    assert max(walls) < 3.0 * min(walls) + 1.0, walls
+
+    # exactness after all folds: hot, planted and absent subjects
+    lay = fs._layout(fs.catalog.find_by_name(store).id)
+    assert lay.last_fact_of_subject("subj-301999") is not None
+    assert lay.last_fact_of_subject("subj-5") is not None
+    assert lay.last_fact_of_subject("subj-absent") is None
