@@ -558,88 +558,98 @@ def main() -> None:
         finally:
             shutil.rmtree(sub_root, ignore_errors=True)
 
-    # Under-WRITE-LOAD leg (VERDICT r9 task 7): p99 first-delivery
-    # latency while a k6-style append loop hammers the SAME store —
-    # contention is what the reference's watch mechanism optimizes
+    # Under-WRITE-LOAD legs (VERDICT r9 task 7; watch variant r14 —
+    # VERDICT r13 task #7): p99 first-delivery latency while a
+    # k6-style append loop hammers the SAME store — contention is what
+    # the reference's watch mechanism optimizes
     # (FdbFactStreamer.kt:186-190). Four writer threads append
     # continuously; the probe thread appends marked facts at ~50/s and
     # measures commit-completion -> subscriber-delivery lag for those.
-    sub_root = tempfile.mkdtemp(prefix="bench-subload-")
-    try:
-        fs4 = _FS(None, sub_root)
-        fs4.create("subload")
-        committed: dict[str, float] = {}
-        received: dict[str, float] = {}
-        done = threading.Event()
-        stop_writers = threading.Event()
-        n_load_probe = int(os.environ.get("SPARK_GRAFT_SUB_FACTS", "60")) + 40
+    # The poll leg stays the cross-round headline; the watch leg
+    # records the optimized path under the SAME load (builder-host
+    # r14: poll p99 ~129 ms vs watch ~20 ms at ~1.4k concurrent
+    # appends — the poll tail is poll-interval-bound, not contention).
+    def _under_load_leg(use_watch: bool) -> None:
+        sub_root = tempfile.mkdtemp(prefix="bench-subload-")
+        try:
+            fs4 = _FS(None, sub_root)
+            fs4.create("subload")
+            committed: dict[str, float] = {}
+            received: dict[str, float] = {}
+            done = threading.Event()
+            stop_writers = threading.Event()
+            n_load_probe = int(os.environ.get("SPARK_GRAFT_SUB_FACTS", "60")) + 40
 
-        def load_subscriber() -> None:
-            gen = fs4.subscribe("subload", _StartPosition.Beginning(),
-                                poll_interval=0.1)
-            for batch in gen:
-                now = time.time()
-                for f in batch:
-                    received[f.id] = now
-                if len(committed) >= n_load_probe and all(
-                    fid in received for fid in list(committed)
-                ):
-                    done.set()
-                    return
+            def load_subscriber() -> None:
+                gen = fs4.subscribe("subload", _StartPosition.Beginning(),
+                                    poll_interval=0.1, watch=use_watch)
+                for batch in gen:
+                    now = time.time()
+                    for f in batch:
+                        received[f.id] = now
+                    if len(committed) >= n_load_probe and all(
+                        fid in received for fid in list(committed)
+                    ):
+                        done.set()
+                        return
 
-        def writer(wid: int) -> None:
-            i = 0
-            while not stop_writers.is_set():
-                fs4.append("subload", _FactInput(type="Load", subject=f"w{wid}-{i % 9}"))
-                i += 1
+            def writer(wid: int) -> None:
+                i = 0
+                while not stop_writers.is_set():
+                    fs4.append("subload", _FactInput(type="Load", subject=f"w{wid}-{i % 9}"))
+                    i += 1
 
-        sub_t = threading.Thread(target=load_subscriber, daemon=True)
-        sub_t.start()
-        writer_ts = [
-            threading.Thread(target=writer, args=(w,), daemon=True)
-            for w in range(4)
-        ]
-        for t in writer_ts:
-            t.start()
-        time.sleep(0.3)  # writers up to speed before the probe starts
-        for i in range(n_load_probe):
-            r = fs4.append("subload", _FactInput(type="Probe", subject=f"p{i % 5}"))
-            committed[r.fact_ids[0]] = time.time()
-            time.sleep(0.02)
-        done.wait(timeout=120)
-        stop_writers.set()
-        for t in writer_ts:
-            t.join(timeout=10)
-        load_appends = len(received) - len(committed)
-        lags = sorted(
-            (received[fid] - committed[fid]) * 1000.0
-            for fid in committed
-            if fid in received
-        )
-
-        def lpct(p: float) -> float:
-            return (
-                round(lags[min(len(lags) - 1, int(p * len(lags)))], 1)
-                if lags
-                else -1.0
+            sub_t = threading.Thread(target=load_subscriber, daemon=True)
+            sub_t.start()
+            writer_ts = [
+                threading.Thread(target=writer, args=(w,), daemon=True)
+                for w in range(4)
+            ]
+            for t in writer_ts:
+                t.start()
+            time.sleep(0.3)  # writers up to speed before the probe starts
+            for i in range(n_load_probe):
+                r = fs4.append("subload", _FactInput(type="Probe", subject=f"p{i % 5}"))
+                committed[r.fact_ids[0]] = time.time()
+                time.sleep(0.02)
+            done.wait(timeout=120)
+            stop_writers.set()
+            for t in writer_ts:
+                t.join(timeout=10)
+            load_appends = len(received) - len(committed)
+            lags = sorted(
+                (received[fid] - committed[fid]) * 1000.0
+                for fid in committed
+                if fid in received
             )
 
-        subscribe_stats.update(
-            {
-                "sub_p50_under_load": lpct(0.50),
-                "sub_p90_under_load": lpct(0.90),
-                "sub_p99_under_load": lpct(0.99),
-                "sub_load_concurrent_appends": load_appends,
-            }
-        )
-        print(
-            f"# subscribe-under-load poll=100ms: n={len(lags)} "
-            f"p50={lpct(0.50)} p90={lpct(0.90)} p99={lpct(0.99)} "
-            f"concurrent_appends={load_appends}",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(sub_root, ignore_errors=True)
+            def lpct(p: float) -> float:
+                return (
+                    round(lags[min(len(lags) - 1, int(p * len(lags)))], 1)
+                    if lags
+                    else -1.0
+                )
+
+            sfx = "_watch" if use_watch else ""
+            subscribe_stats.update(
+                {
+                    f"sub_p50_under_load{sfx}": lpct(0.50),
+                    f"sub_p90_under_load{sfx}": lpct(0.90),
+                    f"sub_p99_under_load{sfx}": lpct(0.99),
+                    f"sub_load_concurrent_appends{sfx}": load_appends,
+                }
+            )
+            print(
+                f"# subscribe-under-load poll=100ms watch={use_watch}: "
+                f"n={len(lags)} p50={lpct(0.50)} p90={lpct(0.90)} "
+                f"p99={lpct(0.99)} concurrent_appends={load_appends}",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(sub_root, ignore_errors=True)
+
+    _under_load_leg(False)
+    _under_load_leg(True)
 
     total = round(sum(timings.values()), 3)
     payload = {
