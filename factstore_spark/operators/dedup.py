@@ -1120,40 +1120,55 @@ def incremental_minhash_pairs(
             for p in _minhash_store_paths(index_dir, m, "buckets")
         ],
     )
-    nb = banded_new.select("_id", "band", "bh").alias("nb")
-    hb = hist_buckets.alias("hb")
-    cross = (
-        nb.join(
-            hb,
-            (F.col("nb.band") == F.col("hb.band"))
-            & (F.col("nb.bh") == F.col("hb.bh"))
-            & (F.col("nb._id") != F.col("hb._id")),
+    # ONE candidate join, increment side BROADCAST: the other side is
+    # (increment ∪ archive) bucket rows scanned in place, so the
+    # archive is never shuffled OR broadcast — per-batch cost stays
+    # O(batch × bands + matched buckets) at any archive size (the old
+    # two-join form let the planner broadcast the ARCHIVE buckets,
+    # which is the unbounded side). new-new pairs surface from both
+    # sides of the join and collapse in the same distinct the old
+    # cross ∪ within union needed anyway; new-hist pairs appear once
+    # per shared bucket exactly as before; hist-hist pairs cannot
+    # appear (the build side is increment-only) — identical pair set.
+    nb = banded_new.select("_id", "band", "bh")
+    other = nb.unionByName(hist_buckets.select("_id", "band", "bh")).alias("ob")
+    cand = (
+        F.broadcast(nb.alias("nb"))
+        .join(
+            other,
+            (F.col("nb.band") == F.col("ob.band"))
+            & (F.col("nb.bh") == F.col("ob.bh"))
+            & (F.col("nb._id") != F.col("ob._id")),
         )
         .select(
-            F.least(F.col("nb._id"), F.col("hb._id")).alias("id_a"),
-            F.greatest(F.col("nb._id"), F.col("hb._id")).alias("id_b"),
+            F.least(F.col("nb._id"), F.col("ob._id")).alias("id_a"),
+            F.greatest(F.col("nb._id"), F.col("ob._id")).alias("id_b"),
         )
+        .distinct()
     )
-    a = banded_new.select("_id", "band", "bh").alias("a")
-    b = banded_new.select("_id", "band", "bh").alias("b")
-    within = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-    )
-    cand = cross.union(within).distinct()
     if verify_jaccard is None:
         return cand
+    # Verify side restricted to CANDIDATE ids via a broadcast semi-join
+    # before the dedupe aggregate: the old form pushed the ENTIRE
+    # archive's signatures through union + groupBy-first + broadcast —
+    # twice (once per join side) — every batch, i.e. O(archive) shuffle
+    # work per increment. Candidate ids are O(matched buckets), so both
+    # the dedupe and the two verify joins now touch O(candidates) rows;
+    # the archive signature store is scanned once, never shuffled.
+    # first-per-id semantics unchanged (duplicate _ids carry identical
+    # sigs by the appender contract).
+    cand = _scoped_cache(cand)
+    cand_ids = cand.select(F.col("id_a").alias("_id")).unionByName(
+        cand.select(F.col("id_b").alias("_id"))
+    )
     hist_sigs = spark.read.parquet(*_minhash_store_paths(index_dir, m, "sigs"))
     all_sigs = (
         sig_new.union(hist_sigs.select("_id", "sig"))
+        .join(F.broadcast(cand_ids), "_id", "leftsemi")
         .groupBy("_id")
         .agg(F.first("sig").alias("sig"))
     )
+    all_sigs = _scoped_cache(all_sigs)
     sa = all_sigs.withColumnsRenamed({"_id": "id_a", "sig": "sig_a"})
     sb = all_sigs.withColumnsRenamed({"_id": "id_b", "sig": "sig_b"})
     return (

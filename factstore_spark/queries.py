@@ -6086,13 +6086,26 @@ def storage_scd2_history(spark, sf_dir):
             dim_rows(base.filter(k % 17 == 0).withColumn("cust_id", -k - F.lit(1)))
         )
 
-        def match_bp(got, want):
-            if got is None:
-                got = want.limit(0)
-            a = dim_rows(got).withColumn("in_a", F.lit(1))
-            b = want.withColumn("in_b", F.lit(1))
-            return (
-                a.join(b, ["cust_id", "segment", "nation"], "full_outer")
+        def match_bp_both(pairs):
+            """Both time-axis A/B checks in ONE job (r14): the got/want
+            sides are tagged with their axis and unioned, so one
+            full-outer join + one grouped aggregate replaces the two
+            per-axis actions. Same join keys, same coalesced sums —
+            numerically identical bp/n_got per axis."""
+            a = None
+            b = None
+            for tag, (got, want) in pairs.items():
+                if got is None:
+                    got = want.limit(0)
+                ax = dim_rows(got).withColumn("_ax", F.lit(tag)).withColumn(
+                    "in_a", F.lit(1)
+                )
+                bx = want.withColumn("_ax", F.lit(tag)).withColumn("in_b", F.lit(1))
+                a = ax if a is None else a.unionByName(ax)
+                b = bx if b is None else b.unionByName(bx)
+            rows = (
+                a.join(b, ["_ax", "cust_id", "segment", "nation"], "full_outer")
+                .groupBy("_ax")
                 .agg(
                     F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_got"),
                     F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_want"),
@@ -6100,6 +6113,7 @@ def storage_scd2_history(spark, sf_dir):
                     .cast("long").alias("n_common"),
                 )
                 .select(
+                    "_ax",
                     F.when(
                         (F.col("n_got") == F.col("n_common"))
                         & (F.col("n_want") == F.col("n_common")),
@@ -6115,23 +6129,24 @@ def storage_scd2_history(spark, sf_dir):
                     .alias("bp"),
                     F.col("n_got"),
                 )
-                .collect()[0]
+                .collect()
             )
+            return {r["_ax"]: r for r in rows}
 
-        asof = match_bp(read_scd2(spark, d, as_of=25), want_asof25)
-        now = match_bp(read_scd2(spark, d), want_now)
-        hist = read_scd2(spark, d, history=True)
-        counts = hist.agg(
-            F.count(F.lit(1)).cast("long").alias("n_intervals"),
-            F.countDistinct("cust_id").cast("long").alias("n_keys"),
-            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
-            .cast("long").alias("n_open"),
-        ).collect()[0]
+        bp = match_bp_both(
+            {
+                "asof": (read_scd2(spark, d, as_of=25), want_asof25),
+                "now": (read_scd2(spark, d), want_now),
+            }
+        )
+        asof, now = bp["asof"], bp["now"]
+        # r14: the interval counts ride validate_scd2's single audit
+        # pass (same history scan) instead of a separate aggregate job
         v = validate_scd2(spark, d)
         row = {
-            "n_keys": counts.n_keys,
-            "n_intervals": counts.n_intervals,
-            "n_open": counts.n_open,
+            "n_keys": v["n_keys"],
+            "n_intervals": v["n_intervals"],
+            "n_open": v["n_open"],
             "n_asof": asof.n_got,
             "n_current": now.n_got,
             "asof_match_bp": asof.bp,

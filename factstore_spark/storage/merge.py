@@ -213,14 +213,47 @@ def _validate_batch(
     return sorted(row.vals)
 
 
+# Partition-count ceiling for riding the manifest stats on the write
+# job itself (observe): each partition value adds two aggregate
+# columns to the plan, so very wide batches fall back to the read-back
+# pass rather than bloating codegen.
+_OBSERVE_STATS_MAX_PARTS = 64
+
+
 def _write_version(
     df: DataFrame,
     table_dir: str,
     partition_col: str,
     sort_col: Column | None = None,
-) -> str:
+    stats_for: tuple[list, list] | None = None,
+) -> tuple[str, dict | None]:
+    """Write one version dir. With ``stats_for=(key_cols, vals)`` the
+    per-partition manifest stats (row count + order-independent key
+    hash) are computed by the SAME job that writes, via an Observation
+    over the write plan — the batch is scanned once instead of written
+    and then fully re-read (r14: the read-back was a whole extra pass
+    over every written byte per merge; at scale it doubled merge I/O).
+    Returns ``(version, stats | None)`` — None when stats did not ride
+    the write (no ``stats_for``, or too many partition values) and the
+    caller must fall back to the read-back pass."""
     version = f"v={uuid.uuid4().hex[:12]}"
     clustered = df.withColumn("_pval", F.col(partition_col).cast("string"))
+    obs = None
+    vals: list = []
+    if stats_for is not None and len(stats_for[1]) <= _OBSERVE_STATS_MAX_PARTS:
+        from pyspark.sql import Observation
+
+        key_cols, vals = stats_for
+        kh = F.xxhash64(*[F.col(k).cast("string") for k in key_cols]).cast(
+            "decimal(38,0)"
+        )
+        aggs = []
+        for i, v in enumerate(vals):
+            cond = F.col("_pval") == F.lit(v)
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{i}"))
+            aggs.append(F.sum(F.when(cond, kh)).alias(f"h{i}"))
+        obs = Observation()
+        clustered = clustered.observe(obs, *aggs)
     # Cluster by the partition key before the partitioned write
     # (SCALE.md rule #7): without it every shuffle partition writes
     # a sliver into every partition dir (measured 32 files where 1
@@ -246,7 +279,15 @@ def _write_version(
         .partitionBy("_pval")
         .parquet(os.path.join(table_dir, version))
     )
-    return version
+    if obs is None:
+        return version, None
+    got = obs.get
+    stats = {}
+    for i, v in enumerate(vals):
+        n = got[f"n{i}"]
+        if n:
+            stats[v] = {"rows": int(n), "key_hash": str(got[f"h{i}"])}
+    return version, stats
 
 
 def _partition_stats(df: DataFrame, key_cols, partition_col: str) -> dict:
@@ -294,14 +335,17 @@ def create_table(
     unique per row (checked); ``partition_col`` must be non-null (null
     partitions have no directory identity — map them to a sentinel
     value upstream)."""
-    _validate_batch(df, key_cols, partition_col, "create_table input")
+    vals = _validate_batch(df, key_cols, partition_col, "create_table input")
     os.makedirs(table_dir, exist_ok=True)
-    version = _write_version(df, table_dir, partition_col)
-    stats = _partition_stats(
-        _read_version_df(df.sparkSession, table_dir, version, df.schema),
-        key_cols,
-        partition_col,
+    version, stats = _write_version(
+        df, table_dir, partition_col, stats_for=(list(key_cols), vals)
     )
+    if stats is None:  # wide batch: stats could not ride the write
+        stats = _partition_stats(
+            _read_version_df(df.sparkSession, table_dir, version, df.schema),
+            key_cols,
+            partition_col,
+        )
     manifest = {
         "meta": {
             "kind": "merge_table",
@@ -445,14 +489,17 @@ def merge_upsert(
             )
     else:
         merged = updates.limit(0) if pure_delete else updates.select(*final_cols)
-    version = _write_version(merged, table_dir, partition_col)
+    version, new_stats = _write_version(
+        merged, table_dir, partition_col, stats_for=(list(key_cols), vals)
+    )
     new_manifest = {
         "meta": dict(meta, columns=final_cols),
         "partitions": dict(m["partitions"]),
         "stats": dict(m.get("stats", {})),
     }
-    written = _read_version_df(spark, table_dir, version, merged.schema)
-    new_stats = _partition_stats(written, key_cols, partition_col)
+    if new_stats is None:  # wide batch: stats could not ride the write
+        written = _read_version_df(spark, table_dir, version, merged.schema)
+        new_stats = _partition_stats(written, key_cols, partition_col)
     merged_vals = set(new_stats)
     dirmap = _pval_dirs(table_dir, version)
     for v in vals:
@@ -699,7 +746,10 @@ def compact_table(
         if missing:
             raise ValueError(f"compact_table: zorder_by columns {missing} not in table")
         sort_col = zorder_col(df, zorder_by)
-    version = _write_version(
+    # compaction keeps the post-write READ-BACK: the stats-equality
+    # contract below certifies the REWRITTEN files reproduce the
+    # manifest, which an observation over the write plan cannot attest
+    version, _ = _write_version(
         df.select(*ordered), table_dir, partition_col, sort_col=sort_col
     )
     written = _read_version_df(spark, table_dir, version, df.select(*ordered).schema)

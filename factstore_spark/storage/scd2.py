@@ -239,13 +239,24 @@ def scd2_upsert(
             & F.col("_cur_from").isNull()
             & (F.col("_max_to").isNull() | (F.col("_max_to") != F.col("_eff")))
         )
-        # one aggregate job covers every guard on the happy path; the
-        # per-key detail probes run only on the error path
+        # one aggregate job covers every guard on the happy path — and
+        # the would-write row counts, so the no-op/empty-batch decision
+        # below needs no separate take(1) job (r14: one fewer pass over
+        # the joined batch per upsert)
+        close_c = F.col("_cur_from").isNotNull() & (
+            F.col("_del") | _changed(attr_cols)
+        )
+        open_c = ~F.col("_del") & (
+            F.col("_cur_from").isNull() | _changed(attr_cols)
+        )
         flags_row = j.agg(
             *[
                 F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(n)
                 for n, c in (("stale", stale_c), ("early", early_c), ("ghost", ghost_c))
-            ]
+            ],
+            F.sum(F.when(close_c | open_c, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_write"
+            ),
         ).collect()[0]
         if flags_row.stale:
             r = j.filter(stale_c).select(*key_cols, "_eff", "_cur_from").limit(3).collect()
@@ -257,6 +268,8 @@ def scd2_upsert(
             r = j.filter(ghost_c).select(*key_cols).limit(3).collect()
             raise ValueError(f"delete for unknown/closed keys {r}")
 
+        if not flags_row.n_write:
+            return m  # fully unchanged batch: publish nothing
         eff_type = table.schema["valid_from"].dataType
         matched = j.filter(F.col("_cur_from").isNotNull())
         to_close = matched.filter(F.col("_del") | _changed(attr_cols))
@@ -279,8 +292,6 @@ def scd2_upsert(
             )
         )
         batch = closed.unionByName(opened).select(*table_cols)
-        if not batch.take(1):
-            return m  # fully unchanged batch: publish nothing
         return merge_upsert(batch, table_dir, base_manifest=m)
     finally:
         # unpersist() is a NO-OP for checkpoint blocks; free them now
@@ -484,8 +495,8 @@ def start_scd2_stream(
 
 
 def validate_scd2(spark: SparkSession, table_dir: str) -> dict:
-    """Interval invariants over the full history, one aggregation pass
-    per check (all distributed, no driver data path):
+    """Interval invariants over the full history in ONE distributed
+    pass (no driver data path):
 
     - at most one OPEN row per key (zero after a soft delete);
     - every closed interval is non-empty (``valid_to > valid_from``);
@@ -493,6 +504,13 @@ def validate_scd2(spark: SparkSession, table_dir: str) -> dict:
       before the next row starts (a strict gap is legal history — a
       soft-deleted key re-inserted later), and an open row is always
       the key's last (an open row with a successor covers it).
+
+    The lead-window and the per-key rollup share the same key
+    partitioning, so the whole audit is one exchange + one small final
+    aggregate (r14: was two separate jobs — a groupBy count plus a
+    window pass — i.e. two full history scans). The returned dict also
+    carries the history counts the same pass yields for free:
+    ``n_keys``, ``n_intervals``, ``n_open``.
     """
     from pyspark.sql.window import Window
 
@@ -500,36 +518,32 @@ def validate_scd2(spark: SparkSession, table_dir: str) -> dict:
     t = read_table(spark, table_dir)
     problems: list[str] = []
     if t is None:
-        return {"ok": True, "problems": problems}
+        return {
+            "ok": True, "problems": problems,
+            "n_keys": 0, "n_intervals": 0, "n_open": 0,
+        }
 
-    multi_open = (
-        t.groupBy(*key_cols)
-        .agg(F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_open"))
-        .filter(F.col("n_open") > 1)
-        .count()
-    )
-    if multi_open:
-        problems.append(f"{multi_open} keys with more than one open interval")
-
-    # one windowed pass yields both remaining checks: empty/inverted
-    # closed intervals, and overlaps — a closed row may hand off exactly
-    # (change) or with a gap (delete then re-insert), never PAST the
-    # next interval's start; an OPEN row must be the last (no successor)
     w = Window.partitionBy(*key_cols).orderBy("valid_from")
-    row = (
+    per_key = (
         t.select(
+            *key_cols,
             "valid_from",
             "valid_to",
             F.lead("valid_from").over(w).alias("_next_from"),
         )
+        .groupBy(*key_cols)
         .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias(
+                "_n_open"
+            ),
             F.sum(
                 F.when(
                     F.col("valid_to").isNotNull()
                     & (F.col("valid_to") <= F.col("valid_from")),
                     1,
                 ).otherwise(0)
-            ).alias("empty"),
+            ).alias("_empty"),
             F.sum(
                 F.when(
                     (
@@ -540,12 +554,27 @@ def validate_scd2(spark: SparkSession, table_dir: str) -> dict:
                     | (F.col("valid_to").isNull() & F.col("_next_from").isNotNull()),
                     1,
                 ).otherwise(0)
-            ).alias("overlaps"),
+            ).alias("_overlaps"),
         )
-        .collect()[0]
     )
+    row = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_n").alias("n_intervals"),
+        F.sum("_n_open").alias("n_open"),
+        F.sum(F.when(F.col("_n_open") > 1, 1).otherwise(0)).alias("multi_open"),
+        F.sum("_empty").alias("empty"),
+        F.sum("_overlaps").alias("overlaps"),
+    ).collect()[0]
+    if row.multi_open:
+        problems.append(f"{row.multi_open} keys with more than one open interval")
     if row.empty:
         problems.append(f"{row.empty} empty/inverted closed intervals")
     if row.overlaps:
         problems.append(f"{row.overlaps} overlapping intervals")
-    return {"ok": not problems, "problems": problems}
+    return {
+        "ok": not problems,
+        "problems": problems,
+        "n_keys": int(row.n_keys),
+        "n_intervals": int(row.n_intervals),
+        "n_open": int(row.n_open),
+    }
