@@ -304,9 +304,15 @@ def main() -> None:
         n
         for n in BENCH_QUERIES
         if n in RERUN_ALWAYS
+        # NO-HISTORY entries (new this round) always get the second
+        # window: the outlier gate cannot fire for them, so a one-off
+        # slow host window would otherwise stick as their recorded
+        # number forever (r14: media_mp4_timing measured 15.2s in a
+        # battery window vs 1.3-2.2s isolated — min-of-2 inside one
+        # window does not shield against a slow WINDOW).
+        or n not in medians
         or (
-            n in medians
-            and timings[n] > _OUTLIER_RATIO * medians[n]
+            timings[n] > _OUTLIER_RATIO * medians[n]
             and timings[n] - medians[n] > _OUTLIER_MIN_EXCESS_SEC
         )
     ]

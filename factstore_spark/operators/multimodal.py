@@ -1250,7 +1250,25 @@ def synth_mp4_timing_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
 
+    run = _synth_mp4_timing_run(id_col)
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, schema
+    )
+
+
+def _synth_mp4_timing_run(id_col: str):
+    """Iterator-transformer behind :func:`synth_mp4_timing_corpus` —
+    factored out so the fused entry path can compose it with the stats
+    transformer inside ONE Python worker (the containers then never
+    cross the JVM boundary; guide §4)."""
+    from .codecs import _build_codecs
+
+    mp4_enc = _build_codecs()["mp4_encode_stub"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, blobs = [], []
             for mid in pdf[id_col]:
@@ -1261,7 +1279,12 @@ def synth_mp4_timing_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for i in range(nf):
                     size = 50 + (d + i) % 40
                     a = (d * 31 + i * 7) % 251
-                    samples.append(bytes((a + j) % 251 for j in range(size)))
+                    # same bytes as bytes((a + j) % 251 for j in
+                    # range(size)), vectorized (the per-byte generator
+                    # was the encode pass's top profile line)
+                    samples.append(
+                        ((a + np.arange(size)) % 251).astype(np.uint8).tobytes()
+                    )
                 ids.append(d)
                 # offset of GLOBAL sample i is pattern[i % 3] with
                 # pattern[k] = 40 * ((d + k) % 3)
@@ -1290,10 +1313,7 @@ def synth_mp4_timing_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 MP4_TIMING_STATS_SCHEMA = StructType(
@@ -1318,6 +1338,13 @@ def mp4_timing_stats(
     the elst edit shift. A demux that stamped frames with decode time,
     ignored signed offsets, or skipped the edit list breaks these
     values. Arrow-batched mapInPandas."""
+    run = _mp4_timing_stats_run(id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, MP4_TIMING_STATS_SCHEMA)
+
+
+def _mp4_timing_stats_run(id_col: str, data_col: str):
+    """Iterator-transformer behind :func:`mp4_timing_stats` (see
+    :func:`_synth_mp4_timing_run` for why it is factored out)."""
     from .codecs import _build_codecs
 
     probe = _build_codecs()["mp4_probe"]
@@ -1347,4 +1374,24 @@ def mp4_timing_stats(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, MP4_TIMING_STATS_SCHEMA)
+    return run
+
+
+def mp4_timing_stats_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth → timing-stats pipeline in ONE ``mapInPandas``: the
+    synthesized containers are encoded and probed inside the same
+    Python worker, so the blob column never crosses the JVM↔Python
+    boundary at all (the two-stage composition paid two extra Arrow
+    serializations of every container byte per run — guide §4's
+    "control how many columns cross"). Output is identical to
+    ``mp4_timing_stats(synth_mp4_timing_corpus(df))``."""
+    synth = _synth_mp4_timing_run(id_col)
+    stats = _mp4_timing_stats_run("media_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return stats(synth(batches))
+
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, MP4_TIMING_STATS_SCHEMA
+    )

@@ -9539,8 +9539,9 @@ def media_mp4_timing(spark, sf_dir):
     payloads are opaque (Fact.kt:71-96) — beyond-reference multimodal
     surface."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_mp4_timing_corpus(docs)
-    out = mm_ops.mp4_timing_stats(media)
+    # fused synth+probe (r14): one mapInPandas, the containers never
+    # cross the JVM boundary — same rows as the two-stage composition
+    out = mm_ops.mp4_timing_stats_from_ids(docs)
     return out.select(
         "media_id",
         F.col("n_samples").cast("long").alias("n_samples"),
