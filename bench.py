@@ -177,6 +177,20 @@ def _trailing_medians() -> dict[str, float]:
         for k, v in queries.items():
             if isinstance(v, (int, float)):
                 hist.setdefault(k, []).append(float(v))
+    # The committed BENCH_DETAIL.json (previous round's run — this run
+    # overwrites it only AFTER the medians are consumed) carries EVERY
+    # entry, including the ~cheap ones the stdout-budget truncation
+    # dropped from BENCH_r*.json; without it those entries read as
+    # "no history" and would flood the capped always-rerun list meant
+    # for genuinely NEW entries.
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), encoding="utf-8") as fh:
+            for k, v in (json.load(fh).get("entries") or {}).items():
+                sec = (v or {}).get("sec")
+                if isinstance(sec, (int, float)):
+                    hist.setdefault(k, []).append(float(sec))
+    except (OSError, ValueError, AttributeError):
+        pass
     return {k: statistics.median(v[-5:]) for k, v in hist.items()}
 
 

@@ -57,7 +57,25 @@ def _fit(feats: DataFrame, max_iter: int, reg_param: float):
         labelCol="label",
         featuresCol="features",
     )
-    return Pipeline(stages=[assembler, lr]).fit(feats)
+    model = Pipeline(stages=[assembler, lr]).fit(feats)
+    # Drop the fitted LR's training summary: it is never read here, and
+    # it pins the whole SparkSession into every task closure that
+    # serializes the model (transform's prediction UDF captures the
+    # model -> trainingSummary -> summary.sparkSession — the field is
+    # not @transient in Spark 4.x). That made scoring fail with
+    # "NotSerializableException: ObservationManager" in any session
+    # that had ever used DataFrame.observe (the lazy observationManager
+    # field is only serialization-safe while still null). private[ml]
+    # members are public in bytecode, so the py4j call is stable; guard
+    # anyway — a failure just means the summary rides along as before.
+    try:
+        jlr = model.stages[-1]._java_obj
+        getattr(jlr, "trainingSummary_$eq")(
+            feats.sparkSession._jvm.scala.Option.empty()
+        )
+    except Exception:
+        pass
+    return model
 
 
 def train_quality_classifier(
