@@ -281,7 +281,16 @@ def _write_version(
     )
     if obs is None:
         return version, None
-    got = obs.get
+    try:
+        got = obs.get
+    except Exception:
+        # The optimizer can eliminate the CollectMetrics node when the
+        # written frame folds to an empty relation (e.g. a pure-delete
+        # batch emptying its partitions), leaving the observation with
+        # no metrics row. Fall back to the read-back stats pass — by
+        # construction these are (near-)empty writes, so the fallback
+        # re-reads little or nothing.
+        return version, None
     stats = {}
     for i, v in enumerate(vals):
         n = got[f"n{i}"]
