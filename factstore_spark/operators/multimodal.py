@@ -336,6 +336,15 @@ def documents_as_media(df: DataFrame) -> DataFrame:
 MEDIA_SYNTH_RULE_VERSION = 1
 
 
+SYNTH_CORPUS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("data", BinaryType(), False),
+    ]
+)
+
+
 def synth_media_corpus(
     df: DataFrame, id_col: str = "doc_id", group_mod: int | None = None
 ) -> DataFrame:
@@ -343,15 +352,22 @@ def synth_media_corpus(
     bytes, Arrow-batched on executors (the driver never holds payload
     bytes). ``group_mod`` makes ids congruent mod N byte-identical —
     the content-dup fixture for the real frame-dup entry."""
+    run = _synth_media_run(id_col, group_mod)
+    # ids-only repartition: spreads the pure-python encoders across
+    # cores when the source parquet has few files
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, SYNTH_CORPUS_SCHEMA
+    )
+
+
+def _synth_media_run(id_col: str, group_mod: int | None = None):
+    """Iterator-transformer behind :func:`synth_media_corpus`, factored
+    out so fused entry points can compose it with a probe transformer
+    inside ONE ``mapInPandas`` (payload bytes then never cross the
+    JVM↔Python boundary — guide §4)."""
     from .codecs import _build_codecs
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
     codecs = _build_codecs()
     png_enc, bmp_enc, wav_enc = (
         codecs["png_encode"], codecs["bmp_encode"], codecs["wav_encode"],
@@ -394,12 +410,7 @@ def synth_media_corpus(
                 }
             )
 
-    # ids-only repartition: spreads the pure-python encoders across
-    # cores when the source parquet has few files
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 REAL_META_SCHEMA = StructType(
@@ -426,6 +437,14 @@ def decode_real_meta(
     over the decoded content (the content-dedup key). For audio,
     width = n_channels and height = sample_rate (documented mapping
     onto the image-shaped meta schema)."""
+    run = _decode_real_meta_run(id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, REAL_META_SCHEMA)
+
+
+def _decode_real_meta_run(id_col: str, data_col: str):
+    """Iterator-transformer behind :func:`decode_real_meta` (factored
+    out for the fused ids→meta entry points — see
+    :func:`_fused_ids_pipeline`)."""
     from .codecs import _build_codecs
 
     decode_media = _build_codecs()["decode_media"]
@@ -472,7 +491,7 @@ def decode_real_meta(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, REAL_META_SCHEMA)
+    return run
 
 
 REAL_THUMB_SCHEMA = StructType(
@@ -500,6 +519,15 @@ def real_thumbnails(
     floor), so a SQL oracle can replay every sampled byte. Non-image
     payloads are passed through silently (filter upstream for
     images-only)."""
+    run = _real_thumbnails_run(target_w, target_h, id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, REAL_THUMB_SCHEMA)
+
+
+def _real_thumbnails_run(
+    target_w: int, target_h: int, id_col: str, data_col: str
+):
+    """Iterator-transformer behind :func:`real_thumbnails` (factored
+    out for the fused ids→thumbs entry point)."""
     from .codecs import _build_codecs
 
     c = _build_codecs()
@@ -544,7 +572,7 @@ def real_thumbnails(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, REAL_THUMB_SCHEMA)
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -567,16 +595,22 @@ GIF_FRAME_W, GIF_FRAME_H = 24, 18
 def synth_gif_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """ids -> (media_id, format='gif', data) with REAL animated GIF89a
     bytes per the generation rule above, Arrow-batched on executors."""
+    run = _synth_gif_run(id_col)
+    # repartition the (ids-only) input: the pure-python LZW encode is
+    # the cost, and a 1-2-file parquet source would otherwise cap the
+    # encode at 1-2 cores
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, SYNTH_CORPUS_SCHEMA
+    )
+
+
+def _synth_gif_run(id_col: str):
+    """Iterator-transformer behind :func:`synth_gif_corpus` (factored
+    out for the fused ids→frame-pairs entry point)."""
     from .codecs import _build_codecs
 
     gif_enc = _build_codecs()["gif_encode"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
     w, h = GIF_FRAME_W, GIF_FRAME_H
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -604,13 +638,7 @@ def synth_gif_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    # repartition the (ids-only) input: the pure-python LZW encode is
-    # the cost, and a 1-2-file parquet source would otherwise cap the
-    # encode at 1-2 cores
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 def real_sample_frames(
@@ -624,16 +652,25 @@ def real_sample_frames(
     RGB bytes — the true-decode counterpart of :func:`sample_frames`
     (which slices source bytes under the fake hook). Single-frame
     formats (PNG/BMP) emit frame 0; audio payloads are skipped."""
+    run = _real_sample_frames_run(every_nth, id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, REAL_FRAMES_SCHEMA)
+
+
+REAL_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def _real_sample_frames_run(every_nth: int, id_col: str, data_col: str):
+    """Iterator-transformer behind :func:`real_sample_frames` (factored
+    out for the fused ids→frames entry point)."""
     from .codecs import _build_codecs
 
     decode_media = _build_codecs()["decode_media"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("frame_no", IntegerType(), False),
-            StructField("frame", BinaryType(), False),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -655,7 +692,7 @@ def real_sample_frames(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, schema)
+    return run
 
 
 def real_frame_dup_pairs(
@@ -675,6 +712,12 @@ def real_frame_dup_pairs(
     frames = real_sample_frames(
         df, every_nth=every_nth, id_col=id_col, data_col=data_col
     )
+    return _frame_dup_pairs_from_frames(frames, min_shared, max_frame_df)
+
+
+def _frame_dup_pairs_from_frames(
+    frames: DataFrame, min_shared: int, max_frame_df: int
+) -> DataFrame:
     # pin the tiny (media, hash) frame: it feeds the hot-frame cap,
     # BOTH self-join sides, and the anti-join — unpinned, each branch
     # re-runs the decode mapInPandas over every payload (measured 2x+
@@ -728,16 +771,19 @@ def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     so the demuxed-byte checksum has the closed form
       sum_i [ s*a + s*(s-1)/2 - 251*max(0, a + s - 251) ],
       a = (d*31 + i*7) % 251  (valid while s < 251)."""
+    run = _synth_mp4_run(id_col)
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, SYNTH_CORPUS_SCHEMA
+    )
+
+
+def _synth_mp4_run(id_col: str):
+    """Iterator-transformer behind :func:`synth_mp4_corpus` (factored
+    out for the fused ids→meta/sample-stats entry points)."""
     from .codecs import _build_codecs
 
     mp4_enc = _build_codecs()["mp4_encode_stub"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -771,10 +817,7 @@ def synth_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 def synth_mp4_edge_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -794,16 +837,19 @@ def synth_mp4_edge_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Every layout's true duration is nf * 40 ms (frame_delta 40 @
     timescale 1000), so the oracle checks the duration PATHS, not just
     the arithmetic."""
+    run = _synth_mp4_edge_run(id_col)
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, SYNTH_CORPUS_SCHEMA
+    )
+
+
+def _synth_mp4_edge_run(id_col: str):
+    """Iterator-transformer behind :func:`synth_mp4_edge_corpus`
+    (factored out for the fused ids→container-meta entry point)."""
     from .codecs import _build_codecs
 
     mp4_enc = _build_codecs()["mp4_encode_stub"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -849,10 +895,7 @@ def synth_mp4_edge_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 AUDIO_GATING_SCHEMA = StructType(
@@ -882,6 +925,15 @@ def audio_gating_stats(
     samples, so the oracle replays every value from the synth rule —
     a wrong sample width, byte order, or window split breaks the
     numbers. Arrow-batched mapInPandas, numpy-vectorized per payload."""
+    run = _audio_gating_run(id_col, data_col, window, energy_threshold)
+    return df.select(id_col, data_col).mapInPandas(run, AUDIO_GATING_SCHEMA)
+
+
+def _audio_gating_run(
+    id_col: str, data_col: str, window: int, energy_threshold: int
+):
+    """Iterator-transformer behind :func:`audio_gating_stats` (factored
+    out for the fused ids→gating entry point)."""
     from .codecs import _build_codecs
 
     wav_decode = _build_codecs()["wav_decode"]
@@ -915,7 +967,7 @@ def audio_gating_stats(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, AUDIO_GATING_SCHEMA)
+    return run
 
 
 def synth_mp4_keyframe_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -927,16 +979,19 @@ def synth_mp4_keyframe_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFram
     sample as the keyframe). Same sample-byte rule as
     synth_mp4_corpus, so the keyframe checksum has the same closed
     form restricted to i % step == 0."""
+    run = _synth_mp4_keyframe_run(id_col)
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, SYNTH_CORPUS_SCHEMA
+    )
+
+
+def _synth_mp4_keyframe_run(id_col: str):
+    """Iterator-transformer behind :func:`synth_mp4_keyframe_corpus`
+    (factored out for the fused ids→keyframe-stats entry point)."""
     from .codecs import _build_codecs
 
     mp4_enc = _build_codecs()["mp4_encode_stub"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -971,10 +1026,7 @@ def synth_mp4_keyframe_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 }
             )
 
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 MP4_KEYFRAME_STATS_SCHEMA = StructType(
@@ -998,6 +1050,13 @@ def mp4_keyframe_stats(
     wrong stss parse or a mis-resolved trun/tfhd/trex sample-flag
     chain breaks the value, not just a count. Arrow-batched
     mapInPandas."""
+    run = _mp4_keyframe_stats_run(id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, MP4_KEYFRAME_STATS_SCHEMA)
+
+
+def _mp4_keyframe_stats_run(id_col: str, data_col: str):
+    """Iterator-transformer behind :func:`mp4_keyframe_stats` (factored
+    out for the fused ids→keyframe-stats entry point)."""
     from .codecs import _build_codecs
 
     probe = _build_codecs()["mp4_probe"]
@@ -1030,7 +1089,7 @@ def mp4_keyframe_stats(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, MP4_KEYFRAME_STATS_SCHEMA)
+    return run
 
 
 MP4_CONTAINER_META_SCHEMA = StructType(
@@ -1052,6 +1111,13 @@ def mp4_container_meta(
     (the mvhd -> mehd -> fragment-sample-durations resolution chain),
     and the demuxed-byte checksum. Arrow-batched mapInPandas; the
     driver never touches payload bytes."""
+    run = _mp4_container_meta_run(id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, MP4_CONTAINER_META_SCHEMA)
+
+
+def _mp4_container_meta_run(id_col: str, data_col: str):
+    """Iterator-transformer behind :func:`mp4_container_meta` (factored
+    out for the fused ids→container-meta entry point)."""
     from .codecs import _build_codecs
 
     probe = _build_codecs()["mp4_probe"]
@@ -1082,7 +1148,7 @@ def mp4_container_meta(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, MP4_CONTAINER_META_SCHEMA)
+    return run
 
 
 def mp4_sample_stats(
@@ -1095,18 +1161,27 @@ def mp4_sample_stats(
     driver never touches payload bytes. content_fnv is a 64-bit
     FNV-1a over the sample bytes; first_byte/size ride along so
     downstream groupings have an engine-neutral total order."""
+    run = _mp4_sample_stats_run(id_col, data_col)
+    return df.select(id_col, data_col).mapInPandas(run, MP4_SAMPLE_STATS_SCHEMA)
+
+
+MP4_SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_idx", LongType(), False),
+        StructField("size", LongType(), False),
+        StructField("first_byte", LongType(), False),
+        StructField("content_fnv", LongType(), False),
+    ]
+)
+
+
+def _mp4_sample_stats_run(id_col: str, data_col: str):
+    """Iterator-transformer behind :func:`mp4_sample_stats` (factored
+    out for the fused ids→sample-stats entry point)."""
     from .codecs import _build_codecs
 
     probe = _build_codecs()["mp4_probe"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("sample_idx", LongType(), False),
-            StructField("size", LongType(), False),
-            StructField("first_byte", LongType(), False),
-            StructField("content_fnv", LongType(), False),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def fnv64(b: bytes) -> int:
@@ -1139,7 +1214,7 @@ def mp4_sample_stats(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(run, schema)
+    return run
 
 
 def synth_jpeg_corpus(
@@ -1162,6 +1237,16 @@ def synth_jpeg_corpus(
       blocks high  bh = 2 + d % 3          (h = 8*bh, 16..32)
       block i (row-major) value v = (d + i) % 251
     so the decoded pixel sum is exactly 64 * sum_i((d + i) % 251)."""
+    run = _synth_jpeg_run(id_col, variant)
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
+        run, SYNTH_CORPUS_SCHEMA
+    )
+
+
+def _synth_jpeg_run(id_col: str, variant: str = "baseline"):
+    """Iterator-transformer behind :func:`synth_jpeg_corpus` (factored
+    out for the fused ids→meta entry point)."""
     from .codecs import _build_codecs
 
     if variant not in ("baseline", "dri", "progressive"):
@@ -1169,13 +1254,6 @@ def synth_jpeg_corpus(
     _codecs = _build_codecs()
     jpeg_enc = _codecs["jpeg_encode"]
     jpeg_enc_prog = _codecs["jpeg_encode_progressive"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1212,10 +1290,7 @@ def synth_jpeg_corpus(
                 }
             )
 
-    sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
-    )
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -1241,19 +1316,10 @@ def synth_mp4_timing_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     rows with dts instead of pts would get wrong."""
     from .codecs import _build_codecs
 
-    mp4_enc = _build_codecs()["mp4_encode_stub"]
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("format", StringType(), False),
-            StructField("data", BinaryType(), False),
-        ]
-    )
-
     run = _synth_mp4_timing_run(id_col)
     sc = df.sparkSession.sparkContext
     return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, schema
+        run, SYNTH_CORPUS_SCHEMA
     )
 
 
@@ -1377,21 +1443,162 @@ def _mp4_timing_stats_run(id_col: str, data_col: str):
     return run
 
 
-def mp4_timing_stats_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fused synth → timing-stats pipeline in ONE ``mapInPandas``: the
-    synthesized containers are encoded and probed inside the same
-    Python worker, so the blob column never crosses the JVM↔Python
-    boundary at all (the two-stage composition paid two extra Arrow
-    serializations of every container byte per run — guide §4's
-    "control how many columns cross"). Output is identical to
-    ``mp4_timing_stats(synth_mp4_timing_corpus(df))``."""
-    synth = _synth_mp4_timing_run(id_col)
-    stats = _mp4_timing_stats_run("media_id", "data")
+def _fused_ids_pipeline(
+    df: DataFrame,
+    id_col: str,
+    synth_run,
+    probe_run,
+    schema: StructType,
+    drop_formats: tuple[str, ...] = (),
+) -> DataFrame:
+    """Compose a synth iterator-transformer with a probe transformer
+    inside ONE ``mapInPandas``: payloads are encoded and probed in the
+    same Python worker, so the blob column never crosses the
+    JVM↔Python boundary at all (the two-stage DataFrame composition
+    pays two extra Arrow serializations of every payload byte — guide
+    §4's "control how many columns cross"). ``drop_formats`` filters
+    the synthesized rows between the stages (equivalent to a
+    ``.filter(format not in ...)`` on the corpus DataFrame)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return stats(synth(batches))
+        gen = synth_run(batches)
+        if drop_formats:
+            gen = (pdf[~pdf["format"].isin(drop_formats)] for pdf in gen)
+        return probe_run(gen)
 
     sc = df.sparkSession.sparkContext
     return df.select(id_col).repartition(sc.defaultParallelism).mapInPandas(
-        run, MP4_TIMING_STATS_SCHEMA
+        run, schema
     )
+
+
+def mp4_timing_stats_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth → timing-stats pipeline in ONE ``mapInPandas``.
+    Output is identical to
+    ``mp4_timing_stats(synth_mp4_timing_corpus(df))``."""
+    return _fused_ids_pipeline(
+        df, id_col,
+        _synth_mp4_timing_run(id_col),
+        _mp4_timing_stats_run("media_id", "data"),
+        MP4_TIMING_STATS_SCHEMA,
+    )
+
+
+def real_meta_from_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corpus: str = "media",
+    group_mod: int | None = None,
+    variant: str = "baseline",
+) -> DataFrame:
+    """Fused synth → decode_real_meta in ONE ``mapInPandas``. Output is
+    identical to ``decode_real_meta(synth_<corpus>_corpus(df, ...))``
+    for ``corpus`` in media/jpeg/mp4."""
+    if corpus == "media":
+        synth = _synth_media_run(id_col, group_mod)
+    elif corpus == "jpeg":
+        synth = _synth_jpeg_run(id_col, variant)
+    elif corpus == "mp4":
+        synth = _synth_mp4_run(id_col)
+    else:
+        raise ValueError(f"unknown corpus {corpus!r}")
+    return _fused_ids_pipeline(
+        df, id_col, synth,
+        _decode_real_meta_run("media_id", "data"),
+        REAL_META_SCHEMA,
+    )
+
+
+def thumbnails_from_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    target_w: int = 8,
+    target_h: int = 8,
+) -> DataFrame:
+    """Fused synth_media → real_thumbnails in ONE ``mapInPandas``
+    (audio rows dropped between the stages, like the two-stage
+    composition's ``format != 'wav'`` filter — the probe skips
+    non-images anyway)."""
+    return _fused_ids_pipeline(
+        df, id_col,
+        _synth_media_run(id_col),
+        _real_thumbnails_run(target_w, target_h, "media_id", "data"),
+        REAL_THUMB_SCHEMA,
+        drop_formats=("wav",),
+    )
+
+
+def audio_gating_stats_from_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    window: int = 32,
+    energy_threshold: int = 10_000_000_000,
+) -> DataFrame:
+    """Fused synth_media → audio_gating_stats in ONE ``mapInPandas``
+    (filter the ids to the corpus's wav congruence class upstream, as
+    the two-stage entry does)."""
+    return _fused_ids_pipeline(
+        df, id_col,
+        _synth_media_run(id_col),
+        _audio_gating_run("media_id", "data", window, energy_threshold),
+        AUDIO_GATING_SCHEMA,
+    )
+
+
+def mp4_container_meta_from_ids(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synth_mp4_edge → mp4_container_meta in ONE
+    ``mapInPandas``."""
+    return _fused_ids_pipeline(
+        df, id_col,
+        _synth_mp4_edge_run(id_col),
+        _mp4_container_meta_run("media_id", "data"),
+        MP4_CONTAINER_META_SCHEMA,
+    )
+
+
+def mp4_keyframe_stats_from_ids(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synth_mp4_keyframe → mp4_keyframe_stats in ONE
+    ``mapInPandas``."""
+    return _fused_ids_pipeline(
+        df, id_col,
+        _synth_mp4_keyframe_run(id_col),
+        _mp4_keyframe_stats_run("media_id", "data"),
+        MP4_KEYFRAME_STATS_SCHEMA,
+    )
+
+
+def mp4_sample_stats_from_ids(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synth_mp4 → mp4_sample_stats in ONE ``mapInPandas``."""
+    return _fused_ids_pipeline(
+        df, id_col,
+        _synth_mp4_run(id_col),
+        _mp4_sample_stats_run("media_id", "data"),
+        MP4_SAMPLE_STATS_SCHEMA,
+    )
+
+
+def real_frame_dup_pairs_from_ids(
+    df: DataFrame,
+    min_shared: int = 2,
+    every_nth: int = 1,
+    max_frame_df: int = 1_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused synth_gif → real_sample_frames feeding the same capped
+    pair logic as :func:`real_frame_dup_pairs` — the GIF containers are
+    encoded and frame-decoded in one Python worker; only the decoded
+    frames (which xxhash64 needs on the JVM side) cross the boundary,
+    and only once."""
+    frames = _fused_ids_pipeline(
+        df, id_col,
+        _synth_gif_run(id_col),
+        _real_sample_frames_run(every_nth, "media_id", "data"),
+        REAL_FRAMES_SCHEMA,
+    )
+    return _frame_dup_pairs_from_frames(frames, min_shared, max_frame_df)

@@ -8975,8 +8975,7 @@ def media_real_meta(spark, sf_dir):
     encode -> zlib -> unfilter -> decode path, not the plumbing alone.
     Audio maps (width, height) = (n_channels, sample_rate)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_media_corpus(docs)
-    out = mm_ops.decode_real_meta(media)
+    out = mm_ops.real_meta_from_ids(docs)
     return out.select(
         "media_id",
         "fmt",
@@ -9025,8 +9024,7 @@ def media_real_thumbs(spark, sf_dir):
     per row, and the oracle replays every sampled byte via the
     integer-floor sample positions (sx = tx*w DIV 8)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_media_corpus(docs).filter(F.col("format") != "wav")
-    thumbs = mm_ops.real_thumbnails(media, target_w=8, target_h=8)
+    thumbs = mm_ops.thumbnails_from_ids(docs, target_w=8, target_h=8)
     return thumbs.select("media_id", "fmt", "thumb_cks")
 
 
@@ -9062,8 +9060,7 @@ def media_real_content_dup(spark, sf_dir):
     determinism and that content hashing collapses exactly the
     generation-rule groups."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_media_corpus(docs, group_mod=40)
-    meta = mm_ops.decode_real_meta(media)
+    meta = mm_ops.real_meta_from_ids(docs, group_mod=40)
     g = meta.groupBy("content_hash").agg(F.count(F.lit(1)).alias("c"))
     return g.agg(
         F.sum("c").cast("long").alias("n_media"),
@@ -9248,8 +9245,7 @@ def media_real_frame_dup(spark, sf_dir):
         _probe_ppm(docs_full, 100, target=5_000, cache_key=(sf_dir, "documents")),
         salt="framedup",
     )
-    media = mm_ops.synth_gif_corpus(docs)
-    pairs = mm_ops.real_frame_dup_pairs(media, min_shared=2)
+    pairs = mm_ops.real_frame_dup_pairs_from_ids(docs, min_shared=2)
     # single-row x single-row stats join (the adjudicated crossJoin
     # pattern, queries.py:corpus stats entries)
     return (
@@ -9299,8 +9295,7 @@ def media_real_jpeg(spark, sf_dir):
     SQL-replayable: checksum = 64 * sum of the block values, which
     the oracle recomputes from the id arithmetic per block."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_jpeg_corpus(docs)
-    out = mm_ops.decode_real_meta(media)
+    out = mm_ops.real_meta_from_ids(docs, corpus="jpeg")
     return out.select(
         "media_id",
         "fmt",
@@ -9319,8 +9314,7 @@ def media_real_jpeg_dri(spark, sf_dir):
     coefficients => identical dims/checksums => the SAME oracle as the
     plain entry; a restart-handling slip breaks the hash."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_jpeg_corpus(docs, variant="dri")
-    out = mm_ops.decode_real_meta(media)
+    out = mm_ops.real_meta_from_ids(docs, corpus="jpeg", variant="dri")
     return out.select(
         "media_id",
         "fmt",
@@ -9340,8 +9334,7 @@ def media_real_jpeg_prog(spark, sf_dir):
     oracle; any slip in spectral selection, successive approximation,
     or the EOB-run sweep breaks the hash."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_jpeg_corpus(docs, variant="progressive")
-    out = mm_ops.decode_real_meta(media)
+    out = mm_ops.real_meta_from_ids(docs, corpus="jpeg", variant="progressive")
     return out.select(
         "media_id",
         "fmt",
@@ -9362,8 +9355,7 @@ def media_real_mp4(spark, sf_dir):
     media as opaque payloads (Fact.kt:71-96); this is the video leg
     of the multimodal column story."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_mp4_corpus(docs)
-    out = mm_ops.decode_real_meta(media)
+    out = mm_ops.real_meta_from_ids(docs, corpus="mp4")
     return out.select(
         "media_id",
         "fmt",
@@ -9389,8 +9381,7 @@ def media_audio_gating(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") % 3 == 2
     )
-    media = mm_ops.synth_media_corpus(docs)
-    out = mm_ops.audio_gating_stats(media)
+    out = mm_ops.audio_gating_stats_from_ids(docs)
     return out.select(
         "media_id",
         F.col("n_windows").cast("long").alias("n_windows"),
@@ -9442,8 +9433,7 @@ def media_real_mp4_edge(spark, sf_dir):
     (Fact.kt:71-96); this extends the video leg of the multimodal
     column story."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_mp4_edge_corpus(docs)
-    out = mm_ops.mp4_container_meta(media)
+    out = mm_ops.mp4_container_meta_from_ids(docs)
     return out.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
@@ -9488,8 +9478,7 @@ def media_mp4_keyframes(spark, sf_dir):
     primitive of a video training pipeline; reference payloads are
     opaque (Fact.kt:71-96) — beyond-reference multimodal surface."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_mp4_keyframe_corpus(docs)
-    out = mm_ops.mp4_keyframe_stats(media)
+    out = mm_ops.mp4_keyframe_stats_from_ids(docs)
     return out.select(
         "media_id",
         F.col("n_frames").cast("long").alias("n_frames"),
@@ -9607,8 +9596,7 @@ def media_mp4_sample_dup(spark, sf_dir):
     hash (honest content identity) and carries (size, first_byte) as
     the engine-neutral order key both sides share."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = mm_ops.synth_mp4_corpus(docs)
-    stats = mm_ops.mp4_sample_stats(media)
+    stats = mm_ops.mp4_sample_stats_from_ids(docs)
     return (
         stats.groupBy("content_fnv", "size", "first_byte")
         .agg(

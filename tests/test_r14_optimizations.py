@@ -133,3 +133,95 @@ def test_fused_mp4_timing_equals_two_stage(spark, docs):
         tuple(r) for r in mm.mp4_timing_stats_from_ids(ids).collect()
     )
     assert fused == two_stage and fused
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "fused_kwargs,corpus_fn,probe_fn",
+    [
+        ({}, "synth_media_corpus", "decode_real_meta"),
+        ({"group_mod": 40}, "synth_media_corpus", "decode_real_meta"),
+        ({"corpus": "jpeg"}, "synth_jpeg_corpus", "decode_real_meta"),
+        ({"corpus": "jpeg", "variant": "dri"}, "synth_jpeg_corpus", "decode_real_meta"),
+        (
+            {"corpus": "jpeg", "variant": "progressive"},
+            "synth_jpeg_corpus",
+            "decode_real_meta",
+        ),
+        ({"corpus": "mp4"}, "synth_mp4_corpus", "decode_real_meta"),
+    ],
+)
+def test_fused_real_meta_equals_two_stage(
+    spark, docs, fused_kwargs, corpus_fn, probe_fn
+):
+    """real_meta_from_ids must be row-identical to the two-stage
+    synth → decode composition it replaces (all corpora/variants)."""
+    from factstore_spark.operators import multimodal as mm
+
+    ids = docs.select("doc_id").limit(30)
+    synth_kwargs = {
+        k: v for k, v in fused_kwargs.items() if k in ("group_mod", "variant")
+    }
+    media = getattr(mm, corpus_fn)(ids, **synth_kwargs)
+    two_stage = _rows(getattr(mm, probe_fn)(media))
+    fused = _rows(mm.real_meta_from_ids(ids, **fused_kwargs))
+    assert fused == two_stage and fused
+
+
+def test_fused_thumbnails_equal_two_stage(spark, docs):
+    from factstore_spark.operators import multimodal as mm
+
+    ids = docs.select("doc_id").limit(30)
+    media = mm.synth_media_corpus(ids).filter(F.col("format") != "wav")
+    two_stage = _rows(mm.real_thumbnails(media, target_w=8, target_h=8))
+    fused = _rows(mm.thumbnails_from_ids(ids, target_w=8, target_h=8))
+    assert fused == two_stage and fused
+
+
+def test_fused_audio_gating_equals_two_stage(spark, docs):
+    from factstore_spark.operators import multimodal as mm
+
+    ids = docs.select("doc_id").filter(F.col("doc_id") % 3 == 2).limit(20)
+    two_stage = _rows(mm.audio_gating_stats(mm.synth_media_corpus(ids)))
+    fused = _rows(mm.audio_gating_stats_from_ids(ids))
+    assert fused == two_stage and fused
+
+
+def test_fused_mp4_container_meta_equals_two_stage(spark, docs):
+    from factstore_spark.operators import multimodal as mm
+
+    ids = docs.select("doc_id").limit(30)
+    two_stage = _rows(mm.mp4_container_meta(mm.synth_mp4_edge_corpus(ids)))
+    fused = _rows(mm.mp4_container_meta_from_ids(ids))
+    assert fused == two_stage and fused
+
+
+def test_fused_mp4_keyframe_stats_equal_two_stage(spark, docs):
+    from factstore_spark.operators import multimodal as mm
+
+    ids = docs.select("doc_id").limit(30)
+    two_stage = _rows(mm.mp4_keyframe_stats(mm.synth_mp4_keyframe_corpus(ids)))
+    fused = _rows(mm.mp4_keyframe_stats_from_ids(ids))
+    assert fused == two_stage and fused
+
+
+def test_fused_mp4_sample_stats_equal_two_stage(spark, docs):
+    from factstore_spark.operators import multimodal as mm
+
+    ids = docs.select("doc_id").limit(25)
+    two_stage = _rows(mm.mp4_sample_stats(mm.synth_mp4_corpus(ids)))
+    fused = _rows(mm.mp4_sample_stats_from_ids(ids))
+    assert fused == two_stage and fused
+
+
+def test_fused_frame_dup_pairs_equal_two_stage(spark, docs):
+    from factstore_spark.operators import multimodal as mm
+
+    # 2 docs per mod-40 content class, so same-class pairs exist
+    ids = spark.range(80).select(F.col("id").alias("doc_id"))
+    two_stage = _rows(mm.real_frame_dup_pairs(mm.synth_gif_corpus(ids), min_shared=1))
+    fused = _rows(mm.real_frame_dup_pairs_from_ids(ids, min_shared=1))
+    assert fused == two_stage and fused
