@@ -8223,8 +8223,9 @@ def storage_bloom_pruning(spark, sf_dir):
     import tempfile
 
     from .storage.bloomindex import (
-        bloom_candidate_files,
+        bloom_candidate_files_multi,
         build_bloom_index,
+        merge_probes,
         pruned_lookup,
     )
 
@@ -8259,15 +8260,16 @@ def storage_bloom_pruning(spark, sf_dir):
             index_dir = os.path.join(root, "idx")
             docs.repartition(n_files, "doc_id").write.parquet(data_dir)
             build_bloom_index(spark, data_dir, "doc_id", index_dir)
-            p_present = bloom_candidate_files(
-                spark, index_dir, data_dir, "doc_id", heads
+            # one tagged sidecar consult for both assertion key sets;
+            # the lookup reuses their lossless union (merge_probes)
+            probes = bloom_candidate_files_multi(
+                spark, index_dir, data_dir, "doc_id",
+                {"present": heads, "absent": absents},
             )
-            p_absent = bloom_candidate_files(
-                spark, index_dir, data_dir, "doc_id", absents
-            )
+            p_present, p_absent = probes["present"], probes["absent"]
             got = pruned_lookup(
                 spark, data_dir, "doc_id", heads + absents, index_dir,
-                on_stale="error",
+                on_stale="error", probe=merge_probes(p_present, p_absent),
             ).agg(
                 F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
                 F.coalesce(
@@ -8570,7 +8572,7 @@ def storage_point_lookup(spark, sf_dir):
     import shutil
     import tempfile
 
-    from .storage.bloomindex import bloom_candidate_files
+    from .storage.bloomindex import bloom_candidate_files_multi, merge_probes
     from .storage.merge import (
         _head_manifest,
         _live_files,
@@ -8611,13 +8613,19 @@ def storage_point_lookup(spark, sf_dir):
             build_key_index(spark, d)
             files = _live_files(d, _head_manifest(d))
             idx = os.path.join(d, "_keyidx")
-            p_present = bloom_candidate_files(
-                spark, idx, d, ["o_orderkey"], keys, files=files
+            # one tagged sidecar consult for BOTH assertion key sets
+            # (each bloom_candidate_files call is a full probe job);
+            # the fresh-index lookup reuses their lossless union
+            # (merge_probes) instead of probing a third time
+            probes = bloom_candidate_files_multi(
+                spark, idx, d, ["o_orderkey"],
+                {"present": keys, "absent": absents}, files=files,
             )
-            p_absent = bloom_candidate_files(
-                spark, idx, d, ["o_orderkey"], absents, files=files
-            )
-            got = point_lookup(spark, d, keys + absents, on_stale="error").agg(
+            p_present, p_absent = probes["present"], probes["absent"]
+            got = point_lookup(
+                spark, d, keys + absents, on_stale="error",
+                probe=merge_probes(p_present, p_absent),
+            ).agg(
                 F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
                 F.coalesce(
                     F.sum(
@@ -9101,8 +9109,9 @@ def storage_tag_bloom_pruning(spark, sf_dir):
     import tempfile
 
     from .storage.bloomindex import (
-        bloom_candidate_files,
+        bloom_candidate_files_multi,
         build_bloom_index,
+        merge_probes,
         pruned_lookup,
     )
 
@@ -9145,15 +9154,16 @@ def storage_tag_bloom_pruning(spark, sf_dir):
             tagged.repartition(n_files, "doc_id").write.parquet(data_dir)
             spec = "tags['bkt']"
             build_bloom_index(spark, data_dir, spec, index_dir)
-            p_present = bloom_candidate_files(
-                spark, index_dir, data_dir, spec, [present]
+            # one tagged sidecar consult for both assertion key sets;
+            # the lookup reuses their lossless union (merge_probes)
+            probes = bloom_candidate_files_multi(
+                spark, index_dir, data_dir, spec,
+                {"present": [present], "absent": absents},
             )
-            p_absent = bloom_candidate_files(
-                spark, index_dir, data_dir, spec, absents
-            )
+            p_present, p_absent = probes["present"], probes["absent"]
             got = pruned_lookup(
                 spark, data_dir, spec, [present] + absents, index_dir,
-                on_stale="error",
+                on_stale="error", probe=merge_probes(p_present, p_absent),
             ).agg(
                 F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
                 F.coalesce(

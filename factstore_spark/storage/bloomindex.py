@@ -538,6 +538,78 @@ def bloom_candidate_files(
     return BloomProbe(cands, len(inv_now), False, version)
 
 
+def bloom_candidate_files_multi(
+    spark: SparkSession,
+    index_dir: str,
+    data_dir: str,
+    key_cols,
+    keysets: dict[str, list],
+    files: dict[str, int] | None = None,
+) -> dict[str, BloomProbe]:
+    """Probe SEVERAL key sets against the same sidecar snapshot in ONE
+    Spark job. Each :func:`bloom_candidate_files` call pays a full
+    broadcast-join-aggregate job no matter how few keys it probes;
+    callers that consult the index for multiple key sets back-to-back
+    (e.g. a present/absent assertion pair) tag the union and split the
+    grouped result instead. Per-group results are identical to calling
+    ``bloom_candidate_files`` once per key set (a file qualifies when
+    SOME key of the group hits all its bits — groups never interact).
+    Group names must be strings (they ride a literal column)."""
+    key_cols = _norm_key_cols(key_cols)
+    manifest, version = read_versioned_manifest(index_dir, _read_pointer)
+    inv_now = files if files is not None else _inventory(data_dir)
+    if (
+        manifest is None
+        or manifest.get("key_cols") != key_cols
+        or manifest.get("files") != inv_now
+    ):
+        stale = BloomProbe(sorted(inv_now), len(inv_now), True, version)
+        return {g: stale for g in keysets}
+    out: dict[str, BloomProbe] = {}
+    tagged = []
+    for g, keys in keysets.items():
+        kdf, n_keys = _key_frame(spark, manifest, keys)
+        if n_keys == 0:
+            out[g] = BloomProbe([], len(inv_now), False, version)
+        else:
+            tagged.append(kdf.withColumn("_grp", F.lit(g)))
+    if tagged:
+        sidecar = _sidecar_df(spark, index_dir, manifest)
+        by_grp = _probe_candidates_grouped(
+            sidecar,
+            reduce(DataFrame.unionByName, tagged),
+            _alias_names(manifest["key_cols"]),
+            int(manifest["num_hashes"]),
+        )
+        for g in keysets:
+            if g in out:
+                continue
+            cands = by_grp.get(g, [])
+            if any(c not in manifest["files"] for c in cands):
+                # corrupted sidecar: degrade this group like the
+                # single-set path does
+                out[g] = BloomProbe(sorted(inv_now), len(inv_now), True, version)
+            else:
+                out[g] = BloomProbe(cands, len(inv_now), False, version)
+    return out
+
+
+def merge_probes(*probes: BloomProbe) -> BloomProbe:
+    """The probe for the UNION of several probed key sets: a file
+    qualifies when SOME key hits all its bits, so candidates(A ∪ B) =
+    candidates(A) ∪ candidates(B) exactly — merging is lossless. Stale
+    if any constituent consult was stale (its candidate list is then
+    already every file, so the union degrades the same way)."""
+    if not probes:
+        raise ValueError("merge_probes needs at least one probe")
+    return BloomProbe(
+        sorted({f for p in probes for f in p.candidate_files}),
+        probes[0].total_files,
+        any(p.stale for p in probes),
+        max(p.version for p in probes),
+    )
+
+
 def _probe_candidates(
     sidecar: DataFrame, kdf: DataFrame, key_cols: list[str], k_hashes: int
 ) -> list[str]:
@@ -554,8 +626,21 @@ def _probe_candidates(
     set), while the sidecar with its per-file bitsets (bytes
     proportional to data rows / bits_per_key) streams through
     executors, never through the driver."""
+    got = _probe_candidates_grouped(
+        sidecar, kdf.withColumn("_grp", F.lit("_")), key_cols, k_hashes
+    )
+    return got.get("_", [])
+
+
+def _probe_candidates_grouped(
+    sidecar: DataFrame, kdf: DataFrame, key_cols: list[str], k_hashes: int
+) -> dict[str, list[str]]:
+    """Grouped core of :func:`_probe_candidates`: the probe frame
+    carries a ``_grp`` tag column and the candidate sets come back per
+    tag — ONE pipeline for single and batched probes, so build/probe
+    hashing (and single/multi probing) can never diverge."""
     h1, h2 = _hashes(*[F.col(c) for c in key_cols])
-    probe = kdf.distinct().select(h1.alias("h1"), h2.alias("h2"))
+    probe = kdf.distinct().select("_grp", h1.alias("h1"), h2.alias("h2"))
     w_idx, w_bit = _bit_cols()
     hit = (
         F.coalesce(F.element_at(F.col("words"), w_idx), F.lit(0))
@@ -566,6 +651,7 @@ def _probe_candidates(
         sidecar.select("_file", "m", "words")
         .join(F.broadcast(probe))
         .select(
+            "_grp",
             "_file",
             "m",
             "words",
@@ -574,6 +660,7 @@ def _probe_candidates(
             F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
         )
         .select(
+            "_grp",
             "_file",
             "words",
             "h1",
@@ -582,15 +669,18 @@ def _probe_candidates(
                 F.col("h1"), F.col("h2"), F.col("i"), F.col("m")
             ).alias("pos"),
         )
-        .select("_file", "h1", "h2", hit.alias("hit"))
-        .groupBy("_file", "h1", "h2")
+        .select("_grp", "_file", "h1", "h2", hit.alias("hit"))
+        .groupBy("_grp", "_file", "h1", "h2")
         .agg(F.min("hit").alias("all_hit"))
         .filter(F.col("all_hit") == 1)
-        .select("_file")
+        .select("_grp", "_file")
         .distinct()
         .collect()
     )
-    return sorted(r._file for r in rows)
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        out.setdefault(r._grp, []).append(r._file)
+    return {g: sorted(fs) for g, fs in out.items()}
 
 
 def pruned_semi_join(
@@ -749,12 +839,18 @@ def pruned_lookup(
     index_dir: str,
     on_stale: str = "scan",
     files: dict[str, int] | None = None,
+    probe: BloomProbe | None = None,
 ) -> DataFrame:
     """Exact point lookup ``key_cols IN keys`` reading ONLY the
     sidecar's candidate files. The result is always exact: the exact
     key predicate runs on top of the pruned scan, so Bloom false
     positives never surface as rows. ``on_stale``: 'scan' (default)
-    degrades to the full scan; 'error' raises BloomIndexStaleError."""
+    degrades to the full scan; 'error' raises BloomIndexStaleError.
+    ``probe``: a BloomProbe the caller already holds for these keys
+    against the same snapshot (e.g. from a batched
+    ``bloom_candidate_files_multi`` consultation) — skips the sidecar
+    job; candidates for a key union are exactly the union of the
+    per-set candidates, so passing a merged probe is lossless."""
     key_cols = _norm_key_cols(key_cols)
     keys = [
         k
@@ -768,9 +864,10 @@ def pruned_lookup(
     # job for a fallback it doesn't take.
     if not keys:
         return _read_pinned(spark, data_dir, files).filter(F.lit(False))
-    probe = bloom_candidate_files(
-        spark, index_dir, data_dir, key_cols, keys, files=files
-    )
+    if probe is None:
+        probe = bloom_candidate_files(
+            spark, index_dir, data_dir, key_cols, keys, files=files
+        )
     if probe.stale:
         if on_stale == "error":
             raise BloomIndexStaleError(

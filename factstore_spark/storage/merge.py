@@ -944,13 +944,16 @@ def build_key_index(spark: SparkSession, table_dir: str) -> dict:
 
 
 def point_lookup(
-    spark: SparkSession, table_dir: str, keys: list, on_stale: str = "scan"
+    spark: SparkSession, table_dir: str, keys: list, on_stale: str = "scan",
+    probe=None,
 ) -> DataFrame | None:
     """Exact rows for the given keys (scalars, or tuples matching the
     table's composite key order) from the head snapshot, through the
     key index when fresh — candidate files only — and the full pinned
     scan otherwise. Column set matches read_table. None if the table
-    doesn't exist / is empty (read_table contract)."""
+    doesn't exist / is empty (read_table contract). ``probe``: a
+    BloomProbe the caller already holds for these keys against the
+    current snapshot (see pruned_lookup) — skips the sidecar job."""
     from .bloomindex import pruned_lookup
 
     m = _head_manifest(table_dir)
@@ -964,6 +967,7 @@ def point_lookup(
         os.path.join(table_dir, _KEY_INDEX_DIR),
         on_stale=on_stale,
         files=_live_files(table_dir, m),
+        probe=probe,
     )
     # pin read_table's column surface (schema-merged subset reads can
     # surface evolved columns in any file order). A column absent from

@@ -892,3 +892,79 @@ def test_store_tag_bloom_rejects_quoted_key(fs):
     fs.compact("tbq")
     with _pytest.raises(ValueError, match="quotes"):
         fs.build_tag_bloom_index("tbq", "bad'key")
+
+
+# --- r14 batched probe (bloom_candidate_files_multi / merge_probes) ---
+
+
+def test_multi_probe_matches_per_set_single_probes(spark, bloom_table):
+    """One tagged probe job must return, per group, exactly what a
+    bloom_candidate_files call per key set returns."""
+    from factstore_spark.storage.bloomindex import (
+        bloom_candidate_files_multi,
+        merge_probes,
+    )
+
+    data_dir, index_dir, _ = bloom_table
+    keysets = {
+        "present": [0, 17, 999, 3999],
+        "absent": [-1, -2, 4000, 5555],
+        "mixed": [1, -9, 2000],
+        "empty": [],
+        "nulls": [None],
+    }
+    got = bloom_candidate_files_multi(spark, index_dir, data_dir, "k", keysets)
+    assert set(got) == set(keysets)
+    for g, keys in keysets.items():
+        single = bloom_candidate_files(spark, index_dir, data_dir, "k", keys)
+        assert got[g] == single, g
+    # the lossless-union law merge_probes relies on
+    union = bloom_candidate_files(
+        spark, index_dir, data_dir, "k",
+        keysets["present"] + keysets["absent"] + keysets["mixed"],
+    )
+    merged = merge_probes(got["present"], got["absent"], got["mixed"])
+    assert merged.candidate_files == union.candidate_files
+    assert merged.stale == union.stale is False
+
+
+def test_multi_probe_stale_index_degrades_every_group(spark, bloom_table):
+    from factstore_spark.storage.bloomindex import bloom_candidate_files_multi
+
+    data_dir, index_dir, _ = bloom_table
+    extra = spark.range(9000, 9100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    extra.write.mode("append").parquet(data_dir)  # inventory drift
+    got = bloom_candidate_files_multi(
+        spark, index_dir, data_dir, "k", {"a": [0], "b": [9001]}
+    )
+    for p in got.values():
+        assert p.stale and len(p.candidate_files) == p.total_files
+
+
+def test_pruned_lookup_with_merged_probe_identical(spark, bloom_table):
+    """pruned_lookup(probe=merge_probes(...)) over the key union reads
+    the same rows as the self-probing call."""
+    from factstore_spark.storage.bloomindex import (
+        bloom_candidate_files_multi,
+        merge_probes,
+    )
+
+    data_dir, index_dir, _ = bloom_table
+    present, absent = [0, 17, 999], [-1, 4000]
+    probes = bloom_candidate_files_multi(
+        spark, index_dir, data_dir, "k",
+        {"present": present, "absent": absent},
+    )
+    merged = merge_probes(probes["present"], probes["absent"])
+    got = pruned_lookup(
+        spark, data_dir, "k", present + absent, index_dir,
+        on_stale="error", probe=merged,
+    )
+    want = pruned_lookup(
+        spark, data_dir, "k", present + absent, index_dir, on_stale="error"
+    )
+    assert rows_of(got) == rows_of(want)
