@@ -35,10 +35,27 @@ from .text import tokens_col
 # Mersenne-ish prime for the universal-hash family (fits in long math).
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
 
-# Active signature_cache_scope tokens (innermost last). Module-level on
-# purpose: the scope is a driver-side lifecycle construct, and operators
-# must see it without threading a parameter through every call chain.
-_CACHE_SCOPES: list[list[DataFrame]] = []
+# Active signature_cache_scope tokens (innermost last), PER DRIVER
+# THREAD. Module-level on purpose: the scope is a driver-side lifecycle
+# construct, and operators must see it without threading a parameter
+# through every call chain. Thread-local since r14: entries overlap
+# independent Spark actions from a small thread pool (guide §2.6), and
+# a shared stack would let one thread's scope exit pop — and unpersist —
+# another thread's token mid-action. Each thread's scopes nest among
+# themselves exactly as before; a worker thread re-deriving an already-
+# cached signature plan reuses it via the storageLevel check in
+# _scoped_cache (the CacheManager matches by canonicalized plan), so
+# cross-thread sharing of the cache itself still works.
+import threading as _threading  # noqa: E402
+
+_CACHE_SCOPES_TLS = _threading.local()
+
+
+def _cache_scopes() -> list[list[DataFrame]]:
+    stack = getattr(_CACHE_SCOPES_TLS, "stack", None)
+    if stack is None:
+        stack = _CACHE_SCOPES_TLS.stack = []
+    return stack
 
 
 from contextlib import contextmanager  # noqa: E402
@@ -65,11 +82,12 @@ def signature_cache_scope():
     signatures per use instead of reading the cache. Scopes nest;
     each frame is released by the innermost scope open at its creation."""
     token: list[DataFrame] = []
-    _CACHE_SCOPES.append(token)
+    stack = _cache_scopes()
+    stack.append(token)
     try:
         yield
     finally:
-        _CACHE_SCOPES.pop()
+        stack.pop()
         for df in token:
             df.unpersist()
 
@@ -84,8 +102,9 @@ def _scoped_cache(df: DataFrame) -> DataFrame:
     if df.storageLevel.useMemory or df.storageLevel.useDisk:
         return df
     out = df.cache()
-    if _CACHE_SCOPES:
-        _CACHE_SCOPES[-1].append(out)
+    stack = _cache_scopes()
+    if stack:
+        stack[-1].append(out)
     return out
 
 
@@ -878,9 +897,11 @@ def start_dedup_stream(
     deduped against the ENTIRE indexed archive plus itself
     (:func:`incremental_minhash_pairs` — archive text never re-read,
     cost O(batch × bands + matched buckets) per batch), its pairs
-    appended to ``pairs_dir`` as parquet, and its own signatures then
+    appended to ``pairs_dir`` as parquet, and its own signatures
     committed to the index (:func:`append_minhash_index`) so every
-    LATER batch dedups against it too.
+    LATER batch dedups against it too; the two writes run concurrently
+    (the pairs plan pins its manifest snapshot before the append's CAS
+    swap, so batch wall-clock is their max, not their sum).
 
     Effectively-once: a batch re-delivered after a sink crash re-emits
     the same pair rows (downstream consumers dedupe on (id_a, id_b) if
@@ -911,10 +932,31 @@ def start_dedup_stream(
             # batch forever (the long-session failure
             # signature_cache_scope exists for)
             with signature_cache_scope():
-                incremental_minhash_pairs(
+                # Build the pairs plan FIRST (pins the current manifest's
+                # segment paths and caches the batch signatures), then run
+                # the two writes CONCURRENTLY (guide §2.6): they touch
+                # disjoint locations (pairs dir vs a fresh invisible
+                # segment dir), the append's CAS swap cannot redirect the
+                # pinned pairs plan, and the append reuses the cached
+                # signature frame. Per-batch wall-clock is max(pair
+                # harvest, segment append) instead of their sum. Crash
+                # states are the same set re-delivery already tolerates:
+                # duplicate pair rows and/or a duplicate segment, both
+                # documented harmless above.
+                pairs_df = incremental_minhash_pairs(
                     batch_df, index_dir, text_col, verify_jaccard
-                ).write.mode("append").parquet(pairs_dir)
-                append_minhash_index(batch_df, index_dir, text_col)
+                )
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fa = pool.submit(
+                        lambda: pairs_df.write.mode("append").parquet(pairs_dir)
+                    )
+                    fb = pool.submit(
+                        append_minhash_index, batch_df, index_dir, text_col
+                    )
+                    fa.result()
+                    fb.result()
         finally:
             # free the batch pin NOW: on a continuous stream the async
             # ContextCleaner lags batches behind, accumulating one dead

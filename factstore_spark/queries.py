@@ -1148,21 +1148,30 @@ def dedup_embedding_recall_report(
         emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
         centroids=seed_cents,
     )
-    cents = sim_ops.train_centroids(
-        emb, n_cells=32, iterations=3, init_centroids=seed_cents
-    )
-    trained = sim_ops.cosine_dup_pairs(
-        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
-        centroids=cents,
-    )
     # Probe ground truth: the corpus is capped at RECALL_PROBE_TARGET
     # ids, so the exact pair set is computed with one bounded driver
     # gemm (exact_cosine_pairs_bounded) instead of a ~10-stage
     # distributed pair join that moves every vector pair through Arrow
     # — the join form cost more in scheduling than the whole probe.
-    exact = sim_ops.exact_cosine_pairs_bounded(
-        emb, threshold=0.45, id_col="vec_id", vec_col="embedding",
-    ).persist()  # scored against BOTH quantizers — compute once
+    # The gemm depends only on the cached probe corpus, not on the
+    # quantizers, so it runs CONCURRENTLY with the 3 Lloyd iterations
+    # (guide §2.6) — both sides read the persisted emb blocks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        fut_exact = _pool.submit(
+            lambda: sim_ops.exact_cosine_pairs_bounded(
+                emb, threshold=0.45, id_col="vec_id", vec_col="embedding",
+            )
+        )
+        cents = sim_ops.train_centroids(
+            emb, n_cells=32, iterations=3, init_centroids=seed_cents
+        )
+        exact = fut_exact.result().persist()  # scored against BOTH quantizers
+    trained = sim_ops.cosine_dup_pairs(
+        emb, threshold=0.45, exact=False, method="ivf", n_cells=32, n_probe=2,
+        centroids=cents,
+    )
     s = _with_recall_ci(_pair_recall_stats(sampled, exact)).select(
         "n_exact",
         F.col("n_approx").alias("sampled_n_approx"),
@@ -1201,12 +1210,20 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_PROBE_PCT):
     training never loses to the seeded sample (trained_ge_sampled_ok).
     n_probe_vectors witnesses the probe itself. The raw recall numbers
     and Wilson CIs stay available via dedup_embedding_recall_report."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb_full = _t(spark, sf_dir, "embeddings")
-    n_probe_vectors = _probe_sample(
-        emb_full, "vec_id",
-        _probe_ppm(emb_full, sample_pct, cache_key=(sf_dir, "embeddings")),
-    ).count()
-    r = dedup_embedding_recall_report(spark, sf_dir, sample_pct).collect()[0]
+    # resolve the ppm in the MAIN thread first (it memoizes in
+    # _PROBE_COUNT_CACHE; computing it from two threads would run the
+    # corpus count twice), then overlap the witness count with the
+    # report's own pipeline (guide §2.6) — independent actions.
+    ppm = _probe_ppm(emb_full, sample_pct, cache_key=(sf_dir, "embeddings"))
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        fut_n = _pool.submit(
+            lambda: _probe_sample(emb_full, "vec_id", ppm).count()
+        )
+        r = dedup_embedding_recall_report(spark, sf_dir, sample_pct).collect()[0]
+        n_probe_vectors = fut_n.result()
     return spark.createDataFrame(
         [
             (
@@ -5275,6 +5292,8 @@ def dedup_incremental_minhash(spark, sf_dir):
     inc = docs.filter(F.col("doc_id") % 2 == 1)
     idx = tempfile.mkdtemp(prefix="mh-idx-")
     try:
+        from concurrent.futures import ThreadPoolExecutor
+
         write_minhash_index(hist, idx)
         got = incremental_minhash_pairs(inc, idx).select("id_a", "id_b")
         inline = dedup_ops.minhash_lsh_pairs(docs, verify_jaccard=0.5).select(
@@ -5282,33 +5301,49 @@ def dedup_incremental_minhash(spark, sf_dir):
         ).filter((F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1))
         a = got.withColumn("in_a", F.lit(1))
         b = inline.withColumn("in_b", F.lit(1))
-        ab = (
-            a.join(b, ["id_a", "id_b"], "full_outer")
-            .agg(
-                # coalesce: sum() over ZERO rows is NULL, and a tiny or
-                # heavily-filtered corpus can legitimately produce zero
-                # pairs on both sides — that is a vacuous PASS on the
-                # diff columns (the witness column guards vacuity).
-                F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_incremental"),
-                F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_inline"),
-                F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
-                .cast("long").alias("n_common"),
+
+        def _ab():
+            return (
+                a.join(b, ["id_a", "id_b"], "full_outer")
+                .agg(
+                    # coalesce: sum() over ZERO rows is NULL, and a tiny
+                    # or heavily-filtered corpus can legitimately produce
+                    # zero pairs on both sides — that is a vacuous PASS on
+                    # the diff columns (the witness column guards
+                    # vacuity).
+                    F.coalesce(F.sum("in_a"), F.lit(0))
+                    .cast("long").alias("n_incremental"),
+                    F.coalesce(F.sum("in_b"), F.lit(0))
+                    .cast("long").alias("n_inline"),
+                    F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+                    .cast("long").alias("n_common"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        halves = {
-            int(r["h"]): int(r["c"])
-            for r in docs.groupBy((F.col("doc_id") % 2).alias("h"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        n_exact_cross = (
-            dedup_ops.ngram_jaccard_pairs(
-                docs, n=3, min_jaccard=0.5, max_shingle_df=20
+
+        def _halves():
+            return {
+                int(r["h"]): int(r["c"])
+                for r in docs.groupBy((F.col("doc_id") % 2).alias("h"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+
+        def _exact():
+            return (
+                dedup_ops.ngram_jaccard_pairs(
+                    docs, n=3, min_jaccard=0.5, max_shingle_df=20
+                )
+                .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+                .count()
             )
-            .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
-            .count()
-        )
+
+        # the A/B, the half sizes and the exact-Jaccard witness are
+        # independent actions — overlap them (guide §2.6); each computes
+        # exactly what it did sequentially
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fab, fh, fx = pool.submit(_ab), pool.submit(_halves), pool.submit(_exact)
+            ab, halves, n_exact_cross = fab.result(), fh.result(), fx.result()
         match_bp = (
             10000
             if ab.n_incremental == ab.n_common and ab.n_inline == ab.n_common
@@ -5405,24 +5440,57 @@ def _run_dedup_stream_probe(spark, sf_dir, target: int = 1200):
         _probe_ppm(docs_full, 50, target=target, cache_key=(sf_dir, "documents")),
         salt="streamdedup",
     ).select("doc_id", "text")
+    from concurrent.futures import ThreadPoolExecutor
+
     root = tempfile.mkdtemp(prefix="mh-stream-")
     src, idx, pairs, ckpt = (
         os.path.join(root, p) for p in ("src", "idx", "pairs", "ckpt")
     )
     try:
-        write_minhash_index(docs.filter(F.col("doc_id") % 4 == 0), idx)
+        # Overlap independent driver actions (guide §2.6): the archive
+        # index bootstrap and the three source-file writes share no
+        # state (the src appends stay SEQUENTIAL among themselves — two
+        # concurrent append jobs into one target dir race in the
+        # FileOutputCommitter staging dir), and the two corpus-wide
+        # witnesses (halves, capped exact-Jaccard) depend only on docs,
+        # so they run WHILE the stream does. Pure scheduling: every
+        # action computes exactly what it did sequentially.
+        pool = ThreadPoolExecutor(max_workers=3)
+        fut_idx = pool.submit(
+            write_minhash_index, docs.filter(F.col("doc_id") % 4 == 0), idx
+        )
         # one parquet file per batch; maxFilesPerTrigger=1 makes
         # availableNow replay them as three distinct micro-batches
         for b in (1, 2, 3):
             docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+        fut_idx.result()
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
         q = start_dedup_stream(stream, idx, pairs, ckpt, available_now=True)
+        fut_halves = pool.submit(
+            lambda: {
+                int(r["h"]): int(r["c"])
+                for r in docs.groupBy(
+                    (F.col("doc_id") % 4 == 0).cast("int").alias("h")
+                )
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+        )
+        # non-vacuity witness, same capped exact-Jaccard pipeline as
+        # the incremental entry's oracle (df cap 20 within the probe)
+        fut_exact = pool.submit(
+            lambda: dedup_ops.ngram_jaccard_pairs(
+                docs, n=3, min_jaccard=0.5, max_shingle_df=20
+            )
+            .filter(~((F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)))
+            .count()
+        )
         q.awaitTermination()
         batches = [
             {
@@ -5444,21 +5512,9 @@ def _run_dedup_stream_probe(spark, sf_dir, target: int = 1200):
         # stream's harvested pairs, exact = the one-shot restriction
         st = _pair_recall_stats(got, inline).collect()[0]
         n_stream, n_oneshot, n_common = st.n_approx, st.n_exact, st.n_common
-        halves = {
-            int(r["h"]): int(r["c"])
-            for r in docs.groupBy((F.col("doc_id") % 4 == 0).cast("int").alias("h"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        # non-vacuity witness, same capped exact-Jaccard pipeline as
-        # the incremental entry's oracle (df cap 20 within the probe)
-        n_exact_stream = (
-            dedup_ops.ngram_jaccard_pairs(
-                docs, n=3, min_jaccard=0.5, max_shingle_df=20
-            )
-            .filter(~((F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)))
-            .count()
-        )
+        halves = fut_halves.result()
+        n_exact_stream = fut_exact.result()
+        pool.shutdown()
         n_segments = len(_read_minhash_manifest(idx)["segments"])
         match_bp = (
             10000
@@ -5730,14 +5786,29 @@ def storage_merge_upsert(spark, sf_dir):
     # Same fixed-size-sample discipline as the probes: the MERGE
     # contract is corpus-size-independent, the bench cost should be too
     # (two full table versions are written per run).
+    # persist: the sample feeds the create (validate + write), the
+    # batch's three planted legs, the want side and the shift max —
+    # unpersisted, each re-scans and re-md5-filters the orders parquet
     base = _probe_sample(
         orders_full, "o_orderkey",
         _probe_ppm(orders_full, 50, target=20_000, cache_key=(sf_dir, "orders")),
         salt="mergetbl",
-    )
+    ).persist()
     d = tempfile.mkdtemp(prefix="merge-tbl-")
     try:
-        create_table(base, d, ["o_orderkey"], "o_orderstatus")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # shift past the sample's max key so synthesized insert keys can
+        # never collide with real orderkeys at any scale factor (a fixed
+        # +10M offset collides once max(o_orderkey) crosses 10M); it
+        # depends only on the sample — overlap it with the create
+        # (guide §2.6)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            fut_shift = _pool.submit(
+                lambda: (base.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+            )
+            create_table(base, d, ["o_orderkey"], "o_orderstatus")
+            shift = fut_shift.result()
         # delete wins where the 97- and 101-divisible sets overlap
         # (key 0): one row per key is the merge contract.
         upd = base.filter(
@@ -5748,10 +5819,6 @@ def storage_merge_upsert(spark, sf_dir):
             (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
             F.lit(False).alias("is_deleted"),
         )
-        # shift past the sample's max key so synthesized insert keys can
-        # never collide with real orderkeys at any scale factor (a fixed
-        # +10M offset collides once max(o_orderkey) crosses 10M)
-        shift = (base.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
         ins = base.filter(F.col("o_orderkey") % 89 == 0).select(
             (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
             "o_orderstatus",
@@ -5821,6 +5888,7 @@ def storage_merge_upsert(spark, sf_dir):
         rows = stats.collect()
         return spark.createDataFrame(rows, stats.schema)
     finally:
+        base.unpersist()
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -5897,12 +5965,20 @@ def storage_compact_table(spark, sf_dir):
     ).localCheckpoint()
     d = tempfile.mkdtemp(prefix="compact-tbl-")
     try:
-        create_table(base, d, ["o_orderkey"], "o_orderstatus")
-        statuses = [
-            r[0]
-            for r in base.select("o_orderstatus").distinct()
-            .orderBy("o_orderstatus").collect()
-        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        # the status list depends only on the pinned sample — overlap
+        # it with the create (guide §2.6)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            fut_st = _pool.submit(
+                lambda: [
+                    r[0]
+                    for r in base.select("o_orderstatus").distinct()
+                    .orderBy("o_orderstatus").collect()
+                ]
+            )
+            create_table(base, d, ["o_orderkey"], "o_orderstatus")
+            statuses = fut_st.result()
         for i, s in enumerate(statuses[:2]):
             batch = base.filter(
                 (F.col("o_orderstatus") == s) & (F.col("o_orderkey") % 7 == i)
@@ -5919,24 +5995,33 @@ def storage_compact_table(spark, sf_dir):
         got = read_table(spark, d)
         a = got.withColumn("in_a", F.lit(1))
         b = want.withColumn("in_b", F.lit(1))
-        row = (
-            a.join(
-                b, ["o_orderkey", "o_orderstatus", "o_totalprice"], "full_outer"
+        # the content A/B and the stats validation are independent
+        # read-only passes over the compacted table — overlap them;
+        # vacuum stays strictly after both (the A/B's want side reads
+        # the superseded version dirs)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            fut_valid = _pool.submit(lambda: validate_table(spark, d)["ok"])
+            row = (
+                a.join(
+                    b, ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                    "full_outer",
+                )
+                .agg(
+                    F.coalesce(F.sum("in_a"), F.lit(0))
+                    .cast("long").alias("n_after"),
+                    F.coalesce(F.sum("in_b"), F.lit(0))
+                    .cast("long").alias("n_before"),
+                    F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+                    .cast("long").alias("n_common"),
+                )
+                .collect()[0]
             )
-            .agg(
-                F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_after"),
-                F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_before"),
-                F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
-                .cast("long").alias("n_common"),
-            )
-            .collect()[0]
-        )
+            valid_ok = 1 if fut_valid.result() else 0
         match_bp = (
             10000
             if row.n_after == row.n_common and row.n_before == row.n_common
             else (10000 * row.n_common) // max(row.n_after, row.n_before, 1)
         )
-        valid_ok = 1 if validate_table(spark, d)["ok"] else 0
         vac = vacuum_table(d, retain_seconds=0.0, retain_snapshots=1)
         return spark.createDataFrame(
             [
@@ -6141,7 +6226,12 @@ def storage_scd2_history(spark, sf_dir):
         )
         asof, now = bp["asof"], bp["now"]
         # r14: the interval counts ride validate_scd2's single audit
-        # pass (same history scan) instead of a separate aggregate job
+        # pass (same history scan) instead of a separate aggregate job.
+        # (Overlapping this audit with the A/B join was TRIED and
+        # reverted: two concurrent wide stages over the same history
+        # doubled the entry's wall time on local[32] — 13.7 s -> 26 s
+        # warm — the window sort and the full-outer join fight for the
+        # same cores instead of back-filling each other.)
         v = validate_scd2(spark, d)
         row = {
             "n_keys": v["n_keys"],
@@ -6473,6 +6563,8 @@ def storage_zorder_pruning(spark, sf_dir):
     assess_pruning = n_rows >= 5000
     root = tempfile.mkdtemp(prefix="zorder-")
     try:
+        from concurrent.futures import ThreadPoolExecutor
+
         dz, dl = os.path.join(root, "z"), os.path.join(root, "linear")
         write_zordered(df, ["user_id", "day"], dz, num_files=n_files)
         # Baseline range-partitions by DAY ALONE: adding user_id to the
@@ -6480,6 +6572,10 @@ def storage_zorder_pruning(spark, sf_dir):
         # giving that file a narrow user footer range that flakily
         # prunes the user box — the baseline must be structurally
         # blind on its non-sort dimension, not data-dependently so.
+        # (Overlapping the two layout writes was TRIED and reverted:
+        # both are wide range-partition writes over the same sample and
+        # they fight for the same cores on a saturated scheduler — see
+        # the scd2 note for the same finding.)
         (
             df.repartitionByRange(n_files, "day")
             .sortWithinPartitions("day", "user_id")
@@ -6509,7 +6605,12 @@ def storage_zorder_pruning(spark, sf_dir):
                 ).alias("h"),
             ).collect()[0]
 
-        got, want = _digest(spark.read.parquet(dz)), _digest(df)
+        # the two digest sides are independent actions (z layout vs the
+        # persisted source) — overlap them too
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            fut_got = _pool.submit(lambda: _digest(spark.read.parquet(dz)))
+            want = _digest(df)
+            got = fut_got.result()
         match_bp = 10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
         # (cand_z_both <= min(day, user) holds by construction — the
         # conjunctive candidate set is an intersection — so it is NOT
@@ -7158,14 +7259,27 @@ def storage_table_diff(spark, sf_dir):
     orders_full = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    # persist: the sample feeds the create (validate + write), the
+    # merge batch's three planted legs, the want side and the shift
+    # max — unpersisted, each re-scans and re-md5-filters the orders
+    # parquet (same rationale as the scd2 entry's base persist)
     base = _probe_sample(
         orders_full, "o_orderkey",
         _probe_ppm(orders_full, 50, target=10_000, cache_key=(sf_dir, "orders")),
         salt="difftbl",
-    )
+    ).persist()
     d = tempfile.mkdtemp(prefix="diff-tbl-")
     try:
-        create_table(base, d, ["o_orderkey"], "o_orderstatus")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # the shift max depends only on the sample — overlap it with
+        # the create (guide §2.6)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            fut_shift = _pool.submit(
+                lambda: (base.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+            )
+            create_table(base, d, ["o_orderkey"], "o_orderstatus")
+            shift = fut_shift.result()
         upd = base.filter(
             (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 101 != 0)
         ).select(
@@ -7173,7 +7287,6 @@ def storage_table_diff(spark, sf_dir):
             (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
             F.lit(False).alias("is_deleted"),
         )
-        shift = (base.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
         ins = base.filter(F.col("o_orderkey") % 89 == 0).select(
             (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
             "o_orderstatus", "o_totalprice",
@@ -7236,6 +7349,7 @@ def storage_table_diff(spark, sf_dir):
         rows = stats.collect()
         return spark.createDataFrame(rows, stats.schema)
     finally:
+        base.unpersist()
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -8267,24 +8381,38 @@ def storage_bloom_pruning(spark, sf_dir):
                 {"present": heads, "absent": absents},
             )
             p_present, p_absent = probes["present"], probes["absent"]
-            got = pruned_lookup(
-                spark, data_dir, "doc_id", heads + absents, index_dir,
-                on_stale="error", probe=merge_probes(p_present, p_absent),
-            ).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
-                F.coalesce(
-                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
-                    F.lit(0),
-                ).alias("h"),
-                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
-            ).collect()[0]
-            want = docs.filter(F.col("doc_id").isin(heads)).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
-                F.coalesce(
-                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
-                    F.lit(0),
-                ).alias("h"),
-            ).collect()[0]
+            # the pruned-lookup digest and the want-side digest are
+            # independent actions (candidate files vs the cached
+            # sample) — overlap them (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as _pool:
+                fut_want = _pool.submit(
+                    lambda: docs.filter(F.col("doc_id").isin(heads)).agg(
+                        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                        F.coalesce(
+                            F.sum(
+                                F.xxhash64("doc_id", "n_chars")
+                                .cast("decimal(38,0)")
+                            ),
+                            F.lit(0),
+                        ).alias("h"),
+                    ).collect()[0]
+                )
+                got = pruned_lookup(
+                    spark, data_dir, "doc_id", heads + absents, index_dir,
+                    on_stale="error", probe=merge_probes(p_present, p_absent),
+                ).agg(
+                    F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                    F.coalesce(
+                        F.sum(
+                            F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")
+                        ),
+                        F.lit(0),
+                    ).alias("h"),
+                    F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+                ).collect()[0]
+                want = fut_want.result()
             match_bp = (
                 10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
             )
@@ -8622,32 +8750,41 @@ def storage_point_lookup(spark, sf_dir):
                 {"present": keys, "absent": absents}, files=files,
             )
             p_present, p_absent = probes["present"], probes["absent"]
-            got = point_lookup(
-                spark, d, keys + absents, on_stale="error",
-                probe=merge_probes(p_present, p_absent),
-            ).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
-                F.coalesce(
-                    F.sum(
-                        F.xxhash64("o_orderkey", "total_cents").cast(
-                            "decimal(38,0)"
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("h"),
-                F.coalesce(F.sum("total_cents"), F.lit(0)).alias("cents"),
-            ).collect()[0]
-            want = base.filter(F.col("o_orderkey").isin(keys)).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
-                F.coalesce(
-                    F.sum(
-                        F.xxhash64("o_orderkey", "total_cents").cast(
-                            "decimal(38,0)"
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("h"),
-            ).collect()[0]
+            # the pruned-lookup digest and the want-side digest are
+            # independent actions (candidate files vs the cached
+            # sample) — overlap them (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as _pool:
+                fut_want = _pool.submit(
+                    lambda: base.filter(F.col("o_orderkey").isin(keys)).agg(
+                        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                        F.coalesce(
+                            F.sum(
+                                F.xxhash64("o_orderkey", "total_cents").cast(
+                                    "decimal(38,0)"
+                                )
+                            ),
+                            F.lit(0),
+                        ).alias("h"),
+                    ).collect()[0]
+                )
+                got = point_lookup(
+                    spark, d, keys + absents, on_stale="error",
+                    probe=merge_probes(p_present, p_absent),
+                ).agg(
+                    F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                    F.coalesce(
+                        F.sum(
+                            F.xxhash64("o_orderkey", "total_cents").cast(
+                                "decimal(38,0)"
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("h"),
+                    F.coalesce(F.sum("total_cents"), F.lit(0)).alias("cents"),
+                ).collect()[0]
+                want = fut_want.result()
             match_bp = (
                 10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
             )
@@ -9161,24 +9298,39 @@ def storage_tag_bloom_pruning(spark, sf_dir):
                 {"present": [present], "absent": absents},
             )
             p_present, p_absent = probes["present"], probes["absent"]
-            got = pruned_lookup(
-                spark, data_dir, spec, [present] + absents, index_dir,
-                on_stale="error", probe=merge_probes(p_present, p_absent),
-            ).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
-                F.coalesce(
-                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
-                    F.lit(0),
-                ).alias("h"),
-                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
-            ).collect()[0]
-            want = tagged.filter(F.col("tags")["bkt"] == present).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
-                F.coalesce(
-                    F.sum(F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")),
-                    F.lit(0),
-                ).alias("h"),
-            ).collect()[0]
+            # the pruned-lookup digest and the want-side digest are
+            # independent actions — overlap them (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as _pool:
+                fut_want = _pool.submit(
+                    lambda: tagged.filter(
+                        F.col("tags")["bkt"] == present
+                    ).agg(
+                        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                        F.coalesce(
+                            F.sum(
+                                F.xxhash64("doc_id", "n_chars")
+                                .cast("decimal(38,0)")
+                            ),
+                            F.lit(0),
+                        ).alias("h"),
+                    ).collect()[0]
+                )
+                got = pruned_lookup(
+                    spark, data_dir, spec, [present] + absents, index_dir,
+                    on_stale="error", probe=merge_probes(p_present, p_absent),
+                ).agg(
+                    F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                    F.coalesce(
+                        F.sum(
+                            F.xxhash64("doc_id", "n_chars").cast("decimal(38,0)")
+                        ),
+                        F.lit(0),
+                    ).alias("h"),
+                    F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+                ).collect()[0]
+                want = fut_want.result()
             match_bp = (
                 10000 if (got.n, str(got.h)) == (want.n, str(want.h)) else 0
             )

@@ -225,3 +225,97 @@ def test_fused_frame_dup_pairs_equal_two_stage(spark, docs):
     two_stage = _rows(mm.real_frame_dup_pairs(mm.synth_gif_corpus(ids), min_shared=1))
     fused = _rows(mm.real_frame_dup_pairs_from_ids(ids, min_shared=1))
     assert fused == two_stage and fused
+
+
+def test_signature_cache_scopes_are_thread_local(spark):
+    """Entries overlap independent Spark actions from driver threads
+    (guide §2.6); the signature cache scopes must therefore be PER
+    THREAD — one thread's scope exit must never pop (and unpersist)
+    another thread's token, and a worker thread's registrations must
+    not land in a scope the main thread opened."""
+    import threading
+
+    from factstore_spark.operators.dedup import (
+        _cache_scopes,
+        _scoped_cache,
+        signature_cache_scope,
+    )
+
+    df_main = spark.range(10).select(F.col("id").alias("a"))
+    df_thread = spark.range(20).select(F.col("id").alias("b"))
+    seen = {}
+
+    def worker():
+        # the main thread holds an OPEN scope right now; this thread
+        # must see an empty stack of its own
+        seen["stack_at_entry"] = len(_cache_scopes())
+        with signature_cache_scope():
+            out = _scoped_cache(df_thread)
+            out.count()
+            seen["cached_inside"] = out.storageLevel.useMemory
+        seen["released_after"] = not df_thread.storageLevel.useMemory
+
+    with signature_cache_scope():
+        main_cached = _scoped_cache(df_main)
+        main_cached.count()
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        # the worker's scope exit must NOT have popped this thread's
+        # token: df_main is still registered and still cached
+        assert main_cached.storageLevel.useMemory
+    assert not df_main.storageLevel.useMemory  # released by OUR exit
+    assert seen == {
+        "stack_at_entry": 0,
+        "cached_inside": True,
+        "released_after": True,
+    }
+
+
+def test_stream_sink_concurrent_writes_match_sequential(spark, docs, tmp_path):
+    """The sink now runs the pairs write and the index append
+    concurrently; the harvested pair set and the committed segments
+    must equal the documented sequential semantics (union of streamed
+    pairs == one-shot LSH restricted to streamed docs; one segment per
+    non-empty batch)."""
+    import json
+    import os
+
+    from factstore_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        start_dedup_stream,
+        write_minhash_index,
+    )
+
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(hist, idx)
+    src = str(tmp_path / "src")
+    inc.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+    inc.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_dedup_stream(
+        stream, idx, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    members = {r.doc_id for r in inc.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, verify_jaccard=0.5).collect()
+        if r.id_a in members or r.id_b in members
+    }
+    assert got == want and want
+    m = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(m["segments"]) == 3  # bootstrap + 2 non-empty batches
