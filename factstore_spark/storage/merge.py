@@ -164,22 +164,41 @@ def _require_unique_keys(df: DataFrame, key_cols: list[str], what: str) -> None:
 
 def validate_keyed_batch(df: DataFrame, key_cols, what: str, extra_aggs=None):
     """Single-pass keyed-batch validation core, shared by the merge and
-    SCD2 layers: uniqueness (count vs distinct-struct count — a struct
-    with null FIELDS is itself non-null, so null-keyed duplicates are
-    counted, matching the groupBy probe) and null-key rejection (a null
-    key field can never be matched by the merge anti-join — standard
-    joins are not null-safe — so "upserting" it again would silently
-    DUPLICATE the row instead of replacing it), in ONE aggregate job.
-    ``extra_aggs`` (name -> aggregate Column) ride the same job; the
-    returned Row carries them for the caller's own checks. The detailed
-    duplicate probe (_require_unique_keys) runs only on the error path,
-    to name an offending key."""
+    SCD2 layers: uniqueness (total count vs key-group count — groupBy
+    puts null-keyed rows in one group, so null-keyed duplicates are
+    counted, matching the old countDistinct(struct) probe) and null-key
+    rejection (a null key field can never be matched by the merge
+    anti-join — standard joins are not null-safe — so "upserting" it
+    again would silently DUPLICATE the row instead of replacing it), in
+    ONE aggregate job. r14: grouped two-level formulation instead of a
+    global ``countDistinct`` — the distinct aggregate plans an Expand
+    that doubles every input row entering the partial aggregate (guide
+    §2.3, shuffle/scan fewer bytes); one exchange keyed by the batch
+    keys computes the same counts exactly. ``extra_aggs`` (name ->
+    aggregate Column, or ``(aggregate Column, final_combiner)``) ride
+    the per-key-group pass and are combined across groups — the
+    default combiner is ``F.max``, exact for the 0/1 indicator flags
+    the callers pass; set-valued aggregates pass their own combiner.
+    The returned Row carries them for the caller's own checks. The
+    detailed duplicate probe (_require_unique_keys) runs only on the
+    error path, to name an offending key."""
     null_key = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.struct(*key_cols)).alias("nk"),
-        F.max(F.when(null_key, 1).otherwise(0)).alias("null_k"),
-        *[v.alias(k) for k, v in (extra_aggs or {}).items()],
+    extras = {
+        k: (v if isinstance(v, tuple) else (v, F.max))
+        for k, v in (extra_aggs or {}).items()
+    }
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_kn"),
+        F.max(F.when(null_key, 1).otherwise(0)).alias("_null_k"),
+        *[agg.alias(f"_x_{k}") for k, (agg, _) in extras.items()],
+    )
+    row = per_key.agg(
+        # coalesce: an EMPTY batch aggregates to one row of n=0, nk=0
+        # (sum over zero groups is null; the old global agg said 0)
+        F.coalesce(F.sum("_kn"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("nk"),
+        F.max("_null_k").alias("null_k"),
+        *[comb(F.col(f"_x_{k}")).alias(k) for k, (_, comb) in extras.items()],
     ).collect()[0]
     if row.null_k:
         raise ValueError(
@@ -205,7 +224,12 @@ def _validate_batch(
             "null_p": F.max(
                 F.when(F.col(partition_col).isNull(), 1).otherwise(0)
             ),
-            "vals": F.collect_set(F.col(partition_col).cast("string")),
+            # per-key-group sets, combined by exact set union across
+            # groups (order irrelevant: the caller sorts)
+            "vals": (
+                F.collect_set(F.col(partition_col).cast("string")),
+                lambda c: F.array_distinct(F.flatten(F.collect_list(c))),
+            ),
         },
     )
     if row.null_p:

@@ -319,3 +319,68 @@ def test_stream_sink_concurrent_writes_match_sequential(spark, docs, tmp_path):
     assert got == want and want
     m = json.load(open(os.path.join(idx, "manifest.json")))
     assert len(m["segments"]) == 3  # bootstrap + 2 non-empty batches
+
+
+def test_validate_keyed_batch_grouped_formulation(spark):
+    """The grouped two-level validation (r14: no countDistinct Expand)
+    must reproduce the old global aggregate's semantics exactly:
+    duplicate detection (incl. null-keyed duplicates), null-key and
+    null-partition rejection, the partition-value set, and the
+    empty-batch no-op."""
+    from factstore_spark.storage.merge import (
+        _validate_batch,
+        validate_keyed_batch,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, p string, v long"
+    )
+    assert _validate_batch(clean, ["k"], "p", "t") == ["a", "b"]
+    row = validate_keyed_batch(clean, ["k"], "t")
+    assert (row.n, row.nk) == (3, 3)
+
+    # empty batch: n == nk == 0 (sum over zero groups must coalesce)
+    empty = clean.limit(0)
+    row = validate_keyed_batch(empty, ["k"], "t")
+    assert (row.n, row.nk) == (0, 0)
+    assert _validate_batch(empty, ["k"], "p", "t") == []
+
+    # plain duplicate key
+    dup = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 11)], "k long, p string, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        validate_keyed_batch(dup, ["k"], "t")
+
+    # null-KEYED rows: a single null key row is rejected as null, and
+    # two null-keyed rows are duplicates OF EACH OTHER (groupBy puts
+    # them in one group, matching the old countDistinct(struct))
+    nulled = spark.createDataFrame(
+        [(None, "a", 10), (2, "a", 20)], "k long, p string, v long"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        validate_keyed_batch(nulled, ["k"], "t")
+
+    # composite key: only one field null -> struct is non-null for
+    # distinct-counting but the null-key check still fires first
+    comp = spark.createDataFrame(
+        [(1, None, "a"), (1, None, "b")], "k1 long, k2 long, p string"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        validate_keyed_batch(comp, ["k1", "k2"], "t")
+
+    # null partition value rejected by the riding extra aggregate
+    nullp = spark.createDataFrame(
+        [(1, None, 10), (2, "a", 20)], "k long, p string, v long"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        _validate_batch(nullp, ["k"], "p", "t")
+
+    # partition-value set is the exact union across key groups
+    many = spark.createDataFrame(
+        [(i, "p%d" % (i % 7), i) for i in range(50)],
+        "k long, p string, v long",
+    )
+    assert _validate_batch(many, ["k"], "p", "t") == sorted(
+        {"p%d" % i for i in range(7)}
+    )
