@@ -359,54 +359,77 @@ def main() -> None:
 
     # Write-path headline: bulk-ingest the events table into a fresh
     # store (one Spark-parallel commit) and replay-scan it back.
+    # Min-of-2 like every battery entry (each attempt builds its OWN
+    # fresh store, so both runs do identical work): these two legs had
+    # NO noise shield — single-shot numbers on a slow host window
+    # recorded 3x their cross-round median on identical code (r14:
+    # ingest 6.11 s vs median 1.85 s) and, being summed into
+    # bench_total_sec, inflated the headline with pure window noise.
+    # Both attempts are recorded in BENCH_DETAIL (first/rerun), same
+    # evidence shape as the battery's outlier reruns.
     import shutil
     import tempfile
 
+    from factstore_spark.model import StartPosition
     from factstore_spark.sources.events import events_as_facts
     from factstore_spark.store import FactStore
 
-    root = tempfile.mkdtemp(prefix="bench-ingest-")
-    stream_timeout = False
-    try:
-        fs = FactStore(spark, root)
-        fs.create("bench-ingest")
-        facts = events_as_facts(spark, sf_dir).drop("id", "appended_at")
-        t0 = time.time()
-        fs.append_dataframe("bench-ingest", facts)
-        n = fs.facts_df("bench-ingest").count()
-        timings["ingest_events_bulk"] = round(time.time() - t0, 3)
-        print(
-            f"# ingest_events_bulk: {timings['ingest_events_bulk']}s ({n} rows)",
-            file=sys.stderr,
-        )
-        # Streaming headline: drain a Beginning subscription of the
-        # whole store through Structured Streaming micro-batches.
-        from factstore_spark.model import StartPosition
-
-        t0 = time.time()
-        stream = fs.subscribe_stream("bench-ingest", StartPosition.Beginning())
-        q = (
-            stream.writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()  # don't let rmtree race an active query
-        # Record the real elapsed cost either way: a -1.0 sentinel summed
-        # into bench_total_sec would make a broken streaming leg LOWER the
-        # headline metric; the timeout is flagged out-of-band instead.
-        timings["stream_catchup"] = round(time.time() - t0, 3)
-        if not finished:
-            stream_timeout = True
-        print(
-            f"# stream_catchup: {timings['stream_catchup']}s "
-            f"({n} rows{'' if finished else ', TIMED OUT'})",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    ingest_secs: list[float] = []
+    stream_secs: list[float] = []
+    stream_finished: list[bool] = []
+    for attempt in range(2):
+        root = tempfile.mkdtemp(prefix="bench-ingest-")
+        try:
+            fs = FactStore(spark, root)
+            fs.create("bench-ingest")
+            facts = events_as_facts(spark, sf_dir).drop("id", "appended_at")
+            t0 = time.time()
+            fs.append_dataframe("bench-ingest", facts)
+            n = fs.facts_df("bench-ingest").count()
+            ingest_secs.append(round(time.time() - t0, 3))
+            # Streaming headline: drain a Beginning subscription of the
+            # whole store through Structured Streaming micro-batches.
+            t0 = time.time()
+            stream = fs.subscribe_stream("bench-ingest", StartPosition.Beginning())
+            q = (
+                stream.writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = q.awaitTermination(300)
+            if not finished:
+                q.stop()  # don't let rmtree race an active query
+            # Record the real elapsed cost either way: a -1.0 sentinel
+            # summed into bench_total_sec would make a broken streaming
+            # leg LOWER the headline metric; the timeout is flagged
+            # out-of-band instead.
+            stream_secs.append(round(time.time() - t0, 3))
+            stream_finished.append(finished)
+            print(
+                f"# ingest_events_bulk[{attempt}]: {ingest_secs[-1]}s "
+                f"({n} rows); stream_catchup[{attempt}]: {stream_secs[-1]}s"
+                f"{'' if finished else ' TIMED OUT'}",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    timings["ingest_events_bulk"] = min(ingest_secs)
+    timings["stream_catchup"] = min(stream_secs)
+    # flag only when the recorded (min) drain itself timed out — a
+    # timeout inflates that attempt to ~300s, so min prefers a finished one
+    stream_timeout = not stream_finished[stream_secs.index(min(stream_secs))]
+    for key, secs in (
+        ("ingest_events_bulk", ingest_secs),
+        ("stream_catchup", stream_secs),
+    ):
+        detail[key] = {
+            "sec": min(secs),
+            "first": secs[0],
+            "rerun": secs[1],
+            "rerun_reason": "always",
+            "trailing_group": True,
+        }
 
     # k6-analog append-latency probe (BASELINE.md's only absolute
     # number: p90 < 500 ms — 10 VUs, single-fact conditional append
