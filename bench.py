@@ -137,6 +137,41 @@ BENCH_QUERIES = [q for q in _ALL if q not in HEAVY_TRAILING] + [
 # every recorded number carries its own second opinion.
 RERUN_ALWAYS = {"events_value_quantile_cube"}
 
+# STABLE printed subset (VERDICT r14 #2). The one-line stdout JSON has a
+# ~1900-byte budget (the driver records only the LAST ~2 KB of stdout);
+# the battery's 175 timings do not fit. The old rule dropped the
+# CHEAPEST entries, which made the printed set drift with performance
+# itself: an entry that got FASTER fell out of the print, so the
+# driver's round-over-round common set was regression-biased by
+# construction (PERF_r14: geomean 0.786 over a cost-selected set while
+# the same-code per-entry detail geomeaned 1.025 over all 172 common
+# entries). The printed set is now this FIXED name list — exactly the
+# r14 printed set, i.e. the driver's existing cross-round common set —
+# kept regardless of cost, plus whatever alphabetical prefix of the
+# remaining entries still fits the budget (deterministic either way;
+# with r14-shaped values the 40 names fill ~1890 of the 1900 bytes, so
+# usually nothing else fits). Every entry still runs and lands in
+# BENCH_DETAIL.json; only the stdout selection changed.
+_PRINT_QUERIES = [
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding_lsh",
+    "dedup_minhash_lsh", "curation_e2e", "curation_funnel",
+    "retrieval_hybrid_rrf", "ann_pq_topk", "events_value_quantile_cube",
+    "storage_subject_heads", "dedup_embedding_recall",
+    "dedup_minhash_recall", "dedup_simhash_recall",
+    "storage_tag_bloom_pruning", "media_real_frame_dup",
+    "multimodal_features_topk", "storage_bloom_pruning",
+    "storage_point_lookup", "graph_part_pagerank", "graph_part_triangles",
+    "graph_related_parts", "orders_basket_rules",
+    "embeddings_mahalanobis_outliers", "customers_rfm_segments",
+    "curation_leakage_safe_split", "dedup_ngram_containment",
+    "dedup_cross_source", "dedup_embedding_exact", "storage_ivm_minmax",
+    "storage_incremental_agg", "storage_compact_table",
+    "curation_quality_classifier", "storage_table_diff",
+    "storage_scd2_history", "text_bpe_learn", "storage_zorder_pruning",
+    "storage_bucketed_join", "dedup_incremental_minhash",
+    "dedup_stream_sink", "storage_merge_upsert",
+]
+
 # An entry is an OUTLIER when its battery-pass time exceeds 2x its
 # trailing median across the repo's BENCH_r*.json history AND the
 # excess is >0.75s absolute (sub-second entries 2x-ing is noise, not
@@ -714,8 +749,24 @@ def main() -> None:
     # Per-entry gc_ms / cached-state / group columns land in a repo
     # file (stdout has a ~2 KB capture budget): drift vs noise is
     # decidable from the repo without a judge rerun.
+    # VERDICT r14 #2/#9: secondary runs (the driver's low-core scaling
+    # leg) must NOT clobber the primary 32-core per-entry record — in
+    # r14 the 8-cpu run overwrote BENCH_DETAIL.json and the 32-core
+    # detail was unrecoverable. A run at fewer cores than the host has
+    # writes to BENCH_DETAIL_c{N}.json instead.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    host_cpus = os.cpu_count() or 0
+    secondary = (
+        cpus_env is not None
+        and cpus_env.isdigit()
+        and int(cpus_env) < host_cpus
+    )
+    detail_name = (
+        f"BENCH_DETAIL_c{int(cpus_env)}.json" if secondary
+        else "BENCH_DETAIL.json"
+    )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     with open(detail_path, "w", encoding="utf-8") as fh:
         json.dump(
             {"sf": payload["sf"], "order": BENCH_QUERIES, "entries": detail,
@@ -725,21 +776,42 @@ def main() -> None:
     # The driver records only the LAST ~2 KB of stdout; a single long
     # JSON line gets its head truncated and parses as null (BENCH_r04-
     # r06). Full detail goes to stderr; stdout gets exactly ONE compact
-    # line kept under the capture window — if the battery outgrows it,
-    # the cheapest timings are dropped (count noted in queries_omitted)
-    # so the expensive entries the judge tracks always survive.
+    # line kept under the capture window. The printed query subset is
+    # the STABLE _PRINT_QUERIES list (see its comment): the same names
+    # every round, independent of cost, so the driver's round-over-round
+    # common set stops being cost-selection-biased. Any remaining budget
+    # is filled with an alphabetical prefix of the other entries — also
+    # deterministic. Only as a last resort (fixed list alone no longer
+    # fits, e.g. after value-width growth) are fixed entries dropped
+    # cheapest-first, because an over-budget line would truncate at the
+    # HEAD and parse as null.
     print(f"# full: {json.dumps(payload)}", file=sys.stderr)
     budget = 1900
-    line = json.dumps(payload, separators=(",", ":"))
+
+    def _encode(keep: dict[str, float]) -> str:
+        payload["queries"] = keep
+        omitted = len(timings) - len(keep)
+        if omitted:
+            payload["queries_omitted"] = omitted
+        else:
+            payload.pop("queries_omitted", None)
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = _encode(dict(timings))
     if len(line) > budget:
-        by_cost = sorted(timings, key=timings.get, reverse=True)
-        keep = dict(timings)
-        while by_cost and len(line) > budget:
-            dropped = by_cost.pop()
-            del keep[dropped]
-            payload["queries"] = keep
-            payload["queries_omitted"] = len(timings) - len(keep)
-            line = json.dumps(payload, separators=(",", ":"))
+        fixed = [q for q in _PRINT_QUERIES if q in timings]
+        keep = {q: timings[q] for q in fixed}
+        line = _encode(keep)
+        for q in sorted(q for q in timings if q not in keep):
+            trial = dict(keep)
+            trial[q] = timings[q]
+            tline = _encode(trial)
+            if len(tline) > budget:
+                break  # alphabetical PREFIX: stop at first overflow
+            keep, line = trial, tline
+        while len(line) > budget and keep:  # last resort, see above
+            del keep[min(keep, key=keep.get)]
+            line = _encode(keep)
     print(line)
     spark.stop()
 

@@ -9830,8 +9830,14 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     # oracled; the three remaining rows-only entries carry genuinely
     # non-SQL-replayable payloads. Ordering is presentation-only:
     # every entry runs identically regardless of position.
-    # --- new in round 14 (lead the window so the driver checks it) ------
-    "media_mp4_timing": (media_mp4_timing, MEDIA_MP4_TIMING_SQL),
+    # --- round 15 (VERDICT r14 #1a): media_mp4_timing led the window in
+    # r14 (driver-green there, CORRECTNESS_r14) and its head insertion
+    # evicted customers_rfm_segments from the first-50 window. Pure slot
+    # SWAP: customers_rfm_segments returns here, media_mp4_timing takes
+    # its former slot (~52); every other entry keeps its exact position,
+    # so no previously-green entry leaves the window. Ordering remains
+    # presentation-only: every entry runs identically regardless of slot.
+    "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
     # --- new in round 13 (lead the window so the driver checks them) ----
     "media_real_mp4_edge": (media_real_mp4_edge, MEDIA_REAL_MP4_EDGE_SQL),
     "storage_subject_heads": (storage_subject_heads, STORAGE_SUBJECT_HEADS_SQL),
@@ -9896,7 +9902,9 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {
     "embeddings_pca_variance": (embeddings_pca_variance, EMBEDDINGS_PCA_SQL),
     "events_peak_concurrency": (events_peak_concurrency, EVENTS_PEAK_CONCURRENCY_SQL),
     "embeddings_mahalanobis_outliers": (embeddings_mahalanobis_outliers, EMBEDDINGS_MAHALANOBIS_SQL),
-    "customers_rfm_segments": (customers_rfm_segments, CUSTOMERS_RFM_SQL),
+    # media_mp4_timing moved out of the head slot after its r14 driver
+    # check (see the r15 swap note at the top of the registry)
+    "media_mp4_timing": (media_mp4_timing, MEDIA_MP4_TIMING_SQL),
     "storage_table_diff": (storage_table_diff, STORAGE_TABLE_DIFF_SQL),
     "events_user_mad_outliers": (events_user_mad_outliers, EVENTS_USER_MAD_SQL),
     "storage_scd2_history": (storage_scd2_history, STORAGE_SCD2_SQL),
