@@ -24,6 +24,15 @@ class Catalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Reader memo keyed on the file's stat signature (round 15):
+        # every append resolves its store through find_by_name, which
+        # used to re-open and re-parse catalog.json per request. The
+        # catalog only changes on create/remove (a whole-file rewrite,
+        # which moves size/mtime_ns), so one stat(2) decides whether
+        # the cached parse is still current — same memo pattern as the
+        # commit log's incremental parse. Writers bypass the memo
+        # (for_write reads stay strict and fresh under the flock).
+        self._read_memo: Optional[tuple[tuple[int, int, int], dict]] = None
 
     def _path(self) -> str:
         return os.path.join(self.root, CATALOG_FILE)
@@ -46,9 +55,23 @@ class Catalog:
         as empty would rewrite it with one entry and silently erase
         every existing store registration. A writer therefore raises on
         anything except clean absence."""
+        if not for_write and self._read_memo is not None:
+            try:
+                st = os.stat(self._path())
+                sig = (st.st_ino, st.st_size, st.st_mtime_ns)
+                if sig == self._read_memo[0]:
+                    return dict(self._read_memo[1])
+            except OSError:
+                pass
         try:
             with open(self._path()) as f:
-                return json.load(f)
+                st = os.fstat(f.fileno())
+                data = json.load(f)
+                self._read_memo = (
+                    (st.st_ino, st.st_size, st.st_mtime_ns),
+                    dict(data),
+                )
+                return data
         except FileNotFoundError:
             return {}
         except (OSError, json.JSONDecodeError) as e:

@@ -134,6 +134,13 @@ class OptimisticStoreLayout(StoreLayout):
         self._claim_memo[name] = rec
         return rec
 
+    def _log_derived(self):
+        """The jsonl-side derived view cannot see claim-dir records
+        (this backend's live commits), so the O(1) fast paths are
+        disabled — every consumer falls back to the explicit-snapshot
+        scan over the merged read_commits output."""
+        return None
+
     def read_commits(self) -> list[CommitRecord]:
         jsonl = list(super().read_commits())  # maintenance-written lines
         out = list(jsonl)

@@ -200,6 +200,80 @@ def _written_subject_fps(spark, files, ns_approx: int, n_rows: int):
     return sorted(int(r["fp"]) for r in rows)
 
 
+class _CommitGroup:
+    """Per-store group-commit queue for the flock append path (round
+    15, guide §2.6/§5 applied to the commit protocol).
+
+    Racing appends enqueue; whichever waiter finds the leader slot free
+    drains the queue and executes every queued append's check-and-append
+    sequentially under ONE flock acquisition — the per-append logic and
+    the state each evaluation sees are exactly those of the old
+    per-append locking (each ``work`` reads the commit log, which
+    already contains the batch's earlier lines) — then ONE fsync
+    (layout.sync_commit_log) makes the whole batch durable before any
+    caller is acked. Amortizes both the flock round trip and the fsync
+    (the durability floor, ~70% of an uncontended append) across the
+    queue depth; an uncontended append is a batch of one and costs what
+    it always did.
+
+    Exception containment: a ``work`` that raises (including the fault
+    suite's BaseException kill) fails only ITS caller; later batch
+    members proceed, exactly like a writer dying and the next lock
+    holder continuing (the orphan sweep covers its debris). If the
+    group fsync itself fails, every batch member that wrote a line gets
+    the failure — none of their commits is known durable."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._mu = threading.Lock()
+        self._cv = threading.Condition(self._mu)
+        self._pending: list[list] = []
+        self._leader_busy = False
+
+    def run(self, layout, work):
+        """Execute ``work`` (no args; returns (result, sync_ticket))
+        under the store's commit lock as part of a batch; returns
+        work's result after the batch's group fsync covers it."""
+        item = [work, None, None, False, 0]  # fn, result, exc, done, ticket
+        with self._mu:
+            self._pending.append(item)
+            while not item[3] and self._leader_busy:
+                self._cv.wait()
+            if item[3]:
+                if item[2] is not None:
+                    raise item[2]
+                return item[1]
+            self._leader_busy = True
+            batch = self._pending
+            self._pending = []
+        try:
+            max_ticket = 0
+            with layout.commit_lock(upkeep="cadence"):
+                for it in batch:
+                    try:
+                        it[1], it[4] = it[0]()
+                        max_ticket = max(max_ticket, it[4])
+                    except BaseException as exc:  # noqa: BLE001 — kill-fault analog
+                        it[2] = exc
+            if max_ticket > 0:
+                try:
+                    layout.sync_commit_log(max_ticket)
+                except BaseException as exc:  # noqa: BLE001
+                    for it in batch:
+                        if it[2] is None and it[4] > 0:
+                            it[2] = exc
+        finally:
+            with self._mu:
+                self._leader_busy = False
+                for it in batch:
+                    it[3] = True
+                self._cv.notify_all()
+        if item[2] is not None:
+            raise item[2]
+        return item[1]
+
+
 class FactStore:
     """Engine entry point. ``root`` is the storage directory; ``spark``
     is any SparkSession (the engine sets no global configs).
@@ -235,6 +309,10 @@ class FactStore:
         self.commit_backend = commit_backend
         self.catalog = Catalog(root)
         self._layouts: dict[str, StoreLayout] = {}
+        # Per-store group-commit queues (flock append path; see
+        # _CommitGroup). dict.setdefault is atomic under the GIL, so
+        # racing first appends share one queue.
+        self._commit_groups: dict[str, _CommitGroup] = {}
         # Optimistic-claim conflicts retried by this handle (soak
         # observability: retries/commit = this / commits appended).
         self.append_conflict_retries = 0
@@ -376,22 +454,43 @@ class FactStore:
 
         # The critical section = the FDB transaction (FdbFactAppender.kt:33-65).
         # Hot path: reconciliation upkeep runs on a cadence, not per append.
-        with layout.commit_lock(upkeep="cadence"):
-            commits = layout.read_commits()  # one parse serves key/seq/head
-            if layout.idempotency_key_seen(key, commits):
-                return AlreadyApplied(key)
+        # GROUP COMMIT (round 15, guide §2.6/§5 applied to the commit
+        # protocol): the commit-log fsync was ~70% of an uncontended
+        # append (11.6 of 16.9 ms), and every queued writer used to
+        # pay its own fsync INSIDE the flock — the k6 probe's p50 was
+        # pure fsync queueing at 10 VUs. Racing appends now drain in
+        # batches: whichever thread becomes leader executes every
+        # queued append's check-and-append sequentially under ONE
+        # flock acquisition (identical per-append logic and state —
+        # each evaluation sees all earlier queued commits through
+        # read_commits, exactly as the old per-append locking did),
+        # then ONE fsync makes the whole batch durable before anyone
+        # is acked. Durability contract unchanged (no ack before
+        # fsync); an uncontended append is a batch of one and costs
+        # exactly what it used to.
+
+        def work() -> tuple[object, int]:
+            # one incremental parse refreshes the derived log view;
+            # key/seq/head checks below are then O(1) lookups instead
+            # of per-append scans of every commit record (round 15)
+            layout.read_commits()
+            if layout.idempotency_key_seen(key):
+                return AlreadyApplied(key), 0
 
             violation = self._evaluate_condition(layout, condition)
             if violation is not None:
-                return AppendConditionViolated(violation)
+                return AppendConditionViolated(violation), 0
 
             appended_at = utcnow_us()  # one shared instant per batch (AppendResult.kt:23-29)
             fact_ids = [new_fact_id() for _ in facts]  # server-assigned (FactInput.kt:37-45)
-            _, positions = layout.append_commit(
-                build_rows(fact_ids, appended_at), appended_at, key, commits
+            _, positions, ticket = layout.append_commit(
+                build_rows(fact_ids, appended_at), appended_at, key,
+                defer_sync=True,
             )
+            return Appended(tuple(fact_ids), appended_at, tuple(positions)), ticket
 
-        return Appended(tuple(fact_ids), appended_at, tuple(positions))
+        group = self._commit_groups.setdefault(meta.id, _CommitGroup())
+        return group.run(layout, work)
 
     def _evaluate_condition(
         self, layout: StoreLayout, condition: AppendCondition
