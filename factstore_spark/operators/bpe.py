@@ -57,25 +57,34 @@ def _symbolize(word: Column) -> Column:
     return F.concat(F.split(word, ""), F.array(F.lit(END)))
 
 
-def _merge_pair(sym: Column, left: str, right: str) -> Column:
+def _sql_str(s: str) -> str:
+    """Escape an arbitrary corpus token as a Spark SQL string literal
+    (the parser unescapes \\\\ and \\' — tokens can contain quotes and
+    backslashes, so both must be escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pair(sym: str, left: str, right: str) -> Column:
     """Left-to-right non-overlapping merge of the adjacent pair
     (left, right) -> left||right inside one symbol array, as a JVM
     fold: append each symbol, and when the accumulator's last element
     is `left` and the incoming one is `right`, replace the last element
     with the merged symbol instead. Left-to-right is exactly what the
     fold gives: once a merge lands, the new last element is the MERGED
-    symbol, so it cannot chain into an overlapping second merge."""
-    lit_l, lit_r = F.lit(left), F.lit(right)
-    merged = F.lit(left + right)
-    return F.aggregate(
-        sym,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == lit_l)
-            & (x == lit_r),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(x))),
+    symbol, so it cannot chain into an overlapping second merge.
+
+    Built as ONE parsed SQL expression: the Column-DSL fold cost >100
+    py4j round trips PER MERGE ROUND — at ~5 ms a round trip on the
+    bench hosts that was most of the loop's per-round driver cost
+    (guide §7.3). Same expression, same results; ``sym`` is the NAME
+    of the symbol-array column."""
+    lit_l, lit_r, merged = _sql_str(left), _sql_str(right), _sql_str(left + right)
+    return F.expr(
+        f"aggregate(`{sym}`, CAST(array() AS array<string>), "
+        "(acc, x) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = {lit_l} AND x = {lit_r} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged})) "
+        "ELSE concat(acc, array(x)) END)"
     )
 
 
@@ -103,28 +112,29 @@ def learn_bpe(
     words = pinned = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     since_pin = 0
+    # Loop-invariant Columns built ONCE (round 15, guide §7.3): Column
+    # objects are immutable unresolved expressions, so the adjacent-pair
+    # explode and the argmax sort keys are reusable every round — the
+    # old per-round zip_with lambda + struct construction alone was
+    # >15 py4j round trips a round before any work ran.
+    pair_col = F.expr(
+        "explode(zip_with(slice(sym, 1, size(sym) - 1), "
+        "slice(sym, 2, size(sym) - 1), "
+        "(a, b) -> struct(a AS left, b AS right)))"
+    ).alias("pair")
+    order_cols = (
+        F.col("cnt").desc(),
+        F.col("pair.left").asc(),
+        F.col("pair.right").asc(),
+    )
+    cnt_agg = F.sum("n").alias("cnt")
     try:
         for _ in range(n_merges):
             pairs = (
-                words.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice(F.col("sym"), 1, F.size("sym") - 1),
-                            F.slice(F.col("sym"), 2, F.size("sym") - 1),
-                            lambda a, b: F.struct(
-                                a.alias("left"), b.alias("right")
-                            ),
-                        )
-                    ).alias("pair"),
-                    "n",
-                )
+                words.select(pair_col, "n")
                 .groupBy("pair")
-                .agg(F.sum("n").alias("cnt"))
-                .orderBy(
-                    F.col("cnt").desc(),
-                    F.col("pair.left").asc(),
-                    F.col("pair.right").asc(),
-                )
+                .agg(cnt_agg)
+                .orderBy(*order_cols)
                 .limit(1)
                 .collect()
             )
@@ -133,7 +143,7 @@ def learn_bpe(
             left, right = pairs[0].pair.left, pairs[0].pair.right
             merges.append((left, right, pairs[0].cnt))
             words = words.select(
-                _merge_pair(F.col("sym"), left, right).alias("sym"), "n"
+                _merge_pair("sym", left, right).alias("sym"), "n"
             )
             since_pin += 1
             if since_pin >= checkpoint_every:

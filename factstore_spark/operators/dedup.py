@@ -213,7 +213,7 @@ def dup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+    labels = prev_pinned = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -226,11 +226,20 @@ def dup_clusters(
             .agg(F.min("nl").alias("nmin"))
             .withColumnsRenamed({"src": "node"})
         )
+        # `prev` carries the round's starting label through the jump so
+        # the convergence flag below needs NO join back to the old
+        # label table (round 15, guide §1.2: the per-round
+        # changed-count used to be a second action — a node-keyed join
+        # + count over the label table EVERY round, doubling the
+        # actions per round; the flag now rides the round's own
+        # checkpoint materialization and the test is a limit-1 probe
+        # of the pinned blocks).
         direct = labels.join(neighbor_min, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                 "label"
             ),
+            F.col("label").alias("prev"),
         )
         # pointer jump: label := label(label)
         jump = direct.alias("a").join(
@@ -240,36 +249,44 @@ def dup_clusters(
             "label",
             "left",
         )
-        new_labels = jump.select(
-            "node", F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label")
+        new_pinned = jump.select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
+            ).alias("label"),
+            F.col("prev"),
         ).localCheckpoint()
         # Convergence = zero labels CHANGED this round — an exact,
-        # dtype-agnostic test. The previous sum(label) detector assumed
-        # numeric ids: string ids cast to NULL (instant false
-        # convergence, wrong components) or raise under ANSI, and huge
-        # int ids could overflow the sum. One extra node-keyed join per
-        # round over the O(nodes) label table, not the data.
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # dtype-agnostic test (a sum(label) shortcut would break on
+        # string ids and can overflow on huge ints). The changed flag
+        # is label != prev on the ALREADY-PINNED frame, so this probe
+        # scans local blocks and stops at the first hit.
+        changed = (
+            new_pinned.filter(F.col("label") != F.col("prev")).limit(1).count()
+            > 0
         )
-        old = labels
-        labels = new_labels
-        old.unpersist()
-        if n_changed == 0:
+        if prev_pinned is not None:
+            release_local_checkpoint(prev_pinned)
+        prev_pinned = new_pinned
+        labels = new_pinned.select("node", "label")
+        if not changed:
             break
-    edges.unpersist()
+    release_local_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as strings (space-joined)."""
-    toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    """Word n-gram shingles as strings (space-joined). One parsed SQL
+    expression (round 15, guide §7.3 — the Column-DSL form cost dozens
+    of py4j round trips per call site; the expression tree and results
+    are identical, see text.tokens_sql)."""
+    from .text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) END"
     )
 
 

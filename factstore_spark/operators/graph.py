@@ -100,25 +100,25 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (node, deg, rank): deg null = dangling. Pinned — consumed every
-    # iteration and the init subtree (distinct + agg) is not free.
+    # (node, deg, has_in): the node universe and BOTH degrees from ONE
+    # union-tagged map-side-combined aggregate over the pinned edges
+    # (round 15, guide §2.4/§1.2). The old init paid a distinct-union
+    # shuffle for the node set, a second shuffle for outdeg, a join to
+    # stitch them, and then THREE more driver actions — a count, a
+    # dangling limit-probe, and a full distinct over every dst — just
+    # to detect the regular-graph fast path. All of that now rides the
+    # one state aggregate plus one tiny stats action below. deg stays
+    # NULL for dangling nodes (same dtype and semantics as the old
+    # count-based outdeg join).
     state = (
-        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
-        .select("node", "deg")
-        .localCheckpoint()
+        e.selectExpr("src AS node", "1L AS _o", "0L AS _i")
+        .unionAll(e.selectExpr("dst AS node", "0L AS _o", "1L AS _i"))
+        .groupBy("node")
+        .agg(F.expr("sum(_o) AS _od"), F.expr("sum(_i) AS _id"))
+        .selectExpr("node", "IF(_od > 0, _od, NULL) AS deg", "(_id > 0) AS has_in")
     )
-    n_nodes = state.count()  # checkpoint is eager; count is metadata-cheap
-    if n_nodes == 0:
-        return state.select("node", F.lit(0).cast("long").alias("rank"))
     if seeds is None:
-        state = state.withColumn("is_seed", F.lit(1).cast("long"))
-        n_base = n_nodes
+        state = state.selectExpr("node", "deg", "has_in", "1L AS is_seed")
     else:
         seed_col = seeds.columns[0]
         flags = (
@@ -126,36 +126,41 @@ def pagerank(
             .distinct()
             .withColumn("is_seed", F.lit(1).cast("long"))
         )
-        state = (
-            state.join(flags, "node", "left")
-            .select(
-                "node",
-                "deg",
-                F.coalesce(F.col("is_seed"), F.lit(0)).cast("long").alias(
-                    "is_seed"
-                ),
-            )
-            .localCheckpoint()
+        state = state.join(flags, "node", "left").selectExpr(
+            "node", "deg", "has_in", "coalesce(is_seed, 0L) AS is_seed"
         )
-        n_base = state.filter(F.col("is_seed") == 1).count()
+    state = state.localCheckpoint()
+    # ONE stats action answers node count, seed count, and the
+    # regular-graph test (no dangling node AND every node has an
+    # in-edge — exactly the old no-dangling + distinct-dst == n test).
+    stats = state.selectExpr(
+        "count(1) AS n",
+        "sum(IF(deg IS NULL, 1, 0)) AS n_dangling",
+        "sum(IF(has_in, 0, 1)) AS n_no_in",
+        "sum(is_seed) AS n_seeds",
+    ).collect()[0]
+    n_nodes = stats.n
+    if n_nodes == 0:
+        return state.select("node", F.lit(0).cast("long").alias("rank"))
+    if seeds is None:
+        n_base = n_nodes
+    else:
+        n_base = stats.n_seeds
         if n_base == 0:
             raise ValueError("pagerank: no seed node exists in the graph")
-    # Regular-graph fast path, detected ONCE on the pinned frames: a
-    # symmetric/undirected graph (the common co-occurrence shape) has
-    # no zero-outdegree nodes AND no pure sources (every node has an
-    # in-edge), so each superstep is exactly ONE join (edge list x
-    # rank frame, deg pre-joined onto the edges) + ONE map-combined
-    # groupBy — the dangling aggregate, the teleport-only node fill
-    # and their joins all drop out, and the chain stays LAZY (one job
-    # at the end, periodic checkpoints only for lineage depth).
-    # Otherwise every superstep materializes (Pregel-style): the next
-    # dangling aggregate is an independent subtree, and without the
-    # checkpoint total work goes quadratic in n_iter.
-    no_dangling = state.filter(F.col("deg").isNull()).limit(1).count() == 0
-    regular = (
-        no_dangling
-        and e.select("dst").distinct().count() == n_nodes
-    )
+    # Regular-graph fast path: a symmetric/undirected graph (the
+    # common co-occurrence shape) has no zero-outdegree nodes AND no
+    # pure sources (every node has an in-edge), so each superstep is
+    # exactly ONE join (edge list x rank frame, deg pre-joined onto
+    # the edges) + ONE map-combined groupBy — the dangling aggregate,
+    # the teleport-only node fill and their joins all drop out, and
+    # the chain stays LAZY (one job at the end, periodic checkpoints
+    # only for lineage depth). Otherwise every superstep materializes
+    # (Pregel-style): the next dangling aggregate is an independent
+    # subtree, and without the checkpoint total work goes quadratic in
+    # n_iter.
+    no_dangling = stats.n_dangling == 0
+    regular = no_dangling and stats.n_no_in == 0
     # pure 64-bit integer step (`div`, never `/` — double division
     # loses bits once quotients approach the double ulp at 1e12):
     # new = ((10000-D)*T*seed + D*(contrib [+ (dang div S)*seed])) div 10000
@@ -195,10 +200,12 @@ def pagerank(
         return r.hint("shuffle_hash")
 
     if regular:
-        # dst_is_seed tagged onto the pinned edges once, so the
-        # superstep's groupBy can carry the flag without another join
+        # deg and dst_is_seed tagged onto the pinned edges once (deg
+        # read back from the pinned state instead of a fresh groupBy
+        # over the edges), so the superstep's groupBy can carry the
+        # flag without another join
         e_deg = (
-            e.join(outdeg, "src")
+            e.join(state.selectExpr("node AS src", "deg"), "src")
             .join(
                 state.select(F.col("node").alias("dst"), "is_seed"), "dst"
             )
@@ -210,21 +217,26 @@ def pagerank(
             .cast("long")
             .alias("rank"),
         )
+        # loop-invariant Columns built once (§7.3: construction is
+        # driver-side py4j traffic; these are identical every round)
+        share_cols = (
+            F.col("dst"),
+            F.col("is_seed"),
+            F.expr("rank div deg").cast("long").alias("share"),
+        )
+        agg_cols = (
+            F.sum("share").cast("long").alias("contrib"),
+            F.max("is_seed").alias("is_seed"),
+        )
+        out_cols = (F.col("dst").alias("node"), step_expr(""))
         prev_pin = None
         for i in range(n_iter):
             ranks = (
                 e_deg.join(rank_side(ranks), "src")
-                .select(
-                    "dst",
-                    "is_seed",
-                    F.expr("rank div deg").cast("long").alias("share"),
-                )
+                .select(*share_cols)
                 .groupBy("dst")
-                .agg(
-                    F.sum("share").cast("long").alias("contrib"),
-                    F.max("is_seed").alias("is_seed"),
-                )
-                .select(F.col("dst").alias("node"), step_expr(""))
+                .agg(*agg_cols)
+                .select(*out_cols)
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
                 nxt = ranks.localCheckpoint()
@@ -242,35 +254,34 @@ def pagerank(
         "is_seed",
         (F.lit(SCALE // n_base) * F.col("is_seed")).cast("long").alias("rank"),
     )
+    # loop-invariant Columns built once (§7.3)
+    live_filter = F.col("deg").isNotNull()
+    share_cols = (
+        F.col("dst"),
+        F.expr("rank div deg").cast("long").alias("share"),
+    )
+    contrib_agg = F.sum("share").cast("long").alias("contrib")
+    dang_agg = (
+        F.coalesce(
+            F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dang")
+    )
+    step_col = step_expr(f" + (dang div {n_base}L) * is_seed")
     prev_pin = None
     for i in range(n_iter):
         contrib = (
-            e.join(
-                rank_side(ranks.filter(F.col("deg").isNotNull())),
-                "src",
-            )
-            .select(
-                "dst", F.expr("rank div deg").cast("long").alias("share")
-            )
+            e.join(rank_side(ranks.filter(live_filter)), "src")
+            .select(*share_cols)
             .groupBy("dst")
-            .agg(F.sum("share").cast("long").alias("contrib"))
+            .agg(contrib_agg)
         )
-        dangling = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0)
-            )
-            .cast("long")
-            .alias("dang")
-        )
+        dangling = ranks.agg(dang_agg)
         ranks = (
             state.join(contrib, state["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "deg",
-                "is_seed",
-                step_expr(f" + (dang div {n_base}L) * is_seed"),
-            )
+            .select("node", "deg", "is_seed", step_col)
         )
         if i + 1 < n_iter:
             nxt = ranks.localCheckpoint()

@@ -56,7 +56,7 @@ def curate_corpus(
     separately-scored corpus back would shuffle the whole corpus
     twice for nothing."""
     from .dedup import dup_clusters, minhash_lsh_pairs
-    from .sampling import contamination_check, ngram_contamination, shuffle_shards
+    from .sampling import ngram_contamination, shuffle_shards
     from .text import exact_fp_col, with_lang_id, with_quality_score
 
     flagged = with_quality_score(with_lang_id(docs, text_col), text_col).select(
@@ -78,28 +78,43 @@ def curate_corpus(
             .select(*gate_cols)
         )
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
-    deduped = (
+    kept = (
         survivors.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .filter(
             (F.col("_n_tok") >= min_tokens) & (F.col("_n_tok") <= max_tokens)
         )
-        .select(id_col, text_col)
     )
     if benchmark is not None:
-        exact_clean = (
-            contamination_check(deduped, benchmark, text_col=text_col, id_col=id_col)
-            .filter(~F.col("contaminated"))
-            .select(id_col)
-        )
+        # Exact decontamination rides the ALREADY-COMPUTED ``_fp``
+        # column as a broadcast anti-join (round 15, guide §1.2/§2.4).
+        # The previous formulation called contamination_check(deduped)
+        # — re-deriving the scan -> signals -> dedup-window subtree a
+        # second time only to join the corpus against a projection of
+        # itself on id. Row-identical: contamination_check flags
+        # fp IN bench_fps via the same md5(lower(text)) fingerprint
+        # (exact_fp_col, the shared single definition), and a null fp
+        # survives both forms (left-join miss -> contaminated=false;
+        # anti-join on a null key never matches -> kept).
+        from .text import exact_fp_col as _fp_col
+
+        bench_fps = benchmark.select(_fp_col(text_col).alias("_fp")).distinct()
+        kept = kept.join(F.broadcast(bench_fps), "_fp", "left_anti")
+    deduped = kept.select(id_col, text_col)
+    if benchmark is not None:
+        # Pin the survivors once: the n-gram leg and the final anti-join
+        # both consume them, and without the pin each consumer re-runs
+        # the full scan -> language/quality signals -> dedup window
+        # (the plan showed three copies of that subtree; Spark does not
+        # reuse the window exchange across the branches). Survivors are
+        # a filtered (id, text) projection — far cheaper to hold than
+        # to recompute (§5 caching rule: reused AND expensive).
+        deduped = deduped.localCheckpoint(eager=True)
         ngram_hits = ngram_contamination(
             deduped, benchmark, n=contamination_ngram,
             text_col=text_col, id_col=id_col,
         ).select(id_col)
-        deduped = (
-            deduped.join(exact_clean, id_col, "left_semi")
-            .join(ngram_hits, id_col, "left_anti")
-        )
+        deduped = deduped.join(ngram_hits, id_col, "left_anti")
     if near_dup == "minhash":
         pairs = minhash_lsh_pairs(
             deduped, id_col=id_col, text_col=text_col,

@@ -33,6 +33,19 @@ STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
 TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def tokens_sql(text_col: str = "text") -> str:
+    """SQL form of :func:`tokens_col` — the builders below assemble
+    their signals as ONE parsed SQL expression instead of hundreds of
+    nested py4j Column constructions. Round 15, guide §7.3: expression
+    CONSTRUCTION is driver-side, single-threaded py4j traffic, and on
+    the bench hosts a py4j round trip measures in milliseconds — the
+    Column-DSL form of with_quality_score alone cost ~450 round trips
+    (~0.9 s) before a single task ran. The parsed expression tree is
+    identical (same functions, same lambda), so every result and plan
+    is unchanged."""
+    return f"filter(split(lower(`{text_col}`), '\\\\s+'), t -> t != '')"
+
+
 def tokens_col(text_col: str = "text") -> Column:
     """Lower-cased whitespace tokens, EMPTY TOKENS REMOVED: split on
     \\s+ keeps leading/trailing empty strings, so "hello world\\n"
@@ -40,9 +53,7 @@ def tokens_col(text_col: str = "text") -> Column:
     count, ratio and bigram, and making empty text count 1 token. The
     DuckDB oracles apply the identical list_filter so both engines
     share one token definition."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-    )
+    return F.expr(tokens_sql(text_col))
 
 
 def token_count_col(text_col: str = "text") -> Column:
@@ -67,60 +78,64 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length, mean word length, stopword
-    ratio, alpha ratio, and a composite score. One projection, no shuffle."""
-    toks = tokens_col(text_col)
-    n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_chars = F.length(F.col(text_col))
-    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", ""))
-    # try_divide: ANSI mode (Spark 4 default) raises on /0 — empty text
-    # must yield 0-ish signals, not a job failure.
-    mean_word_len = F.coalesce(
-        F.try_divide(n_chars - (n_tok - F.lit(1)), n_tok), F.lit(0.0)
-    )
-    stop_ratio = F.coalesce(F.try_divide(n_stop, n_tok), F.lit(0.0))
-    alpha_ratio = F.coalesce(F.try_divide(alpha_chars, n_chars), F.lit(0.0))
-    score = (
-        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * stop_ratio
-        + F.lit(0.3) * alpha_ratio
-    )
-    return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_word_len", mean_word_len)
-        .withColumn("stopword_ratio", stop_ratio)
-        .withColumn("alpha_ratio", alpha_ratio)
-        .withColumn("quality_score", score)
+    ratio, alpha ratio, and a composite score. One projection, no
+    shuffle. Built as parsed SQL expressions (see tokens_sql) — the
+    Column-DSL form of this one function cost ~450 py4j round trips
+    per call; the expressions and results are identical.
+
+    try_divide: ANSI mode (Spark 4 default) raises on /0 — empty text
+    must yield 0-ish signals, not a job failure."""
+    toks = tokens_sql(text_col)
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    n_tok = f"size({toks})"
+    n_stop = f"size(filter({toks}, t -> array_contains({stop_arr}, t)))"
+    n_chars = f"length(`{text_col}`)"
+    alpha_chars = f"length(regexp_replace(lower(`{text_col}`), '[^a-z]', ''))"
+    stop_ratio = f"coalesce(try_divide({n_stop}, {n_tok}), 0.0D)"
+    alpha_ratio = f"coalesce(try_divide({alpha_chars}, {n_chars}), 0.0D)"
+    return df.withColumns(
+        {
+            "n_tokens": F.expr(n_tok),
+            "mean_word_len": F.expr(
+                f"coalesce(try_divide({n_chars} - ({n_tok} - 1), {n_tok}), 0.0D)"
+            ),
+            "stopword_ratio": F.expr(stop_ratio),
+            "alpha_ratio": F.expr(alpha_ratio),
+            "quality_score": F.expr(
+                f"0.4D * least({n_tok} / 100.0D, 1.0D)"
+                f" + 0.3D * {stop_ratio} + 0.3D * {alpha_ratio}"
+            ),
+        }
     )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-lexicon language ID: per-language marker-token count,
     argmax with 'und' fallback when no marker hits; ties broken by
-    language code order (deterministic)."""
-    toks = tokens_col(text_col)
+    language code order (deterministic — greatest score, first lang in
+    sorted order wins via the aggregate fold). One parsed SQL
+    expression (see tokens_sql); same expression tree and results as
+    the previous Column-DSL form."""
+    toks = tokens_sql(text_col)
 
-    def marker_count(lang: str) -> Column:
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        # single-arg closure: PySpark infers lambda arity from the signature
-        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    def marker_count(lang: str) -> str:
+        markers = "array(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + ")"
+        return f"size(filter({toks}, t -> array_contains({markers}, t)))"
 
-    scores = [
-        F.struct(marker_count(lang).alias("score"), F.lit(lang).alias("lang"))
+    scores = ", ".join(
+        f"struct({marker_count(lang)} AS score, '{lang}' AS lang)"
         for lang in sorted(LANG_MARKERS)
-    ]
-    # array_max on struct orders by (score, lang); lang DESC would win ties —
-    # reverse-sort langs inside the struct? Keep it simple: greatest score,
-    # first lang in sorted order wins via aggregate fold.
-    best = F.aggregate(
-        F.array(*scores),
-        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
-        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    best = (
+        f"aggregate(array({scores}), struct(-1 AS score, 'und' AS lang), "
+        f"(acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END)"
     )
     return df.withColumn(
         "pred_lang",
-        F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"]),
+        F.expr(
+            f"CASE WHEN ({best}).score <= 0 THEN 'und' "
+            f"ELSE ({best}).lang END"
+        ),
     )
 
 

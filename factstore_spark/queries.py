@@ -7724,6 +7724,13 @@ def graph_related_parts(spark, sf_dir):
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
+        # Pin the pair join ONCE (round 15, guide §1.2): the seeds
+        # frame below is derived from `edges`, and without the pin its
+        # evaluation re-executed the entire pair self-join a second
+        # time (pagerank's internal checkpoint covers only its own
+        # consumption). pagerank re-pins the projection of this pinned
+        # frame — a cheap pass over the blocks, not a recompute.
+        .localCheckpoint()
     )
     seeds = (
         edges.select(F.col("src").alias("node"))

@@ -140,3 +140,81 @@ def test_group_commit_unsynced_line_still_recovers_idempotent(tmp_path):
         if seen:
             break
     assert len(seen) == 1
+
+
+# ---------------------------------------------------------------------------
+# py4j-thin expression builders (guide §7.3): the SQL-string forms must
+# be exactly equivalent to the Column-DSL forms they replaced
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_sql_merge_fold_handles_quotes_and_backslashes(spark):
+    """The per-round merge fold now embeds corpus tokens as SQL string
+    literals; tokens containing quotes/backslashes must round-trip
+    (escaped), pinned against the pure-Python reference learner."""
+    from factstore_spark.operators.bpe import learn_bpe, learn_bpe_reference
+
+    texts = [
+        "don't don't don't can't \\path\\to \\path\\to 'q' 'q' 'q'",
+        "don't can't \\path\\to 'q' it's it's",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = learn_bpe(docs, n_merges=12)
+    want = learn_bpe_reference(texts, n_merges=12)
+    assert got == want
+
+
+def test_quality_and_lang_sql_builders_match_reference_rows(spark):
+    """with_quality_score/with_lang_id (now single parsed SQL
+    expressions) on edge-case rows: empty text, whitespace-only,
+    marker ties, null text."""
+    from factstore_spark.operators.text import with_lang_id, with_quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox is in the yard and it is quick"),
+            (2, "el la de que y"),
+            (3, ""),
+            (4, "   \t\n"),
+            (5, None),
+            (6, "der la"),  # de/es one marker each -> first sorted lang wins
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in with_quality_score(with_lang_id(docs)).collect()
+    }
+    assert rows[1].pred_lang == "en" and rows[1].n_tokens == 11
+    assert rows[2].pred_lang == "es" and rows[2].n_tokens == 5
+    assert rows[3].pred_lang == "und" and rows[3].n_tokens == 0
+    assert rows[3].quality_score == 0.0 and rows[3].stopword_ratio == 0.0
+    assert rows[4].pred_lang == "und" and rows[4].n_tokens == 0
+    assert rows[5].pred_lang == "und" and rows[5].n_tokens is None
+    assert rows[6].pred_lang == "de"  # tie broken by sorted lang order
+    # stopword ratio exact: the/is/in/the/and/it/is = 7 hits of 11 tokens
+    assert abs(rows[1].stopword_ratio - 7 / 11) < 1e-12
+
+
+def test_dup_clusters_distributed_path_converges_and_matches(spark):
+    """The distributed pointer-jumping path (driver_threshold=0) with
+    the convergence flag riding the round's own checkpoint must match
+    the driver union-find path exactly — including a long chain (many
+    rounds) and singleton pairs."""
+    from factstore_spark.operators.dedup import dup_clusters
+
+    pairs = [(i, i + 1) for i in range(40)]  # one 41-node chain
+    pairs += [(100, 101), (200, 201), (200, 202)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(df, driver_threshold=0).collect()
+    }
+    drv = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(df, driver_threshold=10_000).collect()
+    }
+    assert dist == drv
+    assert all(c == 0 for n, c in dist if n <= 40)
