@@ -593,8 +593,9 @@ def minhash_sig_from_hashes(
     -eliminate across lambda boundaries, so an inline expression would be
     recomputed once per permutation (measured 20x slowdown)."""
     params = _minhash_params(num_hashes, seed)
-    a_arr = F.array(*[F.lit(a) for a, _ in params])
-    b_arr = F.array(*[F.lit(b) for _, b in params])
+    # parsed array literals: 2 py4j calls instead of 2*num_hashes
+    a_arr = F.expr("array(" + ", ".join(str(a) for a, _ in params) + ")")
+    b_arr = F.expr("array(" + ", ".join(str(b) for _, b in params) + ")")
     # Single left-to-right fold over the hash array: per element compute
     # all permutations and element-wise min into the accumulator. The
     # hash/shingle expression is the aggregate's INPUT (evaluated once
@@ -710,23 +711,22 @@ def minhash_lsh_pairs(
     # to release the cache deterministically (many-corpora sessions);
     # otherwise spark.catalog.clearCache() remains the fallback.
 
-    def band_key(i: int) -> Column:
-        sl = F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-        if hash_fn == "md5":
-            # literal slice as the bucket key: replayable in any engine
-            # (murmur3 F.hash is Spark-only); same equality semantics
-            return F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
-        return F.hash(sl)
-
+    # one parsed banded-explode expression instead of per-band
+    # struct/lit/slice py4j construction (round 15, guide §7.3);
+    # md5 variant keeps the literal slice as the bucket key —
+    # replayable in any engine (murmur3 hash() is Spark-only)
+    rpb = rows_per_band
+    bh = (
+        f"concat_ws(',', transform(slice(sig, i * {rpb} + 1, {rpb}), "
+        "x -> CAST(x AS STRING)))"
+        if hash_fn == "md5"
+        else f"hash(slice(sig, i * {rpb} + 1, {rpb}))"
+    )
     banded = sig.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), band_key(i).alias("bh"))
-                    for i in range(bands)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), "
+            f"i -> struct(i AS band, {bh} AS bh)))"
         ).alias("b"),
     ).select("_id", "b.band", "b.bh")
     a = banded.alias("a")
@@ -784,18 +784,10 @@ def _minhash_banded_sig(
     banded = sig.select(
         "_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), i -> struct("
+            f"i AS band, hash(slice(sig, i * {rows_per_band} + 1, "
+            f"{rows_per_band})) AS bh)))"
         ).alias("b"),
     ).select("_id", "sig", "b.band", "b.bh")
     return sig, banded
@@ -1376,18 +1368,10 @@ def simhash_near_dup_pairs(
     banded = sim.select(
         "_id",
         "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sim"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("ch"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {chunks - 1}), i -> struct("
+            f"i AS chunk, shiftrightunsigned(sim, i * {width}) "
+            f"& {(1 << width) - 1}L AS ch)))"
         ).alias("c"),
     ).select("_id", "sim", "c.chunk", "c.ch")
     a = banded.alias("a")

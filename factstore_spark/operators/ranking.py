@@ -59,14 +59,20 @@ def with_global_rank(
         # empty frame must rank to an empty frame, not raise.
         out = ranged.withColumn(rank_col, F.lit(None).cast("long")).drop("_pid")
         return (out, 0) if with_total else out
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # One parsed map literal instead of 2 x num_partitions F.lit py4j
+    # round trips (round 15, guide §7.3). Long-typed values: identical
+    # final values (the rank is cast long anyway), and immune to int
+    # overflow past 2^31 ranks.
+    off_map = F.expr(
+        "map("
+        + ", ".join(f"{pid}, {off}L" for pid, off in offsets.items())
+        + ")[_pid]"
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
         ranged.withColumn(
             rank_col,
-            (F.row_number().over(w) + off_map[F.col("_pid")]).cast("long"),
+            (F.row_number().over(w) + off_map).cast("long"),
         )
         .drop("_pid")
     )

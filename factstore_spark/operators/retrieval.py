@@ -49,38 +49,44 @@ def bm25_topk(
     # term would otherwise silently never match (tf=0 everywhere) and
     # contribute nothing, including to the hybrid RRF fusion.
     terms = [t.lower() for t in terms]
-    toks = tokens_col(text_col)
-    dl = F.size(toks)
+    # Parsed SQL expressions throughout (round 15, guide §7.3): the
+    # Column-DSL form cost ~25 py4j round trips PER TERM before any
+    # task ran; trees and FP evaluation order are identical.
+    from .text import tokens_sql
 
-    def tf(term: str):
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    toks = tokens_sql(text_col)
+
+    def tf_sql(term: str) -> str:
+        return f"size(filter({toks}, t -> t = {_lit(term)}))"
 
     # One corpus-stats row: N, avgdl, df per term — broadcast literal.
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
+        F.expr(f"avg(size({toks}))").alias("avgdl"),
         *[
-            F.sum((tf(t) > 0).cast("long")).alias(f"df_{i}")
+            F.expr(f"sum(CAST(({tf_sql(t)} > 0) AS BIGINT))").alias(f"df_{i}")
             for i, t in enumerate(terms)
         ],
     )
     scored = docs.select(
         F.col(id_col).alias("id"),
-        dl.alias("dl"),
-        *[tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
+        F.expr(f"size({toks})").alias("dl"),
+        *[F.expr(tf_sql(term)).alias(f"tf_{i}") for i, term in enumerate(terms)],
     ).crossJoin(F.broadcast(stats))
-    score = F.lit(0.0)
+    score_terms = []
     for i in range(len(terms)):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
+        idf = (
+            f"ln(1.0D + (n_docs - df_{i} + 0.5D) / (df_{i} + 0.5D))"
         )
-        tf_i = F.col(f"tf_{i}").cast("double")
-        norm = tf_i + F.lit(k1) * (
-            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        tf_i = f"CAST(tf_{i} AS DOUBLE)"
+        norm = (
+            f"({tf_i} + {k1!r}D * (1.0D - {b!r}D + {b!r}D * dl / avgdl))"
         )
-        score = score + idf * (tf_i * F.lit(k1 + 1.0)) / norm
+        score_terms.append(f"{idf} * ({tf_i} * {k1 + 1.0!r}D) / {norm}")
+    score = F.expr("0.0D + " + " + ".join(score_terms))
     ranked = (
         scored.withColumn("score", score)
         .filter(F.col("score") > 0)  # at least one query term present
@@ -105,10 +111,8 @@ def rrf_fuse(
     id. Output: (id, rrf_rank)."""
     if not rankings:
         raise ValueError("rrf_fuse requires at least one ranking")
-    parts = [
-        r.select(F.col("id"), (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("part"))
-        for r in rankings
-    ]
+    part_expr = F.expr(f"1.0D / ({c} + rank)").alias("part")
+    parts = [r.select(F.col("id"), part_expr) for r in rankings]
     allparts = parts[0]
     for p in parts[1:]:
         allparts = allparts.unionByName(p)

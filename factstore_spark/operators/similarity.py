@@ -31,7 +31,29 @@ from pyspark.sql.window import Window
 from ..session import release_local_checkpoint
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL fragment form of the fold-ordered dot product (round 15,
+    guide §7.3): one parsed expression instead of ~15 py4j round trips
+    per call site. Same tree, same left-to-right FP fold — the oracle
+    paths stay bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,7 +61,9 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -49,9 +73,15 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Zero-norm vectors get similarity 0.0 (try_divide: ANSI mode would
-    otherwise fail the whole job on a single degenerate row)."""
+    otherwise fail the whole job on a single degenerate row). String
+    args (column names) build one parsed expression — identical tree."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"coalesce(try_divide({_dot_sql(a, b)}, "
+            f"{_norm_sql(a)} * {_norm_sql(b)}), 0.0D)"
+        )
     return F.coalesce(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(0.0))
 
 
@@ -75,7 +105,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -434,14 +464,14 @@ def cosine_dup_pairs(
         # parquet scan arrives in one split, and a 1-partition probe
         # side serializes the entire nested-loop stage on one core.
         a = _spread(ids).withColumnsRenamed({"_id": "id_a", "_v": "va"}).withColumn(
-            "na", _norm(F.col("va"))
+            "na", _norm("va")
         )
         b = ids.withColumnsRenamed({"_id": "id_b", "_v": "vb"}).withColumn(
-            "nb", _norm(F.col("vb"))
+            "nb", _norm("vb")
         )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
         sim = F.coalesce(
-            F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+            F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")),
             F.lit(0.0),
         )
         return (
@@ -861,10 +891,9 @@ def _lloyd_step(corpus: DataFrame, vec_col: str, cents):
     means = (
         assigned.groupBy("cell")
         .agg(
-            F.aggregate(
-                F.collect_list("v"),
-                F.array_repeat(F.lit(0.0), len(cents[0])),
-                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
+            F.expr(
+                f"aggregate(collect_list(v), array_repeat(0.0D, {len(cents[0])}), "
+                "(acc, v) -> zip_with(acc, v, (a, x) -> a + CAST(x AS DOUBLE)))"
             ).alias("sum_v"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -923,7 +952,7 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -1545,7 +1574,7 @@ def ivf_topk_indexed(
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

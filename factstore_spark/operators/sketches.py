@@ -277,7 +277,11 @@ def quantile_cells(
     bounded-memory distributed aggregate, never a per-cell sort
     collect), plus the row count. One shuffle on the cell key.
     Output: (*cell_cols, breaks array<double>, n_rows)."""
-    qs = F.array(*[F.lit(i / n_bins) for i in range(n_bins + 1)])
+    # one parsed array literal, not n_bins+1 F.lit py4j round trips
+    # (round 15, guide §7.3); repr() round-trips doubles exactly
+    qs = F.expr(
+        "array(" + ", ".join(f"{i / n_bins!r}D" for i in range(n_bins + 1)) + ")"
+    )
     return df.groupBy(*cell_cols).agg(
         F.percentile_approx(F.col(value_col).cast("double"), qs, F.lit(accuracy)).alias(
             "breaks"
@@ -331,12 +335,11 @@ def quantile_rollup(
         # BELOW q*N (e.g. 6 x 1/6 = 0.9999999999999999) and q=1.0
         # would return NULL instead of the max breakpoint; 1e-9
         # relative covers accumulation error out to ~10^7 bins while
-        # staying far under one bin's mass
-        F.min(
-            F.when(
-                F.col("cum") >= F.lit(q) * F.col("n_rows") * F.lit(1.0 - 1e-9),
-                F.col("val"),
-            )
+        # staying far under one bin's mass. One parsed expression per
+        # quantile (round 15, guide §7.3 — same tree, same FP order).
+        F.expr(
+            f"min(CASE WHEN cum >= {q!r}D * n_rows * {1.0 - 1e-9!r}D "
+            "THEN val END)"
         ).alias(f"q_{str(q).replace('.', '_')}")
         for q in quantiles
     ]

@@ -420,66 +420,59 @@ def with_gopher_rules(
     projection — whole-stage codegen, no shuffle, no Python. All
     ratios are single FP divisions of exact integer counts, so the
     flags are bit-reproducible in any engine (oracle-checked)."""
-    toks = tokens_col(text_col)
-    n_words = F.size(toks)
-    n_chars = F.length(F.col(text_col))
+    # Parsed SQL expressions in one withColumns (round 15, guide §7.3 —
+    # the Column-DSL form was ~300 py4j round trips per call); same
+    # expression trees, same FP division order, oracle-identical.
+    toks = tokens_sql(text_col)
+    n_words = f"size({toks})"
+    n_chars = f"length(`{text_col}`)"
     # mean word length over whitespace tokens: chars excluding the
     # (n_words - 1) separators, divided by word count.
-    mean_wl = F.coalesce(
-        F.try_divide(n_chars - (n_words - F.lit(1)), n_words), F.lit(0.0)
-    )
-    n_symbols = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
-    )
-    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    lines = F.split(F.col(text_col), r"\n")
-    n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•])")))
-    n_ell = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    mean_wl = f"coalesce(try_divide({n_chars} - ({n_words} - 1), {n_words}), 0.0D)"
+    n_symbols = f"size(regexp_extract_all(`{text_col}`, '#|\\\\.\\\\.\\\\.', 0))"
+    n_alpha_words = f"size(filter({toks}, t -> t rlike '[a-z]'))"
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + ")"
+    n_stop_hits = f"size(filter({toks}, t -> array_contains({stop_arr}, t)))"
+    lines = f"split(`{text_col}`, '\\\\n')"
+    n_lines = f"size({lines})"
+    n_bullet = f"size(filter({lines}, l -> l rlike '^\\\\s*([-*•])'))"
+    n_ell = f"size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.\\\\s*$'))"
 
-    out = (
-        df.withColumn("n_words", n_words.cast("long"))
-        .withColumn(
-            "r_word_count",
-            (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words)),
-        )
-        .withColumn(
-            "r_mean_word_len",
-            (mean_wl >= F.lit(min_mean_word_len))
-            & (mean_wl <= F.lit(max_mean_word_len)),
-        )
-        .withColumn(
-            "r_symbol_ratio",
-            F.coalesce(F.try_divide(n_symbols, n_words), F.lit(0.0))
-            <= F.lit(max_symbol_ratio),
-        )
-        .withColumn(
-            "r_alpha_words",
-            F.coalesce(F.try_divide(n_alpha_words, n_words), F.lit(0.0))
-            >= F.lit(min_alpha_word_ratio),
-        )
-        .withColumn("r_stopwords", n_stop_hits >= F.lit(min_stopword_hits))
-        .withColumn(
-            "r_bullet_lines",
-            F.coalesce(F.try_divide(n_bullet, n_lines), F.lit(0.0)) <= F.lit(0.9),
-        )
-        .withColumn(
-            "r_ellipsis_lines",
-            F.coalesce(F.try_divide(n_ell, n_lines), F.lit(0.0)) <= F.lit(0.3),
-        )
+    out = df.withColumns(
+        {
+            "n_words": F.expr(f"CAST({n_words} AS BIGINT)"),
+            "r_word_count": F.expr(
+                f"({n_words} >= {min_words}) AND ({n_words} <= {max_words})"
+            ),
+            "r_mean_word_len": F.expr(
+                f"({mean_wl} >= {min_mean_word_len!r}D) "
+                f"AND ({mean_wl} <= {max_mean_word_len!r}D)"
+            ),
+            "r_symbol_ratio": F.expr(
+                f"coalesce(try_divide({n_symbols}, {n_words}), 0.0D) "
+                f"<= {max_symbol_ratio!r}D"
+            ),
+            "r_alpha_words": F.expr(
+                f"coalesce(try_divide({n_alpha_words}, {n_words}), 0.0D) "
+                f">= {min_alpha_word_ratio!r}D"
+            ),
+            "r_stopwords": F.expr(f"{n_stop_hits} >= {min_stopword_hits}"),
+            "r_bullet_lines": F.expr(
+                f"coalesce(try_divide({n_bullet}, {n_lines}), 0.0D) <= 0.9D"
+            ),
+            "r_ellipsis_lines": F.expr(
+                f"coalesce(try_divide({n_ell}, {n_lines}), 0.0D) <= 0.3D"
+            ),
+        }
     )
-    keep = (
-        F.col("r_word_count")
-        & F.col("r_mean_word_len")
-        & F.col("r_symbol_ratio")
-        & F.col("r_alpha_words")
-        & F.col("r_stopwords")
-        & F.col("r_bullet_lines")
-        & F.col("r_ellipsis_lines")
+    return out.withColumn(
+        "keep",
+        F.expr(
+            "r_word_count AND r_mean_word_len AND r_symbol_ratio "
+            "AND r_alpha_words AND r_stopwords AND r_bullet_lines "
+            "AND r_ellipsis_lines"
+        ),
     )
-    return out.withColumn("keep", keep)
 
 
 def tfdf_keywords(

@@ -828,20 +828,21 @@ def _pair_recall_stats(approx, exact):
     a = approx.select("id_a", "id_b").distinct().withColumn("in_a", F.lit(1))
     e = exact.select("id_a", "id_b").distinct().withColumn("in_e", F.lit(1))
     full = a.join(e, ["id_a", "id_b"], "full_outer")
+    # parsed expressions (round 15, guide §7.3) — identical trees
     return full.agg(
-        F.coalesce(F.sum("in_e"), F.lit(0)).cast("long").alias("n_exact"),
-        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_approx"),
-        F.coalesce(F.sum(F.col("in_a") * F.col("in_e")), F.lit(0)).cast("long").alias("n_common"),
+        F.expr("CAST(coalesce(sum(in_e), 0) AS BIGINT)").alias("n_exact"),
+        F.expr("CAST(coalesce(sum(in_a), 0) AS BIGINT)").alias("n_approx"),
+        F.expr("CAST(coalesce(sum(in_a * in_e), 0) AS BIGINT)").alias("n_common"),
     ).select(
         "n_exact",
         "n_approx",
         "n_common",
-        F.coalesce(
-            F.floor(F.lit(10000) * F.col("n_common") / F.col("n_exact")), F.lit(10000)
-        ).cast("long").alias("recall_bp"),
-        F.coalesce(
-            F.floor(F.lit(10000) * F.col("n_common") / F.col("n_approx")), F.lit(10000)
-        ).cast("long").alias("precision_bp"),
+        F.expr(
+            "CAST(coalesce(floor(10000 * n_common / n_exact), 10000) AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(coalesce(floor(10000 * n_common / n_approx), 10000) AS BIGINT)"
+        ).alias("precision_bp"),
     )
 
 
