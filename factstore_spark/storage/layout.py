@@ -406,8 +406,17 @@ class StoreLayout:
         __init__ note). ``full`` = the whole log was reparsed
         (checkpoint swap / first read) — rebuild from scratch."""
         d = self._derived
+        publish = False
         if full or d is None:
-            d = self._derived = {
+            # Build the fresh view COMPLETELY before publishing it:
+            # reader threads (subscription polls) share this layout
+            # with the appender, and a half-filled rebuild visible
+            # through self._derived could hand the appender's
+            # idempotency check an incomplete key set. Incremental
+            # updates below are safe to apply in place — every one is
+            # idempotent and monotone (set adds, dict puts, maxima),
+            # so concurrent re-application converges.
+            d = {
                 "keys": set(),
                 "max_seq": -1,
                 "head_pos": -1,
@@ -418,6 +427,7 @@ class StoreLayout:
                 "compaction_rec": None,
                 "ckpt_seq": -1,
             }
+            publish = True
             new = records
         else:
             new = records[n_before:]
@@ -442,6 +452,8 @@ class StoreLayout:
                 else:
                     for fp in c.tag_fps:
                         d["fp_seqs"].setdefault(fp, set()).add(c.seq)
+        if publish:
+            self._derived = d
 
     def _log_derived(self) -> Optional[dict]:
         """The derived log view, refreshed through the incremental
